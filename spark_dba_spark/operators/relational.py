@@ -1,0 +1,1024 @@
+"""Relational operator layer — scans, filters, joins, aggregates, windows,
+set ops, scalar functions, subqueries.
+
+The reference implements none of these (SURVEY.md §2.4: its only dataflow is
+scan→coalesce→count→write, `DefragmentAvroFolder.scala:267-298`); here each
+is expressed declaratively with the DataFrame API so Catalyst supplies
+pushdown, pruning, join selection and whole-stage codegen, and AQE re-plans
+shuffles at runtime. Every query has a DuckDB oracle twin.
+
+Scale notes baked into each builder:
+- dimension joins (region/nation/supplier at TPC-H ratios) are explicitly
+  `broadcast()` — no shuffle of the fact table for them at any scale;
+- fact-fact joins (orders⋈lineitem) are left to sort-merge/shuffled-hash with
+  AQE skew splitting — the right default at 100 TB;
+- aggregates use exact decimal sums (functions/numeric.py) which are also
+  partial-aggregation friendly (map-side combine);
+- every top-k is `ORDER BY … LIMIT k` with a full tiebreak so results are
+  deterministic across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions.numeric import DEC, davg, dsum, dsum_expr, sql_davg, sql_dsum
+from ..registry import QuerySpec
+
+REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (scan → filter → agg → sort)
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum_expr(REVENUE, "sum_disc_price"),
+            dsum_expr(f"{REVENUE} * (1 + l_tax)", "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q01 = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum(REVENUE)} AS sum_disc_price,
+       {sql_dsum(f'{REVENUE} * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Scan / filter / projection (predicate + column pushdown reach the scan)
+# --------------------------------------------------------------------------
+
+def q02_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_quantity") < 10)
+        )
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").alias("lno"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("disc"),
+        )
+    )
+
+
+ORACLE_Q02 = """
+SELECT l_orderkey AS okey, l_linenumber AS lno,
+       l_extendedprice AS price, l_discount AS disc
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l_discount >= 0.05 AND l_quantity < 10
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3-shaped: fact⋈fact join + agg + deterministic top-k
+# --------------------------------------------------------------------------
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_expr(REVENUE, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q03 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {sql_dsum(REVENUE)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4-shaped: EXISTS (semi-join) with non-equi correlation
+# --------------------------------------------------------------------------
+
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q04 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5-shaped: 6-way join, dims broadcast, same-nation constraint
+# --------------------------------------------------------------------------
+
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+                    & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum_expr(REVENUE, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+ORACLE_Q05 = f"""
+SELECT n_name, {sql_dsum(REVENUE)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10-shaped: returned-item reporting, deterministic top-20
+# --------------------------------------------------------------------------
+
+def q10_returned_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum_expr(REVENUE, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, {sql_dsum(REVENUE)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Join family: outer / semi / anti / broadcast / non-equi range
+# --------------------------------------------------------------------------
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum_expr("coalesce(o_totalprice, 0.0)", "total_spend"),
+        )
+        .filter(F.col("n_orders") <= 2)
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_JOIN_LEFT = f"""
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       {sql_dsum('coalesce(o_totalprice, 0.0)')} AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+HAVING COUNT(o_orderkey) <= 2
+ORDER BY c_custkey
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-nation customer count FULL OUTER per-nation supplier count
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ORACLE_JOIN_FULL = """
+WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+           WHERE s_acctbal > 5000 GROUP BY 1)
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+ORDER BY nationkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_JOIN_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_JOIN_ANTI = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit broadcast of the part dim: at fixture scale part ≪ lineitem;
+    # at 100 TB you'd bound this with spark.sql.autoBroadcastJoinThreshold
+    # and let AQE fall back to shuffled hash — the hint is advisory.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum_expr(REVENUE, "revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_JOIN_BCAST = f"""
+SELECT p_brand, COUNT(*) AS n_items, {sql_dsum(REVENUE)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Non-equi (theta) join against a tiny in-memory band dim → Catalyst
+    # plans BroadcastNestedLoopJoin, the right shape for band lookups.
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 900.0, 935.0), ("mid", 935.0, 970.0), ("premium", 970.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_parts"), davg("p_retailprice", "avg_price"))
+        .orderBy("band")
+    )
+
+
+ORACLE_JOIN_RANGE = f"""
+SELECT band, COUNT(*) AS n_parts, {sql_davg('p_retailprice')} AS avg_price
+FROM part
+JOIN (VALUES ('budget', 900.0, 935.0), ('mid', 935.0, 970.0),
+             ('premium', 970.0, 1000.0)) AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregation family
+# --------------------------------------------------------------------------
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_AGG_DISTINCT = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            davg("l_quantity", "avg_qty"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_AGG_STATS = f"""
+SELECT l_linestatus, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       {sql_davg('l_quantity')} AS avg_qty,
+       MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_AGG_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_price"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_AGG_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
+
+
+ORACLE_AGG_GSETS = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), dsum_expr(REVENUE, "revenue"))
+        .filter(F.col("n_items") > 550)
+        .orderBy("l_suppkey")
+    )
+
+
+ORACLE_AGG_HAVING = f"""
+SELECT l_suppkey, COUNT(*) AS n_items, {sql_dsum(REVENUE)} AS revenue
+FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 550 ORDER BY l_suppkey
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL sketches differ across engines — registered rows-only (no oracle);
+    # the pytest suite checks the estimate against the exact count instead.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders")
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Window family
+# --------------------------------------------------------------------------
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-3 parts per brand by retail price — row_number + filter, the
+    # standard Spark top-k-per-group shape (shuffles once on the partition
+    # key; at scale prefer this over any groupBy+collect_list approach).
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "rnk", "p_partkey", "p_retailprice")
+        .orderBy("p_brand", "rnk")
+    )
+
+
+ORACLE_WIN_TOPK = """
+SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rnk
+  FROM part) t
+WHERE rnk <= 3 ORDER BY p_brand, rnk
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 5)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double").alias("running_qty"),
+    )
+
+
+ORACLE_WIN_RUNNING = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
+            OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_qty
+FROM lineitem WHERE l_suppkey < 5
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w)).alias("delta"),
+    )
+
+
+ORACLE_WIN_LAGLEAD = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice, 1) OVER w AS prev_price,
+       LEAD(o_totalprice, 1) OVER w AS next_price,
+       o_totalprice - LAG(o_totalprice, 1) OVER w AS delta
+FROM orders WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("moving_avg"),
+    )
+
+
+ORACLE_WIN_MAVG = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS moving_avg
+FROM orders WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    ).filter(F.col("rnk") <= 25)
+
+
+ORACLE_WIN_RANKDIST = """
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey,
+         RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+         NTILE(4) OVER w AS quartile, PERCENT_RANK() OVER w AS pct_rank,
+         CUME_DIST() OVER w AS cdist
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+WHERE rnk <= 25
+"""
+
+
+# --------------------------------------------------------------------------
+# Sort / limit, set operations
+# --------------------------------------------------------------------------
+
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(15)
+    )
+
+
+ORACLE_TOPK = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15
+"""
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct().orderBy("custkey")
+
+
+ORACLE_SET_UNION = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY custkey
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b).orderBy("custkey")
+
+
+ORACLE_SET_INTERSECT = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+ORDER BY custkey
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.select(F.col("c_custkey").alias("custkey"))
+    b = orders.select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b.distinct()).orderBy("custkey")
+
+
+ORACLE_SET_EXCEPT = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT ALL
+SELECT DISTINCT o_custkey FROM orders
+ORDER BY custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar function coverage (string / date / math / conditional / JSON)
+# --------------------------------------------------------------------------
+
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 37 == 0)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_type").alias("lo"),
+        F.length("p_name").alias("len"),
+        F.substring("p_name", 1, 4).alias("sub4"),
+        F.concat_ws("|", "p_brand", "p_type").alias("cat"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("novowel"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("lastword"),
+        F.lpad("p_brand", 12, "0").alias("padded"),
+        F.reverse("p_brand").alias("rev"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("word0"),
+    )
+
+
+ORACLE_SCALAR_STRING = """
+SELECT p_partkey,
+       UPPER(p_name) AS up, LOWER(p_type) AS lo, LENGTH(p_name) AS len,
+       SUBSTRING(p_name, 1, 4) AS sub4,
+       CONCAT_WS('|', p_brand, p_type) AS cat,
+       REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS novowel,
+       COALESCE(REGEXP_EXTRACT(p_name, '([a-z]+)$', 1), '') AS lastword,
+       LPAD(p_brand, 12, '0') AS padded,
+       REVERSE(p_brand) AS rev,
+       TRIM('  x  ') AS trimmed,
+       string_split(p_name, ' ')[1] AS word0
+FROM part WHERE p_partkey % 37 = 0
+"""
+
+
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.trunc("o_orderdate", "month").alias("mon_start"),
+        F.last_day("o_orderdate").alias("mon_end"),
+        F.datediff(
+            F.to_date(F.col("o_orderdate")), F.lit("1995-01-01").cast("date")
+        ).alias("days_since"),
+        F.date_add(F.to_date(F.col("o_orderdate")), 30).alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+ORACLE_SCALAR_DATE = """
+SELECT o_orderkey,
+       YEAR(o_orderdate) AS yr, QUARTER(o_orderdate) AS qtr,
+       MONTH(o_orderdate) AS mon, DAYOFMONTH(o_orderdate) AS dom,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon_start,
+       LAST_DAY(CAST(o_orderdate AS DATE)) AS mon_end,
+       DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         AS days_since,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       STRFTIME(o_orderdate, '%Y-%m') AS ym
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 13 == 0)
+    return cust.select(
+        "c_custkey",
+        F.abs("c_acctbal").alias("abs_bal"),
+        F.ceil("c_acctbal").alias("ceil_bal"),
+        F.floor("c_acctbal").alias("floor_bal"),
+        F.round("c_acctbal", 1).alias("round_bal"),
+        F.round(F.sqrt(F.abs("c_acctbal")), 6).alias("sqrt_bal"),
+        F.round(F.log1p(F.abs("c_acctbal")), 6).alias("ln1p_bal"),
+        F.signum("c_acctbal").alias("sign_bal"),
+        (F.col("c_custkey") % 7).alias("mod7"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("pos_part"),
+        F.least("c_acctbal", F.lit(0.0)).alias("neg_part"),
+        (F.col("c_acctbal") * F.col("c_acctbal")).alias("sq"),
+    )
+
+
+ORACLE_SCALAR_MATH = """
+SELECT c_custkey,
+       ABS(c_acctbal) AS abs_bal,
+       CAST(CEIL(c_acctbal) AS BIGINT) AS ceil_bal,
+       CAST(FLOOR(c_acctbal) AS BIGINT) AS floor_bal,
+       ROUND(c_acctbal, 1) AS round_bal,
+       ROUND(SQRT(ABS(c_acctbal)), 6) AS sqrt_bal,
+       ROUND(LN(1 + ABS(c_acctbal)), 6) AS ln1p_bal,
+       CAST(SIGN(c_acctbal) AS DOUBLE) AS sign_bal,
+       c_custkey % 7 AS mod7,
+       GREATEST(c_acctbal, 0.0) AS pos_part,
+       LEAST(c_acctbal, 0.0) AS neg_part,
+       c_acctbal * c_acctbal AS sq
+FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+    )
+    return (
+        orders.select(
+            tier.alias("tier"),
+            F.coalesce(
+                F.nullif("o_orderstatus", F.lit("P")), F.lit("pending")
+            ).alias("status_or_pending"),
+        )
+        .groupBy("tier", "status_or_pending")
+        .agg(F.count("*").alias("n"))
+        .orderBy("tier", "status_or_pending")
+    )
+
+
+ORACLE_SCALAR_COND = """
+SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'low' END AS tier,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_or_pending,
+       COUNT(*) AS n
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big_parts = _t(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+    return (
+        li.join(
+            F.broadcast(big_parts.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), dsum_expr(REVENUE, "revenue"))
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_IN_SUBQ = f"""
+SELECT l_returnflag, COUNT(*) AS n, {sql_dsum(REVENUE)} AS revenue
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 45)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql("""
+        SELECT s_suppkey, s_name, s_nationkey FROM supplier s1
+        WHERE s_acctbal > (SELECT AVG(s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s1.s_nationkey)
+        ORDER BY s_suppkey
+    """)
+
+
+ORACLE_CORR_SUBQ = """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier s1
+WHERE s_acctbal > (SELECT AVG(s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = s1.s_nationkey)
+ORDER BY s_suppkey
+"""
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE) AS "O",
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE) AS "F"
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+SPECS = [
+    QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
+              ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
+    QuerySpec("q02_scan_filter_project", q02_scan_filter_project, ORACLE_Q02,
+              ("scan",), bench=True),
+    QuerySpec("q03_shipping_priority", q03_shipping_priority, ORACLE_Q03,
+              ("join", "tpch"), bench=True),
+    QuerySpec("q04_order_priority", q04_order_priority, ORACLE_Q04,
+              ("join", "semi", "tpch")),
+    QuerySpec("q05_local_supplier_volume", q05_local_supplier_volume, ORACLE_Q05,
+              ("join", "tpch"), bench=True),
+    QuerySpec("q10_returned_item", q10_returned_item, ORACLE_Q10,
+              ("join", "tpch"), bench=True),
+    QuerySpec("join_left_outer", join_left_outer, ORACLE_JOIN_LEFT, ("join",)),
+    QuerySpec("join_full_outer", join_full_outer, ORACLE_JOIN_FULL, ("join",)),
+    QuerySpec("join_semi", join_semi, ORACLE_JOIN_SEMI, ("join",)),
+    QuerySpec("join_anti", join_anti, ORACLE_JOIN_ANTI, ("join",)),
+    QuerySpec("join_broadcast_dim", join_broadcast_dim, ORACLE_JOIN_BCAST,
+              ("join",), bench=True),
+    QuerySpec("join_range_bands", join_range_bands, ORACLE_JOIN_RANGE,
+              ("join", "nonequi")),
+    QuerySpec("agg_distinct", agg_distinct, ORACLE_AGG_DISTINCT, ("agg",),
+              bench=True),
+    QuerySpec("agg_stats", agg_stats, ORACLE_AGG_STATS, ("agg",)),
+    QuerySpec("agg_rollup", agg_rollup, ORACLE_AGG_ROLLUP, ("agg",)),
+    QuerySpec("agg_cube", agg_cube, ORACLE_AGG_CUBE, ("agg",)),
+    QuerySpec("agg_grouping_sets", agg_grouping_sets, ORACLE_AGG_GSETS, ("agg",)),
+    QuerySpec("agg_having", agg_having, ORACLE_AGG_HAVING, ("agg",)),
+    QuerySpec("agg_approx_distinct", agg_approx_distinct, None, ("agg", "sketch")),
+    QuerySpec("window_topk_per_group", window_topk_per_group, ORACLE_WIN_TOPK,
+              ("window",), bench=True),
+    QuerySpec("window_running_sum", window_running_sum, ORACLE_WIN_RUNNING,
+              ("window",)),
+    QuerySpec("window_lag_lead", window_lag_lead, ORACLE_WIN_LAGLEAD, ("window",)),
+    QuerySpec("window_moving_avg", window_moving_avg, ORACLE_WIN_MAVG, ("window",)),
+    QuerySpec("window_rank_dist", window_rank_dist, ORACLE_WIN_RANKDIST,
+              ("window",)),
+    QuerySpec("topk_global", topk_global, ORACLE_TOPK, ("sort",)),
+    QuerySpec("set_union", set_union, ORACLE_SET_UNION, ("setop",)),
+    QuerySpec("set_intersect", set_intersect, ORACLE_SET_INTERSECT, ("setop",)),
+    QuerySpec("set_except", set_except, ORACLE_SET_EXCEPT, ("setop",)),
+    QuerySpec("scalar_string", scalar_string, ORACLE_SCALAR_STRING, ("scalar",)),
+    QuerySpec("scalar_date", scalar_date, ORACLE_SCALAR_DATE, ("scalar",)),
+    QuerySpec("scalar_math", scalar_math, ORACLE_SCALAR_MATH, ("scalar",)),
+    QuerySpec("scalar_conditional", scalar_conditional, ORACLE_SCALAR_COND,
+              ("scalar",)),
+    QuerySpec("json_extract_events", json_extract_events, ORACLE_JSON,
+              ("scalar", "json"), bench=True),
+    QuerySpec("in_subquery", in_subquery, ORACLE_IN_SUBQ, ("subquery",)),
+    QuerySpec("correlated_scalar_subquery", correlated_scalar_subquery,
+              ORACLE_CORR_SUBQ, ("subquery",)),
+    QuerySpec("pivot_status", pivot_status, ORACLE_PIVOT, ("agg", "pivot")),
+]

@@ -1,0 +1,86 @@
+"""SparkSession construction and session-level invariants.
+
+Two concerns:
+
+1. ``get_spark()`` — build a session for our own entry points (tests, bench,
+   compaction CLI) with the configs a 1000-executor deployment would also
+   want: AQE on (runtime re-planning, skew-join splitting, partition
+   coalescing), Arrow for any Python exchange, UTC session timezone.
+
+2. ``ensure_session_invariants(spark)`` — the driver harness constructs its
+   *own* SparkSession and hands it to our query builders, so every conf the
+   engine's correctness depends on must also be settable at runtime on a
+   foreign session. Query builders call this defensively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe to set at runtime and that correctness depends on.
+_RUNTIME_INVARIANTS = {
+    # DuckDB-oracle parity: both engines must agree on wall-clock rendering.
+    "spark.sql.session.timeZone": "UTC",
+    # The events fixture stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects by default; read as long and convert explicitly (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for every pandas exchange (similarity / multimodal operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Perf-posture confs for sessions we own. All of these hold on a real
+# cluster as well as local[N].
+_PERF_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Parquet scans: vectorized reader + pushdown are default-on; keep
+    # explicit so a conf drift can't silently disable them.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+
+
+def get_spark(
+    app_name: str = "spark_dba_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``shuffle_partitions`` defaults to the core count — right for local[N];
+    on a real cluster you would size it to ~2-3× total executor cores or
+    simply let AQE coalesce from a higher initial number.
+    """
+    cpus = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in {**_PERF_CONFS, **_RUNTIME_INVARIANTS}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_session_invariants(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable correctness invariants to any session."""
+    for k, v in _RUNTIME_INVARIANTS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # Conf not recognized on some build — never fail a query over it.
+            pass
+    return spark

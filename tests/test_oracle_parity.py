@@ -1,0 +1,58 @@
+"""Differential tests: every registered query vs its DuckDB oracle at
+sf0.001 (the driver's own gate runs the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_dba_spark import registry
+
+from conftest import SF_DIR, assert_matches_oracle
+
+SPECS = registry.all_specs()
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, s in SPECS.items() if s.oracle is not None]
+)
+def test_query_matches_oracle(spark, duck, name):
+    spec = SPECS[name]
+    assert_matches_oracle(spark, duck, spec.builder, spec.oracle)
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, s in SPECS.items() if s.oracle is None]
+)
+def test_rows_only_queries_run(spark, name):
+    df = SPECS[name].builder(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
+
+
+def test_approx_distinct_close_to_exact(spark):
+    from pyspark.sql import functions as F
+
+    from spark_dba_spark import catalog
+
+    li = catalog.load(spark, SF_DIR, "lineitem")
+    approx = SPECS["agg_approx_distinct"].builder(spark, SF_DIR).collect()
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for row in approx:
+        rel_err = abs(row["approx_orders"] - exact[row["l_returnflag"]]) / exact[
+            row["l_returnflag"]
+        ]
+        assert rel_err < 0.1
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns

@@ -1,0 +1,113 @@
+"""Local DuckDB-oracle parity checker — mirrors the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over the
+same parquet fixtures, then compares row count, column names, and values
+(order-insensitive, exact for non-floats, tiny epsilon for floats). Use while
+iterating:
+
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+from spark_dba_spark import catalog, registry  # noqa: E402
+from spark_dba_spark.session import get_spark  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in catalog.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    def norm_cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, 6)
+        if isinstance(v, list):
+            return tuple(norm_cell(x) for x in v)
+        return v
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def compare(name: str, spark, con, spec, sf_dir: str) -> tuple[bool, str]:
+    t0 = time.time()
+    sdf = spec.builder(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    t_spark = time.time() - t0
+
+    t0 = time.time()
+    res = con.execute(spec.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    t_duck = time.time() - t0
+
+    if sorted(scols) != sorted(dcols):
+        return False, f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}"
+    if len(srows) != len(drows):
+        return False, f"row count differs: spark={len(srows)} duck={len(drows)}"
+    sn, dn = normalize(srows, scols), normalize(drows, dcols)
+    mism = [i for i, (a, b) in enumerate(zip(sn, dn)) if a != b]
+    if mism:
+        i = mism[0]
+        return False, (
+            f"{len(mism)}/{len(sn)} rows differ; first at {i}:\n"
+            f"  spark: {sn[i]}\n  duck : {dn[i]}"
+        )
+    return True, f"OK rows={len(srows)} spark={t_spark:.2f}s duck={t_duck:.2f}s"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    specs = registry.all_specs()
+    names = args.names or list(specs)
+    spark = get_spark("check_oracle")
+    con = duck_connection(args.sf)
+
+    failures = []
+    for name in names:
+        spec = specs.get(name)
+        if spec is None:
+            print(f"{name:35s} UNKNOWN")
+            failures.append(name)
+            continue
+        if spec.oracle is None:
+            n = spec.builder(spark, args.sf).count()
+            print(f"{name:35s} rows-only rows={n}")
+            continue
+        try:
+            ok, msg = compare(name, spark, con, spec, args.sf)
+        except Exception as exc:
+            ok, msg = False, f"EXCEPTION {type(exc).__name__}: {exc}"
+        print(f"{name:35s} {'PASS' if ok else 'FAIL'} {msg}")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
