@@ -1,0 +1,61 @@
+"""Headline benchmark: runs the registry's bench-flagged queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan build + execution + collect of the
+final, already-aggregated result). Session startup is excluded — it is
+constant overhead irrelevant to per-query throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from spark_dba_spark import registry  # noqa: E402
+from spark_dba_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark("bench", driver_memory="16g")
+    specs = registry.bench_specs()
+
+    # One tiny warm-up action so JIT/classloading doesn't bill the first query.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        t0 = time.time()
+        rows = spec.builder(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

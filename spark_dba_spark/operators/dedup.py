@@ -1,3 +1,365 @@
+"""Deduplication operators over the ``documents`` table.
+
+The reference has no dedup surface (SURVEY.md §2.4); these are the
+north-star LLM-pipeline operators (BASELINE.json), built Spark-first:
+
+- exact dedup        — md5 content hash, hash-groupBy (one shuffle)
+- n-gram Jaccard     — inverted-index self-join on word-3-gram shingles with
+                       document-frequency pruning (the classic scalable
+                       near-dup join: no O(n²) pair enumeration)
+- MinHash + LSH      — Kirsch-Mitzenmacher permutations, banded candidate
+                       join, exact-Jaccard verification of candidates
+- SimHash            — 60-bit md5-derived fingerprint, 4×15-bit band join
+                       (pigeonhole-complete for hamming ≤ 3), popcount verify
+
+Every hash derives from MD5 (functions/hashing.py) so the DuckDB oracle
+reproduces the *entire* pipeline bit-for-bit — the correctness gate checks
+the real algorithm, not a statistical proxy.
+
+Scale posture (100 TB): every stage is explode → shuffle-on-key → groupBy;
+no driver-side state, no cross join. Knobs: MAX_DF bounds inverted-index
+blowup from stop-shingles; band width trades candidate volume vs recall
+(b=25, r=4 → P(candidate | j=0.8) ≈ 1 - (1-0.8⁴)²⁵ ≈ 1 - 2·10⁻⁶).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions.hashing import MERSENNE31
+from ..functions.texts import word_ngrams
 from ..registry import QuerySpec
 
-SPECS: list[QuerySpec] = []
+NGRAM = 3
+MAX_DF = 100  # drop shingles appearing in more docs (stop-shingle pruning)
+JACCARD_TAU = 0.8
+MINHASH_PERMS = 100
+MINHASH_BANDS = 25  # 25 bands × 4 rows
+MINHASH_R = 4
+MINHASH_TAU = 0.7
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 4 bands × 15 bits: complete for hamming distance ≤ 3
+SIMHASH_MAXHAM = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "documents")
+
+
+# DuckDB rendering of the distinct word-3-gram shingle list (1-indexed).
+_DUCK_SHINGLES = """
+SELECT doc_id,
+       list_distinct(list_transform(
+         generate_series(1, greatest(len(ws) - 2, 1)),
+         i -> CASE WHEN len(ws) >= 3
+                   THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   ELSE text END)) AS shingles
+FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters of byte-identical documents (keeper = min doc_id)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("content_hash")
+    )
+
+
+ORACLE_EXACT_CLUSTERS = """
+SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash
+"""
+
+
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row summary: corpus size, surviving count, dropped count."""
+    return _docs(spark, sf_dir).agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct(F.md5("text")).alias("n_kept"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dropped"),
+    )
+
+
+ORACLE_EXACT_STATS = """
+SELECT COUNT(*) AS n_total, COUNT(DISTINCT md5(text)) AS n_kept,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dropped
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup (inverted-index join, DF-pruned)
+# --------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(word_ngrams("text", NGRAM)).alias("sh")
+    )
+    # Stop-shingle pruning: a shingle in >MAX_DF docs contributes O(df²)
+    # candidate pairs — drop before the self-join (this is what keeps the
+    # inverted-index approach sub-quadratic on a real corpus).
+    pruned = (
+        sh.withColumn("df", F.count("*").over(W.partitionBy("sh")))
+        .filter(F.col("df") <= MAX_DF)
+        .drop("df")
+    )
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sx = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sy = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(sx, "doc_a")
+        .join(sy, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+              ELSE text END AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)
+),
+gs AS (SELECT DISTINCT doc_id, sh FROM g),
+pruned AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM gs)
+  WHERE df <= {MAX_DF}
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM pruned GROUP BY 1),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       inter * 1.0 / (x.n + y.n - inter) AS jaccard
+FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", word_ngrams("text", NGRAM).alias("shingles")
+    )
+    # hp: one MD5 per shingle (two 28-bit lanes). The repartition() between
+    # hp and sig is a deliberate exchange barrier: Catalyst's projection
+    # collapse would otherwise inline the hp expression into every one of
+    # the MINHASH_PERMS lambda bodies (and again into every exploded band
+    # row), recomputing MD5s ~100×. The exchange materializes each stage's
+    # columns once; the self-join below then reuses the same exchange
+    # (ReusedExchange) instead of recomputing the whole signature pipeline
+    # per join branch. Measured: 40s → ~3s at sf0.01.
+    hp = docs.withColumn(
+        "hp",
+        F.expr(
+            "transform(shingles, x -> array("
+            "cast(conv(substring(md5(x), 1, 7), 16, 10) as bigint), "
+            "1 + cast(conv(substring(md5(x), 9, 7), 16, 10) as bigint)))"
+        ),
+    ).repartition("doc_id")
+    sig = hp.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {MINHASH_PERMS - 1}), s -> "
+            f"array_min(transform(hp, h -> (h[0] + s * h[1]) % {MERSENNE31})))"
+        ).alias("sig"),
+    ).repartition("doc_id")
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias("b"),
+    ).withColumn(
+        "band_key",
+        F.expr(
+            f"concat(b, ':', concat_ws(',', transform("
+            f"slice(sig, b * {MINHASH_R} + 1, {MINHASH_R}), "
+            f"x -> cast(x as string))))"
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb"))
+            * 1.0
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .filter(F.col("jaccard") >= MINHASH_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+from ..functions.hashing import sql_minhash_signature_duck  # noqa: E402
+
+ORACLE_MINHASH_LSH = f"""
+WITH shl AS ({_DUCK_SHINGLES}),
+sig AS (
+  SELECT doc_id, shingles,
+         {sql_minhash_signature_duck('shingles', MINHASH_PERMS)} AS sig
+  FROM shl
+),
+bands AS (
+  SELECT doc_id, b,
+         b || ':' || array_to_string(
+           sig[b * {MINHASH_R} + 1 : b * {MINHASH_R} + {MINHASH_R}], ',')
+           AS band_key
+  FROM sig, LATERAL unnest(range(0, {MINHASH_BANDS})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       len(list_intersect(x.shingles, y.shingles)) * 1.0
+         / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+FROM cand JOIN shl x ON doc_a = x.doc_id JOIN shl y ON doc_b = y.doc_id
+WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0
+        / len(list_distinct(list_concat(x.shingles, y.shingles)))
+      >= {MINHASH_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    # 60-bit token hash; per-bit weighted vote (term frequency implicit in
+    # the non-distinct explode), then reassemble the sign vector into a
+    # 60-bit fingerprint.
+    bits = tok.select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)").alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
+    ).withColumn("contrib", F.expr("((h >> i) & 1) * 2 - 1"))
+    sig = (
+        bits.groupBy("doc_id", "i")
+        .agg(F.sum("contrib").alias("tot"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("tot") > 0, F.expr("shiftleft(cast(1 as bigint), i)"))
+                .otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("j"),
+    ).withColumn("band_key", F.expr("concat(j, ':', (simhash >> (15 * j)) & 32767)"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAXHAM)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+bits AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h, i
+  FROM tok, LATERAL unnest(range(0, {SIMHASH_BITS})) AS u(i)
+),
+votes AS (
+  SELECT doc_id, i, SUM(((h >> i) & 1) * 2 - 1) AS tot
+  FROM bits GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN tot > 0 THEN 1::BIGINT << i ELSE 0 END) AS simhash
+  FROM votes GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, simhash, j,
+         j || ':' || ((simhash >> (15 * j)) & 32767) AS band_key
+  FROM sig, LATERAL unnest(range(0, {SIMHASH_BANDS})) AS u(j)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) AS hamming
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= {SIMHASH_MAXHAM}
+ORDER BY doc_a, doc_b
+"""
+
+
+SPECS = [
+    QuerySpec("dedup_exact_clusters", dedup_exact_clusters,
+              ORACLE_EXACT_CLUSTERS, ("dedup",)),
+    QuerySpec("dedup_exact_stats", dedup_exact_stats, ORACLE_EXACT_STATS,
+              ("dedup",)),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard,
+              ORACLE_NGRAM_JACCARD, ("dedup", "neardup"), bench=True),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, ORACLE_MINHASH_LSH,
+              ("dedup", "neardup", "lsh"), bench=True),
+    QuerySpec("dedup_simhash", dedup_simhash, ORACLE_SIMHASH,
+              ("dedup", "neardup")),
+]

@@ -1,3 +1,285 @@
+"""Similarity search over the ``embeddings`` table (array<float> vectors).
+
+Spark-first design for vector workloads:
+
+- The *corpus* side stays distributed: vectors never leave the executors.
+- The *query* side (bounded: a handful of probe vectors, or the corpus
+  matrix itself when it is dimension-bounded) ships to executors as a
+  broadcast, and each Arrow batch is scored with one numpy matmul inside
+  ``mapInPandas`` — the vectorized slow-path (Arrow + BLAS), never
+  row-at-a-time Python.
+- Top-k selection happens in Spark (window row_number), so the ranking
+  shuffle is on the small (qid, candidate) stream, not raw vectors.
+
+At 100 TB the brute-force scorers below become the *verification* tier;
+``sim_ann_lsh`` is the scale path (random-hyperplane bucketing — candidates
+only within matching buckets). It is approximate, hence registered
+rows-only; its recall is asserted against brute force in the pytest suite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import catalog
 from ..registry import QuerySpec
 
-SPECS: list[QuerySpec] = []
+N_QUERIES = 20
+TOP_K = 10
+PAIR_TAU = 0.4  # fixture embeddings are random: max pairwise cosine ≈ 0.5
+LSH_PLANES = 5  # per table → 32 buckets
+LSH_TABLES = 8  # OR-amplification: candidates from any matching table
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "embeddings")
+
+
+def _to_matrix(series: pd.Series) -> np.ndarray:
+    return np.array([np.asarray(v, dtype=np.float64) for v in series])
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k (query set broadcast, corpus distributed)
+# --------------------------------------------------------------------------
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded probe set → broadcast variable
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qn))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        bqids, bqn = bc.value
+        for pdf in batches:
+            m = _to_matrix(pdf["embedding"])
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = mn @ bqn.T  # (batch, n_queries)
+            n, nq = sims.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(bqids, n),
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), nq),
+                    "sim": sims.T.reshape(-1),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    )
+
+
+ORACLE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+s AS (
+  SELECT qid, e.vec_id,
+         list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q, embeddings e WHERE e.vec_id != qid
+)
+SELECT qid, rank, vec_id FROM (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM s)
+WHERE rank <= {TOP_K}
+ORDER BY qid, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# All-pairs cosine near-duplicates (block-broadcast brute force)
+# --------------------------------------------------------------------------
+
+def sim_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ PAIR_TAU, vec_id_a < vec_id_b).
+
+    The full (normalized) corpus matrix is broadcast and each partition
+    scores its block against it — O(n²/p) work per executor with one BLAS
+    call per Arrow batch, zero shuffle until the tiny result stream. The
+    fixture corpus is broadcast-sized; at real scale swap the broadcast for
+    the LSH bucketing of sim_ann_lsh and keep this as the in-bucket scorer.
+    """
+    emb = _emb(spark, sf_dir)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mn))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id_a", T.LongType()),
+            T.StructField("vec_id_b", T.LongType()),
+            T.StructField("sim_r4", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        all_ids, all_mn = bc.value
+        for pdf in batches:
+            bm = _to_matrix(pdf["embedding"])
+            bn = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+            sims = bn @ all_mn.T  # (batch, corpus)
+            bids = pdf["vec_id"].to_numpy()
+            bi, cj = np.nonzero(sims >= PAIR_TAU)
+            a = bids[bi]
+            b = all_ids[cj]
+            keep = a < b
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": a[keep],
+                    "vec_id_b": b[keep],
+                    "sim_r4": np.round(sims[bi[keep], cj[keep]], 4),
+                }
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(score, out_schema)
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
+ORACLE_DUP_PAIRS = f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS sim_r4
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {PAIR_TAU}
+ORDER BY vec_id_a, vec_id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Approximate NN: random-hyperplane LSH (the 100 TB scale path; rows-only)
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from md5 — no RNG state, so
+    every executor and every round derives the same planes."""
+    vals = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{table}:{p}:{d}".encode()).hexdigest()
+            vals[p, d] = (int(h[:15], 16) / float(1 << 60)) * 2.0 - 1.0
+    return vals
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: sign-bucket every vector under LSH_TABLES independent
+    hyperplane sets (map-only), then compare each query only against
+    vectors sharing a (table, bucket) — shuffle on bucket id, not O(n²).
+    OR-amplification across tables recovers recall lost to bucketing.
+
+    Approximate (no oracle); pytest asserts recall vs sim_cosine_topk.
+    """
+    emb = _emb(spark, sf_dir)
+    sample = emb.select(F.size("embedding").alias("d")).first()
+    planes = np.stack(
+        [_hyperplanes(int(sample["d"]), LSH_PLANES, t) for t in range(LSH_TABLES)]
+    )  # (tables, planes, dim)
+    bc = spark.sparkContext.broadcast(planes)
+
+    bucket_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def bucketize(batches):
+        pl = bc.value
+        n_tables = pl.shape[0]
+        weights = 1 << np.arange(pl.shape[1], dtype=np.int64)
+        for pdf in batches:
+            m = _to_matrix(pdf["embedding"])
+            frames = []
+            for t in range(n_tables):
+                signs = (m @ pl[t].T) > 0
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "tbl": t,
+                            "bucket": signs @ weights,
+                            "embedding": pdf["embedding"],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    bucketed = emb.select("vec_id", "embedding").mapInPandas(
+        bucketize, bucket_schema
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("tbl"),
+        F.col("bucket"),
+        F.col("embedding").alias("qe"),
+    )
+    cand = (
+        q.join(bucketed, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qe", "vec_id", "embedding")
+        .distinct()  # a pair may collide in several tables
+    )
+    sim = cand.withColumn(
+        "sim",
+        F.expr(
+            "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+            " / (sqrt(aggregate(transform(qe, x -> cast(x as double) * cast(x as double)),"
+            "          cast(0.0 as double), (acc, v) -> acc + v))"
+            "    * sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
+            "            cast(0.0 as double), (acc, v) -> acc + v)))"
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", F.round("sim", 4).alias("sim_r4"))
+        .orderBy("qid", "rank")
+    )
+
+
+SPECS = [
+    QuerySpec("sim_cosine_topk", sim_cosine_topk, ORACLE_TOPK,
+              ("similarity",), bench=True),
+    QuerySpec("sim_dup_pairs", sim_dup_pairs, ORACLE_DUP_PAIRS,
+              ("similarity", "dedup")),
+    QuerySpec("sim_ann_lsh", sim_ann_lsh, None, ("similarity", "ann")),
+]

@@ -1,3 +1,226 @@
+"""Text-analysis operators over ``documents``: quality scoring, language ID,
+token counting, fingerprinting.
+
+All pure JVM column expressions (no Python in the hot path) with exact
+integer/double arithmetic so the DuckDB oracle matches bit-for-bit. At
+100 TB these are embarrassingly parallel map-only stages — no shuffle at all
+(verify with .explain(): a single WholeStageCodegen over the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
 from ..registry import QuerySpec
 
-SPECS: list[QuerySpec] = []
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+# language → marker stopwords for the n-gram/stopword-vote language ID
+LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "documents")
+
+
+def _spark_arr(words: tuple[str, ...]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _duck_arr(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("ws", F.split("text", " "))
+    stop = _spark_arr(STOPWORDS)
+    # NB: decimal-typed literals (`1.0`) would make Spark plan DECIMAL
+    # arithmetic inside F.expr strings — keep every ratio explicitly DOUBLE
+    # so both engines run identical IEEE arithmetic.
+    return (
+        docs.withColumn("n_tokens", F.size("ws"))
+        .withColumn(
+            "uniq_ratio",
+            F.expr("cast(size(array_distinct(ws)) as double) / size(ws)"),
+        )
+        .withColumn(
+            "stop_ratio",
+            F.expr(
+                f"cast(size(filter(ws, w -> array_contains({stop}, w))) as double)"
+                " / size(ws)"
+            ),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.expr("cast(n_chars - (size(ws) - 1) as double) / size(ws)"),
+        )
+        .withColumn(
+            "quality_score",
+            F.expr(
+                "uniq_ratio * cast(0.5 as double)"
+                " + (cast(1.0 as double) - stop_ratio) * cast(0.3 as double)"
+                " + least(cast(n_tokens as double) / cast(100.0 as double),"
+                "          cast(1.0 as double)) * cast(0.2 as double)"
+            ),
+        )
+        .select(
+            "doc_id", "n_tokens", "uniq_ratio", "stop_ratio",
+            "avg_token_len", "quality_score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_QUALITY = f"""
+SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, avg_token_len,
+       uniq_ratio * CAST(0.5 AS DOUBLE)
+         + (CAST(1.0 AS DOUBLE) - stop_ratio) * CAST(0.3 AS DOUBLE)
+         + least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+FROM (
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+         CAST(len(list_filter(ws, w -> list_contains({_duck_arr(STOPWORDS)}, w)))
+              AS DOUBLE) / len(ws) AS stop_ratio,
+         CAST(n_chars - (len(ws) - 1) AS DOUBLE) / len(ws) AS avg_token_len
+  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents))
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Language identification (stopword-vote heuristic)
+# --------------------------------------------------------------------------
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("ws", F.split("text", " "))
+    for lang, markers in LANG_MARKERS.items():
+        docs = docs.withColumn(
+            f"v_{lang}",
+            F.expr(f"size(filter(ws, w -> array_contains({_spark_arr(markers)}, w)))"),
+        )
+    # Deterministic argmax with fixed priority order en>de>fr>es; all-zero
+    # votes → 'und' (undetermined).
+    pred = F.expr(
+        "CASE WHEN v_en = 0 AND v_de = 0 AND v_fr = 0 AND v_es = 0 THEN 'und' "
+        "WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es THEN 'en' "
+        "WHEN v_de >= v_fr AND v_de >= v_es THEN 'de' "
+        "WHEN v_fr >= v_es THEN 'fr' ELSE 'es' END"
+    )
+    return (
+        docs.withColumn("pred_lang", pred)
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            (F.col("lang") == F.col("pred_lang")).alias("is_match"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_duck_votes = ",\n         ".join(
+    f"len(list_filter(ws, w -> list_contains({_duck_arr(m)}, w))) AS v_{lang}"
+    for lang, m in LANG_MARKERS.items()
+)
+
+ORACLE_TEXT_LANG = f"""
+SELECT doc_id, lang,
+       CASE WHEN v_en = 0 AND v_de = 0 AND v_fr = 0 AND v_es = 0 THEN 'und'
+            WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es THEN 'en'
+            WHEN v_de >= v_fr AND v_de >= v_es THEN 'de'
+            WHEN v_fr >= v_es THEN 'fr' ELSE 'es' END AS pred_lang,
+       lang = (CASE WHEN v_en = 0 AND v_de = 0 AND v_fr = 0 AND v_es = 0 THEN 'und'
+            WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es THEN 'en'
+            WHEN v_de >= v_fr AND v_de >= v_es THEN 'de'
+            WHEN v_fr >= v_es THEN 'fr' ELSE 'es' END) AS is_match
+FROM (
+  SELECT doc_id, lang,
+         {_duck_votes}
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents))
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex)
+# --------------------------------------------------------------------------
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("n_alpha"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias("n_num"),
+        # BPE-ish: greedy ≤4-char alpha chunks + digit runs + other symbols
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("n_bpe"),
+        F.size(
+            F.expr("filter(split(text, ' '), w -> length(w) > 5)")
+        ).alias("n_long_tokens"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_TOKENS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+')) AS n_alpha,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+       len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+       len(list_filter(string_split(text, ' '), w -> length(w) > 5))
+         AS n_long_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting
+# --------------------------------------------------------------------------
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of the normalized text plus a min-hash
+    style rolling fingerprint (min over per-word 60-bit hashes)."""
+    docs = _docs(spark, sf_dir)
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ''))"
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5({norm})").alias("fp_md5"),
+        F.expr(
+            f"array_min(transform(split({norm}, ' '), "
+            f"w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)))"
+        ).alias("fp_min"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_FP = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp_md5,
+       list_min(list_transform(
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' '),
+         w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT))) AS fp_min
+FROM documents ORDER BY doc_id
+"""
+
+
+SPECS = [
+    QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
+              ("text",), bench=True),
+    QuerySpec("text_lang_id", text_lang_id, ORACLE_TEXT_LANG, ("text",)),
+    QuerySpec("text_token_count", text_token_count, ORACLE_TEXT_TOKENS,
+              ("text",)),
+    QuerySpec("text_fingerprint", text_fingerprint, ORACLE_TEXT_FP, ("text",)),
+]

@@ -1,3 +1,168 @@
+"""Batch-equivalent forms of the streaming jobs (oracle-checkable).
+
+Structured Streaming's windowed operators have exact batch twins — the same
+`window()` / `session_window()` expressions run in a batch query. These
+SPECS register the batch forms so the DuckDB oracle can gate their
+semantics; :mod:`spark_dba_spark.streaming.jobs` runs the *same* logic as
+real `readStream` jobs, and the pytest suite asserts stream output ==
+batch output (so the oracle transitively covers the streaming path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions.numeric import dsum, sql_dsum
 from ..registry import QuerySpec
 
-SPECS: list[QuerySpec] = []
+SESSION_GAP = "30 minutes"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# Tumbling window (1 hour)
+# --------------------------------------------------------------------------
+
+def ev_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+ORACLE_TUMBLING = f"""
+SELECT date_trunc('hour', ts) AS win_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       event_type, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Sliding window (1 hour, sliding 30 minutes → every event in 2 windows)
+# --------------------------------------------------------------------------
+
+def ev_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+ORACLE_SLIDING = f"""
+WITH g AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b, event_type, value FROM events
+),
+w AS (
+  SELECT b AS win_start, event_type, value FROM g
+  UNION ALL
+  SELECT b - INTERVAL 30 MINUTE, event_type, value FROM g
+)
+SELECT win_start, event_type, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+FROM w GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Session window (30-minute gap) per user
+# --------------------------------------------------------------------------
+
+def ev_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# Gaps-and-islands twin: a session breaks when the gap from the previous
+# event is >= 30 min; session_end = last event + gap (Spark's convention).
+ORACLE_SESSION = f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS newf
+  FROM events
+),
+i AS (
+  SELECT user_id, ts, value,
+         SUM(newf) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+FROM i GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming dedup (keep-first semantics, deterministic)
+# --------------------------------------------------------------------------
+
+def ev_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    )
+
+
+ORACLE_DEDUP_FIRST = """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+SPECS = [
+    QuerySpec("ev_tumbling_1h", ev_tumbling_1h, ORACLE_TUMBLING,
+              ("streaming", "window"), bench=True),
+    QuerySpec("ev_sliding_1h_30m", ev_sliding_1h_30m, ORACLE_SLIDING,
+              ("streaming", "window")),
+    QuerySpec("ev_session_30m", ev_session_30m, ORACLE_SESSION,
+              ("streaming", "session")),
+    QuerySpec("ev_dedup_first", ev_dedup_first, ORACLE_DEDUP_FIRST,
+              ("streaming", "dedup")),
+]
