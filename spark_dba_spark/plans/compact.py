@@ -1,0 +1,313 @@
+"""Small-files compaction job — full parity with the reference's
+`DefragmentAvroFolder` (the reference's one complete feature), re-expressed
+format-generically on the DataFrame reader/writer.
+
+Semantics preserved from the reference (SURVEY.md §2.3, citations into
+/root/reference/src/com/guptam/spark/dba/defragment/DefragmentAvroFolder.scala):
+
+  C1  root preflight validation                 (:146-181)
+  C2  per-partition preflight (≥2 files)        (:115-139)
+  §1.3 schema ladder: explicit file → latest-modified file → per-file
+                                                (:83-107)
+  C3  staged write to tmp/_tmp_<session>        (:183-204)
+  C4  optimistic concurrency: source snapshot after scan, recheck before
+      commit; mismatch aborts the swap          (:276, :301-321)
+  C5  trash-then-swap commit (recoverable)      (:305-318)
+  C6  session tmp cleanup only if zero errors   (:400-409)
+  C7  audit log flush to target/.defraglog      (:413-417)
+  C8  per-partition error isolation             (:386-392)
+  D7  per-partition parallel orchestration      (:384-393)
+
+Plus the reference's "In Progress" feature (README.md:21): dynamic file
+count = ceil(total_bytes / target_file_bytes) when --file-count is omitted.
+
+Spark-first notes: the read→coalesce→write pipeline is declared with the
+DataFrame API (no shuffle: coalesce is a narrow dependency, exactly like the
+reference's RDD coalesce at :290); schema evolution falls out of passing a
+reader schema (missing columns → null, extra columns → dropped) instead of
+Avro reader/writer resolution. At cluster scale the only changes are the
+tmp/trash locations (same filesystem as target for atomic rename) and
+`max_parallel` (how many partition compactions run concurrently against the
+scheduler).
+"""
+
+from __future__ import annotations
+
+import math
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..session import ensure_session_invariants
+from ..sources.fsops import FsOps, unique_session_id
+from .logger import AuditLogger
+
+FORMAT_EXTENSIONS = {"parquet": "parquet", "avro": "avro", "orc": "orc"}
+
+
+@dataclass
+class CompactionParams:
+    source: str
+    target: str
+    file_count: int | None = None  # None → dynamic sizing
+    schema_file: str | None = None  # text file holding a Spark DDL schema
+    overwrite: bool = False
+    tmp_folder: str | None = None
+    trash_folder: str | None = None
+    fmt: str = "parquet"
+    compression: str = "snappy"
+    target_file_bytes: int = 128 * 1024 * 1024
+    max_parallel: int = 4
+    verify_counts: bool = True
+
+    @property
+    def ext(self) -> str:
+        return FORMAT_EXTENSIONS[self.fmt]
+
+
+@dataclass
+class CompactionResult:
+    success: bool
+    session_id: str
+    partitions: dict[str, str] = field(default_factory=dict)  # rel path → status
+    errors: list[str] = field(default_factory=list)
+    log_lines: list[str] = field(default_factory=list)
+
+
+def resolve_schema(
+    spark: SparkSession, fs: FsOps, params: CompactionParams, leaf: str
+) -> T.StructType | None:
+    """Schema ladder (§1.3): explicit DDL file, else the latest-modified
+    data file's embedded schema ('latest file will have latest schema'),
+    else None → every file decoded with its own schema."""
+    if params.schema_file:
+        if not fs.is_file(params.schema_file):
+            raise ValueError(f"schema file not found: {params.schema_file}")
+        ddl = fs.read_text_file(params.schema_file)
+        return T.StructType.fromDDL(ddl)
+    latest = fs.latest_modified_file(leaf, params.ext)
+    if latest is not None:
+        return spark.read.format(params.fmt).load(latest).schema
+    return None
+
+
+def _validate_root(fs: FsOps, params: CompactionParams) -> str | None:
+    """C1 (:146-181)."""
+    if not fs.is_dir(params.source):
+        return f"source folder does not exist or is not a directory: {params.source}"
+    if fs.exists(params.target) and not params.overwrite:
+        return f"target exists and overwrite is not set: {params.target}"
+    if params.overwrite:
+        if not params.tmp_folder or not fs.is_dir(params.tmp_folder):
+            return "overwrite requires an existing tmp folder"
+        if not params.trash_folder or not fs.is_dir(params.trash_folder):
+            return "overwrite requires an existing trash folder"
+    return None
+
+
+def _process_partition(
+    spark: SparkSession,
+    fs: FsOps,
+    params: CompactionParams,
+    log: AuditLogger,
+    session_id: str,
+    rel: str,
+) -> str:
+    """One leaf folder end-to-end: validate → snapshot → read → coalesce →
+    write staged → snapshot recheck → (trash-swap) commit. Returns status."""
+    thread = f"partition:{rel or '/'}"
+    leaf = params.source.rstrip("/") + rel
+    target_part = params.target.rstrip("/") + rel
+
+    # C2: per-partition preflight (:115-139)
+    if not fs.is_valid_data_directory(leaf, params.ext):
+        log.error(f"invalid {params.fmt} directory: {leaf}", thread)
+        return "INVALID_DIR"
+    n_files = fs.count_data_files(leaf, params.ext)
+    if n_files < 2:
+        log.error(f"nothing to merge (<2 files) in {leaf}", thread)
+        return "TOO_FEW_FILES"
+
+    schema = resolve_schema(spark, fs, params, leaf)
+
+    # C4 snapshot — taken right before the data is consumed (:276)
+    snapshot = fs.snapshot(leaf)
+
+    reader = spark.read.format(params.fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(leaf)
+
+    # D3/"In Progress" dynamic sizing: ceil(bytes / target file size)
+    total_bytes = fs.data_size(leaf, params.ext)
+    n_out = params.file_count or max(
+        1, math.ceil(total_bytes / params.target_file_bytes)
+    )
+    in_count = df.count()  # D4 (:292-293)
+    log.info(
+        f"{leaf}: {n_files} files / {total_bytes} bytes / {in_count} records "
+        f"→ {n_out} files",
+        thread,
+    )
+
+    # C3 staged write (:183-204): tmp when overwriting, else direct target
+    if params.overwrite:
+        staged = (
+            params.tmp_folder.rstrip("/") + f"/_tmp_{session_id}" + rel
+        )
+    else:
+        staged = target_part
+    (
+        df.coalesce(n_out)
+        .write.format(params.fmt)
+        .option("compression", params.compression)
+        .save(staged)
+    )
+
+    if params.verify_counts:
+        out_count = spark.read.format(params.fmt).load(staged).count()
+        if out_count != in_count:
+            log.error(
+                f"record count mismatch {in_count} → {out_count} in {staged}",
+                thread,
+            )
+            return "COUNT_MISMATCH"
+
+    # C4 recheck (:301): abort commit if the source changed under us
+    if not FsOps.equals_snapshot(snapshot, fs.snapshot(leaf)):
+        log.error(
+            f"source changed during compaction, aborting merge for {leaf}",
+            thread,
+        )
+        return "SOURCE_CHANGED"
+
+    # C5 trash-then-swap (:305-318)
+    if params.overwrite:
+        target_name = params.target.rstrip("/").rsplit("/", 1)[-1]
+        if fs.exists(target_part):
+            trash_dest = (
+                params.trash_folder.rstrip("/")
+                + f"/{target_name}_{session_id}"
+                + rel
+            )
+            _mkparent(fs, trash_dest)
+            if not fs.rename(target_part, trash_dest):
+                log.error(f"failed to trash {target_part}", thread)
+                return "TRASH_FAILED"
+            log.info(f"moved previous target to trash: {trash_dest}", thread)
+        _mkparent(fs, target_part)
+        if not fs.rename(staged, target_part):
+            log.error(f"failed to swap {staged} → {target_part}", thread)
+            return "SWAP_FAILED"
+
+    log.info(f"compacted {leaf} → {target_part} ({n_out} files)", thread)
+    return "SUCCESS"
+
+
+def _mkparent(fs: FsOps, p: str) -> None:
+    parent = p.rstrip("/").rsplit("/", 1)[0]
+    if parent:
+        fs.mkdirs(parent)
+
+
+def compact(spark: SparkSession, params: CompactionParams) -> CompactionResult:
+    """Run the compaction job (lifecycle mirrors run(), :333-426)."""
+    ensure_session_invariants(spark)
+    fs = FsOps(spark)
+    log = AuditLogger()
+    session_id = unique_session_id()
+    log.header(f"compaction session {session_id}")
+    log.header(
+        f"source={params.source} target={params.target} fmt={params.fmt} "
+        f"file_count={params.file_count or 'dynamic'} overwrite={params.overwrite}"
+    )
+    result = CompactionResult(success=False, session_id=session_id)
+
+    err = _validate_root(fs, params)
+    if err:
+        log.error(err)
+        result.errors.append(err)
+        result.log_lines = log.render()
+        return result
+
+    leaves = fs.list_leaf_data_folders(params.source, params.ext)
+    if not leaves:
+        err = f"no {params.ext} data found under {params.source}"
+        log.error(err)
+        result.errors.append(err)
+        result.log_lines = log.render()
+        return result
+    rels = [FsOps.partition_path(params.source, leaf) for leaf in leaves]
+    log.info(f"found {len(rels)} leaf folder(s)")
+
+    # D7: per-partition concurrency against one SparkSession — the Spark
+    # scheduler is thread-safe; each partition is an independent job.
+    def run_one(rel: str) -> None:
+        try:
+            status = _process_partition(
+                spark, fs, params, log, session_id, rel
+            )
+        except Exception as exc:  # C8: isolate partition failures
+            status = "EXCEPTION"
+            log.error(f"partition {rel or '/'} failed: {exc!r}", f"partition:{rel or '/'}")
+        result.partitions[rel or "/"] = status
+
+    with ThreadPoolExecutor(max_workers=params.max_parallel) as pool:
+        list(pool.map(run_one, rels))
+
+    # C6: delete session tmp only if the whole run had zero errors (:400-409)
+    if params.overwrite and params.tmp_folder:
+        tmp_session = params.tmp_folder.rstrip("/") + f"/_tmp_{session_id}"
+        if not log.has_errors:
+            if fs.exists(tmp_session):
+                fs.delete(tmp_session, recursive=True)
+                log.info(f"cleaned session tmp {tmp_session}")
+        else:
+            log.info(f"errors present — keeping session tmp {tmp_session}")
+
+    result.success = not log.has_errors
+    result.errors = [line for line in log.render() if "\tERROR\t" in line]
+
+    # C7: audit flush to target/.defraglog — even on failure (:413-417)
+    try:
+        if fs.exists(params.target):
+            fs.write_text_file(
+                params.target.rstrip("/") + "/.defraglog", log.render()
+            )
+    except Exception:
+        pass  # audit flush must never mask the job outcome
+    result.log_lines = log.render()
+    return result
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI mirroring the reference's scopt interface (README.md:24-43)."""
+    import argparse
+
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser(
+        prog="spark-dba-compact",
+        description="Merge many small data files into fewer larger ones.",
+    )
+    ap.add_argument("--sourceFolder", "--avroFolder", dest="source", required=True)
+    ap.add_argument("--targetFolder", dest="target", required=True)
+    ap.add_argument("--fileCount", dest="file_count", type=int, default=None)
+    ap.add_argument("--schema", "--avroSchema", dest="schema_file", default=None)
+    ap.add_argument("--overwriteTarget", dest="overwrite", action="store_true")
+    ap.add_argument("--tmpFolder", dest="tmp_folder", default=None)
+    ap.add_argument("--trashFolder", dest="trash_folder", default=None)
+    ap.add_argument("--format", dest="fmt", default="parquet")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("spark-dba-compact")
+    res = compact(spark, CompactionParams(**vars(args)))
+    for line in res.log_lines:
+        print(line)
+    return 0 if res.success else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,183 @@
+"""Structured Streaming jobs over events-shaped data.
+
+The reference has no streaming surface (SURVEY.md §2.4); this layer provides
+it Spark-natively: file-source ``readStream`` → event-time windowed
+aggregation with watermarks → sink. Each job's transformation is *shared*
+with its batch twin in :mod:`batch_equiv` (same `window()` /
+`session_window()` expressions), so the DuckDB oracle that gates the batch
+form transitively gates the streaming semantics; the pytest suite closes the
+loop by asserting stream output == batch output under an availableNow run.
+
+Scale posture: file streams shard by file; watermarks bound state; the
+stateful operator (`user_running_totals`) keys state by user_id so state is
+partitioned across executors and GC'd via timeouts.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .. import catalog
+from ..functions.numeric import dsum
+from ..session import ensure_session_invariants
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture with the batch layer's
+    exact schema and ts normalization (nanos long → TIMESTAMP_NTZ)."""
+    ensure_session_invariants(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The fixture table is a single file, but file-source streams want a
+    # directory: stream the sf_dir with a glob filter. In production this
+    # would be a landing directory files arrive into.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    return catalog._normalize_events(stream)
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Shared transformation for the 1h tumbling aggregation (same shape as
+    batch_equiv.ev_tumbling_1h)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_tumbling_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "tumbling_stream"
+) -> DataFrame:
+    """availableNow run of the tumbling aggregation into a memory sink
+    (complete mode → all windows emitted). Returns the sink contents."""
+    q = (
+        tumbling_counts(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def run_tumbling_watermarked(
+    spark: SparkSession, sf_dir: str, query_name: str = "tumbling_wm"
+) -> DataFrame:
+    """Append-mode variant with a 1h watermark: only windows the watermark
+    has passed are emitted — the late-data-tolerant production shape.
+
+    Watermarks require TIMESTAMP (not NTZ); under the UTC session invariant
+    the cast is value-preserving, and the output windows are cast back so
+    schemas line up with the batch twin."""
+    ev = (
+        stream_events(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        tumbling_counts(ev)
+        .withColumn("win_start", F.col("win_start").cast("timestamp_ntz"))
+        .withColumn("win_end", F.col("win_end").cast("timestamp_ntz"))
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def run_dedup_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "dedup_stream"
+) -> DataFrame:
+    """Streaming exact-dedup on event_id with watermark-bounded state."""
+    ev = (
+        stream_events(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        ev.dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: per-user running totals via applyInPandasWithState
+# --------------------------------------------------------------------------
+
+_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = "n BIGINT, total DOUBLE"
+
+
+def _update_totals(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def run_user_totals_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "user_totals"
+) -> DataFrame:
+    """Arbitrary stateful aggregation (applyInPandasWithState): per-user
+    event count + value total, state keyed by user_id. Update mode emits
+    the latest state per key each micro-batch; the final row per key is the
+    complete total (asserted against batch groupBy in tests)."""
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    q = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals,
+            outputStructType=_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

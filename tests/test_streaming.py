@@ -1,0 +1,67 @@
+"""Structured Streaming jobs: stream output must equal the batch twin
+(which the DuckDB oracle gates), closing the streaming-correctness loop."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, normalize_rows
+
+
+def _rows(df):
+    return normalize_rows([tuple(r) for r in df.collect()], df.columns)
+
+
+def test_tumbling_stream_equals_batch(spark):
+    from spark_dba_spark.streaming import batch_equiv, jobs
+
+    stream_out = jobs.run_tumbling_stream(spark, SF_DIR, "t_tumbling_eq")
+    batch_out = batch_equiv.ev_tumbling_1h(spark, SF_DIR)
+    assert sorted(stream_out.columns) == sorted(batch_out.columns)
+    assert _rows(stream_out) == _rows(batch_out)
+
+
+def test_tumbling_watermarked_is_prefix_of_batch(spark):
+    """Append mode emits exactly the windows the final watermark passed —
+    a subset of batch output, and complete for old windows."""
+    from spark_dba_spark.streaming import batch_equiv, jobs
+
+    stream_out = jobs.run_tumbling_watermarked(spark, SF_DIR, "t_tumbling_wm")
+    batch = batch_equiv.ev_tumbling_1h(spark, SF_DIR)
+    stream_rows = set(map(repr, _rows(stream_out)))
+    batch_rows = set(map(repr, _rows(batch)))
+    assert stream_rows <= batch_rows
+    assert len(stream_rows) > 0
+
+
+def test_dedup_stream_unique(spark):
+    from spark_dba_spark.streaming import jobs
+
+    out = jobs.run_dedup_stream(spark, SF_DIR, "t_dedup")
+    total = out.count()
+    distinct = out.select("event_id").distinct().count()
+    assert total == distinct > 0
+
+
+def test_stateful_user_totals_match_batch(spark):
+    from spark_dba_spark import catalog
+    from spark_dba_spark.streaming import jobs
+
+    out = jobs.run_user_totals_stream(spark, SF_DIR, "t_totals")
+    # update mode emits one row per key per micro-batch; the final emission
+    # per user carries the complete running state.
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    )
+    batch = {
+        r["user_id"]: r["n"]
+        for r in catalog.load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(final) == len(batch)
+    for r in final:
+        assert r["n_events"] == batch[r["user_id"]]
