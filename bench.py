@@ -32,7 +32,15 @@ def main() -> None:
     spark = get_spark("bench", driver_memory="16g")
     specs = registry.bench_specs()
 
-    # One tiny warm-up action so JIT/classloading doesn't bill the first query.
+    # Warm-up: a real (tiny) parquet scan + agg so parquet-reader
+    # classloading, codegen and JIT aren't billed to the first timed query
+    # (VERDICT r1: q01 absorbed ~5s of setup with a range()-only warm-up).
+    from pyspark.sql import functions as F  # noqa: E402
+
+    warm = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    warm.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")), F.count("*")
+    ).collect()
     spark.range(1000).count()
 
     timings: dict[str, float] = {}

@@ -501,14 +501,19 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 
 
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    catalog.load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(f"""
+    # DataFrame-template SQL (no temp view): concurrent builders on one
+    # session must not race on global view names (ADVICE r1).
+    orders = catalog.load(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
                {sql_dsum('o_totalprice')} AS sum_price
-        FROM orders
+        FROM {{orders}}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """)
+        """,
+        orders=orders,
+    )
 
 
 ORACLE_AGG_GSETS = f"""
@@ -901,7 +906,10 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       -- BIGINT cast: DuckDB SUM(INTEGER) yields HUGEINT (int128), which
+       -- degrades to float64 through arrow and breaks the driver's value
+       -- hash against Spark's bigint (VERDICT r1 item 1).
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
@@ -932,13 +940,17 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    catalog.load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
-    return spark.sql("""
-        SELECT s_suppkey, s_name, s_nationkey FROM supplier s1
-        WHERE s_acctbal > (SELECT AVG(s_acctbal) FROM supplier s2
+    # DataFrame-template SQL (no temp view) — see agg_grouping_sets.
+    supplier = catalog.load(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_nationkey FROM {sup} s1
+        WHERE s_acctbal > (SELECT AVG(s_acctbal) FROM {sup} s2
                            WHERE s2.s_nationkey = s1.s_nationkey)
         ORDER BY s_suppkey
-    """)
+        """,
+        sup=supplier,
+    )
 
 
 ORACLE_CORR_SUBQ = """

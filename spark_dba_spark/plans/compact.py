@@ -138,33 +138,49 @@ def _process_partition(
     reader = spark.read.format(params.fmt)
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.load(leaf)
+    # D2 (:272): pin the scan so count + write share one pass over the
+    # source — at scale an uncached frame doubles input I/O per partition.
+    df = reader.load(leaf).persist()
 
     # D3/"In Progress" dynamic sizing: ceil(bytes / target file size)
     total_bytes = fs.data_size(leaf, params.ext)
     n_out = params.file_count or max(
         1, math.ceil(total_bytes / params.target_file_bytes)
     )
-    in_count = df.count()  # D4 (:292-293)
-    log.info(
-        f"{leaf}: {n_files} files / {total_bytes} bytes / {in_count} records "
-        f"→ {n_out} files",
-        thread,
-    )
-
-    # C3 staged write (:183-204): tmp when overwriting, else direct target
-    if params.overwrite:
-        staged = (
-            params.tmp_folder.rstrip("/") + f"/_tmp_{session_id}" + rel
+    try:
+        in_count = df.count()  # D4 (:292-293)
+        log.info(
+            f"{leaf}: {n_files} files / {total_bytes} bytes / {in_count} records "
+            f"→ {n_out} files",
+            thread,
         )
-    else:
-        staged = target_part
-    (
-        df.coalesce(n_out)
-        .write.format(params.fmt)
-        .option("compression", params.compression)
-        .save(staged)
-    )
+
+        # C3 staged write (:183-204): tmp when overwriting, else direct
+        # target. The direct path is NOT atomic (same as the reference); a
+        # verify/recheck failure below deletes the partial target so no
+        # stale output survives either mode.
+        if params.overwrite:
+            staged = (
+                params.tmp_folder.rstrip("/") + f"/_tmp_{session_id}" + rel
+            )
+        else:
+            staged = target_part
+        (
+            df.coalesce(n_out)
+            .write.format(params.fmt)
+            .option("compression", params.compression)
+            .save(staged)
+        )
+    finally:
+        df.unpersist()
+
+    def _discard_staged(reason: str) -> None:
+        # Leave no partial/stale output behind: in overwrite mode the staged
+        # dir lives under the session tmp (cleaned by C6 policy), but the
+        # direct-to-target path must be rolled back here.
+        if not params.overwrite and fs.exists(staged):
+            fs.delete(staged, recursive=True)
+            log.info(f"rolled back direct-written target {staged} ({reason})", thread)
 
     if params.verify_counts:
         out_count = spark.read.format(params.fmt).load(staged).count()
@@ -173,6 +189,7 @@ def _process_partition(
                 f"record count mismatch {in_count} → {out_count} in {staged}",
                 thread,
             )
+            _discard_staged("count mismatch")
             return "COUNT_MISMATCH"
 
     # C4 recheck (:301): abort commit if the source changed under us
@@ -181,6 +198,7 @@ def _process_partition(
             f"source changed during compaction, aborting merge for {leaf}",
             thread,
         )
+        _discard_staged("source changed")
         return "SOURCE_CHANGED"
 
     # C5 trash-then-swap (:305-318)
@@ -239,7 +257,9 @@ def compact(spark: SparkSession, params: CompactionParams) -> CompactionResult:
         result.errors.append(err)
         result.log_lines = log.render()
         return result
-    rels = [FsOps.partition_path(params.source, leaf) for leaf in leaves]
+    # M22: resolve both sides so qualified roots (file://, hdfs://nn) and
+    # symlinks still yield correct partition-relative paths.
+    rels = [fs.relative_partition(params.source, leaf) for leaf in leaves]
     log.info(f"found {len(rels)} leaf folder(s)")
 
     # D7: per-partition concurrency against one SparkSession — the Spark

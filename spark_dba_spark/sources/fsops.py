@@ -211,10 +211,29 @@ class FsOps:
         finally:
             stream.close()
 
+    def resolved_path(self, p: str) -> str:
+        """Scheme-independent resolved path component (M22): qualifies the
+        path against its FileSystem and follows symlinks via
+        ``fs.resolvePath`` (HadoopFileSystemOperation.scala:173-180), so
+        hdfs://nn/path and /path compare equal. Falls back to qualification
+        only when the path does not exist yet."""
+        jp = self._path(p)
+        fs = self._fs(p)
+        try:
+            return fs.resolvePath(jp).toUri().getPath()
+        except Exception:
+            return fs.makeQualified(jp).toUri().getPath()
+
+    def relative_partition(self, root: str, child: str) -> str:
+        """Partition-relative path over *resolved* URIs (M21 + M22) — safe
+        for qualified roots (hdfs://nn/path vs /path) and symlinks."""
+        return self.partition_path(self.resolved_path(root), self.resolved_path(child))
+
     @staticmethod
     def partition_path(root: str, child: str) -> str:
         """Partition-relative path = child minus root prefix
-        (HadoopFileSystemOperation.scala:167-169, M21)."""
+        (HadoopFileSystemOperation.scala:167-169, M21). String-only: callers
+        with possibly-qualified URIs should use :meth:`relative_partition`."""
         root = root.rstrip("/")
         child = child.rstrip("/")
         if child == root:

@@ -53,7 +53,10 @@ def assert_matches_oracle(spark, duck, builder, oracle_sql, sf_dir=SF_DIR):
     srows = [tuple(r) for r in sdf.collect()]
     res = duck.execute(oracle_sql)
     dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    # Fetch through arrow (not fetchall): the driver's comparator sees arrow
+    # types, so e.g. DuckDB HUGEINT→float64 drift must be visible locally too.
+    atbl = res.fetch_arrow_table()
+    drows = [tuple(d.values()) for d in atbl.to_pylist()]
     assert sorted(scols) == sorted(dcols), f"columns: {scols} vs {dcols}"
     assert len(srows) == len(drows), f"rows: {len(srows)} vs {len(drows)}"
     sn, dn = normalize_rows(srows, scols), normalize_rows(drows, dcols)

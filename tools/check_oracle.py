@@ -58,7 +58,10 @@ def compare(name: str, spark, con, spec, sf_dir: str) -> tuple[bool, str]:
     t0 = time.time()
     res = con.execute(spec.oracle)
     dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    # Arrow path, matching the driver's comparator: type-representation
+    # drift (e.g. HUGEINT→float64) must fail here before it fails there.
+    atbl = res.fetch_arrow_table()
+    drows = [tuple(d.values()) for d in atbl.to_pylist()]
     t_duck = time.time() - t0
 
     if sorted(scols) != sorted(dcols):
