@@ -78,17 +78,30 @@ class CompactionResult:
 
 def resolve_schema(
     spark: SparkSession, fs: FsOps, params: CompactionParams, leaf: str
-) -> T.StructType | None:
-    """Schema ladder (§1.3): explicit DDL file, else the latest-modified
+):
+    """Schema ladder (§1.3): explicit schema file, else the latest-modified
     data file's embedded schema ('latest file will have latest schema'),
-    else None → every file decoded with its own schema."""
+    else None → every file decoded with its own schema.
+
+    For avro the explicit file is a ``.avsc`` JSON reader schema (exactly
+    the reference's --avroSchema, DefragmentAvroFolder.scala:86-90) and the
+    return value is an avro schema dict; for other formats the file holds a
+    Spark DDL string and the return value is a StructType."""
     if params.schema_file:
         if not fs.is_file(params.schema_file):
             raise ValueError(f"schema file not found: {params.schema_file}")
-        ddl = fs.read_text_file(params.schema_file)
-        return T.StructType.fromDDL(ddl)
+        text = fs.read_text_file(params.schema_file)
+        if params.fmt == "avro":
+            from ..sources import avro_codec as ac
+
+            return ac.parse_schema(text)
+        return T.StructType.fromDDL(text)
     latest = fs.latest_modified_file(leaf, params.ext)
     if latest is not None:
+        if params.fmt == "avro":
+            from ..sources.avro_spark import latest_file_schema
+
+            return latest_file_schema(spark, leaf, recursive=False)
         return spark.read.format(params.fmt).load(latest).schema
     return None
 
@@ -135,12 +148,18 @@ def _process_partition(
     # C4 snapshot — taken right before the data is consumed (:276)
     snapshot = fs.snapshot(leaf)
 
-    reader = spark.read.format(params.fmt)
-    if schema is not None:
-        reader = reader.schema(schema)
+    if params.fmt == "avro":
+        from ..sources.avro_spark import read_avro_folder
+
+        df = read_avro_folder(spark, leaf, reader_schema=schema, recursive=False)
+    else:
+        reader = spark.read.format(params.fmt)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.load(leaf)
     # D2 (:272): pin the scan so count + write share one pass over the
     # source — at scale an uncached frame doubles input I/O per partition.
-    df = reader.load(leaf).persist()
+    df = df.persist()
 
     # D3/"In Progress" dynamic sizing: ceil(bytes / target file size)
     total_bytes = fs.data_size(leaf, params.ext)
@@ -165,12 +184,20 @@ def _process_partition(
             )
         else:
             staged = target_part
-        (
-            df.coalesce(n_out)
-            .write.format(params.fmt)
-            .option("compression", params.compression)
-            .save(staged)
-        )
+        if params.fmt == "avro":
+            from ..sources.avro_spark import write_avro_folder
+
+            write_avro_folder(
+                df.coalesce(n_out), staged,
+                schema=schema, codec=params.compression,
+            )
+        else:
+            (
+                df.coalesce(n_out)
+                .write.format(params.fmt)
+                .option("compression", params.compression)
+                .save(staged)
+            )
     finally:
         df.unpersist()
 
@@ -183,7 +210,14 @@ def _process_partition(
             log.info(f"rolled back direct-written target {staged} ({reason})", thread)
 
     if params.verify_counts:
-        out_count = spark.read.format(params.fmt).load(staged).count()
+        if params.fmt == "avro":
+            from ..sources.avro_spark import read_avro_folder
+
+            out_count = read_avro_folder(
+                spark, staged, reader_schema=schema, recursive=False
+            ).count()
+        else:
+            out_count = spark.read.format(params.fmt).load(staged).count()
         if out_count != in_count:
             log.error(
                 f"record count mismatch {in_count} → {out_count} in {staged}",

@@ -1,0 +1,327 @@
+"""Distributed Avro read/write on Spark, backed by the engine's own
+container codec (:mod:`spark_dba_spark.sources.avro_codec`).
+
+D1/D5 parity for the reference's Avro-native pipeline
+(``DefragmentAvroFolder.scala:267-272, 298``) without the spark-avro
+connector (absent from this classpath, no network to fetch it):
+
+- **read**: ``binaryFile`` scan (one task per file — same parallelism unit
+  as the reference's file-based ``AvroKeyInputFormat`` splits) →
+  ``mapInPandas`` decode with an optional *reader schema*, so every file's
+  writer schema resolves against one target schema — the schema-evolution
+  ladder (§1.3) the reference calls out as its reason for avoiding
+  spark-avro (``DefragmentAvroFolder.scala:17-20``).
+- **write**: one container file per partition via ``mapInPandas`` with a
+  streaming block writer; ``df.coalesce(n)`` upstream controls file count
+  exactly like the reference's D3.
+
+Scale notes: a container file is decoded by one task (no intra-file split),
+so file sizing — the compactor's whole purpose — is also what keeps read
+parallelism healthy. Executors write to the staging path directly; rename
+commits stay with the compaction job. Local/posix paths are supported here;
+object-store/HDFS sinks would swap the ``open()`` for a pyarrow.fs stream.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+import uuid
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import avro_codec as ac
+
+# ---------------------------------------------------------------------------
+# Schema mapping: Avro <-> Spark
+# ---------------------------------------------------------------------------
+
+_PRIM_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+    "string": T.StringType(),
+}
+
+
+def avro_to_spark_type(schema: Any) -> T.DataType:
+    schema = ac.parse_schema(schema)
+    t = ac.schema_type(schema)
+    if t == "union":
+        branches = [b for b in schema if ac.schema_type(b) != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"only [null, T] unions map to Spark: {schema}")
+        return avro_to_spark_type(branches[0])
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
+    if lt == "date":
+        return T.DateType()
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        return T.TimestampType()
+    if t in _PRIM_TO_SPARK:
+        return _PRIM_TO_SPARK[t]
+    if t == "enum":
+        return T.StringType()
+    if t == "fixed":
+        return T.BinaryType()
+    if t == "array":
+        return T.ArrayType(avro_to_spark_type(schema["items"]))
+    if t == "map":
+        return T.MapType(T.StringType(), avro_to_spark_type(schema["values"]))
+    if t == "record":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], avro_to_spark_type(f["type"]), _nullable(f["type"])
+                )
+                for f in schema["fields"]
+            ]
+        )
+    raise ValueError(f"unsupported avro type {t}")
+
+
+def _nullable(schema: Any) -> bool:
+    return ac.schema_type(ac.parse_schema(schema)) == "union" and any(
+        ac.schema_type(b) == "null" for b in ac.parse_schema(schema)
+    )
+
+
+def avro_record_to_struct(schema: Any) -> T.StructType:
+    st = avro_to_spark_type(schema)
+    if not isinstance(st, T.StructType):
+        raise ValueError("top-level avro schema must be a record")
+    return st
+
+
+_SPARK_TO_PRIM = {
+    T.BooleanType(): "boolean",
+    T.IntegerType(): "int",
+    T.ShortType(): "int",
+    T.ByteType(): "int",
+    T.LongType(): "long",
+    T.FloatType(): "float",
+    T.DoubleType(): "double",
+    T.BinaryType(): "bytes",
+    T.StringType(): "string",
+}
+
+
+def spark_type_to_avro(dt: T.DataType, nullable: bool = False) -> Any:
+    if isinstance(dt, T.DateType):
+        base: Any = {"type": "int", "logicalType": "date"}
+    elif isinstance(dt, T.TimestampType):
+        base = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(dt, T.DecimalType):
+        # decimals travel as strings (exact, sortable back via cast) — the
+        # reference never touches field types, so lossless passthrough wins
+        base = "string"
+    elif isinstance(dt, T.ArrayType):
+        base = {
+            "type": "array",
+            "items": spark_type_to_avro(dt.elementType, dt.containsNull),
+        }
+    elif isinstance(dt, T.MapType):
+        base = {
+            "type": "map",
+            "values": spark_type_to_avro(dt.valueType, dt.valueContainsNull),
+        }
+    elif isinstance(dt, T.StructType):
+        base = struct_to_avro_record(dt, name=f"rec_{uuid.uuid4().hex[:8]}")
+    elif dt in _SPARK_TO_PRIM:
+        base = _SPARK_TO_PRIM[dt]
+    else:
+        raise ValueError(f"unsupported spark type {dt}")
+    if nullable:
+        return ["null", base]
+    return base
+
+
+def struct_to_avro_record(st: T.StructType, name: str = "row") -> dict:
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {
+                "name": f.name,
+                "type": spark_type_to_avro(f.dataType, f.nullable),
+                **({"default": None} if f.nullable else {}),
+            }
+            for f in st.fields
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Distributed read
+# ---------------------------------------------------------------------------
+
+def read_avro_folder(
+    spark: SparkSession,
+    path: str,
+    reader_schema: str | dict | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Folder of ``.avro`` container files → DataFrame.
+
+    With ``reader_schema`` (dict or .avsc JSON string), every file's writer
+    schema is resolved against it — field defaults, dropped fields, numeric
+    promotions (schema evolution). Without it, the latest-modified file's
+    embedded schema is used as the reader schema, the reference's stated
+    heuristic: "Latest file will have latest schema"
+    (``DefragmentAvroFolder.scala:91-103``).
+    """
+    if reader_schema is None:
+        reader_schema = latest_file_schema(spark, path, recursive=recursive)
+    rs = ac.parse_schema(reader_schema)
+    spark_schema = avro_record_to_struct(rs)
+    col_order = [f.name for f in spark_schema.fields]
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+        .select("content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                recs = list(ac.read_container(bytes(blob), reader_schema=rs))
+                yield pd.DataFrame.from_records(recs, columns=col_order)
+
+    return bin_df.mapInPandas(decode, spark_schema)
+
+
+def latest_file_schema(
+    spark: SparkSession, path: str, recursive: bool = True
+) -> dict:
+    """Embedded writer schema of the newest .avro file under ``path`` (M7 +
+    M3 parity) — reads a single file's header via the binaryFile source, so
+    it works on any Hadoop-visible filesystem."""
+    row = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+        .orderBy(F.desc("modificationTime"), F.desc("path"))
+        .select("content")
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    return ac.read_header(bytes(row[0]["content"]))[0]
+
+
+# ---------------------------------------------------------------------------
+# Distributed write
+# ---------------------------------------------------------------------------
+
+def write_avro_folder(
+    df: DataFrame,
+    path: str,
+    schema: str | dict | None = None,
+    codec: str = "snappy",
+    block_records: int = 4096,
+) -> int:
+    """Write ``df`` as one Avro container file per partition under ``path``.
+    Returns the number of files written. File count is controlled upstream
+    (``df.coalesce(n)``), exactly like the reference's D3+D5 pipeline."""
+    avro_schema = (
+        ac.parse_schema(schema)
+        if schema is not None
+        else struct_to_avro_record(df.schema)
+    )
+    spark_schema = df.schema
+    os.makedirs(path, exist_ok=True)
+    run_token = uuid.uuid4().hex[:12]
+
+    out_schema = T.StructType(
+        [T.StructField("file", T.StringType()), T.StructField("n", T.LongType())]
+    )
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else os.getpid()
+        fname = os.path.join(path, f"part-{pid:05d}-{run_token}.avro")
+        writer = None
+        n = 0
+        fh = None
+        for pdf in batches:
+            if writer is None:
+                fh = open(fname, "wb")
+                writer = ac.ContainerWriter(
+                    fh, avro_schema, codec=codec, block_records=block_records
+                )
+            for rec in _pandas_to_records(pdf, spark_schema):
+                writer.append(rec)
+                n += 1
+        if writer is not None:
+            writer.close()
+            fh.close()
+            yield pd.DataFrame({"file": [fname], "n": [n]})
+        else:
+            yield pd.DataFrame({"file": [], "n": []})
+
+    summary = df.mapInPandas(write_partition, out_schema).collect()
+    return sum(1 for r in summary if r["file"])
+
+
+def _pandas_to_records(pdf: pd.DataFrame, schema: T.StructType) -> Iterator[dict]:
+    cols = [f.name for f in schema.fields]
+    convs = [_converter(f.dataType) for f in schema.fields]
+    data = [pdf[c].tolist() for c in cols]
+    for vals in zip(*data):
+        yield {c: conv(v) for c, conv, v in zip(cols, convs, vals)}
+
+
+def _converter(dt: T.DataType):
+    import numpy as np
+
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return lambda v: None if v is None or (isinstance(v, float) and math.isnan(v)) else int(v)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return lambda v: None if v is None or (isinstance(v, float) and math.isnan(v)) else float(v)
+    if isinstance(dt, T.TimestampType):
+        return lambda v: None if v is None or v is pd.NaT else (
+            v.to_pydatetime() if isinstance(v, pd.Timestamp) else v
+        )
+    if isinstance(dt, T.DateType):
+        return lambda v: None if v is None else (
+            v.date() if isinstance(v, (pd.Timestamp, _dt.datetime)) else v
+        )
+    if isinstance(dt, T.BinaryType):
+        return lambda v: None if v is None else bytes(v)
+    if isinstance(dt, T.DecimalType):
+        return lambda v: None if v is None else str(v)
+    if isinstance(dt, T.ArrayType):
+        inner = _converter(dt.elementType)
+        return lambda v: None if v is None else [inner(x) for x in v]
+    if isinstance(dt, T.MapType):
+        inner = _converter(dt.valueType)
+        return lambda v: None if v is None else {k: inner(x) for k, x in dict(v).items()}
+    if isinstance(dt, T.StructType):
+        fields = [(f.name, _converter(f.dataType)) for f in dt.fields]
+        return lambda v: None if v is None else {
+            n: c(v[n] if isinstance(v, dict) else getattr(v, n)) for n, c in fields
+        }
+
+    def generic(v):
+        if v is None:
+            return None
+        if isinstance(v, np.generic):
+            return v.item()
+        return v
+
+    return generic

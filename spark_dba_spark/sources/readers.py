@@ -8,8 +8,11 @@ DefragmentAvroFolder.scala:217-218), and scale-aware write knobs
 
 Avro note: the reference is Avro-native; Spark's avro source lives in the
 external spark-avro module which is not on this container's classpath, so
-``read_folder(..., fmt="avro")`` raises a clear error here while remaining
-the correct call on a cluster with the package installed.
+``fmt="avro"`` routes through the engine's own container codec
+(:mod:`spark_dba_spark.sources.avro_spark` — binaryFile scan + mapInPandas
+decode, one container file per partition on write, reader-schema
+evolution). On a cluster with spark-avro installed the built-in source is a
+drop-in alternative.
 """
 
 from __future__ import annotations
@@ -35,6 +38,14 @@ def read_folder(
     """Scan a folder of data files into a DataFrame (D1 parity —
     DefragmentAvroFolder.scala:267-272 — as a declarative source)."""
     ensure_session_invariants(spark)
+    if fmt == "avro":
+        from .avro_spark import read_avro_folder, struct_to_avro_record
+
+        if isinstance(schema, str) and not schema.lstrip().startswith("{"):
+            schema = schema_from_ddl(schema)
+        if isinstance(schema, T.StructType):
+            schema = struct_to_avro_record(schema)
+        return read_avro_folder(spark, path, reader_schema=schema, recursive=recursive)
     reader = spark.read.format(fmt)
     if isinstance(schema, str):
         schema = schema_from_ddl(schema)
@@ -44,15 +55,7 @@ def read_folder(
         reader = reader.option("recursiveFileLookup", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
-    try:
-        return reader.load(path)
-    except Exception as exc:
-        if fmt == "avro" and "Failed to find" in str(exc):
-            raise RuntimeError(
-                "avro source requires the spark-avro package "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
-            ) from exc
-        raise
+    return reader.load(path)
 
 
 def read_csv(
@@ -100,6 +103,11 @@ def write_folder(
     (exact coalesce, the reference's knob) at scale."""
     if file_count is not None:
         df = df.coalesce(file_count)
+    if fmt == "avro":
+        from .avro_spark import write_avro_folder
+
+        write_avro_folder(df, path, codec=compression)
+        return
     writer = df.write.format(fmt).mode(mode).option("compression", compression)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

@@ -82,6 +82,11 @@ def compare(name: str, spark, con, spec, sf_dir: str) -> tuple[bool, str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write a driver-shaped correctness artifact (all queries) here",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -91,6 +96,7 @@ def main() -> int:
     con = duck_connection(args.sf)
 
     failures = []
+    report: dict[str, dict] = {}
     for name in names:
         spec = specs.get(name)
         if spec is None:
@@ -100,15 +106,32 @@ def main() -> int:
         if spec.oracle is None:
             n = spec.builder(spark, args.sf).count()
             print(f"{name:35s} rows-only rows={n}")
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": n, "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             ok, msg = compare(name, spark, con, spec, args.sf)
+            err = None
         except Exception as exc:
             ok, msg = False, f"EXCEPTION {type(exc).__name__}: {exc}"
+            err = f"{type(exc).__name__}: {exc}"
         print(f"{name:35s} {'PASS' if ok else 'FAIL'} {msg}")
+        report[name] = {
+            # one comparator locally: rows/schema/values all checked inside
+            # compare(); a single False marks every axis unconfirmed
+            "rows_match": ok, "schema_match": ok, "hash_match": ok,
+            "err": err,
+        }
         if not ok:
             failures.append(name)
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if args.json:
+        import json
+
+        Path(args.json).write_text(json.dumps(report, indent=2))
+        print(f"wrote {args.json}")
     return 1 if failures else 0
 
 
