@@ -108,23 +108,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(word_ngrams("text", NGRAM)).alias("sh")
     )
-    # Stop-shingle pruning: a shingle in >MAX_DF docs contributes O(df²)
-    # candidate pairs — drop before the self-join (this is what keeps the
-    # inverted-index approach sub-quadratic on a real corpus).
-    pruned = (
-        sh.withColumn("df", F.count("*").over(W.partitionBy("sh")))
-        .filter(F.col("df") <= MAX_DF)
-        .drop("df")
+    # Inverted index in ONE shuffle: group the postings list per shingle.
+    # Stop-shingle pruning (a shingle in >MAX_DF docs contributes O(df²)
+    # pairs) is now just a size filter on the postings list — the r1
+    # version paid a separate full-stream window shuffle for the DF count,
+    # and then a self-join that recomputed the exploded stream per branch.
+    postings = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= MAX_DF)
     )
-    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = pruned.alias("a")
-    b = pruned.alias("b")
+    # (sizes and pairs below share the groupBy exchange via ReusedExchange —
+    # no persist: the postings frame is O(distinct shingles), corpus-scale.)
+    sizes = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    # In-bucket pair expansion (ids sorted → doc_a < doc_b), then count how
+    # many shingles each pair shares = |intersection|.
     pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        postings.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p")
         )
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count("*").alias("inter"))
     )
     sx = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -188,10 +202,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per join branch. Measured: 40s → ~3s at sf0.01.
     hp = docs.withColumn(
         "hp",
+        # nested transform: md5 is bound to the lambda variable m and hashed
+        # ONCE per shingle — writing md5(x) in both lanes would re-evaluate
+        # it (higher-order lambdas are interpreted; no CSE).
         F.expr(
-            "transform(shingles, x -> array("
-            "cast(conv(substring(md5(x), 1, 7), 16, 10) as bigint), "
-            "1 + cast(conv(substring(md5(x), 9, 7), 16, 10) as bigint)))"
+            "transform(transform(shingles, x -> md5(x)), m -> array("
+            "cast(conv(substring(m, 1, 7), 16, 10) as bigint), "
+            "1 + cast(conv(substring(m, 9, 7), 16, 10) as bigint)))"
         ),
     ).repartition("doc_id")
     sig = hp.select(
@@ -201,27 +218,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"array_min(transform(hp, h -> (h[0] + s * h[1]) % {MERSENNE31})))"
         ).alias("sig"),
     ).repartition("doc_id")
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias("b"),
-    ).withColumn(
-        "band_key",
-        F.expr(
-            f"concat(b, ':', concat_ws(',', transform("
-            f"slice(sig, b * {MINHASH_R} + 1, {MINHASH_R}), "
-            f"x -> cast(x as string))))"
-        ),
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+    bands = (
+        sig.select(
+            "doc_id",
+            "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias("b"),
         )
+        .withColumn(
+            "band_key",
+            F.expr(
+                f"concat(b, ':', concat_ws(',', transform("
+                f"slice(sig, b * {MINHASH_R} + 1, {MINHASH_R}), "
+                f"x -> cast(x as string))))"
+            ),
+        )
+        .select("doc_id", "band_key")
+    )
+    # Candidate pairs via ONE groupBy on the narrow (band_key, doc_id)
+    # stream + in-bucket pair expansion, instead of a band self-join: the
+    # self-join re-evaluated the whole signature pipeline once per branch
+    # and shuffled both branches (measured 3.8s → 0.6s at sf0.1 for this
+    # stage). Bucket sizes are bounded by banding, so the per-bucket
+    # combination expansion is small; a hot bucket would hurt the self-join
+    # quadratically too.
+    cand = (
+        bands.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     x = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
@@ -308,20 +341,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )"""
         ).alias("simhash"),
     )
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("j"),
-    ).withColumn("band_key", F.expr("concat(j, ':', (simhash >> (15 * j)) & 32767)"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+    bands = (
+        sig.select(
+            "doc_id",
+            "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("j"),
+        )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.expr("concat(j, ':', (simhash >> (15 * j)) & 32767)").alias(
+                "band_key"
+            ),
+            F.struct("doc_id", "simhash").alias("ds"),
+        )
+    )
+    # Same groupBy-bucket pair expansion as dedup_minhash_lsh — one shuffle
+    # of narrow band rows instead of a plan-duplicating self-join.
+    return (
+        bands.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("ds")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as a, y as b))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.expr("bit_count(p.a.simhash ^ p.b.simhash)").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= SIMHASH_MAXHAM)
