@@ -981,6 +981,54 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/quartiles) per group. Both engines use
+    linear interpolation at rank p*(n-1); results are rounded to 4 dp in
+    BOTH queries so a last-ulp interpolation difference cannot flake the
+    value hash. Spark's exact `percentile` is a full-sort-per-group
+    aggregate — fine per group; `approx_percentile` is the sketch
+    alternative at extreme cardinalities."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS qty_median
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral expansion with ordinality (posexplode) — the UDTF-shaped
+    surface; map-only, no shuffle until the final presentation sort."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).orderBy("doc_id", "pos")
+
+
+ORACLE_LATERAL = """
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS word
+FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id < 50),
+     LATERAL unnest(generate_series(1, len(ws))) AS u(i)
+ORDER BY doc_id, pos
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -1033,4 +1081,8 @@ SPECS = [
     QuerySpec("correlated_scalar_subquery", correlated_scalar_subquery,
               ORACLE_CORR_SUBQ, ("subquery",)),
     QuerySpec("pivot_status", pivot_status, ORACLE_PIVOT, ("agg", "pivot")),
+    QuerySpec("agg_percentiles", agg_percentiles, ORACLE_PERCENTILES,
+              ("agg", "percentile")),
+    QuerySpec("lateral_posexplode", lateral_posexplode, ORACLE_LATERAL,
+              ("lateral", "udtf")),
 ]

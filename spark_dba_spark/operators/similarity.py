@@ -43,6 +43,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.load(spark, sf_dir, "embeddings")
 
 
+def _cosine_expr():
+    """Exact cosine between array<float> columns qe/embedding, in JVM
+    expressions (higher-order fns — no Python round trip on the candidate
+    stream). Built lazily: Column construction needs an active session."""
+    return F.expr(
+        "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(transform(qe, x -> cast(x as double) * cast(x as double)),"
+        "          cast(0.0 as double), (acc, v) -> acc + v))"
+        "    * sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
+        "            cast(0.0 as double), (acc, v) -> acc + v)))"
+    )
+
+
 def _to_matrix(series: pd.Series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in series])
 
@@ -296,17 +310,106 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = pairs.join(F.broadcast(qv), "qid").join(
         emb.select("vec_id", "embedding"), "vec_id"
     )
-    sim = cand.withColumn(
-        "sim",
-        F.expr(
-            "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)),"
-            " cast(0.0 as double), (acc, v) -> acc + v)"
-            " / (sqrt(aggregate(transform(qe, x -> cast(x as double) * cast(x as double)),"
-            "          cast(0.0 as double), (acc, v) -> acc + v))"
-            "    * sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
-            "            cast(0.0 as double), (acc, v) -> acc + v)))"
+    sim = cand.withColumn("sim", _cosine_expr())
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", F.round("sim", 4).alias("sim_r4"))
+        .orderBy("qid", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate NN: IVF (inverted file) — the other classic scale path
+# --------------------------------------------------------------------------
+
+IVF_CENTROIDS = 32
+IVF_NPROBE = 6
+
+
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: partition the corpus into IVF_CENTROIDS inverted
+    lists by nearest centroid (one map-only assignment pass), then search
+    each query only in its IVF_NPROBE closest lists.
+
+    Centroids are a deterministic sample (vec_id < IVF_CENTROIDS — the
+    fixture vectors are i.i.d. random, so seed vectors ARE random
+    centroids; production would k-means-refine them, which changes recall,
+    not the dataflow). The centroid set is O(K·d) — bounded, broadcast.
+    The corpus never leaves the executors; the shuffle key is the list id.
+    Approximate → rows-only; pytest asserts recall vs sim_cosine_topk.
+    """
+    emb = _emb(spark, sf_dir)
+    crows = (
+        emb.filter(F.col("vec_id") < IVF_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded: K centroid vectors
+    cm = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((cids, cn))
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def assign(batches):
+        acids, acn = bc.value
+        for pdf in batches:
+            m = _to_matrix(pdf["embedding"])
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            nearest = acids[np.argmax(mn @ acn.T, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "centroid": nearest,
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, assign_schema
+    )
+
+    # Probe lists for the bounded query set (top-NPROBE centroids each).
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    sims = qn @ cn.T
+    order = np.argsort(-sims, axis=1)[:, :IVF_NPROBE]
+    probes = [
+        (int(r["vec_id"]), int(cids[c]), [float(x) for x in r["embedding"]])
+        for r, row in zip(qrows, order)
+        for c in row
+    ]
+    probe_df = spark.createDataFrame(
+        probes,
+        T.StructType(
+            [
+                T.StructField("qid", T.LongType()),
+                T.StructField("centroid", T.LongType()),
+                T.StructField("qe", T.ArrayType(T.FloatType())),
+            ]
         ),
     )
+
+    cand = (
+        F.broadcast(probe_df)
+        .join(assigned, "centroid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qe", "vec_id", "embedding")
+    )
+    sim = cand.withColumn("sim", _cosine_expr())
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         sim.withColumn("rank", F.row_number().over(w))
@@ -322,4 +425,5 @@ SPECS = [
     QuerySpec("sim_dup_pairs", sim_dup_pairs, ORACLE_DUP_PAIRS,
               ("similarity", "dedup")),
     QuerySpec("sim_ann_lsh", sim_ann_lsh, None, ("similarity", "ann")),
+    QuerySpec("sim_ivf", sim_ivf, None, ("similarity", "ann", "ivf")),
 ]

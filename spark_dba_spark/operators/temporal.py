@@ -1,0 +1,137 @@
+"""Temporal operators Spark lacks as built-ins: as-of join and
+time-range window frames.
+
+The reference has no temporal surface at all (its one job never inspects a
+field — SURVEY.md §2.4); these belong to the engine's extended
+training-pipeline/time-series family. Both are expressed with exact-SQL
+semantics so the DuckDB oracle gates them (ASOF JOIN / RANGE BETWEEN
+INTERVAL are native DuckDB features).
+
+Scale design:
+
+- ``join_asof`` uses the union-tag + windowed last-carry pattern: both
+  inputs shuffle ONCE on the join key, then a single ordered window pass
+  carries the most recent build-side row forward onto probe rows. No range
+  explosion, no per-key loop, no broadcast requirement — O(n log n) within
+  each key partition, skew handled by AQE like any other keyed shuffle.
+  (The naive alternatives — a theta-join `ts >= o_orderdate` then
+  max-per-event, or per-key collect — blow up quadratically or collect.)
+- ``window_range_1h`` is a native RANGE frame over epoch seconds —
+  whole-stage-codegen'd window aggregation, one shuffle on the partition
+  key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions.numeric import sql_dsum
+from ..registry import QuerySpec
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: the most recent order (o_orderdate <= ts) of the
+    customer with key = user_id. Build side is pre-deduped to one row per
+    (custkey, orderdate) so the match is fully deterministic in both
+    engines (DuckDB ASOF leaves intra-timestamp ties unspecified)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    orders = (
+        catalog.load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    probe = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),  # probe rows sort AFTER build rows at equal t
+        "event_id",
+        "event_type",
+    )
+    build = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.lit(0).alias("side"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+    )
+    tagged = probe.unionByName(build, allowMissingColumns=True)
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "asof_orderdate", F.last("o_orderdate", ignorenulls=True).over(w)
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("ts"),
+            "event_type",
+            "asof_orderkey",
+            "asof_orderdate",
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF = """
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate
+FROM events e ASOF LEFT JOIN
+     (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2) o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY event_id
+"""
+
+
+def window_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: rolling 1-hour event count and value sum (RANGE frame over
+    time, not ROWS — simultaneous events all see the same frame)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    # Frame axis = epoch MICROseconds on both engines: a seconds-truncated
+    # axis (unix_timestamp/epoch) would round frame boundaries differently
+    # for sub-second timestamps.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(cast(ts as timestamp))"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.withColumn("n_1h", F.count("*").over(w))
+        .withColumn(
+            "sum_1h",
+            F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double"),
+        )
+        .select("event_id", "user_id", "ts", "n_1h", "sum_1h")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_RANGE_1H = f"""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+SPECS = [
+    QuerySpec("join_asof", join_asof, ORACLE_ASOF,
+              ("join", "temporal"), bench=True,
+              doc="as-of join via union-tag + windowed last-carry"),
+    QuerySpec("window_range_1h", window_range_1h, ORACLE_RANGE_1H,
+              ("window", "temporal")),
+]

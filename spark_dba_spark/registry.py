@@ -44,6 +44,13 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "ev_session_30m",
     "ev_dedup_first",
     "mm_frame_sample",
+    # new this round — need their first driver row:
+    "join_asof",
+    "window_range_1h",
+    "agg_percentiles",
+    "lateral_posexplode",
+    "sim_ivf",
+    "ev_user_state",
 )
 
 # Previously-green rows whose operator family keeps other green rows; they
@@ -54,6 +61,12 @@ PRIORITY_LAST: tuple[str, ...] = (
     "scalar_math",
     "scalar_string",
     "window_moving_avg",
+    "join_semi",
+    "window_lag_lead",
+    "scalar_date",
+    "set_union",
+    "agg_having",
+    "in_subquery",
 )
 
 
@@ -77,6 +90,7 @@ def _collect() -> dict[str, QuerySpec]:
         "spark_dba_spark.operators.similarity",
         "spark_dba_spark.operators.text",
         "spark_dba_spark.operators.multimodal",
+        "spark_dba_spark.operators.temporal",
         "spark_dba_spark.streaming.batch_equiv",
     ):
         try:

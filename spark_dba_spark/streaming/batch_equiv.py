@@ -156,6 +156,26 @@ WHERE rn = 1 ORDER BY user_id, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Batch twin of the applyInPandasWithState stateful job (jobs.py
+# run_user_totals_stream): final per-user state == plain groupBy totals.
+# --------------------------------------------------------------------------
+
+def ev_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_USER_STATE = f"""
+SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 SPECS = [
     QuerySpec("ev_tumbling_1h", ev_tumbling_1h, ORACLE_TUMBLING,
               ("streaming", "window"), bench=True),
@@ -165,4 +185,7 @@ SPECS = [
               ("streaming", "session")),
     QuerySpec("ev_dedup_first", ev_dedup_first, ORACLE_DEDUP_FIRST,
               ("streaming", "dedup")),
+    QuerySpec("ev_user_state", ev_user_state, ORACLE_USER_STATE,
+              ("streaming", "stateful"),
+              doc="batch twin of applyInPandasWithState user totals"),
 ]

@@ -25,6 +25,29 @@ def test_ann_recall_vs_brute(spark):
     assert recall > 0.15, f"ANN recall {recall:.2f} vs brute top-{TOP_K}"
 
 
+def test_ivf_recall_vs_brute(spark):
+    from spark_dba_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        TOP_K,
+        sim_cosine_topk,
+        sim_ivf,
+    )
+
+    brute = {
+        (r["qid"], r["vec_id"])
+        for r in sim_cosine_topk(spark, SF_DIR).collect()
+    }
+    ivf = {(r["qid"], r["vec_id"]) for r in sim_ivf(spark, SF_DIR).collect()}
+    assert ivf, "IVF returned nothing"
+    recall = len(brute & ivf) / len(brute)
+    # probing NPROBE/CENTROIDS of the corpus should recover well above that
+    # fraction of true neighbors (neighbors concentrate in nearby lists)
+    assert recall > IVF_NPROBE / IVF_CENTROIDS, (
+        f"IVF recall {recall:.2f} vs brute top-{TOP_K}"
+    )
+
+
 def test_ngram_jaccard_pairs_valid(spark):
     from spark_dba_spark.operators.dedup import JACCARD_TAU, dedup_ngram_jaccard
 
