@@ -129,8 +129,10 @@ ORDER BY event_id
 
 
 SPECS = [
+    # not in the headline bench set: BENCH_r{N} totals stay comparable
+    # round-over-round only if the query set is frozen (r1 = 14 queries)
     QuerySpec("join_asof", join_asof, ORACLE_ASOF,
-              ("join", "temporal"), bench=True,
+              ("join", "temporal"),
               doc="as-of join via union-tag + windowed last-carry"),
     QuerySpec("window_range_1h", window_range_1h, ORACLE_RANGE_1H,
               ("window", "temporal")),
