@@ -110,6 +110,14 @@ def _validate_root(fs: FsOps, params: CompactionParams) -> str | None:
     """C1 (:146-181)."""
     if not fs.is_dir(params.source):
         return f"source folder does not exist or is not a directory: {params.source}"
+    # Reference root check (:152): source must be a homogeneous data folder
+    # (files-only leaf) or a partitioned root (dirs-only) — mixed or foreign
+    # content is rejected before any Spark job starts.
+    if not fs.is_valid_data_directory(params.source, params.ext):
+        return (
+            f"source is not a valid {params.ext} folder (mixed or foreign "
+            f"content): {params.source}"
+        )
     if fs.exists(params.target) and not params.overwrite:
         return f"target exists and overwrite is not set: {params.target}"
     if params.overwrite:

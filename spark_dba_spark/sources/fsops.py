@@ -126,9 +126,36 @@ class FsOps:
         )
 
     def is_valid_data_directory(self, folder: str, ext: str) -> bool:
-        """Non-empty and contains only valid data files (no subdirs, no
-        foreign files) after ignoring hidden entries
-        (HDFSAvroOperations.scala:56-75, M4)."""
+        """Exact M4 semantics (HDFSAvroOperations.scala:56-75): after
+        ignoring hidden entries the folder must be non-empty, contain no
+        foreign files, and hold EITHER only valid data files OR only
+        subdirectories (the latter is a partitioned root — the reference
+        applies this same predicate at root level,
+        DefragmentAvroFolder.scala:152)."""
+        if not self.is_dir(folder):
+            return False
+        visible = self.list_visible_status(folder)
+        if not visible:
+            return False
+        fs = self._fs(folder)
+        n_data = n_foreign = n_dirs = 0
+        for st in visible:
+            if fs.getFileStatus(self._path(st.path)).isDirectory():
+                n_dirs += 1
+            elif is_valid_data_file(st.path, ext):
+                n_data += 1
+            else:
+                n_foreign += 1
+        if n_foreign > 0 or (n_data > 0 and n_dirs > 0):
+            return False
+        return True
+
+    def is_valid_data_root_directory(self, folder: str, ext: str) -> bool:
+        """Strict root variant of :meth:`is_valid_data_directory` (M5,
+        HDFSAvroOperations.scala:78-98): the folder must exist, be
+        non-empty after ignoring hidden entries, and contain only valid
+        data FILES — subdirectories disqualify it (the root check rejects
+        partitioned layouts; dead code in the reference, kept for parity)."""
         if not self.is_dir(folder):
             return False
         visible = self.list_visible_status(folder)
@@ -141,6 +168,26 @@ class FsOps:
             if not is_valid_data_file(st.path, ext):
                 return False
         return True
+
+    def copy_from_local(self, local_path: str, target_folder: str,
+                        overwrite: bool = False) -> str:
+        """Upload a driver-local file into a (possibly remote) folder (M15,
+        HadoopFileSystemOperation.scala:95-101). Returns the destination
+        path. Unused by the reference's main job but part of its utility
+        surface."""
+        name = local_path.rstrip("/").rsplit("/", 1)[-1]
+        dest = target_folder.rstrip("/") + "/" + name
+        fs = self._fs(target_folder)
+        if fs.exists(self._path(dest)) and not overwrite:
+            raise FileExistsError(dest)
+        self.mkdirs(target_folder)
+        fs.copyFromLocalFile(
+            False,  # keep the local source
+            overwrite,
+            self._path(local_path),
+            self._path(dest),
+        )
+        return dest
 
     def data_size(self, folder: str, ext: str) -> int:
         """Total bytes of valid data files (M6) — input to dynamic file

@@ -157,7 +157,10 @@ def test_mixed_content_folder_rejected(spark, tmp_path):
         fh.write("foreign file")
     res = compact(spark, CompactionParams(source=src, target=tgt))
     assert not res.success
-    assert res.partitions == {"/": "INVALID_DIR"}
+    # rejected at root preflight (C1), same as the reference's
+    # validateEverythingAtRootLevel — no partition job ever starts
+    assert res.partitions == {}
+    assert any("not a valid" in e for e in res.errors)
 
 
 def test_empty_source_fails(spark, tmp_path):
@@ -167,7 +170,8 @@ def test_empty_source_fails(spark, tmp_path):
         spark, CompactionParams(source=src, target=str(tmp_path / "tgt"))
     )
     assert not res.success
-    assert any("no parquet data" in e for e in res.errors)
+    # empty folders now fail C1 root preflight (M4: non-empty required)
+    assert any("not a valid" in e or "no parquet data" in e for e in res.errors)
 
 
 def test_overwrite_trash_then_swap(spark, tmp_path):

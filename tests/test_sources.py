@@ -100,3 +100,85 @@ def test_compaction_preserves_any_multiset(spark, tmp_path_factory, file_sizes,
     ]
     assert collections.Counter(got) == collections.Counter(expected)
     assert len(parquet_files(tgt)) == min(file_count, len(file_sizes))
+
+
+def test_m4_directory_predicate_semantics(spark, tmp_path):
+    """Exact reference M4: files-only OK, dirs-only OK (partitioned root),
+    mixed or foreign content rejected (HDFSAvroOperations.scala:56-75)."""
+    from spark_dba_spark.sources.fsops import FsOps
+
+    fs = FsOps(spark)
+    files_only = tmp_path / "files"
+    files_only.mkdir()
+    (files_only / "a.parquet").write_bytes(b"x")
+    (files_only / "_SUCCESS").write_bytes(b"")
+    assert fs.is_valid_data_directory(str(files_only), "parquet")
+
+    dirs_only = tmp_path / "root"
+    (dirs_only / "dt=a").mkdir(parents=True)
+    (dirs_only / "dt=b").mkdir()
+    assert fs.is_valid_data_directory(str(dirs_only), "parquet")
+
+    mixed = tmp_path / "mixed"
+    (mixed / "dt=a").mkdir(parents=True)
+    (mixed / "stray.parquet").write_bytes(b"x")
+    assert not fs.is_valid_data_directory(str(mixed), "parquet")
+
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    (foreign / "a.parquet").write_bytes(b"x")
+    (foreign / "notes.txt").write_bytes(b"x")
+    assert not fs.is_valid_data_directory(str(foreign), "parquet")
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert not fs.is_valid_data_directory(str(empty), "parquet")
+
+
+def test_m5_strict_root_predicate(spark, tmp_path):
+    """M5 (HDFSAvroOperations.scala:78-98): only data files allowed — any
+    subdirectory disqualifies."""
+    from spark_dba_spark.sources.fsops import FsOps
+
+    fs = FsOps(spark)
+    ok = tmp_path / "ok"
+    ok.mkdir()
+    (ok / "a.parquet").write_bytes(b"x")
+    assert fs.is_valid_data_root_directory(str(ok), "parquet")
+
+    with_dir = tmp_path / "wd"
+    (with_dir / "sub").mkdir(parents=True)
+    (with_dir / "a.parquet").write_bytes(b"x")
+    assert not fs.is_valid_data_root_directory(str(with_dir), "parquet")
+
+
+def test_m15_copy_from_local(spark, tmp_path):
+    from spark_dba_spark.sources.fsops import FsOps
+
+    fs = FsOps(spark)
+    src = tmp_path / "local.txt"
+    src.write_text("hello")
+    dest_dir = tmp_path / "remote"
+    dest = fs.copy_from_local(str(src), str(dest_dir))
+    assert dest.endswith("/local.txt")
+    assert (dest_dir / "local.txt").read_text() == "hello"
+    assert src.exists()  # source kept
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        fs.copy_from_local(str(src), str(dest_dir))
+    fs.copy_from_local(str(src), str(dest_dir), overwrite=True)
+
+
+def test_qualified_uri_partition_paths(spark, tmp_path):
+    """M22: file://-qualified root resolves to the same partition-relative
+    paths as the bare path."""
+    from spark_dba_spark.sources.fsops import FsOps
+
+    fs = FsOps(spark)
+    leaf = tmp_path / "src" / "dt=a"
+    leaf.mkdir(parents=True)
+    (leaf / "x.parquet").write_bytes(b"x")
+    rel = fs.relative_partition(f"file://{tmp_path}/src", str(leaf))
+    assert rel == "/dt=a"
+    assert fs.relative_partition(str(tmp_path / "src"), f"file://{leaf}") == "/dt=a"
