@@ -129,6 +129,62 @@ def run_dedup_stream(
     return spark.table(query_name)
 
 
+def run_sliding_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "sliding_stream"
+) -> DataFrame:
+    """1h/30m sliding-window aggregation (same expressions as
+    batch_equiv.ev_sliding_1h_30m) under an availableNow streaming run."""
+    ev = stream_events(spark, sf_dir)
+    q = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "sum_value"
+        )
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def run_session_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "session_stream"
+) -> DataFrame:
+    """Session windows (30-minute gap) per user — the stateful merge
+    operator (same session_window expression as batch_equiv.ev_session_30m).
+    Watermark bounds session state; windows close once the watermark passes
+    the gap."""
+    from .batch_equiv import SESSION_GAP
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 # --------------------------------------------------------------------------
 # Custom stateful operator: per-user running totals via applyInPandasWithState
 # --------------------------------------------------------------------------

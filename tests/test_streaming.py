@@ -34,6 +34,26 @@ def test_tumbling_watermarked_is_prefix_of_batch(spark):
     assert len(stream_rows) > 0
 
 
+def test_sliding_stream_equals_batch(spark):
+    from spark_dba_spark.streaming import batch_equiv, jobs
+
+    stream_out = jobs.run_sliding_stream(spark, SF_DIR, "t_sliding_eq")
+    batch_out = batch_equiv.ev_sliding_1h_30m(spark, SF_DIR)
+    assert sorted(stream_out.columns) == sorted(batch_out.columns)
+    assert _rows(stream_out) == _rows(batch_out)
+
+
+def test_session_stream_equals_batch(spark):
+    """session_window under a stream must produce the same merged sessions
+    as its batch twin (which the gaps-and-islands oracle gates)."""
+    from spark_dba_spark.streaming import batch_equiv, jobs
+
+    stream_out = jobs.run_session_stream(spark, SF_DIR, "t_session_eq")
+    batch_out = batch_equiv.ev_session_30m(spark, SF_DIR)
+    assert sorted(stream_out.columns) == sorted(batch_out.columns)
+    assert _rows(stream_out) == _rows(batch_out)
+
+
 def test_dedup_stream_unique(spark):
     from spark_dba_spark.streaming import jobs
 
