@@ -161,10 +161,69 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# --------------------------------------------------------------------------
+# Audio: fake-PCM decode → windowed RMS energy (numpy over Arrow batches)
+# --------------------------------------------------------------------------
+
+AUDIO_WIN = 256  # "samples" per analysis window
+
+
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy per audio asset. The decode stub treats payload
+    bytes as centered 8-bit PCM (byte − 128) — deterministic, so the DuckDB
+    oracle reproduces the whole windowing+RMS pipeline; a real deployment
+    swaps in an ffmpeg/soundfile decode with identical Spark plumbing
+    (binary → Arrow → numpy per batch, map-only)."""
+    import numpy as np
+
+    assets = _assets(spark, sf_dir).filter(F.col("media_type") == "audio")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("win", T.LongType()),
+            T.StructField("rms_r4", T.DoubleType()),
+        ]
+    )
+
+    def energy(batches):
+        for pdf in batches:
+            ids, wins, rms = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if _HAVE_PIL:  # pragma: no cover — same stub convention
+                    raise NotImplementedError("real decode intentionally stubbed")
+                samples = (
+                    np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                    - 128.0
+                )
+                for w in range(0, len(samples), AUDIO_WIN):
+                    chunk = samples[w:w + AUDIO_WIN]
+                    ids.append(doc_id)
+                    wins.append(w // AUDIO_WIN)
+                    rms.append(round(float(np.sqrt(np.mean(chunk**2))), 4))
+            yield pd.DataFrame({"doc_id": ids, "win": wins, "rms_r4": rms})
+
+    return (
+        assets.select("doc_id", "payload")
+        .mapInPandas(energy, out_schema)
+        .orderBy("doc_id", "win")
+    )
+
+
+ORACLE_MM_AUDIO = f"""
+SELECT doc_id, (i - 1) // {AUDIO_WIN} AS win,
+       ROUND(sqrt(avg(pow(ascii(substr(text, i, 1)) - 128, 2))), 4) AS rms_r4
+FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+     LATERAL unnest(generate_series(1, len(text))) AS t(i)
+GROUP BY doc_id, win ORDER BY doc_id, win
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_meta", mm_binary_meta, ORACLE_MM_META, ("multimodal",)),
     QuerySpec("mm_image_features", mm_image_features, ORACLE_MM_FEATURES,
               ("multimodal",)),
     QuerySpec("mm_frame_sample", mm_frame_sample, ORACLE_MM_FRAMES,
               ("multimodal",)),
+    QuerySpec("mm_audio_energy", mm_audio_energy, ORACLE_MM_AUDIO,
+              ("multimodal", "audio")),
 ]

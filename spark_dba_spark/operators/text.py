@@ -10,6 +10,7 @@ integer/double arithmetic so the DuckDB oracle matches bit-for-bit. At
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import catalog
@@ -216,6 +217,68 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Composed cleaning pipeline: quality filter → exact dedup → per-lang stats
+# --------------------------------------------------------------------------
+
+MIN_TOKENS = 5
+MIN_UNIQ = 0.3
+
+
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data prep chain as ONE declarative plan:
+    (1) quality gate (length + lexical-diversity bounds, map-only),
+    (2) exact dedup keeping the smallest doc_id per content hash
+        (single hash shuffle),
+    (3) per-language corpus stats (second small shuffle).
+    Catalyst pipelines 1 into the dedup shuffle's map side — filters never
+    materialize an intermediate corpus."""
+    docs = _docs(spark, sf_dir).withColumn("ws", F.split("text", " "))
+    gated = docs.filter(
+        (F.size("ws") >= MIN_TOKENS)
+        & (
+            F.expr("cast(size(array_distinct(ws)) as double) / size(ws)")
+            >= MIN_UNIQ
+        )
+    )
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = gated.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("ws")).alias("total_tokens"),
+            F.round(F.avg(F.size("ws").cast("double")), 4).alias("avg_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_PIPELINE = f"""
+WITH gated AS (
+  SELECT doc_id, lang, text, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {MIN_TOKENS}
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) >= {MIN_UNIQ}
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1
+)
+SELECT lang, COUNT(*) AS n_docs,
+       -- BIGINT cast: DuckDB SUM(BIGINT) yields HUGEINT → float64 via arrow
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens,
+       MIN(doc_id) AS first_doc
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
@@ -223,4 +286,7 @@ SPECS = [
     QuerySpec("text_token_count", text_token_count, ORACLE_TEXT_TOKENS,
               ("text",)),
     QuerySpec("text_fingerprint", text_fingerprint, ORACLE_TEXT_FP, ("text",)),
+    QuerySpec("pipeline_clean_corpus", pipeline_clean_corpus, ORACLE_PIPELINE,
+              ("text", "pipeline", "dedup"),
+              doc="quality filter → exact dedup → per-lang stats, one plan"),
 ]

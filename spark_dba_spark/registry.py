@@ -51,6 +51,10 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "lateral_posexplode",
     "sim_ivf",
     "ev_user_state",
+    "mm_audio_energy",
+    "pipeline_clean_corpus",
+    # re-red in r1, fixed this round — make certain it gets its row:
+    "json_extract_events",
 )
 
 # Previously-green rows whose operator family keeps other green rows; they
@@ -67,6 +71,8 @@ PRIORITY_LAST: tuple[str, ...] = (
     "set_union",
     "agg_having",
     "in_subquery",
+    "window_rank_dist",
+    "scalar_conditional",
 )
 
 
