@@ -1029,6 +1029,103 @@ ORDER BY doc_id, pos
 """
 
 
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: extract / replace-all / match-filter."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").rlike("[aeiou]{2}"))
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_REGEXP = """
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part WHERE regexp_matches(p_name, '[aeiou]{2}')
+ORDER BY p_partkey
+"""
+
+
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar family over real data: split, sort, distinct, slice,
+    element_at, contains — all codegen'd JVM expressions."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.withColumn("ws", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.size("ws").alias("n"),
+            F.element_at(F.array_sort("ws"), 1).alias("first_sorted"),
+            F.size(F.array_distinct("ws")).alias("n_uniq"),
+            F.concat_ws("|", F.slice("ws", 1, 3)).alias("head3"),
+            F.array_contains("ws", "the").cast("int").alias("has_the"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_ARRAY_OPS = """
+SELECT doc_id,
+       len(ws) AS n,
+       list_sort(ws)[1] AS first_sorted,
+       len(list_distinct(ws)) AS n_uniq,
+       array_to_string(ws[1:3], '|') AS head3,
+       CAST(list_contains(ws, 'the') AS INTEGER) AS has_the
+FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id < 100)
+ORDER BY doc_id
+"""
+
+
+def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (ALL variants): duplicates preserved/counted,
+    unlike the distinct set ops registered separately."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select("l_orderkey", "l_returnflag")
+    b = li.filter(F.col("l_discount") >= 0.05).select("l_orderkey", "l_returnflag")
+    return (
+        a.unionAll(b)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_union_all"))
+        .join(
+            a.exceptAll(b)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_except_all")),
+            "l_returnflag",
+            "left",
+        )
+        .join(
+            a.intersectAll(b)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_intersect_all")),
+            "l_returnflag",
+            "left",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_SET_BAG = """
+WITH a AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity >= 25),
+     b AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_discount >= 0.05),
+     u AS (SELECT l_returnflag, COUNT(*) AS n_union_all
+           FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY 1),
+     e AS (SELECT l_returnflag, COUNT(*) AS n_except_all
+           FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1),
+     i AS (SELECT l_returnflag, COUNT(*) AS n_intersect_all
+           FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1)
+SELECT u.l_returnflag, u.n_union_all, e.n_except_all, i.n_intersect_all
+FROM u LEFT JOIN e USING (l_returnflag) LEFT JOIN i USING (l_returnflag)
+ORDER BY l_returnflag
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -1085,4 +1182,8 @@ SPECS = [
               ("agg", "percentile")),
     QuerySpec("lateral_posexplode", lateral_posexplode, ORACLE_LATERAL,
               ("lateral", "udtf")),
+    QuerySpec("scalar_regexp", scalar_regexp, ORACLE_REGEXP, ("scalar",)),
+    QuerySpec("scalar_array_ops", scalar_array_ops, ORACLE_ARRAY_OPS,
+              ("scalar", "array")),
+    QuerySpec("set_ops_bag", set_ops_bag, ORACLE_SET_BAG, ("setop",)),
 ]

@@ -73,6 +73,9 @@ PRIORITY_LAST: tuple[str, ...] = (
     "in_subquery",
     "window_rank_dist",
     "scalar_conditional",
+    "agg_stats",
+    "join_left_outer",
+    "topk_global",
 )
 
 
