@@ -262,6 +262,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
+        # Length-ratio prune before the expensive intersect: J(A,B) ≥ τ
+        # implies min(|A|,|B|) ≥ τ·max(|A|,|B|) — an implication, so no
+        # true pair is lost and the oracle (which skips this) still agrees.
+        .filter(
+            (F.size("sha") * 1.0 >= MINHASH_TAU * F.size("shb"))
+            & (F.size("shb") * 1.0 >= MINHASH_TAU * F.size("sha"))
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sha", "shb"))

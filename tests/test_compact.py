@@ -286,3 +286,30 @@ def test_cli_main(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert len(parquet_files(tgt)) == 1
+
+
+def test_orc_compaction_roundtrip(spark, tmp_path):
+    """FORMAT_EXTENSIONS advertises orc; prove the native-ORC path works
+    through the same compaction semantics as parquet."""
+    from pyspark.sql import functions as F
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    os.makedirs(src)
+    df = spark.range(200).selectExpr("id", "cast(id * 0.5 as double) AS score")
+    for i in range(4):
+        df.filter((F.col("id") % 4) == i).coalesce(1).write.orc(f"{src}/_stage_{i}")
+    # flatten the staged files into src as sibling .orc files
+    import glob
+    import shutil
+
+    for i, p in enumerate(glob.glob(f"{src}/_stage_*/*.orc")):
+        shutil.move(p, f"{src}/part_{i}.orc")
+    for i in range(4):
+        shutil.rmtree(f"{src}/_stage_{i}")
+    res = compact(
+        spark, CompactionParams(source=src, target=tgt, file_count=1, fmt="orc")
+    )
+    assert res.success, res.errors
+    out = [f for f in os.listdir(tgt) if f.endswith(".orc")]
+    assert len(out) == 1
+    assert spark.read.orc(tgt).count() == 200
