@@ -61,6 +61,11 @@ class CompactionParams:
     target_file_bytes: int = 128 * 1024 * 1024
     max_parallel: int = 4
     verify_counts: bool = True
+    # Extension beyond the reference: cluster rows inside each output file
+    # so columnar min/max stats prune at read time (the compactor is the
+    # natural place to fix data LAYOUT, not just file count). No shuffle:
+    # sortWithinPartitions is a per-partition sort after the narrow coalesce.
+    sort_by: tuple[str, ...] | None = None
 
     @property
     def ext(self) -> str:
@@ -192,17 +197,18 @@ def _process_partition(
             )
         else:
             staged = target_part
+        out_df = df.coalesce(n_out)
+        if params.sort_by:
+            out_df = out_df.sortWithinPartitions(*params.sort_by)
         if params.fmt == "avro":
             from ..sources.avro_spark import write_avro_folder
 
             write_avro_folder(
-                df.coalesce(n_out), staged,
-                schema=schema, codec=params.compression,
+                out_df, staged, schema=schema, codec=params.compression
             )
         else:
             (
-                df.coalesce(n_out)
-                .write.format(params.fmt)
+                out_df.write.format(params.fmt)
                 .option("compression", params.compression)
                 .save(staged)
             )

@@ -132,6 +132,85 @@ def test_codec_property_roundtrip(tuples):
     assert list(ac.read_container(data)) == rows
 
 
+_FIELD_TYPES = ["int", "long", "float", "double", "string", "boolean"]
+_PROMOTIONS = {
+    "int": ["int", "long", "float", "double"],
+    "long": ["long", "float", "double"],
+    "float": ["float", "double"],
+    "double": ["double"],
+    "string": ["string"],
+    "boolean": ["boolean"],
+}
+_DEFAULTS = {"int": 0, "long": 1, "float": 0.5, "double": 2.5,
+             "string": "d", "boolean": False}
+_VALUES = {
+    "int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    "long": st.integers(min_value=-(2**62), max_value=2**62),
+    # float32-exact doubles so the float branch round-trips bit-for-bit
+    "float": st.integers(min_value=-1000, max_value=1000).map(lambda v: v / 4.0),
+    "double": st.floats(allow_nan=False, allow_infinity=False, width=64),
+    "string": st.text(max_size=20),
+    "boolean": st.booleans(),
+}
+
+
+@st.composite
+def _evolution_case(draw):
+    """Random flat writer schema + compatible reader schema (field drops,
+    additions-with-default, numeric promotions) + rows."""
+    n = draw(st.integers(min_value=1, max_value=6))
+    wfields = [
+        (f"f{i}", draw(st.sampled_from(_FIELD_TYPES))) for i in range(n)
+    ]
+    rfields = []
+    for name, t in wfields:
+        action = draw(st.sampled_from(["keep", "promote", "drop"]))
+        if action == "keep":
+            rfields.append((name, t))
+        elif action == "promote":
+            rfields.append((name, draw(st.sampled_from(_PROMOTIONS[t]))))
+    n_add = draw(st.integers(min_value=0, max_value=2))
+    for j in range(n_add):
+        t = draw(st.sampled_from(_FIELD_TYPES))
+        rfields.append((f"added{j}", t))
+    rows = [
+        {name: draw(_VALUES[t]) for name, t in wfields}
+        for _ in range(draw(st.integers(min_value=0, max_value=8)))
+    ]
+    return wfields, rfields, rows
+
+
+@settings(max_examples=40, deadline=None)
+@given(_evolution_case())
+def test_schema_resolution_property(case):
+    wfields, rfields, rows = case
+    writer = {"type": "record", "name": "R",
+              "fields": [{"name": n, "type": t} for n, t in wfields]}
+    reader = {"type": "record", "name": "R",
+              "fields": [
+                  {"name": n, "type": t,
+                   **({} if any(n == wn for wn, _ in wfields)
+                      else {"default": _DEFAULTS[t]})}
+                  for n, t in rfields
+              ]}
+    data = ac.write_container(rows, writer, codec="deflate", block_records=3)
+    got = list(ac.read_container(data, reader_schema=reader))
+    assert len(got) == len(rows)
+    wtypes = dict(wfields)
+    for src, out in zip(rows, got):
+        assert set(out) == {n for n, _ in rfields}
+        for name, rt in rfields:
+            if name in wtypes:
+                expect = src[name]
+                if rt in ("float", "double") and wtypes[name] in (
+                    "int", "long", "float"
+                ):
+                    expect = float(expect)
+                assert out[name] == expect, (name, wtypes[name], rt)
+            else:
+                assert out[name] == _DEFAULTS[rt]
+
+
 # --------------------------------------------------------------------------
 # Interop with the official JVM implementation
 # --------------------------------------------------------------------------

@@ -313,3 +313,30 @@ def test_orc_compaction_roundtrip(spark, tmp_path):
     out = [f for f in os.listdir(tgt) if f.endswith(".orc")]
     assert len(out) == 1
     assert spark.read.orc(tgt).count() == 200
+
+
+def test_sort_by_clusters_rows_within_files(spark, tmp_path):
+    """sort_by yields sorted rows inside each output file → parquet min/max
+    stats become selective (layout optimization, r2 extension)."""
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    # shuffle ids across input files so unsorted output would interleave
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(1000))
+    rng.shuffle(ids)
+    os.makedirs(src)
+    for i in range(4):
+        chunk = ids[i * 250:(i + 1) * 250]
+        pq.write_table(
+            pa.table({"id": pa.array(chunk, pa.int64())}),
+            f"{src}/part_{i}.parquet",
+        )
+    res = compact(
+        spark,
+        CompactionParams(source=src, target=tgt, file_count=2, sort_by=("id",)),
+    )
+    assert res.success, res.errors
+    for p in parquet_files(tgt):
+        vals = pq.read_table(p).column("id").to_pylist()
+        assert vals == sorted(vals)
