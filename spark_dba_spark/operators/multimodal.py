@@ -162,6 +162,58 @@ ORDER BY doc_id, frame_idx
 
 
 # --------------------------------------------------------------------------
+# Resize: fit-within-box scaling arithmetic over decoded dimensions
+# --------------------------------------------------------------------------
+
+RESIZE_BOX = 224
+
+
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: decode (stub) → compute fit-within-224-box target
+    dimensions preserving aspect ratio. The arithmetic after decode is pure
+    JVM expressions; a real pipeline would add one more mapInPandas stage
+    performing the pixel resample with the SAME (doc_id, w, h → w2, h2)
+    contract tested here."""
+    feats = mm_image_features(spark, sf_dir)
+    scale = F.expr(
+        f"least(cast({RESIZE_BOX} as double) / width, "
+        f"cast({RESIZE_BOX} as double) / height, cast(1.0 as double))"
+    )
+    return (
+        feats.withColumn("scale_r4", F.round(scale, 4))
+        .withColumn(
+            "out_w", F.expr(f"cast(floor(width * scale_r4) as int)")
+        )
+        .withColumn(
+            "out_h", F.expr(f"cast(floor(height * scale_r4) as int)")
+        )
+        .select("doc_id", "width", "height", "scale_r4", "out_w", "out_h")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MM_RESIZE = f"""
+WITH f AS (
+  SELECT doc_id,
+         64 + octet_length(encode(text)) % 576 AS width,
+         64 + (octet_length(encode(text)) * 7) % 416 AS height
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, width, height,
+       ROUND(least(CAST({RESIZE_BOX} AS DOUBLE) / width,
+                   CAST({RESIZE_BOX} AS DOUBLE) / height,
+                   CAST(1.0 AS DOUBLE)), 4) AS scale_r4,
+       CAST(FLOOR(width * ROUND(least(CAST({RESIZE_BOX} AS DOUBLE) / width,
+                                     CAST({RESIZE_BOX} AS DOUBLE) / height,
+                                     CAST(1.0 AS DOUBLE)), 4)) AS INTEGER) AS out_w,
+       CAST(FLOOR(height * ROUND(least(CAST({RESIZE_BOX} AS DOUBLE) / width,
+                                      CAST({RESIZE_BOX} AS DOUBLE) / height,
+                                      CAST(1.0 AS DOUBLE)), 4)) AS INTEGER) AS out_h
+FROM f ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Audio: fake-PCM decode → windowed RMS energy (numpy over Arrow batches)
 # --------------------------------------------------------------------------
 
@@ -226,4 +278,6 @@ SPECS = [
               ("multimodal",)),
     QuerySpec("mm_audio_energy", mm_audio_energy, ORACLE_MM_AUDIO,
               ("multimodal", "audio")),
+    QuerySpec("mm_image_resize", mm_image_resize, ORACLE_MM_RESIZE,
+              ("multimodal", "resize")),
 ]

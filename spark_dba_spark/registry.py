@@ -52,6 +52,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "sim_ivf",
     "ev_user_state",
     "mm_audio_energy",
+    "mm_image_resize",
     "pipeline_clean_corpus",
     # re-red in r1, fixed this round — make certain it gets its row:
     "json_extract_events",
@@ -76,6 +77,7 @@ PRIORITY_LAST: tuple[str, ...] = (
     "agg_stats",
     "join_left_outer",
     "topk_global",
+    "agg_rollup",
 )
 
 

@@ -222,6 +222,48 @@ def latest_file_schema(
     return ac.read_header(bytes(row[0]["content"]))[0]
 
 
+def read_avro_stream(
+    spark: SparkSession,
+    path: str,
+    reader_schema: str | dict,
+    recursive: bool = True,
+) -> DataFrame:
+    """Streaming variant of :func:`read_avro_folder`: a ``binaryFile`` file
+    stream decoded per micro-batch with the same reader-schema resolution.
+    An explicit reader schema is required (a stream cannot probe a
+    latest-modified file — files arrive over time)."""
+    rs = ac.parse_schema(reader_schema)
+    spark_schema = avro_record_to_struct(rs)
+    col_order = [f.name for f in spark_schema.fields]
+
+    # Streaming file sources demand an explicit schema; binaryFile's is
+    # fixed by the format.
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    bin_stream = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.avro")
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+        .select("content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                recs = list(ac.read_container(bytes(blob), reader_schema=rs))
+                yield pd.DataFrame.from_records(recs, columns=col_order)
+
+    return bin_stream.mapInPandas(decode, spark_schema)
+
+
 # ---------------------------------------------------------------------------
 # Distributed write
 # ---------------------------------------------------------------------------

@@ -321,6 +321,35 @@ def test_spark_avro_date_timestamp_values(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(rows)
 
 
+def test_streaming_avro_ingest(spark, tmp_path):
+    """binaryFile stream + codec decode: streaming Avro ingest without
+    spark-avro — aggregate over the stream equals the batch read."""
+    from spark_dba_spark.sources.avro_spark import read_avro_stream
+
+    folder = tmp_path / "landing"
+    folder.mkdir()
+    for i in range(3):
+        (folder / f"f{i}.avro").write_bytes(
+            ac.write_container(mkrows(50, start=i * 100), SCHEMA, codec="snappy")
+        )
+    stream = read_avro_stream(spark, str(folder), SCHEMA)
+    assert stream.isStreaming
+    q = (
+        stream.groupBy()
+        .agg({"id": "sum", "*": "count"})
+        .writeStream.format("memory")
+        .queryName("avro_ingest")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table("avro_ingest").collect()[0]
+    batch = read_avro_folder(spark, str(folder), reader_schema=SCHEMA)
+    assert row["count(1)"] == batch.count() == 150
+    assert row["sum(id)"] == batch.agg({"id": "sum"}).collect()[0][0]
+
+
 # --------------------------------------------------------------------------
 # Avro compaction end-to-end (reference parity)
 # --------------------------------------------------------------------------
