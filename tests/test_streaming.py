@@ -63,6 +63,69 @@ def test_dedup_stream_unique(spark):
     assert total == distinct > 0
 
 
+def test_watermark_closed_window_never_reemitted(spark, tmp_path):
+    """Append-mode late-data contract: once the watermark closes and emits
+    a window, later-arriving data for it must NOT re-emit or double-count
+    it. (Dropping late rows pre-aggregation is best-effort in Spark; the
+    exactly-once window emission IS the guarantee.)"""
+    import glob
+    import os
+    import shutil
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def write_batch(name, hours, mtime):
+        rows = [
+            (i, f"2024-01-01 {h:02d}:15:00", 1, "click", 1.0)
+            for i, h in enumerate(hours)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts_s string, user_id bigint, "
+            "event_type string, value double"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        df.coalesce(1).write.parquet(f"{landing}/_stage_{name}")
+        src = glob.glob(f"{landing}/_stage_{name}/*.parquet")[0]
+        shutil.move(src, f"{landing}/{name}.parquet")
+        shutil.rmtree(f"{landing}/_stage_{name}")
+        os.utime(f"{landing}/{name}.parquet", (mtime, mtime))
+
+    base = 1_700_000_000
+    write_batch("b1", list(range(10, 21)), base)  # hours 10..20
+    write_batch("b2", [23], base + 100)  # advances watermark to 22:15
+    write_batch("b3", [12], base + 200)  # LATE: window 12 already closed
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.hour("w.start").alias("h"), "n")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_late").collect()
+    per_hour = {}
+    for r in rows:
+        per_hour.setdefault(r["h"], []).append(r["n"])
+    # window 12 was emitted exactly once, with only the on-time row counted
+    assert per_hour[12] == [1], per_hour
+    # every closed window emitted exactly once
+    assert all(len(v) == 1 for v in per_hour.values()), per_hour
+    assert set(range(10, 21)).issubset(per_hour), sorted(per_hour)
+
+
 def test_stateful_user_totals_match_batch(spark):
     from spark_dba_spark import catalog
     from spark_dba_spark.streaming import jobs
