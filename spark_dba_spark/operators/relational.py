@@ -1126,6 +1126,63 @@ ORDER BY l_returnflag
 """
 
 
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: Pearson correlation, sample covariance and
+    stddev. Rounded to 6 dp in both engines — one-pass vs two-pass moment
+    formulas differ in the last ulps."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+                "covar_qp"
+            ),
+            F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_CORR = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
+       ROUND(stddev_samp(l_discount), 6) AS sd_disc
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product — only ever legitimate between two
+    bounded dimension tables (here region × nation grid with a count of
+    suppliers per cell)."""
+    region = _t(spark, sf_dir, "region").select("r_name")
+    nation = _t(spark, sf_dir, "nation").select("n_name", "n_nationkey")
+    sup = _t(spark, sf_dir, "supplier")
+    grid = region.crossJoin(nation)
+    counts = sup.groupBy("s_nationkey").agg(F.count("*").alias("n_sup"))
+    return (
+        grid.join(counts, grid.n_nationkey == counts.s_nationkey, "left")
+        .select(
+            "r_name",
+            "n_name",
+            F.coalesce("n_sup", F.lit(0)).alias("n_sup"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_CROSS = """
+SELECT r_name, n_name, COALESCE(c.n_sup, 0) AS n_sup
+FROM region CROSS JOIN nation
+LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_sup
+           FROM supplier GROUP BY 1) c
+  ON nation.n_nationkey = c.s_nationkey
+ORDER BY r_name, n_name
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -1186,4 +1243,8 @@ SPECS = [
     QuerySpec("scalar_array_ops", scalar_array_ops, ORACLE_ARRAY_OPS,
               ("scalar", "array")),
     QuerySpec("set_ops_bag", set_ops_bag, ORACLE_SET_BAG, ("setop",)),
+    QuerySpec("agg_corr_stats", agg_corr_stats, ORACLE_CORR,
+              ("agg", "stats")),
+    QuerySpec("join_cross_small", join_cross_small, ORACLE_CROSS,
+              ("join", "cross")),
 ]

@@ -2,19 +2,20 @@
 
 Spark-first design for vector workloads:
 
-- The *corpus* side stays distributed: vectors never leave the executors.
-- The *query* side (bounded: a handful of probe vectors, or the corpus
-  matrix itself when it is dimension-bounded) ships to executors as a
-  broadcast, and each Arrow batch is scored with one numpy matmul inside
-  ``mapInPandas`` — the vectorized slow-path (Arrow + BLAS), never
-  row-at-a-time Python.
+- The *corpus* side stays distributed: vectors never leave the executors
+  (no full-corpus collects anywhere — exact all-pairs runs as a block-grid
+  cogroup, ``sim_dup_pairs``).
+- The *query* side (bounded: N_QUERIES probe vectors, or K centroids)
+  ships as a broadcast, and each Arrow batch is scored with one numpy
+  matmul inside ``mapInPandas`` — the vectorized slow path (Arrow + BLAS),
+  never row-at-a-time Python.
 - Top-k selection happens in Spark (window row_number), so the ranking
   shuffle is on the small (qid, candidate) stream, not raw vectors.
 
-At 100 TB the brute-force scorers below become the *verification* tier;
-``sim_ann_lsh`` is the scale path (random-hyperplane bucketing — candidates
-only within matching buckets). It is approximate, hence registered
-rows-only; its recall is asserted against brute force in the pytest suite.
+At 100 TB the brute-force scorers are the *verification* tier; the scale
+paths are ``sim_ann_lsh`` (random-hyperplane bucketing) and ``sim_ivf``
+(inverted centroid lists, nprobe search). Both are approximate, hence
+registered rows-only; recall vs brute force is asserted in pytest.
 """
 
 from __future__ import annotations

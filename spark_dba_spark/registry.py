@@ -78,6 +78,8 @@ PRIORITY_LAST: tuple[str, ...] = (
     "join_left_outer",
     "topk_global",
     "agg_rollup",
+    "join_full_outer",
+    "agg_cube",
 )
 
 
