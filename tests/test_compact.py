@@ -340,3 +340,49 @@ def test_sort_by_clusters_rows_within_files(spark, tmp_path):
     for p in parquet_files(tgt):
         vals = pq.read_table(p).column("id").to_pylist()
         assert vals == sorted(vals)
+
+
+def test_cli_main_compacts(spark, tmp_path, capsys):
+    """The scopt-mirroring CLI (README.md:24-43 parity) drives a full job."""
+    from spark_dba_spark.plans import compact as compact_mod
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    write_small_files(src, n_files=3)
+    rc = compact_mod.main([
+        "--sourceFolder", src, "--targetFolder", tgt, "--fileCount", "1",
+    ])
+    assert rc == 0
+    assert len(parquet_files(tgt)) == 1
+    out = capsys.readouterr().out
+    assert "SUCCESS" in out or "compacted" in out
+
+
+def test_nested_schema_compaction(spark, tmp_path):
+    """Compaction is schema-generic: nested struct/array/map rows survive
+    byte-for-byte (the reference never inspects fields; neither do we)."""
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    os.makedirs(src)
+    df = spark.range(60).selectExpr(
+        "id",
+        "named_struct('a', id * 2, 'b', cast(id as string)) AS st",
+        "array(id, id + 1, id + 2) AS arr",
+        "map('k1', id, 'k2', id * 10) AS mp",
+    )
+    for i in range(3):
+        df.filter((df.id % 3) == i).coalesce(1).write.parquet(f"{src}/_st_{i}")
+    import glob
+    import shutil
+
+    for i, p in enumerate(glob.glob(f"{src}/_st_*/*.parquet")):
+        shutil.move(p, f"{src}/part_{i}.parquet")
+    for i in range(3):
+        shutil.rmtree(f"{src}/_st_{i}")
+    res = compact(
+        spark, CompactionParams(source=src, target=tgt, file_count=1)
+    )
+    assert res.success, res.errors
+    back = spark.read.parquet(tgt)
+    assert back.count() == 60
+    row = back.filter(back.id == 7).collect()[0]
+    assert row["st"]["a"] == 14 and row["arr"] == [7, 8, 9]
+    assert row["mp"]["k2"] == 70
