@@ -1,0 +1,81 @@
+"""Folder-stats reporter and trash vacuum (DBA lifecycle utilities)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from spark_dba_spark.plans.compact import CompactionParams, compact
+from spark_dba_spark.plans.stats import folder_stats, needs_compaction, vacuum_trash
+from spark_dba_spark.sources.fsops import FsOps
+
+from test_compact import parquet_files, write_small_files
+
+
+def test_folder_stats_and_need_report(spark, tmp_path):
+    fs = FsOps(spark)
+    src = str(tmp_path / "src")
+    write_small_files(f"{src}/dt=a", n_files=5)
+    write_small_files(f"{src}/dt=b", n_files=1, start=500)
+    stats = {s.partition: s for s in folder_stats(fs, src)}
+    assert set(stats) == {"/dt=a", "/dt=b"}
+    assert stats["/dt=a"].n_files == 5
+    assert stats["/dt=a"].small_files == 5  # all tiny
+    assert stats["/dt=a"].total_bytes > 0
+    need = needs_compaction(list(stats.values()))
+    assert [s.partition for s in need] == ["/dt=a"]  # dt=b has <2 files
+
+
+def test_stats_reflect_compaction(spark, tmp_path):
+    fs = FsOps(spark)
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    write_small_files(src, n_files=6)
+    assert folder_stats(fs, src)[0].n_files == 6
+    res = compact(spark, CompactionParams(source=src, target=tgt, file_count=1))
+    assert res.success
+    after = folder_stats(fs, tgt)[0]
+    assert after.n_files == 1
+    assert after.total_bytes > 0
+
+
+def test_vacuum_trash_ttl(spark, tmp_path):
+    fs = FsOps(spark)
+    trash = str(tmp_path / "trash")
+    os.makedirs(trash)
+    now = int(time.time() * 1000)
+    old_session = f"tgt_{now - 10_000_000}_123_456"
+    new_session = f"tgt_{now - 1_000}_123_457"
+    for name in (old_session, new_session):
+        os.makedirs(f"{trash}/{name}/dt=a")
+        with open(f"{trash}/{name}/dt=a/f.parquet", "w") as fh:
+            fh.write("x")
+
+    # dry run deletes nothing
+    would = vacuum_trash(fs, trash, older_than_ms=3_600_000, dry_run=True)
+    assert [p.rsplit("/", 1)[-1] for p in would] == [old_session]
+    assert os.path.exists(f"{trash}/{old_session}")
+
+    removed = vacuum_trash(fs, trash, older_than_ms=3_600_000)
+    assert [p.rsplit("/", 1)[-1] for p in removed] == [old_session]
+    assert not os.path.exists(f"{trash}/{old_session}")
+    assert os.path.exists(f"{trash}/{new_session}")  # recover window intact
+
+
+def test_vacuum_after_real_compaction_overwrite(spark, tmp_path):
+    """End-to-end: overwrite compaction trashes the old target; vacuum with
+    ttl=0 clears it; vacuum respects a large ttl before that."""
+    fs = FsOps(spark)
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    tmpf, trash = str(tmp_path / "tmpf"), str(tmp_path / "trash")
+    os.makedirs(tmpf), os.makedirs(trash)
+    write_small_files(src, n_files=3)
+    write_small_files(tgt, n_files=2, start=900, decoys=False)
+    res = compact(spark, CompactionParams(
+        source=src, target=tgt, file_count=1, overwrite=True,
+        tmp_folder=tmpf, trash_folder=trash,
+    ))
+    assert res.success, res.errors
+    assert os.listdir(trash)
+    assert vacuum_trash(fs, trash, older_than_ms=3_600_000) == []
+    removed = vacuum_trash(fs, trash, older_than_ms=0)
+    assert removed and os.listdir(trash) == []
