@@ -259,6 +259,113 @@ LIMIT 20
 """
 
 
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure scan+filter+agg — every predicate must reach
+    the parquet scan (PushedFilters), no join, no shuffle beyond the
+    single-row final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum_expr("l_extendedprice * l_discount", "revenue"))
+
+
+ORACLE_Q06 = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: supplier-nation × customer-nation trade volumes per
+    ship year. Both nation dims broadcast; the fact-fact orders⋈lineitem
+    join stays sort-merge under AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum_expr(REVENUE, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_Q07 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       {sql_dsum(REVENUE)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: conditional aggregation ratio over a broadcast
+    part join, one month of shipments."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = f"cast({REVENUE} as decimal(25,6))"
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.sum(
+                    F.expr(
+                        f"case when p_type like 'PROMO%' then {rev} "
+                        f"else cast(0.0 as decimal(25,6)) end"
+                    )
+                ).cast("double")
+                * 100.0
+                / F.sum(F.expr(rev)).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+ORACLE_Q14 = f"""
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST({REVENUE} AS DECIMAL(25,6))
+                     ELSE CAST(0.0 AS DECIMAL(25,6)) END) AS DOUBLE)
+       * 100.0
+       / CAST(SUM(CAST({REVENUE} AS DECIMAL(25,6))) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
 # --------------------------------------------------------------------------
 # Join family: outer / semi / anti / broadcast / non-equi range
 # --------------------------------------------------------------------------
@@ -1194,6 +1301,12 @@ SPECS = [
               ("join", "semi", "tpch")),
     QuerySpec("q05_local_supplier_volume", q05_local_supplier_volume, ORACLE_Q05,
               ("join", "tpch"), bench=True),
+    QuerySpec("q06_forecast_revenue", q06_forecast_revenue, ORACLE_Q06,
+              ("scan", "agg", "tpch")),
+    QuerySpec("q07_volume_shipping", q07_volume_shipping, ORACLE_Q07,
+              ("join", "tpch")),
+    QuerySpec("q14_promo_revenue", q14_promo_revenue, ORACLE_Q14,
+              ("join", "agg", "tpch")),
     QuerySpec("q10_returned_item", q10_returned_item, ORACLE_Q10,
               ("join", "tpch"), bench=True),
     QuerySpec("join_left_outer", join_left_outer, ORACLE_JOIN_LEFT, ("join",)),

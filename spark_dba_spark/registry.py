@@ -56,6 +56,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "pipeline_clean_corpus",
     # re-red in r1, fixed this round — make certain it gets its row:
     "json_extract_events",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q14_promo_revenue",
 )
 
 # Previously-green rows whose operator family keeps other green rows; they
@@ -80,6 +83,9 @@ PRIORITY_LAST: tuple[str, ...] = (
     "agg_rollup",
     "join_full_outer",
     "agg_cube",
+    "text_fingerprint",
+    "mm_binary_meta",
+    "mm_image_features",
 )
 
 
