@@ -135,7 +135,21 @@ ORDER BY qid, rank
 # All-pairs cosine near-duplicates (block-broadcast brute force)
 # --------------------------------------------------------------------------
 
-DUP_BLOCKS = 16  # block-grid width; replication factor ≈ (DUP_BLOCKS+1)/2
+DUP_BLOCKS = 16  # fallback block-grid width if parallelism is unknown
+
+
+def _dup_blocks(spark: SparkSession) -> int:
+    """Grid width sized to the cluster: B(B+1)/2 cells ≈ 2× parallelism
+    keeps every core busy without drowning in tiny cells. Exactness is
+    independent of B (every pair meets in exactly one cell regardless);
+    B only trades replication factor (≈B/2) against cell size."""
+    try:
+        p = spark.sparkContext.defaultParallelism
+    except Exception:
+        return DUP_BLOCKS
+    import math
+
+    return max(2, min(64, math.ceil(math.sqrt(4 * p))))
 
 
 def sim_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,16 +167,17 @@ def sim_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this operator on bounded candidate sets.
     """
     emb = _emb(spark, sf_dir)
+    n_blocks = _dup_blocks(spark)
     blk = emb.select(
         "vec_id",
         "embedding",
-        F.pmod(F.col("vec_id"), F.lit(DUP_BLOCKS)).cast("int").alias("b"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("b"),
     )
     # Replicate: a vector in block i is the LEFT side of cells (i, j≥i) and
     # the RIGHT side of cells (i'≤j, j) — so cell (bi, bj) pairs exactly
     # block bi against block bj.
     left = blk.withColumn(
-        "bj", F.explode(F.sequence(F.col("b"), F.lit(DUP_BLOCKS - 1)))
+        "bj", F.explode(F.sequence(F.col("b"), F.lit(n_blocks - 1)))
     ).withColumnRenamed("b", "bi")
     right = blk.withColumn(
         "bi", F.explode(F.sequence(F.lit(0), F.col("b")))
