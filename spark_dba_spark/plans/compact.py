@@ -66,6 +66,9 @@ class CompactionParams:
     # natural place to fix data LAYOUT, not just file count). No shuffle:
     # sortWithinPartitions is a per-partition sort after the narrow coalesce.
     sort_by: tuple[str, ...] | None = None
+    # Preflight-only: validate, discover leaves, report per-partition file
+    # stats and planned output file counts — write nothing.
+    dry_run: bool = False
 
     @property
     def ext(self) -> str:
@@ -310,6 +313,24 @@ def compact(spark: SparkSession, params: CompactionParams) -> CompactionResult:
     rels = [fs.relative_partition(params.source, leaf) for leaf in leaves]
     log.info(f"found {len(rels)} leaf folder(s)")
 
+    if params.dry_run:
+        for rel in rels:
+            leaf = params.source.rstrip("/") + rel
+            n_files = fs.count_data_files(leaf, params.ext)
+            total = fs.data_size(leaf, params.ext)
+            n_out = params.file_count or max(
+                1, math.ceil(total / params.target_file_bytes)
+            )
+            status = "WOULD_COMPACT" if n_files >= 2 else "TOO_FEW_FILES"
+            log.info(
+                f"[dry-run] {leaf}: {n_files} files / {total} bytes "
+                f"→ {n_out} files ({status})"
+            )
+            result.partitions[rel or "/"] = status
+        result.success = True
+        result.log_lines = log.render()
+        return result
+
     # D7: per-partition concurrency against one SparkSession — the Spark
     # scheduler is thread-safe; each partition is an independent job.
     def run_one(rel: str) -> None:
@@ -368,6 +389,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tmpFolder", dest="tmp_folder", default=None)
     ap.add_argument("--trashFolder", dest="trash_folder", default=None)
     ap.add_argument("--format", dest="fmt", default="parquet")
+    ap.add_argument("--dryRun", dest="dry_run", action="store_true")
     args = ap.parse_args(argv)
 
     spark = get_spark("spark-dba-compact")

@@ -386,3 +386,18 @@ def test_nested_schema_compaction(spark, tmp_path):
     row = back.filter(back.id == 7).collect()[0]
     assert row["st"]["a"] == 14 and row["arr"] == [7, 8, 9]
     assert row["mp"]["k2"] == 70
+
+
+def test_dry_run_reports_without_writing(spark, tmp_path):
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    write_small_files(f"{src}/dt=a", n_files=4)
+    write_small_files(f"{src}/dt=b", n_files=1, start=400)
+    res = compact(spark, CompactionParams(
+        source=src, target=tgt, file_count=2, dry_run=True,
+    ))
+    assert res.success
+    assert res.partitions == {
+        "/dt=a": "WOULD_COMPACT", "/dt=b": "TOO_FEW_FILES",
+    }
+    assert not os.path.exists(tgt)  # nothing written
+    assert any("dry-run" in line for line in res.log_lines)
