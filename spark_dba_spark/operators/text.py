@@ -279,6 +279,84 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic dataset splitting (hash-mod, reproducible across engines)
+# --------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 10  # md5-derived buckets: 8 train / 1 val / 1 test
+
+
+def dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val/test assignment by content-stable hash —
+    reproducible on any engine/cluster (no RNG, no row order dependence),
+    which is what a training pipeline actually needs from a splitter.
+    Output: per (lang, split) doc counts — the split-balance report."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) "
+        f"as bigint) % {SPLIT_BUCKETS}"
+    )
+    split = (
+        F.when(bucket < SPLIT_BUCKETS - 2, "train")
+        .when(bucket == SPLIT_BUCKETS - 2, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+ORACLE_SPLIT = f"""
+SELECT lang,
+       CASE WHEN b < {SPLIT_BUCKETS - 2} THEN 'train'
+            WHEN b = {SPLIT_BUCKETS - 2} THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM (SELECT lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+               % {SPLIT_BUCKETS} AS b
+      FROM documents)
+GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the HIGHEST-QUALITY copy per content hash
+    (longest text, doc_id tiebreak) — the policy real corpus cleaning uses
+    instead of keep-first. One hash shuffle (max_by-style aggregation)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.max(F.struct("n_chars", "doc_id")).alias("best"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "content_hash",
+            "n_copies",
+            F.col("best.doc_id").alias("keep_doc_id"),
+            F.col("best.n_chars").alias("keep_n_chars"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+ORACLE_KEEP_BEST = """
+WITH ranked AS (
+  SELECT md5(text) AS content_hash, doc_id, n_chars,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id DESC) AS rn
+  FROM documents)
+SELECT content_hash, n_copies, doc_id AS keep_doc_id,
+       n_chars AS keep_n_chars
+FROM ranked WHERE rn = 1 AND n_copies > 1 ORDER BY content_hash
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
@@ -289,4 +367,10 @@ SPECS = [
     QuerySpec("pipeline_clean_corpus", pipeline_clean_corpus, ORACLE_PIPELINE,
               ("text", "pipeline", "dedup"),
               doc="quality filter → exact dedup → per-lang stats, one plan"),
+    QuerySpec("dataset_split_hash", dataset_split_hash, ORACLE_SPLIT,
+              ("text", "pipeline", "split"),
+              doc="deterministic stratified train/val/test hash split"),
+    QuerySpec("dedup_keep_best", dedup_keep_best, ORACLE_KEEP_BEST,
+              ("dedup", "pipeline"),
+              doc="exact dedup keeping the highest-quality copy"),
 ]

@@ -59,6 +59,8 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "q06_forecast_revenue",
     "q07_volume_shipping",
     "q14_promo_revenue",
+    "dataset_split_hash",
+    "dedup_keep_best",
 )
 
 # Previously-green rows whose operator family keeps other green rows; they
@@ -86,6 +88,8 @@ PRIORITY_LAST: tuple[str, ...] = (
     "text_fingerprint",
     "mm_binary_meta",
     "mm_image_features",
+    "dedup_exact_stats",
+    "text_token_count",
 )
 
 
