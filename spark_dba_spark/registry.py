@@ -61,6 +61,8 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "q14_promo_revenue",
     "dataset_split_hash",
     "dedup_keep_best",
+    "udaf_geometric_mean",
+    "grouped_zscore",
 )
 
 # Previously-green rows whose operator family keeps other green rows; they
@@ -90,6 +92,8 @@ PRIORITY_LAST: tuple[str, ...] = (
     "mm_image_features",
     "dedup_exact_stats",
     "text_token_count",
+    "join_anti",
+    "dedup_exact_clusters",
 )
 
 
@@ -114,6 +118,7 @@ def _collect() -> dict[str, QuerySpec]:
         "spark_dba_spark.operators.text",
         "spark_dba_spark.operators.multimodal",
         "spark_dba_spark.operators.temporal",
+        "spark_dba_spark.operators.udf_surface",
         "spark_dba_spark.streaming.batch_equiv",
     ):
         try:

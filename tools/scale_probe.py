@@ -1,0 +1,90 @@
+"""Scaling probe: run representative queries at sf0.001 / sf0.01 / sf0.1
+(100× data range) and tabulate wall times — direct evidence of how the
+plans scale with input volume on a fixed 32-core local session.
+
+    python tools/scale_probe.py [--out SCALING.md]
+
+A healthy distributed plan grows far slower than the data (fixed overhead
+amortizes, scans/shuffles parallelize); a pathological one (driver
+collects, quadratic candidate generation) shows super-linear growth.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from spark_dba_spark import registry  # noqa: E402
+from spark_dba_spark.session import get_spark  # noqa: E402
+
+SFS = ["0.001", "0.01", "0.1"]
+QUERIES = [
+    "q01_pricing_summary",       # scan+agg
+    "q03_shipping_priority",     # fact⋈fact join
+    "ev_tumbling_1h",            # event-time window agg
+    "window_running_sum",        # window function
+    "dedup_minhash_lsh",         # LSH candidate pipeline
+    "sim_cosine_topk",           # vector scoring (Arrow+BLAS)
+    "text_quality",              # map-only text stats
+    "join_asof",                 # union-tag as-of join
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SCALING.md")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    spark = get_spark("scale_probe", driver_memory="8g")
+    specs = registry.all_specs()
+
+    # warm all shapes at the smallest SF
+    for name in QUERIES:
+        specs[name].builder(spark, "/root/testdata/sf0.001").collect()
+
+    table: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        table[name] = {}
+        for sf in SFS:
+            sf_dir = f"/root/testdata/sf{sf}"
+            best = min(
+                _timed(specs[name].builder, spark, sf_dir)
+                for _ in range(args.runs)
+            )
+            table[name][sf] = best
+
+    lines = [
+        "# Scaling probe (local[32], best of 2 runs, shapes pre-warmed)",
+        "",
+        "Wall seconds per query as the data grows 10× and 100×. The last",
+        "column is the wall-time growth across a 100× data increase —",
+        "values far below 100 mean fixed overheads dominate and the",
+        "distributed plan absorbs the scale.",
+        "",
+        "| query | sf0.001 | sf0.01 | sf0.1 | wall growth @100× data |",
+        "|---|---|---|---|---|",
+    ]
+    for name, row in table.items():
+        growth = row["0.1"] / row["0.001"] if row["0.001"] > 0 else float("inf")
+        lines.append(
+            f"| {name} | {row['0.001']:.3f} | {row['0.01']:.3f} | "
+            f"{row['0.1']:.3f} | {growth:.1f}× |"
+        )
+    Path(args.out).write_text("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+    return 0
+
+
+def _timed(builder, spark, sf_dir) -> float:
+    t0 = time.time()
+    builder(spark, sf_dir).collect()
+    return time.time() - t0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
