@@ -26,11 +26,12 @@ from spark_dba_spark.session import get_spark  # noqa: E402
 # Queries where a pushed filter / pruned schema is structurally expected.
 EXPECT_PUSHED = {
     "q01_pricing_summary", "q02_scan_filter_project", "q03_shipping_priority",
-    "q05_local_supplier_volume", "q10_returned_item",
+    "q05_local_supplier_volume", "q10_returned_item", "q06_forecast_revenue",
+    "q14_promo_revenue",
 }
 EXPECT_BROADCAST = {
     "q03_shipping_priority", "q05_local_supplier_volume", "q10_returned_item",
-    "join_broadcast_dim",
+    "join_broadcast_dim", "q07_volume_shipping", "q14_promo_revenue",
 }
 
 
@@ -71,6 +72,9 @@ def main() -> int:
     specs = registry.all_specs()
     names = args.names or list(registry.bench_specs()) + [
         "join_asof", "window_range_1h", "sim_ivf", "ev_user_state",
+        "q06_forecast_revenue", "q07_volume_shipping", "q14_promo_revenue",
+        "pipeline_clean_corpus", "dataset_split_hash", "dedup_keep_best",
+        "udaf_geometric_mean", "grouped_zscore", "sim_dup_pairs",
     ]
 
     rows = []
