@@ -37,10 +37,13 @@ def main() -> None:
     # (VERDICT r1: q01 absorbed ~5s of setup with a range()-only warm-up).
     from pyspark.sql import functions as F  # noqa: E402
 
-    warm = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    warm.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("decimal(25,6)")), F.count("*")
-    ).collect()
+    try:
+        warm = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        warm.groupBy("l_returnflag").agg(
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")), F.count("*")
+        ).collect()
+    except Exception:
+        pass  # warm-up fixture absent — timing just gets noisier
     # ... spin up the Python worker pool so the first mapInPandas query
     # isn't billed for worker forking + Arrow init ...
     spark.range(256).repartition(8).mapInPandas(

@@ -81,7 +81,15 @@ def salted_join(
 ) -> DataFrame:
     """Inner/left join where ``big``'s key distribution is skewed: salt the
     big side row-wise, replicate the small side across all salts, join on
-    (key, salt). Equivalent row multiset to ``big.join(small, on, how)``."""
+    (key, salt). Equivalent row multiset to ``big.join(small, on, how)``.
+
+    Only inner/left are valid: right/full would surface one row per salt
+    replica for unmatched build keys — rejected up front."""
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} "
+            "(right/full would duplicate unmatched build rows per salt)"
+        )
     big_s = with_salt(big, salt_from, n_salts)
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -249,9 +249,13 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 for w in range(0, len(samples), AUDIO_WIN):
                     chunk = samples[w:w + AUDIO_WIN]
+                    val = float(np.sqrt(np.mean(chunk**2)))
+                    # half-up to match DuckDB ROUND (python round() is
+                    # half-to-even → boundary values would hash-mismatch)
+                    rms_val = int(val * 10000 + 0.5) / 10000.0
                     ids.append(doc_id)
                     wins.append(w // AUDIO_WIN)
-                    rms.append(round(float(np.sqrt(np.mean(chunk**2))), 4))
+                    rms.append(rms_val)
             yield pd.DataFrame({"doc_id": ids, "win": wins, "rms_r4": rms})
 
     return (

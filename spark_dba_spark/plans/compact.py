@@ -204,6 +204,9 @@ def _process_partition(
         if params.sort_by:
             out_df = out_df.sortWithinPartitions(*params.sort_by)
         if params.fmt == "avro":
+            # The avro sink writes via posix open() on executors (no
+            # spark-avro on this classpath) — write_avro_folder rejects
+            # non-posix schemes up front with a clear error.
             from ..sources.avro_spark import write_avro_folder
 
             write_avro_folder(

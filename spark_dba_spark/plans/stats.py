@@ -93,10 +93,15 @@ def vacuum_trash(
     for st in fs.list_status(trash_folder):
         name = st.path.rstrip("/").rsplit("/", 1)[-1]
         created_ms = None
-        # <targetName>_<millis>_<pid>_<rand>: timestamp is 3rd-from-last part
+        # <targetName>_<millis>_<pid>_<rand>: timestamp is 3rd-from-last
+        # part. Plausibility-gate the parse (epoch-millis after 2001):
+        # arbitrary numeric name fragments must NOT make an entry look
+        # ancient and get it deleted.
         parts = name.split("_")
         if len(parts) >= 3 and parts[-3].isdigit():
-            created_ms = int(parts[-3])
+            candidate = int(parts[-3])
+            if candidate > 1_000_000_000_000:
+                created_ms = candidate
         if created_ms is None:
             created_ms = st.mtime
         if now_ms - created_ms > older_than_ms:

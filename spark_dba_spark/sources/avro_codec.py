@@ -147,9 +147,9 @@ def _decode_logical(schema: Any, v: Any) -> Any:
     lt = _logical(schema)
     if lt == "date":
         return _EPOCH_DATE + _dt.timedelta(days=v)
-    if lt == "timestamp-micros":
+    if lt in ("timestamp-micros", "local-timestamp-micros"):
         return _EPOCH_TS + _dt.timedelta(microseconds=v)
-    if lt == "timestamp-millis":
+    if lt in ("timestamp-millis", "local-timestamp-millis"):
         return _EPOCH_TS + _dt.timedelta(milliseconds=v)
     return v
 
@@ -338,9 +338,13 @@ def _encode_logical(schema: Any, v: Any) -> Any:
     lt = _logical(schema)
     if lt == "date" and isinstance(v, _dt.date):
         return (v - _EPOCH_DATE).days
-    if lt == "timestamp-micros" and isinstance(v, _dt.datetime):
+    if lt in ("timestamp-micros", "local-timestamp-micros") and isinstance(
+        v, _dt.datetime
+    ):
         return round((v.replace(tzinfo=None) - _EPOCH_TS).total_seconds() * 1e6)
-    if lt == "timestamp-millis" and isinstance(v, _dt.datetime):
+    if lt in ("timestamp-millis", "local-timestamp-millis") and isinstance(
+        v, _dt.datetime
+    ):
         return round((v.replace(tzinfo=None) - _EPOCH_TS).total_seconds() * 1e3)
     return v
 

@@ -64,6 +64,8 @@ def avro_to_spark_type(schema: Any) -> T.DataType:
     lt = schema.get("logicalType") if isinstance(schema, dict) else None
     if lt == "date":
         return T.DateType()
+    if lt in ("local-timestamp-micros", "local-timestamp-millis"):
+        return T.TimestampNTZType()
     if lt in ("timestamp-micros", "timestamp-millis"):
         return T.TimestampType()
     if t in _PRIM_TO_SPARK:
@@ -117,6 +119,9 @@ _SPARK_TO_PRIM = {
 def spark_type_to_avro(dt: T.DataType, nullable: bool = False) -> Any:
     if isinstance(dt, T.DateType):
         base: Any = {"type": "int", "logicalType": "date"}
+    elif isinstance(dt, T.TimestampNTZType):
+        # wall-clock semantics → avro local-timestamp-micros (naive)
+        base = {"type": "long", "logicalType": "local-timestamp-micros"}
     elif isinstance(dt, T.TimestampType):
         base = {"type": "long", "logicalType": "timestamp-micros"}
     elif isinstance(dt, T.DecimalType):
@@ -205,21 +210,26 @@ def latest_file_schema(
     spark: SparkSession, path: str, recursive: bool = True
 ) -> dict:
     """Embedded writer schema of the newest .avro file under ``path`` (M7 +
-    M3 parity) — reads a single file's header via the binaryFile source, so
-    it works on any Hadoop-visible filesystem."""
-    row = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.avro")
-        .option("recursiveFileLookup", str(recursive).lower())
-        .load(path)
-        .orderBy(F.desc("modificationTime"), F.desc("path"))
-        .select("content")
-        .limit(1)
-        .collect()
-    )
-    if not row:
+    M3 parity) — reads only the file's HEADER bytes through the Hadoop
+    FileSystem (any scheme), never the whole file."""
+    from .fsops import FsOps, is_valid_data_file
+
+    fs = FsOps(spark)
+    if recursive:
+        cands = [
+            s
+            for s in fs.list_files_recursive(path)
+            if is_valid_data_file(s.path, "avro")
+        ]
+        latest = (
+            max(cands, key=lambda s: (s.mtime, s.path)).path if cands else None
+        )
+    else:
+        latest = fs.latest_modified_file(path, "avro")
+    if latest is None:
         raise FileNotFoundError(f"no .avro files under {path}")
-    return ac.read_header(bytes(row[0]["content"]))[0]
+    head = fs.read_bytes(latest, 1 << 20)  # header is tiny; 1 MiB covers it
+    return ac.read_header(head)[0]
 
 
 def read_avro_stream(
@@ -274,16 +284,44 @@ def write_avro_folder(
     schema: str | dict | None = None,
     codec: str = "snappy",
     block_records: int = 4096,
+    mode: str = "append",
 ) -> int:
     """Write ``df`` as one Avro container file per partition under ``path``.
     Returns the number of files written. File count is controlled upstream
-    (``df.coalesce(n)``), exactly like the reference's D3+D5 pipeline."""
+    (``df.coalesce(n)``), exactly like the reference's D3+D5 pipeline.
+
+    ``mode``: 'append' (default — new uniquely-named files next to any
+    existing), 'error' (fail if the folder already has .avro files),
+    'overwrite' (delete existing .avro files first).
+
+    Executors write with plain ``open()``: the sink path must be a
+    posix-visible shared filesystem (local, NFS). Non-posix schemes
+    (hdfs://, s3://) are rejected up front — there, install spark-avro and
+    use the built-in writer instead.
+    """
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"write_avro_folder needs a posix-visible path, got scheme "
+            f"'{scheme}://' — use the spark-avro package for {scheme} sinks"
+        )
+    path = path[len("file://"):] if path.startswith("file://") else path
     avro_schema = (
         ac.parse_schema(schema)
         if schema is not None
         else struct_to_avro_record(df.schema)
     )
     spark_schema = df.schema
+    existing = (
+        [f for f in os.listdir(path) if f.endswith(".avro")]
+        if os.path.isdir(path)
+        else []
+    )
+    if existing and mode in ("error", "errorifexists"):
+        raise FileExistsError(f"{path} already contains .avro files")
+    if existing and mode == "overwrite":
+        for f in existing:
+            os.remove(os.path.join(path, f))
     os.makedirs(path, exist_ok=True)
     run_token = uuid.uuid4().hex[:12]
 

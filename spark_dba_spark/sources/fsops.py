@@ -42,11 +42,13 @@ def unique_session_id() -> str:
 @dataclass(frozen=True)
 class FileStat:
     """The consistency-checkpoint unit (HadoopFileSystemOperation.scala:59-65,
-    M12): path identity + length + modification time."""
+    M12): path identity + length + modification time (+ the dir flag the
+    listing already carries — saves a getFileStatus RPC per child)."""
 
     path: str
     length: int
     mtime: int
+    is_dir: bool = False
 
 
 class FsOps:
@@ -85,6 +87,7 @@ class FsOps:
                     st.getPath().toUri().getPath(),
                     int(st.getLen()),
                     int(st.getModificationTime()),
+                    bool(st.isDirectory()),
                 )
             )
         return sorted(out, key=lambda s: s.path)
@@ -122,7 +125,9 @@ class FsOps:
     def count_data_files(self, folder: str, ext: str) -> int:
         """Valid data files directly in folder (M2)."""
         return sum(
-            1 for s in self.list_status(folder) if is_valid_data_file(s.path, ext)
+            1
+            for s in self.list_status(folder)
+            if not s.is_dir and is_valid_data_file(s.path, ext)
         )
 
     def is_valid_data_directory(self, folder: str, ext: str) -> bool:
@@ -137,10 +142,9 @@ class FsOps:
         visible = self.list_visible_status(folder)
         if not visible:
             return False
-        fs = self._fs(folder)
         n_data = n_foreign = n_dirs = 0
         for st in visible:
-            if fs.getFileStatus(self._path(st.path)).isDirectory():
+            if st.is_dir:
                 n_dirs += 1
             elif is_valid_data_file(st.path, ext):
                 n_data += 1
@@ -161,11 +165,8 @@ class FsOps:
         visible = self.list_visible_status(folder)
         if not visible:
             return False
-        fs = self._fs(folder)
         for st in visible:
-            if fs.getFileStatus(self._path(st.path)).isDirectory():
-                return False
-            if not is_valid_data_file(st.path, ext):
+            if st.is_dir or not is_valid_data_file(st.path, ext):
                 return False
         return True
 
@@ -195,14 +196,16 @@ class FsOps:
         return sum(
             s.length
             for s in self.list_status(folder)
-            if is_valid_data_file(s.path, ext)
+            if not s.is_dir and is_valid_data_file(s.path, ext)
         )
 
     def latest_modified_file(self, folder: str, ext: str) -> str | None:
         """Path of the newest data file (M7): 'latest file has latest
         schema' (DefragmentAvroFolder.scala:91-103)."""
         cands = [
-            s for s in self.list_status(folder) if is_valid_data_file(s.path, ext)
+            s
+            for s in self.list_status(folder)
+            if not s.is_dir and is_valid_data_file(s.path, ext)
         ]
         if not cands:
             return None
@@ -243,7 +246,18 @@ class FsOps:
         finally:
             out.close()
 
+    def read_bytes(self, p: str, max_bytes: int) -> bytes:
+        """Read up to max_bytes from the head of a file (M17 variant) —
+        e.g. container-format headers without pulling the whole file."""
+        stream = self._fs(p).open(self._path(p))
+        try:
+            # InputStream.readNBytes (Java 9+): one bulk py4j byte[] transfer
+            return bytes(stream.readNBytes(max_bytes))
+        finally:
+            stream.close()
+
     def read_text_file(self, p: str) -> str:
+        """Open and read a small text file (M17; .avsc / DDL schemas)."""
         stream = self._fs(p).open(self._path(p))
         try:
             reader = self._jvm.java.io.BufferedReader(

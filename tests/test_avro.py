@@ -461,3 +461,41 @@ def test_avro_compaction_dynamic_sizing(spark, tmp_path):
     ))
     assert res.success, res.errors
     assert 2 <= len(avro_files(tgt)) <= 4
+
+
+def test_timestamp_ntz_roundtrip(spark, tmp_path):
+    """TimestampNTZType (the repo's canonical event-time type) maps to avro
+    local-timestamp-micros and round-trips exactly — regression for the
+    round-2 review finding."""
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 7, 1, 8, 30, i, 123456)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp_ntz")
+    out = str(tmp_path / "ntz")
+    write_avro_folder(df.coalesce(1), out)
+    # embedded schema carries the local-timestamp logical type
+    emb = ac.schema_of_file(avro_files(out)[0])
+    ts_field = [f for f in emb["fields"] if f["name"] == "ts"][0]
+    t = ts_field["type"]
+    if isinstance(t, list):  # nullable → ["null", {...}]
+        t = [b for b in t if b != "null"][0]
+    assert t["logicalType"] == "local-timestamp-micros"
+    back = read_avro_folder(spark, out)
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_write_avro_modes(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "id bigint")
+    out = str(tmp_path / "m")
+    write_avro_folder(df.coalesce(1), out)
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        write_avro_folder(df.coalesce(1), out, mode="error")
+    write_avro_folder(df.coalesce(1), out, mode="append")
+    assert read_avro_folder(spark, out, reader_schema=None).count() == 2
+    write_avro_folder(df.coalesce(1), out, mode="overwrite")
+    assert read_avro_folder(spark, out, reader_schema=None).count() == 1
+    with _pytest.raises(ValueError, match="posix"):
+        write_avro_folder(df, "hdfs://nn/path")

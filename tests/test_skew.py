@@ -74,3 +74,12 @@ def test_salt_splits_hot_keys(spark):
     )
     # each (hot) group must fan out over essentially all salt buckets
     assert all(r["n_salts_used"] >= 7 for r in per_salt)
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    li = catalog.load(spark, SF_DIR, "lineitem")
+    sup = catalog.load(spark, SF_DIR, "supplier")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(li, sup, "l_suppkey", how="full")

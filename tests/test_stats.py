@@ -79,3 +79,14 @@ def test_vacuum_after_real_compaction_overwrite(spark, tmp_path):
     assert vacuum_trash(fs, trash, older_than_ms=3_600_000) == []
     removed = vacuum_trash(fs, trash, older_than_ms=0)
     assert removed and os.listdir(trash) == []
+
+
+def test_vacuum_ignores_implausible_numeric_names(spark, tmp_path):
+    """Regression: a numeric-but-not-epoch token (e.g. 'backup_2020_01_05')
+    must not make a fresh entry look ancient and get deleted."""
+    fs = FsOps(spark)
+    trash = str(tmp_path / "trash")
+    os.makedirs(f"{trash}/backup_2020_01_05")
+    removed = vacuum_trash(fs, trash, older_than_ms=3_600_000)
+    assert removed == []
+    assert os.path.exists(f"{trash}/backup_2020_01_05")

@@ -57,7 +57,9 @@ def audit_one(name: str, plan: str) -> dict:
         "cartesian": plan.count("CartesianProduct"),
         "python_eval": plan.count("ArrowEvalPython")
         + plan.count("MapInPandas")
-        + plan.count("FlatMapCoGroupsInPandas"),
+        + plan.count("FlatMapCoGroupsInPandas")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("AggregateInPandas"),
     }
 
 
