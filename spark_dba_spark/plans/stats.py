@@ -18,7 +18,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
-from ..sources.fsops import FsOps, is_valid_data_file
+from ..sources.fsops import FsOps, is_valid_data_file, unique_session_id
 
 
 @dataclass(frozen=True)
@@ -72,6 +72,64 @@ def needs_compaction(
         for s in stats
         if s.n_files >= min_files and s.small_files / s.n_files >= small_ratio
     ]
+
+
+def restore_from_trash(
+    fs: FsOps,
+    trash_folder: str,
+    target: str,
+    session_id: str | None = None,
+    ext: str = "parquet",
+) -> list[str]:
+    """Undo an overwrite compaction: move a trashed snapshot of ``target``
+    back into place (the recoverable half of the trash-then-swap commit,
+    C5 — the reference trashes but never ships the restore).
+
+    Picks the trash entry for ``target``'s name with the given
+    ``session_id``, else the NEWEST session (ids are time-sortable, M25).
+    The currently-committed target partitions are swapped out of the way
+    into the trash under a fresh ``restored_<sessionId>`` entry first, so
+    restore itself is also undoable. Returns the restored partition paths.
+    """
+    target_name = target.rstrip("/").rsplit("/", 1)[-1]
+    prefix = f"{target_name}_"
+    entries = [
+        s
+        for s in fs.list_status(trash_folder)
+        if s.is_dir and s.path.rsplit("/", 1)[-1].startswith(prefix)
+    ]
+    if session_id is not None:
+        entries = [
+            s
+            for s in entries
+            if s.path.rsplit("/", 1)[-1] == f"{target_name}_{session_id}"
+        ]
+    if not entries:
+        raise FileNotFoundError(
+            f"no trashed snapshot of '{target_name}' in {trash_folder}"
+        )
+    chosen = max(entries, key=lambda s: s.path)  # session ids time-sort
+    backup = (
+        trash_folder.rstrip("/") + f"/restored_{unique_session_id()}"
+    )
+    restored = []
+    for leaf in fs.list_leaf_data_folders(chosen.path, ext) or [chosen.path]:
+        rel = fs.partition_path(chosen.path, leaf)
+        dest = target.rstrip("/") + rel
+        if fs.exists(dest):
+            bdest = backup + rel
+            _mkparent(fs, bdest)
+            fs.rename(dest, bdest)
+        _mkparent(fs, dest)
+        fs.rename(leaf, dest)
+        restored.append(dest)
+    return restored
+
+
+def _mkparent(fs: FsOps, p: str) -> None:
+    parent = p.rstrip("/").rsplit("/", 1)[0]
+    if parent:
+        fs.mkdirs(parent)
 
 
 def vacuum_trash(

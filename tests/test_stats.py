@@ -90,3 +90,39 @@ def test_vacuum_ignores_implausible_numeric_names(spark, tmp_path):
     removed = vacuum_trash(fs, trash, older_than_ms=3_600_000)
     assert removed == []
     assert os.path.exists(f"{trash}/backup_2020_01_05")
+
+
+def test_restore_from_trash_undoes_overwrite(spark, tmp_path):
+    """The recoverable half of trash-then-swap: after an overwrite
+    compaction, restore brings back the previous target content, and the
+    displaced (compacted) version is itself preserved in the trash."""
+    from spark_dba_spark.plans.stats import restore_from_trash
+
+    fs = FsOps(spark)
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    tmpf, trash = str(tmp_path / "tmpf"), str(tmp_path / "trash")
+    os.makedirs(tmpf), os.makedirs(trash)
+    write_small_files(src, n_files=3)
+    original = write_small_files(tgt, n_files=2, start=900, decoys=False)
+
+    res = compact(spark, CompactionParams(
+        source=src, target=tgt, file_count=1, overwrite=True,
+        tmp_folder=tmpf, trash_folder=trash,
+    ))
+    assert res.success, res.errors
+    # target now holds the compacted source data, not the original
+    assert spark.read.parquet(tgt).count() == 75
+
+    restored = restore_from_trash(fs, trash, tgt)
+    assert restored
+    got = [
+        (r["id"], r["name"], None) for r in spark.read.parquet(tgt).collect()
+    ]
+    import collections as _c
+
+    assert _c.Counter(got) == _c.Counter(original)
+    # the displaced compacted version is itself recoverable
+    assert any(
+        e.path.rsplit("/", 1)[-1].startswith("restored_")
+        for e in fs.list_status(trash)
+    )
