@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..functions.hashing import MERSENNE31
-from ..functions.texts import word_ngrams
+from ..functions.texts import char_shingles, word_ngrams
 from ..registry import QuerySpec
 
 NGRAM = 3
@@ -103,23 +103,21 @@ FROM documents
 # N-gram Jaccard near-dup (inverted-index join, DF-pruned)
 # --------------------------------------------------------------------------
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", F.explode(word_ngrams("text", NGRAM)).alias("sh")
-    )
-    # Inverted index in ONE shuffle: group the postings list per shingle.
-    # Stop-shingle pruning (a shingle in >MAX_DF docs contributes O(df²)
-    # pairs) is now just a size filter on the postings list — the r1
-    # version paid a separate full-stream window shuffle for the DF count,
-    # and then a self-join that recomputed the exploded stream per branch.
+def _jaccard_over_shingles(sh: DataFrame, tau: float) -> DataFrame:
+    """Shared inverted-index Jaccard machinery over a (doc_id, sh) stream.
+
+    Inverted index in ONE shuffle: group the postings list per shingle.
+    Stop-shingle pruning (a shingle in >MAX_DF docs contributes O(df²)
+    pairs) is just a size filter on the postings list — the r1 version
+    paid a separate full-stream window shuffle for the DF count, and then
+    a self-join that recomputed the exploded stream per branch. (sizes and
+    pairs share the groupBy exchange via ReusedExchange — no persist: the
+    postings frame is O(distinct shingles), corpus-scale.)"""
     postings = (
         sh.groupBy("sh")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") <= MAX_DF)
     )
-    # (sizes and pairs below share the groupBy exchange via ReusedExchange —
-    # no persist: the postings frame is O(distinct shingles), corpus-scale.)
     sizes = (
         postings.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")
@@ -150,10 +148,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
             F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter")),
         )
-        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(word_ngrams("text", NGRAM)).alias("sh")
+    )
+    return _jaccard_over_shingles(sh, JACCARD_TAU)
+
+
+CHAR_K = 16
+
+
+def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-16-gram Jaccard near-dup: robust to tokenization noise
+    (whitespace/punctuation edits shift words but leave most char windows
+    intact). Same inverted-index machinery as the word variant."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(char_shingles("text", CHAR_K)).alias("sh")
+    )
+    return _jaccard_over_shingles(sh, JACCARD_TAU)
 
 
 ORACLE_NGRAM_JACCARD = f"""
@@ -282,6 +302,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..functions.hashing import sql_minhash_signature_duck  # noqa: E402
+
+ORACLE_CHAR_JACCARD = f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(text) >= {CHAR_K} THEN substr(text, i, {CHAR_K})
+              ELSE text END AS sh
+  FROM documents,
+       LATERAL unnest(generate_series(1,
+           greatest(len(text) - {CHAR_K} + 1, 1))) AS u(i)
+),
+gs AS (SELECT DISTINCT doc_id, sh FROM g),
+postings AS (
+  SELECT sh, list_sort(list(doc_id)) AS ids FROM gs GROUP BY sh
+  HAVING COUNT(*) <= {MAX_DF}
+),
+sz AS (
+  SELECT doc_id, COUNT(*) AS n
+  FROM (SELECT unnest(ids) AS doc_id FROM postings) GROUP BY 1
+),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM (SELECT sh, unnest(ids) AS doc_id FROM postings) a
+  JOIN (SELECT sh, unnest(ids) AS doc_id FROM postings) b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       inter * 1.0 / (x.n + y.n - inter) AS jaccard
+FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_TAU}
+ORDER BY doc_a, doc_b
+"""
+
 
 ORACLE_MINHASH_LSH = f"""
 WITH shl AS ({_DUCK_SHINGLES}),
@@ -425,6 +478,8 @@ SPECS = [
               ("dedup",)),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard,
               ORACLE_NGRAM_JACCARD, ("dedup", "neardup"), bench=True),
+    QuerySpec("dedup_char_jaccard", dedup_char_jaccard,
+              ORACLE_CHAR_JACCARD, ("dedup", "neardup", "char")),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, ORACLE_MINHASH_LSH,
               ("dedup", "neardup", "lsh"), bench=True),
     QuerySpec("dedup_simhash", dedup_simhash, ORACLE_SIMHASH,

@@ -63,6 +63,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "dedup_keep_best",
     "udaf_geometric_mean",
     "grouped_zscore",
+    "dedup_char_jaccard",
 )
 
 # Previously-green rows whose operator family keeps other green rows; they
@@ -94,6 +95,7 @@ PRIORITY_LAST: tuple[str, ...] = (
     "text_token_count",
     "join_anti",
     "dedup_exact_clusters",
+    "join_range_bands",
 )
 
 
