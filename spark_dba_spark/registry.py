@@ -35,6 +35,12 @@ class QuerySpec:
 # names pushed last are covered by rounds where they sat earlier plus the
 # committed full local sweep (tools/check_oracle.py --json →
 # CORRECTNESS_LOCAL_r{N}.json, all queries, same comparator shape).
+#
+# ROTATION PROTOCOL FOR THE NEXT ROUND'S BUILDER: read CORRECTNESS_r{N}.json;
+# every registered query absent from it moves into PRIORITY_FIRST, and an
+# equal number of queries holding a green row from any prior round rotate
+# into PRIORITY_LAST (prefer families with several other green rows). Over
+# rounds, every query accumulates at least one driver-recorded green row.
 PRIORITY_FIRST: tuple[str, ...] = (
     "q01_pricing_summary",
     # absent from CORRECTNESS_r01 (registered after the cap) — front of the
