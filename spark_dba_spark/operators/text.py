@@ -44,28 +44,29 @@ def _duck_arr(words: tuple[str, ...]) -> str:
 # --------------------------------------------------------------------------
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).withColumn("ws", F.split("text", " "))
+    docs = _docs(spark, sf_dir)
     stop = _spark_arr(STOPWORDS)
     # NB: decimal-typed literals (`1.0`) would make Spark plan DECIMAL
     # arithmetic inside F.expr strings — keep every ratio explicitly DOUBLE
     # so both engines run identical IEEE arithmetic.
+    #
+    # All derived metrics are computed in ONE struct expression binding the
+    # split result once (projection collapse would otherwise inline the
+    # split into every derived column and re-tokenize each row ~6× —
+    # interpreted lambdas get no CSE; see functions/texts.word_ngrams).
+    q = F.expr(
+        f"""transform(array(split(text, ' ')), ws -> struct(
+              size(ws) as n_tokens,
+              cast(size(array_distinct(ws)) as double) / size(ws) as uniq_ratio,
+              cast(size(filter(ws, w -> array_contains({stop}, w))) as double)
+                / size(ws) as stop_ratio,
+              cast(n_chars - (size(ws) - 1) as double) / size(ws)
+                as avg_token_len
+            ))[0]"""
+    )
     return (
-        docs.withColumn("n_tokens", F.size("ws"))
-        .withColumn(
-            "uniq_ratio",
-            F.expr("cast(size(array_distinct(ws)) as double) / size(ws)"),
-        )
-        .withColumn(
-            "stop_ratio",
-            F.expr(
-                f"cast(size(filter(ws, w -> array_contains({stop}, w))) as double)"
-                " / size(ws)"
-            ),
-        )
-        .withColumn(
-            "avg_token_len",
-            F.expr("cast(n_chars - (size(ws) - 1) as double) / size(ws)"),
-        )
+        docs.withColumn("q", q)
+        .select("doc_id", "q.*")
         .withColumn(
             "quality_score",
             F.expr(
@@ -74,10 +75,6 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " + least(cast(n_tokens as double) / cast(100.0 as double),"
                 "          cast(1.0 as double)) * cast(0.2 as double)"
             ),
-        )
-        .select(
-            "doc_id", "n_tokens", "uniq_ratio", "stop_ratio",
-            "avg_token_len", "quality_score",
         )
         .orderBy("doc_id")
     )
