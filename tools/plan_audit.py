@@ -67,17 +67,22 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="PLANS.md")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--all", action="store_true",
+                    help="audit every registered query")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     spark = get_spark("plan_audit")
     specs = registry.all_specs()
-    names = args.names or list(registry.bench_specs()) + [
-        "join_asof", "window_range_1h", "sim_ivf", "ev_user_state",
-        "q06_forecast_revenue", "q07_volume_shipping", "q14_promo_revenue",
-        "pipeline_clean_corpus", "dataset_split_hash", "dedup_keep_best",
-        "udaf_geometric_mean", "grouped_zscore", "sim_dup_pairs",
-    ]
+    if args.all:
+        names = list(specs)
+    else:
+        names = args.names or list(registry.bench_specs()) + [
+            "join_asof", "window_range_1h", "sim_ivf", "ev_user_state",
+            "q06_forecast_revenue", "q07_volume_shipping", "q14_promo_revenue",
+            "pipeline_clean_corpus", "dataset_split_hash", "dedup_keep_best",
+            "udaf_geometric_mean", "grouped_zscore", "sim_dup_pairs",
+        ]
 
     rows = []
     sections = []
