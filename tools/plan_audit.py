@@ -53,7 +53,12 @@ def audit_one(name: str, plan: str) -> dict:
         ),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
-        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # AQE formatted plans annotate operators with [codegen id : n]
+        # instead of WholeStageCodegen(n) wrappers — count distinct spans
+        "codegen_spans": len(
+            set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+            | set(re.findall(r"\[codegen id : (\d+)\]", plan))
+        ),
         "cartesian": plan.count("CartesianProduct"),
         "python_eval": plan.count("ArrowEvalPython")
         + plan.count("MapInPandas")
