@@ -97,6 +97,10 @@ def main() -> int:
         if spec is None:
             continue
         df = spec.builder(spark, args.sf)
+        try:
+            df.collect()  # AQE: codegen ids + final plan appear post-execution
+        except Exception:
+            pass
         plan = formatted_plan(df)
         a = audit_one(name, plan)
         rows.append((name, a))
