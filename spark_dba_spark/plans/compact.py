@@ -393,10 +393,34 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--trashFolder", dest="trash_folder", default=None)
     ap.add_argument("--format", dest="fmt", default="parquet")
     ap.add_argument("--dryRun", dest="dry_run", action="store_true")
+    # reference-parity flags (README.md:37-40):
+    ap.add_argument(
+        "--hadoopConfigPath", dest="hadoop_config", default=None,
+        help="folder holding core-site.xml / hdfs-site.xml to add to the "
+        "Hadoop configuration",
+    )
+    ap.add_argument(
+        "--runningLocally", dest="running_locally", action="store_true",
+        help="accepted for reference CLI parity; sessions here are already "
+        "local[N] unless a cluster master is configured",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("spark-dba-compact")
-    res = compact(spark, CompactionParams(**vars(args)))
+    if args.hadoop_config:
+        import os as _os
+
+        hconf = spark._jsc.hadoopConfiguration()
+        for f in ("core-site.xml", "hdfs-site.xml"):
+            p = _os.path.join(args.hadoop_config, f)
+            if _os.path.isfile(p):
+                hconf.addResource(spark._jvm.org.apache.hadoop.fs.Path(p))
+    params = {
+        k: v
+        for k, v in vars(args).items()
+        if k not in ("hadoop_config", "running_locally")
+    }
+    res = compact(spark, CompactionParams(**params))
     for line in res.log_lines:
         print(line)
     return 0 if res.success else 1
