@@ -112,6 +112,69 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_TAU = 0.25
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query: every corpus vector within cosine ≥ RANGE_TAU of each
+    probe — the radius-based retrieval mode (vs top-k). Same broadcast-
+    probe + Arrow/BLAS scoring as sim_cosine_topk; the filter happens
+    map-side so only in-range candidates ever shuffle."""
+    emb = _emb(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qn))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("sim_r4", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        bqids, bqn = bc.value
+        for pdf in batches:
+            m = _to_matrix(pdf["embedding"])
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = mn @ bqn.T  # (batch, n_queries)
+            ci, qi = np.nonzero(sims >= RANGE_TAU)
+            vids = pdf["vec_id"].to_numpy()
+            keep = vids[ci] != bqids[qi]
+            yield pd.DataFrame(
+                {
+                    "qid": bqids[qi[keep]],
+                    "vec_id": vids[ci[keep]],
+                    "sim_r4": np.round(sims[ci[keep], qi[keep]], 4),
+                }
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(score, out_schema)
+        .orderBy("qid", "vec_id")
+    )
+
+
+ORACLE_RANGE_SEARCH = f"""
+SELECT q.vec_id AS qid, e.vec_id,
+       ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 4) AS sim_r4
+FROM embeddings q JOIN embeddings e
+  ON q.vec_id < {N_QUERIES} AND e.vec_id != q.vec_id
+WHERE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])) >= {RANGE_TAU}
+ORDER BY qid, e.vec_id
+"""
+
+
 ORACLE_TOPK = f"""
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
@@ -442,4 +505,6 @@ SPECS = [
               ("similarity", "dedup")),
     QuerySpec("sim_ann_lsh", sim_ann_lsh, None, ("similarity", "ann")),
     QuerySpec("sim_ivf", sim_ivf, None, ("similarity", "ann", "ivf")),
+    QuerySpec("sim_range_search", sim_range_search, ORACLE_RANGE_SEARCH,
+              ("similarity", "range")),
 ]

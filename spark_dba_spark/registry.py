@@ -70,6 +70,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "udaf_geometric_mean",
     "grouped_zscore",
     "dedup_char_jaccard",
+    "sim_range_search",
 )
 
 # Previously-green rows whose operator family keeps other green rows; they
@@ -102,6 +103,7 @@ PRIORITY_LAST: tuple[str, ...] = (
     "join_anti",
     "dedup_exact_clusters",
     "join_range_bands",
+    "pivot_status",
 )
 
 
