@@ -71,6 +71,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "grouped_zscore",
     "dedup_char_jaccard",
     "sim_range_search",
+    "ev_click_error_join",
 )
 
 # Previously-green rows whose operator family keeps other green rows; they
@@ -104,6 +105,7 @@ PRIORITY_LAST: tuple[str, ...] = (
     "dedup_exact_clusters",
     "join_range_bands",
     "pivot_status",
+    "correlated_scalar_subquery",
 )
 
 

@@ -176,6 +176,55 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Batch twin of the stream-stream join (jobs.py run_click_error_join):
+# click → error correlation within 30 minutes per user.
+# --------------------------------------------------------------------------
+
+JOIN_WINDOW = "30 minutes"
+
+
+def ev_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    pairs = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(
+            f"INTERVAL {JOIN_WINDOW}")),
+    )
+    return (
+        pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("click_id").alias("first_click"),
+            F.max("error_id").alias("last_error"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CLICK_ERROR = """
+SELECT c.user_id, COUNT(*) AS n_pairs,
+       MIN(c.event_id) AS first_click, MAX(e.event_id) AS last_error
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+
 SPECS = [
     QuerySpec("ev_tumbling_1h", ev_tumbling_1h, ORACLE_TUMBLING,
               ("streaming", "window"), bench=True),
@@ -188,4 +237,7 @@ SPECS = [
     QuerySpec("ev_user_state", ev_user_state, ORACLE_USER_STATE,
               ("streaming", "stateful"),
               doc="batch twin of applyInPandasWithState user totals"),
+    QuerySpec("ev_click_error_join", ev_click_error_join, ORACLE_CLICK_ERROR,
+              ("streaming", "join"),
+              doc="batch twin of the watermarked stream-stream join"),
 ]

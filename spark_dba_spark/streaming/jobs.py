@@ -185,6 +185,55 @@ def run_session_stream(
     return spark.table(query_name)
 
 
+def run_click_error_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "cej_stream"
+) -> DataFrame:
+    """Stream-stream inner join with watermarks: clicks joined to errors of
+    the same user within 30 minutes (the interval condition bounds join
+    state on both sides — Structured Streaming requires exactly this shape
+    to GC buffered rows). Emits raw pairs; the batch twin
+    (batch_equiv.ev_click_error_join) aggregates the same pairs."""
+    ev = stream_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "1 hour")
+    )
+    from .batch_equiv import JOIN_WINDOW
+
+    pairs = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(
+            f"INTERVAL {JOIN_WINDOW}")),
+    ).select("c_user", "click_id", "error_id")
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 # --------------------------------------------------------------------------
 # Custom stateful operator: per-user running totals via applyInPandasWithState
 # --------------------------------------------------------------------------

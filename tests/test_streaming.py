@@ -54,6 +54,38 @@ def test_session_stream_equals_batch(spark):
     assert _rows(stream_out) == _rows(batch_out)
 
 
+def test_stream_stream_join_equals_batch(spark):
+    """Watermarked stream-stream join must emit exactly the pair multiset
+    the batch range join produces."""
+    from pyspark.sql import functions as F
+
+    from spark_dba_spark import catalog
+    from spark_dba_spark.streaming import jobs
+    from spark_dba_spark.streaming.batch_equiv import JOIN_WINDOW
+
+    stream_pairs = jobs.run_click_error_join(spark, SF_DIR, "t_cej")
+    ev = catalog.load(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    batch_pairs = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(
+            f"INTERVAL {JOIN_WINDOW}")),
+    ).select("c_user", "click_id", "error_id")
+    assert _rows(stream_pairs) == _rows(batch_pairs)
+    assert stream_pairs.count() > 0
+
+
 def test_dedup_stream_unique(spark):
     from spark_dba_spark.streaming import jobs
 
