@@ -72,6 +72,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "dedup_char_jaccard",
     "sim_range_search",
     "ev_click_error_join",
+    "ev_resample_1h",
 )
 
 # Previously-green rows whose operator family keeps other green rows; they
@@ -106,6 +107,7 @@ PRIORITY_LAST: tuple[str, ...] = (
     "join_range_bands",
     "pivot_status",
     "correlated_scalar_subquery",
+    "agg_grouping_sets",
 )
 
 

@@ -177,6 +177,57 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 
 # --------------------------------------------------------------------------
+# Time-series resampling: gap-filled hourly grid (empty buckets emitted)
+# --------------------------------------------------------------------------
+
+def ev_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly counts over the FULL min..max hour range with empty buckets
+    zero-filled — the resample/gap-fill operator plain window aggregation
+    lacks (absent hours simply don't appear there). The hour grid is a
+    bounded dimension (one row per hour of span) built with sequence() and
+    left-joined to the aggregated facts — grid side broadcast-sized at any
+    data scale."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("win_start")
+    )
+    counts = ev.groupBy(F.date_trunc("hour", "ts").alias("win_start")).agg(
+        F.count("*").alias("n"), dsum("value", "sum_value")
+    )
+    return (
+        grid.join(counts, "win_start", "left")
+        .select(
+            "win_start",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("win_start")
+    )
+
+
+ORACLE_RESAMPLE = f"""
+WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+g AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS win_start FROM b
+),
+c AS (
+  SELECT date_trunc('hour', ts) AS win_start, COUNT(*) AS n,
+         {sql_dsum('value')} AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT g.win_start, COALESCE(n, 0) AS n, COALESCE(sum_value, 0.0) AS sum_value
+FROM g LEFT JOIN c USING (win_start) ORDER BY win_start
+"""
+
+
+# --------------------------------------------------------------------------
 # Batch twin of the stream-stream join (jobs.py run_click_error_join):
 # click → error correlation within 30 minutes per user.
 # --------------------------------------------------------------------------
@@ -240,4 +291,7 @@ SPECS = [
     QuerySpec("ev_click_error_join", ev_click_error_join, ORACLE_CLICK_ERROR,
               ("streaming", "join"),
               doc="batch twin of the watermarked stream-stream join"),
+    QuerySpec("ev_resample_1h", ev_resample_1h, ORACLE_RESAMPLE,
+              ("timeseries", "resample"),
+              doc="gap-filled hourly resample (empty buckets zero-filled)"),
 ]
