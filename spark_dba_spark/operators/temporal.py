@@ -32,6 +32,44 @@ from ..functions.numeric import sql_dsum
 from ..registry import QuerySpec
 
 
+def asof_join_backward(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_time: str,
+    build_time: str,
+    carry_cols: list[str],
+) -> DataFrame:
+    """Generic backward as-of join: for each probe row, carry forward the
+    columns of the most recent build row with ``build_time <= probe_time``
+    for the same ``key`` (inclusive; probe rows with no prior build row get
+    nulls). One shuffle per side on the key, one ordered window pass —
+    no range explosion, no per-key loops.
+
+    Determinism: if several build rows share (key, build_time), the LAST
+    one in the window order wins — pre-dedupe the build side when exact
+    tie-break semantics matter."""
+    p = probe.withColumn("_t", F.col(probe_time)).withColumn(
+        "_side", F.lit(1)  # probe rows sort AFTER build rows at equal time
+    )
+    b = build.select(
+        F.col(key),
+        F.col(build_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *carry_cols,
+    )
+    tagged = p.unionByName(b, allowMissingColumns=True)
+    w = (
+        W.partitionBy(key)
+        .orderBy("_t", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = tagged
+    for c in carry_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.filter(F.col("_side") == 1).drop("_t", "_side")
+
+
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every event: the most recent order (o_orderdate <= ts) of the
     customer with key = user_id. Build side is pre-deduped to one row per
@@ -44,40 +82,22 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
     probe = ev.select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.lit(1).alias("side"),  # probe rows sort AFTER build rows at equal t
-        "event_id",
-        "event_type",
+        F.col("user_id"), "ts", "event_id", "event_type"
     )
     build = orders.select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
-        F.lit(0).alias("side"),
-        F.col("o_orderkey"),
-        F.col("o_orderdate"),
-    )
-    tagged = probe.unionByName(build, allowMissingColumns=True)
-    w = (
-        W.partitionBy("k")
-        .orderBy("t", "side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("bt"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_orderdate").alias("asof_orderdate"),
     )
     return (
-        tagged.withColumn(
-            "asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+        asof_join_backward(
+            probe, build, "user_id", "ts", "bt",
+            ["asof_orderkey", "asof_orderdate"],
         )
-        .withColumn(
-            "asof_orderdate", F.last("o_orderdate", ignorenulls=True).over(w)
-        )
-        .filter(F.col("side") == 1)
         .select(
-            "event_id",
-            F.col("k").alias("user_id"),
-            F.col("t").alias("ts"),
-            "event_type",
-            "asof_orderkey",
-            "asof_orderdate",
+            "event_id", "user_id", "ts", "event_type",
+            "asof_orderkey", "asof_orderdate",
         )
         .orderBy("event_id")
     )

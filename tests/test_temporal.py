@@ -1,0 +1,56 @@
+"""as-of join semantic edges on crafted inputs (the oracle covers the
+fixture aggregate; these pin the boundary behaviors explicitly)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from spark_dba_spark.operators.temporal import asof_join_backward
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_edges(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, _ts(9), "p-before-any-build"),
+            (1, _ts(10), "p-exactly-at-build"),
+            (1, _ts(11, 30), "p-between-builds"),
+            (1, _ts(13), "p-after-last-build"),
+            (2, _ts(12), "p-key-without-build"),
+        ],
+        "k bigint, pt timestamp_ntz, label string",
+    )
+    build = spark.createDataFrame(
+        [(1, _ts(10), "b10"), (1, _ts(12), "b12")],
+        "k bigint, bt timestamp_ntz, bval string",
+    )
+    out = {
+        r["label"]: r["bval"]
+        for r in asof_join_backward(
+            probe, build, "k", "pt", "bt", ["bval"]
+        ).collect()
+    }
+    assert out == {
+        "p-before-any-build": None,    # no build row at or before
+        "p-exactly-at-build": "b10",   # inclusive match at equality
+        "p-between-builds": "b10",     # most recent earlier build
+        "p-after-last-build": "b12",   # carries the latest build forward
+        "p-key-without-build": None,   # key absent from build side
+    }
+
+
+def test_asof_multiple_probes_same_instant(spark):
+    probe = spark.createDataFrame(
+        [(1, _ts(11), "a"), (1, _ts(11), "b")],
+        "k bigint, pt timestamp_ntz, label string",
+    )
+    build = spark.createDataFrame(
+        [(1, _ts(10), "b10")], "k bigint, bt timestamp_ntz, bval string"
+    )
+    rows = asof_join_backward(probe, build, "k", "pt", "bt", ["bval"]).collect()
+    assert sorted((r["label"], r["bval"]) for r in rows) == [
+        ("a", "b10"), ("b", "b10"),
+    ]
