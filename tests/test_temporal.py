@@ -42,6 +42,48 @@ def test_asof_edges(spark):
     }
 
 
+def test_asof_property_vs_bruteforce(spark):
+    """Randomized inputs vs an O(n·m) python reference: the windowed
+    last-carry rewrite must agree with the literal 'latest build row at or
+    before probe time per key' definition on every row."""
+    import itertools
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        probes = [
+            (rng.randint(0, 4), _ts(rng.randint(0, 23), rng.randint(0, 59)), i)
+            for i in range(40)
+        ]
+        builds = [
+            (rng.randint(0, 4), _ts(rng.randint(0, 23), rng.randint(0, 59)), j)
+            for j in range(25)
+        ]
+        # dedupe (k, t) on the build side → deterministic winner: max j
+        best = {}
+        for k, t, j in builds:
+            if (k, t) not in best or j > best[(k, t)]:
+                best[(k, t)] = j
+        builds = [(k, t, j) for (k, t), j in best.items()]
+
+        pdf = spark.createDataFrame(
+            probes, "k bigint, pt timestamp_ntz, pid bigint"
+        )
+        bdf = spark.createDataFrame(
+            builds, "k bigint, bt timestamp_ntz, bid bigint"
+        )
+        got = {
+            r["pid"]: r["bid"]
+            for r in asof_join_backward(
+                pdf, bdf, "k", "pt", "bt", ["bid"]
+            ).collect()
+        }
+        for k, pt, pid in probes:
+            cands = [(t, j) for (bk, t, j) in builds if bk == k and t <= pt]
+            expect = max(cands)[1] if cands else None
+            assert got[pid] == expect, (trial, pid, got[pid], expect)
+
+
 def test_asof_multiple_probes_same_instant(spark):
     probe = spark.createDataFrame(
         [(1, _ts(11), "a"), (1, _ts(11), "b")],
