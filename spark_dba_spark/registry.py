@@ -73,6 +73,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "sim_range_search",
     "ev_click_error_join",
     "ev_resample_1h",
+    "ev_hier_rollup",
 )
 
 # Previously-green rows whose operator family keeps other green rows; they
@@ -108,6 +109,7 @@ PRIORITY_LAST: tuple[str, ...] = (
     "pivot_status",
     "correlated_scalar_subquery",
     "agg_grouping_sets",
+    "q04_order_priority",
 )
 
 

@@ -228,6 +228,70 @@ FROM g LEFT JOIN c USING (win_start) ORDER BY win_start
 
 
 # --------------------------------------------------------------------------
+# Hypertable-style hierarchical rollup: hourly → daily → total, each level
+# re-aggregating the previous one (the continuous-aggregate pattern)
+# --------------------------------------------------------------------------
+
+def ev_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level time rollup where DAILY is computed FROM the hourly
+    aggregate and TOTAL from the daily one — the hypertable/continuous-
+    aggregate dataflow (coarser levels reuse finer materializations
+    instead of rescanning raw events). Sums stay DECIMAL through the
+    re-aggregation so every level is exact and order-independent; the
+    double cast happens once at the edge."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("sv"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    total = daily.groupBy().agg(
+        F.sum("n").alias("n"), F.sum("sv").alias("sv")
+    ).withColumn("bucket", F.lit(None).cast("timestamp_ntz"))
+    out_cols = [
+        "level",
+        "bucket",
+        "n",
+        F.col("sv").cast("double").alias("sum_value"),
+    ]
+    return (
+        hourly.withColumn("level", F.lit("hour")).select(out_cols)
+        .unionByName(daily.withColumn("level", F.lit("day")).select(out_cols))
+        .unionByName(total.withColumn("level", F.lit("total")).select(out_cols))
+        .orderBy("level", F.col("bucket").asc_nulls_first())
+    )
+
+
+ORACLE_HIER_ROLLUP = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(25,6))) AS sv
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT date_trunc('day', bucket) AS bucket,
+         CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+  FROM hourly GROUP BY 1
+),
+total AS (
+  SELECT CAST(NULL AS TIMESTAMP) AS bucket,
+         CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+  FROM daily
+)
+SELECT 'hour' AS level, bucket, n, CAST(sv AS DOUBLE) AS sum_value FROM hourly
+UNION ALL
+SELECT 'day', bucket, n, CAST(sv AS DOUBLE) FROM daily
+UNION ALL
+SELECT 'total', bucket, n, CAST(sv AS DOUBLE) FROM total
+ORDER BY level, bucket NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
 # Batch twin of the stream-stream join (jobs.py run_click_error_join):
 # click → error correlation within 30 minutes per user.
 # --------------------------------------------------------------------------
@@ -294,4 +358,7 @@ SPECS = [
     QuerySpec("ev_resample_1h", ev_resample_1h, ORACLE_RESAMPLE,
               ("timeseries", "resample"),
               doc="gap-filled hourly resample (empty buckets zero-filled)"),
+    QuerySpec("ev_hier_rollup", ev_hier_rollup, ORACLE_HIER_ROLLUP,
+              ("timeseries", "rollup"),
+              doc="hypertable-style hour→day→total rollup, re-aggregated"),
 ]
