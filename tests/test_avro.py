@@ -499,3 +499,27 @@ def test_write_avro_modes(spark, tmp_path):
     assert read_avro_folder(spark, out, reader_schema=None).count() == 1
     with _pytest.raises(ValueError, match="posix"):
         write_avro_folder(df, "hdfs://nn/path")
+
+
+def test_events_fixture_roundtrip_through_avro(spark, tmp_path):
+    """The real events table (timestamp_ntz, JSON strings, 10k rows at
+    sf0.01) through the avro sink and back — value-identical."""
+    from spark_dba_spark import catalog
+
+    ev = catalog.load(spark, "/root/testdata/sf0.01", "events")
+    out = str(tmp_path / "ev_avro")
+    n_files = write_avro_folder(ev.repartition(4), out)
+    assert n_files == 4
+    back = read_avro_folder(spark, out)
+    assert back.count() == ev.count() == 10000
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_corrupt_sync_marker_detected():
+    rows = mkrows(50)
+    data = bytearray(ac.write_container(rows, SCHEMA, block_records=10))
+    data[-8] ^= 0xFF  # flip a byte inside the final sync marker
+    with pytest.raises(ValueError, match="sync marker"):
+        list(ac.read_container(bytes(data)))
