@@ -119,13 +119,18 @@ class _Reader:
         shift = 0
         buf = self.buf
         pos = self.pos
+        end = len(buf)
         while True:
+            if pos >= end:
+                raise EOFError("truncated varint")
             b = buf[pos]
             pos += 1
             v |= (b & 0x7F) << shift
             if not b & 0x80:
                 break
             shift += 7
+            if shift > 63:  # int64 fits in 10 varint bytes
+                raise ValueError("varint too long")
         self.pos = pos
         return (v >> 1) ^ -(v & 1)  # un-zigzag
 
@@ -334,6 +339,20 @@ def _skip_datum(r: _Reader, schema: Any) -> None:
 # Datum encode
 # --------------------------------------------------------------------------
 
+def _micros_since_epoch(v: _dt.datetime, instant: bool) -> int:
+    # Exact integer arithmetic — float64 rounds past ~2100 (±1µs).
+    # timestamp-* is an instant: aware datetimes convert to UTC; naive are
+    # taken as already-UTC. local-timestamp-* is wall-clock: offset dropped.
+    if v.tzinfo is not None:
+        v = (
+            v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            if instant
+            else v.replace(tzinfo=None)
+        )
+    td = v - _EPOCH_TS
+    return td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+
+
 def _encode_logical(schema: Any, v: Any) -> Any:
     lt = _logical(schema)
     if lt == "date" and isinstance(v, _dt.date):
@@ -341,11 +360,12 @@ def _encode_logical(schema: Any, v: Any) -> Any:
     if lt in ("timestamp-micros", "local-timestamp-micros") and isinstance(
         v, _dt.datetime
     ):
-        return round((v.replace(tzinfo=None) - _EPOCH_TS).total_seconds() * 1e6)
+        return _micros_since_epoch(v, instant=lt == "timestamp-micros")
     if lt in ("timestamp-millis", "local-timestamp-millis") and isinstance(
         v, _dt.datetime
     ):
-        return round((v.replace(tzinfo=None) - _EPOCH_TS).total_seconds() * 1e3)
+        # floor to millis, matching java.time.Instant.toEpochMilli
+        return _micros_since_epoch(v, instant=lt == "timestamp-millis") // 1000
     return v
 
 
@@ -574,7 +594,16 @@ class ContainerWriter:
         self.out.write(self.sync)
 
     def append(self, record: Any) -> None:
-        encode_datum(self._buf, self.schema, record)
+        # Snapshot-and-truncate: a mid-record encode failure must not leave
+        # partial bytes in the block buffer, or a later flush_block would
+        # write a block whose record count and byte stream disagree.
+        mark = self._buf.tell()
+        try:
+            encode_datum(self._buf, self.schema, record)
+        except Exception:
+            self._buf.seek(mark)
+            self._buf.truncate(mark)
+            raise
         self._count += 1
         if self._count >= self.block_records:
             self.flush_block()

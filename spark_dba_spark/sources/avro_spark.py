@@ -5,21 +5,26 @@ D1/D5 parity for the reference's Avro-native pipeline
 (``DefragmentAvroFolder.scala:267-272, 298``) without the spark-avro
 connector (absent from this classpath, no network to fetch it):
 
-- **read**: ``binaryFile`` scan (one task per file — same parallelism unit
-  as the reference's file-based ``AvroKeyInputFormat`` splits) →
-  ``mapInPandas`` decode with an optional *reader schema*, so every file's
-  writer schema resolves against one target schema — the schema-evolution
-  ladder (§1.3) the reference calls out as its reason for avoiding
-  spark-avro (``DefragmentAvroFolder.scala:17-20``).
+- **read**: the folder is planned into **byte-range splits on sync
+  markers** (the same splittable-container protocol as the reference's
+  ``AvroKeyInputFormat``, ``DefragmentAvroFolder.scala:267-272``): a
+  multi-GB stray container decodes as many tasks, memory per task bounded
+  by one block, not one file. Each split resolves its file's writer schema
+  against an optional *reader schema* — the schema-evolution ladder (§1.3)
+  the reference calls out as its reason for avoiding spark-avro
+  (``DefragmentAvroFolder.scala:17-20``).
 - **write**: one container file per partition via ``mapInPandas`` with a
   streaming block writer; ``df.coalesce(n)`` upstream controls file count
-  exactly like the reference's D3.
+  exactly like the reference's D3. Tasks write to an attempt-unique hidden
+  temp name and commit by atomic rename, so speculative/zombie duplicate
+  attempts can't interleave into one file and aborted jobs leave no
+  visible partial output; the driver sweeps unreported temps after the job.
 
-Scale notes: a container file is decoded by one task (no intra-file split),
-so file sizing — the compactor's whole purpose — is also what keeps read
-parallelism healthy. Executors write to the staging path directly; rename
-commits stay with the compaction job. Local/posix paths are supported here;
-object-store/HDFS sinks would swap the ``open()`` for a pyarrow.fs stream.
+Both paths do I/O through ``pyarrow.fs`` resolved from the path's scheme
+(local, ``hdfs://``, ``s3://``, plus test-registerable schemes), matching
+the reference's any-FileSystem posture (``saveAsNewAPIHadoopDataset``,
+``DefragmentAvroFolder.scala:298``). pyarrow FileSystem handles are
+pickled into the task closures, so executors need no scheme registry.
 """
 
 from __future__ import annotations
@@ -165,14 +170,73 @@ def struct_to_avro_record(st: T.StructType, name: str = "row") -> dict:
 
 
 # ---------------------------------------------------------------------------
-# Distributed read
+# pyarrow.fs scheme dispatch (shared by read + write)
 # ---------------------------------------------------------------------------
+
+# Test-extensible scheme registry: scheme -> factory(uri) -> (FileSystem,
+# in-fs path). Registered factories run on the DRIVER only; the resolved
+# pyarrow FileSystem object (picklable by contract) travels to executors
+# inside the task closure.
+_FS_SCHEMES: dict[str, Any] = {}
+
+
+def register_fs_scheme(scheme: str, factory) -> None:
+    """Register ``factory(uri) -> (pyarrow.fs.FileSystem, path)`` for a URI
+    scheme — lets tests (or deployments with exotic stores) route the avro
+    sink/scan through any pyarrow-compatible filesystem."""
+    _FS_SCHEMES[scheme] = factory
+
+
+def resolve_fs(path: str):
+    """Path/URI → ``(pyarrow FileSystem, path-within-fs)``.
+
+    Local paths and ``file://`` → LocalFileSystem; registered schemes →
+    their factory; anything else (``hdfs://``, ``s3://``, ``gs://``) →
+    ``pyarrow.fs.FileSystem.from_uri`` — the reference's any-Hadoop-FS sink
+    posture (``DefragmentAvroFolder.scala:298``) without a spark-avro jar.
+    """
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        scheme = path.split("://", 1)[0]
+        if scheme in _FS_SCHEMES:
+            return _FS_SCHEMES[scheme](path)
+        if scheme == "file":
+            return pafs.LocalFileSystem(), path[len("file://"):]
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _list_avro_files(fs, root: str, recursive: bool) -> list:
+    """Non-hidden ``*.avro`` FileInfos under root (M8/M20 conventions)."""
+    import pyarrow.fs as pafs
+
+    sel = pafs.FileSelector(root, recursive=recursive, allow_not_found=True)
+    out = []
+    for info in fs.get_file_info(sel):
+        if info.type != pafs.FileType.File:
+            continue
+        base = info.base_name
+        if base.startswith(".") or base.startswith("_"):
+            continue
+        if base.lower().endswith(".avro"):
+            out.append(info)
+    return sorted(out, key=lambda i: i.path)
+
+
+# ---------------------------------------------------------------------------
+# Distributed read (sync-marker block splits)
+# ---------------------------------------------------------------------------
+
+DEFAULT_SPLIT_BYTES = 128 << 20  # one Hadoop-block-ish range per task
+
 
 def read_avro_folder(
     spark: SparkSession,
     path: str,
     reader_schema: str | dict | None = None,
     recursive: bool = True,
+    split_bytes: int = DEFAULT_SPLIT_BYTES,
 ) -> DataFrame:
     """Folder of ``.avro`` container files → DataFrame.
 
@@ -182,53 +246,131 @@ def read_avro_folder(
     embedded schema is used as the reader schema, the reference's stated
     heuristic: "Latest file will have latest schema"
     (``DefragmentAvroFolder.scala:91-103``).
+
+    Files larger than ``split_bytes`` are planned as multiple byte-range
+    splits; each task syncs to the first block boundary (16-byte sync
+    marker) at/after its range start and decodes blocks whose start offset
+    falls inside its range — the Avro container split protocol
+    (reference: splittable ``AvroKeyInputFormat``,
+    ``DefragmentAvroFolder.scala:267-272``). Task memory is bounded by one
+    block, never one file.
     """
+    fs, root = resolve_fs(path)
     if reader_schema is None:
         reader_schema = latest_file_schema(spark, path, recursive=recursive)
     rs = ac.parse_schema(reader_schema)
     spark_schema = avro_record_to_struct(rs)
     col_order = [f.name for f in spark_schema.fields]
 
-    bin_df = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.avro")
-        .option("recursiveFileLookup", str(recursive).lower())
-        .load(path)
-        .select("content")
-    )
+    files = _list_avro_files(fs, root, recursive)
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    splits: list[tuple[str, int, int]] = []
+    for info in files:
+        size = int(info.size)
+        n = max(1, math.ceil(size / max(1, split_bytes)))
+        step = math.ceil(size / n)
+        for k in range(n):
+            lo, hi = k * step, min((k + 1) * step, size)
+            if lo < hi:
+                splits.append((info.path, lo, hi))
+
+    splits_df = spark.createDataFrame(
+        splits, schema="path string, start long, end long"
+    ).repartition(len(splits))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for blob in pdf["content"]:
-                recs = list(ac.read_container(bytes(blob), reader_schema=rs))
-                yield pd.DataFrame.from_records(recs, columns=col_order)
+            for fpath, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+                yield from _decode_split(
+                    fs, str(fpath), int(start), int(end), rs, col_order
+                )
 
-    return bin_df.mapInPandas(decode, spark_schema)
+    return splits_df.mapInPandas(decode, spark_schema)
+
+
+_DECODE_CHUNK_ROWS = 50_000  # rows per yielded Arrow batch
+
+
+def _decode_split(
+    fs, fpath: str, start: int, end: int, reader_schema: Any, col_order: list[str]
+) -> Iterator[pd.DataFrame]:
+    """Decode the container blocks whose start offset lies in [start, end).
+
+    Block-boundary ownership: a block "starts" right after a sync marker
+    (the header itself ends with the sync, so the first body block is a
+    boundary too). The split owning offset p decodes the block starting at
+    p; scanning begins at ``start-16`` so a sync ending exactly at
+    ``start`` is found by this split and not the previous one.
+    """
+    with fs.open_input_file(fpath) as f:
+        head = f.read(1 << 20)  # container headers are small; 1 MiB covers
+        writer_schema, codec, sync, body_pos = ac.read_header(head)
+        flen = f.size()
+        if start == 0:
+            pos = body_pos
+        else:
+            # scan forward for the first sync marker ending at >= start
+            scan_from = max(body_pos, start - 16)
+            f.seek(scan_from)
+            window = b""
+            pos = -1
+            while scan_from + len(window) < flen:
+                chunk = f.read(4 << 20)
+                if not chunk:
+                    break
+                window += chunk
+                idx = window.find(sync)
+                if idx != -1:
+                    pos = scan_from + idx + 16
+                    break
+                # syncs can straddle chunk boundaries — keep a 15-byte tail
+                if len(window) > 15:
+                    scan_from += len(window) - 15
+                    window = window[-15:]
+            if pos < 0 or pos >= end:
+                return  # no block starts inside this range
+
+        rows: list[dict] = []
+        while pos < min(end, flen):
+            f.seek(pos)
+            # two varints (<=20 bytes) then the block payload
+            hdr = f.read(32)
+            if not hdr:
+                break
+            r = ac._Reader(hdr)
+            n_records = r.read_long()
+            block_len = r.read_long()
+            data_at = pos + r.pos
+            f.seek(data_at)
+            payload = f.read(block_len)
+            if f.read(16) != sync:
+                raise ValueError(f"sync marker mismatch in {fpath} @ {pos}")
+            block = ac._decompress(codec, payload)
+            br = ac._Reader(block)
+            for _ in range(n_records):
+                rows.append(ac.decode_datum(br, writer_schema, reader_schema))
+            pos = data_at + block_len + 16
+            if len(rows) >= _DECODE_CHUNK_ROWS:
+                yield pd.DataFrame.from_records(rows, columns=col_order)
+                rows = []
+        if rows:
+            yield pd.DataFrame.from_records(rows, columns=col_order)
 
 
 def latest_file_schema(
     spark: SparkSession, path: str, recursive: bool = True
 ) -> dict:
     """Embedded writer schema of the newest .avro file under ``path`` (M7 +
-    M3 parity) — reads only the file's HEADER bytes through the Hadoop
-    FileSystem (any scheme), never the whole file."""
-    from .fsops import FsOps, is_valid_data_file
-
-    fs = FsOps(spark)
-    if recursive:
-        cands = [
-            s
-            for s in fs.list_files_recursive(path)
-            if is_valid_data_file(s.path, "avro")
-        ]
-        latest = (
-            max(cands, key=lambda s: (s.mtime, s.path)).path if cands else None
-        )
-    else:
-        latest = fs.latest_modified_file(path, "avro")
-    if latest is None:
+    M3 parity) — reads only the file's HEADER bytes through the resolved
+    filesystem (any scheme), never the whole file."""
+    fs, root = resolve_fs(path)
+    cands = _list_avro_files(fs, root, recursive)
+    if not cands:
         raise FileNotFoundError(f"no .avro files under {path}")
-    head = fs.read_bytes(latest, 1 << 20)  # header is tiny; 1 MiB covers it
+    latest = max(cands, key=lambda i: (i.mtime, i.path))
+    with fs.open_input_file(latest.path) as f:
+        head = f.read(1 << 20)
     return ac.read_header(head)[0]
 
 
@@ -294,35 +436,33 @@ def write_avro_folder(
     existing), 'error' (fail if the folder already has .avro files),
     'overwrite' (delete existing .avro files first).
 
-    Executors write with plain ``open()``: the sink path must be a
-    posix-visible shared filesystem (local, NFS). Non-posix schemes
-    (hdfs://, s3://) are rejected up front — there, install spark-avro and
-    use the built-in writer instead.
+    I/O goes through :func:`resolve_fs` — local, ``hdfs://``, ``s3://`` and
+    registered test schemes all work (reference parity: any Hadoop FS,
+    ``DefragmentAvroFolder.scala:298``).
+
+    Commit protocol (task level): each attempt streams into a hidden,
+    attempt-unique temp name ``_tmp-<run>-a<taskAttemptId>-part-NNNNN.avro``
+    and renames to the final ``part-NNNNN-<run>.avro`` only on success —
+    speculative or zombie duplicate attempts never share a file handle, and
+    a killed job leaves only hidden temps (ignored by every reader, M20
+    convention). The driver sweeps this run's leftover temps after collect.
     """
-    scheme = path.split("://", 1)[0] if "://" in path else ""
-    if scheme not in ("", "file"):
-        raise ValueError(
-            f"write_avro_folder needs a posix-visible path, got scheme "
-            f"'{scheme}://' — use the spark-avro package for {scheme} sinks"
-        )
-    path = path[len("file://"):] if path.startswith("file://") else path
+    fs, root = resolve_fs(path)
+    import pyarrow.fs as pafs
+
     avro_schema = (
         ac.parse_schema(schema)
         if schema is not None
         else struct_to_avro_record(df.schema)
     )
     spark_schema = df.schema
-    existing = (
-        [f for f in os.listdir(path) if f.endswith(".avro")]
-        if os.path.isdir(path)
-        else []
-    )
+    existing = _list_avro_files(fs, root, recursive=False)
     if existing and mode in ("error", "errorifexists"):
         raise FileExistsError(f"{path} already contains .avro files")
     if existing and mode == "overwrite":
-        for f in existing:
-            os.remove(os.path.join(path, f))
-    os.makedirs(path, exist_ok=True)
+        for info in existing:
+            fs.delete_file(info.path)
+    fs.create_dir(root, recursive=True)
     run_token = uuid.uuid4().hex[:12]
 
     out_schema = T.StructType(
@@ -334,27 +474,40 @@ def write_avro_folder(
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else os.getpid()
-        fname = os.path.join(path, f"part-{pid:05d}-{run_token}.avro")
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        final = f"{root}/part-{pid:05d}-{run_token}.avro"
+        tmp = f"{root}/_tmp-{run_token}-a{attempt}-part-{pid:05d}.avro"
         writer = None
+        stream = None
         n = 0
-        fh = None
         for pdf in batches:
             if writer is None:
-                fh = open(fname, "wb")
+                stream = fs.open_output_stream(tmp)
                 writer = ac.ContainerWriter(
-                    fh, avro_schema, codec=codec, block_records=block_records
+                    stream, avro_schema, codec=codec, block_records=block_records
                 )
             for rec in _pandas_to_records(pdf, spark_schema):
                 writer.append(rec)
                 n += 1
         if writer is not None:
             writer.close()
-            fh.close()
-            yield pd.DataFrame({"file": [fname], "n": [n]})
+            stream.close()
+            fs.move(tmp, final)  # atomic commit of this task's output
+            yield pd.DataFrame({"file": [final], "n": [n]})
         else:
             yield pd.DataFrame({"file": [], "n": []})
 
     summary = df.mapInPandas(write_partition, out_schema).collect()
+
+    # Driver-side sweep: failed/zombie attempts from THIS run leave hidden
+    # `_tmp-<run_token>-...` files — remove them so retries/debris never
+    # accumulate. Other writers' temps are untouched.
+    sel = pafs.FileSelector(root, recursive=False, allow_not_found=True)
+    for info in fs.get_file_info(sel):
+        if info.type == pafs.FileType.File and info.base_name.startswith(
+            f"_tmp-{run_token}-"
+        ):
+            fs.delete_file(info.path)
     return sum(1 for r in summary if r["file"])
 
 

