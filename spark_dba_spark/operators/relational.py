@@ -1290,6 +1290,155 @@ ORDER BY r_name, n_name
 """
 
 
+# --------------------------------------------------------------------------
+# EXISTS / NOT EXISTS correlated subqueries + outer-join-count
+# (TPC-H q21/q22/q13 shapes — the subquery class real users hit right
+# after IN-subqueries; reference has no SQL at all, SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+def exists_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: for finished orders, the supplier whose lineitem
+    was returned where EXISTS another supplier's lineitem in the same
+    order but NOT EXISTS another *returned* lineitem from a different
+    supplier — i.e. the sole supplier at fault. Catalyst plans both
+    correlated subqueries as semi/anti hash joins on l_orderkey (shuffle
+    on the fact key; supplier dim broadcast) — no nested loops, scales."""
+    supplier = catalog.load(spark, sf_dir, "supplier")
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM {sup} s, {li} l1, {ord} o
+        WHERE s.s_suppkey = l1.l_suppkey
+          AND o.o_orderkey = l1.l_orderkey
+          AND o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM {li} l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM {li} l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        """,
+        sup=supplier,
+        li=lineitem,
+        ord=orders,
+    )
+
+
+ORACLE_EXISTS_SOLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier s, lineitem l1, orders o
+WHERE s.s_suppkey = l1.l_suppkey
+  AND o.o_orderkey = l1.l_orderkey
+  AND o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+def not_exists_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: positive-balance customers in selected "country
+    code" buckets (substring of c_name — the fixture has no c_phone) whose
+    balance beats the population average and who have no URGENT orders
+    (every fixture customer has >=1 order, so the anti-join predicate is
+    on priority; NOT EXISTS → left-anti join). The scalar-avg subquery is a broadcast
+    single-row cross; the anti join shuffles on o_custkey — scales."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    orders = catalog.load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM (
+          SELECT SUBSTRING(c.c_name, LENGTH(c.c_name), 1) AS cntrycode,
+                 c.c_acctbal
+          FROM {cust} c
+          WHERE SUBSTRING(c.c_name, LENGTH(c.c_name), 1) IN
+                  ('1', '3', '5', '7')
+            AND c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM {cust} c2
+                               WHERE c2.c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM {ord} o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '1-URGENT')
+        )
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+        """,
+        cust=customer,
+        ord=orders,
+    )
+
+
+ORACLE_NOT_EXISTS_IDLE = """
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT SUBSTRING(c.c_name, LENGTH(c.c_name), 1) AS cntrycode,
+         c.c_acctbal
+  FROM customer c
+  WHERE SUBSTRING(c.c_name, LENGTH(c.c_name), 1) IN ('1', '3', '5', '7')
+    AND c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+)
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+def outer_join_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: distribution of per-customer order counts via a
+    LEFT OUTER join (customers with zero orders stay, count 0). The right
+    side is pre-filtered (predicate on orders only — equivalent to putting
+    it in the outer-join condition), so the filter pushes to the scan; the
+    join and first agg share one shuffle on the customer key — scales."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_OUTER_COUNT_DIST = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -1360,4 +1509,13 @@ SPECS = [
               ("agg", "stats")),
     QuerySpec("join_cross_small", join_cross_small, ORACLE_CROSS,
               ("join", "cross")),
+    QuerySpec("exists_sole_returner", exists_sole_returner,
+              ORACLE_EXISTS_SOLE, ("subquery", "exists", "tpch"),
+              doc="TPC-H Q21-shaped correlated EXISTS/NOT-EXISTS"),
+    QuerySpec("not_exists_idle_customers", not_exists_idle_customers,
+              ORACLE_NOT_EXISTS_IDLE, ("subquery", "exists", "tpch"),
+              doc="TPC-H Q22-shaped NOT EXISTS + substring IN + scalar avg"),
+    QuerySpec("outer_join_count_dist", outer_join_count_dist,
+              ORACLE_OUTER_COUNT_DIST, ("join", "agg", "tpch"),
+              doc="TPC-H Q13-shaped outer-join count distribution"),
 ]

@@ -319,14 +319,11 @@ def _hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
     return vals
 
 
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN: sign-bucket every vector under LSH_TABLES independent
-    hyperplane sets (map-only), then compare each query only against
-    vectors sharing a (table, bucket) — shuffle on bucket id, not O(n²).
-    OR-amplification across tables recovers recall lost to bucketing.
-
-    Approximate (no oracle); pytest asserts recall vs sim_cosine_topk.
-    """
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH candidate generation: sign-bucket every vector under
+    LSH_TABLES independent hyperplane sets (map-only), then pair each query
+    with vectors sharing a (table, bucket) — shuffle on bucket id, not
+    O(n²). Returns the distinct narrow (qid, vec_id) pair stream."""
     emb = _emb(spark, sf_dir)
     sample = emb.select(F.size("embedding").alias("d")).first()
     planes = np.stack(
@@ -377,12 +374,24 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH_TABLES× through the distinct; VERDICT r1 item 8). Vectors rejoin
     # after: the query side is bounded → broadcast; the corpus side joins on
     # the small candidate stream.
-    pairs = (
+    return (
         q.join(bucketed.select("vec_id", "tbl", "bucket"), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
         .distinct()
     )
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN via random-hyperplane LSH; OR-amplification across
+    tables recovers recall lost to bucketing.
+
+    The *ranking* is approximate (rows-only; pytest asserts recall vs
+    sim_cosine_topk), but the *candidate generation* is deterministic and
+    oracle-gated via :func:`sim_ann_lsh_candidates`.
+    """
+    emb = _emb(spark, sf_dir)
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -399,6 +408,52 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic twin of :func:`sim_ann_lsh`: per-query LSH candidate
+    count. The md5-derived hyperplanes, sign buckets, and bucket joins are
+    all deterministic, so this IS full-hash oracle-checkable — the DuckDB
+    oracle recomputes the identical planes (md5 hex → int, same
+    ``int(h[:15],16)/2^60*2-1`` mapping) and bucket ids in SQL. Gates the
+    whole candidate-generation machinery; only the cosine *ranking* stays
+    rows-only."""
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    return (
+        pairs.groupBy("qid")
+        .agg(F.count("*").alias("n_candidates"))
+        .orderBy("qid")
+    )
+
+
+# DuckDB twin of _hyperplanes + bucketize + pair join. 1<<60 =
+# 1152921504606846976; md5 and the [:15]-hex-digit slice match hashlib.
+ORACLE_LSH_CANDIDATES = f"""
+WITH planes AS (
+  SELECT t.range AS t, p.range AS p, d.range AS d,
+         (CAST(('0x' || SUBSTRING(md5('plane:' || t.range || ':' || p.range
+                                  || ':' || d.range), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0) * 2.0 - 1.0 AS w
+  FROM range({LSH_TABLES}) t, range({LSH_PLANES}) p, range(64) d
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dots AS (
+  SELECT e.vec_id, pl.t, pl.p, SUM(e.emb[pl.d + 1] * pl.w) AS dot
+  FROM e, planes pl GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+                  ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, b.vec_id
+  FROM buckets q JOIN buckets b ON q.t = b.t AND q.bucket = b.bucket
+  WHERE q.vec_id < {N_QUERIES} AND b.vec_id != q.vec_id
+)
+SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY qid ORDER BY qid
+"""
+
+
 # --------------------------------------------------------------------------
 # Approximate NN: IVF (inverted file) — the other classic scale path
 # --------------------------------------------------------------------------
@@ -407,18 +462,11 @@ IVF_CENTROIDS = 32
 IVF_NPROBE = 6
 
 
-def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: partition the corpus into IVF_CENTROIDS inverted
-    lists by nearest centroid (one map-only assignment pass), then search
-    each query only in its IVF_NPROBE closest lists.
-
-    Centroids are a deterministic sample (vec_id < IVF_CENTROIDS — the
-    fixture vectors are i.i.d. random, so seed vectors ARE random
-    centroids; production would k-means-refine them, which changes recall,
-    not the dataflow). The centroid set is O(K·d) — bounded, broadcast.
-    The corpus never leaves the executors; the shuffle key is the list id.
-    Approximate → rows-only; pytest asserts recall vs sim_cosine_topk.
-    """
+def _ivf_structures(spark: SparkSession, sf_dir: str):
+    """Shared IVF stages: the distributed inverted-list assignment (each
+    vector → nearest centroid, map-only) and the bounded probe plan (each
+    query → its IVF_NPROBE closest centroids). Returns
+    ``(assigned, probe_df)``."""
     emb = _emb(spark, sf_dir)
     crows = (
         emb.filter(F.col("vec_id") < IVF_CENTROIDS)
@@ -481,7 +529,24 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+    return assigned, probe_df
 
+
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: partition the corpus into IVF_CENTROIDS inverted
+    lists by nearest centroid (one map-only assignment pass), then search
+    each query only in its IVF_NPROBE closest lists.
+
+    Centroids are a deterministic sample (vec_id < IVF_CENTROIDS — the
+    fixture vectors are i.i.d. random, so seed vectors ARE random
+    centroids; production would k-means-refine them, which changes recall,
+    not the dataflow). The centroid set is O(K·d) — bounded, broadcast.
+    The corpus never leaves the executors; the shuffle key is the list id.
+    The *ranking* is approximate → rows-only (pytest asserts recall vs
+    sim_cosine_topk); the list assignment + probe plan are deterministic
+    and oracle-gated via :func:`sim_ivf_candidates`.
+    """
+    assigned, probe_df = _ivf_structures(spark, sf_dir)
     cand = (
         F.broadcast(probe_df)
         .join(assigned, "centroid")
@@ -498,13 +563,69 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic twin of :func:`sim_ivf`: per-query candidate count =
+    corpus vectors whose inverted list is among the query's IVF_NPROBE
+    probe lists (self excluded). Centroid seeds, cosine argmax assignment,
+    and the probe ranking are all deterministic, so the DuckDB oracle
+    reproduces them exactly with ``list_cosine_similarity`` + window
+    ranks — a full-hash gate on the IVF machinery."""
+    assigned, probe_df = _ivf_structures(spark, sf_dir)
+    cand = (
+        F.broadcast(probe_df.select("qid", "centroid"))
+        .join(assigned.select("vec_id", "centroid"), "centroid")
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    return (
+        cand.groupBy("qid")
+        .agg(F.count("*").alias("n_candidates"))
+        .orderBy("qid")
+    )
+
+
+# Ties in the cosine rankings are broken by LOWEST centroid id in both
+# engines (numpy argmax takes the first max; ORDER BY sim DESC, cid ASC).
+ORACLE_IVF_CANDIDATES = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {IVF_CENTROIDS}),
+asgn AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid
+           ) AS rn
+    FROM e, c) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT e.vec_id AS qid, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid
+           ) AS rn
+    FROM e, c WHERE e.vec_id < {N_QUERIES}) WHERE rn <= {IVF_NPROBE}
+)
+SELECT p.qid, COUNT(*) AS n_candidates
+FROM probes p JOIN asgn a ON p.cid = a.cid
+WHERE a.vec_id != p.qid
+GROUP BY p.qid ORDER BY p.qid
+"""
+
+
 SPECS = [
     QuerySpec("sim_cosine_topk", sim_cosine_topk, ORACLE_TOPK,
               ("similarity",), bench=True),
     QuerySpec("sim_dup_pairs", sim_dup_pairs, ORACLE_DUP_PAIRS,
               ("similarity", "dedup")),
     QuerySpec("sim_ann_lsh", sim_ann_lsh, None, ("similarity", "ann")),
+    QuerySpec("sim_ann_lsh_candidates", sim_ann_lsh_candidates,
+              ORACLE_LSH_CANDIDATES, ("similarity", "ann"),
+              doc="deterministic candidate-count gate for sim_ann_lsh"),
     QuerySpec("sim_ivf", sim_ivf, None, ("similarity", "ann", "ivf")),
+    QuerySpec("sim_ivf_candidates", sim_ivf_candidates,
+              ORACLE_IVF_CANDIDATES, ("similarity", "ann", "ivf"),
+              doc="deterministic candidate-count gate for sim_ivf"),
     QuerySpec("sim_range_search", sim_range_search, ORACLE_RANGE_SEARCH,
               ("similarity", "range")),
 ]

@@ -41,44 +41,20 @@ class QuerySpec:
 # equal number of queries holding a green row from any prior round rotate
 # into PRIORITY_LAST (prefer families with several other green rows). Over
 # rounds, every query accumulates at least one driver-recorded green row.
+#
+# ROUND-3 WINDOW (see RESPONSES_r03.md for the self-report ledger): the 5
+# queries new in r3 + the 31 whose only driver row is from r1 (rotated out
+# in r2) fill PRIORITY_FIRST; the 14 frozen bench queries keep their
+# driver row every round (slots 37-50); the 36 r2-green non-bench queries
+# rotate to the tail, each holding a driver row ≤1 round old.
 PRIORITY_FIRST: tuple[str, ...] = (
-    "q01_pricing_summary",
-    # absent from CORRECTNESS_r01 (registered after the cap) — front of the
-    # line this round:
-    "ev_tumbling_1h",
-    "ev_sliding_1h_30m",
-    "ev_session_30m",
-    "ev_dedup_first",
-    "mm_frame_sample",
-    # new this round — need their first driver row:
-    "join_asof",
-    "window_range_1h",
-    "agg_percentiles",
-    "lateral_posexplode",
-    "sim_ivf",
-    "ev_user_state",
-    "mm_audio_energy",
-    "mm_image_resize",
-    "pipeline_clean_corpus",
-    # re-red in r1, fixed this round — make certain it gets its row:
-    "json_extract_events",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q14_promo_revenue",
-    "dataset_split_hash",
-    "dedup_keep_best",
-    "udaf_geometric_mean",
-    "grouped_zscore",
-    "dedup_char_jaccard",
-    "sim_range_search",
-    "ev_click_error_join",
-    "ev_resample_1h",
-    "ev_hier_rollup",
-)
-
-# Previously-green rows whose operator family keeps other green rows; they
-# rotate into the tail to free driver slots for the never-checked entries.
-PRIORITY_LAST: tuple[str, ...] = (
+    # new in r3 — need their first driver row:
+    "exists_sole_returner",
+    "not_exists_idle_customers",
+    "outer_join_count_dist",
+    "sim_ann_lsh_candidates",
+    "sim_ivf_candidates",
+    # r1-only rows (rotated out during r2) — refresh before they go stale:
     "set_intersect",
     "set_except",
     "scalar_math",
@@ -110,6 +86,63 @@ PRIORITY_LAST: tuple[str, ...] = (
     "correlated_scalar_subquery",
     "agg_grouping_sets",
     "q04_order_priority",
+    # frozen bench set — a driver row EVERY round so BENCH_r{N} queries
+    # are always independently correctness-gated in the same round:
+    "q01_pricing_summary",
+    "ev_tumbling_1h",
+    "json_extract_events",
+    "q02_scan_filter_project",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_item",
+    "join_broadcast_dim",
+    "agg_distinct",
+    "window_topk_per_group",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality",
+)
+
+# r2-green, non-bench — rotate to the tail this round (driver row ≤1 round
+# old; still in every committed local sweep).
+PRIORITY_LAST: tuple[str, ...] = (
+    "ev_sliding_1h_30m",
+    "ev_session_30m",
+    "ev_dedup_first",
+    "mm_frame_sample",
+    "join_asof",
+    "window_range_1h",
+    "agg_percentiles",
+    "lateral_posexplode",
+    "sim_ivf",
+    "ev_user_state",
+    "mm_audio_energy",
+    "mm_image_resize",
+    "pipeline_clean_corpus",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q14_promo_revenue",
+    "dataset_split_hash",
+    "dedup_keep_best",
+    "udaf_geometric_mean",
+    "grouped_zscore",
+    "dedup_char_jaccard",
+    "sim_range_search",
+    "ev_click_error_join",
+    "ev_resample_1h",
+    "ev_hier_rollup",
+    "agg_approx_distinct",
+    "window_running_sum",
+    "scalar_regexp",
+    "scalar_array_ops",
+    "set_ops_bag",
+    "agg_corr_stats",
+    "join_cross_small",
+    "dedup_simhash",
+    "sim_dup_pairs",
+    "sim_ann_lsh",
+    "text_lang_id",
 )
 
 
