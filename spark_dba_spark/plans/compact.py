@@ -69,6 +69,13 @@ class CompactionParams:
     # Preflight-only: validate, discover leaves, report per-partition file
     # stats and planned output file counts — write nothing.
     dry_run: bool = False
+    # Selective compaction (100 TB posture): only process leaves whose
+    # actual file count is ≥ this multiple of the PLANNED output count
+    # (dynamic sizing or --fileCount); other leaves are skipped untouched.
+    # Job cost then scales with the fragmented debris, not the tree size —
+    # the partition-pruned flavor of the reference's dynamic-sizing idea
+    # (README.md:21). None → compact every leaf (reference behavior).
+    min_fragmentation: float | None = None
 
     @property
     def ext(self) -> str:
@@ -316,6 +323,30 @@ def compact(spark: SparkSession, params: CompactionParams) -> CompactionResult:
     rels = [fs.relative_partition(params.source, leaf) for leaf in leaves]
     log.info(f"found {len(rels)} leaf folder(s)")
 
+    if params.min_fragmentation is not None:
+        kept = []
+        for rel in rels:
+            leaf = params.source.rstrip("/") + rel
+            n_files = fs.count_data_files(leaf, params.ext)
+            total = fs.data_size(leaf, params.ext)
+            planned = params.file_count or max(
+                1, math.ceil(total / params.target_file_bytes)
+            )
+            ratio = n_files / planned
+            if ratio >= params.min_fragmentation:
+                kept.append(rel)
+            else:
+                log.info(
+                    f"skipping {leaf}: {n_files} files vs planned {planned} "
+                    f"(ratio {ratio:.2f} < {params.min_fragmentation})"
+                )
+                result.partitions[rel or "/"] = "SKIPPED_NOT_FRAGMENTED"
+        log.info(
+            f"selective compaction: {len(kept)}/{len(rels)} leaf folder(s) "
+            f"exceed fragmentation {params.min_fragmentation}"
+        )
+        rels = kept
+
     if params.dry_run:
         for rel in rels:
             leaf = params.source.rstrip("/") + rel
@@ -374,6 +405,21 @@ def compact(spark: SparkSession, params: CompactionParams) -> CompactionResult:
     return result
 
 
+def compact_where(
+    spark: SparkSession, params: CompactionParams, threshold: float
+) -> CompactionResult:
+    """Selective in-place maintenance: compact ONLY the leaves whose file
+    count exceeds ``threshold ×`` their planned output count (see
+    ``CompactionParams.min_fragmentation``). Intended for overwrite-mode
+    runs over a live tree — healthy partitions are never read, staged, or
+    swapped, so at 100 TB the job touches only the fragmented tail."""
+    import dataclasses
+
+    return compact(
+        spark, dataclasses.replace(params, min_fragmentation=threshold)
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI mirroring the reference's scopt interface (README.md:24-43)."""
     import argparse
@@ -393,6 +439,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--trashFolder", dest="trash_folder", default=None)
     ap.add_argument("--format", dest="fmt", default="parquet")
     ap.add_argument("--dryRun", dest="dry_run", action="store_true")
+    ap.add_argument(
+        "--minFragmentation", dest="min_fragmentation", type=float,
+        default=None,
+        help="only compact leaves whose file count is >= this multiple of "
+        "the planned output count (selective maintenance)",
+    )
     # reference-parity flags (README.md:37-40):
     ap.add_argument(
         "--hadoopConfigPath", dest="hadoop_config", default=None,

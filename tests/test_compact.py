@@ -401,3 +401,62 @@ def test_dry_run_reports_without_writing(spark, tmp_path):
     }
     assert not os.path.exists(tgt)  # nothing written
     assert any("dry-run" in line for line in res.log_lines)
+
+
+def test_compact_where_only_rewrites_fragmented_leaf(spark, tmp_path):
+    """Selective maintenance (compact_where): in a 2-leaf tree, only the
+    leaf whose file count exceeds threshold x planned output is rewritten;
+    the healthy leaf's files are untouched (same inodes/paths)."""
+    from spark_dba_spark.plans.compact import compact_where
+
+    src = tmp_path / "tree"
+    frag_rows = write_small_files(str(src / "dt=frag"), n_files=8, rows_per_file=10)
+    ok_rows = write_small_files(str(src / "dt=ok"), n_files=2, rows_per_file=10,
+                                start=1000)
+    ok_before = sorted(parquet_files(str(src / "dt=ok")))
+    ok_mtimes = {p: os.path.getmtime(p) for p in ok_before}
+    (tmp_path / "tmp").mkdir()
+    (tmp_path / "trash").mkdir()
+
+    params = CompactionParams(
+        source=str(src),
+        target=str(src),  # in-place maintenance
+        file_count=1,
+        overwrite=True,
+        tmp_folder=str(tmp_path / "tmp"),
+        trash_folder=str(tmp_path / "trash"),
+    )
+    # threshold 4: frag leaf ratio 8/1=8 >= 4; ok leaf 2/1=2 < 4
+    res = compact_where(spark, params, threshold=4.0)
+    assert res.success, res.errors
+    assert res.partitions["/dt=frag"] == "SUCCESS"
+    assert res.partitions["/dt=ok"] == "SKIPPED_NOT_FRAGMENTED"
+
+    # fragmented leaf: rewritten to 1 file, records preserved
+    assert len(parquet_files(str(src / "dt=frag"))) == 1
+    assert sorted(read_rows(spark, str(src / "dt=frag"))) == sorted(frag_rows)
+    # healthy leaf: exact same files, never rewritten
+    ok_after = sorted(parquet_files(str(src / "dt=ok")))
+    assert ok_after == ok_before
+    assert {p: os.path.getmtime(p) for p in ok_after} == ok_mtimes
+    assert sorted(read_rows(spark, str(src / "dt=ok"))) == sorted(ok_rows)
+
+
+def test_compact_where_dry_run_and_cli_flag(spark, tmp_path):
+    """--minFragmentation reaches the job through the CLI; dry-run reports
+    skips without writing."""
+    from spark_dba_spark.plans.compact import main as compact_main
+
+    src = tmp_path / "t2"
+    write_small_files(str(src / "dt=a"), n_files=6, rows_per_file=5)
+    write_small_files(str(src / "dt=b"), n_files=2, rows_per_file=5, start=500)
+    rc = compact_main([
+        "--sourceFolder", str(src),
+        "--targetFolder", str(tmp_path / "out"),
+        "--fileCount", "1",
+        "--minFragmentation", "3.0",
+    ])
+    assert rc == 0
+    # only dt=a (6/1 >= 3) lands in the target
+    assert (tmp_path / "out" / "dt=a").is_dir()
+    assert not (tmp_path / "out" / "dt=b").exists()

@@ -103,3 +103,43 @@ def test_multimodal_binary_roundtrip(spark):
     for r in feats:
         assert r["byte_len"] == meta[r["doc_id"]]
         assert 64 <= r["width"] < 640 and 64 <= r["height"] < 480
+
+
+def test_decode_image_features_real_and_fallback():
+    """decode_image_features: PIL path decodes a real 1x1 PNG when PIL is
+    importable; non-image bytes always take the deterministic stub (the
+    contract that keeps the mm_* oracles valid in every environment)."""
+    import struct
+    import zlib
+
+    from spark_dba_spark.operators.multimodal import (
+        _HAVE_PIL,
+        _fake_decode,
+        decode_image_features,
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # minimal valid 1x1 grayscale PNG, built from the spec with stdlib only
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x80")  # filter byte + one gray pixel
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+    if _HAVE_PIL:
+        assert decode_image_features(png) == (1, 1, 1)
+    else:
+        assert decode_image_features(png) == _fake_decode(png)
+
+    # forced-PIL=False and non-image bytes both hit the stub
+    text = b"not an image"
+    assert decode_image_features(text) == _fake_decode(text)
+    assert decode_image_features(png, use_pil=False) == _fake_decode(png)
