@@ -786,6 +786,51 @@ WHERE rnk <= 25
 """
 
 
+def window_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional value window functions over explicit frames: first/last/
+    nth value on the full-partition frame and min/max over a ±1-row
+    sliding frame. One shuffle on the partition key, per-partition sort —
+    the standard windowed-analytics plan at any scale."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 53 == 0)
+    order_cols = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    full = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    near = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(*order_cols)
+        .rowsBetween(-1, 1)
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.first_value("o_orderkey").over(full).alias("top_key"),
+        F.last_value("o_orderkey").over(full).alias("bottom_key"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_key"),
+        F.min("o_totalprice").over(near).alias("near_min"),
+        F.max("o_totalprice").over(near).alias("near_max"),
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
+ORACLE_WIN_VALUE_FRAMES = """
+SELECT o_orderpriority, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER wf AS top_key,
+       LAST_VALUE(o_orderkey) OVER wf AS bottom_key,
+       NTH_VALUE(o_orderkey, 2) OVER wf AS second_key,
+       MIN(o_totalprice) OVER wn AS near_min,
+       MAX(o_totalprice) OVER wn AS near_max
+FROM orders WHERE o_orderkey % 53 = 0
+WINDOW
+  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+  wn AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Sort / limit, set operations
 # --------------------------------------------------------------------------
@@ -1439,6 +1484,126 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: average yearly revenue lost if small-quantity
+    lineitems (below 40% of their part's average quantity) moved to bulk.
+    The correlated per-part scalar average becomes one hash agg over
+    lineitem + a join back on l_partkey — at scale both sides shuffle on
+    the same key (one exchange each), and the brand filter on part is
+    broadcast. No row ever meets the threshold subquery more than once."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_avg = (
+        li.groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.4).alias("qty_threshold"))
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0)
+            .alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+ORACLE_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+JOIN (SELECT l_partkey, 0.4 * AVG(l_quantity) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey) t
+  ON t.l_partkey = l.l_partkey
+WHERE l.l_quantity < t.qty_threshold
+"""
+
+
+Q18_MIN_QTY = 300
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: customers with orders whose total quantity
+    exceeds Q18_MIN_QTY. The HAVING-filtered per-order agg is tiny; it
+    drives a semi-join back into orders/customer. One shuffle on
+    l_orderkey for the agg; the survivor set is small enough to broadcast
+    into the fact joins at any scale (high-quantity orders are rare)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+    )
+
+
+ORACLE_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > {Q18_MIN_QTY}) b
+  ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue from an OR of three conjunctive
+    brand/size/quantity band predicates. One broadcast join on p_partkey;
+    the disjunction stays a single JVM predicate evaluated post-join (the
+    join key is shared by all three branches, so no union-of-joins)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 21))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 30))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 45))
+            & (F.col("l_quantity").between(20, 40))
+        )
+    )
+    return joined.filter(band).agg(
+        dsum_expr(REVENUE, "revenue"), F.count("*").alias("n_items")
+    )
+
+
+ORACLE_Q19 = f"""
+SELECT {sql_dsum(REVENUE)} AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -1518,4 +1683,16 @@ SPECS = [
     QuerySpec("outer_join_count_dist", outer_join_count_dist,
               ORACLE_OUTER_COUNT_DIST, ("join", "agg", "tpch"),
               doc="TPC-H Q13-shaped outer-join count distribution"),
+    QuerySpec("q17_small_quantity_revenue", q17_small_quantity_revenue,
+              ORACLE_Q17, ("agg", "subquery", "tpch"),
+              doc="TPC-H Q17-shaped correlated-avg threshold"),
+    QuerySpec("q18_large_orders", q18_large_orders, ORACLE_Q18,
+              ("agg", "join", "tpch"),
+              doc="TPC-H Q18-shaped HAVING + join-back"),
+    QuerySpec("q19_disjunctive_revenue", q19_disjunctive_revenue, ORACLE_Q19,
+              ("join", "scan", "tpch"),
+              doc="TPC-H Q19-shaped OR-of-ANDs predicate"),
+    QuerySpec("window_value_frames", window_value_frames,
+              ORACLE_WIN_VALUE_FRAMES, ("window",),
+              doc="first/last/nth_value + sliding min/max frames"),
 ]
