@@ -1604,6 +1604,181 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one nation's share of ECONOMY-part revenue in the
+    AMERICA region per order year. All four dims (part, supplier, nation,
+    region) broadcast; the only big shuffles are the lineitem⋈orders and
+    ⋈customer fact joins on their natural keys. The share is a ratio of
+    two exact decimal sums (order-independent), divided once in double."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum_expr(
+                f"CASE WHEN supp_nation = 'NATION_6' THEN {REVENUE}"
+                " ELSE 0.0 END",
+                "nation_volume",
+            ),
+            dsum_expr(REVENUE, "total_volume"),
+        )
+        .withColumn(
+            "mkt_share", F.col("nation_volume") / F.col("total_volume")
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE_Q08 = f"""
+SELECT o_year, nation_volume, total_volume,
+       nation_volume / total_volume AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         {sql_dsum(f"CASE WHEN n2.n_name = 'NATION_6' THEN {REVENUE} ELSE 0.0 END")}
+           AS nation_volume,
+         {sql_dsum(REVENUE)} AS total_volume
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1)
+ORDER BY o_year
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with the maximum quarterly revenue.
+    The revenue "view" is one hash agg on l_suppkey; its max is a
+    single-row broadcast joined back (scalar-subquery shape with no second
+    scan of lineitem thanks to decimal-exact equality). Supplier dim
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(dsum_expr(REVENUE, "total_revenue"))
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {sql_dsum(REVENUE)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped (partsupp absent from the fixture set — the
+    observed supplier⋈part relation is distinct (l_partkey, l_suppkey)
+    pairs from lineitem). Counts distinct suppliers per (brand, type,
+    size) excluding one brand and suppliers in arrears (NOT IN shape →
+    broadcast anti join). The pair-distinct is one shuffle; the count-
+    distinct agg reshuffles on the narrow grouping key."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size") <= 20)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad_supp),
+            pairs.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON ps.l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_size <= 20
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped (fixtures carry no shipmode/commitdate, so the
+    late-line criterion is shipped >90 days after order date): per order
+    priority, counts of late vs on-time lineitems via conditional sums.
+    One fact-fact join on the order key, then a 5-group agg — the
+    case-sum keeps it a single pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_count"),
+            F.sum(F.when(late, 0).otherwise(1)).alias("ontime_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q12 = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END) AS late_count,
+       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 0 ELSE 1 END) AS ontime_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -1695,4 +1870,16 @@ SPECS = [
     QuerySpec("window_value_frames", window_value_frames,
               ORACLE_WIN_VALUE_FRAMES, ("window",),
               doc="first/last/nth_value + sliding min/max frames"),
+    QuerySpec("q08_market_share", q08_market_share, ORACLE_Q08,
+              ("agg", "join", "tpch"),
+              doc="TPC-H Q8-shaped national market share"),
+    QuerySpec("q15_top_supplier", q15_top_supplier, ORACLE_Q15,
+              ("agg", "subquery", "tpch"),
+              doc="TPC-H Q15-shaped scalar-max revenue view"),
+    QuerySpec("q16_supplier_part_counts", q16_supplier_part_counts,
+              ORACLE_Q16, ("agg", "join", "subquery", "tpch"),
+              doc="TPC-H Q16-shaped NOT-IN + count-distinct"),
+    QuerySpec("q12_late_shipments", q12_late_shipments, ORACLE_Q12,
+              ("agg", "join", "tpch"),
+              doc="TPC-H Q12-shaped conditional case-sum"),
 ]

@@ -354,6 +354,61 @@ FROM ranked WHERE rn = 1 AND n_copies > 1 ORDER BY content_hash
 """
 
 
+TFIDF_TOP_K = 3
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k distinguishing terms by TF-IDF — the classic
+    corpus-featurization step a training pipeline runs before topic
+    filtering or domain mixing.
+
+    Plan shape at scale: tokenize map-side, ONE shuffle on (doc_id, term)
+    for term frequency, one vocabulary-sized shuffle on term for document
+    frequency, corpus size as a single-row broadcast (no driver collect),
+    then a window on doc_id for top-k. Every stage keys on high-cardinality
+    columns — no skew hotspot, no driver state; holds at 100 TB."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("ws"))
+    toks = docs.select(
+        "doc_id", F.size("ws").alias("n_tokens"), F.explode("ws").alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term", "n_tokens").agg(F.count("*").alias("tc"))
+    docfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tfidf = (
+        F.col("tc").cast("double") / F.col("n_tokens")
+    ) * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+toks AS (SELECT doc_id, len(ws) AS n_tokens, unnest(ws) AS term FROM ws),
+tf AS (SELECT doc_id, term, n_tokens, COUNT(*) AS tc
+       FROM toks GROUP BY doc_id, term, n_tokens),
+docfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ws)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT doc_id, term,
+         (CAST(tc AS DOUBLE) / n_tokens)
+           * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY (CAST(tc AS DOUBLE) / n_tokens)
+                      * ln(CAST(n_docs AS DOUBLE) / df) DESC, term) AS rnk
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n)
+WHERE rnk <= {TFIDF_TOP_K} ORDER BY doc_id, rnk
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
@@ -370,4 +425,6 @@ SPECS = [
     QuerySpec("dedup_keep_best", dedup_keep_best, ORACLE_KEEP_BEST,
               ("dedup", "pipeline"),
               doc="exact dedup keeping the highest-quality copy"),
+    QuerySpec("text_tfidf", text_tfidf, ORACLE_TFIDF, ("text", "pipeline"),
+              doc="per-document top-k terms by TF-IDF"),
 ]
