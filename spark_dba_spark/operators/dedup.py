@@ -176,8 +176,10 @@ def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_over_shingles(sh, JACCARD_TAU)
 
 
-ORACLE_NGRAM_JACCARD = f"""
-WITH g AS (
+# Shared CTE block: word-3-gram shingles → DF-pruned postings → candidate
+# pairs with intersection counts. Used by the pair query and the
+# connected-components closure below, so the two oracles can never drift.
+_NGRAM_PAIR_CTES = f"""g AS (
   SELECT doc_id,
          CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
               ELSE text END AS sh
@@ -195,7 +197,10 @@ pair AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
   FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_NGRAM_PAIR_CTES}
 SELECT doc_a, doc_b,
        inter * 1.0 / (x.n + y.n - inter) AS jaccard
 FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
@@ -471,6 +476,94 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# Connected components: pairwise near-dups → dedup groups
+# --------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the n-gram-Jaccard near-dup pair graph —
+    the step that turns pairwise matches into dedup GROUPS (a training
+    pipeline keeps one document per component, not one per pair).
+
+    Distributed min-label propagation: every round each node adopts the
+    smallest component id among itself and its neighbours — one shuffle
+    join + one groupBy per round, O(graph diameter) rounds. Near-dup
+    components are almost-cliques (LSH/Jaccard pairs are dense within a
+    group), so 2-3 rounds in practice; the loop early-exits on a fixpoint
+    and is hard-capped. ``localCheckpoint`` truncates the growing lineage
+    each round — the standard Spark pattern for iterative graph
+    algorithms. At 100 TB: state is one (node, comp) row per paired
+    document, shuffled on node id; no driver-side graph, and the
+    convergence check is a count action, not a collect."""
+    dup = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = dup.union(
+        dup.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)  # pair generation runs exactly once
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter("n.comp <> o.comp")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("n_members"))
+    return (
+        labels.join(F.broadcast(sizes), "comp")
+        .select("doc_id", F.col("comp").alias("component_id"), "n_members")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CC = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+dup AS (
+  SELECT doc_a, doc_b
+  FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_TAU}
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+reach AS (
+  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id
+         FROM reach GROUP BY src)
+SELECT doc_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS n_members
+FROM comp
+ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_clusters", dedup_exact_clusters,
               ORACLE_EXACT_CLUSTERS, ("dedup",)),
@@ -484,4 +577,7 @@ SPECS = [
               ("dedup", "neardup", "lsh"), bench=True),
     QuerySpec("dedup_simhash", dedup_simhash, ORACLE_SIMHASH,
               ("dedup", "neardup")),
+    QuerySpec("dedup_cc_clusters", dedup_cc_clusters, ORACLE_CC,
+              ("dedup", "neardup", "graph"),
+              doc="connected components: near-dup pairs → dedup groups"),
 ]

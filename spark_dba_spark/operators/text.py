@@ -354,6 +354,58 @@ FROM ranked WHERE rn = 1 AND n_copies > 1 ORDER BY content_hash
 """
 
 
+# Target corpus-mixture keep thresholds out of MIX_BUCKETS hash buckets —
+# integer thresholds, not float rates, so the keep predicate is exact and
+# engine-independent (no 0.1*10000 ≠ 1000.0 double edge).
+MIX_BUCKETS = 10_000
+MIX_THRESHOLDS = {"src0": 10_000, "src1": 7_500, "src2": 5_000, "src3": 2_500}
+MIX_DEFAULT_THRESHOLD = 1_000
+
+
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling to a target corpus mixture —
+    how a training pipeline rebalances domains (keep all of src0, 75% of
+    src1, ... 10% of the long tail). Membership is a content-stable salted
+    md5 bucket of doc_id: no RNG, no row-order dependence, reproducible
+    across engines and cluster sizes, and decorrelated from the
+    train/val/test split hash by the salt. Map-only predicate + one small
+    per-source agg — embarrassingly parallel at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('mix:', cast(doc_id as string))),"
+        f" 1, 7), 16, 10) as bigint) % {MIX_BUCKETS}"
+    )
+    threshold = None
+    for src, t in MIX_THRESHOLDS.items():
+        cond = F.col("source") == src
+        threshold = (
+            F.when(cond, t) if threshold is None else threshold.when(cond, t)
+        )
+    threshold = threshold.otherwise(MIX_DEFAULT_THRESHOLD)
+    kept = (bucket < threshold).cast("int")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_total"), F.sum(kept).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+_DUCK_MIX_THRESHOLD = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {t}" for s, t in MIX_THRESHOLDS.items())
+    + f" ELSE {MIX_DEFAULT_THRESHOLD} END"
+)
+
+ORACLE_MIX = f"""
+SELECT source, COUNT(*) AS n_total,
+       SUM(CASE WHEN CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                          1, 7) AS BIGINT) % {MIX_BUCKETS}
+                     < {_DUCK_MIX_THRESHOLD}
+                THEN 1 ELSE 0 END) AS n_kept
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 TFIDF_TOP_K = 3
 
 
@@ -427,4 +479,7 @@ SPECS = [
               doc="exact dedup keeping the highest-quality copy"),
     QuerySpec("text_tfidf", text_tfidf, ORACLE_TFIDF, ("text", "pipeline"),
               doc="per-document top-k terms by TF-IDF"),
+    QuerySpec("corpus_mix_sample", corpus_mix_sample, ORACLE_MIX,
+              ("text", "pipeline", "split"),
+              doc="deterministic hash-based corpus-mixture downsampling"),
 ]
