@@ -406,6 +406,88 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+SAMPLE_PER_SOURCE_K = 10
+
+
+def sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped uniform sample per source: keep at most K docs per domain,
+    chosen by rank of a salted content hash — a deterministic
+    without-replacement sample (no RNG, stable across engines/cluster
+    sizes), the standard way to cap an over-represented domain. One
+    window shuffle on source; at 100 TB a heavy-hitter domain still
+    sorts only within its partition (salt-and-re-rank if one domain
+    alone exceeds a partition — documented, not needed at fixture
+    scale)."""
+    docs = _docs(spark, sf_dir)
+    rank_key = F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(rank_key.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_PER_SOURCE_K)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+ORACLE_SAMPLE_PER_SOURCE = f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= {SAMPLE_PER_SOURCE_K}
+ORDER BY source, doc_id
+"""
+
+
+PACK_BIN_TOKENS = 2048
+
+
+def pack_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential context-window packing report: per source, documents are
+    laid out in doc_id order and chunked into PACK_BIN_TOKENS-token bins
+    by exclusive running token count — the concat-and-chunk packing a
+    pretraining loader does (documents may straddle bin boundaries;
+    boundaries are deterministic). One window shuffle on source + one
+    small agg; the window is a running sum, so Spark streams it without
+    materializing the partition."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    run_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        toks.withColumn("run_excl", run_excl)
+        .withColumn("bin_id", F.expr(f"run_excl div {PACK_BIN_TOKENS}"))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+ORACLE_PACK_BINS = f"""
+SELECT source, run_excl // {PACK_BIN_TOKENS} AS bin_id,
+       COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+FROM (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_excl
+  FROM (SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tokens FROM documents))
+GROUP BY 1, 2 ORDER BY source, bin_id
+"""
+
+
 TFIDF_TOP_K = 3
 
 
@@ -482,4 +564,10 @@ SPECS = [
     QuerySpec("corpus_mix_sample", corpus_mix_sample, ORACLE_MIX,
               ("text", "pipeline", "split"),
               doc="deterministic hash-based corpus-mixture downsampling"),
+    QuerySpec("sample_per_source", sample_per_source,
+              ORACLE_SAMPLE_PER_SOURCE, ("text", "pipeline", "split"),
+              doc="deterministic capped per-domain sample (hash rank)"),
+    QuerySpec("pack_context_bins", pack_context_bins, ORACLE_PACK_BINS,
+              ("text", "pipeline"),
+              doc="sequential context-window packing report"),
 ]
