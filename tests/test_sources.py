@@ -49,6 +49,18 @@ def test_csv_roundtrip(spark, tmp_path):
     assert back.agg(F.sum("v")).first()[0] == 9900
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    # read_folder/write_folder are format-generic: ORC goes through the
+    # same native columnar path as parquet (pushdown + vectorized read).
+    out = str(tmp_path / "orcout")
+    df = spark.range(100).withColumn("v", F.col("id") * 3)
+    readers.write_folder(df, out, fmt="orc", file_count=1)
+    back = readers.read_folder(spark, out, fmt="orc")
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).first()[0] == 14850
+    assert back.filter(F.col("id") < 10).count() == 10
+
+
 def test_partitioned_write(spark, tmp_path):
     out = str(tmp_path / "partout")
     df = spark.range(100).withColumn("bucket", F.col("id") % 4)

@@ -31,6 +31,9 @@ QUERIES = [
     "sim_cosine_topk",           # vector scoring (Arrow+BLAS)
     "text_quality",              # map-only text stats
     "join_asof",                 # union-tag as-of join
+    "text_tfidf",                # explode + two keyed shuffles + window
+    "dedup_cc_clusters",         # iterative label propagation (r3)
+    "emb_quantize_int8",         # map-only higher-order vector math (r3)
 ]
 
 
