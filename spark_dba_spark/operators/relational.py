@@ -1779,6 +1779,105 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide lineitem measure columns → long (metric,
+    value) rows, then one agg per metric. ``DataFrame.unpivot`` expands
+    map-side (no shuffle, no join) — the long projection feeds a 3-group
+    hash agg. The narrow ReadSchema shows only the 4 needed columns reach
+    the scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(dsum("val", "total"), F.count("*").alias("n"))
+        .orderBy("metric")
+    )
+
+
+ORACLE_UNPIVOT = f"""
+SELECT metric, {sql_dsum('val')} AS total, COUNT(*) AS n
+FROM (
+  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS val
+  FROM lineitem WHERE l_orderkey % 97 = 0
+  UNION ALL
+  SELECT l_orderkey, 'l_extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey % 97 = 0
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', l_discount
+  FROM lineitem WHERE l_orderkey % 97 = 0)
+GROUP BY metric ORDER BY metric
+"""
+
+
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): per-nation roster
+    of high-balance customers. ``collect_list`` gathers per group (order
+    within a group is partition-arrival-dependent in a distributed agg,
+    so ``array_sort`` makes the result deterministic — the same reason
+    STRING_AGG needs WITHIN GROUP (ORDER BY) on any parallel engine)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_list("c_name")))
+            .alias("roster"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_STRING_CONCAT = """
+SELECT c_nationkey,
+       COALESCE(string_agg(c_name, '|' ORDER BY c_name), '') AS roster,
+       COUNT(*) AS n_customers
+FROM customer WHERE c_acctbal > 9500
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def agg_mode_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: most frequent order priority per order status,
+    ties broken by priority string (built-in ``mode()`` leaves ties
+    engine-defined, so a portable pipeline ranks (count DESC, value ASC)
+    explicitly). Two keyed shuffles: the (status, priority) count and the
+    per-status top-1 window."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_MODE = """
+SELECT o_orderstatus, mode_priority, cnt FROM (
+  SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY cnt DESC, o_orderpriority) AS rn
+  FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2))
+WHERE rn = 1 ORDER BY o_orderstatus
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -1882,4 +1981,13 @@ SPECS = [
     QuerySpec("q12_late_shipments", q12_late_shipments, ORACLE_Q12,
               ("agg", "join", "tpch"),
               doc="TPC-H Q12-shaped conditional case-sum"),
+    QuerySpec("unpivot_metrics", unpivot_metrics, ORACLE_UNPIVOT,
+              ("reshape", "agg"),
+              doc="unpivot/melt wide measures → long + per-metric agg"),
+    QuerySpec("agg_string_concat", agg_string_concat, ORACLE_STRING_CONCAT,
+              ("agg", "scalar"),
+              doc="deterministic ordered LISTAGG/STRING_AGG"),
+    QuerySpec("agg_mode_manual", agg_mode_manual, ORACLE_MODE,
+              ("agg", "window"),
+              doc="deterministic MODE with explicit tie-break"),
 ]

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from conftest import SF_DIR
 
+from spark_dba_spark import catalog
+
 
 def test_ann_recall_vs_brute(spark):
     from spark_dba_spark.operators.similarity import (
@@ -143,3 +145,89 @@ def test_decode_image_features_real_and_fallback():
     text = b"not an image"
     assert decode_image_features(text) == _fake_decode(text)
     assert decode_image_features(png, use_pil=False) == _fake_decode(png)
+
+
+def test_cc_clusters_consistent_with_pairs(spark):
+    """Every near-dup pair's endpoints share a component; every component
+    id is the minimum doc_id of its members (canonical labeling)."""
+    from spark_dba_spark.operators.dedup import (
+        dedup_cc_clusters,
+        dedup_ngram_jaccard,
+    )
+
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_cc_clusters(spark, SF_DIR).collect()
+    }
+    pairs = dedup_ngram_jaccard(spark, SF_DIR).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for r in pairs:
+        assert comp[r["doc_a"]] == comp[r["doc_b"]]
+    members: dict[int, list[int]] = {}
+    for doc, c in comp.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
+
+
+def test_pack_context_bins_conserves_tokens(spark):
+    """Packing is a partition of the corpus: per source, bin token counts
+    sum to the source's total token count and every doc lands in a bin."""
+    from pyspark.sql import functions as F
+
+    from spark_dba_spark.operators.text import pack_context_bins
+
+    bins = pack_context_bins(spark, SF_DIR).collect()
+    docs = catalog.load(spark, SF_DIR, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    totals = {
+        r["source"]: (r["toks"], r["n"])
+        for r in docs.groupBy("source")
+        .agg(F.sum("n_tokens").alias("toks"), F.count("*").alias("n"))
+        .collect()
+    }
+    by_source: dict[str, tuple[int, int]] = {}
+    for r in bins:
+        t, n = by_source.get(r["source"], (0, 0))
+        by_source[r["source"]] = (t + r["bin_tokens"], n + r["n_docs"])
+    assert by_source == totals
+
+
+def test_quantize_int8_reconstruction_bound(spark):
+    """Dequantized values are within scale/2 of the original (the bound of
+    round-to-nearest), and every quantized level fits in int8 range."""
+    from spark_dba_spark.operators.similarity import emb_quantize_int8
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in catalog.load(spark, SF_DIR, "embeddings").collect()
+    }
+    for r in emb_quantize_int8(spark, SF_DIR).collect():
+        scale, q = r["scale"], r["qvec"]
+        orig = emb[r["vec_id"]]
+        assert len(q) == len(orig)
+        for qi, xi in zip(q, orig):
+            assert -128 <= qi <= 127
+            assert abs(qi * scale - xi) <= scale / 2 + 1e-9
+
+
+def test_mix_sample_hits_target_rates(spark):
+    """Kept fraction per source lands near its configured bucket-threshold
+    rate (exact at threshold 10000; binomial-loose for the rest)."""
+    from spark_dba_spark.operators.text import (
+        MIX_BUCKETS,
+        MIX_DEFAULT_THRESHOLD,
+        MIX_THRESHOLDS,
+        corpus_mix_sample,
+    )
+
+    for r in corpus_mix_sample(spark, SF_DIR).collect():
+        thr = MIX_THRESHOLDS.get(r["source"], MIX_DEFAULT_THRESHOLD)
+        rate = thr / MIX_BUCKETS
+        if rate == 1.0:
+            assert r["n_kept"] == r["n_total"]
+        else:
+            assert 0 <= r["n_kept"] <= r["n_total"]
+            # md5 buckets ≈ uniform: allow wide binomial slack on tiny n
+            assert abs(r["n_kept"] / r["n_total"] - rate) < 0.5
