@@ -508,6 +508,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("comp", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(CC_MAX_ITERS):
         nbr = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -533,6 +534,17 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A near-dup chain longer than the cap would return a silently
+        # WRONG partition (one true component split in two). Refuse —
+        # propagation distance == graph diameter, so hitting this means
+        # the corpus has >CC_MAX_ITERS-deep chains and the cap (or the
+        # algorithm: large-star/small-star converges in O(log n)) must
+        # be raised, not papered over.
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} "
+            f"rounds ({changed} labels still changing)"
+        )
     sizes = labels.groupBy("comp").agg(F.count("*").alias("n_members"))
     return (
         labels.join(F.broadcast(sizes), "comp")

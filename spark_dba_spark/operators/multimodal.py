@@ -117,8 +117,14 @@ def decode_image_features(
         try:
             with PIL.Image.open(io.BytesIO(payload)) as img:
                 return img.width, img.height, _CHANNELS.get(img.mode, 3)
-        except Exception:
-            pass  # not an image (or truncated) → deterministic stub
+        except PIL.UnidentifiedImageError:
+            # Not an image format at all (the fixture payloads) → the
+            # documented deterministic stub.
+            pass
+        # Anything else (truncated file after a valid header, decompression
+        # bomb, OSError) IS an image that failed to decode — propagate.
+        # Substituting fabricated dimensions would let corrupt assets flow
+        # downstream looking real.
     return _fake_decode(payload)
 
 

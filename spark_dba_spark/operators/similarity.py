@@ -38,6 +38,10 @@ TOP_K = 10
 PAIR_TAU = 0.4  # fixture embeddings are random: max pairwise cosine ≈ 0.5
 LSH_PLANES = 5  # per table → 32 buckets
 LSH_TABLES = 8  # OR-amplification: candidates from any matching table
+# Fixture embedding dimensionality. The LSH-candidate ORACLE enumerates
+# range(EMB_DIM) dims in SQL, so the Spark side validates the data against
+# this constant instead of silently deriving a different dim.
+EMB_DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,8 +330,16 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²). Returns the distinct narrow (qid, vec_id) pair stream."""
     emb = _emb(spark, sf_dir)
     sample = emb.select(F.size("embedding").alias("d")).first()
+    if int(sample["d"]) != EMB_DIM:
+        # ORACLE_LSH_CANDIDATES enumerates range(EMB_DIM) dims — a silent
+        # mismatch would bucket on dims the oracle never sums (or NULL-skip
+        # missing ones). Fail loudly instead.
+        raise ValueError(
+            f"embedding dim {sample['d']} != EMB_DIM {EMB_DIM}; update "
+            "EMB_DIM so the Spark side and the DuckDB oracle agree"
+        )
     planes = np.stack(
-        [_hyperplanes(int(sample["d"]), LSH_PLANES, t) for t in range(LSH_TABLES)]
+        [_hyperplanes(EMB_DIM, LSH_PLANES, t) for t in range(LSH_TABLES)]
     )  # (tables, planes, dim)
     bc = spark.sparkContext.broadcast(planes)
 
@@ -432,7 +444,7 @@ WITH planes AS (
          (CAST(('0x' || SUBSTRING(md5('plane:' || t.range || ':' || p.range
                                   || ':' || d.range), 1, 15)) AS BIGINT)
           / 1152921504606846976.0) * 2.0 - 1.0 AS w
-  FROM range({LSH_TABLES}) t, range({LSH_PLANES}) p, range(64) d
+  FROM range({LSH_TABLES}) t, range({LSH_PLANES}) p, range({EMB_DIM}) d
 ),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 dots AS (

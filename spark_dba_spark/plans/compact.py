@@ -91,6 +91,16 @@ class CompactionResult:
     log_lines: list[str] = field(default_factory=list)
 
 
+def planned_file_count(params: "CompactionParams", total_bytes: int) -> int:
+    """D3/"In Progress" dynamic sizing in ONE place: an explicit
+    --file-count wins, else ceil(bytes / target file size) (README.md:21).
+    Used by the selective-compaction filter, --dryRun, and the per-leaf
+    writer so the sizing rule cannot drift between them."""
+    return params.file_count or max(
+        1, math.ceil(total_bytes / params.target_file_bytes)
+    )
+
+
 def resolve_schema(
     spark: SparkSession, fs: FsOps, params: CompactionParams, leaf: str
 ):
@@ -186,9 +196,7 @@ def _process_partition(
 
     # D3/"In Progress" dynamic sizing: ceil(bytes / target file size)
     total_bytes = fs.data_size(leaf, params.ext)
-    n_out = params.file_count or max(
-        1, math.ceil(total_bytes / params.target_file_bytes)
-    )
+    n_out = planned_file_count(params, total_bytes)
     try:
         in_count = df.count()  # D4 (:292-293)
         log.info(
@@ -211,9 +219,9 @@ def _process_partition(
         if params.sort_by:
             out_df = out_df.sortWithinPartitions(*params.sort_by)
         if params.fmt == "avro":
-            # The avro sink writes via posix open() on executors (no
-            # spark-avro on this classpath) — write_avro_folder rejects
-            # non-posix schemes up front with a clear error.
+            # Own-codec avro sink: pyarrow.fs scheme dispatch (local/hdfs/
+            # s3/registered) with a task-attempt commit protocol — no
+            # spark-avro jar needed.
             from ..sources.avro_spark import write_avro_folder
 
             write_avro_folder(
@@ -329,9 +337,7 @@ def compact(spark: SparkSession, params: CompactionParams) -> CompactionResult:
             leaf = params.source.rstrip("/") + rel
             n_files = fs.count_data_files(leaf, params.ext)
             total = fs.data_size(leaf, params.ext)
-            planned = params.file_count or max(
-                1, math.ceil(total / params.target_file_bytes)
-            )
+            planned = planned_file_count(params, total)
             ratio = n_files / planned
             if ratio >= params.min_fragmentation:
                 kept.append(rel)
@@ -352,9 +358,7 @@ def compact(spark: SparkSession, params: CompactionParams) -> CompactionResult:
             leaf = params.source.rstrip("/") + rel
             n_files = fs.count_data_files(leaf, params.ext)
             total = fs.data_size(leaf, params.ext)
-            n_out = params.file_count or max(
-                1, math.ceil(total / params.target_file_bytes)
-            )
+            n_out = planned_file_count(params, total)
             status = "WOULD_COMPACT" if n_files >= 2 else "TOO_FEW_FILES"
             log.info(
                 f"[dry-run] {leaf}: {n_files} files / {total} bytes "

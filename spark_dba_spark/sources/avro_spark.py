@@ -203,7 +203,17 @@ def resolve_fs(path: str):
             return _FS_SCHEMES[scheme](path)
         if scheme == "file":
             return pafs.LocalFileSystem(), path[len("file://"):]
-        return pafs.FileSystem.from_uri(path)
+        # Hadoop spells S3 as s3a:// / s3n://; pyarrow only knows s3://.
+        if scheme in ("s3a", "s3n"):
+            path = "s3://" + path.split("://", 1)[1]
+        try:
+            return pafs.FileSystem.from_uri(path)
+        except Exception as exc:
+            raise ValueError(
+                f"pyarrow has no filesystem for {path!r} ({exc}); register "
+                "one with register_fs_scheme(), or use the Hadoop-FS read "
+                "fallback (read_avro_folder falls back automatically)"
+            ) from exc
     return pafs.LocalFileSystem(), path
 
 
@@ -254,8 +264,17 @@ def read_avro_folder(
     (reference: splittable ``AvroKeyInputFormat``,
     ``DefragmentAvroFolder.scala:267-272``). Task memory is bounded by one
     block, never one file.
+
+    Filesystems pyarrow can't reach (e.g. a Hadoop-only scheme like
+    ``wasbs://``, or ``hdfs://`` without libhdfs on the workers) fall back
+    to a Spark ``binaryFile`` scan — whole-file-per-task (no block
+    splits), but working on ANY Hadoop filesystem, which was the behavior
+    before block-split reads existed.
     """
-    fs, root = resolve_fs(path)
+    try:
+        fs, root = resolve_fs(path)
+    except ValueError:
+        return _read_avro_binaryfile(spark, path, reader_schema, recursive)
     if reader_schema is None:
         reader_schema = latest_file_schema(spark, path, recursive=recursive)
     rs = ac.parse_schema(reader_schema)
@@ -264,7 +283,9 @@ def read_avro_folder(
 
     files = _list_avro_files(fs, root, recursive)
     if not files:
-        raise FileNotFoundError(f"no .avro files under {path}")
+        # With an explicit reader schema an empty/just-swept folder is a
+        # valid empty relation; only schema probing has nothing to work on.
+        return spark.createDataFrame([], spark_schema)
     splits: list[tuple[str, int, int]] = []
     for info in files:
         size = int(info.size)
@@ -289,6 +310,63 @@ def read_avro_folder(
     return splits_df.mapInPandas(decode, spark_schema)
 
 
+def _read_avro_binaryfile(
+    spark: SparkSession,
+    path: str,
+    reader_schema: str | dict | None,
+    recursive: bool,
+) -> DataFrame:
+    """Whole-file-per-task decode through Spark's ``binaryFile`` source —
+    reaches any Hadoop filesystem (s3a://, wasbs://, viewfs://, ...) via
+    the JVM, at the cost of no intra-file splits. Used as the fallback
+    when pyarrow has no driver for the scheme."""
+    if reader_schema is None:
+        reader_schema = _latest_file_schema_hadoop(spark, path, recursive)
+    rs = ac.parse_schema(reader_schema)
+    spark_schema = avro_record_to_struct(rs)
+    col_order = [f.name for f in spark_schema.fields]
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+        .select("content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                recs = list(ac.read_container(bytes(blob), reader_schema=rs))
+                yield pd.DataFrame.from_records(recs, columns=col_order)
+
+    return bin_df.mapInPandas(decode, spark_schema)
+
+
+def _latest_file_schema_hadoop(
+    spark: SparkSession, path: str, recursive: bool
+) -> dict:
+    """Latest-modified file's embedded schema via the Hadoop FileSystem
+    (header bytes only) — the any-scheme twin of latest_file_schema."""
+    from .fsops import FsOps, is_valid_data_file
+
+    fs = FsOps(spark)
+    if recursive:
+        cands = [
+            s
+            for s in fs.list_files_recursive(path)
+            if is_valid_data_file(s.path, "avro")
+        ]
+        latest = (
+            max(cands, key=lambda s: (s.mtime, s.path)).path if cands else None
+        )
+    else:
+        latest = fs.latest_modified_file(path, "avro")
+    if latest is None:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    return ac.read_header(fs.read_bytes(latest, 1 << 20))[0]
+
+
 _DECODE_CHUNK_ROWS = 50_000  # rows per yielded Arrow batch
 
 
@@ -301,13 +379,19 @@ def _decode_split(
     (the header itself ends with the sync, so the first body block is a
     boundary too). The split owning offset p decodes the block starting at
     p; scanning begins at ``start-16`` so a sync ending exactly at
-    ``start`` is found by this split and not the previous one.
+    ``start`` is found by this split and not the previous one. A split
+    whose range covers the header's end owns the first body block
+    directly — scanning from inside the header would skip past the
+    header-terminating sync and silently drop block 1.
     """
     with fs.open_input_file(fpath) as f:
         head = f.read(1 << 20)  # container headers are small; 1 MiB covers
         writer_schema, codec, sync, body_pos = ac.read_header(head)
         flen = f.size()
-        if start == 0:
+        if start <= body_pos:
+            # ``pos < end`` in the decode loop rejects it when the range
+            # ends before the body starts (that block belongs to the split
+            # containing body_pos).
             pos = body_pos
         else:
             # scan forward for the first sync marker ending at >= start

@@ -18,6 +18,7 @@ from hypothesis import strategies as st
 
 from spark_dba_spark.plans.compact import CompactionParams, compact
 from spark_dba_spark.sources import avro_codec as ac
+from spark_dba_spark.sources import avro_spark as asp
 from spark_dba_spark.sources.avro_spark import (
     avro_record_to_struct,
     read_avro_folder,
@@ -687,3 +688,57 @@ def test_write_commit_protocol(spark, tmp_path):
         if not (p.name.startswith("_") or p.name.startswith("."))
     ] if out2.exists() else []
     assert visible == []
+
+
+def test_block_split_boundary_in_header_keeps_first_block(spark, tmp_path):
+    """A split boundary landing at or inside the container header must not
+    drop the first data block (code-review r3: the header-covering split
+    owns the first body block directly)."""
+    rows = mkrows(200)
+    out = tmp_path / "hdr"
+    out.mkdir()
+    data = ac.write_container(rows, SCHEMA, codec="null", block_records=10)
+    (out / "one.avro").write_bytes(data)
+    _, _, _, body_pos = ac.read_header(data)
+
+    # boundaries straddling every offset around the header end, plus inside
+    for sb in (body_pos - 5, body_pos, body_pos + 1, 64, 16):
+        if sb <= 0:
+            continue
+        df = read_avro_folder(
+            spark, str(out), reader_schema=SCHEMA, split_bytes=sb
+        )
+        assert df.count() == 200, f"split_bytes={sb} lost rows"
+        assert df.select("id").distinct().count() == 200
+
+
+def test_read_empty_folder_with_schema_returns_empty_df(spark, tmp_path):
+    """An existing folder with zero .avro files + an explicit reader schema
+    is a valid empty relation (pre-block-split behavior), not an error."""
+    out = tmp_path / "empty"
+    out.mkdir()
+    df = read_avro_folder(spark, str(out), reader_schema=SCHEMA)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "name", "price"]
+
+
+def test_read_falls_back_to_binaryfile_for_unreachable_scheme(
+    spark, tmp_path, monkeypatch
+):
+    """Schemes pyarrow can't drive (wasbs://, hdfs:// sans libhdfs) fall
+    back to the whole-file binaryFile decode path, which reaches any
+    Hadoop filesystem (code-review r3: read-path scheme regression)."""
+    rows = mkrows(50)
+    out = tmp_path / "fb"
+    out.mkdir()
+    (out / "one.avro").write_bytes(ac.write_container(rows, SCHEMA))
+
+    def no_fs(path):
+        raise ValueError(f"pyarrow has no filesystem for {path!r}")
+
+    monkeypatch.setattr(asp, "resolve_fs", no_fs)
+    df = asp.read_avro_folder(spark, str(out), reader_schema=SCHEMA)
+    assert df.count() == 50
+    # schema probing also works through the Hadoop path
+    df2 = asp.read_avro_folder(spark, str(out))
+    assert df2.count() == 50
