@@ -1841,6 +1841,33 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def agg_bool_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates per return flag: COUNT_IF, ANY/EVERY
+    (bool_or/bool_and). One pass, one shuffle — these all fold into the
+    same partial hash agg as plain counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("count_if(l_discount > 0.05)").alias("n_discounted"),
+            F.expr("every(l_quantity > 0)").alias("all_positive_qty"),
+            F.expr("any(l_tax > 0.07)").alias("some_high_tax"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_BOOL_AGG = """
+SELECT l_returnflag,
+       count_if(l_discount > 0.05) AS n_discounted,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       bool_or(l_tax > 0.07) AS some_high_tax,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def agg_mode_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MODE: most frequent order priority per order status,
     ties broken by priority string (built-in ``mode()`` leaves ties
@@ -1990,4 +2017,7 @@ SPECS = [
     QuerySpec("agg_mode_manual", agg_mode_manual, ORACLE_MODE,
               ("agg", "window"),
               doc="deterministic MODE with explicit tie-break"),
+    QuerySpec("agg_bool_predicates", agg_bool_predicates, ORACLE_BOOL_AGG,
+              ("agg",),
+              doc="COUNT_IF / EVERY / ANY boolean aggregates"),
 ]

@@ -66,6 +66,11 @@ class CompactionParams:
     # natural place to fix data LAYOUT, not just file count). No shuffle:
     # sortWithinPartitions is a per-partition sort after the narrow coalesce.
     sort_by: tuple[str, ...] | None = None
+    # Extension beyond the reference: Z-order (Morton) clustering of the
+    # output layout — row groups get tight min/max ranges on EVERY listed
+    # column at once, so columnar stats prune scans on any of them.
+    # Mutually exclusive with sort_by (which clusters on one sort order).
+    zorder_by: tuple[str, ...] | None = None
     # Preflight-only: validate, discover leaves, report per-partition file
     # stats and planned output file counts — write nothing.
     dry_run: bool = False
@@ -216,8 +221,16 @@ def _process_partition(
         else:
             staged = target_part
         out_df = df.coalesce(n_out)
+        if params.sort_by and params.zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         if params.sort_by:
             out_df = out_df.sortWithinPartitions(*params.sort_by)
+        elif params.zorder_by:
+            from ..functions.layout import zorder_sort_within_partitions
+
+            out_df = zorder_sort_within_partitions(
+                out_df, list(params.zorder_by)
+            )
         if params.fmt == "avro":
             # Own-codec avro sink: pyarrow.fs scheme dispatch (local/hdfs/
             # s3/registered) with a task-attempt commit protocol — no
@@ -449,6 +462,15 @@ def main(argv: list[str] | None = None) -> int:
         help="only compact leaves whose file count is >= this multiple of "
         "the planned output count (selective maintenance)",
     )
+    ap.add_argument(
+        "--sortBy", dest="sort_by", default=None,
+        help="comma-separated columns to sort-cluster the output layout on",
+    )
+    ap.add_argument(
+        "--zorderBy", dest="zorder_by", default=None,
+        help="comma-separated columns to Z-order-cluster the output layout "
+        "on (multi-column min/max pruning); mutually exclusive with sortBy",
+    )
     # reference-parity flags (README.md:37-40):
     ap.add_argument(
         "--hadoopConfigPath", dest="hadoop_config", default=None,
@@ -476,6 +498,9 @@ def main(argv: list[str] | None = None) -> int:
         for k, v in vars(args).items()
         if k not in ("hadoop_config", "running_locally")
     }
+    for k in ("sort_by", "zorder_by"):
+        if params.get(k):
+            params[k] = tuple(c.strip() for c in params[k].split(","))
     res = compact(spark, CompactionParams(**params))
     for line in res.log_lines:
         print(line)
