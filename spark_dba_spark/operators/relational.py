@@ -1841,6 +1841,41 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed function surface: per part type, build a brand→count MAP
+    (``map_from_entries`` over the sorted entry list), then probe it with
+    ``element_at`` / ``map_values`` / ``size``. The map stays an
+    intermediate (output columns are scalars) so results hash identically
+    on any engine — map column ordering is engine-defined, values aren't."""
+    part = _t(spark, sf_dir, "part")
+    counts = part.groupBy("p_type", "p_brand").agg(F.count("*").alias("cnt"))
+    return (
+        counts.groupBy("p_type")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("p_brand", "cnt")))
+            ).alias("m")
+        )
+        .select(
+            "p_type",
+            F.size("m").alias("n_brands"),
+            F.element_at("m", "Brand#1").alias("brand1_cnt"),
+            F.array_max(F.map_values("m")).alias("max_brand_cnt"),
+        )
+        .orderBy("p_type")
+    )
+
+
+ORACLE_MAP_OPS = """
+WITH counts AS (
+  SELECT p_type, p_brand, COUNT(*) AS cnt FROM part GROUP BY 1, 2)
+SELECT p_type, COUNT(*) AS n_brands,
+       MAX(CASE WHEN p_brand = 'Brand#1' THEN cnt END) AS brand1_cnt,
+       MAX(cnt) AS max_brand_cnt
+FROM counts GROUP BY p_type ORDER BY p_type
+"""
+
+
 def agg_bool_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean/conditional aggregates per return flag: COUNT_IF, ANY/EVERY
     (bool_or/bool_and). One pass, one shuffle — these all fold into the
@@ -2020,4 +2055,7 @@ SPECS = [
     QuerySpec("agg_bool_predicates", agg_bool_predicates, ORACLE_BOOL_AGG,
               ("agg",),
               doc="COUNT_IF / EVERY / ANY boolean aggregates"),
+    QuerySpec("scalar_map_ops", scalar_map_ops, ORACLE_MAP_OPS,
+              ("scalar", "agg"),
+              doc="map_from_entries / element_at / map_values surface"),
 ]

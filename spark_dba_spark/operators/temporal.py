@@ -148,6 +148,75 @@ ORDER BY event_id
 """
 
 
+def ev_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analytics: per user, first signup → first click
+    AFTER the signup → first purchase AFTER that click; one summary row of
+    stage conversion counts. Each stage is a conditional-min agg keyed on
+    user_id joined back to the event stream — three shuffles on the SAME
+    key, so AQE reuses the partitioning; no window over the whole stream,
+    no per-user collect. The sequential "after the previous stage"
+    semantics is what plain sessionization can't express."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("ts1")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("ts1").alias("ts1"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("ts1")),
+                    F.col("ts"),
+                )
+            ).alias("ts2"),
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("ts1").alias("ts1"),
+            F.first("ts2").alias("ts2"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("ts2")),
+                    F.col("ts"),
+                )
+            ).alias("ts3"),
+        )
+    )
+    return s3.agg(
+        F.count("*").alias("n_users"),
+        F.count("ts1").alias("n_signup"),
+        F.count("ts2").alias("n_signup_click"),
+        F.count("ts3").alias("n_full_funnel"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS ts1
+  FROM events GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, ANY_VALUE(ts1) AS ts1,
+         MIN(CASE WHEN event_type = 'click' AND ts > ts1 THEN ts END) AS ts2
+  FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, ANY_VALUE(ts1) AS ts1, ANY_VALUE(ts2) AS ts2,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > ts2 THEN ts END) AS ts3
+  FROM events e JOIN s2 USING (user_id) GROUP BY e.user_id)
+SELECT COUNT(*) AS n_users, COUNT(ts1) AS n_signup,
+       COUNT(ts2) AS n_signup_click, COUNT(ts3) AS n_full_funnel
+FROM s3
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -156,4 +225,7 @@ SPECS = [
               doc="as-of join via union-tag + windowed last-carry"),
     QuerySpec("window_range_1h", window_range_1h, ORACLE_RANGE_1H,
               ("window", "temporal")),
+    QuerySpec("ev_funnel_stages", ev_funnel_stages, ORACLE_FUNNEL,
+              ("temporal", "agg"),
+              doc="ordered funnel: signup → click-after → purchase-after"),
 ]
