@@ -1841,6 +1841,40 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def window_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a NUMERIC ordering (vs the time-based
+    window_range_1h): for each order, how many orders of the same priority
+    fall within ±1000 of its total price. One shuffle on the partition
+    key; the range frame is evaluated by a sliding scan over the sorted
+    partition, not a self-join."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 31 == 0)
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, 1000)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_near_price"),
+        F.min("o_totalprice").over(w).alias("lo_near"),
+        F.max("o_totalprice").over(w).alias("hi_near"),
+    ).orderBy("o_orderkey")
+
+
+ORACLE_WIN_RANGE_VALUE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       COUNT(*) OVER w AS n_near_price,
+       MIN(o_totalprice) OVER w AS lo_near,
+       MAX(o_totalprice) OVER w AS hi_near
+FROM orders WHERE o_orderkey % 31 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+ORDER BY o_orderkey
+"""
+
+
 def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed function surface: per part type, build a brand→count MAP
     (``map_from_entries`` over the sorted entry list), then probe it with
@@ -2058,4 +2092,7 @@ SPECS = [
     QuerySpec("scalar_map_ops", scalar_map_ops, ORACLE_MAP_OPS,
               ("scalar", "agg"),
               doc="map_from_entries / element_at / map_values surface"),
+    QuerySpec("window_range_value", window_range_value,
+              ORACLE_WIN_RANGE_VALUE, ("window",),
+              doc="RANGE frame over a numeric ordering (±1000 price)"),
 ]
