@@ -742,3 +742,43 @@ def test_read_falls_back_to_binaryfile_for_unreachable_scheme(
     # schema probing also works through the Hadoop path
     df2 = asp.read_avro_folder(spark, str(out))
     assert df2.count() == 50
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_rows=st.integers(min_value=0, max_value=300),
+    block_records=st.integers(min_value=1, max_value=64),
+    n_splits=st.integers(min_value=1, max_value=12),
+)
+def test_split_plan_covers_every_block_exactly_once(
+    tmp_path_factory, n_rows, block_records, n_splits
+):
+    """PROPERTY: any split partitioning of a container decodes every row
+    exactly once — no boundary placement may lose or duplicate a block
+    (the r3 header-boundary bug class). Drives _decode_split directly
+    (no Spark session) over a pyarrow LocalFileSystem."""
+    import math as _math
+
+    import pyarrow.fs as pafs
+
+    rows = mkrows(n_rows)
+    data = ac.write_container(rows, SCHEMA, codec="null",
+                              block_records=block_records)
+    d = tmp_path_factory.mktemp("prop")
+    fp = d / "c.avro"
+    fp.write_bytes(data)
+
+    rs = ac.parse_schema(SCHEMA)
+    cols = ["id", "name", "price"]
+    size = len(data)
+    step = max(1, _math.ceil(size / n_splits))
+    got = []
+    for k in range(n_splits):
+        lo, hi = k * step, min((k + 1) * step, size)
+        if lo >= hi:
+            continue
+        for pdf in asp._decode_split(
+            pafs.LocalFileSystem(), str(fp), lo, hi, rs, cols
+        ):
+            got.extend(pdf.to_dict("records"))
+    assert sorted(r["id"] for r in got) == [r["id"] for r in rows]
