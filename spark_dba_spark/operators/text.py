@@ -406,6 +406,93 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score — the boilerplate/spam signal
+    quality filters cut on (a doc whose word 3-grams repeat heavily is
+    template or loop output). rep_ratio = 1 − distinct/total trigrams.
+    Pure map-side higher-order expressions; no shuffle."""
+    docs = _docs(spark, sf_dir)
+    grams = F.expr(
+        """CASE WHEN size(split(text, ' ')) >= 3 THEN
+             transform(sequence(1, size(split(text, ' ')) - 2), i ->
+               concat_ws(' ', slice(split(text, ' '), i, 3)))
+           ELSE array(text) END"""
+    )
+    return (
+        docs.select("doc_id", grams.alias("g"))
+        .select(
+            "doc_id",
+            F.size("g").alias("n_grams"),
+            F.size(F.array_distinct("g")).alias("n_distinct"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("g"))
+                / F.size("g").cast("double")
+            ).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_REPETITION = """
+SELECT doc_id, len(g) AS n_grams, len(list_distinct(g)) AS n_distinct,
+       1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE) AS rep_ratio
+FROM (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+           list_transform(generate_series(1, len(ws) - 2), i ->
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         ELSE [text] END AS g
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))
+ORDER BY doc_id
+"""
+
+
+VOCAB_TOP_K = 20
+
+
+def text_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: global top-K terms with counts and corpus
+    share — the distribution report a data pipeline prints before choosing
+    stopword/frequency cutoffs. Explode → one hash-shuffle count; total
+    token count rides along as a single-row broadcast (no driver state)."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    # Global top-K via orderBy+limit → TakeOrderedAndProject: each task
+    # keeps its local top-K, the driver merges K-sized heaps. The
+    # unpartitioned row_number window then runs on K rows, never on the
+    # full vocabulary (which at corpus scale would funnel one partition).
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(VOCAB_TOP_K)
+    w = W.orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "term",
+            "cnt",
+            (F.col("cnt") / F.col("total").cast("double")).alias("share"),
+        )
+        .orderBy("rank")
+    )
+
+
+ORACLE_VOCAB = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+total AS (SELECT COUNT(*) AS total FROM toks)
+SELECT rank, term, cnt, cnt / CAST(total AS DOUBLE) AS share
+FROM (SELECT term, cnt, total,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank
+      FROM counts CROSS JOIN total)
+WHERE rank <= {VOCAB_TOP_K}
+ORDER BY rank
+"""
+
+
 SAMPLE_PER_SOURCE_K = 10
 
 
@@ -570,4 +657,10 @@ SPECS = [
     QuerySpec("pack_context_bins", pack_context_bins, ORACLE_PACK_BINS,
               ("text", "pipeline"),
               doc="sequential context-window packing report"),
+    QuerySpec("text_repetition", text_repetition, ORACLE_REPETITION,
+              ("text", "pipeline"),
+              doc="within-doc trigram repetition score (boilerplate signal)"),
+    QuerySpec("text_vocab_top", text_vocab_top, ORACLE_VOCAB,
+              ("text", "pipeline"),
+              doc="global top-K vocabulary with corpus share"),
 ]
