@@ -286,3 +286,66 @@ def run_user_totals_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus cleaning (LLM-pipeline twin of pipeline_clean_corpus)
+# ---------------------------------------------------------------------------
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture — the landing-directory
+    shape a continuous corpus-ingest pipeline reads from."""
+    ensure_session_invariants(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+
+
+def run_clean_corpus_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "clean_corpus_stream"
+) -> DataFrame:
+    """Streaming twin of ``operators.text.pipeline_clean_corpus``:
+    quality gate (map-only) → exact dedup via ``dropDuplicates`` on the
+    content hash (keyed state store — at scale state shards by hash) →
+    per-language stats in complete mode.
+
+    Semantics note: streaming dedup keeps the FIRST-ARRIVED copy, batch
+    keeps the smallest doc_id — but content-hash duplicates have identical
+    text, so every per-language statistic except ``first_doc`` is
+    copy-invariant and equals the batch result (asserted in pytest)."""
+    from ..operators.text import MIN_TOKENS, MIN_UNIQ
+
+    docs = stream_documents(spark, sf_dir).withColumn(
+        "ws", F.split("text", " ")
+    )
+    gated = docs.filter(
+        (F.size("ws") >= MIN_TOKENS)
+        & (
+            F.expr("cast(size(array_distinct(ws)) as double) / size(ws)")
+            >= MIN_UNIQ
+        )
+    )
+    deduped = gated.withColumn("content_hash", F.md5("text")).dropDuplicates(
+        ["content_hash"]
+    )
+    stats = (
+        deduped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("ws")).alias("total_tokens"),
+            F.round(F.avg(F.size("ws").cast("double")), 4).alias("avg_tokens"),
+        )
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

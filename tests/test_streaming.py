@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from conftest import SF_DIR, normalize_rows
 
+from spark_dba_spark.streaming import jobs
+
 
 def _rows(df):
     return normalize_rows([tuple(r) for r in df.collect()], df.columns)
@@ -180,3 +182,21 @@ def test_stateful_user_totals_match_batch(spark):
     assert len(final) == len(batch)
     for r in final:
         assert r["n_events"] == batch[r["user_id"]]
+
+
+def test_clean_corpus_stream_equals_batch(spark):
+    """Streaming corpus cleaning (gate → hash-dedup → per-lang stats)
+    produces the same copy-invariant statistics as the batch pipeline."""
+    from spark_dba_spark.operators.text import pipeline_clean_corpus
+
+    got = {
+        r["lang"]: (r["n_docs"], r["total_tokens"], r["avg_tokens"])
+        for r in jobs.run_clean_corpus_stream(
+            spark, SF_DIR, "t_clean_corpus"
+        ).collect()
+    }
+    want = {
+        r["lang"]: (r["n_docs"], r["total_tokens"], r["avg_tokens"])
+        for r in pipeline_clean_corpus(spark, SF_DIR).collect()
+    }
+    assert got == want
