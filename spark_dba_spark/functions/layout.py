@@ -59,27 +59,41 @@ def quantize_minmax(
     ).cast("long")
 
 
+def _effective_bits(n_cols: int, bits: int | None) -> int:
+    """Per-column bit width: the default scales down so n × bits always
+    fits a signed long (16/16/16 for ≤3 cols, 15 for 4). An explicit
+    ``bits`` is validated by interleave_bits instead."""
+    return min(DEFAULT_BITS, 62 // n_cols) if bits is None else bits
+
+
 def zorder_key(
-    df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS
+    df: DataFrame, cols: list[str], bits: int | None = None
 ) -> Column:
     """Z-order sort key over ``cols``: one min/max agg (single driver row),
-    then pure-expression quantize + interleave."""
+    then pure-expression quantize + interleave.
+
+    Degenerate columns (all NULL, non-numeric casts, or a 0-row frame
+    yield None stats; constant columns yield lo == hi) quantize to a
+    constant 0 bucket — they contribute no ordering but never fail the
+    job."""
+    bits = _effective_bits(len(cols), bits)
     aggs = []
     for c in cols:
         aggs.append(F.min(F.col(c).cast("double")).alias(f"lo_{c}"))
         aggs.append(F.max(F.col(c).cast("double")).alias(f"hi_{c}"))
     stats = df.agg(*aggs).first()
-    quantized = [
-        quantize_minmax(
-            F.col(c), stats[f"lo_{c}"], stats[f"hi_{c}"], bits
-        )
-        for c in cols
-    ]
+    quantized = []
+    for c in cols:
+        lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
+        if lo is None or hi is None or lo != lo or hi != hi:  # None/NaN
+            quantized.append(F.lit(0).cast("long"))
+        else:
+            quantized.append(quantize_minmax(F.col(c), lo, hi, bits))
     return interleave_bits(quantized, bits)
 
 
 def zorder_sort_within_partitions(
-    df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS
+    df: DataFrame, cols: list[str], bits: int | None = None
 ) -> DataFrame:
     """Cluster rows inside each partition by the Z-key — a narrow,
     shuffle-free per-partition sort (exactly like ``sort_by`` layout

@@ -1893,7 +1893,10 @@ def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_type",
             F.size("m").alias("n_brands"),
-            F.element_at("m", "Brand#1").alias("brand1_cnt"),
+            # try_element_at: a p_type group with no Brand#1 yields NULL
+            # (matching the oracle's MAX(CASE...)) instead of ANSI-mode
+            # MAP_KEY_DOES_NOT_EXIST.
+            F.try_element_at("m", F.lit("Brand#1")).alias("brand1_cnt"),
             F.array_max(F.map_values("m")).alias("max_brand_cnt"),
         )
         .orderBy("p_type")

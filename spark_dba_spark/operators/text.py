@@ -222,6 +222,35 @@ MIN_TOKENS = 5
 MIN_UNIQ = 0.3
 
 
+def corpus_quality_gate(docs: DataFrame) -> DataFrame:
+    """Shared quality gate (length + lexical-diversity bounds, map-only).
+    ONE definition used by both the batch pipeline and the streaming twin
+    (streaming/jobs.run_clean_corpus_stream) so the oracle that gates the
+    batch form transitively gates the stream's predicate."""
+    docs = docs.withColumn("ws", F.split("text", " "))
+    return docs.filter(
+        (F.size("ws") >= MIN_TOKENS)
+        & (
+            F.expr("cast(size(array_distinct(ws)) as double) / size(ws)")
+            >= MIN_UNIQ
+        )
+    )
+
+
+def corpus_lang_stats(kept: DataFrame, include_first_doc: bool = True) -> DataFrame:
+    """Shared per-language corpus stats over a gated+deduped frame.
+    ``include_first_doc=False`` drops the only copy-SENSITIVE column, for
+    consumers whose dedup keeps an arbitrary copy (streaming)."""
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("ws")).alias("total_tokens"),
+        F.round(F.avg(F.size("ws").cast("double")), 4).alias("avg_tokens"),
+    ]
+    if include_first_doc:
+        aggs.append(F.min("doc_id").alias("first_doc"))
+    return kept.groupBy("lang").agg(*aggs).orderBy("lang")
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical training-data prep chain as ONE declarative plan:
     (1) quality gate (length + lexical-diversity bounds, map-only),
@@ -230,28 +259,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3) per-language corpus stats (second small shuffle).
     Catalyst pipelines 1 into the dedup shuffle's map side — filters never
     materialize an intermediate corpus."""
-    docs = _docs(spark, sf_dir).withColumn("ws", F.split("text", " "))
-    gated = docs.filter(
-        (F.size("ws") >= MIN_TOKENS)
-        & (
-            F.expr("cast(size(array_distinct(ws)) as double) / size(ws)")
-            >= MIN_UNIQ
-        )
-    )
+    gated = corpus_quality_gate(_docs(spark, sf_dir))
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")
     kept = gated.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
-    return (
-        kept.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.size("ws")).alias("total_tokens"),
-            F.round(F.avg(F.size("ws").cast("double")), 4).alias("avg_tokens"),
-            F.min("doc_id").alias("first_doc"),
-        )
-        .orderBy("lang")
-    )
+    return corpus_lang_stats(kept, include_first_doc=True)
 
 
 ORACLE_PIPELINE = f"""
@@ -460,7 +473,9 @@ def text_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("term")
     )
     counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
-    total = toks.agg(F.count("*").alias("total"))
+    # Total token count from the post-shuffle aggregate (vocabulary-sized),
+    # NOT a second scan+explode of the corpus.
+    total = counts.agg(F.sum("cnt").alias("total"))
     # Global top-K via orderBy+limit → TakeOrderedAndProject: each task
     # keeps its local top-K, the driver merges K-sized heaps. The
     # unpartitioned row_number window then runs on K rows, never on the

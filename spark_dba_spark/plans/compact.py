@@ -138,6 +138,10 @@ def resolve_schema(
 
 def _validate_root(fs: FsOps, params: CompactionParams) -> str | None:
     """C1 (:146-181)."""
+    # Config contradictions fail ONCE here, before any leaf is read —
+    # not per-leaf after a full scan+count.
+    if params.sort_by and params.zorder_by:
+        return "sort_by and zorder_by are mutually exclusive"
     if not fs.is_dir(params.source):
         return f"source folder does not exist or is not a directory: {params.source}"
     # Reference root check (:152): source must be a homogeneous data folder
@@ -221,8 +225,6 @@ def _process_partition(
         else:
             staged = target_part
         out_df = df.coalesce(n_out)
-        if params.sort_by and params.zorder_by:
-            raise ValueError("sort_by and zorder_by are mutually exclusive")
         if params.sort_by:
             out_df = out_df.sortWithinPartitions(*params.sort_by)
         elif params.zorder_by:

@@ -46,13 +46,14 @@ class QuerySpec:
 # queries new in r3 + the 31 whose only driver row is from r1 (rotated out
 # in r2) fill PRIORITY_FIRST; the 14 frozen bench queries keep their
 # driver row every round (slots 37-50); the 36 r2-green non-bench queries
-# rotate to the tail, each holding a driver row ≤1 round old. The 20
+# rotate to the tail, each holding a driver row ≤1 round old. The 23
 # queries added late in r3 (q08/q12/q15/q16/q17/q18/q19,
-# window_value_frames, text_tfidf, dedup_cc_clusters, emb_quantize_int8,
+# window_value_frames, window_range_value, text_tfidf, text_repetition,
+# text_vocab_top, dedup_cc_clusters, emb_quantize_int8,
 # corpus_mix_sample, sample_per_source, pack_context_bins,
 # unpivot_metrics, agg_string_concat, agg_mode_manual,
 # agg_bool_predicates, ev_funnel_stages, scalar_map_ops) sit in the
-# middle (positions 51-70): green in the committed local sweep this
+# middle (positions 51-73): green in the committed local sweep this
 # round, first in line for r4's driver window per the protocol above.
 PRIORITY_FIRST: tuple[str, ...] = (
     # new in r3 — need their first driver row:

@@ -314,32 +314,21 @@ def run_clean_corpus_stream(
     per-language stats in complete mode.
 
     Semantics note: streaming dedup keeps the FIRST-ARRIVED copy, batch
-    keeps the smallest doc_id — but content-hash duplicates have identical
-    text, so every per-language statistic except ``first_doc`` is
-    copy-invariant and equals the batch result (asserted in pytest)."""
-    from ..operators.text import MIN_TOKENS, MIN_UNIQ
+    keeps the smallest doc_id. Content-hash duplicates have identical
+    TEXT, so token statistics are copy-invariant; the per-LANGUAGE
+    grouping additionally assumes duplicates of one text share a lang
+    (true of any real dedup corpus and asserted as a fixture
+    precondition in pytest) — the copy-sensitive ``first_doc`` column is
+    excluded via ``include_first_doc=False``. Gate and stats expressions
+    are SHARED with the batch pipeline (operators.text), so the DuckDB
+    oracle gating the batch form transitively gates these semantics."""
+    from ..operators.text import corpus_lang_stats, corpus_quality_gate
 
-    docs = stream_documents(spark, sf_dir).withColumn(
-        "ws", F.split("text", " ")
-    )
-    gated = docs.filter(
-        (F.size("ws") >= MIN_TOKENS)
-        & (
-            F.expr("cast(size(array_distinct(ws)) as double) / size(ws)")
-            >= MIN_UNIQ
-        )
-    )
+    gated = corpus_quality_gate(stream_documents(spark, sf_dir))
     deduped = gated.withColumn("content_hash", F.md5("text")).dropDuplicates(
         ["content_hash"]
     )
-    stats = (
-        deduped.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.size("ws")).alias("total_tokens"),
-            F.round(F.avg(F.size("ws").cast("double")), 4).alias("avg_tokens"),
-        )
-    )
+    stats = corpus_lang_stats(deduped, include_first_doc=False)
     q = (
         stats.writeStream.format("memory")
         .queryName(query_name)

@@ -94,17 +94,26 @@ def test_compact_with_zorder_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(str(target))
     assert back.count() == 2000
     assert back.agg(F.sum("payload")).first()[0] == sum(r[2] for r in rows)
-    # layout really clustered: each output file's a-range and b-range are
-    # fractions of the global 0-49 span
+    # Layout really clustered: within each output file the row sequence is
+    # non-decreasing in the Morton key (recomputed here over the leaf's
+    # known 0-49 domain). A compactor that skipped the z-sort would leave
+    # the repartition-shuffled order and fail this.
     files = glob.glob(str(target / "*.parquet"))
     assert len(files) == 2
     for f in files:
-        one = spark.read.parquet(f)
-        mm = one.agg(
-            F.min("a"), F.max("a"), F.min("b"), F.max("b")
-        ).first()
-        assert mm[1] - mm[0] <= 49
-        assert mm[3] - mm[2] <= 49
+        one = spark.read.parquet(f).coalesce(1)
+        keys = [
+            r["z"]
+            for r in one.select(
+                interleave_bits(
+                    [
+                        quantize_minmax(F.col("a"), 0.0, 49.0),
+                        quantize_minmax(F.col("b"), 0.0, 49.0),
+                    ]
+                ).alias("z")
+            ).collect()
+        ]
+        assert keys == sorted(keys), f"{f} is not z-ordered"
 
 
 def test_zorder_sortby_mutually_exclusive(spark, tmp_path):
@@ -121,3 +130,23 @@ def test_zorder_sortby_mutually_exclusive(spark, tmp_path):
     )
     assert not res.success
     assert any("mutually exclusive" in e for e in res.errors)
+
+
+def test_zorder_degenerate_and_wide_columns(spark):
+    """All-NULL / non-numeric columns degrade to a constant bucket (no
+    crash); 4 columns auto-scale bits so the key fits a signed long."""
+    df = spark.createDataFrame(
+        [(i, None) for i in range(20)], "a long, b string"
+    ).coalesce(1)
+    assert zorder_sort_within_partitions(df, ["a", "b"]).count() == 20
+
+    df4 = spark.createDataFrame(
+        [(i, i * 2, i * 3, i * 5) for i in range(10)],
+        "a long, b long, c long, d long",
+    ).coalesce(1)
+    assert (
+        zorder_sort_within_partitions(df4, ["a", "b", "c", "d"]).count() == 10
+    )
+
+    empty = spark.createDataFrame([], "a long, b long").coalesce(1)
+    assert zorder_sort_within_partitions(empty, ["a", "b"]).count() == 0

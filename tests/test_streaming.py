@@ -189,6 +189,17 @@ def test_clean_corpus_stream_equals_batch(spark):
     produces the same copy-invariant statistics as the batch pipeline."""
     from spark_dba_spark.operators.text import pipeline_clean_corpus
 
+    # Precondition the per-lang comparison relies on: duplicates of one
+    # text share a lang (else which copy survives changes the grouping).
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert (
+        docs.groupBy(F.md5("text"))
+        .agg(F.countDistinct("lang").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+        == 0
+    )
+
     got = {
         r["lang"]: (r["n_docs"], r["total_tokens"], r["avg_tokens"])
         for r in jobs.run_clean_corpus_stream(
