@@ -346,12 +346,24 @@ def compact(spark: SparkSession, params: CompactionParams) -> CompactionResult:
     rels = [fs.relative_partition(params.source, leaf) for leaf in leaves]
     log.info(f"found {len(rels)} leaf folder(s)")
 
+    def _leaf_stats(rel: str) -> tuple[str, int, int]:
+        leaf = params.source.rstrip("/") + rel
+        return rel, fs.count_data_files(leaf, params.ext), fs.data_size(
+            leaf, params.ext
+        )
+
+    def _all_leaf_stats() -> list[tuple[str, int, int]]:
+        # Driver-side file listings in parallel (same thread pool width as
+        # the partition jobs): on a 100 TB tree with thousands of leaves a
+        # serial remote-listing loop, not the Spark work, dominates wall
+        # time. ex.map preserves rels order → deterministic logs.
+        with ThreadPoolExecutor(max_workers=params.max_parallel) as ex:
+            return list(ex.map(_leaf_stats, rels))
+
     if params.min_fragmentation is not None:
         kept = []
-        for rel in rels:
+        for rel, n_files, total in _all_leaf_stats():
             leaf = params.source.rstrip("/") + rel
-            n_files = fs.count_data_files(leaf, params.ext)
-            total = fs.data_size(leaf, params.ext)
             planned = planned_file_count(params, total)
             ratio = n_files / planned
             if ratio >= params.min_fragmentation:
@@ -369,10 +381,8 @@ def compact(spark: SparkSession, params: CompactionParams) -> CompactionResult:
         rels = kept
 
     if params.dry_run:
-        for rel in rels:
+        for rel, n_files, total in _all_leaf_stats():
             leaf = params.source.rstrip("/") + rel
-            n_files = fs.count_data_files(leaf, params.ext)
-            total = fs.data_size(leaf, params.ext)
             n_out = planned_file_count(params, total)
             status = "WOULD_COMPACT" if n_files >= 2 else "TOO_FEW_FILES"
             log.info(

@@ -564,14 +564,23 @@ def schema_of_file(path: str) -> dict:
 
 class ContainerWriter:
     """Streaming container writer: append records, blocks flushed at
-    `block_records` boundaries. Works over any seekless binary stream."""
+    `block_records` boundaries — or earlier once the encoded block reaches
+    `block_bytes` (wide records can't balloon one block past what a
+    block-split reader task can hold). Works over any seekless binary
+    stream."""
+
+    DEFAULT_BLOCK_BYTES = 16 << 20
 
     def __init__(self, out, schema: Any, codec: str = "null",
-                 block_records: int = 4096, sync: bytes | None = None):
+                 block_records: int = 4096, sync: bytes | None = None,
+                 block_bytes: int | None = None):
         self.out = out
         self.schema = parse_schema(schema)
         self.codec = codec
         self.block_records = block_records
+        self.block_bytes = (
+            self.DEFAULT_BLOCK_BYTES if block_bytes is None else block_bytes
+        )
         self.sync = sync or os.urandom(16)
         self._buf = io.BytesIO()
         self._count = 0
@@ -605,7 +614,10 @@ class ContainerWriter:
             self._buf.truncate(mark)
             raise
         self._count += 1
-        if self._count >= self.block_records:
+        if (
+            self._count >= self.block_records
+            or self._buf.tell() >= self.block_bytes
+        ):
             self.flush_block()
 
     def flush_block(self) -> None:

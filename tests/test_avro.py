@@ -10,6 +10,7 @@ from __future__ import annotations
 import collections
 import datetime
 import json
+import io
 import os
 
 import pytest
@@ -782,3 +783,27 @@ def test_split_plan_covers_every_block_exactly_once(
         ):
             got.extend(pdf.to_dict("records"))
     assert sorted(r["id"] for r in got) == [r["id"] for r in rows]
+
+
+def test_block_bytes_flush_bounds_block_size():
+    """Wide records flush blocks by BYTES before the record-count boundary,
+    so one block (= one reader task's memory) stays bounded."""
+    wide = [{"id": i, "name": "x" * 10_000, "price": 1.0} for i in range(100)]
+    out = io.BytesIO()
+    w = ac.ContainerWriter(out, SCHEMA, block_records=4096, block_bytes=50_000)
+    for r in wide:
+        w.append(r)
+    w.close()
+    data = out.getvalue()
+    # every block's decompressed payload obeys the byte bound (+1 record)
+    _, codec, sync, pos = ac.read_header(data)
+    n_blocks = 0
+    while pos < len(data):
+        rd = ac._Reader(data[pos:pos + 32])
+        n_rec = rd.read_long()
+        blen = rd.read_long()
+        assert blen <= 50_000 + 11_000, "block exceeded byte bound"
+        pos += rd.pos + blen + 16
+        n_blocks += 1
+    assert n_blocks >= 15  # 100 × ~10KB records / 50KB bound
+    assert list(ac.read_container(data)) == wide
