@@ -511,6 +511,7 @@ def write_avro_folder(
     codec: str = "snappy",
     block_records: int = 4096,
     mode: str = "append",
+    block_bytes: int | None = None,
 ) -> int:
     """Write ``df`` as one Avro container file per partition under ``path``.
     Returns the number of files written. File count is controlled upstream
@@ -568,7 +569,8 @@ def write_avro_folder(
             if writer is None:
                 stream = fs.open_output_stream(tmp)
                 writer = ac.ContainerWriter(
-                    stream, avro_schema, codec=codec, block_records=block_records
+                    stream, avro_schema, codec=codec,
+                    block_records=block_records, block_bytes=block_bytes
                 )
             for rec in _pandas_to_records(pdf, spark_schema):
                 writer.append(rec)
