@@ -87,12 +87,32 @@ def main() -> int:
         default=None,
         help="write a driver-shaped correctness artifact (all queries) here",
     )
+    ap.add_argument(
+        "--hostile",
+        action="store_true",
+        help="run under a vanilla foreign session (non-UTC timezone, 200 "
+        "shuffle partitions, none of the engine's session defaults) — the "
+        "shape the external driver uses; queries must self-establish any "
+        "invariant they need",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     specs = registry.all_specs()
     names = args.names or list(specs)
-    spark = get_spark("check_oracle")
+    if args.hostile:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_oracle_hostile")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.sql.shuffle.partitions", "200")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check_oracle")
     con = duck_connection(args.sf)
 
     failures = []
