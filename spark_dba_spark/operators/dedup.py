@@ -480,71 +480,98 @@ ORDER BY doc_a, doc_b
 # Connected components: pairwise near-dups → dedup groups
 # --------------------------------------------------------------------------
 
-CC_MAX_ITERS = 20
+CC_MAX_ITERS = 40
+
+
+def cc_components(pairs: DataFrame, max_rounds: int = CC_MAX_ITERS) -> DataFrame:
+    """Connected components over an undirected (doc_a, doc_b) pair frame →
+    (doc_id, comp) with comp = min node id of the component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each round is two
+    groupBy-join passes, and the edge set contracts toward per-component
+    stars in O(log n) rounds — independent of graph DIAMETER, unlike
+    min-label propagation, so a pathological million-doc near-dup chain
+    converges in ~20 rounds instead of a million. Invariant maintained
+    between steps: edges are directed high→low id.
+
+    - large-star: every node links its LARGER neighbors to the smallest
+      node of its closed neighborhood.
+    - small-star: every node links its smaller neighbors (and itself) to
+      that minimum.
+
+    Convergence detected by an (edge-count, xxhash64-sum) signature of
+    the canonical edge set staying fixed; ``max_rounds`` backstops with a
+    loud failure rather than a silently wrong partition."""
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star over the SYMMETRIC neighborhood
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over high→low edges (large's output is high→low:
+        # every emitted (v, m) has v > u ≥ m)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        stars = large.join(mins2, "u").select(
+            "u", "v", F.col("mn").alias("m")
+        )
+        relink = stars.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        selflink = stars.select("u", F.col("m").alias("v"))
+        edges = (
+            relink.union(selflink)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig_row = edges.agg(
+            F.count("*").alias("n"),
+            # decimal sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds"
+        )
+    # Fixed point = stars: every non-root appears exactly once as u → root.
+    return edges.select(F.col("u").alias("doc_id"), F.col("v").alias("comp")).union(
+        edges.select(F.col("v").alias("doc_id"), F.col("v").alias("comp"))
+    ).distinct()
 
 
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the n-gram-Jaccard near-dup pair graph —
     the step that turns pairwise matches into dedup GROUPS (a training
     pipeline keeps one document per component, not one per pair).
-
-    Distributed min-label propagation: every round each node adopts the
-    smallest component id among itself and its neighbours — one shuffle
-    join + one groupBy per round, O(graph diameter) rounds. Near-dup
-    components are almost-cliques (LSH/Jaccard pairs are dense within a
-    group), so 2-3 rounds in practice; the loop early-exits on a fixpoint
-    and is hard-capped. ``localCheckpoint`` truncates the growing lineage
-    each round — the standard Spark pattern for iterative graph
-    algorithms. At 100 TB: state is one (node, comp) row per paired
-    document, shuffled on node id; no driver-side graph, and the
-    convergence check is a count action, not a collect."""
+    Components via :func:`cc_components` (alternating star contraction,
+    O(log n) rounds, no driver-side graph); validated against a
+    recursive-CTE transitive-closure oracle and a union-find property
+    test over random graphs (tests/test_llm_ops.py)."""
     dup = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = dup.union(
-        dup.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)  # pair generation runs exactly once
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    changed = -1
-    for _ in range(CC_MAX_ITERS):
-        nbr = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter("n.comp <> o.comp")
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        # A near-dup chain longer than the cap would return a silently
-        # WRONG partition (one true component split in two). Refuse —
-        # propagation distance == graph diameter, so hitting this means
-        # the corpus has >CC_MAX_ITERS-deep chains and the cap (or the
-        # algorithm: large-star/small-star converges in O(log n)) must
-        # be raised, not papered over.
-        raise RuntimeError(
-            f"connected components did not converge in {CC_MAX_ITERS} "
-            f"rounds ({changed} labels still changing)"
-        )
+    labels = cc_components(dup)
     sizes = labels.groupBy("comp").agg(F.count("*").alias("n_members"))
     return (
         labels.join(F.broadcast(sizes), "comp")

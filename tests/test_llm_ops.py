@@ -231,3 +231,68 @@ def test_mix_sample_hits_target_rates(spark):
             assert 0 <= r["n_kept"] <= r["n_total"]
             # md5 buckets ≈ uniform: allow wide binomial slack on tiny n
             assert abs(r["n_kept"] / r["n_total"] - rate) < 0.5
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for a, b in edges:
+        for x in (a, b):
+            comp[x] = find(x)
+    # canonicalize: component id = min member
+    roots = {}
+    for x, r in comp.items():
+        roots.setdefault(find(r), []).append(x)
+    out = {}
+    for members in roots.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def test_cc_components_matches_union_find(spark):
+    """cc_components (alternating star contraction) agrees with a plain
+    union-find on random graphs AND on a chain far longer than any
+    propagation-style round cap — the O(log n) convergence claim."""
+    import random
+
+    from spark_dba_spark.operators.dedup import cc_components
+
+    cases = []
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(2, 60)
+        m = rng.randint(1, 120)
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        )
+    # 80-node chain: diameter 79 >> CC_MAX_ITERS rounds needed (~log n)
+    cases.append([(i, i + 1) for i in range(79)])
+    # two cliques bridged by one edge + isolated pair
+    cases.append(
+        [(a, b) for a in range(5) for b in range(a)]
+        + [(a, b) for a in range(10, 15) for b in range(10, a)]
+        + [(4, 10), (90, 91)]
+    )
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["comp"] for r in cc_components(df).collect()
+        }
+        want = _uf_components(1 + max(max(e) for e in edges), edges)
+        assert got == want, f"mismatch on {edges[:10]}..."
