@@ -1487,18 +1487,29 @@ ORDER BY custdist DESC, c_count DESC
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shaped: average yearly revenue lost if small-quantity
     lineitems (below 40% of their part's average quantity) moved to bulk.
-    The correlated per-part scalar average becomes one hash agg over
-    lineitem + a join back on l_partkey — at scale both sides shuffle on
-    the same key (one exchange each), and the brand filter on part is
-    broadcast. No row ever meets the threshold subquery more than once."""
+    The correlated per-part scalar average becomes one hash agg + a join
+    back on l_partkey — at scale both sides shuffle on the same key (one
+    exchange each), and the brand filter on part is broadcast. Crucially
+    the per-part average is computed only over lineitems of the ~1/|brands|
+    surviving parts: lineitem is semi-joined to the broadcast filtered part
+    keys BEFORE the groupBy, so no full-fact-table exchange feeds the
+    threshold agg (threshold rows of non-matching parts are never read, so
+    the answer is unchanged). No row ever meets the threshold subquery more
+    than once."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    brand_keys = part.select("p_partkey")
+    li_brand = li.join(
+        F.broadcast(brand_keys),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
     part_avg = (
-        li.groupBy("l_partkey")
+        li_brand.groupBy("l_partkey")
         .agg((F.avg("l_quantity") * 0.4).alias("qty_threshold"))
     )
     return (
-        li.join(F.broadcast(part.select("p_partkey")),
+        li.join(F.broadcast(brand_keys),
                 li.l_partkey == F.col("p_partkey"))
         .join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
