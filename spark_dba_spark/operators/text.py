@@ -509,22 +509,47 @@ ORDER BY rank
 
 
 SAMPLE_PER_SOURCE_K = 10
+# Salt fan-out for the skew-safe two-stage top-K. `source` is a
+# low-cardinality power-law key: a single window partitioned by source
+# funnels the dominant domain into ONE task's sort at corpus scale. With
+# S salts the heavy sort runs per (source, salt) — S-way parallel — and
+# the final re-rank sees at most S*K rows per source.
+SAMPLE_SALTS = 8
 
 
 def sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped uniform sample per source: keep at most K docs per domain,
     chosen by rank of a salted content hash — a deterministic
     without-replacement sample (no RNG, stable across engines/cluster
-    sizes), the standard way to cap an over-represented domain. One
-    window shuffle on source; at 100 TB a heavy-hitter domain still
-    sorts only within its partition (salt-and-re-rank if one domain
-    alone exceeds a partition — documented, not needed at fixture
-    scale)."""
+    sizes), the standard way to cap an over-represented domain.
+
+    Skew-safe salt-and-re-rank, two stages:
+      1. salt = pmod(hash(doc_id), S) (content-stable, any deterministic
+         bucketing works — the salt never reaches the result); window
+         partitioned by (source, salt) keeps each bucket's local top-K.
+         The dominant domain's sort spreads over S tasks.
+      2. re-rank the <= S*K survivors per source with the plain
+         per-source window — bounded input, trivially one small task.
+    Every row of the true per-source top-K is in its own salt bucket's
+    top-K (at most K-1 rows precede it globally, hence in its bucket),
+    so the union of stage-1 survivors always contains the answer and the
+    result is identical to the single-window form the oracle runs."""
     docs = _docs(spark, sf_dir)
     rank_key = F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
-    w = W.partitionBy("source").orderBy(rank_key.asc(), F.col("doc_id").asc())
+    salt = F.pmod(F.hash("doc_id"), F.lit(SAMPLE_SALTS)).alias("salt")
+    w_salted = W.partitionBy("source", "salt").orderBy(
+        rank_key.asc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        docs.select("source", "doc_id", salt)
+        .withColumn("rn_local", F.row_number().over(w_salted))
+        .filter(F.col("rn_local") <= SAMPLE_PER_SOURCE_K)
+    )
+    w_final = W.partitionBy("source").orderBy(
+        rank_key.asc(), F.col("doc_id").asc()
+    )
     return (
-        docs.withColumn("rn", F.row_number().over(w))
+        survivors.withColumn("rn", F.row_number().over(w_final))
         .filter(F.col("rn") <= SAMPLE_PER_SOURCE_K)
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
@@ -544,6 +569,14 @@ ORDER BY source, doc_id
 
 
 PACK_BIN_TOKENS = 2048
+# Width of a doc_id range-shard for the skew-safe two-pass running sum.
+# A running sum is inherently sequential in doc_id order, so unlike the
+# sample cap it cannot be salted by an arbitrary hash — the shard must be
+# a CONTIGUOUS doc_id range so that "offset of my shard" + "running sum
+# within my shard" reproduces the global running sum exactly. At 100 TB
+# pick the span so one shard's docs fit a task (the shard-totals side
+# stays tiny either way: one row per (source, shard)).
+PACK_SHARD_SPAN = 64
 
 
 def pack_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,21 +584,51 @@ def pack_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     laid out in doc_id order and chunked into PACK_BIN_TOKENS-token bins
     by exclusive running token count — the concat-and-chunk packing a
     pretraining loader does (documents may straddle bin boundaries;
-    boundaries are deterministic). One window shuffle on source + one
-    small agg; the window is a running sum, so Spark streams it without
-    materializing the partition."""
+    boundaries are deterministic).
+
+    Skew-safe two-pass prefix sum (a running sum is sequential, so the
+    naive per-source window funnels the dominant domain into one task):
+      1. shard = doc_id div SPAN — contiguous doc_id ranges, monotone in
+         the packing order. Per-(source, shard) token totals are one
+         small agg (rows = shards, not docs).
+      2. exclusive prefix offsets over the shard totals via a per-source
+         window — runs on the tiny totals table only, then broadcast-
+         joins back.
+      3. the per-doc exclusive running sum windows on (source, shard):
+         the heavy sort/stream spreads over all shards of a domain.
+    shard_offset + local running sum == global running sum, bit-exact,
+    so the result (and the single-window oracle) is unchanged."""
     docs = _docs(spark, sf_dir)
     toks = docs.select(
-        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(f"doc_id div {PACK_SHARD_SPAN}").alias("shard"),
     )
-    w = (
+    shard_totals = toks.groupBy("source", "shard").agg(
+        F.sum("n_tokens").alias("shard_tokens")
+    )
+    w_off = (
         W.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = shard_totals.select(
+        "source",
+        "shard",
+        F.coalesce(F.sum("shard_tokens").over(w_off), F.lit(0)).alias(
+            "shard_offset"
+        ),
+    )
+    w_local = (
+        W.partitionBy("source", "shard")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    run_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    local_excl = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
     return (
-        toks.withColumn("run_excl", run_excl)
+        toks.join(F.broadcast(offsets), ["source", "shard"])
+        .withColumn("run_excl", F.col("shard_offset") + local_excl)
         .withColumn("bin_id", F.expr(f"run_excl div {PACK_BIN_TOKENS}"))
         .groupBy("source", "bin_id")
         .agg(
