@@ -1790,6 +1790,179 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# Supply-cost proxy for the q09 profit expression: the fixture set has no
+# partsupp table (same adaptation as q16), so cost rides on the part dim.
+Q09_COST = "0.6 * p_retailprice * l_quantity"
+Q09_PROFIT = f"{REVENUE} - {Q09_COST}"
+
+
+def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: profit on '%red%' parts per supplier nation and
+    order year (supply cost proxied from the part dim — no partsupp in
+    the fixtures). Part/supplier/nation dims broadcast; the only big
+    shuffle is the lineitem⋈orders fact join on the order key. The
+    grouping key is an EXPRESSION (year(o_orderdate)) — computed map-side
+    before the partial agg, so the shuffle carries (nation, year) pairs,
+    never dates. Profit is summed in exact decimal (order-independent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum_expr(Q09_PROFIT, "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+ORACLE_Q09 = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {sql_dsum(Q09_PROFIT)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+Q11_NATIONS = ("NATION_3", "NATION_15", "NATION_19")
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: parts representing an outsized share of the
+    revenue flowing through a nation group's suppliers — HAVING against a
+    scalar subquery of the SAME aggregate (no partsupp in the fixtures:
+    "stock value" is lineitem revenue through those suppliers).
+
+    The per-part agg is one hash shuffle on l_partkey (supplier filter is
+    a broadcast semi-join before it). The scalar total re-aggregates the
+    per-part RESULT (parts-sized, not fact-sized — no second scan) into
+    one row that broadcasts into the HAVING filter. The share threshold
+    compares exact decimals with integer multipliers (value*n*5 >
+    total*6 ⇔ value > 1.2·mean) so no float rounding can flip a part
+    near the cut on either engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*Q11_NATIONS)
+    )
+    nat_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    per_part = (
+        li.join(
+            F.broadcast(nat_supp),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr(REVENUE).cast(DEC)).alias("val_dec"))
+    )
+    totals = per_part.agg(
+        F.sum("val_dec").alias("tot_dec"), F.count("*").alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("val_dec") * F.col("n_parts") * 5 > F.col("tot_dec") * 6
+        )
+        .select(
+            "l_partkey", F.col("val_dec").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+ORACLE_Q11 = f"""
+WITH v AS (
+  SELECT l_partkey, SUM(CAST({REVENUE} AS DECIMAL(25,6))) AS val_dec
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN {Q11_NATIONS!r})
+  GROUP BY l_partkey),
+t AS (SELECT SUM(val_dec) AS tot_dec, COUNT(*) AS n_parts FROM v)
+SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+FROM v, t
+WHERE val_dec * n_parts * 5 > tot_dec * 6
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+Q20_MIN_QTY = 40
+
+
+def q20_qualified_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped chained semi-joins: suppliers (in a nation group)
+    who shipped more than Q20_MIN_QTY units of any 'red%' part during
+    1997. Three links, each a semi-join so no payload widens the fact
+    scan: lineitem SEMI part-keys (broadcast) → per-(part, supplier)
+    decimal-sum HAVING → distinct supplier keys (tiny, broadcast) SEMI
+    supplier ⋈ broadcast nation filter. The only fact-sized shuffle is
+    the (l_partkey, l_suppkey) agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_9", "NATION_15")
+    )
+    qual_supp = (
+        li.join(
+            F.broadcast(red_parts),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > Q20_MIN_QTY)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            F.broadcast(qual_supp),
+            supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q20 = f"""
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_9', 'NATION_15')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_partkey, l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > {Q20_MIN_QTY})
+ORDER BY s_suppkey
+"""
+
+
 def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): wide lineitem measure columns → long (metric,
     value) rows, then one agg per metric. ``DataFrame.unpivot`` expands
@@ -2091,6 +2264,15 @@ SPECS = [
     QuerySpec("q12_late_shipments", q12_late_shipments, ORACLE_Q12,
               ("agg", "join", "tpch"),
               doc="TPC-H Q12-shaped conditional case-sum"),
+    QuerySpec("q09_product_type_profit", q09_product_type_profit, ORACLE_Q09,
+              ("agg", "join", "tpch"),
+              doc="TPC-H Q9-shaped profit by nation/year, expression group key"),
+    QuerySpec("q11_important_parts", q11_important_parts, ORACLE_Q11,
+              ("agg", "subquery", "tpch"),
+              doc="TPC-H Q11-shaped HAVING vs scalar subquery of same agg"),
+    QuerySpec("q20_qualified_suppliers", q20_qualified_suppliers, ORACLE_Q20,
+              ("join", "semi", "subquery", "tpch"),
+              doc="TPC-H Q20-shaped chained semi-joins"),
     QuerySpec("unpivot_metrics", unpivot_metrics, ORACLE_UNPIVOT,
               ("reshape", "agg"),
               doc="unpivot/melt wide measures → long + per-metric agg"),
