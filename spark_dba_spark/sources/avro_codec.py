@@ -38,6 +38,22 @@ MAGIC = b"Obj\x01"
 _EPOCH_DATE = _dt.date(1970, 1, 1)
 _EPOCH_TS = _dt.datetime(1970, 1, 1)
 
+
+class TaggedUnion:
+    """Explicit union-branch selection for :func:`encode_datum`.
+
+    ``tag`` indexes the FULL union branch list (including any null branch).
+    Without it the encoder picks the first value-compatible branch, which
+    cannot distinguish e.g. an ``int`` destined for the ``"long"`` branch of
+    ``["long", "double"]`` from one destined for ``"double"`` — the Spark
+    union mapping (avro_spark) round-trips branch identity through this."""
+
+    __slots__ = ("tag", "value")
+
+    def __init__(self, tag: int, value: Any):
+        self.tag = tag
+        self.value = value
+
 PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
 
 
@@ -372,6 +388,10 @@ def _encode_logical(schema: Any, v: Any) -> Any:
 def encode_datum(out: io.BytesIO, schema: Any, v: Any) -> None:
     t = schema_type(schema)
     if t == "union":
+        if isinstance(v, TaggedUnion):
+            _write_long(out, v.tag)
+            encode_datum(out, schema[v.tag], v.value)
+            return
         for i, branch in enumerate(schema):
             if _union_match(branch, v):
                 _write_long(out, i)

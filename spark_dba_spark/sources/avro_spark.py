@@ -63,9 +63,21 @@ def avro_to_spark_type(schema: Any) -> T.DataType:
     t = ac.schema_type(schema)
     if t == "union":
         branches = [b for b in schema if ac.schema_type(b) != "null"]
-        if len(branches) != 1:
-            raise ValueError(f"only [null, T] unions map to Spark: {schema}")
-        return avro_to_spark_type(branches[0])
+        if len(branches) == 1:
+            return avro_to_spark_type(branches[0])
+        # Multi-branch union → struct of nullable branch fields, the
+        # spark-avro member{i} convention plus an explicit `tag` (index
+        # into the non-null branch list) so the writer can invert the
+        # mapping without guessing from Python value types. Exactly one
+        # member is non-null per value; a union-level null (when a null
+        # branch exists) is a null struct.
+        return T.StructType(
+            [T.StructField("tag", T.IntegerType(), False)]
+            + [
+                T.StructField(f"member{i}", avro_to_spark_type(b), True)
+                for i, b in enumerate(branches)
+            ]
+        )
     lt = schema.get("logicalType") if isinstance(schema, dict) else None
     if lt == "date":
         return T.DateType()
@@ -167,6 +179,199 @@ def struct_to_avro_record(st: T.StructType, name: str = "row") -> dict:
             for f in st.fields
         ],
     }
+
+
+# ---------------------------------------------------------------------------
+# Multi-branch union value conversion (decode → tagged struct, encode back)
+# ---------------------------------------------------------------------------
+#
+# The codec is schema-generic (any Avro union decodes/encodes fine — the
+# reference likewise passes unions through untouched, records being opaque
+# to it, DefragmentAvroFolder.scala:267-272); only the DataFrame mapping
+# needs a shape. Decoded values carry no branch index, so the tag is
+# re-derived from the Python value's type CLASS (exact class first — an
+# int never re-tags as a ``double`` branch just because doubles accept
+# ints). Unions whose branches share a value class (["float","double"],
+# two records, record+map, ...) cannot be tagged faithfully from values
+# and are rejected up front rather than silently corrupted.
+
+# avro branch → the Python-value class its decoded values inhabit
+_UNION_CLASS = {
+    "boolean": "bool", "int": "i", "long": "i", "float": "f", "double": "f",
+    "string": "str", "enum": "str", "bytes": "bytes", "fixed": "bytes",
+    "record": "rec", "map": "map", "array": "arr",
+}
+
+
+def _branch_class(schema: Any) -> str:
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
+    if lt == "date":
+        return "date"
+    if lt in ("timestamp-micros", "timestamp-millis",
+              "local-timestamp-micros", "local-timestamp-millis"):
+        return "ts"
+    return _UNION_CLASS[ac.schema_type(schema)]
+
+
+def _value_class(v: Any) -> str:
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "i"
+    if isinstance(v, float):
+        return "f"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, _dt.datetime):  # before date — datetime IS a date
+        return "ts"
+    if isinstance(v, _dt.date):
+        return "date"
+    if isinstance(v, dict):
+        return "rec_or_map"
+    if isinstance(v, (list, tuple)):
+        return "arr"
+    raise ValueError(f"untaggable decoded union value {v!r}")
+
+
+def _decoded_converter(schema: Any):
+    """Converter from codec-decoded values to the Spark struct shape for
+    any multi-branch union nested anywhere in ``schema``; None = identity
+    (the fast path — schemas without multi-unions pay nothing)."""
+    schema = ac.parse_schema(schema)
+    t = ac.schema_type(schema)
+    if t == "union":
+        branches = [b for b in schema if ac.schema_type(b) != "null"]
+        if len(branches) == 1:
+            return _decoded_converter(branches[0])
+        classes = [_branch_class(b) for b in branches]
+        if len(set(classes)) != len(classes) or (
+            "rec" in classes and "map" in classes
+        ):
+            raise NotImplementedError(
+                "union branches must have distinct value classes to map to "
+                f"a tagged struct (got {classes} for {schema}); branches "
+                "like [float, double] or two records are indistinguishable "
+                "from decoded values"
+            )
+        by_class = {c: i for i, c in enumerate(classes)}
+        convs = [_decoded_converter(b) for b in branches]
+        n_b = len(branches)
+
+        def conv_union(v):
+            if v is None:
+                return None
+            vc = _value_class(v)
+            if vc == "rec_or_map":
+                i = by_class.get("rec", by_class.get("map"))
+            else:
+                i = by_class.get(vc)
+                if i is None and vc == "i":
+                    i = by_class.get("f")  # int into a float/double branch
+            if i is None:
+                raise ValueError(
+                    f"decoded value {v!r} matches no branch of {schema}"
+                )
+            out = {"tag": i}
+            for j in range(n_b):
+                out[f"member{j}"] = None
+            out[f"member{i}"] = convs[i](v) if convs[i] else v
+            return out
+
+        return conv_union
+    if t == "record":
+        fconvs = {
+            f["name"]: _decoded_converter(f["type"]) for f in schema["fields"]
+        }
+        if not any(fconvs.values()):
+            return None
+
+        def conv_record(rec):
+            if rec is None:
+                return None
+            for n, c in fconvs.items():
+                if c is not None:
+                    rec[n] = c(rec[n])
+            return rec
+
+        return conv_record
+    if t == "array":
+        inner = _decoded_converter(schema["items"])
+        if inner is None:
+            return None
+        return lambda v: None if v is None else [inner(x) for x in v]
+    if t == "map":
+        inner = _decoded_converter(schema["values"])
+        if inner is None:
+            return None
+        return lambda v: (
+            None if v is None else {k: inner(x) for k, x in dict(v).items()}
+        )
+    return None
+
+
+def _encode_converter(schema: Any):
+    """Inverse of :func:`_decoded_converter`: tagged member structs →
+    raw branch values the codec's union encoder accepts. None = identity."""
+    schema = ac.parse_schema(schema)
+    t = ac.schema_type(schema)
+    if t == "union":
+        non_null = [
+            (i, b) for i, b in enumerate(schema) if ac.schema_type(b) != "null"
+        ]
+        if len(non_null) == 1:
+            return _encode_converter(non_null[0][1])
+        # tag (index into non-null branches, the struct's convention) →
+        # full-union branch index for exact codec branch selection
+        full_idx = [i for i, _ in non_null]
+        null_idx = next(
+            (i for i, b in enumerate(schema) if ac.schema_type(b) == "null"),
+            None,
+        )
+        convs = [_encode_converter(b) for _, b in non_null]
+
+        def conv_union(v):
+            if v is None:
+                if null_idx is None:
+                    raise ValueError(f"null for non-nullable union {schema}")
+                return ac.TaggedUnion(null_idx, None)
+            tag = int(v["tag"])
+            val = v[f"member{tag}"]
+            return ac.TaggedUnion(
+                full_idx[tag], convs[tag](val) if convs[tag] else val
+            )
+
+        return conv_union
+    if t == "record":
+        fconvs = {
+            f["name"]: _encode_converter(f["type"]) for f in schema["fields"]
+        }
+        if not any(fconvs.values()):
+            return None
+
+        def conv_record(rec):
+            if rec is None:
+                return None
+            for n, c in fconvs.items():
+                if c is not None:
+                    rec[n] = c(rec[n])
+            return rec
+
+        return conv_record
+    if t == "array":
+        inner = _encode_converter(schema["items"])
+        if inner is None:
+            return None
+        return lambda v: None if v is None else [inner(x) for x in v]
+    if t == "map":
+        inner = _encode_converter(schema["values"])
+        if inner is None:
+            return None
+        return lambda v: (
+            None if v is None else {k: inner(x) for k, x in dict(v).items()}
+        )
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -300,11 +505,14 @@ def read_avro_folder(
         splits, schema="path string, start long, end long"
     ).repartition(len(splits))
 
+    conv = _decoded_converter(rs)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fpath, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
                 yield from _decode_split(
-                    fs, str(fpath), int(start), int(end), rs, col_order
+                    fs, str(fpath), int(start), int(end), rs, col_order,
+                    conv=conv,
                 )
 
     return splits_df.mapInPandas(decode, spark_schema)
@@ -334,10 +542,14 @@ def _read_avro_binaryfile(
         .select("content")
     )
 
+    conv = _decoded_converter(rs)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for blob in pdf["content"]:
                 recs = list(ac.read_container(bytes(blob), reader_schema=rs))
+                if conv is not None:
+                    recs = [conv(r) for r in recs]
                 yield pd.DataFrame.from_records(recs, columns=col_order)
 
     return bin_df.mapInPandas(decode, spark_schema)
@@ -371,7 +583,8 @@ _DECODE_CHUNK_ROWS = 50_000  # rows per yielded Arrow batch
 
 
 def _decode_split(
-    fs, fpath: str, start: int, end: int, reader_schema: Any, col_order: list[str]
+    fs, fpath: str, start: int, end: int, reader_schema: Any,
+    col_order: list[str], conv=None,
 ) -> Iterator[pd.DataFrame]:
     """Decode the container blocks whose start offset lies in [start, end).
 
@@ -432,8 +645,16 @@ def _decode_split(
                 raise ValueError(f"sync marker mismatch in {fpath} @ {pos}")
             block = ac._decompress(codec, payload)
             br = ac._Reader(block)
-            for _ in range(n_records):
-                rows.append(ac.decode_datum(br, writer_schema, reader_schema))
+            if conv is None:
+                for _ in range(n_records):
+                    rows.append(
+                        ac.decode_datum(br, writer_schema, reader_schema)
+                    )
+            else:
+                for _ in range(n_records):
+                    rows.append(
+                        conv(ac.decode_datum(br, writer_schema, reader_schema))
+                    )
             pos = data_at + block_len + 16
             if len(rows) >= _DECODE_CHUNK_ROWS:
                 yield pd.DataFrame.from_records(rows, columns=col_order)
@@ -491,10 +712,14 @@ def read_avro_stream(
         .select("content")
     )
 
+    u_conv = _decoded_converter(rs)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for blob in pdf["content"]:
                 recs = list(ac.read_container(bytes(blob), reader_schema=rs))
+                if u_conv is not None:
+                    recs = [u_conv(r) for r in recs]
                 yield pd.DataFrame.from_records(recs, columns=col_order)
 
     return bin_stream.mapInPandas(decode, spark_schema)
@@ -554,6 +779,8 @@ def write_avro_folder(
         [T.StructField("file", T.StringType()), T.StructField("n", T.LongType())]
     )
 
+    u_conv = _encode_converter(avro_schema)
+
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
@@ -573,7 +800,7 @@ def write_avro_folder(
                     block_records=block_records, block_bytes=block_bytes
                 )
             for rec in _pandas_to_records(pdf, spark_schema):
-                writer.append(rec)
+                writer.append(u_conv(rec) if u_conv is not None else rec)
                 n += 1
         if writer is not None:
             writer.close()
