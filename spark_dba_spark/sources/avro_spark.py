@@ -440,6 +440,82 @@ def _list_avro_files(fs, root: str, recursive: bool) -> list:
 
 
 # ---------------------------------------------------------------------------
+# Hive-style partition layout helpers (k=v directory segments)
+# ---------------------------------------------------------------------------
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_escape(v: Any) -> str:
+    from urllib.parse import quote
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return _HIVE_NULL
+    return quote(str(v), safe="")
+
+
+def _hive_unescape(s: str):
+    from urllib.parse import unquote
+
+    if s == _HIVE_NULL:
+        return None
+    return unquote(s)
+
+
+def _discover_hive_partitions(root: str, files: list):
+    """Parse ``k=v`` directory segments between ``root`` and each file.
+
+    Returns ``(part_cols, types, values_by_path)`` where ``types`` are
+    Spark types inferred Spark-style (all-long → long, else all-double →
+    double, else string) and ``values_by_path`` maps file path → tuple of
+    typed partition values. Empty part_cols ⇒ not a partitioned layout
+    (any file without the common key sequence disables discovery)."""
+    root_norm = root.rstrip("/")
+    kvs_per_file: list[list[tuple[str, str]]] = []
+    for info in files:
+        rel = info.path[len(root_norm):].strip("/")
+        segs = rel.split("/")[:-1]
+        kvs = [tuple(s.split("=", 1)) for s in segs if "=" in s and not s.startswith("=")]
+        kvs_per_file.append(kvs)
+    if not kvs_per_file or not kvs_per_file[0]:
+        return [], [], {}
+    keys = [k for k, _ in kvs_per_file[0]]
+    if any([k for k, _ in kvs] != keys for kvs in kvs_per_file):
+        return [], [], {}
+
+    raw_cols = list(zip(*[[v for _, v in kvs] for kvs in kvs_per_file]))
+    types: list[T.DataType] = []
+    typed_cols = []
+    for col_vals in raw_cols:
+        vals = [_hive_unescape(v) for v in col_vals]
+        non_null = [v for v in vals if v is not None]
+
+        def _all(cast):
+            try:
+                return [None if v is None else cast(v) for v in vals]
+            except ValueError:
+                return None
+
+        as_int = _all(int) if non_null else None
+        if as_int is not None:
+            types.append(T.LongType())
+            typed_cols.append(as_int)
+            continue
+        as_float = _all(float) if non_null else None
+        if as_float is not None:
+            types.append(T.DoubleType())
+            typed_cols.append(as_float)
+            continue
+        types.append(T.StringType())
+        typed_cols.append(vals)
+    values_by_path = {
+        info.path: tuple(col[i] for col in typed_cols)
+        for i, info in enumerate(files)
+    }
+    return keys, types, values_by_path
+
+
+# ---------------------------------------------------------------------------
 # Distributed read (sync-marker block splits)
 # ---------------------------------------------------------------------------
 
@@ -491,6 +567,19 @@ def read_avro_folder(
         # With an explicit reader schema an empty/just-swept folder is a
         # valid empty relation; only schema probing has nothing to work on.
         return spark.createDataFrame([], spark_schema)
+
+    # Hive-layout partition discovery (k=v dir segments): partition values
+    # live in the path, not the files — re-attach them as trailing columns,
+    # Spark-style type inference (long → double → string).
+    part_cols, part_types, part_vals = _discover_hive_partitions(root, files)
+    keep = [i for i, c in enumerate(part_cols) if c not in col_order]
+    part_cols = [part_cols[i] for i in keep]
+    part_types = [part_types[i] for i in keep]
+    part_vals = {p: tuple(v[i] for i in keep) for p, v in part_vals.items()}
+    if part_cols:
+        for c, t in zip(part_cols, part_types):
+            spark_schema = spark_schema.add(T.StructField(c, t, True))
+
     splits: list[tuple[str, int, int]] = []
     for info in files:
         size = int(info.size)
@@ -510,10 +599,15 @@ def read_avro_folder(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fpath, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
-                yield from _decode_split(
-                    fs, str(fpath), int(start), int(end), rs, col_order,
+                fpath = str(fpath)
+                for out in _decode_split(
+                    fs, fpath, int(start), int(end), rs, col_order,
                     conv=conv,
-                )
+                ):
+                    if part_cols:
+                        for c, v in zip(part_cols, part_vals[fpath]):
+                            out[c] = v
+                    yield out
 
     return splits_df.mapInPandas(decode, spark_schema)
 
@@ -679,19 +773,43 @@ def latest_file_schema(
     return ac.read_header(head)[0]
 
 
+def _strip_hadoop_uri(p: str) -> str:
+    """Hadoop URI (``file:/x``, ``file:///x``, ``s3a://b/k``) → the path a
+    pyarrow FileSystem expects (scheme-less, fs-relative)."""
+    if "://" in p:
+        return p.split("://", 1)[1]
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
 def read_avro_stream(
     spark: SparkSession,
     path: str,
     reader_schema: str | dict,
     recursive: bool = True,
+    split_bytes: int = DEFAULT_SPLIT_BYTES,
 ) -> DataFrame:
     """Streaming variant of :func:`read_avro_folder`: a ``binaryFile`` file
     stream decoded per micro-batch with the same reader-schema resolution.
     An explicit reader schema is required (a stream cannot probe a
-    latest-modified file — files arrive over time)."""
+    latest-modified file — files arrive over time).
+
+    Like the batch reader, files larger than ``split_bytes`` decode as
+    MULTIPLE byte-range splits: the stream carries only (path, length)
+    metadata (binaryFile's content column is pruned away, never read), a
+    map-side planner expands each file into sync-marker split ranges
+    (pure arithmetic on the length — no I/O), a stateless hash
+    repartition spreads the ranges across tasks, and each task decodes
+    its blocks with the same `_decode_split` as the batch path. One huge
+    landed file can no longer stall a micro-batch behind a single task.
+
+    Filesystems pyarrow can't reach fall back to whole-file-per-task
+    decode of the binaryFile content (the pre-split behavior)."""
     rs = ac.parse_schema(reader_schema)
     spark_schema = avro_record_to_struct(rs)
     col_order = [f.name for f in spark_schema.fields]
+    u_conv = _decoded_converter(rs)
 
     # Streaming file sources demand an explicit schema; binaryFile's is
     # fixed by the format.
@@ -703,26 +821,60 @@ def read_avro_stream(
             T.StructField("content", T.BinaryType()),
         ]
     )
-    bin_stream = (
+    stream = (
         spark.readStream.format("binaryFile")
         .schema(bin_schema)
         .option("pathGlobFilter", "*.avro")
         .option("recursiveFileLookup", str(recursive).lower())
         .load(path)
-        .select("content")
     )
 
-    u_conv = _decoded_converter(rs)
+    try:
+        fs, _root = resolve_fs(path)
+    except ValueError:
+        # No pyarrow driver for this scheme — whole-file decode through
+        # the JVM-read content column (any Hadoop FS, no intra-file splits).
+        def decode_whole(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for blob in pdf["content"]:
+                    recs = list(ac.read_container(bytes(blob), reader_schema=rs))
+                    if u_conv is not None:
+                        recs = [u_conv(r) for r in recs]
+                    yield pd.DataFrame.from_records(recs, columns=col_order)
+
+        return stream.select("content").mapInPandas(decode_whole, spark_schema)
+
+    sb = max(1, split_bytes)
+
+    def plan_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple[str, int, int]] = []
+            for p, size in zip(pdf["path"], pdf["length"]):
+                fp = _strip_hadoop_uri(str(p))
+                size = int(size)
+                n = max(1, math.ceil(size / sb))
+                step = math.ceil(size / n)
+                for k in range(n):
+                    lo, hi = k * step, min((k + 1) * step, size)
+                    if lo < hi:
+                        out.append((fp, lo, hi))
+            yield pd.DataFrame(out, columns=["path", "start", "end"])
+
+    splits = stream.select("path", "length").mapInPandas(
+        plan_splits, "path string, start long, end long"
+    )
+    # Stateless shuffle: splits of one file land on different tasks.
+    splits = splits.repartition(F.col("path"), F.col("start"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for blob in pdf["content"]:
-                recs = list(ac.read_container(bytes(blob), reader_schema=rs))
-                if u_conv is not None:
-                    recs = [u_conv(r) for r in recs]
-                yield pd.DataFrame.from_records(recs, columns=col_order)
+            for fpath, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+                yield from _decode_split(
+                    fs, str(fpath), int(start), int(end), rs, col_order,
+                    conv=u_conv,
+                )
 
-    return bin_stream.mapInPandas(decode, spark_schema)
+    return splits.mapInPandas(decode, spark_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -737,6 +889,7 @@ def write_avro_folder(
     block_records: int = 4096,
     mode: str = "append",
     block_bytes: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as one Avro container file per partition under ``path``.
     Returns the number of files written. File count is controlled upstream
@@ -756,7 +909,20 @@ def write_avro_folder(
     speculative or zombie duplicate attempts never share a file handle, and
     a killed job leaves only hidden temps (ignored by every reader, M20
     convention). The driver sweeps this run's leftover temps after collect.
+
+    ``partition_by``: hive-layout dynamic partitioning — rows land in
+    ``k=v/.../part-*.avro`` leaf dirs; the partition columns are carried by
+    the PATH (not written into the files, hive semantics), and
+    :func:`read_avro_folder` re-attaches them via partition discovery.
+    Each task writes one file per partition value it holds (same posture
+    as Spark's dynamic partition insert) — pre-``repartition`` by the
+    partition columns upstream to get one file per leaf.
     """
+    if partition_by:
+        return _write_avro_partitioned(
+            df, path, partition_by, schema=schema, codec=codec,
+            block_records=block_records, mode=mode, block_bytes=block_bytes,
+        )
     fs, root = resolve_fs(path)
     import pyarrow.fs as pafs
 
@@ -816,6 +982,105 @@ def write_avro_folder(
     # `_tmp-<run_token>-...` files — remove them so retries/debris never
     # accumulate. Other writers' temps are untouched.
     sel = pafs.FileSelector(root, recursive=False, allow_not_found=True)
+    for info in fs.get_file_info(sel):
+        if info.type == pafs.FileType.File and info.base_name.startswith(
+            f"_tmp-{run_token}-"
+        ):
+            fs.delete_file(info.path)
+    return sum(1 for r in summary if r["file"])
+
+
+def _write_avro_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    schema: str | dict | None = None,
+    codec: str = "snappy",
+    block_records: int = 4096,
+    mode: str = "append",
+    block_bytes: int | None = None,
+) -> int:
+    """Hive-layout dynamic-partition avro sink (see write_avro_folder).
+
+    Scale posture: fully distributed — no driver-side per-leaf loop. Each
+    task groups its Arrow batches by partition tuple and streams one
+    container file per (task, leaf); the same attempt-unique temp +
+    rename-commit protocol as the flat sink, with the driver sweeping this
+    run's leftover temps recursively afterwards."""
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns not in DataFrame: {missing}")
+    data_fields = [f for f in df.schema.fields if f.name not in partition_by]
+    if not data_fields:
+        raise ValueError("partition_by consumes every column")
+    data_schema = T.StructType(data_fields)
+    avro_schema = (
+        ac.parse_schema(schema)
+        if schema is not None
+        else struct_to_avro_record(data_schema)
+    )
+    fs, root = resolve_fs(path)
+    import pyarrow.fs as pafs
+
+    existing = _list_avro_files(fs, root, recursive=True)
+    if existing and mode in ("error", "errorifexists"):
+        raise FileExistsError(f"{path} already contains .avro files")
+    if existing and mode == "overwrite":
+        for info in existing:
+            fs.delete_file(info.path)
+    fs.create_dir(root, recursive=True)
+    run_token = uuid.uuid4().hex[:12]
+    pcols = list(partition_by)
+    data_cols = [f.name for f in data_fields]
+    u_conv = _encode_converter(avro_schema)
+
+    out_schema = T.StructType(
+        [T.StructField("file", T.StringType()), T.StructField("n", T.LongType())]
+    )
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else os.getpid()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        # leaf rel-dir -> (writer, stream, tmp, final, n)
+        open_files: dict[str, list] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for key, sub in pdf.groupby(pcols, dropna=False, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                rel = "/".join(
+                    f"{c}={_hive_escape(v)}" for c, v in zip(pcols, key)
+                )
+                ent = open_files.get(rel)
+                if ent is None:
+                    leaf = f"{root}/{rel}"
+                    fs.create_dir(leaf, recursive=True)
+                    tmp = f"{leaf}/_tmp-{run_token}-a{attempt}-part-{pid:05d}.avro"
+                    final = f"{leaf}/part-{pid:05d}-{run_token}.avro"
+                    stream = fs.open_output_stream(tmp)
+                    writer = ac.ContainerWriter(
+                        stream, avro_schema, codec=codec,
+                        block_records=block_records, block_bytes=block_bytes,
+                    )
+                    ent = open_files[rel] = [writer, stream, tmp, final, 0]
+                for rec in _pandas_to_records(sub[data_cols], data_schema):
+                    ent[0].append(u_conv(rec) if u_conv is not None else rec)
+                    ent[4] += 1
+        rows = {"file": [], "n": []}
+        for writer, stream, tmp, final, n in open_files.values():
+            writer.close()
+            stream.close()
+            fs.move(tmp, final)
+            rows["file"].append(final)
+            rows["n"].append(n)
+        yield pd.DataFrame(rows)
+
+    summary = df.mapInPandas(write_partition, out_schema).collect()
+
+    sel = pafs.FileSelector(root, recursive=True, allow_not_found=True)
     for info in fs.get_file_info(sel):
         if info.type == pafs.FileType.File and info.base_name.startswith(
             f"_tmp-{run_token}-"

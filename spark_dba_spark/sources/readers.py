@@ -106,19 +106,15 @@ def write_folder(
     if fmt == "avro":
         from .avro_spark import write_avro_folder
 
-        if partition_by:
-            raise NotImplementedError(
-                "partition_by for the avro sink: pre-split with a "
-                "per-partition compact/write loop (plans/compact.py) or "
-                "install spark-avro"
-            )
         if max_records_per_file is not None:
             # approximate with an exact row-count coalesce upstream instead
             raise NotImplementedError(
                 "max_records_per_file is not supported by the avro sink; "
                 "use file_count"
             )
-        write_avro_folder(df, path, codec=compression, mode=mode)
+        write_avro_folder(
+            df, path, codec=compression, mode=mode, partition_by=partition_by
+        )
         return
     writer = df.write.format(fmt).mode(mode).option("compression", compression)
     if max_records_per_file is not None:

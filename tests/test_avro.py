@@ -352,6 +352,55 @@ def test_streaming_avro_ingest(spark, tmp_path):
     assert row["sum(id)"] == batch.agg({"id": "sum"}).collect()[0][0]
 
 
+def test_streaming_avro_block_splits(spark, tmp_path, monkeypatch):
+    """One huge landed multi-block file decodes as MULTIPLE tasks inside a
+    micro-batch (VERDICT r3 #7): stream==batch on values, and the decode
+    stage of the micro-batch runs >1 task for a single file (observed via
+    a partition-id bitmask accumulator inside `_decode_split` — the
+    foreachBatch DataFrame is a pre-materialized ExistingRDD, so
+    spark_partition_id() downstream can't see the decode stage)."""
+    folder = tmp_path / "landing"
+    folder.mkdir()
+    rows = mkrows(4000)
+    # many small blocks so a small split_bytes yields many ranges
+    (folder / "huge.avro").write_bytes(
+        ac.write_container(rows, SCHEMA, codec="snappy", block_records=100)
+    )
+    size = (folder / "huge.avro").stat().st_size
+
+    acc = spark.sparkContext.accumulator(0)
+    orig = asp._decode_split
+
+    def spy(*a, **kw):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None:
+            acc.add(1 << ctx.partitionId())
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(asp, "_decode_split", spy)
+    stream = asp.read_avro_stream(
+        spark, str(folder), SCHEMA, split_bytes=size // 6
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("avro_split_ingest")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_tasks = bin(acc.value).count("1")
+    assert n_tasks > 1, f"single file decoded by {n_tasks} task(s)"
+    # values identical to the batch reader
+    batch = read_avro_folder(spark, str(folder), reader_schema=SCHEMA)
+    got = collections.Counter(
+        map(tuple, spark.table("avro_split_ingest").collect())
+    )
+    assert got == collections.Counter(map(tuple, batch.collect()))
+
+
 # --------------------------------------------------------------------------
 # Avro compaction end-to-end (reference parity)
 # --------------------------------------------------------------------------
@@ -951,3 +1000,54 @@ def test_ambiguous_union_rejected():
     }
     with pytest.raises(NotImplementedError, match="distinct value classes"):
         asp._decoded_converter(schema)
+
+
+# --------------------------------------------------------------------------
+# Hive-partitioned avro sink + partition discovery on read
+# --------------------------------------------------------------------------
+
+def test_partitioned_avro_write_roundtrip(spark, tmp_path):
+    """write_folder(fmt='avro', partition_by=['k']) → hive k=v layout that
+    read_avro_folder round-trips, partition values re-attached from the
+    path with Spark-style type inference (VERDICT r3 #8)."""
+    from spark_dba_spark.sources.readers import write_folder
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % 3, ["a", "b", None][i % 3]) for i in range(300)],
+        "id bigint, name string, bucket bigint, tag string",
+    )
+    out = str(tmp_path / "hive")
+    write_folder(
+        df.repartition(2, "bucket", "tag"), out, fmt="avro", mode="append",
+        partition_by=["bucket", "tag"],
+    )
+    # layout: bucket=N/tag=V dirs (null → hive default marker)
+    leaves = sorted(
+        str(p.relative_to(out)) for p in (tmp_path / "hive").rglob("*.avro")
+    )
+    assert all(l.startswith("bucket=") and "/tag=" in l for l in leaves), leaves
+    assert any("__HIVE_DEFAULT_PARTITION__" in l for l in leaves)
+    back = read_avro_folder(spark, out)
+    # partition cols re-attached: bucket inferred long, tag string w/ null
+    assert dict(back.dtypes)["bucket"] == "bigint"
+    assert dict(back.dtypes)["tag"] == "string"
+    got = collections.Counter(
+        (r["id"], r["name"], r["bucket"], r["tag"]) for r in back.collect()
+    )
+    want = collections.Counter(
+        (r["id"], r["name"], r["bucket"], r["tag"]) for r in df.collect()
+    )
+    assert got == want
+
+
+def test_partitioned_avro_write_modes(spark, tmp_path):
+    from spark_dba_spark.sources.avro_spark import write_avro_folder
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, k string")
+    out = str(tmp_path / "m")
+    write_avro_folder(df, out, partition_by=["k"])
+    with pytest.raises(FileExistsError):
+        write_avro_folder(df, out, partition_by=["k"], mode="error")
+    write_avro_folder(df, out, partition_by=["k"], mode="overwrite")
+    back = read_avro_folder(spark, out)
+    assert sorted((r["id"], r["k"]) for r in back.collect()) == [(1, "a"), (2, "b")]
