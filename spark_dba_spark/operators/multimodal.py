@@ -111,6 +111,12 @@ def decode_image_features(
     pixel data is never decompressed here."""
     if use_pil is None:
         use_pil = _HAVE_PIL
+    elif use_pil and not _HAVE_PIL:
+        raise ImportError(
+            "decode_image_features(use_pil=True) requires Pillow, which is "
+            "not installed; use use_pil=None for auto-fallback to the "
+            "deterministic stub"
+        )
     if use_pil:
         import io
 

@@ -1400,7 +1400,10 @@ def not_exists_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance beats the population average and who have no URGENT orders
     (every fixture customer has >=1 order, so the anti-join predicate is
     on priority; NOT EXISTS → left-anti join). The scalar-avg subquery is a broadcast
-    single-row cross; the anti join shuffles on o_custkey — scales."""
+    single-row cross; the anti join shuffles on o_custkey — scales. The
+    average threshold is exact-decimal SUM / COUNT (this file's dsum
+    convention) so float summation order can't flip a customer whose
+    balance sits within rounding distance of the mean on either engine."""
     customer = catalog.load(spark, sf_dir, "customer")
     orders = catalog.load(spark, sf_dir, "orders")
     return spark.sql(
@@ -1414,8 +1417,9 @@ def not_exists_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM {cust} c
           WHERE SUBSTRING(c.c_name, LENGTH(c.c_name), 1) IN
                   ('1', '3', '5', '7')
-            AND c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM {cust} c2
-                               WHERE c2.c_acctbal > 0.0)
+            AND c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                                    AS DOUBLE) / COUNT(*)
+                               FROM {cust} c2 WHERE c2.c_acctbal > 0.0)
             AND NOT EXISTS (SELECT 1 FROM {ord} o
                             WHERE o.o_custkey = c.c_custkey
                               AND o.o_orderpriority = '1-URGENT')
@@ -1436,8 +1440,9 @@ FROM (
          c.c_acctbal
   FROM customer c
   WHERE SUBSTRING(c.c_name, LENGTH(c.c_name), 1) IN ('1', '3', '5', '7')
-    AND c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
-                       WHERE c2.c_acctbal > 0.0)
+    AND c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                            AS DOUBLE) / COUNT(*)
+                       FROM customer c2 WHERE c2.c_acctbal > 0.0)
     AND NOT EXISTS (SELECT 1 FROM orders o
                     WHERE o.o_custkey = c.c_custkey
                       AND o.o_orderpriority = '1-URGENT')

@@ -360,14 +360,19 @@ def compact(spark: SparkSession, params: CompactionParams) -> CompactionResult:
         with ThreadPoolExecutor(max_workers=params.max_parallel) as ex:
             return list(ex.map(_leaf_stats, rels))
 
+    # Computed at most once per compact() call: the selective filter and a
+    # dry-run report share the same remote listing (on a large tree the
+    # listing, not Spark work, dominates — don't do it twice).
+    leaf_stats: list[tuple[str, int, int]] | None = None
+
     if params.min_fragmentation is not None:
-        kept = []
+        kept: list[tuple[str, int, int]] = []
         for rel, n_files, total in _all_leaf_stats():
             leaf = params.source.rstrip("/") + rel
             planned = planned_file_count(params, total)
             ratio = n_files / planned
             if ratio >= params.min_fragmentation:
-                kept.append(rel)
+                kept.append((rel, n_files, total))
             else:
                 log.info(
                     f"skipping {leaf}: {n_files} files vs planned {planned} "
@@ -378,10 +383,13 @@ def compact(spark: SparkSession, params: CompactionParams) -> CompactionResult:
             f"selective compaction: {len(kept)}/{len(rels)} leaf folder(s) "
             f"exceed fragmentation {params.min_fragmentation}"
         )
-        rels = kept
+        rels = [rel for rel, _, _ in kept]
+        leaf_stats = kept
 
     if params.dry_run:
-        for rel, n_files, total in _all_leaf_stats():
+        for rel, n_files, total in (
+            leaf_stats if leaf_stats is not None else _all_leaf_stats()
+        ):
             leaf = params.source.rstrip("/") + rel
             n_out = planned_file_count(params, total)
             status = "WOULD_COMPACT" if n_files >= 2 else "TOO_FEW_FILES"

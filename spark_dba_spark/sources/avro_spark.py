@@ -16,9 +16,12 @@ connector (absent from this classpath, no network to fetch it):
 - **write**: one container file per partition via ``mapInPandas`` with a
   streaming block writer; ``df.coalesce(n)`` upstream controls file count
   exactly like the reference's D3. Tasks write to an attempt-unique hidden
-  temp name and commit by atomic rename, so speculative/zombie duplicate
+  temp name and commit by rename (atomic on local/HDFS; copy+delete on
+  object stores, where duplicate attempts stay safe because both commit
+  identical bytes to the same final name), so speculative/zombie duplicate
   attempts can't interleave into one file and aborted jobs leave no
-  visible partial output; the driver sweeps unreported temps after the job.
+  visible partial output; the driver sweeps this run's temps in a
+  ``finally`` — aborted jobs clean up too.
 
 Both paths do I/O through ``pyarrow.fs`` resolved from the path's scheme
 (local, ``hdfs://``, ``s3://``, plus test-registerable schemes), matching
@@ -670,10 +673,45 @@ def _latest_file_schema_hadoop(
         latest = fs.latest_modified_file(path, "avro")
     if latest is None:
         raise FileNotFoundError(f"no .avro files under {path}")
-    return ac.read_header(fs.read_bytes(latest, 1 << 20))[0]
+    try:
+        return ac.read_header(fs.read_bytes(latest, _HEADER_PROBE_BYTES))[0]
+    except EOFError:
+        # header larger than the probe (giant embedded schema) — one
+        # bounded retry before giving a clear diagnostic
+        try:
+            return ac.read_header(fs.read_bytes(latest, _HEADER_MAX_BYTES))[0]
+        except EOFError as exc:
+            raise ValueError(
+                f"avro container header of {latest} exceeds "
+                f"{_HEADER_MAX_BYTES} bytes or the file is truncated"
+            ) from exc
 
 
 _DECODE_CHUNK_ROWS = 50_000  # rows per yielded Arrow batch
+
+_HEADER_PROBE_BYTES = 1 << 20  # initial header read; retried ×16 if short
+_HEADER_MAX_BYTES = 64 << 20
+
+
+def _read_header_with_retry(f, flen: int):
+    """Container header from an open pyarrow file, growing the probe read
+    if the embedded schema exceeds the initial 1 MiB (a truncated header
+    otherwise surfaces as a confusing varint EOFError deep in parsing)."""
+    size = _HEADER_PROBE_BYTES
+    while True:
+        f.seek(0)
+        head = f.read(min(size, flen))
+        try:
+            return ac.read_header(head)
+        except EOFError as exc:
+            if size >= flen:
+                raise  # whole file read — genuinely truncated/corrupt
+            if size >= _HEADER_MAX_BYTES:
+                raise ValueError(
+                    f"avro container header exceeds {_HEADER_MAX_BYTES} "
+                    "bytes — refusing to buffer further"
+                ) from exc
+            size *= 16
 
 
 def _decode_split(
@@ -692,9 +730,8 @@ def _decode_split(
     header-terminating sync and silently drop block 1.
     """
     with fs.open_input_file(fpath) as f:
-        head = f.read(1 << 20)  # container headers are small; 1 MiB covers
-        writer_schema, codec, sync, body_pos = ac.read_header(head)
         flen = f.size()
+        writer_schema, codec, sync, body_pos = _read_header_with_retry(f, flen)
         if start <= body_pos:
             # ``pos < end`` in the decode loop rejects it when the range
             # ends before the body starts (that block belongs to the split
@@ -769,8 +806,7 @@ def latest_file_schema(
         raise FileNotFoundError(f"no .avro files under {path}")
     latest = max(cands, key=lambda i: (i.mtime, i.path))
     with fs.open_input_file(latest.path) as f:
-        head = f.read(1 << 20)
-    return ac.read_header(head)[0]
+        return _read_header_with_retry(f, int(latest.size))[0]
 
 
 def _strip_hadoop_uri(p: str) -> str:
@@ -971,22 +1007,29 @@ def write_avro_folder(
         if writer is not None:
             writer.close()
             stream.close()
-            fs.move(tmp, final)  # atomic commit of this task's output
+            # Commit of this task's output. True rename-atomicity only on
+            # real filesystems (local/HDFS); on object stores pyarrow's
+            # move is copy+delete — duplicate speculative attempts are
+            # still safe because both attempts commit IDENTICAL content
+            # to the same final name, not because the move is atomic.
+            fs.move(tmp, final)
             yield pd.DataFrame({"file": [final], "n": [n]})
         else:
             yield pd.DataFrame({"file": [], "n": []})
 
-    summary = df.mapInPandas(write_partition, out_schema).collect()
-
-    # Driver-side sweep: failed/zombie attempts from THIS run leave hidden
-    # `_tmp-<run_token>-...` files — remove them so retries/debris never
-    # accumulate. Other writers' temps are untouched.
-    sel = pafs.FileSelector(root, recursive=False, allow_not_found=True)
-    for info in fs.get_file_info(sel):
-        if info.type == pafs.FileType.File and info.base_name.startswith(
-            f"_tmp-{run_token}-"
-        ):
-            fs.delete_file(info.path)
+    try:
+        summary = df.mapInPandas(write_partition, out_schema).collect()
+    finally:
+        # Driver-side sweep — in a finally so ABORTED runs also clean up:
+        # failed/zombie attempts from THIS run leave hidden
+        # `_tmp-<run_token>-...` files; remove them so retries/debris never
+        # accumulate. Other writers' temps are untouched.
+        sel = pafs.FileSelector(root, recursive=False, allow_not_found=True)
+        for info in fs.get_file_info(sel):
+            if info.type == pafs.FileType.File and info.base_name.startswith(
+                f"_tmp-{run_token}-"
+            ):
+                fs.delete_file(info.path)
     return sum(1 for r in summary if r["file"])
 
 
@@ -1073,19 +1116,21 @@ def _write_avro_partitioned(
         for writer, stream, tmp, final, n in open_files.values():
             writer.close()
             stream.close()
+            # rename-commit; object-store caveat as in write_avro_folder
             fs.move(tmp, final)
             rows["file"].append(final)
             rows["n"].append(n)
         yield pd.DataFrame(rows)
 
-    summary = df.mapInPandas(write_partition, out_schema).collect()
-
-    sel = pafs.FileSelector(root, recursive=True, allow_not_found=True)
-    for info in fs.get_file_info(sel):
-        if info.type == pafs.FileType.File and info.base_name.startswith(
-            f"_tmp-{run_token}-"
-        ):
-            fs.delete_file(info.path)
+    try:
+        summary = df.mapInPandas(write_partition, out_schema).collect()
+    finally:
+        sel = pafs.FileSelector(root, recursive=True, allow_not_found=True)
+        for info in fs.get_file_info(sel):
+            if info.type == pafs.FileType.File and info.base_name.startswith(
+                f"_tmp-{run_token}-"
+            ):
+                fs.delete_file(info.path)
     return sum(1 for r in summary if r["file"])
 
 
