@@ -42,27 +42,84 @@ class QuerySpec:
 # into PRIORITY_LAST (prefer families with several other green rows). Over
 # rounds, every query accumulates at least one driver-recorded green row.
 #
-# ROUND-3 WINDOW (see RESPONSES_r03.md for the self-report ledger): the 5
-# queries new in r3 + the 31 whose only driver row is from r1 (rotated out
-# in r2) fill PRIORITY_FIRST; the 14 frozen bench queries keep their
-# driver row every round (slots 37-50); the 36 r2-green non-bench queries
-# rotate to the tail, each holding a driver row ≤1 round old. The 23
-# queries added late in r3 (q08/q12/q15/q16/q17/q18/q19,
-# window_value_frames, window_range_value, text_tfidf, text_repetition,
-# text_vocab_top, dedup_cc_clusters, emb_quantize_int8,
-# corpus_mix_sample, sample_per_source, pack_context_bins,
-# unpivot_metrics, agg_string_concat, agg_mode_manual,
-# agg_bool_predicates, ev_funnel_stages, scalar_map_ops) sit in the
-# middle (positions 51-73): green in the committed local sweep this
-# round, first in line for r4's driver window per the protocol above.
+# ROUND-4 WINDOW (VERDICT r3 "Next round" #1; RESPONSES_r04.md ledger):
+# slots 1-23 are the 23 queries that have never had a driver row (added
+# late in r3, judge-re-verified 23/23 but not yet driver-recorded); slots
+# 24-26 are the 3 queries new in r4 (TPC-H q09/q11/q20 shapes); slots
+# 27-36 are the 10 oldest rotation candidates (rows from r2, the stalest
+# in the registry); slots 37-50 stay the frozen bench set (a driver row
+# EVERY round). The 36 queries that got fresh r3 rows rotate to the tail;
+# the remaining 25 r2-row queries sit in the middle, first in line for
+# r5. After this window the r1∪r2∪r3∪r4 union covers all 112 queries
+# with no row older than 2 rounds.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # new in r3 — need their first driver row:
+    # never driver-recorded (late-r3 additions) — first rows now:
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "window_value_frames",
+    "q08_market_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q12_late_shipments",
+    "unpivot_metrics",
+    "agg_string_concat",
+    "agg_mode_manual",
+    "agg_bool_predicates",
+    "scalar_map_ops",
+    "window_range_value",
+    "dedup_cc_clusters",
+    "emb_quantize_int8",
+    "text_tfidf",
+    "corpus_mix_sample",
+    "sample_per_source",
+    "pack_context_bins",
+    "text_repetition",
+    "text_vocab_top",
+    "ev_funnel_stages",
+    # new in r4 — need their first driver row:
+    "q09_product_type_profit",
+    "q11_important_parts",
+    "q20_qualified_suppliers",
+    # oldest standing rows (r2) — refresh before they go stale:
+    "ev_sliding_1h_30m",
+    "ev_session_30m",
+    "ev_dedup_first",
+    "mm_frame_sample",
+    "join_asof",
+    "window_range_1h",
+    "agg_percentiles",
+    "lateral_posexplode",
+    "sim_ivf",
+    "ev_user_state",
+    # frozen bench set — a driver row EVERY round so BENCH_r{N} queries
+    # are always independently correctness-gated in the same round:
+    "q01_pricing_summary",
+    "ev_tumbling_1h",
+    "json_extract_events",
+    "q02_scan_filter_project",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_item",
+    "join_broadcast_dim",
+    "agg_distinct",
+    "window_topk_per_group",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality",
+)
+
+# r3-green, non-bench — rotate to the tail this round (driver row ≤1
+# round old; still in every committed local sweep). The 25 r2-row
+# queries NOT listed here or above sit in the middle by registration
+# order, next in line for r5's window.
+PRIORITY_LAST: tuple[str, ...] = (
     "exists_sole_returner",
     "not_exists_idle_customers",
     "outer_join_count_dist",
     "sim_ann_lsh_candidates",
     "sim_ivf_candidates",
-    # r1-only rows (rotated out during r2) — refresh before they go stale:
     "set_intersect",
     "set_except",
     "scalar_math",
@@ -94,63 +151,6 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "correlated_scalar_subquery",
     "agg_grouping_sets",
     "q04_order_priority",
-    # frozen bench set — a driver row EVERY round so BENCH_r{N} queries
-    # are always independently correctness-gated in the same round:
-    "q01_pricing_summary",
-    "ev_tumbling_1h",
-    "json_extract_events",
-    "q02_scan_filter_project",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q10_returned_item",
-    "join_broadcast_dim",
-    "agg_distinct",
-    "window_topk_per_group",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "sim_cosine_topk",
-    "text_quality",
-)
-
-# r2-green, non-bench — rotate to the tail this round (driver row ≤1 round
-# old; still in every committed local sweep).
-PRIORITY_LAST: tuple[str, ...] = (
-    "ev_sliding_1h_30m",
-    "ev_session_30m",
-    "ev_dedup_first",
-    "mm_frame_sample",
-    "join_asof",
-    "window_range_1h",
-    "agg_percentiles",
-    "lateral_posexplode",
-    "sim_ivf",
-    "ev_user_state",
-    "mm_audio_energy",
-    "mm_image_resize",
-    "pipeline_clean_corpus",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q14_promo_revenue",
-    "dataset_split_hash",
-    "dedup_keep_best",
-    "udaf_geometric_mean",
-    "grouped_zscore",
-    "dedup_char_jaccard",
-    "sim_range_search",
-    "ev_click_error_join",
-    "ev_resample_1h",
-    "ev_hier_rollup",
-    "agg_approx_distinct",
-    "window_running_sum",
-    "scalar_regexp",
-    "scalar_array_ops",
-    "set_ops_bag",
-    "agg_corr_stats",
-    "join_cross_small",
-    "dedup_simhash",
-    "sim_dup_pairs",
-    "sim_ann_lsh",
-    "text_lang_id",
 )
 
 
