@@ -217,6 +217,77 @@ FROM s3
 """
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def ev_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): per user, events closer
+    than 30 minutes chain into one session; emits one row per session with
+    count, start, end and duration — the batch twin of the streaming
+    session window (ev_session_30m) and the canonical lag + running-sum
+    island pattern the relational surface was missing.
+
+    Plan: both windows and the final agg key on user_id — ONE shuffle
+    reused across lag, running sum and groupBy (high-cardinality key at
+    scale, no skew hotspot). Frame axis is epoch microseconds on both
+    engines; the boundary is exact integer arithmetic (gap > 30min in
+    micros), so no seconds-truncation edge can flip a session split."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    df = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("is_new").over(run))
+    )
+    return (
+        df.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            ((F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000.0)).alias(
+                "duration_sec"
+            ),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+islands AS (
+  SELECT user_id, ts, ts_us,
+         CAST(SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       (MAX(ts_us) - MIN(ts_us)) / 1000000.0 AS duration_sec
+FROM islands
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -228,4 +299,7 @@ SPECS = [
     QuerySpec("ev_funnel_stages", ev_funnel_stages, ORACLE_FUNNEL,
               ("temporal", "agg"),
               doc="ordered funnel: signup → click-after → purchase-after"),
+    QuerySpec("ev_sessionize_batch", ev_sessionize_batch, ORACLE_SESSIONIZE,
+              ("temporal", "window"),
+              doc="gaps-and-islands batch sessionization (30-min gap)"),
 ]

@@ -653,6 +653,95 @@ GROUP BY 1, 2 ORDER BY source, bin_id
 """
 
 
+# Train/eval decontamination: n-gram width and the deterministic rule
+# that carves the fixture's "benchmark" set out of `documents`. Real
+# pipelines use 8-13-gram overlap against MMLU/GSM8K-style sets; the
+# synthetic fixture texts only collide at 3-grams, so the WIDTH is a
+# constant — the plan shape (tiny broadcast eval side) is what matters.
+DECON_NGRAM = 3
+DECON_EVAL_MOD = 97  # doc_id % 97 == 0 → "benchmark" docs
+
+
+def _shingle_expr(width: int) -> F.Column:
+    return F.expr(
+        f"""CASE WHEN size(split(text, ' ')) >= {width} THEN
+              transform(sequence(1, size(split(text, ' ')) - {width - 1}), i ->
+                concat_ws(' ', slice(split(text, ' '), i, {width})))
+            ELSE array() END"""
+    )
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination — flag training documents sharing any
+    word {DECON_NGRAM}-gram with the benchmark ("eval") set, the standard
+    leakage check a pretraining pipeline runs before training.
+
+    Plan shape at scale: the eval side (benchmark suites are tiny —
+    thousands of rows against billions) reduces to DISTINCT shingles and
+    BROADCASTS into the train side's exploded-shingle stream, so the only
+    fact-sized shuffle is the per-doc groupBy on doc_id (high
+    cardinality). No eval-side skew can exist: the broadcast hash join is
+    map-side. Per-doc distinct shingles via array_distinct BEFORE the
+    explode keeps the exploded row count minimal."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(_shingle_expr(DECON_NGRAM)).alias("shingles"),
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    exploded = train.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode_outer("shingles").alias("s"),
+    )
+    matched = (
+        exploded.join(F.broadcast(ev), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        train.select("doc_id", F.size("shingles").alias("n_shingles"))
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            (F.coalesce("n_matched", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DECON = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= {DECON_NGRAM} THEN
+           list_transform(generate_series(1, len(ws) - {DECON_NGRAM - 1}),
+             i -> array_to_string(ws[i:i+{DECON_NGRAM - 1}], ' '))
+         ELSE [] END) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+ev AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh
+  WHERE doc_id % {DECON_EVAL_MOD} = 0),
+train AS (SELECT * FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+matched AS (
+  SELECT doc_id, COUNT(*) AS n_matched
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM train) t
+  WHERE s IN (SELECT s FROM ev)
+  GROUP BY doc_id)
+SELECT t.doc_id, len(t.shingles) AS n_shingles,
+       COALESCE(m.n_matched, 0) AS n_matched,
+       COALESCE(m.n_matched, 0) > 0 AS contaminated
+FROM train t LEFT JOIN matched m USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 TFIDF_TOP_K = 3
 
 
@@ -724,6 +813,10 @@ SPECS = [
     QuerySpec("dedup_keep_best", dedup_keep_best, ORACLE_KEEP_BEST,
               ("dedup", "pipeline"),
               doc="exact dedup keeping the highest-quality copy"),
+    QuerySpec("decontaminate_ngram", decontaminate_ngram, ORACLE_DECON,
+              ("text", "pipeline", "dedup"),
+              doc="train/eval n-gram-overlap decontamination, broadcast "
+                  "eval side"),
     QuerySpec("text_tfidf", text_tfidf, ORACLE_TFIDF, ("text", "pipeline"),
               doc="per-document top-k terms by TF-IDF"),
     QuerySpec("corpus_mix_sample", corpus_mix_sample, ORACLE_MIX,

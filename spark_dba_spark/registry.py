@@ -81,7 +81,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "q09_product_type_profit",
     "q11_important_parts",
     "q20_qualified_suppliers",
-    # oldest standing rows (r2) — refresh before they go stale:
+    "decontaminate_ngram",
+    "ev_sessionize_batch",
+    # oldest standing rows (r2) — refresh before they go stale (the two
+    # bumped for the new ops, sim_ivf/ev_user_state, keep r2 rows — still
+    # within the ≤2-round-old bound after this window):
     "ev_sliding_1h_30m",
     "ev_session_30m",
     "ev_dedup_first",
@@ -90,8 +94,6 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "window_range_1h",
     "agg_percentiles",
     "lateral_posexplode",
-    "sim_ivf",
-    "ev_user_state",
     # frozen bench set — a driver row EVERY round so BENCH_r{N} queries
     # are always independently correctness-gated in the same round:
     "q01_pricing_summary",
