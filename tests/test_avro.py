@@ -1051,3 +1051,98 @@ def test_partitioned_avro_write_modes(spark, tmp_path):
     write_avro_folder(df, out, partition_by=["k"], mode="overwrite")
     back = read_avro_folder(spark, out)
     assert sorted((r["id"], r["k"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+# --------------------------------------------------------------------------
+# Union mapping property test: random union-bearing schemas round-trip
+# --------------------------------------------------------------------------
+
+_U_BRANCH_POOL = [
+    "int", "long", "double", "string", "boolean", "bytes",
+    {"type": "array", "items": "long"},
+    {"type": "map", "values": "string"},
+    {"type": "record", "name": "Inner",
+     "fields": [{"name": "x", "type": "long"}]},
+]
+_U_CLASS = {"int": "i", "long": "i", "double": "f", "string": "str",
+            "boolean": "bool", "bytes": "bytes"}
+
+
+def _u_class(b):
+    if isinstance(b, dict):
+        return b["type"]
+    return _U_CLASS[b]
+
+
+_U_VALUES = {
+    "int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    "long": st.integers(min_value=-(2**62), max_value=2**62),
+    "double": st.floats(allow_nan=False, allow_infinity=False, width=64),
+    "string": st.text(max_size=12),
+    "boolean": st.booleans(),
+    "bytes": st.binary(max_size=12),
+    "array": st.lists(st.integers(min_value=-100, max_value=100), max_size=4),
+    "map": st.dictionaries(st.text(min_size=1, max_size=4),
+                           st.text(max_size=4), max_size=3),
+    "record": st.integers(min_value=-100, max_value=100).map(
+        lambda x: {"x": x}),
+}
+
+
+@st.composite
+def _union_case(draw):
+    # 2-4 branches with pairwise-distinct value classes (the supported
+    # surface; ambiguous unions are rejected by construction)
+    pool = list(_U_BRANCH_POOL)
+    branches, classes = [], set()
+    n = draw(st.integers(min_value=2, max_value=4))
+    while len(branches) < n and pool:
+        b = draw(st.sampled_from(pool))
+        pool.remove(b)
+        c = _u_class(b)
+        # rec/map are both dicts in python — mutually exclusive
+        amb = {"record": "map", "map": "record"}.get(c)
+        if c in classes or (amb and amb in classes):
+            continue
+        branches.append(b)
+        classes.add(c)
+    nullable = draw(st.booleans())
+    union = (["null"] if nullable else []) + branches
+    rows = []
+    for _ in range(draw(st.integers(min_value=0, max_value=8))):
+        if nullable and draw(st.booleans()):
+            rows.append({"u": None})
+        else:
+            i = draw(st.integers(min_value=0, max_value=len(branches) - 1))
+            b = branches[i]
+            t = b["type"] if isinstance(b, dict) else b
+            rows.append({"u": ac.TaggedUnion(i + (1 if nullable else 0),
+                                             draw(_U_VALUES[t]))})
+    return union, rows
+
+
+@settings(max_examples=30, deadline=None)
+@given(_union_case())
+def test_union_mapping_property(case):
+    """decode(conv) → encode(conv) is the identity on values AND branch
+    indices for any supported (class-distinct) union, nullable or not."""
+    union, rows = case
+    schema = {"type": "record", "name": "P",
+              "fields": [{"name": "u", "type": union}]}
+    data = ac.write_container(rows, schema)
+    plain = list(ac.read_container(data))
+    dec = asp._decoded_converter(schema)
+    enc = asp._encode_converter(schema)
+    assert (dec is None) == (enc is None)
+    if dec is None:
+        return  # [null, T] single-branch — transparent mapping
+    tagged = [dec(dict(r)) for r in plain]
+    # tags match what the producer wrote
+    for row, t in zip(rows, tagged):
+        if row["u"] is None:
+            assert t["u"] is None
+        else:
+            n_null = 1 if "null" in union else 0
+            assert t["u"]["tag"] == row["u"].tag - n_null
+    redata = ac.write_container([enc(dict(t)) for t in tagged], schema)
+    assert list(ac.read_container(redata)) == plain
