@@ -312,8 +312,51 @@ GROUP BY doc_id, win ORDER BY doc_id, win
 """
 
 
+# Truncated-fingerprint dedup: 24-char payload prefix ≈ a thumbnail /
+# perceptual-hash bucket (full-byte equality finds nothing in a corpus of
+# re-encoded assets; prefix fingerprints are how asset stores bucket
+# near-identical binaries before a byte-level verify tier).
+FP_PREFIX_CHARS = 24
+
+
+def mm_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset dedup clusters by truncated payload fingerprint: md5 of the
+    payload's first {FP_PREFIX_CHARS} chars (utf-8 round-trip through the
+    binary column, so both engines hash identical bytes). One hash
+    shuffle on the fingerprint — the multimodal twin of
+    dedup_exact_clusters; at 100 TB the map-side partial agg reduces
+    each fingerprint to one row per task before the exchange."""
+    a = _assets(spark, sf_dir)
+    fp = F.md5(
+        F.expr(f"substring(cast(payload as string), 1, {FP_PREFIX_CHARS})")
+    )
+    return (
+        a.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+        )
+        .filter(F.col("n_assets") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+ORACLE_MM_DEDUP_FP = f"""
+SELECT md5(substr(text, 1, {FP_PREFIX_CHARS})) AS fingerprint,
+       COUNT(*) AS n_assets, MIN(doc_id) AS keep_doc_id,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1
+ORDER BY fingerprint
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_meta", mm_binary_meta, ORACLE_MM_META, ("multimodal",)),
+    QuerySpec("mm_dedup_fingerprint", mm_dedup_fingerprint,
+              ORACLE_MM_DEDUP_FP, ("multimodal", "dedup"),
+              doc="asset dedup by truncated payload fingerprint"),
     QuerySpec("mm_image_features", mm_image_features, ORACLE_MM_FEATURES,
               ("multimodal",)),
     QuerySpec("mm_frame_sample", mm_frame_sample, ORACLE_MM_FRAMES,

@@ -1968,6 +1968,44 @@ ORDER BY s_suppkey
 """
 
 
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface: per return-flag, BIT_AND /
+    BIT_OR / BIT_XOR of an 8-bit order-key bucket, popcount totals, and a
+    shifted/masked derived key — flag-register analytics (feature
+    bitmasks, bloom-filter words). All-integer, order-independent
+    aggregates (XOR/AND/OR are commutative+associative → map-side
+    partial agg), one narrow-key shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.expr("l_orderkey % 256")
+    k2 = F.expr("shiftleft(l_orderkey % 256 & 15, 3) | shiftright(l_orderkey % 256, 5)")
+    return (
+        li.select("l_returnflag", k.alias("k"), k2.alias("k2"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("k").alias("band"),
+            F.bit_or("k").alias("bor"),
+            F.bit_xor("k").alias("bxor"),
+            F.bit_xor("k2").alias("bxor_shifted"),
+            F.sum(F.bit_count("k")).alias("total_bits"),
+            F.count(F.when(F.expr("k & 1 = 1"), 1)).alias("n_odd"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_BITWISE = """
+SELECT l_returnflag,
+       BIT_AND(k) AS band, BIT_OR(k) AS bor, BIT_XOR(k) AS bxor,
+       BIT_XOR(k2) AS bxor_shifted,
+       CAST(SUM(bit_count(k)) AS BIGINT) AS total_bits,
+       COUNT(CASE WHEN (k & 1) = 1 THEN 1 END) AS n_odd
+FROM (SELECT l_returnflag, l_orderkey % 256 AS k,
+             (((l_orderkey % 256) & 15) << 3) | ((l_orderkey % 256) >> 5) AS k2
+      FROM lineitem)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): wide lineitem measure columns → long (metric,
     value) rows, then one agg per metric. ``DataFrame.unpivot`` expands
@@ -2278,6 +2316,9 @@ SPECS = [
     QuerySpec("q20_qualified_suppliers", q20_qualified_suppliers, ORACLE_Q20,
               ("join", "semi", "subquery", "tpch"),
               doc="TPC-H Q20-shaped chained semi-joins"),
+    QuerySpec("agg_bitwise", agg_bitwise, ORACLE_BITWISE,
+              ("agg", "scalar"),
+              doc="BIT_AND/OR/XOR aggregates + popcount + shift/mask scalars"),
     QuerySpec("unpivot_metrics", unpivot_metrics, ORACLE_UNPIVOT,
               ("reshape", "agg"),
               doc="unpivot/melt wide measures → long + per-metric agg"),

@@ -83,17 +83,18 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "q20_qualified_suppliers",
     "decontaminate_ngram",
     "ev_sessionize_batch",
-    # oldest standing rows (r2) — refresh before they go stale (the two
-    # bumped for the new ops, sim_ivf/ev_user_state, keep r2 rows — still
-    # within the ≤2-round-old bound after this window):
+    "mm_dedup_fingerprint",
+    "agg_bitwise",
+    # oldest standing rows (r2) — refresh before they go stale (the four
+    # bumped for the new ops — sim_ivf, ev_user_state, agg_percentiles,
+    # lateral_posexplode — keep r2 rows, exactly 2 rounds old — within
+    # the ≤2-round bound after this window, first in line for r5):
     "ev_sliding_1h_30m",
     "ev_session_30m",
     "ev_dedup_first",
     "mm_frame_sample",
     "join_asof",
     "window_range_1h",
-    "agg_percentiles",
-    "lateral_posexplode",
     # frozen bench set — a driver row EVERY round so BENCH_r{N} queries
     # are always independently correctness-gated in the same round:
     "q01_pricing_summary",
