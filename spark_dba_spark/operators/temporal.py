@@ -288,6 +288,96 @@ ORDER BY user_id, session_seq
 """
 
 
+def ev_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a change-event stream: per user,
+    collapse consecutive identical event_types into validity intervals
+    [valid_from, valid_to) with an is_current flag — the
+    slowly-changing-dimension load every warehouse pipeline runs.
+
+    Plan: change-point detection (lag) and interval close (lead) are two
+    window passes over the SAME (user_id, ts, event_id) ordering — one
+    shuffle on the high-cardinality user key, no self-join (the naive
+    form joins the stream to itself on "next change"). Map-side nothing
+    else; scales like any keyed window."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("event_type").alias("status")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_status", F.lag("status").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("status") != F.col("prev_status"))
+        )
+        .withColumn("valid_to", F.lead("ts").over(w))
+    )
+    return changes.select(
+        "user_id",
+        "status",
+        F.col("ts").alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from")
+
+
+ORACLE_SCD2 = """
+WITH changes AS (
+  SELECT user_id, event_type AS status, ts, event_id
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER w AS prev_status
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+  WHERE prev_status IS NULL OR event_type <> prev_status)
+SELECT user_id, status, ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to,
+       LEAD(ts) OVER w2 IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from
+"""
+
+
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort triangle: users grouped by first-seen week
+    (cohort), counted as retained in each later week they were active —
+    the standard growth-analytics matrix.
+
+    Plan: first-seen agg + distinct (user, week) activity both shuffle
+    on user_id (AQE reuses the partitioning for the join); the final
+    cohort agg is on tiny (cohort_week, offset) keys. Week boundaries
+    come from date_trunc on both engines (ISO Monday weeks), offsets are
+    exact integer day-diffs div 7 — no float, no tz dependence."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", F.expr("cast(date_trunc('week', ts) as date)").alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn(
+            "week_offset", F.expr("datediff(wk, cohort_week) div 7")
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE_RETENTION = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+first AS (
+  SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, wk FROM ev)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -302,4 +392,10 @@ SPECS = [
     QuerySpec("ev_sessionize_batch", ev_sessionize_batch, ORACLE_SESSIONIZE,
               ("temporal", "window"),
               doc="gaps-and-islands batch sessionization (30-min gap)"),
+    QuerySpec("ev_scd2_user_status", ev_scd2_user_status, ORACLE_SCD2,
+              ("temporal", "window"),
+              doc="SCD type-2 validity intervals from a change stream"),
+    QuerySpec("ev_retention_cohorts", ev_retention_cohorts, ORACLE_RETENTION,
+              ("temporal", "agg"),
+              doc="weekly retention-cohort triangle"),
 ]
