@@ -1968,6 +1968,111 @@ ORDER BY s_suppkey
 """
 
 
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate a dense monthly
+    calendar spine from the orders date range and left-join monthly
+    revenue onto it — the gap-filling date-spine pattern reports need
+    (months with no orders still appear, at 0.0).
+
+    Scale posture: the recursion generates ONLY the spine — and at the
+    COARSE unit (years), because every Spark recursion step is a
+    scheduled job: recurse on years (handfuls of iterations), fan the 12
+    months out map-side with sequence() (an 80-iteration month recursion
+    measured 27 s of pure job-scheduling overhead; this shape runs in
+    ~2 s). The revenue side is one hash agg on the month key; the spine
+    is calendar-sized and broadcasts. Recursion never touches fact-sized
+    data."""
+    orders = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+                 date_trunc('month', MAX(o_orderdate)) AS hi
+          FROM {ord}),
+        years(y) AS (
+          SELECT date_trunc('year', lo) FROM bounds
+          UNION ALL
+          SELECT y + INTERVAL 1 YEAR FROM years, bounds
+          WHERE y < date_trunc('year', hi)),
+        spine AS (
+          SELECT y + make_interval(0, k) AS m
+          FROM years CROSS JOIN bounds
+          LATERAL VIEW explode(sequence(0, 11)) t AS k
+          WHERE y + make_interval(0, k) >= lo
+            AND y + make_interval(0, k) <= hi),
+        rev AS (
+          SELECT date_trunc('month', o_orderdate) AS m,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS revenue
+          FROM {ord} GROUP BY 1)
+        SELECT CAST(spine.m AS DATE) AS month,
+               COALESCE(rev.revenue, 0.0) AS revenue
+        FROM spine LEFT JOIN rev ON rev.m = spine.m
+        ORDER BY month
+        """,
+        ord=orders,
+    )
+
+
+ORACLE_RECURSIVE_SPINE = """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+         date_trunc('month', MAX(o_orderdate)) AS hi
+  FROM orders),
+years(y) AS (
+  SELECT date_trunc('year', lo) FROM bounds
+  UNION ALL
+  SELECT y + INTERVAL 1 YEAR FROM years, bounds
+  WHERE y < date_trunc('year', hi)),
+spine AS (
+  SELECT y + to_months(CAST(k AS INTEGER)) AS m
+  FROM years, generate_series(0, 11) AS t(k), bounds
+  WHERE y + to_months(CAST(k AS INTEGER)) >= lo
+    AND y + to_months(CAST(k AS INTEGER)) <= hi),
+rev AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1)
+SELECT CAST(spine.m AS DATE) AS month, COALESCE(rev.revenue, 0.0) AS revenue
+FROM spine LEFT JOIN rev ON rev.m = spine.m
+ORDER BY month
+"""
+
+
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed semi-structured access (Spark 4 parse_json /
+    variant_get): parse the event props once into a variant and extract a
+    typed path — the open-schema ingestion pattern (shredded columnar
+    variant beats per-access string re-parsing, and type errors surface
+    at extraction). Aggregates stay integer-exact on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_big"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VARIANT = """
+SELECT event_type,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       COUNT(CASE WHEN k > 50 THEN 1 END) AS n_big,
+       COUNT(DISTINCT k) AS n_distinct_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise scalar + aggregate surface: per return-flag, BIT_AND /
     BIT_OR / BIT_XOR of an 8-bit order-key bucket, popcount totals, and a
@@ -2319,6 +2424,12 @@ SPECS = [
     QuerySpec("agg_bitwise", agg_bitwise, ORACLE_BITWISE,
               ("agg", "scalar"),
               doc="BIT_AND/OR/XOR aggregates + popcount + shift/mask scalars"),
+    QuerySpec("recursive_month_spine", recursive_month_spine,
+              ORACLE_RECURSIVE_SPINE, ("recursive", "agg"),
+              doc="WITH RECURSIVE date spine + gap-filled monthly revenue"),
+    QuerySpec("scalar_variant_json", scalar_variant_json, ORACLE_VARIANT,
+              ("scalar", "json", "variant"),
+              doc="VARIANT parse_json/variant_get typed extraction"),
     QuerySpec("unpivot_metrics", unpivot_metrics, ORACLE_UNPIVOT,
               ("reshape", "agg"),
               doc="unpivot/melt wide measures → long + per-metric agg"),

@@ -85,16 +85,17 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "ev_sessionize_batch",
     "mm_dedup_fingerprint",
     "agg_bitwise",
-    # oldest standing rows (r2) — refresh before they go stale (the four
+    "ev_scd2_user_status",
+    "ev_retention_cohorts",
+    # oldest standing rows (r2) — refresh before they go stale (the six
     # bumped for the new ops — sim_ivf, ev_user_state, agg_percentiles,
-    # lateral_posexplode — keep r2 rows, exactly 2 rounds old — within
-    # the ≤2-round bound after this window, first in line for r5):
+    # lateral_posexplode, join_asof, window_range_1h — keep r2 rows,
+    # exactly 2 rounds old — within the ≤2-round bound after this
+    # window, first in line for r5):
     "ev_sliding_1h_30m",
     "ev_session_30m",
     "ev_dedup_first",
     "mm_frame_sample",
-    "join_asof",
-    "window_range_1h",
     # frozen bench set — a driver row EVERY round so BENCH_r{N} queries
     # are always independently correctness-gated in the same round:
     "q01_pricing_summary",
@@ -114,9 +115,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
 )
 
 # r3-green, non-bench — rotate to the tail this round (driver row ≤1
-# round old; still in every committed local sweep). The 25 r2-row
-# queries NOT listed here or above sit in the middle by registration
-# order, next in line for r5's window.
+# round old; still in every committed local sweep). The middle (not
+# listed here or above) holds the remaining r2-row queries plus any
+# late-r4 additions (recursive_month_spine, scalar_variant_json, ...)
+# — all green in the committed full local sweep, first in line for
+# r5's window per the protocol above.
 PRIORITY_LAST: tuple[str, ...] = (
     "exists_sole_returner",
     "not_exists_idle_customers",
