@@ -1968,6 +1968,45 @@ ORDER BY s_suppkey
 """
 
 
+FUZZY_MAX_DIST = 4
+
+
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: near-identical part names by edit distance
+    within a blocking key — the entity-resolution join. The quadratic
+    levenshtein verify runs ONLY (a) on the DISTINCT-name dictionary
+    (names repeat across the catalog; dedupe first, like any
+    entity-resolution pipeline) and (b) inside first-token blocks, so
+    candidate pairs are O(Σ block²) over dictionary-sized blocks — never
+    a fact-table cross join. One shuffle for the dictionary distinct, one
+    block-keyed shuffle for the self-join."""
+    part = _t(spark, sf_dir, "part")
+    names = part.select("p_name").distinct().select(
+        "p_name", F.split("p_name", " ").getItem(0).alias("blk")
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "blk")
+    b = names.select(F.col("p_name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+ORACLE_FUZZY = f"""
+WITH names AS (
+  SELECT DISTINCT p_name, string_split(p_name, ' ')[1] AS blk FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""
+
+
 def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 WITH RECURSIVE): generate a dense monthly
     calendar spine from the orders date range and left-join monthly
@@ -2430,6 +2469,10 @@ SPECS = [
     QuerySpec("scalar_variant_json", scalar_variant_json, ORACLE_VARIANT,
               ("scalar", "json", "variant"),
               doc="VARIANT parse_json/variant_get typed extraction"),
+    QuerySpec("fuzzy_match_blocked", fuzzy_match_blocked, ORACLE_FUZZY,
+              ("join", "text", "fuzzy"),
+              doc="blocked levenshtein entity resolution on the name "
+                  "dictionary"),
     QuerySpec("unpivot_metrics", unpivot_metrics, ORACLE_UNPIVOT,
               ("reshape", "agg"),
               doc="unpivot/melt wide measures → long + per-metric agg"),
