@@ -1146,3 +1146,66 @@ def test_union_mapping_property(case):
             assert t["u"]["tag"] == row["u"].tag - n_null
     redata = ac.write_container([enc(dict(t)) for t in tagged], schema)
     assert list(ac.read_container(redata)) == plain
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.text(max_size=12),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_hive_escape_roundtrip_property(vals):
+    """_hive_escape/_hive_unescape survive arbitrary partition values
+    (slashes, equals, percent, unicode, null) — a broken escape silently
+    fuses or splits partition directories."""
+    for v in vals:
+        enc = asp._hive_escape(v)
+        assert "/" not in enc and "=" not in enc
+        dec = asp._hive_unescape(enc)
+        if v is None:
+            assert dec is None
+        else:
+            assert dec == str(v)
+
+
+def test_partitioned_avro_then_compact_e2e(spark, tmp_path):
+    """The new partitioned sink feeds the compactor: hive k=v leaves of
+    small avro files compact leaf-by-leaf, and the partitioned reader
+    still reconstructs partition columns from the compacted tree."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(300)],
+        "id bigint, name string, bucket bigint",
+    )
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    # several files per leaf (repartition on a high-card key)
+    write_avro_folder(
+        df.repartition(4, "id"), src, partition_by=["bucket"]
+    )
+    per_leaf = collections.Counter(
+        p.parent.name for p in (tmp_path / "src").rglob("*.avro")
+    )
+    assert all(n > 1 for n in per_leaf.values()), per_leaf
+    res = compact(
+        spark, CompactionParams(source=src, target=tgt, file_count=1, fmt="avro")
+    )
+    assert res.success, res.errors
+    out_leaf = collections.Counter(
+        p.parent.name for p in (tmp_path / "tgt").rglob("*.avro")
+    )
+    assert set(out_leaf) == set(per_leaf) and all(
+        n == 1 for n in out_leaf.values()
+    ), out_leaf
+    back = read_avro_folder(spark, tgt)
+    got = collections.Counter(
+        (r["id"], r["name"], r["bucket"]) for r in back.collect()
+    )
+    want = collections.Counter(
+        (r["id"], r["name"], r["bucket"]) for r in df.collect()
+    )
+    assert got == want
