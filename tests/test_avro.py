@@ -1209,3 +1209,38 @@ def test_partitioned_avro_then_compact_e2e(spark, tmp_path):
         (r["id"], r["name"], r["bucket"]) for r in df.collect()
     )
     assert got == want
+
+
+def test_partitioned_write_commit_protocol(spark, tmp_path):
+    """The partitioned sink honors the same commit protocol as the flat
+    sink: success leaves no temps anywhere in the tree; a failing job
+    leaves no VISIBLE .avro file in any leaf (temps swept in the finally,
+    aborted runs clean up too)."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(60)],
+        "id bigint, name string, bucket bigint",
+    )
+    out = tmp_path / "pcommit"
+    write_avro_folder(df.repartition(2), str(out), partition_by=["bucket"])
+    all_files = [p.name for p in out.rglob("*") if p.is_file()]
+    assert all_files and not [n for n in all_files if n.startswith("_tmp-")]
+
+    bad_schema = {
+        "type": "record",
+        "name": "Rec",
+        "fields": [{"name": "id", "type": "null"}],  # non-null value → error
+    }
+    out2 = tmp_path / "paborted"
+    with pytest.raises(Exception):
+        write_avro_folder(
+            df.repartition(2), str(out2), schema=bad_schema,
+            partition_by=["bucket"],
+        )
+    leftovers = (
+        [p for p in out2.rglob("*.avro") if not p.name.startswith("_")]
+        if out2.exists()
+        else []
+    )
+    assert leftovers == []
+    temps = list(out2.rglob("_tmp-*")) if out2.exists() else []
+    assert temps == []  # finally-sweep removed aborted attempts' temps
