@@ -587,6 +587,48 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """
 
 
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping-level indicators on a rollup — how reports
+    distinguish a real NULL group key from a subtotal row (the rollup's
+    generated NULLs are otherwise ambiguous). Same single-pass expanded
+    aggregate as any rollup; the indicators are free metadata from the
+    grouping-set id, no extra shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n"),
+        )
+        .withColumn(
+            "level",
+            F.when((F.col("g_flag") == 0) & (F.col("g_status") == 0), "detail")
+            .when((F.col("g_flag") == 0) & (F.col("g_status") == 1), "subtotal")
+            .otherwise("grand_total"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_GROUPING_ID = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n,
+       CASE WHEN GROUPING(l_returnflag) = 0 AND GROUPING(l_linestatus) = 0
+              THEN 'detail'
+            WHEN GROUPING(l_returnflag) = 0 AND GROUPING(l_linestatus) = 1
+              THEN 'subtotal'
+            ELSE 'grand_total' END AS level
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -2379,6 +2421,9 @@ SPECS = [
               bench=True),
     QuerySpec("agg_stats", agg_stats, ORACLE_AGG_STATS, ("agg",)),
     QuerySpec("agg_rollup", agg_rollup, ORACLE_AGG_ROLLUP, ("agg",)),
+    QuerySpec("agg_grouping_id", agg_grouping_id, ORACLE_GROUPING_ID,
+              ("agg",),
+              doc="GROUPING() subtotal indicators on rollup"),
     QuerySpec("agg_cube", agg_cube, ORACLE_AGG_CUBE, ("agg",)),
     QuerySpec("agg_grouping_sets", agg_grouping_sets, ORACLE_AGG_GSETS, ("agg",)),
     QuerySpec("agg_having", agg_having, ORACLE_AGG_HAVING, ("agg",)),
