@@ -583,32 +583,43 @@ def read_avro_folder(
         for c, t in zip(part_cols, part_types):
             spark_schema = spark_schema.add(T.StructField(c, t, True))
 
-    splits: list[tuple[str, int, int]] = []
+    # Partition values ride IN the splits DataFrame (JSON per split row),
+    # not in the task closure: a values-by-path dict pickled into every
+    # task would grow with the file count — a million-file tree would ship
+    # a million-entry dict to each executor.
+    import json as _json
+
+    splits: list[tuple[str, int, int, str]] = []
     for info in files:
+        pv = (
+            _json.dumps(list(part_vals[info.path])) if part_cols else "[]"
+        )
         size = int(info.size)
         n = max(1, math.ceil(size / max(1, split_bytes)))
         step = math.ceil(size / n)
         for k in range(n):
             lo, hi = k * step, min((k + 1) * step, size)
             if lo < hi:
-                splits.append((info.path, lo, hi))
+                splits.append((info.path, lo, hi, pv))
 
     splits_df = spark.createDataFrame(
-        splits, schema="path string, start long, end long"
+        splits, schema="path string, start long, end long, pv string"
     ).repartition(len(splits))
 
     conv = _decoded_converter(rs)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for fpath, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
-                fpath = str(fpath)
+            for fpath, start, end, pv in zip(
+                pdf["path"], pdf["start"], pdf["end"], pdf["pv"]
+            ):
+                pvals = _json.loads(pv) if part_cols else ()
                 for out in _decode_split(
-                    fs, fpath, int(start), int(end), rs, col_order,
+                    fs, str(fpath), int(start), int(end), rs, col_order,
                     conv=conv,
                 ):
                     if part_cols:
-                        for c, v in zip(part_cols, part_vals[fpath]):
+                        for c, v in zip(part_cols, pvals):
                             out[c] = v
                     yield out
 
