@@ -2010,6 +2010,60 @@ ORDER BY s_suppkey
 """
 
 
+SKETCH_TOP_K = 10
+
+
+def sketch_top_k_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k frequency sketch (Spark 4) —
+    the streaming-friendly answer to "which suppliers dominate line
+    items" when exact per-key counts would shuffle the world. One
+    map-side mergeable sketch per task, merged on the driver side of a
+    single-row agg; estimates, not exact counts, so this is a rows-only
+    check gated by the exact-twin tolerance pytest (same pattern as the
+    ANN rankings)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.agg(
+            F.expr(
+                f"approx_top_k(l_suppkey, {SKETCH_TOP_K})"
+            ).alias("tk")
+        )
+        .select(F.posexplode("tk").alias("rank0", "e"))
+        .select(
+            (F.col("rank0") + 1).alias("rank"),
+            F.col("e.item").alias("l_suppkey"),
+            F.col("e.count").alias("est_count"),
+        )
+    )
+
+
+APPROX_PCT_ACCURACY = 10_000
+
+
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group via percentile_approx (Greenwald-
+    Khanna sketch): rank error bounded by n/accuracy, mergeable across
+    partitions — the scale path when exact percentiles' full sort per
+    group is too expensive. Rows-only check; the exact-twin tolerance
+    pytest bounds the error against the exact percentiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.9, 0.99], APPROX_PCT_ACCURACY
+            ).alias("p")
+        )
+        .select(
+            "l_returnflag",
+            F.col("p").getItem(0).alias("p50"),
+            F.col("p").getItem(1).alias("p90"),
+            F.col("p").getItem(2).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 FUZZY_MAX_DIST = 4
 
 
@@ -2518,6 +2572,14 @@ SPECS = [
               ("join", "text", "fuzzy"),
               doc="blocked levenshtein entity resolution on the name "
                   "dictionary"),
+    QuerySpec("sketch_top_k_heavy_hitters", sketch_top_k_heavy_hitters,
+              None, ("agg", "sketch"),
+              doc="approx_top_k frequency-sketch heavy hitters "
+                  "(rows-only; exact-twin tolerance pytest)"),
+    QuerySpec("agg_approx_percentiles", agg_approx_percentiles,
+              None, ("agg", "sketch", "percentile"),
+              doc="percentile_approx GK sketch per group (rows-only; "
+                  "exact-twin tolerance pytest)"),
     QuerySpec("unpivot_metrics", unpivot_metrics, ORACLE_UNPIVOT,
               ("reshape", "agg"),
               doc="unpivot/melt wide measures → long + per-metric agg"),

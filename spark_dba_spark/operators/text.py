@@ -653,6 +653,52 @@ GROUP BY 1, 2 ORDER BY source, bin_id
 """
 
 
+# Quality-weighted sampling: p(keep) = min(1, n_chars / WSAMPLE_CAP),
+# realized as an exact integer predicate over a content-stable md5 bucket
+# (bucket * CAP < n_chars * BUCKETS ⇔ bucket/BUCKETS < n_chars/CAP) — no
+# RNG, no floats near the boundary, reproducible on any engine/cluster.
+WSAMPLE_CAP = 400
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling — longer (better-scoring)
+    documents keep proportionally higher probability, the way a training
+    mixture up-weights high-quality text. Deterministic: membership is a
+    salted md5 bucket of doc_id compared against the per-doc weight with
+    integer cross-multiplication (exact on both engines). Map-only
+    predicate + one small per-source agg — embarrassingly parallel."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('wsamp:', cast(doc_id as string))),"
+        f" 1, 7), 16, 10) as bigint) % {MIX_BUCKETS}"
+    )
+    kept = (bucket * WSAMPLE_CAP < F.col("n_chars") * MIX_BUCKETS).cast("int")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(F.col("n_chars") * kept).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(k) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars * k) AS BIGINT) AS kept_chars
+FROM (
+  SELECT source, n_chars,
+         CASE WHEN CAST('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+                        1, 7) AS BIGINT) % {MIX_BUCKETS} * {WSAMPLE_CAP}
+                   < n_chars * {MIX_BUCKETS}
+              THEN 1 ELSE 0 END AS k
+  FROM documents)
+GROUP BY source ORDER BY source
+"""
+
+
 # Train/eval decontamination: n-gram width and the deterministic rule
 # that carves the fixture's "benchmark" set out of `documents`. Real
 # pipelines use 8-13-gram overlap against MMLU/GSM8K-style sets; the
@@ -813,6 +859,10 @@ SPECS = [
     QuerySpec("dedup_keep_best", dedup_keep_best, ORACLE_KEEP_BEST,
               ("dedup", "pipeline"),
               doc="exact dedup keeping the highest-quality copy"),
+    QuerySpec("corpus_weighted_sample", corpus_weighted_sample,
+              ORACLE_WEIGHTED_SAMPLE, ("text", "pipeline"),
+              doc="deterministic quality-weighted sampling (integer "
+                  "cross-multiplied hash threshold)"),
     QuerySpec("decontaminate_ngram", decontaminate_ngram, ORACLE_DECON,
               ("text", "pipeline", "dedup"),
               doc="train/eval n-gram-overlap decontamination, broadcast "
