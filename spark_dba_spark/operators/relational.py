@@ -1828,10 +1828,10 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q12 = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-                THEN 1 ELSE 0 END) AS late_count,
-       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-                THEN 0 ELSE 1 END) AS ontime_count
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 0 ELSE 1 END) AS BIGINT) AS ontime_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
@@ -2399,7 +2399,7 @@ def agg_bool_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BOOL_AGG = """
 SELECT l_returnflag,
-       count_if(l_discount > 0.05) AS n_discounted,
+       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
        bool_and(l_quantity > 0) AS all_positive_qty,
        bool_or(l_tax > 0.07) AS some_high_tax,
        COUNT(*) AS n

@@ -632,7 +632,13 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(|x|)/127; elements round half-up via floor(x/scale + 0.5) so both
     engines share exact IEEE semantics (no round-half-even ambiguity).
     Pure map-side higher-order functions — no shuffle, no Python; at
-    100 TB this is a single WholeStageCodegen pass over the scan."""
+    100 TB this is a single WholeStageCodegen pass over the scan.
+
+    The quantized vector is emitted as a comma-joined string (not
+    ``array<int>``): external comparators that canonicalize through
+    pandas cannot hash/sort ndarray cells, so the checked surface is a
+    scalar. The array-typed variant stays covered by
+    ``tests/test_similarity.py``'s round-trip test."""
     emb = _emb(spark, sf_dir)
     return (
         emb.withColumn(
@@ -646,8 +652,9 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "qvec",
             F.expr(
-                "transform(embedding, x -> cast(floor(cast(x as double)"
-                " / scale + cast(0.5 as double)) as int))"
+                "concat_ws(',', transform(embedding,"
+                " x -> cast(floor(cast(x as double)"
+                " / scale + cast(0.5 as double)) as int)))"
             ),
         )
         .select("vec_id", "scale", "qvec")
@@ -657,8 +664,9 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_QUANTIZE = """
 SELECT vec_id, scale,
-       list_transform(embedding,
-         x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)) AS qvec
+       array_to_string(list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)),
+         ',') AS qvec
 FROM (
   SELECT vec_id, embedding,
          greatest(list_max(list_transform(embedding,

@@ -411,10 +411,10 @@ _DUCK_MIX_THRESHOLD = (
 
 ORACLE_MIX = f"""
 SELECT source, COUNT(*) AS n_total,
-       SUM(CASE WHEN CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+       CAST(SUM(CASE WHEN CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
                           1, 7) AS BIGINT) % {MIX_BUCKETS}
                      < {_DUCK_MIX_THRESHOLD}
-                THEN 1 ELSE 0 END) AS n_kept
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -640,13 +640,14 @@ def pack_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PACK_BINS = f"""
-SELECT source, run_excl // {PACK_BIN_TOKENS} AS bin_id,
-       COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+SELECT source, CAST(run_excl // {PACK_BIN_TOKENS} AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
 FROM (
   SELECT source, doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_excl
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS run_excl
   FROM (SELECT source, doc_id,
                len(string_split(text, ' ')) AS n_tokens FROM documents))
 GROUP BY 1, 2 ORDER BY source, bin_id

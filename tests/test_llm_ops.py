@@ -204,7 +204,8 @@ def test_quantize_int8_reconstruction_bound(spark):
         for r in catalog.load(spark, SF_DIR, "embeddings").collect()
     }
     for r in emb_quantize_int8(spark, SF_DIR).collect():
-        scale, q = r["scale"], r["qvec"]
+        scale = r["scale"]
+        q = [int(s) for s in r["qvec"].split(",")]
         orig = emb[r["vec_id"]]
         assert len(q) == len(orig)
         for qi, xi in zip(q, orig):
