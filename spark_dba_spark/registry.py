@@ -42,62 +42,61 @@ class QuerySpec:
 # into PRIORITY_LAST (prefer families with several other green rows). Over
 # rounds, every query accumulates at least one driver-recorded green row.
 #
-# ROUND-4 WINDOW (VERDICT r3 "Next round" #1; RESPONSES_r04.md ledger):
-# slots 1-23 are the 23 queries that have never had a driver row (added
-# late in r3, judge-re-verified 23/23 but not yet driver-recorded); slots
-# 24-26 are the 3 queries new in r4 (TPC-H q09/q11/q20 shapes); slots
-# 27-36 are the 10 oldest rotation candidates (rows from r2, the stalest
-# in the registry); slots 37-50 stay the frozen bench set (a driver row
-# EVERY round). The 36 queries that got fresh r3 rows rotate to the tail;
-# the remaining 25 r2-row queries sit in the middle, first in line for
-# r5. After this window the r1∪r2∪r3∪r4 union covers all 112 queries
-# with no row older than 2 rounds.
+# ROUND-5 WINDOW (VERDICT r4 "Next round" #1/#3; one window = 50 slots):
+# slots 1-5 are the five r4 driver reds, now fixed (BIGINT-cast oracles /
+# string qvec surface) — they must re-record green; slots 6-12 are the
+# seven queries that have NEVER had a driver row (late-r4 additions);
+# new r5 queries are inserted after them as they land (displacing the
+# tail of the stale block to keep the window at 50); next come the
+# stalest standing rows (r2, now 3 rounds old — all 32 minus the three
+# rows-only sketches whose deterministic gates have fresher rows and
+# five family-redundant entries that wait for r6); slots 37-50 stay the
+# frozen bench set (a driver row EVERY round so BENCH_r{N} queries are
+# always independently correctness-gated in the same round). The 31
+# non-bench r4 greens rotate to PRIORITY_LAST; the middle holds the r3
+# greens plus the eight deferred r2 entries.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # never driver-recorded (late-r3 additions) — first rows now:
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "window_value_frames",
-    "q08_market_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
+    # r4 driver reds, fixed this round — green rows required:
     "q12_late_shipments",
-    "unpivot_metrics",
-    "agg_string_concat",
-    "agg_mode_manual",
     "agg_bool_predicates",
-    "scalar_map_ops",
-    "window_range_value",
-    "dedup_cc_clusters",
-    "emb_quantize_int8",
-    "text_tfidf",
     "corpus_mix_sample",
-    "sample_per_source",
     "pack_context_bins",
-    "text_repetition",
-    "text_vocab_top",
-    "ev_funnel_stages",
-    # new in r4 — need their first driver row:
-    "q09_product_type_profit",
-    "q11_important_parts",
-    "q20_qualified_suppliers",
-    "decontaminate_ngram",
-    "ev_sessionize_batch",
-    "mm_dedup_fingerprint",
-    "agg_bitwise",
-    "ev_scd2_user_status",
-    "ev_retention_cohorts",
-    # oldest standing rows (r2) — refresh before they go stale (the six
-    # bumped for the new ops — sim_ivf, ev_user_state, agg_percentiles,
-    # lateral_posexplode, join_asof, window_range_1h — keep r2 rows,
-    # exactly 2 rounds old — within the ≤2-round bound after this
-    # window, first in line for r5):
-    "ev_sliding_1h_30m",
-    "ev_session_30m",
-    "ev_dedup_first",
-    "mm_frame_sample",
-    # frozen bench set — a driver row EVERY round so BENCH_r{N} queries
-    # are always independently correctness-gated in the same round:
+    "emb_quantize_int8",
+    # never driver-recorded (late-r4 additions) — first rows now:
+    "agg_grouping_id",
+    "recursive_month_spine",
+    "scalar_variant_json",
+    "fuzzy_match_blocked",
+    "corpus_weighted_sample",
+    "sketch_top_k_heavy_hitters",
+    "agg_approx_percentiles",
+    # new in r5 — first driver rows (inserted as they land):
+    # stalest standing rows (r2) — refresh:
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q14_promo_revenue",
+    "agg_percentiles",
+    "lateral_posexplode",
+    "agg_corr_stats",
+    "dedup_char_jaccard",
+    "dedup_simhash",
+    "sim_dup_pairs",
+    "sim_range_search",
+    "text_lang_id",
+    "pipeline_clean_corpus",
+    "dataset_split_hash",
+    "dedup_keep_best",
+    "mm_audio_energy",
+    "mm_image_resize",
+    "join_asof",
+    "window_range_1h",
+    "udaf_geometric_mean",
+    "grouped_zscore",
+    "ev_user_state",
+    "ev_click_error_join",
+    "ev_resample_1h",
+    "ev_hier_rollup",
+    # frozen bench set — a driver row EVERY round:
     "q01_pricing_summary",
     "ev_tumbling_1h",
     "json_extract_events",
@@ -114,49 +113,44 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "text_quality",
 )
 
-# r3-green, non-bench — rotate to the tail this round (driver row ≤1
+# r4-green, non-bench — rotate to the tail this round (driver row ≤1
 # round old; still in every committed local sweep). The middle (not
-# listed here or above) holds the remaining r2-row queries plus any
-# late-r4 additions (recursive_month_spine, scalar_variant_json, ...)
-# — all green in the committed full local sweep, first in line for
-# r5's window per the protocol above.
+# listed here or above) holds the r3 greens plus the eight deferred r2
+# entries (agg_approx_distinct, sim_ann_lsh, sim_ivf rows-only;
+# join_cross_small, scalar_regexp, scalar_array_ops, set_ops_bag,
+# window_running_sum family-redundant) — first in line for r6.
 PRIORITY_LAST: tuple[str, ...] = (
-    "exists_sole_returner",
-    "not_exists_idle_customers",
-    "outer_join_count_dist",
-    "sim_ann_lsh_candidates",
-    "sim_ivf_candidates",
-    "set_intersect",
-    "set_except",
-    "scalar_math",
-    "scalar_string",
-    "window_moving_avg",
-    "join_semi",
-    "window_lag_lead",
-    "scalar_date",
-    "set_union",
-    "agg_having",
-    "in_subquery",
-    "window_rank_dist",
-    "scalar_conditional",
-    "agg_stats",
-    "join_left_outer",
-    "topk_global",
-    "agg_rollup",
-    "join_full_outer",
-    "agg_cube",
-    "text_fingerprint",
-    "mm_binary_meta",
-    "mm_image_features",
-    "dedup_exact_stats",
-    "text_token_count",
-    "join_anti",
-    "dedup_exact_clusters",
-    "join_range_bands",
-    "pivot_status",
-    "correlated_scalar_subquery",
-    "agg_grouping_sets",
-    "q04_order_priority",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "window_value_frames",
+    "q08_market_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "unpivot_metrics",
+    "agg_string_concat",
+    "agg_mode_manual",
+    "scalar_map_ops",
+    "window_range_value",
+    "dedup_cc_clusters",
+    "text_tfidf",
+    "sample_per_source",
+    "text_repetition",
+    "text_vocab_top",
+    "ev_funnel_stages",
+    "q09_product_type_profit",
+    "q11_important_parts",
+    "q20_qualified_suppliers",
+    "decontaminate_ngram",
+    "ev_sessionize_batch",
+    "mm_dedup_fingerprint",
+    "agg_bitwise",
+    "ev_scd2_user_status",
+    "ev_retention_cohorts",
+    "ev_sliding_1h_30m",
+    "ev_session_30m",
+    "ev_dedup_first",
+    "mm_frame_sample",
 )
 
 

@@ -79,6 +79,32 @@ def test_minhash_is_superset_quality(spark):
     assert exact <= lsh, f"LSH missed near-certain pairs: {exact - lsh}"
 
 
+def test_minhash_plan_single_md5_single_barrier(spark):
+    """The signature stage must hash each shingle exactly once. The
+    lambda-binding form (transform(array(hp), hpv -> ...)[0]) is what
+    blocks Catalyst's projection collapse from inlining the MD5 expression
+    into the 100 permutation lambdas; if a refactor breaks it, md5( shows
+    up multiple times in the plan (≈100× recompute). Exactly one
+    repartition("doc_id") per docs branch is expected (parallelism for
+    low-split scans: sig path + x + y = 3); the old second barrier between
+    hp and sig (an extra cluster-wide shuffle of the hp arrays) must not
+    reappear."""
+    import contextlib
+    import io
+
+    from spark_dba_spark.operators.dedup import dedup_minhash_lsh
+
+    df = dedup_minhash_lsh(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("md5(") == 1, "MD5 inlined into permutation lambdas"
+    assert plan.count("hashpartitioning(doc_id") <= 3, (
+        "second wide-row barrier reappeared in the signature pipeline"
+    )
+
+
 def test_simhash_hamming_bounds(spark):
     from spark_dba_spark.operators.dedup import SIMHASH_MAXHAM, dedup_simhash
 
