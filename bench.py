@@ -4,12 +4,12 @@ and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
      "queries_detail": {q: {"median": .., "best": .., "spread": ..}},
-     "runs": 3, "sf": ...}
+     "runs": 5, "sf": ...}
 
 Each query is timed end-to-end (plan build + execution + collect of the
-final, already-aggregated result), THREE interleaved passes (pass order
-q1..qn ×3, so a transient machine-load spike lands in one pass, not in all
-runs of one query). ``queries``/``value`` carry per-query medians (the
+final, already-aggregated result), $SPARK_GRAFT_BENCH_RUNS interleaved
+passes (default 5; pass order q1..qn ×N, so a transient machine-load spike
+lands in one pass, not in all runs of one query). ``queries``/``value`` carry per-query medians (the
 driver-parsed shape, unchanged); ``queries_detail`` adds best and spread
 (max−min) so the artifact carries its own noise floor — a uniform
 environment shift shows up as spread, not as a phantom regression

@@ -66,21 +66,48 @@ def _to_matrix(series: pd.Series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in series])
 
 
+# Probes per broadcast batch for the brute-force scorers. The driver never
+# holds more than one chunk of probe vectors at a time (toLocalIterator
+# streams partitions), so a probe set that grows with the corpus degrades
+# into more corpus passes instead of a driver OOM — each chunk is one
+# mapInPandas scan, unioned. With the default probe sets (N_QUERIES = 20)
+# everything fits one chunk and the plan is identical to the unchunked
+# form.
+PROBE_CHUNK = 1024
+
+
+def _probe_chunks(df, chunk: int | None = None):
+    """Yield (ids ndarray, row-normalized matrix) per bounded chunk of
+    (vec_id, embedding) rows, never materializing the full probe set on
+    the driver."""
+    chunk = chunk or PROBE_CHUNK  # module-level lookup: test-overridable
+    buf_ids: list[int] = []
+    buf_vecs: list = []
+    for r in df.select("vec_id", "embedding").toLocalIterator():
+        buf_ids.append(r["vec_id"])
+        buf_vecs.append(r["embedding"])
+        if len(buf_ids) >= chunk:
+            qm = np.array(buf_vecs, dtype=np.float64)
+            yield (
+                np.array(buf_ids, dtype=np.int64),
+                qm / np.linalg.norm(qm, axis=1, keepdims=True),
+            )
+            buf_ids, buf_vecs = [], []
+    if buf_ids:
+        qm = np.array(buf_vecs, dtype=np.float64)
+        yield (
+            np.array(buf_ids, dtype=np.int64),
+            qm / np.linalg.norm(qm, axis=1, keepdims=True),
+        )
+
+
 # --------------------------------------------------------------------------
 # Brute-force cosine top-k (query set broadcast, corpus distributed)
 # --------------------------------------------------------------------------
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    qrows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )  # bounded probe set → broadcast variable
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((qids, qn))
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
 
     out_schema = T.StructType(
         [
@@ -90,22 +117,33 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def score(batches):
-        bqids, bqn = bc.value
-        for pdf in batches:
-            m = _to_matrix(pdf["embedding"])
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = mn @ bqn.T  # (batch, n_queries)
-            n, nq = sims.shape
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(bqids, n),
-                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), nq),
-                    "sim": sims.T.reshape(-1),
-                }
-            )
+    chunks = []
+    for qids, qn in _probe_chunks(probes):
+        bc = spark.sparkContext.broadcast((qids, qn))
 
-    scored = emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
+        def score(batches, _bc=bc):
+            bqids, bqn = _bc.value
+            for pdf in batches:
+                m = _to_matrix(pdf["embedding"])
+                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+                sims = mn @ bqn.T  # (batch, n_queries)
+                n, nq = sims.shape
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(bqids, n),
+                        "vec_id": np.tile(pdf["vec_id"].to_numpy(), nq),
+                        "sim": sims.T.reshape(-1),
+                    }
+                )
+
+        chunks.append(
+            emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
+        )
+    if not chunks:  # empty probe set → empty result, stable schema
+        chunks = [spark.createDataFrame([], out_schema)]
+    scored = chunks[0]
+    for c in chunks[1:]:
+        scored = scored.unionByName(c)
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.filter(F.col("vec_id") != F.col("qid"))
@@ -122,18 +160,11 @@ RANGE_TAU = 0.25
 def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range query: every corpus vector within cosine ≥ RANGE_TAU of each
     probe — the radius-based retrieval mode (vs top-k). Same broadcast-
-    probe + Arrow/BLAS scoring as sim_cosine_topk; the filter happens
+    probe + Arrow/BLAS scoring as sim_cosine_topk (chunked probe
+    collection, see :func:`_probe_chunks`); the filter happens
     map-side so only in-range candidates ever shuffle."""
     emb = _emb(spark, sf_dir)
-    qrows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((qids, qn))
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
 
     out_schema = T.StructType(
         [
@@ -143,28 +174,36 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def score(batches):
-        bqids, bqn = bc.value
-        for pdf in batches:
-            m = _to_matrix(pdf["embedding"])
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = mn @ bqn.T  # (batch, n_queries)
-            ci, qi = np.nonzero(sims >= RANGE_TAU)
-            vids = pdf["vec_id"].to_numpy()
-            keep = vids[ci] != bqids[qi]
-            yield pd.DataFrame(
-                {
-                    "qid": bqids[qi[keep]],
-                    "vec_id": vids[ci[keep]],
-                    "sim_r4": np.round(sims[ci[keep], qi[keep]], 4),
-                }
-            )
+    chunks = []
+    for qids, qn in _probe_chunks(probes):
+        bc = spark.sparkContext.broadcast((qids, qn))
 
-    return (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(score, out_schema)
-        .orderBy("qid", "vec_id")
-    )
+        def score(batches, _bc=bc):
+            bqids, bqn = _bc.value
+            for pdf in batches:
+                m = _to_matrix(pdf["embedding"])
+                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+                sims = mn @ bqn.T  # (batch, n_queries)
+                ci, qi = np.nonzero(sims >= RANGE_TAU)
+                vids = pdf["vec_id"].to_numpy()
+                keep = vids[ci] != bqids[qi]
+                yield pd.DataFrame(
+                    {
+                        "qid": bqids[qi[keep]],
+                        "vec_id": vids[ci[keep]],
+                        "sim_r4": np.round(sims[ci[keep], qi[keep]], 4),
+                    }
+                )
+
+        chunks.append(
+            emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
+        )
+    if not chunks:
+        chunks = [spark.createDataFrame([], out_schema)]
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("qid", "vec_id")
 
 
 ORACLE_RANGE_SEARCH = f"""
@@ -471,7 +510,10 @@ SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY qid ORDER BY qid
 # --------------------------------------------------------------------------
 
 IVF_CENTROIDS = 32
-IVF_NPROBE = 6
+# 12/32 probes ≈ recall@10 0.92 on the (worst-case, structure-free) random
+# fixture embeddings — the default operating point is ≥0.9 even at the
+# floor; see tools/recall_report.py → RECALL_r{N}.json for the full curve.
+IVF_NPROBE = 12
 
 
 def _ivf_structures(spark: SparkSession, sf_dir: str):

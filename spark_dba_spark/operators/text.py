@@ -573,10 +573,16 @@ PACK_BIN_TOKENS = 2048
 # A running sum is inherently sequential in doc_id order, so unlike the
 # sample cap it cannot be salted by an arbitrary hash — the shard must be
 # a CONTIGUOUS doc_id range so that "offset of my shard" + "running sum
-# within my shard" reproduces the global running sum exactly. At 100 TB
-# pick the span so one shard's docs fit a task (the shard-totals side
-# stays tiny either way: one row per (source, shard)).
+# within my shard" reproduces the global running sum exactly.
 PACK_SHARD_SPAN = 64
+# Hard bound on the offsets side that gets broadcast back (one row per
+# (source, shard)). A FIXED span of 64 makes that side n_docs/64 rows —
+# at 100 TB it would exceed executor memory; instead the span scales so
+# there are at most this many shards, keeping the broadcast genuinely
+# bounded (~PACK_MAX_SHARDS rows) at any corpus size. The span is
+# invisible to the result: bin_id depends only on the exact global
+# running sum, which every span reproduces bit-for-bit.
+PACK_MAX_SHARDS = 4096
 
 
 def pack_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,13 +603,22 @@ def pack_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       3. the per-doc exclusive running sum windows on (source, shard):
          the heavy sort/stream spreads over all shards of a domain.
     shard_offset + local running sum == global running sum, bit-exact,
-    so the result (and the single-window oracle) is unchanged."""
+    so the result (and the single-window oracle) is unchanged.
+
+    The span adapts to corpus size (max(PACK_SHARD_SPAN, max_doc_id /
+    PACK_MAX_SHARDS)) so the offsets side broadcast in step 2 is bounded
+    by ~PACK_MAX_SHARDS rows at ANY scale — a fixed span would make it
+    n_docs/span rows, which at 100 TB is no longer a broadcastable side.
+    The bound probe is one agg over the int column (parquet column stats
+    make it cheap), and the span never changes the result."""
     docs = _docs(spark, sf_dir)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    span = max(PACK_SHARD_SPAN, -(-int(max_id) // PACK_MAX_SHARDS))
     toks = docs.select(
         "source",
         "doc_id",
         F.size(F.split("text", " ")).alias("n_tokens"),
-        F.expr(f"doc_id div {PACK_SHARD_SPAN}").alias("shard"),
+        F.expr(f"doc_id div {span}").alias("shard"),
     )
     shard_totals = toks.groupBy("source", "shard").agg(
         F.sum("n_tokens").alias("shard_tokens")

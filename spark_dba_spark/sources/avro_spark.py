@@ -452,8 +452,17 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 def _hive_escape(v: Any) -> str:
     from urllib.parse import quote
 
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return _HIVE_NULL
+    # pd.isna covers every scalar null the pandas groupby can hand us —
+    # None, float NaN, pd.NaT (timestamp partition columns), pd.NA
+    # (nullable dtypes). str() on those would mint literal 'NaT'/'<NA>'
+    # directory names that read back as strings, not nulls. Guarded to
+    # scalars: pd.isna on a list/array returns an array.
+    if not isinstance(v, (list, tuple, dict, set)):
+        try:
+            if pd.isna(v):
+                return _HIVE_NULL
+        except (TypeError, ValueError):
+            pass
     return quote(str(v), safe="")
 
 
@@ -707,8 +716,12 @@ _HEADER_MAX_BYTES = 64 << 20
 def _read_header_with_retry(f, flen: int):
     """Container header from an open pyarrow file, growing the probe read
     if the embedded schema exceeds the initial 1 MiB (a truncated header
-    otherwise surfaces as a confusing varint EOFError deep in parsing)."""
-    size = _HEADER_PROBE_BYTES
+    otherwise surfaces as a confusing varint EOFError deep in parsing).
+    Growth is clamped to ``_HEADER_MAX_BYTES`` BEFORE the read, so the
+    documented 64 MiB bound is what the process actually buffers — the
+    unclamped ×16 ladder would read 256 MiB and accept headers past the
+    cap it claimed to enforce."""
+    size = min(_HEADER_PROBE_BYTES, _HEADER_MAX_BYTES)
     while True:
         f.seek(0)
         head = f.read(min(size, flen))
@@ -722,7 +735,7 @@ def _read_header_with_retry(f, flen: int):
                     f"avro container header exceeds {_HEADER_MAX_BYTES} "
                     "bytes — refusing to buffer further"
                 ) from exc
-            size *= 16
+            size = min(size * 16, _HEADER_MAX_BYTES)
 
 
 def _decode_split(
@@ -820,14 +833,41 @@ def latest_file_schema(
         return _read_header_with_retry(f, int(latest.size))[0]
 
 
-def _strip_hadoop_uri(p: str) -> str:
-    """Hadoop URI (``file:/x``, ``file:///x``, ``s3a://b/k``) → the path a
-    pyarrow FileSystem expects (scheme-less, fs-relative)."""
+def _uri_path_component(p: str) -> str:
+    """Hadoop-style path component of a URI: scheme AND authority dropped
+    (``hdfs://nn:8020/data/x`` → ``/data/x``, ``file:/x`` → ``/x``). Plain
+    paths pass through. Note this is NOT always the path-within-fs that
+    :func:`resolve_fs` produces (pyarrow keeps the bucket in S3 paths, and
+    registered-scheme factories define their own mapping) — callers must
+    rebase onto the resolved root, see :func:`_rebase_onto_root`."""
     if "://" in p:
-        return p.split("://", 1)[1]
+        rest = p.split("://", 1)[1]
+        i = rest.find("/")
+        return rest[i:] if i >= 0 else "/"
     if p.startswith("file:"):
         return p[len("file:"):]
     return p
+
+
+def _rebase_onto_root(file_uri: str, base_uri: str, root: str) -> str:
+    """Map a per-file Hadoop URI (as reported by a ``binaryFile`` listing
+    of ``base_uri``) onto the path-within-fs space of ``resolve_fs(
+    base_uri) -> (fs, root)``: take the file's path component relative to
+    the base's path component and append it to ``root``. Naive scheme
+    stripping is wrong for authority-bearing URIs (``hdfs://nn:8020/d/x``
+    must NOT become ``nn:8020/d/x``) and for filesystems whose in-fs paths
+    are not URI paths (S3 keeps the bucket; SubTree-style factories use
+    relative roots). Falls back to the bare path component when the file
+    does not sit under the base (defensive; binaryFile listings always
+    do)."""
+    comp = _uri_path_component(file_uri)
+    base = _uri_path_component(base_uri).rstrip("/")
+    if base and comp.startswith(base) and (
+        len(comp) == len(base) or comp[len(base)] == "/"
+    ):
+        suffix = comp[len(base):]
+        return (root.rstrip("/") + suffix) if suffix else (root or comp)
+    return comp
 
 
 def read_avro_stream(
@@ -892,12 +932,13 @@ def read_avro_stream(
         return stream.select("content").mapInPandas(decode_whole, spark_schema)
 
     sb = max(1, split_bytes)
+    base_uri = path
 
     def plan_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[tuple[str, int, int]] = []
             for p, size in zip(pdf["path"], pdf["length"]):
-                fp = _strip_hadoop_uri(str(p))
+                fp = _rebase_onto_root(str(p), base_uri, _root)
                 size = int(size)
                 n = max(1, math.ceil(size / sb))
                 step = math.ceil(size / n)

@@ -1174,6 +1174,43 @@ def test_hive_escape_roundtrip_property(vals):
             assert dec == str(v)
 
 
+def test_hive_escape_pandas_nulls():
+    """pandas null sentinels (NaT from timestamp partition columns, NA
+    from nullable dtypes) must map to the hive null directory, not to
+    literal 'NaT'/'<NA>' directory names that read back as strings."""
+    import pandas as pd
+
+    for v in (None, float("nan"), pd.NaT, pd.NA):
+        assert asp._hive_escape(v) == asp._HIVE_NULL
+    # non-null scalars still stringify
+    assert asp._hive_unescape(asp._hive_escape(0)) == "0"
+    assert asp._hive_unescape(asp._hive_escape("NaT")) == "NaT"
+
+
+def test_rebase_onto_root_uri_forms():
+    """Per-file Hadoop URIs from a binaryFile listing map into the
+    path-within-fs space of resolve_fs(base): authority dropped (NOT
+    folded into the path), S3-style bucket-in-root preserved, local
+    file:/ and plain paths unchanged."""
+    rb = asp._rebase_onto_root
+    # hdfs: authority must not leak into the fs path
+    assert rb(
+        "hdfs://nn:8020/data/x.avro", "hdfs://nn:8020/data", "/data"
+    ) == "/data/x.avro"
+    # s3-style: pyarrow keeps the bucket in the in-fs path
+    assert rb(
+        "s3://bucket/dir/a.avro", "s3://bucket/dir", "bucket/dir"
+    ) == "bucket/dir/a.avro"
+    # subtree-style factory: root is relative to the backing fs
+    assert rb(
+        "testfs://data/out/p.avro", "testfs://data/out", "data/out"
+    ) == "data/out/p.avro"
+    # local qualified URI over a plain base path
+    assert rb("file:/tmp/t/f.avro", "/tmp/t", "/tmp/t") == "/tmp/t/f.avro"
+    # file outside the base tree: fall back to the bare path component
+    assert rb("file:/elsewhere/f.avro", "/tmp/t", "/tmp/t") == "/elsewhere/f.avro"
+
+
 def test_partitioned_avro_then_compact_e2e(spark, tmp_path):
     """The new partitioned sink feeds the compactor: hive k=v leaves of
     small avro files compact leaf-by-leaf, and the partitioned reader

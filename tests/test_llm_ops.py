@@ -79,6 +79,24 @@ def test_minhash_is_superset_quality(spark):
     assert exact <= lsh, f"LSH missed near-certain pairs: {exact - lsh}"
 
 
+def test_probe_chunking_matches_single_chunk(spark, monkeypatch):
+    """A probe set larger than one driver chunk (simulated by shrinking
+    PROBE_CHUNK below N_QUERIES) must produce bit-identical top-k and
+    range results — the chunked scorer is how a corpus-scaled probe set
+    survives without a driver OOM, and it must not change semantics."""
+    from spark_dba_spark.operators import similarity as S
+
+    base_topk = [tuple(r) for r in S.sim_cosine_topk(spark, SF_DIR).collect()]
+    base_range = [tuple(r) for r in S.sim_range_search(spark, SF_DIR).collect()]
+    assert len(base_topk) > 0
+
+    monkeypatch.setattr(S, "PROBE_CHUNK", 7)  # N_QUERIES=20 → 3 chunks
+    chunked_topk = [tuple(r) for r in S.sim_cosine_topk(spark, SF_DIR).collect()]
+    chunked_range = [tuple(r) for r in S.sim_range_search(spark, SF_DIR).collect()]
+    assert chunked_topk == base_topk
+    assert chunked_range == base_range
+
+
 def test_minhash_plan_single_md5_single_barrier(spark):
     """The signature stage must hash each shingle exactly once. The
     lambda-binding form (transform(array(hp), hpv -> ...)[0]) is what
