@@ -2444,6 +2444,132 @@ WHERE rn = 1 ORDER BY o_orderstatus
 """
 
 
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: orders are split into price deciles within each
+    priority class, then each decile reports its row count and price
+    span — the classic equal-frequency binning report (quantile tables,
+    score calibration). One window shuffle on the priority key; the
+    decile agg reuses the same partitioning. NTILE's fill rule (earlier
+    tiles get the extra row) is ANSI-fixed, and the ORDER BY carries a
+    full tiebreak (o_totalprice, o_orderkey) so tile membership is
+    deterministic on any engine."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )
+
+
+ORACLE_NTILE = """
+SELECT o_orderpriority, decile, COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         NTILE(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders)
+GROUP BY 1, 2 ORDER BY o_orderpriority, decile
+"""
+
+
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): both
+    sides derive a nullable match key (customers' segment only when the
+    balance is positive, orders' priority class only for open orders) and
+    the join must pair NULL with NULL — a plain ``=`` silently drops
+    every null-keyed row, the classic supression bug in backfill joins.
+    Spark plans ``<=>`` as a normal hash join (null-safe keys hash like
+    values), so this shuffles once on the key like any equi-join."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    c = customer.select(
+        F.when(F.col("c_acctbal") > 0, F.col("c_mktsegment")).alias("seg_key"),
+        "c_custkey",
+    )
+    o = orders.select(
+        F.when(
+            F.col("o_orderstatus") == "O",
+            F.when(F.col("o_orderpriority") < "3", "BUILDING").otherwise(
+                "MACHINERY"
+            ),
+        ).alias("seg_key"),
+        "o_orderkey",
+    )
+    return (
+        c.join(o, c["seg_key"].eqNullSafe(o["seg_key"]))
+        .groupBy(c["seg_key"].alias("seg_key"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.asc_nulls_first("seg_key"))
+    )
+
+
+ORACLE_NULL_SAFE_JOIN = """
+SELECT c.seg_key AS seg_key,
+       COUNT(DISTINCT c_custkey) AS n_cust,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM (SELECT CASE WHEN c_acctbal > 0 THEN c_mktsegment END AS seg_key,
+             c_custkey FROM customer) c
+JOIN (SELECT CASE WHEN o_orderstatus = 'O' THEN
+               CASE WHEN o_orderpriority < '3' THEN 'BUILDING'
+                    ELSE 'MACHINERY' END END AS seg_key,
+             o_orderkey FROM orders) o
+  ON c.seg_key IS NOT DISTINCT FROM o.seg_key
+GROUP BY c.seg_key ORDER BY c.seg_key NULLS FIRST
+"""
+
+
+HIST_BINS = 10
+HIST_LO, HIST_HI = 0.0, 500000.0
+
+
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via ``width_bucket``: order totals into
+    HIST_BINS equal bins over [HIST_LO, HIST_HI), out-of-range values in
+    the ANSI under/overflow buckets 0 and BINS+1. One groupBy on a
+    derived int — the map-side partial agg means each task emits at most
+    BINS+2 rows regardless of input size; the canonical distributed
+    histogram at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket(
+                "o_totalprice", F.lit(HIST_LO), F.lit(HIST_HI), F.lit(HIST_BINS)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# DuckDB has no width_bucket; the emulation mirrors Spark's WidthBucket
+# arithmetic exactly (bucket width computed FIRST, then one division —
+# same float operation order, so edge values land identically).
+ORACLE_HISTOGRAM = f"""
+SELECT CASE WHEN o_totalprice < {HIST_LO} THEN 0
+            WHEN o_totalprice >= {HIST_HI} THEN {HIST_BINS} + 1
+            ELSE 1 + CAST(FLOOR((o_totalprice - {HIST_LO})
+                     / (({HIST_HI} - {HIST_LO}) / {HIST_BINS})) AS BIGINT)
+       END AS bucket,
+       COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY bucket
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -2598,4 +2724,13 @@ SPECS = [
     QuerySpec("window_range_value", window_range_value,
               ORACLE_WIN_RANGE_VALUE, ("window",),
               doc="RANGE frame over a numeric ordering (±1000 price)"),
+    QuerySpec("window_ntile_deciles", window_ntile_deciles, ORACLE_NTILE,
+              ("window",),
+              doc="NTILE equal-frequency binning + per-decile stats"),
+    QuerySpec("join_null_safe_eq", join_null_safe_eq, ORACLE_NULL_SAFE_JOIN,
+              ("join", "nullsafe"),
+              doc="<=> / IS NOT DISTINCT FROM null-safe equi-join"),
+    QuerySpec("agg_histogram_bins", agg_histogram_bins, ORACLE_HISTOGRAM,
+              ("agg", "histogram"),
+              doc="width_bucket fixed-width distributed histogram"),
 ]

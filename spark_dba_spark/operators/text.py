@@ -859,6 +859,102 @@ WHERE rnk <= {TFIDF_TOP_K} ORDER BY doc_id, rnk
 """
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: each document's mean per-token log
+    probability under the corpus's own unigram distribution — the cheap
+    stand-in for KenLM-style perplexity filtering (gibberish and
+    boilerplate-with-rare-tokens score low; fluent text near the corpus
+    mode scores high). Two aggregation passes over one explode:
+      1. global term counts (one hash shuffle; map-side combine keeps
+         the exchange vocabulary-sized, not token-sized);
+      2. tokens re-join their term's count on the term key — a shuffle
+         join whose skew (stopwords are power-law hot) AQE splits —
+         then a per-doc avg of ln(cnt/total).
+    The single-row total rides along as a broadcast, never driver state.
+    At 100 TB the vocab side is bounded by language vocabulary, not
+    corpus size, so the join stays healthy as data grows."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.col("total").cast("double"))), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+total AS (SELECT SUM(cnt) AS total FROM counts)
+SELECT doc_id, COUNT(*) AS n_toks,
+       ROUND(AVG(ln(cnt / CAST(total AS DOUBLE))), 6) AS avg_logprob
+FROM toks JOIN counts USING (term) CROSS JOIN total
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ZIPF_HEAD = 200  # head terms per source used for the log-log fit
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: regression slope of ln(freq) on
+    ln(rank) over each domain's vocabulary head — natural text sits near
+    −1; templated/spammy domains flatten toward 0, making the slope a
+    per-domain health metric for corpus curation. The rank window runs on
+    the per-source COUNTS table (vocabulary-sized — bounded by the
+    language, not the corpus, so the sort doesn't grow with data), and
+    regr_slope is a one-pass distributive aggregate."""
+    counts = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ZIPF_HEAD)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(
+                F.expr("regr_slope(ln(cast(cnt as double)),"
+                       " ln(cast(rank as double)))"), 4
+            ).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_ZIPF = f"""
+WITH counts AS (
+  SELECT source, term, COUNT(*) AS cnt FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT source, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, term) AS rank
+  FROM counts)
+SELECT source, COUNT(*) AS n_terms,
+       ROUND(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                        ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope
+FROM ranked WHERE rank <= {ZIPF_HEAD}
+GROUP BY source ORDER BY source
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
@@ -900,4 +996,12 @@ SPECS = [
     QuerySpec("text_vocab_top", text_vocab_top, ORACLE_VOCAB,
               ("text", "pipeline"),
               doc="global top-K vocabulary with corpus share"),
+    QuerySpec("text_unigram_logprob", text_unigram_logprob,
+              ORACLE_UNIGRAM_LOGPROB, ("text", "pipeline", "quality"),
+              doc="per-doc mean unigram log-prob (perplexity-style "
+                  "quality score under the corpus's own LM)"),
+    QuerySpec("text_zipf_slope", text_zipf_slope, ORACLE_ZIPF,
+              ("text", "pipeline", "quality"),
+              doc="per-source Zipf slope (log-log head fit) — domain "
+                  "health metric"),
 ]

@@ -70,7 +70,15 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "corpus_weighted_sample",
     "sketch_top_k_heavy_hitters",
     "agg_approx_percentiles",
-    # new in r5 — first driver rows (inserted as they land):
+    # new in r5 — first driver rows (inserted as they land; an equal
+    # number of stale-block entries moved to the middle, keeping the
+    # window at 50):
+    "window_ntile_deciles",
+    "join_null_safe_eq",
+    "agg_histogram_bins",
+    "text_unigram_logprob",
+    "text_zipf_slope",
+    "ev_cdc_latest_snapshot",
     # stalest standing rows (r2) — refresh:
     "q06_forecast_revenue",
     "q07_volume_shipping",
@@ -90,12 +98,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_image_resize",
     "join_asof",
     "window_range_1h",
-    "udaf_geometric_mean",
-    "grouped_zscore",
-    "ev_user_state",
-    "ev_click_error_join",
-    "ev_resample_1h",
-    "ev_hier_rollup",
+    # (udaf_geometric_mean, grouped_zscore, ev_user_state,
+    #  ev_click_error_join, ev_resample_1h, ev_hier_rollup displaced to
+    #  the middle by the six new r5 queries — r2 rows, first for r6)
     # frozen bench set — a driver row EVERY round:
     "q01_pricing_summary",
     "ev_tumbling_1h",
