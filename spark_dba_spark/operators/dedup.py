@@ -614,6 +614,87 @@ ORDER BY doc_id
 """
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 5
+
+
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup pair graph — the iterative-algorithm
+    family member (power iteration, fixed PR_ITERS rounds). On a dedup
+    graph the rank identifies the "hub" documents that near-duplicate
+    against many others (template pages, mirrored boilerplate), which
+    curation pipelines down-weight or drop first.
+
+    Plan: the loop is unrolled on the driver but every iteration is pure
+    dataflow — edges ⋈ state on src, groupBy dst, no collect. Each round
+    materializes via ``localCheckpoint`` (the cc_components idiom) so
+    lineage stays O(1) instead of growing a 5-deep re-evaluation chain,
+    and the heavy edge recompute (the whole inverted-index pipeline) runs
+    once, not once per round. The undirected graph has no dangling
+    nodes, so no dangling-mass redistribution term is needed. Scales as
+    PR_ITERS keyed shuffles of the (src, dst) edge list.
+
+    Oracle: the same power iteration unrolled as PR_ITERS chained CTEs —
+    identical IEEE double ops in both engines, final ROUND(6)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n = deg.count()
+    state = deg.select(
+        F.col("src").alias("doc_id"), F.lit(1.0 / n).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        state = (
+            edges.join(deg, "src")
+            .join(state, F.col("src") == F.col("doc_id"))
+            .select("dst", (F.col("rank") / F.col("deg")).alias("w"))
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit((1 - PR_DAMPING) / n)
+                    + F.lit(PR_DAMPING) * F.sum("w")
+                ).alias("rank")
+            )
+            .select(F.col("dst").alias("doc_id"), "rank")
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "doc_id", F.round("rank", 6).alias("pagerank")
+    ).orderBy("doc_id")
+
+
+_PR_ITER_CTES = ",\n".join(
+    f"""pr{i} AS (
+  SELECT e.dst AS doc_id,
+         (1 - {PR_DAMPING}) / MIN(nn.n) +
+         {PR_DAMPING} * SUM(p.rank / d.deg) AS rank
+  FROM edges e JOIN deg d ON e.src = d.src
+       JOIN pr{i - 1} p ON e.src = p.doc_id, nn
+  GROUP BY e.dst)"""
+    for i in range(1, PR_ITERS + 1)
+)
+
+ORACLE_PAGERANK = f"""
+WITH {_NGRAM_PAIR_CTES},
+jp AS (
+  SELECT doc_a, doc_b
+  FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_TAU}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION ALL SELECT doc_b, doc_a FROM jp),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+pr0 AS (SELECT src AS doc_id, 1.0 / nn.n AS rank FROM deg, nn),
+{_PR_ITER_CTES}
+SELECT doc_id, ROUND(rank, 6) AS pagerank FROM pr{PR_ITERS}
+ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_clusters", dedup_exact_clusters,
               ORACLE_EXACT_CLUSTERS, ("dedup",)),
@@ -630,4 +711,8 @@ SPECS = [
     QuerySpec("dedup_cc_clusters", dedup_cc_clusters, ORACLE_CC,
               ("dedup", "neardup", "graph"),
               doc="connected components: near-dup pairs → dedup groups"),
+    QuerySpec("graph_pagerank_neardup", graph_pagerank_neardup,
+              ORACLE_PAGERANK, ("dedup", "graph", "iterative"),
+              doc="power-iteration PageRank on the near-dup graph "
+                  "(template-hub detection)"),
 ]

@@ -718,6 +718,45 @@ ORDER BY vec_id
 """
 
 
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution statistics over the embedding column —
+    the fit step for whitening / feature scaling / dead-dimension
+    detection before indexing. ``posexplode`` fans each vector into
+    (dim, value) rows and one groupBy(dim) aggregates; the output is
+    EMB_DIM rows regardless of corpus size and the partial aggregation
+    means the exchange carries only EMB_DIM×tasks rows — the canonical
+    columnar-stats pass at any scale."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(
+            F.posexplode(F.expr("transform(embedding, x -> cast(x as double))"))
+            .alias("dim", "v")
+        )
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(F.stddev_samp("v"), 6).alias("std"),
+            F.round(F.min("v"), 6).alias("lo"),
+            F.round(F.max("v"), 6).alias("hi"),
+        )
+        .orderBy("dim")
+    )
+
+
+# DuckDB has no UNNEST ... WITH ORDINALITY; the range(EMB_DIM) cross join
+# with 1-based list indexing is the same pattern ORACLE_LSH_CANDIDATES uses.
+ORACLE_DIM_STATS = f"""
+SELECT CAST(d.range AS INTEGER) AS dim, COUNT(*) AS n,
+       ROUND(AVG(CAST(embedding[d.range + 1] AS DOUBLE)), 6) AS mean,
+       ROUND(STDDEV_SAMP(CAST(embedding[d.range + 1] AS DOUBLE)), 6) AS std,
+       ROUND(MIN(CAST(embedding[d.range + 1] AS DOUBLE)), 6) AS lo,
+       ROUND(MAX(CAST(embedding[d.range + 1] AS DOUBLE)), 6) AS hi
+FROM embeddings, range({EMB_DIM}) d
+GROUP BY 1 ORDER BY dim
+"""
+
+
 SPECS = [
     QuerySpec("sim_cosine_topk", sim_cosine_topk, ORACLE_TOPK,
               ("similarity",), bench=True),
@@ -736,4 +775,7 @@ SPECS = [
     QuerySpec("emb_quantize_int8", emb_quantize_int8, ORACLE_QUANTIZE,
               ("similarity", "pipeline"),
               doc="symmetric int8 embedding quantization, map-only"),
+    QuerySpec("emb_dim_stats", emb_dim_stats, ORACLE_DIM_STATS,
+              ("similarity", "pipeline", "stats"),
+              doc="per-dimension embedding stats (whitening/scaling fit)"),
 ]

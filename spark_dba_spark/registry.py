@@ -79,6 +79,8 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "text_unigram_logprob",
     "text_zipf_slope",
     "ev_cdc_latest_snapshot",
+    "emb_dim_stats",
+    "graph_pagerank_neardup",
     # stalest standing rows (r2) — refresh:
     "q06_forecast_revenue",
     "q07_volume_shipping",
@@ -96,11 +98,10 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "dedup_keep_best",
     "mm_audio_energy",
     "mm_image_resize",
-    "join_asof",
-    "window_range_1h",
     # (udaf_geometric_mean, grouped_zscore, ev_user_state,
-    #  ev_click_error_join, ev_resample_1h, ev_hier_rollup displaced to
-    #  the middle by the six new r5 queries — r2 rows, first for r6)
+    #  ev_click_error_join, ev_resample_1h, ev_hier_rollup, join_asof,
+    #  window_range_1h displaced to the middle by the eight new r5
+    #  queries — r2 rows, first for r6)
     # frozen bench set — a driver row EVERY round:
     "q01_pricing_summary",
     "ev_tumbling_1h",
