@@ -2570,6 +2570,47 @@ FROM orders GROUP BY 1 ORDER BY bucket
 """
 
 
+TRY_ADD_C = 9223372036854775000  # within bigint range; overflows for keys > 807
+
+
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface (``try_divide`` / ``try_cast`` /
+    ``try_add``): malformed casts, zero divisors and bigint overflow
+    yield NULL instead of killing the job — the ANSI-mode-compatible
+    posture a long-running pipeline needs (one poison row must not fail
+    a 100 TB pass). All map-side, whole-stage codegen; the oracle spells
+    the same semantics with guard CASEs since DuckDB's operators raise."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.try_divide(
+                F.col("o_orderkey").cast("bigint"),
+                F.col("o_orderkey") % 3,
+            ).alias("div3"),
+            F.col("o_orderpriority").try_cast("int").alias("prio_int"),
+            F.substring("o_orderpriority", 1, 1).try_cast("int").alias(
+                "prio_digit"
+            ),
+            F.try_add(F.col("o_orderkey"), F.lit(TRY_ADD_C)).alias("near_max"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+ORACLE_TRY_ARITH = f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE o_orderkey * 1.0 / (o_orderkey % 3) END AS div3,
+       TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+       CASE WHEN o_orderkey > 9223372036854775807 - {TRY_ADD_C} THEN NULL
+            ELSE o_orderkey + {TRY_ADD_C} END AS near_max
+FROM orders ORDER BY o_orderkey LIMIT 1000
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -2733,4 +2774,7 @@ SPECS = [
     QuerySpec("agg_histogram_bins", agg_histogram_bins, ORACLE_HISTOGRAM,
               ("agg", "histogram"),
               doc="width_bucket fixed-width distributed histogram"),
+    QuerySpec("scalar_try_arith", scalar_try_arith, ORACLE_TRY_ARITH,
+              ("scalar", "ansi"),
+              doc="try_divide/try_cast/try_add poison-row-safe arithmetic"),
 ]

@@ -98,9 +98,63 @@ ORDER BY c_custkey
 """
 
 
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface — one input row fans out to N
+    output rows from arbitrary Python, consumed via LATERAL join. Splits
+    each document into '. '-delimited sentences and emits per-sentence
+    word counts; the report aggregates back to per-doc sentence stats so
+    the checked output is scalar.
+
+    UDTFs are row-at-a-time Python — the SLOW extension path, kept off
+    the bench set deliberately (the engine's own operators use JVM
+    expressions or Arrow-batched pandas; this exists to prove the
+    extension point, mirroring how lateral_posexplode proves the built-in
+    generator path)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, n_words int")
+    class SentenceStats:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, sent in enumerate(text.split(". ")):
+                yield i, len(sent.split(" ")) if sent else 0
+
+    spark.udtf.register("sentence_stats", SentenceStats)
+    docs = catalog.load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, COUNT(*) AS n_sents,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               MAX(n_words) AS max_sent_words
+        FROM _udtf_docs, LATERAL sentence_stats(text)
+        GROUP BY doc_id ORDER BY doc_id
+        """
+    )
+
+
+ORACLE_SENTENCE_STATS = """
+SELECT doc_id, COUNT(*) AS n_sents,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       MAX(n_words) AS max_sent_words
+FROM (
+  SELECT doc_id,
+         CASE WHEN sent = '' THEN 0
+              ELSE len(string_split(sent, ' ')) END AS n_words
+  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS sent
+        FROM documents))
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("udaf_geometric_mean", udaf_geometric_mean, ORACLE_GMEAN,
               ("udf", "agg"), doc="pandas grouped-agg UDAF"),
     QuerySpec("grouped_zscore", grouped_zscore, ORACLE_ZSCORE,
               ("udf", "grouped-map"), doc="applyInPandas grouped transform"),
+    QuerySpec("udtf_sentence_stats", udtf_sentence_stats,
+              ORACLE_SENTENCE_STATS, ("udf", "udtf", "lateral"),
+              doc="Python UDTF + LATERAL join (table-function extension "
+                  "surface)"),
 ]

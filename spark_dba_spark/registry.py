@@ -81,6 +81,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "ev_cdc_latest_snapshot",
     "emb_dim_stats",
     "graph_pagerank_neardup",
+    "scalar_try_arith",
+    "ev_hourly_active_users",
+    "udtf_sentence_stats",
     # stalest standing rows (r2) — refresh:
     "q06_forecast_revenue",
     "q07_volume_shipping",
@@ -95,13 +98,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "text_lang_id",
     "pipeline_clean_corpus",
     "dataset_split_hash",
-    "dedup_keep_best",
-    "mm_audio_energy",
-    "mm_image_resize",
     # (udaf_geometric_mean, grouped_zscore, ev_user_state,
     #  ev_click_error_join, ev_resample_1h, ev_hier_rollup, join_asof,
-    #  window_range_1h displaced to the middle by the eight new r5
-    #  queries — r2 rows, first for r6)
+    #  window_range_1h, dedup_keep_best, mm_audio_energy, mm_image_resize
+    #  displaced to the middle by the eleven new r5 queries — r2 rows,
+    #  first for r6)
     # frozen bench set — a driver row EVERY round:
     "q01_pricing_summary",
     "ev_tumbling_1h",

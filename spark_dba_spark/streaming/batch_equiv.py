@@ -340,6 +340,33 @@ GROUP BY c.user_id ORDER BY c.user_id
 """
 
 
+def ev_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed DISTINCT — hourly active users — the aggregation shape
+    that is trivial in batch and stateful-expensive in streaming (exact
+    distinct needs per-user dedup state per window; the live twin in
+    streaming/jobs.py chains dropDuplicates → window count, the
+    multiple-stateful-operator pipeline Spark 3.4+ allows). Batch side is
+    two aggs sharing one shuffle: dedup on (hour, user) then count —
+    partial aggregation keeps the exchange at distinct pairs, not
+    events."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("win_start"), "user_id"
+    ).distinct()
+    return (
+        hourly.groupBy("win_start")
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("win_start")
+    )
+
+
+ORACLE_ACTIVE_USERS = """
+SELECT date_trunc('hour', ts) AS win_start,
+       COUNT(DISTINCT user_id) AS active_users
+FROM events GROUP BY 1 ORDER BY win_start
+"""
+
+
 SPECS = [
     QuerySpec("ev_tumbling_1h", ev_tumbling_1h, ORACLE_TUMBLING,
               ("streaming", "window"), bench=True),
@@ -361,4 +388,8 @@ SPECS = [
     QuerySpec("ev_hier_rollup", ev_hier_rollup, ORACLE_HIER_ROLLUP,
               ("timeseries", "rollup"),
               doc="hypertable-style hour→day→total rollup, re-aggregated"),
+    QuerySpec("ev_hourly_active_users", ev_hourly_active_users,
+              ORACLE_ACTIVE_USERS, ("streaming", "window", "distinct"),
+              doc="windowed exact distinct (hourly active users); live "
+                  "twin chains dedup→agg stateful operators"),
 ]

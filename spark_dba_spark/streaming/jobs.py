@@ -107,6 +107,41 @@ def run_tumbling_watermarked(
     return spark.table(query_name)
 
 
+def run_active_users_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "active_users_stream"
+) -> DataFrame:
+    """Hourly-active-users as a live stream: dropDuplicates on
+    (hour, user) followed by a windowed count — two chained STATEFUL
+    operators (streaming dedup → streaming aggregation), the pipeline
+    shape Spark 3.4+ unlocked for exact windowed distinct. Watermarked
+    append mode: only watermark-closed windows emit, so the result is a
+    prefix of the batch twin (same contract as run_tumbling_watermarked).
+    """
+    ev = (
+        stream_events(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    deduped = ev.select(
+        F.window("ts", "1 hour").alias("w"), "ts", "user_id"
+    ).dropDuplicates(["w", "user_id"])
+    q = (
+        deduped.groupBy("w")
+        .agg(F.count("*").alias("active_users"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "active_users",
+        )
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_dedup_stream(
     spark: SparkSession, sf_dir: str, query_name: str = "dedup_stream"
 ) -> DataFrame:

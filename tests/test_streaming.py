@@ -36,6 +36,20 @@ def test_tumbling_watermarked_is_prefix_of_batch(spark):
     assert len(stream_rows) > 0
 
 
+def test_active_users_stream_is_prefix_of_batch(spark):
+    """Chained stateful ops (streaming dedup → windowed count): the live
+    hourly-active-users emits watermark-closed windows that must agree
+    exactly with the batch twin's rows for those windows."""
+    from spark_dba_spark.streaming import batch_equiv, jobs
+
+    stream_out = jobs.run_active_users_stream(spark, SF_DIR, "t_active_users")
+    batch = batch_equiv.ev_hourly_active_users(spark, SF_DIR)
+    stream_rows = set(map(repr, _rows(stream_out)))
+    batch_rows = set(map(repr, _rows(batch)))
+    assert stream_rows <= batch_rows
+    assert len(stream_rows) > 0
+
+
 def test_sliding_stream_equals_batch(spark):
     from spark_dba_spark.streaming import batch_equiv, jobs
 
