@@ -614,6 +614,76 @@ ORDER BY doc_id
 """
 
 
+CONTAIN_TAU = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT max(|A∩B|/|A|, |A∩B|/|B|)
+    = inter/min(|A|,|B|). Jaccard misses subset duplicates — a short doc
+    quoted whole inside a long one scores J = |A|/|B| ≈ 0 but containment
+    1.0 (the quoted-email / boilerplate-wrapper case a dedup pass must
+    catch). Same inverted-index machinery as dedup_ngram_jaccard (one
+    postings groupBy, MAX_DF stop-shingle prune, in-bucket pair
+    expansion — no O(n²)); only the final score differs, and jaccard
+    rides along for contrast."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(word_ngrams("text", NGRAM)).alias("sh")
+    )
+    postings = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= MAX_DF)
+    )
+    sizes = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        postings.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sx = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sy = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(sx, "doc_a")
+        .join(sy, "doc_b")
+        .withColumn(
+            "containment",
+            F.col("inter") * 1.0 / F.least(F.col("na"), F.col("nb")),
+        )
+        .filter(F.col("containment") >= CONTAIN_TAU)
+        .withColumn(
+            "jaccard",
+            F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .select("doc_a", "doc_b", "containment", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+WITH {_NGRAM_PAIR_CTES}
+SELECT doc_a, doc_b,
+       inter * 1.0 / least(x.n, y.n) AS containment,
+       inter * 1.0 / (x.n + y.n - inter) AS jaccard
+FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE inter * 1.0 / least(x.n, y.n) >= {CONTAIN_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
 PR_DAMPING = 0.85
 PR_ITERS = 5
 
@@ -715,4 +785,8 @@ SPECS = [
               ORACLE_PAGERANK, ("dedup", "graph", "iterative"),
               doc="power-iteration PageRank on the near-dup graph "
                   "(template-hub detection)"),
+    QuerySpec("dedup_containment", dedup_containment, ORACLE_CONTAINMENT,
+              ("dedup", "neardup", "containment"),
+              doc="asymmetric shingle containment — subset-duplicate "
+                  "(quoted/wrapped doc) detection"),
 ]

@@ -2570,6 +2570,44 @@ FROM orders GROUP BY 1 ORDER BY bucket
 """
 
 
+def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: median absolute deviation of order
+    totals — the outlier-resistant spread metric (stddev is dominated by
+    a single fat-finger row; MAD isn't), standard in anomaly thresholds.
+    Two exact-percentile grouped aggregations chained through a broadcast
+    of the per-group medians (group count is bounded — priorities — so
+    the intermediate is always broadcastable); each percentile is a
+    per-group sort, the same contract as agg_percentiles."""
+    orders = _t(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    return (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .withColumn("adev", F.abs(F.col("o_totalprice") - F.col("med")))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.max("med"), 4).alias("median_price"),
+            F.round(F.expr("percentile(adev, 0.5)"), 4).alias("mad"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("stddev"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_MAD = """
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority,
+       ROUND(MAX(med), 4) AS median_price,
+       ROUND(quantile_cont(abs(o_totalprice - med), 0.5), 4) AS mad,
+       ROUND(STDDEV_SAMP(o_totalprice), 4) AS stddev
+FROM orders JOIN med USING (o_orderpriority)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 TRY_ADD_C = 9223372036854775000  # within bigint range; overflows for keys > 807
 
 
@@ -2777,4 +2815,7 @@ SPECS = [
     QuerySpec("scalar_try_arith", scalar_try_arith, ORACLE_TRY_ARITH,
               ("scalar", "ansi"),
               doc="try_divide/try_cast/try_add poison-row-safe arithmetic"),
+    QuerySpec("agg_median_abs_deviation", agg_median_abs_deviation,
+              ORACLE_MAD, ("agg", "stats", "robust"),
+              doc="median absolute deviation (robust dispersion) per group"),
 ]

@@ -461,6 +461,60 @@ ORDER BY doc_id
 """
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document novelty: the share of a doc's distinct word trigrams that
+    appear in NO other document — the self-information signal curation
+    uses opposite to dedup (novel long-tail documents are kept/upweighted;
+    documents whose every phrase exists elsewhere add little). Inverted-
+    index shape: explode distinct (doc, trigram) pairs once, count
+    document frequency per trigram (one hash shuffle with map-side
+    combine), mark df==1 grams, re-aggregate per doc — no pairwise
+    comparison anywhere, scales like the dedup indexes."""
+    docs = _docs(spark, sf_dir)
+    grams = F.expr(
+        """CASE WHEN size(split(text, ' ')) >= 3 THEN
+             transform(sequence(1, size(split(text, ' ')) - 2), i ->
+               concat_ws(' ', slice(split(text, ' '), i, 3)))
+           ELSE array(text) END"""
+    )
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    )
+    df_counts = pairs.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        pairs.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+            F.round(
+                F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_NOVELTY = """
+WITH pairs AS (
+  SELECT doc_id, unnest(list_distinct(g)) AS g
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3 THEN
+             list_transform(generate_series(1, len(ws) - 2), i ->
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [text] END AS g
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+          FROM documents))),
+dfc AS (SELECT g, COUNT(*) AS df FROM pairs GROUP BY g)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       ROUND(AVG(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+FROM pairs JOIN dfc USING (g)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 VOCAB_TOP_K = 20
 
 
@@ -1004,4 +1058,8 @@ SPECS = [
               ("text", "pipeline", "quality"),
               doc="per-source Zipf slope (log-log head fit) — domain "
                   "health metric"),
+    QuerySpec("text_ngram_novelty", text_ngram_novelty, ORACLE_NOVELTY,
+              ("text", "pipeline", "quality"),
+              doc="share of corpus-unique trigrams per doc "
+                  "(self-information / long-tail signal)"),
 ]

@@ -84,6 +84,10 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "scalar_try_arith",
     "ev_hourly_active_users",
     "udtf_sentence_stats",
+    "agg_median_abs_deviation",
+    "text_ngram_novelty",
+    "dedup_containment",
+    "ev_resample_locf",
     # stalest standing rows (r2) — refresh:
     "q06_forecast_revenue",
     "q07_volume_shipping",
@@ -94,15 +98,12 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "dedup_char_jaccard",
     "dedup_simhash",
     "sim_dup_pairs",
-    "sim_range_search",
-    "text_lang_id",
-    "pipeline_clean_corpus",
-    "dataset_split_hash",
     # (udaf_geometric_mean, grouped_zscore, ev_user_state,
     #  ev_click_error_join, ev_resample_1h, ev_hier_rollup, join_asof,
-    #  window_range_1h, dedup_keep_best, mm_audio_energy, mm_image_resize
-    #  displaced to the middle by the eleven new r5 queries — r2 rows,
-    #  first for r6)
+    #  window_range_1h, dedup_keep_best, mm_audio_energy, mm_image_resize,
+    #  sim_range_search, text_lang_id, pipeline_clean_corpus,
+    #  dataset_split_hash displaced to the middle by the fifteen new r5
+    #  queries — r2 rows, first for r6)
     # frozen bench set — a driver row EVERY round:
     "q01_pricing_summary",
     "ev_tumbling_1h",

@@ -340,6 +340,69 @@ GROUP BY c.user_id ORDER BY c.user_id
 """
 
 
+def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with LAST-OBSERVATION-CARRIED-FORWARD:
+    empty buckets inherit the most recent hour's average value per event
+    type (the time-series fill mode sensors/metrics pipelines need, vs
+    ev_resample_1h's zero-fill which is right for counts). Grid = hours ×
+    event types, a bounded dimension built with sequence() — broadcast-
+    sized at any data scale; the carry is one keyed window
+    (last(ignorenulls)) partitioned by event_type, so the sort spreads
+    across types instead of funneling one global ordering."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias(
+            "win_start"
+        )
+    ).crossJoin(ev.select("event_type").distinct())
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("win_start"), "event_type"
+    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("win_start")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["win_start", "event_type"], "left")
+        .withColumn(
+            "locf_value", F.last("avg_value", ignorenulls=True).over(w)
+        )
+        .select(
+            "win_start",
+            "event_type",
+            F.col("avg_value").isNotNull().alias("observed"),
+            "locf_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+ORACLE_RESAMPLE_LOCF = """
+WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events),
+g AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS win_start, et.event_type
+  FROM b, (SELECT DISTINCT event_type FROM events) et),
+h AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_type,
+         ROUND(AVG(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2)
+SELECT g.win_start, g.event_type,
+       h.avg_value IS NOT NULL AS observed,
+       last_value(h.avg_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.win_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM g LEFT JOIN h ON g.win_start = h.win_start AND g.event_type = h.event_type
+ORDER BY g.win_start, g.event_type
+"""
+
+
 def ev_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed DISTINCT — hourly active users — the aggregation shape
     that is trivial in batch and stateful-expensive in streaming (exact
@@ -392,4 +455,8 @@ SPECS = [
               ORACLE_ACTIVE_USERS, ("streaming", "window", "distinct"),
               doc="windowed exact distinct (hourly active users); live "
                   "twin chains dedup→agg stateful operators"),
+    QuerySpec("ev_resample_locf", ev_resample_locf, ORACLE_RESAMPLE_LOCF,
+              ("timeseries", "resample", "locf"),
+              doc="gap-filled hourly resample, last-observation-carried-"
+                  "forward per event type"),
 ]
