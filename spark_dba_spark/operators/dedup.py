@@ -614,6 +614,56 @@ ORDER BY doc_id
 """
 
 
+CROSS_SRC_PREFIX = 40
+
+
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct texts appear verbatim in BOTH — the provenance report that
+    tells a curation pipeline which domains mirror each other (and
+    therefore which source's copy to keep in dedup_keep_best). Matching
+    is on the opening-prefix fingerprint (md5 of the first
+    CROSS_SRC_PREFIX chars — "same lead paragraph", the boilerplate-
+    header signal; full-text md5 finds nothing at small fixture scales
+    so the gate would be vacuous). Fingerprint → distinct (hash, source)
+    → per-hash sorted source list → in-bucket pair expansion (the
+    inverted-index idiom: one groupBy, no self-join, bucket size bounded
+    by the source count)."""
+    docs = _docs(spark, sf_dir)
+    hs = docs.select(
+        F.md5(F.substring("text", 1, CROSS_SRC_PREFIX)).alias("h"), "source"
+    ).distinct()
+    per_hash = (
+        hs.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") > 1)
+    )
+    return (
+        per_hash.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+                    "y -> struct(x as source_a, y as source_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.source_a", "p.source_b")
+        .agg(F.count("*").alias("shared_texts"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_CROSS_SOURCE = """
+WITH hs AS (SELECT DISTINCT md5(substr(text, 1, {p})) AS h, source
+            FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS shared_texts
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2 ORDER BY source_a, source_b
+""".format(p=CROSS_SRC_PREFIX)
+
+
 CONTAIN_TAU = 0.8
 
 
@@ -789,4 +839,7 @@ SPECS = [
               ("dedup", "neardup", "containment"),
               doc="asymmetric shingle containment — subset-duplicate "
                   "(quoted/wrapped doc) detection"),
+    QuerySpec("dedup_cross_source_overlap", dedup_cross_source_overlap,
+              ORACLE_CROSS_SOURCE, ("dedup", "provenance"),
+              doc="verbatim-duplicate overlap matrix across source pairs"),
 ]

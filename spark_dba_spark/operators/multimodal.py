@@ -17,6 +17,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -352,6 +353,80 @@ ORDER BY fingerprint
 """
 
 
+SHARD_BYTES = 4096  # target shard payload size (WebDataset-style packing)
+MM_SHARD_SPAN = 64  # contiguous doc_id range per prefix-sum shard (see text.pack_context_bins)
+
+
+def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing plan: per media type, assets are
+    laid out in doc_id order and packed into ~SHARD_BYTES-byte shards by
+    exclusive running byte count — the sharding step before writing tar
+    shards for a multimodal training loader. Same skew-safe two-pass
+    prefix sum as text.pack_context_bins (a running sum cannot be salted;
+    contiguous range-shards + offset broadcast reproduce the global
+    running sum bit-exactly), over bytes instead of tokens."""
+    assets = _assets(spark, sf_dir).select(
+        "doc_id", "media_type", F.octet_length("payload").alias("n_bytes")
+    )
+    sharded = assets.withColumn(
+        "rshard", F.expr(f"doc_id div {MM_SHARD_SPAN}")
+    )
+    shard_totals = sharded.groupBy("media_type", "rshard").agg(
+        F.sum("n_bytes").alias("shard_bytes")
+    )
+    w_off = (
+        W.partitionBy("media_type")
+        .orderBy("rshard")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = shard_totals.select(
+        "media_type",
+        "rshard",
+        F.coalesce(F.sum("shard_bytes").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_local = (
+        W.partitionBy("media_type", "rshard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local_excl = F.coalesce(F.sum("n_bytes").over(w_local), F.lit(0))
+    return (
+        sharded.join(F.broadcast(offsets), ["media_type", "rshard"])
+        .withColumn("run_excl", F.col("off") + local_excl)
+        .withColumn("shard_id", F.expr(f"run_excl div {SHARD_BYTES}"))
+        .groupBy("media_type", "shard_id")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("shard_payload_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("media_type", "shard_id")
+    )
+
+
+ORACLE_MM_SHARD = f"""
+SELECT media_type, CAST(run_excl // {SHARD_BYTES} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_assets,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_payload_bytes,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM (
+  SELECT media_type, doc_id, n_bytes,
+         CAST(COALESCE(SUM(n_bytes) OVER (
+           PARTITION BY media_type ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS run_excl
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents))
+GROUP BY 1, 2 ORDER BY media_type, shard_id
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_meta", mm_binary_meta, ORACLE_MM_META, ("multimodal",)),
     QuerySpec("mm_dedup_fingerprint", mm_dedup_fingerprint,
@@ -365,4 +440,7 @@ SPECS = [
               ("multimodal", "audio")),
     QuerySpec("mm_image_resize", mm_image_resize, ORACLE_MM_RESIZE,
               ("multimodal", "resize")),
+    QuerySpec("mm_shard_pack", mm_shard_pack, ORACLE_MM_SHARD,
+              ("multimodal", "pipeline"),
+              doc="WebDataset-style size-bounded shard packing plan"),
 ]

@@ -442,6 +442,66 @@ ORDER BY user_id
 """
 
 
+def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: signup → first purchase time-to-convert
+    distribution per cohort week — the metric behind activation
+    dashboards (how fast do new users buy, and is it drifting by
+    cohort). Equi-join on user_id then filter (NOT a theta join — the
+    range predicate rides the join as a residual filter so the plan
+    stays one keyed shuffle), first-purchase via min, exact percentile
+    over integer microsecond durations so both engines interpolate the
+    same values."""
+    ev = catalog.load(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.expr("unix_micros(cast(ts as timestamp))")).alias("s_us"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.expr("unix_micros(cast(ts as timestamp))").alias("p_us")
+    )
+    conv = (
+        signups.join(purchases, "user_id")
+        .filter(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id", "s_us")
+        .agg(F.min("p_us").alias("fp_us"))
+        .withColumn(
+            "cohort_week",
+            F.date_trunc(
+                "week", F.expr("timestamp_micros(s_us)").cast("timestamp_ntz")
+            ),
+        )
+        .withColumn("dur_sec", (F.col("fp_us") - F.col("s_us")) / 1_000_000.0)
+    )
+    return (
+        conv.groupBy("cohort_week")
+        .agg(
+            F.count("*").alias("n_converted"),
+            F.round(F.expr("percentile(dur_sec, 0.5)"), 4).alias("median_sec"),
+            F.round(F.expr("percentile(dur_sec, 0.9)"), 4).alias("p90_sec"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+ORACLE_TIME_TO_CONVERT = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+conv AS (
+  SELECT s.user_id, s.s_us, MIN(epoch_us(e.ts)) AS fp_us
+  FROM s JOIN events e ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+  GROUP BY 1, 2)
+SELECT CAST(date_trunc('week', make_timestamp(s_us)) AS TIMESTAMP)
+         AS cohort_week,
+       COUNT(*) AS n_converted,
+       ROUND(quantile_cont((fp_us - s_us) / 1000000.0, 0.5), 4) AS median_sec,
+       ROUND(quantile_cont((fp_us - s_us) / 1000000.0, 0.9), 4) AS p90_sec
+FROM conv GROUP BY 1 ORDER BY cohort_week
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -465,4 +525,8 @@ SPECS = [
     QuerySpec("ev_cdc_latest_snapshot", ev_cdc_latest_snapshot, ORACLE_CDC,
               ("temporal", "cdc", "window"),
               doc="CDC upsert+tombstone merge into the current snapshot"),
+    QuerySpec("ev_time_to_convert", ev_time_to_convert,
+              ORACLE_TIME_TO_CONVERT, ("temporal", "funnel", "percentile"),
+              doc="signup→purchase conversion latency percentiles per "
+                  "cohort week"),
 ]

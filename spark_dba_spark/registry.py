@@ -88,6 +88,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "text_ngram_novelty",
     "dedup_containment",
     "ev_resample_locf",
+    "mm_shard_pack",
+    "ev_time_to_convert",
+    "dedup_cross_source_overlap",
     # stalest standing rows (r2) — refresh:
     "q06_forecast_revenue",
     "q07_volume_shipping",
@@ -95,14 +98,12 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "agg_percentiles",
     "lateral_posexplode",
     "agg_corr_stats",
-    "dedup_char_jaccard",
-    "dedup_simhash",
-    "sim_dup_pairs",
     # (udaf_geometric_mean, grouped_zscore, ev_user_state,
     #  ev_click_error_join, ev_resample_1h, ev_hier_rollup, join_asof,
     #  window_range_1h, dedup_keep_best, mm_audio_energy, mm_image_resize,
     #  sim_range_search, text_lang_id, pipeline_clean_corpus,
-    #  dataset_split_hash displaced to the middle by the fifteen new r5
+    #  dataset_split_hash, dedup_char_jaccard, dedup_simhash,
+    #  sim_dup_pairs displaced to the middle by the eighteen new r5
     #  queries — r2 rows, first for r6)
     # frozen bench set — a driver row EVERY round:
     "q01_pricing_summary",
