@@ -2570,6 +2570,30 @@ FROM orders GROUP BY 1 ORDER BY bucket
 """
 
 
+def sketch_hll_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-source Apache DataSketches HLL
+    sketches of distinct content hashes, UNIONED into a global estimate —
+    the re-aggregatable distinct-count architecture (build once at the
+    finest grain, roll up without touching raw data again; exact
+    COUNT(DISTINCT) cannot do this). At 100 TB the per-source sketches
+    are a few KB each, so the rollup exchange is constant-size no matter
+    the corpus. Rows-only (estimates are engine-specific);
+    tests/test_llm_ops.py gates the estimates against exact distincts
+    (≤5% error) and pins union-vs-direct-sketch consistency."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.hll_sketch_agg(F.md5("text")).alias("sk")
+    )
+    per = per_src.select(
+        "source", F.hll_sketch_estimate("sk").alias("est_distinct")
+    )
+    glob = per_src.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("__ALL__").alias("source"),
+        F.hll_sketch_estimate("u").alias("est_distinct"),
+    )
+    return per.unionByName(glob).orderBy("source")
+
+
 def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust dispersion per group: median absolute deviation of order
     totals — the outlier-resistant spread metric (stddev is dominated by
@@ -2818,4 +2842,8 @@ SPECS = [
     QuerySpec("agg_median_abs_deviation", agg_median_abs_deviation,
               ORACLE_MAD, ("agg", "stats", "robust"),
               doc="median absolute deviation (robust dispersion) per group"),
+    QuerySpec("sketch_hll_reaggregate", sketch_hll_reaggregate, None,
+              ("agg", "sketch", "rollup"),
+              doc="DataSketches HLL per source + lossless union rollup "
+                  "(rows-only; exact-twin tolerance pytest)"),
 ]

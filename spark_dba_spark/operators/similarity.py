@@ -718,6 +718,103 @@ ORDER BY vec_id
 """
 
 
+KM_K = 16
+KM_ITERS = 3
+
+
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd) over the embedding column, KM_ITERS fixed rounds
+    from deterministic seeds (the first KM_K vectors) — the iterative-ML
+    family member, and the training step behind the IVF index's coarse
+    quantizer (sim_ivf assigns to FIXED centroids; this LEARNS them).
+
+    Per round: (1) assignment is a broadcast of the K×D centroid matrix
+    + one Arrow/BLAS ``mapInPandas`` argmin pass over the corpus — no
+    shuffle, no Python-per-row; (2) the centroid update reduces to K×D
+    per-(cluster, dim) sums via posexplode + one groupBy whose output is
+    bounded by K×D rows regardless of corpus size, collected to rebuild
+    the K centroids (the only driver state, a few KB). This is exactly
+    the scalable k-means dataflow: per-iteration cost is one corpus scan
+    + one constant-size exchange.
+
+    Rows-only: float summation order makes estimates engine-specific at
+    the last ulp; tests/test_llm_ops.py pins counts + inertia against a
+    same-seed numpy twin and monotone inertia descent."""
+    emb = _emb(spark, sf_dir)
+    seeds = (
+        emb.filter(F.col("vec_id") < KM_K).orderBy("vec_id").collect()
+    )
+    cent = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("sqdist", T.DoubleType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def make_assign(bc):
+        def assign(batches):
+            c = bc.value  # (K, D)
+            cn2 = (c * c).sum(axis=1)
+            for pdf in batches:
+                m = _to_matrix(pdf["embedding"])  # (n, D)
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin ties → lowest cid
+                d2 = (m * m).sum(axis=1, keepdims=True) - 2 * (m @ c.T) + cn2
+                cid = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cid": cid.astype(np.int32),
+                        "sqdist": d2[np.arange(len(cid)), cid],
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        return assign
+
+    assigned = None
+    for it in range(KM_ITERS):
+        bc = spark.sparkContext.broadcast(cent)
+        assigned = emb.select("vec_id", "embedding").mapInPandas(
+            make_assign(bc), assign_schema
+        )
+        if it == KM_ITERS - 1:
+            break  # final assignment is the result; no update needed
+        # centroid update: K×D bounded exchange, never corpus-sized
+        sums = (
+            assigned.select(
+                "cid",
+                F.posexplode(
+                    F.expr("transform(embedding, x -> cast(x as double))")
+                ).alias("dim", "v"),
+            )
+            .groupBy("cid", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_cent = cent.copy()  # empty clusters keep their old centroid
+        agg = {}
+        for r in sums:
+            agg.setdefault(r["cid"], [np.zeros(cent.shape[1]), 0])
+            agg[r["cid"]][0][r["dim"]] = r["s"]
+            agg[r["cid"]][1] = r["n"]
+        for cid, (vec, n) in agg.items():
+            if n > 0:
+                new_cent[cid] = vec / n
+        cent = new_cent
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.round(F.sum("sqdist"), 4).alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
 def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension distribution statistics over the embedding column —
     the fit step for whitening / feature scaling / dead-dimension
@@ -778,4 +875,8 @@ SPECS = [
     QuerySpec("emb_dim_stats", emb_dim_stats, ORACLE_DIM_STATS,
               ("similarity", "pipeline", "stats"),
               doc="per-dimension embedding stats (whitening/scaling fit)"),
+    QuerySpec("emb_kmeans_lloyd", emb_kmeans_lloyd, None,
+              ("similarity", "iterative", "ml"),
+              doc="k-means Lloyd iterations, BLAS assignment + bounded "
+                  "K×D update exchange (rows-only; numpy-twin pytest)"),
 ]

@@ -958,6 +958,57 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-LM coherence: each document's mean bigram log
+    probability ln(c(w1,w2)/c(w1)) under the corpus's own bigram model —
+    one notch past text_unigram_logprob (a doc of common-but-shuffled
+    words scores high on unigrams, low here; word-salad detection).
+    Three aggregations sharing the explode: corpus bigram counts, corpus
+    head-word counts, then per-doc averaging after two keyed joins on
+    the bigram/word keys (stopword-skew AQE-split, vocab-bounded sides —
+    the same join posture as the unigram scorer)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("i", "w"),
+    )
+    # per-doc bigrams via self-join on adjacent positions — keyed by
+    # (doc_id) so it rides ONE shuffle of the narrow token stream
+    nxt = toks.select(
+        "doc_id", (F.col("i") - 1).alias("i"), F.col("w").alias("w2")
+    )
+    bigrams = toks.join(nxt, ["doc_id", "i"]).select("doc_id", "w", "w2")
+    bg_counts = bigrams.groupBy("w", "w2").agg(F.count("*").alias("c2"))
+    w_counts = bigrams.groupBy("w").agg(F.count("*").alias("c1"))
+    return (
+        bigrams.join(bg_counts, ["w", "w2"])
+        .join(w_counts, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c2") / F.col("c1").cast("double"))), 6
+            ).alias("avg_bigram_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BIGRAM = """
+WITH toks AS (
+  SELECT doc_id, i, ws[i] AS w, ws[i+1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)
+  WHERE len(ws) >= 2),
+bg AS (SELECT w, w2, COUNT(*) AS c2 FROM toks GROUP BY 1, 2),
+wc AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln(c2 / CAST(c1 AS DOUBLE))), 6) AS avg_bigram_logprob
+FROM toks JOIN bg USING (w, w2) JOIN wc USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 ZIPF_HEAD = 200  # head terms per source used for the log-log fit
 
 
@@ -1062,4 +1113,8 @@ SPECS = [
               ("text", "pipeline", "quality"),
               doc="share of corpus-unique trigrams per doc "
                   "(self-information / long-tail signal)"),
+    QuerySpec("text_bigram_coherence", text_bigram_coherence,
+              ORACLE_BIGRAM, ("text", "pipeline", "quality"),
+              doc="per-doc mean bigram conditional log-prob "
+                  "(word-salad detection)"),
 ]

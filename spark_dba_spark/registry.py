@@ -91,14 +91,15 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_shard_pack",
     "ev_time_to_convert",
     "dedup_cross_source_overlap",
+    "text_bigram_coherence",
+    "sketch_hll_reaggregate",
+    "emb_kmeans_lloyd",
     # stalest standing rows (r2) — refresh:
     "q06_forecast_revenue",
     "q07_volume_shipping",
     "q14_promo_revenue",
-    "agg_percentiles",
-    "lateral_posexplode",
-    "agg_corr_stats",
     # (udaf_geometric_mean, grouped_zscore, ev_user_state,
+    #  agg_percentiles, lateral_posexplode, agg_corr_stats,
     #  ev_click_error_join, ev_resample_1h, ev_hier_rollup, join_asof,
     #  window_range_1h, dedup_keep_best, mm_audio_energy, mm_image_resize,
     #  sim_range_search, text_lang_id, pipeline_clean_corpus,

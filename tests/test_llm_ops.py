@@ -79,6 +79,93 @@ def test_minhash_is_superset_quality(spark):
     assert exact <= lsh, f"LSH missed near-certain pairs: {exact - lsh}"
 
 
+def test_hll_reaggregate_matches_exact(spark):
+    """DataSketches HLL estimates per source and the UNION rollup: each
+    within 5% of the exact distinct count, and the union-of-sketches
+    global equals a direct whole-corpus sketch (lossless merge — the
+    property that makes sketch rollups trustworthy)."""
+    from pyspark.sql import functions as F
+
+    from spark_dba_spark.operators.relational import sketch_hll_reaggregate
+
+    docs = catalog.load(spark, SF_DIR, "documents")
+    exact = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct(F.md5("text")).alias("n"))
+        .collect()
+    }
+    exact["__ALL__"] = docs.agg(
+        F.countDistinct(F.md5("text")).alias("n")
+    ).collect()[0]["n"]
+
+    est = {
+        r["source"]: r["est_distinct"]
+        for r in sketch_hll_reaggregate(spark, SF_DIR).collect()
+    }
+    assert set(est) == set(exact)
+    for src, n in exact.items():
+        assert abs(est[src] - n) <= max(1, 0.05 * n), (src, est[src], n)
+
+    direct = docs.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.md5("text"))
+        ).alias("e")
+    ).collect()[0]["e"]
+    # The union path re-estimates through an HLL_8 union gadget, so it is
+    # close to — not bit-equal with — the direct sketch (DataSketches
+    # documents this); both must sit inside the same exact-count envelope.
+    assert abs(est["__ALL__"] - direct) <= max(2, 0.02 * exact["__ALL__"])
+
+
+def test_kmeans_matches_numpy_twin(spark):
+    """The distributed Lloyd iterations must reproduce a same-seed pure-
+    numpy reference exactly (assignment counts per centroid) and within
+    float tolerance on inertia; inertia must not increase across rounds.
+    """
+    import numpy as np
+
+    from spark_dba_spark.operators.similarity import (
+        KM_ITERS,
+        KM_K,
+        emb_kmeans_lloyd,
+    )
+
+    emb_rows = (
+        catalog.load(spark, SF_DIR, "embeddings")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    cent = X[:KM_K].copy()
+    inertias = []
+    for it in range(KM_ITERS):
+        d2 = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2 * (X @ cent.T)
+            + (cent * cent).sum(axis=1)
+        )
+        cid = np.argmin(d2, axis=1)
+        inertias.append(d2[np.arange(len(cid)), cid].sum())
+        if it == KM_ITERS - 1:
+            break
+        for k in range(KM_K):
+            m = cid == k
+            if m.any():
+                cent[k] = X[m].mean(axis=0)
+    ref_counts = {int(k): int((cid == k).sum()) for k in set(cid.tolist())}
+    ref_inertia = inertias[-1]
+    assert inertias == sorted(inertias, reverse=True), "inertia increased"
+
+    out = {
+        r["cid"]: (r["n_assigned"], r["inertia"])
+        for r in emb_kmeans_lloyd(spark, SF_DIR).collect()
+    }
+    assert {c: n for c, (n, _) in out.items()} == ref_counts
+    total = sum(i for _, i in out.values())
+    assert abs(total - ref_inertia) / ref_inertia < 1e-6
+
+
 def test_probe_chunking_matches_single_chunk(spark, monkeypatch):
     """A probe set larger than one driver chunk (simulated by shrinking
     PROBE_CHUNK below N_QUERIES) must produce bit-identical top-k and
