@@ -76,29 +76,28 @@ def _to_matrix(series: pd.Series) -> np.ndarray:
 PROBE_CHUNK = 1024
 
 
-def _probe_chunks(df, chunk: int | None = None):
-    """Yield (ids ndarray, row-normalized matrix) per bounded chunk of
-    (vec_id, embedding) rows, never materializing the full probe set on
-    the driver."""
+def _probe_chunks(df, chunk: int | None = None, normalize: bool = True):
+    """Yield (ids ndarray, matrix) per bounded chunk of (vec_id,
+    embedding) rows — row-normalized for cosine scorers, raw for MIPS —
+    never materializing the full probe set on the driver."""
     chunk = chunk or PROBE_CHUNK  # module-level lookup: test-overridable
+
+    def emit(ids, vecs):
+        qm = np.array(vecs, dtype=np.float64)
+        if normalize:
+            qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        return np.array(ids, dtype=np.int64), qm
+
     buf_ids: list[int] = []
     buf_vecs: list = []
     for r in df.select("vec_id", "embedding").toLocalIterator():
         buf_ids.append(r["vec_id"])
         buf_vecs.append(r["embedding"])
         if len(buf_ids) >= chunk:
-            qm = np.array(buf_vecs, dtype=np.float64)
-            yield (
-                np.array(buf_ids, dtype=np.int64),
-                qm / np.linalg.norm(qm, axis=1, keepdims=True),
-            )
+            yield emit(buf_ids, buf_vecs)
             buf_ids, buf_vecs = [], []
     if buf_ids:
-        qm = np.array(buf_vecs, dtype=np.float64)
-        yield (
-            np.array(buf_ids, dtype=np.int64),
-            qm / np.linalg.norm(qm, axis=1, keepdims=True),
-        )
+        yield emit(buf_ids, buf_vecs)
 
 
 # --------------------------------------------------------------------------
@@ -152,6 +151,79 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "vec_id")
         .orderBy("qid", "rank")
     )
+
+
+def sim_mips_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS): top-k by RAW dot product, no
+    normalization — the retrieval mode of recommender / two-tower models
+    where vector magnitude carries signal (cosine deliberately erases
+    it, so this is a different ranking, not a cosine variant). Same
+    chunked-probe broadcast + Arrow/BLAS batch scorer as sim_cosine_topk;
+    per-task top-k via the rank window after a map-side scored stream."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("dot", T.DoubleType()),
+        ]
+    )
+
+    chunks = []
+    for qids, qm in _probe_chunks(probes, normalize=False):
+        bc = spark.sparkContext.broadcast((qids, qm))
+
+        def score(batches, _bc=bc):
+            bqids, bqm = _bc.value
+            for pdf in batches:
+                m = _to_matrix(pdf["embedding"])
+                dots = m @ bqm.T  # (batch, n_queries)
+                n, nq = dots.shape
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(bqids, n),
+                        "vec_id": np.tile(pdf["vec_id"].to_numpy(), nq),
+                        "dot": dots.T.reshape(-1),
+                    }
+                )
+
+        chunks.append(
+            emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
+        )
+    if not chunks:
+        chunks = [spark.createDataFrame([], out_schema)]
+    scored = chunks[0]
+    for c in chunks[1:]:
+        scored = scored.unionByName(c)
+    w = W.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    )
+
+
+ORACLE_MIPS = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+s AS (
+  SELECT qid, e.vec_id,
+         list_dot_product(qe, CAST(e.embedding AS DOUBLE[])) AS dot
+  FROM q, embeddings e WHERE e.vec_id != qid
+)
+SELECT qid, rank, vec_id FROM (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+  FROM s)
+WHERE rank <= {TOP_K}
+ORDER BY qid, rank
+"""
 
 
 RANGE_TAU = 0.25
@@ -879,4 +951,8 @@ SPECS = [
               ("similarity", "iterative", "ml"),
               doc="k-means Lloyd iterations, BLAS assignment + bounded "
                   "K×D update exchange (rows-only; numpy-twin pytest)"),
+    QuerySpec("sim_mips_maxdot", sim_mips_maxdot, ORACLE_MIPS,
+              ("similarity", "mips"),
+              doc="maximum-inner-product top-k (unnormalized two-tower "
+                  "retrieval ranking)"),
 ]

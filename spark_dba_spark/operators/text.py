@@ -152,6 +152,51 @@ ORDER BY doc_id
 """
 
 
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation matrix: labeled lang × predicted lang
+    counts with per-cell share of the true-label row — the confusion
+    matrix every classifier-in-the-pipeline gets judged by (which
+    languages leak into which). Reuses text_lang_id's exact prediction
+    and reduces to one groupBy on the (true, pred) pair — matrix-sized
+    output at any corpus scale."""
+    pred = text_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    row_tot = pred.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(row_tot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n") / F.col("n_lang").cast("double"), 6).alias(
+                "row_share"
+            ),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+ORACLE_LANG_CONFUSION = f"""
+WITH pred AS (
+  SELECT lang,
+         CASE WHEN v_en = 0 AND v_de = 0 AND v_fr = 0 AND v_es = 0 THEN 'und'
+              WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es THEN 'en'
+              WHEN v_de >= v_fr AND v_de >= v_es THEN 'de'
+              WHEN v_fr >= v_es THEN 'fr' ELSE 'es' END AS pred_lang
+  FROM (
+    SELECT doc_id, lang,
+           {_duck_votes}
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+          FROM documents))),
+tot AS (SELECT lang, COUNT(*) AS n_lang FROM pred GROUP BY 1)
+SELECT lang, pred_lang, COUNT(*) AS n,
+       ROUND(COUNT(*) / CAST(MIN(n_lang) AS DOUBLE), 6) AS row_share
+FROM pred JOIN tot USING (lang)
+GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Token counting (whitespace + BPE-ish regex)
 # --------------------------------------------------------------------------
@@ -1117,4 +1162,8 @@ SPECS = [
               ORACLE_BIGRAM, ("text", "pipeline", "quality"),
               doc="per-doc mean bigram conditional log-prob "
                   "(word-salad detection)"),
+    QuerySpec("text_lang_confusion", text_lang_confusion,
+              ORACLE_LANG_CONFUSION, ("text", "pipeline", "eval"),
+              doc="language-ID confusion matrix (true × predicted, row "
+                  "shares)"),
 ]

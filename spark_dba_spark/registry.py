@@ -94,10 +94,12 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "text_bigram_coherence",
     "sketch_hll_reaggregate",
     "emb_kmeans_lloyd",
-    # stalest standing rows (r2) — refresh:
+    "sim_mips_maxdot",
+    "text_lang_confusion",
+    # stalest standing rows (r2) — refresh (q07/q14 displaced to the
+    # middle with the rest; driver rows for NEVER-checked queries beat
+    # refreshing rows that merely aged):
     "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q14_promo_revenue",
     # (udaf_geometric_mean, grouped_zscore, ev_user_state,
     #  agg_percentiles, lateral_posexplode, agg_corr_stats,
     #  ev_click_error_join, ev_resample_1h, ev_hier_rollup, join_asof,
