@@ -79,6 +79,109 @@ def test_minhash_is_superset_quality(spark):
     assert exact <= lsh, f"LSH missed near-certain pairs: {exact - lsh}"
 
 
+def test_containment_dominates_jaccard(spark):
+    """Mathematical invariant: for any pair, containment = inter/min(n)
+    ≥ jaccard = inter/union — and every Jaccard-dup pair (τ=0.8) must
+    also be a containment-dup pair (the asymmetric detector is a strict
+    superset at equal τ)."""
+    from spark_dba_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    cont = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+        for r in dedup_containment(spark, SF_DIR).collect()
+    }
+    assert cont, "containment found nothing at fixture scale"
+    for (a, b), (c, j) in cont.items():
+        assert c >= j - 1e-12, (a, b, c, j)
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    assert jac <= set(cont), "jaccard pair missing from containment output"
+
+
+def test_shard_pack_conserves_bytes(spark):
+    """Packing invariants: every asset lands in exactly one shard (byte
+    and count totals conserved per media type), and every shard except
+    possibly the last stays under SHARD_BYTES + the largest asset (a doc
+    can straddle a boundary, never skip one)."""
+    from pyspark.sql import functions as F
+
+    from spark_dba_spark.operators.multimodal import (
+        SHARD_BYTES,
+        _assets,
+        mm_shard_pack,
+    )
+
+    shards = mm_shard_pack(spark, SF_DIR).collect()
+    per_media_bytes: dict[str, int] = {}
+    per_media_count: dict[str, int] = {}
+    for r in shards:
+        per_media_bytes[r["media_type"]] = (
+            per_media_bytes.get(r["media_type"], 0) + r["shard_payload_bytes"]
+        )
+        per_media_count[r["media_type"]] = (
+            per_media_count.get(r["media_type"], 0) + r["n_assets"]
+        )
+    truth = {
+        r["media_type"]: (r["b"], r["n"])
+        for r in _assets(spark, SF_DIR)
+        .groupBy("media_type")
+        .agg(
+            F.sum(F.octet_length("payload")).alias("b"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert {m: (per_media_bytes[m], per_media_count[m]) for m in truth} == truth
+    max_asset = (
+        _assets(spark, SF_DIR)
+        .agg(F.max(F.octet_length("payload")).alias("m"))
+        .collect()[0]["m"]
+    )
+    for r in shards:
+        assert r["shard_payload_bytes"] <= SHARD_BYTES + max_asset
+
+
+def test_cdc_snapshot_excludes_tombstoned_and_uninserted(spark):
+    """CDC semantics: nobody whose LATEST change is the 'error' tombstone
+    appears in the snapshot, nobody without a 'signup' insert appears,
+    and every emitted last_ts really is that user's max event time."""
+    from pyspark.sql import functions as F
+
+    from spark_dba_spark.operators.temporal import ev_cdc_latest_snapshot
+
+    ev = catalog.load(spark, SF_DIR, "events")
+    latest = {
+        r["user_id"]: r["event_type"]
+        for r in ev.withColumn(
+            "rn",
+            F.expr(
+                "row_number() over (partition by user_id"
+                " order by ts desc, event_id desc)"
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    signup_users = {
+        r["user_id"]
+        for r in ev.filter("event_type = 'signup'")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    out = ev_cdc_latest_snapshot(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert latest[r["user_id"]] != "error"
+        assert r["user_id"] in signup_users
+        assert r["last_type"] == latest[r["user_id"]]
+
+
 def test_hll_reaggregate_matches_exact(spark):
     """DataSketches HLL estimates per source and the UNION rollup: each
     within 5% of the exact distinct count, and the union-of-sketches
