@@ -442,6 +442,104 @@ ORDER BY user_id
 """
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join: each event pairs with the order of the
+    same customer at MINIMUM |o_orderdate − ts| (backward OR forward) —
+    the sensor-alignment mode (align each reading to the closest
+    calibration, not merely the last one). Ties (equidistant before and
+    after) take the earlier order date, fully deterministic.
+
+    Plan: two windowed carry passes over the SAME union-tagged stream —
+    backward (largest bt ≤ ts, bt==ts counts as backward) and forward
+    (smallest bt > ts, via the descending ordering with probe rows
+    sorting before equal-time build rows so equality is excluded) — then
+    a map-side nearer-of-two pick. Both passes key on user_id: one
+    shuffle each, no range explosion, no per-event candidate join (the
+    naive nearest is events × orders per user)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    orders = (
+        catalog.load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    probe = ev.select("user_id", "ts", "event_id")
+    build = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("bt"),
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderdate").alias("bd"),
+    )
+    p = probe.withColumn("_t", F.col("ts")).withColumn("_side", F.lit(1))
+    b = build.select(
+        "user_id", F.col("bt").alias("_t"), F.lit(0).alias("_side"),
+        "bk", "bd",
+    )
+    tagged = p.unionByName(b, allowMissingColumns=True)
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy("_t", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # descending: equal-time build rows (_side 0) sort AFTER probe rows
+    # under desc(_side)? No — order by (_t desc, _side desc) puts probe
+    # (side 1) before build (side 0) at equal _t, so an order AT ts is
+    # not visible to the forward carry: strictly-after semantics.
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("_t"), F.desc("_side"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        tagged.withColumn("back_k", F.last("bk", ignorenulls=True).over(w_back))
+        .withColumn("back_d", F.last("bd", ignorenulls=True).over(w_back))
+        .withColumn("fwd_k", F.last("bk", ignorenulls=True).over(w_fwd))
+        .withColumn("fwd_d", F.last("bd", ignorenulls=True).over(w_fwd))
+        .filter(F.col("_side") == 1)
+    )
+    ts_us = F.expr("unix_micros(cast(ts as timestamp))")
+    back_us = F.expr("unix_micros(cast(back_d as timestamp))")
+    fwd_us = F.expr("unix_micros(cast(fwd_d as timestamp))")
+    d_back = ts_us - back_us
+    d_fwd = fwd_us - ts_us
+    use_fwd = F.col("back_d").isNull() | (
+        F.col("fwd_d").isNotNull() & (d_fwd < d_back)
+    )
+    return (
+        carried.filter(
+            F.col("back_d").isNotNull() | F.col("fwd_d").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(use_fwd, F.col("fwd_k")).otherwise(F.col("back_k")).alias(
+                "nearest_orderkey"
+            ),
+            F.when(use_fwd, F.col("fwd_d")).otherwise(F.col("back_d")).alias(
+                "nearest_orderdate"
+            ),
+            F.when(use_fwd, d_fwd).otherwise(d_back).alias("dist_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF_NEAREST = """
+WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2)
+SELECT event_id, user_id, ts, nearest_orderkey, nearest_orderdate, dist_us
+FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderkey AS nearest_orderkey,
+         o.o_orderdate AS nearest_orderdate,
+         abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) AS dist_us,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY
+           abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)), o.o_orderdate) AS rn
+  FROM events e JOIN o ON e.user_id = o.o_custkey)
+WHERE rn = 1 ORDER BY event_id
+"""
+
+
 def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel latency: signup → first purchase time-to-convert
     distribution per cohort week — the metric behind activation
@@ -529,4 +627,8 @@ SPECS = [
               ORACLE_TIME_TO_CONVERT, ("temporal", "funnel", "percentile"),
               doc="signup→purchase conversion latency percentiles per "
                   "cohort week"),
+    QuerySpec("join_asof_nearest", join_asof_nearest, ORACLE_ASOF_NEAREST,
+              ("join", "temporal", "asof"),
+              doc="nearest-in-time as-of join (backward+forward carry, "
+                  "nearer-of-two pick)"),
 ]

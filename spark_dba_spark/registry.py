@@ -93,13 +93,15 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "dedup_cross_source_overlap",
     "text_bigram_coherence",
     "sketch_hll_reaggregate",
-    "emb_kmeans_lloyd",
+    # (emb_kmeans_lloyd sits mid-list: rows-only → a driver row is the
+    # weakest evidence class, and its numpy-twin pytest is the real gate)
     "sim_mips_maxdot",
     "text_lang_confusion",
-    # stalest standing rows (r2) — refresh (q07/q14 displaced to the
-    # middle with the rest; driver rows for NEVER-checked queries beat
-    # refreshing rows that merely aged):
-    "q06_forecast_revenue",
+    "ev_rollup_incremental",
+    "join_asof_nearest",
+    # (the whole stale-r2 block — q06/q07/q14 last — is displaced to the
+    # middle: driver rows for NEVER-checked queries beat refreshing rows
+    # that merely aged; the r2 cohort leads the r6 window)
     # (udaf_geometric_mean, grouped_zscore, ev_user_state,
     #  agg_percentiles, lateral_posexplode, agg_corr_stats,
     #  ev_click_error_join, ev_resample_1h, ev_hier_rollup, join_asof,

@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import DEC, dsum, sql_dsum
 from ..registry import QuerySpec
 
 SESSION_GAP = "30 minutes"
@@ -340,6 +340,48 @@ GROUP BY c.user_id ORDER BY c.user_id
 """
 
 
+def ev_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the hourly rollup is
+    built from TWO partial aggregations (an 'existing' batch and an
+    'arriving' batch, split deterministically on event_id parity) merged
+    by re-aggregation — the update path of a hypertable/materialized
+    view, where new data merges into stored partials without rescanning
+    history. Count merges by SUM; the value sum is carried in exact
+    DECIMAL through both levels (decimal addition is associative, so
+    partial-then-merge is bit-identical to the direct aggregate on ANY
+    split), and the oracle computes the rollup DIRECTLY over all events —
+    the equality the driver hashes IS the maintenance-correctness
+    theorem."""
+    ev = _events(spark, sf_dir)
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(
+            F.date_trunc("hour", "ts").alias("win_start"), "event_type"
+        ).agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast(DEC)).alias("psum"),
+        )
+
+    existing = partial(ev.filter(F.col("event_id") % 2 == 0))
+    arriving = partial(ev.filter(F.col("event_id") % 2 == 1))
+    return (
+        existing.unionByName(arriving)
+        .groupBy("win_start", "event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("psum").cast("double").alias("sum_value"),
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+ORACLE_ROLLUP_INCREMENTAL = f"""
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
+
 def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly resample with LAST-OBSERVATION-CARRIED-FORWARD:
     empty buckets inherit the most recent hour's average value per event
@@ -459,4 +501,9 @@ SPECS = [
               ("timeseries", "resample", "locf"),
               doc="gap-filled hourly resample, last-observation-carried-"
                   "forward per event type"),
+    QuerySpec("ev_rollup_incremental", ev_rollup_incremental,
+              ORACLE_ROLLUP_INCREMENTAL, ("timeseries", "rollup",
+              "incremental"),
+              doc="materialized-rollup merge maintenance: partials "
+                  "re-aggregated == direct rollup (exact decimal carry)"),
 ]
