@@ -815,6 +815,178 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (semantic dedup — SemDeDup-style)
+# --------------------------------------------------------------------------
+
+EMB_DUP_TAU = 0.4  # fixture embeddings are random; max pairwise cosine ≈ 0.5
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) near-duplicate groups — the SemDeDup
+    recipe a pretraining pipeline runs AFTER lexical dedup: vectors whose
+    cosine ≥ EMB_DUP_TAU are duplicates even when their surface text
+    differs (paraphrases, translations, templated rewrites).
+
+    Pipeline: exact cosine pairs from the block-grid all-pairs scorer
+    (similarity.sim_dup_pairs — each vector pair meets in exactly one grid
+    cell, scored with one BLAS matmul per cell), connected components via
+    alternating star contraction (:func:`cc_components`, O(log n) rounds),
+    then every corpus vector labeled with its component and a keep flag on
+    the minimum-id representative — the row a dedup pass retains.
+
+    Scale posture (100 TB): exact all-pairs is the verification tier; at
+    corpus scale the pair stream comes from ``sim_ann_lsh`` buckets
+    (candidates only, recall-gated in RECALL_r05.json) followed by the
+    same exact-cosine verify and the SAME component/representative tail —
+    the contraction and labeling stages key on vec_id and never see raw
+    vectors, so only the bounded pair stream shuffles."""
+    from .similarity import sim_dup_pairs
+
+    # localCheckpoint BEFORE pruning sim_r4: Catalyst's column pruning
+    # reaches INTO FlatMapCoGroupsInPandas when an output column is
+    # dropped, and the cogroup UDF then receives child frames without
+    # 'embedding' (KeyError at runtime). The barrier materializes the
+    # (tiny) pair stream with all columns, putting the prune after it.
+    pairs = (
+        sim_dup_pairs(spark, sf_dir)
+        .localCheckpoint(eager=True)
+        .select(F.col("vec_id_a").alias("doc_a"), F.col("vec_id_b").alias("doc_b"))
+    )
+    labels = cc_components(pairs)
+    ids = catalog.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    lab = ids.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", F.col("doc_id")).alias("component_id")
+    )
+    sizes = lab.groupBy("component_id").agg(F.count("*").alias("n_members"))
+    return (
+        lab.join(F.broadcast(sizes), "component_id")
+        .select(
+            "doc_id",
+            "component_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            (F.col("doc_id") == F.col("component_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_EMB_COSINE = f"""
+WITH RECURSIVE dup AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= {EMB_DUP_TAU}
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+reach AS (
+  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id
+         FROM reach GROUP BY src),
+lab AS (
+  SELECT e.vec_id AS doc_id,
+         COALESCE(c.component_id, e.vec_id) AS component_id
+  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.doc_id)
+SELECT doc_id, component_id,
+       CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS n_members,
+       doc_id = component_id AS keep
+FROM lab
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Triangle count + clustering coefficient on the near-dup graph
+# --------------------------------------------------------------------------
+
+def graph_triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count, degree, and local clustering coefficient
+    on the n-gram-Jaccard near-dup graph — the structural audit that
+    separates genuine duplicate CLIQUES (template families, mirrored
+    sites: high clustering) from chain-shaped false-positive paths
+    (low clustering), which a pipeline treats differently when picking
+    representatives.
+
+    Triangles are enumerated once each via the ordered-triple join: edges
+    are canonical (doc_a < doc_b), so (a<b<c) triangles come from
+    e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) with no multiplicity correction.
+    Scale posture: the join keys on node ids of the SPARSE dup-pair graph
+    (orders of magnitude smaller than the corpus); the heavy-hitter risk
+    is a hub node's neighbor list, bounded upstream by MAX_DF stop-shingle
+    pruning. Clustering = 2·tri / (deg·(deg−1)), 0 for degree-1 nodes."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = edges.localCheckpoint(eager=True)  # reused 3× in the triple join
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    degree = sym.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("degree")
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri_nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
+    ).groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+    return (
+        degree.join(tri_nodes, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TRIANGLES = f"""
+WITH {_NGRAM_PAIR_CTES},
+dup AS (
+  SELECT doc_a, doc_b
+  FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_TAU}
+),
+sym AS (SELECT doc_a, doc_b FROM dup UNION ALL SELECT doc_b, doc_a FROM dup),
+deg AS (SELECT doc_a AS doc_id, COUNT(*) AS degree FROM sym GROUP BY 1),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM dup e1
+  JOIN dup e2 ON e1.doc_b = e2.doc_a
+  JOIN dup e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+tn AS (
+  SELECT doc_id, COUNT(*) AS n_triangles
+  FROM (SELECT a AS doc_id FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN d.degree >= 2 THEN
+               2.0 * COALESCE(t.n_triangles, 0) / (d.degree * (d.degree - 1))
+             ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN tn t USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_clusters", dedup_exact_clusters,
               ORACLE_EXACT_CLUSTERS, ("dedup",)),
@@ -842,4 +1014,12 @@ SPECS = [
     QuerySpec("dedup_cross_source_overlap", dedup_cross_source_overlap,
               ORACLE_CROSS_SOURCE, ("dedup", "provenance"),
               doc="verbatim-duplicate overlap matrix across source pairs"),
+    QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine,
+              ORACLE_EMB_COSINE, ("dedup", "neardup", "embedding"),
+              doc="semantic near-dup groups over embedding cosine "
+                  "(SemDeDup): exact pairs → components → keep flags"),
+    QuerySpec("graph_triangles_neardup", graph_triangles_neardup,
+              ORACLE_TRIANGLES, ("dedup", "graph"),
+              doc="triangle count + clustering coefficient on the "
+                  "near-dup graph (clique vs chain audit)"),
 ]

@@ -903,6 +903,114 @@ ORDER BY t.doc_id
 """
 
 
+BLOOM_BITS = 1 << 17  # 131072-bit filter → 2048 longs ≈ 16 KB broadcast
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 5  # probes per shingle (double hashing, Kirsch–Mitzenmacher)
+
+
+def _bloom_pos_sql(i: int, col: str = "s") -> str:
+    """SQL for the i-th bloom bit position of shingle column ``col`` via
+    double hashing: pos_i = (h1 + i·h2) mod M with both hashes pre-reduced
+    mod M so the combine cannot overflow a long under ANSI arithmetic.
+    Emitted as SQL text (not Column algebra) because the membership test
+    needs shiftleft with a COLUMN shift amount, which the Python API
+    rejects but SQL accepts — and this keeps the whole probe in codegen."""
+    m = BLOOM_BITS
+    h1 = f"pmod(xxhash64({col}), {m}L)"
+    h2 = f"pmod(xxhash64(concat({col}, '#bloom')), {m}L)"
+    return f"pmod({h1} + {i}L * {h2}, {m}L)"
+
+
+def _bloom_hit_sql(i: int, col: str = "s") -> str:
+    """SQL predicate: bit pos_i(col) is set in the broadcast bloom_bits."""
+    p = _bloom_pos_sql(i, col)
+    word = f"element_at(bloom_bits, cast(shiftright({p}, 6) as int) + 1)"
+    mask = f"shiftleft(1L, cast({p} % 64 as int))"
+    return f"(({word} & {mask}) != 0)"
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination with a Bloom-filter prefilter — the
+    100 TB form of :func:`decontaminate_ngram`. The eval side compresses
+    to a FIXED-SIZE bitset (BLOOM_BITS = 128 Ki bits ≈ 16 KB broadcast,
+    independent of eval-set size, vs a shingle-set broadcast that grows
+    with the benchmark suite); the train side's exploded shingle stream is
+    probed against the bitset entirely in whole-stage codegen (xxhash64 +
+    bit ops on a broadcast array<long>), and only bloom-surviving shingles
+    reach the exact verification join.
+
+    Correctness is a theorem, not a tolerance: Bloom filters have NO false
+    negatives, and the exact semi-join removes every false positive — so
+    the output is bit-identical to exact decontamination, and the oracle
+    IS the exact-decontamination SQL. The bitset is built distributed
+    (explode → distinct → groupBy word → BIT_OR) and the driver collects
+    only the ≤{BLOOM_WORDS}-row word table. At scale the verify join can
+    fall back to a shuffle join if the eval shingle set outgrows the
+    broadcast threshold; the bloom prune upstream is what keeps that
+    join's fact side small."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(_shingle_expr(DECON_NGRAM)).alias("shingles"),
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    # Distributed bitset build: k positions per eval shingle → distinct
+    # bit ids → 64-bit words via BIT_OR; ≤ BLOOM_WORDS rows ever reach
+    # the driver, whatever the eval-set size.
+    pos = ev.select(
+        F.explode(
+            F.array(*[F.expr(_bloom_pos_sql(i)) for i in range(BLOOM_K)])
+        ).alias("pos")
+    ).distinct()
+    words = (
+        pos.select(
+            F.shiftright("pos", 6).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    bitset = [0] * BLOOM_WORDS
+    for r in words:
+        bitset[r["w"]] = r["bits"]
+    bloom = spark.createDataFrame(
+        [(bitset,)], "bloom_bits array<long> not null"
+    )
+
+    train = sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    exploded = train.select("doc_id", F.explode("shingles").alias("s"))
+    probed = exploded.join(F.broadcast(bloom))
+    passed = " AND ".join(_bloom_hit_sql(i) for i in range(BLOOM_K))
+    cand = probed.filter(F.expr(passed)).select("doc_id", "s")
+    matched = (
+        cand.join(F.broadcast(ev), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        train.select("doc_id", F.size("shingles").alias("n_shingles"))
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            (F.coalesce("n_matched", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# The oracle is deliberately the EXACT decontamination SQL: bloom has no
+# false negatives and the semi-join strips false positives, so the bloom
+# path must reproduce the exact result bit-for-bit.
+ORACLE_DECON_BLOOM = ORACLE_DECON
+
+
 TFIDF_TOP_K = 3
 
 
@@ -1129,6 +1237,10 @@ SPECS = [
               ("text", "pipeline", "dedup"),
               doc="train/eval n-gram-overlap decontamination, broadcast "
                   "eval side"),
+    QuerySpec("decontaminate_bloom", decontaminate_bloom, ORACLE_DECON_BLOOM,
+              ("text", "pipeline", "dedup", "bloom"),
+              doc="bloom-prefiltered decontamination (fixed 16 KB eval "
+                  "bitset + exact verify == exact result, by theorem)"),
     QuerySpec("text_tfidf", text_tfidf, ORACLE_TFIDF, ("text", "pipeline"),
               doc="per-document top-k terms by TF-IDF"),
     QuerySpec("corpus_mix_sample", corpus_mix_sample, ORACLE_MIX,
