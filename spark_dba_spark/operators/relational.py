@@ -2673,6 +2673,179 @@ FROM orders ORDER BY o_orderkey LIMIT 1000
 """
 
 
+# --------------------------------------------------------------------------
+# Table profiling (the DBA audit: one pass, column-per-row report)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("p_partkey", "p_brand", "p_type", "p_size", "p_retailprice")
+_PROFILE_NUMERIC = {"p_retailprice"}  # doubles render via a fixed decimal
+
+
+def _profile_str(c: str) -> F.Column:
+    """Cross-engine-stable string rendering for min/max: doubles go
+    through ROUND→DECIMAL(30,6) (Spark prints large doubles as '1.0E7',
+    DuckDB as '10000000.0' — decimal prints identically on both); ints
+    and strings cast directly."""
+    if c in _PROFILE_NUMERIC:
+        return F.round(F.col(c), 4).cast("decimal(30,6)").cast("string")
+    return F.col(c).cast("string")
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``part`` — row count, null count, distinct
+    count, min/max — unpivoted to one row per column: the first query a
+    DBA (or a data-quality gate) runs against a new table.
+
+    ONE scan, one reduce: every per-column aggregate is computed in a
+    single global agg (partial aggregation map-side, 64 counters per
+    task), then the 1-row result is unpivoted driver-free with
+    explode(array(struct...)). COUNT(DISTINCT) over multiple columns in
+    one agg expands via Spark's Expand operator — n_cols× the scan rows
+    map-side but still a single shuffle; at extreme widths split the
+    profile into column groups or switch to approx_count_distinct."""
+    part = _t(spark, sf_dir, "part")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(_profile_str(c)).alias(f"mn_{c}"),
+            F.max(_profile_str(c)).alias(f"mx_{c}"),
+        ]
+    row = part.agg(*aggs)
+    packed = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("n_rows").cast("long").alias("n_rows"),
+                        (F.col("n_rows") - F.col(f"nn_{c}"))
+                        .cast("long")
+                        .alias("n_nulls"),
+                        F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+                        F.col(f"mn_{c}").alias("min_val"),
+                        F.col(f"mx_{c}").alias("max_val"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    )
+    return packed.select("p.*").orderBy("col_name")
+
+
+def _profile_oracle_one(c: str) -> str:
+    render = (
+        f"CAST(CAST(ROUND({c}, 4) AS DECIMAL(30,6)) AS VARCHAR)"
+        if c in _PROFILE_NUMERIC
+        else f"CAST({c} AS VARCHAR)"
+    )
+    return f"""
+  SELECT '{c}' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         MIN({render}) AS min_val,
+         MAX({render}) AS max_val
+  FROM part"""
+
+
+ORACLE_PROFILE = (
+    "\nUNION ALL".join(_profile_oracle_one(c) for c in _PROFILE_COLS)
+    + "\nORDER BY col_name"
+)
+
+
+# --------------------------------------------------------------------------
+# Winsorized mean (robust location: clamp tails at exact percentiles)
+# --------------------------------------------------------------------------
+
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of l_extendedprice per return flag: clamp values
+    below the exact 5th / above the exact 95th percentile to those
+    boundaries, then average — the robust-location estimate that keeps
+    sample size (unlike trimming) while bounding outlier influence.
+
+    Two aggregations over one key: exact per-group percentiles (full
+    sort per group — the same cost class as agg_percentiles), broadcast
+    back onto the fact stream (group count is tiny), clamp in codegen,
+    re-aggregate. Clamping is continuous at the boundary, so engine
+    agreement on the exact percentile value (established by the
+    agg_percentiles precedent) transfers to the clamped mean."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05D)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95D)").alias("hi"),
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(
+                F.avg(F.least(F.greatest("l_extendedprice", F.col("lo")), F.col("hi"))), 4
+            ).alias("wins_mean"),
+            F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_WINSORIZED = """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(AVG(LEAST(GREATEST(l_extendedprice, b.lo), b.hi)), 4)
+         AS wins_mean,
+       ROUND(AVG(l_extendedprice), 4) AS raw_mean
+FROM lineitem l JOIN b USING (l_returnflag)
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# unionByName (schema-evolution append)
+# --------------------------------------------------------------------------
+
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append two account ledgers whose projections list the same columns
+    in DIFFERENT orders (the schema-evolution situation: an upstream
+    producer reordered its schema) via ``unionByName`` — positional UNION
+    would silently pair id with balance; by-name resolution is the safe
+    append. Map-only on both branches; no shuffle until the final sort."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("acct_id"),
+        F.col("c_name").alias("acct_name"),
+        F.round(F.col("c_acctbal"), 2).alias("balance"),
+        F.lit("customer").alias("side"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"),
+        F.round(F.col("s_acctbal"), 2).alias("balance"),
+        F.col("s_suppkey").alias("acct_id"),
+        F.col("s_name").alias("acct_name"),
+    )
+    return cust.unionByName(supp).orderBy("side", "acct_id")
+
+
+ORACLE_UNION_BY_NAME = """
+SELECT c_custkey AS acct_id, c_name AS acct_name,
+       ROUND(c_acctbal, 2) AS balance, 'customer' AS side
+FROM customer
+UNION ALL BY NAME
+SELECT 'supplier' AS side, ROUND(s_acctbal, 2) AS balance,
+       s_suppkey AS acct_id, s_name AS acct_name
+FROM supplier
+ORDER BY side, acct_id
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -2846,4 +3019,16 @@ SPECS = [
               ("agg", "sketch", "rollup"),
               doc="DataSketches HLL per source + lossless union rollup "
                   "(rows-only; exact-twin tolerance pytest)"),
+    QuerySpec("profile_table", profile_table, ORACLE_PROFILE,
+              ("agg", "profiling", "dba"),
+              doc="one-pass per-column table profile (nulls, distincts, "
+                  "min/max) unpivoted to a column-per-row report"),
+    QuerySpec("agg_winsorized_mean", agg_winsorized_mean, ORACLE_WINSORIZED,
+              ("agg", "stats", "robust", "percentile"),
+              doc="winsorized mean per group (clamp at exact p05/p95, "
+                  "then average)"),
+    QuerySpec("set_union_by_name", set_union_by_name, ORACLE_UNION_BY_NAME,
+              ("setop", "schema-evolution"),
+              doc="unionByName across differently-ordered projections "
+                  "(schema-evolution append)"),
 ]

@@ -600,6 +600,110 @@ FROM conv GROUP BY 1 ORDER BY cohort_week
 """
 
 
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    — P(next event type | current event type), the session-model fit a
+    product pipeline runs for next-action prediction and for flagging
+    improbable (bot-like) event chains.
+
+    One shuffle on user_id for the sequence window (LEAD over ts with
+    event_id tiebreak so simultaneous events order deterministically),
+    then a tiny groupBy on the (prev, next) type pair — the transition
+    matrix is |types|² rows regardless of corpus size, so the second
+    stage never skews. The row-normalizing window runs on that bounded
+    matrix, not the fact stream."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    tr = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("prev_type"),
+            F.col("next_type").alias("next_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wp = W.partitionBy("prev_type")
+    return tr.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n_trans"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias(
+            "p_trans"
+        ),
+    ).orderBy("prev_type", "next_type")
+
+
+ORACLE_MARKOV = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events),
+tr AS (
+  SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_trans,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6)
+         AS p_trans
+FROM tr
+ORDER BY prev_type, next_type
+"""
+
+
+def window_median_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling MEDIAN of event value over the preceding hour per
+    user — a holistic RANGE-frame aggregate Spark's window engine does not
+    provide (``median``/``percentile`` are not window-frame functions),
+    re-expressed as a range self-join + exact ``percentile`` groupBy:
+    every event joins its own 1-hour frame, so frame semantics (all peers
+    of a simultaneous timestamp included) match SQL RANGE exactly.
+
+    Frame axis = epoch microseconds on both engines (the window_range_1h
+    precedent: second-truncated axes round boundaries differently).
+    Scale posture: the join key is user_id with a time-band predicate —
+    fan-out is bounded by per-user event rate within the hour, not corpus
+    size; AQE handles residual hot users. For fixed-rate telemetry this is
+    events·rate rows, a constant factor, not O(n²)."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    a = ev.select("event_id", "user_id", "ts", um.alias("um"))
+    b = ev.select(
+        F.col("user_id").alias("user_id_b"),
+        um.alias("um_b"),
+        F.col("value").alias("value_b"),
+    )
+    j = a.join(
+        b,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("um_b") >= F.col("um") - F.lit(3_600_000_000))
+        & (F.col("um_b") <= F.col("um")),
+    )
+    return (
+        j.groupBy("event_id", "user_id", "ts")
+        .agg(
+            F.count("*").cast("long").alias("n_1h"),
+            F.round(F.expr("percentile(value_b, 0.5D)"), 6).alias("median_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_MEDIAN_RANGE = """
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       ROUND(quantile_cont(value, 0.5) OVER w, 6) AS median_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -631,4 +735,12 @@ SPECS = [
               ("join", "temporal", "asof"),
               doc="nearest-in-time as-of join (backward+forward carry, "
                   "nearer-of-two pick)"),
+    QuerySpec("ev_markov_transitions", ev_markov_transitions, ORACLE_MARKOV,
+              ("temporal", "window", "sequence"),
+              doc="first-order Markov transition matrix over per-user "
+                  "event sequences"),
+    QuerySpec("window_median_range", window_median_range,
+              ORACLE_MEDIAN_RANGE, ("temporal", "window", "percentile"),
+              doc="exact rolling median over a 1-hour RANGE frame "
+                  "(holistic window agg Spark lacks, via range self-join)"),
 ]

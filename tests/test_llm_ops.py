@@ -531,3 +531,166 @@ def test_cc_components_matches_union_find(spark):
         }
         want = _uf_components(1 + max(max(e) for e in edges), edges)
         assert got == want, f"mismatch on {edges[:10]}..."
+
+
+def test_bloom_decontaminate_equals_exact_and_prunes(spark):
+    """The bloom path's correctness theorem (no false negatives + exact
+    verify) directly: bit-identical output vs decontaminate_ngram, AND the
+    prefilter actually rejects a nontrivial share of the exploded train
+    shingle stream (it isn't a pass-everything no-op)."""
+    import pyspark.sql.functions as F
+
+    from spark_dba_spark.operators.text import (
+        BLOOM_K,
+        DECON_EVAL_MOD,
+        DECON_NGRAM,
+        _bloom_hit_sql,
+        _docs,
+        _shingle_expr,
+        decontaminate_bloom,
+        decontaminate_ngram,
+    )
+
+    exact = sorted(map(tuple, decontaminate_ngram(spark, SF_DIR).collect()))
+    bloom = sorted(map(tuple, decontaminate_bloom(spark, SF_DIR).collect()))
+    assert bloom == exact
+
+    # Prune measurement: rebuild the bitset exactly as the operator does,
+    # then count exploded train shingles vs bloom survivors.
+    docs = _docs(spark, SF_DIR)
+    sh = docs.select(
+        "doc_id", F.array_distinct(_shingle_expr(DECON_NGRAM)).alias("shingles")
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    n_eval = ev.count()
+    exploded = (
+        sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .select("doc_id", F.explode("shingles").alias("s"))
+    )
+    n_total = exploded.count()
+    # Reuse the operator's own bitset by re-running its build path via the
+    # public function is awkward; instead assert via the candidate stream
+    # implied by matched counts: survivors ≥ matches (no false negatives)
+    # and the measured FPR of a 128Ki-bit / k=5 filter at this fill level
+    # keeps survivors well under the total.
+    from spark_dba_spark.operators.text import BLOOM_BITS, _bloom_pos_sql
+
+    pos = ev.select(
+        F.explode(
+            F.array(*[F.expr(_bloom_pos_sql(i)) for i in range(BLOOM_K)])
+        ).alias("pos")
+    ).distinct()
+    words = (
+        pos.select(
+            F.shiftright("pos", 6).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    bitset = [0] * (BLOOM_BITS // 64)
+    for r in words:
+        bitset[r["w"]] = r["bits"]
+    bloom_df = spark.createDataFrame([(bitset,)], "bloom_bits array<long> not null")
+    passed = " AND ".join(_bloom_hit_sql(i) for i in range(BLOOM_K))
+    n_surv = exploded.join(F.broadcast(bloom_df)).filter(F.expr(passed)).count()
+    n_true = (
+        exploded.join(ev, "s", "left_semi").count()
+    )
+    assert n_surv >= n_true  # no false negatives
+    assert n_surv < n_total, (
+        f"bloom rejected nothing ({n_surv}/{n_total}, eval={n_eval})"
+    )
+
+
+def test_embedding_cosine_dedup_invariants(spark):
+    """Labels cover the whole corpus exactly once; representatives are the
+    component minimum; every exact near-dup pair lands in one component."""
+    from spark_dba_spark.operators.dedup import dedup_embedding_cosine
+    from spark_dba_spark.operators.similarity import sim_dup_pairs
+
+    rows = dedup_embedding_cosine(spark, SF_DIR).collect()
+    comp = {r["doc_id"]: r["component_id"] for r in rows}
+    n = catalog.load(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n  # total cover, no dup labels
+    sizes = {}
+    for r in rows:
+        sizes.setdefault(r["component_id"], []).append(r["doc_id"])
+    for cid, members in sizes.items():
+        assert cid == min(members)  # min-id representative
+    for r in rows:
+        assert r["keep"] == (r["doc_id"] == r["component_id"])
+        assert r["n_members"] == len(sizes[r["component_id"]])
+    for p in sim_dup_pairs(spark, SF_DIR).collect():
+        assert comp[p["vec_id_a"]] == comp[p["vec_id_b"]]
+
+
+def test_triangle_clustering_invariants(spark):
+    """Triangle participation needs degree ≥ 2; total participation is a
+    multiple of 3 (each triangle counted at its 3 corners); clustering is
+    a ratio in [0, 1]."""
+    from spark_dba_spark.operators.dedup import graph_triangles_neardup
+
+    rows = graph_triangles_neardup(spark, SF_DIR).collect()
+    assert rows, "dup graph empty at test scale"
+    total = 0
+    for r in rows:
+        total += r["n_triangles"]
+        if r["n_triangles"] > 0:
+            assert r["degree"] >= 2
+        assert 0.0 <= r["clustering"] <= 1.0
+    assert total % 3 == 0
+
+
+def test_markov_rows_are_distributions(spark):
+    """Per prev_type the transition probabilities sum to 1; total
+    transition count equals (events − users-with-events): each user's
+    final event has no successor."""
+    import pyspark.sql.functions as F
+
+    from spark_dba_spark.operators.temporal import ev_markov_transitions
+
+    rows = ev_markov_transitions(spark, SF_DIR).collect()
+    by_prev = {}
+    n_total = 0
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], 0.0)
+        by_prev[r["prev_type"]] += r["p_trans"]
+        n_total += r["n_trans"]
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-4, f"{prev} rows sum to {s}"
+    ev = catalog.load(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert n_total == n_events - n_users
+
+
+def test_window_median_range_singletons_and_bounds(spark):
+    """Frames of size 1 have median == their own value; every median lies
+    within the user's global [min, max]."""
+    import pyspark.sql.functions as F
+
+    from spark_dba_spark.operators.temporal import window_median_range
+
+    med = window_median_range(spark, SF_DIR)
+    ev = catalog.load(spark, SF_DIR, "events").select(
+        "event_id", F.col("value").alias("v")
+    )
+    joined = med.join(ev, "event_id").collect()
+    assert joined
+    import collections
+
+    user_minmax = collections.defaultdict(lambda: (float("inf"), float("-inf")))
+    for r in joined:
+        lo, hi = user_minmax[r["user_id"]]
+        user_minmax[r["user_id"]] = (min(lo, r["v"]), max(hi, r["v"]))
+    for r in joined:
+        if r["n_1h"] == 1:
+            assert abs(r["median_1h"] - round(r["v"], 6)) < 1e-9
+        lo, hi = user_minmax[r["user_id"]]
+        assert lo - 1e-9 <= r["median_1h"] <= hi + 1e-9
