@@ -1011,6 +1011,208 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DECON_BLOOM = ORACLE_DECON
 
 
+REDACT_TOP = 5  # deny-list size: the top-N corpus tokens
+
+
+def text_redact_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deny-list redaction — strip a bounded dictionary of forbidden
+    tokens (boilerplate, watermark phrases, blocklisted strings) from
+    every document, the scrub step a corpus pipeline runs before
+    training. The deny list here is data-derived (top-{REDACT_TOP}
+    corpus tokens by frequency, term-ascending tie-break) so the fixture
+    exercises real hits; in production it's a supplied dictionary.
+
+    Redaction is pure higher-order-function codegen — ``filter(ws, t ->
+    NOT array_contains(deny, t))`` — no regex dialect risk, no Python.
+    The deny list is a driver-bounded collect of {REDACT_TOP} rows
+    folded into the plan as a literal; the redacted text is verified
+    bit-for-bit via md5 of the rejoined token stream."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    top = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(REDACT_TOP)
+        .collect()
+    )
+    deny = [r["t"] for r in top]
+    deny_arr = F.array(*[F.lit(t) for t in deny])
+    ws = F.split("text", " ")
+    kept = F.filter(ws, lambda t: ~F.array_contains(deny_arr, t))
+    return docs.select(
+        "doc_id",
+        (F.size(ws) - F.size(kept)).cast("long").alias("n_redacted"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.md5(F.concat_ws(" ", kept)).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE_REDACT = f"""
+WITH deny AS (
+  SELECT t FROM (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t ORDER BY COUNT(*) DESC, t ASC LIMIT {REDACT_TOP}),
+dl AS (SELECT list(t) AS dl FROM deny),
+d AS (SELECT doc_id, string_split(text, ' ') AS ws, dl.dl
+      FROM documents CROSS JOIN dl),
+r AS (
+  SELECT doc_id, ws,
+         list_filter(ws, t -> NOT list_contains(dl, t)) AS kept
+  FROM d)
+SELECT doc_id,
+       CAST(len(ws) - len(kept) AS BIGINT) AS n_redacted,
+       CAST(len(kept) AS BIGINT) AS n_tokens_after,
+       md5(array_to_string(kept, ' ')) AS redacted_md5
+FROM r ORDER BY doc_id
+"""
+
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunking — the RAG / context-window
+    segmentation step: every document becomes ⌈(n−C)/S⌉+1 chunks of
+    C={CHUNK_TOKENS} tokens at stride S={CHUNK_STRIDE} (overlap C−S), so
+    any C-token span is fully contained in some chunk. Map-only: the
+    chunk index list is a ``sequence`` per row, ``posexplode``d, each
+    chunk a ``slice`` of the token array — no shuffle at all until the
+    output sort, which a production writer drops. Chunk identity is
+    md5(token-joined text) so the oracle pins the exact content, not just
+    counts."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        (
+            F.lit(1)
+            + F.floor(
+                (
+                    F.greatest(F.size(ws) - F.lit(CHUNK_TOKENS), F.lit(0))
+                    + F.lit(CHUNK_STRIDE - 1)
+                )
+                / F.lit(CHUNK_STRIDE)
+            )
+        ).cast("int").alias("n_chunks"),
+    )
+    ex = base.select(
+        "doc_id",
+        "ws",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_idx", "_k"
+        ),
+    )
+    start = F.lit(1) + F.col("chunk_idx") * F.lit(CHUNK_STRIDE)
+    chunk = F.slice("ws", start, F.lit(CHUNK_TOKENS))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+ORACLE_CHUNK = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         1 + CAST(floor((greatest(len(string_split(text, ' ')) - {CHUNK_TOKENS}, 0)
+                         + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}) AS INT)
+           AS n_chunks
+  FROM documents),
+ex AS (
+  SELECT doc_id, ws, CAST(k AS INT) AS chunk_idx,
+         1 + CAST(k AS BIGINT) * {CHUNK_STRIDE} AS start_tok
+  FROM d, LATERAL unnest(generate_series(0, n_chunks - 1)) AS u(k)),
+c AS (
+  SELECT doc_id, chunk_idx, start_tok,
+         ws[start_tok : start_tok + {CHUNK_TOKENS - 1}] AS chunk
+  FROM ex)
+SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(chunk) AS BIGINT) AS n_tok,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
+KL_TOP_V = 500  # vocabulary cap: KL computed over the corpus top-V terms
+
+
+def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the domain-mix diagnostic: how far each source's token distribution
+    sits from the blend it contributes to (high KL → distinct domain;
+    near 0 → redundant with the mix). Distributions restricted to the
+    corpus top-{KL_TOP_V} vocabulary (count-desc, term-asc tie-break) so
+    the statistic is bounded and p_corpus > 0 wherever p_source > 0 —
+    no smoothing needed.
+
+    Shuffles: one (source, term) groupBy on the fact stream, one
+    vocab-sized groupBy, top-V via TakeOrderedAndProject, then all
+    remaining joins are on the ≤V-row vocabulary — broadcast, skew-free
+    at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = (
+        st.groupBy("t")
+        .agg(F.sum("c").alias("cc"))
+        .orderBy(F.desc("cc"), F.asc("t"))
+        .limit(KL_TOP_V)
+    )
+    stv = st.join(F.broadcast(vocab), "t")
+    # corpus totals restricted to the top-V vocab, as a 1-row broadcast
+    tot_c = stv.agg(F.sum("c").cast("double").alias("tot_c"))
+    per_src = stv.groupBy("source").agg(F.sum("c").cast("double").alias("tot_s"))
+    j = (
+        stv.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(tot_c))
+        .select(
+            "source",
+            (F.col("c") / F.col("tot_s")).alias("p_s"),
+            (F.col("cc") / F.col("tot_c")).alias("p_c"),
+        )
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.sum(F.col("p_s") * F.log(F.col("p_s") / F.col("p_c"))), 6).alias(
+                "kl_nats"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_KL = f"""
+WITH st AS (
+  SELECT source, t, COUNT(*) AS c FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY 1, 2),
+vocab AS (
+  SELECT t, SUM(c) AS cc FROM st GROUP BY t
+  ORDER BY SUM(c) DESC, t ASC LIMIT {KL_TOP_V}),
+stv AS (SELECT st.source, st.t, st.c, vocab.cc FROM st JOIN vocab USING (t)),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot_c FROM stv),
+per_src AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS tot_s
+            FROM stv GROUP BY source)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(SUM((s.c / p.tot_s) * ln((s.c / p.tot_s) / (s.cc / t.tot_c))), 6)
+         AS kl_nats
+FROM stv s JOIN per_src p USING (source) CROSS JOIN tot t
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
 TFIDF_TOP_K = 3
 
 
@@ -1241,6 +1443,18 @@ SPECS = [
               ("text", "pipeline", "dedup", "bloom"),
               doc="bloom-prefiltered decontamination (fixed 16 KB eval "
                   "bitset + exact verify == exact result, by theorem)"),
+    QuerySpec("text_redact_denylist", text_redact_denylist, ORACLE_REDACT,
+              ("text", "pipeline", "scrub"),
+              doc="deny-list token redaction (boilerplate/blocklist "
+                  "scrub), HOF codegen, md5-verified text"),
+    QuerySpec("text_chunk_overlap", text_chunk_overlap, ORACLE_CHUNK,
+              ("text", "pipeline", "rag"),
+              doc="overlapping token chunking (RAG/context segmentation), "
+                  "map-only, md5-pinned chunk content"),
+    QuerySpec("text_source_kl", text_source_kl, ORACLE_SOURCE_KL,
+              ("text", "stats", "mix"),
+              doc="per-source KL divergence from the corpus unigram mix "
+                  "over the top-V vocabulary"),
     QuerySpec("text_tfidf", text_tfidf, ORACLE_TFIDF, ("text", "pipeline"),
               doc="per-document top-k terms by TF-IDF"),
     QuerySpec("corpus_mix_sample", corpus_mix_sample, ORACLE_MIX,

@@ -694,3 +694,69 @@ def test_window_median_range_singletons_and_bounds(spark):
             assert abs(r["median_1h"] - round(r["v"], 6)) < 1e-9
         lo, hi = user_minmax[r["user_id"]]
         assert lo - 1e-9 <= r["median_1h"] <= hi + 1e-9
+
+
+def test_chunk_overlap_covers_and_bounds(spark):
+    """Chunks tile each document: first starts at token 1, strides are
+    exactly CHUNK_STRIDE, the last chunk reaches the final token, and no
+    chunk exceeds CHUNK_TOKENS."""
+    import collections
+
+    import pyspark.sql.functions as F
+
+    from spark_dba_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunk_overlap,
+    )
+
+    rows = text_chunk_overlap(spark, SF_DIR).collect()
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in catalog.load(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    per_doc = collections.defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r)
+        assert 1 <= r["n_tok"] <= CHUNK_TOKENS
+    assert set(per_doc) == set(ntok)
+    for doc_id, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert chunks[0]["start_tok"] == 1
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_tok"] - a["start_tok"] == CHUNK_STRIDE
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_tok"] - 1 == ntok[doc_id]
+
+
+def test_redact_denylist_conserves_and_hits(spark):
+    """Redacted + kept == total tokens per doc, and the data-derived deny
+    list actually fires somewhere in the corpus."""
+    import pyspark.sql.functions as F
+
+    from spark_dba_spark.operators.text import text_redact_denylist
+
+    rows = text_redact_denylist(spark, SF_DIR).collect()
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in catalog.load(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    assert sum(r["n_redacted"] for r in rows) > 0
+    for r in rows:
+        assert r["n_redacted"] + r["n_tokens_after"] == ntok[r["doc_id"]]
+
+
+def test_source_kl_nonnegative(spark):
+    """Σ p ln(p/q) with q sub-normalized over the restricted support is
+    ≥ 0 (Gibbs + ln(1/Σq) ≥ 0) — a negative value means a broken
+    normalization on one side."""
+    from spark_dba_spark.operators.text import text_source_kl
+
+    rows = text_source_kl(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["kl_nats"] >= -1e-9, r
