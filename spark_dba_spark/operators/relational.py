@@ -2846,6 +2846,239 @@ ORDER BY side, acct_id
 """
 
 
+# --------------------------------------------------------------------------
+# DBA audits: referential integrity + primary-key uniqueness
+# --------------------------------------------------------------------------
+
+_RI_CHECKS = (
+    # (fact table, fk col, dim table, pk col)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the whole star schema — for every
+    FK relationship: fact rows total, orphaned rows (FK value absent from
+    the dimension), and distinct orphaned key values. The standard
+    constraint check a lakehouse has to run as a query, since parquet
+    enforces nothing.
+
+    Each relationship is one LEFT ANTI join. Dimensions reduce to their
+    DISTINCT key column before joining — nation/part/customer-sized sides
+    broadcast; the lineitem→orders check is the one genuine fact-to-fact
+    shuffle and keys on the (high-cardinality, skew-free) order key. The
+    six checks share no state and union into a single report; a scheduler
+    can run them as one job with each branch independently planned."""
+    out = None
+    for fact, fk, dim, pk in _RI_CHECKS:
+        f = _t(spark, sf_dir, fact).select(F.col(fk).alias("fk"))
+        d = _t(spark, sf_dir, dim).select(F.col(pk).alias("fk"))
+        branch = _ri_branch(f, d, f"{fact}.{fk} -> {dim}.{pk}")
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("relationship")
+
+
+def _ri_branch(fact_keys: DataFrame, dim_keys: DataFrame, label: str) -> DataFrame:
+    """One FK relationship check → a 1-row verdict. NULL FKs count as
+    orphans (a null can't reference anything); the anti-join semantics
+    drop nulls from the match side, which is exactly that."""
+    orphans = fact_keys.join(dim_keys.distinct(), "fk", "left_anti")
+    return orphans.agg(
+        F.count("*").cast("long").alias("n_orphan_rows"),
+        F.countDistinct("fk").cast("long").alias("n_orphan_keys"),
+    ).crossJoin(
+        fact_keys.agg(F.count("*").cast("long").alias("n_fact_rows"))
+    ).select(
+        F.lit(label).alias("relationship"),
+        "n_fact_rows",
+        "n_orphan_rows",
+        "n_orphan_keys",
+    )
+
+
+def _ri_oracle_one(fact: str, fk: str, dim: str, pk: str) -> str:
+    return f"""
+  SELECT '{fact}.{fk} -> {dim}.{pk}' AS relationship,
+         CAST((SELECT COUNT(*) FROM {fact}) AS BIGINT) AS n_fact_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+         CAST(COUNT(DISTINCT {fk}) AS BIGINT) AS n_orphan_keys
+  FROM {fact} WHERE {fk} NOT IN (SELECT {pk} FROM {dim} WHERE {pk} IS NOT NULL)
+        OR {fk} IS NULL"""
+
+
+ORACLE_RI = (
+    "\nUNION ALL".join(_ri_oracle_one(*c) for c in _RI_CHECKS)
+    + "\nORDER BY relationship"
+)
+
+
+_PK_CHECKS = (
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("nation", "n_nationkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+)
+
+
+def audit_primary_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: per declared key — row count,
+    distinct keys, null keys, and rows participating in a duplicated key
+    value. One groupBy per table on its key (map-side partial agg), the
+    per-table verdicts reduced to single rows and unioned. At 100 TB
+    each branch is one shuffle on the table's own key — embarrassingly
+    parallel across tables."""
+    out = None
+    for tbl, pk in _PK_CHECKS:
+        t = _t(spark, sf_dir, tbl).select(F.col(pk).alias("pk"))
+        per_key = t.groupBy("pk").agg(F.count("*").alias("c"))
+        branch = per_key.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_distinct_keys"),
+            F.coalesce(
+                F.sum(F.when(F.col("pk").isNull(), F.col("c"))), F.lit(0)
+            ).cast("long").alias("n_null_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            ).cast("long").alias("n_dup_rows"),
+        ).select(
+            F.lit(f"{tbl}.{pk}").alias("key"),
+            "n_rows",
+            "n_distinct_keys",
+            "n_null_rows",
+            "n_dup_rows",
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("key")
+
+
+def _pk_oracle_one(tbl: str, pk: str) -> str:
+    return f"""
+  SELECT '{tbl}.{pk}' AS key,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+         CAST(COALESCE(SUM(CASE WHEN pk IS NULL THEN c END), 0) AS BIGINT)
+           AS n_null_rows,
+         CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+           AS n_dup_rows
+  FROM (SELECT {pk} AS pk, COUNT(*) AS c FROM {tbl} GROUP BY 1)"""
+
+
+ORACLE_PK = (
+    "\nUNION ALL".join(_pk_oracle_one(*c) for c in _PK_CHECKS)
+    + "\nORDER BY key"
+)
+
+
+# --------------------------------------------------------------------------
+# Inter-order arrival gaps (sequential self-pairing per customer)
+# --------------------------------------------------------------------------
+
+def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between a customer's consecutive orders, summarized per market
+    segment — the purchase-cadence profile behind churn models. The
+    consecutive pairing is LAG over (customer, order date, order key):
+    one shuffle on o_custkey; the gap axis is epoch-microsecond
+    difference floored to whole days, which is timezone-free (no
+    calendar-date cast — a session-tz cast would shift day boundaries
+    between engines)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("um"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("um", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_um", F.lag("um").over(w))
+        .filter(F.col("prev_um").isNotNull())
+        .select(
+            "o_custkey",
+            F.floor((F.col("um") - F.col("prev_um")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("gap_days"),
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        gaps.join(cust, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+            F.round(F.expr("percentile(gap_days, 0.5D)"), 4).alias("median_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_INTERARRIVAL = """
+WITH seq AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) AS um,
+         LAG(epoch_us(o_orderdate)) OVER
+           (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey)
+           AS prev_um
+  FROM orders),
+gaps AS (
+  SELECT o_custkey,
+         CAST(floor((um - prev_um) / 86400000000) AS BIGINT) AS gap_days
+  FROM seq WHERE prev_um IS NOT NULL)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(AVG(gap_days), 4) AS avg_gap_days,
+       ROUND(quantile_cont(gap_days, 0.5), 4) AS median_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic global exact-K sample
+# --------------------------------------------------------------------------
+
+SAMPLE_K = 100
+
+
+def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K global sample of documents by deterministic hash rank —
+    the fixed-size eval-subset draw (TABLESAMPLE gives a BERNOULLI
+    fraction, not an exact count; rand() isn't reproducible across
+    retries). Ranking key = md5 of the doc id: uniform, stable, and
+    engine-portable. The global top-K by hash runs as
+    TakeOrderedAndProject — per-partition heaps of K, single K-row merge
+    at the driver, NO global sort shuffle; at 100 TB that is the only
+    correct shape for a small-K global selection."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    return (
+        docs.select("doc_id", "source", "lang", key.alias("rk"))
+        .orderBy("rk")
+        .limit(SAMPLE_K)
+        .orderBy("doc_id")
+        .select("doc_id", "source", "lang")
+    )
+
+
+ORACLE_SAMPLE_K = f"""
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents ORDER BY rk LIMIT {SAMPLE_K})
+ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -3031,4 +3264,20 @@ SPECS = [
               ("setop", "schema-evolution"),
               doc="unionByName across differently-ordered projections "
                   "(schema-evolution append)"),
+    QuerySpec("audit_referential_integrity", audit_referential_integrity,
+              ORACLE_RI, ("audit", "dba", "join"),
+              doc="FK orphan audit across the star schema (6 anti-join "
+                  "relationship checks in one report)"),
+    QuerySpec("audit_primary_keys", audit_primary_keys, ORACLE_PK,
+              ("audit", "dba", "agg"),
+              doc="PK uniqueness/null audit across 7 tables in one "
+                  "unioned report"),
+    QuerySpec("orders_interarrival", orders_interarrival,
+              ORACLE_INTERARRIVAL, ("temporal", "window", "stats"),
+              doc="inter-order gap stats per market segment (LAG pairing, "
+                  "tz-free epoch-day axis)"),
+    QuerySpec("sample_exact_k", sample_exact_k, ORACLE_SAMPLE_K,
+              ("sample", "pipeline"),
+              doc="deterministic exact-K global sample by md5 rank "
+                  "(TakeOrderedAndProject, no global sort)"),
 ]

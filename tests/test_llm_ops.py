@@ -760,3 +760,19 @@ def test_source_kl_nonnegative(spark):
     assert rows
     for r in rows:
         assert r["kl_nats"] >= -1e-9, r
+
+
+def test_ri_branch_detects_synthetic_orphans(spark):
+    """The fixture star schema is orphan-free, so the audit's zero rows
+    don't by themselves prove the detector — drive the branch with
+    synthetic orphans (incl. a NULL FK, which can reference nothing)."""
+    from spark_dba_spark.operators.relational import _ri_branch
+
+    fact = spark.createDataFrame(
+        [(1,), (2,), (2,), (99,), (None,)], "fk long"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "fk long")
+    r = _ri_branch(fact, dim, "t.fk -> d.pk").collect()[0]
+    assert r["n_fact_rows"] == 5
+    assert r["n_orphan_rows"] == 2  # 99 and NULL
+    assert r["n_orphan_keys"] == 1  # countDistinct skips NULL
