@@ -53,6 +53,59 @@ FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type
 """
 
 
+TOPK_PER_WINDOW = 3
+
+
+def topk_rank_tail(agg: DataFrame) -> DataFrame:
+    """Rank tail shared by the batch twin and the streaming
+    materialization: top-{TOPK_PER_WINDOW} event types per window by
+    (count desc, type asc). Streaming aggregation cannot host a window
+    rank (rank needs the finished window), so production materializes the
+    streaming pre-agg and runs THIS tail over the materialized view —
+    both paths share the code, so twin equality tests the real thing."""
+    w = W.partitionBy("win_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_PER_WINDOW)
+        .select(
+            "win_start",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("win_start", "rnk")
+    )
+
+
+def ev_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event types per tumbling hour — the streaming-leaderboard
+    shape (trending hashtags, top error codes per window). Batch form:
+    one windowed count shuffle, then the rank window on the (bounded:
+    windows × types) aggregate — the rank never sees the fact stream."""
+    ev = _events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    return topk_rank_tail(agg)
+
+
+ORACLE_WINDOWED_TOPK = f"""
+WITH a AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT win_start, event_type, CAST(n AS BIGINT) AS n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY win_start
+                ORDER BY n DESC, event_type ASC) AS INT) AS rnk
+  FROM a)
+SELECT win_start, event_type, n, rnk FROM r
+WHERE rnk <= {TOPK_PER_WINDOW}
+ORDER BY win_start, rnk
+"""
+
+
 # --------------------------------------------------------------------------
 # Sliding window (1 hour, sliding 30 minutes → every event in 2 windows)
 # --------------------------------------------------------------------------
@@ -477,6 +530,11 @@ SPECS = [
               ("streaming", "window"), bench=True),
     QuerySpec("ev_sliding_1h_30m", ev_sliding_1h_30m, ORACLE_SLIDING,
               ("streaming", "window")),
+    QuerySpec("ev_windowed_topk", ev_windowed_topk, ORACLE_WINDOWED_TOPK,
+              ("streaming", "window", "topk"),
+              doc="top event types per tumbling hour (streaming "
+                  "leaderboard; live twin = streaming pre-agg + shared "
+                  "rank tail over the materialized view)"),
     QuerySpec("ev_session_30m", ev_session_30m, ORACLE_SESSION,
               ("streaming", "session")),
     QuerySpec("ev_dedup_first", ev_dedup_first, ORACLE_DEDUP_FIRST,

@@ -373,3 +373,30 @@ def run_clean_corpus_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_windowed_topk_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "windowed_topk_stream"
+) -> DataFrame:
+    """Streaming leaderboard: the windowed count runs as a STREAMING
+    aggregation (complete mode → the materialized per-window counts),
+    and the rank tail — which streaming aggregation cannot host, since
+    row_number needs the finished window — runs over the materialized
+    sink with the SAME shared tail as the batch twin
+    (batch_equiv.topk_rank_tail). This is the production two-stage
+    shape: stream pre-aggregates, the serving layer ranks."""
+    from .batch_equiv import topk_rank_tail
+
+    q = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return topk_rank_tail(spark.table(query_name))

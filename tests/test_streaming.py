@@ -225,3 +225,14 @@ def test_clean_corpus_stream_equals_batch(spark):
         for r in pipeline_clean_corpus(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_windowed_topk_stream_equals_batch(spark):
+    """Streaming pre-agg + shared rank tail over the materialized view
+    reproduces the batch windowed top-k exactly."""
+    from spark_dba_spark.streaming import batch_equiv, jobs
+
+    stream_out = jobs.run_windowed_topk_stream(spark, SF_DIR, "t_topk_eq")
+    batch_out = batch_equiv.ev_windowed_topk(spark, SF_DIR)
+    assert sorted(stream_out.columns) == sorted(batch_out.columns)
+    assert _rows(stream_out) == _rows(batch_out)
