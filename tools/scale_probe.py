@@ -34,6 +34,11 @@ QUERIES = [
     "text_tfidf",                # explode + two keyed shuffles + window
     "dedup_cc_clusters",         # iterative label propagation (r3)
     "emb_quantize_int8",         # map-only higher-order vector math (r3)
+    "window_median_range",       # range self-join holistic window (r5)
+    "decontaminate_bloom",       # bloom-prefiltered verify join (r5)
+    "text_chunk_overlap",        # map-only posexplode chunking (r5)
+    "audit_referential_integrity",  # 6 anti-join FK checks (r5)
+    "ev_markov_transitions",     # sequence window + bounded matrix (r5)
 ]
 
 
