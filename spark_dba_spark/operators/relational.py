@@ -3079,6 +3079,181 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Chi-square independence (lang × source contingency)
+# --------------------------------------------------------------------------
+
+def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the language × source contingency
+    table — does language mix differ by source? (A pipeline uses this to
+    decide whether per-source language filters are needed, or whether a
+    source's crawl is language-skewed.) Emits the full contingency table
+    with observed, expected-under-independence, and per-cell chi-square
+    contribution; the statistic is the contributions' sum.
+
+    One fact-stream shuffle on (lang, source); the margins are
+    re-aggregations of the CONTINGENCY TABLE (|langs|·|sources| rows),
+    not the corpus, broadcast back onto it — every post-fact stage is
+    bounded by category cardinality."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
+    row_m = obs.groupBy("lang").agg(F.sum("n_obs").alias("n_lang"))
+    col_m = obs.groupBy("source").agg(F.sum("n_obs").alias("n_source"))
+    tot = obs.agg(F.sum("n_obs").cast("double").alias("n_total"))
+    # COMPLETE table: unobserved (lang, source) cells are real zero cells
+    # — they contribute (0−E)²/E = E to the statistic and make the
+    # expected margins reproduce the observed ones exactly. The cross is
+    # |langs|×|sources| of two broadcast margins, never the fact stream.
+    grid = F.broadcast(row_m).crossJoin(F.broadcast(col_m))
+    exp = F.col("n_lang") * F.col("n_source") / F.col("n_total")
+    n_obs = F.coalesce("n_obs", F.lit(0))
+    return (
+        grid.join(obs, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            n_obs.cast("long").alias("n_obs"),
+            F.round(exp, 6).alias("n_exp"),
+            F.round((n_obs - exp) ** 2 / exp, 6).alias("chi2_part"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE_CHI2 = """
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS n_obs FROM documents GROUP BY 1, 2),
+rm AS (SELECT lang, SUM(n_obs) AS n_lang FROM obs GROUP BY 1),
+cm AS (SELECT source, SUM(n_obs) AS n_source FROM obs GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS n_total FROM obs),
+grid AS (SELECT rm.lang, rm.n_lang, cm.source, cm.n_source FROM rm, cm)
+SELECT g.lang, g.source,
+       CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+       ROUND(g.n_lang * g.n_source / t.n_total, 6) AS n_exp,
+       ROUND(POW(COALESCE(o.n_obs, 0) - g.n_lang * g.n_source / t.n_total, 2)
+             / (g.n_lang * g.n_source / t.n_total), 6) AS chi2_part
+FROM grid g LEFT JOIN obs o USING (lang, source) CROSS JOIN tot t
+ORDER BY g.lang, g.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+def audit_benford_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic fabricated-data screen a DBA/auditor runs on
+    financial columns. The digit is extracted NUMERICALLY
+    (x / 10^⌊log10 x⌋ — no double→string formatting, which the two
+    engines render differently), map-side; the aggregation is a 9-row
+    groupBy. Deviation = observed share − log10(1 + 1/d)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    n_tot = o.agg(F.count("*").cast("double").alias("n_total"))
+    by_digit = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    benford = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    return by_digit.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("n_total"), 6).alias("obs_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.col("n") / F.col("n_total") - benford, 6).alias("deviation"),
+    ).orderBy("digit")
+
+
+ORACLE_BENFORD = """
+WITH d AS (
+  SELECT CAST(floor(o_totalprice / POW(10.0, floor(log10(o_totalprice))))
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0),
+g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_total FROM g)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(n / t.n_total, 6) AS obs_share,
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+       ROUND(n / t.n_total - log10(1.0 + 1.0 / digit), 6) AS deviation
+FROM g CROSS JOIN t
+ORDER BY digit
+"""
+
+
+# --------------------------------------------------------------------------
+# Longest monotonic streak per user (gaps-and-islands on runs)
+# --------------------------------------------------------------------------
+
+def ev_monotonic_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing run of event values per user — the
+    run-length/sequence-motif detector (gaming streaks, sensor ramps,
+    escalating-spend alerts). Gaps-and-islands on RUNS: a break flag from
+    LAG (strict-inequality compare, event-id tiebreak ordering), a
+    cumulative sum of breaks as the run id, one groupBy on
+    (user, run id) for lengths, then a per-user max — every shuffle keys
+    on user_id (one window partition + two keyed aggs), nothing global."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("prev_v", F.lag("value").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev_v").isNull() | (F.col("value") <= F.col("prev_v")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    lengths = runs.groupBy("user_id", "run_id").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        lengths.groupBy("user_id")
+        .agg(
+            F.max("run_len").cast("long").alias("longest_streak"),
+            F.count("*").cast("long").alias("n_runs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_STREAKS = """
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_v
+  FROM events),
+b AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_v IS NULL OR value <= prev_v THEN 1 ELSE 0 END
+           AS brk
+  FROM s),
+r AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM b),
+l AS (SELECT user_id, run_id, COUNT(*) AS run_len FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM l GROUP BY user_id ORDER BY user_id
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -3280,4 +3455,16 @@ SPECS = [
               ("sample", "pipeline"),
               doc="deterministic exact-K global sample by md5 rank "
                   "(TakeOrderedAndProject, no global sort)"),
+    QuerySpec("stats_chi2_lang_source", stats_chi2_lang_source, ORACLE_CHI2,
+              ("agg", "stats", "audit"),
+              doc="chi-square independence contingency audit "
+                  "(lang × source observed/expected/contribution)"),
+    QuerySpec("audit_benford_amounts", audit_benford_amounts, ORACLE_BENFORD,
+              ("audit", "dba", "stats"),
+              doc="Benford first-significant-digit screen on order "
+                  "totals (numeric digit extraction, no string render)"),
+    QuerySpec("ev_monotonic_streaks", ev_monotonic_streaks, ORACLE_STREAKS,
+              ("temporal", "window", "sequence"),
+              doc="longest strictly-increasing value run per user "
+                  "(gaps-and-islands on runs)"),
 ]

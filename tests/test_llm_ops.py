@@ -776,3 +776,61 @@ def test_ri_branch_detects_synthetic_orphans(spark):
     assert r["n_fact_rows"] == 5
     assert r["n_orphan_rows"] == 2  # 99 and NULL
     assert r["n_orphan_keys"] == 1  # countDistinct skips NULL
+
+
+def test_chi2_margins_consistent(spark):
+    """Expected counts under independence reproduce both margins and the
+    grand total; contributions are nonnegative."""
+    import collections
+
+    from spark_dba_spark.operators.relational import stats_chi2_lang_source
+
+    rows = stats_chi2_lang_source(spark, SF_DIR).collect()
+    obs_by_lang = collections.defaultdict(int)
+    exp_by_lang = collections.defaultdict(float)
+    for r in rows:
+        obs_by_lang[r["lang"]] += r["n_obs"]
+        exp_by_lang[r["lang"]] += r["n_exp"]
+        assert r["chi2_part"] >= 0
+    for lang in obs_by_lang:
+        assert abs(obs_by_lang[lang] - exp_by_lang[lang]) < 1e-2, lang
+
+
+def test_benford_shares_sum_to_one(spark):
+    from spark_dba_spark.operators.relational import audit_benford_amounts
+
+    rows = audit_benford_amounts(spark, SF_DIR).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_streaks_vs_python_twin(spark):
+    """Per-user longest increasing run recomputed in plain Python over the
+    same (ts, event_id)-ordered sequence."""
+    import collections
+
+    from spark_dba_spark.operators.relational import ev_monotonic_streaks
+
+    got = {
+        r["user_id"]: (r["longest_streak"], r["n_runs"])
+        for r in ev_monotonic_streaks(spark, SF_DIR).collect()
+    }
+    ev = collections.defaultdict(list)
+    for r in (
+        catalog.load(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    ):
+        ev[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+    for uid, seq in ev.items():
+        seq.sort(key=lambda t: (t[0], t[1]))
+        runs, cur = [], 1
+        for a, b in zip(seq, seq[1:]):
+            if b[2] > a[2]:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        assert got[uid] == (max(runs), len(runs)), uid
