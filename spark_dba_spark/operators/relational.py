@@ -3188,6 +3188,119 @@ ORDER BY digit
 
 
 # --------------------------------------------------------------------------
+# Pareto skyline (dominance query)
+# --------------------------------------------------------------------------
+
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of parts on (cheaper price, larger size) — the
+    dominance query ("show offers no other offer beats on both axes")
+    that naive SQL writes as a quadratic NOT EXISTS self-join.
+
+    Distributed shape exploits the discrete dominance axis: per size, only
+    the min-price part can be on the skyline (groupBy — one bounded
+    shuffle, map-side combine), then a single window over the ≤|sizes|-row
+    candidate set keeps sizes whose min price undercuts every LARGER
+    size's min (running-min over size descending, strictly-less test).
+    The quadratic dominance test never touches the fact table; the oracle
+    IS the quadratic NOT EXISTS, so the rewrite is proven equivalent.
+    Ties: all min-price parts of a kept size are on the skyline."""
+    part = _t(spark, sf_dir, "part")
+    per_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("min_price"))
+    w = (
+        W.orderBy(F.desc("p_size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    kept_sizes = (
+        per_size.withColumn("best_larger", F.min("min_price").over(w))
+        .filter(
+            F.col("best_larger").isNull()
+            | (F.col("min_price") < F.col("best_larger"))
+        )
+        # fresh column names: kept_sizes derives from `part`, and Spark's
+        # ambiguous-self-join check needs the join keys disambiguated
+        .select(F.col("p_size").alias("sk_size"), F.col("min_price").alias("sk_price"))
+    )
+    return (
+        part.join(
+            F.broadcast(kept_sizes),
+            (F.col("p_size") == F.col("sk_size"))
+            & (F.col("p_retailprice") == F.col("sk_price")),
+        )
+        .select(
+            "p_partkey",
+            "p_size",
+            F.round("p_retailprice", 2).alias("price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_SKYLINE = """
+SELECT a.p_partkey, a.p_size, ROUND(a.p_retailprice, 2) AS price
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+ORDER BY a.p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence (brand pairs per order)
+# --------------------------------------------------------------------------
+
+BASKET_TOP_K = 20
+
+
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-occurring brand pairs across order baskets — the
+    market-basket support count behind cross-sell rules. Per order the
+    DISTINCT brand set (dedup before pairing — multiplicity inflates
+    support), pairs from an equi-join on the order key with brand_a <
+    brand_b canonicalization, one (brand, brand) groupBy, global top-K
+    via TakeOrderedAndProject with a full deterministic tie-break.
+
+    The self-join fans out quadratically in basket WIDTH (brands per
+    order — bounded by catalog structure, ~7 lines/order), never in
+    corpus size; the pair-count table is ≤|brands|² rows."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    brands = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    ob = (
+        li.join(F.broadcast(brands), "l_partkey")
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("brand_a") < F.col("brand_b"))
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .orderBy(F.desc("support"), "brand_a", "brand_b")
+        .limit(BASKET_TOP_K)
+    )
+
+
+ORACLE_BASKET = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand)
+SELECT brand_a, brand_b, CAST(COUNT(*) AS BIGINT) AS support
+FROM pairs GROUP BY 1, 2
+ORDER BY support DESC, brand_a, brand_b
+LIMIT {BASKET_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Longest monotonic streak per user (gaps-and-islands on runs)
 # --------------------------------------------------------------------------
 
@@ -3467,4 +3580,12 @@ SPECS = [
               ("temporal", "window", "sequence"),
               doc="longest strictly-increasing value run per user "
                   "(gaps-and-islands on runs)"),
+    QuerySpec("skyline_price_size", skyline_price_size, ORACLE_SKYLINE,
+              ("join", "skyline", "dominance"),
+              doc="Pareto skyline on (price↓, size↑): per-size min + "
+                  "monotone window == quadratic NOT EXISTS oracle"),
+    QuerySpec("basket_brand_pairs", basket_brand_pairs, ORACLE_BASKET,
+              ("join", "agg", "basket"),
+              doc="market-basket brand-pair support counts, top-K with "
+                  "total-order tie-break"),
 ]
