@@ -95,11 +95,12 @@ PRIORITY_FIRST: tuple[str, ...] = (
     # (sketch_hll_reaggregate displaced to the middle late-r5: its driver
     # row would be rows-only — the weakest evidence class — while the slot
     # now buys a full value-hash row for dedup_embedding_cosine, the
-    # brief-named embedding near-dup family. The OTHER late-r5 additions
-    # — graph_triangles_neardup, decontaminate_bloom,
-    # ev_markov_transitions, window_median_range, profile_table,
-    # agg_winsorized_mean, set_union_by_name — wait in the middle and
-    # LEAD THE R6 WINDOW together with the displaced r2 cohort.)
+    # brief-named embedding near-dup family. ALL other late-r5 additions
+    # — every query registered after the 150-query sweep, from
+    # graph_triangles_neardup through basket_brand_pairs — wait in the
+    # middle and LEAD THE R6 WINDOW together with the displaced r2
+    # cohort; they are covered by the committed local hostile×strict
+    # sweeps at both SFs in the meantime.)
     "dedup_embedding_cosine",
     # (emb_kmeans_lloyd sits mid-list: rows-only → a driver row is the
     # weakest evidence class, and its numpy-twin pytest is the real gate)
