@@ -3204,7 +3204,14 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quadratic dominance test never touches the fact table; the oracle
     IS the quadratic NOT EXISTS, so the rewrite is proven equivalent.
     Ties: all min-price parts of a kept size are on the skyline."""
-    part = _t(spark, sf_dir, "part")
+    return skyline_core(_t(spark, sf_dir, "part")).orderBy("p_partkey")
+
+
+def skyline_core(part: DataFrame) -> DataFrame:
+    """The distributed skyline on any (p_partkey, p_size, p_retailprice)
+    frame — separated from the fixture loader so the hypothesis property
+    test can drive it with random point sets against a brute-force
+    dominance filter."""
     per_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("min_price"))
     w = (
         W.orderBy(F.desc("p_size"))
@@ -3231,7 +3238,6 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_size",
             F.round("p_retailprice", 2).alias("price"),
         )
-        .orderBy("p_partkey")
     )
 
 

@@ -834,3 +834,108 @@ def test_streaks_vs_python_twin(spark):
                 cur = 1
         runs.append(cur)
         assert got[uid] == (max(runs), len(runs)), uid
+
+
+def test_skyline_property_random_points(spark):
+    """Distributed skyline (per-size min + monotone window) == brute-force
+    dominance filter on random point sets, including duplicate
+    (size, price) points and price ties."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from spark_dba_spark.operators.relational import skyline_core
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pts=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=8),     # size
+                st.integers(min_value=1, max_value=20),    # price (int → exact)
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def run(pts):
+        rows = [(i, s, float(p)) for i, (s, p) in enumerate(pts)]
+        df = spark.createDataFrame(
+            rows, "p_partkey long, p_size int, p_retailprice double"
+        )
+        got = {r["p_partkey"] for r in skyline_core(df).collect()}
+        want = set()
+        for i, si, pi in rows:
+            dominated = any(
+                pj <= pi and sj >= si and (pj < pi or sj > si)
+                for j, sj, pj in rows
+                if j != i
+            )
+            if not dominated:
+                want.add(i)
+        assert got == want, (sorted(got), sorted(want), rows)
+
+    run()
+
+
+def test_bloom_no_false_negatives_property(spark):
+    """Any string set inserted into the bitset passes its own membership
+    probe — the theorem decontaminate_bloom's oracle equality rests on."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pyspark.sql.functions as F
+
+    from spark_dba_spark.operators.text import (
+        BLOOM_BITS,
+        BLOOM_K,
+        _bloom_hit_sql,
+        _bloom_pos_sql,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        words=st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FA),
+                min_size=0,
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=40,
+            unique=True,
+        )
+    )
+    def run(words):
+        ev = spark.createDataFrame([(w,) for w in words], "s string")
+        pos = ev.select(
+            F.explode(
+                F.array(*[F.expr(_bloom_pos_sql(i)) for i in range(BLOOM_K)])
+            ).alias("pos")
+        ).distinct()
+        built = (
+            pos.select(
+                F.shiftright("pos", 6).cast("int").alias("w"),
+                F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("m"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("m").alias("bits"))
+            .collect()
+        )
+        bitset = [0] * (BLOOM_BITS // 64)
+        for r in built:
+            bitset[r["w"]] = r["bits"]
+        bloom_df = spark.createDataFrame(
+            [(bitset,)], "bloom_bits array<long> not null"
+        )
+        passed = " AND ".join(_bloom_hit_sql(i) for i in range(BLOOM_K))
+        n = ev.join(F.broadcast(bloom_df)).filter(F.expr(passed)).count()
+        assert n == len(words)
+
+    run()
