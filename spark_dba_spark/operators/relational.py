@@ -3188,6 +3188,66 @@ ORDER BY digit
 
 
 # --------------------------------------------------------------------------
+# Nested denormalization (order → sorted line array), md5-canonicalized
+# --------------------------------------------------------------------------
+
+def nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalize lineitem into a per-order NESTED line array — the
+    wide-table build that turns a normalized star into the nested parquet
+    serving/ML layout (one row per order, lines as array<struct>). One
+    shuffle on the order key; the nested array is built with
+    collect_list → sort_array (struct sort: leading field = line number,
+    so the array is deterministically ordered regardless of shuffle
+    arrival order).
+
+    The driver's hash can't canonicalize an array<struct> column, so the
+    checked surface is an md5 over the canonical serialization
+    ('ln|qty|price' entries joined with ';', decimals rendered via
+    DECIMAL casts — the cross-engine-stable rendering from
+    profile_table); the array-typed frame itself is what a production
+    writer would persist."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(12,2)").cast("string").alias("qty_s"),
+        F.round("l_extendedprice", 2)
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("price_s"),
+    )
+    entry = F.concat_ws(
+        "|", F.col("l_linenumber").cast("string"), "qty_s", "price_s"
+    )
+    nested = (
+        li.select("l_orderkey", F.struct("l_linenumber", entry.alias("e")).alias("s"))
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("s")).alias("lines"))
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.md5(
+            F.concat_ws(";", F.transform("lines", lambda x: x["e"]))
+        ).alias("lines_md5"),
+    ).orderBy("l_orderkey")
+
+
+ORACLE_NESTED_LINES = """
+WITH e AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_linenumber AS VARCHAR) || '|' ||
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+         CAST(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) AS VARCHAR)
+           AS entry
+  FROM lineitem)
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       md5(string_agg(entry, ';' ORDER BY l_linenumber, entry)) AS lines_md5
+FROM e GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Pareto skyline (dominance query)
 # --------------------------------------------------------------------------
 
@@ -3594,4 +3654,8 @@ SPECS = [
               ("join", "agg", "basket"),
               doc="market-basket brand-pair support counts, top-K with "
                   "total-order tie-break"),
+    QuerySpec("nested_order_lines", nested_order_lines, ORACLE_NESTED_LINES,
+              ("agg", "nested", "denormalize"),
+              doc="order -> sorted nested line array (collect_list + "
+                  "struct sort), md5-canonicalized surface"),
 ]

@@ -814,6 +814,61 @@ GROUP BY source ORDER BY source
 """
 
 
+AES_K = 10  # exactly-K weighted sample per source
+
+
+def sample_weighted_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K weighted sampling WITHOUT replacement per source —
+    Efraimidis–Spirakis A-ES: each doc draws a deterministic uniform
+    u ∈ (0,1] from a salted md5 of its id, its key is ln(u)/weight
+    (equivalent to ranking by u^(1/w)), and the top-{AES_K} keys per
+    group are the sample. Unlike the threshold sampler
+    (corpus_weighted_sample — an EXPECTED fraction), this yields a fixed
+    sample SIZE — the eval-subset draw — and is one window over a
+    per-group stream (single source-keyed shuffle; at heavy skew the
+    salt-and-re-rank rewrite of sample_per_source applies unchanged).
+
+    Determinism across engines: u is exact (integer hash / 2⁶⁰), but ln
+    comes from each engine's libm — the key is rounded to 9 dp so a
+    last-ulp ln difference cannot reorder, and doc_id breaks residual
+    ties totally."""
+    docs = _docs(spark, sf_dir)
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat('aes:', cast(doc_id as string))),"
+            " 1, 15), 16, 10) as double)"
+        )
+        + 1.0
+    ) / float((1 << 60) + 1)
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    w = W.partitionBy("source").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= AES_K)
+        .select("doc_id", "source", "n_chars", F.col("rk").cast("int").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
+ORACLE_AES = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(ln((CAST('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)),
+                        1, 15) AS BIGINT) + 1.0) / {float((1 << 60) + 1)!r})
+               / n_chars, 9) AS key
+  FROM documents),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY key DESC, doc_id ASC) AS INT) AS rk
+  FROM keyed)
+SELECT doc_id, source, n_chars, rk FROM ranked
+WHERE rk <= {AES_K}
+ORDER BY source, rk
+"""
+
+
 # Train/eval decontamination: n-gram width and the deterministic rule
 # that carves the fixture's "benchmark" set out of `documents`. Real
 # pipelines use 8-13-gram overlap against MMLU/GSM8K-style sets; the
@@ -1455,6 +1510,10 @@ SPECS = [
               ("text", "stats", "mix"),
               doc="per-source KL divergence from the corpus unigram mix "
                   "over the top-V vocabulary"),
+    QuerySpec("sample_weighted_exact_k", sample_weighted_exact_k,
+              ORACLE_AES, ("text", "pipeline", "sample"),
+              doc="exactly-K weighted sample per source without "
+                  "replacement (Efraimidis-Spirakis A-ES keys)"),
     QuerySpec("text_tfidf", text_tfidf, ORACLE_TFIDF, ("text", "pipeline"),
               doc="per-document top-k terms by TF-IDF"),
     QuerySpec("corpus_mix_sample", corpus_mix_sample, ORACLE_MIX,
