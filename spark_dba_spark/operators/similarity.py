@@ -926,6 +926,105 @@ GROUP BY 1 ORDER BY dim
 """
 
 
+# --------------------------------------------------------------------------
+# Pairwise-cosine histogram (embedding-space health diagnostic)
+# --------------------------------------------------------------------------
+
+SIM_HIST_BINS = 20  # over [-1, 1] → 0.1-wide bins
+
+
+def emb_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of ALL pairwise cosines, binned — the embedding-space
+    health check (a collapsed/anisotropic embedding model shows mass
+    piled near 1; healthy random-ish spaces center near 0). Exact over
+    every unordered pair, but the pair stream never materializes: the
+    block-grid cells (sim_dup_pairs' partitioning — every pair in exactly
+    one cell) each reduce their sims to a ≤{SIM_HIST_BINS}-row partial
+    histogram INSIDE the Arrow batch (np.bincount after one matmul), so
+    the shuffle after O(n²) flops is O(cells × bins) rows — the
+    map-side-combine pattern applied to a Python-scored stage. Bin edges
+    are closed-open except the top bin, which absorbs sim = 1.0."""
+    emb = _emb(spark, sf_dir)
+    n_blocks = _dup_blocks(spark)
+    blk = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("b"),
+    )
+    left = blk.withColumn(
+        "bj", F.explode(F.sequence(F.col("b"), F.lit(n_blocks - 1)))
+    ).withColumnRenamed("b", "bi")
+    right = blk.withColumn(
+        "bi", F.explode(F.sequence(F.lit(0), F.col("b")))
+    ).withColumnRenamed("b", "bj")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("bin", T.IntegerType()),
+            T.StructField("n_pairs", T.LongType()),
+        ]
+    )
+
+    def hist_cell(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"bin": [], "n_pairs": []})
+        lm = _to_matrix(lpdf["embedding"])
+        rm = _to_matrix(rpdf["embedding"])
+        ln = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+        rn = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = ln @ rn.T
+        if key[0] == key[1]:
+            # Diagonal cell: both sides hold block b but arrive in
+            # UNSPECIFIED (independent shuffle) orders, so positional
+            # triu is wrong — mask on the actual ids (a < b keeps each
+            # unordered pair once and drops self-pairs), exactly as
+            # sim_dup_pairs does.
+            lid = lpdf["vec_id"].to_numpy()
+            rid = rpdf["vec_id"].to_numpy()
+            vals = sims[lid[:, None] < rid[None, :]]
+        else:
+            vals = sims.reshape(-1)
+        bins = np.minimum(
+            np.floor((vals + 1.0) / 2.0 * SIM_HIST_BINS).astype(np.int64),
+            SIM_HIST_BINS - 1,
+        )
+        counts = np.bincount(bins, minlength=SIM_HIST_BINS)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame({"bin": nz.astype(np.int32), "n_pairs": counts[nz]})
+
+    out = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(hist_cell, out_schema)
+    )
+    return (
+        out.groupBy("bin")
+        .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.lit(-1.0) + F.col("bin") * (2.0 / SIM_HIST_BINS), 2).alias("bin_lo"),
+            "n_pairs",
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_SIM_HIST = f"""
+WITH s AS (
+  SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+b AS (
+  SELECT CAST(LEAST(FLOOR((sim + 1.0) / 2.0 * {SIM_HIST_BINS}),
+                    {SIM_HIST_BINS - 1}) AS INT) AS bin
+  FROM s)
+SELECT bin,
+       ROUND(-1.0 + bin * (2.0 / {SIM_HIST_BINS}), 2) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
 SPECS = [
     QuerySpec("sim_cosine_topk", sim_cosine_topk, ORACLE_TOPK,
               ("similarity",), bench=True),
@@ -955,4 +1054,8 @@ SPECS = [
               ("similarity", "mips"),
               doc="maximum-inner-product top-k (unnormalized two-tower "
                   "retrieval ranking)"),
+    QuerySpec("emb_sim_histogram", emb_sim_histogram, ORACLE_SIM_HIST,
+              ("similarity", "stats", "diagnostic"),
+              doc="pairwise-cosine histogram (embedding-space health): "
+                  "per-cell partial histograms inside the block grid"),
 ]
