@@ -3188,6 +3188,67 @@ ORDER BY digit
 
 
 # --------------------------------------------------------------------------
+# Bloom runtime-filter join (semi-join reduction)
+# --------------------------------------------------------------------------
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join with a hand-built Bloom RUNTIME FILTER on the join
+    key — the semi-join reduction that makes selective fact joins viable
+    at 100 TB: the filtered build side (urgent orders) compresses to a
+    fixed 16 KB bitset, the probe side (lineitem) is pruned IN CODEGEN
+    before its shuffle, and only bloom survivors pay join I/O. (Spark's
+    own spark.sql.optimizer.runtimeFilter does this automatically for
+    some shapes; building it explicitly makes the technique available to
+    any plan and testable.)
+
+    Correctness is again the no-false-negative theorem: the bloom can
+    only over-admit, the join itself removes false positives, so the
+    result is bit-identical to the plain join — and the oracle IS the
+    plain-join SQL. Revenue aggregated per return flag in exact decimal."""
+    from .text import bloom_pass_sql, build_bloom_bitset
+
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bloom = spark.createDataFrame(
+        [(build_bloom_bitset(urgent, "cast(o_orderkey as string)"),)],
+        "bloom_bits array<long> not null",
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    survivors = (
+        li.join(F.broadcast(bloom))
+        .filter(F.expr(bloom_pass_sql("cast(l_orderkey as string)")))
+        .drop("bloom_bits")
+    )
+    return (
+        survivors.join(
+            urgent, survivors["l_orderkey"] == urgent["o_orderkey"]
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            dsum_expr(REVENUE, "revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_BLOOM_JOIN = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum(REVENUE)} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # Nested denormalization (order → sorted line array), md5-canonicalized
 # --------------------------------------------------------------------------
 
@@ -3654,6 +3715,10 @@ SPECS = [
               ("join", "agg", "basket"),
               doc="market-basket brand-pair support counts, top-K with "
                   "total-order tie-break"),
+    QuerySpec("join_bloom_prefilter", join_bloom_prefilter,
+              ORACLE_BLOOM_JOIN, ("join", "bloom", "runtime-filter"),
+              doc="semi-join reduction: bloom runtime filter on the join "
+                  "key prunes the fact side in codegen == plain join"),
     QuerySpec("nested_order_lines", nested_order_lines, ORACLE_NESTED_LINES,
               ("agg", "nested", "denormalize"),
               doc="order -> sorted nested line array (collect_list + "

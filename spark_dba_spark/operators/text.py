@@ -984,6 +984,38 @@ def _bloom_hit_sql(i: int, col: str = "s") -> str:
     return f"(({word} & {mask}) != 0)"
 
 
+def build_bloom_bitset(df: DataFrame, col_sql: str = "s") -> list[int]:
+    """Distributed bloom-bitset build over ``col_sql`` (a string-typed SQL
+    expression on ``df``): k positions per value → distinct bit ids →
+    64-bit words via BIT_OR — at most BLOOM_WORDS rows ever reach the
+    driver, whatever the input size. Shared by the decontamination
+    prefilter and the join-key semi-join reduction."""
+    pos = df.select(
+        F.explode(
+            F.array(*[F.expr(_bloom_pos_sql(i, col_sql)) for i in range(BLOOM_K)])
+        ).alias("pos")
+    ).distinct()
+    words = (
+        pos.select(
+            F.shiftright("pos", 6).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    bitset = [0] * BLOOM_WORDS
+    for r in words:
+        bitset[r["w"]] = r["bits"]
+    return bitset
+
+
+def bloom_pass_sql(col_sql: str = "s") -> str:
+    """Conjunction of the k membership probes against a broadcast
+    ``bloom_bits`` column — pure codegen (xxhash64 + bit ops)."""
+    return " AND ".join(_bloom_hit_sql(i, col_sql) for i in range(BLOOM_K))
+
+
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination with a Bloom-filter prefilter — the
     100 TB form of :func:`decontaminate_ngram`. The eval side compresses
@@ -1013,35 +1045,14 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("shingles").alias("s"))
         .distinct()
     )
-    # Distributed bitset build: k positions per eval shingle → distinct
-    # bit ids → 64-bit words via BIT_OR; ≤ BLOOM_WORDS rows ever reach
-    # the driver, whatever the eval-set size.
-    pos = ev.select(
-        F.explode(
-            F.array(*[F.expr(_bloom_pos_sql(i)) for i in range(BLOOM_K)])
-        ).alias("pos")
-    ).distinct()
-    words = (
-        pos.select(
-            F.shiftright("pos", 6).cast("int").alias("w"),
-            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("m"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("m").alias("bits"))
-        .collect()
-    )
-    bitset = [0] * BLOOM_WORDS
-    for r in words:
-        bitset[r["w"]] = r["bits"]
     bloom = spark.createDataFrame(
-        [(bitset,)], "bloom_bits array<long> not null"
+        [(build_bloom_bitset(ev),)], "bloom_bits array<long> not null"
     )
 
     train = sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
     exploded = train.select("doc_id", F.explode("shingles").alias("s"))
     probed = exploded.join(F.broadcast(bloom))
-    passed = " AND ".join(_bloom_hit_sql(i) for i in range(BLOOM_K))
-    cand = probed.filter(F.expr(passed)).select("doc_id", "s")
+    cand = probed.filter(F.expr(bloom_pass_sql())).select("doc_id", "s")
     matched = (
         cand.join(F.broadcast(ev), "s", "left_semi")
         .groupBy("doc_id")
