@@ -704,6 +704,77 @@ ORDER BY event_id
 """
 
 
+AUTOCORR_MAX_LAG = 6
+
+
+def ev_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1…{AUTOCORR_MAX_LAG} autocorrelation of the hourly event-count
+    series — the seasonality/burstiness screen (a daily cycle shows as a
+    lag-24 peak, bursts as high lag-1). The series is ZERO-FILLED over
+    the full hour spine (a gappy series correlates gaps away and biases
+    the estimate); the hour axis is tz-free epoch-hours.
+
+    Plan: one fact shuffle to hourly counts, a driver-free spine from a
+    1-row min/max agg exploded via sequence, then the lagged pairing is
+    a broadcast of the {AUTOCORR_MAX_LAG}-row lag table against the
+    BOUNDED series (rows = hours of history, not events) self-joined on
+    shifted hour — every post-fact stage is calendar-sized. corr() is
+    the numerically-stable distributed Pearson on both engines."""
+    ev = catalog.load(spark, sf_dir, "events")
+    hr = F.expr(
+        "cast(floor(unix_micros(cast(ts as timestamp)) / 3600000000) as bigint)"
+    )
+    b = ev.select(hr.alias("hr")).groupBy("hr").agg(F.count("*").alias("n"))
+    rng = b.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = rng.select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    f = spine.join(b, "hr", "left").select(
+        "hr", F.coalesce("n", F.lit(0)).cast("double").alias("n")
+    )
+    lags = spark.range(1, AUTOCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = f.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.col("n").alias("x"),
+        (F.col("hr") - F.col("lag")).alias("hr_y"),
+    )
+    pairs = a.join(
+        f.select(F.col("hr").alias("hr_y"), F.col("n").alias("y")), "hr_y"
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.corr("x", "y"), 6).alias("autocorr"),
+        )
+        .orderBy("lag")
+    )
+
+
+ORACLE_AUTOCORR = f"""
+WITH b AS (
+  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+         COUNT(*) AS n
+  FROM events GROUP BY 1),
+spine AS (
+  SELECT unnest(generate_series((SELECT MIN(hr) FROM b),
+                                (SELECT MAX(hr) FROM b))) AS hr),
+f AS (
+  SELECT s.hr, CAST(COALESCE(b.n, 0) AS DOUBLE) AS n
+  FROM spine s LEFT JOIN b USING (hr)),
+lags AS (SELECT unnest(generate_series(1, {AUTOCORR_MAX_LAG})) AS lag),
+pairs AS (
+  SELECT l.lag, a.n AS x, c.n AS y
+  FROM lags l
+  JOIN f a ON true
+  JOIN f c ON c.hr = a.hr - l.lag)
+SELECT CAST(lag AS INT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(corr(x, y), 6) AS autocorr
+FROM pairs GROUP BY lag ORDER BY lag
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -739,6 +810,10 @@ SPECS = [
               ("temporal", "window", "sequence"),
               doc="first-order Markov transition matrix over per-user "
                   "event sequences"),
+    QuerySpec("ev_autocorrelation", ev_autocorrelation, ORACLE_AUTOCORR,
+              ("temporal", "timeseries", "stats"),
+              doc="lag-k autocorrelation of the zero-filled hourly count "
+                  "series (seasonality/burstiness screen)"),
     QuerySpec("window_median_range", window_median_range,
               ORACLE_MEDIAN_RANGE, ("temporal", "window", "percentile"),
               doc="exact rolling median over a 1-hour RANGE frame "

@@ -939,3 +939,38 @@ def test_bloom_no_false_negatives_property(spark):
         assert n == len(words)
 
     run()
+
+
+def test_algorithmic_cores_empty_safe(spark):
+    """Degenerate inputs must produce empty results, not crashes: the CC
+    contraction on an empty edge set and the skyline on an empty frame."""
+    from spark_dba_spark.operators.dedup import cc_components
+    from spark_dba_spark.operators.relational import skyline_core
+
+    assert (
+        cc_components(spark.createDataFrame([], "doc_a long, doc_b long")).count()
+        == 0
+    )
+    assert (
+        skyline_core(
+            spark.createDataFrame(
+                [], "p_partkey long, p_size int, p_retailprice double"
+            )
+        ).count()
+        == 0
+    )
+
+
+def test_autocorrelation_bounds_and_lag0_sanity(spark):
+    """|r| ≤ 1 for every lag, and n_pairs decreases by exactly one per
+    extra lag step on a contiguous spine."""
+    from spark_dba_spark.operators.temporal import ev_autocorrelation
+
+    rows = ev_autocorrelation(spark, SF_DIR).collect()
+    assert rows
+    by_lag = {r["lag"]: r for r in rows}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["autocorr"] <= 1.0 + 1e-9
+    lags = sorted(by_lag)
+    for a, b in zip(lags, lags[1:]):
+        assert by_lag[a]["n_pairs"] - by_lag[b]["n_pairs"] == b - a
