@@ -2103,6 +2103,192 @@ ORDER BY name_a, name_b
 """
 
 
+def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked-levenshtein match pairs
+    (fuzzy_match_blocked) → connected components → one CANONICAL entity
+    per cluster (lexicographic-min name) with variant and catalog-row
+    counts. This is the full ER pipeline a master-data system runs —
+    pairwise matching alone leaves A≈B≈C unlinked when A≉C; the
+    transitive closure is what makes them one entity.
+
+    cc_components is node-type-generic (greatest/least/min/xxhash64 all
+    order strings), so the name strings are the graph nodes and the
+    component label IS the canonical name — no id indirection. Every
+    post-match stage keys on the bounded distinct-name dictionary, not
+    the catalog fact stream."""
+    from .dedup import cc_components
+
+    pairs = fuzzy_match_blocked(spark, sf_dir).select(
+        F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
+    )
+    labels = cc_components(pairs).select(
+        F.col("doc_id").alias("p_name"), F.col("comp").alias("entity")
+    )
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    lab = names.join(labels, "p_name", "left").select(
+        "p_name", F.coalesce("entity", F.col("p_name")).alias("entity")
+    )
+    rows = (
+        _t(spark, sf_dir, "part")
+        .select("p_name")
+        .join(F.broadcast(lab), "p_name")
+        .groupBy("entity")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    variants = lab.groupBy("entity").agg(F.count("*").alias("n_variants"))
+    return (
+        variants.join(rows, "entity")
+        .select(
+            "entity",
+            F.col("n_variants").cast("long").alias("n_variants"),
+            F.col("n_parts").cast("long").alias("n_parts"),
+        )
+        .orderBy("entity")
+    )
+
+
+ORACLE_ER_CLUSTERS = f"""
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name, string_split(p_name, ' ')[1] AS blk FROM part),
+fuzzy AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}),
+edges AS (SELECT name_a AS src, name_b AS dst FROM fuzzy
+          UNION SELECT name_b, name_a FROM fuzzy),
+reach AS (
+  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS p_name, MIN(dst) AS entity FROM reach GROUP BY src),
+lab AS (
+  SELECT n.p_name, COALESCE(c.entity, n.p_name) AS entity
+  FROM (SELECT DISTINCT p_name FROM part) n
+  LEFT JOIN comp c USING (p_name)),
+rows_per AS (
+  SELECT l.entity, COUNT(*) AS n_parts
+  FROM part p JOIN lab l USING (p_name) GROUP BY 1),
+vars_per AS (SELECT entity, COUNT(*) AS n_variants FROM lab GROUP BY 1)
+SELECT v.entity, CAST(v.n_variants AS BIGINT) AS n_variants,
+       CAST(r.n_parts AS BIGINT) AS n_parts
+FROM vars_per v JOIN rows_per r USING (entity)
+ORDER BY v.entity
+"""
+
+
+MERGE_SNAPSHOT_MOD = 5  # base snapshot is missing custkey % 5 == 0 rows
+MERGE_MIN_ORDERS = 2
+MERGE_SINCE = "1997-01-01"
+
+
+def merge_into_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO applied as a batch plan — the upsert statement
+    (WHEN MATCHED AND cond THEN UPDATE / WHEN MATCHED THEN DELETE / WHEN
+    NOT MATCHED THEN INSERT) Spark only offers on v2 tables, expressed as
+    a FULL OUTER join + conditional projection over parquet. The base is
+    a stale account snapshot (customers with custkey % {MERGE_SNAPSHOT_MOD}
+    != 0); the change-set is per-customer order activity since
+    {MERGE_SINCE}:
+
+    - matched, ≥{MERGE_MIN_ORDERS} orders → UPDATE balance += 0.1% of
+      revenue (exact DECIMAL arithmetic — a double SUM would make the
+      2 dp rounding partial-sum-order dependent)
+    - matched, <{MERGE_MIN_ORDERS} orders → DELETE (churned)
+    - not matched (an account the stale snapshot lacks) → INSERT
+    - base rows without change rows carry over untouched.
+
+    One shuffle per side on the merge key; the conditional projection is
+    pure codegen. Output = the post-merge snapshot with the action that
+    produced each row (deletes absent, as in a real MERGE)."""
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % MERGE_SNAPSHOT_MOD != 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("c_acctbal").cast("decimal(18,2)").alias("balance"),
+        )
+    )
+    changes = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit(MERGE_SINCE).cast("timestamp_ntz")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "n_orders", "revenue"
+        )
+    )
+    j = base.join(changes, "c_custkey", "full_outer")
+    matched = F.col("balance").isNotNull() & F.col("n_orders").isNotNull()
+    upd = matched & (F.col("n_orders") >= MERGE_MIN_ORDERS)
+    dele = matched & (F.col("n_orders") < MERGE_MIN_ORDERS)
+    ins = F.col("balance").isNull()
+    # 0.001BD: a DECIMAL literal — decimal×decimal stays exact (a double
+    # 0.001 would demote the product to float), and the 2 dp reduction is
+    # an EXPLICIT round: a bare decimal downscale CAST rounds half-up in
+    # Spark but truncates in DuckDB — 48%% of rows came out one cent
+    # apart before this round() was made explicit on both engines.
+    delta = F.expr("cast(round(revenue * 0.001BD, 2) as decimal(18,2))")
+    return (
+        j.filter(~dele)
+        .select(
+            "c_custkey",
+            F.coalesce("c_mktsegment", F.lit("NEW")).alias("segment"),
+            F.when(upd, (F.col("balance") + delta).cast("decimal(18,2)"))
+            .when(ins, delta)
+            .otherwise(F.col("balance"))
+            .alias("balance"),
+            F.when(upd, F.lit("update"))
+            .when(ins, F.lit("insert"))
+            .otherwise(F.lit("carry"))
+            .alias("action"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_MERGE = f"""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS balance
+  FROM customer WHERE c_custkey % {MERGE_SNAPSHOT_MOD} <> 0),
+changes AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{MERGE_SINCE} 00:00:00'
+  GROUP BY 1),
+j AS (
+  SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+         b.c_mktsegment, b.balance, c.n_orders, c.revenue
+  FROM base b FULL OUTER JOIN changes c USING (c_custkey))
+SELECT c_custkey,
+       COALESCE(c_mktsegment, 'NEW') AS segment,
+       CASE
+         WHEN balance IS NOT NULL AND n_orders >= {MERGE_MIN_ORDERS}
+           THEN CAST(balance + CAST(ROUND(revenue * 0.001, 2)
+                                    AS DECIMAL(18,2)) AS DECIMAL(18,2))
+         WHEN balance IS NULL
+           THEN CAST(ROUND(revenue * 0.001, 2) AS DECIMAL(18,2))
+         ELSE balance
+       END AS balance,
+       CASE
+         WHEN balance IS NOT NULL AND n_orders >= {MERGE_MIN_ORDERS}
+           THEN 'update'
+         WHEN balance IS NULL THEN 'insert'
+         ELSE 'carry'
+       END AS action
+FROM j
+WHERE NOT (balance IS NOT NULL AND n_orders IS NOT NULL
+           AND n_orders < {MERGE_MIN_ORDERS})
+ORDER BY c_custkey
+"""
+
+
 def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 WITH RECURSIVE): generate a dense monthly
     calendar spine from the orders date range and left-join monthly
@@ -3715,6 +3901,14 @@ SPECS = [
               ("join", "agg", "basket"),
               doc="market-basket brand-pair support counts, top-K with "
                   "total-order tie-break"),
+    QuerySpec("er_entity_clusters", er_entity_clusters, ORACLE_ER_CLUSTERS,
+              ("join", "fuzzy", "graph", "er"),
+              doc="entity resolution end-to-end: fuzzy pairs -> "
+                  "transitive closure -> canonical entities + counts"),
+    QuerySpec("merge_into_semantics", merge_into_semantics, ORACLE_MERGE,
+              ("join", "merge", "cdc"),
+              doc="MERGE INTO as a batch plan: conditional update/delete/"
+                  "insert via full outer join, exact decimal arithmetic"),
     QuerySpec("join_bloom_prefilter", join_bloom_prefilter,
               ORACLE_BLOOM_JOIN, ("join", "bloom", "runtime-filter"),
               doc="semi-join reduction: bloom runtime filter on the join "
