@@ -704,6 +704,170 @@ ORDER BY event_id
 """
 
 
+WILSON_Z = 1.959964  # 95% two-sided
+WILSON_THRESH = 50.0
+
+
+def stats_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportion of high-value events per event type with a Wilson-score
+    95% confidence interval — the interval a metrics platform shows next
+    to every rate (Wilson, not normal-approx: it behaves at p̂ near 0/1
+    and small n). Pure closed-form math over one groupBy: p̂, then
+    (p̂ + z²/2n ∓ z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n). sqrt is
+    IEEE-correctly-rounded on both engines, so the 6 dp rounding is
+    stable."""
+    ev = catalog.load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(
+            F.when(F.col("value") > WILSON_THRESH, 1).otherwise(0)
+        ).cast("double").alias("k"),
+    )
+    z2 = WILSON_Z * WILSON_Z
+    p = F.col("k") / F.col("n")
+    n = F.col("n")
+    center = p + F.lit(z2) / (2 * n)
+    half = F.lit(WILSON_Z) * F.sqrt(
+        p * (1 - p) / n + F.lit(z2) / (4 * n * n)
+    )
+    denom = 1 + F.lit(z2) / n
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("n_high"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("event_type")
+
+
+ORACLE_WILSON = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN value > {WILSON_THRESH} THEN 1 ELSE 0 END)
+              AS DOUBLE) AS k
+  FROM events GROUP BY event_type)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(k AS BIGINT) AS n_high,
+       ROUND(k / n, 6) AS p_hat,
+       ROUND(((k / n) + {WILSON_Z}*{WILSON_Z} / (2*n)
+              - {WILSON_Z} * sqrt((k/n)*(1-k/n)/n
+                                  + {WILSON_Z}*{WILSON_Z}/(4*n*n)))
+             / (1 + {WILSON_Z}*{WILSON_Z} / n), 6) AS wilson_lo,
+       ROUND(((k / n) + {WILSON_Z}*{WILSON_Z} / (2*n)
+              + {WILSON_Z} * sqrt((k/n)*(1-k/n)/n
+                                  + {WILSON_Z}*{WILSON_Z}/(4*n*n)))
+             / (1 + {WILSON_Z}*{WILSON_Z} / n), 6) AS wilson_hi
+FROM g ORDER BY event_type
+"""
+
+
+PSI_EPS = 1e-6
+PSI_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution between
+    the first and second half of the time range — the standard
+    model-monitoring drift screen (PSI < 0.1 stable, > 0.25 investigate).
+    Reference bins = exact deciles of period A (rounded to 6 dp on BOTH
+    engines before bucketing so interpolation ulps can't flip a
+    boundary); both periods bucket against those cuts in codegen
+    (size(filter(cuts, c -> c < value)) over a 9-element literal); PSI
+    contribution per bin with ε-smoothing for empty target bins.
+
+    Scale: the period split and bucketing are map-side against a 1-row
+    min/max broadcast and a 9-cut literal; the only shuffles are the
+    percentile agg on period A and the final 10-row bin count."""
+    ev = catalog.load(spark, sf_dir, "events")
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    bounds = ev.agg(
+        F.min(um).alias("lo"), F.max(um).alias("hi")
+    )
+    lab = ev.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        F.when(
+            F.col("lo")
+            + F.floor((F.col("hi") - F.col("lo")) / F.lit(2)).cast("long")
+            > um,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("per"),
+    )
+    pcts = ", ".join(f"{p}D" for p in PSI_DECILES)
+    cut_row = (
+        lab.filter(F.col("per") == "A")
+        .agg(F.expr(f"percentile(value, array({pcts}))").alias("cuts"))
+        .first()
+    )
+    cuts = [round(float(c), 6) for c in cut_row["cuts"]]
+    cut_arr = F.array(*[F.lit(c) for c in cuts])
+    bucketed = lab.select(
+        "per",
+        F.size(F.filter(cut_arr, lambda c: c < F.col("value"))).alias("bkt"),
+    )
+    counts = (
+        bucketed.groupBy("bkt")
+        .agg(
+            F.sum(F.when(F.col("per") == "A", 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("per") == "B", 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("double").alias("ta"),
+        F.sum("n_b").cast("double").alias("tb"),
+    )
+    pa = F.col("n_a") / F.col("ta") + F.lit(PSI_EPS)
+    pb = F.col("n_b") / F.col("tb") + F.lit(PSI_EPS)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bkt").cast("int").alias("bkt"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_part"),
+        )
+        .orderBy("bkt")
+    )
+
+
+ORACLE_PSI = f"""
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+lab AS (
+  SELECT value,
+         CASE WHEN epoch_us(ts) < lo + CAST(floor((hi - lo) / 2) AS BIGINT)
+              THEN 'A' ELSE 'B' END AS per
+  FROM events, bounds),
+cuts AS (
+  SELECT ROUND(unnest(quantile_cont(value,
+           [{", ".join(str(p) for p in PSI_DECILES)}])), 6) AS c
+  FROM lab WHERE per = 'A'),
+bucketed AS (
+  SELECT per,
+         (SELECT COUNT(*) FROM cuts WHERE c < value) AS bkt
+  FROM lab),
+counts AS (
+  SELECT bkt,
+         SUM(CASE WHEN per = 'A' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN per = 'B' THEN 1 ELSE 0 END) AS n_b
+  FROM bucketed GROUP BY bkt),
+tot AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS ta,
+               CAST(SUM(n_b) AS DOUBLE) AS tb FROM counts)
+SELECT CAST(bkt AS INT) AS bkt,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       ROUND((n_b / tb + {PSI_EPS} - (n_a / ta + {PSI_EPS}))
+             * ln((n_b / tb + {PSI_EPS}) / (n_a / ta + {PSI_EPS})), 6)
+         AS psi_part
+FROM counts CROSS JOIN tot
+ORDER BY bkt
+"""
+
+
 AUTOCORR_MAX_LAG = 6
 
 
@@ -810,6 +974,13 @@ SPECS = [
               ("temporal", "window", "sequence"),
               doc="first-order Markov transition matrix over per-user "
                   "event sequences"),
+    QuerySpec("stats_wilson_interval", stats_wilson_interval, ORACLE_WILSON,
+              ("stats", "inference"),
+              doc="per-type high-value rate with Wilson-score 95% CI"),
+    QuerySpec("drift_psi_value", drift_psi_value, ORACLE_PSI,
+              ("stats", "drift", "monitoring"),
+              doc="PSI distribution drift between time halves (exact "
+                  "A-decile reference bins, eps-smoothed)"),
     QuerySpec("ev_autocorrelation", ev_autocorrelation, ORACLE_AUTOCORR,
               ("temporal", "timeseries", "stats"),
               doc="lag-k autocorrelation of the zero-filled hourly count "
