@@ -704,6 +704,42 @@ ORDER BY event_id
 """
 
 
+def stats_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear time trend of event values — OLS slope/intercept/R²
+    via the built-in regression aggregates (regr_slope/regr_intercept/
+    regr_r2 exist on BOTH engines as single-pass moment aggregates — the
+    distributed closed form, no iteration). The x axis is hours since the
+    epoch hour floor (tz-free), so the slope reads as value-units per
+    hour. One groupBy shuffle; moments combine associatively map-side."""
+    ev = catalog.load(spark, sf_dir, "events")
+    x = F.expr(
+        "unix_micros(cast(ts as timestamp)) / 3600000000.0"
+    )
+    g = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.expr("regr_slope(y, x)"), 6).alias("slope_per_hour"),
+            F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+            F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_REGR = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(regr_slope(value, epoch_us(ts) / 3600000000.0), 6)
+         AS slope_per_hour,
+       ROUND(regr_intercept(value, epoch_us(ts) / 3600000000.0), 6)
+         AS intercept,
+       ROUND(regr_r2(value, epoch_us(ts) / 3600000000.0), 6) AS r2
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 WILSON_Z = 1.959964  # 95% two-sided
 WILSON_THRESH = 50.0
 
@@ -974,6 +1010,10 @@ SPECS = [
               ("temporal", "window", "sequence"),
               doc="first-order Markov transition matrix over per-user "
                   "event sequences"),
+    QuerySpec("stats_regression_trend", stats_regression_trend, ORACLE_REGR,
+              ("stats", "regression"),
+              doc="per-type OLS time trend via regr_slope/intercept/r2 "
+                  "moment aggregates"),
     QuerySpec("stats_wilson_interval", stats_wilson_interval, ORACLE_WILSON,
               ("stats", "inference"),
               doc="per-type high-value rate with Wilson-score 95% CI"),
