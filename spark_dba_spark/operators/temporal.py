@@ -704,6 +704,100 @@ ORDER BY event_id
 """
 
 
+def ev_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / cumulative-unique user counts — the growth
+    curve every product dashboard opens with. Cumulative DISTINCT is the
+    trap (naive: re-count distinct over an ever-growing prefix — O(days ×
+    users)); the scalable identity is `cumulative uniques = running sum
+    of first-seen counts`: one groupBy for each user's FIRST day, one
+    day-keyed count, and a running sum over the CALENDAR-sized day spine
+    (zero-filled so gap days carry the running total; the unpartitioned
+    window is over days-of-history rows, never the fact stream). The day
+    axis is tz-free epoch days."""
+    ev = catalog.load(spark, sf_dir, "events")
+    day = F.expr(
+        "cast(floor(unix_micros(cast(ts as timestamp)) / 86400000000) as bigint)"
+    )
+    ud = ev.select(F.col("user_id"), day.alias("day")).distinct()
+    active = ud.groupBy("day").agg(F.count("*").alias("n_active"))
+    first = ud.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_per_day = first.groupBy("day").agg(F.count("*").alias("n_new"))
+    rng = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = rng.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        spine.join(active, "day", "left")
+        .join(new_per_day, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("long"))
+        .orderBy("day")
+    )
+
+
+ORACLE_CUM_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+  FROM events),
+active AS (SELECT day, COUNT(*) AS n_active FROM ud GROUP BY day),
+first AS (SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id),
+new_per AS (SELECT day, COUNT(*) AS n_new FROM first GROUP BY day),
+spine AS (
+  SELECT unnest(generate_series((SELECT MIN(day) FROM ud),
+                                (SELECT MAX(day) FROM ud))) AS day)
+SELECT s.day,
+       CAST(COALESCE(a.n_active, 0) AS BIGINT) AS n_active,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER
+              (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS BIGINT) AS cum_users
+FROM spine s LEFT JOIN active a USING (day) LEFT JOIN new_per n USING (day)
+ORDER BY s.day
+"""
+
+
+PAGE_SIZE = 50
+CURSOR_DATE = "1997-06-15"
+CURSOR_KEY = 12345
+
+
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One page of orders AFTER a (date, key) cursor — keyset pagination,
+    the scale-correct alternative to OFFSET (OFFSET N scans and discards
+    N rows every page — O(page²) total; the keyset predicate pushes to
+    the scan and each page is a top-{PAGE_SIZE} — TakeOrderedAndProject,
+    per-partition heaps, no global sort). The row-value comparison
+    (date, key) > (cursor) is expanded to the OR form Spark's pushdown
+    understands; the (date, key) pair is a total order so pages never
+    skip or repeat rows."""
+    o = catalog.load(spark, sf_dir, "orders")
+    cd = F.lit(CURSOR_DATE).cast("timestamp_ntz")
+    after = (F.col("o_orderdate") > cd) | (
+        (F.col("o_orderdate") == cd) & (F.col("o_orderkey") > CURSOR_KEY)
+    )
+    return (
+        o.filter(after)
+        .select("o_orderkey", "o_orderdate", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(PAGE_SIZE)
+    )
+
+
+ORACLE_KEYSET = f"""
+SELECT o_orderkey, o_orderdate, o_custkey, o_orderstatus
+FROM orders
+WHERE o_orderdate > TIMESTAMP '{CURSOR_DATE} 00:00:00'
+   OR (o_orderdate = TIMESTAMP '{CURSOR_DATE} 00:00:00'
+       AND o_orderkey > {CURSOR_KEY})
+ORDER BY o_orderdate, o_orderkey
+LIMIT {PAGE_SIZE}
+"""
+
+
 def stats_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type linear time trend of event values — OLS slope/intercept/R²
     via the built-in regression aggregates (regr_slope/regr_intercept/
@@ -1010,6 +1104,14 @@ SPECS = [
               ("temporal", "window", "sequence"),
               doc="first-order Markov transition matrix over per-user "
                   "event sequences"),
+    QuerySpec("ev_cumulative_unique_users", ev_cumulative_unique_users,
+              ORACLE_CUM_USERS, ("temporal", "window", "growth"),
+              doc="daily active/new/cumulative-unique users (running sum "
+                  "of first-seen counts, calendar-bounded window)"),
+    QuerySpec("keyset_pagination", keyset_pagination, ORACLE_KEYSET,
+              ("scan", "pagination", "dba"),
+              doc="keyset (cursor) pagination page — pushdown predicate "
+                  "+ TakeOrderedAndProject, no OFFSET scan"),
     QuerySpec("stats_regression_trend", stats_regression_trend, ORACLE_REGR,
               ("stats", "regression"),
               doc="per-type OLS time trend via regr_slope/intercept/r2 "
