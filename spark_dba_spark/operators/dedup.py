@@ -843,15 +843,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, so only the bounded pair stream shuffles."""
     from .similarity import sim_dup_pairs
 
-    # localCheckpoint BEFORE pruning sim_r4: Catalyst's column pruning
-    # reaches INTO FlatMapCoGroupsInPandas when an output column is
-    # dropped, and the cogroup UDF then receives child frames without
-    # 'embedding' (KeyError at runtime). The barrier materializes the
-    # (tiny) pair stream with all columns, putting the prune after it.
-    pairs = (
-        sim_dup_pairs(spark, sf_dir)
-        .localCheckpoint(eager=True)
-        .select(F.col("vec_id_a").alias("doc_a"), F.col("vec_id_b").alias("doc_b"))
+    # Pruning sim_r4 off the cogroup output is safe: sim_dup_pairs pins
+    # its output references (similarity._pin_columns) so Catalyst's
+    # ColumnPruning cannot reach into the cogroup children — no
+    # materializing checkpoint needed here.
+    pairs = sim_dup_pairs(spark, sf_dir).select(
+        F.col("vec_id_a").alias("doc_a"), F.col("vec_id_b").alias("doc_b")
     )
     labels = cc_components(pairs)
     ids = catalog.load(spark, sf_dir, "embeddings").select(

@@ -66,6 +66,25 @@ def _to_matrix(series: pd.Series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in series])
 
 
+def _pin_columns(df: DataFrame) -> DataFrame:
+    """Guard against Catalyst pruning INTO a cogrouped applyInPandas.
+
+    When a consumer drops any output column of FlatMapCoGroupsInPandas
+    (``.count()``, a single-column select), Spark 4's ColumnPruning
+    rewrites the cogroup's CHILDREN down to the grouping keys plus the
+    surviving columns — and the UDF then receives frames without
+    'embedding' (runtime KeyError; observed on sim_dup_pairs.count()).
+    An always-true but non-foldable filter referencing every output
+    column pins the references, so pruning stops here and the UDF keeps
+    its inputs. Cost: one xxhash64 per OUTPUT row (the reduced pair /
+    histogram stream, not the O(n²) flops). eager/lazy localCheckpoint
+    is not an alternative: eager runs the job at plan-construction time
+    (plan_audit builds every registered plan), and lazy materializes on
+    construction too (measured 7.9 s at sf0.01)."""
+    guard = F.xxhash64(*df.columns) >= F.lit(-(1 << 63))
+    return df.filter(guard)
+
+
 # Probes per broadcast batch for the brute-force scorers. The driver never
 # holds more than one chunk of probe vectors at a time (toLocalIterator
 # streams partitions), so a probe set that grows with the corpus degrades
@@ -400,7 +419,7 @@ def sim_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    out = (
+    out = _pin_columns(
         left.groupBy("bi", "bj")
         .cogroup(right.groupBy("bi", "bj"))
         .applyInPandas(score_cell, out_schema)
@@ -992,7 +1011,7 @@ def emb_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         nz = np.nonzero(counts)[0]
         return pd.DataFrame({"bin": nz.astype(np.int32), "n_pairs": counts[nz]})
 
-    out = (
+    out = _pin_columns(
         left.groupBy("bi", "bj")
         .cogroup(right.groupBy("bi", "bj"))
         .applyInPandas(hist_cell, out_schema)

@@ -974,3 +974,20 @@ def test_autocorrelation_bounds_and_lag0_sanity(spark):
     lags = sorted(by_lag)
     for a, b in zip(lags, lags[1:]):
         assert by_lag[a]["n_pairs"] - by_lag[b]["n_pairs"] == b - a
+
+
+def test_cogroup_outputs_survive_partial_consumption(spark):
+    """Regression for the Spark 4 cogroup column-pruning hazard: count()
+    and single-column selects over the block-grid operators must not
+    strip the UDF's input columns (was: KeyError 'embedding')."""
+    from spark_dba_spark.operators.dedup import dedup_embedding_cosine
+    from spark_dba_spark.operators.similarity import (
+        emb_sim_histogram,
+        sim_dup_pairs,
+    )
+
+    assert emb_sim_histogram(spark, SF_DIR).count() > 0
+    pairs = sim_dup_pairs(spark, SF_DIR)
+    n = pairs.count()
+    assert pairs.select("vec_id_a").count() == n
+    assert dedup_embedding_cosine(spark, SF_DIR).select("doc_id").count() > 0
