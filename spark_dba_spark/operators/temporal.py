@@ -760,6 +760,67 @@ ORDER BY s.day
 """
 
 
+def ev_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest silent gap per user — the dead-sensor / dropped-pipeline
+    screen (a heartbeat source whose max gap exceeds its SLA is down,
+    even if totals look fine). LAG pairing on the tz-free microsecond
+    axis, one user-keyed shuffle; the trailing gap to the corpus
+    end-of-window is included so a source that died mid-range is caught
+    (max-inter-event alone misses it)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    end_row = ev.agg(F.max(um).alias("um_end"))
+    w = W.partitionBy("user_id").orderBy("um", "event_id")
+    gaps = (
+        ev.select("user_id", "event_id", um.alias("um"))
+        .withColumn("prev_um", F.lag("um").over(w))
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(F.col("um") - F.col("prev_um")).alias("max_gap_us"),
+        F.max("um").alias("um_last"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(end_row))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.greatest(
+                    F.coalesce("max_gap_us", F.lit(0)),
+                    F.col("um_end") - F.col("um_last"),
+                )
+                / 1_000_000.0,
+                6,
+            ).alias("max_gap_s"),
+            F.round((F.col("um_end") - F.col("um_last")) / 1_000_000.0, 6).alias(
+                "tail_gap_s"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_GAP = """
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS um,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_um
+  FROM events),
+pu AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(um - prev_um) AS max_gap_us, MAX(um) AS um_last
+  FROM g GROUP BY user_id),
+e AS (SELECT MAX(epoch_us(ts)) AS um_end FROM events)
+SELECT user_id, n_events,
+       ROUND(GREATEST(COALESCE(max_gap_us, 0), um_end - um_last)
+             / 1000000.0, 6) AS max_gap_s,
+       ROUND((um_end - um_last) / 1000000.0, 6) AS tail_gap_s
+FROM pu CROSS JOIN e
+ORDER BY user_id
+"""
+
+
 PAGE_SIZE = 50
 CURSOR_DATE = "1997-06-15"
 CURSOR_KEY = 12345
@@ -1108,6 +1169,10 @@ SPECS = [
               ORACLE_CUM_USERS, ("temporal", "window", "growth"),
               doc="daily active/new/cumulative-unique users (running sum "
                   "of first-seen counts, calendar-bounded window)"),
+    QuerySpec("ev_gap_detection", ev_gap_detection, ORACLE_GAP,
+              ("temporal", "monitoring", "sre"),
+              doc="largest silent gap per user incl. tail-to-window-end "
+                  "(dead-sensor screen)"),
     QuerySpec("keyset_pagination", keyset_pagination, ORACLE_KEYSET,
               ("scan", "pagination", "dba"),
               doc="keyset (cursor) pagination page — pushdown predicate "
