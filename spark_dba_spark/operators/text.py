@@ -1204,6 +1204,62 @@ FROM c ORDER BY doc_id, chunk_idx
 """
 
 
+def dedup_chunks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at TRAINING-EXAMPLE granularity — after chunking
+    (text_chunk_overlap), identical chunks across documents are the rows
+    a dataloader would see twice, even when their parent documents are
+    not document-level duplicates (shared boilerplate, quoted passages).
+    Keep policy: the (doc_id, chunk_idx)-minimal copy of each distinct
+    chunk content survives; every chunk row is emitted with its verdict
+    and copy count. One hash shuffle on chunk_md5 (the md5 IS the
+    grouping key — content equality without re-shipping text), one
+    window for the deterministic keeper."""
+    chunks = text_chunk_overlap(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_md5"
+    )
+    w = W.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    return (
+        chunks.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_copies", F.count("*").over(W.partitionBy("chunk_md5"))
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_md5",
+            (F.col("rk") == 1).alias("keep"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+ORACLE_CHUNK_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         1 + CAST(floor((greatest(len(string_split(text, ' ')) - {{ct}}, 0)
+                         + {{cs1}}) / {{cs}}) AS INT) AS n_chunks
+  FROM documents),
+ex AS (
+  SELECT doc_id, ws, CAST(k AS INT) AS chunk_idx,
+         1 + CAST(k AS BIGINT) * {{cs}} AS start_tok
+  FROM d, LATERAL unnest(generate_series(0, n_chunks - 1)) AS u(k)),
+c AS (
+  SELECT doc_id, chunk_idx,
+         md5(array_to_string(ws[start_tok : start_tok + {{ct1}}], ' '))
+           AS chunk_md5
+  FROM ex)
+SELECT doc_id, chunk_idx, chunk_md5,
+       ROW_NUMBER() OVER (PARTITION BY chunk_md5
+                          ORDER BY doc_id, chunk_idx) = 1 AS keep,
+       CAST(COUNT(*) OVER (PARTITION BY chunk_md5) AS BIGINT) AS n_copies
+FROM c
+ORDER BY doc_id, chunk_idx
+""".format(
+    ct=CHUNK_TOKENS, cs=CHUNK_STRIDE, cs1=CHUNK_STRIDE - 1, ct1=CHUNK_TOKENS - 1
+)
+
+
 KL_TOP_V = 500  # vocabulary cap: KL computed over the corpus top-V terms
 
 
@@ -1517,6 +1573,10 @@ SPECS = [
               ("text", "pipeline", "rag"),
               doc="overlapping token chunking (RAG/context segmentation), "
                   "map-only, md5-pinned chunk content"),
+    QuerySpec("dedup_chunks_exact", dedup_chunks_exact, ORACLE_CHUNK_DEDUP,
+              ("text", "dedup", "pipeline", "rag"),
+              doc="training-example (chunk-level) exact dedup: content-"
+                  "hash grouping + deterministic keeper"),
     QuerySpec("text_source_kl", text_source_kl, ORACLE_SOURCE_KL,
               ("text", "stats", "mix"),
               doc="per-source KL divergence from the corpus unigram mix "
