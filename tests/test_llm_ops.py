@@ -991,3 +991,14 @@ def test_cogroup_outputs_survive_partial_consumption(spark):
     n = pairs.count()
     assert pairs.select("vec_id_a").count() == n
     assert dedup_embedding_cosine(spark, SF_DIR).select("doc_id").count() > 0
+
+
+def test_chunk_dedup_conserves(spark):
+    """One keeper per distinct chunk content; keepers' copy counts sum to
+    the total chunk count."""
+    from spark_dba_spark.operators.text import dedup_chunks_exact
+
+    rows = dedup_chunks_exact(spark, SF_DIR).collect()
+    keepers = [r for r in rows if r["keep"]]
+    assert len(keepers) == len({r["chunk_md5"] for r in rows})
+    assert sum(r["n_copies"] for r in keepers) == len(rows)
