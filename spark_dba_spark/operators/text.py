@@ -1148,7 +1148,13 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     output sort, which a production writer drops. Chunk identity is
     md5(token-joined text) so the oracle pins the exact content, not just
     counts."""
-    docs = _docs(spark, sf_dir)
+    return _chunks_of(_docs(spark, sf_dir)).orderBy("doc_id", "chunk_idx")
+
+
+def _chunks_of(docs: DataFrame) -> DataFrame:
+    """Chunking core over any (doc_id, text) frame — shared by the
+    standalone chunker and the end-to-end training pipeline. Returns
+    (doc_id, chunk_idx, start_tok, n_tok, chunk_md5), unsorted."""
     ws = F.split("text", " ")
     base = docs.select(
         "doc_id",
@@ -1179,7 +1185,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.cast("long").alias("start_tok"),
         F.size(chunk).cast("long").alias("n_tok"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
 
 
 ORACLE_CHUNK = f"""
@@ -1258,6 +1264,136 @@ ORDER BY doc_id, chunk_idx
 """.format(
     ct=CHUNK_TOKENS, cs=CHUNK_STRIDE, cs1=CHUNK_STRIDE - 1, ct1=CHUNK_TOKENS - 1
 )
+
+
+def pipeline_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data funnel as one declarative plan — the
+    end-to-end composition a pretraining team actually ships, with
+    per-source attrition at every stage:
+
+      raw docs → quality gate (map-only) → exact dedup (one hash
+      shuffle) → eval-set decontamination (broadcast semi-join on
+      shingles) → overlapping chunking (map-only explode) → chunk-level
+      exact dedup (one hash shuffle) → per-source funnel report.
+
+    Every stage is the SAME shared machinery its standalone
+    oracle-checked query uses (corpus_quality_gate, the md5-keeper
+    window, _shingle_expr, _chunks_of), so this query proves the stages
+    COMPOSE — Catalyst pipelines the whole funnel into four shuffles
+    (doc hash, doc_id groupBy, chunk hash, source summary) with no
+    intermediate materialization."""
+    docs = _docs(spark, sf_dir)
+    gated = corpus_quality_gate(docs)
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    ev = (
+        docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(
+            F.explode(F.array_distinct(_shingle_expr(DECON_NGRAM))).alias("s")
+        )
+        .distinct()
+    )
+    train = deduped.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    contaminated = (
+        train.select(
+            "doc_id",
+            F.explode(F.array_distinct(_shingle_expr(DECON_NGRAM))).alias("s"),
+        )
+        .join(F.broadcast(ev), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    chunks = _chunks_of(clean).join(
+        clean.select("doc_id", "source"), "doc_id"
+    )
+    wc = W.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    chunks = chunks.withColumn("ck", F.row_number().over(wc))
+    n_in = docs.groupBy("source").agg(F.count("*").alias("n_docs_in"))
+    n_clean = clean.groupBy("source").agg(F.count("*").alias("n_docs_kept"))
+    n_chunks = chunks.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("ck") == 1, 1).otherwise(0)).alias("n_chunks_kept"),
+    )
+    return (
+        n_in.join(n_clean, "source", "left")
+        .join(n_chunks, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs_in").cast("long").alias("n_docs_in"),
+            F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_chunks_kept", F.lit(0))
+            .cast("long")
+            .alias("n_chunks_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_PIPE_SHINGLES = f"""list_distinct(CASE WHEN len(ws) >= {DECON_NGRAM} THEN
+           list_transform(generate_series(1, len(ws) - {DECON_NGRAM - 1}),
+             i -> array_to_string(ws[i:i+{DECON_NGRAM - 1}], ' '))
+         ELSE [] END)"""
+
+ORACLE_PIPE_EXAMPLES = f"""
+WITH gated AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE len(string_split(text, ' ')) >= {MIN_TOKENS}
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) >= {MIN_UNIQ}),
+deduped AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1),
+ev AS (
+  SELECT DISTINCT unnest({_PIPE_SHINGLES}) AS s
+  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+        WHERE doc_id % {DECON_EVAL_MOD} = 0)),
+train AS (SELECT * FROM deduped WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest({_PIPE_SHINGLES}) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM train))
+  WHERE s IN (SELECT s FROM ev)),
+clean AS (
+  SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+cd AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws,
+         1 + CAST(floor((greatest(len(string_split(text, ' ')) - {CHUNK_TOKENS}, 0)
+                         + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}) AS INT)
+           AS n_chunks
+  FROM clean),
+chunks AS (
+  SELECT doc_id, source, CAST(k AS INT) AS chunk_idx,
+         md5(array_to_string(
+           ws[1 + CAST(k AS BIGINT) * {CHUNK_STRIDE} :
+              CAST(k AS BIGINT) * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
+           AS chunk_md5
+  FROM cd, LATERAL unnest(generate_series(0, n_chunks - 1)) AS u(k)),
+ck AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY chunk_md5
+                            ORDER BY doc_id, chunk_idx) AS ck
+  FROM chunks),
+n_in AS (SELECT source, COUNT(*) AS n_docs_in FROM documents GROUP BY 1),
+n_clean AS (SELECT source, COUNT(*) AS n_docs_kept FROM clean GROUP BY 1),
+n_ch AS (
+  SELECT source, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN ck = 1 THEN 1 ELSE 0 END) AS n_chunks_kept
+  FROM ck GROUP BY 1)
+SELECT i.source,
+       CAST(i.n_docs_in AS BIGINT) AS n_docs_in,
+       CAST(COALESCE(c.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(h.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(h.n_chunks_kept, 0) AS BIGINT) AS n_chunks_kept
+FROM n_in i LEFT JOIN n_clean c USING (source) LEFT JOIN n_ch h USING (source)
+ORDER BY i.source
+"""
 
 
 KL_TOP_V = 500  # vocabulary cap: KL computed over the corpus top-V terms
@@ -1573,6 +1709,11 @@ SPECS = [
               ("text", "pipeline", "rag"),
               doc="overlapping token chunking (RAG/context segmentation), "
                   "map-only, md5-pinned chunk content"),
+    QuerySpec("pipeline_training_examples", pipeline_training_examples,
+              ORACLE_PIPE_EXAMPLES, ("text", "pipeline", "dedup", "rag"),
+              doc="end-to-end training funnel: quality -> dedup -> "
+                  "decontaminate -> chunk -> chunk-dedup, per-source "
+                  "attrition report in one plan"),
     QuerySpec("dedup_chunks_exact", dedup_chunks_exact, ORACLE_CHUNK_DEDUP,
               ("text", "dedup", "pipeline", "rag"),
               doc="training-example (chunk-level) exact dedup: content-"
