@@ -1044,6 +1044,99 @@ FROM b GROUP BY bin ORDER BY bin
 """
 
 
+# --------------------------------------------------------------------------
+# Labeled-embedding prototypes (class centroid quality / cohesion)
+# --------------------------------------------------------------------------
+
+def emb_label_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label prototype diagnostic over the LABELED embeddings — class
+    count, mean-vector norm, and cohesion (average member cosine to the
+    class prototype): the check a labeling/clustering pipeline runs to
+    see whether classes are separable before training a head on them.
+
+    Cosine to the prototype uses the scale-invariance trick: cos(v, mean)
+    = cos(v, SUM) — so no division pass, just the per-(label, dim) SUM
+    (one bounded K×D aggregate), broadcast back onto the exploded member
+    stream for per-vector dot/norm sums, then a per-label average. All
+    shuffles are on (label, pos) / (label, vec_id) keys; the prototype
+    table is K×D rows regardless of corpus size."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    proto = ex.groupBy("label", "pos").agg(F.sum("v").alias("s"))
+    pnorm = proto.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ns2")
+    )
+    per_vec = (
+        ex.join(F.broadcast(proto), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("v") * F.col("s")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("nv2"),
+        )
+    )
+    n_per = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return (
+        per_vec.join(F.broadcast(pnorm), "label")
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.avg(
+                    F.col("dot") / F.sqrt(F.col("nv2") * F.col("ns2"))
+                ),
+                4,
+            ).alias("avg_cos_to_proto")
+        )
+        .join(F.broadcast(n_per), "label")
+        .join(
+            F.broadcast(
+                pnorm.join(n_per, "label").select(
+                    "label",
+                    F.round(F.sqrt("ns2") / F.col("n_vecs"), 4).alias(
+                        "proto_norm"
+                    ),
+                )
+            ),
+            "label",
+        )
+        .select(
+            "label",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            "proto_norm",
+            "avg_cos_to_proto",
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_LABEL_PROTO = """
+WITH ex AS (
+  SELECT label, vec_id, CAST(embedding[i] AS DOUBLE) AS v, i AS pos
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, len(embedding))) AS u(i)),
+proto AS (
+  SELECT label, pos, SUM(v) AS s FROM ex GROUP BY 1, 2),
+pnorm AS (SELECT label, SUM(s * s) AS ns2 FROM proto GROUP BY 1),
+per_vec AS (
+  SELECT e.label, e.vec_id,
+         SUM(e.v * p.s) AS dot, SUM(e.v * e.v) AS nv2
+  FROM ex e JOIN proto p ON e.label = p.label AND e.pos = p.pos
+  GROUP BY 1, 2),
+n_per AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM embeddings GROUP BY 1)
+SELECT n.label, n.n_vecs,
+       ROUND(sqrt(q.ns2) / n.n_vecs, 4) AS proto_norm,
+       ROUND(c.avg_cos, 4) AS avg_cos_to_proto
+FROM n_per n
+JOIN pnorm q USING (label)
+JOIN (SELECT v.label, AVG(v.dot / sqrt(v.nv2 * q2.ns2)) AS avg_cos
+      FROM per_vec v JOIN pnorm q2 USING (label) GROUP BY v.label) c
+  USING (label)
+ORDER BY n.label
+"""
+
+
 SPECS = [
     QuerySpec("sim_cosine_topk", sim_cosine_topk, ORACLE_TOPK,
               ("similarity",), bench=True),
@@ -1073,6 +1166,10 @@ SPECS = [
               ("similarity", "mips"),
               doc="maximum-inner-product top-k (unnormalized two-tower "
                   "retrieval ranking)"),
+    QuerySpec("emb_label_prototypes", emb_label_prototypes,
+              ORACLE_LABEL_PROTO, ("similarity", "stats", "labels"),
+              doc="per-label prototype norm + cohesion (scale-invariant "
+                  "cosine to the class sum, KxD bounded aggregate)"),
     QuerySpec("emb_sim_histogram", emb_sim_histogram, ORACLE_SIM_HIST,
               ("similarity", "stats", "diagnostic"),
               doc="pairwise-cosine histogram (embedding-space health): "
