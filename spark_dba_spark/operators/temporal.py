@@ -760,6 +760,142 @@ ORDER BY s.day
 """
 
 
+def seg_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix — for every pair of event types, the exact
+    intersection / union / Jaccard of their user sets (the
+    segment-overlap report an ads/analytics platform computes before
+    audience targeting). The user sets never materialize: one distinct
+    on (user, type), a self-join keyed on user_id (fan-out bounded by
+    types-per-user, ≤ |types|), a |types|²-row aggregate, margins
+    broadcast back. Inclusion–exclusion gives the union without a second
+    pass."""
+    ev = catalog.load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    per = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    return (
+        both.join(
+            F.broadcast(per.select(F.col("event_type").alias("type_a"),
+                                   F.col("n").alias("n_a"))), "type_a")
+        .join(
+            F.broadcast(per.select(F.col("event_type").alias("type_b"),
+                                   F.col("n").alias("n_b"))), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_SEG_OVERLAP = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+both_c AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+per AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1)
+SELECT c.type_a, c.type_b,
+       CAST(pa.n AS BIGINT) AS n_a,
+       CAST(pb.n AS BIGINT) AS n_b,
+       CAST(c.n_both AS BIGINT) AS n_both,
+       ROUND(c.n_both / CAST(pa.n + pb.n - c.n_both AS DOUBLE), 6) AS jaccard
+FROM both_c c
+JOIN per pa ON c.type_a = pa.event_type
+JOIN per pb ON c.type_b = pb.event_type
+ORDER BY c.type_a, c.type_b
+"""
+
+
+def ev_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in
+    the same (user, hour) context — the association score behind
+    behavioral embeddings and next-action features (PMI > 0: the pair
+    co-occurs more than independence predicts). Contexts are tz-free
+    epoch hours; the pair join is keyed on the context id with fan-out
+    bounded by types-per-context (≤ |types|); everything after the two
+    distinct aggregations is |types|²-sized."""
+    ev = catalog.load(spark, sf_dir, "events")
+    hr = F.expr(
+        "cast(floor(unix_micros(cast(ts as timestamp)) / 3600000000) as bigint)"
+    )
+    ctx = ev.select(
+        F.concat_ws(":", F.col("user_id"), hr).alias("ctx"), "event_type"
+    ).distinct()
+    n_ctx = ctx.select("ctx").distinct().count()
+    a = ctx.select("ctx", F.col("event_type").alias("type_a"))
+    b = ctx.select("ctx", F.col("event_type").alias("type_b"))
+    pair = (
+        a.join(b, "ctx")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    per = ctx.groupBy("event_type").agg(F.count("*").alias("n"))
+    return (
+        pair.join(
+            F.broadcast(per.select(F.col("event_type").alias("type_a"),
+                                   F.col("n").alias("n_a"))), "type_a")
+        .join(
+            F.broadcast(per.select(F.col("event_type").alias("type_b"),
+                                   F.col("n").alias("n_b"))), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.lit(float(n_ctx)))
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi_nats"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_PMI = """
+WITH ctx AS (
+  SELECT DISTINCT
+         CAST(user_id AS VARCHAR) || ':' ||
+         CAST(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS VARCHAR)
+           AS ctx,
+         event_type
+  FROM events),
+nc AS (SELECT CAST(COUNT(DISTINCT ctx) AS DOUBLE) AS n_ctx FROM ctx),
+pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+  FROM ctx a JOIN ctx b ON a.ctx = b.ctx AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+per AS (SELECT event_type, COUNT(*) AS n FROM ctx GROUP BY 1)
+SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       ROUND(ln((p.n_ab * nc.n_ctx) / CAST(pa.n * pb.n AS DOUBLE)), 6)
+         AS pmi_nats
+FROM pair p
+JOIN per pa ON p.type_a = pa.event_type
+JOIN per pb ON p.type_b = pb.event_type
+CROSS JOIN nc
+ORDER BY p.type_a, p.type_b
+"""
+
+
 def ev_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest silent gap per user — the dead-sensor / dropped-pipeline
     screen (a heartbeat source whose max gap exceeds its SLA is down,
@@ -1169,6 +1305,14 @@ SPECS = [
               ORACLE_CUM_USERS, ("temporal", "window", "growth"),
               doc="daily active/new/cumulative-unique users (running sum "
                   "of first-seen counts, calendar-bounded window)"),
+    QuerySpec("seg_overlap_users", seg_overlap_users, ORACLE_SEG_OVERLAP,
+              ("temporal", "audience", "setop"),
+              doc="audience-overlap matrix: exact intersection/union/"
+                  "jaccard of event-type user sets"),
+    QuerySpec("ev_pmi_cooccur", ev_pmi_cooccur, ORACLE_PMI,
+              ("temporal", "stats", "association"),
+              doc="PMI of event-type co-occurrence within (user, hour) "
+                  "contexts"),
     QuerySpec("ev_gap_detection", ev_gap_detection, ORACLE_GAP,
               ("temporal", "monitoring", "sre"),
               doc="largest silent gap per user incl. tail-to-window-end "
