@@ -3374,6 +3374,81 @@ ORDER BY digit
 
 
 # --------------------------------------------------------------------------
+# ABC / Pareto revenue classification
+# --------------------------------------------------------------------------
+
+def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — parts ranked by revenue, class A =
+    the head covering 80% of cumulative revenue, B = the next 15%, C =
+    the tail; the classic Pareto cut purchasing and stocking policy runs
+    on. The fact stream reduces to ONE part-keyed aggregate (exact
+    decimal revenue); ranking and the running total operate on the
+    catalog-sized part table (bounded by SKU count, not order volume —
+    the same bounded-window argument as the skyline candidates). Class
+    boundaries compare via integer cross-multiplication (cum·5 ≤ tot·4)
+    — exact decimal arithmetic, no division-rounding drift between
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.expr(REVENUE).cast("decimal(25,6)")).alias("rev")
+        )
+    )
+    w = (
+        W.orderBy(F.desc("rev"), F.asc("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    tot = rev.agg(F.sum("rev").alias("tot"))
+    ranked = (
+        rev.withColumn("cum", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum") * 5 <= F.col("tot") * 4, F.lit("A"))
+            .when(F.col("cum") * 20 <= F.col("tot") * 19, F.lit("B"))
+            .otherwise(F.lit("C")),
+        )
+    )
+    return (
+        ranked.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+            F.round((F.sum("rev") / F.first("tot")).cast("double"), 6).alias(
+                "rev_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORACLE_ABC = f"""
+WITH rev AS (
+  SELECT l_partkey, SUM(CAST({REVENUE} AS DECIMAL(25,6))) AS rev
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT SUM(rev) AS tot FROM rev),
+ranked AS (
+  SELECT r.rev, t.tot,
+         SUM(r.rev) OVER (ORDER BY r.rev DESC, r.l_partkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM rev r CROSS JOIN tot t),
+cls AS (
+  SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+              WHEN cum * 20 <= tot * 19 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev, tot
+  FROM ranked)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+       ROUND(CAST(SUM(rev) / ANY_VALUE(tot) AS DOUBLE), 6) AS rev_share
+FROM cls GROUP BY abc_class ORDER BY abc_class
+"""
+
+
+# --------------------------------------------------------------------------
 # Bloom runtime-filter join (semi-join reduction)
 # --------------------------------------------------------------------------
 
@@ -3901,6 +3976,10 @@ SPECS = [
               ("join", "agg", "basket"),
               doc="market-basket brand-pair support counts, top-K with "
                   "total-order tie-break"),
+    QuerySpec("abc_analysis_parts", abc_analysis_parts, ORACLE_ABC,
+              ("agg", "window", "pareto", "dba"),
+              doc="ABC/Pareto revenue classification (exact decimal "
+                  "cumulative cut via cross-multiplication)"),
     QuerySpec("er_entity_clusters", er_entity_clusters, ORACLE_ER_CLUSTERS,
               ("join", "fuzzy", "graph", "er"),
               doc="entity resolution end-to-end: fuzzy pairs -> "
