@@ -3374,6 +3374,57 @@ ORDER BY digit
 
 
 # --------------------------------------------------------------------------
+# Sequence-contiguity audit (line numbers dense 1..n per order)
+# --------------------------------------------------------------------------
+
+def audit_line_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-sequence audit: per order, line numbers must be exactly
+    1..n with no gaps or duplicates — the invariant an order-capture
+    system promises and parquet can't enforce. The whole check is one
+    order-keyed aggregate using the arithmetic identity (min = 1, max =
+    n_distinct = count ⇒ dense): no sort, no window, no explode. The
+    report is the per-table verdict plus how many orders violate and the
+    worst offender — shaped for a scheduled data-quality job."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_linenumber").alias("nd"),
+        F.min("l_linenumber").alias("mn"),
+        F.max("l_linenumber").alias("mx"),
+    )
+    flagged = per.withColumn(
+        "ok",
+        (F.col("mn") == 1) & (F.col("mx") == F.col("n")) & (F.col("nd") == F.col("n")),
+    )
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_dense"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).cast("long").alias("n_violations"),
+        F.max(F.when(~F.col("ok"), F.col("l_orderkey"))).alias("worst_orderkey"),
+        F.max("mx").cast("long").alias("max_lines_per_order"),
+    )
+
+
+ORACLE_LINE_CONTIG = """
+WITH per AS (
+  SELECT l_orderkey, COUNT(*) AS n, COUNT(DISTINCT l_linenumber) AS nd,
+         MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx
+  FROM lineitem GROUP BY 1),
+f AS (
+  SELECT l_orderkey, mx,
+         (mn = 1 AND mx = n AND nd = n) AS ok
+  FROM per)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_dense,
+       CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       MAX(CASE WHEN NOT ok THEN l_orderkey END) AS worst_orderkey,
+       CAST(MAX(mx) AS BIGINT) AS max_lines_per_order
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
 # ABC / Pareto revenue classification
 # --------------------------------------------------------------------------
 
@@ -3976,6 +4027,10 @@ SPECS = [
               ("join", "agg", "basket"),
               doc="market-basket brand-pair support counts, top-K with "
                   "total-order tie-break"),
+    QuerySpec("audit_line_contiguity", audit_line_contiguity,
+              ORACLE_LINE_CONTIG, ("audit", "dba", "agg"),
+              doc="dense-sequence audit: line numbers exactly 1..n per "
+                  "order via the min/max/count identity, no sort"),
     QuerySpec("abc_analysis_parts", abc_analysis_parts, ORACLE_ABC,
               ("agg", "window", "pareto", "dba"),
               doc="ABC/Pareto revenue classification (exact decimal "

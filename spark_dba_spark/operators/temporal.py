@@ -760,6 +760,56 @@ ORDER BY s.day
 """
 
 
+BURST_FACTOR = 3.0  # 5-min rate > 3× the trailing-hour rate → burst
+
+
+def ev_velocity_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike (velocity) alerting — for every event: the 5-minute
+    and trailing-hour counts over RANGE frames on the same user
+    partition, and a burst flag when the short-window rate exceeds
+    {BURST_FACTOR}× the hourly baseline rate — the fraud / abuse /
+    incident-detection primitive. ONE shuffle on user_id serves both
+    frames (same window partition+ordering, two frame specs); the rate
+    comparison cross-multiplies counts (n_5m · 3600 > F · n_1h · 300)
+    so no per-row division is involved."""
+    ev = catalog.load(spark, sf_dir, "events")
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    base = W.partitionBy("user_id").orderBy(um)
+    w5 = base.rangeBetween(-300_000_000, 0)
+    w60 = base.rangeBetween(-3_600_000_000, 0)
+    factor_num = int(BURST_FACTOR * 300)  # F · short-window seconds
+    return (
+        ev.withColumn("n_5m", F.count("*").over(w5))
+        .withColumn("n_1h", F.count("*").over(w60))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("n_5m").cast("long").alias("n_5m"),
+            F.col("n_1h").cast("long").alias("n_1h"),
+            (F.col("n_5m") * 3600 > F.col("n_1h") * factor_num).alias(
+                "burst"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_VELOCITY = f"""
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w5 AS BIGINT) AS n_5m,
+       CAST(COUNT(*) OVER w60 AS BIGINT) AS n_1h,
+       COUNT(*) OVER w5 * 3600 > COUNT(*) OVER w60 * {int(BURST_FACTOR * 300)}
+         AS burst
+FROM events
+WINDOW w5 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW),
+       w60 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def seg_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap matrix — for every pair of event types, the exact
     intersection / union / Jaccard of their user sets (the
@@ -1305,6 +1355,10 @@ SPECS = [
               ORACLE_CUM_USERS, ("temporal", "window", "growth"),
               doc="daily active/new/cumulative-unique users (running sum "
                   "of first-seen counts, calendar-bounded window)"),
+    QuerySpec("ev_velocity_alerts", ev_velocity_alerts, ORACLE_VELOCITY,
+              ("temporal", "window", "monitoring"),
+              doc="rate-spike alerting: 5-min vs trailing-hour RANGE "
+                  "frames, cross-multiplied burst predicate"),
     QuerySpec("seg_overlap_users", seg_overlap_users, ORACLE_SEG_OVERLAP,
               ("temporal", "audience", "setop"),
               doc="audience-overlap matrix: exact intersection/union/"
