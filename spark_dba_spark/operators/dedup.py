@@ -213,35 +213,20 @@ ORDER BY doc_a, doc_b
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The repartition("doc_id") serves ONE purpose now: parallelism. A
-    # small-file corpus scans as few splits (sf0.1 = one row group = one
-    # task) and the signature stage is the most compute-intensive map in
-    # the engine (100 permutation lambdas × shingles per doc) — without a
-    # redistribution it runs on one core. Keyed by doc_id so the x/y
-    # verification joins below inherit the partitioning via alias
-    # tracking. At 100 TB the scan has thousands of splits and this is
-    # one keyed shuffle of (doc_id, shingles) — the narrowest frame that
-    # still lets every branch skip re-splitting text.
+def _minhash_stages(spark: SparkSession, sf_dir: str):
+    """Shared MinHash pipeline up to the candidate pairs: (docs with
+    shingles, signatures, banding candidates). Used by the dedup query
+    (exact-verify tail) and the sketch-calibration report — one
+    definition so the calibration measures the REAL production
+    signatures, not a twin."""
+    # See dedup_minhash_lsh's docstring comments for the design notes on
+    # the repartition, the single-evaluation lambda binding, and the
+    # groupBy pair expansion.
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", word_ngrams("text", NGRAM).alias("shingles"))
         .repartition("doc_id")
     )
-    # One MD5 per shingle (two 28-bit lanes), evaluated ONCE per row even
-    # though MINHASH_PERMS lambda bodies reference it: the hashed-shingle
-    # array is bound to a lambda variable via transform(array(<hp>),
-    # hpv -> ...)[0]. Higher-order-function arguments are evaluated before
-    # the lambda body runs and lambda variables are opaque to Catalyst's
-    # projection collapse, so nothing can inline <hp> into the permutation
-    # loop (which would recompute every MD5 ~100×; measured 40s vs ~3s at
-    # sf0.01). Earlier revisions forced the same single-evaluation property
-    # with a SECOND repartition between hp and sig — correct, but it
-    # shuffled the widest rows in the pipeline (shingles + hp arrays, ~2×
-    # the shingle bytes) across the cluster for zero semantic value; the
-    # lambda binding keeps the property with no extra exchange. A/B at
-    # sf0.1 (interleaved, same session): two-barrier 3.14s median,
-    # zero-barrier 4.97s (single-core sig), this form 2.77s.
     sig = docs.select(
         "doc_id",
         F.expr(
@@ -270,13 +255,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "band_key")
     )
-    # Candidate pairs via ONE groupBy on the narrow (band_key, doc_id)
-    # stream + in-bucket pair expansion, instead of a band self-join: the
-    # self-join re-evaluated the whole signature pipeline once per branch
-    # and shuffled both branches (measured 3.8s → 0.6s at sf0.1 for this
-    # stage). Bucket sizes are bounded by banding, so the per-bucket
-    # combination expansion is small; a hot bucket would hurt the self-join
-    # quadratically too.
     cand = (
         bands.groupBy("band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -293,6 +271,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    return docs, sig, cand
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The repartition("doc_id") serves ONE purpose now: parallelism. A
+    # small-file corpus scans as few splits (sf0.1 = one row group = one
+    # task) and the signature stage is the most compute-intensive map in
+    # the engine (100 permutation lambdas × shingles per doc) — without a
+    # redistribution it runs on one core. Keyed by doc_id so the x/y
+    # verification joins below inherit the partitioning via alias
+    # tracking. At 100 TB the scan has thousands of splits and this is
+    # one keyed shuffle of (doc_id, shingles) — the narrowest frame that
+    # still lets every branch skip re-splitting text.
+    docs, sig, cand = _minhash_stages(spark, sf_dir)
     x = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
     y = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
     return (
@@ -816,6 +808,105 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# MinHash calibration (sketch estimate vs exact Jaccard)
+# --------------------------------------------------------------------------
+
+def sketch_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration report for the MinHash sketch: over every LSH banding
+    candidate pair, the signature-agreement estimate (matching positions
+    / {MINHASH_PERMS}) against the exact Jaccard — mean absolute error,
+    bias, and worst error. This is the measurement that justifies
+    trusting the sketch at corpus scale, computed on the REAL production
+    signatures (shared `_minhash_stages`), not a statistical twin.
+    E[estimate] = J by the MinHash theorem; MAE ~ √(J(1−J)/k) ≈ 0.05 at
+    k=100 — a drifting MAE means broken permutations. The agreement
+    count is a higher-order zip_with fold per candidate pair (bounded
+    stream), never per corpus row."""
+    docs, sig, cand = _minhash_stages(spark, sf_dir)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb"))
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    per_pair = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            (
+                F.expr(
+                    "aggregate(zip_with(siga, sigb, (a, b) -> "
+                    "if(a = b, 1, 0)), 0, (acc, v) -> acc + v)"
+                ).cast("double")
+                / MINHASH_PERMS
+            ).alias("est"),
+            (
+                F.size(F.array_intersect("sha", "shb"))
+                * 1.0
+                / F.size(F.array_union("sha", "shb"))
+            ).alias("exact"),
+        )
+    )
+    return per_pair.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("exact"))), 4).alias("mae"),
+        F.round(F.avg(F.col("est") - F.col("exact")), 4).alias("bias"),
+        F.round(F.max(F.abs(F.col("est") - F.col("exact"))), 4).alias("max_err"),
+    )
+
+
+_ORACLE_MINHASH_CALIB_TMPL = f"""
+WITH shl AS ({_DUCK_SHINGLES}),
+sig AS (
+  SELECT doc_id, shingles,
+         {{SIG}} AS sig
+  FROM shl
+),
+bands AS (
+  SELECT doc_id, b,
+         b || ':' || array_to_string(
+           sig[b * {MINHASH_R} + 1 : b * {MINHASH_R} + {MINHASH_R}], ',')
+           AS band_key
+  FROM sig, LATERAL unnest(range(0, {MINHASH_BANDS})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+per_pair AS (
+  SELECT
+    CAST(list_sum(list_transform(generate_series(1, {MINHASH_PERMS}),
+           i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+         AS DOUBLE) / {MINHASH_PERMS} AS est,
+    len(list_intersect(x.shingles, y.shingles)) * 1.0
+      / len(list_distinct(list_concat(x.shingles, y.shingles))) AS exact
+  FROM cand
+  JOIN sig sa ON cand.doc_a = sa.doc_id
+  JOIN sig sb ON cand.doc_b = sb.doc_id
+  JOIN shl x ON cand.doc_a = x.doc_id
+  JOIN shl y ON cand.doc_b = y.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(ABS(est - exact)), 4) AS mae,
+       ROUND(AVG(est - exact), 4) AS bias,
+       ROUND(MAX(ABS(est - exact)), 4) AS max_err
+FROM per_pair
+"""
+
+
+def _render_calib_oracle() -> str:
+    from ..functions.hashing import sql_minhash_signature_duck
+
+    return _ORACLE_MINHASH_CALIB_TMPL.replace(
+        "{SIG}", sql_minhash_signature_duck("shingles", MINHASH_PERMS)
+    )
+
+
+ORACLE_MINHASH_CALIB = _render_calib_oracle()
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup (semantic dedup — SemDeDup-style)
 # --------------------------------------------------------------------------
 
@@ -1011,6 +1102,10 @@ SPECS = [
     QuerySpec("dedup_cross_source_overlap", dedup_cross_source_overlap,
               ORACLE_CROSS_SOURCE, ("dedup", "provenance"),
               doc="verbatim-duplicate overlap matrix across source pairs"),
+    QuerySpec("sketch_minhash_calibration", sketch_minhash_calibration,
+              ORACLE_MINHASH_CALIB, ("dedup", "sketch", "calibration"),
+              doc="MinHash estimate vs exact Jaccard over the real "
+                  "production signatures (MAE/bias/max-err report)"),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine,
               ORACLE_EMB_COSINE, ("dedup", "neardup", "embedding"),
               doc="semantic near-dup groups over embedding cosine "
