@@ -3806,6 +3806,119 @@ FROM l GROUP BY user_id ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# RFM customer-value segmentation
+# --------------------------------------------------------------------------
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM (recency / frequency / monetary) customer segmentation:
+    quintile scores per metric, an ``rfm_cell`` code, and the standard
+    marketing segment labels — the workhorse behind churn and campaign
+    targeting.
+
+    Scale: the fact stream reduces to ONE customer-keyed aggregate first
+    (exact-decimal monetary so quintile boundaries cannot drift between
+    engines); the three NTILE windows then rank only the customer
+    DIMENSION — bounded by customer count, the same bounded-window
+    argument as ``abc_analysis_parts``. At a truly unbounded key space
+    the cuts would come from approx_percentile instead of a global sort.
+    Every NTILE ordering carries the custkey tie-break so bucket
+    assignment is fully deterministic on both engines; the recency
+    anchor is the corpus max order date (1-row broadcast)."""
+    orders = _t(spark, sf_dir, "orders")
+    oday = F.col("o_orderdate").cast("timestamp_ntz").cast("date")
+    anchor = orders.agg(F.max(oday).alias("anchor_day"))
+    base = orders.groupBy("o_custkey").agg(
+        F.max(oday).alias("last_day"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("mon_dec"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days",
+            F.datediff("anchor_day", "last_day").cast("int"),
+        )
+        .withColumn(
+            "r_score",
+            F.ntile(5).over(
+                W.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(
+                W.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(
+                W.orderBy(F.asc("mon_dec"), F.asc("o_custkey"))
+            ),
+        )
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.col("mon_dec").cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws("", "r_score", "f_score", "m_score").alias("rfm_cell"),
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion"
+        )
+        .when(
+            (F.col("r_score") >= 4) & (F.col("f_score") <= 2),
+            "recent_light",
+        )
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") >= 4),
+            "at_risk_loyal",
+        )
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating"
+        )
+        .otherwise("core")
+        .alias("segment"),
+    ).orderBy("o_custkey")
+
+
+ORACLE_RFM = """
+WITH anchor AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
+base AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS mon_dec
+  FROM orders GROUP BY 1),
+scored AS (
+  SELECT b.o_custkey,
+         CAST(date_diff('day', b.last_day, a.anchor_day) AS INTEGER)
+           AS recency_days,
+         b.frequency, b.mon_dec,
+         NTILE(5) OVER (ORDER BY date_diff('day', b.last_day, a.anchor_day)
+                        DESC, b.o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY b.frequency ASC, b.o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY b.mon_dec ASC, b.o_custkey) AS m_score
+  FROM base b CROSS JOIN anchor a)
+SELECT o_custkey, recency_days, frequency,
+       CAST(mon_dec AS DOUBLE) AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm_cell,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'core' END AS segment
+FROM scored ORDER BY o_custkey
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -4051,4 +4164,8 @@ SPECS = [
               ("agg", "nested", "denormalize"),
               doc="order -> sorted nested line array (collect_list + "
                   "struct sort), md5-canonicalized surface"),
+    QuerySpec("rfm_segmentation", rfm_segmentation, ORACLE_RFM,
+              ("agg", "window", "segmentation", "dba"),
+              doc="RFM quintile segmentation (dimension-bounded NTILE "
+                  "ranks after one fact-keyed exact-decimal aggregate)"),
 ]

@@ -1316,6 +1316,176 @@ FROM pairs GROUP BY lag ORDER BY lag
 """
 
 
+# --------------------------------------------------------------------------
+# Interval concurrency (boundary-event rewrite)
+# --------------------------------------------------------------------------
+
+def orders_open_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily count of concurrently OPEN orders — an order is open from its
+    order date until its last line ships. The capacity-planning question
+    ("how many in-flight orders at once, and when was the peak?") every
+    fulfilment DBA asks of an interval table.
+
+    Scale: the naive day×interval join materializes O(orders × span_days)
+    rows. The boundary-event rewrite emits exactly TWO ±1 rows per order
+    (+1 at open, −1 the day after close), aggregates them per day — the
+    result is CALENDAR-bounded, not corpus-bounded — and reconstructs the
+    step function with one running-sum window. Shuffle volume is 2 rows
+    per order; the single-partition window orders at most a few thousand
+    day rows regardless of fact volume."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("timestamp_ntz").cast("date")).alias(
+            "ship_day"
+        )
+    )
+    spans = (
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_orderdate").cast("timestamp_ntz").cast("date").alias(
+                "open_day"
+            ),
+        )
+        .join(close, "l_orderkey")
+        .select(
+            "open_day", F.greatest("ship_day", "open_day").alias("close_day")
+        )
+    )
+    bounds = spans.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = bounds.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("delta_open")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        daily.withColumn(
+            "n_open", F.sum("delta_open").over(w).cast("long")
+        ).orderBy("day")
+    )
+
+
+ORACLE_OPEN_CONCURRENCY = """
+WITH close AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS ship_day
+  FROM lineitem GROUP BY 1),
+spans AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+         GREATEST(c.ship_day, CAST(o.o_orderdate AS DATE)) AS close_day
+  FROM orders o JOIN close c ON c.l_orderkey = o.o_orderkey),
+b AS (
+  SELECT open_day AS day, 1 AS delta FROM spans
+  UNION ALL
+  SELECT close_day + 1 AS day, -1 AS delta FROM spans),
+d AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS delta_open FROM b GROUP BY 1)
+SELECT day, delta_open,
+       CAST(SUM(delta_open) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_open
+FROM d ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# Linear interpolation resample (the LOCF alternative)
+# --------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+INTERP_MAX_GAP_US = 48 * _HOUR_US  # never bridge a gap wider than 48 h
+
+
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of each user's value series by LINEAR interpolation
+    between bracketing observations (``ev_resample_locf``'s
+    step-function sibling — the right choice for continuously varying
+    measurements). Grid points land on exact hour boundaries; gaps wider
+    than 48 h are left unfilled rather than bridged with a meaningless
+    straight line (the cap also bounds the per-pair fan-out).
+
+    Scale: one user-keyed shuffle for the LEAD pairing; each consecutive
+    observation pair then generates its own hour grid with ``sequence``
+    + explode — fan-out bounded by the gap cap (≤48 rows/pair), no spine
+    join, no driver participation. Multiple observations at the same
+    microsecond collapse first via an exact-decimal mean so both engines
+    interpolate from identical anchors; the interpolation itself is
+    IEEE-double with an explicitly parenthesized evaluation order so
+    Spark and DuckDB round identically."""
+    ev = catalog.load(spark, sf_dir, "events")
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    obs = (
+        ev.select("user_id", um.alias("um"), "value")
+        .groupBy("user_id", "um")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+             / F.count("*")).alias("v")
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("um")
+    pairs = (
+        obs.withColumn("um1", F.lead("um").over(w))
+        .withColumn("v1", F.lead("v").over(w))
+        .filter(
+            F.col("um1").isNotNull()
+            & (F.col("um1") - F.col("um") <= INTERP_MAX_GAP_US)
+        )
+        .withColumn(
+            "h0",
+            F.expr(
+                f"((um + {_HOUR_US - 1}) div {_HOUR_US}) * {_HOUR_US}"
+            ),
+        )
+        .filter(F.col("h0") < F.col("um1"))
+    )
+    grid = pairs.select(
+        "user_id", "um", "v", "um1", "v1",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("um1") - 1, F.lit(_HOUR_US))
+        ).alias("h_us"),
+    )
+    frac = (F.col("h_us") - F.col("um")).cast("double") / (
+        F.col("um1") - F.col("um")
+    ).cast("double")
+    return grid.select(
+        "user_id",
+        F.expr("cast(timestamp_micros(h_us) as timestamp_ntz)").alias(
+            "hour_ts"
+        ),
+        F.round(F.col("v") + ((F.col("v1") - F.col("v")) * frac), 6).alias(
+            "v_interp"
+        ),
+    ).orderBy("user_id", "hour_ts")
+
+
+ORACLE_INTERP = f"""
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS um,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT user_id, um, v,
+         LEAD(um) OVER w AS um1, LEAD(v) OVER w AS v1
+  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY um)),
+valid AS (
+  SELECT *, ((um + {_HOUR_US - 1}) // {_HOUR_US}) * {_HOUR_US} AS h0
+  FROM pairs
+  WHERE um1 IS NOT NULL AND um1 - um <= {INTERP_MAX_GAP_US}),
+grid AS (
+  SELECT user_id, um, v, um1, v1,
+         UNNEST(range(h0, um1, {_HOUR_US})) AS h_us
+  FROM valid WHERE h0 < um1)
+SELECT user_id,
+       make_timestamp(h_us) AS hour_ts,
+       ROUND(v + ((v1 - v) * (CAST(h_us - um AS DOUBLE)
+                              / CAST(um1 - um AS DOUBLE))), 6) AS v_interp
+FROM grid ORDER BY user_id, hour_ts
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -1394,4 +1564,14 @@ SPECS = [
               ORACLE_MEDIAN_RANGE, ("temporal", "window", "percentile"),
               doc="exact rolling median over a 1-hour RANGE frame "
                   "(holistic window agg Spark lacks, via range self-join)"),
+    QuerySpec("orders_open_concurrency", orders_open_concurrency,
+              ORACLE_OPEN_CONCURRENCY, ("temporal", "interval", "window"),
+              doc="concurrently-open-orders step function via the "
+                  "boundary-event rewrite (2 rows per interval, "
+                  "calendar-bounded running sum — no day×interval join)"),
+    QuerySpec("ts_interpolate_linear", ts_interpolate_linear,
+              ORACLE_INTERP, ("temporal", "timeseries", "resample"),
+              doc="hourly linear-interpolation resample between "
+                  "bracketing observations (gap-capped pair fan-out, "
+                  "LOCF's continuous sibling)"),
 ]
