@@ -3886,6 +3886,66 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey")
 
 
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-weighted median sale price per part — the
+    "typical price a unit actually sold at" (a plain median over line
+    items lets one 1-unit clearance line count as much as a 50-unit
+    restock). Spark has no weighted-percentile aggregate; this is the
+    distributed rewrite: collapse to (part, price) with exact-decimal
+    weight sums, one part-keyed running-sum window over the per-part
+    price ladder, then the median is the smallest price whose cumulative
+    weight covers half the total — selected by integer-style
+    cross-multiplication (2·cum ≥ tot in DECIMAL, no division).
+
+    Scale: the window partitions by PART KEY — per-partition size is the
+    part's distinct-price count (tiny), parallelism is catalog-wide, so
+    the holistic aggregate never funnels through one task. Ties across
+    engines are impossible: cum is an exact decimal and the price ladder
+    is strictly increasing within a part."""
+    li = _t(spark, sf_dir, "lineitem")
+    wp = li.groupBy("l_partkey", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("w")
+    )
+    wcum = W.partitionBy("l_partkey").orderBy("l_extendedprice").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wtot = W.partitionBy("l_partkey").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ladder = wp.withColumn("cum", F.sum("w").over(wcum)).withColumn(
+        "tot", F.sum("w").over(wtot)
+    )
+    return (
+        ladder.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_extendedprice").alias("wmedian_price"),
+            F.max("tot").cast("double").alias("total_qty"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+ORACLE_WMEDIAN = """
+WITH wp AS (
+  SELECT l_partkey, l_extendedprice,
+         SUM(CAST(l_quantity AS DECIMAL(25,6))) AS w
+  FROM lineitem GROUP BY 1, 2),
+ladder AS (
+  SELECT l_partkey, l_extendedprice, w,
+         SUM(w) OVER (PARTITION BY l_partkey ORDER BY l_extendedprice
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(w) OVER (PARTITION BY l_partkey) AS tot
+  FROM wp)
+SELECT l_partkey,
+       MIN(l_extendedprice) AS wmedian_price,
+       CAST(MAX(tot) AS DOUBLE) AS total_qty
+FROM ladder WHERE cum * 2 >= tot
+GROUP BY l_partkey ORDER BY l_partkey
+"""
+
+
 ORACLE_RFM = """
 WITH anchor AS (
   SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
@@ -4168,4 +4228,9 @@ SPECS = [
               ("agg", "window", "segmentation", "dba"),
               doc="RFM quintile segmentation (dimension-bounded NTILE "
                   "ranks after one fact-keyed exact-decimal aggregate)"),
+    QuerySpec("agg_weighted_median", agg_weighted_median, ORACLE_WMEDIAN,
+              ("agg", "window", "percentile", "weighted"),
+              doc="exact quantity-weighted median price per part "
+                  "(part-keyed running-sum ladder, decimal "
+                  "cross-multiplied half-mass cut)"),
 ]

@@ -1486,6 +1486,193 @@ FROM grid ORDER BY user_id, hour_ts
 """
 
 
+# --------------------------------------------------------------------------
+# Time-weighted average (LOCF-weighted TWAP)
+# --------------------------------------------------------------------------
+
+def ev_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average of ``value`` over the user's own
+    observation span — each observation holds (LOCF) until the next one,
+    so its weight is the duration it was current. The arithmetic-mean
+    trap this fixes: a sensor that reports 100× more often while idle
+    drags a plain AVG toward idle; TWAP is sampling-rate invariant.
+
+    Scale: one user-keyed shuffle for the LEAD pairing, then ONE keyed
+    aggregate. Per-row contributions (value × held-seconds) are computed
+    in IEEE double (bit-deterministic) and summed in exact decimal so
+    partial-aggregation order cannot move the total; the denominator is
+    the exact integer span. Same-microsecond duplicates collapse first
+    via an exact-decimal mean (identical anchors on both engines)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    obs = (
+        ev.select("user_id", um.alias("um"), "value")
+        .groupBy("user_id", "um")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+             / F.count("*")).alias("v")
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("um")
+    pairs = obs.withColumn("um1", F.lead("um").over(w))
+    contrib = F.col("v") * (
+        (F.col("um1") - F.col("um")).cast("double") / F.lit(1000000.0)
+    )
+    per_user = pairs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum(contrib.cast("decimal(25,6)")).cast("double").alias("num"),
+        F.min("um").alias("um0"),
+        F.max("um").alias("umN"),
+    )
+    span_s = (F.col("umN") - F.col("um0")).cast("double") / F.lit(1000000.0)
+    return (
+        per_user.filter(F.col("umN") > F.col("um0"))
+        .select(
+            "user_id",
+            "n_obs",
+            F.round(span_s, 6).alias("span_s"),
+            F.round(F.col("num") / span_s, 6).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_TWAP = """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS um,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT user_id, um, v, LEAD(um) OVER w AS um1
+  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY um)),
+pu AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CAST(v * (CAST(um1 - um AS DOUBLE) / 1000000.0)
+                       AS DECIMAL(25,6))) AS DOUBLE) AS num,
+         MIN(um) AS um0, MAX(um) AS umN
+  FROM pairs GROUP BY 1)
+SELECT user_id, n_obs,
+       ROUND(CAST(umN - um0 AS DOUBLE) / 1000000.0, 6) AS span_s,
+       ROUND(num / (CAST(umN - um0 AS DOUBLE) / 1000000.0), 6) AS twap
+FROM pu WHERE umN > um0 ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Seasonal (hour-of-week) anomaly screen
+# --------------------------------------------------------------------------
+
+SEASONAL_Z_NUM = 3  # threshold = Z_NUM / Z_DEN sigmas (rational → exact)
+SEASONAL_Z_DEN = 2
+
+
+def ev_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event count deviates >1.5σ from the hour-of-week
+    baseline — the monitoring screen that knows Monday 09:00 and Sunday
+    03:00 have different normals (a plain global threshold fires every
+    rush hour and sleeps through a dead Sunday). The hourly series is
+    ZERO-FILLED from a driver-free spine so silent hours are visible to
+    both the baseline and the flag. (Threshold 3/2: the fixture's hourly
+    counts are near-uniform — max |z| ≈ 1.75 — so a classic 3σ gate
+    would make the output vacuously empty; the cut is a ``Z_NUM/Z_DEN``
+    rational so any threshold stays exact.)
+
+    Exactness: counts are integers, so the kσ predicate is evaluated in
+    INTEGER arithmetic via cross-multiplication —
+    ``(m·n − S1)²·(m−1)·Z_DEN² > Z_NUM²·m·(m·S2 − S1²)`` — no engine can
+    disagree on a boundary ulp; the reported mean/std/z are display-only
+    doubles. Scale: one fact shuffle to hourly counts; everything after
+    is calendar-bounded (the baseline table is exactly 168 rows,
+    broadcast back onto the bounded hourly series)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    hr = F.expr(
+        "cast(floor(unix_micros(cast(ts as timestamp)) / 3600000000) as bigint)"
+    )
+    b = ev.select(hr.alias("hr")).groupBy("hr").agg(
+        F.count("*").alias("n")
+    )
+    rng = b.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = rng.select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    f = spine.join(b, "hr", "left").select(
+        "hr",
+        (F.col("hr") % 168).alias("how"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+    g = f.groupBy("how").agg(
+        F.count("*").alias("m"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    j = f.join(F.broadcast(g), "how")
+    dev = F.col("m") * F.col("n") - F.col("s1")
+    varnum = F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+    # kσ with k = Z_NUM/Z_DEN, exact: dev²·(m−1)·Z_DEN² > Z_NUM²·m·varnum
+    flagged = j.filter(
+        (F.col("m") >= 2)
+        & (
+            dev * dev * (F.col("m") - 1) * (SEASONAL_Z_DEN * SEASONAL_Z_DEN)
+            > F.lit(SEASONAL_Z_NUM * SEASONAL_Z_NUM) * F.col("m") * varnum
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("m").cast("double")
+    std = F.sqrt(
+        varnum.cast("double")
+        / (F.col("m") * (F.col("m") - 1)).cast("double")
+    )
+    return flagged.select(
+        F.expr(
+            "cast(timestamp_micros(hr * 3600000000) as timestamp_ntz)"
+        ).alias("hour_ts"),
+        F.col("how").cast("int").alias("how"),
+        "n",
+        F.round(mean, 6).alias("baseline_mean"),
+        F.round(std, 6).alias("baseline_std"),
+        F.when(
+            varnum > 0,
+            F.round((F.col("n").cast("double") - mean) / std, 6),
+        ).alias("z"),
+    ).orderBy("hour_ts")
+
+
+ORACLE_SEASONAL = f"""
+WITH b AS (
+  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+         COUNT(*) AS n
+  FROM events GROUP BY 1),
+spine AS (
+  SELECT unnest(generate_series((SELECT MIN(hr) FROM b),
+                                (SELECT MAX(hr) FROM b))) AS hr),
+f AS (
+  SELECT s.hr, s.hr % 168 AS how,
+         CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+  FROM spine s LEFT JOIN b USING (hr)),
+g AS (
+  SELECT how, COUNT(*) AS m, SUM(n) AS s1, SUM(n * n) AS s2
+  FROM f GROUP BY 1)
+SELECT make_timestamp(f.hr * 3600000000) AS hour_ts,
+       CAST(f.how AS INT) AS how,
+       f.n,
+       ROUND(CAST(g.s1 AS DOUBLE) / CAST(g.m AS DOUBLE), 6)
+         AS baseline_mean,
+       ROUND(sqrt(CAST(g.m * g.s2 - g.s1 * g.s1 AS DOUBLE)
+                  / CAST(g.m * (g.m - 1) AS DOUBLE)), 6) AS baseline_std,
+       CASE WHEN g.m * g.s2 - g.s1 * g.s1 > 0 THEN
+         ROUND((CAST(f.n AS DOUBLE)
+                - CAST(g.s1 AS DOUBLE) / CAST(g.m AS DOUBLE))
+               / sqrt(CAST(g.m * g.s2 - g.s1 * g.s1 AS DOUBLE)
+                      / CAST(g.m * (g.m - 1) AS DOUBLE)), 6)
+       END AS z
+FROM f JOIN g USING (how)
+WHERE g.m >= 2
+  AND (g.m * f.n - g.s1) * (g.m * f.n - g.s1) * (g.m - 1)
+      * {SEASONAL_Z_DEN * SEASONAL_Z_DEN}
+      > {SEASONAL_Z_NUM * SEASONAL_Z_NUM} * g.m
+        * (g.m * g.s2 - g.s1 * g.s1)
+ORDER BY hour_ts
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -1574,4 +1761,14 @@ SPECS = [
               doc="hourly linear-interpolation resample between "
                   "bracketing observations (gap-capped pair fan-out, "
                   "LOCF's continuous sibling)"),
+    QuerySpec("ev_twap", ev_twap, ORACLE_TWAP,
+              ("temporal", "timeseries", "agg"),
+              doc="per-user time-weighted average (LOCF-weighted TWAP, "
+                  "sampling-rate invariant; IEEE contributions summed "
+                  "in exact decimal)"),
+    QuerySpec("ev_seasonal_anomaly", ev_seasonal_anomaly, ORACLE_SEASONAL,
+              ("temporal", "monitoring", "stats"),
+              doc="hour-of-week 3-sigma anomaly screen on the "
+                  "zero-filled hourly series (integer cross-multiplied "
+                  "predicate, 168-row broadcast baseline)"),
 ]
