@@ -3946,6 +3946,78 @@ GROUP BY l_partkey ORDER BY l_partkey
 """
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maximally-skewed join shape — a fact table joined on a
+    handful-of-values key (event_type: every row of a type funnels into
+    ONE reducer in a plain shuffle join) — rewritten with the engine's
+    salting helpers so NO stage keys an exchange on the hot column:
+    ``salted_join`` salts the fact side row-wise and replicates the tiny
+    dim across salts (the dim lands broadcast — the fact never shuffles
+    for the join at all), then ``salted_agg`` two-stages the final
+    aggregate through (type, salt) sub-groups before combining the
+    16-per-type partials. Results are provably the plain join+agg — the
+    oracle IS the unsalted SQL — because salting is a pure plan rewrite
+    and the decimal partials are associative.
+
+    The dim is the per-type share tier (head = ≥20% of traffic, exact
+    integer cross-multiplication); the weighted sum uses the dim column
+    so the join is load-bearing."""
+    from ..functions.skew import salted_agg, salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    tot = dim.agg(F.sum("cnt").alias("tot"))
+    tiers = (
+        dim.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "cnt",
+            F.when(F.col("cnt") * 10 >= F.col("tot") * 2, "head")
+            .otherwise("tail")
+            .alias("tier"),
+        )
+    )
+    joined = salted_join(
+        ev.select("event_type", "value", "event_id"),
+        tiers,
+        on="event_type",
+        salt_from="event_id",
+    )
+    wexpr = (F.col("value") * F.col("cnt")).cast("decimal(25,6)")
+    out = salted_agg(
+        joined,
+        ["event_type", "tier"],
+        {
+            "n_events": ("sum", F.count("*")),
+            "wsum_dec": ("sum", F.sum(wexpr)),
+        },
+        salt_from="event_id",
+    )
+    return out.select(
+        "event_type",
+        "tier",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("wsum_dec").cast("double").alias("wsum"),
+    ).orderBy("event_type")
+
+
+ORACLE_SKEW_JOIN = """
+WITH dim AS (
+  SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS tot FROM dim),
+tiers AS (
+  SELECT d.event_type, d.cnt,
+         CASE WHEN d.cnt * 10 >= t.tot * 2 THEN 'head' ELSE 'tail' END
+           AS tier
+  FROM dim d CROSS JOIN tot t)
+SELECT e.event_type, t.tier,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value * t.cnt AS DECIMAL(25,6))) AS DOUBLE) AS wsum
+FROM events e JOIN tiers t USING (event_type)
+GROUP BY 1, 2 ORDER BY e.event_type
+"""
+
+
 ORACLE_RFM = """
 WITH anchor AS (
   SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
@@ -4233,4 +4305,9 @@ SPECS = [
               doc="exact quantity-weighted median price per part "
                   "(part-keyed running-sum ladder, decimal "
                   "cross-multiplied half-mass cut)"),
+    QuerySpec("join_skew_salted", join_skew_salted, ORACLE_SKEW_JOIN,
+              ("join", "agg", "skew", "salting"),
+              doc="hot-key fact join + agg fully salted (salted_join + "
+                  "two-stage salted_agg, no exchange on the hot column) "
+                  "== plain join+agg"),
 ]

@@ -1673,6 +1673,166 @@ ORDER BY hour_ts
 """
 
 
+# --------------------------------------------------------------------------
+# Top onboarding paths (first-K event-type journeys)
+# --------------------------------------------------------------------------
+
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 most common FIRST-THREE-EVENT journeys — the product
+    question "what do new users actually do first?". Each user's opening
+    triple is assembled with two LEADs inside the same user-keyed window
+    (no collect_list materialization of whole histories), the first row
+    per user is kept by row_number, and the tiny path-count table feeds a
+    TakeOrderedAndProject top-10 under a total (count DESC, path ASC)
+    order so the cut is deterministic on both engines.
+
+    Scale: ONE user-keyed shuffle; everything after is
+    |distinct paths| ≤ |event types|³ rows. Users with fewer than three
+    events are excluded (their journey has no third step)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    w = W.partitionBy("user_id").orderBy("um", "event_id")
+    r = (
+        ev.select("user_id", um.alias("um"), "event_id", "event_type")
+        .withColumn("t1", F.lead("event_type", 1).over(w))
+        .withColumn("t2", F.lead("event_type", 2).over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & F.col("t1").isNotNull()
+            & F.col("t2").isNotNull()
+        )
+    )
+    return (
+        r.select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_PATHS = """
+WITH r AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS t1,
+         LEAD(event_type, 2) OVER w AS t2,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+p AS (
+  SELECT event_type || '>' || t1 || '>' || t2 AS path
+  FROM r WHERE rn = 1 AND t1 IS NOT NULL AND t2 IS NOT NULL)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY 1
+ORDER BY n_users DESC, path ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-user ML feature snapshot
+# --------------------------------------------------------------------------
+
+def ev_user_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One feature vector per user — the churn-/propensity-model input
+    table: activity volume, breadth (distinct active days and types),
+    recency against the corpus end, span, mean value, and the Shannon
+    entropy of the user's event-type mix (1-type bots score 0; diverse
+    organic users score high).
+
+    Scale: two user-keyed aggregates (raw stream + per-(user,type)
+    counts) joined on the same key, plus a 1-row corpus-end broadcast —
+    no windows, no fact self-joins. Exactness: entropy contributions
+    ``n·ln n`` are IEEE doubles ROUNDED TO 9dp before the exact-decimal
+    sum (the A-ES precedent: a last-ulp libm difference between engines
+    cannot survive the rounding), mean value is a decimal-sum average,
+    and every other feature is integer-exact micros arithmetic."""
+    ev = catalog.load(spark, sf_dir, "events")
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    e = ev.select("user_id", um.alias("um"), "value", "event_type")
+    base = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct(
+            F.expr("cast(floor(um / 86400000000) as bigint)")
+        ).cast("long").alias("n_active_days"),
+        F.min("um").alias("um0"),
+        F.max("um").alias("umN"),
+        (F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+         / F.count("value")).alias("mean_value"),
+    )
+    per_t = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    ent = per_t.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(
+            F.round(F.col("n") * F.log(F.col("n")), 9).cast("decimal(25,9)")
+        ).alias("s"),
+        F.sum("n").alias("n_tot"),
+    )
+    end_row = e.agg(F.max("um").alias("um_end"))
+    return (
+        base.join(ent, "user_id")
+        .crossJoin(F.broadcast(end_row))
+        .select(
+            "user_id",
+            "n_events",
+            "n_active_days",
+            "n_types",
+            F.round(
+                (F.col("um_end") - F.col("umN")).cast("double")
+                / F.lit(3600000000.0),
+                6,
+            ).alias("recency_h"),
+            F.round(
+                (F.col("umN") - F.col("um0")).cast("double")
+                / F.lit(86400000000.0),
+                6,
+            ).alias("span_days"),
+            F.round("mean_value", 6).alias("mean_value"),
+            F.round(
+                F.round(F.log(F.col("n_tot")), 9)
+                - F.col("s").cast("double") / F.col("n_tot"),
+                6,
+            ).alias("type_entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_FEATURE_SNAPSHOT = """
+WITH per_t AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+ent AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_types,
+         SUM(CAST(ROUND(n * ln(n), 9) AS DECIMAL(25,9))) AS s,
+         SUM(n) AS n_tot
+  FROM per_t GROUP BY 1),
+base AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT CAST(floor(epoch_us(ts) / 86400000000)
+                                  AS BIGINT)) AS BIGINT) AS n_active_days,
+         MIN(epoch_us(ts)) AS um0, MAX(epoch_us(ts)) AS umN,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value)
+           AS mean_value
+  FROM events GROUP BY 1),
+e2 AS (SELECT MAX(epoch_us(ts)) AS um_end FROM events)
+SELECT b.user_id, b.n_events, b.n_active_days, t.n_types,
+       ROUND(CAST(e.um_end - b.umN AS DOUBLE) / 3600000000.0, 6)
+         AS recency_h,
+       ROUND(CAST(b.umN - b.um0 AS DOUBLE) / 86400000000.0, 6)
+         AS span_days,
+       ROUND(b.mean_value, 6) AS mean_value,
+       ROUND(ROUND(ln(t.n_tot), 9) - CAST(t.s AS DOUBLE) / t.n_tot, 6)
+         AS type_entropy
+FROM base b JOIN ent t USING (user_id) CROSS JOIN e2 e
+ORDER BY user_id
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -1768,7 +1928,16 @@ SPECS = [
                   "in exact decimal)"),
     QuerySpec("ev_seasonal_anomaly", ev_seasonal_anomaly, ORACLE_SEASONAL,
               ("temporal", "monitoring", "stats"),
-              doc="hour-of-week 3-sigma anomaly screen on the "
+              doc="hour-of-week 1.5-sigma anomaly screen on the "
                   "zero-filled hourly series (integer cross-multiplied "
                   "predicate, 168-row broadcast baseline)"),
+    QuerySpec("ev_top_paths", ev_top_paths, ORACLE_TOP_PATHS,
+              ("temporal", "sequence", "topk"),
+              doc="top-10 first-three-event journeys (LEAD-paired "
+                  "triples, one user-keyed shuffle, deterministic "
+                  "top-K cut)"),
+    QuerySpec("ev_user_feature_snapshot", ev_user_feature_snapshot,
+              ORACLE_FEATURE_SNAPSHOT, ("temporal", "features", "ml"),
+              doc="per-user ML feature vector incl. type-mix entropy "
+                  "(9dp-rounded ln contributions in exact decimal)"),
 ]
