@@ -148,6 +148,125 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def inv_running_balance_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running inventory balance per supplier — shipments
+    deplete, returns restock, and stock can never go negative:
+    ``b_i = max(0, b_{i-1} + delta_i)`` over each day's net flow. The
+    clamp makes the recurrence non-associative, so the engine implements
+    it as the custom-stateful-operator surface: one ``applyInPandas``
+    per supplier over the Arrow-shuffled group, exact integer state
+    inside — the GENERAL pattern, which also covers the two-sided
+    capacity clamp ``min(C, max(0, …))`` for which no closed form
+    exists.
+
+    Scale: state-machine operators parallelize ACROSS keys, never within
+    one — one shuffle on the supplier key, each task folds its groups
+    sequentially in O(rows); the same execution contract as
+    ``applyInPandasWithState`` in the streaming twin world. All deltas
+    are integral (quantity casts exactly to long), zero drift.
+
+    Oracle: the ONE-sided clamp does have a closed form — the reflection
+    identity ``b_i = S_i − min(0, min_{k≤i} S_k)`` (the clamped walk is
+    the walk minus its running minimum), and a reset happens exactly
+    when the running minimum strictly decreases. The DuckDB oracle
+    computes that window form, so the sequential fold is DIFFERENTIALLY
+    verified against the algebraic identity — two independent
+    formulations agreeing per supplier."""
+    out_schema = T.StructType(
+        [
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("n_moves", T.LongType()),
+            T.StructField("final_bal", T.LongType()),
+            T.StructField("max_bal", T.LongType()),
+            T.StructField("n_resets", T.LongType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        bal = 0
+        mx = 0
+        resets = 0
+        for d in pdf["delta"].to_numpy(dtype=np.int64):
+            bal += int(d)
+            if bal < 0:
+                bal = 0
+                resets += 1
+            if bal > mx:
+                mx = bal
+        return pd.DataFrame(
+            [
+                {
+                    "l_suppkey": int(pdf["l_suppkey"].iloc[0]),
+                    "n_moves": len(pdf),
+                    "final_bal": bal,
+                    "max_bal": mx,
+                    "n_resets": resets,
+                }
+            ]
+        )
+
+    li = catalog.load(spark, sf_dir, "lineitem")
+    moves = (
+        li.select(
+            "l_suppkey",
+            F.expr(
+                "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+            ).alias("day"),
+            F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+            .otherwise(-F.col("l_quantity"))
+            .cast("long")
+            .alias("delta"),
+        )
+        .groupBy("l_suppkey", "day")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    out = moves.groupBy("l_suppkey").applyInPandas(fold, out_schema)
+    # Same pruning hazard as the cogrouped operators (similarity._pin_
+    # columns): a consumer that drops output columns lets Catalyst prune
+    # the UDF's INPUT columns out from under it. Pin the references.
+    guard = F.xxhash64(*[f.name for f in out_schema.fields]) >= F.lit(
+        -(1 << 63)
+    )
+    return out.filter(guard).orderBy("l_suppkey")
+
+
+ORACLE_BALANCE = """
+WITH daily AS (
+  SELECT l_suppkey,
+         epoch_us(l_shipdate) // 86400000000 AS day,
+         SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                       ELSE -l_quantity END AS BIGINT)) AS delta
+  FROM lineitem GROUP BY 1, 2),
+s AS (
+  SELECT l_suppkey, day,
+         SUM(delta) OVER w AS ps,
+         ROW_NUMBER() OVER w AS rn
+  FROM daily
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+m AS (
+  SELECT l_suppkey, rn, ps,
+         LEAST(MIN(ps) OVER (PARTITION BY l_suppkey ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           AS runmin,
+         LEAST(COALESCE(MIN(ps) OVER (PARTITION BY l_suppkey ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0)
+           AS prevmin
+  FROM s),
+b AS (
+  SELECT l_suppkey, rn, ps - runmin AS bal,
+         CASE WHEN ps < prevmin THEN 1 ELSE 0 END AS reset
+  FROM m)
+SELECT l_suppkey,
+       CAST(MAX(rn) AS BIGINT) AS n_moves,
+       CAST(arg_max(bal, rn) AS BIGINT) AS final_bal,
+       CAST(MAX(bal) AS BIGINT) AS max_bal,
+       CAST(SUM(reset) AS BIGINT) AS n_resets
+FROM b GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
 SPECS = [
     QuerySpec("udaf_geometric_mean", udaf_geometric_mean, ORACLE_GMEAN,
               ("udf", "agg"), doc="pandas grouped-agg UDAF"),
@@ -157,4 +276,9 @@ SPECS = [
               ORACLE_SENTENCE_STATS, ("udf", "udtf", "lateral"),
               doc="Python UDTF + LATERAL join (table-function extension "
                   "surface)"),
+    QuerySpec("inv_running_balance_capped", inv_running_balance_capped,
+              ORACLE_BALANCE, ("udf", "grouped-map", "stateful"),
+              doc="floor-at-zero running balance (non-associative clamp "
+                  "recurrence — applyInPandas key-parallel fold; "
+                  "recursive-CTE oracle)"),
 ]
