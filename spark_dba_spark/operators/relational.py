@@ -4018,6 +4018,156 @@ GROUP BY 1, 2 ORDER BY e.event_type
 """
 
 
+def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation — the
+    antitrust/supply-risk screen: HHI = Σ share_i² over each nation's
+    supplier revenue shares (1.0 = monopoly, →0 = atomized). A nation
+    whose parts flow through two suppliers is a disruption risk even if
+    totals look healthy.
+
+    Scale: fact stream → ONE supplier-keyed exact-decimal aggregate,
+    then nation-level rollup over the supplier DIMENSION (bounded).
+    Exactness: per-supplier revenue is an exact decimal; shares are one
+    IEEE division each, share² contributions are rounded to 12dp and
+    summed in exact decimal so partial-agg order cannot move the index."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.expr(REVENUE).cast("decimal(25,6)")).alias("rev")
+    )
+    located = rev.join(
+        F.broadcast(
+            sup.select("s_suppkey", "s_nationkey").join(
+                F.broadcast(nat.select("n_nationkey", "n_name")),
+                sup.s_nationkey == nat.n_nationkey,
+            )
+        ),
+        rev.l_suppkey == F.col("s_suppkey"),
+    )
+    tot = located.groupBy("n_name").agg(
+        F.sum("rev").alias("tot_dec"),
+        F.count("*").cast("long").alias("n_suppliers"),
+    )
+    shares = (
+        located.join(tot, "n_name")
+        .withColumn(
+            "share",
+            F.col("rev").cast("double") / F.col("tot_dec").cast("double"),
+        )
+        .withColumn(
+            "c", F.round(F.col("share") * F.col("share"), 12).cast(
+                "decimal(25,12)"
+            )
+        )
+    )
+    return (
+        shares.groupBy("n_name")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            F.round(F.sum("c").cast("double"), 6).alias("hhi"),
+            F.round(F.max("share"), 6).alias("top_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_HHI = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM(CAST({REVENUE} AS DECIMAL(25,6))) AS rev
+  FROM lineitem GROUP BY 1),
+located AS (
+  SELECT r.rev, n.n_name
+  FROM rev r
+  JOIN supplier s ON s.s_suppkey = r.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey),
+tot AS (
+  SELECT n_name, SUM(rev) AS tot_dec,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM located GROUP BY 1),
+shares AS (
+  SELECT l.n_name, t.n_suppliers,
+         CAST(l.rev AS DOUBLE) / CAST(t.tot_dec AS DOUBLE) AS share
+  FROM located l JOIN tot t USING (n_name))
+SELECT n_name,
+       MAX(n_suppliers) AS n_suppliers,
+       ROUND(CAST(SUM(CAST(ROUND(share * share, 12) AS DECIMAL(25,12)))
+                  AS DOUBLE), 6) AS hhi,
+       ROUND(MAX(share), 6) AS top_share
+FROM shares GROUP BY n_name ORDER BY n_name
+"""
+
+
+SURVIVAL_THRESHOLDS = (7, 14, 30, 60, 90, 180)
+
+
+def customer_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve of customer inter-order gaps — for each threshold
+    t, the fraction of consecutive-order gaps longer than t days: the
+    empirical "if a customer has been quiet t days, are they gone?"
+    curve that churn definitions are calibrated against.
+
+    Scale: one customer-keyed LAG pairing (gaps are integer days, exact),
+    then the tiny gap stream cross-joins a 6-row broadcast threshold
+    table and reduces in ONE aggregate — counts are integers, the final
+    rate is a single division."""
+    orders = _t(spark, sf_dir, "orders")
+    oday = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    )
+    w = W.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderkey", oday.alias("day"))
+        .withColumn("prev_day", F.lag("day").over(w))
+        .filter(F.col("prev_day").isNotNull())
+        .select((F.col("day") - F.col("prev_day")).alias("gap_days"))
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in SURVIVAL_THRESHOLDS], "t int"
+    )
+    return (
+        gaps.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum(
+                F.when(F.col("gap_days") > F.col("t"), 1).otherwise(0)
+            ).cast("long").alias("n_surviving"),
+        )
+        .withColumn(
+            "surv_rate",
+            F.round(
+                F.col("n_surviving").cast("double")
+                / F.col("n_gaps").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("t")
+    )
+
+
+ORACLE_GAP_SURVIVAL = f"""
+WITH g AS (
+  SELECT epoch_us(o_orderdate) // 86400000000
+         - LAG(epoch_us(o_orderdate) // 86400000000) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey)
+           AS gap_days
+  FROM orders),
+gaps AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL),
+th AS (SELECT unnest([{", ".join(str(t) for t in SURVIVAL_THRESHOLDS)}])
+         AS t)
+SELECT CAST(th.t AS INT) AS t,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(CASE WHEN gap_days > th.t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_surviving,
+       ROUND(CAST(SUM(CASE WHEN gap_days > th.t THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS surv_rate
+FROM gaps CROSS JOIN th
+GROUP BY th.t ORDER BY t
+"""
+
+
 ORACLE_RFM = """
 WITH anchor AS (
   SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
@@ -4310,4 +4460,13 @@ SPECS = [
               doc="hot-key fact join + agg fully salted (salted_join + "
                   "two-stage salted_agg, no exchange on the hot column) "
                   "== plain join+agg"),
+    QuerySpec("orders_hhi_concentration", orders_hhi_concentration,
+              ORACLE_HHI, ("agg", "join", "stats", "dba"),
+              doc="Herfindahl supplier-concentration index per nation "
+                  "(12dp-rounded share-squared contributions in exact "
+                  "decimal)"),
+    QuerySpec("customer_gap_survival", customer_gap_survival,
+              ORACLE_GAP_SURVIVAL, ("window", "stats", "churn"),
+              doc="inter-order gap survival curve over a 6-row "
+                  "broadcast threshold table (integer-exact counts)"),
 ]
