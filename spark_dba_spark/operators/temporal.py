@@ -1833,6 +1833,101 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Cohort LTV triangle
+# --------------------------------------------------------------------------
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly-cohort lifetime-value triangle: customers grouped by their
+    FIRST order month, revenue tracked by months-since-first — the
+    finance view of ``ev_retention_cohorts`` (does a newer cohort spend
+    faster than an older one at the same age?). Cumulative revenue per
+    cohort uses a window over the TRIANGLE (cohorts × ages — calendar²,
+    corpus-independent).
+
+    Exactness: ages are integer month arithmetic (y·12+m), revenue is
+    exact decimal end-to-end; the per-customer first-month lookup is a
+    customer-keyed aggregate joined back co-partitioned on the same
+    key."""
+    orders = _load_orders_months(spark, sf_dir)
+    first = orders.groupBy("o_custkey").agg(
+        F.min("ym").alias("cohort_ym")
+    )
+    facts = (
+        orders.join(first, "o_custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias(
+            "age_months"
+        ))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias(
+                "rev_dec"
+            ),
+            F.countDistinct("o_custkey").cast("long").alias(
+                "n_active_customers"
+            ),
+        )
+    )
+    wcum = (
+        W.partitionBy("cohort_ym")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        facts.withColumn(
+            "cum_rev", F.sum("rev_dec").over(wcum).cast("double")
+        )
+        .select(
+            F.make_date(
+                F.expr("cohort_ym div 12").cast("int"),
+                (F.col("cohort_ym") % 12) + 1,
+                F.lit(1),
+            ).alias("cohort_month"),
+            F.col("age_months").cast("int").alias("age_months"),
+            "n_active_customers",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "cum_rev",
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+def _load_orders_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.load(spark, sf_dir, "orders")
+    od = F.expr("cast(o_orderdate as timestamp_ntz)")
+    return orders.select(
+        "o_custkey",
+        "o_totalprice",
+        (F.year(od) * 12 + (F.month(od) - 1)).alias("ym"),
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+         year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS ym
+  FROM orders),
+first_m AS (
+  SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY 1),
+facts AS (
+  SELECT f.cohort_ym, o.ym - f.cohort_ym AS age_months,
+         SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS rev_dec,
+         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+           AS n_active_customers
+  FROM o JOIN first_m f USING (o_custkey)
+  GROUP BY 1, 2)
+SELECT make_date(CAST(cohort_ym // 12 AS INT),
+                 CAST(cohort_ym % 12 AS INT) + 1, 1) AS cohort_month,
+       CAST(age_months AS INT) AS age_months,
+       n_active_customers,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(SUM(rev_dec) OVER (PARTITION BY cohort_ym ORDER BY age_months
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS cum_rev
+FROM facts
+ORDER BY cohort_month, age_months
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -1940,4 +2035,9 @@ SPECS = [
               ORACLE_FEATURE_SNAPSHOT, ("temporal", "features", "ml"),
               doc="per-user ML feature vector incl. type-mix entropy "
                   "(9dp-rounded ln contributions in exact decimal)"),
+    QuerySpec("orders_cohort_ltv", orders_cohort_ltv, ORACLE_COHORT_LTV,
+              ("temporal", "cohort", "finance"),
+              doc="monthly-cohort LTV triangle (integer month axis, "
+                  "exact-decimal cumulative revenue over the "
+                  "calendar-squared triangle)"),
 ]

@@ -39,6 +39,12 @@ QUERIES = [
     "text_chunk_overlap",        # map-only posexplode chunking (r5)
     "audit_referential_integrity",  # 6 anti-join FK checks (r5)
     "ev_markov_transitions",     # sequence window + bounded matrix (r5)
+    "ts_interpolate_linear",     # LEAD pair + gap-capped sequence fan-out (r5b)
+    "orders_open_concurrency",   # boundary-event interval rewrite (r5b)
+    "inv_running_balance_capped",  # applyInPandas stateful fold (r5b)
+    "emb_pca_power",             # moment pass + dim-bounded iterations (r5b)
+    "agg_weighted_median",       # part-keyed price-ladder window (r5b)
+    "ev_user_feature_snapshot",  # two keyed aggs + entropy join (r5b)
 ]
 
 
