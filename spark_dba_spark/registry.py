@@ -97,10 +97,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
     # now buys a full value-hash row for dedup_embedding_cosine, the
     # brief-named embedding near-dup family. ALL other late-r5 additions
     # — every query registered after the 150-query sweep, from
-    # graph_triangles_neardup through basket_brand_pairs — wait in the
-    # middle and LEAD THE R6 WINDOW together with the displaced r2
-    # cohort; they are covered by the committed local hostile×strict
-    # sweeps at both SFs in the meantime.)
+    # graph_triangles_neardup through the continued-session batch
+    # (orders_open_concurrency … ev_alert_debounce, orders_cohort_ltv)
+    # — wait in the middle and LEAD THE R6 WINDOW together with the
+    # displaced r2 cohort; they are covered by the committed local
+    # hostile×strict sweeps at both SFs in the meantime.)
     "dedup_embedding_cosine",
     # (emb_kmeans_lloyd sits mid-list: rows-only → a driver row is the
     # weakest evidence class, and its numpy-twin pytest is the real gate)
