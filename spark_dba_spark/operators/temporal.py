@@ -1928,6 +1928,98 @@ ORDER BY cohort_month, age_months
 """
 
 
+# --------------------------------------------------------------------------
+# Truncated EWMA smoother (16-tap FIR form)
+# --------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.25
+EWMA_TAPS = 16
+# Weight ladder α(1−α)^k and its cumulative sums, computed ONCE in Python
+# and embedded as literals in BOTH engines — repr() round-trips doubles
+# exactly, so Spark and DuckDB parse bit-identical weights. The tail mass
+# beyond 16 taps is (1−α)^16 ≈ 1%, absorbed by per-row renormalization.
+_EWMA_W = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** k for k in range(EWMA_TAPS)]
+_EWMA_CUMW = []
+_acc = 0.0
+for _w in _EWMA_W:
+    _acc += _w
+    _EWMA_CUMW.append(_acc)
+
+
+def ev_ewma_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's value series
+    — the standard smoother behind trend lines and anomaly baselines —
+    in its TRUNCATED (16-tap FIR) form: the recursive EWMA fold is
+    non-associative, but cutting the kernel at 16 taps (tail mass ~1%,
+    renormalized per row) turns it into a fixed linear filter that runs
+    as ONE window pass of 16 LAGs — whole-stage-codegen'd, no Python,
+    no recursion, and the early rows renormalize over the taps that
+    exist. This is the deliberate scale trade: the exact fold needs the
+    stateful applyInPandas surface (``inv_running_balance_capped``);
+    the 16-tap form keeps EWMA inside Tungsten.
+
+    Exactness: each tap contribution rounds to 12dp before an exact
+    decimal sum (term order irrelevant), the weight and
+    cumulative-weight ladders are Python-computed literals embedded
+    identically in both engines, and the normalizer is a literal-array
+    lookup by min(row_number, 16)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    w = W.partitionBy("user_id").orderBy("um", "event_id")
+    base = ev.select(
+        "user_id", "event_id", "ts", "value", um.alias("um")
+    ).withColumn("rn", F.row_number().over(w))
+    zero = F.lit(0).cast("decimal(25,12)")
+    term_sum = None
+    for k, wk in enumerate(_EWMA_W):
+        term = F.coalesce(
+            F.round(F.lit(wk) * F.lag("value", k).over(w), 12).cast(
+                "decimal(25,12)"
+            ),
+            zero,
+        )
+        term_sum = term if term_sum is None else term_sum + term
+    norm = F.element_at(
+        F.array(*[F.lit(c) for c in _EWMA_CUMW]),
+        F.least(F.col("rn"), F.lit(EWMA_TAPS)),
+    )
+    return (
+        base.withColumn("s", term_sum)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.round(F.col("s").cast("double") / norm, 6).alias("ewma"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def _ewma_oracle() -> str:
+    terms = " + ".join(
+        f"COALESCE(CAST(ROUND({wk!r} * LAG(value, {k}) OVER w, 12)"
+        f" AS DECIMAL(25,12)), CAST(0 AS DECIMAL(25,12)))"
+        for k, wk in enumerate(_EWMA_W)
+    )
+    cumw = ", ".join(repr(c) for c in _EWMA_CUMW)
+    return f"""
+WITH b AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER w AS rn,
+         {terms} AS s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+SELECT user_id, event_id, ts, value,
+       ROUND(CAST(s AS DOUBLE)
+             / ([{cumw}])[LEAST(rn, {EWMA_TAPS})], 6) AS ewma
+FROM b ORDER BY user_id, event_id
+"""
+
+
+ORACLE_EWMA = _ewma_oracle()
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -2040,4 +2132,9 @@ SPECS = [
               doc="monthly-cohort LTV triangle (integer month axis, "
                   "exact-decimal cumulative revenue over the "
                   "calendar-squared triangle)"),
+    QuerySpec("ev_ewma_filter", ev_ewma_filter, ORACLE_EWMA,
+              ("temporal", "timeseries", "window"),
+              doc="truncated 16-tap EWMA smoother as one codegen window "
+                  "pass (literal weight ladder, 12dp decimal-summed "
+                  "taps, renormalized early rows)"),
 ]
