@@ -400,3 +400,94 @@ def run_windowed_topk_stream(
     )
     q.awaitTermination()
     return topk_rank_tail(spark.table(query_name))
+
+
+# ---------------------------------------------------------------------------
+# Streaming alert debounce (stateful twin of udf_surface.ev_alert_debounce)
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("alert_um", T.LongType()),
+        T.StructField("n_suppressed_before", T.LongType()),
+    ]
+)
+# last emitted alert micros (-1 = none yet) + candidates suppressed since
+_DEBOUNCE_STATE = "last_um BIGINT, suppressed BIGINT"
+
+
+def _update_debounce(key, pdfs, state: GroupState):
+    import numpy as np
+
+    from ..operators.udf_surface import ALERT_COOLDOWN_US
+
+    last, suppressed = state.get if state.exists else (-1, 0)
+    chunks = [pdf["um"].to_numpy(np.int64) for pdf in pdfs]
+    ums = (
+        np.unique(np.concatenate(chunks))
+        if chunks
+        else np.array([], np.int64)
+    )
+    rows = []
+    for um in ums:
+        if last < 0 or um - last >= ALERT_COOLDOWN_US:
+            rows.append(
+                {
+                    "user_id": int(key[0]),
+                    "alert_um": int(um),
+                    "n_suppressed_before": int(suppressed),
+                }
+            )
+            last = int(um)
+            suppressed = 0
+        else:
+            suppressed += 1
+    state.update((int(last), int(suppressed)))
+    yield pd.DataFrame(
+        rows, columns=["user_id", "alert_um", "n_suppressed_before"]
+    )
+
+
+def run_alert_debounce_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "alert_debounce"
+) -> DataFrame:
+    """Streaming cooldown debounce via ``applyInPandasWithState``: state
+    is (last emitted alert time, suppressed-since) per user — the live
+    form of the self-referential emitted chain that has no window
+    rewrite. Append mode: each micro-batch emits only the alerts that
+    cleared the cooldown against state carried from previous batches.
+
+    Ordering assumption (standard for log ingestion): candidate events
+    arrive in non-decreasing event-time order ACROSS micro-batches —
+    within a batch the update function sorts, across batches the state
+    fold is order-sensitive (a true out-of-order stream would need a
+    watermark-delayed emit). The availableNow pytest run asserts the
+    stream's emitted set equals the batch ``ev_alert_debounce`` rows."""
+    from ..operators.udf_surface import ALERT_THRESHOLD
+
+    ev = stream_events(spark, sf_dir)
+    cand = (
+        ev.filter(F.col("value") > ALERT_THRESHOLD)
+        .select(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("um"),
+        )
+    )
+    q = (
+        cand.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_debounce,
+            outputStructType=_DEBOUNCE_SCHEMA,
+            stateStructType=_DEBOUNCE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -236,3 +236,26 @@ def test_windowed_topk_stream_equals_batch(spark):
     batch_out = batch_equiv.ev_windowed_topk(spark, SF_DIR)
     assert sorted(stream_out.columns) == sorted(batch_out.columns)
     assert _rows(stream_out) == _rows(batch_out)
+
+
+def test_stream_alert_debounce_matches_batch(spark):
+    """The stateful streaming debounce must emit exactly the batch
+    operator's alert set (user, time, suppressed-count triples)."""
+    from spark_dba_spark.operators.udf_surface import ev_alert_debounce
+    from spark_dba_spark.streaming import jobs
+
+    out = jobs.run_alert_debounce_stream(spark, SF_DIR, "t_debounce")
+    streamed = {
+        (r["user_id"], r["alert_um"], r["n_suppressed_before"])
+        for r in out.collect()
+    }
+    batch = {
+        (
+            r["user_id"],
+            int(r["alert_ts"].timestamp() * 1_000_000),
+            r["n_suppressed_before"],
+        )
+        for r in ev_alert_debounce(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert streamed, "debounce emitted nothing"
