@@ -4168,6 +4168,81 @@ GROUP BY th.t ORDER BY t
 """
 
 
+def agg_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue within each nation — the
+    inequality lens on the customer base (0 = everyone spends alike,
+    →1 = one whale funds the nation). Uses the rank formula
+    ``G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)`` over ascending-ranked
+    exact-decimal customer totals; ranks carry the custkey tie-break so
+    both engines rank identically, the rank-weighted sums are exact
+    decimals, and only the final formula runs in (identically
+    parenthesized) double.
+
+    Scale: fact → one customer-keyed aggregate; ranking windows
+    partition by NATION over the customer dimension (bounded)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("x")
+    )
+    located = rev.join(
+        F.broadcast(
+            cust.select("c_custkey", "c_nationkey").join(
+                F.broadcast(nat.select("n_nationkey", "n_name")),
+                cust.c_nationkey == nat.n_nationkey,
+            )
+        ),
+        rev.o_custkey == F.col("c_custkey"),
+    )
+    wrank = W.partitionBy("n_name").orderBy("x", "o_custkey")
+    ranked = located.withColumn("i", F.row_number().over(wrank))
+    g = ranked.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("i")).cast("double").alias("sxi"),
+    )
+    return g.select(
+        "n_name",
+        "n_customers",
+        F.round(F.col("sx"), 2).alias("total_revenue"),
+        F.round(
+            (F.lit(2.0) * F.col("sxi")
+             - (F.col("n_customers") + 1) * F.col("sx"))
+            / (F.col("n_customers") * F.col("sx")),
+            6,
+        ).alias("gini"),
+    ).orderBy("n_name")
+
+
+ORACLE_GINI = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS x
+  FROM orders GROUP BY 1),
+located AS (
+  SELECT r.o_custkey, r.x, n.n_name
+  FROM rev r
+  JOIN customer c ON c.c_custkey = r.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+ranked AS (
+  SELECT n_name, x,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY x, o_custkey)
+           AS i
+  FROM located),
+g AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(x * i) AS DOUBLE) AS sxi
+  FROM ranked GROUP BY 1)
+SELECT n_name, n_customers,
+       ROUND(sx, 2) AS total_revenue,
+       ROUND((2.0 * sxi - (n_customers + 1) * sx)
+             / (n_customers * sx), 6) AS gini
+FROM g ORDER BY n_name
+"""
+
+
 ORACLE_RFM = """
 WITH anchor AS (
   SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
@@ -4469,4 +4544,9 @@ SPECS = [
               ORACLE_GAP_SURVIVAL, ("window", "stats", "churn"),
               doc="inter-order gap survival curve over a 6-row "
                   "broadcast threshold table (integer-exact counts)"),
+    QuerySpec("agg_gini_by_nation", agg_gini_by_nation, ORACLE_GINI,
+              ("agg", "window", "stats", "inequality"),
+              doc="Gini coefficient of customer revenue per nation "
+                  "(rank formula over exact-decimal totals, "
+                  "dimension-bounded ranking)"),
 ]

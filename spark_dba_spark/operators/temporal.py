@@ -2020,6 +2020,88 @@ FROM b ORDER BY user_id, event_id
 ORACLE_EWMA = _ewma_oracle()
 
 
+# --------------------------------------------------------------------------
+# Rolling 30-day distinct users (coverage-interval rewrite)
+# --------------------------------------------------------------------------
+
+ROLLING_WINDOW_DAYS = 30
+
+
+def ev_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day distinct active users per day — THE sliding-window
+    distinct-count trap: no window frame supports COUNT(DISTINCT), and
+    the naive day×window join recounts every user-day up to 30×. The
+    exact rewrite: a user's activity days induce DISJOINT coverage
+    intervals — after being active on day d they count as "active in the
+    trailing window" on days [d, min(d+29, next_activity−1)] — so each
+    user-day contributes ±1 boundary events and the per-day rolling
+    distinct count is ONE running sum over the zero-filled calendar
+    spine. Shuffle volume: 2 rows per user-day; window: calendar-sized.
+
+    The oracle is the BRUTE-FORCE formulation (spine × user-days range
+    join, COUNT(DISTINCT)) — a genuinely different algorithm that must
+    agree exactly, the same differential posture as the clamp/reflection
+    pair."""
+    ev = catalog.load(spark, sf_dir, "events")
+    day = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 86400000000"
+    )
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    wnext = W.partitionBy("user_id").orderBy("day")
+    iv = ud.withColumn("next_day", F.lead("day").over(wnext)).select(
+        F.col("day").alias("start"),
+        F.least(
+            F.col("day") + ROLLING_WINDOW_DAYS - 1,
+            F.coalesce(
+                F.col("next_day") - 1,
+                F.col("day") + ROLLING_WINDOW_DAYS - 1,
+            ),
+        ).alias("end"),
+    ).filter(F.col("end") >= F.col("start"))
+    bounds = iv.select(
+        F.col("start").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select((F.col("end") + 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    deltas = bounds.groupBy("day").agg(F.sum("delta").alias("delta"))
+    rng = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = rng.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    filled = spine.join(deltas, "day", "left").select(
+        "day", F.coalesce("delta", F.lit(0)).alias("delta")
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        filled.withColumn(
+            "active_users_30d", F.sum("delta").over(wcum).cast("long")
+        )
+        .select(
+            F.expr(
+                "cast(timestamp_micros(day * 86400000000) as timestamp_ntz)"
+            ).cast("date").alias("day"),
+            "active_users_30d",
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_ROLLING_DISTINCT = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events),
+rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+spine AS (
+  SELECT unnest(generate_series((SELECT lo FROM rng),
+                                (SELECT hi FROM rng))) AS day)
+SELECT CAST(make_timestamp(s.day * 86400000000) AS DATE) AS day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users_30d
+FROM spine s
+LEFT JOIN ud u
+  ON u.day BETWEEN s.day - {ROLLING_WINDOW_DAYS - 1} AND s.day
+GROUP BY s.day
+ORDER BY day
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -2137,4 +2219,9 @@ SPECS = [
               doc="truncated 16-tap EWMA smoother as one codegen window "
                   "pass (literal weight ladder, 12dp decimal-summed "
                   "taps, renormalized early rows)"),
+    QuerySpec("ev_rolling_distinct_users", ev_rolling_distinct_users,
+              ORACLE_ROLLING_DISTINCT, ("temporal", "window", "distinct"),
+              doc="rolling 30-day distinct users via disjoint coverage "
+                  "intervals (2 boundary rows per user-day, calendar "
+                  "running sum) == brute-force range-join oracle"),
 ]
