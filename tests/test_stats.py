@@ -126,3 +126,99 @@ def test_restore_from_trash_undoes_overwrite(spark, tmp_path):
         e.path.rsplit("/", 1)[-1].startswith("restored_")
         for e in fs.list_status(trash)
     )
+
+
+# ---------------------------------------------------------------------------
+# Algebraic identities behind the r5 stateful/rolling rewrites
+# ---------------------------------------------------------------------------
+
+def _fold_floor_zero(deltas):
+    bal = mx = resets = 0
+    for d in deltas:
+        bal += d
+        if bal < 0:
+            bal = 0
+            resets += 1
+        if bal > mx:
+            mx = bal
+    return bal, mx, resets
+
+
+def test_capped_fold_equals_reflection_identity():
+    """The floor-at-zero fold equals the reflection closed form
+    (walk minus running min; resets = strict running-min decreases) —
+    the identity inv_running_balance_capped's oracle relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=200))
+    def check(deltas):
+        bal, mx, resets = _fold_floor_zero(deltas)
+        ps = 0
+        runmin = 0
+        prevmin = 0
+        r_resets = 0
+        bals = []
+        for d in deltas:
+            ps += d
+            prevmin = runmin
+            runmin = min(runmin, ps)
+            if ps < prevmin:
+                r_resets += 1
+            bals.append(ps - runmin)
+        assert bals[-1] == bal
+        assert max(bals) == mx
+        assert r_resets == resets
+
+    check()
+
+
+def test_rolling_coverage_intervals_equal_brute():
+    """The disjoint-coverage-interval rewrite of the rolling 30-day
+    distinct count equals brute force on arbitrary activity sets —
+    the identity ev_rolling_distinct_users' two formulations share."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    WINDOW = 7  # smaller window exercises truncation more often
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.dictionaries(
+            st.integers(0, 5),  # user
+            st.sets(st.integers(0, 60), min_size=1, max_size=25),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(activity):
+        lo = min(min(days) for days in activity.values())
+        hi = max(max(days) for days in activity.values())
+        # interval rewrite
+        deltas = Counter()
+        for days in activity.values():
+            sdays = sorted(days)
+            for d, nxt in zip(sdays, sdays[1:] + [None]):
+                end = d + WINDOW - 1
+                if nxt is not None:
+                    end = min(end, nxt - 1)
+                deltas[d] += 1
+                deltas[end + 1] -= 1
+        running = 0
+        rewrite = {}
+        for day in range(lo, hi + 1):
+            running += deltas.get(day, 0)
+            rewrite[day] = running
+        # brute force
+        for day in range(lo, hi + 1):
+            brute = sum(
+                1
+                for days in activity.values()
+                if any(day - WINDOW + 1 <= d <= day for d in days)
+            )
+            assert rewrite[day] == brute, (day, rewrite[day], brute)
+
+    check()
