@@ -4243,6 +4243,81 @@ FROM g ORDER BY n_name
 """
 
 
+OTIF_DAYS = 30
+
+
+def orders_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-time-in-full rate per order priority — the fulfilment KPI: an
+    order counts as OTIF when its LAST line ships within {OTIF_DAYS}
+    days of the order date (order-level predicate, not the line-level
+    lateness of q12). One lineitem aggregate to the order grain, one
+    broadcast-joined rollup; counts integer-exact, the mean days-to-
+    complete is a decimal-sum average."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.expr(
+                "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+            )
+        ).alias("last_ship_day")
+    )
+    oday = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    )
+    j = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderpriority",
+        oday.alias("order_day"),
+    ).join(close, "l_orderkey")
+    days = F.col("last_ship_day") - F.col("order_day")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.when(days <= OTIF_DAYS, 1).otherwise(0))
+            .cast("long")
+            .alias("n_otif"),
+            (F.sum(days.cast("decimal(25,6)")).cast("double")
+             / F.count("*")).alias("avg_days_raw"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_otif",
+            F.round(
+                F.col("n_otif").cast("double")
+                / F.col("n_orders").cast("double"),
+                6,
+            ).alias("otif_rate"),
+            F.round("avg_days_raw", 6).alias("avg_days_to_complete"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_OTIF = f"""
+WITH close AS (
+  SELECT l_orderkey,
+         MAX(epoch_us(l_shipdate) // 86400000000) AS last_ship_day
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT o.o_orderpriority,
+         c.last_ship_day - epoch_us(o.o_orderdate) // 86400000000
+           AS days
+  FROM orders o JOIN close c ON c.l_orderkey = o.o_orderkey)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN days <= {OTIF_DAYS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_otif,
+       ROUND(CAST(SUM(CASE WHEN days <= {OTIF_DAYS} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS otif_rate,
+       ROUND(CAST(SUM(CAST(days AS DECIMAL(25,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_days_to_complete
+FROM j GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
 ORACLE_RFM = """
 WITH anchor AS (
   SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
@@ -4549,4 +4624,8 @@ SPECS = [
               doc="Gini coefficient of customer revenue per nation "
                   "(rank formula over exact-decimal totals, "
                   "dimension-bounded ranking)"),
+    QuerySpec("orders_otif_rate", orders_otif_rate, ORACLE_OTIF,
+              ("agg", "join", "kpi", "dba"),
+              doc="on-time-in-full fulfilment rate per priority "
+                  "(order-grain last-ship predicate, integer-exact)"),
 ]

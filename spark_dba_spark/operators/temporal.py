@@ -2102,6 +2102,79 @@ ORDER BY day
 """
 
 
+# --------------------------------------------------------------------------
+# Transition-policy entropy per state
+# --------------------------------------------------------------------------
+
+def ev_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the Shannon entropy of its NEXT-event distribution
+    plus the most likely successor — the predictability diagnostic over
+    ``ev_markov_transitions``'s matrix (a state with near-zero entropy
+    is a deterministic funnel step; high entropy marks a branching
+    point). One user-keyed LEAD pairing, one (from,to)-keyed aggregate,
+    then a states-squared-sized rollup. Entropy contributions use the
+    9dp-rounded ``n·ln n`` decimal-sum pattern; the top successor is
+    MAX over the (count, successor) struct so count ties break to the
+    lexically greatest successor identically on both engines."""
+    ev = catalog.load(spark, sf_dir, "events")
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    w = W.partitionBy("user_id").orderBy("um", "event_id")
+    pairs = (
+        ev.select("user_id", um.alias("um"), "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    cnt = pairs.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    out = cnt.groupBy("event_type").agg(
+        F.sum("n").alias("n_total"),
+        F.count("*").cast("long").alias("n_successors"),
+        F.sum(
+            F.round(F.col("n") * F.log("n"), 9).cast("decimal(25,9)")
+        ).alias("s"),
+        F.max(F.struct(F.col("n"), F.col("next_type"))).alias("top"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n_total").cast("long").alias("n_transitions"),
+        "n_successors",
+        F.round(
+            F.round(F.log("n_total"), 9)
+            - F.col("s").cast("double") / F.col("n_total"),
+            6,
+        ).alias("entropy"),
+        F.col("top.next_type").alias("top_successor"),
+        F.col("top.n").cast("long").alias("top_count"),
+    ).orderBy("event_type")
+
+
+ORACLE_TRANSITION_ENTROPY = """
+WITH pairs AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+           AS next_type
+  FROM events),
+cnt AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT event_type,
+       CAST(SUM(n) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS BIGINT) AS n_successors,
+       ROUND(ROUND(ln(SUM(n)), 9)
+             - CAST(SUM(CAST(ROUND(n * ln(n), 9) AS DECIMAL(25,9)))
+                    AS DOUBLE) / SUM(n), 6) AS entropy,
+       arg_max(next_type,
+               lpad(CAST(n AS VARCHAR), 20, '0') || '|' || next_type)
+         AS top_successor,
+       CAST(arg_max(n,
+               lpad(CAST(n AS VARCHAR), 20, '0') || '|' || next_type)
+            AS BIGINT) AS top_count
+FROM cnt GROUP BY event_type ORDER BY event_type
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -2224,4 +2297,9 @@ SPECS = [
               doc="rolling 30-day distinct users via disjoint coverage "
                   "intervals (2 boundary rows per user-day, calendar "
                   "running sum) == brute-force range-join oracle"),
+    QuerySpec("ev_transition_entropy", ev_transition_entropy,
+              ORACLE_TRANSITION_ENTROPY,
+              ("temporal", "sequence", "stats"),
+              doc="next-event entropy + top successor per state "
+                  "(predictability diagnostic over the Markov matrix)"),
 ]
