@@ -4318,6 +4318,112 @@ FROM j GROUP BY 1 ORDER BY o_orderpriority
 """
 
 
+BASKET_LIFT_TOPK = 20
+
+
+def basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association metrics for part-TYPE co-purchases: support,
+    confidence and LIFT per type pair (``basket_brand_pairs`` stops at
+    raw support counts; lift is what separates "popular together" from
+    "popular apart" — the recommender/bundling signal). Baskets reduce
+    to distinct (order, type) rows first, the pair fan-out is bounded by
+    basket width, and the per-type totals join back via broadcast
+    (type cardinality is catalog-bounded). Counts are integers
+    end-to-end; the three ratios are single divisions / one
+    multiply-divide chain in identically parenthesized double. Top-K
+    pairs under the total (n_ab DESC, type_a, type_b) order."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    items = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            li.l_partkey == part.p_partkey,
+        )
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    # basket universe size as a 1-row broadcast, NOT a driver .count():
+    # builders must stay lazy (plan_audit constructs every plan)
+    ntotdf = items.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("ntot")
+    )
+    tc = items.groupBy("p_type").agg(F.count("*").alias("n_t"))
+    b = items.select(
+        "l_orderkey", F.col("p_type").alias("type_b")
+    )
+    pairs = (
+        items.select("l_orderkey", F.col("p_type").alias("type_a"))
+        .join(b, "l_orderkey")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(tc.select(F.col("p_type").alias("type_a"),
+                                  F.col("n_t").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(tc.select(F.col("p_type").alias("type_b"),
+                                  F.col("n_t").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(ntotdf))
+    )
+    return (
+        enriched.select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("ntot"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("ntot"))
+                / (F.col("n_a").cast("double")
+                   * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), F.asc("type_a"), F.asc("type_b"))
+        .limit(BASKET_LIFT_TOPK)
+    )
+
+
+ORACLE_BASKET_LIFT = f"""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey, p.p_type
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+ntot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n
+         FROM items),
+tc AS (SELECT p_type, COUNT(*) AS n_t FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.p_type AS type_a, b.p_type AS type_b, COUNT(*) AS n_ab
+  FROM items a JOIN items b
+    ON b.l_orderkey = a.l_orderkey AND a.p_type < b.p_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       ROUND(CAST(p.n_ab AS DOUBLE) / (SELECT n FROM ntot), 6)
+         AS support,
+       ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ta.n_t AS DOUBLE), 6)
+         AS confidence,
+       ROUND((CAST(p.n_ab AS DOUBLE) * (SELECT n FROM ntot))
+             / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)), 6)
+         AS lift
+FROM pairs p
+JOIN tc ta ON ta.p_type = p.type_a
+JOIN tc tb ON tb.p_type = p.type_b
+ORDER BY n_ab DESC, type_a ASC, type_b ASC
+LIMIT {BASKET_LIFT_TOPK}
+"""
+
+
 ORACLE_RFM = """
 WITH anchor AS (
   SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
@@ -4628,4 +4734,9 @@ SPECS = [
               ("agg", "join", "kpi", "dba"),
               doc="on-time-in-full fulfilment rate per priority "
                   "(order-grain last-ship predicate, integer-exact)"),
+    QuerySpec("basket_type_lift", basket_type_lift, ORACLE_BASKET_LIFT,
+              ("join", "agg", "association", "basket"),
+              doc="support/confidence/LIFT per part-type pair "
+                  "(basket-width-bounded pair fan-out, broadcast type "
+                  "totals, integer counts end-to-end)"),
 ]

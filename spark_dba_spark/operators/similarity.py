@@ -1336,6 +1336,73 @@ ORDER BY dim_idx
 """
 
 
+NORM_EXTREME_K = 10
+
+
+def emb_norm_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {K} largest and {K} smallest L2 norms in the embedding corpus
+    — the degenerate-vector screen (all-zero or exploding embeddings
+    poison cosine pipelines silently). Norm² is an EXACT decimal: each
+    x² rounds to 9dp then folds left-to-right over the array (array
+    order is deterministic, decimal addition exact), so the two top-K
+    cuts — TakeOrderedAndProject, no global sort — tie-break on vec_id
+    identically in both engines; sqrt happens only in the display
+    column.
+
+    Scale: map-only norm computation in whole-stage codegen (higher-
+    order functions, no Python), two bounded top-K reductions."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    # the fold re-casts each step: Spark widens DECIMAL(25,9)+(25,9) to
+    # (26,9), which would break the accumulator type contract
+    norm2 = F.expr(
+        "aggregate(embedding, cast(0 as decimal(25,9)), (acc, x) -> "
+        "cast(acc + cast(round(cast(x as double) * cast(x as double), 9) "
+        "as decimal(25,9)) as decimal(25,9)))"
+    )
+    base = emb.select("vec_id", norm2.alias("norm2"))
+    hi = (
+        base.orderBy(F.desc("norm2"), F.asc("vec_id"))
+        .limit(NORM_EXTREME_K)
+        .withColumn("side", F.lit("high"))
+    )
+    lo = (
+        base.orderBy(F.asc("norm2"), F.asc("vec_id"))
+        .limit(NORM_EXTREME_K)
+        .withColumn("side", F.lit("low"))
+    )
+    return (
+        hi.unionByName(lo)
+        .select(
+            "side",
+            "vec_id",
+            F.round(F.sqrt(F.col("norm2").cast("double")), 6).alias(
+                "l2_norm"
+            ),
+        )
+        .orderBy("side", "vec_id")
+    )
+
+
+ORACLE_NORM_EXTREMES = f"""
+WITH base AS (
+  SELECT vec_id,
+         (SELECT SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+                          AS DECIMAL(25,9)))
+          FROM unnest(embedding) AS t(x)) AS norm2
+  FROM embeddings),
+hi AS (
+  SELECT 'high' AS side, vec_id, norm2
+  FROM base ORDER BY norm2 DESC, vec_id ASC LIMIT {NORM_EXTREME_K}),
+lo AS (
+  SELECT 'low' AS side, vec_id, norm2
+  FROM base ORDER BY norm2 ASC, vec_id ASC LIMIT {NORM_EXTREME_K})
+SELECT side, vec_id,
+       ROUND(sqrt(CAST(norm2 AS DOUBLE)), 6) AS l2_norm
+FROM (SELECT * FROM hi UNION ALL SELECT * FROM lo)
+ORDER BY side, vec_id
+"""
+
+
 SPECS = [
     QuerySpec("sim_cosine_topk", sim_cosine_topk, ORACLE_TOPK,
               ("similarity",), bench=True),
@@ -1379,4 +1446,9 @@ SPECS = [
                   "iteration (one corpus pass for moments, "
                   "dimension-bounded unrolled iterations, deterministic "
                   "decimal-summed float path)"),
+    QuerySpec("emb_norm_extremes", emb_norm_extremes, ORACLE_NORM_EXTREMES,
+              ("similarity", "diagnostic", "topk"),
+              doc="10 largest + 10 smallest L2 norms (exact-decimal "
+                  "norm-squared ranking, two TakeOrderedAndProject "
+                  "cuts — the degenerate-vector screen)"),
 ]
