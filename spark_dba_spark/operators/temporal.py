@@ -2175,6 +2175,101 @@ FROM cnt GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Conversion attribution (last-touch + linear multi-touch)
+# --------------------------------------------------------------------------
+
+ATTRIB_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+def ev_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over the event stream: every purchase
+    credits the touches (click/view/signup) in its trailing 7-day
+    window — LAST-TOUCH gives the whole conversion to the most recent
+    touch, LINEAR splits it 1/k across all k touches in the window. Both
+    models from ONE user-keyed range join (fan-out bounded by per-user
+    touches × purchases inside the window, not corpus size).
+
+    Determinism: same-microsecond touches collapse to the lexically
+    greatest type first; the last-touch pick orders (touch time, type)
+    and linear credits round 1/k to 9dp before the exact decimal sum."""
+    ev = catalog.load(spark, sf_dir, "events")
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view", "signup"))
+        .select("user_id", um.alias("tum"),
+                F.col("event_type").alias("ttype"))
+        .groupBy("user_id", "tum")
+        .agg(F.max("ttype").alias("ttype"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", um.alias("pum"), "event_id"
+    )
+    joined = purch.join(touches, "user_id").filter(
+        (F.col("tum") <= F.col("pum"))
+        & (F.col("pum") - F.col("tum") <= ATTRIB_WINDOW_US)
+    )
+    wk = W.partitionBy("user_id", "pum", "event_id")
+    wlast = wk.orderBy(F.desc("tum"), F.desc("ttype"))
+    scored = (
+        joined.withColumn("k", F.count("*").over(wk))
+        .withColumn("rn", F.row_number().over(wlast))
+    )
+    return (
+        scored.groupBy(F.col("ttype").alias("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_touches_in_window"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("last_touch_conversions"),
+            F.sum(
+                F.round(
+                    F.lit(1).cast("double") / F.col("k").cast("double"), 9
+                ).cast("decimal(25,9)")
+            ).cast("double").alias("linear_raw"),
+        )
+        .select(
+            "event_type",
+            "n_touches_in_window",
+            "last_touch_conversions",
+            F.round("linear_raw", 6).alias("linear_credit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH touches AS (
+  SELECT user_id, epoch_us(ts) AS tum, MAX(event_type) AS ttype
+  FROM events WHERE event_type IN ('click', 'view', 'signup')
+  GROUP BY 1, 2),
+purch AS (
+  SELECT user_id, epoch_us(ts) AS pum, event_id
+  FROM events WHERE event_type = 'purchase'),
+joined AS (
+  SELECT p.user_id, p.pum, p.event_id, t.tum, t.ttype
+  FROM purch p JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.tum <= p.pum
+   AND p.pum - t.tum <= {ATTRIB_WINDOW_US}),
+scored AS (
+  SELECT ttype,
+         COUNT(*) OVER wk AS k,
+         ROW_NUMBER() OVER (PARTITION BY user_id, pum, event_id
+                            ORDER BY tum DESC, ttype DESC) AS rn
+  FROM joined
+  WINDOW wk AS (PARTITION BY user_id, pum, event_id))
+SELECT ttype AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches_in_window,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch_conversions,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / CAST(k AS DOUBLE),
+                                 9) AS DECIMAL(25,9))) AS DOUBLE), 6)
+         AS linear_credit
+FROM scored GROUP BY ttype ORDER BY event_type
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -2302,4 +2397,9 @@ SPECS = [
               ("temporal", "sequence", "stats"),
               doc="next-event entropy + top successor per state "
                   "(predictability diagnostic over the Markov matrix)"),
+    QuerySpec("ev_attribution_credit", ev_attribution_credit,
+              ORACLE_ATTRIBUTION, ("temporal", "attribution", "join"),
+              doc="last-touch + linear multi-touch conversion "
+                  "attribution from one user-keyed range join "
+                  "(1/k credits 9dp-rounded, decimal-summed)"),
 ]
