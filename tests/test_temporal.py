@@ -96,3 +96,41 @@ def test_asof_multiple_probes_same_instant(spark):
     assert sorted((r["label"], r["bval"]) for r in rows) == [
         ("a", "b10"), ("b", "b10"),
     ]
+
+
+def test_attribution_linear_credit_conserved(spark):
+    """Linear attribution splits exactly one credit per attributed
+    purchase: sum of linear credits == number of purchases with >=1
+    touch in window (up to the 9dp per-credit rounding)."""
+    from pyspark.sql import functions as F
+
+    from spark_dba_spark import catalog
+    from spark_dba_spark.operators.temporal import (
+        ATTRIB_WINDOW_US,
+        ev_attribution_credit,
+    )
+    from conftest import SF_DIR
+
+    out = ev_attribution_credit(spark, SF_DIR).collect()
+    total_linear = sum(r["linear_credit"] for r in out)
+    ev = catalog.load(spark, SF_DIR, "events")
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    touches = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select("user_id", um.alias("tum"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", um.alias("pum"), "event_id"
+    )
+    attributed = (
+        purch.join(touches, "user_id")
+        .filter(
+            (F.col("tum") <= F.col("pum"))
+            & (F.col("pum") - F.col("tum") <= ATTRIB_WINDOW_US)
+        )
+        .select("user_id", "pum", "event_id")
+        .distinct()
+        .count()
+    )
+    assert abs(total_linear - attributed) < 1e-3, (total_linear, attributed)
+    # last-touch conversions also sum to the attributed purchase count
+    assert sum(r["last_touch_conversions"] for r in out) == attributed
