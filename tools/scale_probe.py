@@ -45,6 +45,8 @@ QUERIES = [
     "emb_pca_power",             # moment pass + dim-bounded iterations (r5b)
     "agg_weighted_median",       # part-keyed price-ladder window (r5b)
     "ev_user_feature_snapshot",  # two keyed aggs + entropy join (r5b)
+    "ev_attribution_credit",     # user-keyed range join, windowed credits (r5b)
+    "ev_rolling_distinct_users",  # coverage-interval boundary rewrite (r5b)
 ]
 
 
