@@ -28,7 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions.numeric import sql_dsum
+from ..functions.numeric import davg, sql_dsum
 from ..registry import QuerySpec
 
 
@@ -1391,6 +1391,22 @@ FROM d ORDER BY day
 """
 
 
+def _collapse_observations(ev: DataFrame) -> DataFrame:
+    """One observation per (user, microsecond): exact-decimal mean of
+    same-instant values, so both engines resample/weight from identical
+    anchors (shared by ``ts_interpolate_linear`` and ``ev_twap``; the
+    oracle-side twin is the ``obs`` CTE both oracles open with)."""
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    return (
+        ev.select("user_id", um.alias("um"), "value")
+        .groupBy("user_id", "um")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+             / F.count("*")).alias("v")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Linear interpolation resample (the LOCF alternative)
 # --------------------------------------------------------------------------
@@ -1415,16 +1431,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolate from identical anchors; the interpolation itself is
     IEEE-double with an explicitly parenthesized evaluation order so
     Spark and DuckDB round identically."""
-    ev = catalog.load(spark, sf_dir, "events")
-    um = F.expr("unix_micros(cast(ts as timestamp))")
-    obs = (
-        ev.select("user_id", um.alias("um"), "value")
-        .groupBy("user_id", "um")
-        .agg(
-            (F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
-             / F.count("*")).alias("v")
-        )
-    )
+    obs = _collapse_observations(catalog.load(spark, sf_dir, "events"))
     w = W.partitionBy("user_id").orderBy("um")
     pairs = (
         obs.withColumn("um1", F.lead("um").over(w))
@@ -1503,16 +1510,7 @@ def ev_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregation order cannot move the total; the denominator is
     the exact integer span. Same-microsecond duplicates collapse first
     via an exact-decimal mean (identical anchors on both engines)."""
-    ev = catalog.load(spark, sf_dir, "events")
-    um = F.expr("unix_micros(cast(ts as timestamp))")
-    obs = (
-        ev.select("user_id", um.alias("um"), "value")
-        .groupBy("user_id", "um")
-        .agg(
-            (F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
-             / F.count("*")).alias("v")
-        )
-    )
+    obs = _collapse_observations(catalog.load(spark, sf_dir, "events"))
     w = W.partitionBy("user_id").orderBy("um")
     pairs = obs.withColumn("um1", F.lead("um").over(w))
     contrib = F.col("v") * (
@@ -1582,8 +1580,15 @@ def ev_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER arithmetic via cross-multiplication —
     ``(m·n − S1)²·(m−1)·Z_DEN² > Z_NUM²·m·(m·S2 − S1²)`` — no engine can
     disagree on a boundary ulp; the reported mean/std/z are display-only
-    doubles. Scale: one fact shuffle to hourly counts; everything after
-    is calendar-bounded (the baseline table is exactly 168 rows,
+    doubles. Operating envelope: the left side is quartic in the hourly
+    count, so BIGINT holds up to roughly n ≈ 3·10⁶ events/hour for a
+    single series at one year of history (beyond that Spark's ANSI mode
+    would raise ARITHMETIC_OVERFLOW rather than corrupt) — at corpus
+    scale this screen runs per (service, series) key, which keeps
+    per-series counts inside the envelope; a beyond-envelope variant
+    would pre-scale counts to per-minute rates or move the predicate to
+    DECIMAL(38). Scale: one fact shuffle to hourly counts; everything
+    after is calendar-bounded (the baseline table is exactly 168 rows,
     broadcast back onto the bounded hourly series)."""
     ev = catalog.load(spark, sf_dir, "events")
     hr = F.expr(
@@ -1760,8 +1765,7 @@ def ev_user_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_active_days"),
         F.min("um").alias("um0"),
         F.max("um").alias("umN"),
-        (F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
-         / F.count("value")).alias("mean_value"),
+        davg("value", "mean_value"),
     )
     per_t = e.groupBy("user_id", "event_type").agg(
         F.count("*").alias("n")

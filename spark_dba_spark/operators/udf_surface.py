@@ -222,13 +222,12 @@ def inv_running_balance_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("delta").alias("delta"))
     )
     out = moves.groupBy("l_suppkey").applyInPandas(fold, out_schema)
-    # Same pruning hazard as the cogrouped operators (similarity._pin_
-    # columns): a consumer that drops output columns lets Catalyst prune
-    # the UDF's INPUT columns out from under it. Pin the references.
-    guard = F.xxhash64(*[f.name for f in out_schema.fields]) >= F.lit(
-        -(1 << 63)
-    )
-    return out.filter(guard).orderBy("l_suppkey")
+    # Same pruning hazard as the cogrouped operators: a consumer that
+    # drops output columns lets Catalyst prune the UDF's INPUT columns
+    # out from under it — pin the references (shared helper).
+    from .similarity import _pin_columns
+
+    return _pin_columns(out).orderBy("l_suppkey")
 
 
 ORACLE_BALANCE = """
@@ -360,10 +359,9 @@ def inv_capacity_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("delta").alias("delta"))
     )
     out = daily.groupBy("l_suppkey").applyInPandas(fold, out_schema)
-    guard = F.xxhash64(*[f.name for f in out_schema.fields]) >= F.lit(
-        -(1 << 63)
-    )
-    return out.filter(guard).orderBy("l_suppkey", "qtr")
+    from .similarity import _pin_columns
+
+    return _pin_columns(out).orderBy("l_suppkey", "qtr")
 
 
 ORACLE_CLAMP = f"""
@@ -465,11 +463,10 @@ def ev_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     out = cand.groupBy("user_id").applyInPandas(fold, out_schema)
-    guard = F.xxhash64(*[f.name for f in out_schema.fields]) >= F.lit(
-        -(1 << 63)
-    )
+    from .similarity import _pin_columns
+
     return (
-        out.filter(guard)
+        _pin_columns(out)
         .select(
             "user_id",
             F.expr(

@@ -413,8 +413,13 @@ _DEBOUNCE_SCHEMA = T.StructType(
         T.StructField("n_suppressed_before", T.LongType()),
     ]
 )
-# last emitted alert micros (-1 = none yet) + candidates suppressed since
-_DEBOUNCE_STATE = "last_um BIGINT, suppressed BIGINT"
+# last emitted alert micros (-1 = none yet), candidates suppressed since,
+# and the max candidate time seen so far: under the in-order ingestion
+# assumption, a duplicate (user, um) arriving in a LATER micro-batch has
+# um <= last_seen and must be ignored entirely (np.unique only dedups
+# within one batch; without last_seen the copy would inflate the
+# suppressed count and diverge from the batch operator's .distinct())
+_DEBOUNCE_STATE = "last_um BIGINT, suppressed BIGINT, last_seen BIGINT"
 
 
 def _update_debounce(key, pdfs, state: GroupState):
@@ -422,7 +427,9 @@ def _update_debounce(key, pdfs, state: GroupState):
 
     from ..operators.udf_surface import ALERT_COOLDOWN_US
 
-    last, suppressed = state.get if state.exists else (-1, 0)
+    last, suppressed, last_seen = (
+        state.get if state.exists else (-1, 0, -1)
+    )
     chunks = [pdf["um"].to_numpy(np.int64) for pdf in pdfs]
     ums = (
         np.unique(np.concatenate(chunks))
@@ -431,6 +438,9 @@ def _update_debounce(key, pdfs, state: GroupState):
     )
     rows = []
     for um in ums:
+        if um <= last_seen:  # cross-batch duplicate (or out-of-order)
+            continue
+        last_seen = int(um)
         if last < 0 or um - last >= ALERT_COOLDOWN_US:
             rows.append(
                 {
@@ -443,7 +453,7 @@ def _update_debounce(key, pdfs, state: GroupState):
             suppressed = 0
         else:
             suppressed += 1
-    state.update((int(last), int(suppressed)))
+    state.update((int(last), int(suppressed), int(last_seen)))
     yield pd.DataFrame(
         rows, columns=["user_id", "alert_um", "n_suppressed_before"]
     )

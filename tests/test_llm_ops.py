@@ -1042,5 +1042,6 @@ def test_pca_power_converges_on_anisotropic(spark):
     from spark_dba_spark.operators.similarity import emb_pca_power
 
     fx = emb_pca_power(spark, SF_DIR).collect()
-    assert len(fx) == len(fx[0].asDict()) * 0 + len(fx)  # shape sanity
+    assert len(fx) == 64, len(fx)  # one row per embedding dimension
+    assert set(fx[0].asDict()) == {"dim_idx", "loading", "eigval"}
     assert fx[0]["eigval"] > 0

@@ -244,18 +244,72 @@ def test_stream_alert_debounce_matches_batch(spark):
     from spark_dba_spark.operators.udf_surface import ev_alert_debounce
     from spark_dba_spark.streaming import jobs
 
+    import calendar
+
     out = jobs.run_alert_debounce_stream(spark, SF_DIR, "t_debounce")
     streamed = {
         (r["user_id"], r["alert_um"], r["n_suppressed_before"])
         for r in out.collect()
     }
+
+    def naive_to_um(dt):
+        # tz-independent, integer-exact: alert_ts is TIMESTAMP_NTZ (a
+        # naive datetime); datetime.timestamp() would interpret it in
+        # the machine's local zone and go through lossy float seconds
+        return calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
+
     batch = {
         (
             r["user_id"],
-            int(r["alert_ts"].timestamp() * 1_000_000),
+            naive_to_um(r["alert_ts"]),
             r["n_suppressed_before"],
         )
         for r in ev_alert_debounce(spark, SF_DIR).collect()
     }
     assert streamed == batch
     assert streamed, "debounce emitted nothing"
+
+
+def test_debounce_state_ignores_cross_batch_duplicates():
+    """A duplicate (user, um) candidate arriving in a LATER micro-batch
+    must be ignored entirely (np.unique only dedups within one batch) —
+    without the last_seen state it would inflate the suppressed count
+    and diverge from the batch operator's .distinct()."""
+    import pandas as pd
+
+    from spark_dba_spark.operators.udf_surface import ALERT_COOLDOWN_US
+    from spark_dba_spark.streaming.jobs import _update_debounce
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    st = FakeState()
+    out1 = pd.concat(
+        list(_update_debounce((1,), [pd.DataFrame({"um": [100]})], st))
+    )
+    assert list(out1["alert_um"]) == [100]
+    # next batch replays the emitted candidate AND adds a suppressed one
+    out2 = pd.concat(
+        list(_update_debounce((1,), [pd.DataFrame({"um": [100, 200]})], st))
+    )
+    assert out2.empty  # 100 is a duplicate; 200 is inside the cooldown
+    # a third batch past the cooldown emits with exactly ONE suppressed
+    # (the duplicate must not have been counted)
+    t3 = 100 + ALERT_COOLDOWN_US
+    out3 = pd.concat(
+        list(_update_debounce((1,), [pd.DataFrame({"um": [t3]})], st))
+    )
+    assert list(out3["alert_um"]) == [t3]
+    assert list(out3["n_suppressed_before"]) == [1]
