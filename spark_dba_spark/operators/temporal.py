@@ -2051,14 +2051,35 @@ def ev_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unix_micros(cast(ts as timestamp)) div 86400000000"
     )
     ud = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        _coverage_rolling_counts(ud, ROLLING_WINDOW_DAYS)
+        .select(
+            F.expr(
+                "cast(timestamp_micros(day * 86400000000) as timestamp_ntz)"
+            ).cast("date").alias("day"),
+            F.col("n_covered").alias("active_users_30d"),
+        )
+        .orderBy("day")
+    )
+
+
+def _coverage_rolling_counts(ud: DataFrame, window_days: int) -> DataFrame:
+    """Core of the coverage-interval rewrite over a distinct
+    (user_id, day) frame: per calendar day (zero-filled spine), the
+    number of users whose latest activity lies within the trailing
+    ``window_days`` — exactly COUNT(DISTINCT) over the sliding window,
+    in 2 boundary rows per user-day + one calendar running sum. Shared
+    by ``ev_rolling_distinct_users`` and ``ev_stickiness_dau_mau``;
+    identity property-tested against brute force in
+    tests/test_stats.py."""
     wnext = W.partitionBy("user_id").orderBy("day")
     iv = ud.withColumn("next_day", F.lead("day").over(wnext)).select(
         F.col("day").alias("start"),
         F.least(
-            F.col("day") + ROLLING_WINDOW_DAYS - 1,
+            F.col("day") + window_days - 1,
             F.coalesce(
                 F.col("next_day") - 1,
-                F.col("day") + ROLLING_WINDOW_DAYS - 1,
+                F.col("day") + window_days - 1,
             ),
         ).alias("end"),
     ).filter(F.col("end") >= F.col("start"))
@@ -2074,18 +2095,72 @@ def ev_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.coalesce("delta", F.lit(0)).alias("delta")
     )
     wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return filled.withColumn(
+        "n_covered", F.sum("delta").over(wcum).cast("long")
+    ).select("day", "n_covered")
+
+
+def ev_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement ratio product teams
+    watch (1.0 = every monthly user shows up daily). DAU is the exact
+    per-day distinct; MAU is the exact trailing-30-day distinct from the
+    SAME coverage-interval core as ``ev_rolling_distinct_users`` (one
+    user-day dedup feeds both, calendar-sized everything after); the
+    ratio is a single per-row division."""
+    ev = catalog.load(spark, sf_dir, "events")
+    day = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 86400000000"
+    )
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    mau = _coverage_rolling_counts(ud, ROLLING_WINDOW_DAYS)
     return (
-        filled.withColumn(
-            "active_users_30d", F.sum("delta").over(wcum).cast("long")
-        )
+        mau.join(dau, "day", "left")
         .select(
             F.expr(
                 "cast(timestamp_micros(day * 86400000000) as timestamp_ntz)"
             ).cast("date").alias("day"),
-            "active_users_30d",
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.col("n_covered").alias("mau"),
+            F.when(
+                F.col("n_covered") > 0,
+                F.round(
+                    F.coalesce("dau", F.lit(0)).cast("double")
+                    / F.col("n_covered").cast("double"),
+                    6,
+                ),
+            ).alias("stickiness"),
         )
         .orderBy("day")
     )
+
+
+ORACLE_STICKINESS = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events),
+rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+spine AS (
+  SELECT unnest(generate_series((SELECT lo FROM rng),
+                                (SELECT hi FROM rng))) AS day),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+mau AS (
+  SELECT s.day,
+         CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+  FROM spine s
+  LEFT JOIN ud u
+    ON u.day BETWEEN s.day - {ROLLING_WINDOW_DAYS - 1} AND s.day
+  GROUP BY s.day)
+SELECT CAST(make_timestamp(m.day * 86400000000) AS DATE) AS day,
+       CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+       m.mau,
+       CASE WHEN m.mau > 0 THEN
+         ROUND(CAST(COALESCE(d.dau, 0) AS DOUBLE)
+               / CAST(m.mau AS DOUBLE), 6)
+       END AS stickiness
+FROM mau m LEFT JOIN dau d ON d.day = m.day
+ORDER BY day
+"""
 
 
 ORACLE_ROLLING_DISTINCT = f"""
@@ -2406,4 +2481,8 @@ SPECS = [
               doc="last-touch + linear multi-touch conversion "
                   "attribution from one user-keyed range join "
                   "(1/k credits 9dp-rounded, decimal-summed)"),
+    QuerySpec("ev_stickiness_dau_mau", ev_stickiness_dau_mau,
+              ORACLE_STICKINESS, ("temporal", "window", "engagement"),
+              doc="DAU/MAU stickiness per day (exact daily distinct + "
+                  "the shared coverage-interval rolling-30 core)"),
 ]
