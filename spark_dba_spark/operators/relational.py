@@ -4424,6 +4424,69 @@ LIMIT {BASKET_LIFT_TOPK}
 """
 
 
+def elasticity_discount_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount elasticity read: the correlation between the
+    discount offered and the quantity bought, with exact-decimal mean
+    quantities in the low- and high-discount halves — the merchandising
+    question "does discounting this brand actually move volume?".
+    Pearson corr is the numerically-stable distributed implementation on
+    both engines (the repo's corr/regr precedent); the half-split uses a
+    fixed 5% literal so no engine-dependent median is involved.
+
+    Scale: one broadcast dim join (part → brand), ONE brand-keyed
+    aggregate carrying all four statistics — no second pass, no window."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    )
+    lo = F.col("l_discount") < 0.05
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.corr("l_discount", "l_quantity"), 6).alias(
+                "corr_discount_qty"
+            ),
+            F.round(
+                F.sum(
+                    F.when(lo, F.col("l_quantity")).cast("decimal(25,6)")
+                ).cast("double")
+                / F.sum(F.when(lo, 1).otherwise(0)),
+                6,
+            ).alias("avg_qty_low_disc"),
+            F.round(
+                F.sum(
+                    F.when(~lo, F.col("l_quantity")).cast("decimal(25,6)")
+                ).cast("double")
+                / F.sum(F.when(~lo, 1).otherwise(0)),
+                6,
+            ).alias("avg_qty_high_disc"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_ELASTICITY = """
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(corr(l.l_discount, l.l_quantity), 6) AS corr_discount_qty,
+       ROUND(CAST(SUM(CAST(CASE WHEN l.l_discount < 0.05
+                                THEN l.l_quantity END
+                           AS DECIMAL(25,6))) AS DOUBLE)
+             / SUM(CASE WHEN l.l_discount < 0.05 THEN 1 ELSE 0 END), 6)
+         AS avg_qty_low_disc,
+       ROUND(CAST(SUM(CAST(CASE WHEN NOT (l.l_discount < 0.05)
+                                THEN l.l_quantity END
+                           AS DECIMAL(25,6))) AS DOUBLE)
+             / SUM(CASE WHEN NOT (l.l_discount < 0.05) THEN 1 ELSE 0 END),
+             6) AS avg_qty_high_disc
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""
+
+
 ORACLE_RFM = """
 WITH anchor AS (
   SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
@@ -4739,4 +4802,9 @@ SPECS = [
               doc="support/confidence/LIFT per part-type pair "
                   "(basket-width-bounded pair fan-out, broadcast type "
                   "totals, integer counts end-to-end)"),
+    QuerySpec("elasticity_discount_qty", elasticity_discount_qty,
+              ORACLE_ELASTICITY, ("agg", "join", "stats", "pricing"),
+              doc="per-brand discount-quantity correlation + low/high "
+                  "discount exact-decimal mean volumes (one brand-keyed "
+                  "aggregate)"),
 ]

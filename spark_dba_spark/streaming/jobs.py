@@ -501,3 +501,73 @@ def run_alert_debounce_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming max-gap tracker (live form of the dead-sensor screen)
+# ---------------------------------------------------------------------------
+
+_GAP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_gap_us", T.LongType()),
+    ]
+)
+_GAP_STATE = "last_um BIGINT, max_gap BIGINT, n BIGINT"
+
+
+def _update_gap(key, pdfs, state: GroupState):
+    import numpy as np
+
+    last, max_gap, n = state.get if state.exists else (-1, 0, 0)
+    chunks = [pdf["um"].to_numpy(np.int64) for pdf in pdfs]
+    ums = (
+        np.sort(np.concatenate(chunks)) if chunks else np.array([], np.int64)
+    )
+    for um in ums:
+        if last >= 0 and um - last > max_gap:
+            max_gap = int(um - last)
+        if um > last:
+            last = int(um)
+        n += 1
+    state.update((int(last), int(max_gap), int(n)))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_events": [int(n)],
+            "max_gap_us": [int(max_gap)],
+        }
+    )
+
+
+def run_user_gap_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "user_gaps"
+) -> DataFrame:
+    """Live per-user max inter-event gap via ``applyInPandasWithState`` —
+    the streaming form of ``ev_gap_detection``'s inter-event component
+    (the tail-to-corpus-end gap only exists in batch, where the corpus
+    end is known). Integer-exact state: (last event micros, max gap,
+    count); update mode emits the running answer per key each batch.
+    Same in-order ingestion assumption as the debounce twin."""
+    ev = stream_events(spark, sf_dir)
+    pts = ev.select(
+        "user_id", F.expr("unix_micros(cast(ts as timestamp))").alias("um")
+    )
+    q = (
+        pts.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_gap,
+            outputStructType=_GAP_SCHEMA,
+            stateStructType=_GAP_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

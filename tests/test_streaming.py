@@ -313,3 +313,40 @@ def test_debounce_state_ignores_cross_batch_duplicates():
     )
     assert list(out3["alert_um"]) == [t3]
     assert list(out3["n_suppressed_before"]) == [1]
+
+
+def test_stream_user_gap_matches_batch(spark):
+    """The streaming max-gap state must equal the batch LAG-pairing max
+    inter-event gap per user (integer-exact; tail gap is batch-only)."""
+    from spark_dba_spark import catalog
+    from spark_dba_spark.streaming import jobs
+    from pyspark.sql import Window as W
+
+    out = jobs.run_user_gap_stream(spark, SF_DIR, "t_gaps")
+    final = {
+        r["user_id"]: (r["n_events"], r["max_gap_us"])
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_gap_us").alias("max_gap_us"),
+        )
+        .collect()
+    }
+    ev = catalog.load(spark, SF_DIR, "events")
+    um = F.expr("unix_micros(cast(ts as timestamp))")
+    w = W.partitionBy("user_id").orderBy("um")
+    batch = {
+        r["user_id"]: (r["n"], r["mg"])
+        for r in ev.select("user_id", um.alias("um"))
+        .withColumn("prev", F.lag("um").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.max(F.col("um") - F.col("prev")), F.lit(0)
+            ).alias("mg"),
+        )
+        .collect()
+    }
+    assert final == batch
+    assert final
