@@ -4487,6 +4487,91 @@ GROUP BY p.p_brand ORDER BY p.p_brand
 """
 
 
+MEDIAN_BUCKETS = 1024
+
+
+def agg_exact_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of l_extendedprice by distributed SELECTION —
+    no global sort, no single-partition holistic aggregate: pass 1 bins
+    every value into {MEDIAN_BUCKETS} width buckets (map-side combined
+    counts), the tiny bucket histogram locates which bucket holds the
+    k-th smallest (k = (n+1)/2) and the residual rank within it, and
+    pass 2 sorts ONLY that bucket's rows (≈n/buckets of the data) to
+    pick the element. This is the textbook two-pass selection rewrite of
+    "ORDER BY ... OFFSET k" — the only shapes that touch all rows are
+    two scans with pushdown-friendly aggregates.
+
+    Determinism: bucket ids are IEEE arithmetic on exact parquet doubles
+    (identical in both engines); within the target bucket row_number
+    ties on equal values are harmless because the k-th order STATISTIC
+    is tie-invariant. Oracle: brute-force global ROW_NUMBER selection."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(F.col("l_extendedprice").alias("v"))
+    stats = v.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    b = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(MEDIAN_BUCKETS - 1),
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * MEDIAN_BUCKETS
+            ),
+        ),
+    ).otherwise(0)
+    binned = v.crossJoin(F.broadcast(stats)).select(
+        "v", b.cast("int").alias("bucket")
+    )
+    hist = binned.groupBy("bucket").agg(F.count("*").alias("c"))
+    wcum = W.orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    target = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("prev_cum", F.col("cum") - F.col("c"))
+        .crossJoin(F.broadcast(stats.select(((F.col("n") + 1) / 2)
+                                            .cast("long").alias("k"))))
+        .filter(
+            (F.col("cum") >= F.col("k")) & (F.col("prev_cum") < F.col("k"))
+        )
+        .select(
+            F.col("bucket").alias("tbucket"),
+            (F.col("k") - F.col("prev_cum")).alias("residual_rank"),
+            "k",
+        )
+    )
+    in_bucket = binned.join(F.broadcast(target),
+                            binned.bucket == F.col("tbucket"))
+    wsel = W.orderBy("v")
+    return (
+        in_bucket.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") == F.col("residual_rank"))
+        .crossJoin(F.broadcast(stats.select(F.col("n"))))
+        .select(
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("k").cast("long").alias("k"),
+            F.col("v").alias("median_exact"),
+        )
+    )
+
+
+ORACLE_EXACT_MEDIAN = """
+WITH s AS (
+  SELECT l_extendedprice AS v,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem),
+kk AS (SELECT (COUNT(*) + 1) // 2 AS k, COUNT(*) AS n FROM lineitem)
+SELECT CAST(kk.n AS BIGINT) AS n_rows,
+       CAST(kk.k AS BIGINT) AS k,
+       (SELECT v FROM s WHERE s.rn = kk.k) AS median_exact
+FROM kk
+"""
+
+
 ORACLE_RFM = """
 WITH anchor AS (
   SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
@@ -4807,4 +4892,10 @@ SPECS = [
               doc="per-brand discount-quantity correlation + low/high "
                   "discount exact-decimal mean volumes (one brand-keyed "
                   "aggregate)"),
+    QuerySpec("agg_exact_global_median", agg_exact_global_median,
+              ORACLE_EXACT_MEDIAN, ("agg", "percentile", "selection"),
+              doc="exact global median by two-pass distributed "
+                  "selection (bucket histogram locates the k-th bucket; "
+                  "only ~n/1024 rows ever sort) == brute ROW_NUMBER "
+                  "oracle"),
 ]
