@@ -4488,23 +4488,25 @@ GROUP BY p.p_brand ORDER BY p.p_brand
 
 
 MEDIAN_BUCKETS = 1024
+SELECTION_QUANTILES = (0.5, 0.9, 0.99)
 
 
 def agg_exact_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT global median of l_extendedprice by distributed SELECTION —
-    no global sort, no single-partition holistic aggregate: pass 1 bins
-    every value into {MEDIAN_BUCKETS} width buckets (map-side combined
-    counts), the tiny bucket histogram locates which bucket holds the
-    k-th smallest (k = (n+1)/2) and the residual rank within it, and
-    pass 2 sorts ONLY that bucket's rows (≈n/buckets of the data) to
-    pick the element. This is the textbook two-pass selection rewrite of
-    "ORDER BY ... OFFSET k" — the only shapes that touch all rows are
-    two scans with pushdown-friendly aggregates.
+    """EXACT global order statistics (median / p90 / p99 of
+    l_extendedprice) by distributed SELECTION — no global sort, no
+    single-partition holistic aggregate: pass 1 bins every value into
+    {MEDIAN_BUCKETS} width buckets (map-side combined counts), the tiny
+    bucket histogram locates, for EACH requested quantile, which bucket
+    holds its k-th smallest (k = ceil(q·n)) and the residual rank within
+    it, and pass 2 sorts ONLY those buckets' rows (≈n/buckets each).
+    The textbook two-pass rewrite of "ORDER BY … OFFSET k", amortized
+    across all three quantiles from the same histogram.
 
     Determinism: bucket ids are IEEE arithmetic on exact parquet doubles
-    (identical in both engines); within the target bucket row_number
-    ties on equal values are harmless because the k-th order STATISTIC
-    is tie-invariant. Oracle: brute-force global ROW_NUMBER selection."""
+    (identical in both engines), k = ceil(q·n) is one IEEE product, and
+    within a target bucket row_number ties on equal values are harmless
+    because the k-th order STATISTIC is tie-invariant. Oracle:
+    brute-force global ROW_NUMBER selection."""
     li = _t(spark, sf_dir, "lineitem")
     v = li.select(F.col("l_extendedprice").alias("v"))
     stats = v.agg(
@@ -4526,49 +4528,70 @@ def agg_exact_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = v.crossJoin(F.broadcast(stats)).select(
         "v", b.cast("int").alias("bucket")
     )
+    qs = spark.createDataFrame(
+        [(q,) for q in SELECTION_QUANTILES], "q double"
+    )
+    ks = qs.crossJoin(F.broadcast(stats)).select(
+        "q",
+        "n",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("q") * F.col("n"))
+        ).cast("long").alias("k"),
+    )
     hist = binned.groupBy("bucket").agg(F.count("*").alias("c"))
     wcum = W.orderBy("bucket").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    target = (
+    targets = (
         hist.withColumn("cum", F.sum("c").over(wcum))
         .withColumn("prev_cum", F.col("cum") - F.col("c"))
-        .crossJoin(F.broadcast(stats.select(((F.col("n") + 1) / 2)
-                                            .cast("long").alias("k"))))
+        .crossJoin(F.broadcast(ks))
         .filter(
             (F.col("cum") >= F.col("k")) & (F.col("prev_cum") < F.col("k"))
         )
         .select(
+            "q",
+            "n",
+            "k",
             F.col("bucket").alias("tbucket"),
             (F.col("k") - F.col("prev_cum")).alias("residual_rank"),
-            "k",
         )
     )
-    in_bucket = binned.join(F.broadcast(target),
-                            binned.bucket == F.col("tbucket"))
-    wsel = W.orderBy("v")
+    in_bucket = binned.join(
+        F.broadcast(targets), binned.bucket == F.col("tbucket")
+    )
+    wsel = W.partitionBy("q").orderBy("v")
     return (
         in_bucket.withColumn("rn", F.row_number().over(wsel))
         .filter(F.col("rn") == F.col("residual_rank"))
-        .crossJoin(F.broadcast(stats.select(F.col("n"))))
         .select(
+            "q",
             F.col("n").cast("long").alias("n_rows"),
             F.col("k").cast("long").alias("k"),
-            F.col("v").alias("median_exact"),
+            F.col("v").alias("value_exact"),
         )
+        .orderBy("q")
     )
 
 
-ORACLE_EXACT_MEDIAN = """
+ORACLE_EXACT_MEDIAN = f"""
 WITH s AS (
   SELECT l_extendedprice AS v,
          ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
   FROM lineitem),
-kk AS (SELECT (COUNT(*) + 1) // 2 AS k, COUNT(*) AS n FROM lineitem)
-SELECT CAST(kk.n AS BIGINT) AS n_rows,
-       CAST(kk.k AS BIGINT) AS k,
-       (SELECT v FROM s WHERE s.rn = kk.k) AS median_exact
-FROM kk
+nn AS (SELECT COUNT(*) AS n FROM lineitem),
+qs AS (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)"
+                                 for q in SELECTION_QUANTILES)}])
+         AS q),
+ks AS (
+  SELECT q, nn.n,
+         GREATEST(1, CAST(ceil(q * nn.n) AS BIGINT)) AS k
+  FROM qs CROSS JOIN nn)
+SELECT ks.q,
+       CAST(ks.n AS BIGINT) AS n_rows,
+       ks.k,
+       (SELECT v FROM s WHERE s.rn = ks.k) AS value_exact
+FROM ks ORDER BY q
 """
 
 
@@ -4894,8 +4917,8 @@ SPECS = [
                   "aggregate)"),
     QuerySpec("agg_exact_global_median", agg_exact_global_median,
               ORACLE_EXACT_MEDIAN, ("agg", "percentile", "selection"),
-              doc="exact global median by two-pass distributed "
-                  "selection (bucket histogram locates the k-th bucket; "
-                  "only ~n/1024 rows ever sort) == brute ROW_NUMBER "
-                  "oracle"),
+              doc="exact global median/p90/p99 by two-pass distributed "
+                  "selection (one bucket histogram locates every "
+                  "quantile's bucket; only ~n/1024 rows per quantile "
+                  "ever sort) == brute ROW_NUMBER oracle"),
 ]
