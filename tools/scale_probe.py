@@ -47,6 +47,8 @@ QUERIES = [
     "ev_user_feature_snapshot",  # two keyed aggs + entropy join (r5b)
     "ev_attribution_credit",     # user-keyed range join, windowed credits (r5b)
     "ev_rolling_distinct_users",  # coverage-interval boundary rewrite (r5b)
+    "agg_exact_global_median",   # two-pass selection, histogram + bucket sort (r5b)
+    "ev_stickiness_dau_mau",     # shared coverage core + daily distinct (r5b)
 ]
 
 
