@@ -222,3 +222,53 @@ def test_rolling_coverage_intervals_equal_brute():
             assert rewrite[day] == brute, (day, rewrite[day], brute)
 
     check()
+
+
+def test_bucket_selection_equals_order_statistic():
+    """The two-pass bucket-selection rewrite (histogram locates the
+    k-th element's bucket + residual rank) equals the sorted order
+    statistic on arbitrary float multisets — the identity
+    agg_exact_global_median's two formulations share."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    B = 16  # few buckets → lots of residual-rank action
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=200,
+        ),
+        st.floats(min_value=0.01, max_value=1.0),
+    )
+    def check(vals, q):
+        n = len(vals)
+        k = max(1, math.ceil(q * n))
+        expected = sorted(vals)[k - 1]
+        lo, hi = min(vals), max(vals)
+        if hi > lo:
+            bid = lambda v: min(B - 1, int((v - lo) / (hi - lo) * B))
+        else:
+            bid = lambda v: 0
+        hist = {}
+        for v in vals:
+            hist[bid(v)] = hist.get(bid(v), 0) + 1
+        cum = 0
+        for b in sorted(hist):
+            prev = cum
+            cum += hist[b]
+            if cum >= k and prev < k:
+                residual = k - prev
+                in_bucket = sorted(v for v in vals if bid(v) == b)
+                assert in_bucket[residual - 1] == expected
+                return
+        raise AssertionError("no bucket located")
+
+    check()
