@@ -4429,12 +4429,18 @@ def elasticity_discount_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     discount offered and the quantity bought, with exact-decimal mean
     quantities in the low- and high-discount halves — the merchandising
     question "does discounting this brand actually move volume?".
-    Pearson corr is the numerically-stable distributed implementation on
-    both engines (the repo's corr/regr precedent); the half-split uses a
-    fixed 5% literal so no engine-dependent median is involved.
+
+    The correlation is assembled from 9dp-rounded decimal MOMENT sums
+    rather than ``F.corr``: under Spark 4's ANSI mode ``corr`` raises
+    DIVIDE_BY_ZERO on any zero-variance group (verified live) while
+    DuckDB returns NULL — the moment form makes the zero-variance guard
+    an explicit (identically-IEEE) predicate on both engines, and the
+    exact decimal sums make the moments partial-order independent. The
+    half-split uses a fixed 5% literal so no engine-dependent median is
+    involved.
 
     Scale: one broadcast dim join (part → brand), ONE brand-keyed
-    aggregate carrying all four statistics — no second pass, no window."""
+    aggregate carrying all six moments — no second pass, no window."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     j = li.join(
@@ -4442,48 +4448,74 @@ def elasticity_discount_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.l_partkey == part.p_partkey,
     )
     lo = F.col("l_discount") < 0.05
-    return (
-        j.groupBy("p_brand")
-        .agg(
-            F.count("*").cast("long").alias("n_lines"),
-            F.round(F.corr("l_discount", "l_quantity"), 6).alias(
-                "corr_discount_qty"
-            ),
-            F.round(
-                F.sum(
-                    F.when(lo, F.col("l_quantity")).cast("decimal(25,6)")
-                ).cast("double")
-                / F.sum(F.when(lo, 1).otherwise(0)),
-                6,
-            ).alias("avg_qty_low_disc"),
-            F.round(
-                F.sum(
-                    F.when(~lo, F.col("l_quantity")).cast("decimal(25,6)")
-                ).cast("double")
-                / F.sum(F.when(~lo, 1).otherwise(0)),
-                6,
-            ).alias("avg_qty_high_disc"),
-        )
-        .orderBy("p_brand")
+
+    def dsum9(expr):
+        return F.sum(F.round(expr, 9).cast("decimal(25,9)")).cast("double")
+
+    x, y = F.col("l_discount"), F.col("l_quantity")
+    g = j.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        dsum9(x).alias("sx"),
+        dsum9(y).alias("sy"),
+        dsum9(x * y).alias("sxy"),
+        dsum9(x * x).alias("sxx"),
+        dsum9(y * y).alias("syy"),
+        F.round(davg(F.when(lo, y), "_a"), 6).alias("avg_qty_low_disc"),
+        F.round(davg(F.when(~lo, y), "_b"), 6).alias("avg_qty_high_disc"),
     )
+    n = F.col("n_lines").cast("double")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return g.select(
+        "p_brand",
+        "n_lines",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(cov / F.sqrt(varx * vary), 6),
+        ).alias("corr_discount_qty"),
+        "avg_qty_low_disc",
+        "avg_qty_high_disc",
+    ).orderBy("p_brand")
 
 
 ORACLE_ELASTICITY = """
-SELECT p.p_brand,
-       CAST(COUNT(*) AS BIGINT) AS n_lines,
-       ROUND(corr(l.l_discount, l.l_quantity), 6) AS corr_discount_qty,
-       ROUND(CAST(SUM(CAST(CASE WHEN l.l_discount < 0.05
-                                THEN l.l_quantity END
-                           AS DECIMAL(25,6))) AS DOUBLE)
-             / SUM(CASE WHEN l.l_discount < 0.05 THEN 1 ELSE 0 END), 6)
-         AS avg_qty_low_disc,
-       ROUND(CAST(SUM(CAST(CASE WHEN NOT (l.l_discount < 0.05)
-                                THEN l.l_quantity END
-                           AS DECIMAL(25,6))) AS DOUBLE)
-             / SUM(CASE WHEN NOT (l.l_discount < 0.05) THEN 1 ELSE 0 END),
-             6) AS avg_qty_high_disc
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-GROUP BY p.p_brand ORDER BY p.p_brand
+WITH g AS (
+  SELECT p.p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(ROUND(l.l_discount, 9) AS DECIMAL(25,9)))
+              AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(l.l_quantity, 9) AS DECIMAL(25,9)))
+              AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(l.l_discount * l.l_quantity, 9)
+                       AS DECIMAL(25,9))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(l.l_discount * l.l_discount, 9)
+                       AS DECIMAL(25,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(l.l_quantity * l.l_quantity, 9)
+                       AS DECIMAL(25,9))) AS DOUBLE) AS syy,
+         ROUND(CAST(SUM(CAST(CASE WHEN l.l_discount < 0.05
+                                  THEN l.l_quantity END
+                             AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(CASE WHEN l.l_discount < 0.05
+                            THEN l.l_quantity END), 6)
+           AS avg_qty_low_disc,
+         ROUND(CAST(SUM(CAST(CASE WHEN NOT (l.l_discount < 0.05)
+                                  THEN l.l_quantity END
+                             AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(CASE WHEN NOT (l.l_discount < 0.05)
+                            THEN l.l_quantity END), 6)
+           AS avg_qty_high_disc
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand)
+SELECT p_brand, n_lines,
+       CASE WHEN CAST(n_lines AS DOUBLE) * sxx - sx * sx > 0
+             AND CAST(n_lines AS DOUBLE) * syy - sy * sy > 0 THEN
+         ROUND((CAST(n_lines AS DOUBLE) * sxy - sx * sy)
+               / sqrt((CAST(n_lines AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n_lines AS DOUBLE) * syy - sy * sy)), 6)
+       END AS corr_discount_qty,
+       avg_qty_low_disc, avg_qty_high_disc
+FROM g ORDER BY p_brand
 """
 
 
@@ -4499,8 +4531,15 @@ def agg_exact_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket histogram locates, for EACH requested quantile, which bucket
     holds its k-th smallest (k = ceil(q·n)) and the residual rank within
     it, and pass 2 sorts ONLY those buckets' rows (≈n/buckets each).
-    The textbook two-pass rewrite of "ORDER BY … OFFSET k", amortized
-    across all three quantiles from the same histogram.
+    The textbook two-pass SELECTION rewrite of "ORDER BY … OFFSET k",
+    amortized across all three quantiles from the same histogram. (Two
+    LOGICAL passes; the lazy unshared plan re-embeds the stats/bin
+    subtrees across its branches, so the fact table is physically
+    scanned by each branch — map-side-combined every time. A deployment
+    would persist the binned frame to make the physical scan count
+    match; builders here stay lazy so plan audits never execute jobs.)
+    Degenerate input: an EMPTY relation yields zero rows on both
+    engines (the oracle guards its quantile spine on n > 0).
 
     Determinism: bucket ids are IEEE arithmetic on exact parquet doubles
     (identical in both engines), k = ceil(q·n) is one IEEE product, and
@@ -4591,7 +4630,7 @@ SELECT ks.q,
        CAST(ks.n AS BIGINT) AS n_rows,
        ks.k,
        (SELECT v FROM s WHERE s.rn = ks.k) AS value_exact
-FROM ks ORDER BY q
+FROM ks WHERE ks.n > 0 ORDER BY q
 """
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 
 from .. import catalog
 from ..registry import QuerySpec
+from .similarity import _pin_columns
 
 
 def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,8 +226,6 @@ def inv_running_balance_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same pruning hazard as the cogrouped operators: a consumer that
     # drops output columns lets Catalyst prune the UDF's INPUT columns
     # out from under it — pin the references (shared helper).
-    from .similarity import _pin_columns
-
     return _pin_columns(out).orderBy("l_suppkey")
 
 
@@ -359,8 +358,6 @@ def inv_capacity_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("delta").alias("delta"))
     )
     out = daily.groupBy("l_suppkey").applyInPandas(fold, out_schema)
-    from .similarity import _pin_columns
-
     return _pin_columns(out).orderBy("l_suppkey", "qtr")
 
 
@@ -463,8 +460,6 @@ def ev_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     out = cand.groupBy("user_id").applyInPandas(fold, out_schema)
-    from .similarity import _pin_columns
-
     return (
         _pin_columns(out)
         .select(

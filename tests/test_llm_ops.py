@@ -1041,7 +1041,9 @@ def test_pca_power_converges_on_anisotropic(spark):
     from conftest import SF_DIR
     from spark_dba_spark.operators.similarity import emb_pca_power
 
+    from spark_dba_spark.operators.similarity import EMB_DIM
+
     fx = emb_pca_power(spark, SF_DIR).collect()
-    assert len(fx) == 64, len(fx)  # one row per embedding dimension
+    assert len(fx) == EMB_DIM, len(fx)  # one row per embedding dimension
     assert set(fx[0].asDict()) == {"dim_idx", "loading", "eigval"}
     assert fx[0]["eigval"] > 0
