@@ -1673,6 +1673,120 @@ GROUP BY source ORDER BY source
 """
 
 
+
+# --------------------------------------------------------------------------
+# Token-budget curation (quality-greedy budget fill)
+# --------------------------------------------------------------------------
+
+BUDGET_TOKENS = 10_000
+BUDGET_BUCKETS = 256
+
+
+def corpus_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a fixed {BUDGET_TOKENS}-token training budget with the
+    HIGHEST-quality documents — the curation step that turns a scored
+    corpus into a training mix when compute (not data) is the binding
+    constraint. Selection rule: greedy by quality_score (doc_id
+    tie-break), take-while the tokens BEFORE a doc stay under budget
+    (the crossing doc is included).
+
+    Scale shape: the global "sort by quality, running-sum, cut" is
+    rewritten with the same SELECTION pattern as
+    ``agg_exact_global_median`` — a descending score-bucket histogram of
+    TOKEN MASS locates which buckets can still fit under the budget,
+    and only those buckets (≈budget-sized, not corpus-sized) run the
+    in-bucket ordered prefix sum, partitioned per bucket. Equal scores
+    always share a bucket, so the bucket decomposition reproduces the
+    global order exactly. The oracle IS the brute global-window form —
+    two algorithms, one answer."""
+    tq = text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    stats = tq.agg(
+        F.min("quality_score").alias("lo"),
+        F.max("quality_score").alias("hi"),
+    )
+    b = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(BUDGET_BUCKETS - 1),
+            F.floor(
+                (F.col("hi") - F.col("quality_score"))
+                / (F.col("hi") - F.col("lo"))
+                * BUDGET_BUCKETS
+            ),
+        ),
+    ).otherwise(0)
+    binned = tq.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "n_tokens", "quality_score", b.cast("int").alias("bucket")
+    )
+    hist = binned.groupBy("bucket").agg(F.sum("n_tokens").alias("tok"))
+    wcum = W.orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    pref = (
+        hist.withColumn("cum", F.sum("tok").over(wcum))
+        .withColumn("bucket_before", F.col("cum") - F.col("tok"))
+        .filter(F.col("bucket_before") < BUDGET_TOKENS)
+        .select("bucket", "bucket_before")
+    )
+    w_in = (
+        W.partitionBy("bucket")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    kept = (
+        binned.join(F.broadcast(pref), "bucket")
+        .withColumn(
+            "tokens_before",
+            (
+                F.col("bucket_before")
+                + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+            ).cast("long"),
+        )
+        .filter(F.col("tokens_before") < BUDGET_TOKENS)
+    )
+    return kept.select(
+        "doc_id",
+        F.round("quality_score", 6).alias("quality_score"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "tokens_before",
+    ).orderBy("doc_id")
+
+
+_SCORE_SQL = f"""
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+           * CAST(0.5 AS DOUBLE)
+         + (CAST(1.0 AS DOUBLE)
+            - CAST(len(list_filter(ws, w ->
+                     list_contains({_duck_arr(STOPWORDS)}, w)))
+                   AS DOUBLE) / len(ws)) * CAST(0.3 AS DOUBLE)
+         + least(CAST(len(ws) AS DOUBLE) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE)
+           AS quality_score
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+"""
+
+ORACLE_BUDGET_PACK = f"""
+WITH tq AS ({_SCORE_SQL}),
+o AS (
+  SELECT doc_id, n_tokens, quality_score,
+         COALESCE(SUM(n_tokens) OVER (
+             ORDER BY quality_score DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM tq)
+SELECT doc_id,
+       ROUND(quality_score, 6) AS quality_score,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tokens_before AS BIGINT) AS tokens_before
+FROM o WHERE tokens_before < {BUDGET_TOKENS}
+ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
@@ -1763,4 +1877,9 @@ SPECS = [
               ORACLE_LANG_CONFUSION, ("text", "pipeline", "eval"),
               doc="language-ID confusion matrix (true × predicted, row "
                   "shares)"),
+    QuerySpec("corpus_budget_pack", corpus_budget_pack,
+              ORACLE_BUDGET_PACK, ("text", "pipeline", "curation"),
+              doc="token-budget curation: quality-greedy budget fill "
+                  "via the bucket-selection rewrite (only budget-sized "
+                  "buckets ever window) == brute global-sort oracle"),
 ]
