@@ -4634,6 +4634,51 @@ FROM ks WHERE ks.n > 0 ORDER BY q
 """
 
 
+def part_supply_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain redundancy audit: for each observed supplier-count
+    level, how many parts have exactly that many distinct suppliers —
+    and the single-source share, the procurement risk number (a part
+    with one supplier is one bankruptcy away from a stockout). One
+    (part, supplier) dedup, one part-keyed count, one tiny rollup; the
+    share is an integer cross-ratio rendered once in double."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    per_part = ps.groupBy("l_partkey").agg(
+        F.count("*").alias("n_suppliers")
+    )
+    tot = per_part.agg(F.count("*").alias("n_parts_total"))
+    return (
+        per_part.groupBy("n_suppliers")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            "n_parts",
+            F.round(
+                F.col("n_parts").cast("double")
+                / F.col("n_parts_total").cast("double"),
+                6,
+            ).alias("share_of_parts"),
+        )
+        .orderBy("n_suppliers")
+    )
+
+
+ORACLE_SUPPLY_REDUNDANCY = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+per_part AS (
+  SELECT l_partkey, COUNT(*) AS n_suppliers FROM ps GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_parts_total FROM per_part)
+SELECT CAST(p.n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(t.n_parts_total AS DOUBLE), 6) AS share_of_parts
+FROM per_part p CROSS JOIN tot t
+GROUP BY p.n_suppliers, t.n_parts_total
+ORDER BY n_suppliers
+"""
+
+
 ORACLE_RFM = """
 WITH anchor AS (
   SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
@@ -4960,4 +5005,8 @@ SPECS = [
                   "selection (one bucket histogram locates every "
                   "quantile's bucket; only ~n/1024 rows per quantile "
                   "ever sort) == brute ROW_NUMBER oracle"),
+    QuerySpec("part_supply_redundancy", part_supply_redundancy,
+              ORACLE_SUPPLY_REDUNDANCY, ("agg", "audit", "dba"),
+              doc="supplier-count distribution per part + single-source "
+                  "share (procurement-risk audit, one dedup + rollup)"),
 ]

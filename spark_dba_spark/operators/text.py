@@ -1787,6 +1787,73 @@ ORDER BY doc_id
 """
 
 
+
+# --------------------------------------------------------------------------
+# Prefix-boilerplate dedup (shared-header detector)
+# --------------------------------------------------------------------------
+
+PREFIX_LEN = 80
+
+
+def text_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents sharing a long common PREFIX — the boilerplate-header
+    detector (scraped corpora are full of pages that differ only after
+    a shared banner/license block; full-hash dedup misses them, shingle
+    dedup finds them late and expensively). Exact semantics: group by
+    md5 of the first {PREFIX_LEN} characters, report clusters of ≥2
+    with a deterministic min-doc_id exemplar and the share of the
+    corpus carrying a duplicated prefix.
+
+    Scale: map-only prefix hash → ONE keyed count — the cheapest
+    near-dup screen in the family, the right first pass before shingle
+    or MinHash machinery."""
+    docs = _docs(spark, sf_dir)
+    pref = docs.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, PREFIX_LEN)).alias("prefix_md5"),
+    )
+    clusters = (
+        pref.groupBy("prefix_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("exemplar_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    tot = pref.agg(F.count("*").alias("n_total"))
+    return (
+        clusters.crossJoin(F.broadcast(tot))
+        .select(
+            "prefix_md5",
+            "n_docs",
+            "exemplar_doc",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("corpus_share"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("prefix_md5"))
+    )
+
+
+ORACLE_DEDUP_PREFIX = f"""
+WITH pref AS (
+  SELECT doc_id, md5(substring(text, 1, {PREFIX_LEN})) AS prefix_md5
+  FROM documents),
+clusters AS (
+  SELECT prefix_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MIN(doc_id) AS exemplar_doc
+  FROM pref GROUP BY 1 HAVING COUNT(*) >= 2),
+tot AS (SELECT COUNT(*) AS n_total FROM pref)
+SELECT c.prefix_md5, c.n_docs, c.exemplar_doc,
+       ROUND(CAST(c.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+         AS corpus_share
+FROM clusters c CROSS JOIN tot t
+ORDER BY n_docs DESC, prefix_md5 ASC
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
@@ -1882,4 +1949,9 @@ SPECS = [
               doc="token-budget curation: quality-greedy budget fill "
                   "via the bucket-selection rewrite (only budget-sized "
                   "buckets ever window) == brute global-sort oracle"),
+    QuerySpec("text_dedup_prefix", text_dedup_prefix,
+              ORACLE_DEDUP_PREFIX, ("text", "dedup", "boilerplate"),
+              doc="shared-prefix boilerplate detector (map-only prefix "
+                  "md5 + one keyed count — the cheapest near-dup "
+                  "screen)"),
 ]
