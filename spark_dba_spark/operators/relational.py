@@ -4679,6 +4679,87 @@ ORDER BY n_suppliers
 """
 
 
+def orders_brand_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month brand league table with rank SHIFTS — the
+    merchandising mover report ("who climbed, who slid"). Revenue per
+    (brand, month) in exact decimal, a dense month axis as integer
+    y·12+m, ROW_NUMBER ranks inside each month (revenue DESC with brand
+    tie-break — decimal revenue makes rank boundaries exact), then LAG
+    along each brand's own observed months gives the shift (positive =
+    climbed). Months where a brand had no sales simply don't appear —
+    the shift is against the previous OBSERVED month, documented
+    semantics.
+
+    Scale: fact reduces to ONE (brand, month)-keyed decimal aggregate;
+    both windows run over the brand×month grid (catalog × calendar,
+    corpus-independent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sd = F.expr("cast(l_shipdate as timestamp_ntz)")
+    rev = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy(
+            "p_brand",
+            (F.year(sd) * 12 + (F.month(sd) - 1)).alias("ym"),
+        )
+        .agg(
+            F.sum(F.expr(REVENUE).cast("decimal(25,6)")).alias("rev")
+        )
+    )
+    wrank = W.partitionBy("ym").orderBy(F.desc("rev"), F.asc("p_brand"))
+    wlag = W.partitionBy("p_brand").orderBy("ym")
+    ranked = rev.withColumn("rnk", F.row_number().over(wrank)).withColumn(
+        "prev_rnk", F.lag("rnk").over(wlag)
+    )
+    return (
+        ranked.filter(F.col("prev_rnk").isNotNull())
+        .select(
+            F.make_date(
+                F.expr("ym div 12").cast("int"),
+                (F.col("ym") % 12) + 1,
+                F.lit(1),
+            ).alias("month"),
+            "p_brand",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("prev_rnk").cast("int").alias("prev_rnk"),
+            (F.col("prev_rnk") - F.col("rnk")).cast("int").alias("shift"),
+        )
+        .orderBy("month", "rnk")
+    )
+
+
+ORACLE_BRAND_RANK_SHIFT = f"""
+WITH rev AS (
+  SELECT p.p_brand,
+         year(l.l_shipdate) * 12 + (month(l.l_shipdate) - 1) AS ym,
+         SUM(CAST({REVENUE} AS DECIMAL(25,6))) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT p_brand, ym, rev,
+         ROW_NUMBER() OVER (PARTITION BY ym
+                            ORDER BY rev DESC, p_brand ASC) AS rnk
+  FROM rev),
+shifted AS (
+  SELECT *, LAG(rnk) OVER (PARTITION BY p_brand ORDER BY ym)
+            AS prev_rnk
+  FROM ranked)
+SELECT make_date(CAST(ym // 12 AS INT), CAST(ym % 12 AS INT) + 1, 1)
+         AS month,
+       p_brand,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rnk AS INT) AS rnk,
+       CAST(prev_rnk AS INT) AS prev_rnk,
+       CAST(prev_rnk - rnk AS INT) AS shift
+FROM shifted WHERE prev_rnk IS NOT NULL
+ORDER BY month, rnk
+"""
+
+
 ORACLE_RFM = """
 WITH anchor AS (
   SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
@@ -5009,4 +5090,9 @@ SPECS = [
               ORACLE_SUPPLY_REDUNDANCY, ("agg", "audit", "dba"),
               doc="supplier-count distribution per part + single-source "
                   "share (procurement-risk audit, one dedup + rollup)"),
+    QuerySpec("orders_brand_rank_shift", orders_brand_rank_shift,
+              ORACLE_BRAND_RANK_SHIFT, ("window", "agg", "ranking"),
+              doc="month-over-month brand league-table movers (exact "
+                  "decimal revenue ranks, LAG along observed months, "
+                  "catalog-x-calendar windows)"),
 ]

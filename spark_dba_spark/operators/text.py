@@ -1854,6 +1854,65 @@ ORDER BY n_docs DESC, prefix_md5 ASC
 """
 
 
+
+GRID_BINS = 5
+
+
+def text_length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-quintile × quality-quintile contingency grid — the
+    curation diagnostic "is our quality score just measuring length?"
+    (a diagonal-heavy grid means the score adds nothing beyond size; a
+    flat grid means genuine signal). Quintiles are NTILEs over the
+    DOCUMENT dimension with doc_id tie-breaks (deterministic on both
+    engines, bounded by corpus doc count — same posture as RFM), counts
+    are integers, and the share is one division."""
+    tq = text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    wl = W.orderBy(F.asc("n_tokens"), F.asc("doc_id"))
+    wq = W.orderBy(F.asc("quality_score"), F.asc("doc_id"))
+    binned = tq.withColumn("len_q", F.ntile(GRID_BINS).over(wl)).withColumn(
+        "qual_q", F.ntile(GRID_BINS).over(wq)
+    )
+    tot = tq.agg(F.count("*").alias("n_total"))
+    return (
+        binned.groupBy("len_q", "qual_q")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("len_q").cast("int").alias("len_q"),
+            F.col("qual_q").cast("int").alias("qual_q"),
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("len_q", "qual_q")
+    )
+
+
+ORACLE_LENGTH_QUALITY_GRID = f"""
+WITH tq AS ({_SCORE_SQL}),
+binned AS (
+  SELECT doc_id,
+         NTILE({GRID_BINS}) OVER (ORDER BY n_tokens, doc_id) AS len_q,
+         NTILE({GRID_BINS}) OVER (ORDER BY quality_score, doc_id)
+           AS qual_q
+  FROM tq),
+tot AS (SELECT COUNT(*) AS n_total FROM tq)
+SELECT CAST(b.len_q AS INT) AS len_q,
+       CAST(b.qual_q AS INT) AS qual_q,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+         AS share
+FROM binned b CROSS JOIN tot t
+GROUP BY b.len_q, b.qual_q, t.n_total
+ORDER BY len_q, qual_q
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
@@ -1954,4 +2013,9 @@ SPECS = [
               doc="shared-prefix boilerplate detector (map-only prefix "
                   "md5 + one keyed count — the cheapest near-dup "
                   "screen)"),
+    QuerySpec("text_length_quality_grid", text_length_quality_grid,
+              ORACLE_LENGTH_QUALITY_GRID, ("text", "stats", "curation"),
+              doc="length-quintile x quality-quintile contingency grid "
+                  "(is the quality score just length? — dimension-"
+                  "bounded NTILEs)"),
 ]
