@@ -272,3 +272,27 @@ def test_bucket_selection_equals_order_statistic():
         raise AssertionError("no bucket located")
 
     check()
+
+
+def test_ewma_weight_ladder_invariants():
+    """The literal EWMA ladders both engines embed must satisfy the
+    defining identities: w_k = alpha(1-alpha)^k, cumw is its prefix sum,
+    and the truncated mass is 1-(1-alpha)^K (the documented ~1% tail)."""
+    from spark_dba_spark.operators.temporal import (
+        EWMA_ALPHA,
+        EWMA_TAPS,
+        _EWMA_CUMW,
+        _EWMA_W,
+    )
+
+    assert len(_EWMA_W) == len(_EWMA_CUMW) == EWMA_TAPS
+    acc = 0.0
+    for k, w in enumerate(_EWMA_W):
+        assert w == EWMA_ALPHA * (1 - EWMA_ALPHA) ** k
+        acc += w
+        assert _EWMA_CUMW[k] == acc
+    assert abs(_EWMA_CUMW[-1] - (1 - (1 - EWMA_ALPHA) ** EWMA_TAPS)) < 1e-12
+    # ladder literals must round-trip exactly through repr (the property
+    # both engines' embedded literals rely on)
+    for w in _EWMA_W + _EWMA_CUMW:
+        assert float(repr(w)) == w
