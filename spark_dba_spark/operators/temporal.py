@@ -2349,6 +2349,82 @@ FROM scored GROUP BY ttype ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Engagement concentration by user decile
+# --------------------------------------------------------------------------
+
+def ev_engagement_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume by user-activity decile — the 80/20 engagement read
+    ("what share of traffic do the top 10% of users generate?") that
+    decides whether product metrics are community-driven or whale-
+    driven. One user-keyed count, an NTILE over the USER dimension
+    (bounded; event-count then user_id tie-break so both engines bucket
+    identically), then a 10-row rollup with integer counts and exact
+    cumulative shares via the decimal-free integer ratio."""
+    ev = catalog.load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    wd = W.orderBy(F.desc("n_events"), F.asc("user_id"))
+    dec = per_user.withColumn("decile", F.ntile(10).over(wd))
+    tot = per_user.agg(F.sum("n_events").alias("n_total"))
+    g = (
+        dec.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n_events").alias("n_ev"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    wcum = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        g.withColumn("cum_ev", F.sum("n_ev").over(wcum))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_users",
+            F.col("n_ev").cast("long").alias("n_events"),
+            F.round(
+                F.col("n_ev").cast("double") / F.col("n_total").cast(
+                    "double"
+                ),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("cum_ev").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_ENGAGEMENT = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+dec AS (
+  SELECT n_events,
+         NTILE(10) OVER (ORDER BY n_events DESC, user_id ASC) AS decile
+  FROM per_user),
+tot AS (SELECT SUM(n_events) AS n_total FROM per_user),
+g AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         SUM(n_events) AS n_ev
+  FROM dec GROUP BY 1)
+SELECT CAST(g.decile AS INT) AS decile,
+       g.n_users,
+       CAST(g.n_ev AS BIGINT) AS n_events,
+       ROUND(CAST(g.n_ev AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+         AS share,
+       ROUND(CAST(SUM(g.n_ev) OVER (ORDER BY g.decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+         AS cum_share
+FROM g CROSS JOIN tot t
+ORDER BY decile
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -2485,4 +2561,9 @@ SPECS = [
               ORACLE_STICKINESS, ("temporal", "window", "engagement"),
               doc="DAU/MAU stickiness per day (exact daily distinct + "
                   "the shared coverage-interval rolling-30 core)"),
+    QuerySpec("ev_engagement_concentration", ev_engagement_concentration,
+              ORACLE_ENGAGEMENT, ("temporal", "engagement", "pareto"),
+              doc="event volume by user-activity decile with cumulative "
+                  "shares (the 80/20 whale-vs-community read, "
+                  "dimension-bounded NTILE)"),
 ]
