@@ -42,27 +42,135 @@ class QuerySpec:
 # into PRIORITY_LAST (prefer families with several other green rows). Over
 # rounds, every query accumulates at least one driver-recorded green row.
 #
-# ROUND-5 WINDOW (VERDICT r4 "Next round" #1/#3; one window = 50 slots):
-# slots 1-5 are the five r4 driver reds, now fixed (BIGINT-cast oracles /
-# string qvec surface) — they must re-record green; slots 6-12 are the
-# seven queries that have NEVER had a driver row (late-r4 additions);
-# new r5 queries are inserted after them as they land (displacing the
-# tail of the stale block to keep the window at 50); next come the
-# stalest standing rows (r2, now 3 rounds old — all 32 minus the three
-# rows-only sketches whose deterministic gates have fresher rows and
-# five family-redundant entries that wait for r6); slots 37-50 stay the
-# frozen bench set (a driver row EVERY round so BENCH_r{N} queries are
-# always independently correctness-gated in the same round). The 31
-# non-bench r4 greens rotate to PRIORITY_LAST; the middle holds the r3
-# greens plus the eight deferred r2 entries.
+# ROUND-6 WINDOW (VERDICT r5 "Next round" #1; one window = 50 slots):
+# after r5 the driver evidence ledger shows 149/226 queries with at least
+# one driver row (all driver-oracled rows ever recorded are green) and 77
+# queries that have NEVER had a driver row. Per the rotation protocol,
+# never-checked beats stale: slots 1-36 are the first 36 of the 75
+# FULL-ORACLE never-checked queries in registration order (each buys a
+# value-hash row — the hard signal). The remaining 39 full-oracle
+# never-checked queries plus the two rows-only ones
+# (sketch_hll_reaggregate, emb_kmeans_lloyd — weakest evidence class,
+# real gates are their exact-twin/numpy-twin pytests) lead the R7 window
+# (39 + rows-only still leaves 5 for r8 at 36 fresh slots/round — r7
+# takes 36, r8 takes the last 5 plus refreshes of the stalest standing
+# rows). Slots 37-50 stay the frozen bench set (a driver row EVERY round
+# so BENCH_r{N} queries are always independently correctness-gated in the
+# same round). All 50 r5-window greens rotate to PRIORITY_LAST; the
+# middle holds everything else, ordered with the remaining never-checked
+# queries first so any extra driver capacity lands on them.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # r4 driver reds, fixed this round — green rows required:
+    # never driver-recorded, full-oracle — first rows now (registration
+    # order within the never-checked set):
+    "profile_table",
+    "agg_winsorized_mean",
+    "set_union_by_name",
+    "audit_referential_integrity",
+    "audit_primary_keys",
+    "orders_interarrival",
+    "sample_exact_k",
+    "stats_chi2_lang_source",
+    "audit_benford_amounts",
+    "ev_monotonic_streaks",
+    "skyline_price_size",
+    "basket_brand_pairs",
+    "audit_line_contiguity",
+    "abc_analysis_parts",
+    "er_entity_clusters",
+    "merge_into_semantics",
+    "join_bloom_prefilter",
+    "nested_order_lines",
+    "rfm_segmentation",
+    "agg_weighted_median",
+    "join_skew_salted",
+    "orders_hhi_concentration",
+    "customer_gap_survival",
+    "agg_gini_by_nation",
+    "orders_otif_rate",
+    "basket_type_lift",
+    "elasticity_discount_qty",
+    "agg_exact_global_median",
+    "part_supply_redundancy",
+    "orders_brand_rank_shift",
+    "sketch_minhash_calibration",
+    "graph_triangles_neardup",
+    "emb_label_prototypes",
+    "emb_sim_histogram",
+    "emb_pca_power",
+    "emb_norm_extremes",
+    # frozen bench set — a driver row EVERY round:
+    "q01_pricing_summary",
+    "ev_tumbling_1h",
+    "json_extract_events",
+    "q02_scan_filter_project",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_item",
+    "join_broadcast_dim",
+    "agg_distinct",
+    "window_topk_per_group",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality",
+    # --- beyond slot 50: the driver window ends above; these are the
+    # remaining never-checked queries, queued here so (a) any extra
+    # driver capacity lands on them first and (b) the R7 window is
+    # already written down — promote this block to slots 1-36 next round:
+    "decontaminate_bloom",
+    "text_redact_denylist",
+    "text_chunk_overlap",
+    "pipeline_training_examples",
+    "dedup_chunks_exact",
+    "text_source_kl",
+    "sample_weighted_exact_k",
+    "corpus_budget_pack",
+    "text_dedup_prefix",
+    "text_length_quality_grid",
+    "ev_markov_transitions",
+    "ev_cumulative_unique_users",
+    "ev_velocity_alerts",
+    "seg_overlap_users",
+    "ev_pmi_cooccur",
+    "ev_gap_detection",
+    "keyset_pagination",
+    "stats_regression_trend",
+    "stats_wilson_interval",
+    "drift_psi_value",
+    "ev_autocorrelation",
+    "window_median_range",
+    "orders_open_concurrency",
+    "ts_interpolate_linear",
+    "ev_twap",
+    "ev_seasonal_anomaly",
+    "ev_top_paths",
+    "ev_user_feature_snapshot",
+    "orders_cohort_ltv",
+    "ev_ewma_filter",
+    "ev_rolling_distinct_users",
+    "ev_transition_entropy",
+    "ev_attribution_credit",
+    "ev_stickiness_dau_mau",
+    "ev_engagement_concentration",
+    "inv_running_balance_capped",
+    "inv_capacity_clamp",
+    "ev_alert_debounce",
+    "ev_windowed_topk",
+    # rows-only never-checked (weakest evidence class; their hard gates
+    # are the exact-twin pytests) — r7/r8 tail:
+    "sketch_hll_reaggregate",
+    "emb_kmeans_lloyd",
+)
+
+# r5-window greens, non-bench — rotate to the tail this round (driver row
+# ≤1 round old; still in every committed local sweep). The middle (not
+# listed here or above) holds the r2/r3/r4 greens in registration order.
+PRIORITY_LAST: tuple[str, ...] = (
     "q12_late_shipments",
     "agg_bool_predicates",
     "corpus_mix_sample",
     "pack_context_bins",
     "emb_quantize_int8",
-    # never driver-recorded (late-r4 additions) — first rows now:
     "agg_grouping_id",
     "recursive_month_spine",
     "scalar_variant_json",
@@ -70,9 +178,6 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "corpus_weighted_sample",
     "sketch_top_k_heavy_hitters",
     "agg_approx_percentiles",
-    # new in r5 — first driver rows (inserted as they land; an equal
-    # number of stale-block entries moved to the middle, keeping the
-    # window at 50):
     "window_ntile_deciles",
     "join_null_safe_eq",
     "agg_histogram_bins",
@@ -92,89 +197,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "ev_time_to_convert",
     "dedup_cross_source_overlap",
     "text_bigram_coherence",
-    # (sketch_hll_reaggregate displaced to the middle late-r5: its driver
-    # row would be rows-only — the weakest evidence class — while the slot
-    # now buys a full value-hash row for dedup_embedding_cosine, the
-    # brief-named embedding near-dup family. ALL other late-r5 additions
-    # — every query registered after the 150-query sweep, from
-    # graph_triangles_neardup through the continued-session batch
-    # (orders_open_concurrency … ev_alert_debounce, orders_cohort_ltv)
-    # — wait in the middle and LEAD THE R6 WINDOW together with the
-    # displaced r2 cohort; they are covered by the committed local
-    # hostile×strict sweeps at both SFs in the meantime.)
     "dedup_embedding_cosine",
-    # (emb_kmeans_lloyd sits mid-list: rows-only → a driver row is the
-    # weakest evidence class, and its numpy-twin pytest is the real gate)
     "sim_mips_maxdot",
     "text_lang_confusion",
     "ev_rollup_incremental",
     "join_asof_nearest",
-    # (the whole stale-r2 block — q06/q07/q14 last — is displaced to the
-    # middle: driver rows for NEVER-checked queries beat refreshing rows
-    # that merely aged; the r2 cohort leads the r6 window)
-    # (udaf_geometric_mean, grouped_zscore, ev_user_state,
-    #  agg_percentiles, lateral_posexplode, agg_corr_stats,
-    #  ev_click_error_join, ev_resample_1h, ev_hier_rollup, join_asof,
-    #  window_range_1h, dedup_keep_best, mm_audio_energy, mm_image_resize,
-    #  sim_range_search, text_lang_id, pipeline_clean_corpus,
-    #  dataset_split_hash, dedup_char_jaccard, dedup_simhash,
-    #  sim_dup_pairs displaced to the middle by the eighteen new r5
-    #  queries — r2 rows, first for r6)
-    # frozen bench set — a driver row EVERY round:
-    "q01_pricing_summary",
-    "ev_tumbling_1h",
-    "json_extract_events",
-    "q02_scan_filter_project",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q10_returned_item",
-    "join_broadcast_dim",
-    "agg_distinct",
-    "window_topk_per_group",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "sim_cosine_topk",
-    "text_quality",
-)
-
-# r4-green, non-bench — rotate to the tail this round (driver row ≤1
-# round old; still in every committed local sweep). The middle (not
-# listed here or above) holds the r3 greens plus the eight deferred r2
-# entries (agg_approx_distinct, sim_ann_lsh, sim_ivf rows-only;
-# join_cross_small, scalar_regexp, scalar_array_ops, set_ops_bag,
-# window_running_sum family-redundant) — first in line for r6.
-PRIORITY_LAST: tuple[str, ...] = (
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "window_value_frames",
-    "q08_market_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "unpivot_metrics",
-    "agg_string_concat",
-    "agg_mode_manual",
-    "scalar_map_ops",
-    "window_range_value",
-    "dedup_cc_clusters",
-    "text_tfidf",
-    "sample_per_source",
-    "text_repetition",
-    "text_vocab_top",
-    "ev_funnel_stages",
-    "q09_product_type_profit",
-    "q11_important_parts",
-    "q20_qualified_suppliers",
-    "decontaminate_ngram",
-    "ev_sessionize_batch",
-    "mm_dedup_fingerprint",
-    "agg_bitwise",
-    "ev_scd2_user_status",
-    "ev_retention_cohorts",
-    "ev_sliding_1h_30m",
-    "ev_session_30m",
-    "ev_dedup_first",
-    "mm_frame_sample",
 )
 
 
