@@ -1047,3 +1047,54 @@ def test_pca_power_converges_on_anisotropic(spark):
     assert len(fx) == EMB_DIM, len(fx)  # one row per embedding dimension
     assert set(fx[0].asDict()) == {"dim_idx", "loading", "eigval"}
     assert fx[0]["eigval"] > 0
+
+
+def test_pca_power_rejects_zero_iters(spark):
+    """The documented test surface (any iteration count) must fail loud,
+    not with an unresolved-column error: the output columns are defined
+    by the unrolled loop, so iters must be >= 1 (ADVICE r5)."""
+    import pytest as _pytest
+
+    from spark_dba_spark.operators.similarity import _pca_power_pipeline
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="iters >= 1"):
+        _pca_power_pipeline(emb, iters=0)
+
+
+def test_pca_gram_partials_exact_vs_bigint():
+    """The chunked-gemm partial Gram must equal the exact python-int
+    Gram of the truncation-quantized matrix — including across the
+    int64-flush path (driven by a tiny synthetic accumulator bound)."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_dba_spark.operators.similarity import (
+        PCA_QUANT,
+        _pca_gram_partials,
+    )
+
+    rng = np.random.RandomState(11)
+    m = (rng.randn(257, 5) * 3.0).astype(np.float32).astype(np.float64)
+    batches = [
+        pd.DataFrame({"embedding": [list(r) for r in m[:100]]}),
+        pd.DataFrame({"embedding": []}),
+        pd.DataFrame({"embedding": [list(r) for r in m[100:]]}),
+    ]
+    (out,) = list(_pca_gram_partials(iter(batches)))
+    k = np.hstack(
+        [np.trunc(m * PCA_QUANT), np.full((m.shape[0], 1), PCA_QUANT)]
+    )
+    expect = {
+        (a, b): int(
+            sum(int(k[r, a]) * int(k[r, b]) for r in range(k.shape[0]))
+        )
+        for a in range(6)
+        for b in range(6)
+    }
+    got = {
+        (int(r.i), int(r.j)): int(r.s) for r in out.itertuples(index=False)
+    }
+    assert got == expect
