@@ -37,7 +37,12 @@ N_QUERIES = 20
 TOP_K = 10
 PAIR_TAU = 0.4  # fixture embeddings are random: max pairwise cosine ≈ 0.5
 LSH_PLANES = 5  # per table → 32 buckets
-LSH_TABLES = 8  # OR-amplification: candidates from any matching table
+# OR-amplification: candidates from any matching table. 16 tables is the
+# committed operating point (VERDICT r5 item 4): recall@10 ≥ 0.7 even on
+# the structure-free worst-case fixture and ≥ 0.97 on the clustered
+# fixture (tools/recall_report.py → RECALL_r{N}.json; pytest gate
+# test_ann_recall_clustered_at_default).
+LSH_TABLES = 16
 # Fixture embedding dimensionality. The LSH-candidate ORACLE enumerates
 # range(EMB_DIM) dims in SQL, so the Spark side validates the data against
 # this constant instead of silently deriving a different dim.

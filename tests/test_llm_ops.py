@@ -22,9 +22,34 @@ def test_ann_recall_vs_brute(spark):
     ann = {(r["qid"], r["vec_id"]) for r in sim_ann_lsh(spark, SF_DIR).collect()}
     assert ann, "ANN returned nothing"
     recall = len(brute & ann) / len(brute)
-    # Random fixture embeddings have weak neighborhood structure; the point
-    # is that bucketing finds a nontrivial fraction of true neighbors.
-    assert recall > 0.15, f"ANN recall {recall:.2f} vs brute top-{TOP_K}"
+    # Random fixture embeddings are the structure-free WORST case for LSH;
+    # even there the committed 16-table default must clear a real floor
+    # (RECALL artifact: 0.725 at 16 tables on sf0.01).
+    assert recall > 0.5, f"ANN recall {recall:.2f} vs brute top-{TOP_K}"
+
+
+def test_ann_recall_clustered_at_default(spark, tmp_path):
+    """The committed LSH default must be DEFENSIBLE on realistic data:
+    recall@10 >= 0.9 on the clustered fixture (real embedding corpora are
+    clustered; the uniform fixture above is the adversarial floor).
+    VERDICT r5 item 4."""
+    from spark_dba_spark.operators.similarity import (
+        sim_ann_lsh,
+        sim_cosine_topk,
+        sim_ivf,
+    )
+    from tools.recall_report import write_clustered_fixture
+
+    cdir = write_clustered_fixture(str(tmp_path))
+    brute = {
+        (r["qid"], r["vec_id"]) for r in sim_cosine_topk(spark, cdir).collect()
+    }
+    ann = {(r["qid"], r["vec_id"]) for r in sim_ann_lsh(spark, cdir).collect()}
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.9, f"clustered LSH recall {recall:.2f} at default"
+    ivf = {(r["qid"], r["vec_id"]) for r in sim_ivf(spark, cdir).collect()}
+    ivf_recall = len(brute & ivf) / len(brute)
+    assert ivf_recall >= 0.9, f"clustered IVF recall {ivf_recall:.2f}"
 
 
 def test_ivf_recall_vs_brute(spark):

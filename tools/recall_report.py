@@ -33,6 +33,57 @@ def pairs(df):
     return {(r["qid"], r["vec_id"]) for r in df.collect()}
 
 
+def write_clustered_fixture(
+    out_dir: str,
+    n_clusters: int = 50,
+    per_cluster: int = 12,
+    noise: float = 0.08,
+    seed: int = 3,
+) -> str:
+    """Synthetic CLUSTERED embedding fixture (the realistic case — real
+    embedding corpora are strongly clustered, unlike the uniform-random
+    /root/testdata fixture which is the structure-free WORST case for
+    locality-sensitive methods). Unit-normalized 64-dim vectors drawn as
+    centroid + per-dim Gaussian noise of σ=0.08 (‖noise‖ ≈ 0.64 against a
+    unit centroid → in-cluster cosine ≈ 0.66 — clustered but far from
+    degenerate), 12 per cluster so every true top-10 is in-cluster; vec_ids are
+    shuffled so the first N_QUERIES query vectors span many clusters.
+    Written as ``{out_dir}/embeddings.parquet`` in the testdata schema
+    (vec_id int64, embedding list<float>, label int32) so every
+    similarity operator runs on it unchanged."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.similarity import EMB_DIM
+
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_clusters, EMB_DIM)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs, labels = [], []
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = cents[c] + rng.randn(EMB_DIM) * noise
+            v /= np.linalg.norm(v)
+            vecs.append(v.astype(np.float32))
+            labels.append(c)
+    order = rng.permutation(len(vecs))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in vecs[i]] for i in order],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([labels[i] for i in order], pa.int32()),
+        }
+    )
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    path = str(Path(out_dir) / "embeddings.parquet")
+    pq.write_table(tbl, path)
+    return out_dir
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -74,6 +125,34 @@ def main() -> int:
         report["ivf"]["recall_at_k_by_nprobe"][str(nprobe)] = round(r, 4)
         print(f"ivf nprobe={nprobe} recall@{S.TOP_K}={r:.3f}")
     S.IVF_NPROBE = default_nprobe
+
+    # Clustered (realistic) fixture: the committed defaults must clear 0.9
+    # here — this is the operating point a real corpus sees (VERDICT r5
+    # item 4). Same sweep so the curve is comparable to the worst case.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        cdir = write_clustered_fixture(td)
+        cbrute = pairs(S.sim_cosine_topk(spark, cdir))
+        clustered = {
+            "n_clusters": 50, "per_cluster": 12, "noise": 0.08,
+            "brute_pairs": len(cbrute),
+            "lsh_recall_at_k_by_tables": {},
+            "ivf_recall_at_k_by_nprobe": {},
+        }
+        for tables in (4, 8, 16):
+            S.LSH_TABLES = tables
+            r = len(cbrute & pairs(S.sim_ann_lsh(spark, cdir))) / len(cbrute)
+            clustered["lsh_recall_at_k_by_tables"][str(tables)] = round(r, 4)
+            print(f"clustered lsh tables={tables} recall@{S.TOP_K}={r:.3f}")
+        S.LSH_TABLES = default_tables
+        for nprobe in (2, 6, 12, 24):
+            S.IVF_NPROBE = nprobe
+            r = len(cbrute & pairs(S.sim_ivf(spark, cdir))) / len(cbrute)
+            clustered["ivf_recall_at_k_by_nprobe"][str(nprobe)] = round(r, 4)
+            print(f"clustered ivf nprobe={nprobe} recall@{S.TOP_K}={r:.3f}")
+        S.IVF_NPROBE = default_nprobe
+        report["clustered_fixture"] = clustered
 
     Path(args.out).write_text(json.dumps(report, indent=2))
     print(f"wrote {args.out}")
