@@ -4519,7 +4519,11 @@ FROM g ORDER BY p_brand
 """
 
 
-MEDIAN_BUCKETS = 1024
+MEDIAN_BUCKETS = 1024  # floor on the histogram width
+# Pass-2 sorts one bucket per quantile in a single task; the bucket count
+# SCALES with n so that expected bucket population stays ≤ this target —
+# a bounded-residual guarantee at any corpus size (VERDICT r5 item 5).
+MEDIAN_RESIDUAL_TARGET = 1 << 20  # ~1M rows: trivially single-task sortable
 SELECTION_QUANTILES = (0.5, 0.9, 0.99)
 
 
@@ -4527,10 +4531,19 @@ def agg_exact_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global order statistics (median / p90 / p99 of
     l_extendedprice) by distributed SELECTION — no global sort, no
     single-partition holistic aggregate: pass 1 bins every value into
-    {MEDIAN_BUCKETS} width buckets (map-side combined counts), the tiny
-    bucket histogram locates, for EACH requested quantile, which bucket
-    holds its k-th smallest (k = ceil(q·n)) and the residual rank within
-    it, and pass 2 sorts ONLY those buckets' rows (≈n/buckets each).
+    max({MEDIAN_BUCKETS}, ⌈n / {MEDIAN_RESIDUAL_TARGET}⌉) width buckets
+    (map-side combined counts), the small bucket histogram locates, for
+    EACH requested quantile, which bucket holds its k-th smallest
+    (k = ceil(q·n)) and the residual rank within it, and pass 2 sorts
+    ONLY those buckets' rows. Because the bucket count grows linearly
+    with n, the EXPECTED residual a single task sorts is bounded by
+    ~{MEDIAN_RESIDUAL_TARGET} rows at ANY corpus size (1024 buckets at
+    the fixture SFs — identical plan — and e.g. ~10⁶ buckets at 10¹² rows,
+    where the histogram itself is still a trivially small aggregate).
+    The bound is in expectation under the value distribution: a single
+    value repeated ~n times concentrates its bucket regardless of the
+    histogram width; the selection answer stays exact either way (a
+    value-level pre-aggregation is the heavy-ties variant of this plan).
     The textbook two-pass SELECTION rewrite of "ORDER BY … OFFSET k",
     amortized across all three quantiles from the same histogram. (Two
     LOGICAL passes; the lazy unshared plan re-embeds the stats/bin
@@ -4544,28 +4557,38 @@ def agg_exact_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: bucket ids are IEEE arithmetic on exact parquet doubles
     (identical in both engines), k = ceil(q·n) is one IEEE product, and
     within a target bucket row_number ties on equal values are harmless
-    because the k-th order STATISTIC is tie-invariant. Oracle:
-    brute-force global ROW_NUMBER selection."""
+    because the k-th order STATISTIC is tie-invariant — the bucketing is
+    a pure partitioning of the rank space, so NO bucket-count choice can
+    change the result. Oracle: brute-force global ROW_NUMBER selection
+    (bucket-free by construction)."""
     li = _t(spark, sf_dir, "lineitem")
     v = li.select(F.col("l_extendedprice").alias("v"))
     stats = v.agg(
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
         F.count("*").alias("n"),
+    ).select(
+        "lo",
+        "hi",
+        "n",
+        F.greatest(
+            F.lit(MEDIAN_BUCKETS),
+            F.ceil(F.col("n") / F.lit(MEDIAN_RESIDUAL_TARGET)),
+        ).cast("long").alias("nb"),
     )
     b = F.when(
         F.col("hi") > F.col("lo"),
         F.least(
-            F.lit(MEDIAN_BUCKETS - 1),
+            F.col("nb") - 1,
             F.floor(
                 (F.col("v") - F.col("lo"))
                 / (F.col("hi") - F.col("lo"))
-                * MEDIAN_BUCKETS
+                * F.col("nb")
             ),
         ),
     ).otherwise(0)
     binned = v.crossJoin(F.broadcast(stats)).select(
-        "v", b.cast("int").alias("bucket")
+        "v", b.cast("long").alias("bucket")
     )
     qs = spark.createDataFrame(
         [(q,) for q in SELECTION_QUANTILES], "q double"

@@ -1679,7 +1679,8 @@ GROUP BY source ORDER BY source
 # --------------------------------------------------------------------------
 
 BUDGET_TOKENS = 10_000
-BUDGET_BUCKETS = 256
+BUDGET_BUCKETS = 256  # floor on the score-histogram width
+BUDGET_RESIDUAL = 1 << 20  # expected per-bucket rows cap (scales nb with n)
 
 
 def corpus_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1695,30 +1696,43 @@ def corpus_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``agg_exact_global_median`` — a descending score-bucket histogram of
     TOKEN MASS locates which buckets can still fit under the budget,
     and only those buckets (≈budget-sized, not corpus-sized) run the
-    in-bucket ordered prefix sum, partitioned per bucket. Equal scores
-    always share a bucket, so the bucket decomposition reproduces the
-    global order exactly. The oracle IS the brute global-window form —
-    two algorithms, one answer."""
+    in-bucket ordered prefix sum, partitioned per bucket. The bucket
+    count scales as max({BUDGET_BUCKETS}, ⌈n_docs/{BUDGET_RESIDUAL}⌉)
+    so each bucket's in-partition window stays ~{BUDGET_RESIDUAL} rows
+    in expectation at ANY corpus size (same bounded-residual posture as
+    the median's histogram; VERDICT r5 item 5). Equal scores always
+    share a bucket — for EVERY bucket count — so the bucket
+    decomposition reproduces the global order exactly and the count is
+    a pure parallelism knob. The oracle IS the brute global-window form
+    — two algorithms, one answer."""
     tq = text_quality(spark, sf_dir).select(
         "doc_id", "n_tokens", "quality_score"
     )
     stats = tq.agg(
         F.min("quality_score").alias("lo"),
         F.max("quality_score").alias("hi"),
+        F.count("*").alias("n"),
+    ).select(
+        "lo",
+        "hi",
+        F.greatest(
+            F.lit(BUDGET_BUCKETS),
+            F.ceil(F.col("n") / F.lit(BUDGET_RESIDUAL)),
+        ).cast("long").alias("nb"),
     )
     b = F.when(
         F.col("hi") > F.col("lo"),
         F.least(
-            F.lit(BUDGET_BUCKETS - 1),
+            F.col("nb") - 1,
             F.floor(
                 (F.col("hi") - F.col("quality_score"))
                 / (F.col("hi") - F.col("lo"))
-                * BUDGET_BUCKETS
+                * F.col("nb")
             ),
         ),
     ).otherwise(0)
     binned = tq.crossJoin(F.broadcast(stats)).select(
-        "doc_id", "n_tokens", "quality_score", b.cast("int").alias("bucket")
+        "doc_id", "n_tokens", "quality_score", b.cast("long").alias("bucket")
     )
     hist = binned.groupBy("bucket").agg(F.sum("n_tokens").alias("tok"))
     wcum = W.orderBy("bucket").rowsBetween(
