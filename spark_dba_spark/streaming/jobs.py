@@ -468,12 +468,17 @@ def run_alert_debounce_stream(
     rewrite. Append mode: each micro-batch emits only the alerts that
     cleared the cooldown against state carried from previous batches.
 
-    Ordering assumption (standard for log ingestion): candidate events
+    Ordering CONTRACT (standard for log ingestion): candidate events
     arrive in non-decreasing event-time order ACROSS micro-batches —
-    within a batch the update function sorts, across batches the state
-    fold is order-sensitive (a true out-of-order stream would need a
-    watermark-delayed emit). The availableNow pytest run asserts the
-    stream's emitted set equals the batch ``ev_alert_debounce`` rows."""
+    within a batch the update function sorts. A candidate that violates
+    the contract (its time ≤ the newest time already folded) is DROPPED:
+    not emitted and not counted as suppressed — the same rule that
+    makes cross-batch replays idempotent (a true out-of-order stream
+    would need a watermark-delayed emit instead). The availableNow
+    pytest run asserts the stream's emitted set equals the batch
+    ``ev_alert_debounce`` rows, and
+    ``test_debounce_stream_out_of_order_batches_per_contract`` pins the
+    drop semantics through real disordered micro-batches."""
     from ..operators.udf_surface import ALERT_THRESHOLD
 
     ev = stream_events(spark, sf_dir)

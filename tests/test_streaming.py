@@ -350,3 +350,78 @@ def test_stream_user_gap_matches_batch(spark):
     }
     assert final == batch
     assert final
+
+
+def test_debounce_stream_out_of_order_batches_per_contract(spark, tmp_path):
+    """Drive the REAL applyInPandasWithState micro-batch machinery with
+    batches that arrive OUT of event-time order across triggers and pin
+    the documented contract (jobs.run_alert_debounce_stream docstring):
+    a candidate older than the newest time already folded (um <=
+    last_seen) is dropped entirely — not emitted, and NOT counted as
+    suppressed. VERDICT r5 item 7 (the FakeState unit test above covers
+    duplicates; this covers genuine disorder through a real stream)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+    from spark_dba_spark.operators.udf_surface import ALERT_COOLDOWN_US
+    from spark_dba_spark.streaming.jobs import (
+        _DEBOUNCE_SCHEMA,
+        _DEBOUNCE_STATE,
+        _update_debounce,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def write_batch(name, ums, mtime):
+        df = spark.createDataFrame(
+            [(1, um) for um in ums], "user_id bigint, um bigint"
+        )
+        df.coalesce(1).write.parquet(f"{landing}/_stage_{name}")
+        src = glob.glob(f"{landing}/_stage_{name}/*.parquet")[0]
+        shutil.move(src, f"{landing}/{name}.parquet")
+        shutil.rmtree(f"{landing}/_stage_{name}")
+        os.utime(f"{landing}/{name}.parquet", (mtime, mtime))
+
+    day = 86_400 * 1_000_000
+    base = 1_700_000_000
+    write_batch("b1", [0 * day], base)  # emits (first alert)
+    write_batch("b2", [8 * day, 9 * day], base + 100)  # emit + suppress
+    write_batch("b3", [8 * day + day // 2], base + 200)  # LATE: dropped
+    write_batch("b4", [16 * day], base + 300)  # emits; suppressed must be 1
+
+    stream = (
+        spark.readStream.schema("user_id bigint, um bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_debounce,
+            outputStructType=_DEBOUNCE_SCHEMA,
+            stateStructType=_DEBOUNCE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName("t_debounce_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r["alert_um"], r["n_suppressed_before"])
+        for r in spark.table("t_debounce_ooo")
+        .orderBy("alert_um")
+        .collect()
+    ]
+    assert ALERT_COOLDOWN_US == 7 * day  # the timeline above assumes it
+    # 0d emits; 8d emits (cooldown cleared); 9d suppressed; the late
+    # 8.5d candidate is DROPPED (neither alert nor suppressed); 16d
+    # emits with exactly ONE suppressed candidate before it.
+    assert got == [(0, 0), (8 * day, 0), (16 * day, 1)], got
