@@ -1872,21 +1872,126 @@ ORDER BY n_docs DESC, prefix_md5 ASC
 GRID_BINS = 5
 
 
+def _ntile_assign_bounded(
+    spark: SparkSession, tq: DataFrame, value_col: str, k: int, out_col: str
+) -> DataFrame:
+    """Exact NTILE({k}) over the (value, doc_id) total order WITHOUT a
+    corpus-grain global window (a plain ``ntile().over(W.orderBy(...))``
+    funnels every document through one task — the unbounded-global-window
+    anti-pattern the plan audit forbids). Same two-pass SELECTION shape
+    as ``agg_exact_global_median``:
+
+    1. histogram the value into max(1024, ⌈n/2^20⌉) width buckets
+       (map-side combined; scales with n so every bucket stays ~2^20
+       rows in expectation),
+    2. locate the k−1 NTILE boundary RANKS R_b = b·⌊n/k⌋ + min(b, n mod k)
+       in the cumulative histogram and extract each boundary ROW
+       (value, doc_id) with a per-bucket row_number (partitioned by
+       boundary index — bucket-sized sorts, never corpus-sized),
+    3. assign every row 1 + |{boundaries strictly below it}| via one
+       broadcast array fold — exactly NTILE's bucket, because doc_id
+       makes the order total: (v,id) > boundary_b ⇔ rank > R_b.
+
+    The DuckDB oracle keeps the plain NTILE formulation, so the rewrite
+    is proven equivalent on every run. Returns (doc_id, out_col)."""
+    v = F.col(value_col).cast("double")
+    vid = tq.select(F.col("doc_id").alias("id"), v.alias("v"))
+    stats = vid.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count("*").alias("n"),
+    ).select(
+        "lo",
+        "hi",
+        "n",
+        F.greatest(
+            F.lit(1024), F.ceil(F.col("n") / F.lit(BUDGET_RESIDUAL))
+        ).cast("long").alias("nb"),
+    )
+    b = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.col("nb") - 1,
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * F.col("nb")
+            ),
+        ),
+    ).otherwise(0)
+    binned = vid.crossJoin(F.broadcast(stats)).select(
+        "id", "v", b.cast("long").alias("bucket")
+    )
+    ranks = spark.range(1, k).select(F.col("id").cast("int").alias("b"))
+    ks = ranks.crossJoin(F.broadcast(stats.select("n"))).select(
+        "b",
+        (
+            F.col("b") * F.floor(F.col("n") / k)
+            + F.least(F.col("b").cast("long"), F.col("n") % k)
+        ).cast("long").alias("r"),
+    )
+    hist = binned.groupBy("bucket").agg(F.count("*").alias("c"))
+    wcum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    targets = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("prev_cum", F.col("cum") - F.col("c"))
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("cum") >= F.col("r")) & (F.col("prev_cum") < F.col("r")))
+        .select(
+            "b",
+            F.col("bucket").alias("tbucket"),
+            (F.col("r") - F.col("prev_cum")).alias("rr"),
+        )
+    )
+    wsel = W.partitionBy("b").orderBy("v", "id")
+    bounds = (
+        binned.join(F.broadcast(targets), binned.bucket == F.col("tbucket"))
+        .withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") == F.col("rr"))
+        .select(F.col("v").alias("bv"), F.col("id").alias("bid"))
+    )
+    bnds = bounds.agg(
+        F.sort_array(F.collect_list(F.struct("bv", "bid"))).alias("bnds")
+    )
+    passed = F.aggregate(
+        "bnds",
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(
+            (v > x["bv"]) | ((v == x["bv"]) & (F.col("doc_id") > x["bid"])),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        tq.select("doc_id", value_col)
+        .crossJoin(F.broadcast(bnds))
+        .withColumn(out_col, (F.lit(1) + passed).cast("int"))
+        .select("doc_id", out_col)
+    )
+
+
 def text_length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-quintile × quality-quintile contingency grid — the
     curation diagnostic "is our quality score just measuring length?"
     (a diagonal-heavy grid means the score adds nothing beyond size; a
-    flat grid means genuine signal). Quintiles are NTILEs over the
-    DOCUMENT dimension with doc_id tie-breaks (deterministic on both
-    engines, bounded by corpus doc count — same posture as RFM), counts
-    are integers, and the share is one division."""
+    flat grid means genuine signal). Quintile semantics are exactly
+    NTILE over (value, doc_id) — but computed with the BOUNDED
+    selection rewrite (:func:`_ntile_assign_bounded`): documents are
+    the fact grain here, so a corpus-grain global NTILE window would be
+    a single-task sort of the corpus at 100 TB. Counts are integers and
+    the share is one division; the oracle keeps the plain NTILE SQL, so
+    the two formulations are differentially verified on every run."""
     tq = text_quality(spark, sf_dir).select(
         "doc_id", "n_tokens", "quality_score"
     )
-    wl = W.orderBy(F.asc("n_tokens"), F.asc("doc_id"))
-    wq = W.orderBy(F.asc("quality_score"), F.asc("doc_id"))
-    binned = tq.withColumn("len_q", F.ntile(GRID_BINS).over(wl)).withColumn(
-        "qual_q", F.ntile(GRID_BINS).over(wq)
+    binned = tq.join(
+        _ntile_assign_bounded(spark, tq, "n_tokens", GRID_BINS, "len_q"),
+        "doc_id",
+    ).join(
+        _ntile_assign_bounded(
+            spark, tq, "quality_score", GRID_BINS, "qual_q"
+        ),
+        "doc_id",
     )
     tot = tq.agg(F.count("*").alias("n_total"))
     return (

@@ -34,6 +34,117 @@ EXPECT_BROADCAST = {
     "join_broadcast_dim", "q07_volume_shipping", "q14_promo_revenue",
 }
 
+# Queries where a GLOBAL window (no partition spec — all rows to one task)
+# is allowed because its input is provably dimension-/K-bounded, with the
+# justification recorded here so the artifact carries the proof burden.
+# Every other query with a global window is a FINDING: at 100 TB an
+# unbounded global window is a single-task sort of the corpus.
+# (VERDICT r5 "Next round" #6.)
+GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
+    "skyline_price_size": (
+        "running-min over the per-size min-price frame: ≤|distinct "
+        "p_size| rows (~50), fact table never enters the window"
+    ),
+    "abc_analysis_parts": (
+        "running revenue sum over the part-CATALOG grain (fact stream "
+        "pre-reduced to one row per SKU); bounded by catalog size, not "
+        "order volume"
+    ),
+    "rfm_segmentation": (
+        "three NTILEs over the customer DIMENSION (orders pre-reduced "
+        "to one row per customer); docstring documents the "
+        "approx_percentile swap for unbounded key spaces"
+    ),
+    "agg_exact_global_median": (
+        "cum-count over the selection histogram — max(1024, n/2^20) "
+        "rows by construction (bucket count scales with n)"
+    ),
+    "emb_pca_power": (
+        "windows over the (d+1)^2-row merged Gram and the d-row "
+        "iteration vectors — dimension-bounded after the mapInPandas "
+        "partial-Gram pass"
+    ),
+    "corpus_budget_pack": (
+        "cum token mass over the score histogram — max(256, n/2^20) "
+        "rows by construction (bucket count scales with n)"
+    ),
+    "ev_cumulative_unique_users": (
+        "running sum over the zero-filled CALENDAR day spine "
+        "(days-of-history rows; user/event stream pre-reduced)"
+    ),
+    "orders_open_concurrency": (
+        "running sum over per-day ±1 boundary aggregates — "
+        "calendar-bounded step function"
+    ),
+    "ev_rolling_distinct_users": (
+        "running sum over per-day coverage-interval boundaries — "
+        "calendar-bounded"
+    ),
+    "ev_stickiness_dau_mau": (
+        "same calendar-bounded coverage-interval core as "
+        "ev_rolling_distinct_users"
+    ),
+    "ev_engagement_concentration": (
+        "NTILE over the per-USER activity aggregate (events pre-reduced "
+        "to one row per user) + 10-row decile cum"
+    ),
+    "text_vocab_top": (
+        "row_number over the TakeOrderedAndProject top-K output "
+        "(VOCAB_TOP_K rows), never the vocabulary"
+    ),
+    "text_length_quality_grid": (
+        "cum-counts over the two scaled selection histograms "
+        "(max(1024, n/2^20) rows by construction) — the corpus-grain "
+        "NTILE was rewritten to the bounded boundary-row selection "
+        "(_ntile_assign_bounded) in r6"
+    ),
+}
+
+
+def count_global_windows(plan: str) -> int:
+    """Window nodes whose Arguments carry no partition spec. Formatted
+    plans print `Arguments: [fns], [ordering]` for a global ORDERED
+    window, `Arguments: [fns], [partition]` for a partitioned unordered
+    one (same group count — disambiguated by the ASC/DESC markers only
+    ordering groups carry), and `[fns], [partition], [ordering]` for the
+    partitioned ordered case. Constant partition keys like lit(1) are
+    folded away and land in the global bucket too — correctly: they
+    still run single-task. AQE plans repeat the tree (initial + final),
+    so counts come out doubled; the findings gate is presence, not
+    magnitude."""
+    n_global = 0
+    lines = plan.splitlines()
+    for idx, line in enumerate(lines):
+        if not re.match(r"\(\d+\) Window\s*$", line.strip()):
+            # WindowGroupLimit nodes repeat the parent Window's spec;
+            # the Window node itself is what moves the data
+            continue
+        for nxt in lines[idx + 1 : idx + 6]:
+            nxt = nxt.strip()
+            if not nxt.startswith("Arguments:"):
+                continue
+            body = nxt[len("Arguments:"):].strip()
+            groups: list[str] = []
+            depth = 0
+            start = None
+            for pos, ch in enumerate(body):
+                if ch == "[":
+                    if depth == 0:
+                        start = pos
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0 and start is not None:
+                        groups.append(body[start : pos + 1])
+                        start = None
+            if len(groups) <= 1 or (
+                len(groups) == 2
+                and re.search(r" (ASC|DESC)\b", groups[-1])
+            ):
+                n_global += 1
+            break
+    return n_global
+
 
 def formatted_plan(df) -> str:
     buf = io.StringIO()
@@ -65,6 +176,7 @@ def audit_one(name: str, plan: str) -> dict:
         + plan.count("FlatMapCoGroupsInPandas")
         + plan.count("FlatMapGroupsInPandas")
         + plan.count("AggregateInPandas"),
+        "global_windows": count_global_windows(plan),
     }
 
 
@@ -110,6 +222,11 @@ def main() -> int:
             sections.append(f"## {name}\n\n```\n{plan.strip()}\n```\n")
         if a["cartesian"]:
             problems.append(f"{name}: CartesianProduct in plan")
+        if a["global_windows"] and name not in GLOBAL_WINDOW_BOUNDED:
+            problems.append(
+                f"{name}: {a['global_windows']} global window(s) with no "
+                "bounded-input justification (GLOBAL_WINDOW_BOUNDED)"
+            )
         if name in EXPECT_PUSHED and not a["pushed_filters"]:
             problems.append(f"{name}: expected pushed filters, found none")
         if name in EXPECT_BROADCAST and not a["broadcast_joins"]:
@@ -122,16 +239,28 @@ def main() -> int:
         "(plan shape is SF-independent; AQE may re-plan at runtime).",
         "",
         "| query | scans | pushed filters | max read cols | bcast joins |"
-        " SMJ | codegen spans | python stages | cartesian |",
-        "|---|---|---|---|---|---|---|---|---|",
+        " SMJ | codegen spans | python stages | global windows | cartesian |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, a in rows:
         lines.append(
             f"| {name} | {a['scans']} | {a['pushed_filters']} | "
             f"{a['read_cols']} | {a['broadcast_joins']} | {a['smj']} | "
-            f"{a['codegen_spans']} | {a['python_eval']} | {a['cartesian']} |"
+            f"{a['codegen_spans']} | {a['python_eval']} | "
+            f"{a['global_windows']}"
+            f"{'*' if a['global_windows'] and name in GLOBAL_WINDOW_BOUNDED else ''}"
+            f" | {a['cartesian']} |"
         )
     lines.append("")
+    gw_used = [n for n, a in rows if a["global_windows"] and n in GLOBAL_WINDOW_BOUNDED]
+    if gw_used:
+        lines += [
+            "`*` = global window allowed: input provably bounded — "
+            "justifications:",
+            "",
+        ]
+        lines += [f"- `{n}`: {GLOBAL_WINDOW_BOUNDED[n]}" for n in gw_used]
+        lines.append("")
     if problems:
         lines.append("## Findings")
         lines += [f"- **{p}**" for p in problems]

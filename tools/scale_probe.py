@@ -49,6 +49,8 @@ QUERIES = [
     "ev_rolling_distinct_users",  # coverage-interval boundary rewrite (r5b)
     "agg_exact_global_median",   # two-pass selection, histogram + bucket sort (r5b)
     "ev_stickiness_dau_mau",     # shared coverage core + daily distinct (r5b)
+    "text_length_quality_grid",  # bounded NTILE-by-selection rewrite (r6)
+    "corpus_budget_pack",        # scaled score-histogram selection (r6)
 ]
 
 
