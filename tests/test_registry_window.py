@@ -1,0 +1,54 @@
+"""Registry priority-window invariants: the external driver records
+correctness rows for the FIRST 50 registered queries only, so the window
+composition is load-bearing evidence policy (VERDICT r5 item 1)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from spark_dba_spark import registry
+
+
+def test_window_shape_and_rotation_policy():
+    specs = registry.all_specs()
+    names = list(specs)
+    assert len(names) == len(set(names))
+    window = names[:50]
+    bench = [n for n, s in specs.items() if s.bench]
+    # slots 37-50 are exactly the frozen bench set (in-round gating of
+    # every BENCH_r{N} query), slots 1-36 are fresh full-oracle rows
+    assert window[36:] == bench, "bench set must hold slots 37-50"
+    assert len(bench) == 14
+    repo = Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for f in sorted(repo.glob("CORRECTNESS_r0*.json")):
+        seen.update(json.loads(f.read_text()).keys())
+    fresh = [n for n in window[:36] if n not in seen]
+    if seen:  # driver artifacts present: every non-bench slot is fresh
+        assert len(fresh) == 36, (
+            f"window wastes slots on already-recorded rows: "
+            f"{sorted(set(window[:36]) & seen)}"
+        )
+    # fresh slots must carry full oracles — a rows-only driver row is
+    # the weakest evidence class and must not consume a window slot
+    for n in window[:36]:
+        assert specs[n].oracle is not None, f"{n} is rows-only"
+
+
+def test_remaining_backlog_queued_right_after_window():
+    """Everything never driver-checked that missed the 50-slot window
+    must sit immediately after it (the written-down r7 plan)."""
+    specs = registry.all_specs()
+    names = list(specs)
+    repo = Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for f in sorted(repo.glob("CORRECTNESS_r0*.json")):
+        seen.update(json.loads(f.read_text()).keys())
+    if not seen:
+        return
+    never = [n for n in names if n not in seen]
+    after_window = names[50 : 50 + len([n for n in never if n not in names[:50]])]
+    assert all(n in never for n in after_window), (
+        "non-backlog queries queued ahead of never-checked ones"
+    )
