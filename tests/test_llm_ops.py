@@ -1123,3 +1123,40 @@ def test_pca_gram_partials_exact_vs_bigint():
         (int(r.i), int(r.j)): int(r.s) for r in out.itertuples(index=False)
     }
     assert got == expect
+
+
+def test_ntile_assign_bounded_equals_spark_ntile(spark):
+    """_ntile_assign_bounded must equal Spark's own NTILE on adversarial
+    frames — heavy ties (hi==lo degenerate histogram), n < k, and mixed
+    duplicates — not just the fixture distribution the oracle covers."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from spark_dba_spark.operators.text import GRID_BINS, _ntile_assign_bounded
+
+    cases = [
+        [7.0] * 9,                      # all equal: hi == lo branch
+        [1.0, 2.0, 3.0],                # n < k
+        [5.0, 5.0, 1.0, 1.0, 1.0, 9.0, 9.0, 2.0, 2.0, 2.0, 2.0, 8.0],
+        [float(x) for x in range(23)],  # distinct, n % k != 0
+    ]
+    for vals in cases:
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "doc_id long, val double"
+        )
+        got = {
+            (r["doc_id"], r["nq"])
+            for r in _ntile_assign_bounded(
+                spark, df, "val", GRID_BINS, "nq"
+            ).collect()
+        }
+        want = {
+            (r["doc_id"], r["nq"])
+            for r in df.withColumn(
+                "nq",
+                F.ntile(GRID_BINS).over(
+                    W.orderBy(F.asc("val"), F.asc("doc_id"))
+                ),
+            ).collect()
+        }
+        assert got == want, vals

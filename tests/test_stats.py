@@ -296,3 +296,42 @@ def test_ewma_weight_ladder_invariants():
     # both engines' embedded literals rely on)
     for w in _EWMA_W + _EWMA_CUMW:
         assert float(repr(w)) == w
+
+
+def test_ntile_boundary_selection_identity():
+    """The boundary-row assignment rule behind _ntile_assign_bounded
+    equals NTILE(k) over the (value, id) total order on arbitrary
+    multisets (heavy ties, n < k, all-equal values): with boundary
+    ranks R_b = b*floor(n/k) + min(b, n mod k) and boundary rows taken
+    at those ranks, bucket(row) = 1 + |{b : row > boundary_b}| —
+    because the id tie-break makes the order total, row > boundary_b
+    iff rank(row) > R_b."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(-5, 5), min_size=1, max_size=60),
+        st.integers(2, 8),
+    )
+    def check(vals, k):
+        rows = sorted((v, i) for i, v in enumerate(vals))
+        n = len(rows)
+        base, rem = divmod(n, k)
+        # reference NTILE: first `rem` buckets get base+1 rows
+        ref = {}
+        r = 0
+        for b in range(1, k + 1):
+            size = base + (1 if b <= rem else 0)
+            for _ in range(size):
+                if r < n:
+                    ref[rows[r]] = b
+                    r += 1
+        bounds = [
+            rows[b * base + min(b, rem) - 1] for b in range(1, k)
+        ]  # rank R_b is 1-indexed; R_b >= 1 because n >= 1
+        for row in rows:
+            got = 1 + sum(1 for bd in bounds if row > bd)
+            assert got == ref[row], (vals, k, row, got, ref[row])
+
+    check()
