@@ -554,7 +554,12 @@ def run_user_gap_stream(
     (the tail-to-corpus-end gap only exists in batch, where the corpus
     end is known). Integer-exact state: (last event micros, max gap,
     count); update mode emits the running answer per key each batch.
-    Same in-order ingestion assumption as the debounce twin."""
+    Same in-order ingestion CONTRACT as the debounce twin; an event
+    arriving out of order across batches (um ≤ last) is counted in
+    n_events but contributes no gap and never moves `last` backwards —
+    in particular it cannot retroactively SPLIT a gap already recorded
+    (a watermark-delayed fold would be needed for that), pinned by
+    ``test_gap_stream_out_of_order_batches_per_contract``."""
     ev = stream_events(spark, sf_dir)
     pts = ev.select(
         "user_id", F.expr("unix_micros(cast(ts as timestamp))").alias("um")

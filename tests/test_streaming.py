@@ -425,3 +425,76 @@ def test_debounce_stream_out_of_order_batches_per_contract(spark, tmp_path):
     # 8.5d candidate is DROPPED (neither alert nor suppressed); 16d
     # emits with exactly ONE suppressed candidate before it.
     assert got == [(0, 0), (8 * day, 0), (16 * day, 1)], got
+
+
+def test_gap_stream_out_of_order_batches_per_contract(spark, tmp_path):
+    """Max-gap twin under cross-batch disorder: a late event is counted
+    in n_events but contributes no gap, never moves `last` backwards,
+    and cannot retroactively split a recorded gap (the documented
+    divergence from batch under disorder — jobs.run_user_gap_stream)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from spark_dba_spark.streaming.jobs import (
+        _GAP_SCHEMA,
+        _GAP_STATE,
+        _update_gap,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def write_batch(name, ums, mtime):
+        df = spark.createDataFrame(
+            [(1, um) for um in ums], "user_id bigint, um bigint"
+        )
+        df.coalesce(1).write.parquet(f"{landing}/_stage_{name}")
+        src = glob.glob(f"{landing}/_stage_{name}/*.parquet")[0]
+        shutil.move(src, f"{landing}/{name}.parquet")
+        shutil.rmtree(f"{landing}/_stage_{name}")
+        os.utime(f"{landing}/{name}.parquet", (mtime, mtime))
+
+    day = 86_400 * 1_000_000
+    base = 1_700_000_000
+    write_batch("b1", [0, 10 * day], base)  # gap 10d recorded
+    write_batch("b2", [5 * day], base + 100)  # LATE: would split the gap
+    write_batch("b3", [11 * day], base + 200)  # in-order again: gap 1d
+
+    stream = (
+        spark.readStream.schema("user_id bigint, um bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_gap,
+            outputStructType=_GAP_SCHEMA,
+            stateStructType=_GAP_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName("t_gap_ooo")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+
+    final = (
+        spark.table("t_gap_ooo")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n"),
+            F.max("max_gap_us").alias("mg"),
+        )
+        .collect()[0]
+    )
+    # 4 events counted; max gap stays the 10d recorded before the late
+    # arrival (NOT the 5d a batch recompute over sorted data would give,
+    # and NOT corrupted by a backwards `last`: 11d adds only a 1d gap)
+    assert (final["n"], final["mg"]) == (4, 10 * day), final
