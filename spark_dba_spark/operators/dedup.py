@@ -583,6 +583,57 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the near-dup funnel: materialize the CANONICAL corpus
+    — every document labeled with its near-dup component (singletons are
+    their own component), whether it SURVIVES dedup, and which document
+    it was deduped in favor of. Selection rule: within a component keep
+    the highest ``quality_score`` (doc_id tie-break) — the same
+    keep-best policy as the exact-dup ``dedup_keep_best``, lifted from
+    hash-equality groups to TRANSITIVE near-dup groups. This is the
+    query a training pipeline actually runs to emit its deduped corpus;
+    ``dedup_cc_clusters`` (components only) and ``dedup_keep_best``
+    (exact dups only) are its two halves.
+
+    Scale: near-dup pairs from the inverted index (no O(n²)), O(log n)
+    star-contraction components, one quality join, and per-COMPONENT
+    windows (component-sized partitions — near-dup clusters, never the
+    corpus). Ordering determinism: both engines compute bit-identical
+    quality scores (the ``corpus_budget_pack`` ordering identity), and
+    doc_id totalizes every tie. Oracle: recursive-CTE transitive
+    closure + the shared score SQL — a genuinely different closure
+    algorithm that must agree row-for-row."""
+    from .text import text_quality
+
+    dup = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cc_components(dup)
+    tq = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    wc = tq.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "quality_score",
+        F.coalesce("comp", F.col("doc_id")).alias("component_id"),
+    )
+    w = W.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = (
+        wc.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count("*").over(W.partitionBy("component_id")),
+        )
+        .withColumn("kept_doc_id", F.first("doc_id").over(wfull))
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("component_id").cast("long").alias("component_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        (F.col("rn") == 1).alias("keep"),
+        F.col("kept_doc_id").cast("long").alias("kept_doc_id"),
+    ).orderBy("doc_id")
+
+
 ORACLE_CC = f"""
 WITH RECURSIVE {_NGRAM_PAIR_CTES},
 dup AS (
@@ -603,6 +654,37 @@ SELECT doc_id, component_id,
        COUNT(*) OVER (PARTITION BY component_id) AS n_members
 FROM comp
 ORDER BY doc_id
+"""
+
+
+def _oracle_canonical() -> str:
+    # late import: text.py defines the score SQL; no import cycle
+    # (text.py never imports dedup)
+    from .text import _SCORE_SQL
+
+    closure = ORACLE_CC.split("SELECT doc_id, component_id,")[0].rstrip()
+    return f"""{closure},
+tq AS ({_SCORE_SQL}),
+wc AS (
+  SELECT t.doc_id, t.quality_score,
+         COALESCE(c.component_id, t.doc_id) AS component_id
+  FROM tq t LEFT JOIN comp c ON t.doc_id = c.doc_id),
+r AS (
+  SELECT doc_id, component_id,
+         ROW_NUMBER() OVER (PARTITION BY component_id
+                            ORDER BY quality_score DESC, doc_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY component_id) AS n_members,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY component_id
+                                   ORDER BY quality_score DESC, doc_id)
+           AS kept_doc_id
+  FROM wc)
+SELECT doc_id,
+       CAST(component_id AS BIGINT) AS component_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       rn = 1 AS keep,
+       CAST(kept_doc_id AS BIGINT) AS kept_doc_id
+FROM r ORDER BY doc_id
 """
 
 
@@ -1091,6 +1173,11 @@ SPECS = [
     QuerySpec("dedup_cc_clusters", dedup_cc_clusters, ORACLE_CC,
               ("dedup", "neardup", "graph"),
               doc="connected components: near-dup pairs → dedup groups"),
+    QuerySpec("dedup_canonical_corpus", dedup_canonical_corpus,
+              _oracle_canonical(), ("dedup", "neardup", "pipeline"),
+              doc="canonical-corpus materialization: transitive near-dup "
+                  "components + keep-best-quality survivor per component "
+                  "(the emit step of the dedup funnel)"),
     QuerySpec("graph_pagerank_neardup", graph_pagerank_neardup,
               ORACLE_PAGERANK, ("dedup", "graph", "iterative"),
               doc="power-iteration PageRank on the near-dup graph "

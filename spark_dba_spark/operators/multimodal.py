@@ -427,6 +427,103 @@ GROUP BY 1, 2 ORDER BY media_type, shard_id
 """
 
 
+# --------------------------------------------------------------------------
+# Block-hash near-dup (Hamming-style banded screen over binary payloads)
+# --------------------------------------------------------------------------
+
+BLOCK_LEN = 64  # bytes per head block
+N_BLOCKS = 4  # blocks hashed per asset
+MIN_BLOCK_MATCH = 3  # pigeonhole: ≥3-of-4 equal blocks → near-dup pair
+MAX_BLOCK_DF = 50  # hot-block prune (shared boilerplate blocks)
+
+
+def mm_neardup_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate assets by block hashing — the binary-payload
+    analogue of SimHash banding: hash {N_BLOCKS} fixed {BLOCK_LEN}-byte
+    head blocks per asset, band-join on (block index, hash), and keep
+    pairs agreeing on ≥{MIN_BLOCK_MATCH} blocks. An asset pair differing
+    by one localized edit still shares {N_BLOCKS}−1 blocks (pigeonhole),
+    while ``mm_dedup_fingerprint``'s single whole-prefix hash only finds
+    EXACT prefix copies. Empty blocks (payload shorter than the block
+    offset) are excluded, so short assets can never pair on vacuous
+    matches; blocks shared by >{MAX_BLOCK_DF} assets are pruned before
+    pairing (shared boilerplate headers would contribute O(df²) pairs —
+    the same stop-shingle rule as the Jaccard inverted index, mirrored
+    in the oracle so exactness is preserved).
+
+    Scale: band join on (block, hash) buckets — candidate volume is
+    Σ df² over sub-threshold buckets, never assets²; one groupBy pair
+    count after. All hashing is md5 on utf-8 round-tripped bytes, so
+    both engines hash identical strings."""
+    a = _assets(spark, sf_dir)
+    blocks = (
+        a.select(
+            "doc_id",
+            F.octet_length("payload").alias("blen"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(N_BLOCKS - 1))
+            ).alias("q"),
+        )
+        .filter(F.col("q") * BLOCK_LEN < F.col("blen"))
+        .join(a.select("doc_id", "payload"), "doc_id")
+        .select(
+            "doc_id",
+            "q",
+            F.md5(
+                F.expr(
+                    "substring(cast(payload as string), "
+                    f"q * {BLOCK_LEN} + 1, {BLOCK_LEN})"
+                )
+            ).alias("h"),
+        )
+    )
+    pruned = (
+        blocks.groupBy("q", "h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(
+            (F.size("ids") <= MAX_BLOCK_DF) & (F.size("ids") > 1)
+        )
+    )
+    pairs = (
+        pruned.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= MIN_BLOCK_MATCH)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("m").cast("int").alias("n_matching_blocks"),
+    ).orderBy("doc_a", "doc_b")
+
+
+ORACLE_MM_NEARDUP = f"""
+WITH b AS (
+  SELECT doc_id, q, md5(substr(text, q * {BLOCK_LEN} + 1, {BLOCK_LEN}))
+           AS h
+  FROM documents, unnest(range({N_BLOCKS})) AS u(q)
+  WHERE q * {BLOCK_LEN} < length(text)),
+pr AS (SELECT q, h FROM b GROUP BY q, h
+       HAVING COUNT(*) <= {MAX_BLOCK_DF} AND COUNT(*) > 1),
+bp AS (SELECT b.doc_id, b.q, b.h FROM b JOIN pr USING (q, h)),
+pair AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS m
+  FROM bp a JOIN bp c ON a.q = c.q AND a.h = c.h AND a.doc_id < c.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(m AS INT) AS n_matching_blocks
+FROM pair WHERE m >= {MIN_BLOCK_MATCH}
+ORDER BY doc_a, doc_b
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_meta", mm_binary_meta, ORACLE_MM_META, ("multimodal",)),
     QuerySpec("mm_dedup_fingerprint", mm_dedup_fingerprint,
@@ -443,4 +540,9 @@ SPECS = [
     QuerySpec("mm_shard_pack", mm_shard_pack, ORACLE_MM_SHARD,
               ("multimodal", "pipeline"),
               doc="WebDataset-style size-bounded shard packing plan"),
+    QuerySpec("mm_neardup_hamming", mm_neardup_hamming, ORACLE_MM_NEARDUP,
+              ("multimodal", "dedup", "lsh"),
+              doc="block-hash near-dup screen over binary payloads "
+                  "(>=3-of-4 head blocks equal, hot-block pruned band "
+                  "join - the Hamming analogue of SimHash banding)"),
 ]

@@ -4816,6 +4816,86 @@ FROM scored ORDER BY o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# Join-key skew audit (the Spark DBA's shuffle-planning report)
+# --------------------------------------------------------------------------
+
+_SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report over the fact table's join keys — the
+    numbers a Spark DBA reads before choosing broadcast vs sort-merge vs
+    salted for each join: rows, distinct keys, the hottest key's row
+    count and share, and the skew ratio (hottest / average). A ratio
+    near 1 means hash partitions balance; a large ratio is the straggler
+    warning that motivates salting / AQE skew-join (exactly what
+    ``join_skew_salted`` then demonstrates). One map-side-combined
+    groupBy per key column — embarrassingly parallel across keys, no
+    driver state; the per-key aggregate reduces to a single row before
+    anything crosses the wire twice.
+
+    Determinism: every output is an integer or a 6dp-rounded ratio of
+    integers (identical IEEE division both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = None
+    for key in _SKEW_KEYS:
+        per_key = (
+            li.select(F.col(key).alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("c"))
+        )
+        branch = per_key.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_per_key"),
+        ).select(
+            F.lit(key).alias("key_col"),
+            "n_rows",
+            "n_keys",
+            "max_per_key",
+            F.round(
+                F.col("n_rows").cast("double")
+                / F.col("n_keys").cast("double"),
+                6,
+            ).alias("avg_per_key"),
+            F.round(
+                F.col("max_per_key").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("top1_share"),
+            F.round(
+                F.col("max_per_key").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("skew_ratio"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("key_col")
+
+
+def _skew_oracle_one(key: str) -> str:
+    return f"""
+  SELECT '{key}' AS key_col,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_per_key,
+         ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS avg_per_key,
+         ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+           AS top1_share,
+         ROUND(CAST(MAX(c) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(c) AS DOUBLE), 6) AS skew_ratio
+  FROM (SELECT {key} AS k, COUNT(*) AS c FROM lineitem GROUP BY 1)"""
+
+
+ORACLE_KEY_SKEW = (
+    "\nUNION ALL".join(_skew_oracle_one(k) for k in _SKEW_KEYS)
+    + "\nORDER BY key_col"
+)
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -5106,9 +5186,9 @@ SPECS = [
     QuerySpec("agg_exact_global_median", agg_exact_global_median,
               ORACLE_EXACT_MEDIAN, ("agg", "percentile", "selection"),
               doc="exact global median/p90/p99 by two-pass distributed "
-                  "selection (one bucket histogram locates every "
-                  "quantile's bucket; only ~n/1024 rows per quantile "
-                  "ever sort) == brute ROW_NUMBER oracle"),
+                  "selection (bucket count scales with n: the histogram "
+                  "locates every quantile's bucket and only ~2^20 rows "
+                  "per quantile ever sort) == brute ROW_NUMBER oracle"),
     QuerySpec("part_supply_redundancy", part_supply_redundancy,
               ORACLE_SUPPLY_REDUNDANCY, ("agg", "audit", "dba"),
               doc="supplier-count distribution per part + single-source "
@@ -5118,4 +5198,9 @@ SPECS = [
               doc="month-over-month brand league-table movers (exact "
                   "decimal revenue ranks, LAG along observed months, "
                   "catalog-x-calendar windows)"),
+    QuerySpec("audit_key_skew", audit_key_skew, ORACLE_KEY_SKEW,
+              ("audit", "dba", "skew"),
+              doc="shuffle-key skew report over the fact join keys "
+                  "(hottest-key share + skew ratio — the broadcast/"
+                  "salt/AQE planning input)"),
 ]

@@ -2425,6 +2425,430 @@ ORDER BY decile
 """
 
 
+# --------------------------------------------------------------------------
+# CUSUM changepoint (level-shift detector on the hourly series)
+# --------------------------------------------------------------------------
+
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single most likely LEVEL-SHIFT point of the hourly event-count
+    series by CUSUM: the hour h maximizing |Σ_{i≤h}(cᵢ − mean)| — the
+    classic at-most-one-changepoint screen a monitoring pipeline runs
+    before alerting "traffic stepped". Emits the argmax hour, the CUSUM
+    statistic, and the mean levels before/after the candidate point.
+
+    Exactness: with integer counts, n_hours·S_h = n_hours·cum_h −
+    idx_h·n_events is an INTEGER — the argmax (tie-break: earliest hour)
+    is decided in integer arithmetic, so no ulp can move the
+    changepoint between engines; the reported statistic and means are
+    display-only 6dp doubles of integer ratios.
+
+    Scale: one fact shuffle to hourly counts; the zero-filled spine,
+    running sum, and TakeOrdered argmax are all CALENDAR-bounded (the
+    global window runs over hours-of-history rows, never events —
+    plan_audit GLOBAL_WINDOW_BOUNDED)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    hr = F.expr(
+        "cast(floor(unix_micros(cast(ts as timestamp)) / 3600000000) "
+        "as bigint)"
+    )
+    b = ev.select(hr.alias("hr")).groupBy("hr").agg(
+        F.count("*").alias("n")
+    )
+    rng = b.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = rng.select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    f = spine.join(b, "hr", "left").select(
+        "hr", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    wcum = W.orderBy("hr").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        f.withColumn("cum", F.sum("n").over(wcum))
+        .withColumn("idx", F.count("*").over(wcum))
+    )
+    tot = f.agg(
+        F.count("*").alias("n_hours"), F.sum("n").alias("n_events")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "t_scaled",
+        F.col("n_hours") * F.col("cum") - F.col("idx") * F.col("n_events"),
+    )
+    top = (
+        scored.filter(F.col("idx") < F.col("n_hours"))  # split needs a tail
+        .orderBy(F.abs("t_scaled").desc(), F.asc("hr"))
+        .limit(1)
+    )
+    return top.select(
+        F.expr(
+            "cast(timestamp_micros(hr * 3600000000) as timestamp_ntz)"
+        ).alias("changepoint_hour"),
+        F.col("idx").cast("long").alias("hours_before"),
+        (F.col("n_hours") - F.col("idx")).cast("long").alias("hours_after"),
+        F.round(
+            F.abs("t_scaled").cast("double")
+            / F.col("n_hours").cast("double"),
+            6,
+        ).alias("cusum_stat"),
+        F.round(
+            F.col("cum").cast("double") / F.col("idx").cast("double"), 6
+        ).alias("mean_before"),
+        F.round(
+            (F.col("n_events") - F.col("cum")).cast("double")
+            / (F.col("n_hours") - F.col("idx")).cast("double"),
+            6,
+        ).alias("mean_after"),
+    )
+
+
+ORACLE_CUSUM = """
+WITH b AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1),
+rng AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM b),
+spine AS (SELECT unnest(generate_series(rng.lo, rng.hi)) AS hr FROM rng),
+f AS (
+  SELECT s.hr, COALESCE(b.n, 0) AS n
+  FROM spine s LEFT JOIN b ON s.hr = b.hr),
+cum AS (
+  SELECT hr, n,
+         SUM(n) OVER (ORDER BY hr
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         COUNT(*) OVER (ORDER BY hr
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS idx
+  FROM f),
+tot AS (SELECT COUNT(*) AS n_hours, SUM(n) AS n_events FROM f),
+scored AS (
+  SELECT c.*, t.n_hours, t.n_events,
+         t.n_hours * c.cum - c.idx * t.n_events AS t_scaled
+  FROM cum c CROSS JOIN tot t)
+SELECT make_timestamp(hr * 3600000000) AS changepoint_hour,
+       CAST(idx AS BIGINT) AS hours_before,
+       CAST(n_hours - idx AS BIGINT) AS hours_after,
+       ROUND(CAST(ABS(t_scaled) AS DOUBLE) / CAST(n_hours AS DOUBLE), 6)
+         AS cusum_stat,
+       ROUND(CAST(cum AS DOUBLE) / CAST(idx AS DOUBLE), 6) AS mean_before,
+       ROUND(CAST(n_events - cum AS DOUBLE)
+             / CAST(n_hours - idx AS DOUBLE), 6) AS mean_after
+FROM scored
+WHERE idx < n_hours
+ORDER BY ABS(t_scaled) DESC, hr ASC
+LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Open-order backlog aging (the fulfilment WIP report)
+# --------------------------------------------------------------------------
+
+AGING_EDGES = (30, 60, 90)  # bucket edges in days
+
+
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging report of the order BACKLOG at the corpus snapshot (max
+    order date): every order still open at the snapshot — opened on or
+    before it, last line shipping on or after it — bucketed by age
+    (0-30 / 31-60 / 61-90 / 90+ days since opening) with counts and
+    exact-decimal open value. The WIP report a fulfilment DBA reads
+    next to ``orders_open_concurrency``'s time series: that one says
+    HOW MANY were open each day, this one says how OLD today's backlog
+    is and how much revenue is stuck in it.
+
+    Scale: one line-item shuffle for per-order close dates, one
+    broadcast snapshot row, one 4-row rollup. Determinism: ages are
+    integer day differences on DATE arithmetic (no tz cast), buckets
+    are integer comparisons, value sums are DECIMAL."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    oday = F.col("o_orderdate").cast("timestamp_ntz").cast("date")
+    close = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.col("l_shipdate").cast("timestamp_ntz").cast("date")
+        ).alias("close_day")
+    )
+    snap = orders.agg(F.max(oday).alias("snap_day"))
+    spans = (
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            oday.alias("open_day"),
+            F.col("o_totalprice").cast("decimal(25,2)").alias("val"),
+        )
+        .join(close, "l_orderkey")
+        .crossJoin(F.broadcast(snap))
+        .filter(
+            (F.col("open_day") <= F.col("snap_day"))
+            & (F.greatest("close_day", "open_day") >= F.col("snap_day"))
+        )
+        .withColumn(
+            "age_days", F.datediff("snap_day", "open_day").cast("int")
+        )
+    )
+    e1, e2, e3 = AGING_EDGES
+    bucket = (
+        F.when(F.col("age_days") <= e1, f"0-{e1}d")
+        .when(F.col("age_days") <= e2, f"{e1 + 1}-{e2}d")
+        .when(F.col("age_days") <= e3, f"{e2 + 1}-{e3}d")
+        .otherwise(f"{e3}d+")
+    )
+    return (
+        spans.groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("val").cast("double").alias("open_value"),
+            F.min("age_days").cast("int").alias("min_age"),
+            F.max("age_days").cast("int").alias("max_age"),
+        )
+        .orderBy("min_age")
+    )
+
+
+ORACLE_BACKLOG_AGING = f"""
+WITH close AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
+  FROM lineitem GROUP BY 1),
+snap AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS snap_day FROM orders),
+spans AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+         CAST(o.o_totalprice AS DECIMAL(25,2)) AS val,
+         s.snap_day,
+         DATEDIFF('day', CAST(o.o_orderdate AS DATE), s.snap_day) AS age_days
+  FROM orders o
+  JOIN close c ON o.o_orderkey = c.l_orderkey
+  CROSS JOIN snap s
+  WHERE CAST(o.o_orderdate AS DATE) <= s.snap_day
+    AND GREATEST(c.close_day, CAST(o.o_orderdate AS DATE)) >= s.snap_day)
+SELECT CASE WHEN age_days <= {AGING_EDGES[0]} THEN '0-{AGING_EDGES[0]}d'
+            WHEN age_days <= {AGING_EDGES[1]}
+              THEN '{AGING_EDGES[0] + 1}-{AGING_EDGES[1]}d'
+            WHEN age_days <= {AGING_EDGES[2]}
+              THEN '{AGING_EDGES[1] + 1}-{AGING_EDGES[2]}d'
+            ELSE '{AGING_EDGES[2]}d+' END AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(val) AS DOUBLE) AS open_value,
+       CAST(MIN(age_days) AS INT) AS min_age,
+       CAST(MAX(age_days) AS INT) AS max_age
+FROM spans
+GROUP BY 1
+ORDER BY min_age
+"""
+
+
+# --------------------------------------------------------------------------
+# Hash-split A/B test (two-proportion z, the experimentation readout)
+# --------------------------------------------------------------------------
+
+AB_SALT = "exp1"  # deterministic experiment id baked into the assignment
+AB_CONV_VALUE = 150.0  # conversion = a purchase above ~p95 value (the
+# fixture's every user makes SOME purchase, so plain any-purchase is a
+# degenerate 100% metric with zero pooled variance)
+
+
+def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout over a DETERMINISTIC hash split
+    (md5(user_id:salt) parity → A/B — the same idempotent-assignment
+    idiom as ``dataset_split_hash``, so re-runs and late events always
+    land users in the same arm): per-arm users, converters (≥1 purchase
+    above {AB_CONV_VALUE}), conversion rates, relative lift, pooled-SE
+    z-score (NULL when the pooled variance is degenerate — both guards
+    mirrored in the oracle so ANSI mode cannot diverge the engines). The
+    readout every experimentation platform prints; the z is the
+    two-sided test statistic under H₀: p_A = p_B.
+
+    Scale: one user-grain dedup + two single-row aggregates — the fact
+    stream crosses the wire once; everything after is 2-row arithmetic.
+    Determinism: integer counts; rates/lift/z are 6dp-rounded ratios of
+    integers (identical IEEE both engines)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    users = (
+        ev.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > AB_CONV_VALUE),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.expr(
+                    "cast(conv(substring(md5(concat(cast(user_id as string), "
+                    f"':{AB_SALT}')), 1, 7), 16, 10) as bigint) % 2"
+                )
+                == 0,
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    g = users.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    a = g.filter(F.col("arm") == "A").select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ka")
+    )
+    bb = g.filter(F.col("arm") == "B").select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("kb")
+    )
+    j = a.crossJoin(bb)
+    pa = F.col("ka").cast("double") / F.col("na").cast("double")
+    pb = F.col("kb").cast("double") / F.col("nb").cast("double")
+    pp = (F.col("ka") + F.col("kb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (1 - pp)
+        * (
+            1 / F.col("na").cast("double")
+            + 1 / F.col("nb").cast("double")
+        )
+    )
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ka").cast("long").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("kb").cast("long").alias("conv_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.when(F.col("ka") > 0, F.round(pb / pa - 1, 6)).alias("rel_lift"),
+        F.when(
+            (F.col("ka") + F.col("kb") > 0)
+            & (F.col("ka") + F.col("kb") < F.col("na") + F.col("nb")),
+            F.round((pb - pa) / se, 6),
+        ).alias("z_score"),
+    )
+
+
+ORACLE_AB_TEST = f"""
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > {AB_CONV_VALUE}
+                  THEN 1 ELSE 0 END) AS converted,
+         CASE WHEN CAST(('0x' || SUBSTRING(md5(CAST(user_id AS VARCHAR)
+                    || ':{AB_SALT}'), 1, 7)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events GROUP BY user_id),
+g AS (
+  SELECT arm, COUNT(*) AS n, SUM(converted) AS k FROM users GROUP BY 1),
+j AS (
+  SELECT a.n AS na, a.k AS ka, b.n AS nb, b.k AS kb
+  FROM (SELECT * FROM g WHERE arm = 'A') a
+  CROSS JOIN (SELECT * FROM g WHERE arm = 'B') b)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(ka AS BIGINT) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(kb AS BIGINT) AS conv_b,
+       ROUND(CAST(ka AS DOUBLE) / CAST(na AS DOUBLE), 6) AS rate_a,
+       ROUND(CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS rate_b,
+       CASE WHEN ka > 0 THEN
+         ROUND(CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE)
+               / (CAST(ka AS DOUBLE) / CAST(na AS DOUBLE)) - 1, 6)
+       END AS rel_lift,
+       CASE WHEN ka + kb > 0 AND ka + kb < na + nb THEN
+         ROUND((CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE)
+                - CAST(ka AS DOUBLE) / CAST(na AS DOUBLE))
+               / sqrt((CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                      * (1 - CAST(ka + kb AS DOUBLE)
+                             / CAST(na + nb AS DOUBLE))
+                      * (1 / CAST(na AS DOUBLE) + 1 / CAST(nb AS DOUBLE))),
+               6)
+       END AS z_score
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes)
+# --------------------------------------------------------------------------
+
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Theil–Sen trend of the hourly event-count series: the
+    MEDIAN of all pairwise slopes (cⱼ−cᵢ)/(hⱼ−hᵢ) — the robust
+    complement to ``stats_regression_trend``'s OLS (one outlier hour
+    drags an OLS slope arbitrarily; it moves the slope median not at
+    all, 29.3% breakdown point).
+
+    Scale envelope: the pair expansion is CALENDAR²-bounded per type
+    (hours-of-history², never events² — ~77M pairs for a year of hourly
+    data, a routine shuffle), produced by a per-type range self-join;
+    the median is a row_number selection per type. Determinism: slopes
+    are ratios of integers evaluated identically in IEEE on both
+    engines, and the ordering carries an (hᵢ, hⱼ) tie-break so rank
+    selection cannot straddle equal slopes differently; the median rank
+    is ⌈m/2⌉ (lower median — exact, no averaging)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    hr = F.expr(
+        "cast(floor(unix_micros(cast(ts as timestamp)) / 3600000000) "
+        "as bigint)"
+    )
+    b = (
+        ev.select("event_type", hr.alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    l = b.select(
+        "event_type", F.col("hr").alias("h1"), F.col("n").alias("n1")
+    )
+    r = b.select(
+        F.col("event_type").alias("et2"),
+        F.col("hr").alias("h2"),
+        F.col("n").alias("n2"),
+    )
+    pairs = l.join(
+        r,
+        (F.col("event_type") == F.col("et2")) & (F.col("h1") < F.col("h2")),
+    ).select(
+        "event_type",
+        "h1",
+        "h2",
+        (
+            (F.col("n2") - F.col("n1")).cast("double")
+            / (F.col("h2") - F.col("h1")).cast("double")
+        ).alias("slope"),
+    )
+    wsel = W.partitionBy("event_type").orderBy("slope", "h1", "h2")
+    wcnt = W.partitionBy("event_type")
+    ranked = pairs.withColumn("rn", F.row_number().over(wsel)).withColumn(
+        "m", F.count("*").over(wcnt)
+    )
+    return (
+        ranked.filter(F.col("rn") == F.ceil(F.col("m") / 2))
+        .select(
+            "event_type",
+            F.col("m").cast("long").alias("n_pairs"),
+            F.round("slope", 6).alias("theil_sen_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type, a.hr AS h1, b2.hr AS h2,
+         CAST(b2.n - a.n AS DOUBLE) / CAST(b2.hr - a.hr AS DOUBLE)
+           AS slope
+  FROM b a JOIN b b2
+    ON a.event_type = b2.event_type AND a.hr < b2.hr),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope, h1, h2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs)
+SELECT event_type,
+       CAST(m AS BIGINT) AS n_pairs,
+       ROUND(slope, 6) AS theil_sen_slope
+FROM ranked WHERE rn = CAST(ceil(m / 2.0) AS BIGINT)
+ORDER BY event_type
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -2566,4 +2990,23 @@ SPECS = [
               doc="event volume by user-activity decile with cumulative "
                   "shares (the 80/20 whale-vs-community read, "
                   "dimension-bounded NTILE)"),
+    QuerySpec("orders_backlog_aging", orders_backlog_aging,
+              ORACLE_BACKLOG_AGING, ("temporal", "interval", "dba"),
+              doc="open-order backlog aging at the corpus snapshot "
+                  "(0-30/31-60/61-90/90+ day buckets, exact-decimal "
+                  "open value)"),
+    QuerySpec("ev_cusum_changepoint", ev_cusum_changepoint, ORACLE_CUSUM,
+              ("temporal", "anomaly", "changepoint"),
+              doc="CUSUM level-shift changepoint of the hourly series "
+                  "(integer-exact argmax over the zero-filled calendar "
+                  "spine; before/after means)"),
+    QuerySpec("stats_ab_test", stats_ab_test, ORACLE_AB_TEST,
+              ("stats", "experiment"),
+              doc="hash-split two-proportion A/B readout (deterministic "
+                  "md5 arm assignment, pooled-SE z, relative lift)"),
+    QuerySpec("stats_theil_sen", stats_theil_sen, ORACLE_THEIL_SEN,
+              ("stats", "trend", "robust"),
+              doc="per-type Theil-Sen slope: median of pairwise hourly "
+                  "slopes (calendar^2-bounded pairs, rank-selected exact "
+                  "lower median)"),
 ]

@@ -156,6 +156,16 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "inv_capacity_clamp",
     "ev_alert_debounce",
     "ev_windowed_topk",
+    # new in r6 (registered this round, so never driver-checked by
+    # definition) — queue behind the standing backlog, ahead of the
+    # rows-only tail:
+    "audit_key_skew",
+    "ev_cusum_changepoint",
+    "stats_ab_test",
+    "stats_theil_sen",
+    "mm_neardup_hamming",
+    "dedup_canonical_corpus",
+    "orders_backlog_aging",
     # rows-only never-checked (weakest evidence class; their hard gates
     # are the exact-twin pytests) — r7/r8 tail:
     "sketch_hll_reaggregate",

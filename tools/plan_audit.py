@@ -98,6 +98,11 @@ GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
         "NTILE was rewritten to the bounded boundary-row selection "
         "(_ntile_assign_bounded) in r6"
     ),
+    "ev_cusum_changepoint": (
+        "running sum + index over the zero-filled CALENDAR hour spine "
+        "(hours-of-history rows; fact stream pre-reduced to hourly "
+        "counts)"
+    ),
 }
 
 
