@@ -1160,3 +1160,83 @@ def test_ntile_assign_bounded_equals_spark_ntile(spark):
             ).collect()
         }
         assert got == want, vals
+
+
+def test_canonical_corpus_invariants(spark):
+    """Canonical-corpus materialization: every doc labeled exactly once,
+    exactly ONE keeper per component, the keeper is the component's
+    kept_doc_id for every member, keepers carry the component's max
+    quality score, and the component labeling agrees with
+    dedup_cc_clusters on every graph doc."""
+    from spark_dba_spark.operators.dedup import (
+        dedup_canonical_corpus,
+        dedup_cc_clusters,
+    )
+    from spark_dba_spark.operators.text import text_quality
+
+    rows = dedup_canonical_corpus(spark, SF_DIR).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    q = {
+        r["doc_id"]: r["quality_score"]
+        for r in text_quality(spark, SF_DIR).collect()
+    }
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1, comp
+        k = keepers[0]
+        assert all(m["kept_doc_id"] == k["doc_id"] for m in members)
+        assert all(m["n_members"] == len(members) for m in members)
+        best = max(q[m["doc_id"]] for m in members)
+        assert q[k["doc_id"]] == best
+    cc = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_cc_clusters(spark, SF_DIR).collect()
+    }
+    got = {r["doc_id"]: r["component_id"] for r in rows}
+    for d, c in cc.items():
+        assert got[d] == c, (d, got[d], c)
+
+
+def test_block_neardup_superset_of_exact_prefix_dups(spark):
+    """Any two assets with IDENTICAL 256-byte heads share all 4 blocks,
+    so every such pair must be found by mm_neardup_hamming (pigeonhole
+    completeness at Hamming distance 0), provided no shared block is
+    hot-pruned — the fixture's blocks are well under MAX_BLOCK_DF."""
+    from pyspark.sql import functions as F
+
+    from spark_dba_spark.operators.multimodal import (
+        BLOCK_LEN,
+        N_BLOCKS,
+        _assets,
+        mm_neardup_hamming,
+    )
+
+    head = F.expr(
+        f"substring(cast(payload as string), 1, {BLOCK_LEN * N_BLOCKS})"
+    )
+    a = _assets(spark, SF_DIR).select("doc_id", head.alias("head"))
+    # only heads long enough to fill all 4 blocks qualify for 4 matches
+    full = a.filter(F.length("head") >= BLOCK_LEN * N_BLOCKS)
+    dup_heads = [
+        r["head"]
+        for r in full.groupBy("head")
+        .agg(F.count("*").alias("c"))
+        .filter("c > 1")
+        .collect()
+    ]
+    expected = set()
+    for h in dup_heads:
+        ids = sorted(
+            r["doc_id"] for r in full.filter(F.col("head") == h).collect()
+        )
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expected.add((ids[i], ids[j]))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in mm_neardup_hamming(spark, SF_DIR).collect()
+    }
+    assert expected <= got, expected - got
