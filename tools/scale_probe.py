@@ -51,6 +51,9 @@ QUERIES = [
     "ev_stickiness_dau_mau",     # shared coverage core + daily distinct (r5b)
     "text_length_quality_grid",  # bounded NTILE-by-selection rewrite (r6)
     "corpus_budget_pack",        # scaled score-histogram selection (r6)
+    "dedup_canonical_corpus",    # CC + keep-best funnel emit (r6 new)
+    "mm_neardup_hamming",        # block-hash band join near-dup (r6 new)
+    "stats_theil_sen",           # calendar^2 pairwise slope median (r6 new)
 ]
 
 
