@@ -28,6 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import catalog
+from .relational import REVENUE
 from ..functions.numeric import davg, sql_dsum
 from ..registry import QuerySpec
 
@@ -2537,6 +2538,210 @@ LIMIT 1
 
 
 # --------------------------------------------------------------------------
+# SCD2 as-of lookup (the query half of the SCD2 build)
+# --------------------------------------------------------------------------
+
+def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time ("as of") state lookup — the QUERY half of the SCD2
+    pattern (``ev_scd2_user_status`` is the build half): every user's
+    status at the corpus-midpoint instant T, with how many status
+    changes preceded it. The scalable form does NOT range-join against
+    the built dimension: as-of state ≡ the latest change event at or
+    before T, which is one filtered per-user window (a single shuffle
+    on the user key), so the lookup costs the same as any keyed top-1.
+
+    Determinism: T = ⌊(min+max)/2⌋ of epoch MICROSECONDS (integer
+    arithmetic, tz-free), ordering ties broken by event_id; the change
+    count is an exact integer. ``n_changes_before`` counts status
+    CHANGES (first event + every differing successor), matching the
+    SCD2 build's row count for the user up to T."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("um"),
+        F.col("event_type").alias("status"),
+    )
+    bounds = ev.agg(
+        ((F.min("um") + F.max("um")) / F.lit(2))
+        .cast("long").alias("t")
+    )
+    upto = ev.crossJoin(F.broadcast(bounds)).filter(F.col("um") <= F.col("t"))
+    w = W.partitionBy("user_id").orderBy("um", "event_id")
+    wdesc = W.partitionBy("user_id").orderBy(
+        F.desc("um"), F.desc("event_id")
+    )
+    marked = upto.withColumn(
+        "prev_status", F.lag("status").over(w)
+    ).withColumn(
+        "is_change",
+        F.when(
+            F.col("prev_status").isNull()
+            | (F.col("status") != F.col("prev_status")),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        marked.withColumn("rn", F.row_number().over(wdesc))
+        .withColumn(
+            "n_changes_before",
+            F.sum("is_change").over(
+                W.partitionBy("user_id").rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("status").alias("status_as_of"),
+            F.expr(
+                "cast(timestamp_micros(um) as timestamp_ntz)"
+            ).alias("status_since"),
+            F.col("n_changes_before").cast("long").alias("n_changes_before"),
+            F.expr(
+                "cast(timestamp_micros(t) as timestamp_ntz)"
+            ).alias("as_of"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SCD2_ASOF = """
+WITH bounds AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS t FROM events),
+upto AS (
+  SELECT e.user_id, e.event_id, epoch_us(e.ts) AS um,
+         e.event_type AS status, b.t
+  FROM events e CROSS JOIN bounds b
+  WHERE epoch_us(e.ts) <= b.t),
+marked AS (
+  SELECT *,
+         CASE WHEN LAG(status) OVER w IS NULL
+                   OR status <> LAG(status) OVER w
+              THEN 1 ELSE 0 END AS is_change
+  FROM upto
+  WINDOW w AS (PARTITION BY user_id ORDER BY um, event_id)),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY um DESC, event_id DESC) AS rn,
+         SUM(is_change) OVER (PARTITION BY user_id) AS n_changes_before
+  FROM marked)
+SELECT user_id,
+       status AS status_as_of,
+       make_timestamp(um) AS status_since,
+       CAST(n_changes_before AS BIGINT) AS n_changes_before,
+       make_timestamp(t) AS as_of
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Supplier scorecard (the composite fulfilment KPI readout)
+# --------------------------------------------------------------------------
+
+SCORECARD_SLA_DAYS = 60  # order->ship SLA for the on-time rate
+
+
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfilment scorecard: volume, on-time rate (shipped
+    within {SCORECARD_SLA_DAYS} days of the order date — the fixture
+    carries no commit date, so the SLA is against order placement),
+    average order→ship latency in days, return rate, and exact-decimal
+    revenue — the composite KPI row a procurement review reads per
+    vendor. One fact⋈fact join on the order key (the standard TPC-H
+    shape — lineitem brings the supplier, orders brings the clock) then
+    ONE map-side-combined groupBy on the supplier key; every rate is a
+    6dp-rounded ratio of integers and the latency average is an exact
+    integer-day sum over an exact count. Day arithmetic stays in epoch-
+    microsecond integers (no tz-dependent date casts)."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias(
+            "order_um"
+        ),
+    )
+    day_us = 86_400 * 1_000_000
+    j = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+        F.expr("unix_micros(cast(l_shipdate as timestamp))").alias(
+            "ship_um"
+        ),
+    ).join(orders, "l_orderkey")
+    lat_days = ((F.col("ship_um") - F.col("order_um")) / F.lit(day_us)).cast(
+        "long"
+    )
+    g = j.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(
+            F.when(lat_days <= SCORECARD_SLA_DAYS, 1).otherwise(0)
+        ).alias("n_on_time"),
+        F.sum(lat_days).alias("lat_days_sum"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("n_returned"),
+        F.sum(
+            F.expr(REVENUE).cast("decimal(25,6)")
+        ).alias("rev_dec"),
+    )
+    return g.select(
+        F.col("l_suppkey").cast("long").alias("suppkey"),
+        "n_lines",
+        F.round(
+            F.col("n_on_time").cast("double")
+            / F.col("n_lines").cast("double"),
+            6,
+        ).alias("on_time_rate"),
+        F.round(
+            F.col("lat_days_sum").cast("double")
+            / F.col("n_lines").cast("double"),
+            6,
+        ).alias("avg_latency_days"),
+        F.round(
+            F.col("n_returned").cast("double")
+            / F.col("n_lines").cast("double"),
+            6,
+        ).alias("return_rate"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+    ).orderBy("suppkey")
+
+
+ORACLE_SUPPLIER_SCORECARD = f"""
+WITH j AS (
+  SELECT l.l_suppkey, l.l_returnflag, l.l_extendedprice, l.l_discount,
+         CAST((epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+               - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)))
+              / 86400000000 AS BIGINT) AS lat_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+g AS (
+  SELECT l_suppkey,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN lat_days <= {SCORECARD_SLA_DAYS}
+                  THEN 1 ELSE 0 END) AS n_on_time,
+         SUM(lat_days) AS lat_days_sum,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+         SUM(CAST({REVENUE} AS DECIMAL(25,6))) AS rev_dec
+  FROM j GROUP BY 1)
+SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       ROUND(CAST(n_on_time AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+         AS on_time_rate,
+       ROUND(CAST(lat_days_sum AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+         AS avg_latency_days,
+       ROUND(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+         AS return_rate,
+       CAST(rev_dec AS DOUBLE) AS revenue
+FROM g ORDER BY suppkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Open-order backlog aging (the fulfilment WIP report)
 # --------------------------------------------------------------------------
 
@@ -2990,6 +3195,16 @@ SPECS = [
               doc="event volume by user-activity decile with cumulative "
                   "shares (the 80/20 whale-vs-community read, "
                   "dimension-bounded NTILE)"),
+    QuerySpec("scd2_as_of_lookup", scd2_as_of_lookup, ORACLE_SCD2_ASOF,
+              ("temporal", "scd2", "asof"),
+              doc="point-in-time state lookup at the corpus midpoint "
+                  "(the query half of the SCD2 pattern - one filtered "
+                  "per-user window, no dimension range join)"),
+    QuerySpec("supplier_scorecard", supplier_scorecard,
+              ORACLE_SUPPLIER_SCORECARD, ("temporal", "agg", "dba"),
+              doc="per-supplier fulfilment KPI row: on-time rate, avg "
+                  "commit-to-ship slip, return rate, exact-decimal "
+                  "revenue (one keyed aggregate)"),
     QuerySpec("orders_backlog_aging", orders_backlog_aging,
               ORACLE_BACKLOG_AGING, ("temporal", "interval", "dba"),
               doc="open-order backlog aging at the corpus snapshot "

@@ -166,6 +166,8 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_neardup_hamming",
     "dedup_canonical_corpus",
     "orders_backlog_aging",
+    "scd2_as_of_lookup",
+    "supplier_scorecard",
     # rows-only never-checked (weakest evidence class; their hard gates
     # are the exact-twin pytests) — r7/r8 tail:
     "sketch_hll_reaggregate",
