@@ -2638,6 +2638,121 @@ ORDER BY user_id
 
 
 # --------------------------------------------------------------------------
+# One-way ANOVA: price variance decomposition by brand
+# --------------------------------------------------------------------------
+
+def stats_anova_price_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of line price by part brand: total / between /
+    within sums of squares, the F statistic, and η² (share of price
+    variance explained by brand) — "does brand structure the price
+    distribution or is it noise?", the variance-decomposition question
+    behind every categorical feature screen.
+
+    Exactness recipe: all MOMENTS are exact decimals (price and price²
+    sums — the inputs are decimal columns, so Σx and Σx² carry no float
+    error); the only float step is the per-brand ``S1²/n_g`` term,
+    which is computed in double (identical IEEE sequence both engines)
+    then 6dp-round-cast to DECIMAL and summed EXACTLY — the same
+    order-independent decimal-reduction pattern as the PCA iterations,
+    so no float combine order can move the result. Everything after is
+    one-row scalar arithmetic written in the identical operation order
+    in both engines. Scale: one broadcast dim join + one
+    map-side-combined groupBy; everything after is |brands| rows."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    j = li.select("l_partkey", "l_extendedprice").join(
+        F.broadcast(part), "l_partkey"
+    )
+    g = j.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).alias("s1"),
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_extendedprice").cast("decimal(18,2)")
+            ).cast("decimal(38,4)")
+        ).alias("s2"),
+    )
+    term = F.round(
+        F.col("s1").cast("double")
+        * F.col("s1").cast("double")
+        / F.col("n_g").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    acc = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s1").alias("ts1"),
+        F.sum("s2").alias("ts2"),
+        F.sum(term).alias("tterm"),
+        F.count("*").alias("k"),
+    )
+    n = F.col("n").cast("double")
+    corr = F.col("ts1").cast("double") * F.col("ts1").cast("double") / n
+    ss_total = F.col("ts2").cast("double") - corr
+    ss_between = F.col("tterm").cast("double") - corr
+    ss_within = F.col("ts2").cast("double") - F.col("tterm").cast("double")
+    kk = F.col("k").cast("double")
+    f_stat = (ss_between / (kk - 1)) / (ss_within / (n - kk))
+    return acc.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("k").cast("int").alias("n_groups"),
+        F.round(ss_total, 4).alias("ss_total"),
+        F.round(ss_between, 4).alias("ss_between"),
+        F.round(ss_within, 4).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(ss_between / ss_total, 6).alias("eta_squared"),
+    )
+
+
+ORACLE_ANOVA = """
+WITH j AS (
+  SELECT p.p_brand, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+g AS (
+  SELECT p_brand,
+         COUNT(*) AS n_g,
+         SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS s1,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS s2
+  FROM j GROUP BY 1),
+acc AS (
+  SELECT SUM(n_g) AS n,
+         SUM(s1) AS ts1,
+         SUM(s2) AS ts2,
+         SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                        / CAST(n_g AS DOUBLE), 6)
+                  AS DECIMAL(38,6))) AS tterm,
+         COUNT(*) AS k
+  FROM g)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(k AS INT) AS n_groups,
+       ROUND(CAST(ts2 AS DOUBLE)
+             - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+               / CAST(n AS DOUBLE), 4) AS ss_total,
+       ROUND(CAST(tterm AS DOUBLE)
+             - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+               / CAST(n AS DOUBLE), 4) AS ss_between,
+       ROUND(CAST(ts2 AS DOUBLE) - CAST(tterm AS DOUBLE), 4) AS ss_within,
+       ROUND((CAST(tterm AS DOUBLE)
+              - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1)
+             / ((CAST(ts2 AS DOUBLE) - CAST(tterm AS DOUBLE))
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+         AS f_stat,
+       ROUND((CAST(tterm AS DOUBLE)
+              - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / (CAST(ts2 AS DOUBLE)
+                - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 6) AS eta_squared
+FROM acc
+"""
+
+
+# --------------------------------------------------------------------------
 # Supplier scorecard (the composite fulfilment KPI readout)
 # --------------------------------------------------------------------------
 
@@ -3195,6 +3310,11 @@ SPECS = [
               doc="event volume by user-activity decile with cumulative "
                   "shares (the 80/20 whale-vs-community read, "
                   "dimension-bounded NTILE)"),
+    QuerySpec("stats_anova_price_brand", stats_anova_price_brand,
+              ORACLE_ANOVA, ("stats", "agg", "anova"),
+              doc="one-way price-by-brand variance decomposition "
+                  "(exact-decimal moments, order-independent decimal "
+                  "term reduction, F and eta-squared)"),
     QuerySpec("scd2_as_of_lookup", scd2_as_of_lookup, ORACLE_SCD2_ASOF,
               ("temporal", "scd2", "asof"),
               doc="point-in-time state lookup at the corpus midpoint "

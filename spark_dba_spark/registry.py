@@ -168,6 +168,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "orders_backlog_aging",
     "scd2_as_of_lookup",
     "supplier_scorecard",
+    "stats_anova_price_brand",
     # rows-only never-checked (weakest evidence class; their hard gates
     # are the exact-twin pytests) — r7/r8 tail:
     "sketch_hll_reaggregate",
