@@ -2228,12 +2228,20 @@ def merge_into_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = matched & (F.col("n_orders") >= MERGE_MIN_ORDERS)
     dele = matched & (F.col("n_orders") < MERGE_MIN_ORDERS)
     ins = F.col("balance").isNull()
-    # 0.001BD: a DECIMAL literal — decimal×decimal stays exact (a double
-    # 0.001 would demote the product to float), and the 2 dp reduction is
-    # an EXPLICIT round: a bare decimal downscale CAST rounds half-up in
-    # Spark but truncates in DuckDB — 48%% of rows came out one cent
-    # apart before this round() was made explicit on both engines.
-    delta = F.expr("cast(round(revenue * 0.001BD, 2) as decimal(18,2))")
+    # Integer half-up cents — NOT round(revenue*0.001, 2). revenue has
+    # exact half-cent ties (sf0.01: custkey 1481, revenue 1,741,255.00 →
+    # delta 1741.25500) and the two engines are only tie-compatible when
+    # DuckDB keeps the product in DECIMAL; a build whose DECIMAL(38,2)×
+    # 0.001 overflows precision and demotes to DOUBLE rounds the binary
+    # 174125.4999… tie the other way (the one red driver row of r6). So
+    # the tie is eliminated, not hoped away: revenue → exact integer
+    # cents, then (cents + 500) div 1000 is branch-free half-up on the
+    # non-negative domain, then an exact ×0.01 rescale — every step is
+    # integer or exact-decimal on BOTH engines.
+    delta = F.expr(
+        "cast(cast((cast(cast(revenue as decimal(18,2)) * 100 as bigint)"
+        " + 500) div 1000 as decimal(16,0)) * 0.01BD as decimal(18,2))"
+    )
     return (
         j.filter(~dele)
         .select(
@@ -2270,10 +2278,14 @@ SELECT c_custkey,
        COALESCE(c_mktsegment, 'NEW') AS segment,
        CASE
          WHEN balance IS NOT NULL AND n_orders >= {MERGE_MIN_ORDERS}
-           THEN CAST(balance + CAST(ROUND(revenue * 0.001, 2)
-                                    AS DECIMAL(18,2)) AS DECIMAL(18,2))
+           THEN CAST(balance + CAST(CAST((CAST(CAST(revenue AS DECIMAL(18,2))
+                  * 100 AS BIGINT) + 500) // 1000 AS DECIMAL(16,0))
+                  * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2))
+                AS DECIMAL(18,2))
          WHEN balance IS NULL
-           THEN CAST(ROUND(revenue * 0.001, 2) AS DECIMAL(18,2))
+           THEN CAST(CAST((CAST(CAST(revenue AS DECIMAL(18,2))
+                  * 100 AS BIGINT) + 500) // 1000 AS DECIMAL(16,0))
+                  * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2))
          ELSE balance
        END AS balance,
        CASE

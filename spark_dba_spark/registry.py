@@ -42,81 +42,26 @@ class QuerySpec:
 # into PRIORITY_LAST (prefer families with several other green rows). Over
 # rounds, every query accumulates at least one driver-recorded green row.
 #
-# ROUND-6 WINDOW (VERDICT r5 "Next round" #1; one window = 50 slots):
-# after r5 the driver evidence ledger shows 149/226 queries with at least
-# one driver row (all driver-oracled rows ever recorded are green) and 77
-# queries that have NEVER had a driver row. Per the rotation protocol,
-# never-checked beats stale: slots 1-36 are the first 36 of the 75
-# FULL-ORACLE never-checked queries in registration order (each buys a
-# value-hash row — the hard signal). The remaining 39 full-oracle
-# never-checked queries plus the two rows-only ones
-# (sketch_hll_reaggregate, emb_kmeans_lloyd — weakest evidence class,
-# real gates are their exact-twin/numpy-twin pytests) lead the R7 window
-# (39 + rows-only still leaves 5 for r8 at 36 fresh slots/round — r7
-# takes 36, r8 takes the last 5 plus refreshes of the stalest standing
-# rows). Slots 37-50 stay the frozen bench set (a driver row EVERY round
-# so BENCH_r{N} queries are always independently correctness-gated in the
-# same round). All 50 r5-window greens rotate to PRIORITY_LAST; the
-# middle holds everything else, ordered with the remaining never-checked
-# queries first so any extra driver capacity lands on them.
+# ROUND-7 WINDOW (VERDICT r6 "Next round" #1-#3; one window = 50 slots):
+# after r6 the driver ledger shows 185/236 queries with a driver row, 179
+# green-latest, and ONE genuine red: merge_into_semantics (r6 hash-only
+# mismatch — the cross-engine half-cent rounding tie, now fixed with
+# integer half-up cents on both engines). Slot 1 is that red-refix (the
+# rotation tripwire test carves out slots whose LATEST driver row is
+# non-green alongside never-checked ones, per the r5 slots-1-5
+# precedent). Slots 2-36 take the first 35 of the 49 full-oracle
+# never-checked queries in registration order (decontaminate_bloom …
+# ev_engagement_concentration). Slots 37-50 stay the frozen bench set.
+# Immediately after slot 50: the remaining never-checked block (4
+# standing + the 10 r6-late adds + any r7 additions), then the
+# sim_ann_lsh/sim_ivf full-oracle re-records (their only driver rows are
+# r2-era no_oracle, predating the r6 ranking-oracle upgrade), then the
+# rows-only tail — r8 promotes that whole block per this same protocol.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # never driver-recorded, full-oracle — first rows now (registration
-    # order within the never-checked set):
-    "profile_table",
-    "agg_winsorized_mean",
-    "set_union_by_name",
-    "audit_referential_integrity",
-    "audit_primary_keys",
-    "orders_interarrival",
-    "sample_exact_k",
-    "stats_chi2_lang_source",
-    "audit_benford_amounts",
-    "ev_monotonic_streaks",
-    "skyline_price_size",
-    "basket_brand_pairs",
-    "audit_line_contiguity",
-    "abc_analysis_parts",
-    "er_entity_clusters",
+    # slot 1 — red-refix: r6's one wrong answer, re-enter for a green row
     "merge_into_semantics",
-    "join_bloom_prefilter",
-    "nested_order_lines",
-    "rfm_segmentation",
-    "agg_weighted_median",
-    "join_skew_salted",
-    "orders_hhi_concentration",
-    "customer_gap_survival",
-    "agg_gini_by_nation",
-    "orders_otif_rate",
-    "basket_type_lift",
-    "elasticity_discount_qty",
-    "agg_exact_global_median",
-    "part_supply_redundancy",
-    "orders_brand_rank_shift",
-    "sketch_minhash_calibration",
-    "graph_triangles_neardup",
-    "emb_label_prototypes",
-    "emb_sim_histogram",
-    "emb_pca_power",
-    "emb_norm_extremes",
-    # frozen bench set — a driver row EVERY round:
-    "q01_pricing_summary",
-    "ev_tumbling_1h",
-    "json_extract_events",
-    "q02_scan_filter_project",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q10_returned_item",
-    "join_broadcast_dim",
-    "agg_distinct",
-    "window_topk_per_group",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "sim_cosine_topk",
-    "text_quality",
-    # --- beyond slot 50: the driver window ends above; these are the
-    # remaining never-checked queries, queued here so (a) any extra
-    # driver capacity lands on them first and (b) the R7 window is
-    # already written down — promote this block to slots 1-36 next round:
+    # slots 2-36 — never driver-recorded, full-oracle (registration
+    # order within the never-checked set):
     "decontaminate_bloom",
     "text_redact_denylist",
     "text_chunk_overlap",
@@ -152,13 +97,28 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "ev_attribution_credit",
     "ev_stickiness_dau_mau",
     "ev_engagement_concentration",
+    # frozen bench set — a driver row EVERY round:
+    "q01_pricing_summary",
+    "ev_tumbling_1h",
+    "json_extract_events",
+    "q02_scan_filter_project",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_item",
+    "join_broadcast_dim",
+    "agg_distinct",
+    "window_topk_per_group",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality",
+    # --- beyond slot 50: the driver window ends above. First the
+    # remaining never-checked full-oracle queries (r8 slots 2-…), kept
+    # contiguous so extra driver capacity lands on them:
     "inv_running_balance_capped",
     "inv_capacity_clamp",
     "ev_alert_debounce",
     "ev_windowed_topk",
-    # new in r6 (registered this round, so never driver-checked by
-    # definition) — queue behind the standing backlog, ahead of the
-    # rows-only tail:
     "audit_key_skew",
     "ev_cusum_changepoint",
     "stats_ab_test",
@@ -170,51 +130,56 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "supplier_scorecard",
     "stats_anova_price_brand",
     # rows-only never-checked (weakest evidence class; their hard gates
-    # are the exact-twin pytests) — r7/r8 tail:
+    # are the exact-twin pytests) — kept inside the contiguous
+    # never-checked block the backlog test pins right after the window:
     "sketch_hll_reaggregate",
     "emb_kmeans_lloyd",
+    # then the ANN re-records: only driver rows are r2-era no_oracle,
+    # predating the r6 full ranking oracles — queue for fresh value-hash
+    # rows right behind the never-checked block:
+    "sim_ann_lsh",
+    "sim_ivf",
 )
 
-# r5-window greens, non-bench — rotate to the tail this round (driver row
+# r6-window greens, non-bench — rotate to the tail this round (driver row
 # ≤1 round old; still in every committed local sweep). The middle (not
-# listed here or above) holds the r2/r3/r4 greens in registration order.
+# listed here or above) holds the r2-r5 greens in registration order.
 PRIORITY_LAST: tuple[str, ...] = (
-    "q12_late_shipments",
-    "agg_bool_predicates",
-    "corpus_mix_sample",
-    "pack_context_bins",
-    "emb_quantize_int8",
-    "agg_grouping_id",
-    "recursive_month_spine",
-    "scalar_variant_json",
-    "fuzzy_match_blocked",
-    "corpus_weighted_sample",
-    "sketch_top_k_heavy_hitters",
-    "agg_approx_percentiles",
-    "window_ntile_deciles",
-    "join_null_safe_eq",
-    "agg_histogram_bins",
-    "text_unigram_logprob",
-    "text_zipf_slope",
-    "ev_cdc_latest_snapshot",
-    "emb_dim_stats",
-    "graph_pagerank_neardup",
-    "scalar_try_arith",
-    "ev_hourly_active_users",
-    "udtf_sentence_stats",
-    "agg_median_abs_deviation",
-    "text_ngram_novelty",
-    "dedup_containment",
-    "ev_resample_locf",
-    "mm_shard_pack",
-    "ev_time_to_convert",
-    "dedup_cross_source_overlap",
-    "text_bigram_coherence",
-    "dedup_embedding_cosine",
-    "sim_mips_maxdot",
-    "text_lang_confusion",
-    "ev_rollup_incremental",
-    "join_asof_nearest",
+    "profile_table",
+    "agg_winsorized_mean",
+    "set_union_by_name",
+    "audit_referential_integrity",
+    "audit_primary_keys",
+    "orders_interarrival",
+    "sample_exact_k",
+    "stats_chi2_lang_source",
+    "audit_benford_amounts",
+    "ev_monotonic_streaks",
+    "skyline_price_size",
+    "basket_brand_pairs",
+    "audit_line_contiguity",
+    "abc_analysis_parts",
+    "er_entity_clusters",
+    "join_bloom_prefilter",
+    "nested_order_lines",
+    "rfm_segmentation",
+    "agg_weighted_median",
+    "join_skew_salted",
+    "orders_hhi_concentration",
+    "customer_gap_survival",
+    "agg_gini_by_nation",
+    "orders_otif_rate",
+    "basket_type_lift",
+    "elasticity_discount_qty",
+    "agg_exact_global_median",
+    "part_supply_redundancy",
+    "orders_brand_rank_shift",
+    "sketch_minhash_calibration",
+    "graph_triangles_neardup",
+    "emb_label_prototypes",
+    "emb_sim_histogram",
+    "emb_pca_power",
+    "emb_norm_extremes",
 )
 
 

@@ -105,3 +105,68 @@ def test_approx_percentiles_close_to_exact(spark):
         e50, e90, e99 = exact[flag]
         for a, e in ((a50, e50), (a90, e90), (a99, e99)):
             assert abs(a - e) / e < 0.02, (flag, a, e)
+
+
+def test_merge_delta_half_cent_tie(spark, tmp_path):
+    """The r6 driver red: ``round(revenue*0.001, 2)`` hits an exact
+    half-cent tie (revenue 1,741,255.00 → delta 1741.25500) and engines
+    whose DECIMAL product demotes to DOUBLE round it the other way. The
+    rewrite computes integer half-up cents on BOTH engines — this test
+    PLANTS exact ties (update and insert paths) and asserts cell-level
+    agreement, so the class can't regress."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.relational import (
+        ORACLE_MERGE,
+        merge_into_semantics,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([7, 8], pa.int64()),
+                "c_name": ["a", "b"],
+                "c_nationkey": pa.array([1, 1], pa.int32()),
+                "c_acctbal": [100.00, 40.00],
+                "c_mktsegment": ["BUILDING", "AUTOMOBILE"],
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    d = datetime.datetime(1997, 6, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                # 7: update path, revenue 1,741,255.00 → tie → 1741.26
+                # 9: insert path, revenue 12,345.00 → tie → 12.35
+                "o_custkey": pa.array([7, 7, 9, 9], pa.int64()),
+                "o_orderstatus": ["F"] * 4,
+                "o_totalprice": [1741000.00, 255.00, 12000.00, 345.00],
+                "o_orderdate": pa.array([d] * 4, pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = {
+        r["c_custkey"]: (str(r["balance"]), r["action"])
+        for r in merge_into_semantics(spark, str(tmp_path)).collect()
+    }
+    assert got[7] == ("1841.26", "update")  # 100.00 + half-up(1741.255)
+    assert got[8] == ("40.00", "carry")
+    assert got[9] == ("12.35", "insert")  # half-up(12.345)
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    oracle = {
+        r[0]: (str(r[2]), r[3]) for r in con.execute(ORACLE_MERGE).fetchall()
+    }
+    con.close()
+    assert oracle == got

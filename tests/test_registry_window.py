@@ -22,13 +22,30 @@ def test_window_shape_and_rotation_policy():
     assert len(bench) == 14
     repo = Path(__file__).resolve().parent.parent
     seen: set[str] = set()
+    latest: dict[str, dict] = {}
     for f in sorted(repo.glob("CORRECTNESS_r0*.json")):
-        seen.update(json.loads(f.read_text()).keys())
-    fresh = [n for n in window[:36] if n not in seen]
-    if seen:  # driver artifacts present: every non-bench slot is fresh
-        assert len(fresh) == 36, (
-            f"window wastes slots on already-recorded rows: "
-            f"{sorted(set(window[:36]) & seen)}"
+        rows = json.loads(f.read_text())
+        seen.update(rows.keys())
+        latest.update(rows)  # sorted glob → later rounds overwrite
+
+    def _green(row: dict) -> bool:
+        return bool(
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match", True)  # rows-only rows lack a hash
+            and row.get("err") is None
+        )
+
+    # A slot earns its place by being NEVER driver-recorded (fresh
+    # value-hash evidence) OR by re-entering after a non-green latest
+    # row (red-refix — the r5 slots-1-5 / r7 slot-1 precedent). Green
+    # already-recorded rows may not consume window slots.
+    wasted = [
+        n for n in window[:36] if n in seen and _green(latest[n])
+    ]
+    if seen:
+        assert not wasted, (
+            f"window wastes slots on already-green rows: {wasted}"
         )
     # fresh slots must carry full oracles — a rows-only driver row is
     # the weakest evidence class and must not consume a window slot
