@@ -662,7 +662,14 @@ def _oracle_canonical() -> str:
     # (text.py never imports dedup)
     from .text import _SCORE_SQL
 
-    closure = ORACLE_CC.split("SELECT doc_id, component_id,")[0].rstrip()
+    # The closure CTE block is everything before ORACLE_CC's final
+    # SELECT. Assert the marker exists: if that SELECT is ever reworded,
+    # split()[0] would silently return the whole string and this
+    # generated oracle would become malformed SQL only caught at sweep
+    # time (ADVICE r6).
+    marker = "SELECT doc_id, component_id,"
+    assert marker in ORACLE_CC, "ORACLE_CC final SELECT reworded"
+    closure = ORACLE_CC.split(marker)[0].rstrip()
     return f"""{closure},
 tq AS ({_SCORE_SQL}),
 wc AS (

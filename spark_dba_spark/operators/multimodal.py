@@ -456,10 +456,16 @@ def mm_neardup_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     count after. All hashing is md5 on utf-8 round-tripped bytes, so
     both engines hash identical strings."""
     a = _assets(spark, sf_dir)
+    # Character length, NOT octet_length: the slicing below is substring
+    # over cast(payload as string) — character-indexed — and the oracle
+    # filters/slices in characters too. A byte-length filter would admit
+    # blocks past the character end for any multi-byte (non-ASCII)
+    # payload; those would hash md5('') and vacuously pair unrelated
+    # short docs, so filter and slice must share one unit.
     blocks = (
         a.select(
             "doc_id",
-            F.octet_length("payload").alias("blen"),
+            F.length(F.col("payload").cast("string")).alias("blen"),
             F.explode(
                 F.sequence(F.lit(0), F.lit(N_BLOCKS - 1))
             ).alias("q"),

@@ -2695,14 +2695,22 @@ def stats_anova_price_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss_within = F.col("ts2").cast("double") - F.col("tterm").cast("double")
     kk = F.col("k").cast("double")
     f_stat = (ss_between / (kk - 1)) / (ss_within / (n - kk))
+    # Degenerate-variance guards (ADVICE r6, mirroring stats_ab_test):
+    # k=1 zeroes the between df, ss_within=0 (all prices equal within
+    # every brand) zeroes the denominator, ss_total=0 zeroes η²'s —
+    # each would yield Inf/NaN; NULL on BOTH engines instead. F.when
+    # is lazy, so the guarded division never evaluates.
+    f_ok = (kk > 1) & (n > kk) & (ss_within > 0)
     return acc.select(
         F.col("n").cast("long").alias("n_rows"),
         F.col("k").cast("int").alias("n_groups"),
         F.round(ss_total, 4).alias("ss_total"),
         F.round(ss_between, 4).alias("ss_between"),
         F.round(ss_within, 4).alias("ss_within"),
-        F.round(f_stat, 6).alias("f_stat"),
-        F.round(ss_between / ss_total, 6).alias("eta_squared"),
+        F.round(F.when(f_ok, f_stat), 6).alias("f_stat"),
+        F.round(
+            F.when(ss_total > 0, ss_between / ss_total), 6
+        ).alias("eta_squared"),
     )
 
 
@@ -2736,18 +2744,25 @@ SELECT CAST(n AS BIGINT) AS n_rows,
              - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
                / CAST(n AS DOUBLE), 4) AS ss_between,
        ROUND(CAST(ts2 AS DOUBLE) - CAST(tterm AS DOUBLE), 4) AS ss_within,
-       ROUND((CAST(tterm AS DOUBLE)
+       CASE WHEN CAST(k AS DOUBLE) > 1
+                 AND CAST(n AS DOUBLE) > CAST(k AS DOUBLE)
+                 AND CAST(ts2 AS DOUBLE) - CAST(tterm AS DOUBLE) > 0
+         THEN ROUND((CAST(tterm AS DOUBLE)
               - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
                 / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1)
              / ((CAST(ts2 AS DOUBLE) - CAST(tterm AS DOUBLE))
                 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
-         AS f_stat,
-       ROUND((CAST(tterm AS DOUBLE)
+       END AS f_stat,
+       CASE WHEN CAST(ts2 AS DOUBLE)
+                 - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+                   / CAST(n AS DOUBLE) > 0
+         THEN ROUND((CAST(tterm AS DOUBLE)
               - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
                 / CAST(n AS DOUBLE))
              / (CAST(ts2 AS DOUBLE)
                 - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
-                  / CAST(n AS DOUBLE)), 6) AS eta_squared
+                  / CAST(n AS DOUBLE)), 6)
+       END AS eta_squared
 FROM acc
 """
 
@@ -2789,9 +2804,13 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ship_um"
         ),
     ).join(orders, "l_orderkey")
-    lat_days = ((F.col("ship_um") - F.col("order_um")) / F.lit(day_us)).cast(
-        "long"
-    )
+    # Integer floor division on BOTH engines (ADVICE r6): the old
+    # double-division .cast('long') truncated toward zero while the
+    # oracle's CAST(x/86400000000 AS BIGINT) rounded to nearest — equal
+    # only because fixture dates are midnight-aligned (exact-integer
+    # quotients). `div`/`//` pin the day semantics for any sub-day
+    # timestamp; ship >= order so truncation == floor.
+    lat_days = F.expr(f"(ship_um - order_um) div {day_us}")
     g = j.groupBy("l_suppkey").agg(
         F.count("*").cast("long").alias("n_lines"),
         F.sum(
@@ -2830,9 +2849,9 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SUPPLIER_SCORECARD = f"""
 WITH j AS (
   SELECT l.l_suppkey, l.l_returnflag, l.l_extendedprice, l.l_discount,
-         CAST((epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+         (epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
                - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)))
-              / 86400000000 AS BIGINT) AS lat_days
+              // 86400000000 AS lat_days
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
 g AS (
   SELECT l_suppkey,

@@ -1240,3 +1240,56 @@ def test_block_neardup_superset_of_exact_prefix_dups(spark):
         for r in mm_neardup_hamming(spark, SF_DIR).collect()
     }
     assert expected <= got, expected - got
+
+
+def test_block_neardup_non_ascii_no_vacuous_pairs(spark, tmp_path):
+    """Regression (ADVICE r6): filtering blocks by BYTE length while
+    slicing by CHARACTER position admitted past-the-end blocks for
+    multi-byte text — those hashed md5('') and could vacuously pair
+    unrelated short docs. Plant short non-ASCII docs (char length < one
+    block, byte length > one block) plus one genuine near-dup pair and
+    assert the Spark result matches the char-semantics oracle exactly.
+    """
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.multimodal import (
+        BLOCK_LEN,
+        N_BLOCKS,
+        ORACLE_MM_NEARDUP,
+        mm_neardup_hamming,
+    )
+
+    # 40 chars of 3-byte CJK → 120 bytes: byte length clears blocks 0-1,
+    # char length only block 0. Two unrelated such docs must NOT pair.
+    cjk_a = "世界" * 20
+    cjk_b = "数据" * 20
+    base = "x" * (BLOCK_LEN * N_BLOCKS)
+    near = base[:-1] + "y"  # differs only in the last block → 3-of-4
+    texts = [cjk_a, cjk_b, base, near]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+                "lang": ["zh", "zh", "en", "en"],
+                "source": ["t"] * len(texts),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["n_matching_blocks"])
+        for r in mm_neardup_hamming(spark, str(tmp_path)).collect()
+    )
+    assert got == [(2, 3, 3)], got  # only the planted near-dup pair
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = sorted(tuple(r) for r in con.execute(ORACLE_MM_NEARDUP).fetchall())
+    con.close()
+    assert oracle == got

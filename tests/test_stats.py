@@ -335,3 +335,64 @@ def test_ntile_boundary_selection_identity():
             assert got == ref[row], (vals, k, row, got, ref[row])
 
     check()
+
+
+def test_anova_degenerate_variance_yields_null(spark, tmp_path):
+    """ADVICE r6: one brand + all-equal prices makes k-1 == 0 and
+    ss_within == 0 — f_stat/eta_squared must be NULL on BOTH engines
+    (not Inf/NaN), matching the stats_ab_test guard posture."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.temporal import (
+        ORACLE_ANOVA,
+        stats_anova_price_brand,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "l_partkey": pa.array([1, 1, 1], pa.int64()),
+                "l_suppkey": pa.array([1, 1, 1], pa.int64()),
+                "l_linenumber": pa.array([1, 1, 1], pa.int32()),
+                "l_quantity": [1.0] * 3,
+                "l_extendedprice": [100.00] * 3,  # zero variance
+                "l_discount": [0.0] * 3,
+                "l_tax": [0.0] * 3,
+                "l_returnflag": ["N"] * 3,
+                "l_linestatus": ["O"] * 3,
+                "l_shipdate": pa.array(
+                    [__import__("datetime").datetime(1997, 1, 1)] * 3,
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1], pa.int64()),
+                "p_name": ["p"],
+                "p_brand": ["Brand#11"],  # a single group -> k == 1
+                "p_type": ["t"],
+                "p_size": pa.array([1], pa.int32()),
+                "p_retailprice": [1.0],
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+    row = stats_anova_price_brand(spark, str(tmp_path)).collect()[0]
+    assert row["n_groups"] == 1
+    assert row["f_stat"] is None and row["eta_squared"] is None
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    orow = con.execute(ORACLE_ANOVA).fetchone()
+    con.close()
+    assert orow[5] is None and orow[6] is None
