@@ -3112,12 +3112,21 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale envelope: the pair expansion is CALENDAR²-bounded per type
     (hours-of-history², never events² — ~77M pairs for a year of hourly
-    data, a routine shuffle), produced by a per-type range self-join;
-    the median is a row_number selection per type. Determinism: slopes
-    are ratios of integers evaluated identically in IEEE on both
-    engines, and the ordering carries an (hᵢ, hⱼ) tie-break so rank
-    selection cannot straddle equal slopes differently; the median rank
-    is ⌈m/2⌉ (lower median — exact, no averaging)."""
+    data, a routine shuffle), produced by a per-type range self-join.
+    The median is the bucket-histogram SELECTION from
+    ``agg_exact_global_median`` (VERDICT r6 item 4), per type: pass 1
+    bins every slope into max(1024, ⌈m/2²⁰⌉) width buckets (map-side
+    combined), the per-type histogram locates the bucket holding rank
+    ⌈m/2⌉ and the residual rank within it, and pass 2 sorts ONLY that
+    bucket — no single task ever sorts the full per-type pair set
+    (expected residual ~2²⁰ rows at ANY history length; the old
+    one-window form sorted all ~77M pairs/type-year in one task).
+    Determinism: slopes are ratios of integers evaluated identically in
+    IEEE on both engines; the k-th order STATISTIC is tie-invariant, so
+    neither the bucket partitioning nor within-bucket tie order can
+    change the selected slope value. The median rank is ⌈m/2⌉ (lower
+    median — exact, no averaging); the oracle stays the brute-force
+    global ROW_NUMBER selection."""
     ev = catalog.load(spark, sf_dir, "events")
     hr = F.expr(
         "cast(floor(unix_micros(cast(ts as timestamp)) / 3600000000) "
@@ -3148,13 +3157,68 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("h2") - F.col("h1")).cast("double")
         ).alias("slope"),
     )
-    wsel = W.partitionBy("event_type").orderBy("slope", "h1", "h2")
-    wcnt = W.partitionBy("event_type")
-    ranked = pairs.withColumn("rn", F.row_number().over(wsel)).withColumn(
-        "m", F.count("*").over(wcnt)
+    from .relational import MEDIAN_BUCKETS, MEDIAN_RESIDUAL_TARGET
+
+    stats = pairs.groupBy("event_type").agg(
+        F.min("slope").alias("lo"),
+        F.max("slope").alias("hi"),
+        F.count("*").alias("m"),
+    ).select(
+        "event_type",
+        "lo",
+        "hi",
+        "m",
+        F.greatest(
+            F.lit(MEDIAN_BUCKETS),
+            F.ceil(F.col("m") / F.lit(MEDIAN_RESIDUAL_TARGET)),
+        ).cast("long").alias("nb"),
+        F.ceil(F.col("m") / 2).cast("long").alias("k"),
     )
+    b = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.col("nb") - 1,
+            F.floor(
+                (F.col("slope") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * F.col("nb")
+            ),
+        ),
+    ).otherwise(0)
+    binned = pairs.join(F.broadcast(stats), "event_type").select(
+        "event_type", "slope", b.cast("long").alias("bucket")
+    )
+    hist = binned.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    targets = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("prev_cum", F.col("cum") - F.col("c"))
+        .join(F.broadcast(stats.select("event_type", "m", "k")), "event_type")
+        .filter(
+            (F.col("cum") >= F.col("k")) & (F.col("prev_cum") < F.col("k"))
+        )
+        .select(
+            F.col("event_type").alias("t_et"),
+            "m",
+            F.col("bucket").alias("tbucket"),
+            (F.col("k") - F.col("prev_cum")).alias("residual_rank"),
+        )
+    )
+    in_bucket = binned.join(
+        F.broadcast(targets),
+        (F.col("event_type") == F.col("t_et"))
+        & (F.col("bucket") == F.col("tbucket")),
+    ).select("event_type", "slope", "m", "residual_rank")
+    wsel = W.partitionBy("event_type").orderBy("slope")
     return (
-        ranked.filter(F.col("rn") == F.ceil(F.col("m") / 2))
+        in_bucket.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") == F.col("residual_rank"))
         .select(
             "event_type",
             F.col("m").cast("long").alias("n_pairs"),
