@@ -530,6 +530,370 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# CLIP-style joint text+image featurizer (batched two-tower forward pass)
+# --------------------------------------------------------------------------
+
+CLIP_DIM = 8  # embedding width of the stub two-tower model
+
+
+def mm_clip_joint_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-shaped joint featurizer over (caption, image) pairs: ONE
+    Arrow-batched ``mapInPandas`` "forward pass" consumes each image
+    doc's caption features and binary payload and emits BOTH towers —
+    a {CLIP_DIM}-dim text embedding and a {CLIP_DIM}-dim image
+    embedding — then the JVM computes the cross-modal alignment score
+    (cosine) per doc. The model is a clearly-deterministic STUB (integer
+    feature mixing; a real deployment swaps in an ONNX/torch forward
+    with the identical batch contract: pandas batch in, two
+    fixed-width embedding columns out), so the DuckDB oracle can
+    re-derive every cell.
+
+    Exactness: tower components are small integers (+1 floor keeps both
+    norms positive — no degenerate-cosine guard needed), so dot/norm²
+    sums are exact integer-valued doubles regardless of combine order;
+    the only float steps are one sqrt·sqrt product and one division,
+    written in the identical operation order in both engines, then 6dp.
+
+    Scale: map-only featurization (the only knob is input split size) +
+    a per-row scalar projection — no shuffle at all; at 100 TB this is
+    the embarrassingly-parallel batch-inference shape."""
+    assets = _assets(spark, sf_dir).filter(F.col("media_type") == "image")
+    feats = (
+        catalog.load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tok"),
+            F.length("text").alias("n_chars"),
+        )
+        .join(assets.select("doc_id", "payload"), "doc_id")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("byte_len", T.IntegerType()),
+            T.StructField("t_emb", T.ArrayType(T.LongType())),
+            T.StructField("i_emb", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def forward(batches):
+        for pdf in batches:
+            ids, blens, t_embs, i_embs = [], [], [], []
+            for doc_id, n_tok, n_chars, payload in zip(
+                pdf["doc_id"], pdf["n_tok"], pdf["n_chars"], pdf["payload"]
+            ):
+                blen = len(payload)
+                wdt, hgt, ch = _fake_decode(bytes(payload))
+                t = [
+                    (int(n_tok) * (2 * j + 3) + int(n_chars) * (j + 1) + 7)
+                    % 97 + 1
+                    for j in range(CLIP_DIM)
+                ]
+                i = [
+                    (blen * (3 * j + 1) + wdt * (j + 2) + hgt * (j + 5)
+                     + ch * 11) % 101 + 1
+                    for j in range(CLIP_DIM)
+                ]
+                ids.append(doc_id)
+                blens.append(blen)
+                t_embs.append(t)
+                i_embs.append(i)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "byte_len": blens,
+                    "t_emb": t_embs,
+                    "i_emb": i_embs,
+                }
+            )
+
+    embedded = feats.mapInPandas(forward, out_schema)
+    return (
+        embedded.select(
+            "doc_id",
+            "byte_len",
+            F.expr(
+                "aggregate(zip_with(t_emb, i_emb, (x, y) -> x * y), "
+                "0L, (a, x) -> a + x)"
+            ).alias("dot"),
+            F.expr(
+                "aggregate(t_emb, 0L, (a, x) -> a + x * x)"
+            ).alias("t_norm2"),
+            F.expr(
+                "aggregate(i_emb, 0L, (a, x) -> a + x * x)"
+            ).alias("i_norm2"),
+        )
+        .withColumn(
+            "align_r6",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("t_norm2").cast("double"))
+                    * F.sqrt(F.col("i_norm2").cast("double"))
+                ),
+                6,
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MM_CLIP = f"""
+WITH f AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS blen,
+         len(string_split(text, ' ')) AS n_tok,
+         length(text) AS n_chars
+  FROM documents WHERE doc_id % 3 = 0),
+d AS (
+  SELECT doc_id, blen, n_tok, n_chars,
+         64 + blen % 576 AS wdt,
+         64 + (blen * 7) % 416 AS hgt,
+         1 + blen % 3 AS ch
+  FROM f),
+e AS (
+  SELECT doc_id, blen,
+         (n_tok * (2*j + 3) + n_chars * (j + 1) + 7) % 97 + 1 AS t,
+         (blen * (3*j + 1) + wdt * (j + 2) + hgt * (j + 5) + ch * 11)
+           % 101 + 1 AS i
+  FROM d, unnest(range({CLIP_DIM})) AS u(j)),
+g AS (
+  SELECT doc_id, MAX(blen) AS byte_len,
+         SUM(t * i) AS dot, SUM(t * t) AS t_norm2, SUM(i * i) AS i_norm2
+  FROM e GROUP BY doc_id)
+SELECT doc_id, CAST(byte_len AS INT) AS byte_len,
+       CAST(dot AS BIGINT) AS dot,
+       CAST(t_norm2 AS BIGINT) AS t_norm2,
+       CAST(i_norm2 AS BIGINT) AS i_norm2,
+       ROUND(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(t_norm2 AS DOUBLE))
+                * sqrt(CAST(i_norm2 AS DOUBLE))), 6) AS align_r6
+FROM g ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Video keyframe near-dup → connected components (canonical video per set)
+# --------------------------------------------------------------------------
+
+FRAME_CHARS = 32  # chars of payload per keyframe signature
+MIN_FRAME_MATCH = 2  # >=2 shared keyframe signatures -> near-dup pair
+MAX_FRAME_DF = 50  # hot-signature prune (shared boilerplate frames)
+
+
+def mm_video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup clustering by KEYFRAME signature, chained into the
+    connected-components machinery of ``dedup_canonical_corpus``:
+    sample every 2nd frame (the ``mm_frame_sample`` contract:
+    n_frames = 1 + byte_len % 10), signature each keyframe's
+    {FRAME_CHARS}-char content block (a real pipeline would perceptual-
+    hash the decoded frame; the stub hashes the frame's byte block with
+    the identical (doc_id, frame_idx → signature) contract), band-join
+    videos on (frame_idx, signature) with the {MAX_FRAME_DF}-df
+    hot-signature prune, keep pairs sharing ≥{MIN_FRAME_MATCH}
+    keyframes (pigeonhole: one re-encoded/trimmed segment still leaves
+    the rest matching), and contract pairs to components — every video
+    appears, the canonical copy is the component's min doc_id.
+
+    Char-length filtering matches the char-indexed slicing on both
+    engines (the mm_neardup_hamming unit lesson). Scale: candidate
+    volume is Σ df² over sub-threshold (frame_idx, signature) buckets —
+    never videos² — and the contraction is O(log n) star rounds; the
+    final membership count is a per-component window (component-
+    bounded, the justified-bounded-window class)."""
+    from .dedup import cc_components
+
+    v = _assets(spark, sf_dir).filter(F.col("media_type") == "video")
+    frames = (
+        v.select(
+            "doc_id",
+            "payload",
+            F.length(F.col("payload").cast("string")).alias("clen"),
+            (1 + F.octet_length("payload") % 10).alias("n_frames"),
+        )
+        .select(
+            "doc_id",
+            "payload",
+            "clen",
+            F.explode(
+                F.expr("sequence(0, n_frames - 1, 2)")
+            ).alias("fidx"),
+        )
+        .filter(F.col("fidx") * FRAME_CHARS < F.col("clen"))
+        .select(
+            "doc_id",
+            "fidx",
+            F.md5(
+                F.expr(
+                    "substring(cast(payload as string), "
+                    f"fidx * {FRAME_CHARS} + 1, {FRAME_CHARS})"
+                )
+            ).alias("sig"),
+        )
+    )
+    pruned = (
+        frames.groupBy("fidx", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") <= MAX_FRAME_DF) & (F.size("ids") > 1))
+    )
+    pairs = (
+        pruned.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= MIN_FRAME_MATCH)
+        .select("doc_a", "doc_b")
+    )
+    comp = cc_components(pairs)
+    out = v.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("comp", F.col("doc_id")).alias("component_id"),
+    )
+    wmem = W.partitionBy("component_id")
+    return (
+        out.withColumn(
+            "n_members", F.count("*").over(wmem).cast("long")
+        )
+        .select(
+            "doc_id",
+            F.col("component_id").cast("long").alias("component_id"),
+            "n_members",
+            (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MM_KEYFRAME = f"""
+WITH RECURSIVE v AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+b AS (
+  SELECT doc_id, fidx,
+         md5(substr(text, fidx * {FRAME_CHARS} + 1, {FRAME_CHARS})) AS sig
+  FROM (SELECT doc_id, text,
+               1 + octet_length(encode(text)) % 10 AS n_frames
+        FROM v),
+       LATERAL unnest(range(0, n_frames, 2)) AS t(fidx)
+  WHERE fidx * {FRAME_CHARS} < length(text)),
+pr AS (SELECT fidx, sig FROM b GROUP BY fidx, sig
+       HAVING COUNT(*) <= {MAX_FRAME_DF} AND COUNT(*) > 1),
+bp AS (SELECT b.doc_id, b.fidx, b.sig FROM b JOIN pr USING (fidx, sig)),
+dup AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bp a JOIN bp c ON a.fidx = c.fidx AND a.sig = c.sig
+                     AND a.doc_id < c.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_FRAME_MATCH}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+reach AS (
+  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id
+         FROM reach GROUP BY src),
+allv AS (
+  SELECT v.doc_id, COALESCE(c.component_id, v.doc_id) AS component_id
+  FROM v LEFT JOIN comp c USING (doc_id))
+SELECT doc_id,
+       CAST(component_id AS BIGINT) AS component_id,
+       CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+         AS n_members,
+       doc_id = component_id AS is_canonical
+FROM allv ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Audio landmark fingerprint matching (Shazam-shaped banded pair screen)
+# --------------------------------------------------------------------------
+
+FP_QUANT = 4  # quarter-unit RMS quantization for landmark bands
+MIN_LANDMARKS = 2  # >=2 shared (window, band) landmarks -> match
+MAX_LANDMARK_DF = 50  # hot-landmark prune
+
+
+def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio match candidates by LANDMARK fingerprint — the Shazam
+    shape: per-window RMS energies (the ``mm_audio_energy`` Arrow-
+    batched decode stage, real mapInPandas plumbing) quantize into
+    (window, ⌊rms·{FP_QUANT}⌋) landmarks; audios sharing
+    ≥{MIN_LANDMARKS} landmarks at the SAME window position are emitted
+    with their match count. Landmarks shared by >{MAX_LANDMARK_DF}
+    assets are pruned (silence/boilerplate bands would contribute
+    O(df²) pairs — the stop-shingle rule, mirrored in the oracle).
+
+    Exactness: the landmark band is floor of a 4dp-half-up-rounded
+    double × {FP_QUANT} — integer on both engines; pair counting is
+    exact. Scale: Σ df² over sub-threshold landmark buckets, never
+    assets²; one groupBy pair count after — the mm_neardup_hamming
+    envelope with a Python-stage front end."""
+    rms = mm_audio_energy(spark, sf_dir)
+    lm = rms.select(
+        "doc_id",
+        "win",
+        F.floor(F.col("rms_r4") * FP_QUANT).cast("long").alias("band"),
+    )
+    pruned = (
+        lm.groupBy("win", "band")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") <= MAX_LANDMARK_DF) & (F.size("ids") > 1))
+    )
+    return (
+        pruned.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= MIN_LANDMARKS)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("m").cast("int").alias("n_shared_landmarks"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_MM_AUDIO_FP = f"""
+WITH rms AS (
+  SELECT doc_id, (i - 1) // {AUDIO_WIN} AS win,
+         ROUND(sqrt(avg(pow(ascii(substr(text, i, 1)) - 128, 2))), 4)
+           AS rms_r4
+  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+       LATERAL unnest(generate_series(1, len(text))) AS t(i)
+  GROUP BY doc_id, win),
+lm AS (
+  SELECT doc_id, win,
+         CAST(floor(rms_r4 * {FP_QUANT}) AS BIGINT) AS band
+  FROM rms),
+pr AS (SELECT win, band FROM lm GROUP BY win, band
+       HAVING COUNT(*) <= {MAX_LANDMARK_DF} AND COUNT(*) > 1),
+lp AS (SELECT lm.doc_id, lm.win, lm.band FROM lm JOIN pr USING (win, band)),
+pair AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS m
+  FROM lp a JOIN lp c ON a.win = c.win AND a.band = c.band
+                     AND a.doc_id < c.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(m AS INT) AS n_shared_landmarks
+FROM pair WHERE m >= {MIN_LANDMARKS}
+ORDER BY doc_a, doc_b
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_meta", mm_binary_meta, ORACLE_MM_META, ("multimodal",)),
     QuerySpec("mm_dedup_fingerprint", mm_dedup_fingerprint,
@@ -551,4 +915,18 @@ SPECS = [
               doc="block-hash near-dup screen over binary payloads "
                   "(>=3-of-4 head blocks equal, hot-block pruned band "
                   "join - the Hamming analogue of SimHash banding)"),
+    QuerySpec("mm_clip_joint_align", mm_clip_joint_align, ORACLE_MM_CLIP,
+              ("multimodal", "embedding"),
+              doc="CLIP-style two-tower joint featurizer (one Arrow "
+                  "batch forward pass emits text+image embeddings) "
+                  "with per-doc cross-modal cosine alignment"),
+    QuerySpec("mm_video_keyframe_dedup", mm_video_keyframe_dedup,
+              ORACLE_MM_KEYFRAME, ("multimodal", "dedup", "graph"),
+              doc="video near-dup by shared keyframe signatures, "
+                  "contracted to connected components with a canonical "
+                  "copy per cluster"),
+    QuerySpec("mm_audio_fingerprint_match", mm_audio_fingerprint_match,
+              ORACLE_MM_AUDIO_FP, ("multimodal", "audio", "lsh"),
+              doc="Shazam-shaped audio landmark fingerprint match "
+                  "(windowed RMS bands, hot-landmark pruned band join)"),
 ]

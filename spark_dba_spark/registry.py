@@ -129,6 +129,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "scd2_as_of_lookup",
     "supplier_scorecard",
     "stats_anova_price_brand",
+    # new in r7 (never driver-checked by definition) — inside the
+    # contiguous never-checked block, ahead of the rows-only tail:
+    "mm_clip_joint_align",
+    "mm_video_keyframe_dedup",
+    "mm_audio_fingerprint_match",
     # rows-only never-checked (weakest evidence class; their hard gates
     # are the exact-twin pytests) — kept inside the contiguous
     # never-checked block the backlog test pins right after the window:

@@ -1293,3 +1293,84 @@ def test_block_neardup_non_ascii_no_vacuous_pairs(spark, tmp_path):
     oracle = sorted(tuple(r) for r in con.execute(ORACLE_MM_NEARDUP).fetchall())
     con.close()
     assert oracle == got
+
+
+def test_clip_joint_align_cosine_invariants(spark):
+    """Cosine bounds and positivity: the stub towers' +1 floor makes
+    both norms strictly positive, so every alignment is a finite value
+    in [-1, 1] (here all components positive -> (0, 1])."""
+    from spark_dba_spark.operators.multimodal import mm_clip_joint_align
+
+    rows = mm_clip_joint_align(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["t_norm2"] > 0 and r["i_norm2"] > 0
+        assert 0.0 < r["align_r6"] <= 1.0
+        assert r["dot"] > 0
+
+
+def test_video_keyframe_dedup_clusters_planted_dups(spark, tmp_path):
+    """Two videos sharing every keyframe block must land in one
+    component with the min doc_id canonical; an unrelated video stays a
+    singleton. doc_id % 3 == 2 selects the video modality."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.multimodal import (
+        mm_video_keyframe_dedup,
+    )
+
+    # 325 chars -> n_frames = 1 + 325 % 10 = 6 -> keyframes 0, 2, 4
+    base = "".join(chr(65 + (i * 7) % 26) for i in range(325))
+    other = "".join(chr(97 + (i * 11) % 26) for i in range(325))
+    # doc_ids 2, 5 (dups), 8 (unrelated) are all % 3 == 2; 0/1 are
+    # other modalities and must not appear in the output.
+    texts = {0: "img", 1: "aud", 2: base, 5: base, 8: other}
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": [texts[k] for k in sorted(texts)],
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": pa.array(
+                    [len(texts[k]) for k in sorted(texts)], pa.int64()
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = {
+        r["doc_id"]: (r["component_id"], r["n_members"], r["is_canonical"])
+        for r in mm_video_keyframe_dedup(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {2, 5, 8}
+    assert got[2] == (2, 2, True)
+    assert got[5] == (2, 2, False)
+    assert got[8] == (8, 1, True)
+
+
+def test_audio_fingerprint_pairs_share_landmarks(spark):
+    """Every emitted pair is ordered, meets the landmark threshold, and
+    genuinely shares that many (window, band) landmarks (recomputed
+    independently from the RMS stage)."""
+    from spark_dba_spark.operators.multimodal import (
+        FP_QUANT,
+        MIN_LANDMARKS,
+        mm_audio_energy,
+        mm_audio_fingerprint_match,
+    )
+
+    lm = {}
+    for r in mm_audio_energy(spark, SF_DIR).collect():
+        lm.setdefault(r["doc_id"], set()).add(
+            (r["win"], int(r["rms_r4"] * FP_QUANT // 1))
+        )
+    pairs = mm_audio_fingerprint_match(spark, SF_DIR).collect()
+    assert pairs
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["n_shared_landmarks"] >= MIN_LANDMARKS
+        shared = lm[r["doc_a"]] & lm[r["doc_b"]]
+        # the op prunes hot landmarks, so emitted count <= raw overlap
+        assert r["n_shared_landmarks"] <= len(shared)
