@@ -558,6 +558,40 @@ def mm_clip_joint_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-only featurization (the only knob is input split size) +
     a per-row scalar projection — no shuffle at all; at 100 TB this is
     the embarrassingly-parallel batch-inference shape."""
+    return (
+        _clip_towers(spark, sf_dir)
+        .select(
+            "doc_id",
+            "byte_len",
+            F.expr(
+                "aggregate(zip_with(t_emb, i_emb, (x, y) -> x * y), "
+                "0L, (a, x) -> a + x)"
+            ).alias("dot"),
+            F.expr(
+                "aggregate(t_emb, 0L, (a, x) -> a + x * x)"
+            ).alias("t_norm2"),
+            F.expr(
+                "aggregate(i_emb, 0L, (a, x) -> a + x * x)"
+            ).alias("i_norm2"),
+        )
+        .withColumn(
+            "align_r6",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("t_norm2").cast("double"))
+                    * F.sqrt(F.col("i_norm2").cast("double"))
+                ),
+                6,
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _clip_towers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared stub two-tower forward pass: (doc_id, byte_len,
+    t_emb, i_emb) for every image doc, one Arrow batch per task."""
     assets = _assets(spark, sf_dir).filter(F.col("media_type") == "image")
     feats = (
         catalog.load(spark, sf_dir, "documents")
@@ -608,35 +642,7 @@ def mm_clip_joint_align(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    embedded = feats.mapInPandas(forward, out_schema)
-    return (
-        embedded.select(
-            "doc_id",
-            "byte_len",
-            F.expr(
-                "aggregate(zip_with(t_emb, i_emb, (x, y) -> x * y), "
-                "0L, (a, x) -> a + x)"
-            ).alias("dot"),
-            F.expr(
-                "aggregate(t_emb, 0L, (a, x) -> a + x * x)"
-            ).alias("t_norm2"),
-            F.expr(
-                "aggregate(i_emb, 0L, (a, x) -> a + x * x)"
-            ).alias("i_norm2"),
-        )
-        .withColumn(
-            "align_r6",
-            F.round(
-                F.col("dot").cast("double")
-                / (
-                    F.sqrt(F.col("t_norm2").cast("double"))
-                    * F.sqrt(F.col("i_norm2").cast("double"))
-                ),
-                6,
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    return feats.mapInPandas(forward, out_schema)
 
 
 ORACLE_MM_CLIP = f"""
@@ -670,6 +676,110 @@ SELECT doc_id, CAST(byte_len AS INT) AS byte_len,
              / (sqrt(CAST(t_norm2 AS DOUBLE))
                 * sqrt(CAST(i_norm2 AS DOUBLE))), 6) AS align_r6
 FROM g ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-modal retrieval: caption queries → image candidates (CLIP recall)
+# --------------------------------------------------------------------------
+
+MM_RETR_QMAX = 96  # probe captions: image docs with doc_id < 96 (32 queries)
+MM_RETR_K = 3
+
+
+def mm_caption_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval in the joint stub-CLIP space: each probe
+    CAPTION's text embedding queries ALL image embeddings; top-{MM_RETR_K}
+    by cosine. The exact brute-force baseline of text→image recall
+    measurement (the multimodal twin of ``sim_cosine_topk``; the scale
+    path over the same vectors is the LSH/IVF family in
+    ``operators/similarity.py``).
+
+    Scale: the probe side is bounded ({MM_RETR_QMAX//3} captions) and
+    BROADCAST — the candidate scan stays distributed and shuffle-free
+    until the per-query top-k window (scores shuffled by qid, the
+    sim_cosine_topk envelope). Determinism: dot/norms are exact
+    integers (identical on both engines), ranking orders by the
+    6dp-rounded cosine with a candidate-id tie-break, so no float
+    near-tie can split the engines."""
+    towers = _clip_towers(spark, sf_dir)
+    q = towers.filter(F.col("doc_id") < MM_RETR_QMAX).select(
+        F.col("doc_id").alias("qid"), F.col("t_emb").alias("q_emb")
+    )
+    c = towers.select(
+        F.col("doc_id").alias("cand_id"), F.col("i_emb").alias("c_emb")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cand_id",
+        F.expr(
+            "aggregate(zip_with(q_emb, c_emb, (x, y) -> x * y), "
+            "0L, (a, x) -> a + x)"
+        ).alias("dot"),
+        F.expr("aggregate(q_emb, 0L, (a, x) -> a + x * x)").alias("qn2"),
+        F.expr("aggregate(c_emb, 0L, (a, x) -> a + x * x)").alias("cn2"),
+    ).withColumn(
+        "sim_r6",
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("qn2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double"))
+            ),
+            6,
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim_r6"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MM_RETR_K)
+        .select("qid", F.col("rank").cast("int").alias("rank"),
+                "cand_id", "sim_r6")
+        .orderBy("qid", "rank")
+    )
+
+
+ORACLE_MM_RETRIEVAL = f"""
+WITH f AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS blen,
+         len(string_split(text, ' ')) AS n_tok,
+         length(text) AS n_chars
+  FROM documents WHERE doc_id % 3 = 0),
+d AS (
+  SELECT doc_id, blen, n_tok, n_chars,
+         64 + blen % 576 AS wdt,
+         64 + (blen * 7) % 416 AS hgt,
+         1 + blen % 3 AS ch
+  FROM f),
+e AS (
+  SELECT doc_id, j,
+         (n_tok * (2*j + 3) + n_chars * (j + 1) + 7) % 97 + 1 AS t,
+         (blen * (3*j + 1) + wdt * (j + 2) + hgt * (j + 5) + ch * 11)
+           % 101 + 1 AS i
+  FROM d, unnest(range({CLIP_DIM})) AS u(j)),
+s AS (
+  SELECT q.doc_id AS qid, c.doc_id AS cand_id,
+         CAST(SUM(q.t * c.i) AS BIGINT) AS dot,
+         CAST(SUM(q.t * q.t) AS BIGINT) AS qn2,
+         CAST(SUM(c.i * c.i) AS BIGINT) AS cn2
+  FROM e q JOIN e c ON q.j = c.j
+  WHERE q.doc_id < {MM_RETR_QMAX}
+  GROUP BY 1, 2),
+r AS (
+  SELECT qid, cand_id,
+         ROUND(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(qn2 AS DOUBLE))
+                  * sqrt(CAST(cn2 AS DOUBLE))), 6) AS sim_r6
+  FROM s),
+rk AS (
+  SELECT qid, cand_id, sim_r6,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim_r6 DESC, cand_id) AS rank
+  FROM r)
+SELECT qid, CAST(rank AS INT) AS rank, cand_id, sim_r6
+FROM rk WHERE rank <= {MM_RETR_K}
+ORDER BY qid, rank
 """
 
 
@@ -929,4 +1039,9 @@ SPECS = [
               ORACLE_MM_AUDIO_FP, ("multimodal", "audio", "lsh"),
               doc="Shazam-shaped audio landmark fingerprint match "
                   "(windowed RMS bands, hot-landmark pruned band join)"),
+    QuerySpec("mm_caption_retrieval", mm_caption_retrieval,
+              ORACLE_MM_RETRIEVAL, ("multimodal", "similarity"),
+              doc="cross-modal caption->image top-k retrieval in the "
+                  "joint stub-CLIP space (broadcast probe captions, "
+                  "exact brute-force baseline)"),
 ]

@@ -134,6 +134,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_clip_joint_align",
     "mm_video_keyframe_dedup",
     "mm_audio_fingerprint_match",
+    "mm_caption_retrieval",
     # rows-only never-checked (weakest evidence class; their hard gates
     # are the exact-twin pytests) — kept inside the contiguous
     # never-checked block the backlog test pins right after the window:

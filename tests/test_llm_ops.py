@@ -1374,3 +1374,50 @@ def test_audio_fingerprint_pairs_share_landmarks(spark):
         shared = lm[r["doc_a"]] & lm[r["doc_b"]]
         # the op prunes hot landmarks, so emitted count <= raw overlap
         assert r["n_shared_landmarks"] <= len(shared)
+
+
+def test_caption_retrieval_topk_shape_and_monotonic(spark):
+    """Per query: exactly ranks 1..K, similarity non-increasing with
+    rank, and the rank-1 candidate matches an independent brute-force
+    argmax over the tower embeddings for a sample of queries."""
+    from spark_dba_spark.operators.multimodal import (
+        MM_RETR_K,
+        MM_RETR_QMAX,
+        _clip_towers,
+        mm_caption_retrieval,
+    )
+
+    rows = mm_caption_retrieval(spark, SF_DIR).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r)
+    assert all(q < MM_RETR_QMAX for q in per_q)
+    for q, rs in per_q.items():
+        assert [r["rank"] for r in rs] == list(range(1, MM_RETR_K + 1))
+        sims = [r["sim_r6"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+    towers = {
+        r["doc_id"]: (r["t_emb"], r["i_emb"])
+        for r in _clip_towers(spark, SF_DIR).collect()
+    }
+    import math
+
+    for q in sorted(per_q)[:5]:
+        t = towers[q][0]
+        best = max(
+            (
+                (
+                    round(
+                        sum(a * b for a, b in zip(t, i))
+                        / (
+                            math.sqrt(sum(a * a for a in t))
+                            * math.sqrt(sum(b * b for b in i))
+                        ),
+                        6,
+                    ),
+                    -cand,
+                )
+                for cand, (_, i) in towers.items()
+            ),
+        )
+        assert per_q[q][0]["cand_id"] == -best[1]
