@@ -922,6 +922,239 @@ FROM allv ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Joint caption+image curation filter (LAION-style admission rules)
+# --------------------------------------------------------------------------
+
+CAP_MIN_TOK = 5
+CAP_MIN_CHARS = 20
+CAP_MAX_CHARS = 1000
+IMG_MIN_SIDE = 100
+IMG_MAX_ASPECT = 3  # longest side at most 3x the shortest
+
+
+def mm_caption_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint (caption, image) admission filter — the LAION-style
+    curation gate a text+image training pipeline applies before
+    featurization: caption length/token floors, minimum resolution,
+    aspect-ratio bounds (INTEGER cross-multiplication, no
+    division-rounding drift), RGB-only. Emits every asset with its
+    per-rule verdicts so rejection reasons are auditable (the rule mix
+    is tuned from exactly this breakdown), plus the final ``keep``.
+
+    Scale: decode happens once in the featurize pass
+    (``mm_image_features`` contract); THIS stage is pure whole-stage
+    codegen over its scalar outputs — no Python, no shuffle, runs at
+    scan speed, and Catalyst pushes the projection to the parquet
+    scan."""
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+    )
+    a = (
+        _assets(spark, sf_dir)
+        .filter(F.col("media_type") == "image")
+        .select("doc_id", F.octet_length("payload").alias("blen"))
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_chars",
+            (64 + F.col("blen") % 576).alias("wdt"),
+            (64 + (F.col("blen") * 7) % 416).alias("hgt"),
+            (1 + F.col("blen") % 3).alias("ch"),
+        )
+    )
+    cap_ok = (
+        (F.col("n_tok") >= CAP_MIN_TOK)
+        & (F.col("n_chars") >= CAP_MIN_CHARS)
+        & (F.col("n_chars") <= CAP_MAX_CHARS)
+    )
+    res_ok = (F.col("wdt") >= IMG_MIN_SIDE) & (F.col("hgt") >= IMG_MIN_SIDE)
+    aspect_ok = (F.col("wdt") <= IMG_MAX_ASPECT * F.col("hgt")) & (
+        F.col("hgt") <= IMG_MAX_ASPECT * F.col("wdt")
+    )
+    rgb_ok = F.col("ch") == 3
+    return a.select(
+        "doc_id",
+        cap_ok.alias("cap_ok"),
+        res_ok.alias("res_ok"),
+        aspect_ok.alias("aspect_ok"),
+        rgb_ok.alias("rgb_ok"),
+        (cap_ok & res_ok & aspect_ok & rgb_ok).alias("keep"),
+    ).orderBy("doc_id")
+
+
+ORACLE_MM_CAP_FILTER = f"""
+WITH a AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         length(text) AS n_chars,
+         64 + octet_length(encode(text)) % 576 AS wdt,
+         64 + (octet_length(encode(text)) * 7) % 416 AS hgt,
+         1 + octet_length(encode(text)) % 3 AS ch
+  FROM documents WHERE doc_id % 3 = 0),
+v AS (
+  SELECT doc_id,
+         n_tok >= {CAP_MIN_TOK} AND n_chars >= {CAP_MIN_CHARS}
+           AND n_chars <= {CAP_MAX_CHARS} AS cap_ok,
+         wdt >= {IMG_MIN_SIDE} AND hgt >= {IMG_MIN_SIDE} AS res_ok,
+         wdt <= {IMG_MAX_ASPECT} * hgt
+           AND hgt <= {IMG_MAX_ASPECT} * wdt AS aspect_ok,
+         ch = 3 AS rgb_ok
+  FROM a)
+SELECT doc_id, cap_ok, res_ok, aspect_ok, rgb_ok,
+       cap_ok AND res_ok AND aspect_ok AND rgb_ok AS keep
+FROM v ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-modality byte-budget packing (training-mix quota curation)
+# --------------------------------------------------------------------------
+
+MM_QUOTA_BYTES = 20_000  # byte budget per media_type
+
+
+def mm_modality_quota_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a fixed {MM_QUOTA_BYTES}-byte budget PER MODALITY with the
+    highest-quality assets — the per-media_type quota step of a
+    multimodal training mix (text/image/audio/video each get a byte
+    budget; greedy by caption quality, doc_id tie-break, crossing asset
+    included). The per-group twin of ``corpus_budget_pack``.
+
+    Scale shape: the per-modality "sort by quality, running-sum, cut"
+    uses the same bucket-histogram SELECTION as corpus_budget_pack,
+    partitioned by media_type: a per-modality descending score-bucket
+    histogram of BYTE MASS locates the buckets still under budget, and
+    only those (~budget-sized) buckets run the in-bucket ordered prefix
+    sum, partitioned per (media_type, bucket). Equal scores share a
+    bucket for every bucket count, so the decomposition reproduces the
+    per-modality global order exactly; no task ever sorts a full
+    modality."""
+    from .text import text_quality
+
+    tq = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    a = (
+        _assets(spark, sf_dir)
+        .select(
+            "doc_id",
+            "media_type",
+            F.octet_length("payload").alias("byte_len"),
+        )
+        .join(tq, "doc_id")
+    )
+    from .relational import MEDIAN_BUCKETS, MEDIAN_RESIDUAL_TARGET
+
+    stats = a.groupBy("media_type").agg(
+        F.min("quality_score").alias("lo"),
+        F.max("quality_score").alias("hi"),
+        F.count("*").alias("n"),
+    ).select(
+        "media_type",
+        "lo",
+        "hi",
+        F.greatest(
+            F.lit(MEDIAN_BUCKETS),
+            F.ceil(F.col("n") / F.lit(MEDIAN_RESIDUAL_TARGET)),
+        ).cast("long").alias("nb"),
+    )
+    b = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.col("nb") - 1,
+            F.floor(
+                (F.col("hi") - F.col("quality_score"))
+                / (F.col("hi") - F.col("lo"))
+                * F.col("nb")
+            ),
+        ),
+    ).otherwise(0)
+    binned = a.join(F.broadcast(stats), "media_type").select(
+        "media_type",
+        "doc_id",
+        "byte_len",
+        "quality_score",
+        b.cast("long").alias("bucket"),
+    )
+    hist = binned.groupBy("media_type", "bucket").agg(
+        F.sum("byte_len").alias("mass")
+    )
+    wcum = (
+        W.partitionBy("media_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pref = (
+        hist.withColumn("cum", F.sum("mass").over(wcum))
+        .withColumn("bucket_before", F.col("cum") - F.col("mass"))
+        .filter(F.col("bucket_before") < MM_QUOTA_BYTES)
+        .select(
+            F.col("media_type").alias("p_mt"),
+            F.col("bucket").alias("p_bucket"),
+            "bucket_before",
+        )
+    )
+    w_in = (
+        W.partitionBy("media_type", "bucket")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    kept = (
+        binned.join(
+            F.broadcast(pref),
+            (F.col("media_type") == F.col("p_mt"))
+            & (F.col("bucket") == F.col("p_bucket")),
+        )
+        .withColumn(
+            "bytes_before",
+            (
+                F.col("bucket_before")
+                + F.coalesce(F.sum("byte_len").over(w_in), F.lit(0))
+            ).cast("long"),
+        )
+        .filter(F.col("bytes_before") < MM_QUOTA_BYTES)
+    )
+    return kept.select(
+        "doc_id",
+        "media_type",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        "bytes_before",
+    ).orderBy("doc_id")
+
+
+def _oracle_mm_quota() -> str:
+    # late import: text.py defines the score SQL; no import cycle
+    # (text.py never imports multimodal)
+    from .text import _SCORE_SQL
+
+
+    return f"""
+WITH tq AS ({_SCORE_SQL}),
+a AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+              WHEN d.doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(d.text)) AS byte_len,
+         t.quality_score
+  FROM documents d JOIN tq t ON d.doc_id = t.doc_id),
+o AS (
+  SELECT doc_id, media_type, byte_len,
+         COALESCE(SUM(byte_len) OVER (
+             PARTITION BY media_type
+             ORDER BY quality_score DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS bytes_before
+  FROM a)
+SELECT doc_id, media_type, CAST(byte_len AS BIGINT) AS byte_len,
+       CAST(bytes_before AS BIGINT) AS bytes_before
+FROM o WHERE bytes_before < {MM_QUOTA_BYTES}
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Audio landmark fingerprint matching (Shazam-shaped banded pair screen)
 # --------------------------------------------------------------------------
 
@@ -1044,4 +1277,12 @@ SPECS = [
               doc="cross-modal caption->image top-k retrieval in the "
                   "joint stub-CLIP space (broadcast probe captions, "
                   "exact brute-force baseline)"),
+    QuerySpec("mm_caption_quality_filter", mm_caption_quality_filter,
+              ORACLE_MM_CAP_FILTER, ("multimodal", "curation"),
+              doc="LAION-style joint caption+image admission filter "
+                  "with auditable per-rule verdicts (pure codegen)"),
+    QuerySpec("mm_modality_quota_pack", mm_modality_quota_pack,
+              _oracle_mm_quota(), ("multimodal", "curation"),
+              doc="per-modality byte-budget greedy quota pack via the "
+                  "bucket-histogram selection (no full-modality sort)"),
 ]

@@ -135,6 +135,8 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_video_keyframe_dedup",
     "mm_audio_fingerprint_match",
     "mm_caption_retrieval",
+    "mm_caption_quality_filter",
+    "mm_modality_quota_pack",
     # rows-only never-checked (weakest evidence class; their hard gates
     # are the exact-twin pytests) — kept inside the contiguous
     # never-checked block the backlog test pins right after the window:

@@ -1421,3 +1421,44 @@ def test_caption_retrieval_topk_shape_and_monotonic(spark):
             ),
         )
         assert per_q[q][0]["cand_id"] == -best[1]
+
+
+def test_modality_quota_pack_matches_greedy_per_modality(spark):
+    """The bucket-decomposed selection must equal a brute-force greedy
+    pack per modality (sort by quality desc / doc_id, take while
+    bytes_before < budget), and every kept asset respects the budget."""
+    from pyspark.sql import functions as F
+
+    from spark_dba_spark.operators.multimodal import (
+        MM_QUOTA_BYTES,
+        _assets,
+        mm_modality_quota_pack,
+    )
+    from spark_dba_spark.operators.text import text_quality
+
+    tq = {
+        r["doc_id"]: r["quality_score"]
+        for r in text_quality(spark, SF_DIR).collect()
+    }
+    assets = (
+        _assets(spark, SF_DIR)
+        .select("doc_id", "media_type", F.octet_length("payload").alias("b"))
+        .collect()
+    )
+    expected = {}
+    by_mt = {}
+    for r in assets:
+        by_mt.setdefault(r["media_type"], []).append(r)
+    for mt, rows in by_mt.items():
+        rows.sort(key=lambda r: (-tq[r["doc_id"]], r["doc_id"]))
+        acc = 0
+        for r in rows:
+            if acc < MM_QUOTA_BYTES:
+                expected[r["doc_id"]] = (mt, r["b"], acc)
+            acc += r["b"]
+    got = {
+        r["doc_id"]: (r["media_type"], r["byte_len"], r["bytes_before"])
+        for r in mm_modality_quota_pack(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert all(v[2] < MM_QUOTA_BYTES for v in got.values())

@@ -53,7 +53,11 @@ QUERIES = [
     "corpus_budget_pack",        # scaled score-histogram selection (r6)
     "dedup_canonical_corpus",    # CC + keep-best funnel emit (r6 new)
     "mm_neardup_hamming",        # block-hash band join near-dup (r6 new)
-    "stats_theil_sen",           # calendar^2 pairwise slope median (r6 new)
+    "stats_theil_sen",           # bucket-selection slope median (r7 rewrite)
+    "mm_clip_joint_align",       # Arrow two-tower forward pass (r7 new)
+    "mm_video_keyframe_dedup",   # keyframe band join + CC contraction (r7 new)
+    "mm_audio_fingerprint_match",  # landmark band join (r7 new)
+    "mm_caption_retrieval",      # broadcast-probe cross-modal top-k (r7 new)
 ]
 
 
