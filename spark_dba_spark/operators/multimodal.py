@@ -32,9 +32,12 @@ except ImportError:
     _HAVE_PIL = False
 
 
-def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → opaque binary payload + media-type metadata."""
-    return catalog.load(spark, sf_dir, "documents").select(
+def project_assets(docs: DataFrame) -> DataFrame:
+    """documents-shaped frame → opaque binary payload + media-type
+    metadata. Shared by the batch loaders AND the streaming ingest twin
+    (streaming/jobs.run_asset_ingest_stream), so both surfaces apply
+    the identical asset projection."""
+    return docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -42,6 +45,10 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("video")
         .alias("media_type"),
     )
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return project_assets(catalog.load(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------
@@ -320,6 +327,14 @@ GROUP BY doc_id, win ORDER BY doc_id, win
 FP_PREFIX_CHARS = 24
 
 
+def asset_fingerprint() -> F.Column:
+    """The shared truncated-prefix fingerprint column (batch dedup,
+    ingest stats, and the streaming ingest twin all key on this)."""
+    return F.md5(
+        F.expr(f"substring(cast(payload as string), 1, {FP_PREFIX_CHARS})")
+    )
+
+
 def mm_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asset dedup clusters by truncated payload fingerprint: md5 of the
     payload's first {FP_PREFIX_CHARS} chars (utf-8 round-trip through the
@@ -328,11 +343,8 @@ def mm_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact_clusters; at 100 TB the map-side partial agg reduces
     each fingerprint to one row per task before the exchange."""
     a = _assets(spark, sf_dir)
-    fp = F.md5(
-        F.expr(f"substring(cast(payload as string), 1, {FP_PREFIX_CHARS})")
-    )
     return (
-        a.groupBy(fp.alias("fingerprint"))
+        a.groupBy(asset_fingerprint().alias("fingerprint"))
         .agg(
             F.count("*").alias("n_assets"),
             F.min("doc_id").alias("keep_doc_id"),
@@ -350,6 +362,57 @@ SELECT md5(substr(text, 1, {FP_PREFIX_CHARS})) AS fingerprint,
 FROM documents
 GROUP BY 1 HAVING COUNT(*) > 1
 ORDER BY fingerprint
+"""
+
+
+def mm_asset_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality ingest summary — assets seen, unique fingerprints
+    (the shared {FP_PREFIX_CHARS}-char prefix key), duplicate ratio:
+    the monitoring readout an asset-landing pipeline emits per batch.
+    This is the BATCH twin of ``streaming.jobs.run_asset_ingest_stream``
+    (same ``project_assets`` projection, same ``asset_fingerprint``
+    key, stream==batch asserted in pytest); the oracle gating this form
+    transitively gates the streaming semantics.
+
+    Scale: one map-side-combined groupBy per metric — the distinct
+    count is a (media_type, fingerprint) pre-aggregation, never a
+    holistic set; state in the streaming form shards by the same key."""
+    a = _assets(spark, sf_dir).select(
+        "media_type", asset_fingerprint().alias("fp")
+    )
+    return (
+        a.groupBy("media_type")
+        .agg(
+            F.count("*").cast("long").alias("n_assets"),
+            F.countDistinct("fp").cast("long").alias("n_unique_fp"),
+        )
+        .select(
+            "media_type",
+            "n_assets",
+            "n_unique_fp",
+            F.round(
+                (F.col("n_assets") - F.col("n_unique_fp")).cast("double")
+                / F.col("n_assets").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("media_type")
+    )
+
+
+ORACLE_MM_INGEST = f"""
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         md5(substr(text, 1, {FP_PREFIX_CHARS})) AS fp
+  FROM documents)
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+FROM a GROUP BY media_type ORDER BY media_type
 """
 
 
@@ -1285,4 +1348,9 @@ SPECS = [
               _oracle_mm_quota(), ("multimodal", "curation"),
               doc="per-modality byte-budget greedy quota pack via the "
                   "bucket-histogram selection (no full-modality sort)"),
+    QuerySpec("mm_asset_ingest_stats", mm_asset_ingest_stats,
+              ORACLE_MM_INGEST, ("multimodal", "streaming", "dedup"),
+              doc="per-modality ingest monitoring (assets seen, unique "
+                  "fingerprints, dup ratio); batch twin of the "
+                  "streaming asset-ingest pipeline"),
 ]

@@ -137,6 +137,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_caption_retrieval",
     "mm_caption_quality_filter",
     "mm_modality_quota_pack",
+    "mm_asset_ingest_stats",
     # rows-only never-checked (weakest evidence class; their hard gates
     # are the exact-twin pytests) — kept inside the contiguous
     # never-checked block the backlog test pins right after the window:

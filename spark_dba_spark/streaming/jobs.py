@@ -375,6 +375,67 @@ def run_clean_corpus_stream(
     return spark.table(query_name)
 
 
+def run_asset_ingest_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "asset_ingest_stream"
+) -> DataFrame:
+    """Streaming twin of ``operators.multimodal.mm_asset_ingest_stats``:
+    the landing-directory asset ingest monitor. The document stream goes
+    through the SHARED ``project_assets`` projection and
+    ``asset_fingerprint`` key; uniques are counted by stateful
+    ``dropDuplicates`` on (media_type, fingerprint) (keyed state store —
+    shards by the same key the batch pre-aggregation shuffles on), raw
+    arrivals by a parallel counting query over the same source, and the
+    dup ratio is assembled from the two materialized sinks with the
+    batch column contract. Two streaming queries because one query
+    cannot host both the pre- and post-dedup aggregations; a production
+    deployment runs exactly this pair off one source."""
+    from ..operators.multimodal import asset_fingerprint, project_assets
+
+    def _assets_stream() -> DataFrame:
+        return project_assets(stream_documents(spark, sf_dir)).select(
+            "media_type", asset_fingerprint().alias("fp")
+        )
+
+    uq = (
+        _assets_stream()
+        .dropDuplicates(["media_type", "fp"])
+        .groupBy("media_type")
+        .agg(F.count("*").alias("n_unique_fp"))
+        .writeStream.format("memory")
+        .queryName(f"{query_name}_uq")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    seen = (
+        _assets_stream()
+        .groupBy("media_type")
+        .agg(F.count("*").alias("n_assets"))
+        .writeStream.format("memory")
+        .queryName(f"{query_name}_seen")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    uq.awaitTermination()
+    seen.awaitTermination()
+    return (
+        spark.table(f"{query_name}_seen")
+        .join(spark.table(f"{query_name}_uq"), "media_type")
+        .select(
+            "media_type",
+            F.col("n_assets").cast("long").alias("n_assets"),
+            F.col("n_unique_fp").cast("long").alias("n_unique_fp"),
+            F.round(
+                (F.col("n_assets") - F.col("n_unique_fp")).cast("double")
+                / F.col("n_assets").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("media_type")
+    )
+
+
 def run_windowed_topk_stream(
     spark: SparkSession, sf_dir: str, query_name: str = "windowed_topk_stream"
 ) -> DataFrame:

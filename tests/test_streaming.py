@@ -498,3 +498,24 @@ def test_gap_stream_out_of_order_batches_per_contract(spark, tmp_path):
     # arrival (NOT the 5d a batch recompute over sorted data would give,
     # and NOT corrupted by a backwards `last`: 11d adds only a 1d gap)
     assert (final["n"], final["mg"]) == (4, 10 * day), final
+
+
+def test_asset_ingest_stream_equals_batch(spark):
+    """Stream (dropDuplicates state + parallel arrival counter) and
+    batch (grouped countDistinct) must agree cell-for-cell on the
+    per-modality ingest stats — both key on the shared projection and
+    fingerprint expressions."""
+    from spark_dba_spark.operators.multimodal import mm_asset_ingest_stats
+    from spark_dba_spark.streaming import jobs
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_asset_ingest_stream(
+            spark, SF_DIR, "t_asset_ingest"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in mm_asset_ingest_stats(spark, SF_DIR).collect()
+    )
+    assert got == want
+    assert len(got) == 3  # image / audio / video all present
