@@ -873,54 +873,78 @@ KM_K = 16
 KM_ITERS = 3
 
 
+KM_QUANT_BITS = 20
+KM_QUANT = float(1 << KM_QUANT_BITS)  # 1048576.0, exactly representable
+KM_INERTIA_SCALE = float(1 << (2 * KM_QUANT_BITS))  # q² units → raw units
+
+
 def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (Lloyd) over the embedding column, KM_ITERS fixed rounds
     from deterministic seeds (the first KM_K vectors) — the iterative-ML
     family member, and the training step behind the IVF index's coarse
     quantizer (sim_ivf assigns to FIXED centroids; this LEARNS them).
 
-    Per round: (1) assignment is a broadcast of the K×D centroid matrix
-    + one Arrow/BLAS ``mapInPandas`` argmin pass over the corpus — no
-    shuffle, no Python-per-row; (2) the centroid update reduces to K×D
-    per-(cluster, dim) sums via posexplode + one groupBy whose output is
-    bounded by K×D rows regardless of corpus size, collected to rebuild
-    the K centroids (the only driver state, a few KB). This is exactly
-    the scalable k-means dataflow: per-iteration cost is one corpus scan
-    + one constant-size exchange.
+    EXACT fixed-point arithmetic (the ``emb_pca_power`` recipe, r7 —
+    upgraded from rows-only to a full value-hash oracle): inputs
+    quantize to the 2^-{KM_QUANT_BITS} grid by TRUNCATION
+    (k = trunc(x·2^{KM_QUANT_BITS}), bit-identical in numpy and DuckDB,
+    no round-half hazard); every distance is an integer whose float64
+    evaluation is exact (|k| ≤ 0.6·2^20 → per-point Σ(k−c)² ≤ 6.4e15 <
+    2^53); argmin ties break to the lowest centroid id on both engines;
+    centroid updates are integer TRUNCATION-toward-zero division of
+    exact per-(cluster, dim) sums (DuckDB's integer ``//`` truncates;
+    the Python driver mirrors it branch-wise), so the centroids stay on
+    the integer grid and every iteration is combine-order independent
+    end to end. Inertia is the exact BIGINT
+    Σd² reduced in DECIMAL(38,0) (overflow-proof at any corpus size).
 
-    Rows-only: float summation order makes estimates engine-specific at
-    the last ulp; tests/test_llm_ops.py pins counts + inertia against a
-    same-seed numpy twin and monotone inertia descent."""
-    emb = _emb(spark, sf_dir)
-    seeds = (
-        emb.filter(F.col("vec_id") < KM_K).orderBy("vec_id").collect()
+    Per round: (1) assignment is a broadcast of the K×D integer
+    centroid matrix + one Arrow ``mapInPandas`` argmin pass over the
+    corpus — no shuffle, no Python-per-row; (2) the centroid update
+    reduces to K×D per-(cluster, dim) integer sums via posexplode + one
+    groupBy whose output is bounded by K×D rows regardless of corpus
+    size, collected to rebuild the K centroids (the only driver state,
+    a few KB). Per-iteration cost is one corpus scan + one
+    constant-size exchange — the canonical scalable k-means dataflow."""
+    qdf = _emb(spark, sf_dir).select(
+        "vec_id",
+        # cast(double as bigint) truncates toward zero in Spark — the
+        # same trunc the numpy/DuckDB sides apply
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
+        ).alias("qv"),
     )
-    cent = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+    seeds = qdf.filter(F.col("vec_id") < KM_K).orderBy("vec_id").collect()
+    cent = np.array([r["qv"] for r in seeds], dtype=np.float64)
 
     assign_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
             T.StructField("cid", T.IntegerType()),
-            T.StructField("sqdist", T.DoubleType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("sqdist", T.LongType()),
+            T.StructField("qv", T.ArrayType(T.LongType())),
         ]
     )
 
     def make_assign(bc):
         def assign(batches):
-            c = bc.value  # (K, D)
+            c = bc.value  # (K, D) integer-valued float64
             cn2 = (c * c).sum(axis=1)
             for pdf in batches:
-                m = _to_matrix(pdf["embedding"])  # (n, D)
-                # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin ties → lowest cid
+                m = np.array(list(pdf["qv"]), dtype=np.float64)
+                # ||x−c||² = ||x||² − 2x·c + ||c||² — every term an
+                # exact integer in float64; argmin ties → lowest cid
                 d2 = (m * m).sum(axis=1, keepdims=True) - 2 * (m @ c.T) + cn2
                 cid = np.argmin(d2, axis=1)
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"],
                         "cid": cid.astype(np.int32),
-                        "sqdist": d2[np.arange(len(cid)), cid],
-                        "embedding": pdf["embedding"],
+                        "sqdist": d2[np.arange(len(cid)), cid].astype(
+                            np.int64
+                        ),
+                        "qv": pdf["qv"],
                     }
                 )
 
@@ -929,41 +953,96 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = None
     for it in range(KM_ITERS):
         bc = spark.sparkContext.broadcast(cent)
-        assigned = emb.select("vec_id", "embedding").mapInPandas(
-            make_assign(bc), assign_schema
-        )
+        assigned = qdf.mapInPandas(make_assign(bc), assign_schema)
         if it == KM_ITERS - 1:
             break  # final assignment is the result; no update needed
         # centroid update: K×D bounded exchange, never corpus-sized
         sums = (
             assigned.select(
-                "cid",
-                F.posexplode(
-                    F.expr("transform(embedding, x -> cast(x as double))")
-                ).alias("dim", "v"),
+                "cid", F.posexplode("qv").alias("dim", "v")
             )
             .groupBy("cid", "dim")
             .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
             .collect()
         )
         new_cent = cent.copy()  # empty clusters keep their old centroid
-        agg = {}
         for r in sums:
-            agg.setdefault(r["cid"], [np.zeros(cent.shape[1]), 0])
-            agg[r["cid"]][0][r["dim"]] = r["s"]
-            agg[r["cid"]][1] = r["n"]
-        for cid, (vec, n) in agg.items():
-            if n > 0:
-                new_cent[cid] = vec / n
+            # truncation-toward-zero division: DuckDB's integer `//`
+            # truncates (-7 // 2 = -3), unlike Python's floor `//` —
+            # mirror it exactly so centroids agree on negative sums
+            sv, nv = int(r["s"]), int(r["n"])
+            new_cent[r["cid"], r["dim"]] = (
+                sv // nv if sv >= 0 else -((-sv) // nv)
+            )
         cent = new_cent
     return (
         assigned.groupBy("cid")
         .agg(
-            F.count("*").alias("n_assigned"),
-            F.round(F.sum("sqdist"), 4).alias("inertia"),
+            F.count("*").cast("long").alias("n_assigned"),
+            F.sum(F.col("sqdist").cast("decimal(38,0)")).alias(
+                "inertia_q2"
+            ),
+        )
+        .select(
+            "cid",
+            "n_assigned",
+            "inertia_q2",
+            F.round(
+                F.col("inertia_q2").cast("double") / KM_INERTIA_SCALE, 6
+            ).alias("inertia_r6"),
         )
         .orderBy("cid")
     )
+
+
+def _km_iter_ctes() -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs (the ORACLE_PCA
+    pattern): dN = integer distances to the iteration's centroids,
+    aN = argmin assignment (ties → lowest cid), cN = floor-division
+    centroid update with empty clusters carrying the previous row."""
+    parts = []
+    for k in range(1, KM_ITERS + 1):
+        prev = "c0" if k == 1 else f"c{k - 1}"
+        parts.append(f"""d{k} AS (
+  SELECT q.vec_id, c.cid,
+         CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2
+  FROM q JOIN {prev} c ON q.dim = c.dim
+  GROUP BY 1, 2),
+a{k} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cid) AS rn
+    FROM d{k}) WHERE rn = 1)""")
+        if k < KM_ITERS:
+            parts.append(f"""s{k} AS (
+  SELECT a.cid, q.dim, SUM(q.qv) AS s, COUNT(*) AS n
+  FROM a{k} a JOIN q ON a.vec_id = q.vec_id
+  GROUP BY 1, 2),
+c{k} AS (
+  SELECT p.cid, p.dim,
+         COALESCE(CAST(s{k}.s // s{k}.n AS BIGINT), p.cv) AS cv
+  FROM {prev} p LEFT JOIN s{k}
+    ON p.cid = s{k}.cid AND p.dim = s{k}.dim)""")
+    return ",\n".join(parts)
+
+
+ORACLE_KMEANS = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+q AS (
+  SELECT e.vec_id, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+c0 AS (SELECT vec_id AS cid, dim, qv AS cv FROM q WHERE vec_id < {KM_K}),
+{_km_iter_ctes()}
+SELECT CAST(cid AS INT) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST(SUM(d2) AS DECIMAL(38,0)) AS inertia_q2,
+       ROUND(CAST(CAST(SUM(d2) AS DECIMAL(38,0)) AS DOUBLE)
+             / {KM_INERTIA_SCALE!r}, 6) AS inertia_r6
+FROM a{KM_ITERS} GROUP BY cid ORDER BY cid
+"""
 
 
 def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1564,10 +1643,11 @@ SPECS = [
     QuerySpec("emb_dim_stats", emb_dim_stats, ORACLE_DIM_STATS,
               ("similarity", "pipeline", "stats"),
               doc="per-dimension embedding stats (whitening/scaling fit)"),
-    QuerySpec("emb_kmeans_lloyd", emb_kmeans_lloyd, None,
+    QuerySpec("emb_kmeans_lloyd", emb_kmeans_lloyd, ORACLE_KMEANS,
               ("similarity", "iterative", "ml"),
-              doc="k-means Lloyd iterations, BLAS assignment + bounded "
-                  "K×D update exchange (rows-only; numpy-twin pytest)"),
+              doc="k-means Lloyd iterations, exact fixed-point (full "
+                  "value-hash oracle since r7), Arrow assignment + "
+                  "bounded K×D update exchange"),
     QuerySpec("sim_mips_maxdot", sim_mips_maxdot, ORACLE_MIPS,
               ("similarity", "mips"),
               doc="maximum-inner-product top-k (unnormalized two-tower "

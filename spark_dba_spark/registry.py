@@ -138,9 +138,12 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_caption_quality_filter",
     "mm_modality_quota_pack",
     "mm_asset_ingest_stats",
-    # rows-only never-checked (weakest evidence class; their hard gates
-    # are the exact-twin pytests) — kept inside the contiguous
-    # never-checked block the backlog test pins right after the window:
+    # never-checked tail, kept inside the contiguous never-checked
+    # block the backlog test pins right after the window:
+    # sketch_hll_reaggregate is the ONE remaining rows-only entry
+    # (inherently approximate sketch; exact-twin pytest is its gate);
+    # emb_kmeans_lloyd was upgraded to a FULL value-hash oracle in r7
+    # (exact fixed-point Lloyd, the emb_pca_power recipe):
     "sketch_hll_reaggregate",
     "emb_kmeans_lloyd",
     # then the ANN re-records: only driver rows are r2-era no_oracle,

@@ -247,15 +247,17 @@ def test_hll_reaggregate_matches_exact(spark):
 
 
 def test_kmeans_matches_numpy_twin(spark):
-    """The distributed Lloyd iterations must reproduce a same-seed pure-
-    numpy reference exactly (assignment counts per centroid) and within
-    float tolerance on inertia; inertia must not increase across rounds.
-    """
+    """The distributed fixed-point Lloyd iterations must reproduce a
+    same-seed pure-Python-integer reference EXACTLY (counts AND the
+    integer inertia — r7: the op is exact on the 2^-20 grid, so the
+    twin is equality, not tolerance); quantized inertia must not
+    increase across rounds."""
     import numpy as np
 
     from spark_dba_spark.operators.similarity import (
         KM_ITERS,
         KM_K,
+        KM_QUANT,
         emb_kmeans_lloyd,
     )
 
@@ -264,34 +266,46 @@ def test_kmeans_matches_numpy_twin(spark):
         .orderBy("vec_id")
         .collect()
     )
-    X = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    X = np.trunc(
+        np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+        * KM_QUANT
+    ).astype(np.int64)
     cent = X[:KM_K].copy()
     inertias = []
     for it in range(KM_ITERS):
+        # exact integer distances (object math avoided: values < 2^53)
         d2 = (
             (X * X).sum(axis=1, keepdims=True)
             - 2 * (X @ cent.T)
             + (cent * cent).sum(axis=1)
         )
         cid = np.argmin(d2, axis=1)
-        inertias.append(d2[np.arange(len(cid)), cid].sum())
+        inertias.append(int(d2[np.arange(len(cid)), cid].sum()))
         if it == KM_ITERS - 1:
             break
         for k in range(KM_K):
             m = cid == k
             if m.any():
-                cent[k] = X[m].mean(axis=0)
-    ref_counts = {int(k): int((cid == k).sum()) for k in set(cid.tolist())}
-    ref_inertia = inertias[-1]
+                s = X[m].sum(axis=0)
+                n = int(m.sum())
+                # truncation-toward-zero division (DuckDB `//`)
+                cent[k] = np.where(
+                    s >= 0, s // n, -((-s) // n)
+                )
+    ref = {}
+    for k in set(cid.tolist()):
+        m = cid == k
+        ref[int(k)] = (
+            int(m.sum()),
+            int(d2[np.arange(len(cid)), cid][m].sum()),
+        )
     assert inertias == sorted(inertias, reverse=True), "inertia increased"
 
     out = {
-        r["cid"]: (r["n_assigned"], r["inertia"])
+        r["cid"]: (r["n_assigned"], int(r["inertia_q2"]))
         for r in emb_kmeans_lloyd(spark, SF_DIR).collect()
     }
-    assert {c: n for c, (n, _) in out.items()} == ref_counts
-    total = sum(i for _, i in out.values())
-    assert abs(total - ref_inertia) / ref_inertia < 1e-6
+    assert out == ref
 
 
 def test_probe_chunking_matches_single_chunk(spark, monkeypatch):
