@@ -652,10 +652,19 @@ def mm_clip_joint_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clip_towers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _clip_towers(
+    spark: SparkSession, sf_dir: str, max_doc_id: int | None = None
+) -> DataFrame:
     """The shared stub two-tower forward pass: (doc_id, byte_len,
-    t_emb, i_emb) for every image doc, one Arrow batch per task."""
+    t_emb, i_emb) for every image doc, one Arrow batch per task.
+    ``max_doc_id`` restricts the input BEFORE the Python stage —
+    predicates cannot push through MapInPandasExec, so a probe-side
+    caller that filtered afterwards would featurize the whole corpus
+    and discard it (the stub is row-local; pre-filtering is
+    semantics-preserving)."""
     assets = _assets(spark, sf_dir).filter(F.col("media_type") == "image")
+    if max_doc_id is not None:
+        assets = assets.filter(F.col("doc_id") < max_doc_id)
     feats = (
         catalog.load(spark, sf_dir, "documents")
         .select(
@@ -708,8 +717,12 @@ def _clip_towers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.mapInPandas(forward, out_schema)
 
 
-ORACLE_MM_CLIP = f"""
-WITH f AS (
+# Shared tower-derivation CTEs for the stub-CLIP oracles: ONE source of
+# truth for the feature formulas (mirrors _fake_decode and the forward()
+# integer mixing) so an edit cannot desync ORACLE_MM_CLIP from
+# ORACLE_MM_RETRIEVAL — the same single-definition posture as dedup.py's
+# closure CTE constant.
+_TOWER_CTES = f"""f AS (
   SELECT doc_id,
          octet_length(encode(text)) AS blen,
          len(string_split(text, ' ')) AS n_tok,
@@ -722,11 +735,15 @@ d AS (
          1 + blen % 3 AS ch
   FROM f),
 e AS (
-  SELECT doc_id, blen,
+  SELECT doc_id, blen, j,
          (n_tok * (2*j + 3) + n_chars * (j + 1) + 7) % 97 + 1 AS t,
          (blen * (3*j + 1) + wdt * (j + 2) + hgt * (j + 5) + ch * 11)
            % 101 + 1 AS i
-  FROM d, unnest(range({CLIP_DIM})) AS u(j)),
+  FROM d, unnest(range({CLIP_DIM})) AS u(j))"""
+
+
+ORACLE_MM_CLIP = f"""
+WITH {_TOWER_CTES},
 g AS (
   SELECT doc_id, MAX(blen) AS byte_len,
          SUM(t * i) AS dot, SUM(t * t) AS t_norm2, SUM(i * i) AS i_norm2
@@ -765,11 +782,10 @@ def mm_caption_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (identical on both engines), ranking orders by the
     6dp-rounded cosine with a candidate-id tie-break, so no float
     near-tie can split the engines."""
-    towers = _clip_towers(spark, sf_dir)
-    q = towers.filter(F.col("doc_id") < MM_RETR_QMAX).select(
+    q = _clip_towers(spark, sf_dir, max_doc_id=MM_RETR_QMAX).select(
         F.col("doc_id").alias("qid"), F.col("t_emb").alias("q_emb")
     )
-    c = towers.select(
+    c = _clip_towers(spark, sf_dir).select(
         F.col("doc_id").alias("cand_id"), F.col("i_emb").alias("c_emb")
     )
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -803,24 +819,7 @@ def mm_caption_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MM_RETRIEVAL = f"""
-WITH f AS (
-  SELECT doc_id,
-         octet_length(encode(text)) AS blen,
-         len(string_split(text, ' ')) AS n_tok,
-         length(text) AS n_chars
-  FROM documents WHERE doc_id % 3 = 0),
-d AS (
-  SELECT doc_id, blen, n_tok, n_chars,
-         64 + blen % 576 AS wdt,
-         64 + (blen * 7) % 416 AS hgt,
-         1 + blen % 3 AS ch
-  FROM f),
-e AS (
-  SELECT doc_id, j,
-         (n_tok * (2*j + 3) + n_chars * (j + 1) + 7) % 97 + 1 AS t,
-         (blen * (3*j + 1) + wdt * (j + 2) + hgt * (j + 5) + ch * 11)
-           % 101 + 1 AS i
-  FROM d, unnest(range({CLIP_DIM})) AS u(j)),
+WITH {_TOWER_CTES},
 s AS (
   SELECT q.doc_id AS qid, c.doc_id AS cand_id,
          CAST(SUM(q.t * c.i) AS BIGINT) AS dot,

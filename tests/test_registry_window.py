@@ -10,6 +10,16 @@ from pathlib import Path
 from spark_dba_spark import registry
 
 
+def _driver_artifacts(repo: Path) -> list[Path]:
+    """CORRECTNESS_r{N}.json in ROUND order — numeric sort, and a glob
+    that keeps matching past round 9 (a `r0*` glob would silently stop
+    seeing r10+ rows and disarm these tripwires)."""
+    return sorted(
+        repo.glob("CORRECTNESS_r[0-9]*.json"),
+        key=lambda p: int("".join(c for c in p.stem.split("_r")[1] if c.isdigit())),
+    )
+
+
 def test_window_shape_and_rotation_policy():
     specs = registry.all_specs()
     names = list(specs)
@@ -23,10 +33,10 @@ def test_window_shape_and_rotation_policy():
     repo = Path(__file__).resolve().parent.parent
     seen: set[str] = set()
     latest: dict[str, dict] = {}
-    for f in sorted(repo.glob("CORRECTNESS_r0*.json")):
+    for f in _driver_artifacts(repo):
         rows = json.loads(f.read_text())
         seen.update(rows.keys())
-        latest.update(rows)  # sorted glob → later rounds overwrite
+        latest.update(rows)  # round-ordered → later rounds overwrite
 
     def _green(row: dict) -> bool:
         return bool(
@@ -60,7 +70,7 @@ def test_remaining_backlog_queued_right_after_window():
     names = list(specs)
     repo = Path(__file__).resolve().parent.parent
     seen: set[str] = set()
-    for f in sorted(repo.glob("CORRECTNESS_r0*.json")):
+    for f in _driver_artifacts(repo):
         seen.update(json.loads(f.read_text()).keys())
     if not seen:
         return
