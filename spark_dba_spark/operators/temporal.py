@@ -1963,31 +1963,45 @@ def ev_ewma_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful applyInPandas surface (``inv_running_balance_capped``);
     the 16-tap form keeps EWMA inside Tungsten.
 
-    Exactness: each tap contribution rounds to 12dp before an exact
-    decimal sum (term order irrelevant), the weight and
-    cumulative-weight ladders are Python-computed literals embedded
-    identically in both engines, and the normalizer is a literal-array
-    lookup by min(row_number, 16)."""
+    Exactness: each tap contribution TRUNCATES to the 10⁻¹² grid
+    (floor of the identical IEEE product — no round-half hazard at a
+    grid only ~70 ulp wide) before an exact integer sum (term order
+    irrelevant), the weight and cumulative-weight ladders are
+    Python-computed literals embedded identically in both engines, the
+    normalizer is a literal-array lookup by min(row_number, 16), and
+    the readout truncates to 6dp (TIES.md Class B′)."""
     ev = catalog.load(spark, sf_dir, "events")
     um = F.expr("unix_micros(cast(ts as timestamp))")
     w = W.partitionBy("user_id").orderBy("um", "event_id")
     base = ev.select(
         "user_id", "event_id", "ts", "value", um.alias("um")
     ).withColumn("rn", F.row_number().over(w))
-    zero = F.lit(0).cast("decimal(25,12)")
+    # Per-tap TRUNCATION to the 10⁻¹² grid (floor of the identical
+    # double product in both engines — no shortest-repr tie, unlike
+    # ROUND at a grid only ~70 ulp wide at |p|~100), summed as exact
+    # BIGINT twelfths: Σ|terms| ≤ 16·10¹⁴, inside both int64 and the
+    # float64 exact range for the final readout division.
     term_sum = None
     for k, wk in enumerate(_EWMA_W):
         term = F.coalesce(
-            F.round(F.lit(wk) * F.lag("value", k).over(w), 12).cast(
-                "decimal(25,12)"
+            F.floor(
+                (F.lit(wk) * F.lag("value", k).over(w))
+                * F.lit(1000000000000.0)
             ),
-            zero,
+            F.lit(0).cast("long"),
         )
         term_sum = term if term_sum is None else term_sum + term
     norm = F.element_at(
         F.array(*[F.lit(c) for c in _EWMA_CUMW]),
         F.least(F.col("rn"), F.lit(EWMA_TAPS)),
     )
+    # Truncation quantization, not round: the s/norm quotient can be a
+    # decimal that terminates exactly at the 7th digit with a 5, where
+    # Spark's shortest-repr round and DuckDB's multiply-round split one
+    # micro-unit apart (observed at sf0.1). floor(q·10⁶)/10⁶ is the
+    # same two float ops on the same double in both engines — no tie
+    # exists (TIES.md Class B′).
+    q = (F.col("s").cast("double") / F.lit(1000000000000.0)) / norm
     return (
         base.withColumn("s", term_sum)
         .select(
@@ -1995,7 +2009,10 @@ def ev_ewma_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "ts",
             "value",
-            F.round(F.col("s").cast("double") / norm, 6).alias("ewma"),
+            (
+                F.floor(q * F.lit(1000000.0)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("ewma"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -2003,8 +2020,8 @@ def ev_ewma_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ewma_oracle() -> str:
     terms = " + ".join(
-        f"COALESCE(CAST(ROUND({wk!r} * LAG(value, {k}) OVER w, 12)"
-        f" AS DECIMAL(25,12)), CAST(0 AS DECIMAL(25,12)))"
+        f"COALESCE(CAST(FLOOR(({wk!r} * LAG(value, {k}) OVER w)"
+        f" * 1000000000000.0) AS BIGINT), 0)"
         for k, wk in enumerate(_EWMA_W)
     )
     cumw = ", ".join(repr(c) for c in _EWMA_CUMW)
@@ -2016,8 +2033,9 @@ WITH b AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
 SELECT user_id, event_id, ts, value,
-       ROUND(CAST(s AS DOUBLE)
-             / ([{cumw}])[LEAST(rn, {EWMA_TAPS})], 6) AS ewma
+       FLOOR(CAST(s AS DOUBLE) / 1000000000000.0
+             / ([{cumw}])[LEAST(rn, {EWMA_TAPS})] * 1000000.0)
+         / 1000000.0 AS ewma
 FROM b ORDER BY user_id, event_id
 """
 
@@ -2701,12 +2719,26 @@ def stats_anova_price_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each would yield Inf/NaN; NULL on BOTH engines instead. F.when
     # is lazy, so the guarded division never evaluates.
     f_ok = (kk > 1) & (n > kk) & (ss_within > 0)
+
+    # Sums of squares are reported PER ROW (intensive — the extensive
+    # ~5e14 SS would put ROUND's ·10^d multiply past 2^53 in DuckDB) and
+    # quantized by TRUNCATION, not round: at ~1e9 a 6dp grid sits only
+    # ~4 ulp wide, where Spark's shortest-repr BigDecimal round and
+    # DuckDB's multiply-based round systematically split on 7th-digit-5
+    # reprs (observed at sf0.1). floor(x·10⁶)/10⁶ is the SAME two float
+    # ops on the SAME double in both engines — no tie exists. f_stat/η²
+    # are O(1) where round's grid is ~10 orders above ulp — safe.
+    def _trunc6(c: F.Column) -> F.Column:
+        return F.floor(c * F.lit(1000000.0)).cast("double") / F.lit(
+            1000000.0
+        )
+
     return acc.select(
         F.col("n").cast("long").alias("n_rows"),
         F.col("k").cast("int").alias("n_groups"),
-        F.round(ss_total, 4).alias("ss_total"),
-        F.round(ss_between, 4).alias("ss_between"),
-        F.round(ss_within, 4).alias("ss_within"),
+        _trunc6(ss_total / n).alias("ss_total_per_row"),
+        _trunc6(ss_between / n).alias("ss_between_per_row"),
+        _trunc6(ss_within / n).alias("ss_within_per_row"),
         F.round(F.when(f_ok, f_stat), 6).alias("f_stat"),
         F.round(
             F.when(ss_total > 0, ss_between / ss_total), 6
@@ -2737,13 +2769,17 @@ acc AS (
   FROM g)
 SELECT CAST(n AS BIGINT) AS n_rows,
        CAST(k AS INT) AS n_groups,
-       ROUND(CAST(ts2 AS DOUBLE)
-             - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
-               / CAST(n AS DOUBLE), 4) AS ss_total,
-       ROUND(CAST(tterm AS DOUBLE)
-             - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
-               / CAST(n AS DOUBLE), 4) AS ss_between,
-       ROUND(CAST(ts2 AS DOUBLE) - CAST(tterm AS DOUBLE), 4) AS ss_within,
+       FLOOR((CAST(ts2 AS DOUBLE)
+              - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS ss_total_per_row,
+       FLOOR((CAST(tterm AS DOUBLE)
+              - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS ss_between_per_row,
+       FLOOR((CAST(ts2 AS DOUBLE) - CAST(tterm AS DOUBLE))
+             / CAST(n AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS ss_within_per_row,
        CASE WHEN CAST(k AS DOUBLE) > 1
                  AND CAST(n AS DOUBLE) > CAST(k AS DOUBLE)
                  AND CAST(ts2 AS DOUBLE) - CAST(tterm AS DOUBLE) > 0
@@ -2824,24 +2860,26 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(REVENUE).cast("decimal(25,6)")
         ).alias("rev_dec"),
     )
+    # Integer half-up at 6dp for the count ratios — NOT round(a/b, 6).
+    # Spark's double round goes through the SHORTEST decimal repr while
+    # DuckDB multiplies by 10^6, so a quotient that IS a 7-digit decimal
+    # tie (a dyadic·5 denominator: 333/640 = 0.5203125 — real at sf0.1)
+    # splits the engines one micro-unit apart. (2a·10⁶ + b) div (2b) is
+    # the exact rational half-up on the non-negative domain; the final
+    # /10⁶ is one identical IEEE division of a small integer. TIES.md
+    # "shortest-repr tie" subclass.
+    def _rate6(a: str) -> F.Column:
+        return F.expr(
+            f"cast(({a} * 2000000 + n_lines) div (2 * n_lines) as double)"
+            " / 1000000.0"
+        )
+
     return g.select(
         F.col("l_suppkey").cast("long").alias("suppkey"),
         "n_lines",
-        F.round(
-            F.col("n_on_time").cast("double")
-            / F.col("n_lines").cast("double"),
-            6,
-        ).alias("on_time_rate"),
-        F.round(
-            F.col("lat_days_sum").cast("double")
-            / F.col("n_lines").cast("double"),
-            6,
-        ).alias("avg_latency_days"),
-        F.round(
-            F.col("n_returned").cast("double")
-            / F.col("n_lines").cast("double"),
-            6,
-        ).alias("return_rate"),
+        _rate6("n_on_time").alias("on_time_rate"),
+        _rate6("lat_days_sum").alias("avg_latency_days"),
+        _rate6("n_returned").alias("return_rate"),
         F.col("rev_dec").cast("double").alias("revenue"),
     ).orderBy("suppkey")
 
@@ -2864,12 +2902,12 @@ g AS (
   FROM j GROUP BY 1)
 SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
        CAST(n_lines AS BIGINT) AS n_lines,
-       ROUND(CAST(n_on_time AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
-         AS on_time_rate,
-       ROUND(CAST(lat_days_sum AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
-         AS avg_latency_days,
-       ROUND(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
-         AS return_rate,
+       CAST((n_on_time * 2000000 + n_lines) // (2 * n_lines) AS DOUBLE)
+         / 1000000.0 AS on_time_rate,
+       CAST((lat_days_sum * 2000000 + n_lines) // (2 * n_lines) AS DOUBLE)
+         / 1000000.0 AS avg_latency_days,
+       CAST((n_returned * 2000000 + n_lines) // (2 * n_lines) AS DOUBLE)
+         / 1000000.0 AS return_rate,
        CAST(rev_dec AS DOUBLE) AS revenue
 FROM g ORDER BY suppkey
 """

@@ -454,9 +454,26 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "win_start"
         )
     ).crossJoin(ev.select("event_type").distinct())
+    # Exact integer-cents average with rational half-up at 6dp —
+    # NOT round(avg(value), 6): the fixture values are exact 2dp
+    # decimals, so the mean is a ratio S/(100n) that can terminate at
+    # the 7th decimal digit with a 5 (observed at sf0.1), where Spark's
+    # shortest-repr round and DuckDB's multiply-round split one
+    # micro-unit apart; a float AVG is also combine-order dependent.
+    # k = (2·S·10⁴ + n) div (2n) is the exact half-up on the
+    # non-negative domain (TIES.md Class B′); S ≈ cents·rows stays in
+    # BIGINT range up to ~10¹⁴ rows per (hour, type) bucket.
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("win_start"), "event_type"
-    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    ).agg(
+        (
+            F.expr(
+                "cast((sum(cast(round(value * 100, 0) as bigint)) * 20000"
+                " + count(*)) div (2 * count(*)) as double)"
+            )
+            / F.lit(1000000.0)
+        ).alias("avg_value")
+    )
     w = (
         W.partitionBy("event_type")
         .orderBy("win_start")
@@ -486,7 +503,9 @@ g AS (
   FROM b, (SELECT DISTINCT event_type FROM events) et),
 h AS (
   SELECT date_trunc('hour', ts) AS win_start, event_type,
-         ROUND(AVG(value), 6) AS avg_value
+         CAST((SUM(CAST(round(value * 100) AS BIGINT)) * 20000
+               + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+           / 1000000.0 AS avg_value
   FROM events GROUP BY 1, 2)
 SELECT g.win_start, g.event_type,
        h.avg_value IS NOT NULL AS observed,

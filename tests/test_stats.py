@@ -396,3 +396,70 @@ def test_anova_degenerate_variance_yields_null(spark, tmp_path):
     orow = con.execute(ORACLE_ANOVA).fetchone()
     con.close()
     assert orow[5] is None and orow[6] is None
+
+
+def test_scorecard_shortest_repr_tie(spark, tmp_path):
+    """Regression (found at sf0.1): 333/640 = 0.5203125 terminates at
+    the 7th decimal digit with a 5 — Spark's shortest-repr round called
+    it a tie (up) while DuckDB's multiply saw the true binary value
+    below it (down). The integer half-up rewrite must give the same
+    cell on both engines. Plant exactly that supplier."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.temporal import (
+        ORACLE_SUPPLIER_SCORECARD,
+        supplier_scorecard,
+    )
+
+    n_lines, n_on_time = 640, 333
+    d0 = datetime.datetime(1997, 1, 1)
+    # on-time lines ship day 0 (0 days <= SLA); late ones day 100
+    ship = [d0] * n_on_time + [datetime.datetime(1997, 4, 11)] * (
+        n_lines - n_on_time
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1] * n_lines, pa.int64()),
+                "l_partkey": pa.array([1] * n_lines, pa.int64()),
+                "l_suppkey": pa.array([7] * n_lines, pa.int64()),
+                "l_linenumber": pa.array(range(1, n_lines + 1), pa.int32()),
+                "l_quantity": [1.0] * n_lines,
+                "l_extendedprice": [10.0] * n_lines,
+                "l_discount": [0.0] * n_lines,
+                "l_tax": [0.0] * n_lines,
+                "l_returnflag": ["N"] * n_lines,
+                "l_linestatus": ["O"] * n_lines,
+                "l_shipdate": pa.array(ship, pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_custkey": pa.array([1], pa.int64()),
+                "o_orderstatus": ["F"],
+                "o_totalprice": [100.0],
+                "o_orderdate": pa.array([d0], pa.timestamp("us")),
+                "o_orderpriority": ["1-URGENT"],
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    row = supplier_scorecard(spark, str(tmp_path)).collect()[0]
+    assert row["on_time_rate"] == 0.520313  # half-up of 0.5203125
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    orow = con.execute(ORACLE_SUPPLIER_SCORECARD).fetchone()
+    con.close()
+    assert orow[2] == row["on_time_rate"]
