@@ -49,3 +49,42 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr})"
+
+
+def rat_round6_spark(num: str, den: str, dp: int = 6) -> str:
+    """Exact rational half-up at 6dp of num/den as a Spark SQL fragment.
+
+    For INTEGER-typed num ≥ 0, den > 0: ``(2·num·10⁶ + den) div (2·den)``
+    is the true ⌊num/den·10⁶ + ½⌋ — no float appears until the final
+    small-integer /10⁶. Use instead of ``round(num/den, 6)`` on count
+    ratios: a quotient whose reduced denominator is 2^a·5^b terminates
+    in decimal and can land EXACTLY on the 7th-digit-5 tie, where
+    Spark's shortest-repr double round and DuckDB's ×10⁶ round split
+    one micro-unit apart (TIES.md Class B′; bit at sf0.1)."""
+    scale = 10 ** dp
+    return (
+        f"cast((({num}) * {2 * scale} + ({den})) div (2 * ({den}))"
+        f" as double) / {float(scale)!r}"
+    )
+
+
+def rat_round6_duck(num: str, den: str, dp: int = 6) -> str:
+    """DuckDB twin of :func:`rat_round6_spark` (integer ``//`` — for the
+    non-negative domain truncation == floor == the same half-up)."""
+    scale = 10 ** dp
+    return (
+        f"CAST((({num}) * {2 * scale} + ({den})) // (2 * ({den}))"
+        f" AS DOUBLE) / {float(scale)!r}"
+    )
+
+
+def rat_round6_signed_spark(num: str, den: str, dp: int = 6) -> str:
+    """Half-AWAY-FROM-ZERO for integer num of EITHER sign (den > 0) —
+    matches java.math HALF_UP on negatives."""
+    p = rat_round6_spark(f"abs({num})", den, dp)
+    return f"(case when ({num}) >= 0 then {p} else -({p}) end)"
+
+
+def rat_round6_signed_duck(num: str, den: str, dp: int = 6) -> str:
+    p = rat_round6_duck(f"abs({num})", den, dp)
+    return f"(CASE WHEN ({num}) >= 0 THEN {p} ELSE -({p}) END)"

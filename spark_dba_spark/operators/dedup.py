@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from .. import catalog
 from ..functions.hashing import MERSENNE31
 from ..functions.texts import char_shingles, word_ngrams
+from ..functions.numeric import rat_round6_duck, rat_round6_spark  # noqa: F401
 from ..registry import QuerySpec
 
 NGRAM = 3
@@ -1118,15 +1119,17 @@ def graph_triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("degree").cast("long").alias("degree"),
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
-            F.round(
-                F.when(
-                    F.col("degree") >= 2,
-                    2.0
-                    * F.coalesce("n_triangles", F.lit(0))
-                    / (F.col("degree") * (F.col("degree") - 1)),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("clustering"),
+            # 2t/(d(d-1)) is a pure integer ratio -> exact rational
+            # half-up (TIES.md B')
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    rat_round6_spark(
+                        "2 * coalesce(n_triangles, 0)",
+                        "degree * (degree - 1)",
+                    )
+                ),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
         )
         .orderBy("doc_id")
     )
@@ -1156,9 +1159,9 @@ tn AS (
 SELECT d.doc_id,
        CAST(d.degree AS BIGINT) AS degree,
        CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
-       ROUND(CASE WHEN d.degree >= 2 THEN
-               2.0 * COALESCE(t.n_triangles, 0) / (d.degree * (d.degree - 1))
-             ELSE 0.0 END, 6) AS clustering
+       CASE WHEN d.degree >= 2 THEN
+         CAST(((2 * COALESCE(t.n_triangles, 0)) * 2000000 + (d.degree * (d.degree - 1))) // (2 * (d.degree * (d.degree - 1))) AS DOUBLE) / 1000000.0
+       ELSE 0.0 END AS clustering
 FROM deg d LEFT JOIN tn t USING (doc_id)
 ORDER BY d.doc_id
 """

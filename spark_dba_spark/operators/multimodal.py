@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import catalog
+from ..functions.numeric import rat_round6_duck, rat_round6_spark  # noqa: F401
 from ..registry import QuerySpec
 
 try:  # pragma: no cover - the real decoder is not installed in this env
@@ -219,19 +220,26 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     performing the pixel resample with the SAME (doc_id, w, h → w2, h2)
     contract tested here."""
     feats = mm_image_features(spark, sf_dir)
-    scale = F.expr(
-        f"least(cast({RESIZE_BOX} as double) / width, "
-        f"cast({RESIZE_BOX} as double) / height, cast(1.0 as double))"
+    # All-integer scaling: k = min(half-up(224·10⁴/w), half-up(224·10⁴/h),
+    # 10⁴) in 10⁻⁴ units, then out dims are exact (dim·k) div 10⁴ — a
+    # float round of the 224/dim ratio can land on terminating-decimal
+    # ties for 2^a·5^b dims, and floor(dim·scale) on the float product
+    # can slip an exact-integer boundary (TIES.md Class B′).
+    k = (
+        f"least((2 * {RESIZE_BOX * 10000} + width) div (2 * width), "
+        f"(2 * {RESIZE_BOX * 10000} + height) div (2 * height), "
+        "10000L)"
     )
     return (
-        feats.withColumn("scale_r4", F.round(scale, 4))
-        .withColumn(
-            "out_w", F.expr(f"cast(floor(width * scale_r4) as int)")
+        feats.withColumn("k4", F.expr(k))
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            (F.col("k4").cast("double") / F.lit(10000.0)).alias("scale_r4"),
+            F.expr("cast((width * k4) div 10000 as int)").alias("out_w"),
+            F.expr("cast((height * k4) div 10000 as int)").alias("out_h"),
         )
-        .withColumn(
-            "out_h", F.expr(f"cast(floor(height * scale_r4) as int)")
-        )
-        .select("doc_id", "width", "height", "scale_r4", "out_w", "out_h")
         .orderBy("doc_id")
     )
 
@@ -242,18 +250,18 @@ WITH f AS (
          64 + octet_length(encode(text)) % 576 AS width,
          64 + (octet_length(encode(text)) * 7) % 416 AS height
   FROM documents WHERE doc_id % 3 = 0
-)
+),
+kk AS (
+  SELECT doc_id, width, height,
+         least((2 * {RESIZE_BOX * 10000} + width) // (2 * width),
+               (2 * {RESIZE_BOX * 10000} + height) // (2 * height),
+               10000) AS k4
+  FROM f)
 SELECT doc_id, width, height,
-       ROUND(least(CAST({RESIZE_BOX} AS DOUBLE) / width,
-                   CAST({RESIZE_BOX} AS DOUBLE) / height,
-                   CAST(1.0 AS DOUBLE)), 4) AS scale_r4,
-       CAST(FLOOR(width * ROUND(least(CAST({RESIZE_BOX} AS DOUBLE) / width,
-                                     CAST({RESIZE_BOX} AS DOUBLE) / height,
-                                     CAST(1.0 AS DOUBLE)), 4)) AS INTEGER) AS out_w,
-       CAST(FLOOR(height * ROUND(least(CAST({RESIZE_BOX} AS DOUBLE) / width,
-                                      CAST({RESIZE_BOX} AS DOUBLE) / height,
-                                      CAST(1.0 AS DOUBLE)), 4)) AS INTEGER) AS out_h
-FROM f ORDER BY doc_id
+       CAST(k4 AS DOUBLE) / 10000.0 AS scale_r4,
+       CAST((width * k4) // 10000 AS INTEGER) AS out_w,
+       CAST((height * k4) // 10000 AS INTEGER) AS out_h
+FROM kk ORDER BY doc_id
 """
 
 
@@ -390,10 +398,9 @@ def mm_asset_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_type",
             "n_assets",
             "n_unique_fp",
-            F.round(
-                (F.col("n_assets") - F.col("n_unique_fp")).cast("double")
-                / F.col("n_assets").cast("double"),
-                6,
+            # exact rational half-up on the count ratio (TIES.md B')
+            F.expr(
+                rat_round6_spark("n_assets - n_unique_fp", "n_assets")
             ).alias("dup_ratio"),
         )
         .orderBy("media_type")
@@ -410,8 +417,8 @@ WITH a AS (
 SELECT media_type,
        CAST(COUNT(*) AS BIGINT) AS n_assets,
        CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fp,
-       ROUND(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+       CAST(((COUNT(*) - COUNT(DISTINCT fp)) * 2000000 + (COUNT(*))) // (2 * (COUNT(*))) AS DOUBLE) / 1000000.0
+         AS dup_ratio
 FROM a GROUP BY media_type ORDER BY media_type
 """
 

@@ -25,7 +25,16 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions.numeric import DEC, davg, dsum, dsum_expr, sql_davg, sql_dsum
+from ..functions.numeric import (  # noqa: F401
+    DEC,
+    davg,
+    dsum,
+    dsum_expr,
+    rat_round6_duck,
+    rat_round6_spark,
+    sql_davg,
+    sql_dsum,
+)
 from ..registry import QuerySpec
 
 REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -3312,8 +3321,19 @@ def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             n_obs.cast("long").alias("n_obs"),
-            F.round(exp, 6).alias("n_exp"),
-            F.round((n_obs - exp) ** 2 / exp, 6).alias("chi2_part"),
+            # pure count rational -> exact half-up; the chi² cell keeps
+            # its float form but quantizes by TRUNCATION of the
+            # identical double (no round-half tie, TIES.md B')
+            F.expr(
+                rat_round6_spark(
+                    "n_lang * n_source", "cast(n_total as bigint)"
+                )
+            ).alias("n_exp"),
+            (
+                F.floor(((n_obs - exp) ** 2 / exp) * F.lit(1000000.0))
+                .cast("double")
+                / F.lit(1000000.0)
+            ).alias("chi2_part"),
         )
         .orderBy("lang", "source")
     )
@@ -3328,9 +3348,10 @@ tot AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS n_total FROM obs),
 grid AS (SELECT rm.lang, rm.n_lang, cm.source, cm.n_source FROM rm, cm)
 SELECT g.lang, g.source,
        CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
-       ROUND(g.n_lang * g.n_source / t.n_total, 6) AS n_exp,
-       ROUND(POW(COALESCE(o.n_obs, 0) - g.n_lang * g.n_source / t.n_total, 2)
-             / (g.n_lang * g.n_source / t.n_total), 6) AS chi2_part
+       CAST(((g.n_lang * g.n_source) * 2000000 + (CAST(t.n_total AS BIGINT))) // (2 * (CAST(t.n_total AS BIGINT))) AS DOUBLE) / 1000000.0 AS n_exp,
+       FLOOR(POW(COALESCE(o.n_obs, 0) - g.n_lang * g.n_source / t.n_total, 2)
+             / (g.n_lang * g.n_source / t.n_total) * 1000000.0)
+         / 1000000.0 AS chi2_part
 FROM grid g LEFT JOIN obs o USING (lang, source) CROSS JOIN tot t
 ORDER BY g.lang, g.source
 """
@@ -3352,7 +3373,7 @@ def audit_benford_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice")
         / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
     ).cast("int")
-    n_tot = o.agg(F.count("*").cast("double").alias("n_total"))
+    n_tot = o.agg(F.count("*").cast("long").alias("n_total"))
     by_digit = (
         o.select(digit.alias("digit"))
         .groupBy("digit")
@@ -3363,9 +3384,14 @@ def audit_benford_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_digit.select(
         "digit",
         F.col("n").cast("long").alias("n"),
-        F.round(F.col("n") / F.col("n_total"), 6).alias("obs_share"),
+        # pure count ratio -> exact rational half-up (TIES.md B');
+        # benford/deviation carry a log10 (non-terminating) -> plain
+        # round of the identical double stays safe
+        F.expr(rat_round6_spark("n", "n_total")).alias("obs_share"),
         F.round(benford, 6).alias("benford_share"),
-        F.round(F.col("n") / F.col("n_total") - benford, 6).alias("deviation"),
+        F.round(
+            F.col("n") / F.col("n_total").cast("double") - benford, 6
+        ).alias("deviation"),
     ).orderBy("digit")
 
 
@@ -3375,11 +3401,12 @@ WITH d AS (
               AS INT) AS digit
   FROM orders WHERE o_totalprice > 0),
 g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
-t AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_total FROM g)
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM g)
 SELECT digit, CAST(n AS BIGINT) AS n,
-       ROUND(n / t.n_total, 6) AS obs_share,
+       CAST(((n) * 2000000 + (t.n_total)) // (2 * (t.n_total)) AS DOUBLE) / 1000000.0 AS obs_share,
        ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_share,
-       ROUND(n / t.n_total - log10(1.0 + 1.0 / digit), 6) AS deviation
+       ROUND(n / CAST(t.n_total AS DOUBLE)
+             - log10(1.0 + 1.0 / digit), 6) AS deviation
 FROM g CROSS JOIN t
 ORDER BY digit
 """
@@ -4148,11 +4175,8 @@ def customer_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "surv_rate",
-            F.round(
-                F.col("n_surviving").cast("double")
-                / F.col("n_gaps").cast("double"),
-                6,
-            ),
+            # exact rational half-up on the count ratio (TIES.md B')
+            F.expr(rat_round6_spark("n_surviving", "n_gaps")),
         )
         .orderBy("t")
     )
@@ -4173,8 +4197,7 @@ SELECT CAST(th.t AS INT) AS t,
        CAST(COUNT(*) AS BIGINT) AS n_gaps,
        CAST(SUM(CASE WHEN gap_days > th.t THEN 1 ELSE 0 END) AS BIGINT)
          AS n_surviving,
-       ROUND(CAST(SUM(CASE WHEN gap_days > th.t THEN 1 ELSE 0 END)
-                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS surv_rate
+       CAST(((SUM(CASE WHEN gap_days > th.t THEN 1 ELSE 0 END)) * 2000000 + (COUNT(*))) // (2 * (COUNT(*))) AS DOUBLE) / 1000000.0 AS surv_rate
 FROM gaps CROSS JOIN th
 GROUP BY th.t ORDER BY t
 """
@@ -4290,19 +4313,20 @@ def orders_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(days <= OTIF_DAYS, 1).otherwise(0))
             .cast("long")
             .alias("n_otif"),
-            (F.sum(days.cast("decimal(25,6)")).cast("double")
-             / F.count("*")).alias("avg_days_raw"),
+            F.sum(days).cast("long").alias("days_sum"),
         )
         .select(
             "o_orderpriority",
             "n_orders",
             "n_otif",
-            F.round(
-                F.col("n_otif").cast("double")
-                / F.col("n_orders").cast("double"),
-                6,
-            ).alias("otif_rate"),
-            F.round("avg_days_raw", 6).alias("avg_days_to_complete"),
+            # integer-day sums and counts -> exact rational half-up on
+            # both ratios (TIES.md B')
+            F.expr(rat_round6_spark("n_otif", "n_orders")).alias(
+                "otif_rate"
+            ),
+            F.expr(rat_round6_spark("days_sum", "n_orders")).alias(
+                "avg_days_to_complete"
+            ),
         )
         .orderBy("o_orderpriority")
     )
@@ -4322,10 +4346,8 @@ SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CASE WHEN days <= {OTIF_DAYS} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_otif,
-       ROUND(CAST(SUM(CASE WHEN days <= {OTIF_DAYS} THEN 1 ELSE 0 END)
-                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS otif_rate,
-       ROUND(CAST(SUM(CAST(days AS DECIMAL(25,6))) AS DOUBLE)
-             / COUNT(*), 6) AS avg_days_to_complete
+       CAST(((SUM(CASE WHEN days <= {OTIF_DAYS} THEN 1 ELSE 0 END)) * 2000000 + (COUNT(*))) // (2 * (COUNT(*))) AS DOUBLE) / 1000000.0 AS otif_rate,
+       CAST(((SUM(days)) * 2000000 + (COUNT(*))) // (2 * (COUNT(*))) AS DOUBLE) / 1000000.0 AS avg_days_to_complete
 FROM j GROUP BY 1 ORDER BY o_orderpriority
 """
 
@@ -4357,7 +4379,7 @@ def basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # basket universe size as a 1-row broadcast, NOT a driver .count():
     # builders must stay lazy (plan_audit constructs every plan)
     ntotdf = items.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("ntot")
+        F.countDistinct("l_orderkey").cast("long").alias("ntot")
     )
     tc = items.groupBy("p_type").agg(F.count("*").alias("n_t"))
     b = items.select(
@@ -4383,23 +4405,21 @@ def basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(ntotdf))
     )
+    # Count ratios via exact rational half-up (numeric.rat_round6_*):
+    # round(n_ab/ntot, 6) can land on an exact 7th-digit-5 decimal tie
+    # when the denominator is 2^a·5^b-shaped, where the two engines'
+    # round procedures split (TIES.md Class B′). Integer envelope:
+    # num·2·10⁶ must stay under 2⁶³ → counts (and the lift product)
+    # up to ~4.6·10¹² — far above any per-type basket count.
     return (
         enriched.select(
             "type_a",
             "type_b",
             F.col("n_ab").cast("long").alias("n_ab"),
-            F.round(
-                F.col("n_ab").cast("double") / F.col("ntot"), 6
-            ).alias("support"),
-            F.round(
-                F.col("n_ab").cast("double") / F.col("n_a").cast("double"),
-                6,
-            ).alias("confidence"),
-            F.round(
-                (F.col("n_ab").cast("double") * F.col("ntot"))
-                / (F.col("n_a").cast("double")
-                   * F.col("n_b").cast("double")),
-                6,
+            F.expr(rat_round6_spark("n_ab", "ntot")).alias("support"),
+            F.expr(rat_round6_spark("n_ab", "n_a")).alias("confidence"),
+            F.expr(
+                rat_round6_spark("n_ab * ntot", "n_a * n_b")
             ).alias("lift"),
         )
         .orderBy(F.desc("n_ab"), F.asc("type_a"), F.asc("type_b"))
@@ -4411,8 +4431,7 @@ ORACLE_BASKET_LIFT = f"""
 WITH items AS (
   SELECT DISTINCT l.l_orderkey, p.p_type
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
-ntot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n
-         FROM items),
+ntot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
 tc AS (SELECT p_type, COUNT(*) AS n_t FROM items GROUP BY 1),
 pairs AS (
   SELECT a.p_type AS type_a, b.p_type AS type_b, COUNT(*) AS n_ab
@@ -4421,12 +4440,11 @@ pairs AS (
   GROUP BY 1, 2)
 SELECT p.type_a, p.type_b,
        CAST(p.n_ab AS BIGINT) AS n_ab,
-       ROUND(CAST(p.n_ab AS DOUBLE) / (SELECT n FROM ntot), 6)
+       CAST(((p.n_ab) * 2000000 + ((SELECT n FROM ntot))) // (2 * ((SELECT n FROM ntot))) AS DOUBLE) / 1000000.0
          AS support,
-       ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ta.n_t AS DOUBLE), 6)
+       CAST(((p.n_ab) * 2000000 + (ta.n_t)) // (2 * (ta.n_t)) AS DOUBLE) / 1000000.0
          AS confidence,
-       ROUND((CAST(p.n_ab AS DOUBLE) * (SELECT n FROM ntot))
-             / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)), 6)
+       CAST(((p.n_ab * (SELECT n FROM ntot)) * 2000000 + (ta.n_t * tb.n_t)) // (2 * (ta.n_t * tb.n_t)) AS DOUBLE) / 1000000.0
          AS lift
 FROM pairs p
 JOIN tc ta ON ta.p_type = p.type_a
@@ -4847,8 +4865,10 @@ def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver state; the per-key aggregate reduces to a single row before
     anything crosses the wire twice.
 
-    Determinism: every output is an integer or a 6dp-rounded ratio of
-    integers (identical IEEE division both engines)."""
+    Determinism: every output is an integer or an EXACT rational
+    half-up at 6dp (integer arithmetic on both engines — a float round
+    of a count ratio can split the engines on 7th-digit-5 decimal
+    ties, TIES.md Class B′)."""
     li = _t(spark, sf_dir, "lineitem")
     out = None
     for key in _SKEW_KEYS:
@@ -4866,21 +4886,14 @@ def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             "n_keys",
             "max_per_key",
-            F.round(
-                F.col("n_rows").cast("double")
-                / F.col("n_keys").cast("double"),
-                6,
+            F.expr(
+                rat_round6_spark("n_rows", "n_keys")
             ).alias("avg_per_key"),
-            F.round(
-                F.col("max_per_key").cast("double")
-                / F.col("n_rows").cast("double"),
-                6,
+            F.expr(
+                rat_round6_spark("max_per_key", "n_rows")
             ).alias("top1_share"),
-            F.round(
-                F.col("max_per_key").cast("double")
-                * F.col("n_keys").cast("double")
-                / F.col("n_rows").cast("double"),
-                6,
+            F.expr(
+                rat_round6_spark("max_per_key * n_keys", "n_rows")
             ).alias("skew_ratio"),
         )
         out = branch if out is None else out.unionByName(branch)
@@ -4893,12 +4906,11 @@ def _skew_oracle_one(key: str) -> str:
          CAST(SUM(c) AS BIGINT) AS n_rows,
          CAST(COUNT(*) AS BIGINT) AS n_keys,
          CAST(MAX(c) AS BIGINT) AS max_per_key,
-         ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         CAST(((SUM(c)) * 2000000 + (COUNT(*))) // (2 * (COUNT(*))) AS DOUBLE) / 1000000.0
            AS avg_per_key,
-         ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         CAST(((MAX(c)) * 2000000 + (SUM(c))) // (2 * (SUM(c))) AS DOUBLE) / 1000000.0
            AS top1_share,
-         ROUND(CAST(MAX(c) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
-               / CAST(SUM(c) AS DOUBLE), 6) AS skew_ratio
+         CAST(((MAX(c) * COUNT(*)) * 2000000 + (SUM(c))) // (2 * (SUM(c))) AS DOUBLE) / 1000000.0 AS skew_ratio
   FROM (SELECT {key} AS k, COUNT(*) AS c FROM lineitem GROUP BY 1)"""
 
 

@@ -29,7 +29,15 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from .relational import REVENUE
-from ..functions.numeric import davg, sql_dsum
+from ..functions.numeric import (  # noqa: F401
+    davg,
+    rat_round6_duck,
+    rat_round6_signed_duck,
+    rat_round6_signed_spark,
+    rat_round6_spark,
+    sql_davg,
+    sql_dsum,
+)
 from ..registry import QuerySpec
 
 
@@ -631,9 +639,10 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         F.col("n").cast("long").alias("n_trans"),
-        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias(
-            "p_trans"
-        ),
+        # pure count ratio -> exact rational half-up (TIES.md B')
+        F.expr(
+            rat_round6_spark("n", "sum(n) over (partition by prev_type)")
+        ).alias("p_trans"),
     ).orderBy("prev_type", "next_type")
 
 
@@ -647,7 +656,7 @@ tr AS (
   SELECT event_type AS prev_type, next_type, COUNT(*) AS n
   FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
 SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_trans,
-       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6)
+       CAST(((n) * 2000000 + (SUM(n) OVER (PARTITION BY prev_type))) // (2 * (SUM(n) OVER (PARTITION BY prev_type))) AS DOUBLE) / 1000000.0
          AS p_trans
 FROM tr
 ORDER BY prev_type, next_type
@@ -844,10 +853,9 @@ def seg_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
             F.col("n_both").cast("long").alias("n_both"),
-            F.round(
-                F.col("n_both")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
-                6,
+            # pure count ratio -> exact rational half-up (TIES.md B')
+            F.expr(
+                rat_round6_spark("n_both", "n_a + n_b - n_both")
             ).alias("jaccard"),
         )
         .orderBy("type_a", "type_b")
@@ -866,7 +874,7 @@ SELECT c.type_a, c.type_b,
        CAST(pa.n AS BIGINT) AS n_a,
        CAST(pb.n AS BIGINT) AS n_b,
        CAST(c.n_both AS BIGINT) AS n_both,
-       ROUND(c.n_both / CAST(pa.n + pb.n - c.n_both AS DOUBLE), 6) AS jaccard
+       CAST(((c.n_both) * 2000000 + (pa.n + pb.n - c.n_both)) // (2 * (pa.n + pb.n - c.n_both)) AS DOUBLE) / 1000000.0 AS jaccard
 FROM both_c c
 JOIN per pa ON c.type_a = pa.event_type
 JOIN per pb ON c.type_b = pb.event_type
@@ -1113,7 +1121,12 @@ def stats_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").cast("long").alias("n_events"),
         F.col("k").cast("long").alias("n_high"),
-        F.round(p, 6).alias("p_hat"),
+        # pure count ratio -> exact rational half-up (TIES.md B');
+        # the interval bounds carry a sqrt (non-terminating) -> plain
+        # round of the identical double stays safe
+        F.expr(
+            rat_round6_spark("cast(k as bigint)", "cast(n as bigint)")
+        ).alias("p_hat"),
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     ).orderBy("event_type")
@@ -1129,7 +1142,7 @@ WITH g AS (
 SELECT event_type,
        CAST(n AS BIGINT) AS n_events,
        CAST(k AS BIGINT) AS n_high,
-       ROUND(k / n, 6) AS p_hat,
+       CAST(((CAST(k AS BIGINT)) * 2000000 + (CAST(n AS BIGINT))) // (2 * (CAST(n AS BIGINT))) AS DOUBLE) / 1000000.0 AS p_hat,
        ROUND(((k / n) + {WILSON_Z}*{WILSON_Z} / (2*n)
               - {WILSON_Z} * sqrt((k/n)*(1-k/n)/n
                                   + {WILSON_Z}*{WILSON_Z}/(4*n*n)))
@@ -1632,7 +1645,9 @@ def ev_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hour_ts"),
         F.col("how").cast("int").alias("how"),
         "n",
-        F.round(mean, 6).alias("baseline_mean"),
+        # exact rational half-up: a float round of the integer ratio
+        # s1/m can split the engines on a decimal tie (TIES.md B')
+        F.expr(rat_round6_spark("s1", "m")).alias("baseline_mean"),
         F.round(std, 6).alias("baseline_std"),
         F.when(
             varnum > 0,
@@ -1659,7 +1674,7 @@ g AS (
 SELECT make_timestamp(f.hr * 3600000000) AS hour_ts,
        CAST(f.how AS INT) AS how,
        f.n,
-       ROUND(CAST(g.s1 AS DOUBLE) / CAST(g.m AS DOUBLE), 6)
+       CAST(((g.s1) * 2000000 + (g.m)) // (2 * (g.m)) AS DOUBLE) / 1000000.0
          AS baseline_mean,
        ROUND(sqrt(CAST(g.m * g.s2 - g.s1 * g.s1 AS DOUBLE)
                   / CAST(g.m * (g.m - 1) AS DOUBLE)), 6) AS baseline_std,
@@ -2143,10 +2158,9 @@ def ev_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_covered").alias("mau"),
             F.when(
                 F.col("n_covered") > 0,
-                F.round(
-                    F.coalesce("dau", F.lit(0)).cast("double")
-                    / F.col("n_covered").cast("double"),
-                    6,
+                # pure count ratio -> exact rational half-up (B')
+                F.expr(
+                    rat_round6_spark("coalesce(dau, 0)", "n_covered")
                 ),
             ).alias("stickiness"),
         )
@@ -2174,8 +2188,7 @@ SELECT CAST(make_timestamp(m.day * 86400000000) AS DATE) AS day,
        CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
        m.mau,
        CASE WHEN m.mau > 0 THEN
-         ROUND(CAST(COALESCE(d.dau, 0) AS DOUBLE)
-               / CAST(m.mau AS DOUBLE), 6)
+         CAST(((COALESCE(d.dau, 0)) * 2000000 + (m.mau)) // (2 * (m.mau)) AS DOUBLE) / 1000000.0
        END AS stickiness
 FROM mau m LEFT JOIN dau d ON d.day = m.day
 ORDER BY day
@@ -2290,7 +2303,12 @@ def ev_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: same-microsecond touches collapse to the lexically
     greatest type first; the last-touch pick orders (touch time, type)
-    and linear credits round 1/k to 9dp before the exact decimal sum."""
+    and linear credits are EXACT integer rationals: per-touch 1/k
+    half-ups to BIGINT 10⁻⁹ units — (2·10⁹ + k) div (2k), no float —
+    summed exactly, with the 6dp readout another integer half-up
+    ((2·S + 1000) div 2000). A float round of 1/k (or of the decimal
+    sum) can land on terminating-decimal ties where the two engines'
+    round procedures split (TIES.md Class B′)."""
     ev = catalog.load(spark, sf_dir, "events")
     um = F.expr("unix_micros(cast(ts as timestamp))")
     touches = (
@@ -2321,16 +2339,16 @@ def ev_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("last_touch_conversions"),
             F.sum(
-                F.round(
-                    F.lit(1).cast("double") / F.col("k").cast("double"), 9
-                ).cast("decimal(25,9)")
-            ).cast("double").alias("linear_raw"),
+                F.expr("(2000000000 + k) div (2 * k)")
+            ).alias("s9"),
         )
         .select(
             "event_type",
             "n_touches_in_window",
             "last_touch_conversions",
-            F.round("linear_raw", 6).alias("linear_credit"),
+            F.expr(
+                "cast((2 * s9 + 1000) div 2000 as double) / 1000000.0"
+            ).alias("linear_credit"),
         )
         .orderBy("event_type")
     )
@@ -2361,9 +2379,8 @@ SELECT ttype AS event_type,
        CAST(COUNT(*) AS BIGINT) AS n_touches_in_window,
        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS last_touch_conversions,
-       ROUND(CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / CAST(k AS DOUBLE),
-                                 9) AS DECIMAL(25,9))) AS DOUBLE), 6)
-         AS linear_credit
+       CAST((2 * SUM((2000000000 + k) // (2 * k)) + 1000) // 2000
+            AS DOUBLE) / 1000000.0 AS linear_credit
 FROM scored GROUP BY ttype ORDER BY event_type
 """
 
@@ -2402,16 +2419,10 @@ def ev_engagement_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("decile").cast("int").alias("decile"),
             "n_users",
             F.col("n_ev").cast("long").alias("n_events"),
-            F.round(
-                F.col("n_ev").cast("double") / F.col("n_total").cast(
-                    "double"
-                ),
-                6,
-            ).alias("share"),
-            F.round(
-                F.col("cum_ev").cast("double")
-                / F.col("n_total").cast("double"),
-                6,
+            # exact rational half-up on the count ratios (TIES.md B')
+            F.expr(rat_round6_spark("n_ev", "n_total")).alias("share"),
+            F.expr(
+                rat_round6_spark("cum_ev", "n_total")
             ).alias("cum_share"),
         )
         .orderBy("decile")
@@ -2433,11 +2444,9 @@ g AS (
 SELECT CAST(g.decile AS INT) AS decile,
        g.n_users,
        CAST(g.n_ev AS BIGINT) AS n_events,
-       ROUND(CAST(g.n_ev AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+       CAST(((g.n_ev) * 2000000 + (t.n_total)) // (2 * (t.n_total)) AS DOUBLE) / 1000000.0
          AS share,
-       ROUND(CAST(SUM(g.n_ev) OVER (ORDER BY g.decile
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+       CAST(((SUM(g.n_ev) OVER (ORDER BY g.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 2000000 + (t.n_total)) // (2 * (t.n_total)) AS DOUBLE) / 1000000.0
          AS cum_share
 FROM g CROSS JOIN tot t
 ORDER BY decile
@@ -2501,18 +2510,13 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("changepoint_hour"),
         F.col("idx").cast("long").alias("hours_before"),
         (F.col("n_hours") - F.col("idx")).cast("long").alias("hours_after"),
-        F.round(
-            F.abs("t_scaled").cast("double")
-            / F.col("n_hours").cast("double"),
-            6,
+        # exact rational half-up on the integer ratios (TIES.md B')
+        F.expr(
+            rat_round6_spark("abs(t_scaled)", "n_hours")
         ).alias("cusum_stat"),
-        F.round(
-            F.col("cum").cast("double") / F.col("idx").cast("double"), 6
-        ).alias("mean_before"),
-        F.round(
-            (F.col("n_events") - F.col("cum")).cast("double")
-            / (F.col("n_hours") - F.col("idx")).cast("double"),
-            6,
+        F.expr(rat_round6_spark("cum", "idx")).alias("mean_before"),
+        F.expr(
+            rat_round6_spark("n_events - cum", "n_hours - idx")
         ).alias("mean_after"),
     )
 
@@ -2543,11 +2547,10 @@ scored AS (
 SELECT make_timestamp(hr * 3600000000) AS changepoint_hour,
        CAST(idx AS BIGINT) AS hours_before,
        CAST(n_hours - idx AS BIGINT) AS hours_after,
-       ROUND(CAST(ABS(t_scaled) AS DOUBLE) / CAST(n_hours AS DOUBLE), 6)
+       CAST(((ABS(t_scaled)) * 2000000 + (n_hours)) // (2 * (n_hours)) AS DOUBLE) / 1000000.0
          AS cusum_stat,
-       ROUND(CAST(cum AS DOUBLE) / CAST(idx AS DOUBLE), 6) AS mean_before,
-       ROUND(CAST(n_events - cum AS DOUBLE)
-             / CAST(n_hours - idx AS DOUBLE), 6) AS mean_after
+       CAST(((cum) * 2000000 + (idx)) // (2 * (idx)) AS DOUBLE) / 1000000.0 AS mean_before,
+       CAST(((n_events - cum) * 2000000 + (n_hours - idx)) // (2 * (n_hours - idx)) AS DOUBLE) / 1000000.0 AS mean_after
 FROM scored
 WHERE idx < n_hours
 ORDER BY ABS(t_scaled) DESC, hr ASC
@@ -3032,8 +3035,10 @@ def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one user-grain dedup + two single-row aggregates — the fact
     stream crosses the wire once; everything after is 2-row arithmetic.
-    Determinism: integer counts; rates/lift/z are 6dp-rounded ratios of
-    integers (identical IEEE both engines)."""
+    Determinism: integer counts; rates and lift are EXACT rational
+    half-up/half-away integer arithmetic (a float round of a count
+    ratio can split the engines on decimal ties, TIES.md Class B′);
+    z is sqrt-derived (non-terminating — safe under plain round)."""
     ev = catalog.load(spark, sf_dir, "events")
     users = (
         ev.select("user_id", "event_type", "value")
@@ -3088,9 +3093,16 @@ def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ka").cast("long").alias("conv_a"),
         F.col("nb").cast("long").alias("n_b"),
         F.col("kb").cast("long").alias("conv_b"),
-        F.round(pa, 6).alias("rate_a"),
-        F.round(pb, 6).alias("rate_b"),
-        F.when(F.col("ka") > 0, F.round(pb / pa - 1, 6)).alias("rel_lift"),
+        # exact rational half-up / half-away: pb/pa − 1 =
+        # (kb·na − ka·nb)/(ka·nb), a SIGNED integer rational (TIES.md B')
+        F.expr(rat_round6_spark("ka", "na")).alias("rate_a"),
+        F.expr(rat_round6_spark("kb", "nb")).alias("rate_b"),
+        F.when(
+            F.col("ka") > 0,
+            F.expr(
+                rat_round6_signed_spark("kb * na - ka * nb", "ka * nb")
+            ),
+        ).alias("rel_lift"),
         F.when(
             (F.col("ka") + F.col("kb") > 0)
             & (F.col("ka") + F.col("kb") < F.col("na") + F.col("nb")),
@@ -3118,11 +3130,10 @@ SELECT CAST(na AS BIGINT) AS n_a,
        CAST(ka AS BIGINT) AS conv_a,
        CAST(nb AS BIGINT) AS n_b,
        CAST(kb AS BIGINT) AS conv_b,
-       ROUND(CAST(ka AS DOUBLE) / CAST(na AS DOUBLE), 6) AS rate_a,
-       ROUND(CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS rate_b,
+       CAST(((ka) * 2000000 + (na)) // (2 * (na)) AS DOUBLE) / 1000000.0 AS rate_a,
+       CAST(((kb) * 2000000 + (nb)) // (2 * (nb)) AS DOUBLE) / 1000000.0 AS rate_b,
        CASE WHEN ka > 0 THEN
-         ROUND(CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE)
-               / (CAST(ka AS DOUBLE) / CAST(na AS DOUBLE)) - 1, 6)
+         (CASE WHEN (kb * na - ka * nb) >= 0 THEN CAST(((abs(kb * na - ka * nb)) * 2000000 + (ka * nb)) // (2 * (ka * nb)) AS DOUBLE) / 1000000.0 ELSE -(CAST(((abs(kb * na - ka * nb)) * 2000000 + (ka * nb)) // (2 * (ka * nb)) AS DOUBLE) / 1000000.0) END)
        END AS rel_lift,
        CASE WHEN ka + kb > 0 AND ka + kb < na + nb THEN
          ROUND((CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE)
@@ -3260,7 +3271,13 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("m").cast("long").alias("n_pairs"),
-            F.round("slope", 6).alias("theil_sen_slope"),
+            # slope is a ratio of integers (can terminate on a decimal
+            # tie) -> FLOOR-quantize the identical double on both
+            # engines instead of rounding (TIES.md B')
+            (
+                F.floor(F.col("slope") * F.lit(1000000.0)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("theil_sen_slope"),
         )
         .orderBy("event_type")
     )
@@ -3284,7 +3301,7 @@ ranked AS (
   FROM pairs)
 SELECT event_type,
        CAST(m AS BIGINT) AS n_pairs,
-       ROUND(slope, 6) AS theil_sen_slope
+       FLOOR(slope * 1000000.0) / 1000000.0 AS theil_sen_slope
 FROM ranked WHERE rn = CAST(ceil(m / 2.0) AS BIGINT)
 ORDER BY event_type
 """

@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import catalog
+from ..functions.numeric import rat_round6_duck, rat_round6_spark  # noqa: F401
 from ..registry import QuerySpec
 
 STOPWORDS = ("the", "a", "and", "of", "to")
@@ -1841,10 +1842,9 @@ def text_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prefix_md5",
             "n_docs",
             "exemplar_doc",
-            F.round(
-                F.col("n_docs").cast("double")
-                / F.col("n_total").cast("double"),
-                6,
+            # exact rational half-up on the count ratio (TIES.md B')
+            F.expr(
+                rat_round6_spark("n_docs", "n_total")
             ).alias("corpus_share"),
         )
         .orderBy(F.desc("n_docs"), F.asc("prefix_md5"))
@@ -1861,7 +1861,7 @@ clusters AS (
   FROM pref GROUP BY 1 HAVING COUNT(*) >= 2),
 tot AS (SELECT COUNT(*) AS n_total FROM pref)
 SELECT c.prefix_md5, c.n_docs, c.exemplar_doc,
-       ROUND(CAST(c.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+       CAST(((c.n_docs) * 2000000 + (t.n_total)) // (2 * (t.n_total)) AS DOUBLE) / 1000000.0
          AS corpus_share
 FROM clusters c CROSS JOIN tot t
 ORDER BY n_docs DESC, prefix_md5 ASC
@@ -2002,11 +2002,8 @@ def text_length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("len_q").cast("int").alias("len_q"),
             F.col("qual_q").cast("int").alias("qual_q"),
             "n_docs",
-            F.round(
-                F.col("n_docs").cast("double")
-                / F.col("n_total").cast("double"),
-                6,
-            ).alias("share"),
+            # exact rational half-up on the count ratio (TIES.md B')
+            F.expr(rat_round6_spark("n_docs", "n_total")).alias("share"),
         )
         .orderBy("len_q", "qual_q")
     )
@@ -2024,7 +2021,7 @@ tot AS (SELECT COUNT(*) AS n_total FROM tq)
 SELECT CAST(b.len_q AS INT) AS len_q,
        CAST(b.qual_q AS INT) AS qual_q,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+       CAST(((COUNT(*)) * 2000000 + (t.n_total)) // (2 * (t.n_total)) AS DOUBLE) / 1000000.0
          AS share
 FROM binned b CROSS JOIN tot t
 GROUP BY b.len_q, b.qual_q, t.n_total

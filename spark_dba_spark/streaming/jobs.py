@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .. import catalog
-from ..functions.numeric import dsum
+from ..functions.numeric import dsum, rat_round6_spark
 from ..session import ensure_session_invariants
 
 
@@ -426,10 +426,8 @@ def run_asset_ingest_stream(
             "media_type",
             F.col("n_assets").cast("long").alias("n_assets"),
             F.col("n_unique_fp").cast("long").alias("n_unique_fp"),
-            F.round(
-                (F.col("n_assets") - F.col("n_unique_fp")).cast("double")
-                / F.col("n_assets").cast("double"),
-                6,
+            F.expr(
+                rat_round6_spark("n_assets - n_unique_fp", "n_assets")
             ).alias("dup_ratio"),
         )
         .orderBy("media_type")
