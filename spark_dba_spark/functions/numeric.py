@@ -70,7 +70,12 @@ def rat_round6_spark(num: str, den: str, dp: int = 6) -> str:
 
 def rat_round6_duck(num: str, den: str, dp: int = 6) -> str:
     """DuckDB twin of :func:`rat_round6_spark` (integer ``//`` — for the
-    non-negative domain truncation == floor == the same half-up)."""
+    non-negative domain truncation == floor == the same half-up).
+
+    The committed oracle strings carry FROZEN expansions of this
+    fragment (generated through it at edit time); the half-up formula
+    is mathematically final, but if it ever changes, regenerate every
+    inlined site (`grep -rn '2000000 +' spark_dba_spark`)."""
     scale = 10 ** dp
     return (
         f"CAST((({num}) * {2 * scale} + ({den})) // (2 * ({den}))"

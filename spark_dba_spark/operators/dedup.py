@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from .. import catalog
 from ..functions.hashing import MERSENNE31
 from ..functions.texts import char_shingles, word_ngrams
-from ..functions.numeric import rat_round6_duck, rat_round6_spark  # noqa: F401
+from ..functions.numeric import rat_round6_spark
 from ..registry import QuerySpec
 
 NGRAM = 3

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import catalog
-from ..functions.numeric import rat_round6_duck, rat_round6_spark  # noqa: F401
+from ..functions.numeric import rat_round6_spark
 from ..registry import QuerySpec
 
 try:  # pragma: no cover - the real decoder is not installed in this env

@@ -30,7 +30,6 @@ from ..functions.numeric import (  # noqa: F401
     davg,
     dsum,
     dsum_expr,
-    rat_round6_duck,
     rat_round6_spark,
     sql_davg,
     sql_dsum,
@@ -3321,16 +3320,25 @@ def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             n_obs.cast("long").alias("n_obs"),
-            # pure count rational -> exact half-up; the chi² cell keeps
-            # its float form but quantizes by TRUNCATION of the
-            # identical double (no round-half tie, TIES.md B')
+            # pure count rational -> exact half-up; envelope: the
+            # margin product x 2e6 must stay under 2^63 -> margins up
+            # to ~2e6 rows each (ANSI overflows loudly past that; the
+            # widening fix is DECIMAL(38,0) numerators). The chi² cell
+            # keeps its float form but quantizes by TRUNCATION of the
+            # identical double (no round-half tie, TIES.md B') — and
+            # squares via d*d, NOT pow(): +,-,*,/ are IEEE correctly
+            # rounded in both engines, Math.pow/std::pow are not
+            # guaranteed bit-identical.
             F.expr(
                 rat_round6_spark(
                     "n_lang * n_source", "cast(n_total as bigint)"
                 )
             ).alias("n_exp"),
             (
-                F.floor(((n_obs - exp) ** 2 / exp) * F.lit(1000000.0))
+                F.floor(
+                    ((n_obs - exp) * (n_obs - exp) / exp)
+                    * F.lit(1000000.0)
+                )
                 .cast("double")
                 / F.lit(1000000.0)
             ).alias("chi2_part"),
@@ -3349,7 +3357,8 @@ grid AS (SELECT rm.lang, rm.n_lang, cm.source, cm.n_source FROM rm, cm)
 SELECT g.lang, g.source,
        CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
        CAST(((g.n_lang * g.n_source) * 2000000 + (CAST(t.n_total AS BIGINT))) // (2 * (CAST(t.n_total AS BIGINT))) AS DOUBLE) / 1000000.0 AS n_exp,
-       FLOOR(POW(COALESCE(o.n_obs, 0) - g.n_lang * g.n_source / t.n_total, 2)
+       FLOOR((COALESCE(o.n_obs, 0) - g.n_lang * g.n_source / t.n_total)
+             * (COALESCE(o.n_obs, 0) - g.n_lang * g.n_source / t.n_total)
              / (g.n_lang * g.n_source / t.n_total) * 1000000.0)
          / 1000000.0 AS chi2_part
 FROM grid g LEFT JOIN obs o USING (lang, source) CROSS JOIN tot t
@@ -4892,6 +4901,8 @@ def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 rat_round6_spark("max_per_key", "n_rows")
             ).alias("top1_share"),
+            # envelope: max_per_key·n_keys·2e6 < 2^63 -> fine up to
+            # ~4.6e12 row-key products; ANSI overflows loudly beyond
             F.expr(
                 rat_round6_spark("max_per_key * n_keys", "n_rows")
             ).alias("skew_ratio"),

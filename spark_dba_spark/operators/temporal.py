@@ -31,8 +31,6 @@ from .. import catalog
 from .relational import REVENUE
 from ..functions.numeric import (  # noqa: F401
     davg,
-    rat_round6_duck,
-    rat_round6_signed_duck,
     rat_round6_signed_spark,
     rat_round6_spark,
     sql_davg,
@@ -2871,18 +2869,18 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact rational half-up on the non-negative domain; the final
     # /10⁶ is one identical IEEE division of a small integer. TIES.md
     # "shortest-repr tie" subclass.
-    def _rate6(a: str) -> F.Column:
-        return F.expr(
-            f"cast(({a} * 2000000 + n_lines) div (2 * n_lines) as double)"
-            " / 1000000.0"
-        )
-
     return g.select(
         F.col("l_suppkey").cast("long").alias("suppkey"),
         "n_lines",
-        _rate6("n_on_time").alias("on_time_rate"),
-        _rate6("lat_days_sum").alias("avg_latency_days"),
-        _rate6("n_returned").alias("return_rate"),
+        F.expr(rat_round6_spark("n_on_time", "n_lines")).alias(
+            "on_time_rate"
+        ),
+        F.expr(rat_round6_spark("lat_days_sum", "n_lines")).alias(
+            "avg_latency_days"
+        ),
+        F.expr(rat_round6_spark("n_returned", "n_lines")).alias(
+            "return_rate"
+        ),
         F.col("rev_dec").cast("double").alias("revenue"),
     ).orderBy("suppkey")
 
@@ -3097,6 +3095,8 @@ def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (kb·na − ka·nb)/(ka·nb), a SIGNED integer rational (TIES.md B')
         F.expr(rat_round6_spark("ka", "na")).alias("rate_a"),
         F.expr(rat_round6_spark("kb", "nb")).alias("rate_b"),
+        # envelope: |kb·na − ka·nb|·2e6 < 2^63 -> arm sizes up to
+        # ~2e6 users each; ANSI overflows loudly beyond
         F.when(
             F.col("ka") > 0,
             F.expr(

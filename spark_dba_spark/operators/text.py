@@ -14,7 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions.numeric import rat_round6_duck, rat_round6_spark  # noqa: F401
+from ..functions.numeric import rat_round6_spark
 from ..registry import QuerySpec
 
 STOPWORDS = ("the", "a", "and", "of", "to")

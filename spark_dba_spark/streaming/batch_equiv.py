@@ -467,9 +467,12 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("win_start"), "event_type"
     ).agg(
         (
+            # count(value), not count(*): AVG ignores NULLs and the
+            # rewrite must keep that contract even though the current
+            # fixture has no NULL values
             F.expr(
                 "cast((sum(cast(round(value * 100, 0) as bigint)) * 20000"
-                " + count(*)) div (2 * count(*)) as double)"
+                " + count(value)) div (2 * count(value)) as double)"
             )
             / F.lit(1000000.0)
         ).alias("avg_value")
@@ -504,7 +507,7 @@ g AS (
 h AS (
   SELECT date_trunc('hour', ts) AS win_start, event_type,
          CAST((SUM(CAST(round(value * 100) AS BIGINT)) * 20000
-               + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+               + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE)
            / 1000000.0 AS avg_value
   FROM events GROUP BY 1, 2)
 SELECT g.win_start, g.event_type,
