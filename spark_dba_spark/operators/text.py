@@ -261,6 +261,98 @@ FROM documents ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Winnowing fingerprints (the MOSS selection rule)
+# --------------------------------------------------------------------------
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # window: one fingerprint selected per W consecutive grams
+# aggregate() seed: larger than any 60-bit md5-prefix hash, so the first
+# real gram always replaces it
+_WINNOW_SEED_H = 1 << 62
+
+
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003,
+    the MOSS local fingerprinting algorithm): hash every character
+    WINNOW_K-gram of the normalized text, slide a window of WINNOW_W
+    consecutive gram hashes, and select the minimum hash per window —
+    ties to the RIGHTMOST position (the paper's rule) — then keep the
+    distinct (position, hash) selections. Guarantees any shared
+    substring of length ≥ WINNOW_W + WINNOW_K − 1 contributes at least
+    one common fingerprint, with expected density 2/(W+1) — the
+    position-aware upgrade over ``text_fingerprint``'s global min-hash.
+
+    Exactness: gram hashes are 60-bit md5 prefixes (engine-portable,
+    ``functions/hashing.py``); selection is pure integer comparison; the
+    left-to-right ``aggregate`` keeps a later gram on h ≤ acc.h, which
+    IS rightmost-min — mirrored in SQL by ROW_NUMBER ordering
+    (h ASC, p DESC). Short docs degrade exactly as both engines'
+    substring/slice semantics agree: < K chars → one whole-text gram,
+    < W grams → one shorter window.
+
+    Scale posture: pure map-side higher-order expressions per document
+    (O(len·W) comparisons, no Python, no shuffle) + one explode; output
+    volume IS the fingerprint index (~2/(W+1) of corpus grams), the
+    documented nature of a winnowing index build. The only shuffle is
+    the final presentation sort."""
+    docs = _docs(spark, sf_dir)
+    nrm = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ''))"
+    # Bind norm AND the gram-hash array once each (nested
+    # single-element-transform trick, see word_ngrams): interpreted
+    # higher-order lambdas have no CSE, so inlining the gram array into
+    # slice() re-hashed every gram once PER WINDOW — measured 235s →
+    # 1.6s at sf0.001 for the winnow stage after binding it to `hs`.
+    sel = (
+        f"transform(array({nrm}), nrm -> "
+        f"transform(array("
+        f"  transform(sequence(1, greatest(length(nrm) - {WINNOW_K} + 1, 1)),"
+        f"    i -> named_struct('p', i, 'h',"
+        f"         cast(conv(substring(md5(substring(nrm, i, {WINNOW_K})), 1, 15), 16, 10) as bigint)))"
+        f"), hs -> "
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size(hs) - {WINNOW_W} + 1, 1)),"
+        f"  j -> aggregate(slice(hs, j, {WINNOW_W}),"
+        f"    named_struct('p', 0, 'h', cast({_WINNOW_SEED_H} as bigint)),"
+        f"    (acc, x) -> if(x.h <= acc.h, x, acc)))))[0])[0]"
+    )
+    return (
+        docs.select("doc_id", F.explode(F.expr(sel)).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.p").alias("pos"),
+            F.col("s.h").alias("fp"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+ORACLE_WINNOW = f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS nrm
+  FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS p,
+         CAST('0x' || substr(md5(substr(nrm, CAST(i AS INT), {WINNOW_K})), 1, 15)
+              AS BIGINT) AS h,
+         greatest(length(nrm) - {WINNOW_K} + 1, 1) AS n_g
+  FROM d, LATERAL unnest(range(1, greatest(length(nrm) - {WINNOW_K} + 1, 1) + 1))
+       AS t(i)),
+win AS (
+  SELECT s.doc_id, g.p, g.h,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id, s.p
+                            ORDER BY g.h ASC, g.p DESC) AS rn
+  FROM (SELECT doc_id, p FROM g
+        WHERE p <= greatest(n_g - {WINNOW_W} + 1, 1)) s
+  JOIN g ON g.doc_id = s.doc_id
+        AND g.p BETWEEN s.p AND s.p + {WINNOW_W} - 1)
+SELECT DISTINCT doc_id, p AS pos, h AS fp
+FROM win WHERE rn = 1
+ORDER BY doc_id, pos
+"""
+
+
+# --------------------------------------------------------------------------
 # Composed cleaning pipeline: quality filter → exact dedup → per-lang stats
 # --------------------------------------------------------------------------
 
@@ -2036,6 +2128,10 @@ SPECS = [
     QuerySpec("text_token_count", text_token_count, ORACLE_TEXT_TOKENS,
               ("text",)),
     QuerySpec("text_fingerprint", text_fingerprint, ORACLE_TEXT_FP, ("text",)),
+    QuerySpec("text_winnow_fingerprint", text_winnow_fingerprint,
+              ORACLE_WINNOW, ("text", "fingerprint"),
+              doc="winnowing (MOSS) positional fingerprints: rightmost-min "
+                  "k-gram hash per sliding window, map-only + explode"),
     QuerySpec("pipeline_clean_corpus", pipeline_clean_corpus, ORACLE_PIPELINE,
               ("text", "pipeline", "dedup"),
               doc="quality filter → exact dedup → per-lang stats, one plan"),

@@ -138,8 +138,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_caption_quality_filter",
     "mm_modality_quota_pack",
     "mm_asset_ingest_stats",
-    # r7-late similarity addition (never driver-checked), same block:
+    # r7-late additions (never driver-checked), same block:
     "sim_pq_adc",
+    "text_winnow_fingerprint",
     # never-checked tail, kept inside the contiguous never-checked
     # block the backlog test pins right after the window:
     # sketch_hll_reaggregate is the ONE remaining rows-only entry

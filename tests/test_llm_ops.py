@@ -123,6 +123,64 @@ def test_pq_recall_vs_exact_l2(spark, tmp_path):
     assert crecall >= 0.9, f"clustered PQ recall {crecall:.2f} vs exact L2"
 
 
+def test_winnow_guarantee_and_density(spark, tmp_path):
+    """Winnowing semantic invariants (Schleimer–Wilkerson–Aiken):
+    (1) the detection guarantee — two docs sharing a substring of
+    length ≥ W+K−1 select at least one common fingerprint HASH (the
+    fully-shared window picks the same winner gram in both docs);
+    (2) density bounds — each (pos, hash) selection can win at most W
+    windows, so n_win/W ≤ n_fp ≤ n_win; (3) position gaps between
+    consecutive selections never exceed W."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        text_winnow_fingerprint,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the bank"
+    texts = [
+        "alpha beta gamma delta " + shared + " epsilon zeta",
+        "one two three " + shared + " four five six seven",
+        "completely unrelated filler content about data engines",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    assert len(shared) >= WINNOW_W + WINNOW_K - 1
+    rows = text_winnow_fingerprint(spark, str(tmp_path)).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    # (1) detection guarantee across the shared substring
+    h0 = {h for _, h in by_doc[0]}
+    h1 = {h for _, h in by_doc[1]}
+    assert h0 & h1, "docs sharing a long substring must share a fingerprint"
+    # (2)+(3) density and gap bounds per doc
+    for doc_id, sels in by_doc.items():
+        text = texts[doc_id]  # fixture text is already normalized form
+        n_g = max(len(text) - WINNOW_K + 1, 1)
+        n_win = max(n_g - WINNOW_W + 1, 1)
+        assert math.ceil(n_win / WINNOW_W) <= len(sels) <= n_win
+        ps = sorted(p for p, _ in sels)
+        assert all(b - a <= WINNOW_W for a, b in zip(ps, ps[1:])), (
+            f"doc {doc_id}: selection gap exceeds the window"
+        )
+
+
 def test_ngram_jaccard_pairs_valid(spark):
     from spark_dba_spark.operators.dedup import JACCARD_TAU, dedup_ngram_jaccard
 
