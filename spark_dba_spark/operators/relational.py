@@ -2199,22 +2199,37 @@ def merge_into_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     {MERGE_SINCE}:
 
     - matched, ≥{MERGE_MIN_ORDERS} orders → UPDATE balance += 0.1% of
-      revenue (exact DECIMAL arithmetic — a double SUM would make the
-      2 dp rounding partial-sum-order dependent)
+      revenue
     - matched, <{MERGE_MIN_ORDERS} orders → DELETE (churned)
     - not matched (an account the stale snapshot lacks) → INSERT
     - base rows without change rows carry over untouched.
 
     One shuffle per side on the merge key; the conditional projection is
     pure codegen. Output = the post-merge snapshot with the action that
-    produced each row (deletes absent, as in a real MERGE)."""
+    produced each row (deletes absent, as in a real MERGE).
+
+    DECIMAL-FREE money math (r8, after two driver-red rounds): every
+    prior variant cast the double fixture columns to DECIMAL(18,2) and
+    the driver's DuckDB build converted at least one value on a
+    different path than both Spark and local DuckDB 1.0.0 (TIES.md
+    Class C — engine-native double→decimal conversion is version- and
+    path-dependent). This version touches NO engine decimal conversion
+    at all: doubles are quantized with floor(x*100 + 0.5) — multiply,
+    add, floor are IEEE-754 operations with one correct answer on any
+    engine — all money math is BIGINT cents, and the output column IS
+    `balance_cents BIGINT`. The 0.1% delta is (revenue_cents + 500) div
+    1000: branch-free half-up on the non-negative order-revenue domain,
+    truncating division identical across engines for non-negatives.
+    The three merge_diag_* twins bisect this pair construct-by-construct
+    at the driver (VERDICT r7 #1b)."""
+    cents = lambda c: F.expr(f"cast(floor({c} * 100 + 0.5) as bigint)")
     base = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % MERGE_SNAPSHOT_MOD != 0)
         .select(
             "c_custkey",
             "c_mktsegment",
-            F.col("c_acctbal").cast("decimal(18,2)").alias("balance"),
+            cents("c_acctbal").alias("balance_cents"),
         )
     )
     changes = (
@@ -2225,40 +2240,30 @@ def merge_into_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(cents("o_totalprice")).alias("revenue_cents"),
         )
         .select(
-            F.col("o_custkey").alias("c_custkey"), "n_orders", "revenue"
+            F.col("o_custkey").alias("c_custkey"), "n_orders", "revenue_cents"
         )
     )
     j = base.join(changes, "c_custkey", "full_outer")
-    matched = F.col("balance").isNotNull() & F.col("n_orders").isNotNull()
+    matched = (
+        F.col("balance_cents").isNotNull() & F.col("n_orders").isNotNull()
+    )
     upd = matched & (F.col("n_orders") >= MERGE_MIN_ORDERS)
     dele = matched & (F.col("n_orders") < MERGE_MIN_ORDERS)
-    ins = F.col("balance").isNull()
-    # Integer half-up cents — NOT round(revenue*0.001, 2). revenue has
-    # exact half-cent ties (sf0.01: custkey 1481, revenue 1,741,255.00 →
-    # delta 1741.25500) and the two engines are only tie-compatible when
-    # DuckDB keeps the product in DECIMAL; a build whose DECIMAL(38,2)×
-    # 0.001 overflows precision and demotes to DOUBLE rounds the binary
-    # 174125.4999… tie the other way (the one red driver row of r6). So
-    # the tie is eliminated, not hoped away: revenue → exact integer
-    # cents, then (cents + 500) div 1000 is branch-free half-up on the
-    # non-negative domain, then an exact ×0.01 rescale — every step is
-    # integer or exact-decimal on BOTH engines.
-    delta = F.expr(
-        "cast(cast((cast(cast(revenue as decimal(18,2)) * 100 as bigint)"
-        " + 500) div 1000 as decimal(16,0)) * 0.01BD as decimal(18,2))"
-    )
+    ins = F.col("balance_cents").isNull()
+    delta = F.expr("(revenue_cents + 500) div 1000")
     return (
         j.filter(~dele)
         .select(
             "c_custkey",
             F.coalesce("c_mktsegment", F.lit("NEW")).alias("segment"),
-            F.when(upd, (F.col("balance") + delta).cast("decimal(18,2)"))
+            F.when(upd, F.col("balance_cents") + delta)
             .when(ins, delta)
-            .otherwise(F.col("balance"))
-            .alias("balance"),
+            .otherwise(F.col("balance_cents"))
+            .cast("bigint")
+            .alias("balance_cents"),
             F.when(upd, F.lit("update"))
             .when(ins, F.lit("insert"))
             .otherwise(F.lit("carry"))
@@ -2271,40 +2276,177 @@ def merge_into_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MERGE = f"""
 WITH base AS (
   SELECT c_custkey, c_mktsegment,
-         CAST(c_acctbal AS DECIMAL(18,2)) AS balance
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS balance_cents
   FROM customer WHERE c_custkey % {MERGE_SNAPSHOT_MOD} <> 0),
 changes AS (
   SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS revenue_cents
   FROM orders WHERE o_orderdate >= TIMESTAMP '{MERGE_SINCE} 00:00:00'
   GROUP BY 1),
 j AS (
   SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
-         b.c_mktsegment, b.balance, c.n_orders, c.revenue
+         b.c_mktsegment, b.balance_cents, c.n_orders, c.revenue_cents
   FROM base b FULL OUTER JOIN changes c USING (c_custkey))
 SELECT c_custkey,
        COALESCE(c_mktsegment, 'NEW') AS segment,
+       CAST(CASE
+         WHEN balance_cents IS NOT NULL AND n_orders >= {MERGE_MIN_ORDERS}
+           THEN balance_cents + (revenue_cents + 500) // 1000
+         WHEN balance_cents IS NULL
+           THEN (revenue_cents + 500) // 1000
+         ELSE balance_cents
+       END AS BIGINT) AS balance_cents,
        CASE
-         WHEN balance IS NOT NULL AND n_orders >= {MERGE_MIN_ORDERS}
-           THEN CAST(balance + CAST(CAST((CAST(CAST(revenue AS DECIMAL(18,2))
-                  * 100 AS BIGINT) + 500) // 1000 AS DECIMAL(16,0))
-                  * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2))
-                AS DECIMAL(18,2))
-         WHEN balance IS NULL
-           THEN CAST(CAST((CAST(CAST(revenue AS DECIMAL(18,2))
-                  * 100 AS BIGINT) + 500) // 1000 AS DECIMAL(16,0))
-                  * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2))
-         ELSE balance
-       END AS balance,
-       CASE
-         WHEN balance IS NOT NULL AND n_orders >= {MERGE_MIN_ORDERS}
+         WHEN balance_cents IS NOT NULL AND n_orders >= {MERGE_MIN_ORDERS}
            THEN 'update'
-         WHEN balance IS NULL THEN 'insert'
+         WHEN balance_cents IS NULL THEN 'insert'
          ELSE 'carry'
        END AS action
 FROM j
-WHERE NOT (balance IS NOT NULL AND n_orders IS NOT NULL
+WHERE NOT (balance_cents IS NOT NULL AND n_orders IS NOT NULL
            AND n_orders < {MERGE_MIN_ORDERS})
+ORDER BY c_custkey
+"""
+
+
+def merge_diag_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side bisection twin 1/3 for merge_into_semantics (VERDICT
+    r7 #1b): the MERGE classification alone — full-outer join + action
+    CASE + churn filter — with ZERO money math (custkey, action,
+    n_orders only; counts are exact integers on any engine). A red row
+    here localizes the divergence to the join/filter/classification
+    shape; a green row eliminates it."""
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % MERGE_SNAPSHOT_MOD != 0)
+        .select("c_custkey", F.lit(True).alias("in_base"))
+    )
+    changes = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit(MERGE_SINCE).cast("timestamp_ntz")
+        )
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .select(F.col("o_custkey").alias("c_custkey"), "n_orders")
+    )
+    j = base.join(changes, "c_custkey", "full_outer")
+    matched = F.col("in_base").isNotNull() & F.col("n_orders").isNotNull()
+    upd = matched & (F.col("n_orders") >= MERGE_MIN_ORDERS)
+    dele = matched & (F.col("n_orders") < MERGE_MIN_ORDERS)
+    ins = F.col("in_base").isNull()
+    return (
+        j.filter(~dele)
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.when(upd, F.lit("update"))
+            .when(ins, F.lit("insert"))
+            .otherwise(F.lit("carry"))
+            .alias("action"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_MERGE_DIAG_ACTIONS = f"""
+WITH base AS (
+  SELECT c_custkey, TRUE AS in_base
+  FROM customer WHERE c_custkey % {MERGE_SNAPSHOT_MOD} <> 0),
+changes AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{MERGE_SINCE} 00:00:00'
+  GROUP BY 1),
+j AS (
+  SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+         b.in_base, c.n_orders
+  FROM base b FULL OUTER JOIN changes c USING (c_custkey))
+SELECT c_custkey,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       CASE
+         WHEN in_base IS NOT NULL AND n_orders >= {MERGE_MIN_ORDERS}
+           THEN 'update'
+         WHEN in_base IS NULL THEN 'insert'
+         ELSE 'carry'
+       END AS action
+FROM j
+WHERE NOT (in_base IS NOT NULL AND n_orders IS NOT NULL
+           AND n_orders < {MERGE_MIN_ORDERS})
+ORDER BY c_custkey
+"""
+
+
+def merge_diag_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection twin 2/3: the o_totalprice quantization + integer-sum
+    construct alone — floor(x*100 + 0.5) per order row (pure IEEE-754
+    double ops, bit-identical on any engine), summed as BIGINT cents per
+    customer, plus the half-up 0.1% delta. A red row here pins the
+    divergence to the double quantization of o_totalprice; green
+    eliminates that entire construct from suspicion."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit(MERGE_SINCE).cast("timestamp_ntz")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("revenue_cents"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "n_orders",
+            "revenue_cents",
+            F.expr("(revenue_cents + 500) div 1000").alias("delta_cents"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_MERGE_DIAG_REVENUE = f"""
+WITH changes AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS revenue_cents
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{MERGE_SINCE} 00:00:00'
+  GROUP BY 1)
+SELECT c_custkey, n_orders,
+       CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST((revenue_cents + 500) // 1000 AS BIGINT) AS delta_cents
+FROM changes
+ORDER BY c_custkey
+"""
+
+
+def merge_diag_acctbal_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection twin 3/3: the c_acctbal quantization construct alone —
+    the stale-snapshot projection with balance_cents = floor(c_acctbal *
+    100 + 0.5) as BIGINT. c_acctbal is the one signed money column
+    (TPC-H acctbal spans negatives); floor half-up rounds toward +inf on
+    the negative side identically in any IEEE engine. A red row here
+    pins the divergence to the signed-double quantization; green
+    eliminates it."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % MERGE_SNAPSHOT_MOD != 0)
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias(
+                "balance_cents"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_MERGE_DIAG_ACCTBAL = f"""
+SELECT c_custkey, c_mktsegment AS segment,
+       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS balance_cents
+FROM customer WHERE c_custkey % {MERGE_SNAPSHOT_MOD} <> 0
 ORDER BY c_custkey
 """
 
@@ -5167,7 +5309,20 @@ SPECS = [
     QuerySpec("merge_into_semantics", merge_into_semantics, ORACLE_MERGE,
               ("join", "merge", "cdc"),
               doc="MERGE INTO as a batch plan: conditional update/delete/"
-                  "insert via full outer join, exact decimal arithmetic"),
+                  "insert via full outer join, decimal-free BIGINT-cents "
+                  "money math (IEEE floor-quantization both engines)"),
+    QuerySpec("merge_diag_actions", merge_diag_actions,
+              ORACLE_MERGE_DIAG_ACTIONS, ("join", "merge", "diagnostic"),
+              doc="merge bisection twin 1/3: classification only (join + "
+                  "action CASE + churn filter), zero money math"),
+    QuerySpec("merge_diag_revenue_cents", merge_diag_revenue_cents,
+              ORACLE_MERGE_DIAG_REVENUE, ("agg", "merge", "diagnostic"),
+              doc="merge bisection twin 2/3: o_totalprice IEEE floor-"
+                  "quantization + BIGINT-cents sum + half-up delta"),
+    QuerySpec("merge_diag_acctbal_cents", merge_diag_acctbal_cents,
+              ORACLE_MERGE_DIAG_ACCTBAL, ("scan", "merge", "diagnostic"),
+              doc="merge bisection twin 3/3: signed c_acctbal IEEE floor-"
+                  "quantization to BIGINT cents"),
     QuerySpec("join_bloom_prefilter", join_bloom_prefilter,
               ORACLE_BLOOM_JOIN, ("join", "bloom", "runtime-filter"),
               doc="semi-join reduction: bloom runtime filter on the join "

@@ -108,12 +108,14 @@ def test_approx_percentiles_close_to_exact(spark):
 
 
 def test_merge_delta_half_cent_tie(spark, tmp_path):
-    """The r6 driver red: ``round(revenue*0.001, 2)`` hits an exact
-    half-cent tie (revenue 1,741,255.00 → delta 1741.25500) and engines
-    whose DECIMAL product demotes to DOUBLE round it the other way. The
-    rewrite computes integer half-up cents on BOTH engines — this test
-    PLANTS exact ties (update and insert paths) and asserts cell-level
-    agreement, so the class can't regress."""
+    """The r6/r7 driver red: any engine-native double→DECIMAL conversion
+    in the money path is version- and path-dependent (TIES.md Class C),
+    and ``round(revenue*0.001, 2)`` additionally hits an exact half-cent
+    tie (revenue 1,741,255.00 → delta 1741.25500). The r8 rewrite is
+    decimal-free — IEEE floor(x*100+0.5) quantization to BIGINT cents on
+    BOTH engines — and this test PLANTS exact ties (update and insert
+    paths) and asserts cell-level agreement, so the class can't
+    regress."""
     import datetime
 
     import duckdb
@@ -153,12 +155,13 @@ def test_merge_delta_half_cent_tie(spark, tmp_path):
         tmp_path / "orders.parquet",
     )
     got = {
-        r["c_custkey"]: (str(r["balance"]), r["action"])
+        r["c_custkey"]: (r["balance_cents"], r["action"])
         for r in merge_into_semantics(spark, str(tmp_path)).collect()
     }
-    assert got[7] == ("1841.26", "update")  # 100.00 + half-up(1741.255)
-    assert got[8] == ("40.00", "carry")
-    assert got[9] == ("12.35", "insert")  # half-up(12.345)
+    # 10000 cents + half-up(174125.500) = 10000 + 174126
+    assert got[7] == (184126, "update")
+    assert got[8] == (4000, "carry")
+    assert got[9] == (1235, "insert")  # half-up(1234.500)
     con = duckdb.connect()
     for t in ("customer", "orders"):
         con.execute(
@@ -166,7 +169,7 @@ def test_merge_delta_half_cent_tie(spark, tmp_path):
             f"read_parquet('{tmp_path}/{t}.parquet')"
         )
     oracle = {
-        r[0]: (str(r[2]), r[3]) for r in con.execute(ORACLE_MERGE).fetchall()
+        r[0]: (r[2], r[3]) for r in con.execute(ORACLE_MERGE).fetchall()
     }
     con.close()
     assert oracle == got
