@@ -1280,6 +1280,15 @@ def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ASCII-ONLY ASSUMPTION (ADVICE r7): this oracle — like ORACLE_MM_AUDIO
+# it builds on — re-derives the sample stream from `text` CODE POINTS
+# (ascii(substr(text,i,1)), char positions), while the Spark stage
+# consumes payload BYTES (np.frombuffer over encode(text,'utf-8')). The
+# two units agree iff the audio-modality docs (doc_id % 3 = 1) are pure
+# ASCII — true of every fixture SF and asserted across engines by
+# tests/test_llm_ops.py::test_audio_modality_fixture_is_ascii, which
+# also plants a non-ASCII doc to prove the units WOULD diverge (so the
+# assumption can't silently rot if the fixture generator changes).
 ORACLE_MM_AUDIO_FP = f"""
 WITH rms AS (
   SELECT doc_id, (i - 1) // {AUDIO_WIN} AS win,

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import catalog
+from ..functions.numeric import rat_round6_spark
 from ..registry import QuerySpec
 
 N_QUERIES = 20
@@ -916,6 +917,12 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     seeds = qdf.filter(F.col("vec_id") < KM_K).orderBy("vec_id").collect()
+    # The oracle labels centroids by vec_id itself (c0: cid = vec_id);
+    # the row-index↔cid mapping below silently desyncs if any seed id is
+    # absent — fail loudly instead of mislabeling clusters (ADVICE r7)
+    assert len(seeds) == KM_K and all(
+        r["vec_id"] == i for i, r in enumerate(seeds)
+    ), f"kmeans seeds must be the contiguous vec_ids 0..{KM_K - 1}"
     cent = np.array([r["qv"] for r in seeds], dtype=np.float64)
 
     assign_schema = T.StructType(
@@ -987,8 +994,13 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             "n_assigned",
             "inertia_q2",
-            F.round(
-                F.col("inertia_q2").cast("double") / KM_INERTIA_SCALE, 6
+            # exact-rational half-up at 6dp of inertia_q2 / 2^40 — NOT
+            # round(double, 6): the ratio is dyadic (den = 2^40) and can
+            # terminate exactly on a 7th-digit-5 tie (inertia_q2 ≡ 0 mod
+            # 2^33), the TIES.md Class B′ shortest-repr-vs-×10⁶ split
+            # (ADVICE r7); integer half-up is tie-free on both engines
+            F.expr(
+                rat_round6_spark("inertia_q2", str(1 << (2 * KM_QUANT_BITS)))
             ).alias("inertia_r6"),
         )
         .orderBy("cid")
@@ -1039,8 +1051,8 @@ c0 AS (SELECT vec_id AS cid, dim, qv AS cv FROM q WHERE vec_id < {KM_K}),
 SELECT CAST(cid AS INT) AS cid,
        CAST(COUNT(*) AS BIGINT) AS n_assigned,
        CAST(SUM(d2) AS DECIMAL(38,0)) AS inertia_q2,
-       ROUND(CAST(CAST(SUM(d2) AS DECIMAL(38,0)) AS DOUBLE)
-             / {KM_INERTIA_SCALE!r}, 6) AS inertia_r6
+       CAST(((CAST(SUM(d2) AS HUGEINT)) * 2000000 + (1099511627776))
+            // (2 * (1099511627776)) AS DOUBLE) / 1000000.0 AS inertia_r6
 FROM a{KM_ITERS} GROUP BY cid ORDER BY cid
 """
 
@@ -1103,6 +1115,13 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     seeds = qdf.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    # codebook rows are indexed positionally but the oracle labels
+    # codewords by vec_id — assert the contiguous-seed convention holds
+    # so a sparse id range fails loudly, not as mislabeled codes
+    # (ADVICE r7, shared with emb_kmeans_lloyd/sim_ivf)
+    assert len(seeds) == PQ_K and all(
+        r["vec_id"] == i for i, r in enumerate(seeds)
+    ), f"PQ codebook seeds must be the contiguous vec_ids 0..{PQ_K - 1}"
     cb = np.array([r["qv"] for r in seeds], dtype=np.int64).reshape(
         PQ_K, PQ_M, PQ_SUBDIM
     )  # bounded: PQ_K codeword vectors

@@ -1496,6 +1496,49 @@ def test_audio_fingerprint_pairs_share_landmarks(spark):
         assert r["n_shared_landmarks"] <= len(shared)
 
 
+def test_audio_modality_fixture_is_ascii(spark, tmp_path):
+    """The audio oracles (ORACLE_MM_AUDIO / ORACLE_MM_AUDIO_FP) re-derive
+    the sample stream from text CODE POINTS while the Spark stage consumes
+    payload BYTES — the units agree iff audio docs are pure ASCII (ADVICE
+    r7). Part 1 asserts that assumption on every fixture SF; part 2 plants
+    a non-ASCII audio doc and proves the units genuinely diverge (different
+    window COUNTS), so a fixture-generator change can't silently rot the
+    oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.multimodal import AUDIO_WIN, mm_audio_energy
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        bad = con.execute(
+            "SELECT count(*) FROM read_parquet(?) WHERE doc_id % 3 = 1 "
+            "AND octet_length(CAST(text AS BLOB)) <> length(text)",
+            [f"/root/testdata/{sf}/documents.parquet"],
+        ).fetchone()[0]
+        assert bad == 0, f"{sf}: non-ASCII audio docs break the byte==char unit"
+    con.close()
+
+    txt = "é" * 300  # 300 code points, 600 UTF-8 bytes
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),  # % 3 == 1 → audio
+                "text": [txt],
+                "lang": ["xx"],
+                "source": ["planted"],
+                "n_chars": pa.array([len(txt)], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    byte_wins = mm_audio_energy(spark, str(tmp_path)).count()
+    char_wins = -(-len(txt) // AUDIO_WIN)  # what the code-point oracle sees
+    assert byte_wins == 3 and char_wins == 2
+    assert byte_wins != char_wins
+
+
 def test_caption_retrieval_topk_shape_and_monotonic(spark):
     """Per query: exactly ranks 1..K, similarity non-increasing with
     rank, and the rank-1 candidate matches an independent brute-force
