@@ -2121,6 +2121,224 @@ ORDER BY len_q, qual_q
 """
 
 
+# --------------------------------------------------------------------------
+# Vocabulary richness: bigram hapax legomena + type-token ratio per source
+# --------------------------------------------------------------------------
+
+
+def text_hapax_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-richness profile over word BIGRAMS: total
+    bigram tokens, distinct types, hapax legomena (types occurring once)
+    and the hapax/type-token ratios — the classic lexical-diversity
+    signals a data-quality dashboard tracks per crawl source (a source
+    whose hapax ratio collapses is template spam; one whose TTR spikes
+    is OCR noise). Bigrams, not unigrams: the fixture vocabulary is ~31
+    words/source, so unigram hapax is degenerate while bigram types
+    (~700/source) discriminate.
+
+    Exactness: pure integer counts; ratios via the exact-rational
+    half-up (TIES.md B′ — count ratios must never go through
+    round(double)). Scale: explode → one (source, bigram) hash agg →
+    one source-keyed agg; map-side partials absorb the token fan-out,
+    no window, no Python."""
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(array(split(text, ' ')), ws -> "
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat_ws(' ', slice(ws, i, 2))) "
+                "ELSE array(text) END)[0]"
+            )
+        ).alias("b"),
+    )
+    bc = bg.groupBy("source", "b").agg(F.count("*").alias("c"))
+    return (
+        bc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            "n_types",
+            "n_hapax",
+            F.expr(rat_round6_spark("n_hapax", "n_types")).alias(
+                "hapax_ratio"
+            ),
+            F.expr(rat_round6_spark("n_types", "n_bigrams")).alias("ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_HAPAX_BIGRAMS = """
+WITH d AS (SELECT source, text, string_split(text, ' ') AS ws
+           FROM documents),
+bg AS (
+  SELECT source,
+         CASE WHEN len(ws) >= 2 THEN ws[i] || ' ' || ws[i+1]
+              ELSE text END AS b
+  FROM d, LATERAL unnest(generate_series(1, greatest(len(ws) - 1, 1)))
+       AS u(i)),
+bc AS (SELECT source, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) * 2000000 + (COUNT(*)))
+            // (2 * (COUNT(*))) AS DOUBLE) / 1000000.0 AS hapax_ratio,
+       CAST(((COUNT(*)) * 2000000 + (SUM(c))) // (2 * (SUM(c)))
+            AS DOUBLE) / 1000000.0 AS ttr
+FROM bc GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified quota apportionment (largest-remainder / Hamilton method)
+# --------------------------------------------------------------------------
+
+QUOTA_TOTAL = 100  # documents to draw across sources, token-proportional
+
+
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-proportional quota apportionment across sources by the
+    largest-remainder (Hamilton) method — the dataset-MIXING primitive:
+    given a global sampling budget of {QUOTA_TOTAL} docs, each source
+    gets floor(tokens_i · S / Σtokens) seats and the leftover seats go
+    to the largest remainders (ties → source name), so Σalloc == S
+    exactly — no float weights, no drift. ``sample_exact_k`` then draws
+    each source's quota; ``corpus_budget_pack`` solves the dual
+    (budget-bounded packing).
+
+    Exactness: the whole method is integer division/modulo — identical
+    on both engines for the non-negative domain. Scale: one fact-side
+    token count per source (map-side partials), then every remaining
+    step runs on the SOURCE-bounded frame (the remainder rank is a
+    window over n_sources rows, never fact-sized)."""
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("m")
+        )
+    )
+    tot = per.agg(F.sum("m").cast("long").alias("tot"))
+    j = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr(f"(m * {QUOTA_TOTAL}) div tot"))
+        .withColumn("rem", F.expr(f"(m * {QUOTA_TOTAL}) % tot"))
+    )
+    extra = j.agg(
+        (F.lit(QUOTA_TOTAL) - F.sum("base")).cast("long").alias("extra")
+    )
+    w = W.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        j.crossJoin(F.broadcast(extra))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "source",
+            F.col("m").alias("n_tokens"),
+            F.col("base").cast("long").alias("base_alloc"),
+            (F.col("base") + F.when(F.col("rk") <= F.col("extra"), 1)
+             .otherwise(0)).cast("long").alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_STRATIFIED_QUOTA = f"""
+WITH per AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS m
+  FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(m) AS BIGINT) AS tot FROM per),
+j AS (SELECT source, m, (m * {QUOTA_TOTAL}) // tot AS base,
+             (m * {QUOTA_TOTAL}) % tot AS rem
+      FROM per, t),
+x AS (SELECT CAST({QUOTA_TOTAL} - SUM(base) AS BIGINT) AS extra FROM j),
+r AS (SELECT j.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM j)
+SELECT source, m AS n_tokens, CAST(base AS BIGINT) AS base_alloc,
+       CAST(base + CASE WHEN rk <= x.extra THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r, x ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Ingest funnel: raw → quality-gated → unique, per source (+streaming twin)
+# --------------------------------------------------------------------------
+
+
+def corpus_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ingest funnel — the monitoring view every corpus
+    pipeline fronts its dedup with: raw arrivals → quality-gate
+    survivors (the SHARED ``corpus_quality_gate`` predicate, so this
+    funnel measures the real pipeline's gate, not a twin) → distinct
+    content hashes, plus the gated-duplicate ratio. The streaming twin
+    (``streaming/jobs.run_corpus_funnel_stream``) computes the same
+    contract incrementally; stream == batch is pytest-pinned, and this
+    batch form carries the value-hash oracle.
+
+    Exactness: counts + exact-rational ratio (zero-gated sources guard
+    the division on both engines). Scale: two source-keyed hash aggs
+    (one pre-gate, one post-gate with a distinct on the content hash);
+    the join is source-bounded."""
+    docs = _docs(spark, sf_dir)
+    raw = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_raw"))
+    g = (
+        corpus_quality_gate(docs)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_gated"),
+            F.countDistinct(F.md5("text")).cast("long").alias("n_unique"),
+        )
+    )
+    return (
+        raw.join(g, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_gated", F.lit(0)).cast("long").alias("n_gated"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.when(
+                F.coalesce("n_gated", F.lit(0)) > 0,
+                F.expr(rat_round6_spark("n_gated - n_unique", "n_gated")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_FUNNEL = f"""
+WITH raw AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY 1),
+g AS (
+  SELECT source, COUNT(*) AS n_gated,
+         COUNT(DISTINCT md5(text)) AS n_unique
+  FROM (SELECT source, text, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= {MIN_TOKENS}
+    AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= {MIN_UNIQ}
+  GROUP BY 1)
+SELECT r.source,
+       CAST(r.n_raw AS BIGINT) AS n_raw,
+       CAST(COALESCE(g.n_gated, 0) AS BIGINT) AS n_gated,
+       CAST(COALESCE(g.n_unique, 0) AS BIGINT) AS n_unique,
+       CASE WHEN COALESCE(g.n_gated, 0) > 0
+            THEN CAST(((g.n_gated - g.n_unique) * 2000000 + (g.n_gated))
+                      // (2 * (g.n_gated)) AS DOUBLE) / 1000000.0
+            ELSE 0.0 END AS dup_ratio
+FROM raw r LEFT JOIN g ON r.source = g.source
+ORDER BY r.source
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
@@ -2230,4 +2448,19 @@ SPECS = [
               doc="length-quintile x quality-quintile contingency grid "
                   "(is the quality score just length? — dimension-"
                   "bounded NTILEs)"),
+    QuerySpec("text_hapax_bigrams", text_hapax_bigrams,
+              ORACLE_HAPAX_BIGRAMS, ("text", "stats", "quality"),
+              doc="per-source bigram hapax-legomena + type-token "
+                  "lexical-diversity profile (template-spam / OCR-noise "
+                  "drift signal)"),
+    QuerySpec("sample_stratified_quota", sample_stratified_quota,
+              ORACLE_STRATIFIED_QUOTA, ("text", "sampling", "curation"),
+              doc="largest-remainder (Hamilton) token-proportional quota "
+                  "apportionment across sources — integer-exact dataset "
+                  "mixing, sum(alloc) == budget"),
+    QuerySpec("corpus_funnel_stats", corpus_funnel_stats,
+              ORACLE_CORPUS_FUNNEL, ("text", "pipeline", "streaming-twin"),
+              doc="per-source ingest funnel raw -> gated -> unique with "
+                  "dup ratio; batch twin of streaming/jobs."
+                  "run_corpus_funnel_stream (shared gate predicate)"),
 ]

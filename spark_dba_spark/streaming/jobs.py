@@ -434,6 +434,81 @@ def run_asset_ingest_stream(
     )
 
 
+def run_corpus_funnel_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "corpus_funnel_stream"
+) -> DataFrame:
+    """Streaming twin of ``operators.text.corpus_funnel_stats``: the
+    per-source ingest funnel (raw arrivals → quality-gate survivors →
+    distinct content hashes) computed incrementally off the landing
+    directory. The gate is the SHARED ``corpus_quality_gate`` predicate
+    and the final projection reuses the batch column contract, so the
+    DuckDB oracle gating the batch form transitively gates this stream;
+    stream == batch is pinned by
+    tests/test_streaming.py::test_corpus_funnel_stream_equals_batch.
+
+    Three queries off one source because a single streaming query cannot
+    host both pre- and post-gate aggregations (the asset-ingest-stream
+    precedent): raw counts, gated counts, and gated-unique counts via
+    stateful ``dropDuplicates`` on (source, content_hash) — the state
+    store shards on exactly the key the batch countDistinct shuffles
+    on."""
+    from ..operators.text import corpus_quality_gate
+
+    raw = (
+        stream_documents(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_raw"))
+        .writeStream.format("memory")
+        .queryName(f"{query_name}_raw")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    gated = (
+        corpus_quality_gate(stream_documents(spark, sf_dir))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_gated"))
+        .writeStream.format("memory")
+        .queryName(f"{query_name}_gated")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    uniq = (
+        corpus_quality_gate(stream_documents(spark, sf_dir))
+        .withColumn("content_hash", F.md5("text"))
+        .dropDuplicates(["source", "content_hash"])
+        .groupBy("source")
+        .agg(F.count("*").alias("n_unique"))
+        .writeStream.format("memory")
+        .queryName(f"{query_name}_uq")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    raw.awaitTermination()
+    gated.awaitTermination()
+    uniq.awaitTermination()
+    return (
+        spark.table(f"{query_name}_raw")
+        .join(spark.table(f"{query_name}_gated"), "source", "left")
+        .join(spark.table(f"{query_name}_uq"), "source", "left")
+        .select(
+            "source",
+            F.col("n_raw").cast("long").alias("n_raw"),
+            F.coalesce("n_gated", F.lit(0)).cast("long").alias("n_gated"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.when(
+                F.coalesce("n_gated", F.lit(0)) > 0,
+                F.expr(rat_round6_spark("n_gated - n_unique", "n_gated")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 def run_windowed_topk_stream(
     spark: SparkSession, sf_dir: str, query_name: str = "windowed_topk_stream"
 ) -> DataFrame:

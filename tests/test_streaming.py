@@ -227,6 +227,22 @@ def test_clean_corpus_stream_equals_batch(spark):
     assert got == want
 
 
+def test_corpus_funnel_stream_equals_batch(spark):
+    """The streaming ingest funnel (raw → gated → unique per source)
+    equals the batch twin row-for-row — including the exact-rational
+    dup_ratio, which both sides compute from the same integer counts."""
+    from spark_dba_spark.operators.text import corpus_funnel_stats
+
+    got = [
+        tuple(r)
+        for r in jobs.run_corpus_funnel_stream(
+            spark, SF_DIR, "t_corpus_funnel"
+        ).collect()
+    ]
+    want = [tuple(r) for r in corpus_funnel_stats(spark, SF_DIR).collect()]
+    assert got == want
+
+
 def test_windowed_topk_stream_equals_batch(spark):
     """Streaming pre-agg + shared rank tail over the materialized view
     reproduces the batch windowed top-k exactly."""
