@@ -1228,6 +1228,240 @@ ORDER BY qid, rank
 """
 
 
+# --------------------------------------------------------------------------
+# k-NN majority-label classification (exact fixed-point distances)
+# --------------------------------------------------------------------------
+
+KNN_K = 10
+
+
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding column: each probe
+    (vec_id < {N_QUERIES}) takes its {KNN_K} exact nearest neighbors
+    (quantized L2, self excluded) and predicts by majority label vote —
+    the label-propagation / auto-labeling primitive of a training-data
+    pipeline, and the standard embedding-quality probe (can the space
+    classify?).
+
+    EXACT end to end (the ``emb_kmeans_lloyd`` fixed-point recipe):
+    inputs truncate onto the 2^-{KM_QUANT_BITS} grid, distances are
+    integers evaluated exactly in float64, neighbor ties break by
+    (d2, vec_id) and vote ties by (votes DESC, label ASC) — total
+    orders on both engines, so the full value-hash oracle holds.
+
+    Scale posture: the probe matrix broadcasts ({N_QUERIES}×{EMB_DIM}
+    ints); ONE Arrow mapInPandas pass scores the corpus with a numpy
+    matmul and emits only per-batch per-probe top-k (the candidate
+    stream is batches×{N_QUERIES}×{KNN_K} rows, never corpus-sized);
+    the rank window and the label join run on that bounded stream."""
+    qdf = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
+        ).alias("qv"),
+    )
+    qrows = qdf.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    qm = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((qm, qids))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("d2", T.LongType()),
+        ]
+    )
+
+    def score(batches):
+        qm_, qids_ = bc.value
+        qn2 = (qm_ * qm_).sum(axis=1)
+        for pdf in batches:
+            m = np.array(list(pdf["qv"]), dtype=np.float64)
+            # ||x−q||² = ||x||² − 2x·q + ||q||² — every term an exact
+            # integer in float64 (the kmeans-assign bound analysis)
+            d2 = (m * m).sum(axis=1, keepdims=True) - 2 * (m @ qm_.T) + qn2
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            frames = []
+            for qi, qid in enumerate(qids_):
+                mask = vec_ids != qid
+                vv, dd = vec_ids[mask], d2[:, qi][mask].astype(np.int64)
+                idx = np.lexsort((vv, dd))[:KNN_K]
+                frames.append(
+                    pd.DataFrame({"qid": qid, "vec_id": vv[idx], "d2": dd[idx]})
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = qdf.select("vec_id", "qv").mapInPandas(score, out_schema)
+    w = W.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    knn = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KNN_K
+    )
+    labels = _emb(spark, sf_dir).select("vec_id", "label")
+    votes = (
+        knn.join(labels, "vec_id")
+        .groupBy("qid", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    wv = W.partitionBy("qid").orderBy(F.desc("n_votes"), F.asc("label"))
+    qlab = labels.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+    )
+    return (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .join(F.broadcast(qlab), "qid")
+        .select(
+            "qid",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("label").cast("int").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+        .orderBy("qid")
+    )
+
+
+ORACLE_KNN_VOTE = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+q AS (
+  SELECT e.vec_id, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+d AS (
+  SELECT l.vec_id AS qid, e.vec_id,
+         CAST(SUM((e.qv - l.qv) * (e.qv - l.qv)) AS BIGINT) AS d2
+  FROM q e JOIN q l ON e.dim = l.dim
+  WHERE l.vec_id < {N_QUERIES} AND e.vec_id != l.vec_id
+  GROUP BY 1, 2),
+knn AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+    FROM d) WHERE rn <= {KNN_K}),
+v AS (
+  SELECT k.qid, e.label, COUNT(*) AS n_votes
+  FROM knn k JOIN embeddings e ON k.vec_id = e.vec_id
+  GROUP BY 1, 2),
+w AS (
+  SELECT qid, label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY n_votes DESC, label ASC) AS rv
+  FROM v)
+SELECT w.qid, CAST(t.label AS INT) AS true_label,
+       CAST(w.label AS INT) AS pred_label,
+       CAST(w.n_votes AS BIGINT) AS n_votes
+FROM w JOIN embeddings t ON w.qid = t.vec_id
+WHERE rv = 1 ORDER BY qid
+"""
+
+
+# --------------------------------------------------------------------------
+# Label-centroid separation audit (single-pass, no iteration)
+# --------------------------------------------------------------------------
+
+
+def emb_label_centroid_sep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation audit of the embedding space: per label, the
+    centroid's squared distance to the GLOBAL centroid (between-class
+    scatter) and the mean squared distance of members to their own
+    centroid (within-class scatter) — the two ingredients of a Fisher
+    separation ratio, reported raw so the dashboard can trend either.
+    An embedding column whose inter_d2 collapses toward zero carries no
+    label signal; a ballooning mean_intra flags drift/noise.
+
+    EXACT: inputs truncate onto the 2^-{KM_QUANT_BITS} grid; centroids
+    are truncating integer division of per-(label, dim) sums (both
+    engines truncate integral division toward zero); every distance is
+    an exact-integer float64; the within-class mean uses the exact-
+    rational half-up.
+
+    Scale posture: one posexplode → (label, dim) hash agg bounds the
+    exchange at |labels|×{EMB_DIM} rows; centroids broadcast back for
+    the second map-side pass; no window ever sees the corpus."""
+    qdf = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
+        ).alias("qv"),
+    )
+    ex = qdf.select("label", F.posexplode("qv").alias("dim", "v"))
+    ls = ex.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")
+    )
+    cent = ls.select("label", "dim", F.expr("s div n").alias("cv"))
+    gc = (
+        ls.groupBy("dim")
+        .agg(F.sum("s").alias("gs"), F.sum("n").alias("gn"))
+        .select("dim", F.expr("gs div gn").alias("gcv"))
+    )
+    inter = (
+        cent.join(gc, "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(F.expr("(cv - gcv) * (cv - gcv)"))
+            .cast("long")
+            .alias("inter_d2")
+        )
+    )
+    intra = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.expr("cast((v - cv) * (v - cv) as decimal(38,0))"))
+            .alias("s2")
+        )
+    )
+    nv = qdf.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return (
+        inter.join(intra, "label")
+        .join(nv, "label")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            "inter_d2",
+            F.expr(rat_round6_spark("s2", "n_vecs")).alias("mean_intra_r6"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_LABEL_SEP = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+lq AS (
+  SELECT e.vec_id, e.label, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+ls AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s, COUNT(*) AS n
+       FROM lq GROUP BY 1, 2),
+cent AS (SELECT label, dim, s // n AS cv FROM ls),
+gc AS (SELECT dim, CAST(SUM(s) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS gcv
+       FROM ls GROUP BY 1),
+inter AS (
+  SELECT label, CAST(SUM((cv - gcv) * (cv - gcv)) AS BIGINT) AS inter_d2
+  FROM cent JOIN gc USING (dim) GROUP BY 1),
+intra AS (
+  SELECT l.label, CAST(SUM((l.qv - c.cv) * (l.qv - c.cv)) AS HUGEINT) AS s2
+  FROM lq l JOIN cent c ON l.label = c.label AND l.dim = c.dim
+  GROUP BY 1),
+nv AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1)
+SELECT CAST(i.label AS INT) AS label,
+       CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+       i.inter_d2,
+       CAST(((a.s2) * 2000000 + (nv.n_vecs)) // (2 * (nv.n_vecs))
+            AS DOUBLE) / 1000000.0 AS mean_intra_r6
+FROM inter i JOIN intra a ON i.label = a.label
+JOIN nv ON i.label = nv.label
+ORDER BY label
+"""
+
+
 def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension distribution statistics over the embedding column —
     the fit step for whitening / feature scaling / dead-dimension
@@ -1824,6 +2058,16 @@ SPECS = [
                   "computation — exact fixed-point codes + integer ADC, "
                   "FULL value-hash oracle; the memory-compressed third "
                   "ANN path (8-byte codes per 256-byte vector)"),
+    QuerySpec("sim_knn_label_vote", sim_knn_label_vote, ORACLE_KNN_VOTE,
+              ("similarity", "knn", "classification"),
+              doc="k-NN majority-label classification (exact fixed-point "
+                  "L2, bounded candidate stream, vote ties -> smallest "
+                  "label) — the auto-labeling / embedding-quality probe"),
+    QuerySpec("emb_label_centroid_sep", emb_label_centroid_sep,
+              ORACLE_LABEL_SEP, ("similarity", "stats", "quality"),
+              doc="class-separation audit: per-label between-class "
+                  "centroid distance + within-class mean scatter "
+                  "(Fisher-ratio ingredients), single-pass fixed-point"),
     QuerySpec("sim_range_search", sim_range_search, ORACLE_RANGE_SEARCH,
               ("similarity", "range")),
     QuerySpec("emb_quantize_int8", emb_quantize_int8, ORACLE_QUANTIZE,

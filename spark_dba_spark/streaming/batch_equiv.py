@@ -547,6 +547,151 @@ FROM events GROUP BY 1 ORDER BY win_start
 """
 
 
+# --------------------------------------------------------------------------
+# Watermark accounting: on-time / late-accepted / dropped per window
+# --------------------------------------------------------------------------
+
+WM_DELAY_US = 600_000_000  # 10-minute watermark
+WM_WIN_US = 3_600_000_000  # 1-hour tumbling windows
+WM_JITTER_US = 1_800_000_000  # arrival delay in [0, 30 min) — LCG-derived
+WM_LCG_A = 1103515245
+WM_LCG_C = 12345
+
+
+def ev_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting — the batch twin of Structured
+    Streaming's `withWatermark` semantics: replay the event log in a
+    deterministic ARRIVAL order (arrival = event time + an LCG-derived
+    delivery delay in [0, {WM_JITTER_US}µs) — the fixture is perfectly
+    time-ordered, so bounded network disorder is synthesized; a real
+    deployment has a log offset), maintain the running watermark
+    max(event_time seen) − {WM_DELAY_US}µs, and classify every row the
+    way the streaming engine would: DROPPED if its 1-hour window has
+    already been finalized at its arrival (watermark ≥ window end),
+    LATE-ACCEPTED if it arrives after a newer event but inside the
+    lateness allowance, ON-TIME otherwise. Output: per-window counts of
+    the three classes — the dashboard that tells you whether your
+    watermark delay is losing data (30-min worst-case disorder against
+    a 10-min allowance → all three classes are populated).
+
+    Exactness: event time is integer microseconds (timestampdiff from
+    the NTZ epoch / epoch_us), the LCG and all window math are BIGINT —
+    nothing floats.
+
+    Scale posture: the running max is NOT a global window — arrivals
+    bucket by arrival HOUR (calendar-bounded frame), the bucket-max
+    frame takes an exclusive prefix-max, and the per-row cummax is
+    partitioned BY bucket (parallel). The oracle uses the naive
+    single-stream window — same values, single-node engine."""
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        # tz-FREE epoch micros: ts is TIMESTAMP_NTZ and the emitted
+        # window starts must match DuckDB's naive epoch_us under ANY
+        # session timezone — cast(ts as timestamp) would shift by the
+        # session offset, so diff against the NTZ epoch instead
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("t"),
+    ).withColumn(
+        "arr",
+        F.expr(
+            f"t + (event_id * {WM_LCG_A} + {WM_LCG_C}) % {WM_JITTER_US}"
+        ),
+    )
+    e = e.withColumn("bkt", F.expr(f"arr div {WM_WIN_US}"))
+    # calendar-bounded bucket-max frame → exclusive prefix max over
+    # bucket (arrival-hour) order
+    bmax = e.groupBy("bkt").agg(F.max("t").alias("bmax"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    pbm = bmax.select("bkt", F.max("bmax").over(wb).alias("prev_bucket_max"))
+    # within-bucket exclusive cummax — partitioned, parallel
+    ww = W.partitionBy("bkt").orderBy("arr", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    m = (
+        e.join(F.broadcast(pbm), "bkt")
+        .withColumn("wprev", F.max("t").over(ww))
+        .withColumn(
+            "prev_max",
+            F.expr(
+                "CASE WHEN prev_bucket_max IS NULL THEN wprev "
+                "WHEN wprev IS NULL THEN prev_bucket_max "
+                "WHEN wprev > prev_bucket_max THEN wprev "
+                "ELSE prev_bucket_max END"
+            ),
+        )
+    )
+    c = m.select(
+        F.expr(f"t div {WM_WIN_US}").alias("win"),
+        F.expr(
+            f"CASE WHEN prev_max IS NOT NULL AND prev_max - {WM_DELAY_US}"
+            f" >= (t div {WM_WIN_US} + 1) * {WM_WIN_US}"
+            " THEN 1 ELSE 0 END"
+        ).alias("dropped"),
+        F.expr(
+            "CASE WHEN prev_max IS NOT NULL AND prev_max > t"
+            " THEN 1 ELSE 0 END"
+        ).alias("late"),
+    )
+    return (
+        c.groupBy("win")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.sum(
+                F.when((F.col("dropped") == 0) & (F.col("late") == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_late_accepted"),
+            F.sum(
+                F.when((F.col("dropped") == 0) & (F.col("late") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_on_time"),
+        )
+        .select(
+            F.expr(f"cast(win * {WM_WIN_US} as bigint)").alias(
+                "win_start_us"
+            ),
+            "n_events",
+            "n_dropped",
+            "n_late_accepted",
+            "n_on_time",
+        )
+        .orderBy("win_start_us")
+    )
+
+
+ORACLE_LATE_WATERMARK = f"""
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS t,
+         epoch_us(ts)
+           + (event_id * {WM_LCG_A} + {WM_LCG_C}) % {WM_JITTER_US} AS arr
+  FROM events),
+m AS (
+  SELECT t,
+         MAX(t) OVER (ORDER BY arr, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM e),
+c AS (
+  SELECT t // {WM_WIN_US} AS win,
+         CASE WHEN prev_max IS NOT NULL AND prev_max - {WM_DELAY_US}
+                   >= (t // {WM_WIN_US} + 1) * {WM_WIN_US}
+              THEN 1 ELSE 0 END AS dropped,
+         CASE WHEN prev_max IS NOT NULL AND prev_max > t
+              THEN 1 ELSE 0 END AS late
+  FROM m)
+SELECT CAST(win * {WM_WIN_US} AS BIGINT) AS win_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN dropped = 0 AND late = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late_accepted,
+       CAST(SUM(CASE WHEN dropped = 0 AND late = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_on_time
+FROM c GROUP BY win ORDER BY win_start_us
+"""
+
+
 SPECS = [
     QuerySpec("ev_tumbling_1h", ev_tumbling_1h, ORACLE_TUMBLING,
               ("streaming", "window"), bench=True),
@@ -586,4 +731,10 @@ SPECS = [
               "incremental"),
               doc="materialized-rollup merge maintenance: partials "
                   "re-aggregated == direct rollup (exact decimal carry)"),
+    QuerySpec("ev_late_data_watermark", ev_late_data_watermark,
+              ORACLE_LATE_WATERMARK, ("streaming", "watermark", "window"),
+              doc="watermark late-data accounting per tumbling hour "
+                  "(on-time / late-accepted / dropped under a 10-min "
+                  "watermark over a deterministic arrival replay; "
+                  "bucketed prefix-max, no global window)"),
 ]

@@ -103,6 +103,15 @@ GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
         "(hours-of-history rows; fact stream pre-reduced to hourly "
         "counts)"
     ),
+    "sample_stratified_quota": (
+        "remainder rank over the SOURCE dimension (fact stream "
+        "pre-reduced to one token-mass row per source)"
+    ),
+    "ev_late_data_watermark": (
+        "prefix-max over the ARRIVAL-HOUR bucket frame "
+        "(calendar-bounded); the per-row cummax is partitioned BY "
+        "bucket — the fact stream never enters a global window"
+    ),
 }
 
 
