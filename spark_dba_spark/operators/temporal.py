@@ -2934,7 +2934,12 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one line-item shuffle for per-order close dates, one
     broadcast snapshot row, one 4-row rollup. Determinism: ages are
     integer day differences on DATE arithmetic (no tz cast), buckets
-    are integer comparisons, value sums are DECIMAL."""
+    are integer comparisons, and the open value is BIGINT CENTS via
+    IEEE floor(x*100 + 0.5) — o_totalprice is the one money column
+    whose values sit OFF the cent grid (accumulated float error), so
+    an engine-native double→DECIMAL(…,2) conversion here is the exact
+    construct behind the merge_into_semantics driver reds (TIES.md
+    Class C); the quantization keeps every engine bit-identical."""
     orders = catalog.load(spark, sf_dir, "orders")
     li = catalog.load(spark, sf_dir, "lineitem")
     oday = F.col("o_orderdate").cast("timestamp_ntz").cast("date")
@@ -2948,7 +2953,9 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             F.col("o_orderkey").alias("l_orderkey"),
             oday.alias("open_day"),
-            F.col("o_totalprice").cast("decimal(25,2)").alias("val"),
+            F.expr(
+                "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            ).alias("val_cents"),
         )
         .join(close, "l_orderkey")
         .crossJoin(F.broadcast(snap))
@@ -2971,7 +2978,7 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans.groupBy(bucket.alias("age_bucket"))
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.sum("val").cast("double").alias("open_value"),
+            F.sum("val_cents").cast("long").alias("open_value_cents"),
             F.min("age_days").cast("int").alias("min_age"),
             F.max("age_days").cast("int").alias("max_age"),
         )
@@ -2986,7 +2993,7 @@ WITH close AS (
 snap AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS snap_day FROM orders),
 spans AS (
   SELECT CAST(o.o_orderdate AS DATE) AS open_day,
-         CAST(o.o_totalprice AS DECIMAL(25,2)) AS val,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS val_cents,
          s.snap_day,
          DATEDIFF('day', CAST(o.o_orderdate AS DATE), s.snap_day) AS age_days
   FROM orders o
@@ -3001,7 +3008,7 @@ SELECT CASE WHEN age_days <= {AGING_EDGES[0]} THEN '0-{AGING_EDGES[0]}d'
               THEN '{AGING_EDGES[1] + 1}-{AGING_EDGES[2]}d'
             ELSE '{AGING_EDGES[2]}d+' END AS age_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(val) AS DOUBLE) AS open_value,
+       CAST(SUM(val_cents) AS BIGINT) AS open_value_cents,
        CAST(MIN(age_days) AS INT) AS min_age,
        CAST(MAX(age_days) AS INT) AS max_age
 FROM spans

@@ -42,26 +42,96 @@ class QuerySpec:
 # into PRIORITY_LAST (prefer families with several other green rows). Over
 # rounds, every query accumulates at least one driver-recorded green row.
 #
-# ROUND-7 WINDOW (VERDICT r6 "Next round" #1-#3; one window = 50 slots):
-# after r6 the driver ledger shows 185/236 queries with a driver row, 179
-# green-latest, and ONE genuine red: merge_into_semantics (r6 hash-only
-# mismatch — the cross-engine half-cent rounding tie, now fixed with
-# integer half-up cents on both engines). Slot 1 is that red-refix (the
-# rotation tripwire test carves out slots whose LATEST driver row is
-# non-green alongside never-checked ones, per the r5 slots-1-5
-# precedent). Slots 2-36 take the first 35 of the 49 full-oracle
-# never-checked queries in registration order (decontaminate_bloom …
-# ev_engagement_concentration). Slots 37-50 stay the frozen bench set.
-# Immediately after slot 50: the remaining never-checked block (4
-# standing + the 10 r6-late adds + any r7 additions), then the
-# sim_ann_lsh/sim_ivf full-oracle re-records (their only driver rows are
-# r2-era no_oracle, predating the r6 ranking-oracle upgrade), then the
-# rows-only tail — r8 promotes that whole block per this same protocol.
+# ROUND-8 WINDOW (VERDICT r7 "Next round" #1-#2; one window = 50 slots):
+# after r7 the driver ledger shows 220/245 queries with a driver row, 214
+# green-latest, and ONE genuine red: merge_into_semantics — red for the
+# SECOND consecutive round despite a locally-proven fix, so the r8 pair
+# is rewritten DECIMAL-FREE (IEEE floor(x*100+0.5) → BIGINT cents on
+# both engines) and slots 2-4 carry three diagnostic twins that bisect
+# the pair construct-by-construct at the driver (classification-only /
+# revenue-quantization / acctbal-quantization) — whatever comes back,
+# the diverging construct is localized in one round. Slots 5-30 retire
+# the ENTIRE never-checked full-oracle backlog (14 standing + 7 r7
+# multimodal + sim_pq_adc + text_winnow_fingerprint + emb_kmeans_lloyd)
+# plus the sim_ann_lsh/sim_ivf re-records (their only driver rows are
+# r2-era no_oracle, predating the r6 ranking-oracle upgrade). Slots
+# 31-36 are the six r8 additions (never-checked by definition). Slots
+# 37-50 stay the frozen bench set. After slot 50: sketch_hll_reaggregate
+# (the ONE rows-only entry — inherently approximate sketch, exact-twin
+# pytest is its gate, may not take a window slot), then the r7-window
+# greens rotate to PRIORITY_LAST. Expected cumulative coverage after r8:
+# 254/254 minus only the rows-only sketches.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # slot 1 — red-refix: r6's one wrong answer, re-enter for a green row
+    # slot 1 — red-refix: the two-round red, decimal-free rewrite
     "merge_into_semantics",
-    # slots 2-36 — never driver-recorded, full-oracle (registration
-    # order within the never-checked set):
+    # slots 2-4 — driver-side bisection twins (VERDICT r7 #1b)
+    "merge_diag_actions",
+    "merge_diag_revenue_cents",
+    "merge_diag_acctbal_cents",
+    # slots 5-18 — standing never-checked full-oracle block
+    "inv_running_balance_capped",
+    "inv_capacity_clamp",
+    "ev_alert_debounce",
+    "ev_windowed_topk",
+    "audit_key_skew",
+    "ev_cusum_changepoint",
+    "stats_ab_test",
+    "stats_theil_sen",
+    "mm_neardup_hamming",
+    "dedup_canonical_corpus",
+    "orders_backlog_aging",
+    "scd2_as_of_lookup",
+    "supplier_scorecard",
+    "stats_anova_price_brand",
+    # slots 19-25 — the r7 multimodal additions
+    "mm_clip_joint_align",
+    "mm_video_keyframe_dedup",
+    "mm_audio_fingerprint_match",
+    "mm_caption_retrieval",
+    "mm_caption_quality_filter",
+    "mm_modality_quota_pack",
+    "mm_asset_ingest_stats",
+    # slots 26-28 — r7-late additions + the kmeans oracle upgrade
+    "sim_pq_adc",
+    "text_winnow_fingerprint",
+    "emb_kmeans_lloyd",
+    # slots 29-30 — ANN re-records (latest rows are r2-era no_oracle,
+    # i.e. non-green; full ranking oracles landed in r6)
+    "sim_ann_lsh",
+    "sim_ivf",
+    # slots 31-36 — new in r8 (never driver-checked by definition)
+    "text_hapax_bigrams",
+    "sample_stratified_quota",
+    "corpus_funnel_stats",
+    "ev_late_data_watermark",
+    "sim_knn_label_vote",
+    "emb_label_centroid_sep",
+    # frozen bench set — a driver row EVERY round:
+    "q01_pricing_summary",
+    "ev_tumbling_1h",
+    "json_extract_events",
+    "q02_scan_filter_project",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_item",
+    "join_broadcast_dim",
+    "agg_distinct",
+    "window_topk_per_group",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality",
+    # --- beyond slot 50: the driver window ends above. The never-
+    # checked backlog is now exactly ONE entry, pinned first per the
+    # backlog test: sketch_hll_reaggregate, rows-only-by-design
+    # (inherently approximate sketch; exact-twin pytest is its gate).
+    "sketch_hll_reaggregate",
+)
+
+# r7-window greens, non-bench — rotate to the tail this round (driver row
+# ≤1 round old; still in every committed local sweep). The middle (not
+# listed here or above) holds the r2-r6 greens in registration order.
+PRIORITY_LAST: tuple[str, ...] = (
     "decontaminate_bloom",
     "text_redact_denylist",
     "text_chunk_overlap",
@@ -97,104 +167,6 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "ev_attribution_credit",
     "ev_stickiness_dau_mau",
     "ev_engagement_concentration",
-    # frozen bench set — a driver row EVERY round:
-    "q01_pricing_summary",
-    "ev_tumbling_1h",
-    "json_extract_events",
-    "q02_scan_filter_project",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q10_returned_item",
-    "join_broadcast_dim",
-    "agg_distinct",
-    "window_topk_per_group",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "sim_cosine_topk",
-    "text_quality",
-    # --- beyond slot 50: the driver window ends above. First the
-    # remaining never-checked full-oracle queries (r8 slots 2-…), kept
-    # contiguous so extra driver capacity lands on them:
-    "inv_running_balance_capped",
-    "inv_capacity_clamp",
-    "ev_alert_debounce",
-    "ev_windowed_topk",
-    "audit_key_skew",
-    "ev_cusum_changepoint",
-    "stats_ab_test",
-    "stats_theil_sen",
-    "mm_neardup_hamming",
-    "dedup_canonical_corpus",
-    "orders_backlog_aging",
-    "scd2_as_of_lookup",
-    "supplier_scorecard",
-    "stats_anova_price_brand",
-    # new in r7 (never driver-checked by definition) — inside the
-    # contiguous never-checked block, ahead of the rows-only tail:
-    "mm_clip_joint_align",
-    "mm_video_keyframe_dedup",
-    "mm_audio_fingerprint_match",
-    "mm_caption_retrieval",
-    "mm_caption_quality_filter",
-    "mm_modality_quota_pack",
-    "mm_asset_ingest_stats",
-    # r7-late additions (never driver-checked), same block:
-    "sim_pq_adc",
-    "text_winnow_fingerprint",
-    # never-checked tail, kept inside the contiguous never-checked
-    # block the backlog test pins right after the window:
-    # sketch_hll_reaggregate is the ONE remaining rows-only entry
-    # (inherently approximate sketch; exact-twin pytest is its gate);
-    # emb_kmeans_lloyd was upgraded to a FULL value-hash oracle in r7
-    # (exact fixed-point Lloyd, the emb_pca_power recipe):
-    "sketch_hll_reaggregate",
-    "emb_kmeans_lloyd",
-    # then the ANN re-records: only driver rows are r2-era no_oracle,
-    # predating the r6 full ranking oracles — queue for fresh value-hash
-    # rows right behind the never-checked block:
-    "sim_ann_lsh",
-    "sim_ivf",
-)
-
-# r6-window greens, non-bench — rotate to the tail this round (driver row
-# ≤1 round old; still in every committed local sweep). The middle (not
-# listed here or above) holds the r2-r5 greens in registration order.
-PRIORITY_LAST: tuple[str, ...] = (
-    "profile_table",
-    "agg_winsorized_mean",
-    "set_union_by_name",
-    "audit_referential_integrity",
-    "audit_primary_keys",
-    "orders_interarrival",
-    "sample_exact_k",
-    "stats_chi2_lang_source",
-    "audit_benford_amounts",
-    "ev_monotonic_streaks",
-    "skyline_price_size",
-    "basket_brand_pairs",
-    "audit_line_contiguity",
-    "abc_analysis_parts",
-    "er_entity_clusters",
-    "join_bloom_prefilter",
-    "nested_order_lines",
-    "rfm_segmentation",
-    "agg_weighted_median",
-    "join_skew_salted",
-    "orders_hhi_concentration",
-    "customer_gap_survival",
-    "agg_gini_by_nation",
-    "orders_otif_rate",
-    "basket_type_lift",
-    "elasticity_discount_qty",
-    "agg_exact_global_median",
-    "part_supply_redundancy",
-    "orders_brand_rank_shift",
-    "sketch_minhash_calibration",
-    "graph_triangles_neardup",
-    "emb_label_prototypes",
-    "emb_sim_histogram",
-    "emb_pca_power",
-    "emb_norm_extremes",
 )
 
 

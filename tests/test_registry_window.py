@@ -63,6 +63,43 @@ def test_window_shape_and_rotation_policy():
         assert specs[n].oracle is not None, f"{n} is rows-only"
 
 
+def test_local_ledgers_cover_full_registry():
+    """Freeze-then-verify (VERDICT r7 #3): every committed
+    CORRECTNESS_LOCAL_r{N} artifact of the CURRENT round generation must
+    have exactly one row per registered query — an operator that lands
+    AFTER the final hostile sweep (the r5/r7 drift class) trips this
+    test until the sweeps are regenerated at HEAD. Only the newest
+    round's artifacts are checked: older rounds legitimately ledger the
+    smaller registries they shipped with."""
+    specs = registry.all_specs()
+    repo = Path(__file__).resolve().parent.parent
+    arts = sorted(
+        repo.glob("CORRECTNESS_LOCAL_r[0-9]*.json"),
+        key=lambda p: int(
+            "".join(c for c in p.stem.split("_r")[1][:2] if c.isdigit())
+        ),
+    )
+    if not arts:
+        return
+    newest_round = int(
+        "".join(c for c in arts[-1].stem.split("_r")[1][:2] if c.isdigit())
+    )
+    for f in arts:
+        rnd = int("".join(c for c in f.stem.split("_r")[1][:2] if c.isdigit()))
+        if rnd != newest_round:
+            continue
+        rows = json.loads(f.read_text())
+        missing = sorted(set(specs) - set(rows))
+        extra = sorted(set(rows) - set(specs))
+        assert not missing and not extra, (
+            f"{f.name} out of sync with registry: "
+            f"missing={missing[:5]} extra={extra[:5]} "
+            f"(ledger {len(rows)} vs registry {len(specs)}) — regenerate "
+            "the hostile sweeps at HEAD; nothing registers after the "
+            "final sweep"
+        )
+
+
 def test_remaining_backlog_queued_right_after_window():
     """Everything never driver-checked that missed the 50-slot window
     must sit immediately after it (the written-down r7 plan)."""
