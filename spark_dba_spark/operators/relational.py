@@ -5110,7 +5110,13 @@ SPECS = [
     QuerySpec("agg_cube", agg_cube, ORACLE_AGG_CUBE, ("agg",)),
     QuerySpec("agg_grouping_sets", agg_grouping_sets, ORACLE_AGG_GSETS, ("agg",)),
     QuerySpec("agg_having", agg_having, ORACLE_AGG_HAVING, ("agg",)),
-    QuerySpec("agg_approx_distinct", agg_approx_distinct, None, ("agg", "sketch")),
+    QuerySpec("agg_approx_distinct", agg_approx_distinct, None,
+              ("agg", "sketch"),
+              doc="approx_count_distinct HLL++ (PERMANENTLY rows-only: "
+                  "the estimate is a deterministic function of the input "
+                  "set but its register/bias-table arithmetic is not "
+                  "reproducible in SQL; gate = test_approx_distinct_"
+                  "close_to_exact, 2% band)"),
     QuerySpec("window_topk_per_group", window_topk_per_group, ORACLE_WIN_TOPK,
               ("window",), bench=True),
     QuerySpec("window_running_sum", window_running_sum, ORACLE_WIN_RUNNING,
@@ -5204,11 +5210,17 @@ SPECS = [
     QuerySpec("sketch_top_k_heavy_hitters", sketch_top_k_heavy_hitters,
               None, ("agg", "sketch"),
               doc="approx_top_k frequency-sketch heavy hitters "
-                  "(rows-only; exact-twin tolerance pytest)"),
+                  "(PERMANENTLY rows-only: sketch state depends on "
+                  "partition merge order; gate = test_sketch_top_k_"
+                  "close_to_exact, every hitter a near-top key within "
+                  "2% of exact count)"),
     QuerySpec("agg_approx_percentiles", agg_approx_percentiles,
               None, ("agg", "sketch", "percentile"),
-              doc="percentile_approx GK sketch per group (rows-only; "
-                  "exact-twin tolerance pytest)"),
+              doc="percentile_approx GK sketch per group (PERMANENTLY "
+                  "rows-only: Greenwald-Khanna summaries are partition-"
+                  "merge-order dependent, so even a Spark-twin CTE "
+                  "cannot pin values; gate = test_approx_percentiles_"
+                  "close_to_exact, 2% band vs exact percentiles)"),
     QuerySpec("unpivot_metrics", unpivot_metrics, ORACLE_UNPIVOT,
               ("reshape", "agg"),
               doc="unpivot/melt wide measures → long + per-metric agg"),
@@ -5245,7 +5257,11 @@ SPECS = [
     QuerySpec("sketch_hll_reaggregate", sketch_hll_reaggregate, None,
               ("agg", "sketch", "rollup"),
               doc="DataSketches HLL per source + lossless union rollup "
-                  "(rows-only; exact-twin tolerance pytest)"),
+                  "(PERMANENTLY rows-only: binary sketch blobs + "
+                  "estimator arithmetic are not SQL-reproducible; gate "
+                  "= test_hll_reaggregate_matches_exact — union "
+                  "re-aggregation must agree with the direct sketch AND "
+                  "sit within tolerance of exact distinct)"),
     QuerySpec("profile_table", profile_table, ORACLE_PROFILE,
               ("agg", "profiling", "dba"),
               doc="one-pass per-column table profile (nulls, distincts, "

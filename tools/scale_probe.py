@@ -58,6 +58,13 @@ QUERIES = [
     "mm_video_keyframe_dedup",   # keyframe band join + CC contraction (r7 new)
     "mm_audio_fingerprint_match",  # landmark band join (r7 new)
     "mm_caption_retrieval",      # broadcast-probe cross-modal top-k (r7 new)
+    "sim_pq_adc",                # PQ encode+ADC Arrow pass (r7-late, VERDICT #7)
+    "text_winnow_fingerprint",   # positional winnowing HOF pass (r7-late)
+    "mm_modality_quota_pack",    # per-modality bucketed selection (r7)
+    "emb_kmeans_lloyd",          # fixed-point Lloyd iterations (r7 oracle)
+    "merge_into_semantics",      # full-outer merge, BIGINT cents (r8 rewrite)
+    "sim_knn_label_vote",        # broadcast-probe kNN + vote (r8 new)
+    "ev_late_data_watermark",    # bucketed prefix-max watermark replay (r8 new)
 ]
 
 
