@@ -291,11 +291,17 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     < W grams → one shorter window.
 
     Scale posture: pure map-side higher-order expressions per document
-    (O(len·W) comparisons, no Python, no shuffle) + one explode; output
-    volume IS the fingerprint index (~2/(W+1) of corpus grams), the
-    documented nature of a winnowing index build. The only shuffle is
-    the final presentation sort."""
-    docs = _docs(spark, sf_dir)
+    (O(len·W) comparisons, no Python) + one explode; output volume IS
+    the fingerprint index (~2/(W+1) of corpus grams), the documented
+    nature of a winnowing index build. The doc_id repartition below is
+    load-bearing: the fixture corpus is one small parquet file → ONE
+    input split, and the interpreted HOF evaluation is the rare
+    CPU-bound-per-row map stage where a single task serializes the
+    whole corpus (measured 20.1s → ~1s at sf0.1 once spread across the
+    cores; SCALING_r08 found it). At 100 TB the scan has thousands of
+    splits and the repartition is a no-op-sized insurance shuffle of
+    raw docs."""
+    docs = _docs(spark, sf_dir).repartition("doc_id")
     nrm = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ''))"
     # Bind norm AND the gram-hash array once each (nested
     # single-element-transform trick, see word_ngrams): interpreted
@@ -309,12 +315,17 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"    i -> named_struct('p', i, 'h',"
         f"         cast(conv(substring(md5(substring(nrm, i, {WINNOW_K})), 1, 15), 16, 10) as bigint)))"
         f"), hs -> "
-        f"array_distinct(transform("
+        f"transform("
         f"  sequence(1, greatest(size(hs) - {WINNOW_W} + 1, 1)),"
         f"  j -> aggregate(slice(hs, j, {WINNOW_W}),"
         f"    named_struct('p', 0, 'h', cast({_WINNOW_SEED_H} as bigint)),"
-        f"    (acc, x) -> if(x.h <= acc.h, x, acc)))))[0])[0]"
+        f"    (acc, x) -> if(x.h <= acc.h, x, acc))))[0])[0]"
     )
+    # distinct AFTER the explode, not array_distinct inside the lambda:
+    # per-doc array_distinct is O(n²) interpreted struct equality (~30%
+    # of the stage at sf0.1); the shuffle distinct runs on the already-
+    # winnowed fingerprint stream (~2/(W+1) of gram volume) and shares
+    # the presentation sort's exchange
     return (
         docs.select("doc_id", F.explode(F.expr(sel)).alias("s"))
         .select(
@@ -322,6 +333,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.p").alias("pos"),
             F.col("s.h").alias("fp"),
         )
+        .distinct()
         .orderBy("doc_id", "pos")
     )
 
