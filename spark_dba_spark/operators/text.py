@@ -372,19 +372,23 @@ MIN_TOKENS = 5
 MIN_UNIQ = 0.3
 
 
+def quality_gate_cond() -> F.Column:
+    """The gate PREDICATE over a frame carrying ``ws = split(text, ' ')``
+    — one definition shared by the filtering gate below and the
+    single-pass conditional aggregate in ``corpus_funnel_stats``."""
+    return (F.size("ws") >= MIN_TOKENS) & (
+        F.expr("cast(size(array_distinct(ws)) as double) / size(ws)")
+        >= MIN_UNIQ
+    )
+
+
 def corpus_quality_gate(docs: DataFrame) -> DataFrame:
     """Shared quality gate (length + lexical-diversity bounds, map-only).
     ONE definition used by both the batch pipeline and the streaming twin
     (streaming/jobs.run_clean_corpus_stream) so the oracle that gates the
     batch form transitively gates the stream's predicate."""
     docs = docs.withColumn("ws", F.split("text", " "))
-    return docs.filter(
-        (F.size("ws") >= MIN_TOKENS)
-        & (
-            F.expr("cast(size(array_distinct(ws)) as double) / size(ws)")
-            >= MIN_UNIQ
-        )
-    )
+    return docs.filter(quality_gate_cond())
 
 
 def corpus_lang_stats(kept: DataFrame, include_first_doc: bool = True) -> DataFrame:
@@ -2230,10 +2234,12 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     (budget-bounded packing).
 
     Exactness: the whole method is integer division/modulo — identical
-    on both engines for the non-negative domain. Scale: one fact-side
-    token count per source (map-side partials), then every remaining
-    step runs on the SOURCE-bounded frame (the remainder rank is a
-    window over n_sources rows, never fact-sized)."""
+    on both engines for the non-negative domain. Scale: ONE fact-side
+    token count per source (map-side partials, one scan — the first
+    draft branched the lineage into tot/extra sub-aggregates and
+    Catalyst re-scanned the fact table 8×), then every remaining step
+    is a window over the SOURCE-bounded frame (n_sources rows, never
+    fact-sized)."""
     per = (
         _docs(spark, sf_dir)
         .groupBy("source")
@@ -2241,19 +2247,16 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(F.split("text", " "))).cast("long").alias("m")
         )
     )
-    tot = per.agg(F.sum("m").cast("long").alias("tot"))
-    j = (
-        per.crossJoin(F.broadcast(tot))
+    wg = W.partitionBy()  # bounded: the source-dimension frame
+    wr = W.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        per.withColumn("tot", F.sum("m").over(wg))
         .withColumn("base", F.expr(f"(m * {QUOTA_TOTAL}) div tot"))
         .withColumn("rem", F.expr(f"(m * {QUOTA_TOTAL}) % tot"))
-    )
-    extra = j.agg(
-        (F.lit(QUOTA_TOTAL) - F.sum("base")).cast("long").alias("extra")
-    )
-    w = W.orderBy(F.desc("rem"), F.asc("source"))
-    return (
-        j.crossJoin(F.broadcast(extra))
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "extra", F.lit(QUOTA_TOTAL) - F.sum("base").over(wg)
+        )
+        .withColumn("rk", F.row_number().over(wr))
         .select(
             "source",
             F.col("m").alias("n_tokens"),
@@ -2298,28 +2301,29 @@ def corpus_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch form carries the value-hash oracle.
 
     Exactness: counts + exact-rational ratio (zero-gated sources guard
-    the division on both engines). Scale: two source-keyed hash aggs
-    (one pre-gate, one post-gate with a distinct on the content hash);
-    the join is source-bounded."""
-    docs = _docs(spark, sf_dir)
-    raw = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_raw"))
-    g = (
-        corpus_quality_gate(docs)
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_gated"),
-            F.countDistinct(F.md5("text")).cast("long").alias("n_unique"),
-        )
-    )
+    the division on both engines). Scale: ONE source-keyed hash agg
+    over ONE corpus scan — the gate becomes a conditional inside the
+    aggregate (count(CASE), count(DISTINCT CASE) — nulls don't count),
+    so raw and gated funnel stages never branch the lineage into a
+    second scan."""
+    docs = _docs(spark, sf_dir).withColumn("ws", F.split("text", " "))
+    gate = quality_gate_cond()
     return (
-        raw.join(g, "source", "left")
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.count(F.when(gate, 1)).cast("long").alias("n_gated"),
+            F.countDistinct(F.when(gate, F.md5("text")))
+            .cast("long")
+            .alias("n_unique"),
+        )
         .select(
             "source",
             "n_raw",
-            F.coalesce("n_gated", F.lit(0)).cast("long").alias("n_gated"),
-            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            "n_gated",
+            "n_unique",
             F.when(
-                F.coalesce("n_gated", F.lit(0)) > 0,
+                F.col("n_gated") > 0,
                 F.expr(rat_round6_spark("n_gated - n_unique", "n_gated")),
             )
             .otherwise(F.lit(0.0))
