@@ -1374,16 +1374,23 @@ def emb_label_centroid_sep(spark: SparkSession, sf_dir: str) -> DataFrame:
     label signal; a ballooning mean_intra flags drift/noise.
 
     EXACT: inputs truncate onto the 2^-{KM_QUANT_BITS} grid; centroids
-    are truncating integer division of per-(label, dim) sums (both
-    engines truncate integral division toward zero); every distance is
-    an exact-integer float64; the within-class mean uses the exact-
+    are truncating integer division of per-(label, dim) sums (toward
+    zero on BOTH engines — the Python driver mirrors DuckDB's ``//``
+    branch-wise, the kmeans convention); every distance is an
+    exact-integer float64; the within-class mean uses the exact-
     rational half-up.
 
-    Scale posture: one posexplode → (label, dim) hash agg bounds the
-    exchange at |labels|×{EMB_DIM} rows; centroids broadcast back for
-    the second map-side pass; no window ever sees the corpus."""
+    Scale posture: exactly TWO corpus passes — (1) posexplode →
+    (label, dim) hash agg bounded at |labels|×{EMB_DIM} rows, which is
+    COLLECTED (the K-bounded-collect convention shared with
+    emb_kmeans_lloyd — a lineage-branched dataframe formulation
+    re-scanned the corpus 5×) to build the centroid/global-centroid
+    table and the |labels|-row between-class distances driver-side;
+    (2) one map-side broadcast join scoring every (vec, dim) against
+    its label centroid, whose groupBy carries both the intra sum and
+    the member count (n_vecs = rows div {EMB_DIM}) — no separate
+    counting pass, no window ever sees the corpus."""
     qdf = _emb(spark, sf_dir).select(
-        "vec_id",
         "label",
         F.expr(
             f"transform(embedding, x -> "
@@ -1393,34 +1400,42 @@ def emb_label_centroid_sep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = qdf.select("label", F.posexplode("qv").alias("dim", "v"))
     ls = ex.groupBy("label", "dim").agg(
         F.sum("v").alias("s"), F.count("*").alias("n")
+    ).collect()  # bounded: |labels| × EMB_DIM rows
+
+    def tdiv(a: int, b: int) -> int:
+        # truncation-toward-zero, matching Spark div / DuckDB //
+        return a // b if a >= 0 else -((-a) // b)
+
+    gs: dict[int, int] = {}
+    gn: dict[int, int] = {}
+    for r in ls:
+        gs[r["dim"]] = gs.get(r["dim"], 0) + int(r["s"])
+        gn[r["dim"]] = gn.get(r["dim"], 0) + int(r["n"])
+    gcv = {d: tdiv(gs[d], gn[d]) for d in gs}
+    cent = [
+        (int(r["label"]), int(r["dim"]), tdiv(int(r["s"]), int(r["n"])))
+        for r in ls
+    ]
+    inter: dict[int, int] = {}
+    for lab, d, cv in cent:
+        inter[lab] = inter.get(lab, 0) + (cv - gcv[d]) ** 2
+    cent_df = spark.createDataFrame(
+        cent, "label int, dim int, cv long"
     )
-    cent = ls.select("label", "dim", F.expr("s div n").alias("cv"))
-    gc = (
-        ls.groupBy("dim")
-        .agg(F.sum("s").alias("gs"), F.sum("n").alias("gn"))
-        .select("dim", F.expr("gs div gn").alias("gcv"))
-    )
-    inter = (
-        cent.join(gc, "dim")
-        .groupBy("label")
-        .agg(
-            F.sum(F.expr("(cv - gcv) * (cv - gcv)"))
-            .cast("long")
-            .alias("inter_d2")
-        )
+    inter_df = spark.createDataFrame(
+        sorted(inter.items()), "label int, inter_d2 long"
     )
     intra = (
-        ex.join(F.broadcast(cent), ["label", "dim"])
+        ex.join(F.broadcast(cent_df), ["label", "dim"])
         .groupBy("label")
         .agg(
             F.sum(F.expr("cast((v - cv) * (v - cv) as decimal(38,0))"))
-            .alias("s2")
+            .alias("s2"),
+            F.expr(f"count(*) div {EMB_DIM}").alias("n_vecs"),
         )
     )
-    nv = qdf.groupBy("label").agg(F.count("*").alias("n_vecs"))
     return (
-        inter.join(intra, "label")
-        .join(nv, "label")
+        intra.join(F.broadcast(inter_df), "label")
         .select(
             F.col("label").cast("int").alias("label"),
             F.col("n_vecs").cast("long").alias("n_vecs"),
