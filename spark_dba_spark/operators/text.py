@@ -300,8 +300,14 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus (measured 20.1s → ~1s at sf0.1 once spread across the
     cores; SCALING_r08 found it). At 100 TB the scan has thousands of
     splits and the repartition is a no-op-sized insurance shuffle of
-    raw docs."""
-    docs = _docs(spark, sf_dir).repartition("doc_id")
+    raw docs. The partition count is EXPLICIT: AQE's byte-based
+    coalescing sees a few MB of text and would merge the shuffle back
+    into one task, re-serializing the CPU-bound stage (measured 12.9s
+    vs 5.5s at sf0.1) — docs are small in bytes but heavy in compute,
+    the one case byte-based coalescing misjudges."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     nrm = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ''))"
     # Bind norm AND the gram-hash array once each (nested
     # single-element-transform trick, see word_ngrams): interpreted
