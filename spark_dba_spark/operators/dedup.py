@@ -50,6 +50,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.load(spark, sf_dir, "documents")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with the shingle/signature map stage PINNED to
+    defaultParallelism partitions. The fixture corpus is one small
+    parquet split and the per-doc higher-order shingle/hash expressions
+    are CPU-heavy per byte — without this, the whole map stage runs as
+    ONE task, and AQE's byte-based coalescing would undo a plain
+    ``repartition("doc_id")`` (a few MB of text looks coalescible;
+    measured 3.0s → 1.35s for minhash, 3.1s → 1.4s for ngram-jaccard at
+    sf0.1). The explicit count survives AQE; at real scale the scan has
+    thousands of splits and this is an insurance shuffle of raw docs."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+
+
 # DuckDB rendering of the distinct word-3-gram shingle list (1-indexed).
 _DUCK_SHINGLES = """
 SELECT doc_id,
@@ -156,7 +171,7 @@ def _jaccard_over_shingles(sh: DataFrame, tau: float) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     sh = docs.select(
         "doc_id", F.explode(word_ngrams("text", NGRAM)).alias("sh")
     )
@@ -170,7 +185,7 @@ def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-16-gram Jaccard near-dup: robust to tokenization noise
     (whitespace/punctuation edits shift words but leave most char windows
     intact). Same inverted-index machinery as the word variant."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     sh = docs.select(
         "doc_id", F.explode(char_shingles("text", CHAR_K)).alias("sh")
     )
@@ -224,9 +239,8 @@ def _minhash_stages(spark: SparkSession, sf_dir: str):
     # the repartition, the single-evaluation lambda binding, and the
     # groupBy pair expansion.
     docs = (
-        _docs(spark, sf_dir)
+        _docs_par(spark, sf_dir)
         .select("doc_id", word_ngrams("text", NGRAM).alias("shingles"))
-        .repartition("doc_id")
     )
     sig = docs.select(
         "doc_id",
@@ -380,7 +394,7 @@ ORDER BY doc_a, doc_b
 # --------------------------------------------------------------------------
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     # 60-bit token hash; per-bit weighted vote (term frequency implicit in
     # the non-distinct token list), then reassemble the sign vector into a
     # 60-bit fingerprint. All of it happens map-side in ONE projection with
@@ -758,7 +772,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings groupBy, MAX_DF stop-shingle prune, in-bucket pair
     expansion — no O(n²)); only the final score differs, and jaccard
     rides along for contrast."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     sh = docs.select(
         "doc_id", F.explode(word_ngrams("text", NGRAM)).alias("sh")
     )
