@@ -1477,6 +1477,190 @@ ORDER BY label
 """
 
 
+# --------------------------------------------------------------------------
+# Energy concentration across dimension prefixes (Matryoshka audit)
+# --------------------------------------------------------------------------
+
+
+def emb_energy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label energy-concentration audit: the fraction of total
+    squared-norm mass carried by the first 8 / 16 / 32 of the {EMB_DIM}
+    dimensions — the measurement behind Matryoshka-style dimension
+    truncation (serve a 16-dim prefix if it holds ~the energy) and the
+    first sanity check before a PQ/IVF build that subspaces carry
+    comparable mass.
+
+    EXACT: inputs truncate onto the 2^-{KM_QUANT_BITS} grid (the kmeans
+    convention); each q² is an exact int64 product; per-label sums are
+    DECIMAL(38,0) (order-independent); the three ratios are
+    exact-rational half-ups. Scale: ONE posexplode → label-grain hash
+    agg with conditional prefix sums — map-side partials absorb the
+    dimension fan-out, output is |labels| rows, no window, no Python,
+    one corpus pass."""
+    qdf = _emb(spark, sf_dir).select(
+        "label",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
+        ).alias("qv"),
+    )
+    ex = qdf.select("label", F.posexplode("qv").alias("dim", "v"))
+
+    def _e(bound: int | None, alias: str):
+        cond = "TRUE" if bound is None else f"dim < {bound}"
+        return F.sum(
+            F.expr(
+                f"cast(CASE WHEN {cond} THEN v * v ELSE 0 END "
+                "as decimal(38,0))"
+            )
+        ).alias(alias)
+
+    g = ex.groupBy("label").agg(
+        _e(8, "e8"),
+        _e(16, "e16"),
+        _e(32, "e32"),
+        _e(None, "e_all"),
+        F.expr(f"count(*) div {EMB_DIM}").alias("n_vecs"),
+    )
+    return g.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.col("e_all").cast("long").alias("energy_q2"),
+        F.expr(rat_round6_spark("e8", "e_all")).alias("e8_ratio"),
+        F.expr(rat_round6_spark("e16", "e_all")).alias("e16_ratio"),
+        F.expr(rat_round6_spark("e32", "e_all")).alias("e32_ratio"),
+    ).orderBy("label")
+
+
+ORACLE_ENERGY_PREFIX = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+lq AS (
+  SELECT e.label, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+g AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN dim < 8 THEN qv * qv ELSE 0 END)
+              AS HUGEINT) AS e8,
+         CAST(SUM(CASE WHEN dim < 16 THEN qv * qv ELSE 0 END)
+              AS HUGEINT) AS e16,
+         CAST(SUM(CASE WHEN dim < 32 THEN qv * qv ELSE 0 END)
+              AS HUGEINT) AS e32,
+         CAST(SUM(qv * qv) AS HUGEINT) AS e_all,
+         COUNT(*) // {EMB_DIM} AS n_vecs
+  FROM lq GROUP BY 1)
+SELECT CAST(label AS INT) AS label,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(e_all AS BIGINT) AS energy_q2,
+       CAST(((e8) * 2000000 + (e_all)) // (2 * (e_all))
+            AS DOUBLE) / 1000000.0 AS e8_ratio,
+       CAST(((e16) * 2000000 + (e_all)) // (2 * (e_all))
+            AS DOUBLE) / 1000000.0 AS e16_ratio,
+       CAST(((e32) * 2000000 + (e_all)) // (2 * (e_all))
+            AS DOUBLE) / 1000000.0 AS e32_ratio
+FROM g ORDER BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# Nearest-centroid confusion matrix (label-signal audit of the space)
+# --------------------------------------------------------------------------
+
+
+def emb_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid-classifier confusion matrix over the embedding
+    space: every vector is assigned to its nearest LABEL centroid
+    (exact quantized L2, ties → smaller label) and the
+    (true_label, pred_label) cell counts are reported — the one-pass
+    audit of how much label signal the raw space carries before anyone
+    trains a probe, and the confusion structure that tells a curator
+    WHICH classes collapse into each other (``emb_label_centroid_sep``
+    reports that separation exists; this reports where it fails).
+
+    EXACT: the ``emb_label_centroid_sep`` conventions — truncating grid
+    quantization, truncating integer centroid division mirrored
+    branch-wise driver-side, integer distances; the argmin is a
+    min(struct(d2, cid)) with the (d2, cid) total order mirrored as
+    ROW_NUMBER OVER (ORDER BY d2, cid) in the oracle.
+
+    Scale: two corpus passes (the K-bounded centroid collect shared
+    with the centroid-sep/kmeans family, then one broadcast-joined
+    scoring pass whose fan-out is |labels| per (vec, dim)); argmin and
+    confusion cells are hash aggs — no window on the Spark side, no
+    Python."""
+    qdf = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
+        ).alias("qv"),
+    )
+    ex = qdf.select("vec_id", "label", F.posexplode("qv").alias("dim", "v"))
+    ls = ex.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")
+    ).collect()  # bounded: |labels| × EMB_DIM rows
+
+    def tdiv(a: int, b: int) -> int:
+        # truncation-toward-zero, matching Spark div / DuckDB //
+        return a // b if a >= 0 else -((-a) // b)
+
+    cent = [
+        (int(r["label"]), int(r["dim"]), tdiv(int(r["s"]), int(r["n"])))
+        for r in ls
+    ]
+    cent_df = spark.createDataFrame(cent, "cid int, dim int, cv long")
+    d2 = (
+        ex.join(F.broadcast(cent_df), "dim")
+        .groupBy("vec_id", "label", "cid")
+        .agg(
+            F.sum(
+                F.expr("cast((v - cv) * (v - cv) as decimal(38,0))")
+            ).alias("d2")
+        )
+    )
+    pred = d2.groupBy("vec_id", "label").agg(
+        F.min(F.struct("d2", "cid")).alias("m")
+    )
+    return (
+        pred.groupBy(
+            F.col("label").cast("int").alias("true_label"),
+            F.col("m.cid").cast("int").alias("pred_label"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+ORACLE_CENTROID_CONFUSION = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+lq AS (
+  SELECT e.vec_id, e.label, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+cent AS (
+  SELECT label AS cid, dim,
+         CAST(SUM(qv) AS BIGINT) // COUNT(*) AS cv
+  FROM lq GROUP BY 1, 2),
+d2 AS (
+  SELECT l.vec_id, l.label, c.cid,
+         CAST(SUM((l.qv - c.cv) * (l.qv - c.cv)) AS HUGEINT) AS d2
+  FROM lq l JOIN cent c ON l.dim = c.dim
+  GROUP BY 1, 2, 3),
+pick AS (
+  SELECT vec_id, label, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d2)
+SELECT CAST(label AS INT) AS true_label,
+       CAST(cid AS INT) AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pick WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension distribution statistics over the embedding column —
     the fit step for whitening / feature scaling / dead-dimension
@@ -2083,6 +2267,16 @@ SPECS = [
               doc="class-separation audit: per-label between-class "
                   "centroid distance + within-class mean scatter "
                   "(Fisher-ratio ingredients), single-pass fixed-point"),
+    QuerySpec("emb_energy_prefix", emb_energy_prefix,
+              ORACLE_ENERGY_PREFIX, ("similarity", "quality"),
+              doc="per-label squared-norm energy fraction in the first "
+                  "8/16/32 dims (Matryoshka-truncation audit), one-pass "
+                  "fixed-point conditional agg"),
+    QuerySpec("emb_nearest_centroid_confusion", emb_nearest_centroid_confusion,
+              ORACLE_CENTROID_CONFUSION, ("similarity", "quality", "stats"),
+              doc="nearest-centroid classifier confusion matrix (exact "
+                  "quantized L2, min(struct) argmin, two-pass bounded-"
+                  "collect centroids)"),
     QuerySpec("sim_range_search", sim_range_search, ORACLE_RANGE_SEARCH,
               ("similarity", "range")),
     QuerySpec("emb_quantize_int8", emb_quantize_int8, ORACLE_QUANTIZE,

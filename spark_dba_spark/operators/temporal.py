@@ -3314,6 +3314,206 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Two-sample nonparametric tests: Kolmogorov-Smirnov D and Mann-Whitney U
+# (click vs purchase event values — the distribution-shift readouts a
+# feature-monitoring dashboard runs between cohorts; both are EXACT
+# integer statistics, no approximation and no float rank arithmetic)
+# --------------------------------------------------------------------------
+
+TS2_TYPE_A = "click"
+TS2_TYPE_B = "purchase"
+
+
+def _two_sample_bucket_prefix(spark: SparkSession, sf_dir: str):
+    """PASS 1 of the shared two-sample machinery: per-BUCKET sample
+    counts (bucket = floor(value) — bounded by the VALUE RANGE, ~500
+    buckets on this domain, independent of row count) are collected and
+    turned into driver-side exclusive prefix sums + grand totals. The
+    bounded-collect-then-broadcast posture is the
+    ``emb_label_centroid_sep`` convention: two corpus passes, and the
+    fact stream never enters a global window (the naive cumulative-CDF
+    formulation is a single-task sort of every distinct value)."""
+    ev = catalog.load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TS2_TYPE_A, TS2_TYPE_B)
+    )
+    bt = (
+        ev.groupBy(F.expr("cast(floor(value) as int)").alias("b"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == TS2_TYPE_A, 1).otherwise(0)
+            ).alias("s1"),
+            F.sum(
+                F.when(F.col("event_type") == TS2_TYPE_B, 1).otherwise(0)
+            ).alias("s2"),
+        )
+        .collect()
+    )  # bounded: one row per unit of value range (~500 on this domain)
+    pre: list[tuple[int, int, int]] = []
+    a1 = a2 = 0
+    for b, s1, s2 in sorted(
+        (int(r["b"]), int(r["s1"]), int(r["s2"])) for r in bt
+    ):
+        pre.append((b, a1, a2))
+        a1 += s1
+        a2 += s2
+    return ev, pre, a1, a2
+
+
+def _two_sample_cum(spark: SparkSession, sf_dir: str):
+    """PASS 2 core: per distinct value, both samples' tie counts plus
+    the exclusive cross-bucket prefix joined in broadcast; the
+    within-bucket running sum is a window PARTITIONED BY bucket, so no
+    task ever sees more than one bucket's distinct values."""
+    ev, pre, n1, n2 = _two_sample_bucket_prefix(spark, sf_dir)
+    pre_df = spark.createDataFrame(pre, "b int, p1 long, p2 long")
+    per_v = (
+        ev.groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == TS2_TYPE_A, 1).otherwise(0)
+            ).alias("c1"),
+            F.sum(
+                F.when(F.col("event_type") == TS2_TYPE_B, 1).otherwise(0)
+            ).alias("c2"),
+        )
+        .withColumn("b", F.expr("cast(floor(value) as int)"))
+        .join(F.broadcast(pre_df), "b")
+    )
+    w = (
+        W.partitionBy("b")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = per_v.select(
+        "c1",
+        "c2",
+        (F.col("p1") + F.sum("c1").over(w)).cast("long").alias("cum1"),
+        (F.col("p2") + F.sum("c2").over(w)).cast("long").alias("cum2"),
+    )
+    return cum, n1, n2
+
+
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D between the value
+    distributions of '{TS2_TYPE_A}' and '{TS2_TYPE_B}' events — the
+    distribution-shift test a drift monitor runs between cohorts
+    (``drift_psi_value`` bins first; KS is the binning-free
+    complement). With ties, D = max over distinct values v of
+    |F1(v) - F2(v)| with both CDFs evaluated AFTER absorbing all ties
+    at v — kept exact as the INTEGER numerator
+    max|cum1·n2 - cum2·n1| over n1·n2.
+
+    Exactness: counts and cross-multiplied CDF numerators are integers;
+    the one division is the exact-rational half-up (TIES.md B′ — never
+    round(double) a count ratio). Scale: two corpus passes (the
+    bounded bucket-prefix collect, then one distinct-value agg whose
+    running sums are windowed WITHIN buckets); the final max is a plain
+    hash aggregate. No global window, no Python row path."""
+    cum, n1, n2 = _two_sample_cum(spark, sf_dir)
+    den = f"cast({n1} as bigint) * cast({n2} as bigint)"
+    return (
+        cum.agg(
+            F.max(
+                F.abs(
+                    F.col("cum1") * F.lit(n2).cast("long")
+                    - F.col("cum2") * F.lit(n1).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+        .select(
+            F.lit(n1).cast("long").alias("n1"),
+            F.lit(n2).cast("long").alias("n2"),
+            "d_num",
+            F.expr(rat_round6_spark("d_num", den)).alias("ks_d_r6"),
+        )
+    )
+
+
+ORACLE_KS_TWO_SAMPLE = f"""
+WITH pv AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = '{TS2_TYPE_A}' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = '{TS2_TYPE_B}' THEN 1 ELSE 0 END) AS c2
+  FROM events
+  WHERE event_type IN ('{TS2_TYPE_A}', '{TS2_TYPE_B}')
+  GROUP BY 1),
+t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2 FROM pv),
+c AS (SELECT CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS cum2
+      FROM pv),
+m AS (SELECT CAST(MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT) AS d_num,
+             t.n1 AS n1, t.n2 AS n2
+      FROM c, t GROUP BY t.n1, t.n2)
+SELECT n1, n2, d_num,
+       CAST(((d_num) * 2000000 + (n1 * n2)) // (2 * (n1 * n2))
+            AS DOUBLE) / 1000000.0 AS ks_d_r6
+FROM m
+"""
+
+
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between '{TS2_TYPE_A}'
+    and '{TS2_TYPE_B}' event values, with the standard mid-rank
+    treatment of ties — the robust two-cohort location test that
+    complements ``stats_ks_two_sample`` (KS sees shape, U sees
+    stochastic dominance). Mid-ranks introduce .5 fractions, so the
+    statistic is carried as 2·U (an exact integer:
+    2·R1 = Σ_v c1(v)·(2·before(v) + ties(v) + 1), 2U = 2R1 − n1(n1+1));
+    the common-language effect size U/(n1·n2) is the exact-rational
+    half-up of (2U)/(2·n1·n2).
+
+    Scale: identical two-pass posture as the KS twin (shared
+    ``_two_sample_cum`` machinery) — bounded bucket-prefix collect,
+    bucket-partitioned running sums, one final hash aggregate."""
+    cum, n1, n2 = _two_sample_cum(spark, sf_dir)
+    den = f"2 * cast({n1} as bigint) * cast({n2} as bigint)"
+    before = F.col("cum1") + F.col("cum2") - F.col("c1") - F.col("c2")
+    r2 = cum.agg(
+        F.sum(
+            F.col("c1")
+            * (F.lit(2).cast("long") * before + F.col("c1") + F.col("c2") + 1)
+        )
+        .cast("long")
+        .alias("r2_1")
+    )
+    u2 = f"r2_1 - cast({n1} as bigint) * cast({n1} as bigint) - cast({n1} as bigint)"
+    return r2.select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        F.expr(u2).cast("long").alias("u_times2"),
+        F.expr(rat_round6_spark(f"({u2})", den)).alias("cles_r6"),
+    )
+
+
+ORACLE_MANN_WHITNEY = f"""
+WITH pv AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = '{TS2_TYPE_A}' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = '{TS2_TYPE_B}' THEN 1 ELSE 0 END) AS c2
+  FROM events
+  WHERE event_type IN ('{TS2_TYPE_A}', '{TS2_TYPE_B}')
+  GROUP BY 1),
+t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2 FROM pv),
+c AS (SELECT c1, c2,
+             CAST(SUM(c1 + c2) OVER (ORDER BY value) - (c1 + c2)
+                  AS BIGINT) AS s
+      FROM pv),
+r AS (SELECT CAST(SUM(c1 * (2 * s + c1 + c2 + 1)) AS BIGINT) AS r2_1
+      FROM c)
+SELECT t.n1, t.n2,
+       CAST(r.r2_1 - t.n1 * t.n1 - t.n1 AS BIGINT) AS u_times2,
+       CAST(((r.r2_1 - t.n1 * t.n1 - t.n1) * 2000000
+             + (2 * t.n1 * t.n2)) // (2 * (2 * t.n1 * t.n2))
+            AS DOUBLE) / 1000000.0 AS cles_r6
+FROM r, t
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -3489,4 +3689,15 @@ SPECS = [
               doc="per-type Theil-Sen slope: median of pairwise hourly "
                   "slopes (calendar^2-bounded pairs, rank-selected exact "
                   "lower median)"),
+    QuerySpec("stats_ks_two_sample", stats_ks_two_sample,
+              ORACLE_KS_TWO_SAMPLE, ("stats", "drift", "nonparametric"),
+              doc="exact two-sample Kolmogorov-Smirnov D (click vs "
+                  "purchase values): integer CDF cross-multiplication, "
+                  "bucket-partitioned running sums, rational half-up"),
+    QuerySpec("stats_mann_whitney_u", stats_mann_whitney_u,
+              ORACLE_MANN_WHITNEY, ("stats", "nonparametric"),
+              doc="exact Mann-Whitney U with mid-rank ties carried as "
+                  "the integer 2U + common-language effect size "
+                  "(shared two-pass bucketed-CDF machinery with the KS "
+                  "twin)"),
 ]

@@ -2361,6 +2361,187 @@ ORDER BY r.source
 """
 
 
+# --------------------------------------------------------------------------
+# Tokenizer training: first BPE merge (top adjacent character pairs)
+# --------------------------------------------------------------------------
+
+BPE_TOP_K = 20
+
+
+def text_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIRST iteration of byte-pair-encoding tokenizer training:
+    corpus-wide frequency of every adjacent character pair inside words,
+    ranked; the top pair is the merge a BPE trainer would apply first.
+    This is the statistic-gathering step that dominates tokenizer
+    training at corpus scale.
+
+    Scale posture — the vocabulary-contraction trick: the corpus is
+    first reduced to (word, count) — a hash agg whose map-side partials
+    absorb the token fan-out and whose output is VOCABULARY-sized, not
+    corpus-sized — and only the distinct words (tens per source here;
+    ~10^5-10^6 on a real crawl) are exploded into character pairs,
+    weighted by count. Exploding pairs per OCCURRENCE would be a
+    corpus×word-length fan-out; per TYPE it is vocabulary×word-length.
+    Final ranking is TakeOrderedAndProject over the pair-type table.
+
+    Exactness: pure integer counts; deterministic total order
+    (freq DESC, pair ASC) so the top-{BPE_TOP_K} cut is stable on both
+    engines."""
+    wc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wc.select(
+        "c",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+ORACLE_BPE_FIRST_MERGE = f"""
+WITH wc AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1),
+p AS (
+  SELECT substr(w, i, 2) AS pair, c
+  FROM wc, LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 2)
+SELECT pair, CAST(SUM(c) AS BIGINT) AS freq
+FROM p GROUP BY pair
+ORDER BY freq DESC, pair LIMIT {BPE_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary growth per source (bigram types vs docs ingested)
+# --------------------------------------------------------------------------
+
+
+def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth audit per source: how many NEW
+    bigram types each quartile of the ingest sequence (docs ordered by
+    doc_id) contributes. A healthy crawl keeps discovering types
+    (sublinear but unbounded growth); a source whose curve flattens to
+    zero is replaying templates — the point a curation pipeline stops
+    paying for more of it. Bigrams, not unigrams, for the same
+    degeneracy reason as ``text_hapax_bigrams``.
+
+    Shape: each (source, bigram) type is attributed to the FIRST doc
+    that contains it (min doc_id — one vocabulary-grain hash agg), the
+    per-doc new-type counts are summed cumulatively along the per-source
+    doc spine, and the curve is sampled at the quartile positions
+    ceil(n/4), ceil(n/2), ceil(3n/4), n — integer positions via
+    truncating div, identical on both engines.
+
+    Scale: one explode → vocabulary-grain agg (map-side partials), one
+    doc-grain agg, then windows PARTITIONED BY source over the doc
+    spine (docs-per-source rows, never token-sized). No global window,
+    no Python."""
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) "
+                "ELSE array(text) END"
+            )
+        ).alias("b"),
+    )
+    first_doc = bg.groupBy("source", "b").agg(
+        F.min("doc_id").alias("fd")
+    )
+    new_per_doc = first_doc.groupBy("source", F.col("fd").alias("doc_id")).agg(
+        F.count("*").alias("nnew")
+    )
+    spine = (
+        docs.select("source", "doc_id")
+        .join(new_per_doc, ["source", "doc_id"], "left_outer")
+        .withColumn("nnew", F.coalesce("nnew", F.lit(0)))
+    )
+    wo = W.partitionBy("source").orderBy("doc_id")
+    wall = W.partitionBy("source")
+    cum = (
+        spine.withColumn("pos", F.row_number().over(wo))
+        .withColumn(
+            "cum",
+            F.sum("nnew").over(
+                wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn("n", F.count("*").over(wall))
+    )
+    q = "(n + 3) div 4", "(n + 1) div 2", "(3 * n + 3) div 4"
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.max(F.when(F.expr(f"pos = {q[0]}"), F.col("cum")))
+            .cast("long")
+            .alias("types_q25"),
+            F.max(F.when(F.expr(f"pos = {q[1]}"), F.col("cum")))
+            .cast("long")
+            .alias("types_q50"),
+            F.max(F.when(F.expr(f"pos = {q[2]}"), F.col("cum")))
+            .cast("long")
+            .alias("types_q75"),
+            F.max("cum").cast("long").alias("types_total"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_HEAPS_VOCAB = """
+WITH d AS (SELECT source, doc_id, text, string_split(text, ' ') AS ws
+           FROM documents),
+bg AS (
+  SELECT source, doc_id,
+         CASE WHEN len(ws) >= 2 THEN ws[i] || ' ' || ws[i+1]
+              ELSE text END AS b
+  FROM d, LATERAL unnest(generate_series(1, greatest(len(ws) - 1, 1)))
+       AS u(i)),
+fd AS (SELECT source, b, MIN(doc_id) AS fd FROM bg GROUP BY 1, 2),
+npd AS (SELECT source, fd AS doc_id, COUNT(*) AS nnew
+        FROM fd GROUP BY 1, 2),
+spine AS (
+  SELECT d.source, d.doc_id, COALESCE(npd.nnew, 0) AS nnew
+  FROM (SELECT DISTINCT source, doc_id FROM documents) d
+  LEFT JOIN npd ON d.source = npd.source AND d.doc_id = npd.doc_id),
+cum AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS pos,
+         CAST(SUM(nnew) OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS cum,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM spine)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN pos = (n + 3) // 4 THEN cum END)
+            AS BIGINT) AS types_q25,
+       CAST(MAX(CASE WHEN pos = (n + 1) // 2 THEN cum END)
+            AS BIGINT) AS types_q50,
+       CAST(MAX(CASE WHEN pos = (3 * n + 3) // 4 THEN cum END)
+            AS BIGINT) AS types_q75,
+       CAST(MAX(cum) AS BIGINT) AS types_total
+FROM cum GROUP BY source ORDER BY source
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
@@ -2485,4 +2666,14 @@ SPECS = [
               doc="per-source ingest funnel raw -> gated -> unique with "
                   "dup ratio; batch twin of streaming/jobs."
                   "run_corpus_funnel_stream (shared gate predicate)"),
+    QuerySpec("text_bpe_first_merge", text_bpe_first_merge,
+              ORACLE_BPE_FIRST_MERGE, ("text", "tokenizer"),
+              doc="first BPE merge iteration: top adjacent char-pair "
+                  "frequencies via the vocabulary-contraction trick "
+                  "(explode pairs per word TYPE, weight by count)"),
+    QuerySpec("text_heaps_vocab_growth", text_heaps_vocab_growth,
+              ORACLE_HEAPS_VOCAB, ("text", "quality", "curation"),
+              doc="Heaps'-law bigram vocabulary-growth curve per source "
+                  "sampled at ingest-sequence quartiles (template-replay "
+                  "saturation signal)"),
 ]

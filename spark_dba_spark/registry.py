@@ -122,10 +122,19 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "sim_cosine_topk",
     "text_quality",
     # --- beyond slot 50: the driver window ends above. The never-
-    # checked backlog is now exactly ONE entry, pinned first per the
-    # backlog test: sketch_hll_reaggregate, rows-only-by-design
-    # (inherently approximate sketch; exact-twin pytest is its gate).
+    # checked backlog queues here, contiguously after the window
+    # (enforced by test_remaining_backlog_queued_right_after_window):
+    # sketch_hll_reaggregate is rows-only-by-design (inherently
+    # approximate sketch; exact-twin pytest is its gate, may not take a
+    # window slot), then the mid-r8 continuation additions — full-oracle,
+    # r9 window candidates.
     "sketch_hll_reaggregate",
+    "stats_ks_two_sample",
+    "stats_mann_whitney_u",
+    "text_bpe_first_merge",
+    "text_heaps_vocab_growth",
+    "emb_energy_prefix",
+    "emb_nearest_centroid_confusion",
 )
 
 # r7-window greens, non-bench — rotate to the tail this round (driver row

@@ -1625,3 +1625,177 @@ def test_modality_quota_pack_matches_greedy_per_modality(spark):
     }
     assert got == expected
     assert all(v[2] < MM_QUOTA_BYTES for v in got.values())
+
+
+def test_bpe_first_merge_equals_brute(spark):
+    """The vocabulary-contraction BPE pair count equals the per-
+    occurrence brute force (the contraction is count-weighting, not an
+    approximation), and the cut is the (freq DESC, pair) total order."""
+    import duckdb
+
+    from spark_dba_spark.operators.text import (
+        BPE_TOP_K,
+        text_bpe_first_merge,
+    )
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    from collections import Counter
+
+    freq: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                freq[w[i : i + 2]] += 1
+    expect = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+    got = [
+        (r["pair"], r["freq"])
+        for r in text_bpe_first_merge(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
+def test_heaps_growth_equals_brute_and_is_monotone(spark):
+    """The windowed first-occurrence curve equals a sequential-set brute
+    force per source, and the quartile samples are monotone
+    non-decreasing up to the total distinct-type count."""
+    import duckdb
+
+    from spark_dba_spark.operators.text import text_heaps_vocab_growth
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT source, doc_id, text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet') ORDER BY source, doc_id"
+    ).fetchall()
+    con.close()
+
+    def bigrams(t):
+        ws = t.split(" ")
+        if len(ws) >= 2:
+            return [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+        return [t]
+
+    per: dict[str, list] = {}
+    for src, did, t in rows:
+        per.setdefault(src, []).append((did, t))
+    expect = {}
+    for src, docs in per.items():
+        seen: set = set()
+        curve = []
+        for _, t in docs:
+            seen.update(bigrams(t))
+            curve.append(len(seen))
+        n = len(curve)
+        expect[src] = (
+            n,
+            curve[(n + 3) // 4 - 1],
+            curve[(n + 1) // 2 - 1],
+            curve[(3 * n + 3) // 4 - 1],
+            curve[-1],
+        )
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["types_q25"],
+            r["types_q50"],
+            r["types_q75"],
+            r["types_total"],
+        )
+        for r in text_heaps_vocab_growth(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    for n, q25, q50, q75, tot in got.values():
+        assert 0 <= q25 <= q50 <= q75 <= tot
+
+
+def test_energy_prefix_and_confusion_equal_numpy(spark):
+    """Both fixed-point embedding audits equal a NumPy re-derivation
+    under the shared conventions (trunc-toward-zero grid quantization,
+    truncating centroid division, (d2, label) argmin tie-break), and
+    the confusion row sums give back the per-label populations."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.similarity import (
+        KM_QUANT,
+        emb_energy_prefix,
+        emb_nearest_centroid_confusion,
+    )
+
+    tb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    labels = np.asarray(tb["label"])
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tb["embedding"].to_pylist()]
+    )
+    q = np.trunc(vecs * KM_QUANT).astype(np.int64)
+
+    # energy prefixes
+    got_e = {
+        r["label"]: (
+            r["n_vecs"],
+            r["energy_q2"],
+            r["e8_ratio"],
+            r["e16_ratio"],
+            r["e32_ratio"],
+        )
+        for r in emb_energy_prefix(spark, SF_DIR).collect()
+    }
+
+    def half_up(num, den):
+        return float((int(num) * 2_000_000 + int(den)) // (2 * int(den))) / 1e6
+
+    for lab in np.unique(labels):
+        ql = q[labels == lab]
+        sq = ql * ql
+        e_all = int(sq.sum())
+        e8, e16, e32 = (int(sq[:, :m].sum()) for m in (8, 16, 32))
+        assert got_e[int(lab)] == (
+            ql.shape[0],
+            e_all,
+            half_up(e8, e_all),
+            half_up(e16, e_all),
+            half_up(e32, e_all),
+        )
+
+    # nearest-centroid confusion
+    def tdiv(a, b):
+        return int(a) // int(b) if a >= 0 else -((-int(a)) // int(b))
+
+    ulabs = sorted(int(x) for x in np.unique(labels))
+    cents = np.stack(
+        [
+            np.array(
+                [
+                    tdiv(s, (labels == lab).sum())
+                    for s in q[labels == lab].sum(axis=0)
+                ],
+                dtype=np.int64,
+            )
+            for lab in ulabs
+        ]
+    )
+    from collections import Counter
+
+    expect: Counter = Counter()
+    for i in range(q.shape[0]):
+        d2 = ((q[i][None, :] - cents) ** 2).sum(axis=1)
+        pred = ulabs[int(np.lexsort((np.array(ulabs), d2))[0])]
+        expect[(int(labels[i]), pred)] += 1
+    got_c = {
+        (r["true_label"], r["pred_label"]): r["n"]
+        for r in emb_nearest_centroid_confusion(spark, SF_DIR).collect()
+    }
+    assert got_c == dict(expect)
+    row_sums: dict = {}
+    for (t, _), n in got_c.items():
+        row_sums[t] = row_sums.get(t, 0) + n
+    assert row_sums == {
+        int(lab): int((labels == lab).sum()) for lab in ulabs
+    }

@@ -463,3 +463,62 @@ def test_scorecard_shortest_repr_tie(spark, tmp_path):
     orow = con.execute(ORACLE_SUPPLIER_SCORECARD).fetchone()
     con.close()
     assert orow[2] == row["on_time_rate"]
+
+
+def test_ks_and_mwu_equal_brute_force(spark):
+    """The bucketed two-pass KS/MWU formulations equal the textbook
+    single-stream definitions computed in plain Python on the same
+    sample (sf0.001) — guards the bucket-prefix plumbing (off-by-one in
+    the exclusive prefix or the tie handling would shift both)."""
+    import duckdb
+
+    from conftest import SF_DIR
+    from spark_dba_spark.operators.temporal import (
+        TS2_TYPE_A,
+        TS2_TYPE_B,
+        stats_ks_two_sample,
+        stats_mann_whitney_u,
+    )
+
+    con = duckdb.connect()
+    vals = con.execute(
+        "SELECT event_type, value FROM "
+        f"read_parquet('{SF_DIR}/events.parquet') "
+        f"WHERE event_type IN ('{TS2_TYPE_A}', '{TS2_TYPE_B}')"
+    ).fetchall()
+    con.close()
+    s1 = sorted(v for t, v in vals if t == TS2_TYPE_A)
+    s2 = sorted(v for t, v in vals if t == TS2_TYPE_B)
+    n1, n2 = len(s1), len(s2)
+    assert n1 > 0 and n2 > 0
+
+    # KS: max over distinct values of |cum1*n2 - cum2*n1| (ties absorbed)
+    from collections import Counter
+
+    c1, c2 = Counter(s1), Counter(s2)
+    cum1 = cum2 = 0
+    d_num = 0
+    for v in sorted(set(s1) | set(s2)):
+        cum1 += c1.get(v, 0)
+        cum2 += c2.get(v, 0)
+        d_num = max(d_num, abs(cum1 * n2 - cum2 * n1))
+    row = stats_ks_two_sample(spark, SF_DIR).collect()[0]
+    assert (row["n1"], row["n2"], row["d_num"]) == (n1, n2, d_num)
+
+    # MWU: mid-rank rank-sum over the combined sample, carried as 2R
+    allv = sorted(s1 + s2)
+    # 2*midrank of a tie group spanning ranks (s+1..s+t) is 2s + t + 1
+    before = 0
+    r2_1 = 0
+    for v in sorted(set(allv)):
+        t = c1.get(v, 0) + c2.get(v, 0)
+        r2_1 += c1.get(v, 0) * (2 * before + t + 1)
+        before += t
+    u2 = r2_1 - n1 * (n1 + 1)
+    assert 0 <= u2 <= 2 * n1 * n2
+    mrow = stats_mann_whitney_u(spark, SF_DIR).collect()[0]
+    assert (mrow["n1"], mrow["n2"], mrow["u_times2"]) == (n1, n2, u2)
+    # exact-rational half-up of the common-language effect size
+    den = 2 * n1 * n2
+    expect = float((u2 * 2_000_000 + den) // (2 * den)) / 1e6
+    assert mrow["cles_r6"] == expect
