@@ -2021,6 +2021,102 @@ ORDER BY s_suppkey
 SKETCH_TOP_K = 10
 
 
+CMS_D = 4  # count-min depth (hash rows)
+CMS_W = 256  # count-min width (buckets per row)
+CMS_TOP = 20  # keys probed against the sketch
+
+
+def sketch_count_min_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over l_partkey frequencies — with a FULL
+    value-hash oracle, unlike the engine-native sketch family: because
+    the {CMS_D}x{CMS_W} counter matrix uses FIXED md5-derived bucket
+    functions, every counter and every estimate is a pure function of
+    the input multiset, so DuckDB reproduces the sketch exactly (the
+    same md5-parity idiom as stats_ab_test / dataset_split_hash). The
+    probe reports, for the top-{CMS_TOP} true-heaviest keys, the true
+    count, the CMS estimate min_j(counter[j][h_j(k)]), and the
+    collision overestimate (>= 0 by the CMS guarantee — pytest-pinned).
+
+    Scale: TWO corpus passes in the two-pass posture (counters:
+    key-grain agg -> {CMS_D}x fan-out -> {CMS_D}*{CMS_W}-row bounded
+    counter table; probe: the same key-grain agg -> top-K selection),
+    then a broadcast join of the bounded counter table onto the
+    {CMS_TOP}-row probe set. At stream scale the counter build is the
+    mergeable-sketch map side; the bounded matrix is the whole state."""
+
+    def bucket(key_col: str, j_col: str) -> str:
+        return (
+            f"cast(conv(substring(md5(concat(cast({key_col} as string), "
+            f"':cms:', cast({j_col} as string))), 1, 7), 16, 10) as bigint) "
+            f"% {CMS_W}"
+        )
+
+    keys = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("true_n"))
+    )
+    counters = (
+        keys.select(
+            "l_partkey",
+            "true_n",
+            F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("j"),
+        )
+        .withColumn("bkt", F.expr(bucket("l_partkey", "j")))
+        .groupBy("j", "bkt")
+        .agg(F.sum("true_n").cast("long").alias("cnt"))
+    )
+    probe = (
+        keys.orderBy(F.desc("true_n"), F.asc("l_partkey"))
+        .limit(CMS_TOP)
+        .select(
+            "l_partkey",
+            "true_n",
+            F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("j"),
+        )
+        .withColumn("bkt", F.expr(bucket("l_partkey", "j")))
+    )
+    return (
+        probe.join(F.broadcast(counters), ["j", "bkt"])
+        .groupBy("l_partkey", "true_n")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+        .select(
+            "l_partkey",
+            "true_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_n")).cast("long").alias("over_n"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+ORACLE_COUNT_MIN = f"""
+WITH keys AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM lineitem GROUP BY 1),
+js AS (SELECT unnest(range({CMS_D})) AS j),
+counters AS (
+  SELECT j,
+         CAST(('0x' || SUBSTRING(md5(CAST(l_partkey AS VARCHAR) || ':cms:'
+                  || CAST(j AS VARCHAR)), 1, 7)) AS BIGINT) % {CMS_W} AS bkt,
+         CAST(SUM(true_n) AS BIGINT) AS cnt
+  FROM keys CROSS JOIN js GROUP BY 1, 2),
+probe AS (
+  SELECT l_partkey, true_n FROM keys
+  ORDER BY true_n DESC, l_partkey LIMIT {CMS_TOP}),
+pj AS (
+  SELECT p.l_partkey, p.true_n, j.j,
+         CAST(('0x' || SUBSTRING(md5(CAST(p.l_partkey AS VARCHAR) || ':cms:'
+                  || CAST(j.j AS VARCHAR)), 1, 7)) AS BIGINT) % {CMS_W} AS bkt
+  FROM probe p CROSS JOIN js j)
+SELECT pj.l_partkey, pj.true_n,
+       CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+       CAST(MIN(c.cnt) - pj.true_n AS BIGINT) AS over_n
+FROM pj JOIN counters c ON pj.j = c.j AND pj.bkt = c.bkt
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 def sketch_top_k_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via the approx_top_k frequency sketch (Spark 4) —
     the streaming-friendly answer to "which suppliers dominate line
@@ -5207,6 +5303,13 @@ SPECS = [
               ("join", "text", "fuzzy"),
               doc="blocked levenshtein entity resolution on the name "
                   "dictionary"),
+    QuerySpec("sketch_count_min_deterministic",
+              sketch_count_min_deterministic, ORACLE_COUNT_MIN,
+              ("sketch", "agg"),
+              doc="count-min sketch with FIXED md5 bucket functions -> "
+                  "fully deterministic, full value-hash oracle; top-20 "
+                  "heavy keys probed for estimate + collision "
+                  "overestimate (two-pass bounded counter matrix)"),
     QuerySpec("sketch_top_k_heavy_hitters", sketch_top_k_heavy_hitters,
               None, ("agg", "sketch"),
               doc="approx_top_k frequency-sketch heavy hitters "

@@ -2542,6 +2542,117 @@ FROM cum GROUP BY source ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Temperature-flattened source mixing (UniMax/multilingual-sampling shape)
+# --------------------------------------------------------------------------
+
+TEMP_MIX_QUANT = float(1 << 20)  # sqrt-weight grid, exactly representable
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened dataset mixing at α = 0.5: each source's
+    sampling weight is √tokens instead of tokens, the standard move
+    (multilingual/UniMax pretraining mixes) that up-weights low-resource
+    sources without letting any dominate; both the flattened and the
+    proportional Hamilton allocations of the {QUOTA_TOTAL}-doc budget
+    are reported with their per-source delta, so the curator sees
+    exactly how many seats the temperature moved and where.
+
+    Exactness: α = 0.5 deliberately — IEEE sqrt is a CORRECTLY-ROUNDED
+    basic operation (bit-identical on any engine build), unlike pow(x,
+    0.7) whose libm varies; the sqrt weight then truncates onto the
+    2^-20 grid so the weight SUM is an order-independent integer and
+    both apportionments run in pure integer arithmetic (the
+    ``sample_stratified_quota`` machinery). Scale: one fact-side token
+    count per source, then every window is confined to the
+    SOURCE-bounded frame (n_sources rows, never fact-sized)."""
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("long").alias("m"))
+        .withColumn(
+            "wq",
+            F.expr(
+                f"cast(floor(sqrt(cast(m as double)) * {TEMP_MIX_QUANT!r}) "
+                "as bigint)"
+            ),
+        )
+    )
+    wg = W.partitionBy()  # bounded: the source-dimension frame
+
+    def hamilton(df: DataFrame, weight: str, alias: str) -> DataFrame:
+        wr = W.orderBy(F.desc(f"__rem_{alias}"), F.asc("source"))
+        return (
+            df.withColumn(f"__tot_{alias}", F.sum(weight).over(wg))
+            .withColumn(
+                f"__base_{alias}",
+                F.expr(f"({weight} * {QUOTA_TOTAL}) div __tot_{alias}"),
+            )
+            .withColumn(
+                f"__rem_{alias}",
+                F.expr(f"({weight} * {QUOTA_TOTAL}) % __tot_{alias}"),
+            )
+            .withColumn(
+                f"__extra_{alias}",
+                F.lit(QUOTA_TOTAL) - F.sum(f"__base_{alias}").over(wg),
+            )
+            .withColumn(f"__rk_{alias}", F.row_number().over(wr))
+            .withColumn(
+                alias,
+                (
+                    F.col(f"__base_{alias}")
+                    + F.when(
+                        F.col(f"__rk_{alias}") <= F.col(f"__extra_{alias}"), 1
+                    ).otherwise(0)
+                ).cast("long"),
+            )
+        )
+    out = hamilton(hamilton(per, "m", "alloc_prop"), "wq", "alloc_temp")
+    return out.select(
+        "source",
+        F.col("m").alias("n_tokens"),
+        "wq",
+        "alloc_prop",
+        "alloc_temp",
+        (F.col("alloc_temp") - F.col("alloc_prop"))
+        .cast("long")
+        .alias("delta_alloc"),
+    ).orderBy("source")
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH per AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS m,
+         CAST(FLOOR(sqrt(CAST(SUM(len(string_split(text, ' ')))
+                              AS DOUBLE)) * {TEMP_MIX_QUANT!r})
+              AS BIGINT) AS wq
+  FROM documents GROUP BY 1),
+tp AS (SELECT CAST(SUM(m) AS BIGINT) AS tot_p,
+              CAST(SUM(wq) AS BIGINT) AS tot_w FROM per),
+j AS (SELECT source, m, wq,
+             (m * {QUOTA_TOTAL}) // tot_p AS base_p,
+             (m * {QUOTA_TOTAL}) % tot_p AS rem_p,
+             (wq * {QUOTA_TOTAL}) // tot_w AS base_w,
+             (wq * {QUOTA_TOTAL}) % tot_w AS rem_w
+      FROM per, tp),
+x AS (SELECT CAST({QUOTA_TOTAL} - SUM(base_p) AS BIGINT) AS extra_p,
+             CAST({QUOTA_TOTAL} - SUM(base_w) AS BIGINT) AS extra_w FROM j),
+r AS (SELECT j.*,
+             ROW_NUMBER() OVER (ORDER BY rem_p DESC, source) AS rk_p,
+             ROW_NUMBER() OVER (ORDER BY rem_w DESC, source) AS rk_w
+      FROM j),
+a AS (SELECT source, m, wq,
+             CAST(base_p + CASE WHEN rk_p <= x.extra_p THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc_prop,
+             CAST(base_w + CASE WHEN rk_w <= x.extra_w THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc_temp
+      FROM r, x)
+SELECT source, m AS n_tokens, wq, alloc_prop, alloc_temp,
+       CAST(alloc_temp - alloc_prop AS BIGINT) AS delta_alloc
+FROM a ORDER BY source
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
@@ -2676,4 +2787,9 @@ SPECS = [
               doc="Heaps'-law bigram vocabulary-growth curve per source "
                   "sampled at ingest-sequence quartiles (template-replay "
                   "saturation signal)"),
+    QuerySpec("corpus_temperature_mix", corpus_temperature_mix,
+              ORACLE_TEMPERATURE_MIX, ("text", "sampling", "curation"),
+              doc="alpha=0.5 temperature-flattened source mixing: sqrt "
+                  "weights (IEEE-exact) on the integer grid, dual "
+                  "Hamilton allocations + per-source seat delta"),
 ]

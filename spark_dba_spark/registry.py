@@ -135,6 +135,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "text_heaps_vocab_growth",
     "emb_energy_prefix",
     "emb_nearest_centroid_confusion",
+    "corpus_temperature_mix",
+    "ev_stream_static_enrich",
+    "sketch_count_min_deterministic",
 )
 
 # r7-window greens, non-bench — rotate to the tail this round (driver row

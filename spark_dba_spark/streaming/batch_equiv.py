@@ -692,6 +692,59 @@ FROM c GROUP BY win ORDER BY win_start_us
 """
 
 
+# --------------------------------------------------------------------------
+# Stream-static enrichment: event stream joined to a static dimension
+# --------------------------------------------------------------------------
+
+
+def segment_rollup(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """SHARED transformation for the stream-static enrichment: the event
+    stream joined to the static customer dimension (broadcast — the
+    stream side never shuffles for the join) and rolled up to
+    (market segment, event type) counts + exact-decimal revenue. Used
+    verbatim by both the batch form below and
+    ``streaming/jobs.run_stream_static_enrich``, so the oracle gating
+    the batch form transitively gates the streaming job."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").cast("long").alias("n"),
+             dsum("value", "sum_value"))
+    )
+
+
+def ev_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STATIC JOIN pipeline — the enrichment
+    shape every production event pipeline runs (click stream × slowly-
+    changing user/account dimension): per (market segment, event type),
+    event counts and exact-decimal revenue. The streaming twin
+    (``jobs.run_stream_static_enrich``) executes the SAME shared
+    transformation as a readStream with the dimension on the static
+    side; stream == batch is pytest-pinned and this form carries the
+    value-hash oracle.
+
+    Scale: the dimension broadcasts (stream/fact side never shuffles
+    for the join — at 100 TB the fact stream's only wire crossing is
+    the final segment×type hash agg, whose map-side partials reduce to
+    a bounded grid); exact-decimal sums are order-independent so the
+    parallel aggregation is deterministic."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "value")
+    cust = catalog.load(spark, sf_dir, "customer")
+    return segment_rollup(ev, cust).orderBy("c_mktsegment", "event_type")
+
+
+ORACLE_STREAM_STATIC = """
+SELECT c_mktsegment, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("ev_tumbling_1h", ev_tumbling_1h, ORACLE_TUMBLING,
               ("streaming", "window"), bench=True),
@@ -737,4 +790,10 @@ SPECS = [
                   "(on-time / late-accepted / dropped under a 10-min "
                   "watermark over a deterministic arrival replay; "
                   "bucketed prefix-max, no global window)"),
+    QuerySpec("ev_stream_static_enrich", ev_stream_static_enrich,
+              ORACLE_STREAM_STATIC, ("streaming", "join", "enrichment"),
+              doc="stream-static join enrichment rollup (event stream x "
+                  "broadcast customer dimension -> segment/type counts + "
+                  "exact-decimal revenue); shared transformation with "
+                  "jobs.run_stream_static_enrich, stream==batch pinned"),
 ]

@@ -715,3 +715,37 @@ def run_user_gap_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_stream_static_enrich(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_static_enrich"
+) -> DataFrame:
+    """STREAM-STATIC JOIN: the live event stream enriched against the
+    static customer dimension (batch DataFrame — Spark broadcasts it to
+    every micro-batch; the stream side never shuffles for the join),
+    rolled up to (segment, event type) counts + exact-decimal revenue.
+    The transformation is the SHARED ``batch_equiv.segment_rollup``, so
+    the DuckDB oracle gating ``ev_stream_static_enrich`` transitively
+    gates this job; stream == batch is pinned by
+    tests/test_streaming.py::test_stream_static_enrich_equals_batch.
+
+    Complete-mode memory sink under availableNow: the dimension is
+    re-read per micro-batch (exactly how a slowly-changing dimension
+    behaves in production — a dim update between triggers is picked
+    up), and every (segment, type) cell is emitted."""
+    from . import batch_equiv
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    cust = catalog.load(spark, sf_dir, "customer")
+    q = (
+        batch_equiv.segment_rollup(ev, cust)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1799,3 +1799,50 @@ def test_energy_prefix_and_confusion_equal_numpy(spark):
     assert row_sums == {
         int(lab): int((labels == lab).sum()) for lab in ulabs
     }
+
+
+def test_count_min_overestimates_and_matches_brute(spark):
+    """CMS guarantee: estimate >= true count for every probed key; and
+    the fixed-md5 sketch equals a Python re-derivation of the counter
+    matrix (pins the bucket-function parity both engines rely on)."""
+    import duckdb
+    import hashlib
+    from collections import Counter
+
+    from spark_dba_spark.operators.relational import (
+        CMS_D,
+        CMS_TOP,
+        CMS_W,
+        sketch_count_min_deterministic,
+    )
+
+    con = duckdb.connect()
+    keys = [
+        r[0]
+        for r in con.execute(
+            f"SELECT l_partkey FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    true = Counter(keys)
+
+    def bucket(k, j):
+        h = hashlib.md5(f"{k}:cms:{j}".encode()).hexdigest()
+        return int(h[:7], 16) % CMS_W
+
+    counters = [[0] * CMS_W for _ in range(CMS_D)]
+    for k, n in true.items():
+        for j in range(CMS_D):
+            counters[j][bucket(k, j)] += n
+    top = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOP]
+    expect = {}
+    for k, n in top:
+        est = min(counters[j][bucket(k, j)] for j in range(CMS_D))
+        expect[k] = (n, est, est - n)
+    got = {
+        r["l_partkey"]: (r["true_n"], r["cms_est"], r["over_n"])
+        for r in sketch_count_min_deterministic(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    for n, est, over in got.values():
+        assert est >= n and over >= 0

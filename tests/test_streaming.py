@@ -535,3 +535,16 @@ def test_asset_ingest_stream_equals_batch(spark):
     )
     assert got == want
     assert len(got) == 3  # image / audio / video all present
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """Stream-static join (event stream x broadcast customer dimension):
+    the complete-mode rollup must equal the batch twin cell-for-cell —
+    the join must not drop or duplicate stream rows across micro-batch
+    boundaries."""
+    from spark_dba_spark.streaming import batch_equiv, jobs
+
+    stream_out = jobs.run_stream_static_enrich(spark, SF_DIR, "t_ss_enrich")
+    batch_out = batch_equiv.ev_stream_static_enrich(spark, SF_DIR)
+    assert sorted(stream_out.columns) == sorted(batch_out.columns)
+    assert _rows(stream_out) == _rows(batch_out)

@@ -112,6 +112,11 @@ GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
         "(calendar-bounded); the per-row cummax is partitioned BY "
         "bucket — the fact stream never enters a global window"
     ),
+    "corpus_temperature_mix": (
+        "dual Hamilton apportionment over the SOURCE dimension (fact "
+        "stream pre-reduced to one token-mass row per source — the "
+        "sample_stratified_quota frame)"
+    ),
 }
 
 
