@@ -912,6 +912,89 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# k-hop BFS reachability over the near-dup graph
+# --------------------------------------------------------------------------
+
+KHOP_MOD = 7  # seed set: graph nodes with doc_id % KHOP_MOD == 0
+KHOP_HOPS = 3
+
+
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the near-dup graph: from a deterministic
+    seed set (graph nodes with doc_id ≡ 0 mod {KHOP_MOD}), the minimum
+    hop distance of every document reachable within {KHOP_HOPS} hops —
+    the "blast radius" query a curator runs after flagging a batch of
+    bad documents (how far does contamination propagate through
+    near-duplication chains?), and the third iterative-graph member
+    next to connected components (uncapped closure) and PageRank
+    (weighted influence).
+
+    Plan: {KHOP_HOPS} unrolled rounds of frontier-join + min-dist
+    re-aggregation, each materialized via ``localCheckpoint`` (the
+    cc/pagerank idiom — O(1) lineage, the edge pipeline runs once).
+    Pure integer distances; min-union semantics make the candidate
+    generation order irrelevant, so the unrolled DuckDB CTE chain is
+    value-identical. Scales as {KHOP_HOPS} keyed shuffles of the edge
+    list — frontier joins are the textbook distributed-BFS dataflow."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .filter(F.expr(f"doc_id % {KHOP_MOD} = 0"))
+        .select("doc_id", F.lit(0).alias("dist"))
+    )
+    for _ in range(KHOP_HOPS):
+        frontier = edges.join(
+            state.select(F.col("doc_id").alias("src"), "dist"), "src"
+        ).select(F.col("dst").alias("doc_id"), (F.col("dist") + 1).alias("dist"))
+        state = (
+            state.union(frontier)
+            .groupBy("doc_id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("doc_id")
+
+
+def _khop_iter_ctes() -> str:
+    parts = []
+    for i in range(1, KHOP_HOPS + 1):
+        parts.append(
+            f"u{i} AS (SELECT doc_id, dist FROM d{i - 1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS doc_id, d.dist + 1 AS dist "
+            f"FROM edges e JOIN d{i - 1} d ON e.src = d.doc_id),\n"
+            f"d{i} AS (SELECT doc_id, MIN(dist) AS dist FROM u{i} "
+            f"GROUP BY 1)"
+        )
+    return ",\n".join(parts)
+
+
+ORACLE_KHOP_REACH = f"""
+WITH {_NGRAM_PAIR_CTES},
+jp AS (
+  SELECT doc_a, doc_b
+  FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_TAU}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION ALL SELECT doc_b, doc_a FROM jp),
+d0 AS (SELECT DISTINCT src AS doc_id, 0 AS dist FROM edges
+       WHERE src % {KHOP_MOD} = 0),
+{_khop_iter_ctes()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dist AS INT) AS dist
+FROM d{KHOP_HOPS} ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash calibration (sketch estimate vs exact Jaccard)
 # --------------------------------------------------------------------------
 
@@ -1206,6 +1289,12 @@ SPECS = [
               ORACLE_PAGERANK, ("dedup", "graph", "iterative"),
               doc="power-iteration PageRank on the near-dup graph "
                   "(template-hub detection)"),
+    QuerySpec("graph_khop_reach", graph_khop_reach,
+              ORACLE_KHOP_REACH, ("dedup", "graph", "iterative"),
+              doc="bounded-depth BFS min-hop reachability from a "
+                  "deterministic seed set over the near-dup graph "
+                  "(contamination blast-radius; unrolled frontier "
+                  "joins, localCheckpoint lineage)"),
     QuerySpec("dedup_containment", dedup_containment, ORACLE_CONTAINMENT,
               ("dedup", "neardup", "containment"),
               doc="asymmetric shingle containment — subset-duplicate "

@@ -1661,6 +1661,113 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# PQ codebook quality: per-subspace quantization distortion
+# --------------------------------------------------------------------------
+
+
+def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace quantization-distortion audit of the
+    ``sim_pq_adc`` codebook: for each of the {PQ_M} subspaces, the
+    number of vectors, the TOTAL squared quantization error
+    Σ_v min_k ||v_sub − c_k,sub||², its mean, and how many of the
+    {PQ_K} codewords the corpus actually uses — the report that tells
+    an ANN operator WHICH subspace's codebook is under-trained (high
+    distortion) or collapsed (few codewords used) before recall
+    degrades. Shares the seed-codebook convention (and the
+    contiguous-seed assert) with ``sim_pq_adc`` so it audits the REAL
+    codebook, not a twin.
+
+    EXACT: the kmeans fixed-point recipe — grid-truncated inputs,
+    integer subspace distances, encode argmin ties to the lowest
+    codeword id (min(struct(d2, k)) ≡ the oracle's ROW_NUMBER ORDER BY
+    d2, k), exact-rational half-up mean. Scale: ONE corpus pass —
+    posexplode joined to the broadcast {PQ_K}×{EMB_DIM} codeword table
+    (bounded), one (vec, subspace, codeword)-grain agg whose map-side
+    partials absorb the fan-out, then bounded-output aggs. No window,
+    no Python."""
+    qdf = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
+        ).alias("qv"),
+    )
+    seeds = qdf.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    assert len(seeds) == PQ_K and all(
+        r["vec_id"] == i for i, r in enumerate(seeds)
+    ), f"PQ codebook seeds must be the contiguous vec_ids 0..{PQ_K - 1}"
+    cb_rows = [
+        (int(r["vec_id"]), d, int(r["qv"][d]))
+        for r in seeds
+        for d in range(EMB_DIM)
+    ]
+    cb_df = spark.createDataFrame(cb_rows, "k int, dim int, cv long")
+    ex = (
+        qdf.select("vec_id", F.posexplode("qv").alias("dim", "v"))
+        .withColumn("m", F.expr(f"dim div {PQ_SUBDIM}"))
+    )
+    d2 = (
+        ex.join(F.broadcast(cb_df), "dim")
+        .groupBy("vec_id", "m", "k")
+        .agg(
+            F.sum(
+                F.expr("cast((v - cv) * (v - cv) as decimal(38,0))")
+            ).alias("d2")
+        )
+    )
+    best = d2.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d2", "k")).alias("b")
+    )
+    return (
+        best.groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("b.d2").alias("tq2"),
+            F.countDistinct("b.k").cast("long").alias("codes_used"),
+        )
+        .select(
+            F.col("m").cast("int").alias("subspace"),
+            "n_vecs",
+            F.col("tq2").cast("long").alias("total_q2"),
+            F.expr(rat_round6_spark("tq2", "n_vecs")).alias("mean_q2_r6"),
+            "codes_used",
+        )
+        .orderBy("subspace")
+    )
+
+
+ORACLE_PQ_DISTORTION = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+lq AS (
+  SELECT e.vec_id, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+cb AS (SELECT vec_id AS k, dim, qv AS cv FROM lq WHERE vec_id < {PQ_K}),
+d2 AS (
+  SELECT l.vec_id, l.dim // {PQ_SUBDIM} AS m, c.k,
+         CAST(SUM((l.qv - c.cv) * (l.qv - c.cv)) AS HUGEINT) AS d2
+  FROM lq l JOIN cb c ON l.dim = c.dim
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT vec_id, m, d2, k,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+  FROM d2),
+g AS (
+  SELECT m, COUNT(*) AS n_vecs, CAST(SUM(d2) AS HUGEINT) AS tq2,
+         COUNT(DISTINCT k) AS codes_used
+  FROM best WHERE rn = 1 GROUP BY 1)
+SELECT CAST(m AS INT) AS subspace,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(tq2 AS BIGINT) AS total_q2,
+       CAST(((tq2) * 2000000 + (n_vecs)) // (2 * (n_vecs))
+            AS DOUBLE) / 1000000.0 AS mean_q2_r6,
+       CAST(codes_used AS BIGINT) AS codes_used
+FROM g ORDER BY subspace
+"""
+
+
 def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension distribution statistics over the embedding column —
     the fit step for whitening / feature scaling / dead-dimension
@@ -2277,6 +2384,11 @@ SPECS = [
               doc="nearest-centroid classifier confusion matrix (exact "
                   "quantized L2, min(struct) argmin, two-pass bounded-"
                   "collect centroids)"),
+    QuerySpec("emb_pq_distortion", emb_pq_distortion,
+              ORACLE_PQ_DISTORTION, ("similarity", "ann", "quality"),
+              doc="per-subspace PQ codebook distortion + codeword-usage "
+                  "audit of the sim_pq_adc codebook (exact fixed-point, "
+                  "one corpus pass)"),
     QuerySpec("sim_range_search", sim_range_search, ORACLE_RANGE_SEARCH,
               ("similarity", "range")),
     QuerySpec("emb_quantize_int8", emb_quantize_int8, ORACLE_QUANTIZE,

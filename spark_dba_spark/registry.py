@@ -138,6 +138,8 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "corpus_temperature_mix",
     "ev_stream_static_enrich",
     "sketch_count_min_deterministic",
+    "emb_pq_distortion",
+    "graph_khop_reach",
 )
 
 # r7-window greens, non-bench — rotate to the tail this round (driver row

@@ -1846,3 +1846,88 @@ def test_count_min_overestimates_and_matches_brute(spark):
     assert got == expect
     for n, est, over in got.values():
         assert est >= n and over >= 0
+
+
+def test_khop_reach_equals_python_bfs(spark):
+    """The unrolled frontier-join BFS equals a textbook queue BFS over
+    the same near-dup edge set, capped at KHOP_HOPS."""
+    from spark_dba_spark.operators.dedup import (
+        KHOP_HOPS,
+        KHOP_MOD,
+        dedup_ngram_jaccard,
+        graph_khop_reach,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    ]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {n: 0 for n in adj if n % KHOP_MOD == 0}
+    frontier = set(dist)
+    for h in range(1, KHOP_HOPS + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj[n]:
+                if m not in dist:
+                    dist[m] = h
+                    nxt.add(m)
+        frontier = nxt
+    got = {
+        r["doc_id"]: r["dist"]
+        for r in graph_khop_reach(spark, SF_DIR).collect()
+    }
+    assert got == dist
+    assert any(d > 0 for d in got.values())  # non-vacuous propagation
+
+
+def test_pq_distortion_equals_numpy(spark):
+    """The SQL-side PQ distortion audit equals a NumPy re-derivation
+    against the same seed codebook (argmin ties to lowest codeword)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.similarity import (
+        KM_QUANT,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        emb_pq_distortion,
+    )
+
+    tb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.asarray(tb["vec_id"])
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tb["embedding"].to_pylist()]
+    )
+    q = np.trunc(vecs * KM_QUANT).astype(np.int64)
+    order = np.argsort(ids)
+    q = q[order]
+    cb = q[:PQ_K].reshape(PQ_K, PQ_M, PQ_SUBDIM)
+    qs = q.reshape(-1, PQ_M, PQ_SUBDIM)
+    expect = {}
+    for m in range(PQ_M):
+        d = ((qs[:, None, m, :] - cb[None, :, m, :]) ** 2).sum(axis=2)
+        codes = d.argmin(axis=1)  # first min -> lowest codeword id
+        min_d2 = d[np.arange(d.shape[0]), codes]
+        n = qs.shape[0]
+        tot = int(min_d2.sum())
+        expect[m] = (
+            n,
+            tot,
+            float((tot * 2_000_000 + n) // (2 * n)) / 1e6,
+            len(set(codes.tolist())),
+        )
+    got = {
+        r["subspace"]: (
+            r["n_vecs"],
+            r["total_q2"],
+            r["mean_q2_r6"],
+            r["codes_used"],
+        )
+        for r in emb_pq_distortion(spark, SF_DIR).collect()
+    }
+    assert got == expect
