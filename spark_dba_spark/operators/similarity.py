@@ -1768,6 +1768,124 @@ FROM g ORDER BY subspace
 """
 
 
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection norm-preservation audit
+# --------------------------------------------------------------------------
+
+JL_K = 16  # projected dimensions
+
+
+def emb_random_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sanity audit of a ±1 random projection to
+    {JL_K} dims: per label, the total squared norm before and after
+    projection and their ratio against the JL expectation
+    E[||Px||²] = k·||x||² — the go/no-go measurement before swapping
+    full vectors for a cheap sketch in a first-pass dedup or routing
+    stage. A ratio far from 1 on some label means that label's vectors
+    are correlated with the projection and need a different seed.
+
+    EXACT end to end: the sign matrix is md5-parity-derived (the
+    stats_ab_test idiom — a pure function of (dim, j) both engines
+    compute identically), inputs are grid-truncated, every projected
+    coordinate is an INTEGER dot product, and both norm totals are
+    exact integer sums (DECIMAL(38,0) carry); the single ratio is the
+    exact-rational half-up of proj/(k·orig). Scale: two corpus passes
+    (orig norms; projected coords via a broadcast {EMB_DIM}×{JL_K} sign
+    join whose map-side partials absorb the fan-out) — the
+    ``emb_label_centroid_sep`` two-pass posture; no window, no
+    Python."""
+    qdf = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
+        ).alias("qv"),
+    )
+    ex = qdf.select(
+        "vec_id", "label", F.posexplode("qv").alias("dim", "v")
+    )
+    sign_df = (
+        spark.range(EMB_DIM)
+        .select(F.col("id").cast("int").alias("dim"))
+        .crossJoin(
+            spark.range(JL_K).select(F.col("id").cast("int").alias("j"))
+        )
+        .withColumn(
+            "s",
+            F.expr(
+                "CASE WHEN cast(conv(substring(md5(concat("
+                "cast(dim as string), ':jl:', cast(j as string))), 1, 7), "
+                "16, 10) as bigint) % 2 = 0 THEN 1 ELSE -1 END"
+            ),
+        )
+    )
+    proj = (
+        ex.join(F.broadcast(sign_df), "dim")
+        .groupBy("vec_id", "label", "j")
+        .agg(F.sum(F.expr("v * s")).alias("p"))
+        .groupBy("label")
+        .agg(
+            F.sum(F.expr("cast(p * p as decimal(38,0))")).alias("proj_q2"),
+            F.expr(f"count(*) div {JL_K}").alias("n_vecs"),
+        )
+    )
+    orig = ex.groupBy("label").agg(
+        F.sum(F.expr("cast(v * v as decimal(38,0))")).alias("orig_q2")
+    )
+    return (
+        proj.join(orig, "label")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("orig_q2").cast("long").alias("orig_q2"),
+            F.col("proj_q2").cast("long").alias("proj_q2"),
+            F.expr(
+                rat_round6_spark("proj_q2", f"{JL_K} * orig_q2")
+            ).alias("jl_ratio_r6"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_RANDOM_PROJECTION = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+js AS (SELECT unnest(range({JL_K})) AS j),
+lq AS (
+  SELECT e.vec_id, e.label, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+signs AS (
+  SELECT dim, j,
+         CASE WHEN CAST(('0x' || SUBSTRING(md5(CAST(dim AS VARCHAR)
+                  || ':jl:' || CAST(j AS VARCHAR)), 1, 7)) AS BIGINT)
+                  % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM dims CROSS JOIN js),
+pj AS (
+  SELECT l.vec_id, l.label, s.j, CAST(SUM(l.qv * s.s) AS BIGINT) AS p
+  FROM lq l JOIN signs s ON l.dim = s.dim
+  GROUP BY 1, 2, 3),
+pr AS (
+  SELECT label, CAST(SUM(p * p) AS HUGEINT) AS proj_q2,
+         COUNT(*) // {JL_K} AS n_vecs
+  FROM pj GROUP BY 1),
+og AS (
+  SELECT label, CAST(SUM(qv * qv) AS HUGEINT) AS orig_q2
+  FROM lq GROUP BY 1)
+SELECT CAST(pr.label AS INT) AS label,
+       CAST(pr.n_vecs AS BIGINT) AS n_vecs,
+       CAST(og.orig_q2 AS BIGINT) AS orig_q2,
+       CAST(pr.proj_q2 AS BIGINT) AS proj_q2,
+       CAST(((pr.proj_q2) * 2000000 + ({JL_K} * og.orig_q2))
+            // (2 * ({JL_K} * og.orig_q2)) AS DOUBLE) / 1000000.0
+         AS jl_ratio_r6
+FROM pr JOIN og ON pr.label = og.label
+ORDER BY label
+"""
+
+
 def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension distribution statistics over the embedding column —
     the fit step for whitening / feature scaling / dead-dimension
@@ -2389,6 +2507,11 @@ SPECS = [
               doc="per-subspace PQ codebook distortion + codeword-usage "
                   "audit of the sim_pq_adc codebook (exact fixed-point, "
                   "one corpus pass)"),
+    QuerySpec("emb_random_projection_audit", emb_random_projection_audit,
+              ORACLE_RANDOM_PROJECTION, ("similarity", "sketch", "quality"),
+              doc="Johnson-Lindenstrauss +-1 projection norm-preservation "
+                  "audit (md5-parity sign matrix, exact integer dot "
+                  "products, proj/(k*orig) rational ratio per label)"),
     QuerySpec("sim_range_search", sim_range_search, ORACLE_RANGE_SEARCH,
               ("similarity", "range")),
     QuerySpec("emb_quantize_int8", emb_quantize_int8, ORACLE_QUANTIZE,

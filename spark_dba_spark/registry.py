@@ -140,6 +140,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "sketch_count_min_deterministic",
     "emb_pq_distortion",
     "graph_khop_reach",
+    "emb_random_projection_audit",
 )
 
 # r7-window greens, non-bench — rotate to the tail this round (driver row

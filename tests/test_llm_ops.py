@@ -1931,3 +1931,54 @@ def test_pq_distortion_equals_numpy(spark):
         for r in emb_pq_distortion(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_random_projection_audit_equals_numpy(spark):
+    """The md5-parity sign matrix and integer projection equal a NumPy
+    re-derivation, and the JL ratio sits near 1 (norm preservation in
+    expectation) for every label on the fixture."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.similarity import (
+        EMB_DIM,
+        JL_K,
+        KM_QUANT,
+        emb_random_projection_audit,
+    )
+
+    tb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    labels = np.asarray(tb["label"])
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tb["embedding"].to_pylist()]
+    )
+    q = np.trunc(vecs * KM_QUANT).astype(np.int64)
+    signs = np.array(
+        [
+            [
+                1
+                if int(hashlib.md5(f"{d}:jl:{j}".encode()).hexdigest()[:7], 16)
+                % 2
+                == 0
+                else -1
+                for j in range(JL_K)
+            ]
+            for d in range(EMB_DIM)
+        ],
+        dtype=np.int64,
+    )
+    proj = q @ signs  # exact integer dot products
+    got = {
+        r["label"]: (r["n_vecs"], r["orig_q2"], r["proj_q2"], r["jl_ratio_r6"])
+        for r in emb_random_projection_audit(spark, SF_DIR).collect()
+    }
+    for lab in np.unique(labels):
+        sel = labels == lab
+        orig = int((q[sel] ** 2).sum())
+        pq2 = int((proj[sel] ** 2).sum())
+        den = JL_K * orig
+        ratio = float((pq2 * 2_000_000 + den) // (2 * den)) / 1e6
+        assert got[int(lab)] == (int(sel.sum()), orig, pq2, ratio)
+        assert 0.5 < ratio < 2.0  # JL expectation: ~1
