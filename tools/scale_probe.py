@@ -65,6 +65,18 @@ QUERIES = [
     "merge_into_semantics",      # full-outer merge, BIGINT cents (r8 rewrite)
     "sim_knn_label_vote",        # broadcast-probe kNN + vote (r8 new)
     "ev_late_data_watermark",    # bucketed prefix-max watermark replay (r8 new)
+    "stats_ks_two_sample",       # bucketed two-sample CDF machinery (r8b new)
+    "stats_mann_whitney_u",      # shared two-pass rank-sum core (r8b new)
+    "text_bpe_first_merge",      # vocabulary-contraction pair counts (r8b new)
+    "text_heaps_vocab_growth",   # first-occurrence growth curve (r8b new)
+    "corpus_temperature_mix",    # dual Hamilton over source frame (r8b new)
+    "emb_energy_prefix",         # one-pass conditional fixed-point agg (r8b)
+    "emb_nearest_centroid_confusion",  # broadcast centroid scoring (r8b new)
+    "emb_pq_distortion",         # codeword-join distortion audit (r8b new)
+    "emb_random_projection_audit",  # JL sign-join projection pass (r8b new)
+    "sketch_count_min_deterministic",  # md5 CMS counter matrix (r8b new)
+    "graph_khop_reach",          # unrolled frontier-join BFS (r8b new)
+    "ev_stream_static_enrich",   # broadcast dim enrich rollup (r8b new)
 ]
 
 
