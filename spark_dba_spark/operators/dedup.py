@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 from .. import catalog
 from ..functions.hashing import MERSENNE31
 from ..functions.texts import char_shingles, word_ngrams
-from ..functions.numeric import rat_round6_spark
+from ..functions.numeric import (
+    rat_round6_signed_duck,
+    rat_round6_signed_spark,
+    rat_round6_spark,
+)
 from ..registry import QuerySpec
 
 NGRAM = 3
@@ -119,8 +123,10 @@ FROM documents
 # N-gram Jaccard near-dup (inverted-index join, DF-pruned)
 # --------------------------------------------------------------------------
 
-def _jaccard_over_shingles(sh: DataFrame, tau: float) -> DataFrame:
-    """Shared inverted-index Jaccard machinery over a (doc_id, sh) stream.
+def _pair_sims(sh: DataFrame) -> DataFrame:
+    """Shared inverted-index candidate machinery over a (doc_id, sh)
+    stream: every nonzero-overlap pair with its intersection and both
+    set sizes — (doc_a, doc_b, inter, na, nb), doc_a < doc_b.
 
     Inverted index in ONE shuffle: group the postings list per shingle.
     Stop-shingle pruning (a shingle in >MAX_DF docs contributes O(df²)
@@ -157,9 +163,14 @@ def _jaccard_over_shingles(sh: DataFrame, tau: float) -> DataFrame:
     )
     sx = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sy = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return pairs.join(sx, "doc_a").join(sy, "doc_b")
+
+
+def _jaccard_over_shingles(sh: DataFrame, tau: float) -> DataFrame:
+    """Near-dup pairs at Jaccard >= tau over the shared candidate
+    machinery (:func:`_pair_sims`)."""
     return (
-        pairs.join(sx, "doc_a")
-        .join(sy, "doc_b")
+        _pair_sims(sh)
         .withColumn(
             "jaccard",
             F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter")),
@@ -1264,6 +1275,177 @@ ORDER BY d.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Threshold sweep: dedup yield curve over the Jaccard grid
+# --------------------------------------------------------------------------
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield curve: for every Jaccard threshold t in
+    0.1 … 1.0, how many candidate pairs and how many distinct
+    documents would the near-dup pass flag? This is the tuning report
+    a pipeline owner reads BEFORE picking tau — one run of the
+    candidate machinery answers all ten thresholds, instead of ten
+    reruns of ``dedup_ngram_jaccard``.
+
+    Shares :func:`_pair_sims` (identical shingling, MAX_DF prune,
+    inverted-index pair expansion) so the curve describes the REAL
+    production candidate set. Threshold tests are exact integer
+    cross-multiplications (10*inter >= t*union — no float compare can
+    drift an edge pair across engines). The 10-row grid is a broadcast
+    crossJoin against the bounded candidate set; zero-hit thresholds
+    are preserved by the left join against the grid."""
+    docs = _docs_par(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(word_ngrams("text", NGRAM)).alias("sh")
+    )
+    p = _pair_sims(sh)
+    grid = spark.range(1, 11).select(F.col("id").cast("int").alias("tt"))
+    hits = (
+        p.crossJoin(F.broadcast(grid))
+        .filter(
+            F.col("inter") * 10
+            >= F.col("tt") * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select(
+            "tt", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("tt")
+        .agg(
+            (F.count("*") / 2).cast("long").alias("pairs_ge"),
+            F.countDistinct("d").alias("docs_ge"),
+        )
+    )
+    return (
+        grid.join(hits, "tt", "left")
+        .select(
+            F.col("tt").cast("long").alias("threshold_tenths"),
+            F.coalesce("pairs_ge", F.lit(0)).cast("long").alias("pairs_ge"),
+            F.coalesce("docs_ge", F.lit(0)).cast("long").alias("docs_ge"),
+        )
+        .orderBy("threshold_tenths")
+    )
+
+
+ORACLE_THRESHOLD_SWEEP = f"""
+WITH {_NGRAM_PAIR_CTES},
+sim AS (
+  SELECT doc_a, doc_b, inter, x.n AS na, y.n AS nb
+  FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id),
+grid AS (SELECT CAST(g AS INT) AS tt FROM generate_series(1, 10) t(g)),
+hit AS (
+  SELECT g.tt, s.doc_a, s.doc_b
+  FROM grid g JOIN sim s
+    ON s.inter * 10 >= g.tt * (s.na + s.nb - s.inter)),
+agg AS (
+  SELECT tt, CAST(COUNT(*) // 2 AS BIGINT) AS pairs_ge,
+         CAST(COUNT(DISTINCT d) AS BIGINT) AS docs_ge
+  FROM (SELECT tt, doc_a AS d FROM hit
+        UNION ALL SELECT tt, doc_b FROM hit)
+  GROUP BY tt)
+SELECT CAST(g.tt AS BIGINT) AS threshold_tenths,
+       COALESCE(a.pairs_ge, 0) AS pairs_ge,
+       COALESCE(a.docs_ge, 0) AS docs_ge
+FROM grid g LEFT JOIN agg a USING (tt)
+ORDER BY threshold_tenths
+"""
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity of the near-dup graph
+# --------------------------------------------------------------------------
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the n-gram-Jaccard near-dup graph: do
+    high-degree duplicate hubs link to other hubs (template farms,
+    r > 0) or to leaves (hub-and-spoke mirror sites, r < 0)? The
+    structural summary next to ``graph_triangles_neardup``'s local
+    clustering.
+
+    On the SYMMETRIC double-counted edge list both endpoint degree
+    marginals are identical (sum_x = sum_y, sum_x2 = sum_y2), so
+    Pearson's r collapses to the sqrt-free exact rational
+    (m*sum_xy - sum_x^2) / (m*sum_x2 - sum_x^2) — every term an
+    integer, the one division the signed exact-rational half-up.
+    Degenerate regular graphs (zero degree variance, e.g. isolated
+    pairs only) emit NULL on both engines instead of dividing by zero
+    (ANSI-safe CASE guard).
+
+    Scale: edges come from the bounded candidate machinery (MAX_DF
+    prune caps any hub's degree); two keyed joins put endpoint degrees
+    on edges; one scalar aggregate. Integer envelope: sum_xy <=
+    m*deg_max^2 with deg_max <= ~MAX_DF*bands — far inside BIGINT for
+    any corpus the candidate set itself survives."""
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = sym.groupBy(F.col("doc_a").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    e = (
+        sym.join(
+            deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("dx")),
+            "doc_a",
+        )
+        .join(
+            deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("dy")),
+            "doc_b",
+        )
+    )
+    num = "m * sxy - sx * sx"
+    den = "m * sxx - sx * sx"
+    return (
+        e.agg(
+            F.count("*").cast("long").alias("m"),
+            F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+            F.sum("dx").cast("long").alias("sx"),
+            F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        )
+        .select(
+            (F.col("m") / 2).cast("long").alias("n_edges"),
+            F.col("sxy").alias("sum_xy"),
+            F.col("sx").alias("sum_x"),
+            F.col("sxx").alias("sum_x2"),
+            F.when(
+                F.expr(den) != 0,
+                F.expr(rat_round6_signed_spark(num, den)),
+            ).alias("assortativity_r6"),
+        )
+    )
+
+
+ORACLE_ASSORTATIVITY = f"""
+WITH {_NGRAM_PAIR_CTES},
+dup AS (
+  SELECT doc_a, doc_b
+  FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_TAU}
+),
+sym AS (SELECT doc_a, doc_b FROM dup UNION ALL SELECT doc_b, doc_a FROM dup),
+deg AS (SELECT doc_a AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+e AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM sym JOIN deg da ON sym.doc_a = da.node
+           JOIN deg db ON sym.doc_b = db.node),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx
+  FROM e)
+SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+       sxy AS sum_xy, sx AS sum_x, sxx AS sum_x2,
+       CASE WHEN m * sxx - sx * sx <> 0 THEN
+         {rat_round6_signed_duck("m * sxy - sx * sx", "m * sxx - sx * sx")}
+       ELSE NULL END AS assortativity_r6
+FROM s
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_clusters", dedup_exact_clusters,
               ORACLE_EXACT_CLUSTERS, ("dedup",)),
@@ -1295,6 +1477,17 @@ SPECS = [
                   "deterministic seed set over the near-dup graph "
                   "(contamination blast-radius; unrolled frontier "
                   "joins, localCheckpoint lineage)"),
+    QuerySpec("dedup_threshold_sweep", dedup_threshold_sweep,
+              ORACLE_THRESHOLD_SWEEP, ("dedup", "neardup", "calibration"),
+              doc="dedup yield curve over the 0.1-1.0 Jaccard grid "
+                  "(pairs + distinct docs flagged per threshold; one "
+                  "run of the shared candidate machinery, integer "
+                  "cross-multiplied threshold tests)"),
+    QuerySpec("graph_degree_assortativity", graph_degree_assortativity,
+              ORACLE_ASSORTATIVITY, ("dedup", "graph", "audit"),
+              doc="degree assortativity of the near-dup graph (sqrt-free "
+                  "symmetric-edge Pearson, signed exact rational, "
+                  "NULL-guarded zero-variance case)"),
     QuerySpec("dedup_containment", dedup_containment, ORACLE_CONTAINMENT,
               ("dedup", "neardup", "containment"),
               doc="asymmetric shingle containment — subset-duplicate "

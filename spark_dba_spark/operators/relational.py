@@ -5169,6 +5169,53 @@ ORACLE_KEY_SKEW = (
 )
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q13: customer order-count distribution
+# --------------------------------------------------------------------------
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts —
+    a LEFT OUTER join that must preserve zero-order customers, a first
+    aggregation keyed on the customer, then a second aggregation over
+    the counts themselves. (TPC-H filters on an o_comment regex; the
+    fixture has no comment column, so the stand-in predicate excludes
+    '1-URGENT' orders — same join-with-filtered-right shape.)
+
+    The priority filter is applied to orders BEFORE the join (for a
+    LEFT join with a right-side-only predicate this is equivalent to
+    putting it in the ON clause, and it lets Catalyst push the filter
+    into the parquet scan). Scale: one shuffle on the customer key for
+    the join + first agg; the second agg's key space is the max order
+    count per customer (tiny) — a broadcast-friendly final rollup.
+    All outputs are counts: exact on any engine."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
@@ -5186,6 +5233,11 @@ SPECS = [
               ("join", "tpch")),
     QuerySpec("q14_promo_revenue", q14_promo_revenue, ORACLE_Q14,
               ("join", "agg", "tpch")),
+    QuerySpec("q13_customer_distribution", q13_customer_distribution,
+              ORACLE_Q13, ("join", "agg", "tpch"),
+              doc="TPC-H Q13: per-customer order-count distribution "
+                  "(zero-preserving left outer join + two-level "
+                  "aggregation, filter pushed to the orders scan)"),
     QuerySpec("q10_returned_item", q10_returned_item, ORACLE_Q10,
               ("join", "tpch"), bench=True),
     QuerySpec("join_left_outer", join_left_outer, ORACLE_JOIN_LEFT, ("join",)),

@@ -31,6 +31,7 @@ from .. import catalog
 from .relational import REVENUE
 from ..functions.numeric import (  # noqa: F401
     davg,
+    rat_round6_signed_duck,
     rat_round6_signed_spark,
     rat_round6_spark,
     sql_davg,
@@ -3514,6 +3515,191 @@ FROM r, t
 """
 
 
+# --------------------------------------------------------------------------
+# Rank correlation: exact Spearman rho over parts
+# --------------------------------------------------------------------------
+
+def _bucketed_unique_rank(
+    spark: SparkSession,
+    df: DataFrame,
+    val_col: str,
+    key_col: str,
+    bucket_sql: str,
+) -> DataFrame:
+    """Global 1..n rank of the TOTAL order (val, key) without a global
+    window — the repo's bucketed-prefix pattern (``_two_sample_cum``):
+    pass 1 collects per-bucket counts (bounded by the VALUE DOMAIN, not
+    by n) into a driver-side exclusive prefix, pass 2 adds a
+    row_number windowed WITHIN each bucket. The key tiebreak makes the
+    rank a permutation of 1..n — exactly DuckDB's
+    ``row_number() OVER (ORDER BY val, key)``."""
+    withb = df.withColumn("b", F.expr(bucket_sql))
+    hist = withb.groupBy("b").agg(F.count("*").alias("c")).orderBy("b").collect()
+    pre, acc = [], 0
+    for r in hist:
+        pre.append((r["b"], acc))
+        acc += r["c"]
+    pre_df = spark.createDataFrame(pre, "b int, p long")
+    w = (
+        W.partitionBy("b")
+        .orderBy(val_col, key_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        withb.join(F.broadcast(pre_df), "b")
+        .withColumn("rnk", F.col("p") + F.row_number().over(w))
+    )
+
+
+def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between part retail price and
+    part size — the monotone-association audit (is bigger stock
+    priced higher?) that complements ``agg_corr_stats``' linear
+    Pearson. Ranks are the deterministic TOTAL order (value,
+    p_partkey), i.e. a permutation of 1..n on both engines, so the
+    classic closed form rho = 1 - 6*sum(d^2)/(n*(n^2-1)) is EXACT (no
+    mid-rank fractions, no sqrt — the permutation's variance is known
+    in closed form). The readout is carried in DECIMAL(38,0) (Spark)
+    / HUGEINT (DuckDB): n^3 * 10^6 stays in-range to n ~ 4*10^10
+    ranked rows, so the BIGINT overflow cliff at n ~ 1.6*10^6 never
+    exists. Spark ``div`` == DuckDB ``//`` == truncate-toward-zero,
+    and the half-up is half-AWAY-FROM-ZERO on both engines via the
+    signed rational helper.
+
+    Scale: two bucketed-prefix rank passes (driver state = one count
+    per DOLLAR / SIZE bucket — value-domain-bounded), one join on
+    p_partkey, one scalar aggregate. No global window anywhere."""
+    part = catalog.load(spark, sf_dir, "part")
+    rx = _bucketed_unique_rank(
+        spark,
+        part.select("p_partkey", "p_retailprice"),
+        "p_retailprice",
+        "p_partkey",
+        "cast(floor(p_retailprice) as int)",
+    ).select("p_partkey", F.col("rnk").alias("rx"))
+    ry = _bucketed_unique_rank(
+        spark,
+        part.select("p_partkey", "p_size"),
+        "p_size",
+        "p_partkey",
+        "cast(p_size as int)",
+    ).select("p_partkey", F.col("rnk").alias("ry"))
+    d = rx.join(ry, "p_partkey")
+    n_dec = "cast(n as decimal(38,0))"
+    den = f"{n_dec} * ({n_dec} - 1) * ({n_dec} + 1)"
+    num = f"{den} - 6 * cast(sum_d2 as decimal(38,0))"
+    return (
+        d.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+            .alias("sum_d2"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_parts"),
+            F.col("sum_d2").cast("long").alias("sum_d2"),
+            F.expr(rat_round6_signed_spark(num, den)).alias("rho_r6"),
+        )
+    )
+
+
+_SP_DEN_DUCK = "n * (n - 1) * (n + 1)"
+_SP_NUM_DUCK = f"{_SP_DEN_DUCK} - 6 * sd2"
+ORACLE_SPEARMAN = f"""
+WITH r AS (
+  SELECT row_number() OVER (ORDER BY p_retailprice, p_partkey) AS rx,
+         row_number() OVER (ORDER BY p_size, p_partkey) AS ry
+  FROM part),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM((rx - ry) * (rx - ry)) AS HUGEINT) AS sd2
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_parts, CAST(sd2 AS BIGINT) AS sum_d2,
+       {rat_round6_signed_duck(_SP_NUM_DUCK, _SP_DEN_DUCK)} AS rho_r6
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-a over the daily order-volume / revenue series
+# --------------------------------------------------------------------------
+
+def stats_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-a between daily order COUNT and daily revenue
+    (BIGINT cents, TIES.md Class C quantization) — does a busier day
+    reliably mean a richer day? Tau sees only pairwise order
+    agreement, so it is robust where Pearson is leverage-dominated.
+    Tau-a (ties contribute zero, denominator n*(n-1)/2) keeps the
+    statistic sqrt-free: concordant/discordant are plain integer
+    counts and the one division is the signed exact-rational half-up
+    of 2*(C-D) / (n*(n-1)).
+
+    Scale: the pairwise stage is over DAILY aggregates — the day
+    cardinality is CALENDAR-bounded (~2400 for the fixture span; still
+    ~3650 for a 10-year feed at 100 TB), so the broadcast
+    nested-loop pair join is a fixed ~n_days^2/2 = O(10^6-10^7)
+    comparisons regardless of row scale; everything upstream is one
+    map-side-combined groupBy on the date. localCheckpoint stops the
+    self-join from re-scanning orders twice."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("dt"))
+        .agg(
+            F.count("*").alias("x"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(
+        F.col("dt").alias("dt_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("dt").alias("dt_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    dprod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    stats = (
+        a.join(F.broadcast(b), F.col("dt_a") < F.col("dt_b"))
+        .agg(
+            F.sum(F.when(dprod > 0, 1).otherwise(0)).cast("long")
+            .alias("concordant"),
+            F.sum(F.when(dprod < 0, 1).otherwise(0)).cast("long")
+            .alias("discordant"),
+        )
+    )
+    totals = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return stats.crossJoin(totals).select(
+        "n_days",
+        "concordant",
+        "discordant",
+        F.expr(
+            rat_round6_signed_spark(
+                "2 * (concordant - discordant)", "n_days * (n_days - 1)"
+            )
+        ).alias("tau_a_r6"),
+    )
+
+
+ORACLE_KENDALL_DAILY = f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt, COUNT(*) AS x,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+p AS (
+  SELECT CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+  FROM d a JOIN d b ON a.dt < b.dt),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d)
+SELECT n_days, concordant, discordant,
+       {rat_round6_signed_duck(
+           "2 * (concordant - discordant)", "n_days * (n_days - 1)"
+       )} AS tau_a_r6
+FROM p, t
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -3700,4 +3886,17 @@ SPECS = [
                   "the integer 2U + common-language effect size "
                   "(shared two-pass bucketed-CDF machinery with the KS "
                   "twin)"),
+    QuerySpec("stats_spearman_rank_corr", stats_spearman_rank_corr,
+              ORACLE_SPEARMAN, ("stats", "nonparametric", "rank"),
+              doc="exact Spearman rho (part price vs size) on the "
+                  "deterministic total-order permutation ranks: "
+                  "bucketed-prefix global rank (no global window), "
+                  "closed-form 1 - 6*sum(d^2)/(n*(n^2-1)) in "
+                  "DECIMAL(38,0)/HUGEINT"),
+    QuerySpec("stats_kendall_daily", stats_kendall_daily,
+              ORACLE_KENDALL_DAILY, ("stats", "nonparametric", "rank"),
+              doc="exact Kendall tau-a between daily order count and "
+                  "daily revenue cents (calendar-bounded pair join, "
+                  "integer concordance counts, signed rational "
+                  "half-up)"),
 ]

@@ -14,7 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions.numeric import rat_round6_spark
+from ..functions.numeric import rat_round6_duck, rat_round6_spark
 from ..registry import QuerySpec
 
 STOPWORDS = ("the", "a", "and", "of", "to")
@@ -2653,6 +2653,105 @@ FROM a ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# MATTR: moving-average type-token ratio (windowed lexical diversity)
+# --------------------------------------------------------------------------
+
+MATTR_W = 10  # window size in tokens; fixture docs are 10-100 tokens
+
+
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MATTR (moving-average type-token ratio): the mean
+    number of DISTINCT tokens in each sliding {MATTR_W}-token window —
+    the length-robust lexical-diversity score (plain TTR collapses as
+    documents grow; MATTR doesn't), a standard text-quality feature
+    for corpus filtering next to ``text_hapax_bigrams``' global TTR.
+
+    The naive form ("count distinct per window") is quadratic and
+    un-SQL-able at scale. This uses the interval-contribution closed
+    form instead: a token occurrence at position p (previous
+    occurrence of the same token at q, 0 if none) is the FIRST
+    occurrence of its type inside exactly the windows ending at
+    w in [max(p, q+W, W), min(p+W-1, L)], so
+
+        sum over windows of distinct_count
+            = sum over occurrences of max(0, hi - lo + 1)
+
+    — pure per-row arithmetic after ONE lag window partitioned by
+    (doc_id, token). MATTR = that sum / (W * (L-W+1)), emitted as the
+    exact-rational half-up (integer num/den — TIES.md B′).
+
+    Scale: posexplode → lag over (doc_id, token) → groupBy doc_id.
+    Both shuffles are keyed on corpus-cardinality keys (no global
+    window, no per-window fan-out — output is one row per document)."""
+    w = MATTR_W
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            F.posexplode(F.split("text", " ")).alias("p0", "tok"),
+        )
+        .withColumn("p", F.col("p0") + 1)
+    )
+    lagw = W.partitionBy("doc_id", "tok").orderBy("p")
+    contrib = (
+        toks.withColumn("q", F.coalesce(F.lag("p").over(lagw), F.lit(0)))
+        .filter(F.col("n_tokens") >= w)
+        .withColumn(
+            "contrib",
+            F.greatest(
+                F.least(F.col("p") + (w - 1), F.col("n_tokens"))
+                - F.greatest(F.col("p"), F.col("q") + w, F.lit(w))
+                + 1,
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id", "n_tokens")
+        .agg(F.sum("contrib").cast("long").alias("distinct_sum"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - (w - 1)).cast("long").alias("n_windows"),
+            "distinct_sum",
+            F.expr(
+                rat_round6_spark(
+                    "distinct_sum", f"(n_tokens - {w - 1}) * {w}"
+                )
+            ).alias("mattr_r6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MATTR = f"""
+WITH t AS (
+  SELECT doc_id, len(ws) AS L, u.i AS p, ws[u.i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(1, len(ws))) AS u(i)),
+q AS (
+  SELECT doc_id, L, p,
+         COALESCE(lag(p) OVER (PARTITION BY doc_id, tok ORDER BY p), 0) AS q0
+  FROM t),
+c AS (
+  SELECT doc_id, L,
+         GREATEST(LEAST(p + {MATTR_W - 1}, L)
+                  - GREATEST(p, q0 + {MATTR_W}, {MATTR_W}) + 1, 0) AS contrib
+  FROM q WHERE L >= {MATTR_W})
+SELECT doc_id, CAST(L AS BIGINT) AS n_tokens,
+       CAST(L - {MATTR_W - 1} AS BIGINT) AS n_windows,
+       CAST(SUM(contrib) AS BIGINT) AS distinct_sum,
+       {rat_round6_duck(
+           "CAST(SUM(contrib) AS BIGINT)", f"(L - {MATTR_W - 1}) * {MATTR_W}"
+       )} AS mattr_r6
+FROM c
+GROUP BY doc_id, L
+ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
@@ -2664,6 +2763,11 @@ SPECS = [
               ORACLE_WINNOW, ("text", "fingerprint"),
               doc="winnowing (MOSS) positional fingerprints: rightmost-min "
                   "k-gram hash per sliding window, map-only + explode"),
+    QuerySpec("text_mattr_diversity", text_mattr_diversity, ORACLE_MATTR,
+              ("text", "quality", "diversity"),
+              doc="per-doc MATTR windowed lexical diversity via the "
+                  "interval-contribution closed form (one lag window, "
+                  "no per-window fan-out; exact rational readout)"),
     QuerySpec("pipeline_clean_corpus", pipeline_clean_corpus, ORACLE_PIPELINE,
               ("text", "pipeline", "dedup"),
               doc="quality filter → exact dedup → per-lang stats, one plan"),

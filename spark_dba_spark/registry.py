@@ -141,6 +141,12 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "emb_pq_distortion",
     "graph_khop_reach",
     "emb_random_projection_audit",
+    "q13_customer_distribution",
+    "stats_spearman_rank_corr",
+    "stats_kendall_daily",
+    "text_mattr_diversity",
+    "dedup_threshold_sweep",
+    "graph_degree_assortativity",
 )
 
 # r7-window greens, non-bench — rotate to the tail this round (driver row

@@ -1982,3 +1982,137 @@ def test_random_projection_audit_equals_numpy(spark):
         ratio = float((pq2 * 2_000_000 + den) // (2 * den)) / 1e6
         assert got[int(lab)] == (int(sel.sum()), orig, pq2, ratio)
         assert 0.5 < ratio < 2.0  # JL expectation: ~1
+
+
+def _brute_pair_sims(sf_dir):
+    """Python twin of dedup._pair_sims: distinct word-3-gram shingles
+    (whole-text fallback for <3-token docs), MAX_DF prune, all
+    nonzero-overlap pairs -> {(a, b): (inter, na, nb)}."""
+    from collections import Counter
+
+    import duckdb
+
+    from spark_dba_spark.operators.dedup import MAX_DF
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    sets = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        if len(ws) >= 3:
+            sh = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        else:
+            sh = {text}
+        sets[doc_id] = sh
+    df = Counter(s for sh in sets.values() for s in sh)
+    sets = {d: {s for s in sh if df[s] <= MAX_DF} for d, sh in sets.items()}
+    pairs = {}
+    inv = {}
+    for d, sh in sets.items():
+        for s in sh:
+            inv.setdefault(s, []).append(d)
+    seen = set()
+    for ids in inv.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                inter = len(sets[a] & sets[b])
+                pairs[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    return sets, pairs
+
+
+def test_threshold_sweep_matches_brute(spark):
+    """The one-pass threshold grid equals the Python brute force at
+    every tenth, and the t=0.8 row agrees with dedup_ngram_jaccard's
+    own pair count (same machinery, so the curve describes the real
+    production candidate set)."""
+    from spark_dba_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_threshold_sweep,
+    )
+
+    _, pairs = _brute_pair_sims(SF_DIR)
+    rows = dedup_threshold_sweep(spark, SF_DIR).collect()
+    assert [r["threshold_tenths"] for r in rows] == list(range(1, 11))
+    for r in rows:
+        t = r["threshold_tenths"]
+        hit = [(a, b) for (a, b), (i, na, nb) in pairs.items()
+               if 10 * i >= t * (na + nb - i)]
+        docs = {d for p in hit for d in p}
+        assert (r["pairs_ge"], r["docs_ge"]) == (len(hit), len(docs)), t
+    n_prod = len(dedup_ngram_jaccard(spark, SF_DIR).collect())
+    assert rows[7]["pairs_ge"] == n_prod  # t = 0.8 row == production tau
+
+
+def test_assortativity_matches_fraction_brute(spark):
+    """Degree assortativity equals the exact-Fraction Pearson computed
+    from the brute-force edge set (symmetric double-counted edges make
+    the marginals equal, so the sqrt-free collapse is exact)."""
+    from fractions import Fraction
+
+    from spark_dba_spark.operators.dedup import graph_degree_assortativity
+
+    _, pairs = _brute_pair_sims(SF_DIR)
+    edges = [(a, b) for (a, b), (i, na, nb) in pairs.items()
+             if Fraction(i, na + nb - i) >= Fraction(4, 5)]
+    sym = edges + [(b, a) for a, b in edges]
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    m = len(sym)
+    sxy = sum(deg[a] * deg[b] for a, b in sym)
+    sx = sum(deg[a] for a, _ in sym)
+    sxx = sum(deg[a] ** 2 for a, _ in sym)
+    row = graph_degree_assortativity(spark, SF_DIR).collect()[0]
+    assert (row["n_edges"], row["sum_xy"], row["sum_x"], row["sum_x2"]) == (
+        len(edges), sxy, sx, sxx)
+    num, den = m * sxy - sx * sx, m * sxx - sx * sx
+    if den == 0:
+        assert row["assortativity_r6"] is None
+    else:
+        sgn = 1 if num >= 0 else -1
+        expect = sgn * float(
+            (abs(num) * 2_000_000 + den) // (2 * den)) / 1e6
+        assert row["assortativity_r6"] == expect
+
+
+def test_mattr_matches_sliding_set_brute(spark):
+    """The interval-contribution closed form equals the literal
+    sliding-window set count for every document — guards the
+    lo/hi interval algebra and the lag-window first-occurrence
+    attribution."""
+    import duckdb
+
+    from spark_dba_spark.operators.text import MATTR_W, text_mattr_diversity
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    expect = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        length = len(ws)
+        if length < MATTR_W:
+            continue
+        dsum = sum(
+            len(set(ws[i:i + MATTR_W]))
+            for i in range(length - MATTR_W + 1)
+        )
+        expect[doc_id] = (length, length - MATTR_W + 1, dsum)
+    rows = text_mattr_diversity(spark, SF_DIR).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["n_windows"], r["distinct_sum"])
+           for r in rows}
+    assert got == expect
+    for r in rows:
+        den = r["n_windows"] * MATTR_W
+        assert r["mattr_r6"] == float(
+            (r["distinct_sum"] * 2_000_000 + den) // (2 * den)) / 1e6
+        assert 0 < r["mattr_r6"] <= 1.0

@@ -522,3 +522,108 @@ def test_ks_and_mwu_equal_brute_force(spark):
     den = 2 * n1 * n2
     expect = float((u2 * 2_000_000 + den) // (2 * den)) / 1e6
     assert mrow["cles_r6"] == expect
+
+
+def _r6(num: int, den: int) -> float:
+    """Python twin of the exact-rational half-up (num >= 0, den > 0)."""
+    return float((num * 2_000_000 + den) // (2 * den)) / 1e6
+
+
+def _r6_signed(num: int, den: int) -> float:
+    return _r6(num, den) if num >= 0 else -_r6(-num, den)
+
+
+def test_spearman_matches_fraction_brute(spark):
+    """The bucketed-prefix rank construction + DECIMAL(38,0) readout
+    equal the textbook permutation-rank Spearman computed with exact
+    integer arithmetic in Python — guards the prefix off-by-one and
+    the decimal div semantics."""
+    import duckdb
+
+    from conftest import SF_DIR
+    from spark_dba_spark.operators.temporal import stats_spearman_rank_corr
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT p_partkey, p_retailprice, p_size FROM "
+        f"read_parquet('{SF_DIR}/part.parquet')"
+    ).fetchall()
+    con.close()
+    rx = {k: i + 1 for i, (k, _, _) in enumerate(
+        sorted(rows, key=lambda r: (r[1], r[0])))}
+    ry = {k: i + 1 for i, (k, _, _) in enumerate(
+        sorted(rows, key=lambda r: (r[2], r[0])))}
+    n = len(rows)
+    sum_d2 = sum((rx[k] - ry[k]) ** 2 for k, _, _ in rows)
+    den = n * (n - 1) * (n + 1)
+    row = stats_spearman_rank_corr(spark, SF_DIR).collect()[0]
+    assert (row["n_parts"], row["sum_d2"]) == (n, sum_d2)
+    assert row["rho_r6"] == _r6_signed(den - 6 * sum_d2, den)
+
+
+def test_kendall_matches_numpy_brute(spark):
+    """Tau-a over daily (order count, revenue cents) equals the O(n^2)
+    numpy pairwise count — guards the concordance sign logic and the
+    Class C cents quantization."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from conftest import SF_DIR
+    from spark_dba_spark.operators.temporal import stats_kendall_daily
+
+    con = duckdb.connect()
+    orows = con.execute(
+        "SELECT CAST(o_orderdate AS DATE), o_totalprice FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    daily: dict = {}
+    for dt, tp in orows:
+        x, y = daily.get(dt, (0, 0))
+        daily[dt] = (x + 1, y + math.floor(tp * 100 + 0.5))
+    xs = np.array([v[0] for v in daily.values()], dtype=np.int64)
+    ys = np.array([v[1] for v in daily.values()], dtype=np.int64)
+    n = len(xs)
+    prod = (xs[:, None] - xs[None, :]) * (ys[:, None] - ys[None, :])
+    iu = np.triu_indices(n, k=1)
+    conc = int((prod[iu] > 0).sum())
+    disc = int((prod[iu] < 0).sum())
+    row = stats_kendall_daily(spark, SF_DIR).collect()[0]
+    assert (row["n_days"], row["concordant"], row["discordant"]) == (
+        n, conc, disc)
+    assert row["tau_a_r6"] == _r6_signed(2 * (conc - disc), n * (n - 1))
+
+
+def test_q13_distribution_brute(spark):
+    """The two-level Q13 aggregation equals plain Python dict counting,
+    including customers whose every order is filtered away (the LEFT
+    join must keep them at c_count = 0)."""
+    from collections import Counter
+
+    import duckdb
+
+    from conftest import SF_DIR
+    from spark_dba_spark.operators.relational import q13_customer_distribution
+
+    con = duckdb.connect()
+    custs = [r[0] for r in con.execute(
+        f"SELECT c_custkey FROM read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchall()]
+    orders = con.execute(
+        "SELECT o_custkey FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet') "
+        "WHERE o_orderpriority <> '1-URGENT'"
+    ).fetchall()
+    con.close()
+    per_cust = {c: 0 for c in custs}
+    for (c,) in orders:
+        if c in per_cust:
+            per_cust[c] += 1
+    dist = Counter(per_cust.values())
+    rows = q13_customer_distribution(spark, SF_DIR).collect()
+    assert {r["c_count"]: r["custdist"] for r in rows} == dict(dist)
+    # deterministic presentation order: custdist desc, c_count desc
+    keys = [(-r["custdist"], -r["c_count"]) for r in rows]
+    assert keys == sorted(keys)

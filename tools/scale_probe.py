@@ -77,6 +77,12 @@ QUERIES = [
     "sketch_count_min_deterministic",  # md5 CMS counter matrix (r8b new)
     "graph_khop_reach",          # unrolled frontier-join BFS (r8b new)
     "ev_stream_static_enrich",   # broadcast dim enrich rollup (r8b new)
+    "q13_customer_distribution",  # zero-preserving two-level count dist (r8c)
+    "stats_spearman_rank_corr",  # bucketed-prefix permutation ranks (r8c)
+    "stats_kendall_daily",       # calendar-bounded pair concordance (r8c)
+    "text_mattr_diversity",      # interval-contribution sliding distinct (r8c)
+    "dedup_threshold_sweep",     # one-pass Jaccard yield curve (r8c)
+    "graph_degree_assortativity",  # sqrt-free symmetric-edge Pearson (r8c)
 ]
 
 
