@@ -31,6 +31,7 @@ from .. import catalog
 from .relational import REVENUE
 from ..functions.numeric import (  # noqa: F401
     davg,
+    rat_round6_duck,
     rat_round6_signed_duck,
     rat_round6_signed_spark,
     rat_round6_spark,
@@ -3700,6 +3701,491 @@ FROM p, t
 """
 
 
+# --------------------------------------------------------------------------
+# Fano over-dispersion of hourly event arrivals
+# --------------------------------------------------------------------------
+
+def ev_fano_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Fano factor (variance/mean of hourly arrival
+    counts) — the over-dispersion screen that tells a Poisson-looking
+    feed (Fano ~ 1) apart from a bursty one (Fano >> 1), which decides
+    whether rate alerts can use Poisson thresholds. Sample variance
+    over EVERY hour of the corpus span, including silent ones — and
+    the zero-hour trick makes that free: zeros change neither S = sum c
+    nor Q = sum c^2, only the hour count n, which is pure min/max
+    arithmetic. No calendar spine is materialized at all.
+
+    Fano = var/mean = (n*Q - S^2) / ((n-1)*S), every term an integer;
+    the readout is DECIMAL(38,0)/HUGEINT so S^2 cannot overflow BIGINT
+    at any feed volume, and the division is the exact-rational half-up
+    (num >= 0 by Cauchy-Schwarz). Hour buckets are tz-free NTZ
+    date_trunc on both engines.
+
+    Scale: one (type, hour) map-side-combined groupBy, one per-type
+    rollup (key space = type x hour, calendar x cardinality bounded),
+    one broadcast 1-row span join."""
+    ev = catalog.load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    per_type = hourly.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    span = ev.agg(
+        (
+            F.expr(
+                "timestampdiff(HOUR, date_trunc('hour', min(ts)),"
+                " date_trunc('hour', max(ts)))"
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("n_hours")
+    )
+    dec = "cast({} as decimal(38,0))"
+    n_d, s_d, q_d = dec.format("n_hours"), dec.format("s"), dec.format("q")
+    return (
+        per_type.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            "n_hours",
+            F.col("s").alias("n_events"),
+            F.expr(rat_round6_spark("s", "n_hours")).alias("mean_r6"),
+            F.expr(
+                rat_round6_spark(
+                    f"{n_d} * {q_d} - {s_d} * {s_d}",
+                    f"({n_d} - 1) * {s_d}",
+                )
+            ).alias("fano_r6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_FANO = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+pt AS (
+  SELECT event_type, CAST(SUM(c) AS HUGEINT) AS s,
+         CAST(SUM(c * c) AS HUGEINT) AS q
+  FROM hourly GROUP BY 1),
+sp AS (
+  SELECT CAST(date_diff('hour', date_trunc('hour', MIN(ts)),
+                        date_trunc('hour', MAX(ts))) + 1 AS HUGEINT)
+           AS n_hours
+  FROM events)
+SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(s AS BIGINT) AS n_events,
+       {rat_round6_duck("s", "n_hours")} AS mean_r6,
+       {rat_round6_duck("n_hours * q - s * s", "(n_hours - 1) * s")}
+         AS fano_r6
+FROM pt, sp
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Log2-bucketed inter-event gap histogram
+# --------------------------------------------------------------------------
+
+def ev_gap_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type histogram of inter-event gaps (same user, same
+    type) on a log2 scale — the latency/cadence profile an SLO monitor
+    reads (each bucket b covers [2^b, 2^(b+1)) microseconds). The
+    bucket is computed EXACTLY as the bit length of the integer gap
+    (length of bin(gap)) — floor(log2()) in float is wrong exactly at
+    the powers of two where the bucket boundaries sit; string-of-bits
+    arithmetic has no such edge on either engine. Zero gaps (same
+    timestamp) land in bucket -1.
+
+    Scale: the lag window is partitioned by (user_id, event_type) — the
+    per-key sequence a 1000-executor cluster shuffles naturally; the
+    histogram key space is type x ~45 buckets. Share is the exact
+    rational of per-bucket count over the type's gap total."""
+    ev = catalog.load(spark, sf_dir, "events")
+    um = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = W.partitionBy("user_id", "event_type").orderBy("um", "event_id")
+    gaps = (
+        ev.select("user_id", "event_type", "event_id", um.alias("um"))
+        .withColumn("gap", F.col("um") - F.lag("um").over(w))
+        .filter(F.col("gap").isNotNull())
+        .withColumn(
+            "bucket",
+            F.when(F.col("gap") == 0, F.lit(-1)).otherwise(
+                F.length(F.expr("bin(gap)")) - 1
+            ).cast("int"),
+        )
+    )
+    per_bucket = gaps.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("n_gaps")
+    )
+    wt = W.partitionBy("event_type")
+    return (
+        per_bucket.withColumn("total", F.sum("n_gaps").over(wt))
+        .select(
+            "event_type",
+            "bucket",
+            "n_gaps",
+            F.expr(rat_round6_spark("n_gaps", "total")).alias("share_r6"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+ORACLE_GAP_LOG2 = f"""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events),
+b AS (
+  SELECT event_type,
+         CASE WHEN gap = 0 THEN -1
+              ELSE CAST(LENGTH(bin(gap)) - 1 AS INT) END AS bucket
+  FROM g WHERE gap IS NOT NULL),
+pb AS (
+  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps
+  FROM b GROUP BY 1, 2),
+tt AS (
+  SELECT event_type, bucket, n_gaps,
+         CAST(SUM(n_gaps) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM pb)
+SELECT event_type, bucket, n_gaps,
+       {rat_round6_duck("n_gaps", "total")} AS share_r6
+FROM tt
+ORDER BY event_type, bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Monthly seasonal index of order flow
+# --------------------------------------------------------------------------
+
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal index of order count and revenue: each
+    calendar month's share of the annual cycle, normalized so a flat
+    business reads 1.0 everywhere (index = 12 * month_total / grand
+    total) — the first artifact of a demand-seasonality review.
+    Revenue is BIGINT cents (TIES.md Class C: floor(x*100 + 0.5), no
+    engine decimal cast of o_totalprice); both indices are exact
+    rationals in DECIMAL(38,0)/HUGEINT so grand-total products can
+    never overflow.
+
+    Scale: one 12-key map-side-combined groupBy + a broadcast 1-row
+    totals join."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.month("o_orderdate").alias("month"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).cast("long").alias("revenue_cents"),
+        )
+    )
+    totals = monthly.agg(
+        F.sum("n_orders").cast("long").alias("tot_n"),
+        F.sum("revenue_cents").cast("long").alias("tot_c"),
+    )
+    dec = "cast({} as decimal(38,0))"
+    return (
+        monthly.crossJoin(F.broadcast(totals))
+        .select(
+            "month",
+            "n_orders",
+            "revenue_cents",
+            F.expr(
+                rat_round6_spark(
+                    f"12 * {dec.format('n_orders')}", dec.format("tot_n")
+                )
+            ).alias("count_index_r6"),
+            F.expr(
+                rat_round6_spark(
+                    f"12 * {dec.format('revenue_cents')}", dec.format("tot_c")
+                )
+            ).alias("revenue_index_r6"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_SEASONAL_INDEX = f"""
+WITH m AS (
+  SELECT month(o_orderdate) AS month, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS HUGEINT) AS c
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS HUGEINT) AS tn, CAST(SUM(c) AS HUGEINT) AS tc
+      FROM m)
+SELECT month, CAST(n AS BIGINT) AS n_orders,
+       CAST(c AS BIGINT) AS revenue_cents,
+       {rat_round6_duck("12 * n", "tn")} AS count_index_r6,
+       {rat_round6_duck("12 * c", "tc")} AS revenue_index_r6
+FROM m, t
+ORDER BY month
+"""
+
+
+# --------------------------------------------------------------------------
+# Categorical mix drift: monthly priority mix vs corpus mix (TV distance)
+# --------------------------------------------------------------------------
+
+def drift_priority_mix_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month total-variation distance between that month's order
+    PRIORITY mix and the whole-corpus mix — the categorical-drift
+    monitor beside ``drift_psi_value``'s numeric PSI. TV is the right
+    exact choice here: PSI needs log() (engine-libm dependent), while
+    TV = 1/2 * sum_p |share_m(p) - share(p)| stays rational —
+    cross-multiplied to the common denominator it is
+    sum_p |c_mp * N - C_p * n_m| over 2 * n_m * N, every term an
+    integer. Carried in DECIMAL(38,0)/HUGEINT (c*N products overflow
+    BIGINT at ~10^10-row feeds).
+
+    Scale: one (month, priority) groupBy (calendar x 5 keys), two
+    broadcast joins of bounded side tables; the per-month fold is over
+    <=5 rows each."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    ym = F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    cell = orders.groupBy(ym, "o_orderpriority").agg(
+        F.count("*").cast("long").alias("c_mp")
+    )
+    per_month = orders.groupBy(ym).agg(
+        F.count("*").cast("long").alias("n_m")
+    )
+    per_prio = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("c_p")
+    )
+    total = orders.agg(F.count("*").cast("long").alias("n_tot"))
+    dec = "cast({} as decimal(38,0))"
+    num_term = (
+        f"abs({dec.format('c_mp')} * {dec.format('n_tot')}"
+        f" - {dec.format('c_p')} * {dec.format('n_m')})"
+    )
+    return (
+        cell.join(F.broadcast(per_month), "ym")
+        .join(F.broadcast(per_prio), "o_orderpriority")
+        .crossJoin(F.broadcast(total))
+        .groupBy("ym", "n_m")
+        .agg(
+            F.sum(F.expr(num_term)).alias("tv_num"),
+            F.max(F.expr(dec.format("n_tot"))).alias("n_tot_d"),
+        )
+        .select(
+            F.col("ym").alias("month"),
+            F.col("n_m").alias("n_orders"),
+            F.expr(
+                rat_round6_spark(
+                    "tv_num", f"2 * {dec.format('n_m')} * n_tot_d"
+                )
+            ).alias("tv_r6"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_PRIORITY_MIX_TV = f"""
+WITH cell AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderpriority,
+         CAST(COUNT(*) AS HUGEINT) AS c_mp
+  FROM orders GROUP BY 1, 2),
+pm AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(COUNT(*) AS HUGEINT) AS n_m
+  FROM orders GROUP BY 1),
+pp AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS HUGEINT) AS c_p
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_tot FROM orders),
+s AS (
+  SELECT cell.ym, pm.n_m,
+         SUM(ABS(cell.c_mp * t.n_tot - pp.c_p * pm.n_m)) AS tv_num,
+         MAX(t.n_tot) AS n_tot
+  FROM cell
+  JOIN pm ON cell.ym = pm.ym
+  JOIN pp ON cell.o_orderpriority = pp.o_orderpriority
+  CROSS JOIN t
+  GROUP BY cell.ym, pm.n_m)
+SELECT ym AS month, CAST(n_m AS BIGINT) AS n_orders,
+       {rat_round6_duck("tv_num", "2 * n_m * n_tot")} AS tv_r6
+FROM s
+ORDER BY month
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap CI of mean order value
+# --------------------------------------------------------------------------
+
+BOOT_B = 100  # bootstrap replicas
+# Frozen floor(cdf_Poisson(1)(k) * 2^28) for k = 0..4: a 28-bit md5 hash
+# compared against these INTEGER thresholds reproduces capped-Poisson(1)
+# resampling weights identically on any engine — no float compare at all.
+BOOT_THRESHOLDS = (98751885, 197503771, 246879713, 263338361, 267453023)
+BOOT_SALT = "bs1"
+
+
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval of the mean
+    order value — the uncertainty band a metrics platform prints next
+    to every point estimate. Classic bootstrap resamples n rows with
+    replacement (un-distributable); the Poisson approximation gives
+    each row an independent Poisson(1) replica weight — embarrassingly
+    parallel — and determinism comes from the repo's md5 idiom
+    (``stats_ab_test``): weight = #(frozen integer thresholds <= 28-bit
+    md5(o_orderkey:replica:salt)), a capped-at-5 inverse-CDF lookup
+    that is bit-identical on any engine. Money is BIGINT cents
+    (Class C); each replica's weighted mean and the order statistics
+    p05/p50/p95 over the B=100 replica means are exact rationals
+    (DECIMAL(38,0) partial sums carry sum(w*cents) past any BIGINT
+    cliff).
+
+    The md5 is the whole CPU cost, so one digest feeds FOUR replicas:
+    a 128-bit md5 yields four disjoint 28-bit lanes (hex chars 1-7,
+    9-15, 17-23, 25-31), so a row hashes 25 times, not 100 — a 4x cut
+    in the dominant stage, with each lane still an independent uniform
+    28-bit draw. Scale: one x25 hash + x4 lane flat-map fan-out
+    (repartitioned first — the one-file fixture scan would otherwise
+    run the CPU-bound stage in a handful of tasks), one 100-key
+    map-side-combined groupBy; the rank window runs over exactly B=100
+    rows (constant-bounded — see GLOBAL_WINDOW_BOUNDED). Replica means
+    tie-break by replica id, so the selected order statistics are
+    deterministic."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    wexpr = " + ".join(
+        f"(case when h >= {t} then 1 else 0 end)" for t in BOOT_THRESHOLDS
+    )
+    n_map = max(spark.sparkContext.defaultParallelism, 16)
+    rep_rows = (
+        orders.select(
+            "o_orderkey",
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+                "cents"
+            ),
+        )
+        .repartition(n_map, "o_orderkey")
+        .select(
+            "o_orderkey",
+            "cents",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(BOOT_B // 4 - 1))
+            ).alias("g"),
+        )
+        .withColumn(
+            "m",
+            F.expr(
+                "md5(concat(cast(o_orderkey as string), ':', "
+                f"cast(g as string), ':{BOOT_SALT}'))"
+            ),
+        )
+        .select(
+            "cents",
+            "g",
+            F.posexplode(
+                F.array(
+                    F.expr("substring(m, 1, 7)"),
+                    F.expr("substring(m, 9, 7)"),
+                    F.expr("substring(m, 17, 7)"),
+                    F.expr("substring(m, 25, 7)"),
+                )
+            ).alias("lane", "hx"),
+        )
+        .withColumn("rep", F.col("g") * 4 + F.col("lane"))
+        .withColumn("h", F.expr("cast(conv(hx, 16, 10) as bigint)"))
+        .withColumn("w", F.expr(wexpr))
+    )
+    reps = (
+        rep_rows.groupBy("rep")
+        .agg(
+            F.sum("w").cast("long").alias("sum_w"),
+            F.sum(
+                F.expr("cast(w as decimal(38,0)) * cast(cents as decimal(38,0))")
+            ).alias("sum_wc_d"),
+        )
+        .select(
+            "rep",
+            F.expr(
+                rat_round6_spark("sum_wc_d", "cast(sum_w as decimal(38,0))")
+            ).alias("rep_mean_r6"),
+        )
+    )
+    rw = W.orderBy("rep_mean_r6", "rep")
+    ranked = reps.withColumn("rn", F.row_number().over(rw))
+    point = orders.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr(
+            rat_round6_spark(
+                "sum(cast(floor(o_totalprice * 100 + 0.5) as decimal(38,0)))",
+                "cast(count(*) as decimal(38,0))",
+            )
+        ).alias("mean_cents_r6"),
+    )
+    picks = (
+        ranked.filter(F.col("rn").isin(5, 50, 95))
+        .groupBy()
+        .pivot("rn", [5, 50, 95])
+        .agg(F.first("rep_mean_r6"))
+        .select(
+            F.col("5").alias("boot_p05_r6"),
+            F.col("50").alias("boot_p50_r6"),
+            F.col("95").alias("boot_p95_r6"),
+        )
+    )
+    return point.crossJoin(picks).select(
+        "n_orders",
+        F.lit(BOOT_B).cast("long").alias("b_replicas"),
+        "mean_cents_r6",
+        "boot_p05_r6",
+        "boot_p50_r6",
+        "boot_p95_r6",
+    )
+
+
+_BOOT_W = " + ".join(
+    f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)" for t in BOOT_THRESHOLDS
+)
+ORACLE_BOOTSTRAP_CI = f"""
+WITH rr AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(gg AS BIGINT) AS g,
+         md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+             CAST(gg AS VARCHAR) || ':{BOOT_SALT}') AS m
+  FROM orders, generate_series(0, {BOOT_B // 4 - 1}) gs(gg)),
+hr AS (
+  SELECT cents, g * 4 + lane AS rep,
+         CAST(('0x' || SUBSTRING(m, 1 + 8 * lane, 7)) AS BIGINT) AS h
+  FROM rr, (SELECT unnest([0, 1, 2, 3]) AS lane) lanes),
+wr AS (
+  SELECT rep, CAST({_BOOT_W} AS HUGEINT) AS w, cents FROM hr),
+reps AS (
+  SELECT rep, {rat_round6_duck("SUM(w * cents)", "SUM(w)")} AS rep_mean_r6
+  FROM wr GROUP BY rep),
+ranked AS (
+  SELECT rep_mean_r6,
+         row_number() OVER (ORDER BY rep_mean_r6, rep) AS rn
+  FROM reps),
+point AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {rat_round6_duck(
+             "CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+             " AS HUGEINT)",
+             "CAST(COUNT(*) AS HUGEINT)",
+         )} AS mean_cents_r6
+  FROM orders)
+SELECT p.n_orders, CAST({BOOT_B} AS BIGINT) AS b_replicas, p.mean_cents_r6,
+       (SELECT rep_mean_r6 FROM ranked WHERE rn = 5) AS boot_p05_r6,
+       (SELECT rep_mean_r6 FROM ranked WHERE rn = 50) AS boot_p50_r6,
+       (SELECT rep_mean_r6 FROM ranked WHERE rn = 95) AS boot_p95_r6
+FROM point p
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -3899,4 +4385,29 @@ SPECS = [
                   "daily revenue cents (calendar-bounded pair join, "
                   "integer concordance counts, signed rational "
                   "half-up)"),
+    QuerySpec("ev_fano_overdispersion", ev_fano_overdispersion,
+              ORACLE_FANO, ("events", "stats", "burstiness"),
+              doc="per-type Fano factor of hourly arrivals (silent "
+                  "hours via the zero-hour trick — no spine; exact "
+                  "rational var/mean in DECIMAL(38,0)/HUGEINT)"),
+    QuerySpec("ev_gap_log2_histogram", ev_gap_log2_histogram,
+              ORACLE_GAP_LOG2, ("events", "histogram"),
+              doc="per-type log2-bucketed inter-event gap histogram "
+                  "(exact bit-length buckets — no float log2 edge at "
+                  "power-of-two boundaries; user+type keyed lag)"),
+    QuerySpec("orders_seasonal_index", orders_seasonal_index,
+              ORACLE_SEASONAL_INDEX, ("orders", "seasonality"),
+              doc="month-of-year count/revenue seasonal index (BIGINT "
+                  "cents, exact rational 12*m/total indices)"),
+    QuerySpec("drift_priority_mix_tv", drift_priority_mix_tv,
+              ORACLE_PRIORITY_MIX_TV, ("drift", "categorical"),
+              doc="monthly priority-mix total-variation drift vs the "
+                  "corpus mix (log-free categorical twin of PSI; "
+                  "cross-multiplied exact rational)"),
+    QuerySpec("stats_bootstrap_ci", stats_bootstrap_ci,
+              ORACLE_BOOTSTRAP_CI, ("stats", "resampling"),
+              doc="deterministic Poisson-bootstrap CI of mean order "
+                  "value (frozen integer inverse-CDF thresholds on a "
+                  "28-bit md5; exact-rational replica means, "
+                  "order-statistic band over B=100 replicas)"),
 ]

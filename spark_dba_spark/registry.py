@@ -147,6 +147,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "text_mattr_diversity",
     "dedup_threshold_sweep",
     "graph_degree_assortativity",
+    "ev_fano_overdispersion",
+    "ev_gap_log2_histogram",
+    "orders_seasonal_index",
+    "drift_priority_mix_tv",
+    "stats_bootstrap_ci",
 )
 
 # r7-window greens, non-bench — rotate to the tail this round (driver row

@@ -41,6 +41,11 @@ EXPECT_BROADCAST = {
 # unbounded global window is a single-task sort of the corpus.
 # (VERDICT r5 "Next round" #6.)
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
+    "stats_bootstrap_ci": (
+        "row_number over the REPLICA frame: exactly B=100 rows by "
+        "construction (one per bootstrap replica), fact stream never "
+        "enters the window"
+    ),
     "skyline_price_size": (
         "running-min over the per-size min-price frame: ≤|distinct "
         "p_size| rows (~50), fact table never enters the window"
