@@ -3524,16 +3524,17 @@ def _bucketed_unique_rank(
     spark: SparkSession,
     df: DataFrame,
     val_col: str,
-    key_col: str,
+    key_col: str | list[str],
     bucket_sql: str,
 ) -> DataFrame:
-    """Global 1..n rank of the TOTAL order (val, key) without a global
+    """Global 1..n rank of the TOTAL order (val, *keys) without a global
     window — the repo's bucketed-prefix pattern (``_two_sample_cum``):
     pass 1 collects per-bucket counts (bounded by the VALUE DOMAIN, not
     by n) into a driver-side exclusive prefix, pass 2 adds a
     row_number windowed WITHIN each bucket. The key tiebreak makes the
     rank a permutation of 1..n — exactly DuckDB's
-    ``row_number() OVER (ORDER BY val, key)``."""
+    ``row_number() OVER (ORDER BY val, keys...)``."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     withb = df.withColumn("b", F.expr(bucket_sql))
     hist = withb.groupBy("b").agg(F.count("*").alias("c")).orderBy("b").collect()
     pre, acc = [], 0
@@ -3543,7 +3544,7 @@ def _bucketed_unique_rank(
     pre_df = spark.createDataFrame(pre, "b int, p long")
     w = (
         W.partitionBy("b")
-        .orderBy(val_col, key_col)
+        .orderBy(val_col, *keys)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
@@ -3556,11 +3557,18 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Spearman rank correlation between part retail price and
     part size — the monotone-association audit (is bigger stock
     priced higher?) that complements ``agg_corr_stats``' linear
-    Pearson. Ranks are the deterministic TOTAL order (value,
-    p_partkey), i.e. a permutation of 1..n on both engines, so the
-    classic closed form rho = 1 - 6*sum(d^2)/(n*(n^2-1)) is EXACT (no
-    mid-rank fractions, no sqrt — the permutation's variance is known
-    in closed form). The readout is carried in DECIMAL(38,0) (Spark)
+    Pearson. Ranks are deterministic TOTAL orders, i.e. permutations
+    of 1..n on both engines, so the classic closed form
+    rho = 1 - 6*sum(d^2)/(n*(n^2-1)) is EXACT (no mid-rank fractions,
+    no sqrt — the permutation's variance is known in closed form).
+    The two tiebreaks are DECOUPLED (price ties break by p_partkey,
+    size ties by md5(p_partkey) order): p_size has only ~50 distinct
+    values, and a shared tiebreak key would manufacture within-tie
+    rank agreement that biases rho upward (ADVICE r8). With
+    independent tie orders this is randomized-tiebreak Spearman — an
+    unbiased draw from the tie-resolution ensemble, not mid-rank rho;
+    the difference from mid-rank is O(tie-run/n) and documented here
+    by design. The readout is carried in DECIMAL(38,0) (Spark)
     / HUGEINT (DuckDB): n^3 * 10^6 stays in-range to n ~ 4*10^10
     ranked rows, so the BIGINT overflow cliff at n ~ 1.6*10^6 never
     exists. Spark ``div`` == DuckDB ``//`` == truncate-toward-zero,
@@ -3580,9 +3588,16 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", F.col("rnk").alias("rx"))
     ry = _bucketed_unique_rank(
         spark,
-        part.select("p_partkey", "p_size"),
+        part.select(
+            "p_partkey",
+            "p_size",
+            # decoupled tie order: md5 hex is lowercase on both engines
+            # and compares bytewise; p_partkey appended for the
+            # (astronomically unlikely) collision
+            F.expr("md5(cast(p_partkey as string))").alias("tb"),
+        ),
         "p_size",
-        "p_partkey",
+        ["tb", "p_partkey"],
         "cast(p_size as int)",
     ).select("p_partkey", F.col("rnk").alias("ry"))
     d = rx.join(ry, "p_partkey")
@@ -3608,7 +3623,9 @@ _SP_NUM_DUCK = f"{_SP_DEN_DUCK} - 6 * sd2"
 ORACLE_SPEARMAN = f"""
 WITH r AS (
   SELECT row_number() OVER (ORDER BY p_retailprice, p_partkey) AS rx,
-         row_number() OVER (ORDER BY p_size, p_partkey) AS ry
+         row_number() OVER (
+           ORDER BY p_size, md5(CAST(p_partkey AS VARCHAR)), p_partkey
+         ) AS ry
   FROM part),
 s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
              CAST(SUM((rx - ry) * (rx - ry)) AS HUGEINT) AS sd2
@@ -3945,15 +3962,20 @@ def drift_priority_mix_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied to the common denominator it is
     sum_p |c_mp * N - C_p * n_m| over 2 * n_m * N, every term an
     integer. Carried in DECIMAL(38,0)/HUGEINT (c*N products overflow
-    BIGINT at ~10^10-row feeds).
+    BIGINT at ~10^10-row feeds). The (month, priority) grid is DENSIFIED
+    before the fold — months x priorities cross join with
+    COALESCE(c_mp, 0) — so a month missing a priority class still
+    contributes its |0 - C_p * n_m| term and the statistic is true
+    total variation, not a present-cells-only approximation (ADVICE r8).
 
-    Scale: one (month, priority) groupBy (calendar x 5 keys), two
-    broadcast joins of bounded side tables; the per-month fold is over
+    Scale: one (month, priority) groupBy (calendar x 5 keys), a
+    broadcast cross join of two bounded side tables (calendar x 5 grid
+    rows total), one broadcast left join; the per-month fold is over
     <=5 rows each."""
     orders = catalog.load(spark, sf_dir, "orders")
     ym = F.date_format("o_orderdate", "yyyy-MM").alias("ym")
     cell = orders.groupBy(ym, "o_orderpriority").agg(
-        F.count("*").cast("long").alias("c_mp")
+        F.count("*").cast("long").alias("c_mp_raw")
     )
     per_month = orders.groupBy(ym).agg(
         F.count("*").cast("long").alias("n_m")
@@ -3967,9 +3989,10 @@ def drift_priority_mix_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"abs({dec.format('c_mp')} * {dec.format('n_tot')}"
         f" - {dec.format('c_p')} * {dec.format('n_m')})"
     )
+    grid = per_month.crossJoin(per_prio)  # both sides bounded (months x 5)
     return (
-        cell.join(F.broadcast(per_month), "ym")
-        .join(F.broadcast(per_prio), "o_orderpriority")
+        grid.join(F.broadcast(cell), ["ym", "o_orderpriority"], "left")
+        .withColumn("c_mp", F.coalesce(F.col("c_mp_raw"), F.lit(0)))
         .crossJoin(F.broadcast(total))
         .groupBy("ym", "n_m")
         .agg(
@@ -4003,14 +4026,16 @@ pp AS (
   FROM orders GROUP BY 1),
 t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_tot FROM orders),
 s AS (
-  SELECT cell.ym, pm.n_m,
-         SUM(ABS(cell.c_mp * t.n_tot - pp.c_p * pm.n_m)) AS tv_num,
+  SELECT pm.ym, pm.n_m,
+         SUM(ABS(COALESCE(cell.c_mp, 0) * t.n_tot - pp.c_p * pm.n_m))
+           AS tv_num,
          MAX(t.n_tot) AS n_tot
-  FROM cell
-  JOIN pm ON cell.ym = pm.ym
-  JOIN pp ON cell.o_orderpriority = pp.o_orderpriority
+  FROM pm
+  CROSS JOIN pp
+  LEFT JOIN cell
+    ON cell.ym = pm.ym AND cell.o_orderpriority = pp.o_orderpriority
   CROSS JOIN t
-  GROUP BY cell.ym, pm.n_m)
+  GROUP BY pm.ym, pm.n_m)
 SELECT ym AS month, CAST(n_m AS BIGINT) AS n_orders,
        {rat_round6_duck("tv_num", "2 * n_m * n_tot")} AS tv_r6
 FROM s

@@ -596,7 +596,12 @@ def ev_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "arr",
         F.expr(
-            f"t + (event_id * {WM_LCG_A} + {WM_LCG_C}) % {WM_JITTER_US}"
+            # reduce event_id mod J BEFORE the multiply: (id%J)*A tops out
+            # at ~2.0e18 < 2^63, so the LCG never overflows BIGINT under
+            # ANSI mode no matter how large event_id grows (ADVICE r8);
+            # (id*A)%J == ((id%J)*A)%J since A%J == A
+            f"t + ((event_id % {WM_JITTER_US}) * {WM_LCG_A}"
+            f" + {WM_LCG_C}) % {WM_JITTER_US}"
         ),
     )
     e = e.withColumn("bkt", F.expr(f"arr div {WM_WIN_US}"))
@@ -665,7 +670,8 @@ ORACLE_LATE_WATERMARK = f"""
 WITH e AS (
   SELECT event_id, epoch_us(ts) AS t,
          epoch_us(ts)
-           + (event_id * {WM_LCG_A} + {WM_LCG_C}) % {WM_JITTER_US} AS arr
+           + ((event_id % {WM_JITTER_US}) * {WM_LCG_A}
+              + {WM_LCG_C}) % {WM_JITTER_US} AS arr
   FROM events),
 m AS (
   SELECT t,

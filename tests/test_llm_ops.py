@@ -3,6 +3,8 @@ recall of the approximate ANN path, dedup invariants, multimodal plumbing."""
 
 from __future__ import annotations
 
+import os
+
 from conftest import SF_DIR
 
 from spark_dba_spark import catalog
@@ -1510,12 +1512,16 @@ def test_audio_modality_fixture_is_ascii(spark, tmp_path):
 
     from spark_dba_spark.operators.multimodal import AUDIO_WIN, mm_audio_energy
 
+    # derive the three SF paths from conftest's SF_DIR so the gate
+    # travels with the fixture root instead of a hardcoded machine
+    # layout (ADVICE r8)
+    testdata_root = os.path.dirname(SF_DIR.rstrip("/"))
     con = duckdb.connect()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         bad = con.execute(
             "SELECT count(*) FROM read_parquet(?) WHERE doc_id % 3 = 1 "
             "AND octet_length(CAST(text AS BLOB)) <> length(text)",
-            [f"/root/testdata/{sf}/documents.parquet"],
+            [os.path.join(testdata_root, sf, "documents.parquet")],
         ).fetchone()[0]
         assert bad == 0, f"{sf}: non-ASCII audio docs break the byte==char unit"
     con.close()
