@@ -549,10 +549,15 @@ def test_spearman_matches_fraction_brute(spark):
         f"read_parquet('{SF_DIR}/part.parquet')"
     ).fetchall()
     con.close()
+    import hashlib
+
     rx = {k: i + 1 for i, (k, _, _) in enumerate(
         sorted(rows, key=lambda r: (r[1], r[0])))}
+    # size ties break by md5(key) order — DECOUPLED from rx's key order
+    # so heavy p_size ties can't manufacture rank agreement (ADVICE r8)
     ry = {k: i + 1 for i, (k, _, _) in enumerate(
-        sorted(rows, key=lambda r: (r[2], r[0])))}
+        sorted(rows, key=lambda r: (
+            r[2], hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])))}
     n = len(rows)
     sum_d2 = sum((rx[k] - ry[k]) ** 2 for k, _, _ in rows)
     den = n * (n - 1) * (n + 1)
@@ -627,3 +632,203 @@ def test_q13_distribution_brute(spark):
     # deterministic presentation order: custdist desc, c_count desc
     keys = [(-r["custdist"], -r["c_count"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_fano_matches_python_brute(spark):
+    """Per-type Fano over hourly counts equals the literal definition —
+    sample variance over EVERY hour of the span including silent ones —
+    computed with exact integers in Python. Guards the zero-hour trick
+    (zeros enter only through n) and the span endpoint arithmetic."""
+    import duckdb
+
+    from conftest import SF_DIR
+    from spark_dba_spark.operators.temporal import ev_fano_overdispersion
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT event_type, epoch_us(date_trunc('hour', ts)), "
+        "epoch_us(date_trunc('hour', ts)) // 3600000000 FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    con.close()
+    hours = [h for _, _, h in rows]
+    n = max(hours) - min(hours) + 1
+    counts: dict = {}
+    for et, _, h in rows:
+        counts[(et, h)] = counts.get((et, h), 0) + 1
+    got = {r["event_type"]: r for r in
+           ev_fano_overdispersion(spark, SF_DIR).collect()}
+    types = {et for et, _, _ in rows}
+    assert set(got) == types
+    for et in types:
+        cs = [c for (t, _), c in counts.items() if t == et]
+        s, q = sum(cs), sum(c * c for c in cs)
+        r = got[et]
+        assert (r["n_hours"], r["n_events"]) == (n, s)
+        assert r["mean_r6"] == _r6(s, n)
+        assert r["fano_r6"] == _r6(n * q - s * s, (n - 1) * s)
+        # cross-check against the float definition (population-free
+        # sample variance over n hours incl. zeros, tolerance 1e-6)
+        import statistics
+
+        full = cs + [0] * (n - len(cs))
+        fano = statistics.variance(full) / statistics.mean(full)
+        assert abs(r["fano_r6"] - fano) < 1e-6
+
+
+def test_gap_log2_histogram_matches_python_brute(spark):
+    """The lag-window gap buckets equal a per-(user, type) Python replay,
+    with the bucket from int.bit_length() — guards the bin()-string
+    bucket (exact at power-of-two boundaries) and the zero-gap class."""
+    import duckdb
+
+    from conftest import SF_DIR
+    from spark_dba_spark.operators.temporal import ev_gap_log2_histogram
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT user_id, event_type, event_id, epoch_us(ts) FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    con.close()
+    series: dict = {}
+    for u, et, eid, um in rows:
+        series.setdefault((u, et), []).append((um, eid))
+    hist: dict = {}
+    for (u, et), pts in series.items():
+        pts.sort()
+        for (a, _), (b, _) in zip(pts, pts[1:]):
+            gap = b - a
+            bucket = -1 if gap == 0 else gap.bit_length() - 1
+            hist[(et, bucket)] = hist.get((et, bucket), 0) + 1
+    got = {(r["event_type"], r["bucket"]): r for r in
+           ev_gap_log2_histogram(spark, SF_DIR).collect()}
+    assert set(got) == set(hist)
+    for key, n_gaps in hist.items():
+        total = sum(v for (et, _), v in hist.items() if et == key[0])
+        assert got[key]["n_gaps"] == n_gaps
+        assert got[key]["share_r6"] == _r6(n_gaps, total)
+        # power-of-two boundary sanity: bucket b covers [2^b, 2^(b+1))
+        if key[1] >= 0:
+            assert 2 ** key[1] <= 2 ** (key[1] + 1) - 1
+
+
+def test_seasonal_index_matches_python_brute(spark):
+    """Month-of-year indices equal plain dict accumulation with Class C
+    cents — a flat normalization check (sum of month shares == 12)."""
+    import math
+
+    import duckdb
+
+    from conftest import SF_DIR
+    from spark_dba_spark.operators.temporal import orders_seasonal_index
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT month(o_orderdate), o_totalprice FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    agg: dict = {}
+    for m, tp in rows:
+        n, c = agg.get(m, (0, 0))
+        agg[m] = (n + 1, c + math.floor(tp * 100 + 0.5))
+    tot_n = sum(v[0] for v in agg.values())
+    tot_c = sum(v[1] for v in agg.values())
+    out = orders_seasonal_index(spark, SF_DIR).collect()
+    assert [r["month"] for r in out] == sorted(agg)
+    for r in out:
+        n, c = agg[r["month"]]
+        assert (r["n_orders"], r["revenue_cents"]) == (n, c)
+        assert r["count_index_r6"] == _r6(12 * n, tot_n)
+        assert r["revenue_index_r6"] == _r6(12 * c, tot_c)
+    # normalization identity: the 12 month shares sum to 12/12 = 1,
+    # so the indices sum to 12 (up to 6dp rounding per month)
+    assert abs(sum(r["count_index_r6"] for r in out) - 12.0) < 1e-4
+
+
+def test_drift_tv_matches_python_brute(spark):
+    """Per-month total variation vs the corpus priority mix equals the
+    densified-grid integer formula in Python — including the |0 - C_p *
+    n_m| term for month x priority cells with no orders (ADVICE r8)."""
+    import duckdb
+
+    from conftest import SF_DIR
+    from spark_dba_spark.operators.temporal import drift_priority_mix_tv
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT strftime(o_orderdate, '%Y-%m'), o_orderpriority FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    cell: dict = {}
+    n_m: dict = {}
+    c_p: dict = {}
+    for ym, p in rows:
+        cell[(ym, p)] = cell.get((ym, p), 0) + 1
+        n_m[ym] = n_m.get(ym, 0) + 1
+        c_p[p] = c_p.get(p, 0) + 1
+    n_tot = len(rows)
+    got = {r["month"]: r for r in
+           drift_priority_mix_tv(spark, SF_DIR).collect()}
+    assert set(got) == set(n_m)
+    for ym in n_m:
+        tv_num = sum(
+            abs(cell.get((ym, p), 0) * n_tot - cp * n_m[ym])
+            for p, cp in c_p.items()  # densified: EVERY priority class
+        )
+        r = got[ym]
+        assert r["n_orders"] == n_m[ym]
+        assert r["tv_r6"] == _r6(tv_num, 2 * n_m[ym] * n_tot)
+        assert 0.0 <= r["tv_r6"] <= 1.0
+
+
+def test_bootstrap_ci_matches_python_brute(spark):
+    """The 4-lane md5 Poisson-bootstrap equals a full Python replay:
+    same digests, same 28-bit lanes, same frozen thresholds, same
+    replica means and order statistics — guards the lane offsets and
+    the (rep_mean, rep) rank tiebreak."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from conftest import SF_DIR
+    from spark_dba_spark.operators.temporal import (
+        BOOT_B,
+        BOOT_SALT,
+        BOOT_THRESHOLDS,
+        stats_bootstrap_ci,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT o_orderkey, o_totalprice FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    sums = {rep: [0, 0] for rep in range(BOOT_B)}  # rep -> [sum_w, sum_wc]
+    for key, tp in rows:
+        cents = math.floor(tp * 100 + 0.5)
+        for g in range(BOOT_B // 4):
+            m = hashlib.md5(f"{key}:{g}:{BOOT_SALT}".encode()).hexdigest()
+            for lane in range(4):
+                h = int(m[8 * lane: 8 * lane + 7], 16)
+                w = sum(1 for t in BOOT_THRESHOLDS if h >= t)
+                rep = g * 4 + lane
+                sums[rep][0] += w
+                sums[rep][1] += w * cents
+    means = sorted(
+        (_r6(wc, w), rep) for rep, (w, wc) in sums.items()
+    )
+    n = len(rows)
+    total_cents = sum(math.floor(tp * 100 + 0.5) for _, tp in rows)
+    r = stats_bootstrap_ci(spark, SF_DIR).collect()[0]
+    assert (r["n_orders"], r["b_replicas"]) == (n, BOOT_B)
+    assert r["mean_cents_r6"] == _r6(total_cents, n)
+    assert r["boot_p05_r6"] == means[4][0]
+    assert r["boot_p50_r6"] == means[49][0]
+    assert r["boot_p95_r6"] == means[94][0]
+    # the band brackets the point estimate and is ordered
+    assert means[4][0] <= means[49][0] <= means[94][0]
