@@ -30,6 +30,7 @@ from ..functions.numeric import (  # noqa: F401
     davg,
     dsum,
     dsum_expr,
+    rat_round6_duck,
     rat_round6_spark,
     sql_davg,
     sql_dsum,
@@ -3038,6 +3039,121 @@ def sketch_hll_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(glob).orderBy("source")
 
 
+HLL_M = 64  # registers (2^6 buckets; 6 low bits of the hash)
+HLL_WBITS = 54  # rank bits: 60-bit md5-derived hash minus 6 bucket bits
+
+
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC-register HyperLogLog over distinct document
+    contents — the fully-oracle-checkable twin of
+    ``sketch_hll_reaggregate`` (whose DataSketches estimates are
+    engine-specific, hence rows-only). Every construct here is exact on
+    both engines: the hash is the first 15 hex chars of md5(text)
+    (a 60-bit integer), the register index is its 6 low bits, and the
+    register value is the HLL rank rho = leading-zero count of the
+    remaining {HLL_WBITS} bits + 1, computed as {HLL_WBITS + 1} −
+    bit_length(w) via the bin()-string idiom (float log2 is wrong
+    exactly at the power-of-two boundaries). Registers are emitted
+    DENSELY (every source × all {HLL_M} buckets, empty = 0) together
+    with the exact harmonic term 2^({HLL_WBITS + 1} − register); the
+    float estimate alpha·m²/Σ is one driver-side multiply away and is
+    gated against exact distincts in pytest. The '__ALL__' rows prove
+    the MERGE property: union-of-sketches = per-bucket MAX of
+    registers — the re-aggregatable architecture at constant exchange
+    size.
+
+    Scale: register max is idempotent over duplicate texts, so no
+    pre-dedup pass is needed; the whole op is one map-side hash + one
+    (source × {HLL_M})-key groupBy — sketch-sized exchanges no matter
+    the corpus."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    h = docs.select(
+        "source",
+        F.expr(
+            "cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    ).select(
+        "source",
+        (F.col("h") % HLL_M).cast("int").alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    ).select(
+        "source",
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(HLL_WBITS + 1))
+        .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.expr("bin(w)")))
+        .cast("int")
+        .alias("rho"),
+    )
+    per_src = h.groupBy("source", "bucket").agg(
+        F.max("rho").alias("reg")
+    )
+    spine = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(
+            spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    dense = (
+        spine.join(per_src, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce("reg", F.lit(0)).cast("int").alias("register"),
+        )
+    )
+    merged = (
+        dense.groupBy("bucket")
+        .agg(F.max("register").cast("int").alias("register"))
+        .select(F.lit("__ALL__").alias("source"), "bucket", "register")
+    )
+    return (
+        dense.unionByName(merged)
+        .select(
+            "source",
+            "bucket",
+            "register",
+            F.expr(
+                f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - register)"
+            ).alias("harmonic_term"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+ORACLE_HLL_REGISTERS = f"""
+WITH h AS (
+  SELECT source,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents),
+r AS (
+  SELECT source, CAST(h % {HLL_M} AS INT) AS bucket,
+         CASE WHEN h // {HLL_M} = 0 THEN {HLL_WBITS + 1}
+              ELSE {HLL_WBITS + 1} - LENGTH(bin(h // {HLL_M}))
+         END AS rho
+  FROM h),
+per_src AS (
+  SELECT source, bucket, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+spine AS (
+  SELECT DISTINCT d.source, CAST(b.b AS INT) AS bucket
+  FROM documents d, (SELECT unnest(range({HLL_M})) AS b) b),
+dense AS (
+  SELECT spine.source, spine.bucket,
+         CAST(COALESCE(reg, 0) AS INT) AS register
+  FROM spine LEFT JOIN per_src
+    ON spine.source = per_src.source AND spine.bucket = per_src.bucket),
+merged AS (
+  SELECT '__ALL__' AS source, bucket,
+         CAST(MAX(register) AS INT) AS register
+  FROM dense GROUP BY bucket),
+allrows AS (SELECT * FROM dense UNION ALL SELECT * FROM merged)
+SELECT source, bucket, register,
+       CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - register) AS harmonic_term
+FROM allrows
+ORDER BY source, bucket
+"""
+
+
 def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust dispersion per group: median absolute deviation of order
     totals — the outlier-resistant spread metric (stddev is dominated by
@@ -5409,6 +5525,13 @@ SPECS = [
     QuerySpec("agg_median_abs_deviation", agg_median_abs_deviation,
               ORACLE_MAD, ("agg", "stats", "robust"),
               doc="median absolute deviation (robust dispersion) per group"),
+    QuerySpec("sketch_hll_registers", sketch_hll_registers,
+              ORACLE_HLL_REGISTERS, ("agg", "sketch", "rollup"),
+              doc="deterministic-register HLL (md5 60-bit hash, 64 "
+                  "registers, bin()-string rank): dense per-source "
+                  "register arrays + exact harmonic terms, with "
+                  "'__ALL__' proving merge = per-bucket MAX; the "
+                  "full-oracle twin of sketch_hll_reaggregate"),
     QuerySpec("sketch_hll_reaggregate", sketch_hll_reaggregate, None,
               ("agg", "sketch", "rollup"),
               doc="DataSketches HLL per source + lossless union rollup "

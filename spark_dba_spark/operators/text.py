@@ -2752,6 +2752,123 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Substring-level dedup — duplicated token SPANS across documents
+# --------------------------------------------------------------------------
+
+SPAN_W = 12  # tokens per substring window
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup audit (the ExactSubstr family of public
+    dedup literature — duplicated token SPANS across documents, the
+    granularity between chunk-level ``dedup_chunks_exact`` and
+    prefix-level ``text_dedup_prefix``): every {SPAN_W}-token window at
+    EVERY token offset is fingerprinted, and a window is "duplicated"
+    when its content appears in ≥2 DISTINCT documents. Stride 1 makes
+    detection exact — any shared span of ≥{SPAN_W} tokens is caught
+    regardless of alignment (a strided variant would miss phase-shifted
+    copies; the suffix-array construction of the literature is the
+    single-node equivalent of this hash-groupBy).
+
+    Per-doc output: window count, duplicated-window count, and the
+    duplicated share — the span-level contamination readout a curation
+    pipeline thresholds on.
+
+    Scale: the blowup is map-side (each token yields one 16-byte md5;
+    ~{SPAN_W}× transient text traffic feeding a hash shuffle) and the
+    only joins are the inverted-index fingerprint join (shuffle key =
+    fingerprint; reused by the join-back, no second shuffle) and the
+    final doc rollup — no all-pairs anywhere. The corpus is
+    repartitioned by doc_id ahead of the HOF stage (the one-file-
+    fixture single-task trap, PLANS r8)."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    base = docs.repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    ).select(
+        "doc_id",
+        ws.alias("ws"),
+        F.greatest(F.size(ws) - F.lit(SPAN_W - 1), F.lit(0)).alias("n_win"),
+    )
+    wins = (
+        base.filter(F.col("n_win") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n_win"))).alias("start"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice("ws", F.col("start"), SPAN_W))
+            ).alias("fp"),
+        )
+    )
+    per_fp = wins.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        wins.join(per_fp, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.expr(
+                    rat_round6_spark(
+                        "coalesce(n_dup_windows, 0)",
+                        "coalesce(n_windows, 1)",
+                    )
+                )
+            )
+            .alias("dup_share_r6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SUBSTRING_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         md5(array_to_string(ws[k : k + {SPAN_W - 1}], ' ')) AS fp
+  FROM d, LATERAL unnest(generate_series(
+           1, greatest(len(ws) - {SPAN_W - 1}, 0))) AS u(k)),
+pf AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY 1),
+pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM w JOIN pf USING (fp) GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(n_windows, 0) AS n_windows,
+       COALESCE(n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN COALESCE(n_windows, 0) = 0 THEN 0.0
+            ELSE {rat_round6_duck(
+                "COALESCE(n_dup_windows, 0)", "COALESCE(n_windows, 1)")}
+       END AS dup_share_r6
+FROM d LEFT JOIN pd USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
@@ -2806,6 +2923,11 @@ SPECS = [
               ("text", "dedup", "pipeline", "rag"),
               doc="training-example (chunk-level) exact dedup: content-"
                   "hash grouping + deterministic keeper"),
+    QuerySpec("dedup_substring_spans", dedup_substring_spans,
+              ORACLE_SUBSTRING_SPANS, ("text", "dedup", "pipeline"),
+              doc="substring-level dedup audit (ExactSubstr family): "
+                  "stride-1 12-token window fingerprints, inverted-index "
+                  "cross-doc duplication share per doc"),
     QuerySpec("text_source_kl", text_source_kl, ORACLE_SOURCE_KL,
               ("text", "stats", "mix"),
               doc="per-source KL divergence from the corpus unigram mix "
