@@ -4211,6 +4211,192 @@ FROM point p
 """
 
 
+# --------------------------------------------------------------------------
+# Exact equi-depth histogram boundaries (the ANALYZE-style stats primitive)
+# --------------------------------------------------------------------------
+
+EQD_K = 8  # buckets per group
+
+
+def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth histogram boundaries of order value per
+    priority — the optimizer-statistics primitive (ANALYZE computes
+    these approximately; this is the exact reference): boundary k is
+    the smallest value whose cumulative count reaches ceil(k*n/{EQD_K}).
+    Order value is quantized to BIGINT cents first (floor(x*100+0.5) is
+    IEEE-exact on both engines even for the off-grid o_totalprice,
+    TIES.md Class C), so boundaries are integers and the rank compare
+    never touches a float.
+
+    Scale: the heavy reduction is one (priority, cents) groupBy — the
+    cumulative window then runs over the DISTINCT-value histogram, which
+    is VALUE-DOMAIN-bounded (≤ price-range cents per priority), not
+    row-bounded (GLOBAL_WINDOW_BOUNDED); the boundary selection is a
+    broadcast of {EQD_K} rank targets against that bounded set."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    hist = (
+        orders.select(
+            "o_orderpriority",
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("o_orderpriority", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    wc = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wc))
+    tot = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ks = spark.range(1, EQD_K + 1).select(F.col("id").cast("int").alias("k"))
+    targets = tot.crossJoin(F.broadcast(ks)).withColumn(
+        "rank_target",
+        F.expr(f"(k * n + {EQD_K - 1}) div {EQD_K}"),  # ceil(k*n/K)
+    )
+    return (
+        cum.join(targets, "o_orderpriority")
+        .filter(F.col("cum") >= F.col("rank_target"))
+        .groupBy("o_orderpriority", "k", "n")
+        .agg(F.min("cents").alias("boundary_cents"))
+        .select(
+            "o_orderpriority",
+            "k",
+            F.col("n").alias("n_orders"),
+            "boundary_cents",
+        )
+        .orderBy("o_orderpriority", "k")
+    )
+
+
+ORACLE_EQUIDEPTH = f"""
+WITH hist AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1, 2),
+cum AS (
+  SELECT o_orderpriority, cents,
+         SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY cents) AS cum
+  FROM hist),
+tot AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+targets AS (
+  SELECT o_orderpriority, n, CAST(k AS INT) AS k,
+         (k * n + {EQD_K - 1}) // {EQD_K} AS rank_target
+  FROM tot, (SELECT unnest(range(1, {EQD_K + 1})) AS k) ks)
+SELECT t.o_orderpriority, t.k, t.n AS n_orders,
+       MIN(cents) AS boundary_cents
+FROM cum JOIN targets t
+  ON cum.o_orderpriority = t.o_orderpriority AND cum.cum >= t.rank_target
+GROUP BY 1, 2, 3
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily revenue direction sequence
+# --------------------------------------------------------------------------
+
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of randomness on the daily revenue
+    DIRECTION sequence (up/down day-over-day moves, zero-changes
+    dropped per the classic construction): too few runs means trending,
+    too many means oscillation. The emitted pieces are all exact —
+    counts are integers and the null moments are rationals
+    (E[R] = 1 + 2*n1*n2/N; Var[R] = 2*n1*n2*(2*n1*n2 - N) /
+    (N^2*(N-1))) carried in DECIMAL(38,0)/HUGEINT through the
+    exact-rational half-up; the z-score's sqrt stays out of the checked
+    surface (a consumer divides (R - E)/sqrt(Var) in one float step).
+
+    Scale: the heavy stage is the daily groupBy (map-side combined);
+    the direction/run windows run over the CALENDAR-bounded daily
+    series (GLOBAL_WINDOW_BOUNDED — ~2.4k rows for the fixture span,
+    ~3.7k for a 10-year feed)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("dt")
+    ).agg(
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("cents")
+    )
+    wd = W.orderBy("dt")
+    signs = (
+        daily.withColumn("prev", F.lag("cents").over(wd))
+        .filter(F.col("prev").isNotNull() & (F.col("cents") != F.col("prev")))
+        .withColumn(
+            "sgn", F.when(F.col("cents") > F.col("prev"), 1).otherwise(-1)
+        )
+    )
+    ws = W.orderBy("dt")
+    runs = signs.withColumn("psgn", F.lag("sgn").over(ws)).agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("psgn").isNotNull()
+                    & (F.col("sgn") != F.col("psgn")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+    dec = "cast({} as decimal(38,0))"
+    n1, n2 = dec.format("n_up"), dec.format("n_down")
+    nn = f"({n1} + {n2})"
+    e_num = f"{nn} + 2 * {n1} * {n2}"  # E[R] = (N + 2 n1 n2) / N
+    v_num = f"2 * {n1} * {n2} * (2 * {n1} * {n2} - {nn})"
+    v_den = f"{nn} * {nn} * ({nn} - 1)"
+    return runs.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.expr(rat_round6_spark(e_num, nn)).alias("expected_runs_r6"),
+        F.expr(rat_round6_spark(v_num, v_den)).alias("var_runs_r6"),
+    )
+
+
+ORACLE_RUNS_TEST = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+signs AS (
+  SELECT dt, CASE WHEN cents > prev THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT dt, cents, LAG(cents) OVER (ORDER BY dt) AS prev FROM daily)
+  WHERE prev IS NOT NULL AND cents <> prev),
+r AS (
+  SELECT CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+         CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+         CAST(1 + SUM(CASE WHEN psgn IS NOT NULL AND sgn <> psgn
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+  FROM (SELECT sgn, LAG(sgn) OVER (ORDER BY dt) AS psgn FROM signs))
+SELECT CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down, n_runs,
+       {rat_round6_duck("(n1 + n2) + 2 * n1 * n2", "(n1 + n2)")}
+         AS expected_runs_r6,
+       {rat_round6_duck(
+           "2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))",
+           "(n1 + n2) * (n1 + n2) * ((n1 + n2) - 1)",
+       )} AS var_runs_r6
+FROM r
+"""
+
+
 SPECS = [
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
@@ -4435,4 +4621,14 @@ SPECS = [
                   "value (frozen integer inverse-CDF thresholds on a "
                   "28-bit md5; exact-rational replica means, "
                   "order-statistic band over B=100 replicas)"),
+    QuerySpec("stats_equidepth_histogram", stats_equidepth_histogram,
+              ORACLE_EQUIDEPTH, ("stats", "histogram", "percentile"),
+              doc="exact equi-depth histogram boundaries per priority "
+                  "(BIGINT-cents values, value-domain-bounded cumulative "
+                  "window, ceil-rank integer targets)"),
+    QuerySpec("stats_runs_test", stats_runs_test,
+              ORACLE_RUNS_TEST, ("stats", "temporal"),
+              doc="Wald-Wolfowitz runs test on daily revenue direction "
+                  "(integer run counts + exact-rational null moments; "
+                  "calendar-bounded windows)"),
 ]

@@ -2869,9 +2869,98 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Pairwise source vocabulary Jaccard (corpus-mix similarity matrix)
+# --------------------------------------------------------------------------
+
+def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise VOCABULARY Jaccard between sources — the set-overlap
+    companion to ``text_source_kl``'s distributional divergence: two
+    sources can share a vocabulary yet weight it differently (KL high,
+    Jaccard high) or barely overlap at all (both low); curation mix
+    decisions read both. Words are lowercase space tokens (the corpus
+    tokenization idiom); every number is an exact integer set size and
+    the Jaccard is the exact-rational half-up of |A∩B| / |A∪B| with
+    |A∪B| = |A| + |B| − |A∩B|.
+
+    Scale: one distinct on (source, word) — vocabulary-bounded, not
+    corpus-bounded — then a word-keyed self-join whose output per word
+    is (#sources carrying it choose 2) ≤ S², with the source count S a
+    small constant at any data scale; no document pair is ever
+    joined."""
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    sizes = words.groupBy("source").agg(F.count("*").cast("long").alias("v"))
+    a = words.select(F.col("source").alias("src_a"), "word")
+    b = words.select(F.col("source").alias("src_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")
+                        .withColumnRenamed("v", "va")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_b")
+                        .withColumnRenamed("v", "vb")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("va").alias("vocab_a"),
+            F.col("vb").alias("vocab_b"),
+            "n_inter",
+            F.expr(
+                rat_round6_spark("n_inter", "va + vb - n_inter")
+            ).alias("jaccard_r6"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+ORACLE_SOURCE_VOCAB_JACCARD = f"""
+WITH words AS (
+  SELECT DISTINCT source, w.word
+  FROM documents,
+       LATERAL unnest(string_split(lower(text), ' ')) AS w(word)
+  WHERE w.word <> ''),
+sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM words GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM words a JOIN words b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b, sa.v AS vocab_a, sb.v AS vocab_b, n_inter,
+       {rat_round6_duck("n_inter", "sa.v + sb.v - n_inter")} AS jaccard_r6
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
+    QuerySpec("text_source_vocab_jaccard", text_source_vocab_jaccard,
+              ORACLE_SOURCE_VOCAB_JACCARD, ("text", "stats", "mix"),
+              doc="pairwise source vocabulary Jaccard (word-keyed "
+                  "inverted-index join, exact set sizes + rational "
+                  "overlap)"),
     QuerySpec("text_lang_id", text_lang_id, ORACLE_TEXT_LANG, ("text",)),
     QuerySpec("text_token_count", text_token_count, ORACLE_TEXT_TOKENS,
               ("text",)),
