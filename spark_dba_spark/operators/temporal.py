@@ -4212,6 +4212,164 @@ FROM point p
 
 
 # --------------------------------------------------------------------------
+# LTTB time-series downsampling (bucket-mean anchors — parallel variant)
+# --------------------------------------------------------------------------
+
+LTTB_K = 60  # interior buckets (output = K + 2 endpoint rows)
+
+
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of the daily revenue
+    series to {LTTB_K}+2 points — the standard viz-pipeline reducer
+    (keep the point per bucket that subtends the largest triangle
+    against its neighbor buckets, so peaks/valleys survive where
+    averaging would flatten them). This is the BUCKET-MEAN-ANCHOR
+    variant: canonical LTTB anchors the triangle on the previously
+    SELECTED point (inherently sequential); anchoring on the previous
+    bucket's mean instead makes every bucket's argmax independent —
+    embarrassingly parallel, same qualitative selection (the variant
+    used by parallel implementations in public viz literature).
+
+    Exactness: x = day index (integer), y = BIGINT cents; the triangle
+    area comparison is cross-multiplied by the anchor denominators so
+    every compared quantity is an exact integer in DECIMAL(38,0)
+    (~1e23 at a 10-year 100 TB feed — far past BIGINT, far under 38
+    digits); argmax ties break to the earliest day.
+
+    Scale: one daily groupBy, one calendar-bounded index window, one
+    {LTTB_K}-key bucket aggregate broadcast back, one per-bucket argmax
+    window (partitioned — parallel)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("dt")
+    ).agg(
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("cents")
+    )
+    wd = W.orderBy("dt")
+    idx = daily.withColumn("idx", F.row_number().over(wd)).withColumn(
+        "n", F.count("*").over(W.rowsBetween(W.unboundedPreceding,
+                                             W.unboundedFollowing))
+    )
+    interior = idx.filter(
+        (F.col("idx") >= 2) & (F.col("idx") <= F.col("n") - 1)
+    ).withColumn(
+        "b", F.expr(f"((idx - 2) * {LTTB_K}) div (n - 2)")
+    )
+    bsum = interior.groupBy("b").agg(
+        F.sum("idx").alias("sx"),
+        F.sum(F.expr("cast(cents as decimal(38,0))")).alias("sy"),
+        F.count("*").alias("nb"),
+    )
+    first = idx.filter(F.col("idx") == 1).select(
+        F.lit(-1).alias("b"),
+        F.col("idx").alias("sx"),
+        F.expr("cast(cents as decimal(38,0))").alias("sy"),
+        F.lit(1).alias("nb"),
+    )
+    last = idx.filter(F.col("idx") == F.col("n")).select(
+        F.lit(LTTB_K).alias("b"),
+        F.col("idx").alias("sx"),
+        F.expr("cast(cents as decimal(38,0))").alias("sy"),
+        F.lit(1).alias("nb"),
+    )
+    anchors = bsum.unionByName(first).unionByName(last)
+    prev = anchors.select(
+        (F.col("b") + 1).alias("b"),
+        F.col("sx").alias("psx"), F.col("sy").alias("psy"),
+        F.col("nb").alias("pn"),
+    )
+    nxt = anchors.select(
+        (F.col("b") - 1).alias("b"),
+        F.col("sx").alias("nsx"), F.col("sy").alias("nsy"),
+        F.col("nb").alias("nn"),
+    )
+    dec = "cast({} as decimal(38,0))"
+    area2 = (
+        f"abs({dec.format('psx')} * ({dec.format('cents')} * {dec.format('nn')} - nsy)"
+        f" + {dec.format('idx')} * (nsy * {dec.format('pn')} - psy * {dec.format('nn')})"
+        f" + {dec.format('nsx')} * (psy - {dec.format('cents')} * {dec.format('pn')}))"
+    )
+    scored = (
+        interior.join(F.broadcast(prev), "b")
+        .join(F.broadcast(nxt), "b")
+        .withColumn("a2", F.expr(area2))
+    )
+    wb = W.partitionBy("b").orderBy(F.desc("a2"), F.asc("idx"))
+    picked = (
+        scored.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(F.col("b").cast("int").alias("bucket"), "dt", "cents")
+    )
+    ends = idx.filter(
+        (F.col("idx") == 1) | (F.col("idx") == F.col("n"))
+    ).select(
+        F.when(F.col("idx") == 1, F.lit(-1))
+        .otherwise(F.lit(LTTB_K))
+        .cast("int")
+        .alias("bucket"),
+        "dt",
+        "cents",
+    )
+    return (
+        picked.unionByName(ends)
+        .select("bucket", "dt", F.col("cents").alias("revenue_cents"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_LTTB = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT dt, cents, ROW_NUMBER() OVER (ORDER BY dt) AS idx,
+         COUNT(*) OVER () AS n
+  FROM daily),
+interior AS (
+  SELECT dt, cents, idx, ((idx - 2) * {LTTB_K}) // (n - 2) AS b
+  FROM idx WHERE idx >= 2 AND idx <= n - 1),
+bsum AS (
+  SELECT b, CAST(SUM(idx) AS HUGEINT) AS sx,
+         CAST(SUM(cents) AS HUGEINT) AS sy,
+         CAST(COUNT(*) AS HUGEINT) AS nb
+  FROM interior GROUP BY 1),
+anchors AS (
+  SELECT * FROM bsum
+  UNION ALL
+  SELECT -1, CAST(idx AS HUGEINT), CAST(cents AS HUGEINT), 1
+  FROM idx WHERE idx = 1
+  UNION ALL
+  SELECT {LTTB_K}, CAST(idx AS HUGEINT), CAST(cents AS HUGEINT), 1
+  FROM idx WHERE idx = n),
+scored AS (
+  SELECT i.b, i.dt, i.cents, i.idx,
+         abs(p.sx * (i.cents * q.nb - q.sy)
+             + i.idx * (q.sy * p.nb - p.sy * q.nb)
+             + q.sx * (p.sy - i.cents * p.nb)) AS a2
+  FROM interior i
+  JOIN anchors p ON p.b = i.b - 1
+  JOIN anchors q ON q.b = i.b + 1),
+picked AS (
+  SELECT CAST(b AS INT) AS bucket, dt, cents
+  FROM (SELECT b, dt, cents,
+               ROW_NUMBER() OVER (PARTITION BY b
+                                  ORDER BY a2 DESC, idx) AS rk
+        FROM scored)
+  WHERE rk = 1),
+ends AS (
+  SELECT CASE WHEN idx = 1 THEN -1 ELSE {LTTB_K} END AS bucket, dt, cents
+  FROM idx WHERE idx = 1 OR idx = n)
+SELECT bucket, dt, cents AS revenue_cents
+FROM (SELECT * FROM picked UNION ALL SELECT * FROM ends)
+ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact equi-depth histogram boundaries (the ANALYZE-style stats primitive)
 # --------------------------------------------------------------------------
 
@@ -4631,4 +4789,10 @@ SPECS = [
               doc="Wald-Wolfowitz runs test on daily revenue direction "
                   "(integer run counts + exact-rational null moments; "
                   "calendar-bounded windows)"),
+    QuerySpec("ts_downsample_lttb", ts_downsample_lttb, ORACLE_LTTB,
+              ("temporal", "downsample", "viz"),
+              doc="LTTB downsampling of the daily revenue series "
+                  "(bucket-mean-anchor parallel variant; exact integer "
+                  "cross-product areas in DECIMAL(38,0), per-bucket "
+                  "argmax windows)"),
 ]

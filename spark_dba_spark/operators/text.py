@@ -2870,6 +2870,185 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# RAKE keyword extraction (degree/frequency word scores)
+# --------------------------------------------------------------------------
+
+RAKE_STOP_K = 10  # corpus-calibrated stopword count
+RAKE_TOP = 50  # emitted keywords
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al.'s Rapid Automatic Keyword
+    Extraction, the classic unsupervised extractor): text splits into
+    candidate phrases at stopword boundaries, each content word scores
+    degree/frequency where degree sums the lengths of the phrases it
+    appears in — words living in long multi-word phrases beat equally
+    frequent words that stand alone. Stopwords are CORPUS-CALIBRATED
+    (the top {RAKE_STOP_K} words by occurrence count, tie-broken
+    lexicographically) so the operator is language-agnostic and fully
+    deterministic on any corpus — no frozen English list to rot. The
+    score is the exact-rational half-up of two integers; top {RAKE_TOP}
+    by (degree, word) is a total order.
+
+    Scale: the stopword list is a {RAKE_STOP_K}-row broadcast; phrase
+    islands come from a per-document running stopword count (window
+    partitioned BY doc — document-length-bounded); the word rollup is
+    one vocabulary-keyed groupBy and the final cut is a
+    TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    top_stop = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(RAKE_STOP_K)
+        .select(F.col("word").alias("stop_word"))
+    )
+    flagged = words.join(
+        F.broadcast(top_stop),
+        words.word == F.col("stop_word"),
+        "left",
+    ).select(
+        "doc_id",
+        "pos",
+        "word",
+        F.col("stop_word").isNotNull().alias("is_stop"),
+    )
+    wi = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    content = (
+        flagged.withColumn(
+            "island",
+            F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wi),
+        )
+        .filter(~F.col("is_stop"))
+    )
+    phrase_len = content.groupBy("doc_id", "island").agg(
+        F.count("*").alias("plen")
+    )
+    return (
+        content.join(phrase_len, ["doc_id", "island"])
+        .groupBy("word")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+        .select(
+            "word",
+            "freq",
+            "degree",
+            F.expr(rat_round6_spark("degree", "freq")).alias("score_r6"),
+        )
+        .orderBy(F.desc("degree"), F.asc("word"))
+        .limit(RAKE_TOP)
+    )
+
+
+ORACLE_RAKE = f"""
+WITH w AS (
+  SELECT doc_id, CAST(p AS INT) AS pos, ws[p] AS word
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(1, len(ws))) AS u(p)
+  WHERE ws[p] <> ''),
+stop AS (
+  SELECT word AS stop_word FROM w
+  GROUP BY 1 ORDER BY COUNT(*) DESC, word LIMIT {RAKE_STOP_K}),
+flagged AS (
+  SELECT doc_id, pos, word,
+         word IN (SELECT stop_word FROM stop) AS is_stop
+  FROM w),
+content AS (
+  SELECT doc_id, word,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged QUALIFY NOT is_stop),
+plen AS (
+  SELECT doc_id, island, COUNT(*) AS plen
+  FROM content GROUP BY 1, 2)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(SUM(plen) AS BIGINT) AS degree,
+       {rat_round6_duck("CAST(SUM(plen) AS HUGEINT)",
+                        "CAST(COUNT(*) AS HUGEINT)")} AS score_r6
+FROM content JOIN plen USING (doc_id, island)
+GROUP BY word
+ORDER BY degree DESC, word LIMIT {RAKE_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# Suffix↔prefix boundary overlap (concatenation-artifact audit)
+# --------------------------------------------------------------------------
+
+BOUNDARY_W = 3  # boundary width in tokens
+
+
+def text_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation-artifact audit: document pairs where one document's
+    trailing {BOUNDARY_W} tokens equal another's leading {BOUNDARY_W}
+    tokens — the signature of a split-in-the-middle crawl record or a
+    re-chunked corpus (doc B continues doc A). Distinct from span dedup
+    (``dedup_substring_spans`` finds shared INTERIOR content; this
+    aligns EDGES, which is what you need to re-stitch or drop
+    fragments).
+
+    Scale: both edge sets are one map-side md5 per document (the md5 IS
+    the equality key — content never re-ships), so the pair discovery
+    is a single hash equi-join on the boundary fingerprint; output is
+    bounded by true boundary collisions, never all-pairs."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    base = docs.select("doc_id", ws.alias("ws")).filter(
+        F.size("ws") >= BOUNDARY_W
+    )
+    suf = base.select(
+        F.col("doc_id").alias("suffix_doc_id"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("ws", F.size("ws") - (BOUNDARY_W - 1), BOUNDARY_W)
+            )
+        ).alias("fp"),
+    )
+    pre = base.select(
+        F.col("doc_id").alias("prefix_doc_id"),
+        F.md5(F.concat_ws(" ", F.slice("ws", 1, BOUNDARY_W))).alias("fp"),
+    )
+    return (
+        suf.join(pre, "fp")
+        .filter(F.col("suffix_doc_id") != F.col("prefix_doc_id"))
+        .select("suffix_doc_id", "prefix_doc_id", F.col("fp").alias(
+            "boundary_md5"
+        ))
+        .orderBy("suffix_doc_id", "prefix_doc_id")
+    )
+
+
+ORACLE_BOUNDARY_OVERLAP = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (SELECT doc_id, ws FROM d WHERE len(ws) >= {BOUNDARY_W}),
+suf AS (
+  SELECT doc_id AS suffix_doc_id,
+         md5(array_to_string(
+           ws[len(ws) - {BOUNDARY_W - 1} : len(ws)], ' ')) AS fp
+  FROM base),
+pre AS (
+  SELECT doc_id AS prefix_doc_id,
+         md5(array_to_string(ws[1 : {BOUNDARY_W}], ' ')) AS fp
+  FROM base)
+SELECT suffix_doc_id, prefix_doc_id, fp AS boundary_md5
+FROM suf JOIN pre USING (fp)
+WHERE suffix_doc_id <> prefix_doc_id
+ORDER BY suffix_doc_id, prefix_doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Pairwise source vocabulary Jaccard (corpus-mix similarity matrix)
 # --------------------------------------------------------------------------
 
@@ -2961,6 +3140,16 @@ SPECS = [
               doc="pairwise source vocabulary Jaccard (word-keyed "
                   "inverted-index join, exact set sizes + rational "
                   "overlap)"),
+    QuerySpec("text_boundary_overlap", text_boundary_overlap,
+              ORACLE_BOUNDARY_OVERLAP, ("text", "dedup", "audit"),
+              doc="suffix-prefix boundary overlap pairs (concatenation-"
+                  "artifact audit; md5 edge fingerprints, one hash "
+                  "equi-join)"),
+    QuerySpec("text_rake_keywords", text_rake_keywords, ORACLE_RAKE,
+              ("text", "keywords"),
+              doc="RAKE keyword extraction: corpus-calibrated stopwords, "
+                  "phrase islands via running stopword count, exact "
+                  "degree/frequency rational scores, top-50"),
     QuerySpec("text_lang_id", text_lang_id, ORACLE_TEXT_LANG, ("text",)),
     QuerySpec("text_token_count", text_token_count, ORACLE_TEXT_TOKENS,
               ("text",)),
