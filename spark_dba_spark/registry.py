@@ -42,70 +42,69 @@ class QuerySpec:
 # into PRIORITY_LAST (prefer families with several other green rows). Over
 # rounds, every query accumulates at least one driver-recorded green row.
 #
-# ROUND-8 WINDOW (VERDICT r7 "Next round" #1-#2; one window = 50 slots):
-# after r7 the driver ledger shows 220/245 queries with a driver row, 214
-# green-latest, and ONE genuine red: merge_into_semantics — red for the
-# SECOND consecutive round despite a locally-proven fix, so the r8 pair
-# is rewritten DECIMAL-FREE (IEEE floor(x*100+0.5) → BIGINT cents on
-# both engines) and slots 2-4 carry three diagnostic twins that bisect
-# the pair construct-by-construct at the driver (classification-only /
-# revenue-quantization / acctbal-quantization) — whatever comes back,
-# the diverging construct is localized in one round. Slots 5-30 retire
-# the ENTIRE never-checked full-oracle backlog (14 standing + 7 r7
-# multimodal + sim_pq_adc + text_winnow_fingerprint + emb_kmeans_lloyd)
-# plus the sim_ann_lsh/sim_ivf re-records (their only driver rows are
-# r2-era no_oracle, predating the r6 ranking-oracle upgrade). Slots
-# 31-36 are the six r8 additions (never-checked by definition). Slots
-# 37-50 stay the frozen bench set. After slot 50: sketch_hll_reaggregate
-# (the ONE rows-only entry — inherently approximate sketch, exact-twin
-# pytest is its gate, may not take a window slot), then the r7-window
-# greens rotate to PRIORITY_LAST. Expected cumulative coverage after r8:
-# 254/254 minus only the rows-only sketches.
+# ROUND-9 WINDOW (VERDICT r8 "Next round" #2-#3; one window = 50 slots):
+# after r8 the ledger shows 257/277 r8-registry queries with a driver row.
+# The merge saga is CLOSED (merge + all three diag twins green), so those
+# four rotate to PRIORITY_LAST. The one genuine red is emb_kmeans_lloyd —
+# hash-red at the driver while green in all three committed local sweeps
+# (the merge-saga signature), so slot 1 is its red-refix: the assignment
+# pass is rewritten JVM-PURE (integer higher-order-function fold over the
+# broadcast centroid literal — no Arrow, no numpy, no BLAS), and slots
+# 2-5 carry four diagnostic twins that bisect the pipeline at the driver
+# (assignment labels / cluster sizes / seed-pass inertia readout /
+# learned-centroid integers). Slots 6-28 retire the ENTIRE r8
+# never-checked full-oracle backlog (the 11 post-sweep landings plus the
+# 12 mid-r8 continuation ops). Slots 29-36 are the eight r9 additions
+# (never-checked by definition): the kmeans twins' complement —
+# dedup_substring_spans, sketch_hll_registers, stats_equidepth_histogram,
+# stats_runs_test, text_source_vocab_jaccard, text_boundary_overlap,
+# text_rake_keywords, ts_downsample_lttb. Slots 37-50 stay the frozen
+# bench set. After slot 50: sketch_hll_reaggregate (rows-only-by-design;
+# its full-oracle twin sketch_hll_registers IS in the window), then the
+# r8-window greens rotate to PRIORITY_LAST. Expected cumulative coverage
+# after r9: 289/289 minus only the rows-only sketches.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # slot 1 — red-refix: the two-round red, decimal-free rewrite
-    "merge_into_semantics",
-    # slots 2-4 — driver-side bisection twins (VERDICT r7 #1b)
-    "merge_diag_actions",
-    "merge_diag_revenue_cents",
-    "merge_diag_acctbal_cents",
-    # slots 5-18 — standing never-checked full-oracle block
-    "inv_running_balance_capped",
-    "inv_capacity_clamp",
-    "ev_alert_debounce",
-    "ev_windowed_topk",
-    "audit_key_skew",
-    "ev_cusum_changepoint",
-    "stats_ab_test",
-    "stats_theil_sen",
-    "mm_neardup_hamming",
-    "dedup_canonical_corpus",
-    "orders_backlog_aging",
-    "scd2_as_of_lookup",
-    "supplier_scorecard",
-    "stats_anova_price_brand",
-    # slots 19-25 — the r7 multimodal additions
-    "mm_clip_joint_align",
-    "mm_video_keyframe_dedup",
-    "mm_audio_fingerprint_match",
-    "mm_caption_retrieval",
-    "mm_caption_quality_filter",
-    "mm_modality_quota_pack",
-    "mm_asset_ingest_stats",
-    # slots 26-28 — r7-late additions + the kmeans oracle upgrade
-    "sim_pq_adc",
-    "text_winnow_fingerprint",
+    # slot 1 — red-refix: the r8 hash-red, JVM-pure rewrite
     "emb_kmeans_lloyd",
-    # slots 29-30 — ANN re-records (latest rows are r2-era no_oracle,
-    # i.e. non-green; full ranking oracles landed in r6)
-    "sim_ann_lsh",
-    "sim_ivf",
-    # slots 31-36 — new in r8 (never driver-checked by definition)
-    "text_hapax_bigrams",
-    "sample_stratified_quota",
-    "corpus_funnel_stats",
-    "ev_late_data_watermark",
-    "sim_knn_label_vote",
-    "emb_label_centroid_sep",
+    # slots 2-5 — driver-side bisection twins (VERDICT r8 #2)
+    "emb_km_diag_assign",
+    "emb_km_diag_sizes",
+    "emb_km_diag_seed_inertia",
+    "emb_km_diag_centroids",
+    # slots 6-16 — the 11 r8 post-sweep landings (VERDICT r8 #1/#3)
+    "q13_customer_distribution",
+    "stats_spearman_rank_corr",
+    "stats_kendall_daily",
+    "text_mattr_diversity",
+    "dedup_threshold_sweep",
+    "graph_degree_assortativity",
+    "ev_fano_overdispersion",
+    "ev_gap_log2_histogram",
+    "orders_seasonal_index",
+    "drift_priority_mix_tv",
+    "stats_bootstrap_ci",
+    # slots 17-28 — the 12 mid-r8 continuation ops, never driver-checked
+    "stats_ks_two_sample",
+    "stats_mann_whitney_u",
+    "text_bpe_first_merge",
+    "text_heaps_vocab_growth",
+    "emb_energy_prefix",
+    "emb_nearest_centroid_confusion",
+    "corpus_temperature_mix",
+    "ev_stream_static_enrich",
+    "sketch_count_min_deterministic",
+    "emb_pq_distortion",
+    "graph_khop_reach",
+    "emb_random_projection_audit",
+    # slots 29-36 — new in r9 (never driver-checked by definition)
+    "dedup_substring_spans",
+    "sketch_hll_registers",
+    "stats_equidepth_histogram",
+    "stats_runs_test",
+    "text_source_vocab_jaccard",
+    "text_boundary_overlap",
+    "text_rake_keywords",
+    "ts_downsample_lttb",
     # frozen bench set — a driver row EVERY round:
     "q01_pricing_summary",
     "ev_tumbling_1h",
@@ -124,75 +123,51 @@ PRIORITY_FIRST: tuple[str, ...] = (
     # --- beyond slot 50: the driver window ends above. The never-
     # checked backlog queues here, contiguously after the window
     # (enforced by test_remaining_backlog_queued_right_after_window):
-    # sketch_hll_reaggregate is rows-only-by-design (inherently
-    # approximate sketch; exact-twin pytest is its gate, may not take a
-    # window slot), then the mid-r8 continuation additions — full-oracle,
-    # r9 window candidates.
+    # sketch_hll_reaggregate is the ONE rows-only never-checked entry
+    # (inherently engine-specific DataSketches estimates; its exact-twin
+    # pytest plus the full-oracle register twin in slot 30 are its gate).
     "sketch_hll_reaggregate",
-    "stats_ks_two_sample",
-    "stats_mann_whitney_u",
-    "text_bpe_first_merge",
-    "text_heaps_vocab_growth",
-    "emb_energy_prefix",
-    "emb_nearest_centroid_confusion",
-    "corpus_temperature_mix",
-    "ev_stream_static_enrich",
-    "sketch_count_min_deterministic",
-    "emb_pq_distortion",
-    "graph_khop_reach",
-    "emb_random_projection_audit",
-    "q13_customer_distribution",
-    "stats_spearman_rank_corr",
-    "stats_kendall_daily",
-    "text_mattr_diversity",
-    "dedup_threshold_sweep",
-    "graph_degree_assortativity",
-    "ev_fano_overdispersion",
-    "ev_gap_log2_histogram",
-    "orders_seasonal_index",
-    "drift_priority_mix_tv",
-    "stats_bootstrap_ci",
 )
 
-# r7-window greens, non-bench — rotate to the tail this round (driver row
+# r8-window greens, non-bench — rotate to the tail this round (driver row
 # ≤1 round old; still in every committed local sweep). The middle (not
-# listed here or above) holds the r2-r6 greens in registration order.
+# listed here or above) holds the r2-r7 greens in registration order.
 PRIORITY_LAST: tuple[str, ...] = (
-    "decontaminate_bloom",
-    "text_redact_denylist",
-    "text_chunk_overlap",
-    "pipeline_training_examples",
-    "dedup_chunks_exact",
-    "text_source_kl",
-    "sample_weighted_exact_k",
-    "corpus_budget_pack",
-    "text_dedup_prefix",
-    "text_length_quality_grid",
-    "ev_markov_transitions",
-    "ev_cumulative_unique_users",
-    "ev_velocity_alerts",
-    "seg_overlap_users",
-    "ev_pmi_cooccur",
-    "ev_gap_detection",
-    "keyset_pagination",
-    "stats_regression_trend",
-    "stats_wilson_interval",
-    "drift_psi_value",
-    "ev_autocorrelation",
-    "window_median_range",
-    "orders_open_concurrency",
-    "ts_interpolate_linear",
-    "ev_twap",
-    "ev_seasonal_anomaly",
-    "ev_top_paths",
-    "ev_user_feature_snapshot",
-    "orders_cohort_ltv",
-    "ev_ewma_filter",
-    "ev_rolling_distinct_users",
-    "ev_transition_entropy",
-    "ev_attribution_credit",
-    "ev_stickiness_dau_mau",
-    "ev_engagement_concentration",
+    "merge_into_semantics",
+    "merge_diag_actions",
+    "merge_diag_revenue_cents",
+    "merge_diag_acctbal_cents",
+    "inv_running_balance_capped",
+    "inv_capacity_clamp",
+    "ev_alert_debounce",
+    "ev_windowed_topk",
+    "audit_key_skew",
+    "ev_cusum_changepoint",
+    "stats_ab_test",
+    "stats_theil_sen",
+    "mm_neardup_hamming",
+    "dedup_canonical_corpus",
+    "orders_backlog_aging",
+    "scd2_as_of_lookup",
+    "supplier_scorecard",
+    "stats_anova_price_brand",
+    "mm_clip_joint_align",
+    "mm_video_keyframe_dedup",
+    "mm_audio_fingerprint_match",
+    "mm_caption_retrieval",
+    "mm_caption_quality_filter",
+    "mm_modality_quota_pack",
+    "mm_asset_ingest_stats",
+    "sim_pq_adc",
+    "text_winnow_fingerprint",
+    "sim_ann_lsh",
+    "sim_ivf",
+    "text_hapax_bigrams",
+    "sample_stratified_quota",
+    "corpus_funnel_stats",
+    "ev_late_data_watermark",
+    "sim_knn_label_vote",
+    "emb_label_centroid_sep",
 )
 
 
