@@ -3084,11 +3084,17 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rho"),
     )
-    per_src = h.groupBy("source", "bucket").agg(
-        F.max("rho").alias("reg")
+    # the sketch frame (≤ sources × HLL_M rows) fans out into the spine,
+    # dense, and merged branches — checkpoint it so documents is scanned
+    # ONCE (PLANS r8 lesson 1); every source has ≥1 doc, so the source
+    # spine derives from the sketch itself, no corpus re-scan
+    per_src = (
+        h.groupBy("source", "bucket")
+        .agg(F.max("rho").alias("reg"))
+        .localCheckpoint(eager=True)
     )
     spine = (
-        docs.select("source")
+        per_src.select("source")
         .distinct()
         .crossJoin(
             spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))

@@ -4248,9 +4248,17 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents")
     )
     wd = W.orderBy("dt")
-    idx = daily.withColumn("idx", F.row_number().over(wd)).withColumn(
-        "n", F.count("*").over(W.rowsBetween(W.unboundedPreceding,
-                                             W.unboundedFollowing))
+    # the indexed daily frame fans out into SIX lineage branches
+    # (interior/bsum/first/last/ends/scored) — checkpoint the
+    # calendar-bounded series so orders is scanned ONCE, not per branch
+    # (the stats_kendall_daily precedent; PLANS r8 lesson 1)
+    idx = (
+        daily.withColumn("idx", F.row_number().over(wd))
+        .withColumn(
+            "n", F.count("*").over(W.rowsBetween(W.unboundedPreceding,
+                                                 W.unboundedFollowing))
+        )
+        .localCheckpoint(eager=True)
     )
     interior = idx.filter(
         (F.col("idx") >= 2) & (F.col("idx") <= F.col("n") - 1)
@@ -4392,6 +4400,8 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-bounded (GLOBAL_WINDOW_BOUNDED); the boundary selection is a
     broadcast of {EQD_K} rank targets against that bounded set."""
     orders = catalog.load(spark, sf_dir, "orders")
+    # the histogram (value-domain-bounded) feeds both the cumulative
+    # window and the totals — checkpoint so orders is scanned ONCE
     hist = (
         orders.select(
             "o_orderpriority",
@@ -4401,6 +4411,7 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority", "cents")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     wc = (
         W.partitionBy("o_orderpriority")
@@ -4408,8 +4419,10 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     cum = hist.withColumn("cum", F.sum("c").over(wc))
-    tot = orders.groupBy("o_orderpriority").agg(
-        F.count("*").cast("long").alias("n")
+    # totals derive from the histogram (sum of bucket counts) — no
+    # second scan of the fact table (PLANS r8 lesson 1)
+    tot = hist.groupBy("o_orderpriority").agg(
+        F.sum("c").cast("long").alias("n")
     )
     ks = spark.range(1, EQD_K + 1).select(F.col("id").cast("int").alias("k"))
     targets = tot.crossJoin(F.broadcast(ks)).withColumn(

@@ -85,6 +85,16 @@ GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
         "running sum over per-day coverage-interval boundaries — "
         "calendar-bounded"
     ),
+    "stats_runs_test": (
+        "lag/aggregate windows over the DAILY series (orders pre-reduced "
+        "to one row per date) — calendar-bounded (~2.4k rows fixture, "
+        "~3.7k for a 10-year feed)"
+    ),
+    "ts_downsample_lttb": (
+        "row_number/count over the DAILY series (calendar-bounded) and "
+        "the K+2-row anchor frame; the per-bucket argmax window IS "
+        "partitioned (by bucket)"
+    ),
     "ev_stickiness_dau_mau": (
         "same calendar-bounded coverage-interval core as "
         "ev_rolling_distinct_users"
