@@ -237,6 +237,110 @@ ORDER BY doc_a, doc_b
 
 
 # --------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (AllPairs / PPJoin candidate scheme)
+# --------------------------------------------------------------------------
+
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (the AllPairs /
+    PPJoin family of the public similarity-join literature) — the
+    provably COMPLETE candidate scheme next to this module's two lossy
+    ones (``dedup_ngram_jaccard`` drops stop-shingles above MAX_DF;
+    MinHash-LSH is probabilistic). Each doc's shingle set is sorted by
+    the canonical (document-frequency, shingle) order and only its
+    PREFIX of length n − ceil(τ·n) + 1 enters the join: if
+    J(A,B) ≥ τ = {JACCARD_TAU} the prefixes must intersect (if the
+    minimal shared token were past either prefix, that side's overlap
+    would already be capped below τ·n), so no qualifying pair can be
+    missed — the oracle is the UNPRUNED brute-force join, making the
+    driver row a completeness proof of the optimization. The τ filter
+    is the exact integer cross-multiply 5·inter ≥ 4·union (τ = 4/5 —
+    no float at the boundary).
+
+    Scale: rare shingles lead the canonical order, so prefix postings
+    are the LOW-df tail — the candidate join's per-shingle blowup is
+    df², which prefix selection keeps small exactly where it matters
+    (the stop-shingle df² explosion never enters the join); verification
+    joins postings only for surviving candidate pairs."""
+    docs = _docs_par(spark, sf_dir)
+    # the postings list is reused by FIVE branches (df counts, prefix
+    # ranking, both verify sides, sizes) — materialize it once, exactly
+    # as a real similarity-join engine stages its inverted lists
+    posts = (
+        docs.select(
+            "doc_id", F.explode(word_ngrams("text", NGRAM)).alias("sh")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dfc = posts.groupBy("sh").agg(F.count("*").alias("df"))
+    wdoc = W.partitionBy("doc_id").orderBy("df", "sh")
+    ranked = (
+        posts.join(dfc, "sh")
+        .withColumn("r", F.row_number().over(wdoc))
+        .withColumn("n", F.count("*").over(W.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.expr("r <= n - (4 * n + 4) div 5 + 1")
+    ).select("doc_id", "sh")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pa = posts.select(F.col("doc_id").alias("doc_a"), "sh")
+    pb = posts.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sz = posts.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    return (
+        inter.join(sz.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "na"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .filter(F.expr("5 * n_inter >= 4 * union_sz"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "union_sz",
+            (F.col("n_inter") * 1.0 / F.col("union_sz")).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_PREFIX_FILTER = f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+              ELSE text END AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)
+),
+gs AS (SELECT DISTINCT doc_id, sh FROM g),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM gs GROUP BY 1),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM gs a JOIN gs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter,
+       x.n + y.n - n_inter AS union_sz,
+       n_inter * 1.0 / (x.n + y.n - n_inter) AS jaccard
+FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE 5 * n_inter >= 4 * (x.n + y.n - n_inter)
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
 
@@ -1455,6 +1559,12 @@ SPECS = [
               ORACLE_NGRAM_JACCARD, ("dedup", "neardup"), bench=True),
     QuerySpec("dedup_char_jaccard", dedup_char_jaccard,
               ORACLE_CHAR_JACCARD, ("dedup", "neardup", "char")),
+    QuerySpec("dedup_prefix_filter_join", dedup_prefix_filter_join,
+              ORACLE_PREFIX_FILTER, ("dedup", "neardup", "simjoin"),
+              doc="prefix-filtered set-similarity join (AllPairs/PPJoin "
+                  "candidate scheme, provably complete for J >= 0.8; "
+                  "oracle = unpruned brute force, integer threshold "
+                  "cross-multiply)"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, ORACLE_MINHASH_LSH,
               ("dedup", "neardup", "lsh"), bench=True),
     QuerySpec("dedup_simhash", dedup_simhash, ORACLE_SIMHASH,

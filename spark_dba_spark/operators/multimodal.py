@@ -328,6 +328,138 @@ GROUP BY doc_id, win ORDER BY doc_id, win
 """
 
 
+# --------------------------------------------------------------------------
+# Voice-activity-detection segments over the audio energy windows
+# --------------------------------------------------------------------------
+
+VAD_WIN = 64  # samples per VAD analysis window (finer than AUDIO_WIN)
+VAD_THRESH = 2000  # mean-square activity threshold (integer compare)
+
+
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation per audio asset — the step after
+    windowed energy (``mm_audio_energy``) in any speech-data pipeline:
+    consecutive ACTIVE windows coalesce into segments
+    (gaps-and-islands), and the per-asset readout (window/active/
+    segment counts + longest segment) drives clip selection and
+    silence trimming. Activity is the EXACT integer compare
+    sum((b−128)²) > {VAD_THRESH}·n over each {VAD_WIN}-sample window —
+    no RMS float, no sqrt, so the whole pipeline (including the decode
+    stub's byte-as-PCM samples) is integer end-to-end and the oracle
+    reproduces it bit-for-bit.
+
+    Scale: the decode is the standard multimodal Arrow ``mapInPandas``
+    stub (swap in soundfile/ffmpeg with identical plumbing); islands
+    come from the win − rank trick under a per-asset window
+    (asset-length-bounded); the rollup is one doc-keyed groupBy."""
+    import numpy as np
+
+    assets = _assets(spark, sf_dir).filter(F.col("media_type") == "audio")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("win", T.LongType()),
+            T.StructField("active", T.BooleanType()),
+        ]
+    )
+
+    def vad(batches):
+        for pdf in batches:
+            ids, wins, act = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = (
+                    np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    - 128
+                )
+                for w in range(0, len(samples), VAD_WIN):
+                    chunk = samples[w:w + VAD_WIN]
+                    ss = int((chunk * chunk).sum())
+                    ids.append(doc_id)
+                    wins.append(w // VAD_WIN)
+                    act.append(ss > VAD_THRESH * len(chunk))
+            yield pd.DataFrame({"doc_id": ids, "win": wins, "active": act})
+
+    wdoc = W.partitionBy("doc_id").orderBy("win")
+    # the decoded window frame feeds both the island chain and the
+    # totals — checkpoint it so the payload decode runs ONCE (the
+    # decode is the expensive stage at scale; its output is 3 narrow
+    # columns per window)
+    windows = (
+        assets.select("doc_id", "payload")
+        .mapInPandas(vad, out_schema)
+        .localCheckpoint(eager=True)
+    )
+    segs = (
+        windows.filter("active")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .withColumn("grp", F.col("win") - F.col("rn"))
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("seg_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.max("seg_len").cast("long").alias("longest_segment"),
+        )
+    )
+    totals = windows.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("active"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_active"),
+    )
+    return (
+        totals.join(segs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_active",
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias(
+                "n_segments"
+            ),
+            F.coalesce("longest_segment", F.lit(0)).cast("long").alias(
+                "longest_segment"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MM_VAD = f"""
+WITH w AS (
+  SELECT doc_id, (i - 1) // {VAD_WIN} AS win,
+         SUM(CAST(pow(ascii(substr(text, i, 1)) - 128, 2) AS BIGINT)) AS ss,
+         COUNT(*) AS n
+  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+       LATERAL unnest(generate_series(1, len(text))) AS t(i)
+  GROUP BY 1, 2),
+act AS (
+  SELECT doc_id, win, ss > {VAD_THRESH} * n AS active FROM w),
+segs AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(MAX(seg_len) AS BIGINT) AS longest_segment
+  FROM (
+    SELECT doc_id, grp, COUNT(*) AS seg_len
+    FROM (SELECT doc_id, win,
+                 win - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY win) AS grp
+          FROM act WHERE active)
+    GROUP BY 1, 2)
+  GROUP BY 1),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_active
+  FROM act GROUP BY 1)
+SELECT tot.doc_id, n_windows, n_active,
+       COALESCE(n_segments, 0) AS n_segments,
+       COALESCE(longest_segment, 0) AS longest_segment
+FROM tot LEFT JOIN segs ON tot.doc_id = segs.doc_id
+ORDER BY tot.doc_id
+"""
+
+
 # Truncated-fingerprint dedup: 24-char payload prefix ≈ a thumbnail /
 # perceptual-hash bucket (full-byte equality finds nothing in a corpus of
 # re-encoded assets; prefix fingerprints are how asset stores bucket
@@ -1324,6 +1456,11 @@ SPECS = [
               ("multimodal",)),
     QuerySpec("mm_frame_sample", mm_frame_sample, ORACLE_MM_FRAMES,
               ("multimodal",)),
+    QuerySpec("mm_audio_vad_segments", mm_audio_vad_segments, ORACLE_MM_VAD,
+              ("multimodal", "audio", "segmentation"),
+              doc="voice-activity segments over integer energy windows "
+                  "(exact sum-of-squares threshold, gaps-and-islands "
+                  "coalescing, per-asset rollup)"),
     QuerySpec("mm_audio_energy", mm_audio_energy, ORACLE_MM_AUDIO,
               ("multimodal", "audio")),
     QuerySpec("mm_image_resize", mm_image_resize, ORACLE_MM_RESIZE,

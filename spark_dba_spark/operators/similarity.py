@@ -1201,6 +1201,183 @@ FROM c{KM_ITERS - 1} ORDER BY cid, dim
 
 
 # --------------------------------------------------------------------------
+# MMR diversified top-k re-ranking (retrieval diversification)
+# --------------------------------------------------------------------------
+
+MMR_Q = 10  # query vectors (vec_id < MMR_Q)
+MMR_C = 10  # relevance candidates per query entering the re-rank
+MMR_K = 3  # diversified selections emitted per query
+
+
+def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking — the retrieval-
+    diversification step a RAG pipeline runs after ANN: from each
+    query's top-{MMR_C} relevance candidates, greedily select {MMR_K}
+    maximizing λ·rel(q,d) − (1−λ)·max_sel sim(d, s). With λ = 1/2 the
+    doubled objective is rel − max_sim — a pure INTEGER on the
+    quantization grid (relevance and inter-candidate similarity are
+    both exact integer dot products of 2^-20-grid vectors, the
+    ``emb_kmeans_lloyd`` recipe), so the greedy argmax chain is exact
+    and its (score, vec_id) tiebreak is a total order on both engines.
+
+    Scale: relevance scoring is a {MMR_Q}-row broadcast against the
+    corpus (map-side integer HOFs), the top-{MMR_C} cut is a windowed
+    rank on the small (qid, candidate) stream, candidate-pair sims are
+    {MMR_C}²-bounded per query, and the greedy loop runs in
+    ``applyInPandas`` over ≤{MMR_C} rows per query with pure int64
+    arithmetic (no IEEE surface)."""
+    qdf = _km_quantized(spark, sf_dir)
+    queries = qdf.filter(F.col("vec_id") < MMR_Q).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    corpus = qdf.filter(F.col("vec_id") >= MMR_Q)
+    dot = (
+        "aggregate(zip_with(qqv, qv, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "rel", F.expr(dot)
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
+    # the candidate frame (MMR_Q x MMR_C rows, bounded) feeds the pair
+    # sims twice and the feature join — checkpoint so the corpus scoring
+    # pass runs ONCE
+    cand = (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= MMR_C)
+        .select("qid", "vec_id", "rel", "qv")
+        .localCheckpoint(eager=True)
+    )
+    pair_dot = (
+        "aggregate(zip_with(qva, qvb, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    a = cand.select("qid", F.col("vec_id").alias("va"),
+                    F.col("qv").alias("qva"))
+    b = cand.select("qid", F.col("vec_id").alias("vb"),
+                    F.col("qv").alias("qvb"))
+    sims = (
+        a.join(b, "qid")
+        .filter(F.col("va") != F.col("vb"))
+        .withColumn("sim", F.expr(pair_dot))
+        .select("qid", "va", "vb", "sim")
+    )
+    feats = cand.select("qid", "vec_id", "rel").join(
+        sims.withColumnRenamed("va", "vec_id"), ["qid", "vec_id"], "left"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("mmr_rank", T.IntegerType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("rel", T.LongType()),
+        ]
+    )
+
+    def greedy(pdf):
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[int(r.vec_id)] = int(r.rel)
+            if r.vb is not None and not pd.isna(r.vb):
+                sim[(int(r.vec_id), int(r.vb))] = int(r.sim)
+        qid = int(pdf["qid"].iloc[0])
+        remaining = set(rel)
+        selected = []
+        rows = []
+        for rank in range(1, MMR_K + 1):
+            if not remaining:
+                break
+            # doubled MMR objective: rel - max sim to selected (λ = 1/2);
+            # pure int compares, ties to the lowest vec_id
+            best = min(
+                remaining,
+                key=lambda v: (
+                    -(rel[v] - max(
+                        (sim.get((v, s), 0) for s in selected),
+                        default=0,
+                    )),
+                    v,
+                ),
+            )
+            selected.append(best)
+            remaining.discard(best)
+            rows.append((qid, rank, best, rel[best]))
+        return pd.DataFrame(
+            rows, columns=["qid", "mmr_rank", "vec_id", "rel"]
+        )
+
+    return (
+        feats.groupBy("qid")
+        .applyInPandas(greedy, out_schema)
+        .orderBy("qid", "mmr_rank")
+    )
+
+
+def _mmr_step_ctes() -> str:
+    """Unrolled greedy MMR selections as DuckDB CTEs: s1 is the argmax
+    of rel; s_k maximizes rel − max(sim to s_1..s_{k−1})."""
+    parts = [f"""s1 AS (
+  SELECT qid, vid, rel FROM cand
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY rel DESC, vid) = 1)"""]
+    for k in range(2, MMR_K + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT qid, vid FROM s{j}" for j in range(1, k)
+        )
+        parts.append(f"""sel{k} AS ({prev_union}),
+m{k} AS (
+  SELECT c.qid, c.vid, c.rel,
+         c.rel - MAX(p.sim) AS score2
+  FROM cand c
+  JOIN sel{k} sl ON sl.qid = c.qid
+  JOIN psim p ON p.qid = c.qid AND p.va = c.vid AND p.vb = sl.vid
+  WHERE c.vid NOT IN (SELECT vid FROM sel{k} WHERE qid = c.qid)
+  GROUP BY c.qid, c.vid, c.rel),
+s{k} AS (
+  SELECT qid, vid, rel FROM m{k}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY score2 DESC, vid) = 1)""")
+    return ",\n".join(parts)
+
+
+ORACLE_MMR = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+q AS (
+  SELECT e.vec_id, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+rel AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid,
+         CAST(SUM(a.qv * b.qv) AS BIGINT) AS rel
+  FROM q a JOIN q b ON a.dim = b.dim
+  WHERE a.vec_id < {MMR_Q} AND b.vec_id >= {MMR_Q}
+  GROUP BY 1, 2),
+cand AS (
+  SELECT qid, vid, rel FROM rel
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY rel DESC, vid) <= {MMR_C}),
+psim AS (
+  SELECT c1.qid, c1.vid AS va, c2.vid AS vb,
+         CAST(SUM(x.qv * y.qv) AS BIGINT) AS sim
+  FROM cand c1
+  JOIN cand c2 ON c1.qid = c2.qid AND c1.vid <> c2.vid
+  JOIN q x ON x.vec_id = c1.vid
+  JOIN q y ON y.vec_id = c2.vid AND y.dim = x.dim
+  GROUP BY 1, 2, 3),
+{_mmr_step_ctes()}
+SELECT qid, mmr_rank, vid AS vec_id, rel FROM (
+  {" UNION ALL ".join(
+      f"SELECT qid, {k} AS mmr_rank, vid, rel FROM s{k}"
+      for k in range(1, MMR_K + 1)
+  )})
+ORDER BY qid, mmr_rank
+"""
+
+
+# --------------------------------------------------------------------------
 # Product quantization ANN (PQ + asymmetric distance computation)
 # --------------------------------------------------------------------------
 
@@ -2690,6 +2867,12 @@ SPECS = [
               ("similarity", "mips"),
               doc="maximum-inner-product top-k (unnormalized two-tower "
                   "retrieval ranking)"),
+    QuerySpec("emb_mmr_diversified_topk", emb_mmr_diversified_topk,
+              ORACLE_MMR, ("similarity", "rerank", "rag"),
+              doc="MMR diversified top-k re-ranking (λ=1/2 doubled "
+                  "objective = integer rel − max-sim; exact grid dot "
+                  "products, bounded applyInPandas greedy, unrolled "
+                  "oracle)"),
     QuerySpec("emb_label_prototypes", emb_label_prototypes,
               ORACLE_LABEL_PROTO, ("similarity", "stats", "labels"),
               doc="per-label prototype norm + cohesion (scale-invariant "
