@@ -127,6 +127,13 @@ PRIORITY_FIRST: tuple[str, ...] = (
     # (inherently engine-specific DataSketches estimates; its exact-twin
     # pytest plus the full-oracle register twin in slot 30 are its gate).
     "sketch_hll_reaggregate",
+    # Mid-r9 continuation additions — full-oracle, never driver-checked,
+    # queued contiguously behind the window as r10 window candidates
+    # (landed BEFORE the final r9 sweeps; covered by all three
+    # CORRECTNESS_LOCAL_r09 ledgers, pytest, and PLANS_r09).
+    "mm_audio_vad_segments",
+    "emb_mmr_diversified_topk",
+    "dedup_prefix_filter_join",
 )
 
 # r8-window greens, non-bench — rotate to the tail this round (driver row
