@@ -32,6 +32,7 @@ from .. import catalog
 from ..functions.hashing import MERSENNE31
 from ..functions.texts import char_shingles, word_ngrams
 from ..functions.numeric import (
+    rat_round6_duck,
     rat_round6_signed_duck,
     rat_round6_signed_spark,
     rat_round6_spark,
@@ -1347,6 +1348,96 @@ def graph_triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction on the near-dup graph — the
+    classic structural-similarity score: non-adjacent node pairs ranked
+    by shared-neighbor count (with the neighborhood-Jaccard as the
+    normalized score). On a dup graph these predicted links are the
+    pairs an LSH/threshold pass MISSED but the graph structure implies
+    — the recall-recovery audit a curation pipeline runs on its own
+    dedup output. All integers; the Jaccard is the exact-rational
+    half-up of cn / (deg_a + deg_c − cn).
+
+    Scale: wedge enumeration joins the SPARSE symmetric edge list on
+    the center node (the triangle machinery's key), so cost is
+    Σ deg(b)² over nodes — bounded upstream by MAX_DF pruning; the
+    anti-join removes existing edges."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = edges.localCheckpoint(eager=True)  # reused by wedges + anti
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    degree = sym.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    w1 = sym.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    w2 = sym.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    wedges = (
+        w1.join(w2, "b")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    predicted = wedges.join(
+        edges.withColumnRenamed("doc_a", "a").withColumnRenamed("doc_b", "c"),
+        ["a", "c"],
+        "left_anti",
+    )
+    return (
+        predicted.join(
+            degree.withColumnRenamed("doc_id", "a")
+            .withColumnRenamed("degree", "deg_a"),
+            "a",
+        )
+        .join(
+            degree.withColumnRenamed("doc_id", "c")
+            .withColumnRenamed("degree", "deg_c"),
+            "c",
+        )
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("c").alias("doc_b"),
+            "cn",
+            "deg_a",
+            "deg_c",
+            F.expr(
+                rat_round6_spark("cn", "deg_a + deg_c - cn")
+            ).alias("nbr_jaccard_r6"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_COMMON_NEIGHBORS = f"""
+WITH {_NGRAM_PAIR_CTES},
+dup AS (
+  SELECT doc_a, doc_b
+  FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_TAU}
+),
+sym AS (SELECT doc_a, doc_b FROM dup UNION ALL SELECT doc_b, doc_a FROM dup),
+deg AS (SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM sym GROUP BY 1),
+wedge AS (
+  SELECT w1.doc_a AS a, w2.doc_b AS c, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM sym w1 JOIN sym w2 ON w1.doc_b = w2.doc_a
+  WHERE w1.doc_a < w2.doc_b
+  GROUP BY 1, 2),
+pred AS (
+  SELECT a, c, cn FROM wedge
+  WHERE NOT EXISTS (SELECT 1 FROM dup
+                    WHERE doc_a = wedge.a AND doc_b = wedge.c))
+SELECT a AS doc_a, c AS doc_b, cn,
+       da.degree AS deg_a, dc.degree AS deg_c,
+       {rat_round6_duck("cn", "da.degree + dc.degree - cn")}
+         AS nbr_jaccard_r6
+FROM pred
+JOIN deg da ON da.doc_id = a
+JOIN deg dc ON dc.doc_id = c
+ORDER BY doc_a, doc_b
+"""
+
+
 ORACLE_TRIANGLES = f"""
 WITH {_NGRAM_PAIR_CTES},
 dup AS (
@@ -1617,4 +1708,9 @@ SPECS = [
               ORACLE_TRIANGLES, ("dedup", "graph"),
               doc="triangle count + clustering coefficient on the "
                   "near-dup graph (clique vs chain audit)"),
+    QuerySpec("graph_common_neighbors", graph_common_neighbors,
+              ORACLE_COMMON_NEIGHBORS, ("dedup", "graph", "linkpred"),
+              doc="common-neighbors link prediction on the near-dup "
+                  "graph (wedge enumeration, anti-join on existing "
+                  "edges, exact neighborhood-Jaccard)"),
 ]

@@ -460,6 +460,123 @@ ORDER BY tot.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Scene-cut detection over consecutive frame features
+# --------------------------------------------------------------------------
+
+SCENE_CHARS = 48  # payload chars per frame block for the feature stub
+SCENE_CUT_THRESH = 150  # |feature delta| above this = a cut
+
+
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection per video — the temporal-segmentation twin of
+    the audio VAD: consecutive frames whose feature distance jumps past
+    {SCENE_CUT_THRESH} mark a cut, and the cuts split the video into
+    scenes (the unit a training pipeline samples clips from). The
+    feature stub is the EXACT integer byte-code sum over each frame's
+    {SCENE_CHARS}-char payload block (a real pipeline swaps in a
+    per-frame histogram/embedding distance with the identical
+    (doc_id, frame_idx → feature) contract); deltas, the cut compare,
+    and the scene rollup are all integers on both engines.
+
+    Scale: frame features are one map-side explode per frame block
+    (bounded by the frame-count contract); the delta window partitions
+    BY video (frame-count-bounded); the rollup is one doc-keyed
+    groupBy."""
+    v = _assets(spark, sf_dir).filter(F.col("media_type") == "video")
+    frames = (
+        v.select(
+            "doc_id",
+            F.col("payload").cast("string").alias("ptxt"),
+            (1 + F.octet_length("payload") % 10).alias("n_frames"),
+        )
+        .select(
+            "doc_id",
+            "ptxt",
+            "n_frames",
+            F.explode(
+                F.expr("sequence(0, n_frames - 1)")
+            ).alias("fidx"),
+        )
+        .filter(F.col("fidx") * SCENE_CHARS < F.length("ptxt"))
+        .select(
+            "doc_id",
+            "n_frames",
+            "fidx",
+            F.expr(
+                f"aggregate(transform("
+                f"sequence(1, least({SCENE_CHARS},"
+                f" length(ptxt) - fidx * {SCENE_CHARS})),"
+                f" i -> ascii(substring(ptxt, fidx * {SCENE_CHARS} + i, 1))),"
+                f" cast(0 as bigint), (acc, x) -> acc + x)"
+            ).alias("feat"),
+        )
+    )
+    wv = W.partitionBy("doc_id").orderBy("fidx")
+    cuts = frames.withColumn("prev", F.lag("feat").over(wv)).withColumn(
+        "is_cut",
+        F.col("prev").isNotNull()
+        & (F.abs(F.col("feat") - F.col("prev")) > SCENE_CUT_THRESH),
+    )
+    # scene id = running cut count (gaps-and-islands over the cut marks)
+    wrun = (
+        W.partitionBy("doc_id")
+        .orderBy("fidx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scened = cuts.withColumn(
+        "scene", F.sum(F.when(F.col("is_cut"), 1).otherwise(0)).over(wrun)
+    )
+    per_scene = scened.groupBy("doc_id", "scene").agg(
+        F.count("*").alias("scene_len")
+    )
+    return (
+        per_scene.groupBy("doc_id")
+        .agg(
+            F.sum("scene_len").cast("long").alias("n_sampled_frames"),
+            F.count("*").cast("long").alias("n_scenes"),
+            F.max("scene_len").cast("long").alias("longest_scene"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MM_SCENE_CUTS = f"""
+WITH v AS (
+  SELECT doc_id, text,
+         1 + octet_length(encode(text)) % 10 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT doc_id, fidx,
+         (SELECT CAST(SUM(ascii(substr(text, fidx * {SCENE_CHARS} + i, 1)))
+                 AS BIGINT)
+          FROM unnest(generate_series(1, least({SCENE_CHARS},
+                 length(text) - fidx * {SCENE_CHARS}))) t(i)) AS feat
+  FROM v, LATERAL unnest(generate_series(0, n_frames - 1)) u(fidx)
+  WHERE fidx * {SCENE_CHARS} < length(text)),
+c AS (
+  SELECT doc_id, fidx, feat,
+         (prev IS NOT NULL AND abs(feat - prev) > {SCENE_CUT_THRESH})
+           AS is_cut
+  FROM (SELECT doc_id, fidx, feat,
+               LAG(feat) OVER (PARTITION BY doc_id ORDER BY fidx) AS prev
+        FROM f)),
+s AS (
+  SELECT doc_id, fidx,
+         SUM(CASE WHEN is_cut THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY fidx) AS scene
+  FROM c),
+ps AS (
+  SELECT doc_id, scene, COUNT(*) AS scene_len
+  FROM s GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(scene_len) AS BIGINT) AS n_sampled_frames,
+       CAST(COUNT(*) AS BIGINT) AS n_scenes,
+       CAST(MAX(scene_len) AS BIGINT) AS longest_scene
+FROM ps GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # Truncated-fingerprint dedup: 24-char payload prefix ≈ a thumbnail /
 # perceptual-hash bucket (full-byte equality finds nothing in a corpus of
 # re-encoded assets; prefix fingerprints are how asset stores bucket
@@ -1456,6 +1573,11 @@ SPECS = [
               ("multimodal",)),
     QuerySpec("mm_frame_sample", mm_frame_sample, ORACLE_MM_FRAMES,
               ("multimodal",)),
+    QuerySpec("mm_video_scene_cuts", mm_video_scene_cuts,
+              ORACLE_MM_SCENE_CUTS, ("multimodal", "video", "segmentation"),
+              doc="scene-cut detection over exact integer frame-feature "
+                  "deltas (per-video lag window, cut-count islands, "
+                  "scene rollup)"),
     QuerySpec("mm_audio_vad_segments", mm_audio_vad_segments, ORACLE_MM_VAD,
               ("multimodal", "audio", "segmentation"),
               doc="voice-activity segments over integer energy windows "

@@ -1201,6 +1201,120 @@ FROM c{KM_ITERS - 1} ORDER BY cid, dim
 
 
 # --------------------------------------------------------------------------
+# Per-label nearest-neighbor margin audit (triplet / hard-negative mining)
+# --------------------------------------------------------------------------
+
+def emb_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance-level label-margin audit — the readout behind triplet /
+    hard-negative mining for contrastive training: for every vector,
+    the nearest SAME-label and nearest OTHER-label squared distances
+    (exact integers on the quantization grid), rolled up per label as
+    the count of MARGIN VIOLATIONS (a different-label neighbor at or
+    inside the nearest same-label distance — exactly the anchors whose
+    hardest negative is "hard"). Complements the centroid-level
+    ``emb_label_centroid_sep`` (centroids can look separated while
+    instances interleave) and the query-side ``sim_knn_label_vote``.
+    Vectors whose label has no second member are excluded (reported as
+    singletons).
+
+    Scale: exact all-pairs is the VERIFICATION tier (the
+    ``sim_dup_pairs`` posture) — the scale path mines hard negatives
+    from the ANN candidate stream instead; the per-vector reduction is
+    two conditional MINs under one groupBy, and the label rollup is
+    label-cardinality-bounded."""
+    qdf = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
+        ).alias("qv"),
+    )
+    a = qdf.select(
+        F.col("vec_id").alias("va"), F.col("label").alias("la"),
+        F.col("qv").alias("qva"),
+    )
+    b = qdf.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
+        F.col("qv").alias("qvb"),
+    )
+    d2 = (
+        "aggregate(zip_with(qva, qvb, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    per_vec = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .withColumn("d2", F.expr(d2))
+        .groupBy("va", "la")
+        .agg(
+            F.min(F.when(F.col("la") == F.col("lb"), F.col("d2"))).alias(
+                "d_same"
+            ),
+            F.min(F.when(F.col("la") != F.col("lb"), F.col("d2"))).alias(
+                "d_other"
+            ),
+        )
+    )
+    return (
+        per_vec.groupBy(F.col("la").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("d_same").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_singletons"),
+            F.sum(
+                F.when(
+                    F.col("d_same").isNotNull()
+                    & (F.col("d_other") <= F.col("d_same")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_margin_violations"),
+            F.min(
+                F.when(
+                    F.col("d_same").isNotNull(),
+                    F.col("d_other") - F.col("d_same"),
+                )
+            )
+            .cast("long")
+            .alias("min_margin_q2"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_MARGIN_AUDIT = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+q AS (
+  SELECT e.vec_id, e.label, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+pd AS (
+  SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb, b.label AS lb,
+         CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
+  FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2, 3, 4),
+pv AS (
+  SELECT va, la,
+         MIN(CASE WHEN la = lb THEN d2 END) AS d_same,
+         MIN(CASE WHEN la <> lb THEN d2 END) AS d_other
+  FROM pd GROUP BY 1, 2)
+SELECT la AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN d_same IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(SUM(CASE WHEN d_same IS NOT NULL AND d_other <= d_same
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_margin_violations,
+       CAST(MIN(CASE WHEN d_same IS NOT NULL
+                     THEN d_other - d_same END) AS BIGINT)
+         AS min_margin_q2
+FROM pv GROUP BY la ORDER BY label
+"""
+
+
+# --------------------------------------------------------------------------
 # MMR diversified top-k re-ranking (retrieval diversification)
 # --------------------------------------------------------------------------
 
@@ -2867,6 +2981,11 @@ SPECS = [
               ("similarity", "mips"),
               doc="maximum-inner-product top-k (unnormalized two-tower "
                   "retrieval ranking)"),
+    QuerySpec("emb_margin_audit", emb_margin_audit, ORACLE_MARGIN_AUDIT,
+              ("similarity", "labels", "quality"),
+              doc="per-label nearest-neighbor margin audit (hard-negative "
+                  "mining readout: exact integer d2, violation counts, "
+                  "all-pairs verification tier)"),
     QuerySpec("emb_mmr_diversified_topk", emb_mmr_diversified_topk,
               ORACLE_MMR, ("similarity", "rerank", "rag"),
               doc="MMR diversified top-k re-ranking (λ=1/2 doubled "

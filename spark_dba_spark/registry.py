@@ -134,6 +134,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_audio_vad_segments",
     "emb_mmr_diversified_topk",
     "dedup_prefix_filter_join",
+    "graph_common_neighbors",
+    "emb_margin_audit",
+    "mm_video_scene_cuts",
 )
 
 # r8-window greens, non-bench — rotate to the tail this round (driver row
