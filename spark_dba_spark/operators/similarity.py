@@ -1284,23 +1284,33 @@ def emb_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pair distances via the Gram identity d² = |a|² + |b|² − 2·a·b with
+# list_inner_product over the quantized-integer doubles: every product
+# ≤ (0.63·2^20)² ≈ 4e11 and every partial sum ≤ 64× that ≈ 2.5e13 — all
+# exact integers in float64 (< 2^53), so the double pipeline is
+# bit-deterministic and ~180× cheaper than a pairs×dims explode.
 ORACLE_MARGIN_AUDIT = f"""
-WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
-q AS (
-  SELECT e.vec_id, e.label, d.dim,
-         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
-                    * {KM_QUANT!r}) AS BIGINT) AS qv
-  FROM embeddings e CROSS JOIN dims d),
-pd AS (
-  SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb, b.label AS lb,
-         CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
-  FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id <> b.vec_id
-  GROUP BY 1, 2, 3, 4),
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> trunc(CAST(x AS DOUBLE) * {KM_QUANT!r})) AS qv
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, qv,
+         list_inner_product(qv, qv) AS n2
+  FROM q),
 pv AS (
-  SELECT va, la,
-         MIN(CASE WHEN la = lb THEN d2 END) AS d_same,
-         MIN(CASE WHEN la <> lb THEN d2 END) AS d_other
-  FROM pd GROUP BY 1, 2)
+  SELECT a.vec_id AS va, a.label AS la,
+         MIN(CASE WHEN a.label = b.label THEN
+           CAST(a.n2 + b.n2
+                - 2 * list_inner_product(a.qv, b.qv) AS BIGINT) END)
+           AS d_same,
+         MIN(CASE WHEN a.label <> b.label THEN
+           CAST(a.n2 + b.n2
+                - 2 * list_inner_product(a.qv, b.qv) AS BIGINT) END)
+           AS d_other
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  GROUP BY 1, 2)
 SELECT la AS label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(SUM(CASE WHEN d_same IS NULL THEN 1 ELSE 0 END) AS BIGINT)
