@@ -1230,7 +1230,11 @@ def emb_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
         ).alias("qv"),
     )
-    a = qdf.select(
+    # repartition the probe side: the one-file fixture scan would
+    # otherwise evaluate all |corpus|² HOF pairs in a single task
+    # (PLANS r8 lesson 2)
+    n_par = max(spark.sparkContext.defaultParallelism, 16)
+    a = qdf.repartition(n_par, "vec_id").select(
         F.col("vec_id").alias("va"), F.col("label").alias("la"),
         F.col("qv").alias("qva"),
     )
