@@ -1,0 +1,499 @@
+"""Brute-force Python twins for the round-9 operators: each op's full
+pipeline replayed with exact integer arithmetic on plain Python data
+structures, plus the algebraic invariants the oracle-parity check can't
+see (completeness proofs, monotonicity, endpoint conventions)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+
+from conftest import SF_DIR
+
+
+def _r6(num: int, den: int) -> float:
+    return float((num * 2_000_000 + den) // (2 * den)) / 1e6
+
+
+def _docs_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, source FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_substring_spans_matches_python_brute(spark):
+    """Stride-1 span fingerprints: per-doc window/dup counts equal a
+    dict-based Python replay, and a doc shorter than the window emits
+    zero windows with share 0."""
+    from spark_dba_spark.operators.text import SPAN_W, dedup_substring_spans
+
+    rows = _docs_rows()
+    owner: dict = {}
+    per_doc: dict = {}
+    for doc_id, text, _ in rows:
+        ws = text.split(" ")
+        spans = [
+            " ".join(ws[i:i + SPAN_W])
+            for i in range(0, max(len(ws) - SPAN_W + 1, 0))
+        ]
+        per_doc[doc_id] = spans
+        for s in spans:
+            owner.setdefault(s, set()).add(doc_id)
+    got = {r["doc_id"]: r for r in
+           dedup_substring_spans(spark, SF_DIR).collect()}
+    assert set(got) == {d for d, _, _ in rows}
+    for doc_id, spans in per_doc.items():
+        n_dup = sum(1 for s in spans if len(owner[s]) >= 2)
+        r = got[doc_id]
+        assert (r["n_windows"], r["n_dup_windows"]) == (len(spans), n_dup)
+        if spans:
+            assert r["dup_share_r6"] == _r6(n_dup, len(spans))
+        else:
+            assert r["dup_share_r6"] == 0.0
+
+
+def test_boundary_overlap_matches_python_brute(spark):
+    """Edge-fingerprint pairs equal the literal suffix==prefix scan."""
+    from spark_dba_spark.operators.text import BOUNDARY_W, text_boundary_overlap
+
+    rows = _docs_rows()
+    edges = {}
+    for doc_id, text, _ in rows:
+        ws = text.split(" ")
+        if len(ws) >= BOUNDARY_W:
+            edges[doc_id] = (
+                " ".join(ws[:BOUNDARY_W]), " ".join(ws[-BOUNDARY_W:])
+            )
+    expect = {
+        (a, b)
+        for a, (_, suf) in edges.items()
+        for b, (pre, _) in edges.items()
+        if a != b and suf == pre
+    }
+    got = {(r["suffix_doc_id"], r["prefix_doc_id"])
+           for r in text_boundary_overlap(spark, SF_DIR).collect()}
+    assert got == expect
+
+
+def test_source_vocab_jaccard_matches_python_brute(spark):
+    """Pairwise vocabulary Jaccard equals Python set arithmetic."""
+    from spark_dba_spark.operators.text import text_source_vocab_jaccard
+
+    rows = _docs_rows()
+    vocab: dict = {}
+    for _, text, source in rows:
+        vocab.setdefault(source, set()).update(
+            w for w in text.lower().split(" ") if w
+        )
+    got = {(r["src_a"], r["src_b"]): r for r in
+           text_source_vocab_jaccard(spark, SF_DIR).collect()}
+    sources = sorted(vocab)
+    pairs = [(a, b) for i, a in enumerate(sources) for b in sources[i + 1:]]
+    assert set(got) == set(pairs)
+    for a, b in pairs:
+        inter = len(vocab[a] & vocab[b])
+        union = len(vocab[a] | vocab[b])
+        r = got[(a, b)]
+        assert (r["vocab_a"], r["vocab_b"], r["n_inter"]) == (
+            len(vocab[a]), len(vocab[b]), inter)
+        assert r["jaccard_r6"] == _r6(inter, union)
+
+
+def test_rake_keywords_matches_python_brute(spark):
+    """RAKE scores equal a full Python replay: same corpus-calibrated
+    stopwords, same phrase islands, same degree/frequency integers."""
+    from collections import Counter
+
+    from spark_dba_spark.operators.text import (
+        RAKE_STOP_K,
+        RAKE_TOP,
+        text_rake_keywords,
+    )
+
+    rows = _docs_rows()
+    freq_all: Counter = Counter()
+    docs_words = []
+    for _, text, _ in rows:
+        ws = [w for w in text.lower().split(" ") if w]
+        docs_words.append(ws)
+        freq_all.update(ws)
+    stop = {
+        w for w, _ in sorted(freq_all.items(), key=lambda kv: (-kv[1], kv[0]))
+        [:RAKE_STOP_K]
+    }
+    freq: Counter = Counter()
+    degree: Counter = Counter()
+    for ws in docs_words:
+        phrase: list = []
+        for w in ws + [None]:
+            if w is None or w in stop:
+                for pw in phrase:
+                    freq[pw] += 1
+                    degree[pw] += len(phrase)
+                phrase = []
+            else:
+                phrase.append(w)
+    expect = sorted(
+        ((w, freq[w], degree[w]) for w in freq),
+        key=lambda t: (-t[2], t[0]),
+    )[:RAKE_TOP]
+    got = [(r["word"], r["freq"], r["degree"], r["score_r6"])
+           for r in text_rake_keywords(spark, SF_DIR).collect()]
+    assert [(w, f, d) for w, f, d, _ in got] == expect
+    for w, f, d, s in got:
+        assert s == _r6(d, f)
+        assert s >= 1.0  # degree >= freq by construction
+
+
+def test_equidepth_histogram_matches_python_brute(spark):
+    """Boundary k is the smallest cents value whose cumulative count
+    reaches ceil(k*n/K) — checked against a sorted-list index."""
+    from spark_dba_spark.operators.temporal import (
+        EQD_K,
+        stats_equidepth_histogram,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT o_orderpriority, o_totalprice FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    per: dict = {}
+    for p, tp in rows:
+        per.setdefault(p, []).append(math.floor(tp * 100 + 0.5))
+    got = {(r["o_orderpriority"], r["k"]): r for r in
+           stats_equidepth_histogram(spark, SF_DIR).collect()}
+    for p, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        for k in range(1, EQD_K + 1):
+            rank = -(-k * n // EQD_K)  # ceil
+            r = got[(p, k)]
+            assert r["n_orders"] == n
+            assert r["boundary_cents"] == vals[rank - 1]
+    # k = K boundary is the group max
+    for p, vals in per.items():
+        assert got[(p, EQD_K)]["boundary_cents"] == max(vals)
+
+
+def test_runs_test_matches_python_brute(spark):
+    """Run counts and null moments equal the sequential Python fold."""
+    from spark_dba_spark.operators.temporal import stats_runs_test
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(o_orderdate AS DATE) AS dt, "
+        "SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    con.close()
+    signs = []
+    for (d0, c0), (d1, c1) in zip(rows, rows[1:]):
+        if c1 != c0:
+            signs.append(1 if c1 > c0 else -1)
+    n1 = signs.count(1)
+    n2 = signs.count(-1)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    r = stats_runs_test(spark, SF_DIR).collect()[0]
+    assert (r["n_up"], r["n_down"], r["n_runs"]) == (n1, n2, runs)
+    nn = n1 + n2
+    assert r["expected_runs_r6"] == _r6(nn + 2 * n1 * n2, nn)
+    assert r["var_runs_r6"] == _r6(
+        2 * n1 * n2 * (2 * n1 * n2 - nn), nn * nn * (nn - 1))
+    # the observed run count is inside the valid range [1, N]
+    assert 1 <= runs <= nn
+
+
+def test_lttb_matches_python_brute(spark):
+    """LTTB (bucket-mean-anchor variant) equals a sequential Python
+    replay with exact integer cross products; endpoints are always kept
+    and every interior bucket emits exactly one of its own points."""
+    from fractions import Fraction
+
+    from spark_dba_spark.operators.temporal import LTTB_K, ts_downsample_lttb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(o_orderdate AS DATE) AS dt, "
+        "SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    con.close()
+    n = len(rows)
+    pts = [(i + 1, int(c)) for i, (_, c) in enumerate(rows)]  # (idx, cents)
+    buckets: dict = {}
+    for idx, y in pts[1:-1]:
+        b = ((idx - 2) * LTTB_K) // (n - 2)
+        buckets.setdefault(b, []).append((idx, y))
+    anchors = {
+        b: (Fraction(sum(x for x, _ in v), len(v)),
+            Fraction(sum(y for _, y in v), len(v)))
+        for b, v in buckets.items()
+    }
+    anchors[-1] = (Fraction(pts[0][0]), Fraction(pts[0][1]))
+    anchors[LTTB_K] = (Fraction(pts[-1][0]), Fraction(pts[-1][1]))
+    expect = {}
+    for b, v in buckets.items():
+        px, py = anchors[b - 1]
+        nx, ny = anchors[b + 1]
+        best = max(
+            v,
+            key=lambda p: (
+                abs(px * (p[1] - ny) + p[0] * (ny - py) + nx * (py - p[1])),
+                -p[0],
+            ),
+        )
+        expect[b] = best[0]
+    got = {r["bucket"]: r for r in ts_downsample_lttb(spark, SF_DIR).collect()}
+    assert got[-1]["revenue_cents"] == pts[0][1]  # first endpoint
+    assert got[LTTB_K]["revenue_cents"] == pts[-1][1]  # last endpoint
+    dts = [d for d, _ in rows]
+    for b, idx in expect.items():
+        assert got[b]["dt"] == dts[idx - 1]
+        assert got[b]["revenue_cents"] == pts[idx - 1][1]
+    assert set(got) == set(expect) | {-1, LTTB_K}
+
+
+def test_vad_segments_matches_python_brute(spark):
+    """VAD islands equal a sequential Python fold over the byte-as-PCM
+    stub; segment totals are consistent (sum of segment lengths ==
+    active count)."""
+    from spark_dba_spark.operators.multimodal import (
+        VAD_THRESH,
+        VAD_WIN,
+        mm_audio_vad_segments,
+    )
+
+    rows = _docs_rows()
+    got = {r["doc_id"]: r for r in
+           mm_audio_vad_segments(spark, SF_DIR).collect()}
+    audio = [(d, t) for d, t, _ in rows if d % 3 == 1]
+    assert set(got) == {d for d, _ in audio}
+    for doc_id, text in audio:
+        bs = text.encode()
+        acts = []
+        for w in range(0, len(bs), VAD_WIN):
+            chunk = bs[w:w + VAD_WIN]
+            ss = sum((b - 128) ** 2 for b in chunk)
+            acts.append(ss > VAD_THRESH * len(chunk))
+        segs = []
+        run = 0
+        for a in acts + [False]:
+            if a:
+                run += 1
+            elif run:
+                segs.append(run)
+                run = 0
+        r = got[doc_id]
+        assert r["n_windows"] == len(acts)
+        assert r["n_active"] == sum(acts)
+        assert r["n_segments"] == len(segs)
+        assert r["longest_segment"] == (max(segs) if segs else 0)
+        assert sum(segs) == r["n_active"]
+
+
+def test_scene_cuts_matches_python_brute(spark):
+    """Scene segmentation equals the sequential Python fold over the
+    frame-feature stub; n_scenes == n_cuts + 1 for every video."""
+    from spark_dba_spark.operators.multimodal import (
+        SCENE_CHARS,
+        SCENE_CUT_THRESH,
+        mm_video_scene_cuts,
+    )
+
+    rows = _docs_rows()
+    got = {r["doc_id"]: r for r in
+           mm_video_scene_cuts(spark, SF_DIR).collect()}
+    videos = [(d, t) for d, t, _ in rows if d % 3 == 2]
+    assert set(got) == {d for d, _ in videos}
+    for doc_id, text in videos:
+        n_frames = 1 + len(text.encode()) % 10
+        feats = []
+        for f in range(n_frames):
+            if f * SCENE_CHARS >= len(text):
+                break
+            block = text[f * SCENE_CHARS:(f + 1) * SCENE_CHARS]
+            feats.append(sum(ord(c) for c in block))
+        cuts = sum(
+            1 for a, b in zip(feats, feats[1:])
+            if abs(b - a) > SCENE_CUT_THRESH
+        )
+        scene_lens = []
+        run = 1
+        for a, b in zip(feats, feats[1:]):
+            if abs(b - a) > SCENE_CUT_THRESH:
+                scene_lens.append(run)
+                run = 1
+            else:
+                run += 1
+        scene_lens.append(run)
+        r = got[doc_id]
+        assert r["n_sampled_frames"] == len(feats)
+        assert r["n_scenes"] == cuts + 1 == len(scene_lens)
+        assert r["longest_scene"] == max(scene_lens)
+
+
+def _quantized_embeddings():
+    from spark_dba_spark.operators.similarity import KM_QUANT
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return {
+        vid: (label, [int(math.trunc(float(x) * KM_QUANT)) for x in emb])
+        for vid, label, emb in rows
+    }
+
+
+def test_mmr_matches_python_greedy(spark):
+    """The distributed MMR selection equals a plain Python greedy over
+    exact integer dots; rank 1 is the pure-relevance argmax and the
+    selections are distinct."""
+    from spark_dba_spark.operators.similarity import (
+        MMR_C,
+        MMR_K,
+        MMR_Q,
+        emb_mmr_diversified_topk,
+    )
+
+    q = _quantized_embeddings()
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    got: dict = {}
+    for r in emb_mmr_diversified_topk(spark, SF_DIR).collect():
+        got.setdefault(r["qid"], []).append(
+            (r["mmr_rank"], r["vec_id"], r["rel"]))
+    assert set(got) == set(range(MMR_Q))
+    for qid in range(MMR_Q):
+        qv = q[qid][1]
+        rel = {v: dot(qv, q[v][1]) for v in q if v >= MMR_Q}
+        cand = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_C]
+        selected: list = []
+        for _ in range(MMR_K):
+            rest = [v for v in cand if v not in selected]
+            best = min(
+                rest,
+                key=lambda v: (
+                    -(rel[v] - max(
+                        (dot(q[v][1], q[s][1]) for s in selected),
+                        default=0)),
+                    v,
+                ),
+            )
+            selected.append(best)
+        rows = sorted(got[qid])
+        assert [v for _, v, _ in rows] == selected
+        assert rows[0][1] == cand[0]  # rank 1 = relevance argmax
+        for _, v, rr in rows:
+            assert rr == rel[v]
+        assert len({v for _, v, _ in rows}) == MMR_K
+
+
+def test_prefix_filter_complete_vs_brute(spark):
+    """COMPLETENESS proof of the prefix-filter candidate scheme: the
+    emitted pairs equal the unpruned brute-force Jaccard >= 0.8 pairs —
+    no qualifying pair escapes the prefix join."""
+    from spark_dba_spark.operators.dedup import NGRAM, dedup_prefix_filter_join
+
+    rows = _docs_rows()
+    sets: dict = {}
+    for doc_id, text, _ in rows:
+        ws = text.split(" ")
+        if len(ws) >= NGRAM:
+            sh = {" ".join(ws[i:i + NGRAM]) for i in range(len(ws) - NGRAM + 1)}
+        else:
+            sh = {text}
+        sets[doc_id] = sh
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter and 5 * inter >= 4 * len(sets[a] | sets[b]):
+                expect[(a, b)] = (inter, len(sets[a] | sets[b]))
+    got = {(r["doc_a"], r["doc_b"]): (r["n_inter"], r["union_sz"])
+           for r in dedup_prefix_filter_join(spark, SF_DIR).collect()}
+    assert got == expect
+
+
+def test_common_neighbors_matches_python_brute(spark):
+    """Link-prediction scores equal adjacency-set arithmetic over the
+    same near-dup edge list; predicted pairs are never existing edges."""
+    from spark_dba_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        graph_common_neighbors,
+    )
+
+    edges = {(r["doc_a"], r["doc_b"])
+             for r in dedup_ngram_jaccard(spark, SF_DIR).collect()}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for c in nodes[i + 1:]:
+            if (a, c) in edges:
+                continue
+            cn = len(adj[a] & adj[c])
+            if cn:
+                expect[(a, c)] = cn
+    got = {(r["doc_a"], r["doc_b"]): r
+           for r in graph_common_neighbors(spark, SF_DIR).collect()}
+    assert {k: v["cn"] for k, v in got.items()} == expect
+    for (a, c), r in got.items():
+        assert (a, c) not in edges
+        assert r["deg_a"] == len(adj[a]) and r["deg_c"] == len(adj[c])
+        assert r["nbr_jaccard_r6"] == _r6(
+            r["cn"], r["deg_a"] + r["deg_c"] - r["cn"])
+
+
+def test_margin_audit_matches_python_brute(spark):
+    """Per-label margin rollups equal the O(n^2) Python scan; violation
+    counts are bounded by the evaluated population."""
+    from spark_dba_spark.operators.similarity import emb_margin_audit
+
+    q = _quantized_embeddings()
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    per_label: dict = {}
+    for v, (lab, qv) in q.items():
+        d_same = d_other = None
+        for u, (lu, qu) in q.items():
+            if u == v:
+                continue
+            d = d2(qv, qu)
+            if lu == lab:
+                d_same = d if d_same is None else min(d_same, d)
+            else:
+                d_other = d if d_other is None else min(d_other, d)
+        st = per_label.setdefault(lab, [0, 0, 0, None])
+        st[0] += 1
+        if d_same is None:
+            st[1] += 1
+        else:
+            if d_other <= d_same:
+                st[2] += 1
+            m = d_other - d_same
+            st[3] = m if st[3] is None else min(st[3], m)
+    got = {r["label"]: r for r in emb_margin_audit(spark, SF_DIR).collect()}
+    assert set(got) == set(per_label)
+    for lab, (n, single, viol, mmin) in per_label.items():
+        r = got[lab]
+        assert (r["n_vecs"], r["n_singletons"],
+                r["n_margin_violations"], r["min_margin_q2"]) == (
+            n, single, viol, mmin)
+        assert r["n_margin_violations"] <= r["n_vecs"] - r["n_singletons"]
