@@ -5,7 +5,6 @@ see (completeness proofs, monotonicity, endpoint conventions)."""
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import duckdb
