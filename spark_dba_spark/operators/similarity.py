@@ -879,17 +879,21 @@ KM_QUANT = float(1 << KM_QUANT_BITS)  # 1048576.0, exactly representable
 KM_INERTIA_SCALE = float(1 << (2 * KM_QUANT_BITS))  # q² units → raw units
 
 
+# The ONE canonical grid-truncation expression (cast(double as bigint)
+# truncates toward zero in Spark, the same trunc DuckDB's TRUNC applies;
+# ·2^20 is a pure exponent shift, so the product is always exact in
+# float64). Every quantized-grid operator derives from this string so
+# the grid can never silently fork.
+_KM_QUANT_SQL = (
+    f"transform(embedding, x -> "
+    f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
+)
+
+
 def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings truncated onto the 2^-KM_QUANT_BITS integer grid —
-    cast(double as bigint) truncates toward zero in Spark, the same
-    trunc DuckDB's TRUNC applies; ·2^20 is a pure exponent shift, so
-    the product is always exact in float64."""
+    """Embeddings truncated onto the 2^-KM_QUANT_BITS integer grid."""
     return _emb(spark, sf_dir).select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, x -> "
-            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
-        ).alias("qv"),
+        "vec_id", F.expr(_KM_QUANT_SQL).alias("qv")
     )
 
 
@@ -1223,12 +1227,7 @@ def emb_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     two conditional MINs under one groupBy, and the label rollup is
     label-cardinality-bounded."""
     qdf = _emb(spark, sf_dir).select(
-        "vec_id",
-        "label",
-        F.expr(
-            f"transform(embedding, x -> "
-            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
-        ).alias("qv"),
+        "vec_id", "label", F.expr(_KM_QUANT_SQL).alias("qv")
     )
     # repartition the probe side: the one-file fixture scan would
     # otherwise evaluate all |corpus|² HOF pairs in a single task
@@ -1703,12 +1702,7 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream is batches×{N_QUERIES}×{KNN_K} rows, never corpus-sized);
     the rank window and the label join run on that bounded stream."""
     qdf = _emb(spark, sf_dir).select(
-        "vec_id",
-        "label",
-        F.expr(
-            f"transform(embedding, x -> "
-            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
-        ).alias("qv"),
+        "vec_id", "label", F.expr(_KM_QUANT_SQL).alias("qv")
     )
     qrows = qdf.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
     qm = np.array([r["qv"] for r in qrows], dtype=np.float64)
@@ -2038,12 +2032,7 @@ def emb_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFram
     confusion cells are hash aggs — no window on the Spark side, no
     Python."""
     qdf = _emb(spark, sf_dir).select(
-        "vec_id",
-        "label",
-        F.expr(
-            f"transform(embedding, x -> "
-            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
-        ).alias("qv"),
+        "vec_id", "label", F.expr(_KM_QUANT_SQL).alias("qv")
     )
     ex = qdf.select("vec_id", "label", F.posexplode("qv").alias("dim", "v"))
     ls = ex.groupBy("label", "dim").agg(
@@ -2243,12 +2232,7 @@ def emb_random_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``emb_label_centroid_sep`` two-pass posture; no window, no
     Python."""
     qdf = _emb(spark, sf_dir).select(
-        "vec_id",
-        "label",
-        F.expr(
-            f"transform(embedding, x -> "
-            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
-        ).alias("qv"),
+        "vec_id", "label", F.expr(_KM_QUANT_SQL).alias("qv")
     )
     ex = qdf.select(
         "vec_id", "label", F.posexplode("qv").alias("dim", "v")

@@ -3640,6 +3640,23 @@ FROM s
 # Kendall tau-a over the daily order-volume / revenue series
 # --------------------------------------------------------------------------
 
+def _daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per order DATE with the order count and the Class C
+    BIGINT-cents revenue sum — the shared daily series behind
+    stats_kendall_daily, stats_runs_test and ts_downsample_lttb (one
+    canonical quantization site; a cents/date-cast change propagates to
+    all three and their oracles together)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("dt")
+    ).agg(
+        F.count("*").alias("x"),
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("cents"),
+    )
+
+
 def stats_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Kendall tau-a between daily order COUNT and daily revenue
     (BIGINT cents, TIES.md Class C quantization) — does a busier day
@@ -3657,15 +3674,9 @@ def stats_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons regardless of row scale; everything upstream is one
     map-side-combined groupBy on the date. localCheckpoint stops the
     self-join from re-scanning orders twice."""
-    orders = catalog.load(spark, sf_dir, "orders")
     daily = (
-        orders.groupBy(F.col("o_orderdate").cast("date").alias("dt"))
-        .agg(
-            F.count("*").alias("x"),
-            F.sum(
-                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
-            ).alias("y"),
-        )
+        _daily_orders(spark, sf_dir)
+        .withColumnRenamed("cents", "y")
         .localCheckpoint(eager=True)
     )
     a = daily.select(
@@ -4236,17 +4247,19 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~1e23 at a 10-year 100 TB feed — far past BIGINT, far under 38
     digits); argmax ties break to the earliest day.
 
+    Bucket ids are DENSE-RANKED after the proportional assignment: for
+    a series with ≥ {LTTB_K}+2 points the raw ids are already the
+    contiguous 0..{LTTB_K}-1 (step ≤ 1), so the re-rank is the
+    identity; for a SHORT series the raw ids skip values and the
+    re-rank keeps every occupied bucket's prev/next anchor join total
+    (an inner join on raw b±1 would silently drop every interior point
+    — the r9 self-review finding). The last endpoint's bucket id is
+    n_buckets (== {LTTB_K} in the normal case).
+
     Scale: one daily groupBy, one calendar-bounded index window, one
-    {LTTB_K}-key bucket aggregate broadcast back, one per-bucket argmax
-    window (partitioned — parallel)."""
-    orders = catalog.load(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("dt")
-    ).agg(
-        F.sum(
-            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
-        ).alias("cents")
-    )
+    ≤{LTTB_K}-key bucket aggregate broadcast back, one per-bucket
+    argmax window (partitioned — parallel)."""
+    daily = _daily_orders(spark, sf_dir).drop("x")
     wd = W.orderBy("dt")
     # the indexed daily frame fans out into SIX lineage branches
     # (interior/bsum/first/last/ends/scored) — checkpoint the
@@ -4260,10 +4273,19 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    interior = idx.filter(
-        (F.col("idx") >= 2) & (F.col("idx") <= F.col("n") - 1)
-    ).withColumn(
-        "b", F.expr(f"((idx - 2) * {LTTB_K}) div (n - 2)")
+    interior = (
+        idx.filter((F.col("idx") >= 2) & (F.col("idx") <= F.col("n") - 1))
+        .withColumn("braw", F.expr(f"((idx - 2) * {LTTB_K}) div (n - 2)"))
+        # dense re-rank over the calendar-bounded series (identity when
+        # n-2 >= LTTB_K); checkpointed: feeds bsum + scored + the
+        # bucket-count broadcast
+        .withColumn("b", F.dense_rank().over(W.orderBy("braw")) - 1)
+        .localCheckpoint(eager=True)
+    )
+    # 1-row broadcast: the occupied-bucket count (== LTTB_K normally;
+    # 0 for a 2-point series), the last endpoint's bucket id
+    nbv = interior.agg(
+        F.coalesce(F.max("b") + 1, F.lit(0)).alias("nbv")
     )
     bsum = interior.groupBy("b").agg(
         F.sum("idx").alias("sx"),
@@ -4276,11 +4298,15 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(cents as decimal(38,0))").alias("sy"),
         F.lit(1).alias("nb"),
     )
-    last = idx.filter(F.col("idx") == F.col("n")).select(
-        F.lit(LTTB_K).alias("b"),
-        F.col("idx").alias("sx"),
-        F.expr("cast(cents as decimal(38,0))").alias("sy"),
-        F.lit(1).alias("nb"),
+    last = (
+        idx.filter(F.col("idx") == F.col("n"))
+        .crossJoin(F.broadcast(nbv))
+        .select(
+            F.col("nbv").alias("b"),
+            F.col("idx").alias("sx"),
+            F.expr("cast(cents as decimal(38,0))").alias("sy"),
+            F.lit(1).alias("nb"),
+        )
     )
     anchors = bsum.unionByName(first).unionByName(last)
     prev = anchors.select(
@@ -4310,15 +4336,17 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select(F.col("b").cast("int").alias("bucket"), "dt", "cents")
     )
-    ends = idx.filter(
-        (F.col("idx") == 1) | (F.col("idx") == F.col("n"))
-    ).select(
-        F.when(F.col("idx") == 1, F.lit(-1))
-        .otherwise(F.lit(LTTB_K))
-        .cast("int")
-        .alias("bucket"),
-        "dt",
-        "cents",
+    ends = (
+        idx.filter((F.col("idx") == 1) | (F.col("idx") == F.col("n")))
+        .crossJoin(F.broadcast(nbv))
+        .select(
+            F.when(F.col("idx") == 1, F.lit(-1))
+            .otherwise(F.col("nbv"))
+            .cast("int")
+            .alias("bucket"),
+            "dt",
+            "cents",
+        )
     )
     return (
         picked.unionByName(ends)
@@ -4338,8 +4366,12 @@ idx AS (
          COUNT(*) OVER () AS n
   FROM daily),
 interior AS (
-  SELECT dt, cents, idx, ((idx - 2) * {LTTB_K}) // (n - 2) AS b
-  FROM idx WHERE idx >= 2 AND idx <= n - 1),
+  SELECT dt, cents, idx,
+         DENSE_RANK() OVER (ORDER BY braw) - 1 AS b
+  FROM (SELECT dt, cents, idx,
+               ((idx - 2) * {LTTB_K}) // (n - 2) AS braw
+        FROM idx WHERE idx >= 2 AND idx <= n - 1)),
+nbv AS (SELECT COALESCE(MAX(b) + 1, 0) AS nb FROM interior),
 bsum AS (
   SELECT b, CAST(SUM(idx) AS HUGEINT) AS sx,
          CAST(SUM(cents) AS HUGEINT) AS sy,
@@ -4351,8 +4383,8 @@ anchors AS (
   SELECT -1, CAST(idx AS HUGEINT), CAST(cents AS HUGEINT), 1
   FROM idx WHERE idx = 1
   UNION ALL
-  SELECT {LTTB_K}, CAST(idx AS HUGEINT), CAST(cents AS HUGEINT), 1
-  FROM idx WHERE idx = n),
+  SELECT nb, CAST(idx AS HUGEINT), CAST(cents AS HUGEINT), 1
+  FROM idx, nbv WHERE idx = n),
 scored AS (
   SELECT i.b, i.dt, i.cents, i.idx,
          abs(p.sx * (i.cents * q.nb - q.sy)
@@ -4369,8 +4401,8 @@ picked AS (
         FROM scored)
   WHERE rk = 1),
 ends AS (
-  SELECT CASE WHEN idx = 1 THEN -1 ELSE {LTTB_K} END AS bucket, dt, cents
-  FROM idx WHERE idx = 1 OR idx = n)
+  SELECT CASE WHEN idx = 1 THEN -1 ELSE nb END AS bucket, dt, cents
+  FROM idx, nbv WHERE idx = 1 OR idx = n)
 SELECT bucket, dt, cents AS revenue_cents
 FROM (SELECT * FROM picked UNION ALL SELECT * FROM ends)
 ORDER BY bucket
@@ -4489,14 +4521,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the direction/run windows run over the CALENDAR-bounded daily
     series (GLOBAL_WINDOW_BOUNDED — ~2.4k rows for the fixture span,
     ~3.7k for a 10-year feed)."""
-    orders = catalog.load(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("dt")
-    ).agg(
-        F.sum(
-            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
-        ).alias("cents")
-    )
+    daily = _daily_orders(spark, sf_dir).drop("x")
     wd = W.orderBy("dt")
     signs = (
         daily.withColumn("prev", F.lag("cents").over(wd))
@@ -4532,12 +4557,24 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_num = f"{nn} + 2 * {n1} * {n2}"  # E[R] = (N + 2 n1 n2) / N
     v_num = f"2 * {n1} * {n2} * (2 * {n1} * {n2} - {nn})"
     v_den = f"{nn} * {nn} * ({nn} - 1)"
+    # degenerate guards (mirrored in the oracle): a single-sign series
+    # (N = 1) zeroes the variance denominator N^2(N-1) — CASE
+    # short-circuits, so the ANSI div never sees the zero; an empty
+    # series propagates NULLs naturally
     return runs.select(
         "n_up",
         "n_down",
         "n_runs",
-        F.expr(rat_round6_spark(e_num, nn)).alias("expected_runs_r6"),
-        F.expr(rat_round6_spark(v_num, v_den)).alias("var_runs_r6"),
+        F.expr(
+            "case when n_up + n_down >= 1 then "
+            + rat_round6_spark(e_num, nn)
+            + " else null end"
+        ).alias("expected_runs_r6"),
+        F.expr(
+            "case when n_up + n_down >= 2 then "
+            + rat_round6_spark(v_num, v_den)
+            + " else null end"
+        ).alias("var_runs_r6"),
     )
 
 
@@ -4558,12 +4595,15 @@ r AS (
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
   FROM (SELECT sgn, LAG(sgn) OVER (ORDER BY dt) AS psgn FROM signs))
 SELECT CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down, n_runs,
-       {rat_round6_duck("(n1 + n2) + 2 * n1 * n2", "(n1 + n2)")}
-         AS expected_runs_r6,
-       {rat_round6_duck(
-           "2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))",
-           "(n1 + n2) * (n1 + n2) * ((n1 + n2) - 1)",
-       )} AS var_runs_r6
+       CASE WHEN n1 + n2 >= 1 THEN
+         {rat_round6_duck("(n1 + n2) + 2 * n1 * n2", "(n1 + n2)")}
+       ELSE NULL END AS expected_runs_r6,
+       CASE WHEN n1 + n2 >= 2 THEN
+         {rat_round6_duck(
+             "2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))",
+             "(n1 + n2) * (n1 + n2) * ((n1 + n2) - 1)",
+         )}
+       ELSE NULL END AS var_runs_r6
 FROM r
 """
 

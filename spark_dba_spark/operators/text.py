@@ -2896,10 +2896,12 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     one vocabulary-keyed groupBy and the final cut is a
     TakeOrderedAndProject."""
     docs = _docs(spark, sf_dir)
+    # the exploded word frame feeds the stopword calibration AND the
+    # flagging pass — checkpoint so the corpus explode runs ONCE
     words = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
-    ).filter(F.col("word") != "")
+    ).filter(F.col("word") != "").localCheckpoint(eager=True)
     top_stop = (
         words.groupBy("word")
         .agg(F.count("*").alias("c"))
@@ -2922,12 +2924,15 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # content feeds the phrase-length aggregate AND the join back —
+    # checkpoint so the flag+window chain runs ONCE
     content = (
         flagged.withColumn(
             "island",
             F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wi),
         )
         .filter(~F.col("is_stop"))
+        .localCheckpoint(eager=True)
     )
     phrase_len = content.groupBy("doc_id", "island").agg(
         F.count("*").alias("plen")
@@ -3068,6 +3073,8 @@ def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     small constant at any data scale; no document pair is ever
     joined."""
     docs = _docs(spark, sf_dir)
+    # the vocabulary frame feeds sizes + BOTH join sides — checkpoint so
+    # the corpus explode/distinct runs ONCE (PLANS r8 lesson 1)
     words = (
         docs.select(
             "source",
@@ -3075,6 +3082,7 @@ def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("word") != "")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = words.groupBy("source").agg(F.count("*").cast("long").alias("v"))
     a = words.select(F.col("source").alias("src_a"), "word")

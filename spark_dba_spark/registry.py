@@ -62,7 +62,8 @@ class QuerySpec:
 # bench set. After slot 50: sketch_hll_reaggregate (rows-only-by-design;
 # its full-oracle twin sketch_hll_registers IS in the window), then the
 # r8-window greens rotate to PRIORITY_LAST. Expected cumulative coverage
-# after r9: 289/289 minus only the rows-only sketches.
+# after r9: 289/295 — the six mid-r9 continuation ops queued behind the
+# window carry local-sweep + pytest evidence only until the r10 window.
 PRIORITY_FIRST: tuple[str, ...] = (
     # slot 1 — red-refix: the r8 hash-red, JVM-pure rewrite
     "emb_kmeans_lloyd",

@@ -226,10 +226,12 @@ def test_lttb_matches_python_brute(spark):
     con.close()
     n = len(rows)
     pts = [(i + 1, int(c)) for i, (_, c) in enumerate(rows)]  # (idx, cents)
-    buckets: dict = {}
+    raw: dict = {}
     for idx, y in pts[1:-1]:
         b = ((idx - 2) * LTTB_K) // (n - 2)
-        buckets.setdefault(b, []).append((idx, y))
+        raw.setdefault(b, []).append((idx, y))
+    # dense re-rank (identity when n-2 >= LTTB_K)
+    buckets = {d: raw[b] for d, b in enumerate(sorted(raw))}
     anchors = {
         b: (Fraction(sum(x for x, _ in v), len(v)),
             Fraction(sum(y for _, y in v), len(v)))
@@ -496,3 +498,48 @@ def test_margin_audit_matches_python_brute(spark):
                 r["n_margin_violations"], r["min_margin_q2"]) == (
             n, single, viol, mmin)
         assert r["n_margin_violations"] <= r["n_vecs"] - r["n_singletons"]
+
+
+def test_lttb_short_series_keeps_every_bucket(spark, tmp_path):
+    """Regression (r9 self-review): a daily series SHORTER than
+    LTTB_K+2 points makes the raw proportional bucket ids sparse; the
+    dense re-rank must keep every occupied bucket's anchor join total,
+    so the output is one point per occupied bucket + both endpoints —
+    never just the endpoints."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.temporal import ts_downsample_lttb
+
+    n_days = 20  # << LTTB_K + 2
+    base = dt.datetime(2024, 1, 1)
+    dates, prices = [], []
+    for d in range(n_days):
+        for j in range(2):  # two orders per day
+            dates.append(base + dt.timedelta(days=d))
+            prices.append(100.0 * (d + 1) + j * ((-1) ** d) * 7.5)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(dates)), pa.int64()),
+                "o_custkey": pa.array([1] * len(dates), pa.int64()),
+                "o_orderstatus": ["O"] * len(dates),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array(dates, pa.timestamp("us")),
+                "o_orderpriority": ["3-MEDIUM"] * len(dates),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    rows = ts_downsample_lttb(spark, str(tmp_path)).collect()
+    n_interior = n_days - 2  # every interior point occupies its own bucket
+    assert len(rows) == n_interior + 2
+    buckets = sorted(r["bucket"] for r in rows)
+    assert buckets == [-1] + list(range(n_interior + 1))
+    # endpoints carry the true first/last daily sums
+    by_bucket = {r["bucket"]: r for r in rows}
+    assert by_bucket[-1]["dt"] == base.date()
+    assert by_bucket[n_interior]["dt"] == (
+        base + dt.timedelta(days=n_days - 1)).date()
