@@ -4410,6 +4410,195 @@ ORDER BY bucket
 
 
 # --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (forecast-evaluation family)
+# --------------------------------------------------------------------------
+
+def orders_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict month m with
+    last year's month m) over monthly revenue — the baseline every
+    demand-forecast evaluation starts from: if a model can't beat
+    seasonal-naive, it isn't a model. Revenue is BIGINT cents (Class C)
+    so the errors are exact integers, and the per-month absolute
+    percentage error is the exact-rational half-up |e| / actual. Months
+    without a prior-year counterpart are excluded (the backtest's
+    warm-up year).
+
+    Scale: one (year, month) groupBy (calendar-bounded), one self-join
+    on the shifted year key — both sides are the monthly aggregate, so
+    the join is bounded by the calendar no matter the feed size."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+    ).agg(
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("cents")
+    )
+    prior = monthly.select(
+        (F.col("y") + 1).alias("y"),
+        F.col("m"),
+        F.col("cents").alias("predicted_cents"),
+    )
+    return (
+        monthly.join(prior, ["y", "m"])
+        .select(
+            F.expr("concat(y, '-', lpad(cast(m as string), 2, '0'))").alias(
+                "month"
+            ),
+            F.col("cents").alias("actual_cents"),
+            "predicted_cents",
+            F.expr("abs(cents - predicted_cents)").alias("abs_err_cents"),
+            F.expr(
+                "case when cents > 0 then "
+                + rat_round6_spark("abs(cents - predicted_cents)", "cents")
+                + " else null end"
+            ).alias("ape_r6"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_SEASONAL_NAIVE = f"""
+WITH monthly AS (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2)
+SELECT a.y || '-' || lpad(CAST(a.m AS VARCHAR), 2, '0') AS month,
+       a.cents AS actual_cents,
+       p.cents AS predicted_cents,
+       abs(a.cents - p.cents) AS abs_err_cents,
+       CASE WHEN a.cents > 0 THEN
+         {rat_round6_duck(
+             "CAST(abs(a.cents - p.cents) AS HUGEINT)",
+             "CAST(a.cents AS HUGEINT)")}
+       ELSE NULL END AS ape_r6
+FROM monthly a JOIN monthly p ON p.y = a.y - 1 AND p.m = a.m
+ORDER BY month
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact fulfilment-latency percentile bands (order grain)
+# --------------------------------------------------------------------------
+
+LAT_QS = (50, 90, 99)  # percentile bands
+
+
+def orders_fulfillment_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of order fulfilment latency (days from order
+    date to the LAST line shipment) per priority — the tail-latency
+    readout next to ``orders_otif_rate``'s threshold rate and mean
+    (means hide the p99 tail that breaches SLAs). Latency is an exact
+    integer day difference; each band is the smallest latency whose
+    cumulative order count reaches ceil(q·n/100) — the
+    ``stats_equidepth_histogram`` selection machinery over the
+    (priority, days) histogram, whose key space is bounded by the
+    latency DOMAIN, not the order count.
+
+    Scale: one lineitem→order aggregate (the OTIF shuffle), one
+    bounded-histogram groupBy, one 3-target broadcast selection."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.expr(
+                "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+            )
+        ).alias("last_ship_day")
+    )
+    oday = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    )
+    lat = (
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_orderpriority",
+            oday.alias("order_day"),
+        )
+        .join(close, "l_orderkey")
+        .select(
+            "o_orderpriority",
+            (F.col("last_ship_day") - F.col("order_day")).alias("days"),
+        )
+    )
+    hist = (
+        lat.groupBy("o_orderpriority", "days")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # feeds cum + totals: one scan
+    )
+    wc = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("days")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wc))
+    tot = hist.groupBy("o_orderpriority").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    qs = spark.createDataFrame([(q,) for q in LAT_QS], "q int")
+    targets = tot.crossJoin(F.broadcast(qs)).withColumn(
+        "rank_target", F.expr("(q * n + 99) div 100")  # ceil(q*n/100)
+    )
+    bands = (
+        cum.join(targets, "o_orderpriority")
+        .filter(F.col("cum") >= F.col("rank_target"))
+        .groupBy("o_orderpriority", "n", "q")
+        .agg(F.min("days").alias("band"))
+    )
+    return (
+        bands.groupBy("o_orderpriority", "n")
+        .pivot("q", list(LAT_QS))
+        .agg(F.first("band"))
+        .select(
+            "o_orderpriority",
+            F.col("n").alias("n_orders"),
+            F.col("50").cast("long").alias("p50_days"),
+            F.col("90").cast("long").alias("p90_days"),
+            F.col("99").cast("long").alias("p99_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_LATENCY_BANDS = f"""
+WITH close AS (
+  SELECT l_orderkey,
+         MAX(epoch_us(l_shipdate) // 86400000000) AS last_ship_day
+  FROM lineitem GROUP BY 1),
+lat AS (
+  SELECT o_orderpriority,
+         last_ship_day - (epoch_us(o_orderdate) // 86400000000) AS days
+  FROM orders JOIN close ON l_orderkey = o_orderkey),
+hist AS (
+  SELECT o_orderpriority, days, COUNT(*) AS c
+  FROM lat GROUP BY 1, 2),
+cum AS (
+  SELECT o_orderpriority, days,
+         SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY days) AS cum
+  FROM hist),
+tot AS (
+  SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS n
+  FROM hist GROUP BY 1),
+targets AS (
+  SELECT o_orderpriority, n, q, (q * n + 99) // 100 AS rank_target
+  FROM tot, (SELECT unnest([{", ".join(str(q) for q in LAT_QS)}]) AS q) qs),
+bands AS (
+  SELECT t.o_orderpriority, t.n, t.q, MIN(days) AS band
+  FROM cum JOIN targets t
+    ON cum.o_orderpriority = t.o_orderpriority
+   AND cum.cum >= t.rank_target
+  GROUP BY 1, 2, 3)
+SELECT o_orderpriority, n AS n_orders,
+       CAST(MAX(CASE WHEN q = 50 THEN band END) AS BIGINT) AS p50_days,
+       CAST(MAX(CASE WHEN q = 90 THEN band END) AS BIGINT) AS p90_days,
+       CAST(MAX(CASE WHEN q = 99 THEN band END) AS BIGINT) AS p99_days
+FROM bands GROUP BY 1, 2 ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact equi-depth histogram boundaries (the ANALYZE-style stats primitive)
 # --------------------------------------------------------------------------
 
@@ -4848,4 +5037,16 @@ SPECS = [
                   "(bucket-mean-anchor parallel variant; exact integer "
                   "cross-product areas in DECIMAL(38,0), per-bucket "
                   "argmax windows)"),
+    QuerySpec("orders_seasonal_naive_backtest",
+              orders_seasonal_naive_backtest, ORACLE_SEASONAL_NAIVE,
+              ("temporal", "forecast", "stats"),
+              doc="seasonal-naive forecast backtest over monthly revenue "
+                  "(calendar-bounded year-shift self-join, exact integer "
+                  "errors + rational APE)"),
+    QuerySpec("orders_fulfillment_latency_bands",
+              orders_fulfillment_latency_bands, ORACLE_LATENCY_BANDS,
+              ("temporal", "percentile", "join"),
+              doc="exact p50/p90/p99 fulfilment-latency bands per "
+                  "priority (order-grain day diffs, domain-bounded "
+                  "histogram selection)"),
 ]

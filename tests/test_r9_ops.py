@@ -543,3 +543,70 @@ def test_lttb_short_series_keeps_every_bucket(spark, tmp_path):
     assert by_bucket[-1]["dt"] == base.date()
     assert by_bucket[n_interior]["dt"] == (
         base + dt.timedelta(days=n_days - 1)).date()
+
+
+def test_seasonal_naive_backtest_matches_python_brute(spark):
+    """Backtest rows equal dict arithmetic over (year, month) cents;
+    only months with a prior-year counterpart appear."""
+    from spark_dba_spark.operators.temporal import (
+        orders_seasonal_naive_backtest,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT year(o_orderdate), month(o_orderdate), o_totalprice FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    monthly: dict = {}
+    for y, m, tp in rows:
+        monthly[(y, m)] = monthly.get((y, m), 0) + math.floor(tp * 100 + 0.5)
+    got = {r["month"]: r for r in
+           orders_seasonal_naive_backtest(spark, SF_DIR).collect()}
+    expect_keys = {
+        f"{y}-{m:02d}" for (y, m) in monthly if (y - 1, m) in monthly
+    }
+    assert set(got) == expect_keys
+    for (y, m), actual in monthly.items():
+        if (y - 1, m) not in monthly:
+            continue
+        pred = monthly[(y - 1, m)]
+        r = got[f"{y}-{m:02d}"]
+        assert (r["actual_cents"], r["predicted_cents"]) == (actual, pred)
+        assert r["abs_err_cents"] == abs(actual - pred)
+        assert r["ape_r6"] == _r6(abs(actual - pred), actual)
+
+
+def test_fulfillment_latency_bands_match_python_brute(spark):
+    """p50/p90/p99 equal sorted-list order statistics over per-order
+    day latencies, and the bands are monotone."""
+    from spark_dba_spark.operators.temporal import (
+        orders_fulfillment_latency_bands,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT o.o_orderpriority,
+               MAX(epoch_us(l.l_shipdate) // 86400000000)
+                 - (epoch_us(o.o_orderdate) // 86400000000)
+        FROM read_parquet('{SF_DIR}/orders.parquet') o
+        JOIN read_parquet('{SF_DIR}/lineitem.parquet') l
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    """).fetchall()
+    con.close()
+    per: dict = {}
+    for p, d in rows:
+        per.setdefault(p, []).append(int(d))
+    got = {r["o_orderpriority"]: r for r in
+           orders_fulfillment_latency_bands(spark, SF_DIR).collect()}
+    assert set(got) == set(per)
+    for p, lats in per.items():
+        lats.sort()
+        n = len(lats)
+        r = got[p]
+        assert r["n_orders"] == n
+        for q, col in ((50, "p50_days"), (90, "p90_days"), (99, "p99_days")):
+            rank = -(-q * n // 100)
+            assert r[col] == lats[rank - 1]
+        assert r["p50_days"] <= r["p90_days"] <= r["p99_days"]
