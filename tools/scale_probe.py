@@ -97,6 +97,14 @@ QUERIES = [
     "text_rake_keywords",        # stopword-island RAKE scores (r9 new)
     "ts_downsample_lttb",        # bucket-anchored LTTB argmax (r9 new)
     "emb_km_diag_assign",        # kmeans loop, label-only readout (r9 twin)
+    "mm_audio_vad_segments",     # integer-energy VAD islands (r9b new)
+    "emb_mmr_diversified_topk",  # integer MMR greedy re-rank (r9b new)
+    "dedup_prefix_filter_join",  # complete AllPairs prefix filter (r9b new)
+    "graph_common_neighbors",    # wedge link prediction (r9b new)
+    "emb_margin_audit",          # all-pairs label margins (r9b new)
+    "mm_video_scene_cuts",       # frame-delta scene islands (r9b new)
+    "orders_seasonal_naive_backtest",  # year-shift backtest (r9c new)
+    "orders_fulfillment_latency_bands",  # exact latency bands (r9c new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
