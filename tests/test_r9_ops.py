@@ -610,3 +610,79 @@ def test_fulfillment_latency_bands_match_python_brute(spark):
             rank = -(-q * n // 100)
             assert r[col] == lats[rank - 1]
         assert r["p50_days"] <= r["p90_days"] <= r["p99_days"]
+
+
+def test_prefix_filter_lemma_property():
+    """The completeness lemma itself, property-tested on random set
+    families: for ANY two sets with Jaccard >= 4/5, the canonical-order
+    prefixes of length n - ceil(0.8*n) + 1 must intersect."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.sets(st.integers(0, 40), min_size=1, max_size=30),
+        st.sets(st.integers(0, 40), min_size=1, max_size=30),
+        st.randoms(use_true_random=False),
+    )
+    def check(a, b, rng):
+        # random-but-shared canonical token order (stands in for the
+        # df-then-token order; the lemma holds for ANY total order)
+        order = sorted(a | b, key=lambda t: (rng.random(), t))
+        pos = {t: i for i, t in enumerate(order)}
+
+        def prefix(s):
+            n = len(s)
+            p = n - (-(-4 * n) // 5) + 1  # n - ceil(4n/5) + 1
+            return set(sorted(s, key=lambda t: pos[t])[:p])
+
+        inter = len(a & b)
+        union = len(a | b)
+        if 5 * inter >= 4 * union:  # J >= 0.8
+            assert prefix(a) & prefix(b), (a, b, order)
+
+    check()
+
+
+def test_km_assign_matches_numpy_argmin_random(spark):
+    """The JVM integer-HOF assignment fold (the r9 kmeans rewrite)
+    equals numpy's argmin with lowest-index tie-break on a seeded
+    random integer grid — including planted exact-tie vectors."""
+    import numpy as np
+
+    from spark_dba_spark.operators.similarity import _km_assign
+
+    rng = np.random.default_rng(20260815)
+    d, k, n = 16, 6, 80
+    cents = rng.integers(-1000, 1000, size=(k, d)).tolist()
+    vecs = rng.integers(-1000, 1000, size=(n, d))
+    # plant exact ties: two vectors equidistant to centroids 0 and 1
+    mid = (np.array(cents[0]) + np.array(cents[1]))
+    if mid.sum() % 2 == 0:  # keep integer midpoint when possible
+        vecs[0] = mid // 2 if (mid % 2 == 0).all() else vecs[0]
+    rows = [(i, [int(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, qv array<bigint>")
+    got = {
+        r["vec_id"]: (r["cid"], r["sqdist"])
+        for r in _km_assign(df, [[int(v) for v in c] for c in cents])
+        .collect()
+    }
+    c = np.array(cents, dtype=np.int64)
+    for i in range(n):
+        d2 = ((vecs[i][None, :] - c) ** 2).sum(axis=1)
+        assert got[i] == (int(d2.argmin()), int(d2.min()))
+
+
+def test_lttb_dense_rank_is_identity_when_series_long_enough():
+    """For n - 2 >= LTTB_K the proportional bucket ids are already the
+    contiguous 0..K-1 (consecutive ids step by at most 1 and the range
+    is exactly covered), so the dense re-rank is the identity — the
+    normal-case semantics are unchanged by the short-series fix."""
+    from spark_dba_spark.operators.temporal import LTTB_K
+
+    for n in (LTTB_K + 2, LTTB_K + 3, 2 * LTTB_K, 997, 2400):
+        raw = [((idx - 2) * LTTB_K) // (n - 2) for idx in range(2, n)]
+        assert raw[0] == 0 and raw[-1] == LTTB_K - 1
+        assert all(0 <= b2 - b1 <= 1 for b1, b2 in zip(raw, raw[1:]))
+        dense = {b: i for i, b in enumerate(sorted(set(raw)))}
+        assert all(dense[b] == b for b in raw)
