@@ -4449,9 +4449,14 @@ def orders_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("cents").alias("actual_cents"),
             "predicted_cents",
             F.expr("abs(cents - predicted_cents)").alias("abs_err_cents"),
+            # DECIMAL(38,0) carry: |e|*2e6 passes the BIGINT cliff at
+            # ~sf16 monthly volumes while the HUGEINT oracle keeps going
             F.expr(
                 "case when cents > 0 then "
-                + rat_round6_spark("abs(cents - predicted_cents)", "cents")
+                + rat_round6_spark(
+                    "cast(abs(cents - predicted_cents) as decimal(38,0))",
+                    "cast(cents as decimal(38,0))",
+                )
                 + " else null end"
             ).alias("ape_r6"),
         )

@@ -62,7 +62,7 @@ class QuerySpec:
 # bench set. After slot 50: sketch_hll_reaggregate (rows-only-by-design;
 # its full-oracle twin sketch_hll_registers IS in the window), then the
 # r8-window greens rotate to PRIORITY_LAST. Expected cumulative coverage
-# after r9: 289/297 — the six mid-r9 continuation ops queued behind the
+# after r9: 289/297 — the eight mid-r9 continuation ops queued behind the
 # window carry local-sweep + pytest evidence only until the r10 window.
 PRIORITY_FIRST: tuple[str, ...] = (
     # slot 1 — red-refix: the r8 hash-red, JVM-pure rewrite

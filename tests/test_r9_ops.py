@@ -633,7 +633,7 @@ def test_prefix_filter_lemma_property():
 
         def prefix(s):
             n = len(s)
-            p = n - (-(-4 * n) // 5) + 1  # n - ceil(4n/5) + 1
+            p = n - (4 * n + 4) // 5 + 1  # n - ceil(4n/5) + 1
             return set(sorted(s, key=lambda t: pos[t])[:p])
 
         inter = len(a & b)
@@ -655,11 +655,12 @@ def test_km_assign_matches_numpy_argmin_random(spark):
     rng = np.random.default_rng(20260815)
     d, k, n = 16, 6, 80
     cents = rng.integers(-1000, 1000, size=(k, d)).tolist()
+    # force an exact integer midpoint between centroids 0 and 1 so a
+    # GUARANTEED tie vector exists (c1 = c0 + 2 per dim -> midpoint is
+    # c0 + 1, equidistant with d2 = d on both sides)
+    cents[1] = [c + 2 for c in cents[0]]
     vecs = rng.integers(-1000, 1000, size=(n, d))
-    # plant exact ties: two vectors equidistant to centroids 0 and 1
-    mid = (np.array(cents[0]) + np.array(cents[1]))
-    if mid.sum() % 2 == 0:  # keep integer midpoint when possible
-        vecs[0] = mid // 2 if (mid % 2 == 0).all() else vecs[0]
+    vecs[0] = np.array(cents[0]) + 1  # exact tie: must resolve to cid 0
     rows = [(i, [int(x) for x in vecs[i]]) for i in range(n)]
     df = spark.createDataFrame(rows, "vec_id long, qv array<bigint>")
     got = {
