@@ -687,3 +687,58 @@ def test_lttb_dense_rank_is_identity_when_series_long_enough():
         assert all(0 <= b2 - b1 <= 1 for b1, b2 in zip(raw, raw[1:]))
         dense = {b: i for i, b in enumerate(sorted(set(raw)))}
         assert all(dense[b] == b for b in raw)
+
+
+def test_kmeans_family_parity_on_synthetic_embeddings(spark, tmp_path):
+    """Oracle↔builder parity on NON-FIXTURE data: a seeded synthetic
+    embeddings table (different size, different distribution, clustered
+    structure) run through the full check_oracle comparator for the
+    kmeans family — guards against any fixture-shape overfit in either
+    side of the pair."""
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "tools")
+    from check_oracle import compare
+
+    from spark_dba_spark import registry
+
+    rng = np.random.default_rng(97)
+    n, d, k_lab = 64, 64, 4
+    centers = rng.uniform(-0.5, 0.5, size=(k_lab, d))
+    labels = rng.integers(0, k_lab, size=n)
+    emb = (centers[labels] + rng.normal(0, 0.05, size=(n, d))).clip(-0.6, 0.6)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, row)) for row in emb],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels.tolist(), pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    specs = registry.all_specs()
+    for name in (
+        "emb_kmeans_lloyd",
+        "emb_km_diag_assign",
+        "emb_km_diag_sizes",
+        "emb_km_diag_seed_inertia",
+        "emb_km_diag_centroids",
+        "emb_margin_audit",
+        "emb_mmr_diversified_topk",
+    ):
+        ok, msg = compare(name, spark, con, specs[name], str(tmp_path))
+        assert ok, f"{name}: {msg}"
+    con.close()
