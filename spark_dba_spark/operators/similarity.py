@@ -937,6 +937,64 @@ def _km_assign(qdf: DataFrame, cent: list[list[int]]) -> DataFrame:
     )
 
 
+# Decimal-free exact half-up readout of inertia_q2·10⁶ / 2^40 (r10
+# rewrite, VERDICT r9 #1): the generic rat_round6 computes
+# (q·2·10⁶ + den) div (2·den), which overflows BIGINT at sf0.1
+# (per-cluster Σd² ≈ 8e14 → q·2e6 ≈ 1.6e21 > 2^63) — the r7–r9 code
+# therefore routed it through DECIMAL(38,0) + decimal `div`, the ONE
+# construct the r9 driver bisection isolated as hash-red while the
+# assign/sizes/centroids twins stayed green (CORRECTNESS_r09; same
+# environment-divergence class as the merge_into_semantics saga, whose
+# fix was also decimal-free BIGINT). Reduce the fraction first:
+# 10⁶/2^40 = 15625/2^34, then split q into high/low halves so every
+# intermediate stays far below 2^63:
+#   round_half_up(q·15625/2^34)
+#     = (q >> 34)·15625 + ⌊((q & (2^34−1))·15625 + 2^33) / 2^34⌋
+# (exact: the high term divides out evenly; (2^34−1)·15625 ≈ 2.7e17 and
+# (q >> 34)·15625 ≤ Σd²/2^34·15625 ≈ 7e11 — both < 2^63; the final
+# micro-unit integer < 2^53 so the double is exact). Pure BIGINT on
+# both engines; Spark's ANSI sum() and DuckDB's CAST(HUGEINT AS BIGINT)
+# both throw loudly on overflow, so a silent wrap cannot produce a
+# quiet divergence.
+_KM_R6_MASK = (1 << 34) - 1
+
+
+def _km_r6_spark(q: str) -> str:
+    return (
+        f"cast(shiftright({q}, 34) * 15625 + "
+        f"(({q} & {_KM_R6_MASK}) * 15625 + {1 << 33}) div {1 << 34} "
+        f"as double) / 1000000.0"
+    )
+
+
+def _km_r6_duck(q: str) -> str:
+    return (
+        f"CAST((({q}) >> 34) * 15625 + "
+        f"((({q}) & {_KM_R6_MASK}) * 15625 + {1 << 33}) // {1 << 34} "
+        f"AS DOUBLE) / 1000000.0"
+    )
+
+
+def _km_inertia_readout(assigned: DataFrame) -> DataFrame:
+    """Per-cluster (count, BIGINT Σd², half-up 6dp inertia) — shared by
+    ``emb_kmeans_lloyd`` and the seed-pass bisection twins so the driver
+    rows all exercise the identical readout construct."""
+    return (
+        assigned.groupBy(F.col("cid").cast("int").alias("cid"))
+        .agg(
+            F.count("*").cast("long").alias("n_assigned"),
+            F.sum("sqdist").alias("inertia_q2"),
+        )
+        .select(
+            "cid",
+            "n_assigned",
+            "inertia_q2",
+            F.expr(_km_r6_spark("inertia_q2")).alias("inertia_r6"),
+        )
+        .orderBy("cid")
+    )
+
+
 def _km_loop(
     spark: SparkSession, sf_dir: str, iters: int = KM_ITERS
 ) -> tuple[DataFrame, list[list[int]]]:
@@ -1001,7 +1059,8 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates; the Python driver mirrors it branch-wise), so the
     centroids stay on the integer grid and every iteration is
     combine-order independent end to end. Inertia is the exact BIGINT
-    Σd² reduced in DECIMAL(38,0) (overflow-proof at any corpus size).
+    Σd² (r10: decimal-free — see ``_km_r6_spark``; overflow throws
+    loudly under ANSI rather than wrapping).
 
     Per round: (1) assignment is one map-only integer-HOF pass over the
     corpus — no shuffle; (2) the centroid update is a K×D-bounded
@@ -1010,29 +1069,7 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataflow. The ``emb_km_diag_*`` twins bisect this pipeline at the
     driver construct-by-construct (the merge_into_semantics playbook)."""
     assigned, _ = _km_loop(spark, sf_dir)
-    return (
-        assigned.groupBy("cid")
-        .agg(
-            F.count("*").cast("long").alias("n_assigned"),
-            F.sum(F.col("sqdist").cast("decimal(38,0)")).alias(
-                "inertia_q2"
-            ),
-        )
-        .select(
-            "cid",
-            "n_assigned",
-            "inertia_q2",
-            # exact-rational half-up at 6dp of inertia_q2 / 2^40 — NOT
-            # round(double, 6): the ratio is dyadic (den = 2^40) and can
-            # terminate exactly on a 7th-digit-5 tie (inertia_q2 ≡ 0 mod
-            # 2^33), the TIES.md Class B′ shortest-repr-vs-×10⁶ split
-            # (ADVICE r7); integer half-up is tie-free on both engines
-            F.expr(
-                rat_round6_spark("inertia_q2", str(1 << (2 * KM_QUANT_BITS)))
-            ).alias("inertia_r6"),
-        )
-        .orderBy("cid")
-    )
+    return _km_inertia_readout(assigned)
 
 
 def _km_iter_ctes() -> str:
@@ -1085,9 +1122,8 @@ ORACLE_KMEANS = f"""
 {_KM_ORACLE_PREFIX}
 SELECT CAST(cid AS INT) AS cid,
        CAST(COUNT(*) AS BIGINT) AS n_assigned,
-       CAST(SUM(d2) AS DECIMAL(38,0)) AS inertia_q2,
-       CAST(((CAST(SUM(d2) AS HUGEINT)) * 2000000 + (1099511627776))
-            // (2 * (1099511627776)) AS DOUBLE) / 1000000.0 AS inertia_r6
+       CAST(SUM(d2) AS BIGINT) AS inertia_q2,
+       {_km_r6_duck("CAST(SUM(d2) AS BIGINT)")} AS inertia_r6
 FROM a{KM_ITERS} GROUP BY cid ORDER BY cid
 """
 
@@ -1145,36 +1181,63 @@ FROM a{KM_ITERS} GROUP BY cid ORDER BY cid
 
 def emb_km_diag_seed_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE assignment pass against the raw seed centroids (no updates)
-    + the full DECIMAL(38,0) / rational-half-up inertia readout — the
-    readout machinery isolated from the iteration loop."""
+    + the full inertia readout (r10: decimal-free BIGINT Σd² + split
+    half-up micro-unit division, see ``_km_r6_spark``) — the readout
+    machinery isolated from the iteration loop."""
     assigned, _ = _km_loop(spark, sf_dir, iters=1)
-    return (
-        assigned.groupBy(F.col("cid").cast("int").alias("cid"))
-        .agg(
-            F.count("*").cast("long").alias("n_assigned"),
-            F.sum(F.col("sqdist").cast("decimal(38,0)")).alias(
-                "inertia_q2"
-            ),
-        )
-        .select(
-            "cid",
-            "n_assigned",
-            "inertia_q2",
-            F.expr(
-                rat_round6_spark("inertia_q2", str(1 << (2 * KM_QUANT_BITS)))
-            ).alias("inertia_r6"),
-        )
-        .orderBy("cid")
-    )
+    return _km_inertia_readout(assigned)
 
 
 ORACLE_KM_DIAG_SEED_INERTIA = f"""
 {_KM_ORACLE_PREFIX}
 SELECT CAST(cid AS INT) AS cid,
        CAST(COUNT(*) AS BIGINT) AS n_assigned,
-       CAST(SUM(d2) AS DECIMAL(38,0)) AS inertia_q2,
-       CAST(((CAST(SUM(d2) AS HUGEINT)) * 2000000 + (1099511627776))
-            // (2 * (1099511627776)) AS DOUBLE) / 1000000.0 AS inertia_r6
+       CAST(SUM(d2) AS BIGINT) AS inertia_q2,
+       {_km_r6_duck("CAST(SUM(d2) AS BIGINT)")} AS inertia_r6
+FROM a1 GROUP BY cid ORDER BY cid
+"""
+
+
+def emb_km_diag_inertia_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split twin A (VERDICT r9 #1): the seed-pass per-cluster Σd² as a
+    plain BIGINT — the SUM half of the readout with NO rounding/ratio.
+    Red here ⇒ the sum itself diverges; green here + red on the r6 twin
+    ⇒ the rounding construct diverges."""
+    assigned, _ = _km_loop(spark, sf_dir, iters=1)
+    return (
+        assigned.groupBy(F.col("cid").cast("int").alias("cid"))
+        .agg(F.sum("sqdist").alias("inertia_q2"))
+        .orderBy("cid")
+    )
+
+
+ORACLE_KM_DIAG_INERTIA_Q2 = f"""
+{_KM_ORACLE_PREFIX}
+SELECT CAST(cid AS INT) AS cid,
+       CAST(SUM(d2) AS BIGINT) AS inertia_q2
+FROM a1 GROUP BY cid ORDER BY cid
+"""
+
+
+def emb_km_diag_inertia_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split twin B: the half-up 6dp micro-unit readout ALONE (raw q2
+    column dropped) — the rounding half of the readout isolated."""
+    assigned, _ = _km_loop(spark, sf_dir, iters=1)
+    return (
+        assigned.groupBy(F.col("cid").cast("int").alias("cid"))
+        .agg(F.sum("sqdist").alias("inertia_q2"))
+        .select(
+            "cid",
+            F.expr(_km_r6_spark("inertia_q2")).alias("inertia_r6"),
+        )
+        .orderBy("cid")
+    )
+
+
+ORACLE_KM_DIAG_INERTIA_R6 = f"""
+{_KM_ORACLE_PREFIX}
+SELECT CAST(cid AS INT) AS cid,
+       {_km_r6_duck("CAST(SUM(d2) AS BIGINT)")} AS inertia_r6
 FROM a1 GROUP BY cid ORDER BY cid
 """
 
@@ -2969,7 +3032,18 @@ SPECS = [
               ORACLE_KM_DIAG_SEED_INERTIA,
               ("similarity", "diagnostic", "ml"),
               doc="kmeans bisection twin: one seed-assignment pass + the "
-                  "full decimal/rational inertia readout, no loop"),
+                  "full inertia readout, no loop (r10: decimal-free "
+                  "BIGINT + split half-up division)"),
+    QuerySpec("emb_km_diag_inertia_q2", emb_km_diag_inertia_q2,
+              ORACLE_KM_DIAG_INERTIA_Q2,
+              ("similarity", "diagnostic", "ml"),
+              doc="kmeans readout split twin A: seed-pass BIGINT sum "
+                  "only, no rounding (names sum-vs-rounding if red)"),
+    QuerySpec("emb_km_diag_inertia_r6", emb_km_diag_inertia_r6,
+              ORACLE_KM_DIAG_INERTIA_R6,
+              ("similarity", "diagnostic", "ml"),
+              doc="kmeans readout split twin B: half-up 6dp micro-unit "
+                  "readout alone, raw sum dropped"),
     QuerySpec("emb_km_diag_centroids", emb_km_diag_centroids,
               ORACLE_KM_DIAG_CENTROIDS,
               ("similarity", "diagnostic", "ml"),

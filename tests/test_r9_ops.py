@@ -735,6 +735,8 @@ def test_kmeans_family_parity_on_synthetic_embeddings(spark, tmp_path):
         "emb_km_diag_assign",
         "emb_km_diag_sizes",
         "emb_km_diag_seed_inertia",
+        "emb_km_diag_inertia_q2",
+        "emb_km_diag_inertia_r6",
         "emb_km_diag_centroids",
         "emb_margin_audit",
         "emb_mmr_diversified_topk",
