@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import catalog
-from ..functions.numeric import rat_round6_spark
+from ..functions.numeric import rat_round6_duck, rat_round6_spark
 from ..registry import QuerySpec
 
 N_QUERIES = 20
@@ -459,11 +459,10 @@ def _hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
     return vals
 
 
-def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared LSH candidate generation: sign-bucket every vector under
-    LSH_TABLES independent hyperplane sets (map-only), then pair each query
-    with vectors sharing a (table, bucket) — shuffle on bucket id, not
-    O(n²). Returns the distinct narrow (qid, vec_id) pair stream."""
+def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket every vector under LSH_TABLES independent hyperplane
+    sets (map-only Arrow pass) — shared by the single-probe pair
+    generator and the multi-probe variant."""
     emb = _emb(spark, sf_dir)
     sample = emb.select(F.size("embedding").alias("d")).first()
     if int(sample["d"]) != EMB_DIM:
@@ -509,9 +508,17 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    bucketed = emb.select("vec_id", "embedding").mapInPandas(
+    return emb.select("vec_id", "embedding").mapInPandas(
         bucketize, bucket_schema
     )
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH candidate generation: sign-bucket every vector under
+    LSH_TABLES independent hyperplane sets (map-only), then pair each query
+    with vectors sharing a (table, bucket) — shuffle on bucket id, not
+    O(n²). Returns the distinct narrow (qid, vec_id) pair stream."""
+    bucketed = _lsh_bucketed(spark, sf_dir)
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("tbl"),
@@ -614,6 +621,133 @@ SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY qid ORDER BY qid
 # RECALL_r{{N}}.json measures) — is exactly reproducible in SQL.
 ORACLE_ANN_LSH = f"""
 WITH {_LSH_CAND_CTES},
+s AS (
+  SELECT c.qid, c.vec_id,
+         list_cosine_similarity(eq.emb, ev.emb) AS sim
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.qid
+  JOIN e ev ON ev.vec_id = c.vec_id)
+SELECT qid, rank, vec_id, ROUND(sim, 4) AS sim_r4 FROM (
+  SELECT qid, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM s)
+WHERE rank <= {TOP_K}
+ORDER BY qid, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# Multi-probe LSH (VERDICT r9 #3b): probe neighboring buckets instead of
+# adding tables — the memory/recall tradeoff of Lv et al.'s multi-probe LSH
+# --------------------------------------------------------------------------
+
+MP_TABLES = 4  # multi-probe runs 4 tables × (1 + LSH_PLANES) probes — vs
+#                sim_ann_lsh's 16 tables × 1 probe: ~4× less index memory
+#                for a comparable probe budget (the multi-probe pitch)
+
+
+def _lsh_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs under multi-probe LSH: each query probes its own
+    sign bucket PLUS every bucket at Hamming distance 1 (one plane-bit
+    flip) in the first MP_TABLES tables. The probe explode is map-side
+    (LSH_PLANES+1 rows per query per table, queries bounded); the join
+    stays a bucket-keyed equi-join — no all-pairs."""
+    bucketed = _lsh_bucketed(spark, sf_dir).filter(F.col("tbl") < MP_TABLES)
+    probes = F.expr(
+        f"""explode(transform(sequence(0, {LSH_PLANES}),
+              i -> case when i = 0 then bucket
+                        else bucket ^ shiftleft(cast(1 as bigint), i - 1)
+                   end))"""
+    )
+    qp = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "tbl", probes.alias("bucket")
+    )
+    return (
+        qp.join(bucketed.select("vec_id", "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+
+
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN top-k: deterministic end to end (md5 planes,
+    sign buckets, Hamming-1 probe schedule, exact cosine, vec_id
+    tie-break) → FULL value-hash oracle, same as :func:`sim_ann_lsh`.
+    The recall-vs-index-memory comparison against the 16-table
+    single-probe index is what RECALL_r{N}.json records."""
+    emb = _emb(spark, sf_dir)
+    pairs = _lsh_multiprobe_pairs(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cand = pairs.join(F.broadcast(qv), "qid").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    sim = cand.withColumn("sim", _cosine_expr())
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", F.round("sim", 4).alias("sim_r4"))
+        .orderBy("qid", "rank")
+    )
+
+
+def sim_lsh_multiprobe_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-query candidate count under the multi-probe schedule — the
+    probe-budget gate (compare with sim_ann_lsh_candidates to read the
+    tables-vs-probes tradeoff directly)."""
+    return (
+        _lsh_multiprobe_pairs(spark, sf_dir)
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_candidates"))
+        .orderBy("qid")
+    )
+
+
+_MP_CTES = f"""planes AS (
+  SELECT t.range AS t, p.range AS p, d.range AS d,
+         (CAST(('0x' || SUBSTRING(md5('plane:' || t.range || ':' || p.range
+                                  || ':' || d.range), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0) * 2.0 - 1.0 AS w
+  FROM range({MP_TABLES}) t, range({LSH_PLANES}) p, range({EMB_DIM}) d
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dots AS (
+  SELECT e.vec_id, pl.t, pl.p, SUM(e.emb[pl.d + 1] * pl.w) AS dot
+  FROM e, planes pl GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+                  ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+probes AS (
+  SELECT b.vec_id AS qid, b.t,
+         CASE WHEN i.range = 0 THEN b.bucket
+              ELSE xor(b.bucket, (CAST(1 AS BIGINT) << (i.range - 1)))
+         END AS bucket
+  FROM buckets b, range({LSH_PLANES + 1}) i
+  WHERE b.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT p.qid, b.vec_id
+  FROM probes p JOIN buckets b ON p.t = b.t AND p.bucket = b.bucket
+  WHERE b.vec_id != p.qid
+)"""
+
+ORACLE_MP_CANDIDATES = f"""
+WITH {_MP_CTES}
+SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY qid ORDER BY qid
+"""
+
+ORACLE_MP_LSH = f"""
+WITH {_MP_CTES},
 s AS (
   SELECT c.qid, c.vec_id,
          list_cosine_similarity(eq.emb, ev.emb) AS sim
@@ -2950,6 +3084,144 @@ ORDER BY side, vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# Sign-sketch (SimHash-for-embeddings) agreement audit
+# --------------------------------------------------------------------------
+
+SKETCH_OFFSETS = 8  # each vector pairs with the next 8 ids — a linear,
+#                     deterministic pair sample (no all-pairs)
+
+
+def emb_sign_sketch_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar sign-sketch audit: compress each embedding to a 64-bit
+    sign sketch (bit d = quantized coordinate d > 0, stored as two
+    32-bit BIGINT halves so neither engine touches the sign bit), then
+    measure — over a linear pair sample (each vector × its next
+    {SKETCH_OFFSETS} ids) — how sketch Hamming distance predicts the
+    sign of the exact inner product. Theory: P[bit agrees] = 1 − θ/π,
+    so low-Hamming bands should be dot>0 dominated; the per-band split
+    is the calibration a SimHash ANN threshold is read from.
+
+    EXACT: signs and dot products are taken on the 2^-20 truncation
+    grid (the kmeans recipe), Hamming via bit_count over XOR — all
+    BIGINT on both engines. Scale: one map pass for sketches, one
+    sequence-explode + equi-join for pairs (linear in corpus), bounded
+    9-row output."""
+    qdf = _km_quantized(spark, sf_dir)
+    lo = (
+        "aggregate(sequence(0, 31), cast(0 as bigint), (acc, d) -> "
+        "acc + case when element_at(qv, d + 1) > 0 "
+        "then shiftleft(cast(1 as bigint), d) else cast(0 as bigint) end)"
+    )
+    hi = (
+        "aggregate(sequence(0, 31), cast(0 as bigint), (acc, d) -> "
+        "acc + case when element_at(qv, d + 33) > 0 "
+        "then shiftleft(cast(1 as bigint), d) else cast(0 as bigint) end)"
+    )
+    sk = qdf.select(
+        "vec_id",
+        "qv",
+        F.expr(lo).alias("lo"),
+        F.expr(hi).alias("hi"),
+    )
+    a = sk.select(
+        F.col("vec_id").alias("ida"),
+        F.col("qv").alias("qa"),
+        F.col("lo").alias("la"),
+        F.col("hi").alias("ha"),
+        F.explode(
+            F.sequence(
+                F.col("vec_id") + 1, F.col("vec_id") + SKETCH_OFFSETS
+            )
+        ).alias("idb"),
+    )
+    pairs = a.join(
+        sk.select(
+            F.col("vec_id").alias("idb"),
+            F.col("qv").alias("qb"),
+            F.col("lo").alias("lb"),
+            F.col("hi").alias("hb"),
+        ),
+        "idb",
+    ).select(
+        F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("dot_q"),
+        F.expr("bit_count(la ^ lb) + bit_count(ha ^ hb)").alias("ham"),
+    )
+    return (
+        pairs.groupBy(
+            F.expr("cast(ham div 8 as int)").alias("band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("dot_q") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("dot_q") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_neg"),
+        )
+        .select(
+            "band",
+            "n_pairs",
+            "n_pos",
+            "n_neg",
+            F.expr(rat_round6_spark("n_pos", "n_pairs")).alias(
+                "pos_share_r6"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_SIGN_SKETCH = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+q AS (
+  SELECT e.vec_id, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+sk AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN qv > 0 AND dim < 32
+                       THEN (CAST(1 AS BIGINT) << dim) ELSE 0 END)
+              AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN qv > 0 AND dim >= 32
+                       THEN (CAST(1 AS BIGINT) << (dim - 32)) ELSE 0 END)
+              AS BIGINT) AS hi
+  FROM q GROUP BY 1),
+pr AS (
+  SELECT a.vec_id AS ida, a.vec_id + o.range AS idb
+  FROM sk a, range(1, {SKETCH_OFFSETS + 1}) o
+  WHERE a.vec_id + o.range <= (SELECT MAX(vec_id) FROM sk)),
+pd AS (
+  SELECT p.ida, p.idb, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot_q
+  FROM pr p
+  JOIN q qa ON qa.vec_id = p.ida
+  JOIN q qb ON qb.vec_id = p.idb AND qb.dim = qa.dim
+  GROUP BY 1, 2),
+h AS (
+  SELECT pd.dot_q,
+         bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)) AS ham
+  FROM pd
+  JOIN sk sa ON sa.vec_id = pd.ida
+  JOIN sk sb ON sb.vec_id = pd.idb),
+agg AS (
+  SELECT CAST(ham // 8 AS INT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN dot_q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         CAST(SUM(CASE WHEN dot_q < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_neg
+  FROM h GROUP BY 1)
+SELECT band, n_pairs, n_pos, n_neg,
+       {rat_round6_duck("n_pos", "n_pairs")} AS pos_share_r6
+FROM agg ORDER BY band
+"""
+
+
 SPECS = [
     QuerySpec("sim_cosine_topk", sim_cosine_topk, ORACLE_TOPK,
               ("similarity",), bench=True),
@@ -2960,6 +3232,20 @@ SPECS = [
               doc="hyperplane-LSH ANN ranking — approximate vs true "
                   "top-k (RECALL artifact) but deterministic end to "
                   "end, so FULL-hash oracled since r6"),
+    QuerySpec("sim_lsh_multiprobe", sim_lsh_multiprobe, ORACLE_MP_LSH,
+              ("similarity", "ann"),
+              doc="multi-probe LSH ANN ranking (Hamming-1 probe "
+                  "schedule over 4 tables — the memory/recall tradeoff "
+                  "vs 16-table single-probe; full value-hash oracle)"),
+    QuerySpec("sim_lsh_multiprobe_candidates", sim_lsh_multiprobe_candidates,
+              ORACLE_MP_CANDIDATES, ("similarity", "ann"),
+              doc="per-query candidate count under the multi-probe "
+                  "schedule (probe-budget gate)"),
+    QuerySpec("emb_sign_sketch_agreement", emb_sign_sketch_agreement,
+              ORACLE_SIGN_SKETCH, ("similarity", "sketch", "audit"),
+              doc="Charikar sign-sketch calibration: Hamming band vs "
+                  "exact quantized dot sign over a linear pair sample "
+                  "(two 32-bit halves, bit_count XOR)"),
     QuerySpec("sim_ann_lsh_candidates", sim_ann_lsh_candidates,
               ORACLE_LSH_CANDIDATES, ("similarity", "ann"),
               doc="deterministic candidate-count gate for sim_ann_lsh"),

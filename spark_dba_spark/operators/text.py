@@ -3140,9 +3140,403 @@ ORDER BY src_a, src_b
 """
 
 
+# --------------------------------------------------------------------------
+# Longest duplicated span (ExactSubstr's span-length readout)
+# --------------------------------------------------------------------------
+
+
+def dedup_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-REGION readout per document (VERDICT r9 #3a —
+    upgrades ``dedup_substring_spans``' share-of-duplicated-windows to
+    the span-length numbers the ExactSubstr dedup literature reports):
+    a token position is *duplicated* when covered by at least one
+    {SPAN_W}-token stride-1 window whose content appears in ≥2 distinct
+    documents; a *region* is a maximal run of duplicated positions.
+    Emits per doc the region count, the longest region (tokens), the
+    total duplicated-token coverage, and its share.
+
+    Implementation note: the binary-lifting/doubling construction the
+    suffix-automaton literature uses is unnecessary for this readout —
+    consecutive duplicated window STARTS already delimit the covered
+    intervals, so one interval-union (gaps-and-islands with a running
+    max-end, canonical SQL) over the stride-1 fingerprint stream gives
+    exact region boundaries in a single window pass. The per-doc window
+    is bounded by the doc's own token count, never corpus-sized.
+
+    Scale: identical dataflow to ``dedup_substring_spans`` (map-side
+    fingerprint blowup, one hash shuffle on fp, one doc rollup) plus a
+    doc_id-partitioned window — no all-pairs, no global window."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    base = docs.repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    ).select(
+        "doc_id",
+        ws.alias("ws"),
+        F.greatest(F.size(ws) - F.lit(SPAN_W - 1), F.lit(0)).alias("n_win"),
+    )
+    wins = (
+        base.filter(F.col("n_win") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n_win"))).alias("start"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.md5(
+                F.concat_ws(" ", F.slice("ws", F.col("start"), SPAN_W))
+            ).alias("fp"),
+        )
+    )
+    shared = (
+        wins.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    dup = wins.join(shared, "fp").select(
+        "doc_id", "start", (F.col("start") + F.lit(SPAN_W - 1)).alias("e")
+    )
+    # interval union: a new region starts when this window's coverage
+    # [start, e] does not touch the running max end of prior coverage
+    w_prev = (
+        W.partitionBy("doc_id").orderBy("start")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    grp = dup.withColumn(
+        "brk",
+        F.when(
+            F.col("start")
+            > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1,
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "gid", F.sum("brk").over(W.partitionBy("doc_id").orderBy("start"))
+    )
+    reg = grp.groupBy("doc_id", "gid").agg(
+        (F.max("e") - F.min("start") + 1).alias("span")
+    )
+    per_doc = reg.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_regions"),
+        F.max("span").cast("long").alias("max_dup_span"),
+        F.sum("span").cast("long").alias("dup_tokens"),
+    )
+    return (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_regions", F.lit(0))
+            .cast("long")
+            .alias("n_dup_regions"),
+            F.coalesce("max_dup_span", F.lit(0))
+            .cast("long")
+            .alias("max_dup_span"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.expr(
+                rat_round6_spark("coalesce(dup_tokens, 0)", "n_tokens")
+            ).alias("dup_token_share_r6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LONGEST_DUP_SPAN = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (
+  SELECT doc_id, k AS start,
+         md5(array_to_string(ws[k : k + {SPAN_W - 1}], ' ')) AS fp
+  FROM d, LATERAL unnest(generate_series(
+           1, greatest(len(ws) - {SPAN_W - 1}, 0))) AS u(k)),
+pf AS (SELECT fp FROM w GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+ds AS (SELECT doc_id, start, start + {SPAN_W - 1} AS e
+       FROM w JOIN pf USING (fp)),
+isl AS (
+  SELECT doc_id, start, e,
+         CASE WHEN start > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM ds),
+grps AS (
+  SELECT doc_id, start, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY start) AS gid
+  FROM isl),
+reg AS (
+  SELECT doc_id, gid, MAX(e) - MIN(start) + 1 AS span
+  FROM grps GROUP BY 1, 2),
+pd AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_regions,
+         CAST(MAX(span) AS BIGINT) AS max_dup_span,
+         CAST(SUM(span) AS BIGINT) AS dup_tokens
+  FROM reg GROUP BY 1),
+nt AS (SELECT doc_id, len(ws) AS n_tokens FROM d)
+SELECT nt.doc_id,
+       COALESCE(n_dup_regions, 0) AS n_dup_regions,
+       COALESCE(max_dup_span, 0) AS max_dup_span,
+       COALESCE(dup_tokens, 0) AS dup_tokens,
+       {rat_round6_duck("COALESCE(dup_tokens, 0)", "n_tokens")}
+         AS dup_token_share_r6
+FROM nt LEFT JOIN pd USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Span-level decontamination vs a static eval index (+ streaming twin)
+# --------------------------------------------------------------------------
+
+SPAN_EVAL_MOD = 10  # doc_id % 10 == 0 → the held-out eval/reference set
+
+
+def span_window_fps(docs: DataFrame) -> DataFrame:
+    """Stride-1 {SPAN_W}-token window fingerprints per doc, with an
+    ``explode_outer`` so 0-window (short) docs keep one fp=NULL row —
+    the rollup then counts windows as count(fp), and batch and
+    streaming emit IDENTICAL per-doc rows without a corpus-side left
+    join (a stream cannot left-join back to its own source). Shared by
+    :func:`doc_span_decontamination` and
+    streaming/jobs.run_span_decon_stream."""
+    ws = F.split("text", " ")
+    return (
+        docs.select(
+            "doc_id",
+            ws.alias("ws"),
+            F.greatest(F.size(ws) - F.lit(SPAN_W - 1), F.lit(0)).alias(
+                "n_win"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.when(
+                    F.col("n_win") >= 1,
+                    F.sequence(F.lit(1), F.col("n_win")),
+                )
+            ).alias("start"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("start").isNotNull(),
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice("ws", F.col("start"), SPAN_W)
+                    )
+                ),
+            ).alias("fp"),
+        )
+    )
+
+
+def span_hit_rollup(joined: DataFrame) -> DataFrame:
+    """Per-doc contamination rollup over (doc_id, fp, hit) rows —
+    shared by the batch op and the streaming job so the DuckDB oracle
+    on the batch form transitively gates the stream semantics."""
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("fp").cast("long").alias("n_windows"),
+            F.sum(
+                F.when(F.col("fp").isNotNull() & (F.col("hit") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_eval_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_eval_hits",
+            F.when(F.col("n_windows") == 0, F.lit(0.0))
+            .otherwise(
+                F.expr(
+                    rat_round6_spark(
+                        "n_eval_hits", "greatest(n_windows, 1)"
+                    )
+                )
+            )
+            .alias("eval_hit_share_r6"),
+        )
+    )
+
+
+def doc_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination against a static reference index
+    (the ExactSubstr refinement of ``decontaminate_ngram``'s doc-level
+    flag): every held-out eval doc (doc_id % {SPAN_EVAL_MOD} == 0)
+    contributes its stride-1 {SPAN_W}-token fingerprints to a static
+    index; every TRAINING doc reports how many of its own windows hit
+    that index — the per-doc leak surface a curation pipeline uses to
+    drop or scrub training examples before an eval is trusted.
+
+    This is also the batch twin of a Structured Streaming job
+    (streaming/jobs.run_span_decon_stream): training docs arrive as a
+    file stream, the eval index is the static side of a stream-static
+    join — the canonical continuous-ingest decontamination shape. Both
+    surfaces share :func:`span_window_fps` and :func:`span_hit_rollup`,
+    so the oracle here transitively gates the stream.
+
+    Scale: the eval index is the SMALL side (distinct fps of the eval
+    slice) → broadcast join against the map-side training fingerprint
+    stream; one hash agg by doc_id; no all-pairs, no window."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % SPAN_EVAL_MOD != 0).repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    )
+    evalset = docs.filter(F.col("doc_id") % SPAN_EVAL_MOD == 0)
+    idx = (
+        span_window_fps(evalset)
+        .filter(F.col("fp").isNotNull())
+        .select("fp")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = span_window_fps(train).join(F.broadcast(idx), "fp", "left")
+    return span_hit_rollup(joined).orderBy("doc_id")
+
+
+ORACLE_SPAN_DECON = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE doc_id % {SPAN_EVAL_MOD} != 0),
+ev AS (
+  SELECT DISTINCT
+         md5(array_to_string(ws[k : k + {SPAN_W - 1}], ' ')) AS fp
+  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+        WHERE doc_id % {SPAN_EVAL_MOD} = 0) e,
+       LATERAL unnest(generate_series(
+         1, greatest(len(ws) - {SPAN_W - 1}, 0))) AS u(k)),
+w AS (
+  SELECT doc_id,
+         md5(array_to_string(ws[k : k + {SPAN_W - 1}], ' ')) AS fp
+  FROM d, LATERAL unnest(generate_series(
+           1, greatest(len(ws) - {SPAN_W - 1}, 0))) AS u(k)),
+pd AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN fp IN (SELECT fp FROM ev) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_eval_hits
+  FROM w GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(n_windows, 0) AS n_windows,
+       COALESCE(n_eval_hits, 0) AS n_eval_hits,
+       CASE WHEN COALESCE(n_windows, 0) = 0 THEN 0.0
+            ELSE {rat_round6_duck(
+                "COALESCE(n_eval_hits, 0)",
+                "greatest(COALESCE(n_windows, 1), 1)")}
+       END AS eval_hit_share_r6
+FROM d LEFT JOIN pd USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Boilerplate-prefix (template) detection
+# --------------------------------------------------------------------------
+
+HEAD_TOKS = 2  # opening-token block that defines a "template head"
+
+
+def text_boilerplate_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate-opening detection (the C4/RefinedWeb cleanup
+    family: pages sharing an identical opening block are template
+    candidates — nav bars, license headers, scraped frontmatter).
+    A doc's *head* is its first {HEAD_TOKS} tokens; a head shared by ≥2
+    distinct docs corpus-wide marks all its docs as template candidates.
+    Per-source readout: doc count, flagged count + share, and how many
+    distinct flagged heads the source carries (1 big template vs many
+    small ones — different cleanup actions).
+
+    Scale: one map-side head projection, one hash agg on head (bounded
+    by the head vocabulary), one broadcast-size join back — no windows,
+    no all-pairs; short docs (< {HEAD_TOKS} tokens) hash whatever tokens
+    they have, so no vacuous-pairing class (FIXTURES gotcha)."""
+    docs = _docs(spark, sf_dir)
+    head = F.array_join(
+        F.slice(F.split("text", " "), 1, HEAD_TOKS), " "
+    ).alias("head")
+    d = docs.select("doc_id", "source", head)
+    heads = (
+        d.groupBy("head")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+    )
+    flagged = d.join(heads, "head").select(
+        "source", "head", (F.col("nd") >= 2).alias("boiler")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler_docs"),
+            F.count_distinct(
+                F.when(F.col("boiler"), F.col("head"))
+            ).cast("long").alias("n_boiler_heads"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_boiler_docs",
+            "n_boiler_heads",
+            F.expr(rat_round6_spark("n_boiler_docs", "n_docs")).alias(
+                "boiler_share_r6"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_BOILERPLATE_HEADS = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         array_to_string((string_split(text, ' '))[1 : {HEAD_TOKS}], ' ')
+           AS head
+  FROM documents),
+hb AS (SELECT head, COUNT(DISTINCT doc_id) AS nd FROM d GROUP BY 1),
+f AS (SELECT d.source, d.head, (hb.nd >= 2) AS boiler
+      FROM d JOIN hb USING (head)),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler_docs,
+         CAST(COUNT(DISTINCT CASE WHEN boiler THEN head END) AS BIGINT)
+           AS n_boiler_heads
+  FROM f GROUP BY 1)
+SELECT source, n_docs, n_boiler_docs, n_boiler_heads,
+       {rat_round6_duck("n_boiler_docs", "n_docs")} AS boiler_share_r6
+FROM agg ORDER BY source
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
+    QuerySpec("dedup_longest_dup_span", dedup_longest_dup_span,
+              ORACLE_LONGEST_DUP_SPAN, ("text", "dedup", "curation"),
+              doc="ExactSubstr span-length readout: maximal duplicated "
+                  "regions per doc via interval-union islands over the "
+                  "stride-1 fingerprint stream"),
+    QuerySpec("text_boilerplate_heads", text_boilerplate_heads,
+              ORACLE_BOILERPLATE_HEADS, ("text", "dedup", "quality"),
+              doc="template/boilerplate opening-block detection per "
+                  "source (shared-head hash agg, C4-style cleanup "
+                  "signal)"),
+    QuerySpec("doc_span_decontamination", doc_span_decontamination,
+              ORACLE_SPAN_DECON, ("text", "dedup", "streaming-twin"),
+              doc="span-level decontamination of training docs vs a "
+                  "static eval fingerprint index (broadcast stream-"
+                  "static join shape; batch twin of streaming/jobs."
+                  "run_span_decon_stream)"),
     QuerySpec("text_source_vocab_jaccard", text_source_vocab_jaccard,
               ORACLE_SOURCE_VOCAB_JACCARD, ("text", "stats", "mix"),
               doc="pairwise source vocabulary Jaccard (word-keyed "

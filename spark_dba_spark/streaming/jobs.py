@@ -434,6 +434,59 @@ def run_asset_ingest_stream(
     )
 
 
+def run_span_decon_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "span_decon_stream"
+) -> DataFrame:
+    """Streaming twin of ``operators.text.doc_span_decontamination``:
+    training documents arrive as a file stream; the eval fingerprint
+    index is computed BATCH-side from the held-out slice and joined as
+    the static side of a stream-static left join (stateless — no
+    watermark needed); the per-doc rollup aggregates in complete mode.
+    The fingerprint projection (``span_window_fps``) and the rollup
+    (``span_hit_rollup``) are SHARED with the batch op, so the DuckDB
+    oracle gating the batch form transitively gates this stream;
+    stream == batch is pinned by
+    tests/test_streaming.py::test_span_decon_stream_equals_batch.
+
+    At scale the eval index is small (an eval suite, not the corpus) →
+    Spark broadcasts it to every task; per-doc state in the rollup is
+    bounded by docs-in-flight, and a production deployment would emit
+    per-doc rows append-mode keyed by ingest batch instead of complete
+    mode (complete here because the twin harness replays a finite
+    fixture)."""
+    from ..operators.text import (
+        SPAN_EVAL_MOD,
+        span_hit_rollup,
+        span_window_fps,
+    )
+
+    ensure_session_invariants(spark)
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = (
+        span_window_fps(
+            batch_docs.filter(F.col("doc_id") % SPAN_EVAL_MOD == 0)
+        )
+        .filter(F.col("fp").isNotNull())
+        .select("fp")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    stream = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % SPAN_EVAL_MOD != 0
+    )
+    joined = span_window_fps(stream).join(F.broadcast(idx), "fp", "left")
+    q = (
+        span_hit_rollup(joined)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_corpus_funnel_stream(
     spark: SparkSession, sf_dir: str, query_name: str = "corpus_funnel_stream"
 ) -> DataFrame:

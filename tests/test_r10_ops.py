@@ -1,0 +1,296 @@
+"""Brute-force Python twins for the round-10 operators: each op's full
+pipeline replayed with exact integer arithmetic on plain Python/numpy
+data structures, plus the invariants the oracle-parity check can't see
+(fixture non-degeneracy, candidate-set containment, band coverage)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import numpy as np
+
+from conftest import SF_DIR
+
+
+def _r6(num: int, den: int) -> float:
+    return float((num * 2_000_000 + den) // (2 * den)) / 1e6
+
+
+def _docs_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, source FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _emb_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_longest_dup_span_matches_python_brute(spark):
+    """Interval-union region readout equals a literal position-set
+    replay: mark every token position covered by a duplicated window,
+    then measure maximal runs."""
+    from spark_dba_spark.operators.text import SPAN_W, dedup_longest_dup_span
+
+    rows = _docs_rows()
+    owner: dict = {}
+    spans_per_doc: dict = {}
+    toks: dict = {}
+    for doc_id, text, _ in rows:
+        ws = text.split(" ")
+        toks[doc_id] = len(ws)
+        spans = [
+            " ".join(ws[i:i + SPAN_W])
+            for i in range(0, max(len(ws) - SPAN_W + 1, 0))
+        ]
+        spans_per_doc[doc_id] = spans
+        for s in spans:
+            owner.setdefault(s, set()).add(doc_id)
+    got = {
+        r["doc_id"]: r
+        for r in dedup_longest_dup_span(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(toks)
+    any_region = False
+    for doc_id, spans in spans_per_doc.items():
+        covered: set = set()
+        for i, s in enumerate(spans):
+            if len(owner[s]) >= 2:
+                covered.update(range(i, i + SPAN_W))
+        regions: list = []
+        cur = None
+        for p in sorted(covered):
+            if cur is None or p > cur[1] + 1:
+                cur = [p, p]
+                regions.append(cur)
+            else:
+                cur[1] = p
+        lens = [b - a + 1 for a, b in regions]
+        r = got[doc_id]
+        assert r["n_dup_regions"] == len(regions)
+        assert r["max_dup_span"] == (max(lens) if lens else 0)
+        assert r["dup_tokens"] == sum(lens)
+        assert r["dup_token_share_r6"] == _r6(sum(lens), toks[doc_id])
+        assert r["dup_tokens"] <= toks[doc_id]  # union can't exceed doc
+        if regions:
+            any_region = True
+    assert any_region, "fixture must exercise ≥1 duplicated region"
+
+
+def test_boilerplate_heads_matches_python_brute(spark):
+    from spark_dba_spark.operators.text import (
+        HEAD_TOKS,
+        text_boilerplate_heads,
+    )
+
+    rows = _docs_rows()
+    head_owners: dict = {}
+    per_doc: dict = {}
+    for doc_id, text, source in rows:
+        head = " ".join(text.split(" ")[:HEAD_TOKS])
+        per_doc[doc_id] = (source, head)
+        head_owners.setdefault(head, set()).add(doc_id)
+    agg: dict = {}
+    for doc_id, (source, head) in per_doc.items():
+        n_docs, boiler, heads = agg.setdefault(source, [0, 0, set()])
+        agg[source][0] += 1
+        if len(head_owners[head]) >= 2:
+            agg[source][1] += 1
+            agg[source][2].add(head)
+    got = {r["source"]: r for r in
+           text_boilerplate_heads(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for source, (n_docs, n_boiler, heads) in agg.items():
+        r = got[source]
+        assert (r["n_docs"], r["n_boiler_docs"], r["n_boiler_heads"]) == (
+            n_docs, n_boiler, len(heads),
+        )
+        assert r["boiler_share_r6"] == _r6(n_boiler, n_docs)
+    assert sum(v[1] for v in agg.values()) > 0, (
+        "fixture must exercise ≥1 shared head"
+    )
+
+
+def test_span_decon_matches_python_brute(spark):
+    from spark_dba_spark.operators.text import (
+        SPAN_EVAL_MOD,
+        SPAN_W,
+        doc_span_decontamination,
+    )
+
+    rows = _docs_rows()
+    eval_fps: set = set()
+    for doc_id, text, _ in rows:
+        if doc_id % SPAN_EVAL_MOD == 0:
+            ws = text.split(" ")
+            for i in range(0, max(len(ws) - SPAN_W + 1, 0)):
+                eval_fps.add(" ".join(ws[i:i + SPAN_W]))
+    got = {r["doc_id"]: r for r in
+           doc_span_decontamination(spark, SF_DIR).collect()}
+    train = [(d, t) for d, t, _ in rows if d % SPAN_EVAL_MOD != 0]
+    assert set(got) == {d for d, _ in train}
+    for doc_id, text in train:
+        ws = text.split(" ")
+        spans = [
+            " ".join(ws[i:i + SPAN_W])
+            for i in range(0, max(len(ws) - SPAN_W + 1, 0))
+        ]
+        hits = sum(1 for s in spans if s in eval_fps)
+        r = got[doc_id]
+        assert (r["n_windows"], r["n_eval_hits"]) == (len(spans), hits)
+        if spans:
+            assert r["eval_hit_share_r6"] == _r6(hits, len(spans))
+        else:
+            assert r["eval_hit_share_r6"] == 0.0
+
+
+def _mp_candidates_brute():
+    from spark_dba_spark.operators.similarity import (
+        EMB_DIM,
+        LSH_PLANES,
+        MP_TABLES,
+        N_QUERIES,
+    )
+
+    rows = _emb_rows()
+    ids = [r[0] for r in rows]
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    planes = np.empty((MP_TABLES, LSH_PLANES, EMB_DIM))
+    for t in range(MP_TABLES):
+        for p in range(LSH_PLANES):
+            for d in range(EMB_DIM):
+                h = hashlib.md5(f"plane:{t}:{p}:{d}".encode()).hexdigest()
+                planes[t, p, d] = (int(h[:15], 16) / float(1 << 60)) * 2 - 1
+    weights = 1 << np.arange(LSH_PLANES, dtype=np.int64)
+    buckets: dict = {}
+    bucket_of: dict = {}
+    for t in range(MP_TABLES):
+        bk = ((M @ planes[t].T) > 0) @ weights
+        for vid, b in zip(ids, bk):
+            buckets.setdefault((t, int(b)), set()).add(vid)
+            bucket_of[(t, vid)] = int(b)
+    cands: dict = {q: set() for q in ids if q < N_QUERIES}
+    for q in cands:
+        for t in range(MP_TABLES):
+            b = bucket_of[(t, q)]
+            for pb in [b] + [b ^ (1 << i) for i in range(LSH_PLANES)]:
+                cands[q] |= buckets.get((t, pb), set())
+        cands[q].discard(q)
+    return cands
+
+
+def test_lsh_multiprobe_matches_numpy_brute(spark):
+    """Candidate counts equal the numpy replay exactly; the ranked
+    output draws only from the brute candidate set, ranks are
+    contiguous from 1, and sims are non-increasing per query."""
+    from spark_dba_spark.operators.similarity import (
+        TOP_K,
+        sim_lsh_multiprobe,
+        sim_lsh_multiprobe_candidates,
+    )
+
+    cands = _mp_candidates_brute()
+    got_counts = {
+        r["qid"]: r["n_candidates"]
+        for r in sim_lsh_multiprobe_candidates(spark, SF_DIR).collect()
+    }
+    want_counts = {q: len(v) for q, v in cands.items() if v}
+    assert got_counts == want_counts
+    ranked = sim_lsh_multiprobe(spark, SF_DIR).collect()
+    per_q: dict = {}
+    for r in ranked:
+        per_q.setdefault(r["qid"], []).append(r)
+        assert r["vec_id"] in cands[r["qid"]]
+    for qid, rs in per_q.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["sim_r4"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rs) == min(TOP_K, len(cands[qid]))
+
+
+def test_multiprobe_widens_single_table_candidates(spark):
+    """Probing Hamming-1 buckets must produce at least as many
+    candidates per query as the SAME tables probed once — the recall
+    direction multi-probe exists for."""
+    from pyspark.sql import functions as F
+
+    from spark_dba_spark.operators.similarity import (
+        MP_TABLES,
+        N_QUERIES,
+        _lsh_bucketed,
+        sim_lsh_multiprobe_candidates,
+    )
+
+    bucketed = _lsh_bucketed(spark, SF_DIR).filter(F.col("tbl") < MP_TABLES)
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "tbl", "bucket"
+    )
+    single = (
+        q.join(bucketed.select("vec_id", "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+        .groupBy("qid")
+        .count()
+    )
+    single_counts = {r["qid"]: r["count"] for r in single.collect()}
+    multi_counts = {
+        r["qid"]: r["n_candidates"]
+        for r in sim_lsh_multiprobe_candidates(spark, SF_DIR).collect()
+    }
+    assert set(single_counts) <= set(multi_counts)
+    for qid, n in single_counts.items():
+        assert multi_counts[qid] >= n
+    assert sum(multi_counts.values()) > sum(single_counts.values()), (
+        "probes must add at least one candidate somewhere"
+    )
+
+
+def test_sign_sketch_matches_numpy_brute(spark):
+    from spark_dba_spark.operators.similarity import (
+        KM_QUANT,
+        SKETCH_OFFSETS,
+        emb_sign_sketch_agreement,
+    )
+
+    rows = _emb_rows()
+    ids = [r[0] for r in rows]
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    Q = np.trunc(M * KM_QUANT).astype(np.int64)
+    sk = (Q > 0).astype(np.int64)
+    idx = {v: i for i, v in enumerate(ids)}
+    bands: dict = {}
+    for a in ids:
+        for off in range(1, SKETCH_OFFSETS + 1):
+            b = a + off
+            if b not in idx:
+                continue
+            qa, qb = Q[idx[a]], Q[idx[b]]
+            dot = int((qa * qb).sum())
+            ham = int((sk[idx[a]] != sk[idx[b]]).sum())
+            band = ham // 8
+            n, pos, neg = bands.setdefault(band, [0, 0, 0])
+            bands[band][0] += 1
+            if dot > 0:
+                bands[band][1] += 1
+            elif dot < 0:
+                bands[band][2] += 1
+    got = {r["band"]: r for r in
+           emb_sign_sketch_agreement(spark, SF_DIR).collect()}
+    assert set(got) == set(bands)
+    for band, (n, pos, neg) in bands.items():
+        r = got[band]
+        assert (r["n_pairs"], r["n_pos"], r["n_neg"]) == (n, pos, neg)
+        assert r["pos_share_r6"] == _r6(pos, n)
+    assert len(bands) >= 2, "fixture must spread over ≥2 Hamming bands"

@@ -227,6 +227,26 @@ def test_clean_corpus_stream_equals_batch(spark):
     assert got == want
 
 
+def test_span_decon_stream_equals_batch(spark):
+    """The streaming span-decontamination job (stream-static broadcast
+    join against the eval fingerprint index + complete-mode per-doc
+    rollup) equals the batch twin row-for-row, including the rational
+    hit share."""
+    from spark_dba_spark.operators.text import doc_span_decontamination
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_span_decon_stream(
+            spark, SF_DIR, "t_span_decon"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in doc_span_decontamination(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_corpus_funnel_stream_equals_batch(spark):
     """The streaming ingest funnel (raw → gated → unique per source)
     equals the batch twin row-for-row — including the exact-rational
