@@ -1641,6 +1641,316 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# Near-dup graph structure ops (r10): peeling, communities, global shape
+# --------------------------------------------------------------------------
+
+K_CORE = 2  # peel toward the 2-core (drop chain/pendant artifacts)
+PEEL_ROUNDS = 4
+LPA_ROUNDS = 3
+
+# Shared oracle prefix: thresholded dup edges + symmetric adjacency.
+# MATERIALIZED: the multi-round graph oracles below reference sym/dup
+# once per unrolled round — without it DuckDB inlines (re-runs) the
+# whole shingle self-join per reference (43s → <1s at sf0.01).
+_GRAPH_SYM_CTES = f"""{_NGRAM_PAIR_CTES},
+dup AS MATERIALIZED (
+  SELECT doc_a, doc_b
+  FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_TAU}
+),
+sym AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM dup UNION ALL SELECT doc_b, doc_a FROM dup)"""
+
+
+def _neardup_graph(spark: SparkSession, sf_dir: str):
+    """(canonical edges, symmetric adjacency) of the n-gram-Jaccard
+    near-dup graph, edges localCheckpointed (BOUNDED: the thresholded
+    dup-pair set, orders of magnitude below the corpus) so multi-round
+    graph algorithms don't re-run the shingle join per round."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # The dup-pair frame inherits the upstream shuffle partitioning
+    # (200 under a hostile session) — far too many for the BOUNDED edge
+    # set the multi-round algorithms iterate over (each unrolled round
+    # re-shuffles it); bring it down to cluster parallelism first.
+    edges = edges.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    return edges, sym
+
+
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling on the near-dup graph: {PEEL_ROUNDS}
+    synchronous rounds of "remove every node whose CURRENT degree <
+    {K_CORE}" — the decomposition that separates dense duplicate cores
+    (template families worth one canonical representative) from chain/
+    pendant near-dup artifacts (threshold noise). Emits, per original
+    node, the round it was peeled (0 = survived all rounds) and its
+    degree in the surviving core.
+
+    Scale: each round is one degree agg + two anti-joins on the BOUNDED
+    dup-edge set (localCheckpointed once); rounds are a fixed unrolled
+    constant, the kmeans-loop convention, so lineage stays bounded."""
+    _, sym = _neardup_graph(spark, sf_dir)
+    all_nodes = sym.select(F.col("doc_a").alias("doc_id")).distinct()
+    cur = sym
+    removed = None
+    for rnd in range(1, PEEL_ROUNDS + 1):
+        deg = cur.groupBy(F.col("doc_a").alias("doc_id")).agg(
+            F.count("*").alias("deg")
+        )
+        # each round's survivors/victims feed BOTH the removed-union and
+        # the next round's edge filter — checkpoint the BOUNDED frames
+        # (≤ graph nodes / dup edges) or the branched lineage re-executes
+        # the whole prefix per branch, doubling work every round
+        rem = deg.filter(F.col("deg") < K_CORE).select(
+            "doc_id", F.lit(rnd).alias("removed_round")
+        ).localCheckpoint(eager=True)
+        removed = rem if removed is None else removed.union(rem)
+        gone = rem.select("doc_id")
+        cur = cur.join(
+            gone.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti"
+        ).join(
+            gone.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti"
+        ).localCheckpoint(eager=True)
+    core_deg = cur.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("core_degree")
+    )
+    return (
+        all_nodes.join(removed, "doc_id", "left")
+        .join(core_deg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("removed_round", F.lit(0))
+            .cast("int")
+            .alias("removed_round"),
+            F.coalesce("core_degree", F.lit(0))
+            .cast("long")
+            .alias("core_degree"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _kcore_oracle_ctes() -> str:
+    parts = ["g1 AS MATERIALIZED (SELECT doc_a, doc_b FROM sym)"]
+    for r in range(1, PEEL_ROUNDS + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT doc_a AS doc_id, COUNT(*) AS deg FROM g{r} GROUP BY 1),
+r{r} AS MATERIALIZED (SELECT doc_id FROM d{r} WHERE deg < {K_CORE}),
+g{r + 1} AS MATERIALIZED (
+  SELECT * FROM g{r}
+  WHERE doc_a NOT IN (SELECT doc_id FROM r{r})
+    AND doc_b NOT IN (SELECT doc_id FROM r{r}))"""
+        )
+    return ",\n".join(parts)
+
+
+ORACLE_KCORE_PEEL = f"""
+WITH {_GRAPH_SYM_CTES},
+{_kcore_oracle_ctes()},
+core AS (SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+         FROM g{PEEL_ROUNDS + 1} GROUP BY 1)
+SELECT d1.doc_id,
+       CAST(CASE {" ".join(
+           f"WHEN d1.doc_id IN (SELECT doc_id FROM r{r}) THEN {r}"
+           for r in range(1, PEEL_ROUNDS + 1))}
+            ELSE 0 END AS INT) AS removed_round,
+       COALESCE(core.core_degree, 0) AS core_degree
+FROM d1 LEFT JOIN core USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation ({LPA_ROUNDS} rounds) on the
+    near-dup graph — the classic near-linear community detection
+    (Raghavan et al.): every node starts as its own label; each round
+    it adopts the most frequent label among its neighbors, ties to the
+    SMALLEST label (fully deterministic — no RNG, no async order
+    dependence). Communities after a fixed round budget are the
+    template families a curation pipeline collapses to one
+    representative each.
+
+    Scale: per round, one join of the bounded adjacency against the
+    label frame + one top-1-per-node window over per-node vote groups
+    (partition = node, never global); rounds are a fixed unrolled
+    constant."""
+    _, sym = _neardup_graph(spark, sf_dir)
+    lbl = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("lbl"))
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            sym.join(
+                lbl.select(
+                    F.col("doc_id").alias("doc_b"), F.col("lbl")
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a"), F.col("lbl"))
+            .agg(F.count("*").alias("n"))
+        )
+        w = W.partitionBy("doc_a").orderBy(F.desc("n"), F.asc("lbl"))
+        lbl = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("doc_a").alias("doc_id"), "lbl")
+        )
+    return lbl.select(
+        "doc_id", F.col("lbl").cast("long").alias("community")
+    ).orderBy("doc_id")
+
+
+def _lpa_oracle_ctes() -> str:
+    parts = ["l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS lbl FROM sym)"]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f"""v{r} AS (
+  SELECT s.doc_a, l.lbl, COUNT(*) AS n
+  FROM sym s JOIN l{r - 1} l ON l.doc_id = s.doc_b
+  GROUP BY 1, 2),
+l{r} AS (
+  SELECT doc_a AS doc_id, lbl FROM (
+    SELECT doc_a, lbl,
+           ROW_NUMBER() OVER (PARTITION BY doc_a
+                              ORDER BY n DESC, lbl) AS rn
+    FROM v{r}) WHERE rn = 1)"""
+        )
+    return ",\n".join(parts)
+
+
+ORACLE_LABEL_PROPAGATION = f"""
+WITH {_GRAPH_SYM_CTES},
+{_lpa_oracle_ctes()}
+SELECT doc_id, CAST(lbl AS BIGINT) AS community
+FROM l{LPA_ROUNDS} ORDER BY doc_id
+"""
+
+
+def graph_global_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global graph-shape summary of the near-dup graph: node/edge
+    counts, wedge count (paths of length 2: Σ deg·(deg−1)/2), closed
+    wedges (3 per triangle, ordered-triple join), and the global
+    transitivity 3·triangles / wedges — the one number that says
+    whether the dedup threshold produced clique-like template families
+    (high) or chain-like threshold noise (low). All integer counts;
+    deg·(deg−1) is always even so the wedge division is exact."""
+    edges, sym = _neardup_graph(spark, sf_dir)
+    deg = sym.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("deg")
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    stats = (
+        deg.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.expr("deg * (deg - 1) div 2"))
+            .cast("long")
+            .alias("n_wedges"),
+        )
+        .crossJoin(edges.agg(F.count("*").cast("long").alias("n_edges")))
+        .crossJoin(tri)
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        (F.lit(3) * F.col("n_tri")).cast("long").alias("n_closed"),
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr(
+                rat_round6_spark("3 * n_tri", "greatest(n_wedges, 1)")
+            )
+        )
+        .alias("transitivity_r6"),
+    )
+
+
+ORACLE_GLOBAL_TRANSITIVITY = f"""
+WITH {_GRAPH_SYM_CTES},
+deg AS (SELECT doc_a AS doc_id, COUNT(*) AS deg FROM sym GROUP BY 1),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM dup e1 JOIN dup e2 ON e1.doc_b = e2.doc_a
+       JOIN dup e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg),
+ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM dup)
+SELECT agg.n_nodes, ec.n_edges, agg.n_wedges,
+       CAST(3 * tri.t AS BIGINT) AS n_closed,
+       CASE WHEN agg.n_wedges = 0 THEN 0.0
+            ELSE {rat_round6_duck("3 * tri.t", "greatest(agg.n_wedges, 1)")}
+       END AS transitivity_r6
+FROM agg, ec, tri
+"""
+
+
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph in log2 bands
+    (band = bit_length(degree) via the LENGTH(bin(x)) pattern — exact
+    on both engines): per band, node count, degree min/max, and node
+    share. The heavy-tail readout that tells a pipeline whether MAX_DF
+    pruning left hub documents (one mega-template) or the graph is
+    uniformly sparse."""
+    _, sym = _neardup_graph(spark, sf_dir)
+    deg = sym.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("deg")
+    )
+    total = deg.select(F.count("*").alias("n_total"))
+    return (
+        deg.groupBy(F.expr("cast(length(bin(deg)) as int)").alias("band"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("deg").cast("long").alias("min_degree"),
+            F.max("deg").cast("long").alias("max_degree"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "band",
+            "n_nodes",
+            "min_degree",
+            "max_degree",
+            F.expr(rat_round6_spark("n_nodes", "n_total")).alias(
+                "node_share_r6"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_DEGREE_HISTOGRAM = f"""
+WITH {_GRAPH_SYM_CTES},
+deg AS (SELECT doc_a AS doc_id, COUNT(*) AS deg FROM sym GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM deg),
+b AS (
+  SELECT CAST(LENGTH(bin(deg)) AS INT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(MIN(deg) AS BIGINT) AS min_degree,
+         CAST(MAX(deg) AS BIGINT) AS max_degree
+  FROM deg GROUP BY 1)
+SELECT band, n_nodes, min_degree, max_degree,
+       {rat_round6_duck("n_nodes", "n_total")} AS node_share_r6
+FROM b, tot ORDER BY band
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_clusters", dedup_exact_clusters,
               ORACLE_EXACT_CLUSTERS, ("dedup",)),
@@ -1713,4 +2023,23 @@ SPECS = [
               doc="common-neighbors link prediction on the near-dup "
                   "graph (wedge enumeration, anti-join on existing "
                   "edges, exact neighborhood-Jaccard)"),
+    QuerySpec("graph_kcore_peel", graph_kcore_peel, ORACLE_KCORE_PEEL,
+              ("dedup", "graph", "iterative"),
+              doc="bounded 2-core peeling (4 unrolled synchronous "
+                  "rounds): per-node removal round + surviving core "
+                  "degree on the near-dup graph"),
+    QuerySpec("graph_label_propagation", graph_label_propagation,
+              ORACLE_LABEL_PROPAGATION, ("dedup", "graph", "iterative"),
+              doc="deterministic synchronous LPA communities (3 unrolled "
+                  "rounds, most-frequent-neighbor label, min-label "
+                  "ties) on the near-dup graph"),
+    QuerySpec("graph_global_transitivity", graph_global_transitivity,
+              ORACLE_GLOBAL_TRANSITIVITY, ("dedup", "graph", "stats"),
+              doc="global transitivity 3*triangles/wedges + node/edge/"
+                  "wedge counts of the near-dup graph (clique-vs-chain "
+                  "threshold shape readout)"),
+    QuerySpec("graph_degree_histogram", graph_degree_histogram,
+              ORACLE_DEGREE_HISTOGRAM, ("dedup", "graph", "stats"),
+              doc="log2-band degree distribution of the near-dup graph "
+                  "(bit_length bands, hub/heavy-tail readout)"),
 ]

@@ -294,3 +294,118 @@ def test_sign_sketch_matches_numpy_brute(spark):
         assert (r["n_pairs"], r["n_pos"], r["n_neg"]) == (n, pos, neg)
         assert r["pos_share_r6"] == _r6(pos, n)
     assert len(bands) >= 2, "fixture must spread over ≥2 Hamming bands"
+
+
+def _neardup_graph_brute(spark):
+    """Edge set bootstrapped from dedup_ngram_jaccard (itself
+    independently brute-tested in test_llm_ops) + adjacency sets."""
+    from spark_dba_spark.operators.dedup import dedup_ngram_jaccard
+
+    edges = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return edges, adj
+
+
+def test_kcore_peel_matches_python_brute(spark):
+    """Synchronous peeling replayed on adjacency sets: same removal
+    rounds, same surviving-core degrees; peeling is monotone (a node
+    removed in round r had degree < K_CORE at the START of round r)."""
+    from spark_dba_spark.operators.dedup import (
+        K_CORE,
+        PEEL_ROUNDS,
+        graph_kcore_peel,
+    )
+
+    _, adj = _neardup_graph_brute(spark)
+    alive = {n: set(nbrs) for n, nbrs in adj.items()}
+    removed_round: dict = {}
+    for rnd in range(1, PEEL_ROUNDS + 1):
+        victims = [n for n, nbrs in alive.items() if len(nbrs) < K_CORE]
+        for n in victims:
+            removed_round[n] = rnd
+        for n in victims:
+            for m in alive[n]:
+                if m in alive and m not in victims:
+                    alive[m].discard(n)
+            del alive[n]
+    got = {r["doc_id"]: r for r in graph_kcore_peel(spark, SF_DIR).collect()}
+    assert set(got) == set(adj)
+    for n in adj:
+        r = got[n]
+        assert r["removed_round"] == removed_round.get(n, 0)
+        assert r["core_degree"] == (len(alive[n]) if n in alive else 0)
+    assert removed_round, "fixture graph must peel at least one node"
+    assert alive, "fixture graph must keep a non-empty 2-core"
+
+
+def test_label_propagation_matches_python_brute(spark):
+    from collections import Counter
+
+    from spark_dba_spark.operators.dedup import (
+        LPA_ROUNDS,
+        graph_label_propagation,
+    )
+
+    _, adj = _neardup_graph_brute(spark)
+    lbl = {n: n for n in adj}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for n, nbrs in adj.items():
+            votes = Counter(lbl[m] for m in nbrs)
+            top = max(votes.values())
+            nxt[n] = min(l for l, c in votes.items() if c == top)
+        lbl = nxt
+    got = {r["doc_id"]: r["community"]
+           for r in graph_label_propagation(spark, SF_DIR).collect()}
+    assert got == lbl
+    assert len(set(lbl.values())) < len(lbl), (
+        "fixture must merge at least one community"
+    )
+
+
+def test_global_transitivity_matches_python_brute(spark):
+    from spark_dba_spark.operators.dedup import graph_global_transitivity
+
+    edges, adj = _neardup_graph_brute(spark)
+    tri = 0
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if a < b < c:
+                tri += 1
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    r = graph_global_transitivity(spark, SF_DIR).collect()[0]
+    assert r["n_nodes"] == len(adj)
+    assert r["n_edges"] == len(edges)
+    assert r["n_wedges"] == wedges
+    assert r["n_closed"] == 3 * tri
+    assert r["transitivity_r6"] == (
+        _r6(3 * tri, wedges) if wedges else 0.0
+    )
+
+
+def test_degree_histogram_matches_python_brute(spark):
+    from spark_dba_spark.operators.dedup import graph_degree_histogram
+
+    _, adj = _neardup_graph_brute(spark)
+    bands: dict = {}
+    for nbrs in adj.values():
+        d = len(nbrs)
+        band = d.bit_length()  # == length(bin(d)) for d >= 1
+        n, lo, hi = bands.setdefault(band, [0, d, d])
+        bands[band][0] += 1
+        bands[band][1] = min(bands[band][1], d)
+        bands[band][2] = max(bands[band][2], d)
+    got = {r["band"]: r for r in
+           graph_degree_histogram(spark, SF_DIR).collect()}
+    assert set(got) == set(bands)
+    total = len(adj)
+    for band, (n, lo, hi) in bands.items():
+        r = got[band]
+        assert (r["n_nodes"], r["min_degree"], r["max_degree"]) == (n, lo, hi)
+        assert r["node_share_r6"] == _r6(n, total)
