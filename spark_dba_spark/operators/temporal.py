@@ -3640,6 +3640,120 @@ FROM s
 # Kendall tau-a over the daily order-volume / revenue series
 # --------------------------------------------------------------------------
 
+def stats_kruskal_wallis_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kruskal-Wallis H across the event types, observations =
+    daily value sums (BIGINT cents, Class C) per (date, event_type) —
+    the k-group generalization of ``stats_mann_whitney_u``: does at
+    least one event type's daily-value distribution sit above the
+    others? Rank-based, so leverage-robust like the U test.
+
+    Exactness: ranks are a permutation of 1..N (distinct-rank
+    convention — the md5 of (date, type) decouples the tiebreak from
+    the group, the repo's rank-stat convention), so no tie correction;
+    H = 12·Σ R_j²/n_j / (N(N+1)) − 3(N+1) is carried as one integer
+    fraction by clearing Σ/n_j with D = Π n_j:
+      H = (12·Σ R_j²·(D/n_j) − 3(N+1)²·N·D) / (D·N·(N+1)),
+    all BIGINT (N ≤ calendar·types, D ≤ 30^5 here), and the final 6dp
+    half-up uses the quotient/remainder split (micro = q·10⁶ +
+    ⌊(rem·2·10⁶ + den)/(2·den)⌋) because num·2·10⁶ alone would
+    overflow. The group product folds collect_list multiplicatively —
+    commutative, so aggregation order cannot change it.
+
+    Scale: the ranked frame is DAILY × event-type — calendar-bounded
+    (the stats_kendall_daily argument), so the global rank window is a
+    justified bounded-input window; everything upstream is one
+    map-side-combined groupBy over the fact stream."""
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("dt"), "event_type"
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=True)  # calendar-bounded; reused below
+    )
+    w = W.orderBy(
+        "cents",
+        F.expr("md5(concat(cast(dt as string), ':', event_type))"),
+    )
+    ranked = daily.withColumn("rnk", F.row_number().over(w))
+    g = ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_j"),
+        F.sum("rnk").cast("long").alias("r_j"),
+    )
+    d = g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n_j").cast("long").alias("n_obs"),
+        F.expr(
+            "aggregate(collect_list(n_j), cast(1 as bigint),"
+            " (a, x) -> a * x)"
+        ).alias("dd"),
+    )
+    s = (
+        g.crossJoin(F.broadcast(d))
+        .select(
+            "n_groups",
+            "n_obs",
+            "dd",
+            F.expr("r_j * r_j * (dd div n_j)").alias("term"),
+        )
+        .groupBy("n_groups", "n_obs", "dd")
+        .agg(F.sum("term").cast("long").alias("s_d"))
+    )
+    num = "12 * s_d - 3 * (n_obs + 1) * (n_obs + 1) * n_obs * dd"
+    den = "dd * n_obs * (n_obs + 1)"
+    micro = (
+        f"((({num}) div ({den})) * 1000000"
+        f" + ((({num}) % ({den})) * 2000000 + ({den})) div (2 * ({den})))"
+    )
+    return s.select(
+        "n_obs",
+        "n_groups",
+        F.expr(f"cast({micro} as double) / 1000000.0").alias("h_r6"),
+    )
+
+
+ORACLE_KRUSKAL_WALLIS = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS dt, event_type,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (
+           ORDER BY cents,
+                    md5(CAST(dt AS VARCHAR) || ':' || event_type)) AS rnk
+  FROM daily),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_j,
+         CAST(SUM(rnk) AS BIGINT) AS r_j
+  FROM ranked GROUP BY 1),
+d AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(n_j) AS BIGINT) AS n_obs,
+         CAST(product(n_j) AS BIGINT) AS dd
+  FROM g),
+s AS (
+  SELECT CAST(SUM(g.r_j * g.r_j * (d.dd // g.n_j)) AS BIGINT) AS s_d
+  FROM g, d)
+SELECT d.n_obs, d.n_groups,
+       CAST(
+         (((12 * s.s_d - 3 * (d.n_obs + 1) * (d.n_obs + 1) * d.n_obs * d.dd)
+           // (d.dd * d.n_obs * (d.n_obs + 1))) * 1000000
+          + (((12 * s.s_d
+               - 3 * (d.n_obs + 1) * (d.n_obs + 1) * d.n_obs * d.dd)
+              % (d.dd * d.n_obs * (d.n_obs + 1))) * 2000000
+             + (d.dd * d.n_obs * (d.n_obs + 1)))
+            // (2 * (d.dd * d.n_obs * (d.n_obs + 1))))
+         AS DOUBLE) / 1000000.0 AS h_r6
+FROM d, s
+"""
+
+
 def _daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per order DATE with the order count and the Class C
     BIGINT-cents revenue sum — the shared daily series behind
@@ -4988,6 +5102,11 @@ SPECS = [
                   "the integer 2U + common-language effect size "
                   "(shared two-pass bucketed-CDF machinery with the KS "
                   "twin)"),
+    QuerySpec("stats_kruskal_wallis_daily", stats_kruskal_wallis_daily,
+              ORACLE_KRUSKAL_WALLIS, ("stats", "nonparametric"),
+              doc="exact Kruskal-Wallis H across event types over daily "
+                  "cents sums (distinct-rank md5 tiebreak, one cleared "
+                  "integer fraction, q/rem split rounding)"),
     QuerySpec("stats_spearman_rank_corr", stats_spearman_rank_corr,
               ORACLE_SPEARMAN, ("stats", "nonparametric", "rank"),
               doc="exact Spearman rho (part price vs size) on the "

@@ -14,7 +14,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions.numeric import rat_round6_duck, rat_round6_spark
+from ..functions.hashing import sql_md5_long_duck, sql_md5_long_spark
+from ..functions.numeric import (
+    rat_round6_duck,
+    rat_round6_signed_duck,
+    rat_round6_signed_spark,
+    rat_round6_spark,
+)
 from ..registry import QuerySpec
 
 STOPWORDS = ("the", "a", "and", "of", "to")
@@ -3518,9 +3524,519 @@ FROM agg ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Character-class profile per source
+# --------------------------------------------------------------------------
+
+
+def text_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class accounting — the cheapest corpus
+    health probe (encoding damage, wrong-language scrapes, and
+    markup-heavy sources all move these ratios before any tokenizer
+    runs): vowels (via translate-strip), whitespace, and everything
+    else ("consonants" on this letters+spaces fixture; punctuation/
+    digits would land here too on a raw crawl). Word count derives from
+    the single-space convention (spaces + 1 per doc). Map-only integer
+    sums; ratios are exact-rational half-up."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "source",
+        F.length("text").alias("nc"),
+        (
+            F.length("text")
+            - F.length(F.translate("text", "aeiou", ""))
+        ).alias("nv"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+        ).alias("nsp"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.sum("nv").cast("long").alias("n_vowels"),
+            F.sum("nsp").cast("long").alias("n_spaces"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "n_vowels",
+            (F.col("n_chars") - F.col("n_vowels") - F.col("n_spaces"))
+            .cast("long")
+            .alias("n_consonants"),
+            "n_spaces",
+            F.expr(rat_round6_spark("n_vowels", "n_chars")).alias(
+                "vowel_share_r6"
+            ),
+            F.expr(
+                rat_round6_spark(
+                    "n_chars - n_spaces", "n_spaces + n_docs"
+                )
+            ).alias("letters_per_word_r6"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CHAR_CLASS_PROFILE = f"""
+WITH d AS (
+  SELECT source,
+         len(text) AS nc,
+         len(text) - len(translate(text, 'aeiou', '')) AS nv,
+         len(text) - len(replace(text, ' ', '')) AS nsp
+  FROM documents),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nc) AS BIGINT) AS n_chars,
+         CAST(SUM(nv) AS BIGINT) AS n_vowels,
+         CAST(SUM(nsp) AS BIGINT) AS n_spaces
+  FROM d GROUP BY 1)
+SELECT source, n_docs, n_chars, n_vowels,
+       CAST(n_chars - n_vowels - n_spaces AS BIGINT) AS n_consonants,
+       n_spaces,
+       {rat_round6_duck("n_vowels", "n_chars")} AS vowel_share_r6,
+       {rat_round6_duck("n_chars - n_spaces", "n_spaces + n_docs")}
+         AS letters_per_word_r6
+FROM agg ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Consonant-run profile (OCR/gibberish heuristic)
+# --------------------------------------------------------------------------
+
+RUN_LONG = 3  # runs of >= this many consecutive consonants are "long"
+
+
+def text_consonant_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consonant-run profile per document — the classic OCR-garbage /
+    gibberish heuristic (natural language keeps consonant clusters
+    short; mojibake and binary-pasted-as-text produce long runs).
+    Splitting on the vowel+space class leaves exactly the maximal
+    consonant runs; empty fragments (adjacent vowels, leading edge)
+    are filtered identically on both engines. Map-only HOF pass."""
+    docs = _docs(spark, sf_dir)
+    frags = "filter(split(text, '[aeiou ]+'), x -> x != '')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast(size({frags}) as bigint)").alias("n_runs"),
+        F.expr(
+            f"cast(coalesce(array_max(transform({frags}, x -> length(x))),"
+            " 0) as bigint)"
+        ).alias("max_run"),
+        F.expr(
+            f"cast(size(filter({frags}, x -> length(x) >= {RUN_LONG}))"
+            " as bigint)"
+        ).alias("n_long_runs"),
+    ).orderBy("doc_id")
+
+
+ORACLE_CONSONANT_RUNS = f"""
+SELECT doc_id,
+       CAST(len(f) AS BIGINT) AS n_runs,
+       CAST(COALESCE(list_max(list_transform(f, x -> len(x))), 0)
+            AS BIGINT) AS max_run,
+       CAST(len(list_filter(f, x -> len(x) >= {RUN_LONG})) AS BIGINT)
+         AS n_long_runs
+FROM (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[aeiou ]+'),
+                     x -> x != '') AS f
+  FROM documents)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# BPE merge sequence (iterative tokenizer training, unrolled)
+# --------------------------------------------------------------------------
+
+BPE_MERGE_ROUNDS = 4
+
+
+def text_bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {BPE_MERGE_ROUNDS} byte-pair-encoding merges — the
+    iterative extension of ``text_bpe_first_merge`` (whose top-1 pair
+    equals this op's step 1 by construction, pinned in pytest): each
+    round counts adjacent SYMBOL pairs over the vocabulary (weighted by
+    word count), picks the top pair (freq DESC, pair ASC — the
+    deterministic trainer convention), and applies the merge greedy
+    left-to-right non-overlapping — exactly what ``replace()`` does in
+    BOTH engines on a delimited symbol string: a word is kept as
+    ',sym,,sym,,sym,' (symbols never contain ','), so the pair pattern
+    ',x,,y,' can neither match inside a multi-char symbol nor skip
+    adjacent occurrences (the replaced ',xy,' re-forms the ',,'
+    boundary with the next match's leading ',').
+
+    Scale: the vocabulary-contraction trick of the first-merge op —
+    everything after the (word, count) hash agg is vocabulary-sized;
+    each round is one explode + hash agg + a 1-row broadcast crossJoin;
+    rounds are a fixed unrolled constant and each round's vocab frame
+    is localCheckpointed (it feeds both the next round and nothing
+    else, but the 1-row top frame feeds output AND the merge — the
+    branched-lineage rule)."""
+    wc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.length("w") >= 2)
+    )
+    cur = wc.select(
+        F.expr(
+            "concat(',', concat_ws(',,', transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1))), ',')"
+        ).alias("s"),
+        "c",
+    ).localCheckpoint(eager=True)
+    outs = []
+    for step in range(1, BPE_MERGE_ROUNDS + 1):
+        syms = cur.select(
+            "c",
+            F.expr("split(substring(s, 2, length(s) - 2), ',,')").alias(
+                "y"
+            ),
+        ).filter(F.size("y") >= 2)
+        pairs = syms.select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(y) - 1), i -> "
+                    "struct(element_at(y, i) as x, element_at(y, i + 1) as z))"
+                )
+            ).alias("pr"),
+        )
+        top = (
+            pairs.groupBy(
+                F.col("pr.x").alias("x"), F.col("pr.z").alias("z")
+            )
+            .agg(F.sum("c").cast("long").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("x"), F.asc("z"))
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row, feeds output + merge
+        )
+        outs.append(
+            top.select(
+                F.lit(step).cast("int").alias("merge_step"),
+                F.col("x").alias("pair_x"),
+                F.col("z").alias("pair_y"),
+                "freq",
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top.select("x", "z")))
+            .select(
+                F.expr(
+                    "replace(s, concat(',', x, ',,', z, ','),"
+                    " concat(',', x, z, ','))"
+                ).alias("s"),
+                "c",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out.orderBy("merge_step")
+
+
+def _bpe_merge_oracle() -> str:
+    parts = [
+        """wc AS MATERIALIZED (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1 HAVING len(w) >= 2),
+s0 AS MATERIALIZED (
+  SELECT ',' || array_to_string(
+           [substr(w, i, 1) for i in generate_series(1, len(w))], ',,')
+         || ',' AS s, c
+  FROM wc)"""
+    ]
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        parts.append(
+            f"""y{k} AS (
+  SELECT string_split(substr(s, 2, len(s) - 2), ',,') AS y, c
+  FROM s{k - 1}),
+p{k} AS (
+  SELECT y[i] AS x, y[i + 1] AS z, c
+  FROM y{k}, LATERAL unnest(generate_series(1, len(y) - 1)) AS u(i)
+  WHERE len(y) >= 2),
+t{k} AS MATERIALIZED (
+  SELECT x, z, CAST(SUM(c) AS BIGINT) AS freq
+  FROM p{k} GROUP BY 1, 2
+  ORDER BY freq DESC, x, z LIMIT 1),
+s{k} AS MATERIALIZED (
+  SELECT replace(s{k - 1}.s, ',' || t{k}.x || ',,' || t{k}.z || ',',
+                 ',' || t{k}.x || t{k}.z || ',') AS s, c
+  FROM s{k - 1}, t{k})"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_step, x AS pair_x, z AS pair_y,"
+        f" freq FROM t{k}"
+        for k in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{selects} ORDER BY merge_step"
+
+
+ORACLE_BPE_MERGE_SEQUENCE = _bpe_merge_oracle()
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa between the lang label and the lang-ID heuristic
+# --------------------------------------------------------------------------
+
+
+def stats_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the labeled language and the stopword-vote
+    lang-ID prediction — chance-corrected agreement, the honest version
+    of raw accuracy when the label distribution is skewed (this fixture
+    is en-heavy, so accuracy alone flatters the classifier).
+
+    Exact integer form: κ = (N·Σdiag − Σ_k row_k·col_k) /
+    (N² − Σ_k row_k·col_k) — numerator can be negative (worse than
+    chance) → signed half-up rational; the degenerate pe = 1 case
+    (single category on both sides) is defined as 1.0 on perfect
+    agreement else 0.0, mirrored on both engines. Bounded label
+    alphabet → the marginal join is a few rows."""
+    p = text_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    tot = p.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred_lang"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rows = p.groupBy(F.col("lang").alias("cat")).agg(
+        F.count("*").cast("long").alias("n_row")
+    )
+    cols = p.groupBy(F.col("pred_lang").alias("cat")).agg(
+        F.count("*").cast("long").alias("n_col")
+    )
+    rc = rows.join(cols, "cat", "full").agg(
+        F.sum(
+            F.coalesce("n_row", F.lit(0)) * F.coalesce("n_col", F.lit(0))
+        )
+        .cast("long")
+        .alias("sum_rc")
+    )
+    return tot.crossJoin(rc).select(
+        "n_docs",
+        "n_agree",
+        "sum_rc",
+        F.when(
+            F.col("n_docs") * F.col("n_docs") == F.col("sum_rc"),
+            F.when(
+                F.col("n_agree") == F.col("n_docs"), F.lit(1.0)
+            ).otherwise(F.lit(0.0)),
+        )
+        .otherwise(
+            F.expr(
+                rat_round6_signed_spark(
+                    "n_docs * n_agree - sum_rc",
+                    "n_docs * n_docs - sum_rc",
+                )
+            )
+        )
+        .alias("kappa_r6"),
+    )
+
+
+ORACLE_COHENS_KAPPA = f"""
+WITH pred AS (
+  SELECT lang,
+         CASE WHEN v_en = 0 AND v_de = 0 AND v_fr = 0 AND v_es = 0 THEN 'und'
+              WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es THEN 'en'
+              WHEN v_de >= v_fr AND v_de >= v_es THEN 'de'
+              WHEN v_fr >= v_es THEN 'fr' ELSE 'es' END AS pred_lang
+  FROM (
+    SELECT doc_id, lang,
+           {_duck_votes}
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+          FROM documents))),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM pred),
+r AS (SELECT lang AS cat, CAST(COUNT(*) AS BIGINT) AS n_row
+      FROM pred GROUP BY 1),
+c AS (SELECT pred_lang AS cat, CAST(COUNT(*) AS BIGINT) AS n_col
+      FROM pred GROUP BY 1),
+rc AS (
+  SELECT CAST(SUM(COALESCE(n_row, 0) * COALESCE(n_col, 0)) AS BIGINT)
+           AS sum_rc
+  FROM r FULL JOIN c USING (cat))
+SELECT n_docs, n_agree, sum_rc,
+       CASE WHEN n_docs * n_docs = sum_rc
+            THEN (CASE WHEN n_agree = n_docs THEN 1.0 ELSE 0.0 END)
+            ELSE {rat_round6_signed_duck(
+                "n_docs * n_agree - sum_rc", "n_docs * n_docs - sum_rc")}
+       END AS kappa_r6
+FROM tot, rc
+"""
+
+
+# --------------------------------------------------------------------------
+# Bloom false-positive-rate audit (md5 double hashing, engine-portable)
+# --------------------------------------------------------------------------
+
+FPR_BLOOM_M = 8192  # bits — sized so the fixture measures a non-trivial FPR
+FPR_BLOOM_K = 3
+FPR_BLOOM_WORDS = FPR_BLOOM_M // 64
+
+
+def _fpr_pos_spark(i: int, col: str = "s") -> str:
+    h1 = f"pmod({sql_md5_long_spark(col, 1, 15)}, {FPR_BLOOM_M})"
+    h2 = f"(1 + pmod({sql_md5_long_spark(col, 16, 15)}, {FPR_BLOOM_M}))"
+    return f"pmod({h1} + {i} * {h2}, {FPR_BLOOM_M})"
+
+
+def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured (not formulaic) Bloom false-positive rate: build a
+    {FPR_BLOOM_M}-bit / k={FPR_BLOOM_K} filter over one key namespace
+    ('ord:'-prefixed order custkeys) and probe it with a DISJOINT
+    namespace ('cust:'-prefixed customer keys) — every probe is a true
+    non-member, so every pass is a false positive. The empirical FPR
+    and bit-fill are what an operator compares against the
+    (1 − e^{{-kn/m}})^k design formula before trusting a bloom
+    prefilter at 100 TB (the production ``decontaminate_bloom`` filter
+    is exactness-transparent, so THIS op is where the FP behavior gets
+    observed).
+
+    Unlike the production filter (xxhash64, Spark-only), positions here
+    are md5 double-hashing — bit-identical in DuckDB, so the oracle
+    rebuilds the same filter and the whole audit carries a full
+    value-hash gate. The bitset build collects ≤{FPR_BLOOM_WORDS}
+    64-bit words (bounded by M, never by data); probing is one
+    broadcast + codegen conjunction."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    customer = catalog.load(spark, sf_dir, "customer")
+    members = orders.select(
+        F.concat(F.lit("ord:"), F.col("o_custkey")).alias("s")
+    ).distinct()
+    pos = members.select(
+        F.explode(
+            F.array(
+                *[F.expr(_fpr_pos_spark(i)) for i in range(FPR_BLOOM_K)]
+            )
+        ).alias("pos")
+    ).distinct()
+    words = (
+        pos.select(
+            F.shiftright("pos", 6).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()  # bounded: <= FPR_BLOOM_WORDS rows, whatever the data
+    )
+    bitset = [0] * FPR_BLOOM_WORDS
+    for r in words:
+        bitset[r["w"]] = r["bits"]
+    n_bits_set = sum(bin(w & ((1 << 64) - 1)).count("1") for w in bitset)
+    bloom = spark.createDataFrame(
+        [(bitset,)], "bloom_bits array<long> not null"
+    )
+    hits = []
+    for i in range(FPR_BLOOM_K):
+        p = _fpr_pos_spark(i)
+        word = f"element_at(bloom_bits, cast(shiftright({p}, 6) as int) + 1)"
+        mask = f"shiftleft(1L, cast({p} % 64 as int))"
+        hits.append(f"(({word} & {mask}) != 0)")
+    pass_sql = " AND ".join(hits)
+    probes = customer.select(
+        F.concat(F.lit("cust:"), F.col("c_custkey")).alias("s")
+    ).distinct()
+    probed = probes.crossJoin(F.broadcast(bloom)).agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum(F.when(F.expr(pass_sql), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+    )
+    return (
+        members.agg(F.count("*").cast("long").alias("n_members"))
+        .crossJoin(probed)
+        .select(
+            "n_members",
+            "n_probes",
+            "n_pass",
+            F.expr(rat_round6_spark("n_pass", "n_probes")).alias("fpr_r6"),
+            F.lit(n_bits_set).cast("long").alias("n_bits_set"),
+            F.expr(
+                rat_round6_spark(
+                    f"cast({n_bits_set} as bigint)", str(FPR_BLOOM_M)
+                )
+            ).alias("fill_r6"),
+        )
+    )
+
+
+_FPR_LANES_DUCK = (
+    f"CAST({sql_md5_long_duck('s', 1, 15)} % {FPR_BLOOM_M} AS BIGINT) AS h1,"
+    f" CAST(1 + {sql_md5_long_duck('s', 16, 15)} % {FPR_BLOOM_M} AS BIGINT)"
+    " AS h2"
+)
+
+ORACLE_BLOOM_FPR = f"""
+WITH m AS (SELECT DISTINCT 'ord:' || o_custkey AS s FROM orders),
+mh AS (SELECT s, {_FPR_LANES_DUCK} FROM m),
+mp AS MATERIALIZED (
+  SELECT DISTINCT (h1 + i.range * h2) % {FPR_BLOOM_M} AS pos
+  FROM mh, range({FPR_BLOOM_K}) i),
+p AS (SELECT DISTINCT 'cust:' || c_custkey AS s FROM customer),
+ph AS (SELECT s, {_FPR_LANES_DUCK} FROM p),
+pp AS (SELECT s, (h1 + i.range * h2) % {FPR_BLOOM_M} AS pos
+       FROM ph, range({FPR_BLOOM_K}) i),
+hit AS (
+  SELECT pp.s,
+         SUM(CASE WHEN mp.pos IS NOT NULL THEN 1 ELSE 0 END) AS k
+  FROM pp LEFT JOIN mp USING (pos) GROUP BY 1),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(SUM(CASE WHEN k = {FPR_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass
+  FROM hit),
+nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM m),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits FROM mp)
+SELECT n_members, n_probes, n_pass,
+       {rat_round6_duck("n_pass", "n_probes")} AS fpr_r6,
+       nb.n_bits AS n_bits_set,
+       {rat_round6_duck("nb.n_bits", str(FPR_BLOOM_M))} AS fill_r6
+FROM nm, agg, nb
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
+    QuerySpec("text_char_class_profile", text_char_class_profile,
+              ORACLE_CHAR_CLASS_PROFILE, ("text", "quality", "stats"),
+              doc="per-source character-class accounting (vowel/"
+                  "consonant/space counts, exact ratio shares)"),
+    QuerySpec("text_consonant_runs", text_consonant_runs,
+              ORACLE_CONSONANT_RUNS, ("text", "quality"),
+              doc="consonant-run profile per doc (OCR/gibberish "
+                  "heuristic; vowel-class regex split, HOF counts)"),
+    QuerySpec("text_bpe_merge_sequence", text_bpe_merge_sequence,
+              ORACLE_BPE_MERGE_SEQUENCE, ("text", "tokenizer", "iterative"),
+              doc="first 4 BPE merges, vocabulary-contracted, greedy "
+                  "left-to-right merge application via delimited-symbol "
+                  "replace (identical semantics on both engines)"),
+    QuerySpec("stats_cohens_kappa_langid", stats_cohens_kappa_langid,
+              ORACLE_COHENS_KAPPA, ("text", "stats", "eval"),
+              doc="Cohen's kappa (chance-corrected agreement) between "
+                  "lang label and the stopword-vote lang-ID, signed "
+                  "exact-rational"),
+    QuerySpec("sketch_bloom_fpr_audit", sketch_bloom_fpr_audit,
+              ORACLE_BLOOM_FPR, ("sketch", "audit"),
+              doc="measured Bloom FPR + bit-fill on a disjoint probe "
+                  "namespace (md5 double hashing, engine-portable; "
+                  "bounded word-table collect)"),
     QuerySpec("dedup_longest_dup_span", dedup_longest_dup_span,
               ORACLE_LONGEST_DUP_SPAN, ("text", "dedup", "curation"),
               doc="ExactSubstr span-length readout: maximal duplicated "

@@ -409,3 +409,221 @@ def test_degree_histogram_matches_python_brute(spark):
         r = got[band]
         assert (r["n_nodes"], r["min_degree"], r["max_degree"]) == (n, lo, hi)
         assert r["node_share_r6"] == _r6(n, total)
+
+
+def test_char_class_profile_matches_python_brute(spark):
+    from spark_dba_spark.operators.text import text_char_class_profile
+
+    rows = _docs_rows()
+    agg: dict = {}
+    for _, text, source in rows:
+        nc = len(text)
+        nv = sum(1 for ch in text if ch in "aeiou")
+        nsp = text.count(" ")
+        a = agg.setdefault(source, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += nc
+        a[2] += nv
+        a[3] += nsp
+    got = {r["source"]: r for r in
+           text_char_class_profile(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for source, (nd, nc, nv, nsp) in agg.items():
+        r = got[source]
+        assert (r["n_docs"], r["n_chars"], r["n_vowels"],
+                r["n_consonants"], r["n_spaces"]) == (
+            nd, nc, nv, nc - nv - nsp, nsp)
+        assert r["vowel_share_r6"] == _r6(nv, nc)
+        assert r["letters_per_word_r6"] == _r6(nc - nsp, nsp + nd)
+
+
+def test_consonant_runs_matches_python_brute(spark):
+    import re
+
+    from spark_dba_spark.operators.text import (
+        RUN_LONG,
+        text_consonant_runs,
+    )
+
+    rows = _docs_rows()
+    got = {r["doc_id"]: r for r in
+           text_consonant_runs(spark, SF_DIR).collect()}
+    assert set(got) == {d for d, _, _ in rows}
+    saw_long = False
+    for doc_id, text, _ in rows:
+        frags = [f for f in re.split(r"[aeiou ]+", text) if f]
+        r = got[doc_id]
+        assert r["n_runs"] == len(frags)
+        assert r["max_run"] == (max(map(len, frags)) if frags else 0)
+        n_long = sum(1 for f in frags if len(f) >= RUN_LONG)
+        assert r["n_long_runs"] == n_long
+        saw_long = saw_long or n_long > 0
+    assert saw_long, "fixture must exercise >=1 long consonant run"
+
+
+def test_bpe_merge_sequence_matches_python_brute(spark):
+    """Full 4-round BPE replay on (symbols, count) lists with greedy
+    left-to-right merging; step 1 must equal text_bpe_first_merge's
+    top pair (same counting, chars == round-1 symbols)."""
+    from collections import Counter
+
+    from spark_dba_spark.operators.text import (
+        BPE_MERGE_ROUNDS,
+        text_bpe_first_merge,
+        text_bpe_merge_sequence,
+    )
+
+    rows = _docs_rows()
+    wc = Counter()
+    for _, text, _ in rows:
+        for w in text.split(" "):
+            if len(w) >= 2:
+                wc[w] += 1
+    vocab = [(list(w), c) for w, c in wc.items()]
+    expect = []
+    for _ in range(BPE_MERGE_ROUNDS):
+        pc: Counter = Counter()
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        (x, z), freq = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((x, z, freq))
+        merged = []
+        for syms, c in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == x
+                    and syms[i + 1] == z
+                ):
+                    out.append(x + z)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged.append((out, c))
+        vocab = merged
+    got = [
+        (r["pair_x"], r["pair_y"], r["freq"])
+        for r in text_bpe_merge_sequence(spark, SF_DIR)
+        .orderBy("merge_step")
+        .collect()
+    ]
+    assert got == expect
+    first = text_bpe_first_merge(spark, SF_DIR).collect()[0]
+    assert (got[0][0] + got[0][1], got[0][2]) == (
+        first["pair"], first["freq"],
+    )
+
+
+def test_cohens_kappa_matches_python_brute(spark):
+    from spark_dba_spark.operators.text import (
+        stats_cohens_kappa_langid,
+        text_lang_id,
+    )
+
+    preds = [
+        (r["lang"], r["pred_lang"])
+        for r in text_lang_id(spark, SF_DIR).collect()
+    ]
+    n = len(preds)
+    agree = sum(1 for a, b in preds if a == b)
+    cats = {c for p in preds for c in p}
+    sum_rc = sum(
+        sum(1 for a, _ in preds if a == c)
+        * sum(1 for _, b in preds if b == c)
+        for c in cats
+    )
+    r = stats_cohens_kappa_langid(spark, SF_DIR).collect()[0]
+    assert (r["n_docs"], r["n_agree"], r["sum_rc"]) == (n, agree, sum_rc)
+    num, den = n * agree - sum_rc, n * n - sum_rc
+    assert den > 0, "fixture must not be single-category"
+    sign = 1 if num >= 0 else -1
+    assert r["kappa_r6"] == sign * _r6(abs(num), den)
+
+
+def test_bloom_fpr_matches_python_brute(spark):
+    import duckdb as _dd
+
+    from spark_dba_spark.operators.text import (
+        FPR_BLOOM_K,
+        FPR_BLOOM_M,
+        sketch_bloom_fpr_audit,
+    )
+
+    con = _dd.connect()
+    mkeys = {
+        f"ord:{k}" for (k,) in con.execute(
+            f"SELECT DISTINCT o_custkey FROM "
+            f"read_parquet('{SF_DIR}/orders.parquet')").fetchall()
+    }
+    pkeys = {
+        f"cust:{k}" for (k,) in con.execute(
+            f"SELECT DISTINCT c_custkey FROM "
+            f"read_parquet('{SF_DIR}/customer.parquet')").fetchall()
+    }
+    con.close()
+
+    def positions(s):
+        h = hashlib.md5(s.encode()).hexdigest()
+        h1 = int(h[0:15], 16) % FPR_BLOOM_M
+        h2 = 1 + int(h[15:30], 16) % FPR_BLOOM_M
+        return [(h1 + i * h2) % FPR_BLOOM_M for i in range(FPR_BLOOM_K)]
+
+    bits: set = set()
+    for s in mkeys:
+        bits.update(positions(s))
+    n_pass = sum(
+        1 for s in pkeys if all(p in bits for p in positions(s))
+    )
+    r = sketch_bloom_fpr_audit(spark, SF_DIR).collect()[0]
+    assert (r["n_members"], r["n_probes"], r["n_pass"], r["n_bits_set"]) \
+        == (len(mkeys), len(pkeys), n_pass, len(bits))
+    assert r["fpr_r6"] == _r6(n_pass, len(pkeys))
+    assert r["fill_r6"] == _r6(len(bits), FPR_BLOOM_M)
+    assert n_pass > 0, "fixture must measure a nonzero FPR"
+
+
+def test_kruskal_wallis_matches_python_brute(spark):
+    import math
+    from fractions import Fraction
+
+    import duckdb as _dd
+
+    from spark_dba_spark.operators.temporal import (
+        stats_kruskal_wallis_daily,
+    )
+
+    con = _dd.connect()
+    ev = con.execute(
+        f"SELECT CAST(ts AS DATE), event_type, value FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    con.close()
+    daily: dict = {}
+    for dt, et, v in ev:
+        daily[(dt, et)] = daily.get((dt, et), 0) + math.floor(
+            v * 100 + 0.5
+        )
+    obs = [
+        (cents, hashlib.md5(f"{dt}:{et}".encode()).hexdigest(), et)
+        for (dt, et), cents in daily.items()
+    ]
+    obs.sort()
+    groups: dict = {}
+    for rnk, (_, _, et) in enumerate(obs, start=1):
+        n, r = groups.setdefault(et, [0, 0])
+        groups[et][0] += 1
+        groups[et][1] += rnk
+    n_obs = len(obs)
+    h = Fraction(12) * sum(
+        Fraction(rj * rj, nj) for nj, rj in groups.values()
+    ) / Fraction(n_obs * (n_obs + 1)) - Fraction(3 * (n_obs + 1))
+    micro = (2 * h.numerator * 10**6 + h.denominator) // (
+        2 * h.denominator
+    )
+    r = stats_kruskal_wallis_daily(spark, SF_DIR).collect()[0]
+    assert (r["n_obs"], r["n_groups"]) == (n_obs, len(groups))
+    assert r["h_r6"] == float(micro) / 1e6
+    assert h > 0, "fixture H must be nonzero"

@@ -41,6 +41,12 @@ EXPECT_BROADCAST = {
 # unbounded global window is a single-task sort of the corpus.
 # (VERDICT r5 "Next round" #6.)
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
+    "stats_kruskal_wallis_daily": (
+        "global rank over the DAILY (date × event-type) frame — "
+        "calendar-bounded (~150 rows here, ~18k for a 10-year feed), "
+        "localCheckpointed; the fact stream is pre-reduced by the "
+        "map-side-combined daily groupBy"
+    ),
     "stats_bootstrap_ci": (
         "row_number over the REPLICA frame: exactly B=100 rows by "
         "construction (one per bootstrap replica), fact stream never "
