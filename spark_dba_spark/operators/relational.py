@@ -736,6 +736,45 @@ WHERE rnk <= 3 ORDER BY p_brand, rnk
 """
 
 
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITH TIES — the RANK() semantics ANSI's ``FETCH
+    FIRST k ROWS WITH TIES`` promises, vs ``window_topk_per_group``'s
+    ROW_NUMBER cut which silently drops tied peers (a correctness bug
+    when the cut is a leaderboard or quota): every customer whose
+    $1000-band account balance ties into a nation's top 3 bands stays.
+    Banding to BIGINT thousand-cents guarantees the tie class is
+    actually exercised (exact integer comparison, no double-equality
+    hazard). Same one-shuffle posture as the row_number form."""
+    cust = _t(spark, sf_dir, "customer")
+    banded = cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.expr(
+            "cast(floor(c_acctbal * 100 + 0.5) as bigint) div 100000"
+        ).alias("bal_band"),
+    )
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("bal_band"))
+    return (
+        banded.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "rnk", "bal_band", "c_custkey")
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    )
+
+
+ORACLE_WIN_TOPK_TIES = """
+SELECT c_nationkey, rnk, bal_band, c_custkey FROM (
+  SELECT c_nationkey, c_custkey, bal_band,
+         RANK() OVER (PARTITION BY c_nationkey
+                      ORDER BY bal_band DESC) AS rnk
+  FROM (SELECT c_nationkey, c_custkey,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) // 100000
+                 AS bal_band
+        FROM customer)) t
+WHERE rnk <= 3 ORDER BY c_nationkey, rnk, c_custkey
+"""
+
+
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 5)
     w = (
@@ -5389,6 +5428,11 @@ SPECS = [
                   "close_to_exact, 2% band)"),
     QuerySpec("window_topk_per_group", window_topk_per_group, ORACLE_WIN_TOPK,
               ("window",), bench=True),
+    QuerySpec("window_topk_with_ties", window_topk_with_ties,
+              ORACLE_WIN_TOPK_TIES, ("window",),
+              doc="top-3 per nation WITH TIES (RANK semantics over "
+                  "exact integer bands — the ANSI FETCH ... WITH TIES "
+                  "surface row_number cuts get wrong)"),
     QuerySpec("window_running_sum", window_running_sum, ORACLE_WIN_RUNNING,
               ("window",)),
     QuerySpec("window_lag_lead", window_lag_lead, ORACLE_WIN_LAGLEAD, ("window",)),

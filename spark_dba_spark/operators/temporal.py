@@ -3640,6 +3640,426 @@ FROM s
 # Kendall tau-a over the daily order-volume / revenue series
 # --------------------------------------------------------------------------
 
+def ts_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles over the event value stream — the canonical
+    time-series downsample for dashboards and feature windows: per
+    date, the first (open) and last (close) event's value plus the
+    high/low, all in Class C BIGINT cents. First/last are defined by
+    the exact (epoch-microsecond, event_id) total order — the same
+    truncation DuckDB applies to the nano timestamps, so the endpoint
+    choice cannot diverge.
+
+    Plan: two row_number windows + the groupBy all key on the DATE —
+    one shuffle, per-partition state bounded by a day's events."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("dt"),
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    w_a = W.partitionBy("dt").orderBy("ts_us", "event_id")
+    w_d = W.partitionBy("dt").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    x = ev.withColumn("rna", F.row_number().over(w_a)).withColumn(
+        "rnd", F.row_number().over(w_d)
+    )
+    return (
+        x.groupBy("dt")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max(F.when(F.col("rna") == 1, F.col("cents")))
+            .cast("long")
+            .alias("open_cents"),
+            F.max("cents").cast("long").alias("high_cents"),
+            F.min("cents").cast("long").alias("low_cents"),
+            F.max(F.when(F.col("rnd") == 1, F.col("cents")))
+            .cast("long")
+            .alias("close_cents"),
+        )
+        .orderBy("dt")
+    )
+
+
+ORACLE_OHLC = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS dt, event_id, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT dt, cents,
+         ROW_NUMBER() OVER (PARTITION BY dt
+                            ORDER BY ts_us, event_id) AS rna,
+         ROW_NUMBER() OVER (PARTITION BY dt
+                            ORDER BY ts_us DESC, event_id DESC) AS rnd
+  FROM e)
+SELECT dt,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(CASE WHEN rna = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(MAX(cents) AS BIGINT) AS high_cents,
+       CAST(MIN(cents) AS BIGINT) AS low_cents,
+       CAST(MAX(CASE WHEN rnd = 1 THEN cents END) AS BIGINT) AS close_cents
+FROM r GROUP BY dt ORDER BY dt
+"""
+
+
+BOLL_W = 7  # trailing window (days), excluding the current day
+BOLL_K = 2  # breakout threshold in sigmas
+
+
+def ev_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout detection on the daily value series:
+    a day breaks out when its cents sum sits more than {BOLL_K}σ from
+    the trailing {BOLL_W}-day mean (prior days only — no lookahead).
+    Emitted only for days with a full window.
+
+    EXACT integer test — no sqrt, no float σ: with s = Σ_W cents and
+    q = Σ_W cents², the condition |x − μ| > kσ cross-multiplies to
+      (x·W − s)² > k²·(W·q − s²)
+    (both sides BIGINT; W·q − s² = W²·Var ≥ 0). The sign of x·W − s
+    splits up- vs down-breakouts. Magnitudes: daily sums ≤ ~3.3e7
+    cents at sf0.1 → squares ≤ ~5.3e16 < 2^63.
+
+    The trailing window runs over the DAILY frame — calendar-bounded
+    (the stats_kendall_daily argument), ordered by date."""
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("dt")).agg(
+        F.sum(
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+        ).alias("cents")
+    )
+    w7 = W.orderBy("dt").rowsBetween(-BOLL_W, -1)
+    x = (
+        daily.withColumn("n7", F.count("*").over(w7))
+        .withColumn("s7", F.sum("cents").over(w7))
+        .withColumn(
+            "q7", F.sum(F.col("cents") * F.col("cents")).over(w7)
+        )
+        .filter(F.col("n7") == BOLL_W)
+    )
+    dev = F.col("cents") * BOLL_W - F.col("s7")
+    var_w2 = F.lit(BOLL_W) * F.col("q7") - F.col("s7") * F.col("s7")
+    return (
+        x.select(
+            "dt",
+            "cents",
+            F.col("s7").cast("long").alias("trail_sum"),
+            F.when(
+                (dev * dev > F.lit(BOLL_K * BOLL_K) * var_w2) & (dev > 0),
+                1,
+            )
+            .when(
+                (dev * dev > F.lit(BOLL_K * BOLL_K) * var_w2) & (dev < 0),
+                -1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("breakout"),
+        )
+        .orderBy("dt")
+    )
+
+
+ORACLE_BOLLINGER = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS dt,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1),
+x AS (
+  SELECT dt, cents,
+         COUNT(*) OVER w AS n7,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s7,
+         CAST(SUM(cents * cents) OVER w AS BIGINT) AS q7
+  FROM daily
+  WINDOW w AS (ORDER BY dt ROWS BETWEEN {BOLL_W} PRECEDING
+               AND 1 PRECEDING))
+SELECT dt, cents, s7 AS trail_sum,
+       CAST(CASE
+         WHEN (cents * {BOLL_W} - s7) * (cents * {BOLL_W} - s7)
+              > {BOLL_K * BOLL_K} * ({BOLL_W} * q7 - s7 * s7)
+              AND cents * {BOLL_W} - s7 > 0 THEN 1
+         WHEN (cents * {BOLL_W} - s7) * (cents * {BOLL_W} - s7)
+              > {BOLL_K * BOLL_K} * ({BOLL_W} * q7 - s7 * s7)
+              AND cents * {BOLL_W} - s7 < 0 THEN -1
+         ELSE 0 END AS INT) AS breakout
+FROM x WHERE n7 = {BOLL_W}
+ORDER BY dt
+"""
+
+
+def ev_lifecycle_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the DAU/WAU lifecycle ledger): every
+    active (user, week) is NEW (first week ever), RETAINED (also active
+    the immediately preceding week) or RESURRECTED (active before, but
+    not last week); CHURNED-IN counts last week's actives who went
+    silent this week. The identity n_active(w) = new + retained +
+    resurrected and churned(w) = active(w−1) − retained(w) holds by
+    construction — pinned in pytest.
+
+    Plan: one distinct on (user, week), a per-user lag window (shuffles
+    on user_id — high cardinality, scalable), one anti-join for churn,
+    and a weeks-bounded rollup."""
+    ev = catalog.load(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("wk")
+    labeled = uw.withColumn("prev_wk", F.lag("wk").over(w)).withColumn(
+        "status",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.expr("date_add(prev_wk, 7) = wk"), "retained")
+        .otherwise("resurrected"),
+    )
+    per_wk = labeled.groupBy("wk").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        uw.select("user_id", F.expr("date_add(wk, 7)").alias("wk"))
+        .join(uw, ["user_id", "wk"], "left_anti")
+        .groupBy("wk")
+        .agg(F.count("*").cast("long").alias("n_churned_in"))
+    )
+    return (
+        per_wk.join(churn, "wk", "left")
+        .select(
+            "wk",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned_in", F.lit(0))
+            .cast("long")
+            .alias("n_churned_in"),
+        )
+        .orderBy("wk")
+    )
+
+
+ORACLE_LIFECYCLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events),
+lab AS (
+  SELECT user_id, wk,
+         LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+  FROM uw),
+st AS (
+  SELECT wk,
+         CASE WHEN prev_wk IS NULL THEN 'new'
+              WHEN prev_wk + 7 = wk THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM lab),
+per_wk AS (
+  SELECT wk,
+         CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_retained,
+         CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+  FROM st GROUP BY 1),
+churn AS (
+  SELECT a.wk + 7 AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned_in
+  FROM uw a
+  WHERE NOT EXISTS (SELECT 1 FROM uw b
+                    WHERE b.user_id = a.user_id AND b.wk = a.wk + 7)
+  GROUP BY 1)
+SELECT per_wk.wk, n_active, n_new, n_retained, n_resurrected,
+       COALESCE(n_churned_in, 0) AS n_churned_in
+FROM per_wk LEFT JOIN churn USING (wk)
+ORDER BY wk
+"""
+
+
+def orders_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/80-20) ledger: customers ranked by
+    lifetime revenue (BIGINT cents) split into 10 equal-population
+    deciles; per decile the revenue and the cumulative share — the
+    curve a curation/monetization review reads "top 10% of customers
+    carry X% of revenue" from. Deciles come from the exact rank
+    ((rn−1)·10 div n + 1 — no NTILE remainder ambiguity).
+
+    The rank window runs over the CUSTOMER dimension (orders pre-
+    reduced to one row per customer — the rfm_segmentation argument);
+    the cumulative window is decile-grained (10 rows)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("cents")
+    )
+    tot = per_cust.agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    w = W.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    by_dec = (
+        per_cust.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "decile",
+            F.expr("cast((rn - 1) * 10 div n_cust as int) + 1"),
+        )
+        .groupBy("decile", "total_cents")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("decile_cents"),
+        )
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        by_dec.withColumn(
+            "cum_cents", F.sum("decile_cents").over(wc).cast("long")
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "decile_cents",
+            "cum_cents",
+            F.expr(rat_round6_spark("cum_cents", "total_cents")).alias(
+                "cum_share_r6"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_PARETO = f"""
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(cents) AS BIGINT) AS total_cents FROM pc),
+rk AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn
+  FROM pc),
+dec AS (
+  SELECT CAST((rn - 1) * 10 // n_cust AS INT) + 1 AS decile,
+         total_cents, cents
+  FROM rk, tot),
+bd AS (
+  SELECT decile, total_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS decile_cents
+  FROM dec GROUP BY 1, 2)
+SELECT decile, n_customers, decile_cents,
+       CAST(SUM(decile_cents) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_cents,
+       {rat_round6_duck(
+           "CAST(SUM(decile_cents) OVER (ORDER BY decile ROWS BETWEEN "
+           "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+           "total_cents")} AS cum_share_r6
+FROM bd ORDER BY decile
+"""
+
+
+SESSION_PCTS = (50, 90, 99)
+
+
+def ev_session_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (type-1) session-duration percentiles over the 30-minute
+    sessionization — the latency-style readout (p50/p90/p99 dwell) that
+    approximate percentile sketches get benchmarked against. The k-th
+    percentile is the duration at rank ⌈p·n/100⌉ of the exact
+    (duration, user, session) total order.
+
+    No global window at corpus scale: the rank comes from the repo's
+    bucketed-prefix machinery (``_bucketed_unique_rank``, bucket =
+    bit_length of the duration — value-domain-bounded histogram,
+    per-bucket row_number), the same pattern the Spearman/KS family
+    uses."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg((F.max("ts_us") - F.min("ts_us")).alias("dur_us"))
+    )
+    ranked = _bucketed_unique_rank(
+        spark,
+        sess,
+        "dur_us",
+        ["user_id", "session_seq"],
+        "cast(length(bin(dur_us + 1)) as int)",
+    )
+    n = sess.agg(F.count("*").cast("long").alias("n_sessions"))
+    pcts = ranked.sparkSession.createDataFrame(
+        [(p,) for p in SESSION_PCTS], "pct int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(pcts))
+        .filter(
+            F.col("rnk")
+            == F.expr("(pct * n_sessions + 99) div 100")
+        )
+        .select(
+            "pct",
+            "n_sessions",
+            F.col("dur_us").cast("long").alias("dur_us"),
+        )
+        .orderBy("pct")
+    )
+
+
+ORACLE_SESSION_PCTS = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+sess AS (
+  SELECT user_id, session_seq,
+         CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS dur_us
+  FROM (
+    SELECT user_id, ts_us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM flagged)
+  GROUP BY 1, 2),
+rk AS (
+  SELECT dur_us,
+         ROW_NUMBER() OVER (ORDER BY dur_us, user_id, session_seq) AS rnk
+  FROM sess),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM sess),
+p AS (SELECT unnest({list(SESSION_PCTS)}) AS pct)
+SELECT CAST(p.pct AS INT) AS pct, n.n_sessions, rk.dur_us
+FROM p, n, rk
+WHERE rk.rnk = (p.pct * n.n_sessions + 99) // 100
+ORDER BY pct
+"""
+
+
 def stats_kruskal_wallis_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Kruskal-Wallis H across the event types, observations =
     daily value sums (BIGINT cents, Class C) per (date, event_type) —
@@ -5107,6 +5527,30 @@ SPECS = [
               doc="exact Kruskal-Wallis H across event types over daily "
                   "cents sums (distinct-rank md5 tiebreak, one cleared "
                   "integer fraction, q/rem split rounding)"),
+    QuerySpec("ts_ohlc_candles", ts_ohlc_candles, ORACLE_OHLC,
+              ("temporal", "timeseries"),
+              doc="daily OHLC candles in BIGINT cents; open/close by the "
+                  "exact (epoch-us, event_id) total order, one date-keyed "
+                  "shuffle"),
+    QuerySpec("ev_bollinger_breakout", ev_bollinger_breakout,
+              ORACLE_BOLLINGER, ("temporal", "timeseries", "anomaly"),
+              doc="Bollinger 2-sigma breakouts on the daily series via "
+                  "the cross-multiplied integer test (x*W - s)^2 > "
+                  "k^2*(W*q - s^2) — sqrt-free, sign-split up/down"),
+    QuerySpec("ev_lifecycle_accounting", ev_lifecycle_accounting,
+              ORACLE_LIFECYCLE, ("temporal", "growth"),
+              doc="weekly growth accounting: new/retained/resurrected "
+                  "actives + churned-in from the prior week (lag window "
+                  "+ anti-join)"),
+    QuerySpec("orders_pareto_cumshare", orders_pareto_cumshare,
+              ORACLE_PARETO, ("temporal", "stats", "revenue"),
+              doc="customer revenue deciles with cumulative share "
+                  "(Pareto curve, exact rank deciles over the customer "
+                  "dimension)"),
+    QuerySpec("ev_session_percentiles", ev_session_percentiles,
+              ORACLE_SESSION_PCTS, ("temporal", "sessions", "stats"),
+              doc="exact type-1 p50/p90/p99 session durations via the "
+                  "bucketed-prefix rank (no global window)"),
     QuerySpec("stats_spearman_rank_corr", stats_spearman_rank_corr,
               ORACLE_SPEARMAN, ("stats", "nonparametric", "rank"),
               doc="exact Spearman rho (part price vs size) on the "

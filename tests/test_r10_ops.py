@@ -627,3 +627,222 @@ def test_kruskal_wallis_matches_python_brute(spark):
     assert (r["n_obs"], r["n_groups"]) == (n_obs, len(groups))
     assert r["h_r6"] == float(micro) / 1e6
     assert h > 0, "fixture H must be nonzero"
+
+
+def _events_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_id, epoch_us(ts), CAST(ts AS DATE), user_id, "
+        f"event_type, value FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_ohlc_candles_matches_python_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.temporal import ts_ohlc_candles
+
+    days: dict = {}
+    for eid, us, dt, _, _, v in _events_rows():
+        days.setdefault(dt, []).append(
+            (us, eid, math.floor(v * 100 + 0.5))
+        )
+    got = {r["dt"]: r for r in ts_ohlc_candles(spark, SF_DIR).collect()}
+    assert set(got) == set(days)
+    for dt, evs in days.items():
+        evs.sort()
+        cents = [c for _, _, c in evs]
+        r = got[dt]
+        assert (r["n_events"], r["open_cents"], r["high_cents"],
+                r["low_cents"], r["close_cents"]) == (
+            len(evs), evs[0][2], max(cents), min(cents), evs[-1][2])
+
+
+def test_bollinger_breakout_matches_python_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.temporal import (
+        BOLL_K,
+        BOLL_W,
+        ev_bollinger_breakout,
+    )
+
+    daily: dict = {}
+    for _, _, dt, _, _, v in _events_rows():
+        daily[dt] = daily.get(dt, 0) + math.floor(v * 100 + 0.5)
+    days = sorted(daily)
+    got = {r["dt"]: r for r in
+           ev_bollinger_breakout(spark, SF_DIR).collect()}
+    assert set(got) == set(days[BOLL_W:])
+    n_break = 0
+    for i in range(BOLL_W, len(days)):
+        window = [daily[d] for d in days[i - BOLL_W:i]]
+        x, s, q = daily[days[i]], sum(window), sum(c * c for c in window)
+        dev = x * BOLL_W - s
+        hot = dev * dev > BOLL_K * BOLL_K * (BOLL_W * q - s * s)
+        want = (1 if dev > 0 else -1) if hot and dev != 0 else 0
+        r = got[days[i]]
+        assert (r["cents"], r["trail_sum"], r["breakout"]) == (x, s, want)
+        n_break += want != 0
+    # the identity churn(w) = active(w-1) - retained(w) is exercised in
+    # the lifecycle test; here just pin that the series isn't trivial
+    assert len(got) == len(days) - BOLL_W
+
+
+def test_lifecycle_accounting_matches_python_brute(spark):
+    import datetime
+
+    from spark_dba_spark.operators.temporal import ev_lifecycle_accounting
+
+    uw: set = set()
+    for _, _, dt, uid, _, _ in _events_rows():
+        wk = dt - datetime.timedelta(days=dt.weekday())
+        uw.add((uid, wk))
+    weeks = sorted({w for _, w in uw})
+    per_user: dict = {}
+    for uid, wk in uw:
+        per_user.setdefault(uid, set()).add(wk)
+    got = {r["wk"]: r for r in
+           ev_lifecycle_accounting(spark, SF_DIR).collect()}
+    assert set(got) == set(weeks)
+    for wk in weeks:
+        new = ret = res = 0
+        for uid, wks in per_user.items():
+            if wk not in wks:
+                continue
+            prior = [w for w in wks if w < wk]
+            if not prior:
+                new += 1
+            elif wk - datetime.timedelta(days=7) in wks:
+                ret += 1
+            else:
+                res += 1
+        churned = sum(
+            1 for uid, wks in per_user.items()
+            if wk - datetime.timedelta(days=7) in wks and wk not in wks
+        )
+        r = got[wk]
+        assert (r["n_active"], r["n_new"], r["n_retained"],
+                r["n_resurrected"], r["n_churned_in"]) == (
+            new + ret + res, new, ret, res, churned)
+        # growth-accounting identity
+        prev_active = sum(
+            1 for wks in per_user.values()
+            if wk - datetime.timedelta(days=7) in wks
+        )
+        assert prev_active == r["n_retained"] + r["n_churned_in"]
+
+
+def test_pareto_cumshare_matches_python_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.temporal import orders_pareto_cumshare
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_custkey, o_totalprice FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    per_cust: dict = {}
+    for ck, tp in rows:
+        per_cust[ck] = per_cust.get(ck, 0) + math.floor(tp * 100 + 0.5)
+    ranked = sorted(per_cust.items(), key=lambda kv: (-kv[1], kv[0]))
+    n, total = len(ranked), sum(per_cust.values())
+    dec: dict = {}
+    for i, (_, cents) in enumerate(ranked):
+        d = (i * 10) // n + 1
+        cnt, s = dec.setdefault(d, [0, 0])
+        dec[d][0] += 1
+        dec[d][1] += cents
+    got = {r["decile"]: r for r in
+           orders_pareto_cumshare(spark, SF_DIR).collect()}
+    assert set(got) == set(dec)
+    cum = 0
+    for d in sorted(dec):
+        cnt, s = dec[d]
+        cum += s
+        r = got[d]
+        assert (r["n_customers"], r["decile_cents"], r["cum_cents"]) == (
+            cnt, s, cum)
+        assert r["cum_share_r6"] == _r6(cum, total)
+    assert got[1]["decile_cents"] > got[10]["decile_cents"], (
+        "top decile must out-earn the bottom")
+
+
+def test_session_percentiles_matches_python_brute(spark):
+    from spark_dba_spark.operators.temporal import (
+        SESSION_GAP_US,
+        SESSION_PCTS,
+        ev_session_percentiles,
+    )
+
+    per_user: dict = {}
+    for eid, us, _, uid, _, _ in _events_rows():
+        per_user.setdefault(uid, []).append((us, eid))
+    durs = []
+    for uid, evs in per_user.items():
+        evs.sort()
+        seq, start, last = 0, evs[0][0], evs[0][0]
+        for us, _ in evs[1:]:
+            if us - last > SESSION_GAP_US:
+                durs.append((last - start, uid, seq))
+                seq += 1
+                start = us
+            last = us
+        durs.append((last - start, uid, seq))
+    durs.sort()
+    n = len(durs)
+    got = {r["pct"]: r for r in
+           ev_session_percentiles(spark, SF_DIR).collect()}
+    assert set(got) == set(SESSION_PCTS)
+    for p in SESSION_PCTS:
+        idx = (p * n + 99) // 100
+        r = got[p]
+        assert r["n_sessions"] == n
+        assert r["dur_us"] == durs[idx - 1][0]
+    assert got[99]["dur_us"] >= got[50]["dur_us"]
+
+
+def test_topk_with_ties_matches_python_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.relational import window_topk_with_ties
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT c_nationkey, c_custkey, c_acctbal FROM "
+        f"read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchall()
+    con.close()
+
+    def trunc_div(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    by_nation: dict = {}
+    for nk, ck, bal in rows:
+        band = trunc_div(math.floor(bal * 100 + 0.5), 100000)
+        by_nation.setdefault(nk, []).append((band, ck))
+    expect = set()
+    saw_tie = False
+    for nk, vals in by_nation.items():
+        bands = sorted({b for b, _ in vals}, reverse=True)
+        rank_of = {}
+        seen = 0
+        for b in bands:
+            rank_of[b] = seen + 1
+            seen += sum(1 for x, _ in vals if x == b)
+        for b, ck in vals:
+            if rank_of[b] <= 3:
+                expect.add((nk, rank_of[b], b, ck))
+        top = [1 for x, _ in vals if rank_of[x] == 1]
+        saw_tie = saw_tie or len(top) > 1
+    got = {
+        (r["c_nationkey"], r["rnk"], r["bal_band"], r["c_custkey"])
+        for r in window_topk_with_ties(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert saw_tie, "fixture must exercise at least one tie"

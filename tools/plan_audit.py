@@ -47,6 +47,16 @@ GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
         "localCheckpointed; the fact stream is pre-reduced by the "
         "map-side-combined daily groupBy"
     ),
+    "ev_bollinger_breakout": (
+        "trailing 7-day window over the DAILY frame — calendar-bounded "
+        "(~30 rows here, ~3650 for a 10-year feed); fact stream is "
+        "pre-reduced by the daily groupBy"
+    ),
+    "orders_pareto_cumshare": (
+        "rank over the CUSTOMER dimension (orders pre-reduced to one "
+        "row per customer — the rfm_segmentation argument) + a 10-row "
+        "decile-grain cumulative window"
+    ),
     "stats_bootstrap_ci": (
         "row_number over the REPLICA frame: exactly B=100 rows by "
         "construction (one per bootstrap replica), fact stream never "
