@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import catalog
-from ..functions.numeric import rat_round6_spark
+from ..functions.numeric import rat_round6_duck, rat_round6_spark
 from ..registry import QuerySpec
 
 try:  # pragma: no cover - the real decoder is not installed in this env
@@ -1564,8 +1564,236 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# Byte-level payload profiling (r10): histogram, RLE compressibility,
+# chunked-upload manifest — all JVM-only byte arithmetic, no Python
+# --------------------------------------------------------------------------
+
+BYTE_BANDS = 16  # byte-value histogram granularity (band = byte div 16)
+
+
+def mm_payload_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-value histogram per media type (band = byte div {BYTE_BANDS}):
+    the content-type sanity probe a lake ingest runs on opaque blobs —
+    text payloads concentrate in the ASCII bands, ciphertext/compressed
+    payloads flatten out, and a band drift flags mislabeled or corrupt
+    assets. Bytes come from hex(payload) pairs (engine-portable, no
+    ASCII assumption); the explode is map-side and the rollup is
+    (media_type × {BYTE_BANDS})-bounded."""
+    assets = _assets(spark, sf_dir)
+    bands = assets.select(
+        "media_type",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, octet_length(payload)), i -> "
+                "cast(conv(substring(hex(payload), 2 * i - 1, 2), 16, 10)"
+                " as int) div 16)"
+            )
+        ).alias("band"),
+    )
+    tot = bands.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    return (
+        bands.groupBy("media_type", "band")
+        .agg(F.count("*").cast("long").alias("n_bytes"))
+        .join(F.broadcast(tot), "media_type")
+        .select(
+            "media_type",
+            F.col("band").cast("int").alias("band"),
+            "n_bytes",
+            F.expr(rat_round6_spark("n_bytes", "n_total")).alias(
+                "byte_share_r6"
+            ),
+        )
+        .orderBy("media_type", "band")
+    )
+
+
+ORACLE_MM_BYTE_HIST = f"""
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents),
+b AS (
+  SELECT media_type,
+         CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT) // 16 AS band
+  FROM a, LATERAL unnest(generate_series(1, n)) AS u(i)),
+tot AS (SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM b GROUP BY 1),
+h AS (
+  SELECT media_type, CAST(band AS INT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_bytes
+  FROM b GROUP BY 1, 2)
+SELECT h.media_type, h.band, h.n_bytes,
+       {rat_round6_duck("h.n_bytes", "tot.n_total")} AS byte_share_r6
+FROM h JOIN tot USING (media_type)
+ORDER BY media_type, band
+"""
+
+
+def mm_payload_rle_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-encoding compressibility per asset — the cheap
+    pre-codec probe (a payload whose RLE size beats raw is a flat/
+    synthetic asset worth a different storage codec; high run counts
+    mean entropy). n_runs counts byte positions whose byte differs from
+    its predecessor (+1); the RLE estimate is the classic 2 bytes per
+    run. All arithmetic over hex(payload) pairs — byte-exact on both
+    engines, no decode, map-only."""
+    # hex(payload) is bound ONCE per row before the HOF filter —
+    # interpreted lambdas get no CSE, so referencing hex(payload)
+    # inside the lambda re-hexes the whole payload per byte position
+    # (16s -> ~2s at sf0.1; the text_quality single-binding lesson)
+    # repartition: the CPU-bound HOF pass over the one-file fixture
+    # otherwise runs as ONE task (the emb_margin_audit lesson); and the
+    # run count is computed in its OWN projection so projection collapse
+    # cannot inline the interpreted lambda once per consuming column
+    assets = _assets(spark, sf_dir).repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    ).select(
+        "doc_id",
+        "media_type",
+        F.expr("hex(payload)").alias("hx"),
+        F.octet_length("payload").alias("n"),
+    )
+    runs = (
+        "size(filter(sequence(2, greatest(n, 2)), i -> "
+        "i <= n AND substring(hx, 2 * i - 1, 2) != "
+        "substring(hx, 2 * i - 3, 2))) + 1"
+    )
+    counted = assets.select(
+        "doc_id",
+        "media_type",
+        "n",
+        F.expr(f"cast({runs} as bigint)").alias("n_runs"),
+    )
+    # (CollapseProject keeps n_runs un-inlined: it is non-cheap and
+    # referenced twice below)
+    return counted.select(
+        "doc_id",
+        "media_type",
+        F.col("n").cast("long").alias("n_bytes"),
+        "n_runs",
+        F.expr(rat_round6_spark("2 * n_runs", "n")).alias(
+            "rle_ratio_r6"
+        ),
+    ).orderBy("doc_id")
+
+
+ORACLE_MM_RLE = f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents),
+r AS (
+  SELECT doc_id, media_type, n,
+         CAST(len(list_filter(generate_series(2, greatest(n, 2)), i ->
+                i <= n AND substr(hx, 2 * i - 1, 2)
+                           != substr(hx, 2 * i - 3, 2))) + 1
+              AS BIGINT) AS n_runs
+  FROM a)
+SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes, n_runs,
+       {rat_round6_duck("2 * n_runs", "n")} AS rle_ratio_r6
+FROM r ORDER BY doc_id
+"""
+
+
+CHUNK_BYTES = 128  # multipart-upload / shard chunk size
+
+
+def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-upload manifest: split every asset into {CHUNK_BYTES}-byte
+    ranges and emit one manifest row per chunk (offset, size, md5) —
+    the multipart-upload/shard ledger an object-store ingest writes
+    before moving blobs, and the unit a resumable transfer
+    de-duplicates on. Chunk hashes are md5 over the byte slice
+    (payloads are synthesized from utf-8 text, so the slice is taken on
+    the string — identical bytes on both engines); the explode is
+    map-side with ceil(n/{CHUNK_BYTES}) rows per asset."""
+    assets = _assets(spark, sf_dir).select(
+        "doc_id",
+        "media_type",
+        F.expr("cast(payload as string)").alias("txt"),
+        F.octet_length("payload").alias("n"),
+    )
+    return (
+        assets.select(
+            "doc_id",
+            "media_type",
+            "txt",
+            "n",
+            F.explode(
+                F.expr(f"sequence(0, (n - 1) div {CHUNK_BYTES})")
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "media_type",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * CHUNK_BYTES)
+            .cast("long")
+            .alias("offset"),
+            F.least(
+                F.lit(CHUNK_BYTES),
+                F.col("n") - F.col("chunk_idx") * CHUNK_BYTES,
+            )
+            .cast("long")
+            .alias("nbytes"),
+            F.md5(
+                F.expr(
+                    f"substring(txt, chunk_idx * {CHUNK_BYTES} + 1,"
+                    f" {CHUNK_BYTES})"
+                )
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+ORACLE_MM_CHUNKS = f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         text, octet_length(encode(text)) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, media_type, n, i AS chunk_idx
+  FROM a, LATERAL unnest(generate_series(0, (n - 1) // {CHUNK_BYTES}))
+       AS u(i))
+SELECT doc_id, media_type, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_BYTES} AS BIGINT) AS offset,
+       CAST(least({CHUNK_BYTES}, n - chunk_idx * {CHUNK_BYTES}) AS BIGINT)
+         AS nbytes,
+       md5(substr(a.text, chunk_idx * {CHUNK_BYTES} + 1, {CHUNK_BYTES}))
+         AS chunk_md5
+FROM c JOIN a USING (doc_id, media_type, n)
+ORDER BY doc_id, chunk_idx
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_meta", mm_binary_meta, ORACLE_MM_META, ("multimodal",)),
+    QuerySpec("mm_payload_byte_histogram", mm_payload_byte_histogram,
+              ORACLE_MM_BYTE_HIST, ("multimodal", "stats"),
+              doc="byte-value histogram per media type from hex(payload) "
+                  "pairs (content-type sanity probe, 16 bands)"),
+    QuerySpec("mm_payload_rle_compress", mm_payload_rle_compress,
+              ORACLE_MM_RLE, ("multimodal", "stats"),
+              doc="RLE compressibility per asset (adjacent-byte run "
+                  "count over hex pairs, 2-bytes-per-run estimate)"),
+    QuerySpec("mm_chunk_manifest", mm_chunk_manifest, ORACLE_MM_CHUNKS,
+              ("multimodal", "pipeline"),
+              doc="multipart-upload chunk manifest (offset/size/md5 per "
+                  "128-byte range, resumable-transfer ledger)"),
     QuerySpec("mm_dedup_fingerprint", mm_dedup_fingerprint,
               ORACLE_MM_DEDUP_FP, ("multimodal", "dedup"),
               doc="asset dedup by truncated payload fingerprint"),

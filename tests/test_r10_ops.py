@@ -846,3 +846,77 @@ def test_topk_with_ties_matches_python_brute(spark):
     }
     assert got == expect
     assert saw_tie, "fixture must exercise at least one tie"
+
+
+def _media_type(doc_id):
+    return ("image", "audio", "video")[doc_id % 3]
+
+
+def test_payload_byte_histogram_matches_python_brute(spark):
+    from spark_dba_spark.operators.multimodal import (
+        mm_payload_byte_histogram,
+    )
+
+    agg: dict = {}
+    totals: dict = {}
+    for doc_id, text, _ in _docs_rows():
+        mt = _media_type(doc_id)
+        for b in text.encode("utf-8"):
+            agg[(mt, b // 16)] = agg.get((mt, b // 16), 0) + 1
+            totals[mt] = totals.get(mt, 0) + 1
+    got = {(r["media_type"], r["band"]): r for r in
+           mm_payload_byte_histogram(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for (mt, band), n in agg.items():
+        r = got[(mt, band)]
+        assert r["n_bytes"] == n
+        assert r["byte_share_r6"] == _r6(n, totals[mt])
+
+
+def test_payload_rle_matches_python_brute(spark):
+    from spark_dba_spark.operators.multimodal import (
+        mm_payload_rle_compress,
+    )
+
+    got = {r["doc_id"]: r for r in
+           mm_payload_rle_compress(spark, SF_DIR).collect()}
+    rows = _docs_rows()
+    assert set(got) == {d for d, _, _ in rows}
+    for doc_id, text, _ in rows:
+        bs = text.encode("utf-8")
+        runs = 1 + sum(
+            1 for i in range(1, len(bs)) if bs[i] != bs[i - 1]
+        )
+        r = got[doc_id]
+        assert (r["media_type"], r["n_bytes"], r["n_runs"]) == (
+            _media_type(doc_id), len(bs), runs)
+        assert r["rle_ratio_r6"] == _r6(2 * runs, len(bs))
+
+
+def test_chunk_manifest_matches_python_brute(spark):
+    from spark_dba_spark.operators.multimodal import (
+        CHUNK_BYTES,
+        mm_chunk_manifest,
+    )
+
+    got: dict = {}
+    for r in mm_chunk_manifest(spark, SF_DIR).collect():
+        got[(r["doc_id"], r["chunk_idx"])] = r
+    rows = _docs_rows()
+    expect_keys = set()
+    for doc_id, text, _ in rows:
+        bs = text.encode("utf-8")
+        n_chunks = (len(bs) - 1) // CHUNK_BYTES + 1
+        for ci in range(n_chunks):
+            expect_keys.add((doc_id, ci))
+            chunk = text[ci * CHUNK_BYTES:(ci + 1) * CHUNK_BYTES]
+            r = got[(doc_id, ci)]
+            assert r["media_type"] == _media_type(doc_id)
+            assert r["offset"] == ci * CHUNK_BYTES
+            assert r["nbytes"] == min(
+                CHUNK_BYTES, len(bs) - ci * CHUNK_BYTES)
+            assert r["chunk_md5"] == hashlib.md5(
+                chunk.encode("utf-8")).hexdigest()
+    assert set(got) == expect_keys
+    assert any(ci > 0 for _, ci in expect_keys), (
+        "fixture must exercise multi-chunk assets")
