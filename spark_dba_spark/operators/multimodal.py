@@ -431,7 +431,15 @@ WITH w AS (
   SELECT doc_id, (i - 1) // {VAD_WIN} AS win,
          SUM(CAST(pow(ascii(substr(text, i, 1)) - 128, 2) AS BIGINT)) AS ss,
          COUNT(*) AS n
-  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+  -- ascii()-over-chars equals byte-as-PCM only for pure-ASCII payloads
+  -- (ADVICE r9): fail LOUDLY per row instead of silently diverging from
+  -- the Spark side's uint8 bytes on a non-ASCII corpus
+  FROM (SELECT doc_id,
+               CASE WHEN octet_length(encode(text)) != len(text)
+                    THEN error('mm_audio_vad oracle requires ASCII '
+                               || 'payloads (doc ' || doc_id || ')')
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 3 = 1),
        LATERAL unnest(generate_series(1, len(text))) AS t(i)
   GROUP BY 1, 2),
 act AS (

@@ -1426,6 +1426,17 @@ def emb_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = _emb(spark, sf_dir).select(
         "vec_id", "label", F.expr(_KM_QUANT_SQL).alias("qv")
     )
+    # VERIFICATION-TIER guard (ADVICE r9): the op is |corpus|² by
+    # design — refuse past the audit ceiling instead of silently
+    # degrading quadratically when pointed at a production corpus
+    n_corpus = qdf.count()
+    if n_corpus > MARGIN_AUDIT_MAX_ROWS:
+        raise ValueError(
+            f"emb_margin_audit is a verification-tier all-pairs audit: "
+            f"corpus has {n_corpus} vectors > ceiling "
+            f"{MARGIN_AUDIT_MAX_ROWS}; mine hard negatives from the ANN "
+            "candidate stream (sim_ann_lsh / sim_ivf) at this scale"
+        )
     # repartition the probe side: the one-file fixture scan would
     # otherwise evaluate all |corpus|² HOF pairs in a single task
     # (PLANS r8 lesson 2)
@@ -3091,6 +3102,9 @@ ORDER BY side, vec_id
 SKETCH_OFFSETS = 8  # each vector pairs with the next 8 ids — a linear,
 #                     deterministic pair sample (no all-pairs)
 
+# verification-tier all-pairs audits refuse to run past this corpus size
+MARGIN_AUDIT_MAX_ROWS = 100_000
+
 
 def emb_sign_sketch_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charikar sign-sketch audit: compress each embedding to a 64-bit
@@ -3340,10 +3354,12 @@ SPECS = [
               doc="maximum-inner-product top-k (unnormalized two-tower "
                   "retrieval ranking)"),
     QuerySpec("emb_margin_audit", emb_margin_audit, ORACLE_MARGIN_AUDIT,
-              ("similarity", "labels", "quality"),
+              ("similarity", "labels", "quality", "verification-tier"),
               doc="per-label nearest-neighbor margin audit (hard-negative "
-                  "mining readout: exact integer d2, violation counts, "
-                  "all-pairs verification tier)"),
+                  "mining readout: exact integer d2, violation counts). "
+                  "VERIFICATION TIER: unconditional all-pairs self-join, "
+                  "guarded by a corpus-size ceiling — the scale path "
+                  "mines hard negatives from the ANN candidate stream"),
     QuerySpec("emb_mmr_diversified_topk", emb_mmr_diversified_topk,
               ORACLE_MMR, ("similarity", "rerank", "rag"),
               doc="MMR diversified top-k re-ranking (λ=1/2 doubled "

@@ -5600,11 +5600,14 @@ SPECS = [
                   "(integer run counts + exact-rational null moments; "
                   "calendar-bounded windows)"),
     QuerySpec("ts_downsample_lttb", ts_downsample_lttb, ORACLE_LTTB,
-              ("temporal", "downsample", "viz"),
-              doc="LTTB downsampling of the daily revenue series "
-                  "(bucket-mean-anchor parallel variant; exact integer "
-                  "cross-product areas in DECIMAL(38,0), per-bucket "
-                  "argmax windows)"),
+              ("temporal", "downsample", "viz", "lttb-bucket-anchor"),
+              doc="LTTB-family downsampling of the daily revenue series "
+                  "— the BUCKET-MEAN-ANCHOR parallel variant, NOT "
+                  "canonical LTTB (which anchors on the previously "
+                  "selected point and is inherently sequential); the "
+                  "tag marks the variant so consumers don't assume "
+                  "canonical parity. Exact integer cross-product areas "
+                  "in DECIMAL(38,0), per-bucket argmax windows"),
     QuerySpec("orders_seasonal_naive_backtest",
               orders_seasonal_naive_backtest, ORACLE_SEASONAL_NAIVE,
               ("temporal", "forecast", "stats"),

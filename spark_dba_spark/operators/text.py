@@ -2892,9 +2892,15 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent words that stand alone. Stopwords are CORPUS-CALIBRATED
     (the top {RAKE_STOP_K} words by occurrence count, tie-broken
     lexicographically) so the operator is language-agnostic and fully
-    deterministic on any corpus — no frozen English list to rot. The
-    score is the exact-rational half-up of two integers; top {RAKE_TOP}
-    by (degree, word) is a total order.
+    deterministic on any corpus — no frozen English list to rot.
+
+    Ranking is the CANONICAL Rose et al. order — score = degree/freq
+    (r10, ADVICE r9: the degree-ranked cut deviated from the paper).
+    The sort key is the IEEE double quotient: both operands are BIGINTs
+    < 2^53, so the division is correctly rounded and bit-identical on
+    both engines; rationals that collide to one double tie-break by
+    (degree DESC, word ASC), also identical on both. score_r6 stays the
+    exact-rational half-up readout.
 
     Scale: the stopword list is a {RAKE_STOP_K}-row broadcast; phrase
     islands come from a per-document running stopword count (window
@@ -2956,7 +2962,11 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "degree",
             F.expr(rat_round6_spark("degree", "freq")).alias("score_r6"),
         )
-        .orderBy(F.desc("degree"), F.asc("word"))
+        .orderBy(
+            F.expr("cast(degree as double) / cast(freq as double)").desc(),
+            F.desc("degree"),
+            F.asc("word"),
+        )
         .limit(RAKE_TOP)
     )
 
@@ -2988,7 +2998,9 @@ SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
                         "CAST(COUNT(*) AS HUGEINT)")} AS score_r6
 FROM content JOIN plen USING (doc_id, island)
 GROUP BY word
-ORDER BY degree DESC, word LIMIT {RAKE_TOP}
+ORDER BY CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) DESC,
+         degree DESC, word
+LIMIT {RAKE_TOP}
 """
 
 

@@ -137,9 +137,12 @@ def test_rake_keywords_matches_python_brute(spark):
                 phrase = []
             else:
                 phrase.append(w)
+    # canonical RAKE order (r10): score = degree/freq as the IEEE double
+    # quotient (exact division of <2^53 ints — the engines' sort key),
+    # then degree DESC, word ASC on collisions
     expect = sorted(
         ((w, freq[w], degree[w]) for w in freq),
-        key=lambda t: (-t[2], t[0]),
+        key=lambda t: (-(t[2] / t[1]), -t[2], t[0]),
     )[:RAKE_TOP]
     got = [(r["word"], r["freq"], r["degree"], r["score_r6"])
            for r in text_rake_keywords(spark, SF_DIR).collect()]
