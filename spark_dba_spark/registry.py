@@ -42,70 +42,66 @@ class QuerySpec:
 # into PRIORITY_LAST (prefer families with several other green rows). Over
 # rounds, every query accumulates at least one driver-recorded green row.
 #
-# ROUND-9 WINDOW (VERDICT r8 "Next round" #2-#3; one window = 50 slots):
-# after r8 the ledger shows 257/277 r8-registry queries with a driver row.
-# The merge saga is CLOSED (merge + all three diag twins green), so those
-# four rotate to PRIORITY_LAST. The one genuine red is emb_kmeans_lloyd —
-# hash-red at the driver while green in all three committed local sweeps
-# (the merge-saga signature), so slot 1 is its red-refix: the assignment
-# pass is rewritten JVM-PURE (integer higher-order-function fold over the
-# broadcast centroid literal — no Arrow, no numpy, no BLAS), and slots
-# 2-5 carry four diagnostic twins that bisect the pipeline at the driver
-# (assignment labels / cluster sizes / seed-pass inertia readout /
-# learned-centroid integers). Slots 6-28 retire the ENTIRE r8
-# never-checked full-oracle backlog (the 11 post-sweep landings plus the
-# 12 mid-r8 continuation ops). Slots 29-36 are the eight r9 additions
-# (never-checked by definition): the kmeans twins' complement —
-# dedup_substring_spans, sketch_hll_registers, stats_equidepth_histogram,
-# stats_runs_test, text_source_vocab_jaccard, text_boundary_overlap,
-# text_rake_keywords, ts_downsample_lttb. Slots 37-50 stay the frozen
-# bench set. After slot 50: sketch_hll_reaggregate (rows-only-by-design;
-# its full-oracle twin sketch_hll_registers IS in the window), then the
-# r8-window greens rotate to PRIORITY_LAST. Expected cumulative coverage
-# after r9: 289/297 — the eight mid-r9 continuation ops queued behind the
-# window carry local-sweep + pytest evidence only until the r10 window.
+# ROUND-10 WINDOW (VERDICT r9 "Next round" #1-#3; one window = 50 slots):
+# CORRECTNESS_r09 delivered 48/50 green. The two reds are emb_kmeans_lloyd
+# and emb_km_diag_seed_inertia — the r9 bisection twins proved the Lloyd
+# loop exact (assign/sizes/centroids GREEN) and isolated the divergence to
+# the DECIMAL(38,0) Σd² + rational-r6 readout, the merge-saga construct
+# class. r10 slots 1-2 are the red-refix on the DECIMAL-FREE rewrite
+# (BIGINT sum + high/low-split half-up division, similarity._km_r6_spark);
+# slots 3-4 are the VERDICT-prescribed split twins that name
+# sum-vs-rounding if either somehow stays red. Slots 5-12 retire the eight
+# never-checked mid-r9 continuation ops; slots 13-36 are twenty-four NEW
+# r10 operators (landed early, each with a full oracle, three hostile-SF
+# sweep rows, and a Python brute-force pytest twin — the r9 protocol).
+# Slots 37-50 stay the frozen bench set. After slot 50 the never-checked
+# backlog queues contiguously: sketch_hll_reaggregate (rows-only by
+# design — approximate-sketch reaggregation, exact-twin-gated in pytest;
+# may NOT take a window slot) and text_consonant_runs (the one r10 op the
+# 36-slot window couldn't fit — r11 window candidate). The 34 r9-window
+# greens (3 loop twins + 31 full-oracle rows) rotate to PRIORITY_LAST;
+# the r8 greens previously there fall back to the middle.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # slot 1 — red-refix: the r8 hash-red, JVM-pure rewrite
+    # slots 1-2 — red-refix: decimal-free inertia readout (VERDICT r9 #1)
     "emb_kmeans_lloyd",
-    # slots 2-5 — driver-side bisection twins (VERDICT r8 #2)
-    "emb_km_diag_assign",
-    "emb_km_diag_sizes",
     "emb_km_diag_seed_inertia",
-    "emb_km_diag_centroids",
-    # slots 6-16 — the 11 r8 post-sweep landings (VERDICT r8 #1/#3)
-    "q13_customer_distribution",
-    "stats_spearman_rank_corr",
-    "stats_kendall_daily",
-    "text_mattr_diversity",
-    "dedup_threshold_sweep",
-    "graph_degree_assortativity",
-    "ev_fano_overdispersion",
-    "ev_gap_log2_histogram",
-    "orders_seasonal_index",
-    "drift_priority_mix_tv",
-    "stats_bootstrap_ci",
-    # slots 17-28 — the 12 mid-r8 continuation ops, never driver-checked
-    "stats_ks_two_sample",
-    "stats_mann_whitney_u",
-    "text_bpe_first_merge",
-    "text_heaps_vocab_growth",
-    "emb_energy_prefix",
-    "emb_nearest_centroid_confusion",
-    "corpus_temperature_mix",
-    "ev_stream_static_enrich",
-    "sketch_count_min_deterministic",
-    "emb_pq_distortion",
-    "graph_khop_reach",
-    "emb_random_projection_audit",
-    # slots 29-36 — new in r9 (never driver-checked by definition)
-    "dedup_substring_spans",
-    "sketch_hll_registers",
-    "stats_equidepth_histogram",
-    "stats_runs_test",
-    "text_source_vocab_jaccard",
-    "text_boundary_overlap",
-    "text_rake_keywords",
-    "ts_downsample_lttb",
+    # slots 3-4 — readout split twins: BIGINT sum only / rounding only
+    "emb_km_diag_inertia_q2",
+    "emb_km_diag_inertia_r6",
+    # slots 5-12 — the eight mid-r9 continuation ops, never driver-checked
+    "mm_audio_vad_segments",
+    "emb_mmr_diversified_topk",
+    "dedup_prefix_filter_join",
+    "graph_common_neighbors",
+    "emb_margin_audit",
+    "mm_video_scene_cuts",
+    "orders_seasonal_naive_backtest",
+    "orders_fulfillment_latency_bands",
+    # slots 13-36 — new in r10 (never driver-checked by definition)
+    "dedup_longest_dup_span",
+    "doc_span_decontamination",
+    "text_boilerplate_heads",
+    "sim_lsh_multiprobe",
+    "sim_lsh_multiprobe_candidates",
+    "emb_sign_sketch_agreement",
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "graph_global_transitivity",
+    "graph_degree_histogram",
+    "text_bpe_merge_sequence",
+    "stats_cohens_kappa_langid",
+    "sketch_bloom_fpr_audit",
+    "stats_kruskal_wallis_daily",
+    "text_char_class_profile",
+    "ts_ohlc_candles",
+    "ev_bollinger_breakout",
+    "ev_lifecycle_accounting",
+    "orders_pareto_cumshare",
+    "ev_session_percentiles",
+    "window_topk_with_ties",
+    "mm_payload_byte_histogram",
+    "mm_payload_rle_compress",
+    "mm_chunk_manifest",
     # frozen bench set — a driver row EVERY round:
     "q01_pricing_summary",
     "ev_tumbling_1h",
@@ -121,66 +117,50 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality",
-    # --- beyond slot 50: the driver window ends above. The never-
-    # checked backlog queues here, contiguously after the window
+    # --- beyond slot 50: the never-checked backlog, contiguous
     # (enforced by test_remaining_backlog_queued_right_after_window):
-    # sketch_hll_reaggregate is the ONE rows-only never-checked entry
-    # (inherently engine-specific DataSketches estimates; its exact-twin
-    # pytest plus the full-oracle register twin in slot 30 are its gate).
     "sketch_hll_reaggregate",
-    # Mid-r9 continuation additions — full-oracle, never driver-checked,
-    # queued contiguously behind the window as r10 window candidates
-    # (landed BEFORE the final r9 sweeps; covered by all three
-    # CORRECTNESS_LOCAL_r09 ledgers, pytest, and PLANS_r09).
-    "mm_audio_vad_segments",
-    "emb_mmr_diversified_topk",
-    "dedup_prefix_filter_join",
-    "graph_common_neighbors",
-    "emb_margin_audit",
-    "mm_video_scene_cuts",
-    "orders_seasonal_naive_backtest",
-    "orders_fulfillment_latency_bands",
+    "text_consonant_runs",
 )
 
-# r8-window greens, non-bench — rotate to the tail this round (driver row
-# ≤1 round old; still in every committed local sweep). The middle (not
-# listed here or above) holds the r2-r7 greens in registration order.
+# r9-window greens — rotate to the tail this round (driver row <=1 round
+# old; still in every committed local sweep). The middle (not listed here
+# or above) holds the r2-r8 greens in registration order.
 PRIORITY_LAST: tuple[str, ...] = (
-    "merge_into_semantics",
-    "merge_diag_actions",
-    "merge_diag_revenue_cents",
-    "merge_diag_acctbal_cents",
-    "inv_running_balance_capped",
-    "inv_capacity_clamp",
-    "ev_alert_debounce",
-    "ev_windowed_topk",
-    "audit_key_skew",
-    "ev_cusum_changepoint",
-    "stats_ab_test",
-    "stats_theil_sen",
-    "mm_neardup_hamming",
-    "dedup_canonical_corpus",
-    "orders_backlog_aging",
-    "scd2_as_of_lookup",
-    "supplier_scorecard",
-    "stats_anova_price_brand",
-    "mm_clip_joint_align",
-    "mm_video_keyframe_dedup",
-    "mm_audio_fingerprint_match",
-    "mm_caption_retrieval",
-    "mm_caption_quality_filter",
-    "mm_modality_quota_pack",
-    "mm_asset_ingest_stats",
-    "sim_pq_adc",
-    "text_winnow_fingerprint",
-    "sim_ann_lsh",
-    "sim_ivf",
-    "text_hapax_bigrams",
-    "sample_stratified_quota",
-    "corpus_funnel_stats",
-    "ev_late_data_watermark",
-    "sim_knn_label_vote",
-    "emb_label_centroid_sep",
+    "emb_km_diag_assign",
+    "emb_km_diag_sizes",
+    "emb_km_diag_centroids",
+    "q13_customer_distribution",
+    "stats_spearman_rank_corr",
+    "stats_kendall_daily",
+    "text_mattr_diversity",
+    "dedup_threshold_sweep",
+    "graph_degree_assortativity",
+    "ev_fano_overdispersion",
+    "ev_gap_log2_histogram",
+    "orders_seasonal_index",
+    "drift_priority_mix_tv",
+    "stats_bootstrap_ci",
+    "stats_ks_two_sample",
+    "stats_mann_whitney_u",
+    "text_bpe_first_merge",
+    "text_heaps_vocab_growth",
+    "emb_energy_prefix",
+    "emb_nearest_centroid_confusion",
+    "corpus_temperature_mix",
+    "ev_stream_static_enrich",
+    "sketch_count_min_deterministic",
+    "emb_pq_distortion",
+    "graph_khop_reach",
+    "emb_random_projection_audit",
+    "dedup_substring_spans",
+    "sketch_hll_registers",
+    "stats_equidepth_histogram",
+    "stats_runs_test",
+    "text_source_vocab_jaccard",
+    "text_boundary_overlap",
+    "text_rake_keywords",
+    "ts_downsample_lttb",
 )
 
 
