@@ -66,6 +66,27 @@ def main() -> None:
         except Exception:
             pass
 
+    # Load-average gate (VERDICT r9 #4: the r9 driver bench regressed
+    # +19% uniformly across all 14 queries with inflated spreads — the
+    # machine-load signature — while three solo controls sat at r8
+    # levels). Before the timed passes, wait up to LOAD_WAIT_MAX for the
+    # 1-minute load to drop below the gate, and RECORD the load before
+    # and after the timed passes so the artifact itself says whether a
+    # regression is load or plans.
+    def load1() -> float:
+        try:
+            return float(Path("/proc/loadavg").read_text().split()[0])
+        except Exception:
+            return -1.0
+
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "8.0"))
+    wait_max = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_MAX", "120"))
+    waited = 0.0
+    while load1() > gate and waited < wait_max:
+        time.sleep(5)
+        waited += 5
+    load_start = load1()
+
     # 5 interleaved passes: this box shows stochastic multi-second stalls
     # (observed spreads up to 17s on a 4s query with identical plans and
     # best-times matching prior rounds); a median-of-5 stays clean unless
@@ -94,6 +115,12 @@ def main() -> None:
         for name, xs in samples.items()
     }
     total = round(sum(queries.values()), 3)
+    # best_total is the machine-load-free lower bound: the sum of each
+    # query's best pass. A driver total far above best_total with fat
+    # spreads is load, not plans.
+    best_total = round(
+        sum(min(xs) for xs in samples.values()), 3
+    )
 
     print(
         json.dumps(
@@ -103,6 +130,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "queries_detail": detail,
+                "best_total": best_total,
+                "loadavg_start": load_start,
+                "loadavg_end": load1(),
+                "load_wait_sec": waited,
                 "runs": n_runs,
                 "sf": sf,
             }
