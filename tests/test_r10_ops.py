@@ -920,3 +920,20 @@ def test_chunk_manifest_matches_python_brute(spark):
     assert set(got) == expect_keys
     assert any(ci > 0 for _, ci in expect_keys), (
         "fixture must exercise multi-chunk assets")
+
+
+def test_multiprobe_recall_floor_clustered(spark, tmp_path):
+    """Committed multiprobe defaults must clear recall@10 >= 0.9 on the
+    clustered (realistic) fixture — the same gate the single-probe LSH
+    and IVF defaults carry."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from recall_report import pairs, write_clustered_fixture
+
+    from spark_dba_spark.operators import similarity as S
+
+    cdir = write_clustered_fixture(str(tmp_path))
+    brute = pairs(S.sim_cosine_topk(spark, cdir))
+    got = pairs(S.sim_lsh_multiprobe(spark, cdir))
+    assert len(brute & got) / len(brute) >= 0.9

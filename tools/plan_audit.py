@@ -40,6 +40,19 @@ EXPECT_BROADCAST = {
 # Every other query with a global window is a FINDING: at 100 TB an
 # unbounded global window is a single-task sort of the corpus.
 # (VERDICT r5 "Next round" #6.)
+# Per-query reader notes emitted verbatim into the artifact — for rows
+# whose audited plan is not the production dataflow and would otherwise
+# mislead (VERDICT r9 #6).
+PLAN_NOTES: dict[str, str] = {
+    "emb_km_diag_centroids": (
+        "shows 0 scans because the RESULT is a driver-built "
+        "createDataFrame of the K×D centroid integers — the audited plan "
+        "is the trivial local relation; the production update path (scan "
+        "+ assignment + bounded K×D exchange) executes inside _km_loop "
+        "before the collect and is audited via emb_kmeans_lloyd's row"
+    ),
+}
+
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
     "stats_kruskal_wallis_daily": (
         "global rank over the DAILY (date × event-type) frame — "
@@ -310,6 +323,11 @@ def main() -> int:
             "",
         ]
         lines += [f"- `{n}`: {GLOBAL_WINDOW_BOUNDED[n]}" for n in gw_used]
+        lines.append("")
+    noted = [n for n, _ in rows if n in PLAN_NOTES]
+    if noted:
+        lines += ["## Notes", ""]
+        lines += [f"- `{n}`: {PLAN_NOTES[n]}" for n in noted]
         lines.append("")
     if problems:
         lines.append("## Findings")

@@ -126,6 +126,26 @@ def main() -> int:
         print(f"ivf nprobe={nprobe} recall@{S.TOP_K}={r:.3f}")
     S.IVF_NPROBE = default_nprobe
 
+    # Multi-probe LSH (r10): recall vs table count with the Hamming-1
+    # probe schedule — read against lsh.recall_at_k_by_tables to see the
+    # tables-vs-probes memory tradeoff (multiprobe@T should sit between
+    # single-probe@T and single-probe@~3T).
+    report["lsh_multiprobe"] = {
+        "probes_per_table": S.LSH_PLANES + 1,
+        "default_tables": S.MP_TABLES,
+        "recall_at_k_by_tables": {},
+    }
+    default_mp = S.MP_TABLES
+    for tables in (2, 4, 8):
+        S.MP_TABLES = tables
+        r = len(brute & pairs(S.sim_lsh_multiprobe(spark, args.sf)))
+        r /= len(brute)
+        report["lsh_multiprobe"]["recall_at_k_by_tables"][str(tables)] = (
+            round(r, 4)
+        )
+        print(f"multiprobe tables={tables} recall@{S.TOP_K}={r:.3f}")
+    S.MP_TABLES = default_mp
+
     # Clustered (realistic) fixture: the committed defaults must clear 0.9
     # here — this is the operating point a real corpus sees (VERDICT r5
     # item 4). Same sweep so the curve is comparable to the worst case.
@@ -152,6 +172,19 @@ def main() -> int:
             clustered["ivf_recall_at_k_by_nprobe"][str(nprobe)] = round(r, 4)
             print(f"clustered ivf nprobe={nprobe} recall@{S.TOP_K}={r:.3f}")
         S.IVF_NPROBE = default_nprobe
+        clustered["multiprobe_recall_at_k_by_tables"] = {}
+        for tables in (2, 4, 8):
+            S.MP_TABLES = tables
+            r = len(cbrute & pairs(S.sim_lsh_multiprobe(spark, cdir)))
+            r /= len(cbrute)
+            clustered["multiprobe_recall_at_k_by_tables"][str(tables)] = (
+                round(r, 4)
+            )
+            print(
+                f"clustered multiprobe tables={tables} "
+                f"recall@{S.TOP_K}={r:.3f}"
+            )
+        S.MP_TABLES = default_mp
         report["clustered_fixture"] = clustered
 
     Path(args.out).write_text(json.dumps(report, indent=2))
