@@ -2043,6 +2043,173 @@ def q20_qualified_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q21_waiting_supplier_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), ADAPTED: the
+    fixture lineitem carries no l_commitdate/l_receiptdate (TESTDATA),
+    so "the late supplier" becomes "the SOLE LATEST shipper" — in a
+    finished multi-supplier order, the one supplier whose line carries
+    the order's max shipdate while no other supplier ships that day
+    (everyone else finished earlier → this supplier gated the order).
+    Preserves Q21's full relational shape: fact self-join, EXISTS
+    (another supplier in the order), NOT EXISTS (no co-latest
+    supplier), dimension join, top-20 by (numwait DESC, s_name).
+
+    Plan: the per-order max/supplier-count reduce once on orderkey;
+    the latest-line join re-uses that shuffle key; the status filter
+    semi-joins orders; the supplier dimension broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    m = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max("l_shipdate").alias("mx"),
+            F.count_distinct("l_suppkey").alias("ns"),
+        )
+        .filter(F.col("ns") >= 2)
+    )
+    latest = (
+        li.join(m, "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("mx"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        latest.groupBy("l_orderkey")
+        .agg(F.count("*").alias("nl"))
+        .filter(F.col("nl") == 1)
+        .select("l_orderkey")
+    )
+    waiting = (
+        latest.join(sole, "l_orderkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(
+            F.broadcast(
+                supp.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+            ),
+            "l_suppkey",
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+ORACLE_Q21_ADAPTED = """
+WITH m AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS mx,
+         COUNT(DISTINCT l_suppkey) AS ns
+  FROM lineitem GROUP BY 1),
+latest AS (
+  SELECT DISTINCT li.l_orderkey, li.l_suppkey
+  FROM lineitem li JOIN m ON li.l_orderkey = m.l_orderkey
+  WHERE li.l_shipdate = m.mx AND m.ns >= 2),
+sole AS (
+  SELECT l_orderkey FROM latest GROUP BY 1 HAVING COUNT(*) = 1),
+waiting AS (
+  SELECT latest.l_orderkey, latest.l_suppkey
+  FROM latest JOIN sole USING (l_orderkey)
+  WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_orderkey = latest.l_orderkey
+                  AND o.o_orderstatus = 'F'))
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM waiting JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+def q22_dormant_value_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), ADAPTED: the fixture
+    customer has no c_phone, so the country-code grouping becomes the
+    NATION key — find customers whose account balance beats the
+    average positive balance but who placed no order since 2000-01-01
+    (dormant high-value accounts), rolled up per nation. Preserves
+    Q22's shape: scalar-subquery threshold + anti-join + dimension
+    rollup.
+
+    EXACT threshold: "cents > avg(positive cents)" cross-multiplies to
+    cents·n_pos > total_pos_cents — no float average, so a borderline
+    account cannot flip between engines."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias(
+            "cents"
+        ),
+    )
+    nation = _t(spark, sf_dir, "nation")
+    pos = cust.filter(F.col("cents") > 0).agg(
+        F.sum("cents").cast("long").alias("tot_pos"),
+        F.count("*").cast("long").alias("n_pos"),
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01").cast("timestamp_ntz")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    sel = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("cents") * F.col("n_pos") > F.col("tot_pos"))
+        .join(recent, "c_custkey", "left_anti")
+    )
+    return (
+        sel.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum("cents").cast("long").alias("totacctbal_cents"),
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+        .select("n_name", "numcust", "totacctbal_cents")
+        .orderBy("n_name")
+    )
+
+
+ORACLE_Q22_ADAPTED = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer),
+pos AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS tot_pos,
+         CAST(COUNT(*) AS BIGINT) AS n_pos
+  FROM c WHERE cents > 0),
+sel AS (
+  SELECT c.c_nationkey, c.cents
+  FROM c, pos
+  WHERE c.cents * pos.n_pos > pos.tot_pos
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(cents) AS BIGINT) AS totacctbal_cents
+FROM sel JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 ORACLE_Q20 = f"""
 SELECT s_suppkey, s_name
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -5505,6 +5672,17 @@ SPECS = [
     QuerySpec("q11_important_parts", q11_important_parts, ORACLE_Q11,
               ("agg", "subquery", "tpch"),
               doc="TPC-H Q11-shaped HAVING vs scalar subquery of same agg"),
+    QuerySpec("q21_waiting_supplier_adapted", q21_waiting_supplier_adapted,
+              ORACLE_Q21_ADAPTED, ("tpch", "subquery"),
+              doc="TPC-H Q21 adapted to the fixture (no commit/receipt "
+                  "dates): sole-latest-shipper in finished multi-supplier "
+                  "orders — preserves the EXISTS/NOT-EXISTS fact "
+                  "self-join shape"),
+    QuerySpec("q22_dormant_value_adapted", q22_dormant_value_adapted,
+              ORACLE_Q22_ADAPTED, ("tpch", "subquery"),
+              doc="TPC-H Q22 adapted (no c_phone): above-average-balance "
+                  "customers dormant since 2000 per nation; exact "
+                  "cross-multiplied threshold, anti-join"),
     QuerySpec("q20_qualified_suppliers", q20_qualified_suppliers, ORACLE_Q20,
               ("join", "semi", "subquery", "tpch"),
               doc="TPC-H Q20-shaped chained semi-joins"),

@@ -121,6 +121,10 @@ PRIORITY_FIRST: tuple[str, ...] = (
     # (enforced by test_remaining_backlog_queued_right_after_window):
     "sketch_hll_reaggregate",
     "text_consonant_runs",
+    # mid-r10 continuation ops (landed before the final sweeps; full
+    # local evidence, r11 window candidates)
+    "q21_waiting_supplier_adapted",
+    "q22_dormant_value_adapted",
 )
 
 # r9-window greens — rotate to the tail this round (driver row <=1 round

@@ -937,3 +937,80 @@ def test_multiprobe_recall_floor_clustered(spark, tmp_path):
     brute = pairs(S.sim_cosine_topk(spark, cdir))
     got = pairs(S.sim_lsh_multiprobe(spark, cdir))
     assert len(brute & got) / len(brute) >= 0.9
+
+
+def test_q21_adapted_matches_python_brute(spark):
+    from spark_dba_spark.operators.relational import (
+        q21_waiting_supplier_adapted,
+    )
+
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_orderkey, l_suppkey, l_shipdate FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).fetchall()
+    fin = {k for (k,) in con.execute(
+        f"SELECT o_orderkey FROM read_parquet('{SF_DIR}/orders.parquet') "
+        f"WHERE o_orderstatus = 'F'").fetchall()}
+    snames = dict(con.execute(
+        f"SELECT s_suppkey, s_name FROM "
+        f"read_parquet('{SF_DIR}/supplier.parquet')").fetchall())
+    con.close()
+    per_order: dict = {}
+    for ok, sk, sd in li:
+        per_order.setdefault(ok, []).append((sk, sd))
+    from collections import Counter
+
+    numwait: Counter = Counter()
+    for ok, lines in per_order.items():
+        if ok not in fin:
+            continue
+        supps = {sk for sk, _ in lines}
+        if len(supps) < 2:
+            continue
+        mx = max(sd for _, sd in lines)
+        latest = {sk for sk, sd in lines if sd == mx}
+        if len(latest) == 1:
+            numwait[snames[next(iter(latest))]] += 1
+    expect = sorted(
+        numwait.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    got = [(r["s_name"], r["numwait"]) for r in
+           q21_waiting_supplier_adapted(spark, SF_DIR).collect()]
+    assert got == expect
+    assert len(got) == min(20, len(numwait))
+    assert got, "fixture must produce at least one waiting supplier"
+
+
+def test_q22_adapted_matches_python_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.relational import (
+        q22_dormant_value_adapted,
+    )
+
+    con = duckdb.connect()
+    cust = con.execute(
+        f"SELECT c_custkey, c_nationkey, c_acctbal FROM "
+        f"read_parquet('{SF_DIR}/customer.parquet')").fetchall()
+    recent = {k for (k,) in con.execute(
+        f"SELECT DISTINCT o_custkey FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet') "
+        f"WHERE o_orderdate >= TIMESTAMP '2000-01-01'").fetchall()}
+    nnames = dict(con.execute(
+        f"SELECT n_nationkey, n_name FROM "
+        f"read_parquet('{SF_DIR}/nation.parquet')").fetchall())
+    con.close()
+    cents = {ck: math.floor(b * 100 + 0.5) for ck, _, b in cust}
+    pos = [c for c in cents.values() if c > 0]
+    tot, n = sum(pos), len(pos)
+    agg: dict = {}
+    for ck, nk, _ in cust:
+        if cents[ck] * n > tot and ck not in recent:
+            cnt, s = agg.setdefault(nnames[nk], [0, 0])
+            agg[nnames[nk]][0] += 1
+            agg[nnames[nk]][1] += cents[ck]
+    got = {r["n_name"]: (r["numcust"], r["totacctbal_cents"])
+           for r in q22_dormant_value_adapted(spark, SF_DIR).collect()}
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    assert got, "fixture must select at least one dormant account"
