@@ -1588,13 +1588,23 @@ def mm_payload_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets. Bytes come from hex(payload) pairs (engine-portable, no
     ASCII assumption); the explode is map-side and the rollup is
     (media_type × {BYTE_BANDS})-bounded."""
-    assets = _assets(spark, sf_dir)
+    # repartition ahead of the per-byte fan-out (the one-file scan would
+    # otherwise run the explode as ONE task — ~17M byte rows at sf0.1),
+    # and bind hex(payload) to a column BEFORE the HOF lambda: interpreted
+    # lambdas get no CSE, so an inline hex() re-hexes the payload per byte
+    assets = _assets(spark, sf_dir).repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    ).select(
+        "media_type",
+        F.expr("hex(payload)").alias("hx"),
+        F.octet_length("payload").alias("n"),
+    )
     bands = assets.select(
         "media_type",
         F.explode(
             F.expr(
-                "transform(sequence(1, octet_length(payload)), i -> "
-                "cast(conv(substring(hex(payload), 2 * i - 1, 2), 16, 10)"
+                "transform(sequence(1, n), i -> "
+                "cast(conv(substring(hx, 2 * i - 1, 2), 16, 10)"
                 " as int) div 16)"
             )
         ).alias("band"),

@@ -105,6 +105,32 @@ QUERIES = [
     "mm_video_scene_cuts",       # frame-delta scene islands (r9b new)
     "orders_seasonal_naive_backtest",  # year-shift backtest (r9c new)
     "orders_fulfillment_latency_bands",  # exact latency bands (r9c new)
+    "dedup_longest_dup_span",    # interval-union dup regions (r10 new)
+    "doc_span_decontamination",  # stream-static eval-index hits (r10 new)
+    "text_boilerplate_heads",    # shared-head template detection (r10 new)
+    "sim_lsh_multiprobe",        # Hamming-1 probe ANN ranking (r10 new)
+    "emb_sign_sketch_agreement",  # sign-sketch Hamming calibration (r10 new)
+    "graph_kcore_peel",          # 4-round bounded 2-core peel (r10 new)
+    "graph_label_propagation",   # sync LPA communities (r10 new)
+    "graph_global_transitivity",  # wedges vs triangles (r10 new)
+    "graph_degree_histogram",    # log2 degree bands (r10 new)
+    "text_bpe_merge_sequence",   # 4 unrolled BPE merges (r10 new)
+    "stats_cohens_kappa_langid",  # chance-corrected agreement (r10 new)
+    "sketch_bloom_fpr_audit",    # md5 bloom measured FPR (r10 new)
+    "stats_kruskal_wallis_daily",  # k-group daily rank test (r10 new)
+    "text_char_class_profile",   # char-class accounting (r10 new)
+    "text_consonant_runs",       # consonant-run gibberish probe (r10 new)
+    "ts_ohlc_candles",           # daily OHLC endpoints (r10 new)
+    "ev_bollinger_breakout",     # cross-multiplied 2-sigma bands (r10 new)
+    "ev_lifecycle_accounting",   # weekly growth ledger (r10 new)
+    "orders_pareto_cumshare",    # revenue decile cumshare (r10 new)
+    "ev_session_percentiles",    # bucketed-rank session tails (r10 new)
+    "window_topk_with_ties",     # RANK with-ties cut (r10 new)
+    "mm_payload_byte_histogram",  # hex-pair byte bands (r10 new)
+    "mm_payload_rle_compress",   # adjacent-byte run counts (r10 new)
+    "mm_chunk_manifest",         # multipart chunk ledger (r10 new)
+    "q21_waiting_supplier_adapted",  # sole-latest-shipper Q21 (r10 new)
+    "q22_dormant_value_adapted",  # dormant-value Q22 (r10 new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
@@ -123,6 +149,17 @@ NOTES = {
         "the inverse posture to ts_interpolate_linear: output is "
         "CONSTANT-sized (62 rows at any SF) because downsampling is the "
         "whole point — the collect() measurement is honest here."
+    ),
+    "mm_chunk_manifest": (
+        "output is CORPUS-SIZED by design (one manifest row per "
+        "128-byte chunk: ~1.4k / 14k rows at sf0.01/0.1), so this row "
+        "partly measures driver collect() of the ledger; at 100 TB the "
+        "manifest writes to a sink."
+    ),
+    "doc_span_decontamination": (
+        "output is one row per TRAINING doc (linear in corpus); the "
+        "compute is the map-side fingerprint stream against a "
+        "broadcast eval index."
     ),
 }
 
