@@ -1684,6 +1684,123 @@ def _neardup_graph(spark: SparkSession, sf_dir: str):
     return edges, sym
 
 
+def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency profile in log2 bands — the telemetry
+    the MAX_DF stop-shingle knob is tuned from: how many shingle TYPES
+    sit in each df band, how many postings (doc, shingle) they carry,
+    and how many types the current MAX_DF={MAX_DF} cut prunes. A fat
+    high-df tail means boilerplate shingles are flooding the inverted
+    index (prune harder); an empty one means the cut costs recall for
+    nothing. One distinct + two hash aggs — band-bounded output."""
+    docs = _docs_par(spark, sf_dir)
+    gs = docs.select(
+        "doc_id", F.explode(word_ngrams("text", NGRAM)).alias("sh")
+    ).distinct()
+    df = gs.groupBy("sh").agg(F.count("*").alias("df"))
+    tot = df.agg(F.sum("df").cast("long").alias("n_postings_total"))
+    return (
+        df.groupBy(F.expr("cast(length(bin(df)) as int)").alias("band"))
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum(F.when(F.col("df") > MAX_DF, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pruned"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_shingles",
+            "n_postings",
+            "n_pruned",
+            F.expr(
+                rat_round6_spark("n_postings", "n_postings_total")
+            ).alias("posting_share_r6"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_SHINGLE_DF_PROFILE = f"""
+WITH {_NGRAM_PAIR_CTES},
+df AS (SELECT sh, COUNT(*) AS df FROM gs GROUP BY 1),
+tot AS (SELECT CAST(SUM(df) AS BIGINT) AS n_postings_total FROM df),
+h AS (
+  SELECT CAST(LENGTH(bin(df)) AS INT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(df) AS BIGINT) AS n_postings,
+         CAST(SUM(CASE WHEN df > {MAX_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pruned
+  FROM df GROUP BY 1)
+SELECT band, n_shingles, n_postings, n_pruned,
+       {rat_round6_duck("n_postings", "n_postings_total")}
+         AS posting_share_r6
+FROM h, tot ORDER BY band
+"""
+
+
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component-size distribution in log2 bands (singletons
+    included as size-1 components) — the dedup-run telemetry that says
+    whether the threshold produced a few mega-templates (fat tail: one
+    canonical doc replaces thousands) or mostly pairs. Components via
+    the same O(log n) star contraction as ``dedup_cc_clusters``; the
+    histogram is component-bounded."""
+    docs = catalog.load(spark, sf_dir, "documents").select("doc_id")
+    dup = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cc_components(dup)
+    full = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("comp", F.col("doc_id")).alias("comp"),
+    )
+    sizes = full.groupBy("comp").agg(F.count("*").alias("sz"))
+    tot = docs.agg(F.count("*").cast("long").alias("n_docs_total"))
+    return (
+        sizes.groupBy(F.expr("cast(length(bin(sz)) as int)").alias("band"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.min("sz").cast("long").alias("min_size"),
+            F.max("sz").cast("long").alias("max_size"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_clusters",
+            "n_docs",
+            "min_size",
+            "max_size",
+            F.expr(rat_round6_spark("n_docs", "n_docs_total")).alias(
+                "doc_share_r6"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+def _oracle_cluster_size_histogram() -> str:
+    marker = "SELECT doc_id, component_id,"
+    assert marker in ORACLE_CC, "ORACLE_CC final SELECT reworded"
+    closure = ORACLE_CC.split(marker)[0].rstrip()
+    return f"""{closure},
+allc AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS comp
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN comp c ON c.doc_id = d.doc_id),
+sizes AS (SELECT comp, COUNT(*) AS sz FROM allc GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total FROM documents),
+h AS (
+  SELECT CAST(LENGTH(bin(sz)) AS INT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(sz) AS BIGINT) AS n_docs,
+         CAST(MIN(sz) AS BIGINT) AS min_size,
+         CAST(MAX(sz) AS BIGINT) AS max_size
+  FROM sizes GROUP BY 1)
+SELECT band, n_clusters, n_docs, min_size, max_size,
+       {rat_round6_duck("n_docs", "n_docs_total")} AS doc_share_r6
+FROM h, tot ORDER BY band"""
+
+
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core peeling on the near-dup graph: {PEEL_ROUNDS}
     synchronous rounds of "remove every node whose CURRENT degree <
@@ -2023,6 +2140,16 @@ SPECS = [
               doc="common-neighbors link prediction on the near-dup "
                   "graph (wedge enumeration, anti-join on existing "
                   "edges, exact neighborhood-Jaccard)"),
+    QuerySpec("dedup_shingle_df_profile", dedup_shingle_df_profile,
+              ORACLE_SHINGLE_DF_PROFILE, ("dedup", "stats", "tuning"),
+              doc="shingle document-frequency log2 profile + MAX_DF "
+                  "prune counts (the stop-shingle knob's telemetry)"),
+    QuerySpec("dedup_cluster_size_histogram", dedup_cluster_size_histogram,
+              _oracle_cluster_size_histogram(),
+              ("dedup", "graph", "stats"),
+              doc="near-dup component-size log2 histogram incl. "
+                  "singletons (mega-template vs pair-dominated "
+                  "threshold readout)"),
     QuerySpec("graph_kcore_peel", graph_kcore_peel, ORACLE_KCORE_PEEL,
               ("dedup", "graph", "iterative"),
               doc="bounded 2-core peeling (4 unrolled synchronous "

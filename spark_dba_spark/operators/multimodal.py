@@ -1589,17 +1589,32 @@ def mm_payload_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII assumption); the explode is map-side and the rollup is
     (media_type × {BYTE_BANDS})-bounded."""
     # repartition ahead of the per-byte fan-out (the one-file scan would
-    # otherwise run the explode as ONE task — ~17M byte rows at sf0.1),
-    # and bind hex(payload) to a column BEFORE the HOF lambda: interpreted
-    # lambdas get no CSE, so an inline hex() re-hexes the payload per byte
+    # otherwise run the explode as ONE task — ~17M byte rows at sf0.1)
     assets = _assets(spark, sf_dir).repartition(
         max(spark.sparkContext.defaultParallelism, 16), "doc_id"
-    ).select(
+    )
+    bands = payload_byte_bands(assets)
+    tot = bands.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    per_band = bands.groupBy("media_type", "band").agg(
+        F.count("*").cast("long").alias("n_bytes")
+    )
+    return assemble_byte_histogram(per_band, tot)
+
+
+def payload_byte_bands(assets: DataFrame) -> DataFrame:
+    """One (media_type, band) row per payload byte — shared by the batch
+    histogram and streaming/jobs.run_byte_histogram_stream so both
+    surfaces band the identical bytes. hex(payload) is bound to a
+    column BEFORE the HOF lambda: interpreted lambdas get no CSE, so an
+    inline hex() would re-hex the payload per byte."""
+    withhx = assets.select(
         "media_type",
         F.expr("hex(payload)").alias("hx"),
         F.octet_length("payload").alias("n"),
     )
-    bands = assets.select(
+    return withhx.select(
         "media_type",
         F.explode(
             F.expr(
@@ -1609,17 +1624,18 @@ def mm_payload_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     )
-    tot = bands.groupBy("media_type").agg(
-        F.count("*").cast("long").alias("n_total")
-    )
+
+
+def assemble_byte_histogram(per_band: DataFrame, tot: DataFrame) -> DataFrame:
+    """Final histogram projection (shared batch/stream column contract):
+    per-band byte counts joined to per-type totals, exact-rational
+    share."""
     return (
-        bands.groupBy("media_type", "band")
-        .agg(F.count("*").cast("long").alias("n_bytes"))
-        .join(F.broadcast(tot), "media_type")
+        per_band.join(F.broadcast(tot), "media_type")
         .select(
             "media_type",
             F.col("band").cast("int").alias("band"),
-            "n_bytes",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
             F.expr(rat_round6_spark("n_bytes", "n_total")).alias(
                 "byte_share_r6"
             ),

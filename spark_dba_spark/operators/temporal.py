@@ -3640,6 +3640,150 @@ FROM s
 # Kendall tau-a over the daily order-volume / revenue series
 # --------------------------------------------------------------------------
 
+RFM_SPLIT = "1998-01-01"  # half boundary of the 1995-2001 order span
+
+
+def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment MIGRATION matrix between the two halves of
+    the order history (split at {RFM_SPLIT}): per half a customer is
+    'hi' (revenue above that half's per-customer mean), 'lo' (active
+    below mean) or 'none' (no orders in that half); the 3×3 matrix of
+    (segment_h1 → segment_h2) counts is the churn/upgrade ledger a
+    retention program reads. The mean threshold is EXACT — cents·n_half
+    > total_half cross-multiplies the comparison, so no float average
+    can flip a borderline account between engines. Universe = the
+    customer dimension (so 'none'→'none' is well-defined).
+
+    Scale: two per-customer rollups (one shuffle each on custkey), two
+    1-row threshold frames broadcast, one dimension join — matrix-sized
+    output."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    cust = catalog.load(spark, sf_dir, "customer").select("c_custkey")
+    split = F.lit(RFM_SPLIT).cast("timestamp_ntz")
+
+    def half(df, label):
+        per = df.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("cents")
+        )
+        thr = per.agg(
+            F.sum("cents").cast("long").alias("tot"),
+            F.count("*").cast("long").alias("n"),
+        )
+        return per.crossJoin(F.broadcast(thr)).select(
+            "c_custkey",
+            F.when(
+                F.col("cents") * F.col("n") > F.col("tot"), F.lit("hi")
+            )
+            .otherwise(F.lit("lo"))
+            .alias(label),
+        )
+
+    h1 = half(orders.filter(F.col("o_orderdate") < split), "seg_from")
+    h2 = half(orders.filter(F.col("o_orderdate") >= split), "seg_to")
+    uni = cust.agg(F.count("*").cast("long").alias("n_universe"))
+    return (
+        cust.join(h1, "c_custkey", "left")
+        .join(h2, "c_custkey", "left")
+        .select(
+            F.coalesce("seg_from", F.lit("none")).alias("seg_from"),
+            F.coalesce("seg_to", F.lit("none")).alias("seg_to"),
+        )
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .crossJoin(F.broadcast(uni))
+        .select(
+            "seg_from",
+            "seg_to",
+            "n_customers",
+            F.expr(rat_round6_spark("n_customers", "n_universe")).alias(
+                "share_r6"
+            ),
+        )
+        .orderBy("seg_from", "seg_to")
+    )
+
+
+ORACLE_RFM_MIGRATION = f"""
+WITH h1p AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{RFM_SPLIT} 00:00:00'
+  GROUP BY 1),
+h1t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS n FROM h1p),
+h1 AS (SELECT c_custkey,
+              CASE WHEN cents * n > tot THEN 'hi' ELSE 'lo' END AS seg_from
+       FROM h1p, h1t),
+h2p AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{RFM_SPLIT} 00:00:00'
+  GROUP BY 1),
+h2t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS n FROM h2p),
+h2 AS (SELECT c_custkey,
+              CASE WHEN cents * n > tot THEN 'hi' ELSE 'lo' END AS seg_to
+       FROM h2p, h2t),
+uni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_universe FROM customer),
+m AS (
+  SELECT COALESCE(h1.seg_from, 'none') AS seg_from,
+         COALESCE(h2.seg_to, 'none') AS seg_to,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM customer c
+  LEFT JOIN h1 ON h1.c_custkey = c.c_custkey
+  LEFT JOIN h2 ON h2.c_custkey = c.c_custkey
+  GROUP BY 1, 2)
+SELECT seg_from, seg_to, n_customers,
+       {rat_round6_duck("n_customers", "n_universe")} AS share_r6
+FROM m, uni ORDER BY seg_from, seg_to
+"""
+
+
+def ev_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day traffic profile per event type: counts and the
+    within-type share for each of the 24 hours — the diurnal shape a
+    capacity plan / anomaly baseline reads (and the grouping twin of
+    ev_hourly_active_users, which counts users, not events). One hash
+    agg on the (type, hour) pair; 24×types-bounded output; hours come
+    from the timezone-free NTZ timestamps so the profile cannot shift
+    under a session timezone."""
+    ev = catalog.load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(F.count("*").cast("long").alias("n"))
+    tot = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_type")
+    )
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.expr(rat_round6_spark("n", "n_type")).alias("share_r6"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+ORACLE_HOUR_PROFILE = f"""
+WITH c AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type
+      FROM c GROUP BY 1)
+SELECT c.event_type, c.hour, c.n,
+       {rat_round6_duck("c.n", "t.n_type")} AS share_r6
+FROM c JOIN t USING (event_type)
+ORDER BY event_type, hour
+"""
+
+
 def ts_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC candles over the event value stream — the canonical
     time-series downsample for dashboards and feature windows: per
@@ -5527,6 +5671,15 @@ SPECS = [
               doc="exact Kruskal-Wallis H across event types over daily "
                   "cents sums (distinct-rank md5 tiebreak, one cleared "
                   "integer fraction, q/rem split rounding)"),
+    QuerySpec("orders_rfm_migration", orders_rfm_migration,
+              ORACLE_RFM_MIGRATION, ("temporal", "growth", "revenue"),
+              doc="hi/lo/none value-segment migration matrix between "
+                  "order-history halves (exact cross-multiplied mean "
+                  "thresholds, customer-dimension universe)"),
+    QuerySpec("ev_hour_of_day_profile", ev_hour_of_day_profile,
+              ORACLE_HOUR_PROFILE, ("temporal", "profile"),
+              doc="hour-of-day event counts + within-type share (24 x "
+                  "types bounded, NTZ-safe diurnal profile)"),
     QuerySpec("ts_ohlc_candles", ts_ohlc_candles, ORACLE_OHLC,
               ("temporal", "timeseries"),
               doc="daily OHLC candles in BIGINT cents; open/close by the "

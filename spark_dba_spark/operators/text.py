@@ -3537,6 +3537,82 @@ FROM agg ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer OOV planning)
+# --------------------------------------------------------------------------
+
+COVERAGE_KS = (1, 2, 4, 8, 16, 32)
+
+
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary coverage: what share of all token OCCURRENCES do
+    the k most frequent word types cover, for k ∈ {COVERAGE_KS}? The
+    curve a tokenizer/vocab budget is planned from (the complement is
+    the OOV rate a k-word vocab would eat). Ranking is (count DESC,
+    word ASC) — a total order, so every cut is deterministic.
+
+    Scale: the word rollup is one vocabulary-keyed hash agg; the top-32
+    cut is a TakeOrderedAndProject (no global window over the
+    vocabulary) and the running sum runs over that ≤32-row frame."""
+    wc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = wc.agg(F.sum("c").cast("long").alias("total_occurrences"))
+    top = (
+        wc.orderBy(F.desc("c"), F.asc("w"))
+        .limit(max(COVERAGE_KS))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.desc("c"), F.asc("w"))),
+        )
+    )
+    run = top.withColumn(
+        "covered",
+        F.sum("c").over(
+            W.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        run.filter(F.col("rn").isin(*COVERAGE_KS))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rn").cast("int").alias("k"),
+            F.col("covered").cast("long").alias("covered_occurrences"),
+            "total_occurrences",
+            F.expr(
+                rat_round6_spark("covered", "total_occurrences")
+            ).alias("coverage_r6"),
+        )
+        .orderBy("k")
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH wc AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_occurrences FROM wc),
+r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn FROM wc),
+run AS (
+  SELECT rn, CAST(SUM(c) OVER (ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS covered
+  FROM r WHERE rn <= {max(COVERAGE_KS)})
+SELECT CAST(rn AS INT) AS k, covered AS covered_occurrences,
+       total_occurrences,
+       {rat_round6_duck("covered", "total_occurrences")} AS coverage_r6
+FROM run, tot
+WHERE rn IN {COVERAGE_KS}
+ORDER BY k
+"""
+
+
+# --------------------------------------------------------------------------
 # Character-class profile per source
 # --------------------------------------------------------------------------
 
@@ -4026,6 +4102,11 @@ FROM nm, agg, nb
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
+    QuerySpec("text_vocab_coverage_curve", text_vocab_coverage_curve,
+              ORACLE_VOCAB_COVERAGE, ("text", "tokenizer", "curation"),
+              doc="top-k vocabulary occurrence coverage (OOV-rate "
+                  "planning curve; TakeOrdered cut + 32-row running "
+                  "sum)"),
     QuerySpec("text_char_class_profile", text_char_class_profile,
               ORACLE_CHAR_CLASS_PROFILE, ("text", "quality", "stats"),
               doc="per-source character-class accounting (vowel/"

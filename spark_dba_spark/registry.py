@@ -125,6 +125,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
     # local evidence, r11 window candidates)
     "q21_waiting_supplier_adapted",
     "q22_dormant_value_adapted",
+    "text_vocab_coverage_curve",
+    "dedup_shingle_df_profile",
+    "dedup_cluster_size_histogram",
+    "orders_rfm_migration",
+    "ev_hour_of_day_profile",
 )
 
 # r9-window greens — rotate to the tail this round (driver row <=1 round

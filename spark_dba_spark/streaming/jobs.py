@@ -487,6 +487,58 @@ def run_span_decon_stream(
     return spark.table(query_name)
 
 
+def run_byte_histogram_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "byte_hist_stream"
+) -> DataFrame:
+    """Streaming twin of ``operators.multimodal.mm_payload_byte_histogram``:
+    assets arrive as a file stream, every payload byte is banded by the
+    SHARED ``payload_byte_bands`` projection, and two complete-mode
+    aggregations (per-(type, band) counts + per-type totals — one query
+    cannot host both grains, the asset-ingest-stream precedent)
+    materialize to memory sinks; the final share assembly reuses the
+    batch column contract (``assemble_byte_histogram``), so the DuckDB
+    oracle gating the batch form transitively gates this stream.
+    stream == batch is pinned by
+    tests/test_streaming.py::test_byte_histogram_stream_equals_batch."""
+    from ..operators.multimodal import (
+        assemble_byte_histogram,
+        payload_byte_bands,
+        project_assets,
+    )
+
+    def _bands() -> DataFrame:
+        return payload_byte_bands(
+            project_assets(stream_documents(spark, sf_dir))
+        )
+
+    per_band = (
+        _bands()
+        .groupBy("media_type", "band")
+        .agg(F.count("*").cast("long").alias("n_bytes"))
+        .writeStream.format("memory")
+        .queryName(f"{query_name}_bands")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    totals = (
+        _bands()
+        .groupBy("media_type")
+        .agg(F.count("*").cast("long").alias("n_total"))
+        .writeStream.format("memory")
+        .queryName(f"{query_name}_tot")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    per_band.awaitTermination()
+    totals.awaitTermination()
+    return assemble_byte_histogram(
+        spark.table(f"{query_name}_bands"),
+        spark.table(f"{query_name}_tot"),
+    )
+
+
 def run_corpus_funnel_stream(
     spark: SparkSession, sf_dir: str, query_name: str = "corpus_funnel_stream"
 ) -> DataFrame:

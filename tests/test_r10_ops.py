@@ -1014,3 +1014,172 @@ def test_q22_adapted_matches_python_brute(spark):
            for r in q22_dormant_value_adapted(spark, SF_DIR).collect()}
     assert got == {k: tuple(v) for k, v in agg.items()}
     assert got, "fixture must select at least one dormant account"
+
+
+def test_vocab_coverage_matches_python_brute(spark):
+    from collections import Counter
+
+    from spark_dba_spark.operators.text import (
+        COVERAGE_KS,
+        text_vocab_coverage_curve,
+    )
+
+    wc: Counter = Counter()
+    for _, text, _ in _docs_rows():
+        for w in text.split(" "):
+            if w:
+                wc[w] += 1
+    ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(wc.values())
+    got = {r["k"]: r for r in
+           text_vocab_coverage_curve(spark, SF_DIR).collect()}
+    expect_ks = [k for k in COVERAGE_KS if k <= len(ranked)]
+    assert sorted(got) == expect_ks
+    for k in expect_ks:
+        cov = sum(c for _, c in ranked[:k])
+        r = got[k]
+        assert (r["covered_occurrences"], r["total_occurrences"]) == (
+            cov, total)
+        assert r["coverage_r6"] == _r6(cov, total)
+    covs = [got[k]["covered_occurrences"] for k in expect_ks]
+    assert covs == sorted(covs), "coverage must be monotone in k"
+
+
+def test_shingle_df_profile_matches_python_brute(spark):
+    from collections import Counter
+
+    from spark_dba_spark.operators.dedup import (
+        MAX_DF,
+        NGRAM,
+        dedup_shingle_df_profile,
+    )
+
+    df: Counter = Counter()
+    for doc_id, text, _ in _docs_rows():
+        ws = text.split(" ")
+        if len(ws) >= NGRAM:
+            sh = {" ".join(ws[i:i + NGRAM])
+                  for i in range(len(ws) - NGRAM + 1)}
+        else:
+            sh = {text}
+        for s in sh:
+            df[s] += 1
+    bands: dict = {}
+    total_postings = sum(df.values())
+    for d in df.values():
+        b = d.bit_length()
+        n, p, pr = bands.setdefault(b, [0, 0, 0])
+        bands[b][0] += 1
+        bands[b][1] += d
+        bands[b][2] += 1 if d > MAX_DF else 0
+    got = {r["band"]: r for r in
+           dedup_shingle_df_profile(spark, SF_DIR).collect()}
+    assert set(got) == set(bands)
+    for b, (n, p, pr) in bands.items():
+        r = got[b]
+        assert (r["n_shingles"], r["n_postings"], r["n_pruned"]) == (
+            n, p, pr)
+        assert r["posting_share_r6"] == _r6(p, total_postings)
+
+
+def test_cluster_size_histogram_matches_python_brute(spark):
+    from spark_dba_spark.operators.dedup import (
+        dedup_cluster_size_histogram,
+    )
+
+    edges, adj = _neardup_graph_brute(spark)
+    all_docs = {d for d, _, _ in _docs_rows()}
+    seen: set = set()
+    comp_sizes = []
+    for start in adj:
+        if start in seen:
+            continue
+        stack, comp = [start], set()
+        while stack:
+            n = stack.pop()
+            if n in comp:
+                continue
+            comp.add(n)
+            stack.extend(adj[n] - comp)
+        seen |= comp
+        comp_sizes.append(len(comp))
+    comp_sizes.extend([1] * len(all_docs - set(adj)))
+    bands: dict = {}
+    for sz in comp_sizes:
+        b = sz.bit_length()
+        e = bands.setdefault(b, [0, 0, sz, sz])
+        bands[b][0] += 1
+        bands[b][1] += sz
+        bands[b][2] = min(bands[b][2], sz)
+        bands[b][3] = max(bands[b][3], sz)
+    got = {r["band"]: r for r in
+           dedup_cluster_size_histogram(spark, SF_DIR).collect()}
+    assert set(got) == set(bands)
+    for b, (nc, nd, lo, hi) in bands.items():
+        r = got[b]
+        assert (r["n_clusters"], r["n_docs"], r["min_size"],
+                r["max_size"]) == (nc, nd, lo, hi)
+        assert r["doc_share_r6"] == _r6(nd, len(all_docs))
+    assert sum(v[1] for v in bands.values()) == len(all_docs)
+
+
+def test_rfm_migration_matches_python_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.temporal import (
+        RFM_SPLIT,
+        orders_rfm_migration,
+    )
+
+    con = duckdb.connect()
+    orders = con.execute(
+        f"SELECT o_custkey, o_totalprice, "
+        f"o_orderdate < TIMESTAMP '{RFM_SPLIT}' FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')").fetchall()
+    custs = [k for (k,) in con.execute(
+        f"SELECT c_custkey FROM "
+        f"read_parquet('{SF_DIR}/customer.parquet')").fetchall()]
+    con.close()
+
+    def seg(half):
+        per: dict = {}
+        for ck, tp, is_h1 in orders:
+            if is_h1 == half:
+                per[ck] = per.get(ck, 0) + math.floor(tp * 100 + 0.5)
+        tot, n = sum(per.values()), len(per)
+        return {ck: ("hi" if c * n > tot else "lo")
+                for ck, c in per.items()}
+
+    s1, s2 = seg(True), seg(False)
+    mat: dict = {}
+    for ck in custs:
+        key = (s1.get(ck, "none"), s2.get(ck, "none"))
+        mat[key] = mat.get(key, 0) + 1
+    got = {(r["seg_from"], r["seg_to"]): r for r in
+           orders_rfm_migration(spark, SF_DIR).collect()}
+    assert {k: v["n_customers"] for k, v in got.items()} == mat
+    for k, r in got.items():
+        assert r["share_r6"] == _r6(mat[k], len(custs))
+    assert sum(mat.values()) == len(custs)
+
+
+def test_hour_profile_matches_python_brute(spark):
+    from spark_dba_spark.operators.temporal import ev_hour_of_day_profile
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')").fetchall()
+    con.close()
+    agg: dict = {}
+    tot: dict = {}
+    for et, h in rows:
+        agg[(et, h)] = agg.get((et, h), 0) + 1
+        tot[et] = tot.get(et, 0) + 1
+    got = {(r["event_type"], r["hour"]): r for r in
+           ev_hour_of_day_profile(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for (et, h), n in agg.items():
+        r = got[(et, h)]
+        assert r["n"] == n
+        assert r["share_r6"] == _r6(n, tot[et])

@@ -247,6 +247,27 @@ def test_span_decon_stream_equals_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_byte_histogram_stream_equals_batch(spark):
+    """The streaming byte-band histogram (shared banding projection,
+    two complete-mode grains, shared share assembly) equals the batch
+    op row-for-row."""
+    from spark_dba_spark.operators.multimodal import (
+        mm_payload_byte_histogram,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_byte_histogram_stream(
+            spark, SF_DIR, "t_byte_hist"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in mm_payload_byte_histogram(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_corpus_funnel_stream_equals_batch(spark):
     """The streaming ingest funnel (raw → gated → unique per source)
     equals the batch twin row-for-row — including the exact-rational

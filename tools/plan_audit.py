@@ -88,6 +88,11 @@ GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
         "construction (one per bootstrap replica), fact stream never "
         "enters the window"
     ),
+    "text_vocab_coverage_curve": (
+        "rank + running sum over the TOP-32 frame (a TakeOrdered cut — "
+        "<=32 rows by construction); the vocabulary itself never enters "
+        "a window"
+    ),
     "skyline_price_size": (
         "running-min over the per-size min-price frame: ≤|distinct "
         "p_size| rows (~50), fact table never enters the window"
