@@ -131,6 +131,11 @@ QUERIES = [
     "mm_chunk_manifest",         # multipart chunk ledger (r10 new)
     "q21_waiting_supplier_adapted",  # sole-latest-shipper Q21 (r10 new)
     "q22_dormant_value_adapted",  # dormant-value Q22 (r10 new)
+    "text_vocab_coverage_curve",  # top-k occurrence coverage (r10b new)
+    "dedup_shingle_df_profile",  # shingle DF prune telemetry (r10b new)
+    "dedup_cluster_size_histogram",  # CC size bands (r10b new)
+    "orders_rfm_migration",      # segment migration matrix (r10b new)
+    "ev_hour_of_day_profile",    # diurnal type profile (r10b new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
