@@ -1183,3 +1183,97 @@ def test_hour_profile_matches_python_brute(spark):
         r = got[(et, h)]
         assert r["n"] == n
         assert r["share_r6"] == _r6(n, tot[et])
+
+
+def test_doc_family_parity_on_synthetic_corpus(spark, tmp_path):
+    """Oracle↔builder parity on NON-FIXTURE data (the r9 kmeans-family
+    precedent): a seeded synthetic documents table with DELIBERATE
+    structure the fixture only has by accident — a 10-doc shared
+    15-token span, an 8-doc shared opening block, two near-dup clusters
+    (tail-edit copies), train docs contaminated with eval spans, and
+    short (<SPAN_W tokens) docs — run through the full check_oracle
+    comparator for the r10 document-family operators. Guards against
+    fixture-shape overfit in either side of each pair."""
+    import random
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "tools")
+    from check_oracle import compare
+
+    from spark_dba_spark import registry
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(40)]
+
+    def words(n):
+        return [rng.choice(vocab) for _ in range(n)]
+
+    texts = []
+    shared_span = words(15)
+    base_a = words(25)
+    base_b = words(30)
+    head = ["open", "block"]
+    for i in range(80):
+        if i % 10 == 0:
+            # eval slice: half carry spans that also land in train docs
+            t = words(8) + (shared_span if i % 20 == 0 else words(14))
+        elif i < 12:
+            t = words(5) + shared_span + words(rng.randint(3, 10))
+        elif i < 20:
+            t = head + words(rng.randint(12, 20))
+        elif i < 26:
+            t = base_a + [rng.choice(vocab)]  # near-dup cluster A
+        elif i < 29:
+            t = base_b + [rng.choice(vocab)]  # near-dup cluster B
+        elif i < 34:
+            t = words(rng.randint(3, 9))  # short docs: 0-window path
+        else:
+            t = words(rng.randint(15, 60))
+        texts.append(" ".join(t))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(80), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 80),
+            "source": pa.array([f"s{i % 5}" for i in range(80)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    specs = registry.all_specs()
+    for name in (
+        "dedup_longest_dup_span",
+        "text_boilerplate_heads",
+        "doc_span_decontamination",
+        "dedup_shingle_df_profile",
+        "dedup_cluster_size_histogram",
+        "graph_kcore_peel",
+        "graph_label_propagation",
+        "graph_global_transitivity",
+        "graph_degree_histogram",
+        "text_bpe_merge_sequence",
+        "text_vocab_coverage_curve",
+        "text_char_class_profile",
+        "text_consonant_runs",
+    ):
+        ok, msg = compare(name, spark, con, specs[name], str(tmp_path))
+        assert ok, f"{name}: {msg}"
+    con.close()
+    # the synthetic structure must actually fire the interesting paths
+    from spark_dba_spark.operators.dedup import dedup_ngram_jaccard
+    from spark_dba_spark.operators.text import dedup_longest_dup_span
+
+    spans = {r["doc_id"]: r["max_dup_span"]
+             for r in dedup_longest_dup_span(spark, str(tmp_path)).collect()}
+    assert max(spans.values()) >= 15, "shared span must be detected"
+    assert dedup_ngram_jaccard(spark, str(tmp_path)).count() >= 10, (
+        "near-dup clusters must produce edges"
+    )
