@@ -1277,3 +1277,100 @@ def test_doc_family_parity_on_synthetic_corpus(spark, tmp_path):
     assert dedup_ngram_jaccard(spark, str(tmp_path)).count() >= 10, (
         "near-dup clusters must produce edges"
     )
+
+
+def test_temporal_family_parity_on_synthetic_events(spark, tmp_path):
+    """Oracle↔builder parity on NON-FIXTURE events: a seeded synthetic
+    stream with deliberate temporal structure the fixture lacks —
+    engineered churn/resurrection (users active in disjoint week sets),
+    a 40x value-spike day (a guaranteed Bollinger breakout), heavy
+    same-microsecond timestamp ties (endpoint-order stress), and a
+    skewed diurnal profile — through the full oracle comparator for the
+    r10 temporal operators."""
+    import datetime
+    import random
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "tools")
+    from check_oracle import compare
+
+    from spark_dba_spark import registry
+
+    rng = random.Random(73)
+    base = datetime.datetime(2024, 3, 4)  # a Monday
+    rows = []
+    eid = 0
+    types = ["click", "view", "purchase", "error", "signup"]
+    for day in range(28):
+        spike = 40.0 if day == 20 else 1.0
+        for _ in range(120):
+            uid = rng.randint(0, 39)
+            # engineered lifecycle: users 30-39 only in weeks 0 and 3
+            # (churn then resurrect); users 20-29 only weeks 1-2
+            wk = day // 7
+            if 30 <= uid <= 39 and wk in (1, 2):
+                uid -= 30
+            if 20 <= uid <= 29 and wk in (0, 3):
+                uid -= 20
+            # skewed diurnal shape + same-microsecond tie pockets
+            hour = rng.choice([9, 9, 9, 13, 13, 20, rng.randint(0, 23)])
+            us = rng.randint(0, 59) if rng.random() < 0.3 else (
+                rng.randint(0, 59_999_999)
+            )
+            ts = base + datetime.timedelta(
+                days=day, hours=hour, minutes=rng.randint(0, 59),
+                microseconds=us,
+            )
+            rows.append(
+                (eid, ts, uid, rng.choice(types),
+                 round(rng.uniform(0, 200) * spike, 3), "{}")
+            )
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    specs = registry.all_specs()
+    for name in (
+        "ts_ohlc_candles",
+        "ev_bollinger_breakout",
+        "ev_lifecycle_accounting",
+        "ev_session_percentiles",
+        "stats_kruskal_wallis_daily",
+        "ev_hour_of_day_profile",
+    ):
+        ok, msg = compare(name, spark, con, specs[name], str(tmp_path))
+        assert ok, f"{name}: {msg}"
+    con.close()
+    # the engineered structure must actually fire the interesting paths
+    from spark_dba_spark.operators.temporal import (
+        ev_bollinger_breakout,
+        ev_lifecycle_accounting,
+    )
+
+    breaks = [r["breakout"] for r in
+              ev_bollinger_breakout(spark, str(tmp_path)).collect()]
+    assert 1 in breaks, "the spike day must register an up-breakout"
+    life = ev_lifecycle_accounting(spark, str(tmp_path)).collect()
+    assert any(r["n_resurrected"] > 0 for r in life), (
+        "engineered resurrection must appear"
+    )
+    assert any(r["n_churned_in"] > 0 for r in life), (
+        "engineered churn must appear"
+    )
