@@ -1810,26 +1810,38 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     node, the round it was peeled (0 = survived all rounds) and its
     degree in the surviving core.
 
+    A node whose neighbors are all peeled in one round becomes isolated
+    (degree 0 — absent from the next round's degree table entirely), so
+    each round removes every still-alive node NOT among the deg ≥ K
+    survivors: both the low-degree nodes and the isolated-by-peeling
+    ones (ADVICE r10 — a 5-chain's middle node is not in the 2-core and
+    must peel in round 2, not survive with core_degree 0).
+
     Scale: each round is one degree agg + two anti-joins on the BOUNDED
     dup-edge set (localCheckpointed once); rounds are a fixed unrolled
     constant, the kmeans-loop convention, so lineage stays bounded."""
     _, sym = _neardup_graph(spark, sf_dir)
     all_nodes = sym.select(F.col("doc_a").alias("doc_id")).distinct()
     cur = sym
+    alive = all_nodes.localCheckpoint(eager=True)
     removed = None
     for rnd in range(1, PEEL_ROUNDS + 1):
         deg = cur.groupBy(F.col("doc_a").alias("doc_id")).agg(
             F.count("*").alias("deg")
         )
+        keep = deg.filter(F.col("deg") >= K_CORE).select("doc_id")
         # each round's survivors/victims feed BOTH the removed-union and
         # the next round's edge filter — checkpoint the BOUNDED frames
         # (≤ graph nodes / dup edges) or the branched lineage re-executes
         # the whole prefix per branch, doubling work every round
-        rem = deg.filter(F.col("deg") < K_CORE).select(
+        rem = alive.join(keep, "doc_id", "left_anti").select(
             "doc_id", F.lit(rnd).alias("removed_round")
         ).localCheckpoint(eager=True)
         removed = rem if removed is None else removed.union(rem)
         gone = rem.select("doc_id")
+        alive = alive.join(gone, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
         cur = cur.join(
             gone.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti"
         ).join(
@@ -1855,12 +1867,23 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_oracle_ctes() -> str:
-    parts = ["g1 AS MATERIALIZED (SELECT doc_a, doc_b FROM sym)"]
+    # a{r} = nodes still alive entering round r; r{r} = peeled in round r
+    # (alive nodes NOT among the deg >= K survivors — includes nodes
+    # isolated by earlier peeling, which vanish from d{r} entirely)
+    parts = [
+        "g1 AS MATERIALIZED (SELECT doc_a, doc_b FROM sym)",
+        "a1 AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id FROM sym)",
+    ]
     for r in range(1, PEEL_ROUNDS + 1):
         parts.append(
             f"""d{r} AS MATERIALIZED (
   SELECT doc_a AS doc_id, COUNT(*) AS deg FROM g{r} GROUP BY 1),
-r{r} AS MATERIALIZED (SELECT doc_id FROM d{r} WHERE deg < {K_CORE}),
+r{r} AS MATERIALIZED (
+  SELECT doc_id FROM a{r}
+  WHERE doc_id NOT IN (SELECT doc_id FROM d{r} WHERE deg >= {K_CORE})),
+a{r + 1} AS MATERIALIZED (
+  SELECT doc_id FROM a{r}
+  WHERE doc_id NOT IN (SELECT doc_id FROM r{r})),
 g{r + 1} AS MATERIALIZED (
   SELECT * FROM g{r}
   WHERE doc_a NOT IN (SELECT doc_id FROM r{r})

@@ -1614,7 +1614,11 @@ def payload_byte_bands(assets: DataFrame) -> DataFrame:
         F.expr("hex(payload)").alias("hx"),
         F.octet_length("payload").alias("n"),
     )
-    return withhx.select(
+    # n >= 1 guard: Spark sequence(1, 0) DESCENDS [1, 0] (two bogus band
+    # rows per empty payload) while DuckDB generate_series(1, 0) is
+    # empty — not triggered by the fixture (no empty documents) but a
+    # real divergence on corpora with empty assets (ADVICE r10).
+    return withhx.filter(F.col("n") >= 1).select(
         "media_type",
         F.explode(
             F.expr(
@@ -1747,21 +1751,28 @@ def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges and emit one manifest row per chunk (offset, size, md5) —
     the multipart-upload/shard ledger an object-store ingest writes
     before moving blobs, and the unit a resumable transfer
-    de-duplicates on. Chunk hashes are md5 over the byte slice
-    (payloads are synthesized from utf-8 text, so the slice is taken on
-    the string — identical bytes on both engines); the explode is
-    map-side with ceil(n/{CHUNK_BYTES}) rows per asset."""
+    de-duplicates on. Chunk hashes are md5 over the HEX encoding of the
+    byte range — sliced on hex(payload) pairs like the byte-histogram/
+    RLE ops, so the hashed slice corresponds to the declared
+    offset/nbytes byte range on ANY payload, not just ASCII (a
+    character-based substring of cast(payload as string) drifts off the
+    byte grid on multi-byte codepoints — ADVICE r10). The n >= 1 filter
+    guards the empty-payload fan-out: Spark's (n-1) div {CHUNK_BYTES}
+    truncates -1 div {CHUNK_BYTES} to 0 (one bogus chunk) where DuckDB's
+    // floors to -1 (no row). The explode is map-side with
+    ceil(n/{CHUNK_BYTES}) rows per asset."""
     assets = _assets(spark, sf_dir).select(
         "doc_id",
         "media_type",
-        F.expr("cast(payload as string)").alias("txt"),
+        F.expr("hex(payload)").alias("hx"),
         F.octet_length("payload").alias("n"),
     )
     return (
-        assets.select(
+        assets.filter(F.col("n") >= 1)
+        .select(
             "doc_id",
             "media_type",
-            "txt",
+            "hx",
             "n",
             F.explode(
                 F.expr(f"sequence(0, (n - 1) div {CHUNK_BYTES})")
@@ -1782,8 +1793,8 @@ def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nbytes"),
             F.md5(
                 F.expr(
-                    f"substring(txt, chunk_idx * {CHUNK_BYTES} + 1,"
-                    f" {CHUNK_BYTES})"
+                    f"substring(hx, chunk_idx * {2 * CHUNK_BYTES} + 1,"
+                    f" {2 * CHUNK_BYTES})"
                 )
             ).alias("chunk_md5"),
         )
@@ -1797,17 +1808,19 @@ WITH a AS (
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
            AS media_type,
-         text, octet_length(encode(text)) AS n
+         hex(encode(text)) AS hx, octet_length(encode(text)) AS n
   FROM documents),
 c AS (
   SELECT doc_id, media_type, n, i AS chunk_idx
   FROM a, LATERAL unnest(generate_series(0, (n - 1) // {CHUNK_BYTES}))
-       AS u(i))
+       AS u(i)
+  WHERE n >= 1)
 SELECT doc_id, media_type, CAST(chunk_idx AS INT) AS chunk_idx,
        CAST(chunk_idx * {CHUNK_BYTES} AS BIGINT) AS offset,
        CAST(least({CHUNK_BYTES}, n - chunk_idx * {CHUNK_BYTES}) AS BIGINT)
          AS nbytes,
-       md5(substr(a.text, chunk_idx * {CHUNK_BYTES} + 1, {CHUNK_BYTES}))
+       md5(substr(a.hx, chunk_idx * {2 * CHUNK_BYTES} + 1,
+                  {2 * CHUNK_BYTES}))
          AS chunk_md5
 FROM c JOIN a USING (doc_id, media_type, n)
 ORDER BY doc_id, chunk_idx

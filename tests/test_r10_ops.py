@@ -909,14 +909,16 @@ def test_chunk_manifest_matches_python_brute(spark):
         n_chunks = (len(bs) - 1) // CHUNK_BYTES + 1
         for ci in range(n_chunks):
             expect_keys.add((doc_id, ci))
-            chunk = text[ci * CHUNK_BYTES:(ci + 1) * CHUNK_BYTES]
+            # chunk_md5 = md5 of the HEX encoding of the BYTE range
+            # (ADVICE r10: byte-grid slicing, correct on non-ASCII too)
+            chunk = bs[ci * CHUNK_BYTES:(ci + 1) * CHUNK_BYTES]
             r = got[(doc_id, ci)]
             assert r["media_type"] == _media_type(doc_id)
             assert r["offset"] == ci * CHUNK_BYTES
             assert r["nbytes"] == min(
                 CHUNK_BYTES, len(bs) - ci * CHUNK_BYTES)
             assert r["chunk_md5"] == hashlib.md5(
-                chunk.encode("utf-8")).hexdigest()
+                chunk.hex().upper().encode("ascii")).hexdigest()
     assert set(got) == expect_keys
     assert any(ci > 0 for _, ci in expect_keys), (
         "fixture must exercise multi-chunk assets")
