@@ -3221,32 +3221,161 @@ FROM orders GROUP BY 1 ORDER BY bucket
 """
 
 
-def sketch_hll_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup: per-source Apache DataSketches HLL
-    sketches of distinct content hashes, UNIONED into a global estimate —
-    the re-aggregatable distinct-count architecture (build once at the
-    finest grain, roll up without touching raw data again; exact
-    COUNT(DISTINCT) cannot do this). At 100 TB the per-source sketches
-    are a few KB each, so the rollup exchange is constant-size no matter
-    the corpus. Rows-only (estimates are engine-specific);
-    tests/test_llm_ops.py gates the estimates against exact distincts
-    (≤5% error) and pins union-vs-direct-sketch consistency."""
-    docs = catalog.load(spark, sf_dir, "documents")
-    per_src = docs.groupBy("source").agg(
-        F.hll_sketch_agg(F.md5("text")).alias("sk")
-    )
-    per = per_src.select(
-        "source", F.hll_sketch_estimate("sk").alias("est_distinct")
-    )
-    glob = per_src.agg(F.hll_union_agg("sk").alias("u")).select(
-        F.lit("__ALL__").alias("source"),
-        F.hll_sketch_estimate("u").alias("est_distinct"),
-    )
-    return per.unionByName(glob).orderBy("source")
-
-
 HLL_M = 64  # registers (2^6 buckets; 6 low bits of the hash)
 HLL_WBITS = 54  # rank bits: 60-bit md5-derived hash minus 6 bucket bits
+HLL_RCAP = 31  # harmonic-sum readout grid: term = 2^(RCAP - min(reg, RCAP))
+# alpha_64 * m^2, scaled to micro units on the 2^RCAP grid:
+# est_micro = floor(10^6 * (709/1000) * 64^2 * 2^RCAP / S)
+#           = (709 * 4096 * 1000 * 2^RCAP) div S   — fits BIGINT (6.24e18)
+HLL_EST_NUM = 709 * 4096 * 1000 * (1 << HLL_RCAP)
+
+
+def sketch_hll_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup, fully oracle-checkable (VERDICT r10 #4 —
+    the ``sketch_hll_registers`` precedent): DETERMINISTIC-register HLL
+    sketches built once at the finest grain (source × lang), then
+    RE-AGGREGATED without touching raw data — per-bucket MAX merges to
+    per-source and to the global sketch, the property exact
+    COUNT(DISTINCT) fundamentally lacks. At 100 TB each sketch is
+    {HLL_M} registers (~KB), so every rollup exchange is constant-size.
+
+    Every construct is exact on both engines: hash = first 15 md5 hex
+    chars (60-bit int), bucket = 6 low bits, rank rho = {HLL_WBITS + 1}
+    − bit_length(remaining bits) via the bin() idiom. The readout is
+    the raw Flajolet estimator alpha_64·m²/Z (alpha_64 = 0.709, the
+    published m=64 constant) carried in INTEGERS: harmonic_sum
+    S = Σ 2^({HLL_RCAP} − min(reg, {HLL_RCAP})) over all {HLL_M}
+    buckets (empty bucket = 2^{HLL_RCAP}; Z = S·2^−{HLL_RCAP} exactly —
+    the min() clamp only binds for registers > {HLL_RCAP}, i.e. ~2^31
+    distinct per bucket, unreachable below ~10^11 distinct items), and
+    est_micro = HLL_EST_NUM div S — truncation, identical on both
+    engines. n_empty is emitted so a consumer (and the pytest gate) can
+    apply the standard small-range linear-counting correction
+    m·ln(m/V). The engine-native DataSketches path (hll_sketch_agg /
+    hll_union_agg) stays pinned in tests/test_llm_ops.py; this surface
+    is the portable, hash-checkable twin.
+
+    Scale: register MAX is idempotent over duplicate texts, so no
+    pre-dedup pass; one map-side hash + three sketch-sized groupBys
+    (≤ sources×langs×{HLL_M} rows after the first)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    rho = docs.select(
+        "source",
+        "lang",
+        F.expr(
+            "cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    ).select(
+        "source",
+        "lang",
+        (F.col("h") % HLL_M).cast("int").alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    ).select(
+        "source",
+        "lang",
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(HLL_WBITS + 1))
+        .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.expr("bin(w)")))
+        .cast("int")
+        .alias("rho"),
+    )
+    # finest-grain sketch — bounded (sources × langs × HLL_M rows) and
+    # feeding three rollup branches: checkpoint so documents scans once
+    sl = (
+        rho.groupBy("source", "lang", "bucket")
+        .agg(F.max("rho").alias("reg"))
+        .localCheckpoint(eager=True)
+    )
+    fine = sl.select(
+        F.lit("source_lang").alias("grain"),
+        F.concat_ws("|", "source", "lang").alias("grp_key"),
+        "bucket",
+        "reg",
+    )
+    by_src = sl.groupBy("source", "bucket").agg(
+        F.max("reg").alias("reg")
+    ).select(
+        F.lit("source").alias("grain"),
+        F.col("source").alias("grp_key"),
+        "bucket",
+        "reg",
+    )
+    glob = sl.groupBy("bucket").agg(F.max("reg").alias("reg")).select(
+        F.lit("__ALL__").alias("grain"),
+        F.lit("__ALL__").alias("grp_key"),
+        "bucket",
+        "reg",
+    )
+    lvl = fine.unionByName(by_src).unionByName(glob)
+    term = f"shiftleft(cast(1 as bigint), {HLL_RCAP} - least(reg, {HLL_RCAP}))"
+    return (
+        lvl.groupBy("grain", "grp_key")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.expr(f"sum({term})").alias("sum_term"),
+        )
+        .select(
+            "grain",
+            "grp_key",
+            (F.lit(HLL_M) - F.col("n_present"))
+            .cast("long")
+            .alias("n_empty"),
+            (
+                F.col("sum_term")
+                + (F.lit(HLL_M) - F.col("n_present"))
+                * F.lit(1 << HLL_RCAP)
+            )
+            .cast("long")
+            .alias("harmonic_sum"),
+            F.expr(
+                f"cast({HLL_EST_NUM} div (sum_term + "
+                f"({HLL_M} - n_present) * cast({1 << HLL_RCAP} as bigint))"
+                " as bigint)"
+            ).alias("est_micro"),
+        )
+        .orderBy("grain", "grp_key")
+    )
+
+
+ORACLE_HLL_REAGG = f"""
+WITH h AS (
+  SELECT source, lang,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents),
+r AS (
+  SELECT source, lang, CAST(h % {HLL_M} AS INT) AS bucket,
+         CASE WHEN h // {HLL_M} = 0 THEN {HLL_WBITS + 1}
+              ELSE {HLL_WBITS + 1} - LENGTH(bin(h // {HLL_M}))
+         END AS rho
+  FROM h),
+sl AS MATERIALIZED (
+  SELECT source, lang, bucket, MAX(rho) AS reg FROM r GROUP BY 1, 2, 3),
+lvl AS (
+  SELECT 'source_lang' AS grain, source || '|' || lang AS grp_key,
+         bucket, reg
+  FROM sl
+  UNION ALL
+  SELECT 'source', source, bucket, MAX(reg)
+  FROM sl GROUP BY 2, 3
+  UNION ALL
+  SELECT '__ALL__', '__ALL__', bucket, MAX(reg)
+  FROM sl GROUP BY 3),
+agg AS (
+  SELECT grain, grp_key, COUNT(*) AS n_present,
+         CAST(SUM(CAST(1 AS BIGINT)
+              << ({HLL_RCAP} - least(reg, {HLL_RCAP}))) AS BIGINT)
+           AS sum_term
+  FROM lvl GROUP BY 1, 2)
+SELECT grain, grp_key,
+       CAST({HLL_M} - n_present AS BIGINT) AS n_empty,
+       CAST(sum_term + ({HLL_M} - n_present)
+            * (CAST(1 AS BIGINT) << {HLL_RCAP}) AS BIGINT)
+         AS harmonic_sum,
+       CAST({HLL_EST_NUM} // (sum_term + ({HLL_M} - n_present)
+            * (CAST(1 AS BIGINT) << {HLL_RCAP})) AS BIGINT) AS est_micro
+FROM agg
+ORDER BY grain, grp_key
+"""
 
 
 def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5760,14 +5889,15 @@ SPECS = [
                   "register arrays + exact harmonic terms, with "
                   "'__ALL__' proving merge = per-bucket MAX; the "
                   "full-oracle twin of sketch_hll_reaggregate"),
-    QuerySpec("sketch_hll_reaggregate", sketch_hll_reaggregate, None,
-              ("agg", "sketch", "rollup"),
-              doc="DataSketches HLL per source + lossless union rollup "
-                  "(PERMANENTLY rows-only: binary sketch blobs + "
-                  "estimator arithmetic are not SQL-reproducible; gate "
-                  "= test_hll_reaggregate_matches_exact — union "
-                  "re-aggregation must agree with the direct sketch AND "
-                  "sit within tolerance of exact distinct)"),
+    QuerySpec("sketch_hll_reaggregate", sketch_hll_reaggregate,
+              ORACLE_HLL_REAGG, ("agg", "sketch", "rollup"),
+              doc="deterministic HLL sketch REAGGREGATION ladder "
+                  "(source x lang -> source -> __ALL__, per-bucket MAX "
+                  "merge) with integer harmonic sums + raw-estimator "
+                  "micro readout — upgraded from rows-only per VERDICT "
+                  "r10 #4 (sketch_hll_registers precedent); the "
+                  "engine-native DataSketches union path stays pinned "
+                  "in test_hll_reaggregate_matches_exact"),
     QuerySpec("profile_table", profile_table, ORACLE_PROFILE,
               ("agg", "profiling", "dba"),
               doc="one-pass per-column table profile (nulls, distincts, "

@@ -316,13 +316,12 @@ def test_cdc_snapshot_excludes_tombstoned_and_uninserted(spark):
 
 
 def test_hll_reaggregate_matches_exact(spark):
-    """DataSketches HLL estimates per source and the UNION rollup: each
-    within 5% of the exact distinct count, and the union-of-sketches
-    global equals a direct whole-corpus sketch (lossless merge — the
-    property that makes sketch rollups trustworthy)."""
+    """The engine-native DataSketches HLL surface stays pinned (it was
+    this op's original rows-only body before the VERDICT r10 #4
+    full-oracle upgrade): per-source sketch estimates within 5% of
+    exact distincts, and the union-of-sketches global inside the same
+    envelope as a direct whole-corpus sketch (lossless merge)."""
     from pyspark.sql import functions as F
-
-    from spark_dba_spark.operators.relational import sketch_hll_reaggregate
 
     docs = catalog.load(spark, SF_DIR, "documents")
     exact = {
@@ -335,10 +334,18 @@ def test_hll_reaggregate_matches_exact(spark):
         F.countDistinct(F.md5("text")).alias("n")
     ).collect()[0]["n"]
 
+    per_src = docs.groupBy("source").agg(
+        F.hll_sketch_agg(F.md5("text")).alias("sk")
+    )
     est = {
-        r["source"]: r["est_distinct"]
-        for r in sketch_hll_reaggregate(spark, SF_DIR).collect()
+        r["source"]: r["est"]
+        for r in per_src.select(
+            "source", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
     }
+    est["__ALL__"] = per_src.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
     assert set(est) == set(exact)
     for src, n in exact.items():
         assert abs(est[src] - n) <= max(1, 0.05 * n), (src, est[src], n)
@@ -352,6 +359,80 @@ def test_hll_reaggregate_matches_exact(spark):
     # close to — not bit-equal with — the direct sketch (DataSketches
     # documents this); both must sit inside the same exact-count envelope.
     assert abs(est["__ALL__"] - direct) <= max(2, 0.02 * exact["__ALL__"])
+
+
+def test_hll_reaggregate_matches_python_brute(spark):
+    """The deterministic reaggregation ladder replayed literally in
+    Python from the raw md5s: per-(source,lang) registers, max-merged
+    to source and global, clamped harmonic sums, integer micro
+    estimates — EXACT equality; plus the accuracy gate (raw estimator
+    with linear-counting correction within 25% of exact distincts,
+    the sketch_hll_registers envelope)."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from spark_dba_spark.operators.relational import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_RCAP,
+        HLL_WBITS,
+        sketch_hll_reaggregate,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, lang, text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    regs: dict = {}
+    exact: dict = {}
+    for source, lang, text in rows:
+        h = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:15], 16)
+        bucket, w = h % HLL_M, h // HLL_M
+        rho = (HLL_WBITS + 1) if w == 0 else (HLL_WBITS + 1 - w.bit_length())
+        for grain, key in (
+            ("source_lang", f"{source}|{lang}"),
+            ("source", source),
+            ("__ALL__", "__ALL__"),
+        ):
+            g = regs.setdefault((grain, key), {})
+            g[bucket] = max(g.get(bucket, 0), rho)
+            exact.setdefault((grain, key), set()).add(
+                hashlib.md5(text.encode("utf-8")).hexdigest()
+            )
+    got = {
+        (r["grain"], r["grp_key"]): r
+        for r in sketch_hll_reaggregate(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(regs)
+    for gk, g in regs.items():
+        s = sum(
+            1 << (HLL_RCAP - min(reg, HLL_RCAP)) for reg in g.values()
+        ) + (HLL_M - len(g)) * (1 << HLL_RCAP)
+        r = got[gk]
+        assert r["n_empty"] == HLL_M - len(g), gk
+        assert r["harmonic_sum"] == s, gk
+        assert r["est_micro"] == HLL_EST_NUM // s, gk
+        est = r["est_micro"] / 1e6
+        v = r["n_empty"]
+        if est <= 2.5 * HLL_M and v > 0:
+            est = HLL_M * math.log(HLL_M / v)
+        n = len(exact[gk])
+        assert abs(est - n) <= max(3, 0.25 * n), (gk, est, n)
+    # the ladder must actually have three grains and a real merge
+    assert {g for g, _ in regs} == {"source_lang", "source", "__ALL__"}
+    assert any(
+        regs[("__ALL__", "__ALL__")][b]
+        > max(
+            g.get(b, 0)
+            for (gr, _), g in regs.items()
+            if gr == "source_lang"
+        ) - 1
+        for b in regs[("__ALL__", "__ALL__")]
+    )
 
 
 def test_hll_registers_estimate_accuracy(spark):
