@@ -83,6 +83,30 @@ def rat_round6_duck(num: str, den: str, dp: int = 6) -> str:
     )
 
 
+def qrem_round6_spark(num: str, den: str) -> str:
+    """Half-up 6dp of num/den for non-negative BIGINT num whose
+    ``num * 2e6`` would overflow (the rat_round6 precondition): split at
+    the quotient — micro = (num div den)·10⁶ + ((num % den)·2·10⁶ + den)
+    div (2·den). The remainder is < den, so the scaled term stays far
+    below 2^63 for any den ≤ ~4.6e12 (TIES.md Class D; the
+    kruskal-wallis construct, shared)."""
+    return (
+        f"(cast((({num}) div ({den})) * 1000000"
+        f" + ((({num}) % ({den})) * 2000000 + ({den})) div (2 * ({den}))"
+        f" as double) / 1000000.0)"
+    )
+
+
+def qrem_round6_duck(num: str, den: str) -> str:
+    """DuckDB twin of :func:`qrem_round6_spark` (``//`` == ``div`` and
+    ``%`` agree on the non-negative domain)."""
+    return (
+        f"(CAST((({num}) // ({den})) * 1000000"
+        f" + ((({num}) % ({den})) * 2000000 + ({den})) // (2 * ({den}))"
+        f" AS DOUBLE) / 1000000.0)"
+    )
+
+
 def rat_round6_signed_spark(num: str, den: str, dp: int = 6) -> str:
     """Half-AWAY-FROM-ZERO for integer num of EITHER sign (den > 0) —
     matches java.math HALF_UP on negatives."""

@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from .. import catalog
 from ..functions.hashing import sql_md5_long_duck, sql_md5_long_spark
 from ..functions.numeric import (
+    qrem_round6_duck,
+    qrem_round6_spark,
     rat_round6_duck,
     rat_round6_signed_duck,
     rat_round6_signed_spark,
@@ -3163,27 +3165,16 @@ ORDER BY src_a, src_b
 # --------------------------------------------------------------------------
 
 
-def dedup_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal duplicated-REGION readout per document (VERDICT r9 #3a —
-    upgrades ``dedup_substring_spans``' share-of-duplicated-windows to
-    the span-length numbers the ExactSubstr dedup literature reports):
-    a token position is *duplicated* when covered by at least one
-    {SPAN_W}-token stride-1 window whose content appears in ≥2 distinct
-    documents; a *region* is a maximal run of duplicated positions.
-    Emits per doc the region count, the longest region (tokens), the
-    total duplicated-token coverage, and its share.
-
-    Implementation note: the binary-lifting/doubling construction the
-    suffix-automaton literature uses is unnecessary for this readout —
-    consecutive duplicated window STARTS already delimit the covered
-    intervals, so one interval-union (gaps-and-islands with a running
-    max-end, canonical SQL) over the stride-1 fingerprint stream gives
-    exact region boundaries in a single window pass. The per-doc window
-    is bounded by the doc's own token count, never corpus-sized.
-
-    Scale: identical dataflow to ``dedup_substring_spans`` (map-side
-    fingerprint blowup, one hash shuffle on fp, one doc rollup) plus a
-    doc_id-partitioned window — no all-pairs, no global window."""
+def _dup_regions(spark: SparkSession, sf_dir: str):
+    """(docs, regions) where regions = one row per maximal duplicated
+    token run: (doc_id, gid, rs, re), rs/re 1-based inclusive token
+    positions. A position is duplicated when covered by a {SPAN_W}-token
+    stride-1 window whose content appears in >= 2 distinct docs; runs
+    come from one interval-union (gaps-and-islands with a running
+    max-end) over the fingerprint stream. Shared by
+    :func:`dedup_longest_dup_span` (length readout) and
+    :func:`text_dup_region_removal` (the cleaned-corpus artifact), so
+    the two surfaces cut exactly the same boundaries."""
     docs = _docs(spark, sf_dir)
     ws = F.split("text", " ")
     base = docs.repartition(
@@ -3233,8 +3224,36 @@ def dedup_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "gid", F.sum("brk").over(W.partitionBy("doc_id").orderBy("start"))
     )
-    reg = grp.groupBy("doc_id", "gid").agg(
-        (F.max("e") - F.min("start") + 1).alias("span")
+    regions = grp.groupBy("doc_id", "gid").agg(
+        F.min("start").alias("rs"), F.max("e").alias("re")
+    )
+    return docs, regions
+
+
+def dedup_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-REGION readout per document (VERDICT r9 #3a —
+    upgrades ``dedup_substring_spans``' share-of-duplicated-windows to
+    the span-length numbers the ExactSubstr dedup literature reports):
+    a token position is *duplicated* when covered by at least one
+    {SPAN_W}-token stride-1 window whose content appears in ≥2 distinct
+    documents; a *region* is a maximal run of duplicated positions.
+    Emits per doc the region count, the longest region (tokens), the
+    total duplicated-token coverage, and its share.
+
+    Implementation note: the binary-lifting/doubling construction the
+    suffix-automaton literature uses is unnecessary for this readout —
+    consecutive duplicated window STARTS already delimit the covered
+    intervals, so one interval-union (gaps-and-islands with a running
+    max-end, canonical SQL) over the stride-1 fingerprint stream gives
+    exact region boundaries in a single window pass. The per-doc window
+    is bounded by the doc's own token count, never corpus-sized.
+
+    Scale: identical dataflow to ``dedup_substring_spans`` (map-side
+    fingerprint blowup, one hash shuffle on fp, one doc rollup) plus a
+    doc_id-partitioned window — no all-pairs, no global window."""
+    docs, regions = _dup_regions(spark, sf_dir)
+    reg = regions.select(
+        "doc_id", "gid", (F.col("re") - F.col("rs") + 1).alias("span")
     )
     per_doc = reg.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_dup_regions"),
@@ -3263,8 +3282,9 @@ def dedup_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_LONGEST_DUP_SPAN = f"""
-WITH d AS (
+# shared duplicated-region CTE prefix (the _dup_regions twin): d = docs
+# with token arrays, reg = (doc_id, gid, rs, re) maximal duplicated runs
+_DUP_REGION_CTES = f"""d AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 w AS (
   SELECT doc_id, k AS start,
@@ -3285,15 +3305,21 @@ grps AS (
   SELECT doc_id, start, e,
          SUM(brk) OVER (PARTITION BY doc_id ORDER BY start) AS gid
   FROM isl),
-reg AS (
-  SELECT doc_id, gid, MAX(e) - MIN(start) + 1 AS span
-  FROM grps GROUP BY 1, 2),
+reg AS MATERIALIZED (
+  SELECT doc_id, gid, MIN(start) AS rs, MAX(e) AS re
+  FROM grps GROUP BY 1, 2)"""
+
+
+ORACLE_LONGEST_DUP_SPAN = f"""
+WITH {_DUP_REGION_CTES},
+spans AS (
+  SELECT doc_id, gid, re - rs + 1 AS span FROM reg),
 pd AS (
   SELECT doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_dup_regions,
          CAST(MAX(span) AS BIGINT) AS max_dup_span,
          CAST(SUM(span) AS BIGINT) AS dup_tokens
-  FROM reg GROUP BY 1),
+  FROM spans GROUP BY 1),
 nt AS (SELECT doc_id, len(ws) AS n_tokens FROM d)
 SELECT nt.doc_id,
        COALESCE(n_dup_regions, 0) AS n_dup_regions,
@@ -3302,6 +3328,83 @@ SELECT nt.doc_id,
        {rat_round6_duck("COALESCE(dup_tokens, 0)", "n_tokens")}
          AS dup_token_share_r6
 FROM nt LEFT JOIN pd USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def text_dup_region_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-region REMOVAL materialization (VERDICT r10 #2a — the
+    artifact ExactSubstr dedup actually ships): every maximal
+    duplicated token run from :func:`_dup_regions` is CUT OUT of the
+    document and the surviving tokens re-joined, emitting the cleaned
+    corpus plus the removal accounting. Because both ops share the
+    region frame, `removed_tokens` here equals `dup_tokens` in
+    ``dedup_longest_dup_span`` row-for-row.
+
+    Implementation: the per-doc region list is folded back as an array
+    column (regions per doc are bounded by n_tokens/2, usually a
+    handful) and one indexed higher-order ``filter(ws, (w, i) -> ...)``
+    drops covered positions — pure codegen'd JVM expression, no second
+    shuffle after the region frame.
+
+    Scale: the region computation is the dedup_longest_dup_span
+    dataflow (fp hash shuffle + doc-grain window); the cut itself is
+    map-side. Output is corpus-sized BY DESIGN (it IS the cleaned
+    corpus) — scale walls should be measured on count(), not collect()
+    (SCALING notes)."""
+    docs, regions = _dup_regions(spark, sf_dir)
+    regs = regions.groupBy("doc_id").agg(
+        F.collect_list(F.struct("rs", "re")).alias("regions")
+    )
+    ws = F.split("text", " ")
+    return (
+        docs.join(regs, "doc_id", "left")
+        .select(
+            "doc_id",
+            ws.alias("ws"),
+            "regions",
+        )
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tokens"),
+            F.expr(
+                "filter(ws, (w, i) -> regions is null or not exists("
+                "regions, r -> i + 1 >= r.rs and i + 1 <= r.re))"
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("kept").cast("long").alias("kept_tokens"),
+            (F.col("n_tokens") - F.size("kept"))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.array_join("kept", " ").alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DUP_REGION_REMOVAL = f"""
+WITH {_DUP_REGION_CTES},
+toks AS (
+  SELECT doc_id, i, ws[i] AS w
+  FROM d, LATERAL unnest(generate_series(1, len(ws))) AS u(i)),
+kept AS (
+  SELECT t.doc_id, t.i, t.w FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM reg r
+                    WHERE r.doc_id = t.doc_id
+                      AND t.i BETWEEN r.rs AND r.re)),
+cl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         string_agg(w, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY 1)
+SELECT d.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       COALESCE(kept_tokens, 0) AS kept_tokens,
+       CAST(len(ws) AS BIGINT) - COALESCE(kept_tokens, 0)
+         AS removed_tokens,
+       COALESCE(clean_text, '') AS clean_text
+FROM d LEFT JOIN cl USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -4099,6 +4202,631 @@ FROM nm, agg, nb
 """
 
 
+# --------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weights (data selection)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512  # hashed feature space (md5 low bits)
+DSIR_TARGET_LANG = "en"  # target-domain proxy: the English slice
+
+
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for target-domain resampling
+    (Data Selection via Importance Resampling, Xie et al. 2023 — the
+    public hashed-ngram method; VERDICT r10 #2b): features are word
+    unigrams + bigrams hashed into {DSIR_BUCKETS} md5 buckets; the
+    TARGET distribution is estimated from the lang='{DSIR_TARGET_LANG}'
+    slice and the RAW distribution from the whole corpus. Each doc's
+    weight readout is the exact integer mass ratio
+    tgt_mass / raw_mass = Σ_f t_bucket(f) / Σ_f r_bucket(f)
+    (sum over the doc's feature occurrences), half-up at 6dp via the
+    quotient/remainder split — the global T/R normalization is a
+    rank-preserving constant left to the sampler. tgt_mass and
+    raw_mass are also emitted raw (BIGINT) so a consumer can resample
+    at any temperature without recomputing the corpus pass.
+
+    Scale: two bucket tables of {DSIR_BUCKETS} rows (broadcast), one
+    map-side feature explode, one doc-grain hash agg — no corpus
+    self-join anywhere; raw_mass >= n_feats >= 1 so the ratio is
+    always defined."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    base = docs.repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    ).select("doc_id", "lang", ws.alias("ws"))
+    feats = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "concat(ws, case when size(ws) >= 2 then "
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> concat(ws[i], ' ', ws[i + 1])) "
+                "else array() end)"
+            )
+        ).alias("feat"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"{sql_md5_long_spark('feat')} % {DSIR_BUCKETS}"
+        ).alias("bucket"),
+    )
+    raw_b = feats.groupBy("bucket").agg(F.count("*").alias("r_cnt"))
+    tgt_b = (
+        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("t_cnt"))
+    )
+    return (
+        feats.join(F.broadcast(raw_b), "bucket")
+        .join(F.broadcast(tgt_b), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum(F.coalesce("t_cnt", F.lit(0)))
+            .cast("long")
+            .alias("tgt_mass"),
+            F.sum("r_cnt").cast("long").alias("raw_mass"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "tgt_mass",
+            "raw_mass",
+            F.expr(qrem_round6_spark("tgt_mass", "raw_mass")).alias(
+                "w_ratio_r6"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DSIR_IMPORTANCE = f"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+uni AS (
+  SELECT doc_id, lang, unnest(ws) AS feat FROM d),
+bi AS (
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS feat
+  FROM d, LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)),
+feats AS MATERIALIZED (
+  SELECT doc_id, lang,
+         {sql_md5_long_duck('feat')} % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+raw_b AS (SELECT bucket, COUNT(*) AS r_cnt FROM feats GROUP BY 1),
+tgt_b AS (SELECT bucket, COUNT(*) AS t_cnt FROM feats
+          WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+pd AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(COALESCE(t_cnt, 0)) AS BIGINT) AS tgt_mass,
+         CAST(SUM(r_cnt) AS BIGINT) AS raw_mass
+  FROM feats
+  JOIN raw_b USING (bucket)
+  LEFT JOIN tgt_b USING (bucket)
+  GROUP BY 1)
+SELECT doc_id, n_feats, tgt_mass, raw_mass,
+       {qrem_round6_duck("tgt_mass", "raw_mass")} AS w_ratio_r6
+FROM pd ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility / bytes-per-token audit (per source)
+# --------------------------------------------------------------------------
+
+SUBWORD_W = 4  # fixed-stride subword proxy: ceil(len(word)/4) pieces
+
+
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit by source (VERDICT r10 #2d — the
+    sibling of the BPE family): fertility = subword tokens per word and
+    bytes per subword token, the two numbers a tokenizer budget is
+    planned from (a source with fertility 2.1 costs 2.1× the context
+    of fertility 1.0 for the same words; bytes/token calibrates
+    storage-to-token conversion). The subword count uses the
+    deterministic fixed-stride proxy ceil(len(word)/{SUBWORD_W}) — an
+    upper-bound-style stand-in for a trained BPE (which lives in the
+    text_bpe_* ops); the accounting pipeline (per-doc fold, per-source
+    rollup, exact rational readouts) is the production shape.
+
+    Scale: one map-side per-doc ``aggregate`` fold (no explode row
+    blow-up on the Spark side), one source-grain hash agg — partial
+    aggregation makes the exchange source-bounded."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    per_doc = docs.select(
+        "source",
+        F.size(ws).alias("n_words"),
+        F.expr(
+            f"aggregate(split(text, ' '), 0L, (acc, w) -> "
+            f"acc + (length(w) + {SUBWORD_W - 1}) div {SUBWORD_W})"
+        ).alias("n_subwords"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_subwords"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            "n_bytes",
+            F.expr(rat_round6_spark("n_subwords", "n_words")).alias(
+                "fertility_r6"
+            ),
+            F.expr(rat_round6_spark("n_bytes", "n_subwords")).alias(
+                "bytes_per_token_r6"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TOKENIZER_FERTILITY = f"""
+WITH d AS (
+  SELECT source, string_split(text, ' ') AS ws,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents),
+w AS (SELECT source, unnest(ws) AS w FROM d),
+a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM((len(w) + {SUBWORD_W - 1}) // {SUBWORD_W}) AS BIGINT)
+           AS n_subwords
+  FROM w GROUP BY 1),
+b AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_bytes) AS BIGINT) AS n_bytes
+  FROM d GROUP BY 1)
+SELECT source, n_docs, n_words, n_subwords, n_bytes,
+       {rat_round6_duck("n_subwords", "n_words")} AS fertility_r6,
+       {rat_round6_duck("n_bytes", "n_subwords")} AS bytes_per_token_r6
+FROM a JOIN b USING (source)
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rule gates (per doc)
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_LO = 3  # mean word length bounds (chars)
+GOPHER_MEAN_LEN_HI = 10
+GOPHER_MIN_STOPWORDS = 2  # distinct stopwords required
+GOPHER_REP_DEN = 5  # top-word share <= 1/5
+
+
+def text_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule gates (the Rae et al. 2021 filter
+    bundle, adapted to the fixture's alphabetic corpus): per document,
+    four independent pass/fail flags —
+      r1 word count in [{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}];
+      r2 mean word length in [{GOPHER_MEAN_LEN_LO}, {GOPHER_MEAN_LEN_HI}]
+         (cross-multiplied: lo·n <= total_chars <= hi·n, no division);
+      r3 at least {GOPHER_MIN_STOPWORDS} distinct stopwords present
+         (the \"real language\" heuristic);
+      r4 top single-word share <= 1/{GOPHER_REP_DEN}
+         ({GOPHER_REP_DEN}·max_count <= n_words — the repetition gate)
+    — plus the conjunction. Every comparison is integer-exact; the
+    flags are the artifact a curation pass filters on, composable with
+    corpus_quality_gate's simpler length/uniqueness screen.
+
+    Scale: pure map-side higher-order expressions per doc (the mode
+    count is a distinct×occurrence fold bounded by the doc's own token
+    count) — embarrassingly parallel, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    stop = _spark_arr(STOPWORDS)
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                f"""named_struct(
+  'n', size(split(text, ' ')),
+  'chars', aggregate(split(text, ' '), 0L, (acc, w) -> acc + length(w)),
+  'stops', size(array_intersect(array_distinct(split(text, ' ')), {stop})),
+  'maxc', array_max(transform(array_distinct(split(text, ' ')),
+            d -> size(filter(split(text, ' '), w -> w = d))))
+)"""
+            ).alias("m"),
+        )
+        .select(
+            "doc_id",
+            F.col("m.n").cast("long").alias("n_words"),
+            (
+                (F.col("m.n") >= GOPHER_MIN_WORDS)
+                & (F.col("m.n") <= GOPHER_MAX_WORDS)
+            ).alias("r1_wordcount"),
+            (
+                (F.col("m.chars") >= GOPHER_MEAN_LEN_LO * F.col("m.n"))
+                & (F.col("m.chars") <= GOPHER_MEAN_LEN_HI * F.col("m.n"))
+            ).alias("r2_meanlen"),
+            (F.col("m.stops") >= GOPHER_MIN_STOPWORDS).alias("r3_stopwords"),
+            (GOPHER_REP_DEN * F.col("m.maxc") <= F.col("m.n")).alias(
+                "r4_repetition"
+            ),
+        )
+        .withColumn(
+            "pass_all",
+            F.col("r1_wordcount")
+            & F.col("r2_meanlen")
+            & F.col("r3_stopwords")
+            & F.col("r4_repetition"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_GOPHER_GATES = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n,
+         list_sum(list_transform(ws, w -> len(w))) AS chars,
+         len(list_intersect(list_distinct(ws), {_duck_arr(STOPWORDS)}))
+           AS stops,
+         list_max(list_transform(list_distinct(ws),
+             d -> len(list_filter(ws, w -> w = d)))) AS maxc
+  FROM d)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
+         AS r1_wordcount,
+       (chars >= {GOPHER_MEAN_LEN_LO} * n
+        AND chars <= {GOPHER_MEAN_LEN_HI} * n) AS r2_meanlen,
+       (stops >= {GOPHER_MIN_STOPWORDS}) AS r3_stopwords,
+       ({GOPHER_REP_DEN} * maxc <= n) AS r4_repetition,
+       (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+        AND chars >= {GOPHER_MEAN_LEN_LO} * n
+        AND chars <= {GOPHER_MEAN_LEN_HI} * n
+        AND stops >= {GOPHER_MIN_STOPWORDS}
+        AND {GOPHER_REP_DEN} * maxc <= n) AS pass_all
+FROM m ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Document rarity profile (df-based outlier telemetry)
+# --------------------------------------------------------------------------
+
+RARE_DF = 3  # a token is "rare" when it appears in <= this many docs
+
+
+def text_rarity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity profile against the corpus's own document
+    frequencies — the outlier telemetry that surfaces OCR noise,
+    foreign-language slips and junk docs (rare-token-heavy) as well as
+    boilerplate (common-token-heavy) without any external model:
+    rare_share = share of token occurrences whose word appears in
+    <= {RARE_DF} docs, and mean_df_bits = mean bit_length(df) (the
+    integer log2 band of each token's df — low mean = rare-heavy).
+    Both are exact rationals; IDF itself (a float log) never appears.
+
+    Scale: one distinct + one vocab-grain df agg, one token->df hash
+    join (vocab-bounded side), one doc rollup — the TF-IDF dataflow
+    with integer readouts."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    ).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    df = (
+        toks.distinct()
+        .groupBy("w")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        toks.join(df, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("df") <= RARE_DF, 1).otherwise(0))
+            .cast("long")
+            .alias("rare_tokens"),
+            F.sum(F.expr("length(bin(df))")).cast("long").alias("sum_df_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rare_tokens",
+            F.expr(rat_round6_spark("rare_tokens", "n_tokens")).alias(
+                "rare_share_r6"
+            ),
+            F.expr(rat_round6_spark("sum_df_bits", "n_tokens")).alias(
+                "mean_df_bits_r6"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_RARITY_OUTLIERS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+df AS (
+  SELECT w, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY 1),
+pd AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN df <= {RARE_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS rare_tokens,
+         CAST(SUM(LENGTH(bin(df))) AS BIGINT) AS sum_df_bits
+  FROM toks JOIN df USING (w) GROUP BY 1)
+SELECT doc_id, n_tokens, rare_tokens,
+       {rat_round6_duck("rare_tokens", "n_tokens")} AS rare_share_r6,
+       {rat_round6_duck("sum_df_bits", "n_tokens")} AS mean_df_bits_r6
+FROM pd ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Simpson lexical concentration (per source)
+# --------------------------------------------------------------------------
+
+def text_simpson_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration index per source: the probability two
+    token occurrences drawn without replacement are the SAME word,
+    lambda = Σ c_w(c_w−1) / (n(n−1)) — the collision-rate entropy proxy
+    that is exactly computable in integers (Shannon entropy's float
+    logs are not), high for template/boilerplate sources and low for
+    diverse prose; its reciprocal is the \"effective vocabulary\".
+    Emitted with vocab size and the top-word share for the same
+    repetitiveness triage.
+
+    Scale: one (source, word) count agg + one source rollup — both
+    map-side combinable; output is source-bounded."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    counts = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            F.max("c").cast("long").alias("top_count"),
+            F.sum(F.expr("c * (c - 1)")).cast("long").alias("coll_num"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "top_count",
+            F.expr(
+                rat_round6_spark("coll_num", "n_tokens * (n_tokens - 1)")
+            ).alias("simpson_r6"),
+            F.expr(rat_round6_spark("top_count", "n_tokens")).alias(
+                "top_share_r6"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SIMPSON = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+s AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(MAX(c) AS BIGINT) AS top_count,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS coll_num
+  FROM c GROUP BY 1)
+SELECT source, n_tokens, vocab, top_count,
+       {rat_round6_duck("coll_num", "n_tokens * (n_tokens - 1)")}
+         AS simpson_r6,
+       {rat_round6_duck("top_count", "n_tokens")} AS top_share_r6
+FROM s ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence: source x length band
+# --------------------------------------------------------------------------
+
+def stats_chi_square_source_length(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson chi-square independence cells for source × token-length
+    band (band = bit_length of the doc's token count — the log2 grid):
+    per DENSE cell (zero-observed cells included, as the statistic
+    requires) the observed count, marginals, expected count and the
+    chi-square contribution (O−E)²/E — algebraically restated over
+    integers as (O·N − rs·cs)² / (rs·cs·N) so no float appears before
+    the final 6dp half-up (quotient/remainder split; numerator is
+    (O·N)²-bounded ≈ 6e14 at sf0.1, BIGINT-safe through ~sf1). The
+    per-cell contributions are the drill-down a drift monitor reads;
+    their sum is the test statistic with (R−1)(C−1) dof.
+
+    Scale: one doc-grain map + three bounded aggs; the dense spine is
+    sources × bands (tens of rows) built from two broadcastable
+    marginal frames — never a corpus-sized join."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "source",
+        F.expr("length(bin(size(split(text, ' '))))").alias("band"),
+    )
+    # the cell frame feeds FOUR branches (marginals, total, the dense
+    # left join) — checkpoint the BOUNDED (sources x bands) frame or the
+    # branched lineage re-runs the corpus scan per branch
+    o = (
+        d.groupBy("source", "band")
+        .agg(F.count("*").alias("n_obs"))
+        .localCheckpoint(eager=True)
+    )
+    rs = o.groupBy("source").agg(F.sum("n_obs").alias("row_total"))
+    cs = o.groupBy("band").agg(F.sum("n_obs").alias("col_total"))
+    tot = o.agg(F.sum("n_obs").alias("n_total"))
+    return (
+        rs.crossJoin(F.broadcast(cs))
+        .join(o, ["source", "band"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("band").cast("int").alias("band"),
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.col("row_total").cast("long").alias("row_total"),
+            F.col("col_total").cast("long").alias("col_total"),
+            F.expr(
+                qrem_round6_spark("row_total * col_total", "n_total")
+            ).alias("exp_r6"),
+            F.expr(
+                qrem_round6_spark(
+                    "(coalesce(n_obs, 0) * n_total"
+                    " - row_total * col_total) * "
+                    "(coalesce(n_obs, 0) * n_total"
+                    " - row_total * col_total)",
+                    "row_total * col_total * n_total",
+                )
+            ).alias("chi2_cell_r6"),
+        )
+        .orderBy("source", "band")
+    )
+
+
+ORACLE_CHI_SQUARE = f"""
+WITH d AS (
+  SELECT source, LENGTH(bin(len(string_split(text, ' ')))) AS band
+  FROM documents),
+o AS (SELECT source, band, COUNT(*) AS n_obs FROM d GROUP BY 1, 2),
+rs AS (SELECT source, CAST(SUM(n_obs) AS BIGINT) AS row_total
+       FROM o GROUP BY 1),
+cs AS (SELECT band, CAST(SUM(n_obs) AS BIGINT) AS col_total
+       FROM o GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM o)
+SELECT rs.source, CAST(cs.band AS INT) AS band,
+       CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+       row_total, col_total,
+       {qrem_round6_duck("row_total * col_total", "n_total")} AS exp_r6,
+       {qrem_round6_duck(
+           "(COALESCE(n_obs, 0) * n_total - row_total * col_total)"
+           " * (COALESCE(n_obs, 0) * n_total - row_total * col_total)",
+           "row_total * col_total * n_total")} AS chi2_cell_r6
+FROM rs CROSS JOIN cs
+LEFT JOIN o ON o.source = rs.source AND o.band = cs.band
+CROSS JOIN tot
+ORDER BY rs.source, cs.band
+"""
+
+
+# --------------------------------------------------------------------------
+# Contamination attribution by source (span-decon rollup at source grain)
+# --------------------------------------------------------------------------
+
+def text_contamination_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval-span contamination ATTRIBUTION: the same stride-1
+    {SPAN_W}-token fingerprint match as ``doc_span_decontamination``,
+    rolled up per TRAINING SOURCE instead of per doc — which corpus
+    slices are leaking eval content, the number procurement actually
+    acts on (drop/renegotiate a source) versus the per-doc scrub list.
+    Shares :func:`span_window_fps` and the eval-index construction, so
+    the two grains are guaranteed consistent: summing n_eval_hits here
+    over sources equals summing it over docs there.
+
+    Scale: identical dataflow to the doc-grain op (broadcast eval
+    index, map-side window stream) with a source-bounded final agg —
+    the rollup exchange is sources-sized."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % SPAN_EVAL_MOD != 0).repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    )
+    evalset = docs.filter(F.col("doc_id") % SPAN_EVAL_MOD == 0)
+    idx = (
+        span_window_fps(evalset)
+        .filter(F.col("fp").isNotNull())
+        .select("fp")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    src = train.select("doc_id", "source")
+    joined = (
+        span_window_fps(train)
+        .join(F.broadcast(idx), "fp", "left")
+        .join(src, "doc_id")
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_train_docs"),
+            F.count("fp").cast("long").alias("n_windows"),
+            F.sum(
+                F.when(F.col("fp").isNotNull() & (F.col("hit") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_eval_hits"),
+            F.count_distinct(
+                F.when(F.col("hit") == 1, F.col("doc_id"))
+            )
+            .cast("long")
+            .alias("n_contaminated_docs"),
+        )
+        .select(
+            "source",
+            "n_train_docs",
+            "n_windows",
+            "n_eval_hits",
+            "n_contaminated_docs",
+            F.expr(
+                rat_round6_spark("n_eval_hits", "greatest(n_windows, 1)")
+            ).alias("hit_share_r6"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CONTAMINATION_BY_SOURCE = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+  WHERE doc_id % {SPAN_EVAL_MOD} != 0),
+ev AS (
+  SELECT DISTINCT
+         md5(array_to_string(ws[k : k + {SPAN_W - 1}], ' ')) AS fp
+  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+        WHERE doc_id % {SPAN_EVAL_MOD} = 0) e,
+       LATERAL unnest(generate_series(
+         1, greatest(len(ws) - {SPAN_W - 1}, 0))) AS u(k)),
+w AS (
+  SELECT doc_id, source,
+         md5(array_to_string(ws[k : k + {SPAN_W - 1}], ' ')) AS fp,
+         CASE WHEN md5(array_to_string(ws[k : k + {SPAN_W - 1}], ' '))
+                   IN (SELECT fp FROM ev) THEN 1 ELSE 0 END AS hit
+  FROM d, LATERAL unnest(generate_series(
+           1, greatest(len(ws) - {SPAN_W - 1}, 0))) AS u(k)),
+ps AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(hit) AS BIGINT) AS n_eval_hits,
+         CAST(COUNT(DISTINCT CASE WHEN hit = 1 THEN doc_id END)
+              AS BIGINT) AS n_contaminated_docs
+  FROM w GROUP BY 1),
+td AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train_docs
+  FROM d GROUP BY 1)
+SELECT td.source, n_train_docs,
+       COALESCE(n_windows, 0) AS n_windows,
+       COALESCE(n_eval_hits, 0) AS n_eval_hits,
+       COALESCE(n_contaminated_docs, 0) AS n_contaminated_docs,
+       {rat_round6_duck(
+           "COALESCE(n_eval_hits, 0)",
+           "greatest(COALESCE(n_windows, 1), 1)")} AS hit_share_r6
+FROM td LEFT JOIN ps USING (source)
+ORDER BY td.source
+"""
+
+
 SPECS = [
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
@@ -4135,6 +4863,46 @@ SPECS = [
               doc="ExactSubstr span-length readout: maximal duplicated "
                   "regions per doc via interval-union islands over the "
                   "stride-1 fingerprint stream"),
+    QuerySpec("text_contamination_by_source", text_contamination_by_source,
+              ORACLE_CONTAMINATION_BY_SOURCE,
+              ("text", "curation", "decontamination"),
+              doc="eval-span contamination attribution per training "
+                  "source (broadcast fingerprint index, source-grain "
+                  "rollup consistent with doc_span_decontamination)"),
+    QuerySpec("stats_chi_square_source_length",
+              stats_chi_square_source_length,
+              ORACLE_CHI_SQUARE, ("text", "stats", "drift"),
+              doc="Pearson chi-square independence cells (source x "
+                  "token-length band), integer-exact contributions on "
+                  "a dense marginal spine"),
+    QuerySpec("text_simpson_concentration", text_simpson_concentration,
+              ORACLE_SIMPSON, ("text", "stats", "quality"),
+              doc="Simpson collision index per source (integer entropy "
+                  "proxy): lexical concentration + top-word share"),
+    QuerySpec("text_rarity_outliers", text_rarity_outliers,
+              ORACLE_RARITY_OUTLIERS, ("text", "quality", "stats"),
+              doc="per-doc rarity profile: rare-df token share + mean "
+                  "df-bit band (integer IDF proxy) for outlier triage"),
+    QuerySpec("text_gopher_gates", text_gopher_gates,
+              ORACLE_GOPHER_GATES, ("text", "quality", "curation"),
+              doc="Gopher quality rule bundle per doc (word count, mean "
+                  "word length, stopword presence, repetition cap) — "
+                  "integer-exact pass/fail flags + conjunction"),
+    QuerySpec("text_tokenizer_fertility", text_tokenizer_fertility,
+              ORACLE_TOKENIZER_FERTILITY, ("text", "tokenizer", "audit"),
+              doc="tokenizer fertility (subwords/word) + bytes-per-token "
+                  "budget audit by source, exact rational readouts"),
+    QuerySpec("text_dsir_importance", text_dsir_importance,
+              ORACLE_DSIR_IMPORTANCE, ("text", "curation", "sampling"),
+              doc="DSIR hashed-ngram importance weights (uni+bigram md5 "
+                  "buckets, target = lang slice): exact integer mass "
+                  "ratio per doc for importance resampling"),
+    QuerySpec("text_dup_region_removal", text_dup_region_removal,
+              ORACLE_DUP_REGION_REMOVAL, ("text", "dedup", "curation"),
+              doc="ExactSubstr dup-region REMOVAL: the cleaned corpus "
+                  "with every maximal duplicated run cut out (shares "
+                  "the region frame with dedup_longest_dup_span; "
+                  "indexed HOF filter, map-side cut)"),
     QuerySpec("text_boilerplate_heads", text_boilerplate_heads,
               ORACLE_BOILERPLATE_HEADS, ("text", "dedup", "quality"),
               doc="template/boilerplate opening-block detection per "
