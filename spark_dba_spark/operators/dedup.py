@@ -37,6 +37,7 @@ from ..functions.numeric import (
     rat_round6_signed_spark,
     rat_round6_spark,
 )
+from ..functions.hashing import minhash_signature
 from ..registry import QuerySpec
 
 NGRAM = 3
@@ -2091,6 +2092,327 @@ FROM b, tot ORDER BY band
 """
 
 
+# --------------------------------------------------------------------------
+# Paragraph-grain near-dup (block MinHash-LSH)
+# --------------------------------------------------------------------------
+
+PARA_W = 24  # tokens per paragraph block (non-overlapping)
+PARA_PERMS = 16
+PARA_BANDS = 4
+PARA_R = 4
+PARA_TAU = 0.6
+
+
+def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain near-dup join (VERDICT r10 #2e — the granularity
+    bridge between doc-level MinHash and span-level ExactSubstr): docs
+    split into non-overlapping {PARA_W}-token blocks (the fixture
+    corpus has no paragraph markers, so the block grid stands in for
+    paragraph boundaries), each block shingled into distinct word
+    3-grams, MinHash-signed ({PARA_PERMS} Kirsch-Mitzenmacher
+    permutations), banded {PARA_BANDS}×{PARA_R}, and candidate CROSS-DOC
+    block pairs exact-Jaccard-verified at tau = {PARA_TAU}. Finds the
+    copied paragraph inside two otherwise-different documents — doc
+    grain dilutes it below tau, span grain only reports it within the
+    fixed window width.
+
+    Scale: identical posture to dedup_minhash_lsh, one grain down —
+    banded candidate join (no all-pairs), verification only on
+    candidates; block count ≈ tokens/{PARA_W}, so the signature stage
+    costs the same corpus pass the doc-grain op already pays."""
+    docs = _docs_par(spark, sf_dir)
+    ws = F.split("text", " ")
+    blocks = (
+        docs.select(
+            "doc_id",
+            ws.alias("ws"),
+            F.expr(f"(size(split(text, ' ')) + {PARA_W - 1}) div {PARA_W}")
+            .alias("n_blk"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_blk") - 1)
+            ).alias("blk"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            "blk",
+            F.expr(f"slice(ws, blk * {PARA_W} + 1, {PARA_W})").alias("bt"),
+        )
+        .filter(F.size("bt") >= NGRAM)
+        .select(
+            "doc_id",
+            "blk",
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(bt) - {NGRAM - 1}),"
+                f" i -> concat_ws(' ', slice(bt, i, {NGRAM}))))"
+            ).alias("sh"),
+        )
+    )
+    sig = blocks.select(
+        "doc_id", "blk", "sh", minhash_signature("sh", PARA_PERMS).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(PARA_BANDS - 1))).alias("b"),
+        "sig",
+    ).select(
+        "doc_id",
+        "blk",
+        F.expr(
+            f"concat(b, ':', concat_ws(',', transform("
+            f"slice(sig, b * {PARA_R} + 1, {PARA_R}), "
+            f"x -> cast(x as string))))"
+        ).alias("band_key"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.blk").alias("blk_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.blk").alias("blk_b"),
+        )
+        .distinct()
+    )
+    xa = blocks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("blk").alias("blk_a"),
+        F.col("sh").alias("sha"),
+    )
+    yb = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("sh").alias("shb"),
+    )
+    return (
+        cand.join(xa, ["doc_a", "blk_a"])
+        .join(yb, ["doc_b", "blk_b"])
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb"))
+            * 1.0
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .filter(F.col("jaccard") >= PARA_TAU)
+        .select(
+            "doc_a",
+            F.col("blk_a").cast("int").alias("blk_a"),
+            "doc_b",
+            F.col("blk_b").cast("int").alias("blk_b"),
+            "jaccard",
+        )
+        .orderBy("doc_a", "blk_a", "doc_b", "blk_b")
+    )
+
+
+ORACLE_PARAGRAPH_MINHASH = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+blk AS (
+  SELECT doc_id, b AS blk, ws[b * {PARA_W} + 1 : b * {PARA_W} + {PARA_W}]
+           AS bt
+  FROM d, LATERAL unnest(generate_series(
+           0, (len(ws) + {PARA_W - 1}) // {PARA_W} - 1)) AS u(b)),
+bs AS MATERIALIZED (
+  SELECT doc_id, blk,
+         list_distinct(list_transform(
+           generate_series(1, len(bt) - {NGRAM - 1}),
+           i -> bt[i] || ' ' || bt[i+1] || ' ' || bt[i+2])) AS sh
+  FROM blk WHERE len(bt) >= {NGRAM}),
+sig AS (
+  SELECT doc_id, blk,
+         {sql_minhash_signature_duck('sh', PARA_PERMS)} AS sig
+  FROM bs),
+bands AS (
+  SELECT doc_id, blk,
+         b || ':' || array_to_string(
+           sig[b * {PARA_R} + 1 : b * {PARA_R} + {PARA_R}], ',')
+           AS band_key
+  FROM sig, LATERAL unnest(generate_series(0, {PARA_BANDS - 1})) AS u(b)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, x.blk AS blk_a,
+                  y.doc_id AS doc_b, y.blk AS blk_b
+  FROM bands x JOIN bands y
+    ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
+SELECT doc_a, CAST(blk_a AS INT) AS blk_a,
+       doc_b, CAST(blk_b AS INT) AS blk_b,
+       len(list_intersect(a.sh, b.sh)) * 1.0
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         AS jaccard
+FROM cand
+JOIN bs a ON doc_a = a.doc_id AND blk_a = a.blk
+JOIN bs b ON doc_b = b.doc_id AND blk_b = b.blk
+WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      >= {PARA_TAU}
+ORDER BY doc_a, blk_a, doc_b, blk_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix
+# --------------------------------------------------------------------------
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts cross-tabbed by SOURCE pair — the
+    procurement view of duplication: which feeds copy from which (a fat
+    off-diagonal cell means two vendors sell overlapping crawls; a fat
+    diagonal means one feed re-crawls itself). Source pair is
+    normalized (lexicographic lo/hi) so each unordered pair is one
+    cell; shares are exact rationals of the total dup-pair count.
+
+    Scale: the thresholded dup-edge set is orders of magnitude smaller
+    than the corpus; two doc_id-keyed joins attach sources, one
+    cell-bounded agg."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    lab = (
+        edges.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+        )
+    )
+    cells = lab.groupBy("src_lo", "src_hi").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    ).localCheckpoint(eager=True)
+    tot = cells.agg(F.sum("n_pairs").cast("long").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "src_lo",
+            "src_hi",
+            "n_pairs",
+            (F.col("src_lo") == F.col("src_hi")).alias("within_source"),
+            F.expr(rat_round6_spark("n_pairs", "n_total")).alias(
+                "pair_share_r6"
+            ),
+        )
+        .orderBy("src_lo", "src_hi")
+    )
+
+
+ORACLE_CROSS_SOURCE_MATRIX = f"""
+WITH {_GRAPH_SYM_CTES},
+lab AS (
+  SELECT least(sa.source, sb.source) AS src_lo,
+         greatest(sa.source, sb.source) AS src_hi
+  FROM dup
+  JOIN documents sa ON dup.doc_a = sa.doc_id
+  JOIN documents sb ON dup.doc_b = sb.doc_id),
+cells AS (
+  SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM lab GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM cells)
+SELECT src_lo, src_hi, n_pairs,
+       (src_lo = src_hi) AS within_source,
+       {rat_round6_duck("n_pairs", "n_total")} AS pair_share_r6
+FROM cells, tot
+ORDER BY src_lo, src_hi
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-component density over the near-dup graph
+# --------------------------------------------------------------------------
+
+def graph_component_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge density per near-dup component: n_nodes, n_edges and
+    2E/(n(n−1)) — separates CLIQUE-like components (density ≈ 1:
+    genuine template families, safe to keep one representative) from
+    sparse chained components (density → 0: threshold-noise bridges
+    where keep-one dedup would over-delete). The companion readout to
+    dedup_cluster_size_histogram's size bands.
+
+    Scale: components via the O(log n) star contraction; edges ride
+    one doc_id-keyed join onto the labels; the rollup is
+    component-bounded. Components come from edges, so n >= 2 always —
+    the density denominator never sees zero."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)
+    labels = cc_components(edges).localCheckpoint(eager=True)
+    nodes = labels.groupBy("comp").agg(F.count("*").alias("n_nodes"))
+    ecnt = (
+        edges.join(
+            labels.select(
+                F.col("doc_id").alias("doc_a"), F.col("comp").alias("comp")
+            ),
+            "doc_a",
+        )
+        .groupBy("comp")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    return (
+        nodes.join(ecnt, "comp")
+        .select(
+            F.col("comp").cast("long").alias("component_id"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.expr(
+                rat_round6_spark(
+                    "2 * n_edges", "n_nodes * (n_nodes - 1)"
+                )
+            ).alias("density_r6"),
+        )
+        .orderBy("component_id")
+    )
+
+
+ORACLE_COMPONENT_DENSITY = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+dup AS MATERIALIZED (
+  SELECT doc_a, doc_b
+  FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_TAU}
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+reach AS (
+  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS MATERIALIZED (
+  SELECT src AS doc_id, MIN(dst) AS component_id
+  FROM reach GROUP BY src),
+nodes AS (
+  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM comp GROUP BY 1),
+ecnt AS (
+  SELECT c.component_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM dup JOIN comp c ON dup.doc_a = c.doc_id
+  GROUP BY 1)
+SELECT component_id, n_nodes, n_edges,
+       {rat_round6_duck("2 * n_edges", "n_nodes * (n_nodes - 1)")}
+         AS density_r6
+FROM nodes JOIN ecnt USING (component_id)
+ORDER BY component_id
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_clusters", dedup_exact_clusters,
               ORACLE_EXACT_CLUSTERS, ("dedup",)),
@@ -2167,6 +2489,19 @@ SPECS = [
               ORACLE_SHINGLE_DF_PROFILE, ("dedup", "stats", "tuning"),
               doc="shingle document-frequency log2 profile + MAX_DF "
                   "prune counts (the stop-shingle knob's telemetry)"),
+    QuerySpec("dedup_paragraph_minhash", dedup_paragraph_minhash,
+              ORACLE_PARAGRAPH_MINHASH, ("dedup", "lsh", "curation"),
+              doc="paragraph-grain MinHash-LSH near-dup join (24-token "
+                  "blocks, 16 perms, 4x4 bands, exact-Jaccard verify) — "
+                  "the doc-level/span-level granularity bridge"),
+    QuerySpec("dedup_cross_source_matrix", dedup_cross_source_matrix,
+              ORACLE_CROSS_SOURCE_MATRIX, ("dedup", "curation", "stats"),
+              doc="near-dup pair counts by normalized source pair "
+                  "(which feeds copy from which), exact shares"),
+    QuerySpec("graph_component_density", graph_component_density,
+              ORACLE_COMPONENT_DENSITY, ("dedup", "graph", "stats"),
+              doc="edge density per near-dup component (clique vs "
+                  "chain separation; star-contraction CC + edge join)"),
     QuerySpec("dedup_cluster_size_histogram", dedup_cluster_size_histogram,
               _oracle_cluster_size_histogram(),
               ("dedup", "graph", "stats"),
