@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import catalog
-from ..functions.numeric import rat_round6_duck, rat_round6_spark
+from ..functions.numeric import (
+    qrem_round6_duck,
+    qrem_round6_spark,
+    rat_round6_duck,
+    rat_round6_spark,
+)
 from ..registry import QuerySpec
 
 N_QUERIES = 20
@@ -3236,7 +3241,392 @@ FROM agg ORDER BY band
 """
 
 
+# --------------------------------------------------------------------------
+# IVF-PQ compound ANN (route through inverted lists, rerank by ADC codes)
+# --------------------------------------------------------------------------
+
+def sim_ivfpq_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ compound ANN (VERDICT r10 #2c): queries route through the
+    ``sim_ivf`` probe plan (top-{IVF_NPROBE} of {IVF_CENTROIDS} inverted
+    lists) and the candidates are reranked by the ``sim_pq_adc``
+    asymmetric-distance code sum instead of raw cosines — the
+    production big-ANN composition (FAISS IVF-PQ): the list routing
+    bounds the scan, the 8-byte codes bound the memory, and raw vectors
+    are never touched at query time.
+
+    EXACT end to end: the kmeans 2^-{KM_QUANT_BITS} grid, integer
+    subspace distances, argmin-to-lowest-codeword encode, and the
+    (adc_d2, vec_id) total rank order — so the compound approximate
+    ranking carries a FULL value-hash oracle built from the SAME CTEs
+    as ORACLE_IVF (routing) and ORACLE_PQ_DISTORTION (codes). One dist
+    frame serves both the corpus ENCODE (argmin over k) and the query
+    LUT (all k per query) — queries are corpus vectors, so no second
+    distance computation exists to drift.
+
+    Scale: centroid set and LUT are broadcast-bounded; encode is one
+    corpus pass with map-side partial aggs; the rerank join touches
+    only probe-list candidates (never all pairs); recall vs exact
+    top-k is swept into RECALL_r11 alongside LSH/IVF/multiprobe."""
+    assigned, probe_df = _ivf_structures(spark, sf_dir)
+    qdf = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
+        ).alias("qv"),
+    )
+    seeds = qdf.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    assert len(seeds) == PQ_K and all(
+        r["vec_id"] == i for i, r in enumerate(seeds)
+    ), f"PQ codebook seeds must be the contiguous vec_ids 0..{PQ_K - 1}"
+    cb_rows = [
+        (int(r["vec_id"]), d, int(r["qv"][d]))
+        for r in seeds
+        for d in range(EMB_DIM)
+    ]
+    cb_df = spark.createDataFrame(cb_rows, "k int, dim int, cv long")
+    ex = qdf.select(
+        "vec_id", F.posexplode("qv").alias("dim", "v")
+    ).withColumn("m", F.expr(f"dim div {PQ_SUBDIM}"))
+    # (vec, subspace, codeword) integer distances — ENCODE argmin for the
+    # corpus, LUT rows for the bounded query slice; the frame feeds both
+    # branches, so checkpoint the bounded aggregate
+    dist = (
+        ex.join(F.broadcast(cb_df), "dim")
+        .groupBy("vec_id", "m", "k")
+        .agg(F.sum(F.expr("(v - cv) * (v - cv)")).alias("d2"))
+        .localCheckpoint(eager=True)
+    )
+    codes = dist.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d2", "k")).alias("b")
+    ).select("vec_id", "m", F.col("b.k").alias("kc"))
+    lut = dist.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        "m",
+        F.col("k").alias("kc"),
+        F.col("d2").alias("d2q"),
+    )
+    cand = (
+        F.broadcast(probe_df.select("qid", "centroid"))
+        .join(assigned.select("vec_id", "centroid"), "centroid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["qid", "m", "kc"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d2q").cast("long").alias("adc_d2"))
+    )
+    w = W.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", "adc_d2")
+        .orderBy("qid", "rank")
+    )
+
+
+ORACLE_IVFPQ = f"""
+WITH {_IVF_CAND_CTES},
+dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+lq AS (
+  SELECT e.vec_id, d.dim,
+         CAST(TRUNC(e.emb[d.dim + 1] * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM e CROSS JOIN dims d),
+cb AS (SELECT vec_id AS k, dim, qv AS cv FROM lq WHERE vec_id < {PQ_K}),
+dist AS MATERIALIZED (
+  SELECT l.vec_id, l.dim // {PQ_SUBDIM} AS m, c.k,
+         CAST(SUM((l.qv - c.cv) * (l.qv - c.cv)) AS BIGINT) AS d2
+  FROM lq l JOIN cb c ON l.dim = c.dim
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, m, k AS kc FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+    FROM dist) WHERE rn = 1),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM probes p JOIN asgn a ON p.cid = a.cid
+  WHERE a.vec_id != p.qid),
+adc AS (
+  SELECT cand.qid, cand.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM cand
+  JOIN codes co ON cand.vec_id = co.vec_id
+  JOIN dist l ON l.vec_id = cand.qid AND l.m = co.m AND l.k = co.kc
+  GROUP BY 1, 2)
+SELECT qid, rank, vec_id, adc_d2 FROM (
+  SELECT qid, vec_id, adc_d2,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY adc_d2, vec_id) AS rank
+  FROM adc)
+WHERE rank <= {TOP_K}
+ORDER BY qid, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# Binary sign-sketch ANN (Hamming top-k over packed sign bits)
+# --------------------------------------------------------------------------
+
+def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch ANN: each vector compressed to its {EMB_DIM} sign
+    bits packed into two BIGINT words (16 bytes/vector — the most
+    aggressive compression tier below PQ's 8-byte codes but with a
+    pure-codegen query path), queries ranked by Hamming distance
+    xor→popcount — the sign-random-projection bound makes Hamming a
+    monotone cosine proxy in expectation. Deterministic end to end
+    (sign of the float64 cast, ties to lowest vec_id) → full
+    value-hash oracle.
+
+    Scale: the sketch build is map-only; each query scan reads 16
+    bytes/vector of sketch (never raw vectors) with the whole distance
+    in two xor+popcount codegen instructions; the query side is the
+    bounded N_QUERIES broadcast. Packing uses 32 sign bits per word so
+    no sign bit ever lands in a BIGINT's own sign position."""
+    emb = _emb(spark, sf_dir)
+    half = EMB_DIM // 2
+
+    def word(lo: int) -> str:
+        return (
+            f"aggregate(sequence(0, {half - 1}), 0L, (acc, d) -> acc + "
+            f"case when cast(element_at(embedding, d + {lo + 1}) as double)"
+            f" > 0.0d then shiftleft(1L, d) else 0L end)"
+        )
+
+    sk = emb.select(
+        "vec_id",
+        F.expr(word(0)).alias("w0"),
+        F.expr(word(half)).alias("w1"),
+    ).localCheckpoint(eager=True)  # sketch frame feeds query + corpus sides
+    q = sk.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        F.broadcast(q)
+        .crossJoin(sk)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1)"
+            ).cast("int").alias("hamming"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return (
+        ham.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", "hamming")
+        .orderBy("qid", "rank")
+    )
+
+
+def _duck_sign_word(lo: int, half: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(0, {half}), d -> "
+        f"CASE WHEN emb[d + {lo + 1}] > 0.0 "
+        f"THEN CAST(1 AS BIGINT) << d ELSE 0 END)) AS BIGINT)"
+    )
+
+
+ORACLE_BINARY_HAMMING = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sk AS MATERIALIZED (
+  SELECT vec_id,
+         {_duck_sign_word(0, EMB_DIM // 2)} AS w0,
+         {_duck_sign_word(EMB_DIM // 2, EMB_DIM // 2)} AS w1
+  FROM e),
+q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM sk
+      WHERE vec_id < {N_QUERIES}),
+h AS (
+  SELECT qid, sk.vec_id,
+         CAST(bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)) AS INT)
+           AS hamming
+  FROM q, sk WHERE sk.vec_id != qid)
+SELECT qid, rank, vec_id, hamming FROM (
+  SELECT qid, vec_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY hamming, vec_id) AS rank
+  FROM h)
+WHERE rank <= {TOP_K}
+ORDER BY qid, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# k-NN label homophily (embedding-quality eval over the exact top-k)
+# --------------------------------------------------------------------------
+
+def emb_knn_label_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label homophily of the exact cosine top-{TOP_K}: per QUERY label,
+    how often a neighbor carries the same label — the standard
+    label-agreement probe of embedding quality (a good encoder's
+    neighborhoods are label-pure; on the i.i.d. random fixture the
+    share hovers at 1/|labels|, which is exactly what the audit should
+    report for structure-free vectors). Built ON the production
+    ``sim_cosine_topk`` ranking, so it audits the real ANN output, not
+    a twin.
+
+    Scale: the top-k frame is queries×k rows; two label joins (corpus
+    labels ride a vec_id-keyed join) and a label-bounded agg."""
+    emb = _emb(spark, sf_dir)
+    topk = sim_cosine_topk(spark, sf_dir)
+    lab = emb.select("vec_id", "label")
+    joined = (
+        topk.join(
+            lab.select(
+                F.col("vec_id").alias("qid"), F.col("label").alias("qlab")
+            ),
+            "qid",
+        )
+        .join(
+            lab.select("vec_id", F.col("label").alias("nlab")),
+            "vec_id",
+        )
+    )
+    return (
+        joined.groupBy("qlab")
+        .agg(
+            F.count_distinct("qid").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("qlab") == F.col("nlab"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_same_label"),
+        )
+        .select(
+            F.col("qlab").cast("int").alias("label"),
+            "n_queries",
+            "n_neighbors",
+            "n_same_label",
+            F.expr(rat_round6_spark("n_same_label", "n_neighbors")).alias(
+                "homophily_r6"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_KNN_HOMOPHILY = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS qlab
+  FROM embeddings WHERE vec_id < {N_QUERIES}),
+s AS (
+  SELECT qid, qlab, e.vec_id, e.label AS nlab,
+         list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q, embeddings e WHERE e.vec_id != qid),
+topk AS (
+  SELECT qid, qlab, vec_id, nlab FROM (
+    SELECT qid, qlab, vec_id, nlab,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id) AS rank
+    FROM s)
+  WHERE rank <= {TOP_K}),
+g AS (
+  SELECT qlab,
+         CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+         CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+         CAST(SUM(CASE WHEN qlab = nlab THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same_label
+  FROM topk GROUP BY 1)
+SELECT CAST(qlab AS INT) AS label, n_queries, n_neighbors, n_same_label,
+       {rat_round6_duck("n_same_label", "n_neighbors")} AS homophily_r6
+FROM g ORDER BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# Norm profile by label (collapse / scale-drift audit)
+# --------------------------------------------------------------------------
+
+def emb_norm_profile_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label squared-norm profile on the 2^-{KM_QUANT_BITS} grid —
+    the collapse/scale-drift audit (a label whose norms shrink toward
+    zero or drift from its peers signals a degenerate or mis-scaled
+    encoder slice; at 100 TB this is the cheapest per-slice health
+    number an embedding pipeline exports). Norms are exact integers
+    (grid-truncated coordinates squared and summed — the kmeans
+    fixed-point recipe), so mean/min/max carry the full value hash.
+
+    Scale: one map-only fold per vector + one label-bounded agg."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(
+            "label",
+            F.expr(
+                f"aggregate(transform(embedding, x -> "
+                f"cast(cast(x as double) * {KM_QUANT!r} as bigint)), "
+                f"0L, (acc, v) -> acc + v * v)"
+            ).alias("n2"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.min("n2").cast("long").alias("min_q2"),
+            F.max("n2").cast("long").alias("max_q2"),
+            F.sum("n2").cast("long").alias("total_q2"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_vecs",
+            "min_q2",
+            "max_q2",
+            "total_q2",
+            F.expr(qrem_round6_spark("total_q2", "n_vecs")).alias(
+                "mean_q2_r6"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_NORM_PROFILE = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+lq AS (
+  SELECT e.vec_id, e.label,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+n2 AS (
+  SELECT vec_id, label, CAST(SUM(qv * qv) AS BIGINT) AS n2
+  FROM lq GROUP BY 1, 2),
+g AS (
+  SELECT label,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(MIN(n2) AS BIGINT) AS min_q2,
+         CAST(MAX(n2) AS BIGINT) AS max_q2,
+         CAST(SUM(n2) AS BIGINT) AS total_q2
+  FROM n2 GROUP BY 1)
+SELECT CAST(label AS INT) AS label, n_vecs, min_q2, max_q2, total_q2,
+       {qrem_round6_duck("total_q2", "n_vecs")} AS mean_q2_r6
+FROM g ORDER BY label
+"""
+
+
 SPECS = [
+    QuerySpec("sim_ivfpq_compound", sim_ivfpq_compound, ORACLE_IVFPQ,
+              ("similarity", "ann", "compound"),
+              doc="IVF-PQ compound ANN: probe-list routing + integer "
+                  "ADC code rerank (FAISS composition), full ranking "
+                  "oracle on the kmeans fixed-point grid"),
+    QuerySpec("emb_binary_hamming_topk", emb_binary_hamming_topk,
+              ORACLE_BINARY_HAMMING, ("similarity", "ann", "sketch"),
+              doc="binary sign-sketch ANN: 2x32-bit packed signs, "
+                  "xor+popcount Hamming top-k, full ranking oracle"),
+    QuerySpec("emb_knn_label_homophily", emb_knn_label_homophily,
+              ORACLE_KNN_HOMOPHILY, ("similarity", "eval", "stats"),
+              doc="label homophily of the exact cosine top-k per query "
+                  "label (embedding-quality agreement probe)"),
+    QuerySpec("emb_norm_profile_by_label", emb_norm_profile_by_label,
+              ORACLE_NORM_PROFILE, ("similarity", "audit", "stats"),
+              doc="exact grid-integer squared-norm profile per label "
+                  "(collapse / scale-drift audit)"),
     QuerySpec("sim_cosine_topk", sim_cosine_topk, ORACLE_TOPK,
               ("similarity",), bench=True),
     QuerySpec("sim_dup_pairs", sim_dup_pairs, ORACLE_DUP_PAIRS,
