@@ -5480,7 +5480,256 @@ FROM r
 """
 
 
+# --------------------------------------------------------------------------
+# Haar wavelet energy over the hourly event-count series
+# --------------------------------------------------------------------------
+
+HAAR_LEVELS = 5  # detail scales: 2h, 4h, 8h, 16h, 32h blocks
+
+
+def ev_haar_energy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-scale burst telemetry: Haar wavelet DETAIL ENERGY of the
+    hourly event-count series at {HAAR_LEVELS} dyadic scales. Detail at
+    level l, block i is d = (count of the block's first 2^(l−1) hours)
+    − (count of its last 2^(l−1) hours); energy_l = Σ d² localizes
+    WHERE the variance lives (level-1 energy = hour-to-hour jitter;
+    level-5 = 32-hour regime shifts) — the spectral complement to the
+    point-anomaly ops (ev_velocity_alerts, ev_cusum_changepoint).
+    Counts are integers, so every coefficient and energy is exact;
+    partial trailing blocks are excluded (only blocks fully inside the
+    observed span count).
+
+    Scale: the hourly count frame is span-bounded (not corpus-bounded);
+    the level fan-out multiplies THAT small frame, and each level is
+    one hash agg. The raw event pass is a single map + hour-grain
+    count."""
+    ev = catalog.load(spark, sf_dir, "events")
+    hours = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(date_trunc('hour', ts) as timestamp))"
+            ).alias("hus")
+        )
+        .groupBy("hus")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # feeds the bounds agg + every level
+    )
+    bounds = hours.agg(
+        F.min("hus").alias("h0"),
+        (
+            (F.max("hus") - F.min("hus")) / F.lit(3_600_000_000)
+        ).cast("long").alias("hmax"),
+    )
+    lv = spark.createDataFrame(
+        [(l,) for l in range(1, HAAR_LEVELS + 1)], "level int"
+    )
+    base = (
+        hours.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("cast((hus - h0) div 3600000000 as bigint)").alias("h"),
+            "c",
+            (F.col("hmax") + 1).alias("t_hours"),
+        )
+        .crossJoin(F.broadcast(lv))
+        .select(
+            "level",
+            "c",
+            "t_hours",
+            F.expr("h div shiftleft(1, level)").alias("blk"),
+            F.expr(
+                "case when (h div shiftleft(1, level - 1)) % 2 = 0 "
+                "then 1 else -1 end"
+            ).alias("sign"),
+        )
+        .filter(F.col("blk") < F.expr("t_hours div shiftleft(1, level)"))
+    )
+    detail = base.groupBy("level", "blk").agg(
+        F.sum(F.expr("sign * c")).alias("d")
+    )
+    return (
+        detail.groupBy("level")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum(F.expr("d * d")).cast("long").alias("energy"),
+            F.max(F.abs("d")).cast("long").alias("max_abs_detail"),
+        )
+        .orderBy("level")
+    )
+
+
+ORACLE_HAAR_ENERGY = f"""
+WITH hrs AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS hus, COUNT(*) AS c
+  FROM events GROUP BY 1),
+b AS (SELECT MIN(hus) AS h0,
+             (MAX(hus) - MIN(hus)) // 3600000000 + 1 AS t_hours
+      FROM hrs),
+lv AS (SELECT unnest(generate_series(1, {HAAR_LEVELS})) AS level),
+base AS (
+  SELECT lv.level, hrs.c, b.t_hours,
+         ((hrs.hus - b.h0) // 3600000000) // (1 << lv.level) AS blk,
+         CASE WHEN (((hrs.hus - b.h0) // 3600000000)
+                    // (1 << (lv.level - 1))) % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM hrs, b, lv
+  WHERE ((hrs.hus - b.h0) // 3600000000) // (1 << lv.level)
+        < b.t_hours // (1 << lv.level)),
+detail AS (
+  SELECT level, blk, CAST(SUM(sign * c) AS BIGINT) AS d
+  FROM base GROUP BY 1, 2)
+SELECT level,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(d * d) AS BIGINT) AS energy,
+       CAST(MAX(abs(d)) AS BIGINT) AS max_abs_detail
+FROM detail GROUP BY level ORDER BY level
+"""
+
+
+# --------------------------------------------------------------------------
+# Running-record accounting per user
+# --------------------------------------------------------------------------
+
+def ev_value_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking accounting per user: how many events set a new
+    strict running MAXIMUM of ``value`` (in (ts, event_id) order), and
+    when the last record fell — the \"personal best\" telemetry that
+    flags accounts whose spend/engagement keeps escalating (records
+    arriving late in the stream) versus plateaued ones (all records
+    early). For an i.i.d. sequence the expected record count is
+    harmonic (~ln n), so a materially higher count is itself an
+    escalation signal.
+
+    Scale: one user-partitioned running-max window (preceding frame)
+    + one user rollup — no global window, no self-join."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = ev.withColumn("pm", F.max("value").over(w)).withColumn(
+        "is_rec",
+        F.when(
+            F.col("pm").isNull() | (F.col("value") > F.col("pm")), 1
+        ).otherwise(0),
+    )
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("is_rec").cast("long").alias("n_records"),
+            F.max("value").alias("max_value"),
+            F.max(
+                F.when(F.col("is_rec") == 1, F.col("ts_us"))
+            ).cast("long").alias("last_record_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_VALUE_RECORDS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+r AS (
+  SELECT user_id, ts_us, value,
+         MAX(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM e)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN pm IS NULL OR value > pm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_records,
+       MAX(value) AS max_value,
+       CAST(MAX(CASE WHEN pm IS NULL OR value > pm THEN ts_us END)
+            AS BIGINT) AS last_record_us
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact per-hour value percentiles (tumbling-window latency readout)
+# --------------------------------------------------------------------------
+
+HOURLY_PCTS = (50, 95)
+
+
+def ev_hourly_value_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact (type-1) p50/p95 of ``value`` per 1-hour tumbling window —
+    the per-window latency/spend distribution readout that pairs with
+    ``ev_tumbling_1h``'s count/sum (a mean hides the tail; the p95
+    column is what an SLO monitor actually pages on). The k-th
+    percentile is the value at rank ⌈p·n/100⌉ of the window's exact
+    (value, event_id) order — reproducible on both engines, unlike
+    interpolated quantiles of doubles.
+
+    Scale: ranks come from an HOUR-partitioned window (each partition
+    is one hour of events, never the corpus) + a window-bounded rank
+    filter; this is the batch twin of a sliding-state streaming
+    percentile."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.expr(
+            "cast(date_trunc('hour', ts) as timestamp)"
+        ).alias("win_start"),
+        "event_id",
+        "value",
+    )
+    w = W.partitionBy("win_start").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(W.partitionBy("win_start"))
+    )
+    pcts = spark.createDataFrame([(p,) for p in HOURLY_PCTS], "pct int")
+    return (
+        ranked.crossJoin(F.broadcast(pcts))
+        .filter(F.col("rn") == F.expr("(pct * n + 99) div 100"))
+        .select(
+            "win_start",
+            "pct",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("value").alias("pct_value"),
+        )
+        .orderBy("win_start", "pct")
+    )
+
+
+ORACLE_HOURLY_PCTS = f"""
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_id, value
+  FROM events),
+r AS (
+  SELECT win_start, value,
+         ROW_NUMBER() OVER (PARTITION BY win_start
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY win_start) AS n
+  FROM e),
+p AS (SELECT unnest(ARRAY{list(HOURLY_PCTS)}) AS pct)
+SELECT win_start, CAST(pct AS INT) AS pct,
+       CAST(n AS BIGINT) AS n_events, value AS pct_value
+FROM r, p
+WHERE rn = (pct * n + 99) // 100
+ORDER BY win_start, pct
+"""
+
+
 SPECS = [
+    QuerySpec("ev_haar_energy_hourly", ev_haar_energy_hourly,
+              ORACLE_HAAR_ENERGY, ("events", "stats", "wavelet"),
+              doc="Haar detail energy of the hourly count series at 5 "
+                  "dyadic scales (integer multi-scale burst telemetry)"),
+    QuerySpec("ev_value_records", ev_value_records,
+              ORACLE_VALUE_RECORDS, ("events", "window", "stats"),
+              doc="strict running-max record accounting per user "
+                  "(escalation telemetry; preceding-frame window)"),
+    QuerySpec("ev_hourly_value_percentiles", ev_hourly_value_percentiles,
+              ORACLE_HOURLY_PCTS, ("events", "window", "percentile"),
+              doc="exact type-1 p50/p95 of value per 1h tumbling window "
+                  "(rank-at-ceil, hour-partitioned)"),
     # not in the headline bench set: BENCH_r{N} totals stay comparable
     # round-over-round only if the query set is frozen (r1 = 14 queries)
     QuerySpec("join_asof", join_asof, ORACLE_ASOF,
