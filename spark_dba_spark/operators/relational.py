@@ -30,7 +30,11 @@ from ..functions.numeric import (  # noqa: F401
     davg,
     dsum,
     dsum_expr,
+    qrem_round6_duck,
+    qrem_round6_spark,
     rat_round6_duck,
+    rat_round6_signed_duck,
+    rat_round6_signed_spark,
     rat_round6_spark,
     sql_davg,
     sql_dsum,
@@ -5673,7 +5677,572 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+# --------------------------------------------------------------------------
+# Customer lifetime-value deciles (Lorenz table)
+# --------------------------------------------------------------------------
+
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-revenue DECILE / Lorenz table: every customer's
+    total order value (exact cents), customers split into 10
+    equal-frequency tiles (zero-spend customers included — the Lorenz
+    curve is about the whole base), each decile reporting its customer
+    count, revenue, revenue share and CUMULATIVE share — the
+    concentration readout ("the top decile carries X% of revenue")
+    that the per-nation Gini (agg_gini_by_nation) summarizes away.
+    NTILE's ANSI fill rule + the (spend, custkey) total order make
+    tile membership deterministic on both engines.
+
+    Scale: one orders→customer-grain agg, one left join onto the
+    customer dimension, one window over the CUSTOMER DIMENSION (key
+    space orders of magnitude below the fact stream — the bounded
+    global window class), then a 10-row rollup."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("cents")
+        )
+    )
+    per_cust = cust.join(spend, "c_custkey", "left").select(
+        "c_custkey", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    w = W.orderBy("cents", "c_custkey")
+    deciled = per_cust.select(
+        "c_custkey", "cents", F.ntile(10).over(w).alias("decile")
+    )
+    agg = (
+        deciled.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .localCheckpoint(eager=True)  # 10 rows; feeds total + cumsum
+    )
+    tot = agg.agg(F.sum("rev_cents").alias("total_cents"))
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("cum_cents", F.sum("rev_cents").over(wc))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "rev_cents",
+            F.expr(rat_round6_spark("rev_cents", "total_cents")).alias(
+                "rev_share_r6"
+            ),
+            F.expr(rat_round6_spark("cum_cents", "total_cents")).alias(
+                "cum_share_r6"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_VALUE_DECILES = f"""
+WITH spend AS (
+  SELECT c_custkey, COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                      AS BIGINT)), 0) AS cents
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1),
+d AS (
+  SELECT c_custkey, cents,
+         NTILE(10) OVER (ORDER BY cents, c_custkey) AS decile
+  FROM spend),
+a AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS rev_cents
+  FROM d GROUP BY 1),
+t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents FROM a),
+c AS (
+  SELECT decile, n_customers, rev_cents,
+         CAST(SUM(rev_cents) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+  FROM a)
+SELECT CAST(decile AS INT) AS decile, n_customers, rev_cents,
+       {rat_round6_duck("rev_cents", "total_cents")} AS rev_share_r6,
+       {rat_round6_duck("cum_cents", "total_cents")} AS cum_share_r6
+FROM c, t ORDER BY decile
+"""
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe (Levene) variance-homogeneity test: price by brand
+# --------------------------------------------------------------------------
+
+def stats_levene_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (the median-based Levene
+    variant) of part retail price across brands — the assumption check
+    that should precede the existing stats_anova_price_brand (ANOVA
+    trusts equal variances; this tests them). Fixed-point recipe:
+    prices land on the integer DOLLAR grid, each group's center is the
+    exact lower median (rank (n+1) div 2 under the (x, partkey) total
+    order), absolute deviations z are integers, group means of z are
+    half-up at 2dp (c2 grid), and the F statistic
+    B·(N−k) / (W·(k−1)) over the c2-grid sums is one final half-up —
+    every intermediate an exact BIGINT (bounds documented through
+    ~sf1). Emits one row: group count, N, the between/within sums (c4
+    units) and F.
+
+    Scale: one part-grain map, one brand-grain median (brand-bounded
+    window partitions), two brand-bounded aggs — the dimension never
+    exceeds the brand count."""
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.expr("cast(floor(p_retailprice + 0.5) as bigint)").alias("xd"),
+    )
+    wb = W.partitionBy("p_brand").orderBy("xd", "p_partkey")
+    med = (
+        parts.withColumn("rn", F.row_number().over(wb))
+        .withColumn("n_i", F.count("*").over(W.partitionBy("p_brand")))
+        .filter(F.col("rn") == F.expr("(n_i + 1) div 2"))
+        .select("p_brand", F.col("xd").alias("med"))
+    )
+    z = parts.join(med, "p_brand").select(
+        "p_brand", F.abs(F.col("xd") - F.col("med")).alias("z")
+    )
+    grp = (
+        z.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_i"),
+            F.sum("z").alias("zi"),
+        )
+        .select(
+            "p_brand",
+            "n_i",
+            "zi",
+            # group mean of z, half-up on the 2dp grid (c2 units)
+            F.expr(
+                "(zi * 200 + n_i) div (2 * n_i)"
+            ).alias("mi_c2"),
+        )
+        .localCheckpoint(eager=True)  # brand-bounded; feeds B and W
+    )
+    gtot = grp.agg(
+        F.count("*").alias("k"),
+        F.sum("n_i").alias("n_total"),
+        F.sum("zi").alias("z_total"),
+    ).select(
+        "k",
+        "n_total",
+        F.expr("(z_total * 200 + n_total) div (2 * n_total)").alias("m_c2"),
+    )
+    b_ss = (
+        grp.crossJoin(F.broadcast(gtot))
+        .agg(
+            F.sum(
+                F.expr("n_i * (mi_c2 - m_c2) * (mi_c2 - m_c2)")
+            ).alias("b_c4"),
+            F.max("k").alias("k"),
+            F.max("n_total").alias("n_total"),
+        )
+    )
+    w_ss = (
+        z.join(grp.select("p_brand", "mi_c2"), "p_brand")
+        .agg(
+            F.sum(
+                F.expr("(z * 100 - mi_c2) * (z * 100 - mi_c2)")
+            ).alias("w_c4")
+        )
+    )
+    return (
+        b_ss.crossJoin(w_ss)
+        .select(
+            F.col("k").cast("int").alias("k_groups"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("b_c4").cast("long").alias("between_ss_c4"),
+            F.col("w_c4").cast("long").alias("within_ss_c4"),
+            F.expr(
+                "case when w_c4 > 0 then "
+                + qrem_round6_spark(
+                    "b_c4 * (n_total - k)", "w_c4 * (k - 1)"
+                )
+                + " else cast(null as double) end"
+            ).alias("f_stat_r6"),
+        )
+    )
+
+
+ORACLE_LEVENE = f"""
+WITH p AS (
+  SELECT p_partkey, p_brand,
+         CAST(FLOOR(p_retailprice + 0.5) AS BIGINT) AS xd
+  FROM part),
+med AS (
+  SELECT p_brand, xd AS med FROM (
+    SELECT p_brand, xd, p_partkey,
+           ROW_NUMBER() OVER (PARTITION BY p_brand
+                              ORDER BY xd, p_partkey) AS rn,
+           COUNT(*) OVER (PARTITION BY p_brand) AS n_i
+    FROM p)
+  WHERE rn = (n_i + 1) // 2),
+z AS (
+  SELECT p.p_brand, abs(p.xd - med.med) AS z
+  FROM p JOIN med USING (p_brand)),
+grp AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(z) AS BIGINT) AS zi,
+         (CAST(SUM(z) AS BIGINT) * 200 + COUNT(*)) // (2 * COUNT(*))
+           AS mi_c2
+  FROM z GROUP BY 1),
+gt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_i) AS BIGINT) AS n_total,
+         (CAST(SUM(zi) AS BIGINT) * 200 + CAST(SUM(n_i) AS BIGINT))
+           // (2 * CAST(SUM(n_i) AS BIGINT)) AS m_c2
+  FROM grp),
+b AS (
+  SELECT CAST(SUM(n_i * (mi_c2 - m_c2) * (mi_c2 - m_c2)) AS BIGINT)
+           AS b_c4,
+         MAX(k) AS k, MAX(n_total) AS n_total
+  FROM grp, gt),
+wss AS (
+  SELECT CAST(SUM((z.z * 100 - grp.mi_c2) * (z.z * 100 - grp.mi_c2))
+              AS BIGINT) AS w_c4
+  FROM z JOIN grp USING (p_brand))
+SELECT CAST(k AS INT) AS k_groups, n_total,
+       b_c4 AS between_ss_c4, w_c4 AS within_ss_c4,
+       CASE WHEN w_c4 > 0 THEN
+         {qrem_round6_duck("b_c4 * (n_total - k)", "w_c4 * (k - 1)")}
+       ELSE NULL END AS f_stat_r6
+FROM b, wss
+"""
+
+
+# --------------------------------------------------------------------------
+# Year-over-year monthly revenue growth
+# --------------------------------------------------------------------------
+
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: exact monthly cents joined
+    to the SAME month one year earlier, growth as a signed exact
+    rational — the seasonal-adjusted trend readout (month-over-month
+    mixes seasonality into the delta; YoY cancels it), complementary to
+    orders_seasonal_index (the seasonal profile itself). Months with no
+    prior-year twin are omitted (inner join) so every growth value is
+    well-defined.
+
+    Scale: one month-grain agg (bounded by the calendar) + one
+    calendar-bounded self-join."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("rev_cents")
+        )
+        .localCheckpoint(eager=True)  # calendar-bounded; feeds both sides
+    )
+    prev = monthly.select(
+        (F.col("yr") + 1).alias("yr"),
+        "mon",
+        F.col("rev_cents").alias("prev_rev_cents"),
+    )
+    return (
+        monthly.join(prev, ["yr", "mon"])
+        .select(
+            F.col("yr").cast("int").alias("yr"),
+            F.col("mon").cast("int").alias("mon"),
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            F.col("prev_rev_cents").cast("long").alias("prev_rev_cents"),
+            F.expr(
+                rat_round6_signed_spark(
+                    "rev_cents - prev_rev_cents", "prev_rev_cents"
+                )
+            ).alias("yoy_growth_r6"),
+        )
+        .orderBy("yr", "mon")
+    )
+
+
+ORACLE_YOY_GROWTH = f"""
+WITH m AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         EXTRACT(month FROM o_orderdate) AS mon,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1, 2)
+SELECT CAST(cur.yr AS INT) AS yr, CAST(cur.mon AS INT) AS mon,
+       cur.rev_cents, prev.rev_cents AS prev_rev_cents,
+       {rat_round6_signed_duck(
+           "cur.rev_cents - prev.rev_cents", "prev.rev_cents")}
+         AS yoy_growth_r6
+FROM m cur JOIN m prev
+  ON cur.yr = prev.yr + 1 AND cur.mon = prev.mon
+ORDER BY yr, mon
+"""
+
+
+# --------------------------------------------------------------------------
+# Count-Min heavy-change detection between two time halves
+# --------------------------------------------------------------------------
+
+CMS_SPLIT_DATE = "1997-07-01"  # lineitem ship-date halves A (<) / B (>=)
+
+
+def sketch_cms_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-CHANGE detection via two Count-Min sketches (the classic
+    streaming drift primitive — Cormode & Muthukrishnan's
+    what's-new/what's-hot query): part-key frequencies are sketched
+    separately for the two ship-date halves with the SAME fixed
+    md5-derived buckets as ``sketch_count_min_deterministic``, and the
+    keys with the largest TRUE |Δcount| are probed against both
+    sketches — reporting the estimated change an online monitor would
+    see (collision overestimates included) next to the truth. Because
+    the buckets are deterministic, every counter and estimate carries
+    the full value hash.
+
+    Scale: the two counter matrices are {CMS_D}×{CMS_W} each —
+    constant-size state no matter the stream; one key-grain agg builds
+    both halves' counters AND selects the probe set; probes ride a
+    broadcast join."""
+
+    def bucket(key_col: str, j_col: str) -> str:
+        return (
+            f"cast(conv(substring(md5(concat(cast({key_col} as string), "
+            f"':cms:', cast({j_col} as string))), 1, 7), 16, 10) as bigint) "
+            f"% {CMS_W}"
+        )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(
+            F.col("l_shipdate")
+            < F.lit(CMS_SPLIT_DATE).cast("timestamp_ntz"),
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("half"),
+    )
+    keys = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("half") == "a", 1).otherwise(0))
+            .cast("long")
+            .alias("true_a"),
+            F.sum(F.when(F.col("half") == "b", 1).otherwise(0))
+            .cast("long")
+            .alias("true_b"),
+        )
+        .localCheckpoint(eager=True)  # key-grain; feeds counters + probe
+    )
+    fan = keys.select(
+        "l_partkey",
+        "true_a",
+        "true_b",
+        F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("j"),
+    ).withColumn("bkt", F.expr(bucket("l_partkey", "j")))
+    counters = fan.groupBy("j", "bkt").agg(
+        F.sum("true_a").cast("long").alias("cnt_a"),
+        F.sum("true_b").cast("long").alias("cnt_b"),
+    )
+    probe = (
+        keys.orderBy(
+            F.desc(F.abs(F.col("true_a") - F.col("true_b"))),
+            F.asc("l_partkey"),
+        )
+        .limit(CMS_TOP)
+        .select(
+            "l_partkey",
+            "true_a",
+            "true_b",
+            F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("j"),
+        )
+        .withColumn("bkt", F.expr(bucket("l_partkey", "j")))
+    )
+    return (
+        probe.join(F.broadcast(counters), ["j", "bkt"])
+        .groupBy("l_partkey", "true_a", "true_b")
+        .agg(
+            F.min("cnt_a").cast("long").alias("cms_a"),
+            F.min("cnt_b").cast("long").alias("cms_b"),
+        )
+        .select(
+            "l_partkey",
+            "true_a",
+            "true_b",
+            "cms_a",
+            "cms_b",
+            F.abs(F.col("cms_a") - F.col("cms_b"))
+            .cast("long")
+            .alias("est_change"),
+            F.abs(F.col("true_a") - F.col("true_b"))
+            .cast("long")
+            .alias("true_change"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+ORACLE_CMS_HEAVY_CHANGE = f"""
+WITH keys AS (
+  SELECT l_partkey,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '{CMS_SPLIT_DATE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS true_a,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '{CMS_SPLIT_DATE}'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS true_b
+  FROM lineitem GROUP BY 1),
+js AS (SELECT unnest(range({CMS_D})) AS j),
+counters AS (
+  SELECT j,
+         CAST(('0x' || SUBSTRING(md5(CAST(l_partkey AS VARCHAR) || ':cms:'
+                  || CAST(j AS VARCHAR)), 1, 7)) AS BIGINT) % {CMS_W} AS bkt,
+         CAST(SUM(true_a) AS BIGINT) AS cnt_a,
+         CAST(SUM(true_b) AS BIGINT) AS cnt_b
+  FROM keys CROSS JOIN js GROUP BY 1, 2),
+probe AS (
+  SELECT l_partkey, true_a, true_b FROM keys
+  ORDER BY abs(true_a - true_b) DESC, l_partkey LIMIT {CMS_TOP}),
+pj AS (
+  SELECT p.l_partkey, p.true_a, p.true_b, j.j,
+         CAST(('0x' || SUBSTRING(md5(CAST(p.l_partkey AS VARCHAR) || ':cms:'
+                  || CAST(j.j AS VARCHAR)), 1, 7)) AS BIGINT) % {CMS_W} AS bkt
+  FROM probe p CROSS JOIN js j)
+SELECT pj.l_partkey, pj.true_a, pj.true_b,
+       CAST(MIN(c.cnt_a) AS BIGINT) AS cms_a,
+       CAST(MIN(c.cnt_b) AS BIGINT) AS cms_b,
+       CAST(abs(MIN(c.cnt_a) - MIN(c.cnt_b)) AS BIGINT) AS est_change,
+       CAST(abs(pj.true_a - pj.true_b) AS BIGINT) AS true_change
+FROM pj JOIN counters c ON pj.j = c.j AND pj.bkt = c.bkt
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with union merge
+# --------------------------------------------------------------------------
+
+KMV_K = 32
+KMV_HEX = 13  # 52-bit hash keeps (k-1)*2^52 far inside BIGINT
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) distinct sketch per
+    document source, with a genuine SKETCH-MERGE '__ALL__' row: the
+    union sketch is computed from the per-source k-min POOLS (at most
+    sources×{KMV_K} hashes), never from raw data — the same
+    constant-exchange re-aggregation story as the HLL ladder, but for
+    the sketch family DataSketches calls theta, which additionally
+    supports intersections. Estimator: with the k-th smallest of a
+    52-bit md5 hash at h_k, distinct ≈ (k−1)·2^52 / h_k; when a group
+    has fewer than {KMV_K} distinct hashes the sketch IS the exact
+    distinct count. All integers → full value hash.
+
+    Scale: per-source k-mins run as a two-stage bounded top-k (a
+    64-salt local cut, then the per-source cut on ≤ 64·{KMV_K} rows per
+    source) — no corpus-sized window partition; the merge input is
+    sketch-sized by construction."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    h = docs.select(
+        "source",
+        F.expr(
+            f"cast(conv(substring(md5(text), 1, {KMV_HEX}), 16, 10)"
+            " as bigint)"
+        ).alias("h"),
+    ).distinct()
+    # stage 1: salt-local k-min (bounds every window partition)
+    w1 = W.partitionBy("source", F.expr("h % 64")).orderBy("h")
+    pool = (
+        h.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # sketch pools; feed source + merge
+    )
+    w2 = W.partitionBy("source").orderBy("h")
+    per_src = (
+        pool.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.max("h").alias("kth_hash"),
+        )
+    )
+    # union merge from the pools (distinct hashes across sources)
+    wall = W.orderBy("h")
+    merged = (
+        pool.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wall))
+        .filter(F.col("rn") <= KMV_K)
+        .agg(
+            F.lit("__ALL__").alias("source"),
+            F.count("*").alias("k_used"),
+            F.max("h").alias("kth_hash"),
+        )
+    )
+    est = (
+        f"case when k_used < {KMV_K} then k_used else "
+        f"cast({KMV_K - 1} as bigint) * {1 << (4 * KMV_HEX)} div kth_hash"
+        " end"
+    )
+    return (
+        per_src.unionByName(merged)
+        .select(
+            "source",
+            F.col("k_used").cast("long").alias("k_used"),
+            F.col("kth_hash").cast("long").alias("kth_hash"),
+            F.expr(est).cast("long").alias("est_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_KMV = f"""
+WITH h AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substring(md5(text), 1, {KMV_HEX})) AS BIGINT) AS h
+  FROM documents),
+ps AS (
+  SELECT source, COUNT(*) AS k_used, MAX(h) AS kth_hash FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM h) WHERE rn <= {KMV_K} GROUP BY 1),
+mg AS (
+  SELECT '__ALL__' AS source, COUNT(*) AS k_used, MAX(h) AS kth_hash
+  FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM h)) WHERE rn <= {KMV_K}),
+a AS (SELECT * FROM ps UNION ALL SELECT * FROM mg)
+SELECT source, CAST(k_used AS BIGINT) AS k_used,
+       CAST(kth_hash AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN k_used < {KMV_K} THEN k_used
+                 ELSE CAST({KMV_K - 1} AS BIGINT)
+                      * {1 << (4 * KMV_HEX)} // kth_hash
+            END AS BIGINT) AS est_distinct
+FROM a ORDER BY source
+"""
+
+
 SPECS = [
+    QuerySpec("customer_value_deciles", customer_value_deciles,
+              ORACLE_VALUE_DECILES, ("window", "stats", "dba"),
+              doc="customer lifetime-revenue decile / Lorenz table "
+                  "(exact cents, cumulative shares)"),
+    QuerySpec("stats_levene_brand_price", stats_levene_brand_price,
+              ORACLE_LEVENE, ("stats",),
+              doc="Brown-Forsythe variance-homogeneity F over brands "
+                  "(dollar grid, exact lower medians, c2-grid means)"),
+    QuerySpec("orders_yoy_growth", orders_yoy_growth,
+              ORACLE_YOY_GROWTH, ("agg", "calendar"),
+              doc="year-over-year monthly revenue growth, signed exact "
+                  "rational on cents"),
+    QuerySpec("sketch_cms_heavy_change", sketch_cms_heavy_change,
+              ORACLE_CMS_HEAVY_CHANGE, ("sketch", "drift"),
+              doc="Count-Min heavy-change detection between ship-date "
+                  "halves (deterministic buckets, full oracle)"),
+    QuerySpec("sketch_kmv_distinct", sketch_kmv_distinct,
+              ORACLE_KMV, ("sketch", "rollup"),
+              doc="KMV / bottom-k theta distinct sketch per source with "
+                  "a pool-merged union row (re-aggregatable)"),
     QuerySpec("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01,
               ("agg", "tpch"), bench=True, doc="TPC-H Q1-shaped flagship"),
     QuerySpec("q02_scan_filter_project", q02_scan_filter_project, ORACLE_Q02,
