@@ -1827,7 +1827,280 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# --------------------------------------------------------------------------
+# Byte-level entropy proxy (collision rate per asset)
+# --------------------------------------------------------------------------
+
+def mm_payload_entropy_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset byte ENTROPY PROXY — the integer-exact stand-in for
+    Shannon entropy (whose float logs don't cross-check): distinct byte
+    count, the modal byte's count, and the byte collision rate
+    Σ c(c−1)/(n(n−1)) (Simpson index over the byte histogram). Already-
+    compressed/encrypted payloads sit near the 1/256 collision floor
+    with ~256 distinct bytes; text and flat synthetics sit far above —
+    the triage a codec/dedup planner runs before paying for a real
+    compression probe (mm_payload_rle_compress is the next tier up).
+
+    Scale: hex-pair explode (map-side, repartitioned off the one-file
+    fixture), one (doc, byte)-grain agg absorbed by map-side partials,
+    one doc rollup."""
+    assets = _assets(spark, sf_dir).repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    )
+    b = (
+        assets.select(
+            "doc_id",
+            "media_type",
+            F.expr("hex(payload)").alias("hx"),
+            F.octet_length("payload").alias("n"),
+        )
+        .filter(F.col("n") >= 1)
+        .select(
+            "doc_id",
+            "media_type",
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, n), i -> "
+                    "cast(conv(substring(hx, 2 * i - 1, 2), 16, 10) as int))"
+                )
+            ).alias("byte"),
+        )
+    )
+    cnt = b.groupBy("doc_id", "media_type", "n", "byte").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        cnt.groupBy("doc_id", "media_type", "n")
+        .agg(
+            F.count("*").cast("long").alias("distinct_bytes"),
+            F.max("c").cast("long").alias("top_byte_count"),
+            F.sum(F.expr("c * (c - 1)")).alias("coll"),
+        )
+        .select(
+            "doc_id",
+            "media_type",
+            F.col("n").cast("long").alias("n_bytes"),
+            "distinct_bytes",
+            "top_byte_count",
+            F.expr(
+                "case when n >= 2 then "
+                + rat_round6_spark("coll", "cast(n as bigint) * (n - 1)")
+                + " else 0.0d end"
+            ).alias("collision_r6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MM_ENTROPY_PROXY = f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents),
+b AS (
+  SELECT doc_id, media_type, n,
+         CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT) AS byte
+  FROM a, LATERAL unnest(generate_series(1, n)) AS u(i)
+  WHERE n >= 1),
+cnt AS (
+  SELECT doc_id, media_type, n, byte, COUNT(*) AS c
+  FROM b GROUP BY 1, 2, 3, 4)
+SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS distinct_bytes,
+       CAST(MAX(c) AS BIGINT) AS top_byte_count,
+       CASE WHEN n >= 2 THEN
+         {rat_round6_duck("CAST(SUM(c * (c - 1)) AS BIGINT)",
+                          "CAST(n AS BIGINT) * (n - 1)")}
+       ELSE 0.0 END AS collision_r6
+FROM cnt GROUP BY doc_id, media_type, n
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Magic-byte (format signature) profile
+# --------------------------------------------------------------------------
+
+def mm_payload_magic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-signature profile: assets grouped by media_type and the
+    first two payload bytes (the \"magic number\" prefix a format
+    sniffer keys on — ffd8 = JPEG, 4944 = ID3, etc.), with counts,
+    per-type shares and the byte-length span per signature. The intake
+    audit that catches mislabeled or corrupted blobs (a media_type
+    whose majority magic differs from its label) before any decoder
+    runs — exactly the kind of cheap metadata pass a 100 TB ingest
+    front-loads.
+
+    Scale: pure map-side prefix extraction + one (type × magic)-bounded
+    agg; no decode, no shuffle beyond the rollup."""
+    assets = _assets(spark, sf_dir)
+    g = (
+        assets.select(
+            "media_type",
+            F.expr("substring(hex(payload), 1, 4)").alias("magic_hex"),
+            F.octet_length("payload").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .groupBy("media_type", "magic_hex")
+        .agg(
+            F.count("*").cast("long").alias("n_assets"),
+            F.min("n").cast("long").alias("min_bytes"),
+            F.max("n").cast("long").alias("max_bytes"),
+        )
+        .localCheckpoint(eager=True)  # bounded cells; feed totals join
+    )
+    tot = g.groupBy("media_type").agg(
+        F.sum("n_assets").alias("n_type_total")
+    )
+    return (
+        g.join(F.broadcast(tot), "media_type")
+        .select(
+            "media_type",
+            "magic_hex",
+            "n_assets",
+            "min_bytes",
+            "max_bytes",
+            F.expr(rat_round6_spark("n_assets", "n_type_total")).alias(
+                "type_share_r6"
+            ),
+        )
+        .orderBy("media_type", "magic_hex")
+    )
+
+
+ORACLE_MM_MAGIC_PROFILE = f"""
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         substr(hex(encode(text)), 1, 4) AS magic_hex,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) >= 2),
+g AS (
+  SELECT media_type, magic_hex,
+         CAST(COUNT(*) AS BIGINT) AS n_assets,
+         CAST(MIN(n) AS BIGINT) AS min_bytes,
+         CAST(MAX(n) AS BIGINT) AS max_bytes
+  FROM a GROUP BY 1, 2),
+t AS (
+  SELECT media_type, CAST(SUM(n_assets) AS BIGINT) AS n_type_total
+  FROM g GROUP BY 1)
+SELECT media_type, magic_hex, n_assets, min_bytes, max_bytes,
+       {rat_round6_duck("n_assets", "n_type_total")} AS type_share_r6
+FROM g JOIN t USING (media_type)
+ORDER BY media_type, magic_hex
+"""
+
+
+# --------------------------------------------------------------------------
+# Top byte bigrams per media type
+# --------------------------------------------------------------------------
+
+BIGRAM_TOP = 8
+
+
+def mm_byte_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BIGRAM_TOP} byte BIGRAMS per media type — the order-2
+    signature the byte histogram (order 1) can't see: container framing
+    bytes, escape sequences and encoding artifacts show up as bigram
+    spikes with flat unigram histograms. Rank is total (count desc,
+    bigram hex asc), so the cut is deterministic.
+
+    Scale: hex-pair slide (map-side), one (type × bigram)-grain agg
+    with map-side partials, a type-partitioned top-k window on the
+    BOUNDED (type × distinct-bigram ≤ 65536) frame."""
+    assets = _assets(spark, sf_dir).repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    )
+    bg = (
+        assets.select(
+            "media_type",
+            F.expr("hex(payload)").alias("hx"),
+            F.octet_length("payload").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "media_type",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, n - 1), i -> "
+                    "substring(hx, 2 * i - 1, 4))"
+                )
+            ).alias("bigram_hex"),
+        )
+    )
+    cnt = bg.groupBy("media_type", "bigram_hex").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=True)  # bounded cells; feed totals + rank
+    tot = cnt.groupBy("media_type").agg(F.sum("c").alias("n_bigrams"))
+    w = W.partitionBy("media_type").orderBy(
+        F.desc("c"), F.asc("bigram_hex")
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BIGRAM_TOP)
+        .join(F.broadcast(tot), "media_type")
+        .select(
+            "media_type",
+            F.col("rank").cast("int").alias("rank"),
+            "bigram_hex",
+            F.col("c").cast("long").alias("n_occurrences"),
+            F.expr(rat_round6_spark("c", "n_bigrams")).alias(
+                "bigram_share_r6"
+            ),
+        )
+        .orderBy("media_type", "rank")
+    )
+
+
+ORACLE_MM_BYTE_BIGRAMS = f"""
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents),
+bg AS (
+  SELECT media_type, substr(hx, 2 * i - 1, 4) AS bigram_hex
+  FROM a, LATERAL unnest(generate_series(1, n - 1)) AS u(i)
+  WHERE n >= 2),
+cnt AS (
+  SELECT media_type, bigram_hex, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY 1, 2),
+t AS (SELECT media_type, CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM cnt GROUP BY 1),
+r AS (
+  SELECT media_type, bigram_hex, c,
+         ROW_NUMBER() OVER (PARTITION BY media_type
+                            ORDER BY c DESC, bigram_hex) AS rank
+  FROM cnt)
+SELECT r.media_type, CAST(rank AS INT) AS rank, bigram_hex,
+       c AS n_occurrences,
+       {rat_round6_duck("c", "n_bigrams")} AS bigram_share_r6
+FROM r JOIN t USING (media_type)
+WHERE rank <= {BIGRAM_TOP}
+ORDER BY media_type, rank
+"""
+
+
 SPECS = [
+    QuerySpec("mm_payload_entropy_proxy", mm_payload_entropy_proxy,
+              ORACLE_MM_ENTROPY_PROXY, ("multimodal", "bytes", "stats"),
+              doc="per-asset byte collision rate + distinct/modal byte "
+                  "counts (integer entropy proxy, pre-codec triage)"),
+    QuerySpec("mm_payload_magic_profile", mm_payload_magic_profile,
+              ORACLE_MM_MAGIC_PROFILE, ("multimodal", "bytes", "audit"),
+              doc="magic-byte (2-byte prefix) format-signature profile "
+                  "per media type with shares and size spans"),
+    QuerySpec("mm_byte_bigram_topk", mm_byte_bigram_topk,
+              ORACLE_MM_BYTE_BIGRAMS, ("multimodal", "bytes", "stats"),
+              doc="top byte bigrams per media type (order-2 payload "
+                  "signature; deterministic rank cut)"),
     QuerySpec("mm_binary_meta", mm_binary_meta, ORACLE_MM_META, ("multimodal",)),
     QuerySpec("mm_payload_byte_histogram", mm_payload_byte_histogram,
               ORACLE_MM_BYTE_HIST, ("multimodal", "stats"),

@@ -3609,7 +3609,118 @@ FROM g ORDER BY label
 """
 
 
+# --------------------------------------------------------------------------
+# Centroid shift between A/B halves (embedding drift audit)
+# --------------------------------------------------------------------------
+
+def emb_centroid_shift_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid SHIFT between the two vec_id-parity halves of
+    the corpus — the A/B drift audit an embedding pipeline runs across
+    re-encodes or data batches (a healthy i.i.d. slice shows only
+    sampling noise; a real shift means the encoder or the upstream data
+    moved). Per dimension, each half's mean coordinate is computed on
+    the 2^-{KM_QUANT_BITS} grid and rounded half-away-from-zero to an
+    INTEGER micro value, so the L1 shift (sum over dims of
+    |mean_a − mean_b| in micro units) and the worst dimension are exact
+    BIGINTs with a full value hash.
+
+    Scale: one posexplode + (label × half × dim)-bounded agg (map-side
+    partials absorb the fan-out), one dim-grain join of two bounded
+    frames, one label rollup."""
+    emb = _emb(spark, sf_dir)
+    sums = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode(
+                F.expr(
+                    f"transform(embedding, x -> "
+                    f"cast(cast(x as double) * {KM_QUANT!r} as bigint))"
+                )
+            ).alias("dim", "qv"),
+        )
+        .groupBy("label", "half", "dim")
+        .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+        # signed half-away-from-zero micro mean: sign(s) * ((|s|*2e6 + n)
+        # div (2n)) — kept as an INTEGER so the L1 sum below stays exact
+        .select(
+            "label",
+            "half",
+            "dim",
+            "n",
+            F.expr(
+                "case when s >= 0 then (s * 2000000 + n) div (2 * n) "
+                "else -((-s * 2000000 + n) div (2 * n)) end"
+            ).alias("m_micro"),
+        )
+    )
+    a = sums.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("n").alias("n_a"), F.col("m_micro").alias("ma")
+    )
+    b = sums.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("n").alias("n_b"), F.col("m_micro").alias("mb")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.sum(F.abs(F.col("ma") - F.col("mb")))
+            .cast("long")
+            .alias("l1_shift_micro"),
+            F.max(F.abs(F.col("ma") - F.col("mb")))
+            .cast("long")
+            .alias("max_dim_shift_micro"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_a",
+            "n_b",
+            "l1_shift_micro",
+            "max_dim_shift_micro",
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_CENTROID_SHIFT = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+lq AS (
+  SELECT e.label, e.vec_id % 2 AS half, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+sums AS (
+  SELECT label, half, dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CASE WHEN SUM(qv) >= 0
+              THEN (CAST(SUM(qv) AS BIGINT) * 2000000 + COUNT(*))
+                   // (2 * COUNT(*))
+              ELSE -((-CAST(SUM(qv) AS BIGINT) * 2000000 + COUNT(*))
+                   // (2 * COUNT(*)))
+         END AS m_micro
+  FROM lq GROUP BY 1, 2, 3),
+j AS (
+  SELECT a.label, a.dim, a.n AS n_a, b.n AS n_b,
+         abs(a.m_micro - b.m_micro) AS d
+  FROM sums a JOIN sums b
+    ON a.label = b.label AND a.dim = b.dim
+   AND a.half = 0 AND b.half = 1)
+SELECT CAST(label AS INT) AS label,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(SUM(d) AS BIGINT) AS l1_shift_micro,
+       CAST(MAX(d) AS BIGINT) AS max_dim_shift_micro
+FROM j GROUP BY label ORDER BY label
+"""
+
+
 SPECS = [
+    QuerySpec("emb_centroid_shift_ab", emb_centroid_shift_ab,
+              ORACLE_CENTROID_SHIFT, ("similarity", "audit", "drift"),
+              doc="per-label centroid L1 shift between vec_id-parity "
+                  "halves on the integer micro grid (A/B drift audit)"),
     QuerySpec("sim_ivfpq_compound", sim_ivfpq_compound, ORACLE_IVFPQ,
               ("similarity", "ann", "compound"),
               doc="IVF-PQ compound ANN: probe-list routing + integer "
