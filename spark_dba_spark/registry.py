@@ -42,33 +42,88 @@ class QuerySpec:
 # into PRIORITY_LAST (prefer families with several other green rows). Over
 # rounds, every query accumulates at least one driver-recorded green row.
 #
-# ROUND-10 WINDOW (VERDICT r9 "Next round" #1-#3; one window = 50 slots):
-# CORRECTNESS_r09 delivered 48/50 green. The two reds are emb_kmeans_lloyd
-# and emb_km_diag_seed_inertia — the r9 bisection twins proved the Lloyd
-# loop exact (assign/sizes/centroids GREEN) and isolated the divergence to
-# the DECIMAL(38,0) Σd² + rational-r6 readout, the merge-saga construct
-# class. r10 slots 1-2 are the red-refix on the DECIMAL-FREE rewrite
-# (BIGINT sum + high/low-split half-up division, similarity._km_r6_spark);
-# slots 3-4 are the VERDICT-prescribed split twins that name
-# sum-vs-rounding if either somehow stays red. Slots 5-12 retire the eight
-# never-checked mid-r9 continuation ops; slots 13-36 are twenty-four NEW
-# r10 operators (landed early, each with a full oracle, three hostile-SF
-# sweep rows, and a Python brute-force pytest twin — the r9 protocol).
-# Slots 37-50 stay the frozen bench set. After slot 50 the never-checked
-# backlog queues contiguously: sketch_hll_reaggregate (rows-only by
-# design — approximate-sketch reaggregation, exact-twin-gated in pytest;
-# may NOT take a window slot) and text_consonant_runs (the one r10 op the
-# 36-slot window couldn't fit — r11 window candidate). The 34 r9-window
-# greens (3 loop twins + 31 full-oracle rows) rotate to PRIORITY_LAST;
-# the r8 greens previously there fall back to the middle.
+# ROUND-11 WINDOW (VERDICT r10 "Next round" #1-#2; one window = 50 slots):
+# CORRECTNESS_r10 delivered 50/50 green — the first zero-red round, kmeans
+# saga closed. Per the standing rotation protocol all 36 r10 slot-holders
+# retire to PRIORITY_LAST. Slots 1-8 seat the eight full-oracle
+# never-checked backlog ops that queued behind the r10 window; slot 9
+# seats sketch_hll_reaggregate, UPGRADED this round from rows-only to a
+# full oracle (deterministic-register reaggregation ladder — VERDICT r10
+# #4, the sketch_hll_registers precedent — so it is now window-eligible);
+# slots 10-36 are twenty-seven NEW r11 operators (landed early, each with
+# a full oracle, three hostile-SF sweep rows, and a Python brute-force
+# pytest twin — the r9/r10 protocol), headlined by the five VERDICT r10 #2
+# candidates: dup-region removal, DSIR importance weights, IVF-PQ compound
+# ANN, tokenizer fertility, paragraph-grain near-dup. Slots 37-50 stay the
+# frozen bench set. Nothing never-checked remains beyond slot 50 (the
+# backlog drained exactly into the window). The 36 r10-window greens
+# rotate to PRIORITY_LAST; the r9 greens previously there fall back to the
+# middle.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # slots 1-2 — red-refix: decimal-free inertia readout (VERDICT r9 #1)
+    # slots 1-8 — the r10 backlog (full local evidence, never checked)
+    "text_consonant_runs",
+    "q21_waiting_supplier_adapted",
+    "q22_dormant_value_adapted",
+    "text_vocab_coverage_curve",
+    "dedup_shingle_df_profile",
+    "dedup_cluster_size_histogram",
+    "orders_rfm_migration",
+    "ev_hour_of_day_profile",
+    # slot 9 — upgraded rows-only -> full oracle this round (VERDICT #4)
+    "sketch_hll_reaggregate",
+    # slots 10-36 — new in r11 (never driver-checked by definition)
+    "text_dup_region_removal",
+    "text_dsir_importance",
+    "sim_ivfpq_compound",
+    "text_tokenizer_fertility",
+    "dedup_paragraph_minhash",
+    "text_gopher_gates",
+    "text_rarity_outliers",
+    "text_simpson_concentration",
+    "stats_chi_square_source_length",
+    "text_contamination_by_source",
+    "dedup_cross_source_matrix",
+    "graph_component_density",
+    "emb_binary_hamming_topk",
+    "emb_knn_label_homophily",
+    "emb_norm_profile_by_label",
+    "emb_centroid_shift_ab",
+    "ev_haar_energy_hourly",
+    "ev_value_records",
+    "ev_hourly_value_percentiles",
+    "customer_value_deciles",
+    "stats_levene_brand_price",
+    "orders_yoy_growth",
+    "sketch_cms_heavy_change",
+    "sketch_kmv_distinct",
+    "mm_payload_entropy_proxy",
+    "mm_payload_magic_profile",
+    "mm_byte_bigram_topk",
+    # frozen bench set — a driver row EVERY round:
+    "q01_pricing_summary",
+    "ev_tumbling_1h",
+    "json_extract_events",
+    "q02_scan_filter_project",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_item",
+    "join_broadcast_dim",
+    "agg_distinct",
+    "window_topk_per_group",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality",
+)
+
+# r10-window greens — rotate to the tail this round (driver row <=1 round
+# old; still in every committed local sweep). The middle (not listed here
+# or above) holds the r2-r9 greens in registration order.
+PRIORITY_LAST: tuple[str, ...] = (
     "emb_kmeans_lloyd",
     "emb_km_diag_seed_inertia",
-    # slots 3-4 — readout split twins: BIGINT sum only / rounding only
     "emb_km_diag_inertia_q2",
     "emb_km_diag_inertia_r6",
-    # slots 5-12 — the eight mid-r9 continuation ops, never driver-checked
     "mm_audio_vad_segments",
     "emb_mmr_diversified_topk",
     "dedup_prefix_filter_join",
@@ -77,7 +132,6 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_video_scene_cuts",
     "orders_seasonal_naive_backtest",
     "orders_fulfillment_latency_bands",
-    # slots 13-36 — new in r10 (never driver-checked by definition)
     "dedup_longest_dup_span",
     "doc_span_decontamination",
     "text_boilerplate_heads",
@@ -102,74 +156,6 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_payload_byte_histogram",
     "mm_payload_rle_compress",
     "mm_chunk_manifest",
-    # frozen bench set — a driver row EVERY round:
-    "q01_pricing_summary",
-    "ev_tumbling_1h",
-    "json_extract_events",
-    "q02_scan_filter_project",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q10_returned_item",
-    "join_broadcast_dim",
-    "agg_distinct",
-    "window_topk_per_group",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "sim_cosine_topk",
-    "text_quality",
-    # --- beyond slot 50: the never-checked backlog, contiguous
-    # (enforced by test_remaining_backlog_queued_right_after_window):
-    "sketch_hll_reaggregate",
-    "text_consonant_runs",
-    # mid-r10 continuation ops (landed before the final sweeps; full
-    # local evidence, r11 window candidates)
-    "q21_waiting_supplier_adapted",
-    "q22_dormant_value_adapted",
-    "text_vocab_coverage_curve",
-    "dedup_shingle_df_profile",
-    "dedup_cluster_size_histogram",
-    "orders_rfm_migration",
-    "ev_hour_of_day_profile",
-)
-
-# r9-window greens — rotate to the tail this round (driver row <=1 round
-# old; still in every committed local sweep). The middle (not listed here
-# or above) holds the r2-r8 greens in registration order.
-PRIORITY_LAST: tuple[str, ...] = (
-    "emb_km_diag_assign",
-    "emb_km_diag_sizes",
-    "emb_km_diag_centroids",
-    "q13_customer_distribution",
-    "stats_spearman_rank_corr",
-    "stats_kendall_daily",
-    "text_mattr_diversity",
-    "dedup_threshold_sweep",
-    "graph_degree_assortativity",
-    "ev_fano_overdispersion",
-    "ev_gap_log2_histogram",
-    "orders_seasonal_index",
-    "drift_priority_mix_tv",
-    "stats_bootstrap_ci",
-    "stats_ks_two_sample",
-    "stats_mann_whitney_u",
-    "text_bpe_first_merge",
-    "text_heaps_vocab_growth",
-    "emb_energy_prefix",
-    "emb_nearest_centroid_confusion",
-    "corpus_temperature_mix",
-    "ev_stream_static_enrich",
-    "sketch_count_min_deterministic",
-    "emb_pq_distortion",
-    "graph_khop_reach",
-    "emb_random_projection_audit",
-    "dedup_substring_spans",
-    "sketch_hll_registers",
-    "stats_equidepth_histogram",
-    "stats_runs_test",
-    "text_source_vocab_jaccard",
-    "text_boundary_overlap",
-    "text_rake_keywords",
-    "ts_downsample_lttb",
 )
 
 
