@@ -218,3 +218,343 @@ def test_empty_payload_fanouts_emit_no_rows(spark, tmp_path):
     bands = payload_byte_bands(_assets(spark, str(sub)))
     n_nonempty_bytes = sum(len(t.encode("utf-8")) for t in texts)
     assert bands.count() == n_nonempty_bytes
+
+
+# ---------------------------------------------------------------------------
+# r11 text-family brute twins
+# ---------------------------------------------------------------------------
+
+def _qrem_r6(num: int, den: int) -> float:
+    return float((num // den) * 1_000_000
+                 + ((num % den) * 2_000_000 + den) // (2 * den)) / 1e6
+
+
+def test_dup_region_removal_matches_python_brute(spark):
+    """Literal replay: covered-position set -> runs -> cut; the cleaned
+    text must equal the op's output verbatim, and removed_tokens must
+    equal dedup_longest_dup_span's dup_tokens row-for-row (shared
+    region frame)."""
+    from spark_dba_spark.operators.text import (
+        SPAN_W,
+        dedup_longest_dup_span,
+        text_dup_region_removal,
+    )
+
+    rows = _docs_rows()
+    owner: dict = {}
+    toks: dict = {}
+    for doc_id, text, _, _ in rows:
+        ws = text.split(" ")
+        toks[doc_id] = ws
+        for i in range(max(len(ws) - SPAN_W + 1, 0)):
+            owner.setdefault(" ".join(ws[i:i + SPAN_W]), set()).add(doc_id)
+    got = {r["doc_id"]: r
+           for r in text_dup_region_removal(spark, SF_DIR).collect()}
+    spans = {r["doc_id"]: r["dup_tokens"]
+             for r in dedup_longest_dup_span(spark, SF_DIR).collect()}
+    assert set(got) == set(toks)
+    any_cut = False
+    for doc_id, ws in toks.items():
+        covered: set = set()
+        for i in range(max(len(ws) - SPAN_W + 1, 0)):
+            if len(owner[" ".join(ws[i:i + SPAN_W])]) >= 2:
+                covered.update(range(i, i + SPAN_W))
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        r = got[doc_id]
+        assert r["n_tokens"] == len(ws)
+        assert r["kept_tokens"] == len(kept)
+        assert r["removed_tokens"] == len(covered)
+        assert r["clean_text"] == " ".join(kept)
+        assert r["removed_tokens"] == spans[doc_id], doc_id
+        any_cut = any_cut or bool(covered)
+    assert any_cut, "fixture must actually remove at least one region"
+
+
+def test_dsir_importance_matches_python_brute(spark):
+    from spark_dba_spark.operators.text import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+        text_dsir_importance,
+    )
+
+    rows = _docs_rows()
+    raw: dict = {}
+    tgt: dict = {}
+    feats_per_doc: dict = {}
+    for doc_id, text, lang, _ in rows:
+        ws = text.split(" ")
+        feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        bks = [
+            int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+            for f in feats
+        ]
+        feats_per_doc[doc_id] = bks
+        for b in bks:
+            raw[b] = raw.get(b, 0) + 1
+            if lang == DSIR_TARGET_LANG:
+                tgt[b] = tgt.get(b, 0) + 1
+    got = {r["doc_id"]: r
+           for r in text_dsir_importance(spark, SF_DIR).collect()}
+    assert set(got) == set(feats_per_doc)
+    seen_zero = seen_pos = False
+    for doc_id, bks in feats_per_doc.items():
+        tm = sum(tgt.get(b, 0) for b in bks)
+        rm = sum(raw[b] for b in bks)
+        r = got[doc_id]
+        assert (r["n_feats"], r["tgt_mass"], r["raw_mass"]) == (
+            len(bks), tm, rm)
+        assert r["w_ratio_r6"] == _qrem_r6(tm, rm)
+        seen_zero = seen_zero or r["w_ratio_r6"] > 0
+        seen_pos = seen_pos or r["w_ratio_r6"] < 1
+    assert seen_zero and seen_pos
+    ratios = [r["w_ratio_r6"] for r in got.values()]
+    assert min(ratios) < max(ratios), "weights must vary across docs"
+
+
+def test_dsir_importance_separates_synthetic_domains(spark, tmp_path):
+    """On a corpus where the target-domain docs actually use a distinct
+    vocabulary (the fixture's langs share one vocab, so mass ratios
+    there sit in a narrow band by construction), DSIR weights must
+    cleanly separate: every in-domain doc outweighs every out-of-domain
+    doc, and the comparator passes on the synthetic table too."""
+    import random
+    import sys
+
+    sys.path.insert(0, "tools")
+    from check_oracle import compare
+
+    from spark_dba_spark import registry
+    from spark_dba_spark.operators.text import text_dsir_importance
+
+    rng = random.Random(7)
+    med = [f"med{i}" for i in range(30)]   # target-domain vocabulary
+    web = [f"web{i}" for i in range(30)]
+    texts, langs = [], []
+    for i in range(60):
+        if i % 3 == 0:
+            texts.append(" ".join(rng.choice(med) for _ in range(30)))
+            langs.append("en")             # target slice: medical English
+        else:
+            texts.append(" ".join(rng.choice(web) for _ in range(30)))
+            langs.append("de")
+    con = _write_docs(tmp_path, texts, langs=langs)
+    specs = registry.all_specs()
+    ok, msg = compare(
+        "text_dsir_importance", spark, con,
+        specs["text_dsir_importance"], str(tmp_path),
+    )
+    con.close()
+    assert ok, f"dsir synthetic parity: {msg}"
+    got = {r["doc_id"]: r["w_ratio_r6"]
+           for r in text_dsir_importance(spark, str(tmp_path)).collect()}
+    in_dom = [got[i] for i in range(60) if i % 3 == 0]
+    out_dom = [got[i] for i in range(60) if i % 3 != 0]
+    # hashed buckets collide (512 buckets, 2 vocabularies), so the gap
+    # is a multiple, not infinite: measured ~4.5x on this seed
+    assert min(in_dom) > max(out_dom) * 3, (
+        "in-domain docs must dominate out-of-domain weights"
+    )
+
+
+def test_tokenizer_fertility_matches_python_brute(spark):
+    from spark_dba_spark.operators.text import (
+        SUBWORD_W,
+        text_tokenizer_fertility,
+    )
+
+    rows = _docs_rows()
+    agg: dict = {}
+    for _, text, _, source in rows:
+        ws = text.split(" ")
+        a = agg.setdefault(source, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(ws)
+        a[2] += sum((len(w) + SUBWORD_W - 1) // SUBWORD_W for w in ws)
+        a[3] += len(text.encode("utf-8"))
+    got = {r["source"]: r
+           for r in text_tokenizer_fertility(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for src, (nd, nw, nsw, nb) in agg.items():
+        r = got[src]
+        assert (r["n_docs"], r["n_words"], r["n_subwords"],
+                r["n_bytes"]) == (nd, nw, nsw, nb)
+        assert r["fertility_r6"] == _r6(nsw, nw)
+        assert r["bytes_per_token_r6"] == _r6(nb, nsw)
+        assert nsw > nw, "subword proxy must actually split words"
+
+
+def test_gopher_gates_matches_python_brute(spark):
+    from spark_dba_spark.operators.text import (
+        GOPHER_MEAN_LEN_HI,
+        GOPHER_MEAN_LEN_LO,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MAX_WORDS,
+        GOPHER_REP_DEN,
+        STOPWORDS,
+        text_gopher_gates,
+    )
+
+    rows = _docs_rows()
+    got = {r["doc_id"]: r for r in text_gopher_gates(spark, SF_DIR).collect()}
+    outcomes = set()
+    for doc_id, text, _, _ in rows:
+        ws = text.split(" ")
+        n = len(ws)
+        chars = sum(len(w) for w in ws)
+        stops = len(set(ws) & set(STOPWORDS))
+        maxc = max(ws.count(d) for d in set(ws))
+        r1 = GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+        r2 = GOPHER_MEAN_LEN_LO * n <= chars <= GOPHER_MEAN_LEN_HI * n
+        r3 = stops >= GOPHER_MIN_STOPWORDS
+        r4 = GOPHER_REP_DEN * maxc <= n
+        r = got[doc_id]
+        assert (r["r1_wordcount"], r["r2_meanlen"], r["r3_stopwords"],
+                r["r4_repetition"]) == (r1, r2, r3, r4), doc_id
+        assert r["pass_all"] == (r1 and r2 and r3 and r4)
+        outcomes.add((r1, r2, r3, r4))
+    assert len(outcomes) > 2, "fixture must exercise mixed rule outcomes"
+
+
+def test_rarity_outliers_matches_python_brute(spark):
+    from spark_dba_spark.operators.text import RARE_DF, text_rarity_outliers
+
+    rows = _docs_rows()
+    df: dict = {}
+    for doc_id, text, _, _ in rows:
+        for w in set(text.split(" ")):
+            df[w] = df.get(w, 0) + 1
+    got = {r["doc_id"]: r
+           for r in text_rarity_outliers(spark, SF_DIR).collect()}
+    any_rare = False
+    for doc_id, text, _, _ in rows:
+        ws = text.split(" ")
+        rare = sum(1 for w in ws if df[w] <= RARE_DF)
+        bits = sum(df[w].bit_length() for w in ws)
+        r = got[doc_id]
+        assert (r["n_tokens"], r["rare_tokens"]) == (len(ws), rare)
+        assert r["rare_share_r6"] == _r6(rare, len(ws))
+        assert r["mean_df_bits_r6"] == _r6(bits, len(ws))
+        any_rare = any_rare or rare > 0
+    # the fixture vocab is small and shared, so min df can exceed
+    # RARE_DF at the tiny SF — the rarity signal must still VARY
+    bit_means = {r["mean_df_bits_r6"] for r in got.values()}
+    assert len(bit_means) > 1, "df-bit profile must vary across docs"
+
+
+def test_rarity_outliers_fires_on_synthetic_rare_tokens(spark, tmp_path):
+    """A corpus with genuinely rare tokens (typos/OCR noise appearing in
+    one doc each) must light up rare_share for exactly those docs."""
+    from spark_dba_spark.operators.text import text_rarity_outliers
+
+    common = " ".join(f"w{i % 8}" for i in range(20))
+    texts = [common] * 10 + [common + f" zq{i}x glitch{i}" for i in range(3)]
+    con = _write_docs(tmp_path, texts)
+    con.close()
+    got = {r["doc_id"]: r
+           for r in text_rarity_outliers(spark, str(tmp_path)).collect()}
+    for doc_id in range(10):
+        assert got[doc_id]["rare_tokens"] == 0
+    for doc_id in range(10, 13):
+        assert got[doc_id]["rare_tokens"] == 2, doc_id
+
+
+def test_simpson_concentration_matches_python_brute(spark):
+    from collections import Counter
+
+    from spark_dba_spark.operators.text import text_simpson_concentration
+
+    rows = _docs_rows()
+    per_src: dict = {}
+    for _, text, _, source in rows:
+        per_src.setdefault(source, Counter()).update(text.split(" "))
+    got = {r["source"]: r
+           for r in text_simpson_concentration(spark, SF_DIR).collect()}
+    assert set(got) == set(per_src)
+    for src, c in per_src.items():
+        n = sum(c.values())
+        coll = sum(v * (v - 1) for v in c.values())
+        r = got[src]
+        assert (r["n_tokens"], r["vocab"], r["top_count"]) == (
+            n, len(c), max(c.values()))
+        assert r["simpson_r6"] == _r6(coll, n * (n - 1))
+        assert r["top_share_r6"] == _r6(max(c.values()), n)
+        assert 0 < coll < n * (n - 1), "non-degenerate concentration"
+
+
+def test_chi_square_matches_python_brute(spark):
+    from collections import Counter
+
+    from spark_dba_spark.operators.text import (
+        stats_chi_square_source_length,
+    )
+
+    rows = _docs_rows()
+    cells = Counter()
+    for _, text, _, source in rows:
+        band = len(text.split(" ")).bit_length()
+        cells[(source, band)] += 1
+    rs = Counter()
+    cs = Counter()
+    for (s, b), n in cells.items():
+        rs[s] += n
+        cs[b] += n
+    big_n = sum(cells.values())
+    got = {(r["source"], r["band"]): r
+           for r in stats_chi_square_source_length(spark, SF_DIR).collect()}
+    assert set(got) == {(s, b) for s in rs for b in cs}, "dense spine"
+    saw_zero_cell = False
+    for (s, b), r in got.items():
+        o = cells.get((s, b), 0)
+        assert (r["n_obs"], r["row_total"], r["col_total"]) == (
+            o, rs[s], cs[b])
+        assert r["exp_r6"] == _qrem_r6(rs[s] * cs[b], big_n)
+        num = (o * big_n - rs[s] * cs[b]) ** 2
+        assert r["chi2_cell_r6"] == _qrem_r6(num, rs[s] * cs[b] * big_n)
+        saw_zero_cell = saw_zero_cell or o == 0
+    assert saw_zero_cell, "dense spine must include zero-observed cells"
+
+
+def test_contamination_by_source_matches_python_brute(spark):
+    from spark_dba_spark.operators.text import (
+        SPAN_EVAL_MOD,
+        SPAN_W,
+        doc_span_decontamination,
+        text_contamination_by_source,
+    )
+
+    rows = _docs_rows()
+    ev_fps: set = set()
+    for doc_id, text, _, _ in rows:
+        if doc_id % SPAN_EVAL_MOD == 0:
+            ws = text.split(" ")
+            for i in range(max(len(ws) - SPAN_W + 1, 0)):
+                ev_fps.add(" ".join(ws[i:i + SPAN_W]))
+    per_src: dict = {}
+    for doc_id, text, _, source in rows:
+        if doc_id % SPAN_EVAL_MOD == 0:
+            continue
+        a = per_src.setdefault(source, [0, 0, 0, 0])  # docs, wins, hits, cdocs
+        a[0] += 1
+        ws = text.split(" ")
+        hits = 0
+        wins = max(len(ws) - SPAN_W + 1, 0)
+        for i in range(wins):
+            if " ".join(ws[i:i + SPAN_W]) in ev_fps:
+                hits += 1
+        a[1] += wins
+        a[2] += hits
+        a[3] += 1 if hits else 0
+    got = {r["source"]: r
+           for r in text_contamination_by_source(spark, SF_DIR).collect()}
+    assert set(got) == set(per_src)
+    for src, (nd, nw, nh, nc) in per_src.items():
+        r = got[src]
+        assert (r["n_train_docs"], r["n_windows"], r["n_eval_hits"],
+                r["n_contaminated_docs"]) == (nd, nw, nh, nc)
+        assert r["hit_share_r6"] == _r6(nh, max(nw, 1))
+    # grain consistency: source-rollup hits == doc-rollup hits
+    doc_hits = sum(r["n_eval_hits"]
+                   for r in doc_span_decontamination(spark, SF_DIR).collect())
+    assert doc_hits == sum(a[2] for a in per_src.values())
+    assert doc_hits > 0, "fixture must contain actual contamination"
