@@ -128,6 +128,13 @@ def test_kcore_peels_isolated_mid_peel_nodes(spark, tmp_path):
     assert {got[5]["removed_round"], got[6]["removed_round"],
             got[7]["removed_round"]} == {0}
     assert got[5]["core_degree"] == 2
+    # the same chain exercises the sparse-density regime the fixture's
+    # all-clique components can't (graph_component_density twin note)
+    from spark_dba_spark.operators.dedup import graph_component_density
+
+    dens = {r["component_id"]: r["density_r6"]
+            for r in graph_component_density(spark, str(tmp_path)).collect()}
+    assert min(dens.values()) < 1.0 <= max(dens.values()) + 1e-9
 
 
 def test_mm_family_parity_on_non_ascii_corpus(spark, tmp_path):
@@ -558,3 +565,339 @@ def test_contamination_by_source_matches_python_brute(spark):
                    for r in doc_span_decontamination(spark, SF_DIR).collect())
     assert doc_hits == sum(a[2] for a in per_src.values())
     assert doc_hits > 0, "fixture must contain actual contamination"
+
+
+# ---------------------------------------------------------------------------
+# r11 dedup/graph brute twins
+# ---------------------------------------------------------------------------
+
+MERSENNE31 = 2_147_483_647
+
+
+def _minhash_sig(shingles, perms):
+    hp = [
+        (
+            int(hashlib.md5(s.encode()).hexdigest()[0:7], 16),
+            1 + int(hashlib.md5(s.encode()).hexdigest()[8:15], 16),
+        )
+        for s in shingles
+    ]
+    return [
+        min((h0 + s * h1) % MERSENNE31 for h0, h1 in hp)
+        for s in range(perms)
+    ]
+
+
+def test_paragraph_minhash_matches_python_brute(spark):
+    """Full pipeline replay: block grid, 3-gram shingles, 16-perm
+    signatures, 4x4 banding, cross-doc candidates, exact-Jaccard
+    verify — pair-for-pair equality, plus band-coverage containment
+    (every emitted pair must share at least one band key)."""
+    from spark_dba_spark.operators.dedup import (
+        NGRAM,
+        PARA_BANDS,
+        PARA_PERMS,
+        PARA_R,
+        PARA_TAU,
+        PARA_W,
+        dedup_paragraph_minhash,
+    )
+
+    rows = _docs_rows()
+    blocks: dict = {}
+    for doc_id, text, _, _ in rows:
+        ws = text.split(" ")
+        n_blk = (len(ws) + PARA_W - 1) // PARA_W
+        for b in range(n_blk):
+            bt = ws[b * PARA_W:(b + 1) * PARA_W]
+            if len(bt) >= NGRAM:
+                sh = list(dict.fromkeys(
+                    " ".join(bt[i:i + NGRAM])
+                    for i in range(len(bt) - NGRAM + 1)
+                ))
+                blocks[(doc_id, b)] = sh
+    sigs = {k: _minhash_sig(sh, PARA_PERMS) for k, sh in blocks.items()}
+    buckets: dict = {}
+    for k, sig in sigs.items():
+        for b in range(PARA_BANDS):
+            key = (b, tuple(sig[b * PARA_R:(b + 1) * PARA_R]))
+            buckets.setdefault(key, []).append(k)
+    expect = {}
+    for key, members in buckets.items():
+        for i, ka in enumerate(members):
+            for kb in members[i + 1:]:
+                a, b = (ka, kb) if ka[0] < kb[0] else (kb, ka)
+                if a[0] == b[0]:
+                    continue
+                sa, sb = set(blocks[a]), set(blocks[b])
+                j = len(sa & sb) / len(sa | sb)
+                if j >= PARA_TAU:
+                    expect[(a[0], a[1], b[0], b[1])] = j
+    got = {
+        (r["doc_a"], r["blk_a"], r["doc_b"], r["blk_b"]): r["jaccard"]
+        for r in dedup_paragraph_minhash(spark, SF_DIR).collect()
+    }
+    assert got == {k: v for k, v in expect.items()} or all(
+        abs(got[k] - expect[k]) < 1e-12 for k in set(got) | set(expect)
+    )
+    assert len(got) > 0, "fixture must contain paragraph-level dups"
+
+
+def test_cross_source_matrix_matches_python_brute(spark):
+    from spark_dba_spark.operators.dedup import (
+        dedup_cross_source_matrix,
+        dedup_ngram_jaccard,
+    )
+
+    src = {d: s for d, _, _, s in _docs_rows()}
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    ]
+    cells: dict = {}
+    for a, b in edges:
+        lo, hi = sorted((src[a], src[b]))
+        cells[(lo, hi)] = cells.get((lo, hi), 0) + 1
+    tot = sum(cells.values())
+    got = {
+        (r["src_lo"], r["src_hi"]): r
+        for r in dedup_cross_source_matrix(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(cells)
+    for k, n in cells.items():
+        r = got[k]
+        assert r["n_pairs"] == n
+        assert r["within_source"] == (k[0] == k[1])
+        assert r["pair_share_r6"] == _r6(n, tot)
+    assert any(k[0] != k[1] for k in cells), "cross-source cells exist"
+
+
+def test_component_density_matches_python_brute(spark):
+    from spark_dba_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        graph_component_density,
+    )
+
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_nodes: dict = {}
+    for n in parent:
+        comp_nodes.setdefault(find(n), set()).add(n)
+    comp_edges: dict = {}
+    for a, b in edges:
+        comp_edges[find(a)] = comp_edges.get(find(a), 0) + 1
+    got = {r["component_id"]: r
+           for r in graph_component_density(spark, SF_DIR).collect()}
+    assert set(got) == set(comp_nodes)
+    densities = set()
+    for cid, nodes in comp_nodes.items():
+        n, e = len(nodes), comp_edges[cid]
+        r = got[cid]
+        assert (r["n_nodes"], r["n_edges"]) == (n, e)
+        assert r["density_r6"] == _r6(2 * e, n * (n - 1))
+        densities.add(r["density_r6"])
+    # the tiny SF's components are all cliques (density 1.0); the
+    # sparse/chain regime is exercised by the synthetic 5-chain test
+    assert densities and max(densities) <= 1.0
+    assert any(r["n_nodes"] >= 3 for r in got.values()), (
+        "fixture must contain a multi-node component"
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11 similarity brute twins
+# ---------------------------------------------------------------------------
+
+def _emb_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]), label FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_ivfpq_compound_matches_numpy_brute(spark):
+    """Integer replay of the whole compound path: grid quantization,
+    per-subspace codes (argmin to lowest id), query LUTs, IVF probe
+    routing, ADC sums, (adc_d2, vec_id) ranking — exact equality."""
+    from spark_dba_spark.operators.similarity import (
+        EMB_DIM,
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        KM_QUANT,
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        TOP_K,
+        sim_ivfpq_compound,
+    )
+
+    rows = _emb_rows()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    qv = np.trunc(m * KM_QUANT).astype(np.int64)
+    # IVF routing on raw float cosines (the _ivf_structures convention)
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cmask = ids < IVF_CENTROIDS
+    cn, cids = norm[cmask], ids[cmask]
+    assign = cids[np.argmax(norm @ cn.T, axis=1)]
+    qmask = ids < N_QUERIES
+    probe_lists = {}
+    for qi, qid in zip(np.where(qmask)[0], ids[qmask]):
+        order = np.argsort(-(norm[qi] @ cn.T), kind="stable")[:IVF_NPROBE]
+        probe_lists[int(qid)] = set(int(cids[c]) for c in order)
+    # PQ codes + LUT
+    cb = qv[ids < PQ_K].reshape(PQ_K, PQ_M, PQ_SUBDIM)
+    vq = qv.reshape(len(ids), PQ_M, PQ_SUBDIM)
+    codes = np.empty((len(ids), PQ_M), dtype=np.int64)
+    for sub in range(PQ_M):
+        d = ((vq[:, None, sub, :] - cb[None, :, sub, :]) ** 2).sum(axis=2)
+        codes[:, sub] = np.argmin(d, axis=1)
+    expect = {}
+    for qid, plists in probe_lists.items():
+        qi = int(np.where(ids == qid)[0][0])
+        lut = ((vq[qi][None, :, :] - cb) ** 2).sum(axis=2)  # (PQ_K, PQ_M)
+        cand = []
+        for vi, vid in enumerate(ids):
+            if vid == qid or int(assign[vi]) not in plists:
+                continue
+            adc = int(sum(lut[codes[vi, s], s] for s in range(PQ_M)))
+            cand.append((adc, int(vid)))
+        cand.sort()
+        for rank, (adc, vid) in enumerate(cand[:TOP_K], 1):
+            expect[(qid, rank)] = (vid, adc)
+    got = {
+        (r["qid"], r["rank"]): (r["vec_id"], r["adc_d2"])
+        for r in sim_ivfpq_compound(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert len(got) == N_QUERIES * TOP_K
+
+
+def test_binary_hamming_matches_python_brute(spark):
+    from spark_dba_spark.operators.similarity import (
+        EMB_DIM,
+        N_QUERIES,
+        TOP_K,
+        emb_binary_hamming_topk,
+    )
+
+    rows = _emb_rows()
+    sk = {}
+    for vid, emb, _ in rows:
+        w0 = sum(1 << d for d in range(32) if emb[d] > 0)
+        w1 = sum(1 << d for d in range(32) if emb[32 + d] > 0)
+        sk[vid] = (w0, w1)
+    expect = {}
+    for qid in [v for v in sk if v < N_QUERIES]:
+        qw0, qw1 = sk[qid]
+        cand = sorted(
+            (bin((qw0 ^ w0)).count("1") + bin((qw1 ^ w1)).count("1"), vid)
+            for vid, (w0, w1) in sk.items() if vid != qid
+        )
+        for rank, (h, vid) in enumerate(cand[:TOP_K], 1):
+            expect[(qid, rank)] = (vid, h)
+    got = {
+        (r["qid"], r["rank"]): (r["vec_id"], r["hamming"])
+        for r in emb_binary_hamming_topk(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    hams = [h for _, h in expect.values()]
+    assert min(hams) < max(hams), "hamming distances must vary"
+
+
+def test_knn_homophily_matches_numpy_brute(spark):
+    from spark_dba_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        emb_knn_label_homophily,
+    )
+
+    rows = _emb_rows()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    lab = {r[0]: r[2] for r in rows}
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    agg: dict = {}
+    for qi in np.where(ids < N_QUERIES)[0]:
+        qid = int(ids[qi])
+        sims = norm @ norm[qi]
+        order = sorted(
+            (float(-sims[vi]), int(ids[vi]))
+            for vi in range(len(ids)) if ids[vi] != qid
+        )[:TOP_K]
+        a = agg.setdefault(lab[qid], [set(), 0, 0])
+        a[0].add(qid)
+        for _, vid in order:
+            a[1] += 1
+            a[2] += 1 if lab[vid] == lab[qid] else 0
+    got = {r["label"]: r
+           for r in emb_knn_label_homophily(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for lb, (qs, nn, ns) in agg.items():
+        r = got[lb]
+        assert (r["n_queries"], r["n_neighbors"], r["n_same_label"]) == (
+            len(qs), nn, ns)
+        assert r["homophily_r6"] == _r6(ns, nn)
+
+
+def test_norm_profile_and_centroid_shift_match_python_brute(spark):
+    from spark_dba_spark.operators.similarity import (
+        KM_QUANT,
+        emb_centroid_shift_ab,
+        emb_norm_profile_by_label,
+    )
+
+    rows = _emb_rows()
+    prof: dict = {}
+    sums: dict = {}
+    for vid, emb, lb in rows:
+        q = [int(np.trunc(x * KM_QUANT)) for x in emb]
+        n2 = sum(v * v for v in q)
+        p = prof.setdefault(lb, [])
+        p.append(n2)
+        h = vid % 2
+        s = sums.setdefault((lb, h), [np.zeros(len(q), dtype=object), 0])
+        s[0] += np.array(q, dtype=object)
+        s[1] += 1
+    got = {r["label"]: r
+           for r in emb_norm_profile_by_label(spark, SF_DIR).collect()}
+    for lb, n2s in prof.items():
+        r = got[lb]
+        assert (r["n_vecs"], r["min_q2"], r["max_q2"], r["total_q2"]) == (
+            len(n2s), min(n2s), max(n2s), sum(n2s))
+        assert r["mean_q2_r6"] == _qrem_r6(sum(n2s), len(n2s))
+
+    def micro(s, n):
+        return (s * 2_000_000 + n) // (2 * n) if s >= 0 else -(
+            (-s * 2_000_000 + n) // (2 * n))
+
+    gshift = {r["label"]: r
+              for r in emb_centroid_shift_ab(spark, SF_DIR).collect()}
+    for lb in prof:
+        sa, na = sums[(lb, 0)]
+        sb, nb = sums[(lb, 1)]
+        diffs = [abs(micro(int(a), na) - micro(int(b), nb))
+                 for a, b in zip(sa, sb)]
+        r = gshift[lb]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["l1_shift_micro"] == sum(diffs)
+        assert r["max_dim_shift_micro"] == max(diffs)
+        assert r["l1_shift_micro"] > 0, "halves differ on a real fixture"
