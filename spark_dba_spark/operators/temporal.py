@@ -5497,7 +5497,11 @@ def ev_haar_energy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     point-anomaly ops (ev_velocity_alerts, ev_cusum_changepoint).
     Counts are integers, so every coefficient and energy is exact;
     partial trailing blocks are excluded (only blocks fully inside the
-    observed span count).
+    observed span count), and n_active_blocks counts blocks containing
+    at least one event-bearing hour — fully-empty blocks have detail 0
+    and contribute nothing to the energy, so they are not materialized
+    (the hourly frame is sparse by design; at 100 TB a dense calendar
+    spine would be pure overhead).
 
     Scale: the hourly count frame is span-bounded (not corpus-bounded);
     the level fan-out multiplies THAT small frame, and each level is
@@ -5549,7 +5553,7 @@ def ev_haar_energy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         detail.groupBy("level")
         .agg(
-            F.count("*").cast("long").alias("n_blocks"),
+            F.count("*").cast("long").alias("n_active_blocks"),
             F.sum(F.expr("d * d")).cast("long").alias("energy"),
             F.max(F.abs("d")).cast("long").alias("max_abs_detail"),
         )
@@ -5578,7 +5582,7 @@ detail AS (
   SELECT level, blk, CAST(SUM(sign * c) AS BIGINT) AS d
   FROM base GROUP BY 1, 2)
 SELECT level,
-       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(COUNT(*) AS BIGINT) AS n_active_blocks,
        CAST(SUM(d * d) AS BIGINT) AS energy,
        CAST(MAX(abs(d)) AS BIGINT) AS max_abs_detail
 FROM detail GROUP BY level ORDER BY level

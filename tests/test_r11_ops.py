@@ -901,3 +901,402 @@ def test_norm_profile_and_centroid_shift_match_python_brute(spark):
         assert r["l1_shift_micro"] == sum(diffs)
         assert r["max_dim_shift_micro"] == max(diffs)
         assert r["l1_shift_micro"] > 0, "halves differ on a real fixture"
+
+
+# ---------------------------------------------------------------------------
+# r11 temporal brute twins
+# ---------------------------------------------------------------------------
+
+def _events_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_id, epoch_us(ts), user_id, event_type, value FROM "
+        f"read_parquet('{SF_DIR}/events.parquet') ORDER BY 2, 1"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_haar_energy_matches_python_brute(spark):
+    from spark_dba_spark.operators.temporal import (
+        HAAR_LEVELS,
+        ev_haar_energy_hourly,
+    )
+
+    rows = _events_rows()
+    hour_us = 3_600_000_000
+    counts: dict = {}
+    for _, ts_us, _, _, _ in rows:
+        counts[ts_us // hour_us] = counts.get(ts_us // hour_us, 0) + 1
+    h0 = min(counts)
+    t_hours = max(counts) - h0 + 1
+    series = [counts.get(h0 + i, 0) for i in range(t_hours)]
+    got = {r["level"]: r
+           for r in ev_haar_energy_hourly(spark, SF_DIR).collect()}
+    assert set(got) == set(range(1, HAAR_LEVELS + 1))
+    energies = []
+    for lv in range(1, HAAR_LEVELS + 1):
+        blk_w = 1 << lv
+        n_blocks = t_hours // blk_w
+        details = []
+        active = 0
+        for b in range(n_blocks):
+            seg = series[b * blk_w:(b + 1) * blk_w]
+            details.append(sum(seg[: blk_w // 2]) - sum(seg[blk_w // 2:]))
+            active += 1 if any(seg) else 0
+        r = got[lv]
+        # n_active_blocks counts event-bearing blocks; empty blocks have
+        # detail 0 and are not materialized (sparse hourly frame)
+        assert r["n_active_blocks"] == active
+        assert r["energy"] == sum(d * d for d in details)
+        assert r["max_abs_detail"] == max(abs(d) for d in details)
+        energies.append(r["energy"])
+    assert any(e > 0 for e in energies), "series must carry structure"
+
+
+def test_value_records_matches_python_brute(spark):
+    from spark_dba_spark.operators.temporal import ev_value_records
+
+    rows = _events_rows()
+    per_user: dict = {}
+    for eid, ts_us, uid, _, v in rows:
+        per_user.setdefault(uid, []).append((ts_us, eid, v))
+    got = {r["user_id"]: r
+           for r in ev_value_records(spark, SF_DIR).collect()}
+    assert set(got) == set(per_user)
+    for uid, evs in per_user.items():
+        evs.sort()
+        best = None
+        n_rec, last_rec = 0, None
+        for ts_us, _, v in evs:
+            if best is None or v > best:
+                best, n_rec, last_rec = v, n_rec + 1, ts_us
+        r = got[uid]
+        assert (r["n_events"], r["n_records"]) == (len(evs), n_rec)
+        assert r["max_value"] == best
+        assert r["last_record_us"] == last_rec
+        assert 1 <= n_rec < len(evs), "records strictly between 1 and n"
+
+
+def test_hourly_percentiles_match_python_brute(spark):
+    from spark_dba_spark.operators.temporal import (
+        HOURLY_PCTS,
+        ev_hourly_value_percentiles,
+    )
+
+    rows = _events_rows()
+    hour_us = 3_600_000_000
+    per_hour: dict = {}
+    for eid, ts_us, _, _, v in rows:
+        per_hour.setdefault(ts_us // hour_us, []).append((v, eid))
+    got = {(r["win_start"], r["pct"]): r
+           for r in ev_hourly_value_percentiles(spark, SF_DIR).collect()}
+    assert len(got) == len(per_hour) * len(HOURLY_PCTS)
+    for key, vals in per_hour.items():
+        vals.sort()
+        n = len(vals)
+        for pct in HOURLY_PCTS:
+            rank = (pct * n + 99) // 100
+            want = vals[rank - 1][0]
+            match = [r for (ws, p), r in got.items()
+                     if p == pct and int(ws.timestamp() * 1e6) // hour_us
+                     == key]
+            assert len(match) == 1
+            assert match[0]["n_events"] == n
+            assert match[0]["pct_value"] == want
+
+
+# ---------------------------------------------------------------------------
+# r11 relational brute twins
+# ---------------------------------------------------------------------------
+
+def test_value_deciles_match_python_brute(spark):
+    from spark_dba_spark.operators.relational import customer_value_deciles
+
+    con = duckdb.connect()
+    custs = [r[0] for r in con.execute(
+        f"SELECT c_custkey FROM read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchall()]
+    orders = con.execute(
+        f"SELECT o_custkey, o_totalprice FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    import math
+
+    spend = {c: 0 for c in custs}
+    for ck, tp in orders:
+        if ck in spend:
+            spend[ck] += int(math.floor(tp * 100 + 0.5))
+    ordered = sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ordered)
+    # ANSI NTILE fill: first (n % 10) tiles get ceil(n/10) rows
+    sizes = [n // 10 + (1 if i < n % 10 else 0) for i in range(10)]
+    deciles: dict = {}
+    idx = 0
+    for d, sz in enumerate(sizes, 1):
+        chunk = ordered[idx:idx + sz]
+        idx += sz
+        deciles[d] = (len(chunk), sum(c for _, c in chunk))
+    total = sum(v for _, v in deciles.values())
+    got = {r["decile"]: r
+           for r in customer_value_deciles(spark, SF_DIR).collect()}
+    cum = 0
+    for d in range(1, 11):
+        nc, cents = deciles[d]
+        cum += cents
+        r = got[d]
+        assert (r["n_customers"], r["rev_cents"]) == (nc, cents)
+        assert r["rev_share_r6"] == _r6(cents, total)
+        assert r["cum_share_r6"] == _r6(cum, total)
+    assert got[10]["rev_cents"] > got[1]["rev_cents"], "Lorenz must bend"
+
+
+def test_levene_matches_python_brute(spark):
+    from spark_dba_spark.operators.relational import stats_levene_brand_price
+
+    con = duckdb.connect()
+    parts = con.execute(
+        f"SELECT p_partkey, p_brand, p_retailprice FROM "
+        f"read_parquet('{SF_DIR}/part.parquet')"
+    ).fetchall()
+    con.close()
+    import math
+
+    grp: dict = {}
+    for pk, br, pr in parts:
+        grp.setdefault(br, []).append((int(math.floor(pr + 0.5)), pk))
+    z_by_brand: dict = {}
+    for br, xs in grp.items():
+        xs.sort()
+        med = xs[(len(xs) + 1) // 2 - 1][0]
+        z_by_brand[br] = [abs(x - med) for x, _ in xs]
+    k = len(z_by_brand)
+    n_total = sum(len(z) for z in z_by_brand.values())
+    z_total = sum(sum(z) for z in z_by_brand.values())
+    m_c2 = (z_total * 200 + n_total) // (2 * n_total)
+    b_c4 = w_c4 = 0
+    for br, zs in z_by_brand.items():
+        zi, ni = sum(zs), len(zs)
+        mi = (zi * 200 + ni) // (2 * ni)
+        b_c4 += ni * (mi - m_c2) ** 2
+        w_c4 += sum((z * 100 - mi) ** 2 for z in zs)
+    [r] = stats_levene_brand_price(spark, SF_DIR).collect()
+    assert (r["k_groups"], r["n_total"]) == (k, n_total)
+    assert (r["between_ss_c4"], r["within_ss_c4"]) == (b_c4, w_c4)
+    assert r["f_stat_r6"] == _qrem_r6(b_c4 * (n_total - k), w_c4 * (k - 1))
+    assert w_c4 > 0 and b_c4 > 0, "both variance components non-trivial"
+
+
+def test_yoy_growth_matches_python_brute(spark):
+    from spark_dba_spark.operators.relational import orders_yoy_growth
+
+    con = duckdb.connect()
+    orders = con.execute(
+        f"SELECT EXTRACT(year FROM o_orderdate), "
+        f"EXTRACT(month FROM o_orderdate), o_totalprice FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    import math
+
+    monthly: dict = {}
+    for yr, mon, tp in orders:
+        k = (int(yr), int(mon))
+        monthly[k] = monthly.get(k, 0) + int(math.floor(tp * 100 + 0.5))
+    got = {(r["yr"], r["mon"]): r
+           for r in orders_yoy_growth(spark, SF_DIR).collect()}
+    expect_keys = {(y, m) for (y, m) in monthly if (y - 1, m) in monthly}
+    assert set(got) == expect_keys
+    saw_neg = saw_pos = False
+    for (y, m), r in got.items():
+        cur, prev = monthly[(y, m)], monthly[(y - 1, m)]
+        assert (r["rev_cents"], r["prev_rev_cents"]) == (cur, prev)
+        d = cur - prev
+        sgn = 1 if d >= 0 else -1
+        want = sgn * float((abs(d) * 2_000_000 + prev) // (2 * prev)) / 1e6
+        assert r["yoy_growth_r6"] == want
+        saw_neg, saw_pos = saw_neg or d < 0, saw_pos or d > 0
+    assert saw_neg and saw_pos, "growth must exercise both signs"
+
+
+def test_cms_heavy_change_matches_python_brute(spark):
+    from spark_dba_spark.operators.relational import (
+        CMS_D,
+        CMS_SPLIT_DATE,
+        CMS_TOP,
+        CMS_W,
+        sketch_cms_heavy_change,
+    )
+
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_partkey, l_shipdate < TIMESTAMP '{CMS_SPLIT_DATE}' FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    true_a: dict = {}
+    true_b: dict = {}
+    for pk, in_a in li:
+        (true_a if in_a else true_b)[pk] = (
+            (true_a if in_a else true_b).get(pk, 0) + 1
+        )
+    keys = set(true_a) | set(true_b)
+
+    def bkt(pk, j):
+        return int(hashlib.md5(f"{pk}:cms:{j}".encode()
+                               ).hexdigest()[:7], 16) % CMS_W
+
+    counters_a: dict = {}
+    counters_b: dict = {}
+    for pk in keys:
+        for j in range(CMS_D):
+            kk = (j, bkt(pk, j))
+            counters_a[kk] = counters_a.get(kk, 0) + true_a.get(pk, 0)
+            counters_b[kk] = counters_b.get(kk, 0) + true_b.get(pk, 0)
+    probe = sorted(
+        keys,
+        key=lambda pk: (-abs(true_a.get(pk, 0) - true_b.get(pk, 0)), pk),
+    )[:CMS_TOP]
+    got = {r["l_partkey"]: r
+           for r in sketch_cms_heavy_change(spark, SF_DIR).collect()}
+    assert set(got) == set(probe)
+    any_over = False
+    for pk in probe:
+        ta, tb = true_a.get(pk, 0), true_b.get(pk, 0)
+        ca = min(counters_a[(j, bkt(pk, j))] for j in range(CMS_D))
+        cb = min(counters_b[(j, bkt(pk, j))] for j in range(CMS_D))
+        r = got[pk]
+        assert (r["true_a"], r["true_b"], r["cms_a"], r["cms_b"]) == (
+            ta, tb, ca, cb)
+        assert r["est_change"] == abs(ca - cb)
+        assert r["true_change"] == abs(ta - tb)
+        assert ca >= ta and cb >= tb, "CMS never underestimates"
+        any_over = any_over or ca > ta or cb > tb
+    assert any_over, "collisions must actually occur at this width"
+
+
+def test_kmv_distinct_matches_python_brute(spark):
+    from spark_dba_spark.operators.relational import (
+        KMV_HEX,
+        KMV_K,
+        sketch_kmv_distinct,
+    )
+
+    rows = _docs_rows()
+    per_src: dict = {}
+    for _, text, _, source in rows:
+        h = int(hashlib.md5(text.encode()).hexdigest()[:KMV_HEX], 16)
+        per_src.setdefault(source, set()).add(h)
+    got = {r["source"]: r
+           for r in sketch_kmv_distinct(spark, SF_DIR).collect()}
+    scale = 1 << (4 * KMV_HEX)
+
+    def expected(hashes):
+        pool = sorted(hashes)[:KMV_K]
+        k_used, kth = len(pool), max(pool)
+        est = k_used if k_used < KMV_K else (KMV_K - 1) * scale // kth
+        return k_used, kth, est
+
+    all_hashes = set()
+    for src, hs in per_src.items():
+        all_hashes |= hs
+        k_used, kth, est = expected(hs)
+        r = got[src]
+        assert (r["k_used"], r["kth_hash"], r["est_distinct"]) == (
+            k_used, kth, est), src
+    k_used, kth, est = expected(all_hashes)
+    r = got["__ALL__"]
+    assert (r["k_used"], r["kth_hash"], r["est_distinct"]) == (
+        k_used, kth, est)
+    assert k_used == KMV_K, "the union row must engage the estimator"
+    n_true = len(all_hashes)
+    assert abs(est - n_true) <= 0.6 * n_true, (est, n_true)
+
+
+# ---------------------------------------------------------------------------
+# r11 multimodal brute twins
+# ---------------------------------------------------------------------------
+
+def _media_type(doc_id):
+    return ("image", "audio", "video")[doc_id % 3]
+
+
+def test_entropy_proxy_matches_python_brute(spark):
+    from collections import Counter
+
+    from spark_dba_spark.operators.multimodal import mm_payload_entropy_proxy
+
+    rows = _docs_rows()
+    got = {r["doc_id"]: r
+           for r in mm_payload_entropy_proxy(spark, SF_DIR).collect()}
+    assert set(got) == {d for d, _, _, _ in rows}
+    for doc_id, text, _, _ in rows:
+        bs = text.encode("utf-8")
+        c = Counter(bs)
+        n = len(bs)
+        coll = sum(v * (v - 1) for v in c.values())
+        r = got[doc_id]
+        assert (r["n_bytes"], r["distinct_bytes"], r["top_byte_count"]) == (
+            n, len(c), max(c.values()))
+        assert r["collision_r6"] == _r6(coll, n * (n - 1))
+        # text payloads sit far above the 1/256 uniform floor
+        assert r["collision_r6"] > 1.0 / 256
+
+
+def test_magic_profile_matches_python_brute(spark):
+    from collections import Counter
+
+    from spark_dba_spark.operators.multimodal import mm_payload_magic_profile
+
+    rows = _docs_rows()
+    cells: dict = {}
+    for doc_id, text, _, _ in rows:
+        bs = text.encode("utf-8")
+        if len(bs) < 2:
+            continue
+        k = (_media_type(doc_id), bs[:2].hex().upper())
+        a = cells.setdefault(k, [0, None, None])
+        a[0] += 1
+        a[1] = len(bs) if a[1] is None else min(a[1], len(bs))
+        a[2] = len(bs) if a[2] is None else max(a[2], len(bs))
+    tot = Counter()
+    for (mt, _), (n, _, _) in cells.items():
+        tot[mt] += n
+    got = {(r["media_type"], r["magic_hex"]): r
+           for r in mm_payload_magic_profile(spark, SF_DIR).collect()}
+    assert set(got) == set(cells)
+    for k, (n, lo, hi) in cells.items():
+        r = got[k]
+        assert (r["n_assets"], r["min_bytes"], r["max_bytes"]) == (n, lo, hi)
+        assert r["type_share_r6"] == _r6(n, tot[k[0]])
+    assert len({k[1] for k in cells}) > 1, "multiple magic signatures"
+
+
+def test_byte_bigram_topk_matches_python_brute(spark):
+    from collections import Counter
+
+    from spark_dba_spark.operators.multimodal import (
+        BIGRAM_TOP,
+        mm_byte_bigram_topk,
+    )
+
+    rows = _docs_rows()
+    cnt: dict = {}
+    tot = Counter()
+    for doc_id, text, _, _ in rows:
+        bs = text.encode("utf-8")
+        mt = _media_type(doc_id)
+        for i in range(len(bs) - 1):
+            bg = bs[i:i + 2].hex().upper()
+            cnt.setdefault(mt, Counter())[bg] += 1
+            tot[mt] += 1
+    got = {(r["media_type"], r["rank"]): r
+           for r in mm_byte_bigram_topk(spark, SF_DIR).collect()}
+    for mt, c in cnt.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:BIGRAM_TOP]
+        for rank, (bg, n) in enumerate(top, 1):
+            r = got[(mt, rank)]
+            assert (r["bigram_hex"], r["n_occurrences"]) == (bg, n)
+            assert r["bigram_share_r6"] == _r6(n, tot[mt])
+    assert len(got) == 3 * BIGRAM_TOP
