@@ -1300,3 +1300,23 @@ def test_byte_bigram_topk_matches_python_brute(spark):
             assert (r["bigram_hex"], r["n_occurrences"]) == (bg, n)
             assert r["bigram_share_r6"] == _r6(n, tot[mt])
     assert len(got) == 3 * BIGRAM_TOP
+
+
+def test_ivfpq_recall_floor_clustered(spark, tmp_path):
+    """Committed IVF-PQ defaults must clear recall@10 >= 0.9 on the
+    clustered (realistic) fixture — the same gate the LSH / IVF /
+    multiprobe defaults carry (on the structure-free random fixture PQ
+    code error dominates and recall is a documented worst-case lower
+    bound, recorded in RECALL_r11.json)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from recall_report import pairs, write_clustered_fixture
+
+    from spark_dba_spark.operators import similarity as S
+
+    cdir = write_clustered_fixture(str(tmp_path))
+    brute = pairs(S.sim_cosine_topk(spark, cdir))
+    got = pairs(S.sim_ivfpq_compound(spark, cdir))
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.9, f"ivfpq clustered recall {recall:.3f} < 0.9"

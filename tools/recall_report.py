@@ -126,6 +126,22 @@ def main() -> int:
         print(f"ivf nprobe={nprobe} recall@{S.TOP_K}={r:.3f}")
     S.IVF_NPROBE = default_nprobe
 
+    # IVF-PQ compound (r11): same routing knob, ADC-coded rerank — read
+    # against ivf.recall_at_k_by_nprobe to see what the 8-byte code
+    # compression costs at each routing budget.
+    report["ivfpq"] = {
+        "centroids": S.IVF_CENTROIDS, "default_nprobe": S.IVF_NPROBE,
+        "pq_m": S.PQ_M, "pq_k": S.PQ_K,
+        "recall_at_k_by_nprobe": {},
+    }
+    for nprobe in (6, 12, 24):
+        S.IVF_NPROBE = nprobe
+        r = len(brute & pairs(S.sim_ivfpq_compound(spark, args.sf)))
+        r /= len(brute)
+        report["ivfpq"]["recall_at_k_by_nprobe"][str(nprobe)] = round(r, 4)
+        print(f"ivfpq nprobe={nprobe} recall@{S.TOP_K}={r:.3f}")
+    S.IVF_NPROBE = default_nprobe
+
     # Multi-probe LSH (r10): recall vs table count with the Hamming-1
     # probe schedule — read against lsh.recall_at_k_by_tables to see the
     # tables-vs-probes memory tradeoff (multiprobe@T should sit between
@@ -171,6 +187,18 @@ def main() -> int:
             r = len(cbrute & pairs(S.sim_ivf(spark, cdir))) / len(cbrute)
             clustered["ivf_recall_at_k_by_nprobe"][str(nprobe)] = round(r, 4)
             print(f"clustered ivf nprobe={nprobe} recall@{S.TOP_K}={r:.3f}")
+        S.IVF_NPROBE = default_nprobe
+        clustered["ivfpq_recall_at_k_by_nprobe"] = {}
+        for nprobe in (6, 12, 24):
+            S.IVF_NPROBE = nprobe
+            r = len(cbrute & pairs(S.sim_ivfpq_compound(spark, cdir)))
+            r /= len(cbrute)
+            clustered["ivfpq_recall_at_k_by_nprobe"][str(nprobe)] = (
+                round(r, 4)
+            )
+            print(
+                f"clustered ivfpq nprobe={nprobe} recall@{S.TOP_K}={r:.3f}"
+            )
         S.IVF_NPROBE = default_nprobe
         clustered["multiprobe_recall_at_k_by_tables"] = {}
         for tables in (2, 4, 8):
