@@ -64,9 +64,36 @@ PLAN_NOTES: dict[str, str] = {
     "graph_degree_histogram": _CHECKPOINT_FRONTED,
     "text_bpe_merge_sequence": _CHECKPOINT_FRONTED,
     "stats_kruskal_wallis_daily": _CHECKPOINT_FRONTED,
+    # r11 checkpoint-fronted rows (each checkpoints a BOUNDED reduced
+    # frame that feeds >=2 branches — marginals+cells, pools+merge,
+    # counters+probe, totals+rank — per the branched-lineage rule)
+    "sketch_hll_reaggregate": _CHECKPOINT_FRONTED,
+    "stats_chi_square_source_length": _CHECKPOINT_FRONTED,
+    "dedup_cross_source_matrix": _CHECKPOINT_FRONTED,
+    "graph_component_density": _CHECKPOINT_FRONTED,
+    "emb_binary_hamming_topk": _CHECKPOINT_FRONTED,
+    "customer_value_deciles": _CHECKPOINT_FRONTED,
+    "sketch_kmv_distinct": _CHECKPOINT_FRONTED,
+    "orders_yoy_growth": _CHECKPOINT_FRONTED,
+    "sketch_cms_heavy_change": _CHECKPOINT_FRONTED,
+    "mm_payload_magic_profile": _CHECKPOINT_FRONTED,
+    "mm_byte_bigram_topk": _CHECKPOINT_FRONTED,
+    "ev_haar_energy_hourly": _CHECKPOINT_FRONTED,
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
+    "customer_value_deciles": (
+        "NTILE over the CUSTOMER dimension (orders pre-reduced to one "
+        "row per customer — the rfm_segmentation argument) + a 10-row "
+        "decile-grain cumulative window on the checkpointed rollup"
+    ),
+    "sketch_kmv_distinct": (
+        "rank over the SKETCH POOLS only: the per-source window reads "
+        "the 64-salt-local k-min cut (<= 64*K rows per source "
+        "partition) and the union-merge window reads the pooled "
+        "distinct hashes (<= sources*K rows) — raw documents never "
+        "enter a window; both frames are sketch-sized by construction"
+    ),
     "stats_kruskal_wallis_daily": (
         "global rank over the DAILY (date × event-type) frame — "
         "calendar-bounded (~150 rows here, ~18k for a 10-year feed), "

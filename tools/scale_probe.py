@@ -166,6 +166,22 @@ NOTES = {
         "compute is the map-side fingerprint stream against a "
         "broadcast eval index."
     ),
+    "text_dup_region_removal": (
+        "output IS the cleaned corpus (one full-text row per doc — "
+        "corpus-sized by design), so this row partly measures driver "
+        "collect() of the texts; at 100 TB the cleaned corpus writes "
+        "to a sink. The compute is the dedup_longest_dup_span region "
+        "dataflow plus a map-side indexed-HOF cut."
+    ),
+    "decontaminate_bloom": (
+        "the wall is dominated by the ONE-TIME eager bitset-build job "
+        "(eval shingles -> distinct -> BIT_OR -> <=2048-row collect), "
+        "profiled for VERDICT r10 #5: ~2.6s of a ~3.7s warmed first "
+        "run, re-running the built op costs ~1.1s; an upstream "
+        "repartition was A/B-tested and rejected (+0.6s). The build "
+        "scales with the EVAL SUITE, not the train corpus — constant "
+        "at 100 TB."
+    ),
 }
 
 
