@@ -2150,6 +2150,13 @@ def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" i -> concat_ws(' ', slice(bt, i, {NGRAM}))))"
             ).alias("sh"),
         )
+        # the block-shingle frame feeds THREE consumers (the signature
+        # stage and both verify sides) and the band frame self-joins —
+        # without materialization the shingle+signature HOFs re-run ~4x
+        # (measured 7.9s -> 2.3s at sf0.1). localCheckpoint here; at
+        # real scale this is persist(DISK_ONLY) of a narrow
+        # (ids + shingles) frame, the cost of scanning the corpus once.
+        .localCheckpoint(eager=True)
     )
     sig = blocks.select(
         "doc_id", "blk", "sh", minhash_signature("sh", PARA_PERMS).alias("sig")
@@ -2167,7 +2174,7 @@ def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"slice(sig, b * {PARA_R} + 1, {PARA_R}), "
             f"x -> cast(x as string))))"
         ).alias("band_key"),
-    )
+    ).localCheckpoint(eager=True)  # self-joined below: one signature pass
     cand = (
         bands.alias("x")
         .join(

@@ -136,6 +136,34 @@ QUERIES = [
     "dedup_cluster_size_histogram",  # CC size bands (r10b new)
     "orders_rfm_migration",      # segment migration matrix (r10b new)
     "ev_hour_of_day_profile",    # diurnal type profile (r10b new)
+    "sketch_hll_reaggregate",    # deterministic HLL rollup ladder (r11 upgrade)
+    "text_dup_region_removal",   # cleaned-corpus region cut (r11 new)
+    "text_dsir_importance",      # DSIR hashed-ngram masses (r11 new)
+    "sim_ivfpq_compound",        # IVF routing + PQ-ADC rerank (r11 new)
+    "text_tokenizer_fertility",  # subword/byte budget audit (r11 new)
+    "dedup_paragraph_minhash",   # block-grain MinHash LSH (r11 new)
+    "text_gopher_gates",         # Gopher rule bundle flags (r11 new)
+    "text_rarity_outliers",      # rare-df outlier profile (r11 new)
+    "text_simpson_concentration",  # integer Simpson index (r11 new)
+    "stats_chi_square_source_length",  # dense chi-square cells (r11 new)
+    "text_contamination_by_source",  # span-decon source rollup (r11 new)
+    "dedup_cross_source_matrix",  # source-pair dup matrix (r11 new)
+    "graph_component_density",   # per-CC edge density (r11 new)
+    "emb_binary_hamming_topk",   # packed-sign Hamming ANN (r11 new)
+    "emb_knn_label_homophily",   # top-k label agreement (r11 new)
+    "emb_norm_profile_by_label",  # grid-integer norm audit (r11 new)
+    "emb_centroid_shift_ab",     # parity-half centroid shift (r11 new)
+    "ev_haar_energy_hourly",     # dyadic Haar detail energy (r11 new)
+    "ev_value_records",          # running-record accounting (r11 new)
+    "ev_hourly_value_percentiles",  # per-hour type-1 tails (r11 new)
+    "customer_value_deciles",    # exact-cents Lorenz table (r11 new)
+    "stats_levene_brand_price",  # Brown-Forsythe variance F (r11 new)
+    "orders_yoy_growth",         # YoY monthly revenue delta (r11 new)
+    "sketch_cms_heavy_change",   # two-half CMS heavy change (r11 new)
+    "sketch_kmv_distinct",       # bottom-k theta union merge (r11 new)
+    "mm_payload_entropy_proxy",  # byte collision entropy proxy (r11 new)
+    "mm_payload_magic_profile",  # magic-byte format audit (r11 new)
+    "mm_byte_bigram_topk",       # order-2 byte signature (r11 new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
