@@ -79,6 +79,7 @@ PLAN_NOTES: dict[str, str] = {
     "mm_payload_magic_profile": _CHECKPOINT_FRONTED,
     "mm_byte_bigram_topk": _CHECKPOINT_FRONTED,
     "ev_haar_energy_hourly": _CHECKPOINT_FRONTED,
+    "dedup_paragraph_minhash": _CHECKPOINT_FRONTED,
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
