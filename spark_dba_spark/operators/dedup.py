@@ -2420,7 +2420,85 @@ ORDER BY component_id
 """
 
 
+# --------------------------------------------------------------------------
+# Local clustering coefficient per node (near-dup graph)
+# --------------------------------------------------------------------------
+
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient per node of the near-dup graph:
+    lcc(v) = 2·t(v) / (deg(v)·(deg(v)−1)) where t(v) counts edges among
+    v's neighbors — the per-node drill-down of
+    ``graph_global_transitivity`` (a node with high degree but lcc ≈ 0
+    is a hub bridging unrelated template families: exactly the doc a
+    keep-one dedup must NOT pick as the representative). Exact
+    rational; deg < 2 nodes report 0 by convention.
+
+    Scale: wedges enumerate as two keyed joins on the BOUNDED dup-edge
+    set (Σ deg² work — the triangle-counting posture, never all
+    pairs); the closing-edge check is one more hash join on canonical
+    (a < b) pairs."""
+    edges, sym = _neardup_graph(spark, sf_dir)
+    deg = sym.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("deg")
+    )
+    # wedges centered at v with canonical endpoints a < b
+    w1 = sym.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("a"))
+    w2 = sym.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("b"))
+    wedges = w1.join(w2, "v").filter(F.col("a") < F.col("b"))
+    closed = wedges.join(
+        edges.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ),
+        ["a", "b"],
+    )
+    tri = closed.groupBy(F.col("v").alias("doc_id")).agg(
+        F.count("*").alias("t")
+    )
+    return (
+        deg.join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_closed_wedges"),
+            F.expr(
+                "case when deg >= 2 then "
+                + rat_round6_spark(
+                    "2 * coalesce(t, 0)", "deg * (deg - 1)"
+                )
+                + " else 0.0d end"
+            ).alias("lcc_r6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LOCAL_CLUSTERING = f"""
+WITH {_GRAPH_SYM_CTES},
+deg AS (SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1),
+wedges AS (
+  SELECT w1.doc_a AS v, w1.doc_b AS a, w2.doc_b AS b
+  FROM sym w1 JOIN sym w2 ON w1.doc_a = w2.doc_a AND w1.doc_b < w2.doc_b),
+closed AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+  FROM wedges JOIN dup ON wedges.a = dup.doc_a AND wedges.b = dup.doc_b
+  GROUP BY 1)
+SELECT deg.doc_id, deg.deg AS degree,
+       COALESCE(t, 0) AS n_closed_wedges,
+       CASE WHEN deg >= 2 THEN
+         {rat_round6_duck("2 * COALESCE(t, 0)", "deg * (deg - 1)")}
+       ELSE 0.0 END AS lcc_r6
+FROM deg LEFT JOIN closed ON deg.doc_id = closed.v
+ORDER BY deg.doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("graph_local_clustering", graph_local_clustering,
+              ORACLE_LOCAL_CLUSTERING, ("dedup", "graph", "stats"),
+              doc="per-node local clustering coefficient over the "
+                  "near-dup graph (hub-vs-clique triage for keep-one "
+                  "dedup; wedge joins, exact rational)"),
     QuerySpec("dedup_exact_clusters", dedup_exact_clusters,
               ORACLE_EXACT_CLUSTERS, ("dedup",)),
     QuerySpec("dedup_exact_stats", dedup_exact_stats, ORACLE_EXACT_STATS,

@@ -2088,7 +2088,104 @@ ORDER BY media_type, rank
 """
 
 
+# --------------------------------------------------------------------------
+# Byte-delta (smoothness) profile per media type
+# --------------------------------------------------------------------------
+
+def mm_byte_delta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-DELTA profile per media type: |b[i+1] − b[i]| banded on the
+    log2 grid (band = bit_length of the delta; 0 = repeated byte) — the
+    smoothness signature that separates continuous-tone signals (audio/
+    image rasters: small deltas dominate, delta-encoding wins) from
+    text/compressed payloads (flat delta spectrum). Complements the
+    order-0 histogram (values), the RLE probe (exact repeats) and the
+    bigram table (exact pairs) with the magnitude-of-change view.
+
+    Scale: hex-pair slide bound once per row (no per-lambda re-hex),
+    map-side band fan-out absorbed by partial aggs into a
+    (type × ≤9-band) frame."""
+    assets = _assets(spark, sf_dir).repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    )
+    bands = (
+        assets.select(
+            "media_type",
+            F.expr("hex(payload)").alias("hx"),
+            F.octet_length("payload").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "media_type",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, n - 1), i -> "
+                    "abs(cast(conv(substring(hx, 2 * i - 1, 2), 16, 10)"
+                    " as int) - "
+                    "cast(conv(substring(hx, 2 * i + 1, 2), 16, 10)"
+                    " as int)))"
+                )
+            ).alias("delta"),
+        )
+        .select(
+            "media_type",
+            F.expr(
+                "case when delta = 0 then 0 "
+                "else length(bin(delta)) end"
+            ).alias("band"),
+        )
+    )
+    cnt = bands.groupBy("media_type", "band").agg(
+        F.count("*").alias("n_deltas")
+    ).localCheckpoint(eager=True)  # bounded cells; feeds totals + shares
+    tot = cnt.groupBy("media_type").agg(F.sum("n_deltas").alias("n_total"))
+    return (
+        cnt.join(F.broadcast(tot), "media_type")
+        .select(
+            "media_type",
+            F.col("band").cast("int").alias("band"),
+            F.col("n_deltas").cast("long").alias("n_deltas"),
+            F.expr(rat_round6_spark("n_deltas", "n_total")).alias(
+                "delta_share_r6"
+            ),
+        )
+        .orderBy("media_type", "band")
+    )
+
+
+ORACLE_MM_BYTE_DELTA = f"""
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents),
+d AS (
+  SELECT media_type,
+         abs(CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT)
+             - CAST('0x' || substr(hx, 2 * i + 1, 2) AS INT)) AS delta
+  FROM a, LATERAL unnest(generate_series(1, n - 1)) AS u(i)
+  WHERE n >= 2),
+b AS (
+  SELECT media_type,
+         CASE WHEN delta = 0 THEN 0 ELSE LENGTH(bin(delta)) END AS band
+  FROM d),
+cnt AS (
+  SELECT media_type, band, CAST(COUNT(*) AS BIGINT) AS n_deltas
+  FROM b GROUP BY 1, 2),
+t AS (SELECT media_type, CAST(SUM(n_deltas) AS BIGINT) AS n_total
+      FROM cnt GROUP BY 1)
+SELECT media_type, CAST(band AS INT) AS band, n_deltas,
+       {rat_round6_duck("n_deltas", "n_total")} AS delta_share_r6
+FROM cnt JOIN t USING (media_type)
+ORDER BY media_type, band
+"""
+
+
 SPECS = [
+    QuerySpec("mm_byte_delta_profile", mm_byte_delta_profile,
+              ORACLE_MM_BYTE_DELTA, ("multimodal", "bytes", "stats"),
+              doc="log2-banded |byte delta| smoothness profile per "
+                  "media type (delta-encoding gain probe)"),
     QuerySpec("mm_payload_entropy_proxy", mm_payload_entropy_proxy,
               ORACLE_MM_ENTROPY_PROXY, ("multimodal", "bytes", "stats"),
               doc="per-asset byte collision rate + distinct/modal byte "

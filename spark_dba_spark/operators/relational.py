@@ -6222,7 +6222,79 @@ FROM a ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Weekday seasonality index
+# --------------------------------------------------------------------------
+
+def orders_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality index: revenue and order-count share per ISO
+    day-of-week against the uniform 1/7 baseline (index = 7·share) —
+    the day-grain companion to the monthly ``orders_seasonal_index``,
+    the calendar shape capacity planning and anomaly baselines divide
+    by. ISO numbering is the one dow convention both engines agree on
+    exactly (Spark ``weekday()+1`` == DuckDB ``isodow``; the default
+    ``dayofweek`` functions disagree by an off-by-one).
+
+    Scale: one map + a 7-row agg; the index math is exact cents."""
+    orders = _t(spark, sf_dir, "orders")
+    d = (
+        orders.groupBy(
+            (F.expr("weekday(o_orderdate)") + 1).alias("dow_iso")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("rev_cents"),
+        )
+        .localCheckpoint(eager=True)  # 7 rows; feeds totals + shares
+    )
+    tot = d.agg(
+        F.sum("n_orders").alias("n_total"),
+        F.sum("rev_cents").alias("rev_total"),
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow_iso").cast("int").alias("dow_iso"),
+            "n_orders",
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            F.expr(rat_round6_spark("rev_cents", "rev_total")).alias(
+                "rev_share_r6"
+            ),
+            F.expr(rat_round6_spark("7 * rev_cents", "rev_total")).alias(
+                "rev_index_r6"
+            ),
+            F.expr(rat_round6_spark("7 * n_orders", "n_total")).alias(
+                "count_index_r6"
+            ),
+        )
+        .orderBy("dow_iso")
+    )
+
+
+ORACLE_WEEKDAY_INDEX = f"""
+WITH d AS (
+  SELECT isodow(o_orderdate) AS dow_iso,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total,
+             CAST(SUM(rev_cents) AS BIGINT) AS rev_total FROM d)
+SELECT CAST(dow_iso AS INT) AS dow_iso, n_orders, rev_cents,
+       {rat_round6_duck("rev_cents", "rev_total")} AS rev_share_r6,
+       {rat_round6_duck("7 * rev_cents", "rev_total")} AS rev_index_r6,
+       {rat_round6_duck("7 * n_orders", "n_total")} AS count_index_r6
+FROM d, t ORDER BY dow_iso
+"""
+
+
 SPECS = [
+    QuerySpec("orders_weekday_index", orders_weekday_index,
+              ORACLE_WEEKDAY_INDEX, ("agg", "calendar"),
+              doc="ISO day-of-week revenue/count seasonality indices "
+                  "vs the uniform 1/7 baseline, exact cents"),
     QuerySpec("customer_value_deciles", customer_value_deciles,
               ORACLE_VALUE_DECILES, ("window", "stats", "dba"),
               doc="customer lifetime-revenue decile / Lorenz table "

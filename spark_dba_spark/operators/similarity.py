@@ -3716,7 +3716,119 @@ FROM j GROUP BY label ORDER BY label
 """
 
 
+# --------------------------------------------------------------------------
+# Dimension-redundancy audit (top covariance pairs on a coarse grid)
+# --------------------------------------------------------------------------
+
+DIM_RED_TOP = 20
+DIM_RED_QUANT = float(1 << 16)  # coarser grid keeps n·Σxy < 2^63 to ~sf1
+
+
+def emb_dim_redundancy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-redundancy audit: the {DIM_RED_TOP} coordinate PAIRS
+    with the largest |covariance| across the corpus — strongly
+    covarying dimensions are redundant capacity (a PCA/whitening or a
+    smaller PQ codebook would spend it better), and a pair that drifts
+    into lock-step after a re-encode is an encoder-regression smell.
+    Exact integers on the 2^-16 grid: cov_num = n·Σxy − Σx·Σy plus
+    both variance numerators are emitted raw, so a consumer computes
+    r² = cov²/(vx·vy) at any precision; ranking uses |cov_num| (the
+    fixture dims are i.i.d. equal-variance, where covariance order ≈
+    correlation order — documented proxy, and the raw numerators make
+    the exact re-ranking a driver-side one-liner).
+
+    Scale: one posexplode + self-join per vector on the DIM key — the
+    fan-out is dims²/2 per vector, absorbed by map-side partial aggs
+    into a 2016-row frame; the top-k window runs on that
+    dimension²-bounded frame only."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> "
+                f"cast(cast(x as double) * {DIM_RED_QUANT!r} as bigint))"
+            )
+        ).alias("dim", "v"),
+    )
+    a = ex.select("vec_id", F.col("dim").alias("d1"), F.col("v").alias("x"))
+    b = ex.select("vec_id", F.col("dim").alias("d2"), F.col("v").alias("y"))
+    pairs = (
+        a.join(b, "vec_id")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("y * y")).alias("syy"),
+        )
+    )
+    scored = pairs.select(
+        F.col("d1").cast("int").alias("d1"),
+        F.col("d2").cast("int").alias("d2"),
+        F.col("n").cast("long").alias("n_vecs"),
+        F.expr("n * sxy - sx * sy").cast("long").alias("cov_num"),
+        F.expr("n * sxx - sx * sx").cast("long").alias("vx_num"),
+        F.expr("n * syy - sy * sy").cast("long").alias("vy_num"),
+    )
+    w = W.orderBy(F.desc(F.abs(F.col("cov_num"))), F.asc("d1"), F.asc("d2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DIM_RED_TOP)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "d1",
+            "d2",
+            "n_vecs",
+            "cov_num",
+            "vx_num",
+            "vy_num",
+        )
+        .orderBy("rank")
+    )
+
+
+ORACLE_DIM_REDUNDANCY = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+lq AS (
+  SELECT e.vec_id, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {DIM_RED_QUANT!r}) AS BIGINT) AS v
+  FROM embeddings e CROSS JOIN dims d),
+p AS (
+  SELECT a.dim AS d1, b.dim AS d2,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.v) AS BIGINT) AS sx,
+         CAST(SUM(b.v) AS BIGINT) AS sy,
+         CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
+         CAST(SUM(a.v * a.v) AS BIGINT) AS sxx,
+         CAST(SUM(b.v * b.v) AS BIGINT) AS syy
+  FROM lq a JOIN lq b ON a.vec_id = b.vec_id AND a.dim < b.dim
+  GROUP BY 1, 2),
+s AS (
+  SELECT CAST(d1 AS INT) AS d1, CAST(d2 AS INT) AS d2, n AS n_vecs,
+         CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+         CAST(n * sxx - sx * sx AS BIGINT) AS vx_num,
+         CAST(n * syy - sy * sy AS BIGINT) AS vy_num
+  FROM p)
+SELECT CAST(rank AS INT) AS rank, d1, d2, n_vecs, cov_num, vx_num, vy_num
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY abs(cov_num) DESC, d1, d2) AS rank
+  FROM s)
+WHERE rank <= {DIM_RED_TOP}
+ORDER BY rank
+"""
+
+
 SPECS = [
+    QuerySpec("emb_dim_redundancy_topk", emb_dim_redundancy_topk,
+              ORACLE_DIM_REDUNDANCY, ("similarity", "audit", "stats"),
+              doc="top-|covariance| dimension pairs on the 2^-16 grid "
+                  "(redundant-capacity audit; raw integer moments "
+                  "emitted for exact re-ranking)"),
     QuerySpec("emb_centroid_shift_ab", emb_centroid_shift_ab,
               ORACLE_CENTROID_SHIFT, ("similarity", "audit", "drift"),
               doc="per-label centroid L1 shift between vec_id-parity "

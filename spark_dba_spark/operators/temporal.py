@@ -5721,7 +5721,311 @@ ORDER BY win_start, pct
 """
 
 
+# --------------------------------------------------------------------------
+# Second-order Markov transitions (sequence-memory test)
+# --------------------------------------------------------------------------
+
+def ev_markov_order2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND-order Markov transitions over per-user event sequences —
+    P(next | prev2, prev1), the memory test for the first-order model
+    in ``ev_markov_transitions``: if the order-2 conditionals match the
+    order-1 rows the chain is memoryless and the cheaper model
+    suffices; where they diverge, sequences carry real 2-step structure
+    (or bot loops). Also emits the order-1 conditional for the same
+    (prev1, next) pair so the divergence is readable per row without a
+    join.
+
+    Scale: one user-keyed sequence window (two LAGs + a LEAD), then a
+    |types|³-bounded matrix agg; the normalizing windows run on that
+    bounded matrix."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.withColumn("prev2", F.lag("event_type", 1).over(w))
+        .withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("prev2").isNotNull() & F.col("nxt").isNotNull())
+        .select(
+            F.col("prev2").alias("prev2_type"),
+            F.col("event_type").alias("prev1_type"),
+            F.col("nxt").alias("next_type"),
+        )
+    )
+    tr = seq.groupBy("prev2_type", "prev1_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    return tr.select(
+        "prev2_type",
+        "prev1_type",
+        "next_type",
+        F.col("n").cast("long").alias("n_trans"),
+        F.expr(
+            rat_round6_spark(
+                "n",
+                "sum(n) over (partition by prev2_type, prev1_type)",
+            )
+        ).alias("p_order2"),
+        F.expr(
+            rat_round6_spark(
+                "sum(n) over (partition by prev1_type, next_type)",
+                "sum(n) over (partition by prev1_type)",
+            )
+        ).alias("p_order1"),
+    ).orderBy("prev2_type", "prev1_type", "next_type")
+
+
+ORACLE_MARKOV_ORDER2 = f"""
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev2_type,
+         event_type AS prev1_type,
+         LEAD(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+tr AS (
+  SELECT prev2_type, prev1_type, next_type, COUNT(*) AS n
+  FROM seq
+  WHERE prev2_type IS NOT NULL AND next_type IS NOT NULL
+  GROUP BY 1, 2, 3)
+SELECT prev2_type, prev1_type, next_type,
+       CAST(n AS BIGINT) AS n_trans,
+       {rat_round6_duck(
+           "n",
+           "SUM(n) OVER (PARTITION BY prev2_type, prev1_type)")}
+         AS p_order2,
+       {rat_round6_duck(
+           "SUM(n) OVER (PARTITION BY prev1_type, next_type)",
+           "SUM(n) OVER (PARTITION BY prev1_type)")} AS p_order1
+FROM tr
+ORDER BY prev2_type, prev1_type, next_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-user hour-of-day concentration (diurnal regularity)
+# --------------------------------------------------------------------------
+
+def ev_user_hour_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user DIURNAL concentration: the Simpson collision index of
+    the user's events over the 24 hour-of-day bins — the probability
+    two of their events fall in the same hour bin. A human's activity
+    concentrates (index >> 1/24); a crawler or credential-stuffing bot
+    spreads flat (≈ 1/24) — the integer-exact regularity screen next
+    to ev_hour_of_day_profile's population-grain profile. Emits the
+    modal hour and its share for the drill-down.
+
+    Scale: one (user × 24)-bounded count agg + one user rollup; ties
+    on the modal hour break to the earliest hour via min(struct)."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", F.hour("ts").alias("hod")
+    )
+    c = ev.groupBy("user_id", "hod").agg(F.count("*").alias("c"))
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count("*").alias("hours_active"),
+            F.sum(F.expr("c * (c - 1)")).alias("coll"),
+            F.max(F.struct("c", F.expr("-hod").alias("nh"))).alias("top"),
+        )
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("hours_active").cast("long").alias("hours_active"),
+            F.expr("cast(-top.nh as int)").alias("top_hour"),
+            F.expr(
+                "case when n_events >= 2 then "
+                + rat_round6_spark("coll", "n_events * (n_events - 1)")
+                + " else 0.0d end"
+            ).alias("concentration_r6"),
+            F.expr(rat_round6_spark("top.c", "n_events")).alias(
+                "top_hour_share_r6"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_USER_HOUR_CONCENTRATION = f"""
+WITH c AS (
+  SELECT user_id, EXTRACT(hour FROM ts) AS hod, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+g AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS hours_active,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS coll,
+         CAST(MAX(c * 100 - hod) AS BIGINT) AS topcode
+  FROM c GROUP BY 1)
+SELECT user_id, n_events, hours_active,
+       CAST((100 - topcode % 100) % 100 AS INT) AS top_hour,
+       CASE WHEN n_events >= 2 THEN
+         {rat_round6_duck("coll", "n_events * (n_events - 1)")}
+       ELSE 0.0 END AS concentration_r6,
+       {rat_round6_duck("(topcode + ((100 - topcode % 100) % 100)) // 100",
+                        "n_events")} AS top_hour_share_r6
+FROM g ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# md5 randomization (permutation) test for a rate difference
+# --------------------------------------------------------------------------
+
+PERM_B = 64  # label-flip replicas
+PERM_VALUE_CUT = 150.0  # success = value > cut (the non-degenerate split)
+
+
+def stats_permutation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the high-value rate difference between
+    'click' and 'view' events — the distribution-free sibling of
+    stats_ab_test (no normal approximation: the null is materialized
+    by {PERM_B} md5-derived label-flip replicas, the
+    stats_bootstrap_ci construct). Every replica's rate difference is
+    compared to the observed one EXACTLY via cross-multiplied
+    integers (|x1·m2 − x2·m1| scaled by the opposite denominators), so
+    the p-value is a pure count ratio — no float ever enters the
+    decision. The emitted p is (1 + #extreme) / (1 + B), the standard
+    add-one permutation estimate.
+
+    Scale: one corpus pass fans out to {PERM_B} replicas of a 2-cell
+    partial agg (map-side combined, replica-bounded exchange); the
+    observed cells ride the same pass (replica 0 = identity)."""
+    ev = (
+        catalog.load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            (F.col("event_type") == "click").alias("is_click"),
+            (F.col("value") > PERM_VALUE_CUT).alias("hi"),
+        )
+    )
+    rep = ev.select(
+        "event_id",
+        "is_click",
+        "hi",
+        F.explode(F.expr(f"sequence(0, {PERM_B})")).alias("b"),
+    ).select(
+        "b",
+        "hi",
+        # b = 0 is the identity (observed) labeling; b >= 1 flips the
+        # label when the md5 low bit fires — the randomization null
+        F.when(
+            (F.col("b") == 0)
+            | (
+                F.expr(
+                    "cast(conv(substring(md5(concat(cast(event_id as "
+                    "string), ':perm:', cast(b as string))), 1, 7), 16, "
+                    "10) as bigint) % 2"
+                )
+                == 0
+            ),
+            F.col("is_click"),
+        )
+        .otherwise(~F.col("is_click"))
+        .alias("lbl"),
+    )
+    cells = rep.groupBy("b").agg(
+        F.sum(F.when(F.col("lbl") & F.col("hi"), 1).otherwise(0))
+        .alias("x1"),
+        F.sum(F.when(F.col("lbl"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("lbl") & F.col("hi"), 1).otherwise(0))
+        .alias("x2"),
+        F.sum(F.when(~F.col("lbl"), 1).otherwise(0)).alias("n2"),
+    ).localCheckpoint(eager=True)  # (B+1)-row frame; feeds obs + replicas
+    obs = cells.filter(F.col("b") == 0).select(
+        F.col("x1").alias("ox1"),
+        F.col("n1").alias("on1"),
+        F.col("x2").alias("ox2"),
+        F.col("n2").alias("on2"),
+    )
+    comp = (
+        cells.filter(F.col("b") >= 1)
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.expr(
+                "case when abs(x1 * n2 - x2 * n1) * (on1 * on2)"
+                " >= abs(ox1 * on2 - ox2 * on1) * (n1 * n2)"
+                " then 1 else 0 end"
+            ).alias("extreme")
+        )
+        .agg(F.sum("extreme").alias("n_extreme"))
+    )
+    return (
+        obs.crossJoin(comp)
+        .select(
+            F.col("ox1").cast("long").alias("click_hi"),
+            F.col("on1").cast("long").alias("n_click"),
+            F.col("ox2").cast("long").alias("view_hi"),
+            F.col("on2").cast("long").alias("n_view"),
+            F.expr(
+                rat_round6_signed_spark(
+                    "ox1 * on2 - ox2 * on1", "on1 * on2"
+                )
+            ).alias("rate_diff_r6"),
+            F.col("n_extreme").cast("long").alias("n_extreme"),
+            F.lit(PERM_B).cast("long").alias("n_replicas"),
+            F.expr(
+                rat_round6_spark("1 + n_extreme", f"1 + {PERM_B}")
+            ).alias("p_value_r6"),
+        )
+    )
+
+
+ORACLE_PERMUTATION_DIFF = f"""
+WITH ev AS (
+  SELECT event_id, event_type = 'click' AS is_click,
+         value > {PERM_VALUE_CUT} AS hi
+  FROM events WHERE event_type IN ('click', 'view')),
+rep AS (
+  SELECT b, hi,
+         CASE WHEN b = 0 OR
+              CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                || ':perm:' || CAST(b AS VARCHAR)), 1, 7)) AS BIGINT)
+                % 2 = 0
+              THEN is_click ELSE NOT is_click END AS lbl
+  FROM ev, LATERAL unnest(generate_series(0, {PERM_B})) AS u(b)),
+cells AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN lbl AND hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS x1,
+         CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN (NOT lbl) AND hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS x2,
+         CAST(SUM(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM rep GROUP BY 1),
+obs AS (SELECT x1 AS ox1, n1 AS on1, x2 AS ox2, n2 AS on2
+        FROM cells WHERE b = 0),
+comp AS (
+  SELECT CAST(SUM(CASE WHEN abs(x1 * n2 - x2 * n1) * (on1 * on2)
+                            >= abs(ox1 * on2 - ox2 * on1) * (n1 * n2)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM cells, obs WHERE b >= 1)
+SELECT ox1 AS click_hi, on1 AS n_click, ox2 AS view_hi, on2 AS n_view,
+       {rat_round6_signed_duck("ox1 * on2 - ox2 * on1", "on1 * on2")}
+         AS rate_diff_r6,
+       n_extreme, CAST({PERM_B} AS BIGINT) AS n_replicas,
+       {rat_round6_duck("1 + n_extreme", f"1 + {PERM_B}")} AS p_value_r6
+FROM obs, comp
+"""
+
+
 SPECS = [
+    QuerySpec("ev_markov_order2", ev_markov_order2,
+              ORACLE_MARKOV_ORDER2, ("events", "window", "stats"),
+              doc="second-order Markov transitions with the order-1 "
+                  "conditional inline (sequence-memory test)"),
+    QuerySpec("ev_user_hour_concentration", ev_user_hour_concentration,
+              ORACLE_USER_HOUR_CONCENTRATION, ("events", "stats"),
+              doc="per-user diurnal Simpson concentration + modal hour "
+                  "(bot-vs-human regularity screen)"),
+    QuerySpec("stats_permutation_diff", stats_permutation_diff,
+              ORACLE_PERMUTATION_DIFF, ("stats", "events"),
+              doc="md5 randomization test for the click-vs-view "
+                  "high-value rate gap (exact cross-multiplied "
+                  "comparisons, add-one p)"),
     QuerySpec("ev_haar_energy_hourly", ev_haar_energy_hourly,
               ORACLE_HAAR_ENERGY, ("events", "stats", "wavelet"),
               doc="Haar detail energy of the hourly count series at 5 "

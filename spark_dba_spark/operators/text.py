@@ -4837,7 +4837,366 @@ ORDER BY td.source
 """
 
 
+# --------------------------------------------------------------------------
+# Vocabulary rank drift between corpus halves (footrule distance)
+# --------------------------------------------------------------------------
+
+DRIFT_TOP_K = 30  # per-half head terms entering the rank comparison
+
+
+def text_vocab_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-vocabulary RANK DRIFT between the two doc_id-parity halves
+    of the corpus — the Spearman-footrule companion to text_source_kl
+    (KL sees mass moving; the footrule sees the LEADERBOARD reordering
+    even when masses barely change). The comparison set is the union of
+    each half's top-{DRIFT_TOP_K} terms by (count desc, term); both
+    halves are re-ranked over that bounded set (absent terms count 0)
+    and each term reports its two ranks and |shift|, the per-term drift
+    an ops dashboard sorts by.
+
+    Scale: two vocab-grain count aggs, a ≤2·{DRIFT_TOP_K}-row union
+    set built by two TakeOrdered cuts, re-ranks over that bounded frame
+    only — the vocabulary itself never enters a window."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    counts = (
+        toks.groupBy("half", "w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # vocab-bounded; feeds cuts + ranks
+    )
+    top_a = (
+        counts.filter(F.col("half") == 0)
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(DRIFT_TOP_K)
+        .select("w")
+    )
+    top_b = (
+        counts.filter(F.col("half") == 1)
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(DRIFT_TOP_K)
+        .select("w")
+    )
+    union = top_a.unionByName(top_b).distinct().localCheckpoint(eager=True)
+    ca = counts.filter(F.col("half") == 0).select(
+        "w", F.col("c").alias("cnt_a")
+    )
+    cb = counts.filter(F.col("half") == 1).select(
+        "w", F.col("c").alias("cnt_b")
+    )
+    j = (
+        union.join(ca, "w", "left")
+        .join(cb, "w", "left")
+        .select(
+            "w",
+            F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+        )
+    )
+    wa = W.orderBy(F.desc("cnt_a"), F.asc("w"))
+    wb = W.orderBy(F.desc("cnt_b"), F.asc("w"))
+    return (
+        j.withColumn("rank_a", F.row_number().over(wa))
+        .withColumn("rank_b", F.row_number().over(wb))
+        .select(
+            F.col("w").alias("term"),
+            "cnt_a",
+            "cnt_b",
+            F.col("rank_a").cast("int").alias("rank_a"),
+            F.col("rank_b").cast("int").alias("rank_b"),
+            F.abs(F.col("rank_a") - F.col("rank_b"))
+            .cast("int")
+            .alias("abs_shift"),
+        )
+        .orderBy("term")
+    )
+
+
+ORACLE_VOCAB_RANK_DRIFT = f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+counts AS (SELECT half, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+ta AS (SELECT w FROM counts WHERE half = 0
+       ORDER BY c DESC, w LIMIT {DRIFT_TOP_K}),
+tb AS (SELECT w FROM counts WHERE half = 1
+       ORDER BY c DESC, w LIMIT {DRIFT_TOP_K}),
+un AS (SELECT w FROM ta UNION SELECT w FROM tb),
+j AS (
+  SELECT un.w,
+         CAST(COALESCE(a.c, 0) AS BIGINT) AS cnt_a,
+         CAST(COALESCE(b.c, 0) AS BIGINT) AS cnt_b
+  FROM un
+  LEFT JOIN (SELECT w, c FROM counts WHERE half = 0) a USING (w)
+  LEFT JOIN (SELECT w, c FROM counts WHERE half = 1) b USING (w))
+SELECT w AS term, cnt_a, cnt_b,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt_a DESC, w) AS INT) AS rank_a,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt_b DESC, w) AS INT) AS rank_b,
+       CAST(abs(ROW_NUMBER() OVER (ORDER BY cnt_a DESC, w)
+                - ROW_NUMBER() OVER (ORDER BY cnt_b DESC, w)) AS INT)
+         AS abs_shift
+FROM j ORDER BY term
+"""
+
+
+# --------------------------------------------------------------------------
+# Term burstiness (Fano factor of per-doc counts) for the head vocabulary
+# --------------------------------------------------------------------------
+
+BURST_TOP_K = 20
+
+
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) of the top-{BURST_TOP_K} corpus terms:
+    the population variance-to-mean ratio of the term's PER-DOCUMENT
+    count (absent docs count 0) — the classic content-vs-function-word
+    separator (function words are Poisson-ish, Fano ≈ 1; topical terms
+    clump, Fano >> 1) and the burstiness prior behind BM25-style
+    saturation. Restated over integers: with N docs, tf = Σx and
+    sq = Σx², Fano = (N·sq − tf²) / (N·tf) — one exact half-up, no
+    float moments.
+
+    Scale: one (term × doc) count agg + a TakeOrdered head cut; the
+    rollup is head-bounded."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # scalar: dimension of the doc universe
+    per_doc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").alias("x"))
+    )
+    stats = per_doc.groupBy("w").agg(
+        F.sum("x").alias("tf"),
+        F.sum(F.expr("x * x")).alias("sq"),
+        F.count("*").alias("df"),
+    )
+    return (
+        stats.orderBy(F.desc("tf"), F.asc("w"))
+        .limit(BURST_TOP_K)
+        .select(
+            F.col("w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            F.expr(
+                qrem_round6_spark(
+                    f"{n_docs} * sq - tf * tf", f"{n_docs} * tf"
+                )
+            ).alias("fano_r6"),
+        )
+        .orderBy("term")
+    )
+
+
+def _oracle_term_burstiness() -> str:
+    return f"""
+WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+pd AS (
+  SELECT w, doc_id, COUNT(*) AS x FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2),
+s AS (
+  SELECT w, CAST(SUM(x) AS BIGINT) AS tf,
+         CAST(SUM(x * x) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS df
+  FROM pd GROUP BY 1),
+top AS (SELECT * FROM s ORDER BY tf DESC, w LIMIT {BURST_TOP_K})
+SELECT w AS term, tf, df, CAST(n AS BIGINT) AS n_docs,
+       {qrem_round6_duck("n * sq - tf * tf", "n * tf")} AS fano_r6
+FROM top, nd ORDER BY term
+"""
+
+
+ORACLE_TERM_BURSTINESS = _oracle_term_burstiness()
+
+
+# --------------------------------------------------------------------------
+# Bloom capacity sweep (fill + measured FPR at three widths)
+# --------------------------------------------------------------------------
+
+CAP_BLOOM_MS = (2048, 8192, 32768)  # swept filter widths (bits)
+CAP_BLOOM_K = 3
+
+
+def _cap_pos_spark(i: int, m: int, col: str = "s") -> str:
+    h1 = sql_md5_long_spark(col, 1, 7)
+    h2 = f"(1 + {sql_md5_long_spark(col, 9, 7)})"
+    return f"(({h1} + {i} * {h2}) % {m})"
+
+
+def _cap_pos_duck(i: int, m: int, col: str = "s") -> str:
+    h1 = sql_md5_long_duck(col, 1, 7)
+    h2 = f"(1 + {sql_md5_long_duck(col, 9, 7)})"
+    return f"(({h1} + {i} * {h2}) % {m})"
+
+
+def sketch_bloom_capacity_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter CAPACITY CURVE: bit-fill and MEASURED
+    false-positive rate at {CAP_BLOOM_MS} bits for the same member set
+    and the same disjoint probe namespace as
+    ``sketch_bloom_fpr_audit`` — the sizing table an operator reads
+    before provisioning a decontamination prefilter (the single-width
+    audit says what the current filter does; this says what doubling
+    or halving it WOULD do, measured rather than predicted by the
+    (1 − e^{{-kn/m}})^k formula). Same md5 double-hashing (k =
+    {CAP_BLOOM_K}), so the whole sweep is engine-portable and carries
+    a full value hash.
+
+    Scale: membership is expressed as a (width × position) join —
+    the member-position table is Σm-bounded (≤ 43k rows regardless of
+    data) and broadcast; probes stream map-side through one join +
+    per-probe distinct-position accounting."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    customer = catalog.load(spark, sf_dir, "customer")
+    members = orders.select(
+        F.concat(F.lit("ord:"), F.col("o_custkey")).alias("s")
+    ).distinct().localCheckpoint(eager=True)  # feeds all widths + count
+    probes = customer.select(
+        F.concat(F.lit("cust:"), F.col("c_custkey")).alias("s")
+    ).distinct()
+
+    def lanes(pos_fn, m):
+        return F.array(
+            *[F.expr(pos_fn(i, m)) for i in range(CAP_BLOOM_K)]
+        )
+
+    mpos_frames = []
+    ppos_frames = []
+    for m in CAP_BLOOM_MS:
+        mpos_frames.append(
+            members.select(
+                F.lit(m).alias("m_bits"),
+                F.explode(lanes(_cap_pos_spark, m)).alias("pos"),
+            ).distinct()
+        )
+        ppos_frames.append(
+            probes.select(
+                F.lit(m).alias("m_bits"),
+                "s",
+                F.explode(
+                    F.array_distinct(lanes(_cap_pos_spark, m))
+                ).alias("pos"),
+            )
+        )
+    mpos = mpos_frames[0]
+    for fr in mpos_frames[1:]:
+        mpos = mpos.unionByName(fr)
+    mpos = mpos.localCheckpoint(eager=True)  # <= sum(m) rows; 2 consumers
+    ppos = ppos_frames[0]
+    for fr in ppos_frames[1:]:
+        ppos = ppos.unionByName(fr)
+    fills = mpos.groupBy("m_bits").agg(
+        F.count("*").cast("long").alias("n_bits_set")
+    )
+    hit = (
+        ppos.join(
+            F.broadcast(mpos.withColumn("in_set", F.lit(1))),
+            ["m_bits", "pos"],
+            "left",
+        )
+        .groupBy("m_bits", "s")
+        .agg(
+            F.count("*").alias("k_pos"),
+            F.sum(F.coalesce("in_set", F.lit(0))).alias("k_hit"),
+        )
+        .groupBy("m_bits")
+        .agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum(
+                F.when(F.col("k_hit") == F.col("k_pos"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+    )
+    nm = members.agg(F.count("*").cast("long").alias("n_members"))
+    return (
+        fills.join(hit, "m_bits")
+        .crossJoin(F.broadcast(nm))
+        .select(
+            F.col("m_bits").cast("long").alias("m_bits"),
+            "n_members",
+            "n_bits_set",
+            F.expr(rat_round6_spark("n_bits_set", "m_bits")).alias(
+                "fill_r6"
+            ),
+            "n_probes",
+            "n_false_pos",
+            F.expr(rat_round6_spark("n_false_pos", "n_probes")).alias(
+                "fpr_r6"
+            ),
+        )
+        .orderBy("m_bits")
+    )
+
+
+def _oracle_bloom_capacity() -> str:
+    m_parts = []
+    p_parts = []
+    for m in CAP_BLOOM_MS:
+        lanes = ", ".join(
+            _cap_pos_duck(i, m) for i in range(CAP_BLOOM_K)
+        )
+        m_parts.append(
+            f"SELECT DISTINCT {m} AS m_bits, unnest([{lanes}]) AS pos "
+            f"FROM members"
+        )
+        p_parts.append(
+            f"SELECT {m} AS m_bits, s, "
+            f"unnest(list_distinct([{lanes}])) AS pos FROM probes"
+        )
+    return f"""
+WITH members AS (
+  SELECT DISTINCT 'ord:' || o_custkey AS s FROM orders),
+probes AS (
+  SELECT DISTINCT 'cust:' || c_custkey AS s FROM customer),
+mpos AS MATERIALIZED ({" UNION ALL ".join(m_parts)}),
+ppos AS ({" UNION ALL ".join(p_parts)}),
+fills AS (
+  SELECT m_bits, CAST(COUNT(*) AS BIGINT) AS n_bits_set
+  FROM mpos GROUP BY 1),
+per_probe AS (
+  SELECT p.m_bits, p.s, COUNT(*) AS k_pos,
+         SUM(CASE WHEN mp.pos IS NOT NULL THEN 1 ELSE 0 END) AS k_hit
+  FROM ppos p LEFT JOIN mpos mp
+    ON p.m_bits = mp.m_bits AND p.pos = mp.pos
+  GROUP BY 1, 2),
+hit AS (
+  SELECT m_bits, CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(SUM(CASE WHEN k_hit = k_pos THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_pos
+  FROM per_probe GROUP BY 1),
+nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM members)
+SELECT CAST(m_bits AS BIGINT) AS m_bits, n_members, n_bits_set,
+       {rat_round6_duck("n_bits_set", "m_bits")} AS fill_r6,
+       n_probes, n_false_pos,
+       {rat_round6_duck("n_false_pos", "n_probes")} AS fpr_r6
+FROM fills JOIN hit USING (m_bits) CROSS JOIN nm
+ORDER BY m_bits
+"""
+
+
+ORACLE_BLOOM_CAPACITY = _oracle_bloom_capacity()
+
+
 SPECS = [
+    QuerySpec("sketch_bloom_capacity_sweep", sketch_bloom_capacity_sweep,
+              ORACLE_BLOOM_CAPACITY, ("sketch", "audit"),
+              doc="bloom fill + measured FPR at three widths (the "
+                  "sizing curve; md5 double-hashing, width-position "
+                  "join membership)"),
+    QuerySpec("text_vocab_rank_drift", text_vocab_rank_drift,
+              ORACLE_VOCAB_RANK_DRIFT, ("text", "drift", "stats"),
+              doc="head-vocab Spearman-footrule rank drift between "
+                  "doc-parity halves (bounded union-of-top-K re-rank)"),
+    QuerySpec("text_term_burstiness", text_term_burstiness,
+              ORACLE_TERM_BURSTINESS, ("text", "stats"),
+              doc="Fano factor of per-doc counts for the head terms "
+                  "(integer variance-to-mean; content-word separator)"),
     QuerySpec("text_quality", text_quality, ORACLE_TEXT_QUALITY,
               ("text",), bench=True),
     QuerySpec("text_vocab_coverage_curve", text_vocab_coverage_curve,

@@ -114,6 +114,20 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality",
+    # --- beyond slot 50: the never-checked backlog, contiguous
+    # (enforced by test_remaining_backlog_queued_right_after_window) —
+    # ten mid-r11 continuation ops landed after the window filled; full
+    # 3-SF local evidence + brute twins; the r12 window candidates:
+    "text_vocab_rank_drift",
+    "text_term_burstiness",
+    "graph_local_clustering",
+    "emb_dim_redundancy_topk",
+    "ev_markov_order2",
+    "ev_user_hour_concentration",
+    "stats_permutation_diff",
+    "sketch_bloom_capacity_sweep",
+    "orders_weekday_index",
+    "mm_byte_delta_profile",
 )
 
 # r10-window greens — rotate to the tail this round (driver row <=1 round
