@@ -1320,3 +1320,342 @@ def test_ivfpq_recall_floor_clustered(spark, tmp_path):
     got = pairs(S.sim_ivfpq_compound(spark, cdir))
     recall = len(brute & got) / len(brute)
     assert recall >= 0.9, f"ivfpq clustered recall {recall:.3f} < 0.9"
+
+
+# ---------------------------------------------------------------------------
+# r11 continuation-batch brute twins (the r12 window backlog)
+# ---------------------------------------------------------------------------
+
+def test_vocab_rank_drift_matches_python_brute(spark):
+    from collections import Counter
+
+    from spark_dba_spark.operators.text import (
+        DRIFT_TOP_K,
+        text_vocab_rank_drift,
+    )
+
+    rows = _docs_rows()
+    ca, cb = Counter(), Counter()
+    for doc_id, text, _, _ in rows:
+        (ca if doc_id % 2 == 0 else cb).update(text.split(" "))
+    top_a = [w for w, _ in sorted(ca.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:DRIFT_TOP_K]]
+    top_b = [w for w, _ in sorted(cb.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:DRIFT_TOP_K]]
+    union = sorted(set(top_a) | set(top_b))
+    ra = {w: i + 1 for i, w in enumerate(
+        sorted(union, key=lambda w: (-ca.get(w, 0), w)))}
+    rb = {w: i + 1 for i, w in enumerate(
+        sorted(union, key=lambda w: (-cb.get(w, 0), w)))}
+    got = {r["term"]: r
+           for r in text_vocab_rank_drift(spark, SF_DIR).collect()}
+    assert set(got) == set(union)
+    for w in union:
+        r = got[w]
+        assert (r["cnt_a"], r["cnt_b"]) == (ca.get(w, 0), cb.get(w, 0))
+        assert (r["rank_a"], r["rank_b"]) == (ra[w], rb[w])
+        assert r["abs_shift"] == abs(ra[w] - rb[w])
+    assert any(r["abs_shift"] > 0 for r in got.values()), (
+        "halves must actually reorder some head terms"
+    )
+
+
+def test_term_burstiness_matches_python_brute(spark):
+    from collections import Counter
+
+    from spark_dba_spark.operators.text import (
+        BURST_TOP_K,
+        text_term_burstiness,
+    )
+
+    rows = _docs_rows()
+    per_term: dict = {}
+    for doc_id, text, _, _ in rows:
+        for w, x in Counter(text.split(" ")).items():
+            per_term.setdefault(w, []).append(x)
+    n_docs = len(rows)
+    stats = {
+        w: (sum(xs), sum(x * x for x in xs), len(xs))
+        for w, xs in per_term.items()
+    }
+    top = sorted(stats.items(), key=lambda kv: (-kv[1][0], kv[0]))[
+        :BURST_TOP_K]
+    got = {r["term"]: r
+           for r in text_term_burstiness(spark, SF_DIR).collect()}
+    assert set(got) == {w for w, _ in top}
+    fanos = []
+    for w, (tf, sq, df) in top:
+        r = got[w]
+        assert (r["tf"], r["df"], r["n_docs"]) == (tf, df, n_docs)
+        assert r["fano_r6"] == _qrem_r6(n_docs * sq - tf * tf, n_docs * tf)
+        fanos.append(r["fano_r6"])
+    assert max(fanos) > min(fanos), "burstiness must vary across terms"
+
+
+def test_local_clustering_matches_python_brute(spark):
+    from spark_dba_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        graph_local_clustering,
+    )
+
+    edges = [(r["doc_a"], r["doc_b"])
+             for r in dedup_ngram_jaccard(spark, SF_DIR).collect()]
+    adj: dict = {}
+    eset = set()
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        eset.add((min(a, b), max(a, b)))
+    got = {r["doc_id"]: r
+           for r in graph_local_clustering(spark, SF_DIR).collect()}
+    assert set(got) == set(adj)
+    for v, nbrs in adj.items():
+        ns = sorted(nbrs)
+        t = sum(
+            1
+            for i, a in enumerate(ns)
+            for b in ns[i + 1:]
+            if (min(a, b), max(a, b)) in eset
+        )
+        r = got[v]
+        assert r["degree"] == len(nbrs)
+        assert r["n_closed_wedges"] == t
+        d = len(nbrs)
+        want = _r6(2 * t, d * (d - 1)) if d >= 2 else 0.0
+        assert r["lcc_r6"] == want
+    assert any(r["lcc_r6"] > 0 for r in got.values())
+
+
+def test_dim_redundancy_matches_numpy_brute(spark):
+    from spark_dba_spark.operators.similarity import (
+        DIM_RED_QUANT,
+        DIM_RED_TOP,
+        emb_dim_redundancy_topk,
+    )
+
+    rows = _emb_rows()
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    q = np.trunc(m * DIM_RED_QUANT).astype(object)  # exact big ints
+    n = q.shape[0]
+    scored = []
+    for d1 in range(q.shape[1]):
+        for d2 in range(d1 + 1, q.shape[1]):
+            x, y = q[:, d1], q[:, d2]
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy = int((x * y).sum())
+            sxx, syy = int((x * x).sum()), int((y * y).sum())
+            scored.append((
+                -(abs(n * sxy - sx * sy)), d1, d2,
+                n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy,
+            ))
+    scored.sort()
+    got = {r["rank"]: r
+           for r in emb_dim_redundancy_topk(spark, SF_DIR).collect()}
+    assert len(got) == DIM_RED_TOP
+    for rank in range(1, DIM_RED_TOP + 1):
+        _, d1, d2, cov, vx, vy = scored[rank - 1]
+        r = got[rank]
+        assert (r["d1"], r["d2"], r["n_vecs"]) == (d1, d2, n)
+        assert (r["cov_num"], r["vx_num"], r["vy_num"]) == (cov, vx, vy)
+
+
+def test_markov_order2_matches_python_brute(spark):
+    from collections import Counter
+
+    from spark_dba_spark.operators.temporal import ev_markov_order2
+
+    rows = _events_rows()
+    per_user: dict = {}
+    for eid, ts_us, uid, et, _ in rows:
+        per_user.setdefault(uid, []).append((ts_us, eid, et))
+    tri = Counter()
+    for evs in per_user.values():
+        evs.sort()
+        types = [t for _, _, t in evs]
+        for i in range(1, len(types) - 1):
+            tri[(types[i - 1], types[i], types[i + 1])] += 1
+    got = {(r["prev2_type"], r["prev1_type"], r["next_type"]): r
+           for r in ev_markov_order2(spark, SF_DIR).collect()}
+    assert set(got) == set(tri)
+    pair12 = Counter()
+    pair23 = Counter()
+    tot1 = Counter()
+    for (a, b, c), n in tri.items():
+        pair12[(a, b)] += n
+        pair23[(b, c)] += n
+        tot1[b] += n
+    for k, n in tri.items():
+        r = got[k]
+        assert r["n_trans"] == n
+        assert r["p_order2"] == _r6(n, pair12[(k[0], k[1])])
+        assert r["p_order1"] == _r6(pair23[(k[1], k[2])], tot1[k[1]])
+
+
+def test_user_hour_concentration_matches_python_brute(spark):
+    import datetime
+    from collections import Counter
+
+    from spark_dba_spark.operators.temporal import (
+        ev_user_hour_concentration,
+    )
+
+    rows = _events_rows()
+    per_user: dict = {}
+    for _, ts_us, uid, _, _ in rows:
+        hod = datetime.datetime.utcfromtimestamp(ts_us / 1e6).hour
+        per_user.setdefault(uid, Counter())[hod] += 1
+    got = {r["user_id"]: r
+           for r in ev_user_hour_concentration(spark, SF_DIR).collect()}
+    assert set(got) == set(per_user)
+    for uid, c in per_user.items():
+        n = sum(c.values())
+        coll = sum(v * (v - 1) for v in c.values())
+        top_hour = min(h for h, v in c.items() if v == max(c.values()))
+        r = got[uid]
+        assert (r["n_events"], r["hours_active"]) == (n, len(c))
+        assert r["top_hour"] == top_hour
+        assert r["concentration_r6"] == _r6(coll, n * (n - 1))
+        assert r["top_hour_share_r6"] == _r6(max(c.values()), n)
+
+
+def test_permutation_diff_matches_python_brute(spark):
+    from spark_dba_spark.operators.temporal import (
+        PERM_B,
+        PERM_VALUE_CUT,
+        stats_permutation_diff,
+    )
+
+    rows = _events_rows()
+    base = [(eid, et == "click", v > PERM_VALUE_CUT)
+            for eid, _, _, et, v in rows if et in ("click", "view")]
+
+    def cells(b):
+        x1 = n1 = x2 = n2 = 0
+        for eid, is_click, hi in base:
+            if b == 0:
+                lbl = is_click
+            else:
+                flip = int(hashlib.md5(
+                    f"{eid}:perm:{b}".encode()).hexdigest()[:7], 16) % 2
+                lbl = is_click if flip == 0 else not is_click
+            if lbl:
+                n1 += 1
+                x1 += hi
+            else:
+                n2 += 1
+                x2 += hi
+        return x1, n1, x2, n2
+
+    ox1, on1, ox2, on2 = cells(0)
+    n_ext = 0
+    for b in range(1, PERM_B + 1):
+        x1, n1, x2, n2 = cells(b)
+        if (abs(x1 * n2 - x2 * n1) * (on1 * on2)
+                >= abs(ox1 * on2 - ox2 * on1) * (n1 * n2)):
+            n_ext += 1
+    [r] = stats_permutation_diff(spark, SF_DIR).collect()
+    assert (r["click_hi"], r["n_click"], r["view_hi"], r["n_view"]) == (
+        ox1, on1, ox2, on2)
+    assert r["n_extreme"] == n_ext
+    assert r["p_value_r6"] == _r6(1 + n_ext, 1 + PERM_B)
+    d = ox1 * on2 - ox2 * on1
+    sgn = 1 if d >= 0 else -1
+    assert r["rate_diff_r6"] == sgn * _r6(abs(d), on1 * on2)
+    assert 0 < r["p_value_r6"] <= 1.0
+
+
+def test_bloom_capacity_matches_python_brute(spark):
+    from spark_dba_spark.operators.text import (
+        CAP_BLOOM_K,
+        CAP_BLOOM_MS,
+        sketch_bloom_capacity_sweep,
+    )
+
+    con = duckdb.connect()
+    members = {f"ord:{r[0]}" for r in con.execute(
+        f"SELECT DISTINCT o_custkey FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')").fetchall()}
+    probes = {f"cust:{r[0]}" for r in con.execute(
+        f"SELECT DISTINCT c_custkey FROM "
+        f"read_parquet('{SF_DIR}/customer.parquet')").fetchall()}
+    con.close()
+
+    def positions(s, m):
+        hx = hashlib.md5(s.encode()).hexdigest()
+        h1 = int(hx[:7], 16)
+        h2 = 1 + int(hx[8:15], 16)
+        return {(h1 + i * h2) % m for i in range(CAP_BLOOM_K)}
+
+    got = {r["m_bits"]: r
+           for r in sketch_bloom_capacity_sweep(spark, SF_DIR).collect()}
+    assert set(got) == set(CAP_BLOOM_MS)
+    fprs = []
+    for m in CAP_BLOOM_MS:
+        inserted = set()
+        for s in members:
+            inserted |= positions(s, m)
+        fp = sum(1 for s in probes if positions(s, m) <= inserted)
+        r = got[m]
+        assert r["n_members"] == len(members)
+        assert r["n_bits_set"] == len(inserted)
+        assert r["n_probes"] == len(probes)
+        assert r["n_false_pos"] == fp
+        assert r["fill_r6"] == _r6(len(inserted), m)
+        assert r["fpr_r6"] == _r6(fp, len(probes))
+        fprs.append(fp / len(probes))
+    assert fprs[0] > fprs[-1], "wider filters must measure lower FPR"
+
+
+def test_weekday_index_matches_python_brute(spark):
+    from spark_dba_spark.operators.relational import orders_weekday_index
+
+    con = duckdb.connect()
+    orders = con.execute(
+        f"SELECT isodow(o_orderdate), o_totalprice FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')").fetchall()
+    con.close()
+    import math
+
+    agg: dict = {}
+    for dow, tp in orders:
+        a = agg.setdefault(int(dow), [0, 0])
+        a[0] += 1
+        a[1] += int(math.floor(tp * 100 + 0.5))
+    n_tot = sum(a[0] for a in agg.values())
+    rev_tot = sum(a[1] for a in agg.values())
+    got = {r["dow_iso"]: r
+           for r in orders_weekday_index(spark, SF_DIR).collect()}
+    assert set(got) == set(agg) == set(range(1, 8))
+    for dow, (n, cents) in agg.items():
+        r = got[dow]
+        assert (r["n_orders"], r["rev_cents"]) == (n, cents)
+        assert r["rev_share_r6"] == _r6(cents, rev_tot)
+        assert r["rev_index_r6"] == _r6(7 * cents, rev_tot)
+        assert r["count_index_r6"] == _r6(7 * n, n_tot)
+
+
+def test_byte_delta_profile_matches_python_brute(spark):
+    from collections import Counter
+
+    from spark_dba_spark.operators.multimodal import mm_byte_delta_profile
+
+    rows = _docs_rows()
+    cnt: dict = {}
+    tot = Counter()
+    for doc_id, text, _, _ in rows:
+        bs = text.encode("utf-8")
+        mt = _media_type(doc_id)
+        for i in range(len(bs) - 1):
+            delta = abs(bs[i] - bs[i + 1])
+            band = 0 if delta == 0 else delta.bit_length()
+            cnt.setdefault(mt, Counter())[band] += 1
+            tot[mt] += 1
+    got = {(r["media_type"], r["band"]): r
+           for r in mm_byte_delta_profile(spark, SF_DIR).collect()}
+    assert set(got) == {(mt, b) for mt, c in cnt.items() for b in c}
+    for (mt, b), r in got.items():
+        assert r["n_deltas"] == cnt[mt][b]
+        assert r["delta_share_r6"] == _r6(cnt[mt][b], tot[mt])
+    assert all(0 in c for c in cnt.values()), (
+        "repeated bytes must appear in every media type"
+    )

@@ -80,6 +80,12 @@ PLAN_NOTES: dict[str, str] = {
     "mm_byte_bigram_topk": _CHECKPOINT_FRONTED,
     "ev_haar_energy_hourly": _CHECKPOINT_FRONTED,
     "dedup_paragraph_minhash": _CHECKPOINT_FRONTED,
+    # r11 continuation batch (bounded reduced frames feeding >=2 branches)
+    "text_vocab_rank_drift": _CHECKPOINT_FRONTED,
+    "sketch_bloom_capacity_sweep": _CHECKPOINT_FRONTED,
+    "orders_weekday_index": _CHECKPOINT_FRONTED,
+    "mm_byte_delta_profile": _CHECKPOINT_FRONTED,
+    "stats_permutation_diff": _CHECKPOINT_FRONTED,
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {

@@ -164,6 +164,16 @@ QUERIES = [
     "mm_payload_entropy_proxy",  # byte collision entropy proxy (r11 new)
     "mm_payload_magic_profile",  # magic-byte format audit (r11 new)
     "mm_byte_bigram_topk",       # order-2 byte signature (r11 new)
+    "text_vocab_rank_drift",     # head-vocab footrule drift (r11b new)
+    "text_term_burstiness",      # Fano factor head terms (r11b new)
+    "graph_local_clustering",    # per-node LCC wedges (r11b new)
+    "emb_dim_redundancy_topk",   # top-|cov| dim pairs (r11b new)
+    "ev_markov_order2",          # second-order transitions (r11b new)
+    "ev_user_hour_concentration",  # diurnal Simpson per user (r11b new)
+    "stats_permutation_diff",    # md5 randomization test (r11b new)
+    "sketch_bloom_capacity_sweep",  # bloom sizing curve (r11b new)
+    "orders_weekday_index",      # ISO dow seasonality (r11b new)
+    "mm_byte_delta_profile",     # byte-delta smoothness bands (r11b new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
