@@ -89,6 +89,16 @@ PLAN_NOTES: dict[str, str] = {
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
+    "text_vocab_rank_drift": (
+        "re-rank windows over the UNION-OF-TOP-K term set (<= 2*30 "
+        "rows by construction, two TakeOrdered cuts + checkpoint); the "
+        "vocabulary itself never enters a window"
+    ),
+    "emb_dim_redundancy_topk": (
+        "top-k window over the DIMENSION-PAIR frame — exactly "
+        "C(64,2) = 2016 rows regardless of corpus size (map-side "
+        "partials absorb the per-vector fan-out)"
+    ),
     "customer_value_deciles": (
         "NTILE over the CUSTOMER dimension (orders pre-reduced to one "
         "row per customer — the rfm_segmentation argument) + a 10-row "
