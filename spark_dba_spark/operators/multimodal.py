@@ -2107,7 +2107,21 @@ def mm_byte_delta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _assets(spark, sf_dir).repartition(
         max(spark.sparkContext.defaultParallelism, 16), "doc_id"
     )
-    bands = (
+    bands = byte_delta_bands(assets)
+    cnt = bands.groupBy("media_type", "band").agg(
+        F.count("*").alias("n_deltas")
+    ).localCheckpoint(eager=True)  # bounded cells; feeds totals + shares
+    tot = cnt.groupBy("media_type").agg(F.sum("n_deltas").alias("n_total"))
+    return assemble_byte_delta_profile(cnt, tot)
+
+
+def byte_delta_bands(assets: DataFrame) -> DataFrame:
+    """One (media_type, band) row per adjacent byte pair — shared by the
+    batch profile and streaming/jobs.run_byte_delta_stream so both
+    surfaces band the identical deltas (the payload_byte_bands
+    convention). hex(payload) binds to a column BEFORE the HOF lambda
+    (interpreted lambdas get no CSE)."""
+    return (
         assets.select(
             "media_type",
             F.expr("hex(payload)").alias("hx"),
@@ -2134,10 +2148,11 @@ def mm_byte_delta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band"),
         )
     )
-    cnt = bands.groupBy("media_type", "band").agg(
-        F.count("*").alias("n_deltas")
-    ).localCheckpoint(eager=True)  # bounded cells; feeds totals + shares
-    tot = cnt.groupBy("media_type").agg(F.sum("n_deltas").alias("n_total"))
+
+
+def assemble_byte_delta_profile(cnt: DataFrame, tot: DataFrame) -> DataFrame:
+    """Final projection (shared batch/stream column contract): per-band
+    delta counts joined to per-type totals, exact-rational share."""
     return (
         cnt.join(F.broadcast(tot), "media_type")
         .select(

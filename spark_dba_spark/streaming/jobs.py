@@ -539,6 +539,56 @@ def run_byte_histogram_stream(
     )
 
 
+def run_byte_delta_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "byte_delta_stream"
+) -> DataFrame:
+    """Streaming twin of ``operators.multimodal.mm_byte_delta_profile``:
+    assets arrive as a file stream, adjacent-byte deltas are banded by
+    the SHARED ``byte_delta_bands`` projection, and two complete-mode
+    aggregations (per-(type, band) counts + per-type totals) feed the
+    shared ``assemble_byte_delta_profile`` contract — the DuckDB oracle
+    gating the batch form transitively gates this stream.
+    stream == batch is pinned by
+    tests/test_streaming.py::test_byte_delta_stream_equals_batch."""
+    from ..operators.multimodal import (
+        assemble_byte_delta_profile,
+        byte_delta_bands,
+        project_assets,
+    )
+
+    def _bands() -> DataFrame:
+        return byte_delta_bands(
+            project_assets(stream_documents(spark, sf_dir))
+        )
+
+    cnt = (
+        _bands()
+        .groupBy("media_type", "band")
+        .agg(F.count("*").cast("long").alias("n_deltas"))
+        .writeStream.format("memory")
+        .queryName(f"{query_name}_cnt")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    totals = (
+        _bands()
+        .groupBy("media_type")
+        .agg(F.count("*").cast("long").alias("n_total"))
+        .writeStream.format("memory")
+        .queryName(f"{query_name}_tot")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    cnt.awaitTermination()
+    totals.awaitTermination()
+    return assemble_byte_delta_profile(
+        spark.table(f"{query_name}_cnt"),
+        spark.table(f"{query_name}_tot"),
+    )
+
+
 def run_corpus_funnel_stream(
     spark: SparkSession, sf_dir: str, query_name: str = "corpus_funnel_stream"
 ) -> DataFrame:

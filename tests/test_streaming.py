@@ -589,3 +589,22 @@ def test_stream_static_enrich_equals_batch(spark):
     batch_out = batch_equiv.ev_stream_static_enrich(spark, SF_DIR)
     assert sorted(stream_out.columns) == sorted(batch_out.columns)
     assert _rows(stream_out) == _rows(batch_out)
+
+
+def test_byte_delta_stream_equals_batch(spark):
+    """The streaming byte-delta smoothness profile (shared banding
+    projection, two complete-mode grains, shared assembly contract)
+    equals the batch op row-for-row."""
+    from spark_dba_spark.operators.multimodal import mm_byte_delta_profile
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_byte_delta_stream(
+            spark, SF_DIR, "t_byte_delta"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in mm_byte_delta_profile(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
