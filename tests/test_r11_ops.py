@@ -1659,3 +1659,110 @@ def test_byte_delta_profile_matches_python_brute(spark):
     assert all(0 in c for c in cnt.values()), (
         "repeated bytes must appear in every media type"
     )
+
+
+def test_r11_temporal_family_parity_on_synthetic_events(spark, tmp_path):
+    """Oracle↔builder parity on NON-FIXTURE events for the r11 temporal
+    family: a seeded synthetic stream with deliberate structure —
+    long dead-hour stretches (empty Haar blocks at every scale, the
+    n_active_blocks path), heavy same-microsecond ties (record/
+    percentile endpoint-order stress), duplicate VALUES within hours
+    (type-1 percentile tie path), monotone-increasing users (every
+    event a record) next to constant-value users (one record), and a
+    bot user pinned to a single hour (concentration = 1 path) — through
+    the full comparator for the five r11 event operators."""
+    import datetime
+    import random
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "tools")
+    from check_oracle import compare
+
+    from spark_dba_spark import registry
+
+    rng = random.Random(97)
+    base = datetime.datetime(2024, 5, 6)
+    rows = []
+    eid = 0
+    types = ["click", "view", "purchase", "error", "signup"]
+    for day in range(14):
+        # dead stretch: days 5-7 carry almost nothing (empty blocks)
+        n_ev = 8 if day in (5, 6, 7) else 150
+        for _ in range(n_ev):
+            uid = rng.randint(0, 24)
+            if uid == 0:
+                hour = 3  # the single-hour bot: concentration == 1
+            else:
+                hour = rng.choice([9, 13, 20, rng.randint(0, 23)])
+            us = rng.randint(0, 9) if rng.random() < 0.4 else (
+                rng.randint(0, 59_999_999)
+            )
+            ts = base + datetime.timedelta(
+                days=day, hours=hour, minutes=rng.randint(0, 59),
+                microseconds=us,
+            )
+            if uid == 1:
+                value = float(eid)       # strictly increasing: all records
+            elif uid == 2:
+                value = 42.0             # constant: exactly one record
+            else:
+                value = float(rng.choice(
+                    [25.0, 50.0, 50.0, 100.0, round(rng.uniform(0, 300), 2)]
+                ))                       # duplicate values: percentile ties
+            rows.append(
+                (eid, ts, uid, rng.choice(types), value, "{}")
+            )
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    specs = registry.all_specs()
+    for name in (
+        "ev_haar_energy_hourly",
+        "ev_value_records",
+        "ev_hourly_value_percentiles",
+        "ev_markov_order2",
+        "ev_user_hour_concentration",
+        "stats_permutation_diff",
+    ):
+        ok, msg = compare(name, spark, con, specs[name], str(tmp_path))
+        assert ok, f"{name} synthetic parity: {msg}"
+    con.close()
+    # the engineered paths must actually fire
+    from spark_dba_spark.operators.temporal import (
+        ev_user_hour_concentration,
+        ev_value_records,
+    )
+
+    recs = {r["user_id"]: r
+            for r in ev_value_records(spark, str(tmp_path)).collect()}
+    # literal replay for user 1 (value = eid is monotone in ARRIVAL, not
+    # in event time — the record count follows the (ts, event_id) order)
+    u1 = sorted((r[1], r[0], r[4]) for r in rows if r[2] == 1)
+    best, want = None, 0
+    for _, _, v in u1:
+        if best is None or v > best:
+            best, want = v, want + 1
+    assert recs[1]["n_records"] == want and want > 1
+    assert recs[2]["n_records"] == 1, "constant user"
+    conc = {r["user_id"]: r["concentration_r6"]
+            for r in ev_user_hour_concentration(
+                spark, str(tmp_path)).collect()}
+    assert conc[0] == 1.0, "single-hour bot must hit concentration 1"
+    assert min(conc.values()) < 0.3, "spread users must sit far below"
