@@ -1766,3 +1766,87 @@ def test_r11_temporal_family_parity_on_synthetic_events(spark, tmp_path):
                 spark, str(tmp_path)).collect()}
     assert conc[0] == 1.0, "single-hour bot must hit concentration 1"
     assert min(conc.values()) < 0.3, "spread users must sit far below"
+
+
+def test_r11_doc_family_parity_on_synthetic_corpus(spark, tmp_path):
+    """Oracle↔builder parity on NON-FIXTURE documents for the r11 doc
+    family: a seeded corpus with DELIBERATE structure — a copied
+    24-token paragraph planted mid-document in six docs (the
+    paragraph-minhash payoff case), two ABUTTING shared 12-token spans
+    (the interval-union merge path the removal op cuts as ONE region),
+    all-duplicated docs (clean_text = ''), cross-source copying
+    concentrated on one source pair, and a rare-token tail — through
+    the full comparator for nine r11 document operators."""
+    import random
+    import sys
+
+    sys.path.insert(0, "tools")
+    from check_oracle import compare
+
+    from spark_dba_spark import registry
+
+    rng = random.Random(19)
+    vocab = [f"v{i}" for i in range(60)]
+
+    def words(n):
+        return [rng.choice(vocab) for _ in range(n)]
+
+    para = [f"p{i}" for i in range(24)]       # the copied paragraph
+    span2 = [f"s{i}" for i in range(24)]      # two abutting 12-token spans
+    texts, sources = [], []
+    for i in range(70):
+        if i < 6:
+            # paragraph planted at block boundary 24 (doc = 24 filler +
+            # 24 copied + tail) — block 1 is the identical paragraph
+            t = words(24) + para + words(rng.randint(4, 12))
+            src = "srcA" if i % 2 == 0 else "srcB"
+        elif i < 10:
+            t = words(6) + span2 + words(6)   # abutting spans carriers
+            src = "srcC"
+        elif i < 13:
+            t = para + para[:12]              # near-fully-duplicated docs
+            src = "srcA"
+        elif i < 20:
+            t = words(5) + [f"rare{i}_{j}" for j in range(3)] + words(10)
+            src = "srcD"                      # rare-token tail
+        else:
+            t = words(rng.randint(12, 50))
+            src = f"src{i % 4}"
+        texts.append(" ".join(t))
+        sources.append(src)
+    con = _write_docs(tmp_path, texts, sources=sources)
+    specs = registry.all_specs()
+    for name in (
+        "text_dup_region_removal",
+        "dedup_paragraph_minhash",
+        "text_dsir_importance",
+        "text_tokenizer_fertility",
+        "text_gopher_gates",
+        "text_rarity_outliers",
+        "text_simpson_concentration",
+        "dedup_cross_source_matrix",
+        "text_vocab_rank_drift",
+        "text_term_burstiness",
+        "sketch_kmv_distinct",
+    ):
+        ok, msg = compare(name, spark, con, specs[name], str(tmp_path))
+        assert ok, f"{name} synthetic parity: {msg}"
+    con.close()
+    # the engineered structure must actually fire the interesting paths
+    from spark_dba_spark.operators.dedup import dedup_paragraph_minhash
+    from spark_dba_spark.operators.text import text_dup_region_removal
+
+    pm = dedup_paragraph_minhash(spark, str(tmp_path)).collect()
+    para_pairs = [r for r in pm if r["jaccard"] == 1.0]
+    assert len(para_pairs) >= 10, (
+        "the planted paragraph must pair up across its six carriers"
+    )
+    rr = {r["doc_id"]: r
+          for r in text_dup_region_removal(spark, str(tmp_path)).collect()}
+    # abutting spans merge into ONE removed region spanning both
+    for i in range(6, 10):
+        assert rr[i]["removed_tokens"] >= 24, i
+    # near-fully-duplicated docs lose (almost) everything
+    assert any(rr[i]["kept_tokens"] == 0 for i in range(10, 13)), (
+        "an all-duplicated doc must clean to the empty string"
+    )
