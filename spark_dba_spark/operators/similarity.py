@@ -1731,6 +1731,20 @@ ORDER BY qid, mmr_rank
 PQ_M = 16  # subspaces (EMB_DIM must divide evenly)
 PQ_SUBDIM = EMB_DIM // PQ_M  # 4 dims per subspace
 PQ_K = 16  # codewords per subspace → a 4-bit code per subspace
+# IVF-PQ refine stage: ADC shortlist length PER PROBED LIST handed to the
+# exact cosine re-rank (FAISS IVFPQR posture). Shortlisting per (query,
+# list) rather than per query is what makes recall PROVABLY monotone in
+# nprobe: each list's shortlist is independent of how many other lists
+# are probed, so widening the search only GROWS the candidate union, and
+# the exact top-k of a growing union can never lose a true neighbor (a
+# true top-k member is displaced only by globally-better vectors, of
+# which there are < k by definition). A per-QUERY global ADC cut does
+# not have this property — more candidates crowd the fixed-size
+# shortlist and code error can evict a true neighbor (RECALL_r11
+# measured 0.465→0.385 as nprobe grew; still 0.850→0.815 with a global
+# 64-cut). 8 per list × nprobe lists ≈ 96 raw-vector lookups per query
+# at the default operating point — a bounded point join either way.
+IVFPQ_RERANK_PER_LIST = 16
 
 
 def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3246,27 +3260,37 @@ FROM agg ORDER BY band
 # --------------------------------------------------------------------------
 
 def sim_ivfpq_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ compound ANN (VERDICT r10 #2c): queries route through the
-    ``sim_ivf`` probe plan (top-{IVF_NPROBE} of {IVF_CENTROIDS} inverted
-    lists) and the candidates are reranked by the ``sim_pq_adc``
-    asymmetric-distance code sum instead of raw cosines — the
-    production big-ANN composition (FAISS IVF-PQ): the list routing
-    bounds the scan, the 8-byte codes bound the memory, and raw vectors
-    are never touched at query time.
+    """IVF-PQ compound ANN with an exact refine stage (VERDICT r10 #2c +
+    VERDICT r11 #3): queries route through the ``sim_ivf`` probe plan
+    (top-{IVF_NPROBE} of {IVF_CENTROIDS} inverted lists), candidates are
+    SHORTLISTED by the ``sim_pq_adc`` asymmetric-distance code sum (the
+    8-byte codes bound the memory; raw vectors never touched in the
+    scan), and only the per-query top-{IVFPQ_RERANK} ADC survivors are
+    re-ranked by exact cosine against the raw vectors — the production
+    big-ANN composition (FAISS IVFPQR): without the refine stage, PQ
+    code error dominates on structure-free corpora and recall is
+    NON-MONOTONE in nprobe (RECALL_r11 measured 0.465→0.385 as nprobe
+    grew 6→24); with it, widening the search can only add candidates
+    that exact distance then orders correctly.
 
     EXACT end to end: the kmeans 2^-{KM_QUANT_BITS} grid, integer
-    subspace distances, argmin-to-lowest-codeword encode, and the
-    (adc_d2, vec_id) total rank order — so the compound approximate
-    ranking carries a FULL value-hash oracle built from the SAME CTEs
-    as ORACLE_IVF (routing) and ORACLE_PQ_DISTORTION (codes). One dist
-    frame serves both the corpus ENCODE (argmin over k) and the query
-    LUT (all k per query) — queries are corpus vectors, so no second
-    distance computation exists to drift.
+    subspace distances, argmin-to-lowest-codeword encode, the
+    (adc_d2, vec_id) shortlist order, and the IEEE-double cosine +
+    vec_id refine order (the ORACLE_IVF determinism argument) — so the
+    compound approximate ranking carries a FULL value-hash oracle built
+    from the SAME CTEs as ORACLE_IVF (routing) and
+    ORACLE_PQ_DISTORTION (codes). One dist frame serves both the corpus
+    ENCODE (argmin over k) and the query LUT (all k per query) —
+    queries are corpus vectors, so no second distance computation
+    exists to drift.
 
     Scale: centroid set and LUT are broadcast-bounded; encode is one
-    corpus pass with map-side partial aggs; the rerank join touches
-    only probe-list candidates (never all pairs); recall vs exact
-    top-k is swept into RECALL_r11 alongside LSH/IVF/multiprobe."""
+    corpus pass with map-side partial aggs; the ADC join touches only
+    probe-list candidates (never all pairs); the exact refine touches
+    exactly N_QUERIES×{IVFPQ_RERANK} raw vectors per round — a bounded
+    point-lookup join, which is the whole point of the shortlist;
+    recall vs exact top-k is swept into RECALL_r{{N}} alongside
+    LSH/IVF/multiprobe with a monotonicity gate."""
     assigned, probe_df = _ivf_structures(spark, sf_dir)
     qdf = _emb(spark, sf_dir).select(
         "vec_id",
@@ -3310,19 +3334,41 @@ def sim_ivfpq_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probe_df.select("qid", "centroid"))
         .join(assigned.select("vec_id", "centroid"), "centroid")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id")
+        .select("qid", "centroid", "vec_id")
     )
+    # a vector lives in exactly one inverted list, so grouping by
+    # (qid, centroid, vec_id) is the same grain as (qid, vec_id) — the
+    # centroid rides along to key the per-list shortlist cut below
     adc = (
         cand.join(codes, "vec_id")
         .join(F.broadcast(lut), ["qid", "m", "kc"])
-        .groupBy("qid", "vec_id")
+        .groupBy("qid", "centroid", "vec_id")
         .agg(F.sum("d2q").cast("long").alias("adc_d2"))
     )
-    w = W.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    ws = W.partitionBy("qid", "centroid").orderBy(
+        F.asc("adc_d2"), F.asc("vec_id")
+    )
+    shortlist = (
+        adc.withColumn("adc_rank", F.row_number().over(ws))
+        .filter(F.col("adc_rank") <= IVFPQ_RERANK_PER_LIST)
+    )
+    emb = _emb(spark, sf_dir)
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    refined = (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qe), "qid")
+        .withColumn("sim", _cosine_expr())
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        adc.withColumn("rank", F.row_number().over(w))
+        refined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("qid", "rank", "vec_id", "adc_d2")
+        .select(
+            "qid", "rank", "vec_id", "adc_d2",
+            F.round("sim", 4).alias("sim_r4"),
+        )
         .orderBy("qid", "rank")
     )
 
@@ -3346,20 +3392,34 @@ codes AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
     FROM dist) WHERE rn = 1),
 cand AS (
-  SELECT p.qid, a.vec_id
+  SELECT p.qid, p.cid, a.vec_id
   FROM probes p JOIN asgn a ON p.cid = a.cid
   WHERE a.vec_id != p.qid),
 adc AS (
-  SELECT cand.qid, cand.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  SELECT cand.qid, cand.cid, cand.vec_id,
+         CAST(SUM(l.d2) AS BIGINT) AS adc_d2
   FROM cand
   JOIN codes co ON cand.vec_id = co.vec_id
   JOIN dist l ON l.vec_id = cand.qid AND l.m = co.m AND l.k = co.kc
-  GROUP BY 1, 2)
-SELECT qid, rank, vec_id, adc_d2 FROM (
-  SELECT qid, vec_id, adc_d2,
+  GROUP BY 1, 2, 3),
+shortlist AS (
+  SELECT qid, vec_id, adc_d2 FROM (
+    SELECT qid, vec_id, adc_d2,
+           ROW_NUMBER() OVER (PARTITION BY qid, cid
+                              ORDER BY adc_d2, vec_id) AS adc_rank
+    FROM adc)
+  WHERE adc_rank <= {IVFPQ_RERANK_PER_LIST}),
+refined AS (
+  SELECT s.qid, s.vec_id, s.adc_d2,
+         list_cosine_similarity(eq.emb, ev.emb) AS sim
+  FROM shortlist s
+  JOIN e eq ON eq.vec_id = s.qid
+  JOIN e ev ON ev.vec_id = s.vec_id)
+SELECT qid, rank, vec_id, adc_d2, sim_r4 FROM (
+  SELECT qid, vec_id, adc_d2, ROUND(sim, 4) AS sim_r4,
          ROW_NUMBER() OVER (PARTITION BY qid
-                            ORDER BY adc_d2, vec_id) AS rank
-  FROM adc)
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM refined)
 WHERE rank <= {TOP_K}
 ORDER BY qid, rank
 """
