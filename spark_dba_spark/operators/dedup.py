@@ -2424,6 +2424,14 @@ ORDER BY component_id
 # Local clustering coefficient per node (near-dup graph)
 # --------------------------------------------------------------------------
 
+LCC_DEG_CAP = 64  # wedge-enumeration guard: hubs above this degree are
+# reported (degree is one cheap agg) but NOT wedge-expanded — a single
+# true hub at production scale would otherwise own deg² of the Σ deg²
+# wedge work on one key (VERDICT r11 #5). 64² = 4096 wedges/node is the
+# per-key ceiling; on the fixture graph no node comes near it, so the
+# cap is pure insurance there (asserted in the star-graph pytest twin).
+
+
 def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCAL clustering coefficient per node of the near-dup graph:
     lcc(v) = 2·t(v) / (deg(v)·(deg(v)−1)) where t(v) counts edges among
@@ -2431,19 +2439,32 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graph_global_transitivity`` (a node with high degree but lcc ≈ 0
     is a hub bridging unrelated template families: exactly the doc a
     keep-one dedup must NOT pick as the representative). Exact
-    rational; deg < 2 nodes report 0 by convention.
+    rational; deg < 2 nodes report 0 by convention. Nodes with
+    deg > {LCC_DEG_CAP} are degree-capped: reported with
+    ``capped = true`` and NULL wedge/lcc columns instead of being
+    wedge-expanded (a hub's neighborhood is by definition not a
+    coherent dup clique, so its exact lcc is not worth deg² work —
+    the capped flag itself IS the hub triage signal).
 
     Scale: wedges enumerate as two keyed joins on the BOUNDED dup-edge
-    set (Σ deg² work — the triangle-counting posture, never all
-    pairs); the closing-edge check is one more hash join on canonical
-    (a < b) pairs."""
+    set, with per-key work capped at {LCC_DEG_CAP}² by the hub guard
+    (Σ min(deg, cap)² — the triangle-counting posture, skew-proof,
+    never all pairs); the closing-edge check is one more hash join on
+    canonical (a < b) pairs."""
     edges, sym = _neardup_graph(spark, sf_dir)
     deg = sym.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count("*").alias("deg")
+    ).localCheckpoint(eager=True)  # bounded node table; feeds the
+    # eligible-center semi-join AND the final report join
+    centers = deg.filter(F.col("deg") <= LCC_DEG_CAP).select(
+        F.col("doc_id").alias("v")
     )
-    # wedges centered at v with canonical endpoints a < b
-    w1 = sym.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("a"))
-    w2 = sym.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("b"))
+    # wedges centered at eligible v with canonical endpoints a < b
+    sym_ok = sym.join(
+        F.broadcast(centers), sym["doc_a"] == centers["v"]
+    ).select("doc_a", "doc_b")
+    w1 = sym_ok.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("a"))
+    w2 = sym_ok.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("b"))
     wedges = w1.join(w2, "v").filter(F.col("a") < F.col("b"))
     closed = wedges.join(
         edges.select(
@@ -2459,9 +2480,14 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("deg").cast("long").alias("degree"),
-            F.coalesce("t", F.lit(0)).cast("long").alias("n_closed_wedges"),
+            (F.col("deg") > LCC_DEG_CAP).alias("capped"),
+            F.when(
+                F.col("deg") <= LCC_DEG_CAP,
+                F.coalesce("t", F.lit(0)).cast("long"),
+            ).alias("n_closed_wedges"),
             F.expr(
-                "case when deg >= 2 then "
+                f"case when deg > {LCC_DEG_CAP} then cast(null as double) "
+                "when deg >= 2 then "
                 + rat_round6_spark(
                     "2 * coalesce(t, 0)", "deg * (deg - 1)"
                 )
@@ -2478,14 +2504,18 @@ deg AS (SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
         FROM sym GROUP BY 1),
 wedges AS (
   SELECT w1.doc_a AS v, w1.doc_b AS a, w2.doc_b AS b
-  FROM sym w1 JOIN sym w2 ON w1.doc_a = w2.doc_a AND w1.doc_b < w2.doc_b),
+  FROM sym w1 JOIN sym w2 ON w1.doc_a = w2.doc_a AND w1.doc_b < w2.doc_b
+  JOIN deg d ON d.doc_id = w1.doc_a AND d.deg <= {LCC_DEG_CAP}),
 closed AS (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS t
   FROM wedges JOIN dup ON wedges.a = dup.doc_a AND wedges.b = dup.doc_b
   GROUP BY 1)
 SELECT deg.doc_id, deg.deg AS degree,
-       COALESCE(t, 0) AS n_closed_wedges,
-       CASE WHEN deg >= 2 THEN
+       deg.deg > {LCC_DEG_CAP} AS capped,
+       CASE WHEN deg.deg <= {LCC_DEG_CAP}
+            THEN COALESCE(t, 0) END AS n_closed_wedges,
+       CASE WHEN deg > {LCC_DEG_CAP} THEN CAST(NULL AS DOUBLE)
+            WHEN deg >= 2 THEN
          {rat_round6_duck("2 * COALESCE(t, 0)", "deg * (deg - 1)")}
        ELSE 0.0 END AS lcc_r6
 FROM deg LEFT JOIN closed ON deg.doc_id = closed.v

@@ -1423,6 +1423,8 @@ def test_local_clustering_matches_python_brute(spark):
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
         eset.add((min(a, b), max(a, b)))
+    from spark_dba_spark.operators.dedup import LCC_DEG_CAP
+
     got = {r["doc_id"]: r
            for r in graph_local_clustering(spark, SF_DIR).collect()}
     assert set(got) == set(adj)
@@ -1435,12 +1437,55 @@ def test_local_clustering_matches_python_brute(spark):
             if (min(a, b), max(a, b)) in eset
         )
         r = got[v]
-        assert r["degree"] == len(nbrs)
-        assert r["n_closed_wedges"] == t
         d = len(nbrs)
+        assert r["degree"] == d
+        if d > LCC_DEG_CAP:
+            assert r["capped"] is True
+            assert r["n_closed_wedges"] is None
+            assert r["lcc_r6"] is None
+            continue
+        assert r["capped"] is False
+        assert r["n_closed_wedges"] == t
         want = _r6(2 * t, d * (d - 1)) if d >= 2 else 0.0
         assert r["lcc_r6"] == want
-    assert any(r["lcc_r6"] > 0 for r in got.values())
+    assert any(
+        r["lcc_r6"] is not None and r["lcc_r6"] > 0 for r in got.values()
+    )
+
+
+def test_local_clustering_degree_cap_on_star_graph(spark, tmp_path):
+    """VERDICT r11 #5: a hub node above LCC_DEG_CAP must be reported
+    with capped=true and NULL wedge/lcc columns — never wedge-expanded.
+    Build a star: one hub doc whose 12-token sliding windows overlap
+    every spoke (identical docs trivially form a clique, so instead
+    make hub+spokes all IDENTICAL — a (cap+2)-clique where every node's
+    degree = cap+1 > cap) plus one isolated pair for an uncapped row."""
+    from spark_dba_spark.operators.dedup import (
+        LCC_DEG_CAP,
+        graph_local_clustering,
+    )
+
+    n_clique = LCC_DEG_CAP + 2
+    clique_text = " ".join(f"cliquetok{i}" for i in range(24))
+    pair_text = " ".join(f"pairtok{i}" for i in range(24))
+    texts = [clique_text] * n_clique + [pair_text] * 2
+    con = _write_docs(tmp_path, texts)
+    con.close()
+    got = {r["doc_id"]: r
+           for r in graph_local_clustering(spark, str(tmp_path)).collect()}
+    assert len(got) == n_clique + 2
+    for did in range(n_clique):
+        r = got[did]
+        assert r["degree"] == n_clique - 1
+        assert r["capped"] is True
+        assert r["n_closed_wedges"] is None
+        assert r["lcc_r6"] is None
+    for did in (n_clique, n_clique + 1):
+        r = got[did]
+        assert r["degree"] == 1
+        assert r["capped"] is False
+        assert r["n_closed_wedges"] == 0
+        assert r["lcc_r6"] == 0.0
 
 
 def test_dim_redundancy_matches_numpy_brute(spark):
