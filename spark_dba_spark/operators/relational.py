@@ -2328,28 +2328,96 @@ GROUP BY 1, 2 ORDER BY 1
 """
 
 
+HH_D = 4  # heavy-hitter CMS depth (hash rows)
+HH_W = 8192  # heavy-hitter CMS width — sized so that even the sf0.1 key
+# domain (~1000 suppliers) collides in all HH_D lanes with probability
+# ~(1000/8192)^4 ≈ 2e-4 per key: the 2%-of-exact tolerance pytest holds
+# at every fixture SF while the counter matrix stays a bounded
+# HH_D×HH_W = 32k-row broadcast table.
+
+
 def sketch_top_k_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters via the approx_top_k frequency sketch (Spark 4) —
-    the streaming-friendly answer to "which suppliers dominate line
-    items" when exact per-key counts would shuffle the world. One
-    map-side mergeable sketch per task, merged on the driver side of a
-    single-row agg; estimates, not exact counts, so this is a rows-only
-    check gated by the exact-twin tolerance pytest (same pattern as the
-    ANN rankings)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.agg(
-            F.expr(
-                f"approx_top_k(l_suppkey, {SKETCH_TOP_K})"
-            ).alias("tk")
+    """Heavy hitters AS REPORTED BY a fixed-hash Count-Min sketch:
+    every distinct supplier key is ranked by its CMS estimate
+    min_j(counter[j][h_j(k)]) and the top-{SKETCH_TOP_K} are emitted —
+    the mergeable-sketch answer to "which suppliers dominate line
+    items" when exact per-key counts would shuffle the world
+    (upgraded from the approx_top_k engine sketch, whose state depends
+    on partition merge order, to the deterministic-mirror pattern of
+    sketch_hll_reaggregate / sketch_count_min_deterministic — VERDICT
+    r11 #4): the {HH_D}×{HH_W} counter matrix uses FIXED md5-derived
+    bucket functions, so every counter, every estimate, and the whole
+    ranking is a pure function of the input multiset and DuckDB
+    reproduces it exactly — a full value-hash oracle. est_count >= the
+    exact count by the CMS guarantee (pytest-gated within 2%).
+
+    Scale: TWO corpus passes in the two-pass posture (counters:
+    key-grain agg -> {HH_D}x fan-out -> bounded counter table; probe:
+    the same key-grain agg keyed back through the broadcast counter
+    table). At stream scale the counter build is the mergeable-sketch
+    map side; the bounded matrix is the whole state. The candidate
+    ranking enumerates the DISTINCT key domain (dimension-sized: the
+    supplier dictionary), never the fact table."""
+
+    def bucket(key_col: str, j_col: str) -> str:
+        return (
+            f"cast(conv(substring(md5(concat(cast({key_col} as string), "
+            f"':hh:', cast({j_col} as string))), 1, 7), 16, 10) as bigint) "
+            f"% {HH_W}"
         )
-        .select(F.posexplode("tk").alias("rank0", "e"))
-        .select(
-            (F.col("rank0") + 1).alias("rank"),
-            F.col("e.item").alias("l_suppkey"),
-            F.col("e.count").alias("est_count"),
-        )
+
+    keys = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)  # key-grain agg feeds counters+probe
     )
+    fan = keys.select(
+        "l_suppkey",
+        "n",
+        F.explode(F.expr(f"sequence(0, {HH_D - 1})")).alias("j"),
+    ).withColumn("bkt", F.expr(bucket("l_suppkey", "j")))
+    counters = fan.groupBy("j", "bkt").agg(
+        F.sum("n").cast("long").alias("cnt")
+    )
+    est = (
+        fan.select("l_suppkey", "j", "bkt")
+        .join(F.broadcast(counters), ["j", "bkt"])
+        .groupBy("l_suppkey")
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )
+    w = W.orderBy(F.desc("est_count"), F.asc("l_suppkey"))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SKETCH_TOP_K)
+        .select("rank", "l_suppkey", "est_count")
+        .orderBy("rank")
+    )
+
+
+ORACLE_TOP_K_HEAVY = f"""
+WITH keys AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1),
+js AS (SELECT unnest(range({HH_D})) AS j),
+fan AS MATERIALIZED (
+  SELECT l_suppkey, n, j,
+         CAST(('0x' || SUBSTRING(md5(CAST(l_suppkey AS VARCHAR) || ':hh:'
+                  || CAST(j AS VARCHAR)), 1, 7)) AS BIGINT) % {HH_W} AS bkt
+  FROM keys CROSS JOIN js),
+counters AS (
+  SELECT j, bkt, CAST(SUM(n) AS BIGINT) AS cnt FROM fan GROUP BY 1, 2),
+est AS (
+  SELECT f.l_suppkey, CAST(MIN(c.cnt) AS BIGINT) AS est_count
+  FROM fan f JOIN counters c ON f.j = c.j AND f.bkt = c.bkt
+  GROUP BY 1)
+SELECT rank, l_suppkey, est_count FROM (
+  SELECT l_suppkey, est_count,
+         ROW_NUMBER() OVER (ORDER BY est_count DESC, l_suppkey) AS rank
+  FROM est)
+WHERE rank <= {SKETCH_TOP_K}
+ORDER BY rank
+"""
 
 
 APPROX_PCT_ACCURACY = 10_000
@@ -6477,12 +6545,11 @@ SPECS = [
                   "heavy keys probed for estimate + collision "
                   "overestimate (two-pass bounded counter matrix)"),
     QuerySpec("sketch_top_k_heavy_hitters", sketch_top_k_heavy_hitters,
-              None, ("agg", "sketch"),
-              doc="approx_top_k frequency-sketch heavy hitters "
-                  "(PERMANENTLY rows-only: sketch state depends on "
-                  "partition merge order; gate = test_sketch_top_k_"
-                  "close_to_exact, every hitter a near-top key within "
-                  "2% of exact count)"),
+              ORACLE_TOP_K_HEAVY, ("agg", "sketch"),
+              doc="fixed-hash CMS-ranked heavy hitters (deterministic "
+                  "mirror of the engine approx_top_k sketch -> full "
+                  "value-hash oracle; est >= exact by the CMS "
+                  "guarantee, 2%-tolerance pytest-gated)"),
     QuerySpec("agg_approx_percentiles", agg_approx_percentiles,
               None, ("agg", "sketch", "percentile"),
               doc="percentile_approx GK sketch per group (PERMANENTLY "
