@@ -1,0 +1,607 @@
+"""Round-12 LLM-curation operators (VERDICT r11 "Next round" #2): the
+continuation of the training-data-pipeline surface — semantic dedup over
+the embedding clusters, a bigram-LM fluency proxy, the Gopher repetition
+gates, the paragraph-grain cleaned-corpus artifact, a leakage-checked
+eval split, plus the supporting text / events / orders / embeddings /
+sketch families landed in the same four-evidence protocol (full DuckDB
+oracle + 3-SF hostile sweep + brute pytest twin + plan row).
+
+Everything is DataFrame-declarative with exact cross-engine arithmetic
+(the TIES.md catalogue: rat/qrem half-up rationals, md5 integer lanes,
+the 2^-20 kmeans grid, type-1 percentiles) so every operator carries a
+full value-hash oracle. No per-row Python UDF anywhere; the only
+non-codegen stages are inherited from the kmeans machinery (JVM
+higher-order folds, still no Arrow)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions.hashing import sql_md5_long_duck, sql_md5_long_spark
+from ..functions.numeric import (
+    qrem_round6_duck,
+    qrem_round6_spark,
+    rat_round6_duck,
+    rat_round6_spark,
+)
+from ..registry import QuerySpec
+from .dedup import _GRAPH_SYM_CTES, _PARA_CTES, PARA_W, _neardup_graph
+from .dedup import _paragraph_pairs
+from .similarity import _KM_ORACLE_PREFIX, KM_ITERS, _km_loop
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup over the kmeans clusters (SemDedup; VERDICT r11 #2a)
+# --------------------------------------------------------------------------
+
+SEM_TAU_Q2 = 1 << 40  # drop threshold: squared distance <= 1.0 in raw
+# embedding units on the 2^-20 grid (q2 units are raw * 2^40) — for unit
+# vectors that is cosine >= 0.5. The uniform-random fixture has no pair
+# this close (every keep flag false there — the drop logic is exercised
+# by the clustered synthetic twin), which is itself the correct answer:
+# semantic dedup on a structure-free corpus should drop nothing.
+
+
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023) on Spark: k-means clusters the
+    embedding space (the ``emb_kmeans_lloyd`` machinery — same grid,
+    same Lloyd loop), then near-duplicate candidates are searched ONLY
+    within each cluster and the keep-one rule is first-occurrence
+    (lowest vec_id keeps; a vector drops when some LOWER-id cluster
+    peer sits within SEM_TAU_Q2 on the integer grid). Emits, per
+    vector: its cluster, its exact distance-to-centroid, its nearest
+    lower-id in-cluster neighbor and that distance, and the drop flag
+    — the audit trail a curation run keeps alongside the pruned corpus.
+
+    EXACT end to end: the 2^-20 truncation grid, BIGINT pairwise
+    distances, (d2, vec_id) argmin ties — full value-hash oracle built
+    on the shared kmeans CTE prefix.
+
+    Scale: this is the whole point of SemDedup — candidate pairs are
+    bucketed by cluster id, so the quadratic term is Σ|cluster|², never
+    corpus²; K grows with the corpus to keep clusters bounded. One
+    shuffle on cid for the self-join; the Lloyd loop itself is
+    map-only passes + K×D-bounded exchanges."""
+    assigned, _ = _km_loop(spark, sf_dir)
+    base = assigned.select(
+        "vec_id", "cid", "qv", F.col("sqdist").cast("long").alias("d2c")
+    ).localCheckpoint(eager=True)  # feeds both self-join sides + readout
+    lo = base.select(
+        F.col("cid").alias("cid_l"),
+        F.col("vec_id").alias("u"),
+        F.col("qv").alias("qu"),
+    )
+    hi = base.select("cid", "vec_id", "qv")
+    pairs = (
+        hi.join(lo, (hi["cid"] == lo["cid_l"]) & (lo["u"] < hi["vec_id"]))
+        .select(
+            "vec_id",
+            "u",
+            F.expr(
+                "aggregate(zip_with(qv, qu, (x, y) -> (x - y) * (x - y)),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("d2"),
+        )
+    )
+    nn = (
+        pairs.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "u")).alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.u").alias("nn_vec_id"),
+            F.col("b.d2").alias("nn_d2"),
+        )
+    )
+    return (
+        base.join(nn, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("int").alias("cid"),
+            "d2c",
+            "nn_vec_id",
+            "nn_d2",
+            F.coalesce(
+                F.col("nn_d2") <= F.lit(SEM_TAU_Q2), F.lit(False)
+            ).alias("is_dropped"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_SEMANTIC_KMEANS = f"""
+{_KM_ORACLE_PREFIX},
+pr AS (
+  SELECT hi.vec_id AS v, lo.vec_id AS u,
+         CAST(SUM((qh.qv - ql.qv) * (qh.qv - ql.qv)) AS BIGINT) AS d2
+  FROM a{KM_ITERS} hi
+  JOIN a{KM_ITERS} lo ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+  JOIN q qh ON qh.vec_id = hi.vec_id
+  JOIN q ql ON ql.vec_id = lo.vec_id AND ql.dim = qh.dim
+  GROUP BY 1, 2),
+nn AS (
+  SELECT v, u, d2 FROM (
+    SELECT v, u, d2,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY d2, u) AS rn
+    FROM pr) WHERE rn = 1)
+SELECT a.vec_id, CAST(a.cid AS INT) AS cid,
+       CAST(a.d2 AS BIGINT) AS d2c,
+       nn.u AS nn_vec_id, nn.d2 AS nn_d2,
+       COALESCE(nn.d2 <= {SEM_TAU_Q2}, FALSE) AS is_dropped
+FROM a{KM_ITERS} a LEFT JOIN nn ON a.vec_id = nn.v
+ORDER BY a.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM fluency proxy (VERDICT r11 #2b)
+# --------------------------------------------------------------------------
+
+BG_RARE_C = 2  # a bigram occurring <= this many times corpus-wide is rare
+
+
+def text_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fluency under the corpus's own bigram LM — the
+    perplexity-proxy filter a curation pipeline runs before training
+    (gibberish and shuffled text score low-probability bigrams; clean
+    prose scores high): p(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1}·)
+    with counts over ALL documents, and per doc we report the mean and
+    min conditional probability plus the rare-bigram share. Restated
+    exactly: each bigram occurrence's probability is half-up-rounded to
+    a micro integer (exact rational — prefix counts come from the same
+    bigram table, so probabilities sum to 1 per prefix), the per-doc
+    mean is one more exact half-up over the micro sum, and the
+    rare share is a plain count ratio. No log — the geometric mean
+    needs one, but mean/min conditional probability orders documents
+    the same way for the gate and stays cross-engine exact.
+
+    Scale: one bigram explode (corpus token count rows), two hash aggs
+    for the count tables, two shuffle joins keyed on the bigram/prefix
+    (the inverted-index posture), one doc-grain agg. No collect, no
+    Python."""
+    docs = _docs(spark, sf_dir)
+    occ = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i -> "
+                    "named_struct('w1', element_at(ws, i), "
+                    "'w2', element_at(ws, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint(eager=True)  # feeds pair counts, prefix counts
+        # AND the per-occurrence join — one corpus tokenization pass
+    )
+    cpair = occ.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    cpre = occ.groupBy("w1").agg(F.count("*").alias("c_a"))
+    scored = (
+        occ.join(cpair, ["w1", "w2"])
+        .join(cpre, ["w1"])
+        .select(
+            "doc_id",
+            F.expr("(c_ab * 2000000 + c_a) div (2 * c_a)").alias("p_micro"),
+            (F.col("c_ab") <= BG_RARE_C).cast("int").alias("rare"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("p_micro").alias("sum_micro"),
+            F.min("p_micro").alias("min_micro"),
+            F.sum("rare").cast("long").alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr(
+                "cast((sum_micro * 2 + n_bigrams) div (2 * n_bigrams)"
+                " as double) / 1000000.0"
+            ).alias("mean_condp_r6"),
+            (F.col("min_micro").cast("double") / 1e6).alias("min_condp_r6"),
+            F.expr(rat_round6_spark("n_rare", "n_bigrams")).alias(
+                "rare_share_r6"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BIGRAM_LM = f"""
+WITH occ AS MATERIALIZED (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)
+  WHERE len(ws) >= 2),
+cpair AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM occ GROUP BY 1, 2),
+cpre AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_a FROM occ GROUP BY 1),
+scored AS (
+  SELECT occ.doc_id,
+         (c_ab * 2000000 + c_a) // (2 * c_a) AS p_micro,
+         CASE WHEN c_ab <= {BG_RARE_C} THEN 1 ELSE 0 END AS rare
+  FROM occ JOIN cpair USING (w1, w2) JOIN cpre USING (w1)),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(p_micro) AS BIGINT) AS sum_micro,
+         CAST(MIN(p_micro) AS BIGINT) AS min_micro,
+         CAST(SUM(rare) AS BIGINT) AS n_rare
+  FROM scored GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       CAST((sum_micro * 2 + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
+         / 1000000.0 AS mean_condp_r6,
+       CAST(min_micro AS DOUBLE) / 1000000.0 AS min_condp_r6,
+       {rat_round6_duck("n_rare", "n_bigrams")} AS rare_share_r6
+FROM agg ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition gates (VERDICT r11 #2c)
+# --------------------------------------------------------------------------
+
+REP_NS = (2, 3, 4)
+REP_GATE_PCT = {2: 20, 3: 18, 4: 16}  # max duplicated-occurrence share, %
+
+
+def text_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition gates (Rae et al. 2021 §A1.1): per document
+    and n ∈ {REP_NS}, the share of word-n-gram OCCURRENCES whose gram
+    appears at least twice in the document, gated at
+    {REP_GATE_PCT}% — the repeated-phrase complement of the
+    length/stopword ``text_gopher_gates`` (a doc passing those can
+    still be "lorem lorem lorem" loop output; this one catches it).
+    One row per (doc, n); the gate comparison is an integer
+    cross-multiply, the share an exact half-up rational.
+
+    Scale: one explode per n over the token array (3 map-side passes
+    folded into one explode of the n-list), a (doc, n, gram) hash agg,
+    a (doc, n) re-agg. Grain never exceeds 3× token count; no joins."""
+    docs = _docs(spark, sf_dir)
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(n) for n in REP_NS])).alias("n"),
+            "ws",
+        )
+        .filter(F.size("ws") >= F.col("n"))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - n + 1),"
+                    " i -> concat_ws(' ', slice(ws, i, n)))"
+                )
+            ).alias("g"),
+        )
+    )
+    per_gram = grams.groupBy("doc_id", "n", "g").agg(
+        F.count("*").alias("c")
+    )
+    gate = (
+        "case "
+        + " ".join(
+            f"when n = {n} then {REP_GATE_PCT[n]}" for n in REP_NS
+        )
+        + " end"
+    )
+    return (
+        per_gram.groupBy("doc_id", F.col("n").cast("int").alias("n"))
+        .agg(
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("dup_occurrences"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "n_occurrences",
+            "dup_occurrences",
+            F.expr(
+                rat_round6_spark("dup_occurrences", "n_occurrences")
+            ).alias("dup_share_r6"),
+            F.expr(f"dup_occurrences * 100 <= n_occurrences * ({gate})")
+            .alias("pass_gate"),
+        )
+        .orderBy("doc_id", "n")
+    )
+
+
+def _oracle_repetition_gates() -> str:
+    gate = (
+        "CASE "
+        + " ".join(
+            f"WHEN n = {n} THEN {REP_GATE_PCT[n]}" for n in REP_NS
+        )
+        + " END"
+    )
+    ns = ", ".join(str(n) for n in REP_NS)
+    return f"""
+WITH g AS (
+  SELECT doc_id, n,
+         array_to_string(ws[i : i + n - 1], ' ') AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest([{ns}]) AS nn(n),
+       LATERAL unnest(generate_series(1, len(ws) - n + 1)) AS u(i)
+  WHERE len(ws) >= n),
+pg AS (
+  SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM g GROUP BY 1, 2, 3),
+agg AS (
+  SELECT doc_id, CAST(n AS INT) AS n,
+         CAST(SUM(c) AS BIGINT) AS n_occurrences,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           AS dup_occurrences
+  FROM pg GROUP BY 1, 2)
+SELECT doc_id, n, n_occurrences, dup_occurrences,
+       {rat_round6_duck("dup_occurrences", "n_occurrences")}
+         AS dup_share_r6,
+       dup_occurrences * 100 <= n_occurrences * ({gate}) AS pass_gate
+FROM agg ORDER BY doc_id, n
+"""
+
+
+ORACLE_REPETITION_GATES = _oracle_repetition_gates()
+
+
+# --------------------------------------------------------------------------
+# Paragraph-grain cleaned corpus (VERDICT r11 #2d)
+# --------------------------------------------------------------------------
+
+def dedup_paragraph_cleaned_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ARTIFACT of paragraph-grain fuzzy dedup — what
+    ``text_dup_region_removal`` is to span dedup, this is to
+    ``dedup_paragraph_minhash``: every verified cross-doc duplicate
+    block pair keeps its first occurrence (the doc_a side — pairs are
+    canonical doc_a < doc_b) and the doc_b block is CUT from the
+    rebuilt document; the cleaned corpus plus removal accounting is
+    emitted. Blocks are the same non-overlapping {PARA_W}-token grid,
+    so ``removed_tokens`` is exactly the token mass of removed blocks.
+
+    Scale: the pair machinery is the shared banded-LSH join (never
+    all-pairs); the removal set is dup-bounded; the cut is one indexed
+    higher-order filter, map-side after a doc-keyed left join. Output
+    is corpus-sized BY DESIGN (it IS the cleaned corpus) — scale walls
+    belong to count(), not collect() (SCALING notes)."""
+    pairs = _paragraph_pairs(spark, sf_dir)
+    removed = (
+        pairs.select(
+            F.col("doc_b").alias("doc_id"), F.col("blk_b").alias("blk")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("blk")).alias("rblks"))
+    )
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.join(removed, "doc_id", "left")
+        .select(
+            "doc_id", F.split("text", " ").alias("ws"), "rblks"
+        )
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tokens"),
+            F.expr(f"cast((size(ws) + {PARA_W - 1}) div {PARA_W} as bigint)")
+            .alias("n_blocks"),
+            F.coalesce(F.size("rblks"), F.lit(0))
+            .cast("long")
+            .alias("removed_blocks"),
+            F.expr(
+                f"filter(ws, (w, i) -> rblks is null"
+                f" or not array_contains(rblks, cast(i div {PARA_W} as int)))"
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_blocks",
+            "removed_blocks",
+            F.size("kept").cast("long").alias("kept_tokens"),
+            (F.col("n_tokens") - F.size("kept"))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.array_join("kept", " ").alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PARAGRAPH_CLEANED = f"""
+WITH {_PARA_CTES},
+rem AS MATERIALIZED (
+  SELECT DISTINCT doc_b AS doc_id, blk_b AS blk FROM vp),
+toks AS (
+  SELECT doc_id, i, ws[i] AS w, (i - 1) // {PARA_W} AS blk
+  FROM d, LATERAL unnest(generate_series(1, len(ws))) AS u(i)),
+kept AS (
+  SELECT t.doc_id, t.i, t.w FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM rem r
+                    WHERE r.doc_id = t.doc_id AND r.blk = t.blk)),
+cl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         string_agg(w, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY 1),
+rb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS removed_blocks
+       FROM rem GROUP BY 1)
+SELECT d.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST((len(ws) + {PARA_W - 1}) // {PARA_W} AS BIGINT) AS n_blocks,
+       COALESCE(rb.removed_blocks, 0) AS removed_blocks,
+       COALESCE(cl.kept_tokens, 0) AS kept_tokens,
+       CAST(len(ws) AS BIGINT) - COALESCE(cl.kept_tokens, 0)
+         AS removed_tokens,
+       COALESCE(cl.clean_text, '') AS clean_text
+FROM d
+LEFT JOIN cl ON d.doc_id = cl.doc_id
+LEFT JOIN rb ON d.doc_id = rb.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Leakage-checked eval split (VERDICT r11 #2e)
+# --------------------------------------------------------------------------
+
+SPLIT_EVAL_PCT = 10  # md5-lane % 100 < this → eval
+
+
+def text_eval_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split + the leakage audit that makes it
+    trustworthy: docs are assigned by a salted md5 lane (content- and
+    order-independent — the ``dataset_split_hash`` idiom), then every
+    near-duplicate edge of the production dup graph that CROSSES the
+    split is counted — a train doc near-duplicating an eval doc is
+    train/test contamination, the #1 real-pipeline eval bug. Per
+    source: doc counts, the realized eval share, cross-split dup
+    pairs whose eval endpoint lives in this source, and the number of
+    DISTINCT leaked eval docs (the actionable number: these eval rows
+    are invalid until their train twins are dropped).
+
+    Scale: split assignment is map-side; the leak join touches the
+    dup-bounded edge set twice (doc-keyed hash joins); the rollup is
+    source-bounded."""
+    lane = sql_md5_long_spark(
+        "concat('split:', cast(doc_id as string))", 1, 13
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        (F.expr(lane) % 100 < SPLIT_EVAL_PCT).alias("is_eval"),
+    ).localCheckpoint(eager=True)  # feeds edge-flagging twice + rollup
+    edges, _ = _neardup_graph(spark, sf_dir)
+    flagged = (
+        edges.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("is_eval").alias("ev_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("is_eval").alias("ev_b"),
+            ),
+            "doc_b",
+        )
+        .filter(F.col("ev_a") != F.col("ev_b"))
+        .select(
+            F.when(F.col("ev_a"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("eval_doc")
+        )
+    )
+    leaks = (
+        flagged.join(
+            docs.select(F.col("doc_id").alias("eval_doc"), "source"),
+            "eval_doc",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_leak_pairs"),
+            F.countDistinct("eval_doc").cast("long").alias(
+                "n_leaked_eval_docs"
+            ),
+        )
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("is_eval").cast("long")).cast("long").alias("n_eval"),
+    )
+    return (
+        per_src.join(leaks, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_eval",
+            F.expr(rat_round6_spark("n_eval", "n_docs")).alias(
+                "eval_share_r6"
+            ),
+            F.coalesce("n_leak_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_leak_pairs"),
+            F.coalesce("n_leaked_eval_docs", F.lit(0))
+            .cast("long")
+            .alias("n_leaked_eval_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_SPLIT_LANE_DUCK = sql_md5_long_duck(
+    "'split:' || CAST(doc_id AS VARCHAR)", 1, 13
+)
+
+ORACLE_EVAL_SPLIT_LEAKAGE = f"""
+WITH {_GRAPH_SYM_CTES},
+dd AS MATERIALIZED (
+  SELECT doc_id, source,
+         {_SPLIT_LANE_DUCK} % 100 < {SPLIT_EVAL_PCT} AS is_eval
+  FROM documents),
+cross_split AS (
+  SELECT CASE WHEN a.is_eval THEN dup.doc_a ELSE dup.doc_b END AS eval_doc
+  FROM dup
+  JOIN dd a ON dup.doc_a = a.doc_id
+  JOIN dd b ON dup.doc_b = b.doc_id
+  WHERE a.is_eval != b.is_eval),
+leaks AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_leak_pairs,
+         CAST(COUNT(DISTINCT eval_doc) AS BIGINT) AS n_leaked_eval_docs
+  FROM cross_split c JOIN dd d ON c.eval_doc = d.doc_id
+  GROUP BY 1),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+  FROM dd GROUP BY 1)
+SELECT p.source, p.n_docs, p.n_eval,
+       {rat_round6_duck("p.n_eval", "p.n_docs")} AS eval_share_r6,
+       COALESCE(l.n_leak_pairs, 0) AS n_leak_pairs,
+       COALESCE(l.n_leaked_eval_docs, 0) AS n_leaked_eval_docs
+FROM per_src p LEFT JOIN leaks l ON p.source = l.source
+ORDER BY p.source
+"""
+
+
+SPECS = [
+    QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
+              ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
+              doc="SemDedup: kmeans-cluster-bucketed embedding near-dup "
+                  "with first-occurrence keep rule (exact grid "
+                  "distances, cluster-bounded pairs)"),
+    QuerySpec("text_bigram_lm_surprisal", text_bigram_lm_surprisal,
+              ORACLE_BIGRAM_LM, ("text", "quality", "curation"),
+              doc="per-doc bigram-LM fluency proxy: mean/min conditional "
+                  "probability + rare-bigram share, exact micro "
+                  "rationals"),
+    QuerySpec("text_repetition_gates", text_repetition_gates,
+              ORACLE_REPETITION_GATES, ("text", "quality", "curation"),
+              doc="Gopher repetition gates: duplicated n-gram occurrence "
+                  "share at n=2,3,4 with integer-cross-multiply pass "
+                  "flags"),
+    QuerySpec("dedup_paragraph_cleaned_corpus",
+              dedup_paragraph_cleaned_corpus, ORACLE_PARAGRAPH_CLEANED,
+              ("dedup", "curation", "pipeline"),
+              doc="paragraph-grain cleaned corpus: first-occurrence "
+                  "keep over verified block pairs, token-grid cut + "
+                  "removal accounting"),
+    QuerySpec("text_eval_split_leakage", text_eval_split_leakage,
+              ORACLE_EVAL_SPLIT_LEAKAGE, ("text", "eval", "curation"),
+              doc="hash eval split + dup-graph leakage audit per source "
+                  "(cross-split dup pairs, distinct leaked eval docs)"),
+]

@@ -2120,6 +2120,24 @@ def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded candidate join (no all-pairs), verification only on
     candidates; block count ≈ tokens/{PARA_W}, so the signature stage
     costs the same corpus pass the doc-grain op already pays."""
+    return (
+        _paragraph_pairs(spark, sf_dir)
+        .select(
+            "doc_a",
+            F.col("blk_a").cast("int").alias("blk_a"),
+            "doc_b",
+            F.col("blk_b").cast("int").alias("blk_b"),
+            "jaccard",
+        )
+        .orderBy("doc_a", "blk_a", "doc_b", "blk_b")
+    )
+
+
+def _paragraph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified cross-doc paragraph-block near-dup pairs (doc_a, blk_a,
+    doc_b, blk_b, jaccard) with doc_a < doc_b — the shared candidate
+    machinery of ``dedup_paragraph_minhash`` and the cleaned-corpus
+    materialization (curation.dedup_paragraph_cleaned_corpus)."""
     docs = _docs_par(spark, sf_dir)
     ws = F.split("text", " ")
     blocks = (
@@ -2210,19 +2228,15 @@ def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(F.array_union("sha", "shb")),
         )
         .filter(F.col("jaccard") >= PARA_TAU)
-        .select(
-            "doc_a",
-            F.col("blk_a").cast("int").alias("blk_a"),
-            "doc_b",
-            F.col("blk_b").cast("int").alias("blk_b"),
-            "jaccard",
-        )
-        .orderBy("doc_a", "blk_a", "doc_b", "blk_b")
+        .select("doc_a", "blk_a", "doc_b", "blk_b", "jaccard")
     )
 
 
-ORACLE_PARAGRAPH_MINHASH = f"""
-WITH d AS (
+# Shared oracle CTE prefix for the paragraph-grain family: doc tokens,
+# block grid, block shingles, signatures, bands, candidate pairs, and
+# the exact-Jaccard verified pairs (vp). MATERIALIZED where consumed
+# more than once downstream.
+_PARA_CTES = f"""d AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 blk AS (
   SELECT doc_id, b AS blk, ws[b * {PARA_W} + 1 : b * {PARA_W} + {PARA_W}]
@@ -2249,18 +2263,25 @@ cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, x.blk AS blk_a,
                   y.doc_id AS doc_b, y.blk AS blk_b
   FROM bands x JOIN bands y
-    ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
+    ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+vp AS MATERIALIZED (
+  SELECT doc_a, blk_a, doc_b, blk_b,
+         len(list_intersect(a.sh, b.sh)) * 1.0
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+           AS jaccard
+  FROM cand
+  JOIN bs a ON doc_a = a.doc_id AND blk_a = a.blk
+  JOIN bs b ON doc_b = b.doc_id AND blk_b = b.blk
+  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {PARA_TAU})"""
+
+
+ORACLE_PARAGRAPH_MINHASH = f"""
+WITH {_PARA_CTES}
 SELECT doc_a, CAST(blk_a AS INT) AS blk_a,
-       doc_b, CAST(blk_b AS INT) AS blk_b,
-       len(list_intersect(a.sh, b.sh)) * 1.0
-         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-         AS jaccard
-FROM cand
-JOIN bs a ON doc_a = a.doc_id AND blk_a = a.blk
-JOIN bs b ON doc_b = b.doc_id AND blk_b = b.blk
-WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-      >= {PARA_TAU}
+       doc_b, CAST(blk_b AS INT) AS blk_b, jaccard
+FROM vp
 ORDER BY doc_a, blk_a, doc_b, blk_b
 """
 

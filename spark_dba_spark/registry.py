@@ -195,6 +195,7 @@ def _collect() -> dict[str, QuerySpec]:
         "spark_dba_spark.operators.multimodal",
         "spark_dba_spark.operators.temporal",
         "spark_dba_spark.operators.udf_surface",
+        "spark_dba_spark.operators.curation",
         "spark_dba_spark.streaming.batch_equiv",
     ):
         try:

@@ -1,0 +1,399 @@
+"""Brute-force Python twins + synthetic-structure parity tests for the
+round-12 curation operators (VERDICT r11 #2: semantic dedup, bigram-LM
+surprisal, Gopher repetition gates, paragraph-grain cleaned corpus,
+leakage-checked eval split, and the r12 continuation families)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import duckdb
+import numpy as np
+
+from conftest import SF_DIR
+
+
+def _r6(num: int, den: int) -> float:
+    return float((num * 2_000_000 + den) // (2 * den)) / 1e6
+
+
+def _docs_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, lang, source FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _emb_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _write_docs(tmp_path, texts, langs=None, sources=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs or ["en"] * n),
+            "source": pa.array(sources or [f"s{i % 3}" for i in range(n)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+
+def _write_embeddings(tmp_path, vecs, labels=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels or [0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+
+def _md5_lane(s: str, start: int = 1, nhex: int = 13) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[start - 1:start - 1 + nhex], 16)
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_kmeans
+# ---------------------------------------------------------------------------
+
+def _km_loop_brute(qv: np.ndarray, k: int, iters: int):
+    """Integer Lloyd replay: trunc grid input, argmin ties to lowest cid,
+    truncation-toward-zero centroid division (the _km_loop contract)."""
+    cent = qv[:k].copy()
+    assign = None
+    for it in range(iters):
+        d = ((qv[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)  # np.argmin ties → lowest index
+        if it == iters - 1:
+            break
+        new = cent.copy()
+        for c in range(k):
+            m = qv[assign == c]
+            if len(m):
+                s = m.sum(axis=0)
+                new[c] = np.where(
+                    s >= 0, s // len(m), -((-s) // len(m))
+                )
+        cent = new
+    d = ((qv[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return assign, d.min(axis=1)
+
+
+def test_semantic_kmeans_matches_numpy_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        SEM_TAU_Q2,
+        dedup_semantic_kmeans,
+    )
+    from spark_dba_spark.operators.similarity import (
+        KM_ITERS,
+        KM_K,
+        KM_QUANT,
+    )
+
+    rows = _emb_rows()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    qv = np.trunc(m * KM_QUANT).astype(np.int64)
+    assign, d2c = _km_loop_brute(qv, KM_K, KM_ITERS)
+    expect = {}
+    for i, vid in enumerate(ids):
+        peers = [
+            (int(((qv[i] - qv[j]) ** 2).sum()), int(ids[j]))
+            for j in range(len(ids))
+            if assign[j] == assign[i] and ids[j] < vid
+        ]
+        nn = min(peers) if peers else None
+        expect[int(vid)] = (
+            int(assign[i]),
+            int(d2c[i]),
+            nn[1] if nn else None,
+            nn[0] if nn else None,
+            bool(nn and nn[0] <= SEM_TAU_Q2),
+        )
+    got = {
+        r["vec_id"]: (
+            r["cid"], r["d2c"], r["nn_vec_id"], r["nn_d2"], r["is_dropped"]
+        )
+        for r in dedup_semantic_kmeans(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # structure-free fixture → semantic dedup must drop nothing
+    assert not any(v[4] for v in expect.values())
+
+
+def test_semantic_kmeans_drops_on_clustered_corpus(spark, tmp_path):
+    """A corpus with genuine semantic duplicates (tight embedding
+    clusters) must produce drops, first occurrence kept per ball."""
+    from spark_dba_spark.operators.curation import dedup_semantic_kmeans
+    from spark_dba_spark.operators.similarity import KM_K
+
+    rng = np.random.RandomState(7)
+    cents = rng.randn(KM_K + 4, 64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = []
+    for i in range(120):
+        c = cents[i % (KM_K + 4)]
+        v = c + rng.randn(64) * 0.02  # near-identical within group
+        vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+    _write_embeddings(tmp_path, vecs)
+    got = dedup_semantic_kmeans(spark, str(tmp_path)).collect()
+    dropped = [r for r in got if r["is_dropped"]]
+    kept = {r["vec_id"] for r in got if not r["is_dropped"]}
+    assert dropped, "tight clusters must trigger drops"
+    for r in dropped:
+        assert r["nn_vec_id"] in kept or r["nn_vec_id"] < r["vec_id"]
+        assert r["nn_d2"] <= (1 << 40)
+    # every group's lowest surviving id is kept (first-occurrence rule):
+    # vec_ids 0..KM_K+3 are one per group and have no lower-id twin
+    for r in got:
+        if r["vec_id"] < KM_K + 4:
+            assert not r["is_dropped"]
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_lm_surprisal
+# ---------------------------------------------------------------------------
+
+def test_bigram_lm_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        BG_RARE_C,
+        text_bigram_lm_surprisal,
+    )
+
+    rows = _docs_rows()
+    cpair: Counter = Counter()
+    cpre: Counter = Counter()
+    doc_occ = {}
+    for doc_id, text, _, _ in rows:
+        ws = text.split(" ")
+        occ = [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+        if not occ:
+            continue
+        doc_occ[doc_id] = occ
+        cpair.update(occ)
+        cpre.update(w for w, _ in occ)
+    got = {r["doc_id"]: r
+           for r in text_bigram_lm_surprisal(spark, SF_DIR).collect()}
+    assert set(got) == set(doc_occ)
+    for doc_id, occ in doc_occ.items():
+        micros = [
+            (cpair[bg] * 2_000_000 + cpre[bg[0]]) // (2 * cpre[bg[0]])
+            for bg in occ
+        ]
+        n = len(occ)
+        r = got[doc_id]
+        assert r["n_bigrams"] == n
+        assert r["mean_condp_r6"] == float(
+            (sum(micros) * 2 + n) // (2 * n)
+        ) / 1e6
+        assert r["min_condp_r6"] == min(micros) / 1e6
+        n_rare = sum(1 for bg in occ if cpair[bg] <= BG_RARE_C)
+        assert r["rare_share_r6"] == _r6(n_rare, n)
+
+
+def test_bigram_lm_separates_shuffled_text(spark, tmp_path):
+    """Fluent repeated prose scores higher mean conditional probability
+    than a shuffled-vocabulary doc over the same corpus counts."""
+    from spark_dba_spark.operators.curation import text_bigram_lm_surprisal
+
+    fluent = "the cat sat on the mat and the cat sat on the mat"
+    texts = [fluent] * 8 + ["mat the on cat and sat the mat cat on the sat"]
+    _write_docs(tmp_path, texts)
+    got = {r["doc_id"]: r["mean_condp_r6"]
+           for r in text_bigram_lm_surprisal(spark, str(tmp_path)).collect()}
+    assert got[0] > got[8]
+
+
+# ---------------------------------------------------------------------------
+# text_repetition_gates
+# ---------------------------------------------------------------------------
+
+def test_repetition_gates_match_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        REP_GATE_PCT,
+        REP_NS,
+        text_repetition_gates,
+    )
+
+    rows = _docs_rows()
+    got = {(r["doc_id"], r["n"]): r
+           for r in text_repetition_gates(spark, SF_DIR).collect()}
+    n_expected = 0
+    for doc_id, text, _, _ in rows:
+        ws = text.split(" ")
+        for n in REP_NS:
+            if len(ws) < n:
+                continue
+            n_expected += 1
+            grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            c = Counter(grams)
+            tot = len(grams)
+            dup = sum(v for v in c.values() if v >= 2)
+            r = got[(doc_id, n)]
+            assert r["n_occurrences"] == tot
+            assert r["dup_occurrences"] == dup
+            assert r["dup_share_r6"] == _r6(dup, tot)
+            assert r["pass_gate"] == (dup * 100 <= tot * REP_GATE_PCT[n])
+    assert len(got) == n_expected
+
+
+def test_repetition_gates_fail_on_loop_output(spark, tmp_path):
+    from spark_dba_spark.operators.curation import text_repetition_gates
+
+    loop = " ".join(["lorem ipsum dolor sit"] * 10)
+    clean = " ".join(f"tok{i}" for i in range(40))
+    _write_docs(tmp_path, [loop, clean])
+    got = {(r["doc_id"], r["n"]): r["pass_gate"]
+           for r in text_repetition_gates(spark, str(tmp_path)).collect()}
+    assert not got[(0, 2)] and not got[(0, 3)] and not got[(0, 4)]
+    assert got[(1, 2)] and got[(1, 3)] and got[(1, 4)]
+
+
+# ---------------------------------------------------------------------------
+# dedup_paragraph_cleaned_corpus
+# ---------------------------------------------------------------------------
+
+def test_paragraph_cleaned_corpus_matches_pairs(spark):
+    """Rebuild the cleaned corpus in Python from the (independently
+    twinned) verified pair set and compare every accounting column and
+    the cleaned text itself."""
+    from spark_dba_spark.operators.curation import (
+        dedup_paragraph_cleaned_corpus,
+    )
+    from spark_dba_spark.operators.dedup import PARA_W, dedup_paragraph_minhash
+
+    pairs = dedup_paragraph_minhash(spark, SF_DIR).collect()
+    removed: dict[int, set[int]] = {}
+    for r in pairs:
+        removed.setdefault(r["doc_b"], set()).add(r["blk_b"])
+    rows = _docs_rows()
+    got = {r["doc_id"]: r
+           for r in dedup_paragraph_cleaned_corpus(spark, SF_DIR).collect()}
+    assert set(got) == {d for d, _, _, _ in rows}
+    for doc_id, text, _, _ in rows:
+        ws = text.split(" ")
+        rb = removed.get(doc_id, set())
+        kept = [w for i, w in enumerate(ws) if i // PARA_W not in rb]
+        r = got[doc_id]
+        assert r["n_tokens"] == len(ws)
+        assert r["n_blocks"] == (len(ws) + PARA_W - 1) // PARA_W
+        assert r["removed_blocks"] == len(rb)
+        assert r["kept_tokens"] == len(kept)
+        assert r["removed_tokens"] == len(ws) - len(kept)
+        assert r["clean_text"] == " ".join(kept)
+    assert any(r["removed_blocks"] > 0 for r in got.values()), (
+        "fixture must exercise the removal path"
+    )
+
+
+def test_paragraph_cleaned_corpus_cuts_shared_block(spark, tmp_path):
+    from spark_dba_spark.operators.curation import (
+        dedup_paragraph_cleaned_corpus,
+    )
+    from spark_dba_spark.operators.dedup import PARA_W
+
+    shared = " ".join(f"shared{i}" for i in range(PARA_W))
+    a = shared + " " + " ".join(f"a{i}" for i in range(PARA_W))
+    b = shared + " " + " ".join(f"b{i}" for i in range(PARA_W))
+    _write_docs(tmp_path, [a, b])
+    got = {r["doc_id"]: r
+           for r in dedup_paragraph_cleaned_corpus(
+               spark, str(tmp_path)).collect()}
+    assert got[0]["removed_blocks"] == 0
+    assert got[0]["clean_text"] == a
+    assert got[1]["removed_blocks"] == 1
+    assert got[1]["removed_tokens"] == PARA_W
+    assert got[1]["clean_text"] == " ".join(
+        f"b{i}" for i in range(PARA_W)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_eval_split_leakage
+# ---------------------------------------------------------------------------
+
+def test_eval_split_leakage_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        SPLIT_EVAL_PCT,
+        text_eval_split_leakage,
+    )
+    from spark_dba_spark.operators.dedup import dedup_ngram_jaccard
+
+    rows = _docs_rows()
+    is_eval = {
+        d: _md5_lane(f"split:{d}") % 100 < SPLIT_EVAL_PCT
+        for d, _, _, _ in rows
+    }
+    src = {d: s for d, _, _, s in rows}
+    edges = [(r["doc_a"], r["doc_b"])
+             for r in dedup_ngram_jaccard(spark, SF_DIR).collect()]
+    leak_pairs: Counter = Counter()
+    leaked_docs: dict[str, set] = {}
+    for a, b in edges:
+        if is_eval[a] == is_eval[b]:
+            continue
+        ev = a if is_eval[a] else b
+        leak_pairs[src[ev]] += 1
+        leaked_docs.setdefault(src[ev], set()).add(ev)
+    got = {r["source"]: r
+           for r in text_eval_split_leakage(spark, SF_DIR).collect()}
+    assert set(got) == set(src.values())
+    for s in got:
+        docs_s = [d for d in src if src[d] == s]
+        n_eval = sum(1 for d in docs_s if is_eval[d])
+        r = got[s]
+        assert r["n_docs"] == len(docs_s)
+        assert r["n_eval"] == n_eval
+        assert r["eval_share_r6"] == _r6(n_eval, len(docs_s))
+        assert r["n_leak_pairs"] == leak_pairs.get(s, 0)
+        assert r["n_leaked_eval_docs"] == len(leaked_docs.get(s, set()))
+    assert sum(r["n_eval"] for r in got.values()) > 0
+
+
+def test_eval_split_leakage_flags_planted_twin(spark, tmp_path):
+    """Plant a train/eval near-dup pair and assert it is counted."""
+    from spark_dba_spark.operators.curation import (
+        SPLIT_EVAL_PCT,
+        text_eval_split_leakage,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    # find one eval doc_id and one train doc_id under the salted lane
+    ids = list(range(40))
+    evals = [d for d in ids if _md5_lane(f"split:{d}") % 100 < SPLIT_EVAL_PCT]
+    trains = [d for d in ids if d not in evals]
+    assert evals and trains
+    texts = [f"unique{d} " + " ".join(f"f{d}x{i}" for i in range(20))
+             for d in ids]
+    texts[evals[0]] = base
+    texts[trains[0]] = base  # identical → jaccard 1 → dup edge
+    _write_docs(tmp_path, texts, sources=["s0"] * len(ids))
+    got = {r["source"]: r
+           for r in text_eval_split_leakage(spark, str(tmp_path)).collect()}
+    assert got["s0"]["n_leak_pairs"] >= 1
+    assert got["s0"]["n_leaked_eval_docs"] >= 1
