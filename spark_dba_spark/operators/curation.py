@@ -578,6 +578,336 @@ ORDER BY p.source
 """
 
 
+# --------------------------------------------------------------------------
+# Head-term co-occurrence lift (topic/template coupling)
+# --------------------------------------------------------------------------
+
+LIFT_HEAD_TERMS = 40  # head vocabulary by document frequency
+LIFT_TOP_PAIRS = 30
+
+
+def text_cooccur_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-occurrence LIFT over the head vocabulary:
+    lift(a,b) = N·df(a∧b) / (df(a)·df(b)) — the association table
+    behind topic coupling / template detection (PMI's exponent,
+    rational instead of logarithmic so it stays cross-engine exact).
+    Top {LIFT_TOP_PAIRS} unordered pairs of the {LIFT_HEAD_TERMS}
+    highest-df terms, ranked by the exact half-up micro lift.
+
+    Scale: the head set is a bounded broadcast dictionary; per-doc
+    presence lists are ≤{LIFT_HEAD_TERMS} rows, so the doc-keyed
+    self-join fans at most C({LIFT_HEAD_TERMS},2) pairs per doc —
+    never vocabulary² and never corpus². N·df·2·10⁶ stays far below
+    2^63 for any corpus DuckDB can host (qrem split otherwise)."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # scalar: lift numerator dimension
+    pres = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds df agg + both join sides
+    )
+    heads = (
+        pres.groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("w"))
+        .limit(LIFT_HEAD_TERMS)
+        .localCheckpoint(eager=True)  # bounded dictionary, 3 consumers
+    )
+    hp = pres.join(F.broadcast(heads.select("w")), "w")
+    a = hp.select("doc_id", F.col("w").alias("w_a"))
+    b = hp.select("doc_id", F.col("w").alias("w_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w_a") < F.col("w_b"))
+        .groupBy("w_a", "w_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(heads.select(F.col("w").alias("w_a"),
+                                     F.col("df").alias("df_a"))), "w_a")
+        .join(
+            F.broadcast(heads.select(F.col("w").alias("w_b"),
+                                     F.col("df").alias("df_b"))), "w_b")
+        .select(
+            "w_a", "w_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("df_a").cast("long").alias("df_a"),
+            F.col("df_b").cast("long").alias("df_b"),
+            F.expr(
+                f"({n_docs}L * n_ab * 2000000 + df_a * df_b)"
+                f" div (2 * df_a * df_b)"
+            ).alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "w_a", "w_b")
+        .limit(LIFT_TOP_PAIRS)
+        .select(
+            "w_a", "w_b", "n_ab", "df_a", "df_b",
+            (F.col("lift_micro").cast("double") / 1e6).alias("lift_r6"),
+        )
+        .orderBy("w_a", "w_b")
+    )
+
+
+ORACLE_COOCCUR_LIFT = f"""
+WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+pres AS MATERIALIZED (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+heads AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM pres GROUP BY 1
+  ORDER BY df DESC, w LIMIT {LIFT_HEAD_TERMS}),
+hp AS (SELECT p.doc_id, p.w FROM pres p JOIN heads USING (w)),
+pairs AS (
+  SELECT a.w AS w_a, b.w AS w_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM hp a JOIN hp b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2),
+lifted AS (
+  SELECT w_a, w_b, n_ab, ha.df AS df_a, hb.df AS df_b,
+         (nd.n * n_ab * 2000000 + ha.df * hb.df)
+           // (2 * ha.df * hb.df) AS lift_micro
+  FROM pairs
+  JOIN heads ha ON pairs.w_a = ha.w
+  JOIN heads hb ON pairs.w_b = hb.w
+  CROSS JOIN nd)
+SELECT w_a, w_b, n_ab, df_a, df_b,
+       CAST(lift_micro AS DOUBLE) / 1000000.0 AS lift_r6
+FROM (SELECT * FROM lifted
+      ORDER BY lift_micro DESC, w_a, w_b LIMIT {LIFT_TOP_PAIRS})
+ORDER BY w_a, w_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Positional vocabulary drift (front-vs-back usage bias)
+# --------------------------------------------------------------------------
+
+DRIFT_TOP_TERMS = 25
+
+
+def text_positional_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-vs-back positional usage bias per term: does a term
+    concentrate in the first third of documents (boilerplate headers,
+    prompt templates) or the last third (signatures, calls-to-action)?
+    For the {DRIFT_TOP_TERMS} highest-volume terms in those zones,
+    reports front/back occurrence counts and the SIGNED micro
+    difference of front share minus back share — each share an exact
+    half-up rational of its zone's token mass.
+
+    Scale: one posexplode pass keeps only the two zone slices (≤2/3 of
+    tokens), one term-grain agg, totals via one bounded broadcast; the
+    head cut is a TakeOrdered."""
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("i", "w"),
+            F.size(F.split("text", " ")).alias("n"),
+        )
+        .select(
+            "w",
+            (F.col("i") + 1 <= F.expr("n div 3")).alias("front"),
+            (F.col("i") + 1 > F.expr("n - n div 3")).alias("back"),
+        )
+        .filter(F.col("front") | F.col("back"))
+    )
+    per_term = toks.groupBy("w").agg(
+        F.sum(F.col("front").cast("long")).alias("f"),
+        F.sum(F.col("back").cast("long")).alias("b"),
+    ).localCheckpoint(eager=True)  # bounded term table; feeds totals + head
+    tot = per_term.agg(
+        F.sum("f").cast("long").alias("tf"),
+        F.sum("b").cast("long").alias("tb"),
+    )
+    return (
+        per_term.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc(F.col("f") + F.col("b")), F.asc("w"))
+        .limit(DRIFT_TOP_TERMS)
+        .select(
+            F.col("w").alias("term"),
+            F.col("f").cast("long").alias("n_front"),
+            F.col("b").cast("long").alias("n_back"),
+            F.expr(rat_round6_spark("f", "tf")).alias("front_share_r6"),
+            F.expr(rat_round6_spark("b", "tb")).alias("back_share_r6"),
+            F.expr(
+                "cast((f * 2000000 + tf) div (2 * tf)"
+                " - (b * 2000000 + tb) div (2 * tb) as bigint)"
+            ).alias("drift_micro"),
+        )
+        .orderBy("term")
+    )
+
+
+ORACLE_POSITIONAL_DRIFT = f"""
+WITH toks AS (
+  SELECT ws[i] AS w,
+         i <= len(ws) // 3 AS front,
+         i > len(ws) - len(ws) // 3 AS back
+  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE i <= len(ws) // 3 OR i > len(ws) - len(ws) // 3),
+pt AS MATERIALIZED (
+  SELECT w, CAST(SUM(CASE WHEN front THEN 1 ELSE 0 END) AS BIGINT) AS f,
+         CAST(SUM(CASE WHEN back THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM toks GROUP BY 1),
+tot AS (SELECT CAST(SUM(f) AS BIGINT) AS tf,
+               CAST(SUM(b) AS BIGINT) AS tb FROM pt),
+head AS (
+  SELECT * FROM pt CROSS JOIN tot
+  ORDER BY f + b DESC, w LIMIT {DRIFT_TOP_TERMS})
+SELECT w AS term, f AS n_front, b AS n_back,
+       {rat_round6_duck("f", "tf")} AS front_share_r6,
+       {rat_round6_duck("b", "tb")} AS back_share_r6,
+       CAST((f * 2000000 + tf) // (2 * tf)
+            - (b * 2000000 + tb) // (2 * tb) AS BIGINT) AS drift_micro
+FROM head ORDER BY term
+"""
+
+
+# --------------------------------------------------------------------------
+# Head/tail self-similarity (within-doc redundancy)
+# --------------------------------------------------------------------------
+
+def text_head_tail_selfsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary Jaccard between the first and second
+    halves of the token stream — the cheap within-doc redundancy probe
+    (a doc whose tail re-uses exactly its head vocabulary is listy /
+    template output; an essay introduces new vocabulary throughout).
+    Complements ``text_repetition_gates`` (which sees contiguous
+    repeats; this sees long-range vocabulary recycling). The Jaccard is
+    an IEEE quotient of two small exact integers (hash-safe — the
+    minhash precedent).
+
+    Scale: pure map-side higher-order expressions over the token array
+    — no shuffle, no join; one WholeStageCodegen pass."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tokens"),
+            F.expr(
+                "array_distinct(slice(ws, 1, size(ws) div 2))"
+            ).alias("hv"),
+            F.expr(
+                "array_distinct(slice(ws, size(ws) div 2 + 1,"
+                " size(ws) - size(ws) div 2))"
+            ).alias("tv"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("hv").cast("long").alias("head_vocab"),
+            F.size("tv").cast("long").alias("tail_vocab"),
+            F.size(F.array_intersect("hv", "tv"))
+            .cast("long")
+            .alias("shared_vocab"),
+            (
+                F.size(F.array_intersect("hv", "tv"))
+                / F.size(F.array_union("hv", "tv")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_HEAD_TAIL_SELFSIM = """
+WITH h AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+         list_distinct(ws[1 : len(ws) // 2]) AS hv,
+         list_distinct(ws[len(ws) // 2 + 1 : len(ws)]) AS tv
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= 2)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(hv) AS BIGINT) AS head_vocab,
+       CAST(len(tv) AS BIGINT) AS tail_vocab,
+       CAST(len(list_intersect(hv, tv)) AS BIGINT) AS shared_vocab,
+       len(list_intersect(hv, tv))
+         / CAST(len(hv) + len(tv) - len(list_intersect(hv, tv)) AS DOUBLE)
+         AS jaccard
+FROM h ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Character-bigram profile per language (lang-ID feature table)
+# --------------------------------------------------------------------------
+
+CHAR_BG_TOP = 20
+
+
+def text_char_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{CHAR_BG_TOP} character bigrams per language with exact
+    occurrence shares — the feature table an n-gram language identifier
+    is trained from (and the drift probe that catches an encoding
+    regression: mojibake shifts the whole profile). Spaces are stripped
+    so the profile measures intra-word structure, not tokenization.
+
+    Scale: one map-side fan-out of length-2 substrings, one
+    (lang, bigram) hash agg with map-side combine, a per-lang top-k
+    window over the band-bounded aggregate."""
+    docs = _docs(spark, sf_dir)
+    bg = (
+        docs.select(
+            "lang", F.regexp_replace("text", " ", "").alias("s")
+        )
+        .filter(F.length("s") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(s) - 1),"
+                    " i -> substring(s, i, 2))"
+                )
+            ).alias("bg"),
+        )
+    )
+    cnt = bg.groupBy("lang", "bg").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=True)  # band-bounded; feeds totals + rank
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
+    w = W.partitionBy("lang").orderBy(F.desc("c"), F.asc("bg"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CHAR_BG_TOP)
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("bg").alias("bigram"),
+            F.col("c").cast("long").alias("n_occurrences"),
+            F.expr(rat_round6_spark("c", "t")).alias("share_r6"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+ORACLE_CHAR_BIGRAM_TOPK = f"""
+WITH bg AS (
+  SELECT lang, substr(s, i, 2) AS bg
+  FROM (SELECT lang, replace(text, ' ', '') AS s FROM documents),
+       LATERAL unnest(generate_series(1, length(s) - 1)) AS u(i)
+  WHERE length(s) >= 2),
+cnt AS MATERIALIZED (
+  SELECT lang, bg, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+ranked AS (
+  SELECT lang, bg, c,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY c DESC, bg) AS rank
+  FROM cnt)
+SELECT r.lang AS lang, CAST(rank AS INT) AS rank, bg AS bigram,
+       c AS n_occurrences,
+       {rat_round6_duck("c", "t")} AS share_r6
+FROM ranked r JOIN tot ON r.lang = tot.lang
+WHERE rank <= {CHAR_BG_TOP}
+ORDER BY r.lang, rank
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -604,4 +934,20 @@ SPECS = [
               ORACLE_EVAL_SPLIT_LEAKAGE, ("text", "eval", "curation"),
               doc="hash eval split + dup-graph leakage audit per source "
                   "(cross-split dup pairs, distinct leaked eval docs)"),
+    QuerySpec("text_cooccur_lift_topk", text_cooccur_lift_topk,
+              ORACLE_COOCCUR_LIFT, ("text", "stats", "curation"),
+              doc="head-term co-occurrence lift pairs (rational PMI "
+                  "exponent; bounded head dictionary, doc-keyed join)"),
+    QuerySpec("text_positional_drift", text_positional_drift,
+              ORACLE_POSITIONAL_DRIFT, ("text", "stats"),
+              doc="front-vs-back positional usage bias per head term "
+                  "(signed micro share difference)"),
+    QuerySpec("text_head_tail_selfsim", text_head_tail_selfsim,
+              ORACLE_HEAD_TAIL_SELFSIM, ("text", "quality"),
+              doc="per-doc head/tail vocabulary Jaccard (long-range "
+                  "redundancy probe; pure map-side HOFs)"),
+    QuerySpec("text_char_bigram_topk", text_char_bigram_topk,
+              ORACLE_CHAR_BIGRAM_TOPK, ("text", "langid", "stats"),
+              doc="top char bigrams per language with exact shares "
+                  "(lang-ID feature table / encoding-drift probe)"),
 ]

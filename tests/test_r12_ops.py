@@ -397,3 +397,163 @@ def test_eval_split_leakage_flags_planted_twin(spark, tmp_path):
            for r in text_eval_split_leakage(spark, str(tmp_path)).collect()}
     assert got["s0"]["n_leak_pairs"] >= 1
     assert got["s0"]["n_leaked_eval_docs"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# text_cooccur_lift_topk
+# ---------------------------------------------------------------------------
+
+def test_cooccur_lift_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        LIFT_HEAD_TERMS,
+        LIFT_TOP_PAIRS,
+        text_cooccur_lift_topk,
+    )
+
+    rows = _docs_rows()
+    n_docs = len(rows)
+    pres = [(d, set(t.split(" "))) for d, t, _, _ in rows]
+    df: Counter = Counter()
+    for _, s in pres:
+        df.update(s)
+    heads = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :LIFT_HEAD_TERMS]
+    hset = {w for w, _ in heads}
+    hdf = dict(heads)
+    n_ab: Counter = Counter()
+    for _, s in pres:
+        hs = sorted(s & hset)
+        for i, a in enumerate(hs):
+            for b in hs[i + 1:]:
+                n_ab[(a, b)] += 1
+    scored = [
+        (
+            (n_docs * c * 2_000_000 + hdf[a] * hdf[b])
+            // (2 * hdf[a] * hdf[b]),
+            a, b, c,
+        )
+        for (a, b), c in n_ab.items()
+    ]
+    top = sorted(scored, key=lambda t: (-t[0], t[1], t[2]))[:LIFT_TOP_PAIRS]
+    expect = {
+        (a, b): (c, hdf[a], hdf[b], m / 1e6) for m, a, b, c in top
+    }
+    got = {
+        (r["w_a"], r["w_b"]): (
+            r["n_ab"], r["df_a"], r["df_b"], r["lift_r6"]
+        )
+        for r in text_cooccur_lift_topk(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# text_positional_drift
+# ---------------------------------------------------------------------------
+
+def test_positional_drift_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        DRIFT_TOP_TERMS,
+        text_positional_drift,
+    )
+
+    rows = _docs_rows()
+    f: Counter = Counter()
+    b: Counter = Counter()
+    for _, text, _, _ in rows:
+        ws = text.split(" ")
+        n = len(ws)
+        for i, w in enumerate(ws, start=1):
+            if i <= n // 3:
+                f[w] += 1
+            if i > n - n // 3:
+                b[w] += 1
+    tf, tb = sum(f.values()), sum(b.values())
+    terms = sorted(
+        set(f) | set(b),
+        key=lambda w: (-(f[w] + b[w]), w),
+    )[:DRIFT_TOP_TERMS]
+    got = {r["term"]: r
+           for r in text_positional_drift(spark, SF_DIR).collect()}
+    assert set(got) == set(terms)
+    for w in terms:
+        r = got[w]
+        assert r["n_front"] == f[w]
+        assert r["n_back"] == b[w]
+        assert r["front_share_r6"] == _r6(f[w], tf)
+        assert r["back_share_r6"] == _r6(b[w], tb)
+        assert r["drift_micro"] == (
+            (f[w] * 2_000_000 + tf) // (2 * tf)
+            - (b[w] * 2_000_000 + tb) // (2 * tb)
+        )
+
+
+# ---------------------------------------------------------------------------
+# text_head_tail_selfsim
+# ---------------------------------------------------------------------------
+
+def test_head_tail_selfsim_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import text_head_tail_selfsim
+
+    rows = _docs_rows()
+    got = {r["doc_id"]: r
+           for r in text_head_tail_selfsim(spark, SF_DIR).collect()}
+    for doc_id, text, _, _ in rows:
+        ws = text.split(" ")
+        if len(ws) < 2:
+            assert doc_id not in got
+            continue
+        hv = list(dict.fromkeys(ws[: len(ws) // 2]))
+        tv = list(dict.fromkeys(ws[len(ws) // 2:]))
+        inter = len(set(hv) & set(tv))
+        uni = len(set(hv) | set(tv))
+        r = got[doc_id]
+        assert r["n_tokens"] == len(ws)
+        assert r["head_vocab"] == len(hv)
+        assert r["tail_vocab"] == len(tv)
+        assert r["shared_vocab"] == inter
+        assert r["jaccard"] == inter / uni
+
+
+def test_head_tail_selfsim_orders_listy_over_prose(spark, tmp_path):
+    from spark_dba_spark.operators.curation import text_head_tail_selfsim
+
+    listy = " ".join(["alpha beta gamma delta"] * 6)
+    prose = " ".join(f"word{i}" for i in range(24))
+    _write_docs(tmp_path, [listy, prose])
+    got = {r["doc_id"]: r["jaccard"]
+           for r in text_head_tail_selfsim(spark, str(tmp_path)).collect()}
+    assert got[0] == 1.0 and got[1] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# text_char_bigram_topk
+# ---------------------------------------------------------------------------
+
+def test_char_bigram_topk_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        CHAR_BG_TOP,
+        text_char_bigram_topk,
+    )
+
+    rows = _docs_rows()
+    cnt: dict[str, Counter] = {}
+    for _, text, lang, _ in rows:
+        s = text.replace(" ", "")
+        if len(s) < 2:
+            continue
+        cnt.setdefault(lang, Counter()).update(
+            s[i:i + 2] for i in range(len(s) - 1)
+        )
+    got = {(r["lang"], r["rank"]): r
+           for r in text_char_bigram_topk(spark, SF_DIR).collect()}
+    for lang, c in cnt.items():
+        tot = sum(c.values())
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:CHAR_BG_TOP]
+        for rank, (bg, n) in enumerate(top, 1):
+            r = got[(lang, rank)]
+            assert (r["bigram"], r["n_occurrences"]) == (bg, n)
+            assert r["share_r6"] == _r6(n, tot)
+    assert len(got) == sum(
+        min(CHAR_BG_TOP, len(c)) for c in cnt.values()
+    )
