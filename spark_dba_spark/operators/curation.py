@@ -908,6 +908,365 @@ ORDER BY r.lang, rank
 """
 
 
+# --------------------------------------------------------------------------
+# Events family (batch C): CUSUM extrema, dow×hour heatmap, type
+# affinity skew, newcomer share, peak-hour load ratio
+# --------------------------------------------------------------------------
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "events")
+
+
+_CENTS = "cast(floor(value * 100 + 0.5) as bigint)"
+_CENTS_DUCK = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+_US = "unix_micros(cast(ts as timestamp))"
+_US_DUCK = "epoch_us(ts)"
+
+
+def ev_value_cusum_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM extrema of spend: the running sum of CENTERED
+    per-event cents S_i = Σ_{{j≤i}} (n·c_j − T) (n = user's event
+    count, T = user's total cents — centering by n·c−T instead of
+    c−T/n keeps everything INTEGER, no division anywhere), reporting
+    max drawup, max drawdown, and the range. The classic
+    change-detection readout: a user whose spend level shifts
+    mid-history has a large |extremum|; a steady spender hovers near
+    zero. Event order is the total (ts, event_id) order, so the
+    running sum is deterministic under ties.
+
+    Scale: one user-keyed window cumsum + one user-grain agg — the
+    sessionization shuffle shape. n·c ≤ 5e4 cents × per-user counts
+    keeps every intermediate far below 2^63."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", F.expr(_CENTS).alias("c")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("c").cast("long").alias("total_cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.expr(_US), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = (
+        ev.join(F.broadcast(per_user), "user_id")
+        .withColumn(
+            "s",
+            F.sum(
+                F.expr("n_events * c") - F.col("total_cents")
+            ).over(w),
+        )
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.first("total_cents").alias("total_cents"),
+            F.max("s").cast("long").alias("cusum_max"),
+            F.min("s").cast("long").alias("cusum_min"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "total_cents",
+            "cusum_max",
+            "cusum_min",
+            (F.col("cusum_max") - F.col("cusum_min"))
+            .cast("long")
+            .alias("cusum_range"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CUSUM_EXTREMA = f"""
+WITH e AS (
+  SELECT user_id, {_US_DUCK} AS us, event_id, {_CENTS_DUCK} AS c
+  FROM events),
+pu AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(c) AS BIGINT) AS total_cents
+  FROM e GROUP BY 1),
+s AS (
+  SELECT e.user_id, pu.n_events, pu.total_cents,
+         SUM(pu.n_events * e.c - pu.total_cents) OVER (
+           PARTITION BY e.user_id ORDER BY e.us, e.event_id
+           ROWS UNBOUNDED PRECEDING) AS s
+  FROM e JOIN pu USING (user_id))
+SELECT user_id, n_events, total_cents,
+       CAST(MAX(s) AS BIGINT) AS cusum_max,
+       CAST(MIN(s) AS BIGINT) AS cusum_min,
+       CAST(MAX(s) - MIN(s) AS BIGINT) AS cusum_range
+FROM s GROUP BY 1, 2, 3 ORDER BY user_id
+"""
+
+
+def ev_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-of-week × hour-of-day activity heatmap — the capacity /
+    anomaly baseline grid every event pipeline keeps. Both axes are
+    derived by PURE INTEGER arithmetic on epoch microseconds
+    (dow = (epoch_days + 4) % 7 with 0 = Sunday — 1970-01-01 was a
+    Thursday), so no engine calendar function (with its tz/locale
+    ambiguity) is in the loop. Cells carry event counts, exact cent
+    sums and the exact share of all events.
+
+    Scale: map-side integer projection + one 168-cell-bounded agg."""
+    ev = _events(spark, sf_dir)
+    cells = (
+        ev.select(
+            F.expr(f"(({_US}) div 86400000000 + 4) % 7").alias("dow"),
+            F.expr(f"(({_US}) div 3600000000) % 24").alias("hour"),
+            F.expr(_CENTS).alias("c"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("c").cast("long").alias("value_cents"),
+        )
+        .localCheckpoint(eager=True)  # 168-row bounded; feeds total+readout
+    )
+    tot = cells.agg(F.sum("n_events").cast("long").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hour").cast("int").alias("hour"),
+            "n_events",
+            "value_cents",
+            F.expr(rat_round6_spark("n_events", "n_total")).alias(
+                "event_share_r6"
+            ),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+ORACLE_DOW_HOUR_HEATMAP = f"""
+WITH cells AS MATERIALIZED (
+  SELECT ({_US_DUCK} // 86400000000 + 4) % 7 AS dow,
+         ({_US_DUCK} // 3600000000) % 24 AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM({_CENTS_DUCK}) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM cells)
+SELECT CAST(dow AS INT) AS dow, CAST(hour AS INT) AS hour,
+       n_events, value_cents,
+       {rat_round6_duck("n_events", "n_total")} AS event_share_r6
+FROM cells CROSS JOIN tot
+ORDER BY dow, hour
+"""
+
+
+EV_AFFINITY_FACTOR = 2  # over-indexed: personal share >= this x global
+
+
+def ev_type_affinity_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: how many users OVER-INDEX on it — personal type
+    share at least {EV_AFFINITY_FACTOR}× the global share (integer
+    cross-multiply u_t·N ≥ {EV_AFFINITY_FACTOR}·n_t·u_total, no
+    division) — the behavioral-segment readout (a type whose volume
+    comes from a few obsessive users vs one spread evenly; bot
+    detection reads the same table). Exact global/user shares as
+    half-up rationals.
+
+    Scale: one (user, type) hash agg, one user-grain re-agg joined
+    back, one type-bounded rollup; the global totals ride a broadcast."""
+    ev = _events(spark, sf_dir)
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("u_t")
+    ).localCheckpoint(eager=True)  # feeds user totals + rollup
+    utot = ut.groupBy("user_id").agg(F.sum("u_t").alias("u_tot"))
+    ttot = ut.groupBy("event_type").agg(F.sum("u_t").alias("n_t"))
+    n_total = ev.count()  # scalar: global event count
+    flagged = (
+        ut.join(utot, "user_id")
+        .join(F.broadcast(ttot), "event_type")
+        .select(
+            "event_type",
+            (
+                F.expr(f"u_t * {n_total}L")
+                >= F.expr(f"{EV_AFFINITY_FACTOR}L * n_t * u_tot")
+            ).cast("long").alias("over"),
+        )
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("over").cast("long").alias("n_overindexed"),
+        )
+        .join(F.broadcast(ttot), "event_type")
+        .select(
+            "event_type",
+            F.col("n_t").cast("long").alias("n_events"),
+            "n_users",
+            "n_overindexed",
+            F.expr(rat_round6_spark("n_t", str(n_total))).alias(
+                "global_share_r6"
+            ),
+            F.expr(rat_round6_spark("n_overindexed", "n_users")).alias(
+                "overindex_user_share_r6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TYPE_AFFINITY = f"""
+WITH ut AS MATERIALIZED (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS u_t
+  FROM events GROUP BY 1, 2),
+utot AS (SELECT user_id, CAST(SUM(u_t) AS BIGINT) AS u_tot
+         FROM ut GROUP BY 1),
+ttot AS (SELECT event_type, CAST(SUM(u_t) AS BIGINT) AS n_t
+         FROM ut GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+flagged AS (
+  SELECT ut.event_type,
+         CASE WHEN ut.u_t * nt.n
+                >= {EV_AFFINITY_FACTOR} * ttot.n_t * utot.u_tot
+              THEN 1 ELSE 0 END AS over
+  FROM ut JOIN utot USING (user_id) JOIN ttot USING (event_type)
+  CROSS JOIN nt)
+SELECT f.event_type, ttot.n_t AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(over) AS BIGINT) AS n_overindexed,
+       {rat_round6_duck("ttot.n_t", "nt.n")} AS global_share_r6,
+       {rat_round6_duck("CAST(SUM(over) AS BIGINT)",
+                        "CAST(COUNT(*) AS BIGINT)")}
+         AS overindex_user_share_r6
+FROM flagged f JOIN ttot USING (event_type) CROSS JOIN nt
+GROUP BY 1, 2, nt.n ORDER BY f.event_type
+"""
+
+
+def ev_daily_newcomer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per calendar day (epoch days — integer, tz-free): how much of the
+    day's traffic comes from users seen for the FIRST time that day —
+    the growth-vs-retention decomposition every DAU dashboard carries
+    (a spike of newcomer events is an acquisition burst or a bot wave;
+    organic growth shows a steady share). First-seen day is a per-user
+    min; newcomer events are the day's events by those users.
+
+    Scale: one user-grain min-agg (map-side combinable), one broadcast
+    join back, one day-bounded rollup."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.expr(f"({_US}) div 86400000000").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum((F.col("day") == F.col("first_day")).cast("long"))
+            .cast("long")
+            .alias("n_newcomer_events"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("n_new_users"),
+        )
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_events",
+            "n_newcomer_events",
+            "n_new_users",
+            F.expr(
+                rat_round6_spark("n_newcomer_events", "n_events")
+            ).alias("newcomer_share_r6"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_DAILY_NEWCOMER = f"""
+WITH e AS (
+  SELECT user_id, {_US_DUCK} // 86400000000 AS day FROM events),
+first AS (
+  SELECT user_id, MIN(day) AS first_day FROM e GROUP BY 1),
+agg AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_newcomer_events,
+         CAST(COUNT(DISTINCT CASE WHEN day = first_day
+                                  THEN e.user_id END) AS BIGINT)
+           AS n_new_users
+  FROM e JOIN first USING (user_id) GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day, n_events, n_newcomer_events,
+       n_new_users,
+       {rat_round6_duck("n_newcomer_events", "n_events")}
+         AS newcomer_share_r6
+FROM agg ORDER BY day
+"""
+
+
+def ev_peak_hour_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per calendar day: the peak-to-mean hourly load ratio — the
+    capacity-planning number (a ratio near 1 means flat load; a spiky
+    service provisions for the peak). peak_to_mean = peak_count ·
+    n_active_hours / n_events as an exact half-up micro rational;
+    the peak hour ties to the lowest hour.
+
+    Scale: one (day, hour) agg, one day-grain re-agg — both
+    calendar-bounded; pure integer time axes."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            F.expr(f"({_US}) div 86400000000").alias("day"),
+            F.expr(f"(({_US}) div 3600000000) % 24").alias("hour"),
+        )
+        .groupBy("day", "hour")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        hourly.groupBy("day")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_active_hours"),
+            F.max(F.struct(F.col("c"), (-F.col("hour")).alias("nh")))
+            .alias("pk"),
+        )
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_events",
+            "n_active_hours",
+            (-F.col("pk.nh")).cast("int").alias("peak_hour"),
+            F.col("pk.c").cast("long").alias("peak_count"),
+            F.expr(
+                qrem_round6_spark(
+                    "pk.c * n_active_hours", "n_events"
+                )
+            ).alias("peak_to_mean_r6"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_PEAK_HOUR = f"""
+WITH hourly AS (
+  SELECT {_US_DUCK} // 86400000000 AS day,
+         ({_US_DUCK} // 3600000000) % 24 AS hour,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT day, hour, c,
+         ROW_NUMBER() OVER (PARTITION BY day
+                            ORDER BY c DESC, hour) AS rn,
+         CAST(SUM(c) OVER (PARTITION BY day) AS BIGINT) AS n_events,
+         CAST(COUNT(*) OVER (PARTITION BY day) AS BIGINT)
+           AS n_active_hours
+  FROM hourly)
+SELECT CAST(day AS BIGINT) AS day, n_events, n_active_hours,
+       CAST(hour AS INT) AS peak_hour, c AS peak_count,
+       {qrem_round6_duck("c * n_active_hours", "n_events")}
+         AS peak_to_mean_r6
+FROM ranked WHERE rn = 1 ORDER BY day
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -950,4 +1309,24 @@ SPECS = [
               ORACLE_CHAR_BIGRAM_TOPK, ("text", "langid", "stats"),
               doc="top char bigrams per language with exact shares "
                   "(lang-ID feature table / encoding-drift probe)"),
+    QuerySpec("ev_value_cusum_extrema", ev_value_cusum_extrema,
+              ORACLE_CUSUM_EXTREMA, ("events", "stats", "changepoint"),
+              doc="per-user integer CUSUM extrema of centered spend "
+                  "cents (division-free change detection)"),
+    QuerySpec("ev_dow_hour_heatmap", ev_dow_hour_heatmap,
+              ORACLE_DOW_HOUR_HEATMAP, ("events", "stats"),
+              doc="dow x hour activity grid via pure epoch-integer "
+                  "calendar arithmetic (tz/locale-free)"),
+    QuerySpec("ev_type_affinity_skew", ev_type_affinity_skew,
+              ORACLE_TYPE_AFFINITY, ("events", "stats", "audit"),
+              doc="users over-indexing per event type (integer "
+                  "cross-multiplied share comparison)"),
+    QuerySpec("ev_daily_newcomer_share", ev_daily_newcomer_share,
+              ORACLE_DAILY_NEWCOMER, ("events", "stats", "growth"),
+              doc="per-day first-seen-user event share + new-user "
+                  "counts (growth vs retention decomposition)"),
+    QuerySpec("ev_peak_hour_ratio", ev_peak_hour_ratio,
+              ORACLE_PEAK_HOUR, ("events", "stats", "capacity"),
+              doc="per-day peak-to-mean hourly load ratio, argmax "
+                  "peak hour with low-hour ties"),
 ]

@@ -557,3 +557,153 @@ def test_char_bigram_topk_matches_python_brute(spark):
     assert len(got) == sum(
         min(CHAR_BG_TOP, len(c)) for c in cnt.values()
     )
+
+
+# ---------------------------------------------------------------------------
+# events family (batch C)
+# ---------------------------------------------------------------------------
+
+def _events_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_id, epoch_us(ts), user_id, event_type, value FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _cents(v: float) -> int:
+    import math
+
+    return int(math.floor(v * 100 + 0.5))
+
+
+def test_cusum_extrema_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import ev_value_cusum_extrema
+
+    rows = _events_rows()
+    per_user: dict = {}
+    for eid, us, uid, _, v in rows:
+        per_user.setdefault(uid, []).append((us, eid, _cents(v)))
+    got = {r["user_id"]: r
+           for r in ev_value_cusum_extrema(spark, SF_DIR).collect()}
+    assert set(got) == set(per_user)
+    for uid, evs in per_user.items():
+        evs.sort()
+        n = len(evs)
+        tot = sum(c for _, _, c in evs)
+        s, smax, smin = 0, None, None
+        for _, _, c in evs:
+            s += n * c - tot
+            smax = s if smax is None else max(smax, s)
+            smin = s if smin is None else min(smin, s)
+        r = got[uid]
+        assert (r["n_events"], r["total_cents"]) == (n, tot)
+        assert (r["cusum_max"], r["cusum_min"]) == (smax, smin)
+        assert r["cusum_range"] == smax - smin
+
+
+def test_dow_hour_heatmap_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import ev_dow_hour_heatmap
+
+    rows = _events_rows()
+    cells: dict = {}
+    for _, us, _, _, v in rows:
+        dow = (us // 86_400_000_000 + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        n, c = cells.get((dow, hour), (0, 0))
+        cells[(dow, hour)] = (n + 1, c + _cents(v))
+    tot = sum(n for n, _ in cells.values())
+    got = {(r["dow"], r["hour"]): r
+           for r in ev_dow_hour_heatmap(spark, SF_DIR).collect()}
+    assert set(got) == set(cells)
+    for k, (n, c) in cells.items():
+        r = got[k]
+        assert (r["n_events"], r["value_cents"]) == (n, c)
+        assert r["event_share_r6"] == _r6(n, tot)
+
+
+def test_type_affinity_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        EV_AFFINITY_FACTOR,
+        ev_type_affinity_skew,
+    )
+
+    rows = _events_rows()
+    ut: Counter = Counter()
+    for _, _, uid, et, _ in rows:
+        ut[(uid, et)] += 1
+    utot: Counter = Counter()
+    ttot: Counter = Counter()
+    for (uid, et), c in ut.items():
+        utot[uid] += c
+        ttot[et] += c
+    n = len(rows)
+    got = {r["event_type"]: r
+           for r in ev_type_affinity_skew(spark, SF_DIR).collect()}
+    assert set(got) == set(ttot)
+    for et in ttot:
+        users = [uid for (uid, e) in ut if e == et]
+        over = sum(
+            1 for uid in users
+            if ut[(uid, et)] * n >= EV_AFFINITY_FACTOR * ttot[et] * utot[uid]
+        )
+        r = got[et]
+        assert r["n_events"] == ttot[et]
+        assert r["n_users"] == len(users)
+        assert r["n_overindexed"] == over
+        assert r["global_share_r6"] == _r6(ttot[et], n)
+        assert r["overindex_user_share_r6"] == _r6(over, len(users))
+
+
+def test_daily_newcomer_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import ev_daily_newcomer_share
+
+    rows = _events_rows()
+    days = [(us // 86_400_000_000, uid) for _, us, uid, _, _ in rows]
+    first = {}
+    for d, uid in days:
+        first[uid] = min(first.get(uid, d), d)
+    agg: dict = {}
+    for d, uid in days:
+        n, nc, users = agg.get(d, (0, 0, set()))
+        is_new = first[uid] == d
+        agg[d] = (n + 1, nc + (1 if is_new else 0),
+                  users | ({uid} if is_new else set()))
+    got = {r["day"]: r
+           for r in ev_daily_newcomer_share(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for d, (n, nc, users) in agg.items():
+        r = got[d]
+        assert (r["n_events"], r["n_newcomer_events"]) == (n, nc)
+        assert r["n_new_users"] == len(users)
+        assert r["newcomer_share_r6"] == _r6(nc, n)
+
+
+def test_peak_hour_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import ev_peak_hour_ratio
+
+    rows = _events_rows()
+    hourly: Counter = Counter()
+    for _, us, _, _, _ in rows:
+        hourly[(us // 86_400_000_000, (us // 3_600_000_000) % 24)] += 1
+    days = sorted({d for d, _ in hourly})
+    got = {r["day"]: r
+           for r in ev_peak_hour_ratio(spark, SF_DIR).collect()}
+    assert set(got) == set(days)
+    for d in days:
+        hs = {h: c for (dd, h), c in hourly.items() if dd == d}
+        n = sum(hs.values())
+        nah = len(hs)
+        peak_h, peak_c = min(
+            ((h, c) for h, c in hs.items()),
+            key=lambda t: (-t[1], t[0]),
+        )
+        r = got[d]
+        assert (r["n_events"], r["n_active_hours"]) == (n, nah)
+        assert (r["peak_hour"], r["peak_count"]) == (peak_h, peak_c)
+        num = peak_c * nah
+        want = float((num // n) * 1_000_000
+                     + ((num % n) * 2_000_000 + n) // (2 * n)) / 1e6
+        assert r["peak_to_mean_r6"] == want
