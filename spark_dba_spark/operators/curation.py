@@ -1267,6 +1267,328 @@ FROM ranked WHERE rn = 1 ORDER BY day
 """
 
 
+# --------------------------------------------------------------------------
+# Orders / lineitem family (batch D)
+# --------------------------------------------------------------------------
+
+PRICE_BAND_TOP = 1 << 62  # guard: bands come from bit_length, no cap needed
+
+
+def orders_price_band_month_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly order-value mix in log2 price bands — the distribution
+    drift grid (a month whose mass shifts one band is a pricing change
+    or a data bug; the chi-square drift tests upstream read exactly
+    this table). Band = bit_length of the order's total cents via
+    LENGTH(bin(x)) (the shared log2-band idiom); shares are exact
+    per-month rationals.
+
+    Scale: map-side band projection + one (month × band)-bounded agg;
+    one month-grain re-agg for the denominators."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .alias("ym"),
+            F.expr(
+                "length(bin(cast(floor(o_totalprice * 100 + 0.5)"
+                " as bigint)))"
+            ).alias("band"),
+        )
+        .groupBy("ym", "band")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .localCheckpoint(eager=True)  # cell-bounded; feeds totals + readout
+    )
+    tot = cells.groupBy("ym").agg(
+        F.sum("n_orders").cast("long").alias("n_month")
+    )
+    return (
+        cells.join(F.broadcast(tot), "ym")
+        .select(
+            F.col("ym").cast("int").alias("ym"),
+            F.col("band").cast("int").alias("price_band_log2"),
+            "n_orders",
+            "n_month",
+            F.expr(rat_round6_spark("n_orders", "n_month")).alias(
+                "band_share_r6"
+            ),
+        )
+        .orderBy("ym", "price_band_log2")
+    )
+
+
+ORACLE_PRICE_BAND_MIX = f"""
+WITH cells AS MATERIALIZED (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+         length(bin(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)))
+           AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2),
+tot AS (SELECT ym, CAST(SUM(n_orders) AS BIGINT) AS n_month
+        FROM cells GROUP BY 1)
+SELECT CAST(cells.ym AS INT) AS ym,
+       CAST(band AS INT) AS price_band_log2, n_orders, n_month,
+       {rat_round6_duck("n_orders", "n_month")} AS band_share_r6
+FROM cells JOIN tot ON cells.ym = tot.ym
+ORDER BY ym, price_band_log2
+"""
+
+
+def orders_repeat_customer_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly first-order vs repeat-order decomposition: an order is a
+    REPEAT if its customer has a strictly earlier order under the
+    total (o_orderdate, o_orderkey) order — the acquisition-vs-
+    retention revenue split every commerce dashboard leads with.
+    Counts, exact repeat share, and cent-exact repeat revenue share.
+
+    Scale: one customer-keyed window rank (the dedup_first shuffle
+    shape), one month-bounded rollup."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        .alias("cents"),
+        (F.row_number().over(w) >= 2).alias("repeat"),
+    )
+    return (
+        ranked.groupBy("ym")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("repeat").cast("long")).cast("long")
+            .alias("n_repeat"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.sum(F.when(F.col("repeat"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("repeat_revenue_cents"),
+        )
+        .select(
+            F.col("ym").cast("int").alias("ym"),
+            "n_orders",
+            "n_repeat",
+            F.expr(rat_round6_spark("n_repeat", "n_orders")).alias(
+                "repeat_share_r6"
+            ),
+            "revenue_cents",
+            "repeat_revenue_cents",
+        )
+        .orderBy("ym")
+    )
+
+
+ORACLE_REPEAT_CUSTOMER = f"""
+WITH ranked AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) >= 2
+           AS repeat
+  FROM orders)
+SELECT CAST(ym AS INT) AS ym,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN repeat THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       {rat_round6_duck(
+           "CAST(SUM(CASE WHEN repeat THEN 1 ELSE 0 END) AS BIGINT)",
+           "CAST(COUNT(*) AS BIGINT)")} AS repeat_share_r6,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(CASE WHEN repeat THEN cents ELSE 0 END) AS BIGINT)
+         AS repeat_revenue_cents
+FROM ranked GROUP BY 1 ORDER BY ym
+"""
+
+
+UNIT_OUTLIER_FACTOR = 2  # hi: unit > factor*median; lo: factor*unit < median
+
+
+def lineitem_unit_price_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-brand unit-price outlier audit: the exact type-1 MEDIAN unit
+    price (extendedprice/quantity in cents — the lower median at rank
+    (n+1) div 2 under the total (unit_cents, l_orderkey, l_linenumber)
+    order) and the counts of lines beyond {UNIT_OUTLIER_FACTOR}× above
+    / below it — the data-quality sweep that catches mispriced SKUs
+    and unit-of-measure bugs before they hit revenue metrics. All
+    comparisons are integer cross-multiplies.
+
+    Scale: the part dimension broadcasts onto the fact scan; the
+    median needs one brand-keyed sort-window (the exact-percentile
+    posture); outlier flagging is one more broadcast join of the
+    brand-bounded median table."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    lines = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .select(
+            "p_brand",
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "cast(floor(l_extendedprice / l_quantity * 100 + 0.5)"
+                " as bigint)"
+            ).alias("unit_cents"),
+        )
+        .localCheckpoint(eager=True)  # feeds the median rank + the flagging
+    )
+    wr = W.partitionBy("p_brand").orderBy(
+        "unit_cents", "l_orderkey", "l_linenumber"
+    )
+    wn = W.partitionBy("p_brand")
+    med = (
+        lines.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            "p_brand",
+            F.col("n").cast("long").alias("n_lines"),
+            F.col("unit_cents").alias("median_unit_cents"),
+        )
+    )
+    return (
+        lines.join(F.broadcast(med), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.first("n_lines").alias("n_lines"),
+            F.first("median_unit_cents").alias("median_unit_cents"),
+            F.sum(
+                (
+                    F.col("unit_cents")
+                    > UNIT_OUTLIER_FACTOR * F.col("median_unit_cents")
+                ).cast("long")
+            ).cast("long").alias("n_outliers_hi"),
+            F.sum(
+                (
+                    UNIT_OUTLIER_FACTOR * F.col("unit_cents")
+                    < F.col("median_unit_cents")
+                ).cast("long")
+            ).cast("long").alias("n_outliers_lo"),
+        )
+        .select(
+            "p_brand",
+            "n_lines",
+            "median_unit_cents",
+            "n_outliers_hi",
+            "n_outliers_lo",
+            F.expr(
+                rat_round6_spark(
+                    "n_outliers_hi + n_outliers_lo", "n_lines"
+                )
+            ).alias("outlier_share_r6"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_UNIT_PRICE_OUTLIERS = f"""
+WITH lines AS MATERIALIZED (
+  SELECT p_brand, l_orderkey, l_linenumber,
+         CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)
+           AS unit_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+med AS (
+  SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+         unit_cents AS median_unit_cents
+  FROM (
+    SELECT p_brand, unit_cents,
+           ROW_NUMBER() OVER (PARTITION BY p_brand
+             ORDER BY unit_cents, l_orderkey, l_linenumber) AS rn,
+           COUNT(*) OVER (PARTITION BY p_brand) AS n
+    FROM lines)
+  WHERE rn = (n + 1) // 2)
+SELECT l.p_brand AS p_brand, med.n_lines, med.median_unit_cents,
+       CAST(SUM(CASE WHEN l.unit_cents
+                       > {UNIT_OUTLIER_FACTOR} * med.median_unit_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_hi,
+       CAST(SUM(CASE WHEN {UNIT_OUTLIER_FACTOR} * l.unit_cents
+                       < med.median_unit_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_lo,
+       {rat_round6_duck(
+           "CAST(SUM(CASE WHEN l.unit_cents > "
+           f"{UNIT_OUTLIER_FACTOR} * med.median_unit_cents "
+           "THEN 1 ELSE 0 END) + SUM(CASE WHEN "
+           f"{UNIT_OUTLIER_FACTOR} * l.unit_cents "
+           "< med.median_unit_cents THEN 1 ELSE 0 END) AS BIGINT)",
+           "med.n_lines")} AS outlier_share_r6
+FROM lines l JOIN med ON l.p_brand = med.p_brand
+GROUP BY 1, 2, 3 ORDER BY p_brand
+"""
+
+
+MONTH_END_DAYS = 3  # "month-end" = the last this-many calendar days
+
+
+def orders_month_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end loading: the share of each month's orders (and cents)
+    landing in the last {MONTH_END_DAYS} calendar days — the
+    sandbagging / quota-stuffing fingerprint finance audits look for
+    (uniform arrivals put ~10% there; quota-driven sales put 30%+).
+    Both engines agree on last_day(), and the flag is a plain
+    day-of-month comparison.
+
+    Scale: map-side flag + month-bounded agg."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    flagged = orders.select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        .alias("cents"),
+        (
+            F.dayofmonth("o_orderdate")
+            > F.dayofmonth(F.last_day("o_orderdate")) - MONTH_END_DAYS
+        ).alias("tail"),
+    )
+    return (
+        flagged.groupBy("ym")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("tail").cast("long")).cast("long")
+            .alias("n_month_end"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.sum(F.when(F.col("tail"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("month_end_cents"),
+        )
+        .select(
+            F.col("ym").cast("int").alias("ym"),
+            "n_orders",
+            "n_month_end",
+            F.expr(rat_round6_spark("n_month_end", "n_orders")).alias(
+                "month_end_share_r6"
+            ),
+            "revenue_cents",
+            "month_end_cents",
+        )
+        .orderBy("ym")
+    )
+
+
+ORACLE_MONTH_END_LOADING = f"""
+WITH flagged AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         day(o_orderdate) > day(last_day(o_orderdate)) - {MONTH_END_DAYS}
+           AS tail
+  FROM orders)
+SELECT CAST(ym AS INT) AS ym,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN tail THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_month_end,
+       {rat_round6_duck(
+           "CAST(SUM(CASE WHEN tail THEN 1 ELSE 0 END) AS BIGINT)",
+           "CAST(COUNT(*) AS BIGINT)")} AS month_end_share_r6,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(CASE WHEN tail THEN cents ELSE 0 END) AS BIGINT)
+         AS month_end_cents
+FROM flagged GROUP BY 1 ORDER BY ym
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -1329,4 +1651,20 @@ SPECS = [
               ORACLE_PEAK_HOUR, ("events", "stats", "capacity"),
               doc="per-day peak-to-mean hourly load ratio, argmax "
                   "peak hour with low-hour ties"),
+    QuerySpec("orders_price_band_month_mix", orders_price_band_month_mix,
+              ORACLE_PRICE_BAND_MIX, ("orders", "stats", "drift"),
+              doc="monthly log2 price-band order mix (bit_length "
+                  "bands, exact shares — the drift grid)"),
+    QuerySpec("orders_repeat_customer_share", orders_repeat_customer_share,
+              ORACLE_REPEAT_CUSTOMER, ("orders", "stats", "retention"),
+              doc="monthly first-vs-repeat order/revenue split "
+                  "(window first-order rank, cent-exact)"),
+    QuerySpec("lineitem_unit_price_outliers", lineitem_unit_price_outliers,
+              ORACLE_UNIT_PRICE_OUTLIERS, ("lineitem", "audit", "stats"),
+              doc="per-brand exact-median unit-price outlier audit "
+                  "(type-1 median, integer cross-multiplied flags)"),
+    QuerySpec("orders_month_end_loading", orders_month_end_loading,
+              ORACLE_MONTH_END_LOADING, ("orders", "audit", "stats"),
+              doc="share of orders/cents in the last 3 calendar days "
+                  "per month (quota-stuffing fingerprint)"),
 ]

@@ -707,3 +707,126 @@ def test_peak_hour_matches_python_brute(spark):
         want = float((num // n) * 1_000_000
                      + ((num % n) * 2_000_000 + n) // (2 * n)) / 1e6
         assert r["peak_to_mean_r6"] == want
+
+
+# ---------------------------------------------------------------------------
+# orders / lineitem family (batch D)
+# ---------------------------------------------------------------------------
+
+def _orders_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_orderkey, o_custkey, o_totalprice, "
+        f"year(o_orderdate), month(o_orderdate), day(o_orderdate), "
+        f"day(last_day(o_orderdate)), o_orderdate FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_price_band_month_mix_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        orders_price_band_month_mix,
+    )
+
+    cells: Counter = Counter()
+    for _, _, price, y, m, _, _, _ in _orders_rows():
+        band = int(_cents(price)).bit_length()
+        cells[(y * 100 + m, band)] += 1
+    months: Counter = Counter()
+    for (ym, _), n in cells.items():
+        months[ym] += n
+    got = {(r["ym"], r["price_band_log2"]): r
+           for r in orders_price_band_month_mix(spark, SF_DIR).collect()}
+    assert set(got) == set(cells)
+    for (ym, band), n in cells.items():
+        r = got[(ym, band)]
+        assert r["n_orders"] == n
+        assert r["n_month"] == months[ym]
+        assert r["band_share_r6"] == _r6(n, months[ym])
+
+
+def test_repeat_customer_share_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        orders_repeat_customer_share,
+    )
+
+    rows = _orders_rows()
+    by_cust: dict = {}
+    for ok, ck, price, y, m, _, _, od in rows:
+        by_cust.setdefault(ck, []).append((od, ok, y * 100 + m, price))
+    agg: dict = {}
+    for evs in by_cust.values():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        for i, (_, _, ym, price) in enumerate(evs):
+            n, nr, rev, rrev = agg.get(ym, (0, 0, 0, 0))
+            c = _cents(price)
+            rep = i >= 1
+            agg[ym] = (n + 1, nr + rep, rev + c, rrev + (c if rep else 0))
+    got = {r["ym"]: r
+           for r in orders_repeat_customer_share(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for ym, (n, nr, rev, rrev) in agg.items():
+        r = got[ym]
+        assert (r["n_orders"], r["n_repeat"]) == (n, nr)
+        assert r["repeat_share_r6"] == _r6(nr, n)
+        assert (r["revenue_cents"], r["repeat_revenue_cents"]) == (rev, rrev)
+
+
+def test_unit_price_outliers_match_python_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.curation import (
+        UNIT_OUTLIER_FACTOR,
+        lineitem_unit_price_outliers,
+    )
+
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT p_brand, l_orderkey, l_linenumber, l_extendedprice, "
+        f"l_quantity FROM read_parquet('{SF_DIR}/lineitem.parquet') li "
+        f"JOIN read_parquet('{SF_DIR}/part.parquet') p "
+        f"ON li.l_partkey = p.p_partkey"
+    ).fetchall()
+    con.close()
+    brands: dict = {}
+    for b, ok, ln, ep, q in li:
+        uc = int(math.floor(ep / q * 100 + 0.5))
+        brands.setdefault(b, []).append((uc, ok, ln))
+    got = {r["p_brand"]: r
+           for r in lineitem_unit_price_outliers(spark, SF_DIR).collect()}
+    assert set(got) == set(brands)
+    for b, lines in brands.items():
+        lines.sort()
+        n = len(lines)
+        med = lines[(n + 1) // 2 - 1][0]
+        hi = sum(1 for uc, _, _ in lines if uc > UNIT_OUTLIER_FACTOR * med)
+        lo = sum(1 for uc, _, _ in lines if UNIT_OUTLIER_FACTOR * uc < med)
+        r = got[b]
+        assert (r["n_lines"], r["median_unit_cents"]) == (n, med)
+        assert (r["n_outliers_hi"], r["n_outliers_lo"]) == (hi, lo)
+        assert r["outlier_share_r6"] == _r6(hi + lo, n)
+
+
+def test_month_end_loading_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        MONTH_END_DAYS,
+        orders_month_end_loading,
+    )
+
+    agg: dict = {}
+    for _, _, price, y, m, dom, lastd, _ in _orders_rows():
+        ym = y * 100 + m
+        tail = dom > lastd - MONTH_END_DAYS
+        c = _cents(price)
+        n, nt, rev, tc = agg.get(ym, (0, 0, 0, 0))
+        agg[ym] = (n + 1, nt + tail, rev + c, tc + (c if tail else 0))
+    got = {r["ym"]: r
+           for r in orders_month_end_loading(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for ym, (n, nt, rev, tc) in agg.items():
+        r = got[ym]
+        assert (r["n_orders"], r["n_month_end"]) == (n, nt)
+        assert r["month_end_share_r6"] == _r6(nt, n)
+        assert (r["revenue_cents"], r["month_end_cents"]) == (rev, tc)
