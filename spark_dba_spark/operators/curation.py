@@ -1589,6 +1589,286 @@ FROM flagged GROUP BY 1 ORDER BY ym
 """
 
 
+# --------------------------------------------------------------------------
+# Embeddings family (batch E)
+# --------------------------------------------------------------------------
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "embeddings")
+
+
+_EMB_Q_SQL = (
+    "transform(embedding, x -> "
+    "cast(cast(x as double) * 1048576.0 as bigint))"
+)  # the canonical 2^-20 kmeans grid (similarity._KM_QUANT_SQL)
+
+
+def emb_quantile_clip_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension p1/p99 clip bounds on the quantized grid — the fit
+    step for outlier-robust quantization / whitening (clip-then-scale
+    is how int8 calibration actually ships). EXACT type-1 percentiles:
+    value at rank (p·n + 99) div 100 under the total (value, vec_id)
+    order (never quantile_cont), plus the count of values outside the
+    open (p1, p99) interval — the mass the clip would touch.
+
+    Scale: one posexplode fan-out, EMB_DIM-partition window ranks (the
+    exact-percentile posture; each partition is corpus-sized but the
+    sort key is a fixed-width integer), one bounded join back for the
+    clip counts. Output is EMB_DIM rows regardless of corpus size."""
+    emb = _emb(spark, sf_dir)
+    vals = emb.select(
+        "vec_id", F.posexplode(F.expr(_EMB_Q_SQL)).alias("dim", "qv")
+    ).localCheckpoint(eager=True)  # feeds rank + clip-count passes
+    wr = W.partitionBy("dim").orderBy("qv", "vec_id")
+    wn = W.partitionBy("dim")
+    ranked = vals.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(1 * n + 99) div 100"))
+            | (F.col("rn") == F.expr("(99 * n + 99) div 100"))
+        )
+        .groupBy("dim")
+        .agg(
+            F.first("n").cast("long").alias("n"),
+            F.min("qv").alias("p01_q"),
+            F.max("qv").alias("p99_q"),
+        )
+    )
+    return (
+        vals.join(F.broadcast(bounds), "dim")
+        .groupBy("dim")
+        .agg(
+            F.first("n").alias("n_vectors"),
+            F.first("p01_q").alias("p01_q"),
+            F.first("p99_q").alias("p99_q"),
+            F.sum((F.col("qv") < F.col("p01_q")).cast("long"))
+            .cast("long")
+            .alias("n_below"),
+            F.sum((F.col("qv") > F.col("p99_q")).cast("long"))
+            .cast("long")
+            .alias("n_above"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n_vectors", "p01_q", "p99_q", "n_below", "n_above",
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_QUANTILE_CLIP = """
+WITH vals AS MATERIALIZED (
+  SELECT vec_id, d.dim,
+         CAST(TRUNC(CAST(embedding[d.dim + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS dim) d),
+ranked AS (
+  SELECT dim, qv,
+         ROW_NUMBER() OVER (PARTITION BY dim ORDER BY qv, vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY dim) AS n
+  FROM vals),
+bounds AS (
+  SELECT dim, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MIN(qv) AS BIGINT) AS p01_q,
+         CAST(MAX(qv) AS BIGINT) AS p99_q
+  FROM ranked
+  WHERE rn = (1 * n + 99) // 100 OR rn = (99 * n + 99) // 100
+  GROUP BY 1)
+SELECT CAST(v.dim AS INT) AS dim, b.n AS n_vectors, b.p01_q, b.p99_q,
+       CAST(SUM(CASE WHEN v.qv < b.p01_q THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below,
+       CAST(SUM(CASE WHEN v.qv > b.p99_q THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above
+FROM vals v JOIN bounds b ON v.dim = b.dim
+GROUP BY 1, 2, 3, 4 ORDER BY dim
+"""
+
+
+GRID_SIGN_DIMS = 8  # leading dims whose sign bits form the cell id
+
+
+def emb_grid_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-grid occupancy: each vector maps to the {GRID_SIGN_DIMS}-bit
+    cell of its leading-dimension signs (the cheapest LSH bucketing)
+    and the table reports per-cell occupancy — the balance diagnostic
+    for hyperplane bucketing (uniform occupancy → good recall per
+    probe; a fat cell → that bucket degenerates to a scan). Exact
+    shares; cell ids are pure sign arithmetic.
+
+    Scale: map-side bit-fold + one 2^{GRID_SIGN_DIMS}-bounded agg."""
+    emb = _emb(spark, sf_dir)
+    cell = F.expr(
+        f"aggregate(sequence(0, {GRID_SIGN_DIMS - 1}), 0L, (acc, d) -> "
+        f"acc + case when cast(element_at(embedding, d + 1) as double)"
+        f" > 0.0d then shiftleft(1L, d) else 0L end)"
+    )
+    cells = (
+        emb.select(cell.alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .localCheckpoint(eager=True)  # bounded; feeds total + readout
+    )
+    tot = cells.agg(F.sum("n_vectors").cast("long").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n_vectors",
+            F.expr(rat_round6_spark("n_vectors", "n_total")).alias(
+                "share_r6"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+ORACLE_GRID_CELL_DENSITY = f"""
+WITH cells AS MATERIALIZED (
+  SELECT CAST(list_sum(list_transform(range(0, {GRID_SIGN_DIMS}),
+           d -> CASE WHEN CAST(embedding[d + 1] AS DOUBLE) > 0.0
+                     THEN CAST(1 AS BIGINT) << d ELSE 0 END)) AS BIGINT)
+           AS cell,
+         1 AS one
+  FROM embeddings),
+agg AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total FROM agg)
+SELECT CAST(cell AS INT) AS cell, n_vectors,
+       {rat_round6_duck("n_vectors", "n_total")} AS share_r6
+FROM agg CROSS JOIN tot ORDER BY cell
+"""
+
+
+def emb_centroid_margin_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Assignment-confidence profile of the kmeans clustering: per
+    vector, the integer margin between its SECOND-closest and closest
+    final centroid (margin 0 = sits on a boundary; large margin = deep
+    inside its cell), rolled up as a log2-band histogram with exact
+    min/max margins per band — the readout that says whether an IVF
+    routing built on these centroids will be stable under nprobe.
+
+    Scale: one map-only distance fold per centroid over the broadcast
+    K×D literal (the ``_km_assign`` posture, widened to keep the top-2
+    instead of the argmin), then a band-bounded agg."""
+    from .similarity import _km_cent_sql, _km_loop as _kml
+
+    assigned, cent = _kml(spark, sf_dir)
+    dists = assigned.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform({_km_cent_sql(cent)}, cv -> "
+                "aggregate(zip_with(qv, cv, (x, c) -> (x - c) * (x - c)),"
+                " cast(0 as bigint), (acc, v) -> acc + v))"
+            )
+        ).alias("cid", "d2"),
+    )
+    wr = W.partitionBy("vec_id").orderBy("d2", "cid")
+    top2 = (
+        dists.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2_2"),
+            F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("d2_1"),
+        )
+        .select(
+            "vec_id", (F.col("d2_2") - F.col("d2_1")).alias("margin")
+        )
+    )
+    return (
+        top2.groupBy(
+            F.expr("length(bin(margin))").cast("int").alias(
+                "margin_band_log2"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.min("margin").cast("long").alias("min_margin"),
+            F.max("margin").cast("long").alias("max_margin"),
+        )
+        .orderBy("margin_band_log2")
+    )
+
+
+ORACLE_CENTROID_MARGIN = f"""
+{_KM_ORACLE_PREFIX},
+top2 AS (
+  SELECT vec_id,
+         CAST(MAX(CASE WHEN rn = 2 THEN d2 END)
+              - MAX(CASE WHEN rn = 1 THEN d2 END) AS BIGINT) AS margin
+  FROM (
+    SELECT vec_id, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cid) AS rn
+    FROM d{KM_ITERS})
+  WHERE rn <= 2 GROUP BY 1)
+SELECT CAST(length(bin(margin)) AS INT) AS margin_band_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(margin) AS BIGINT) AS min_margin,
+       CAST(MAX(margin) AS BIGINT) AS max_margin
+FROM top2 GROUP BY 1 ORDER BY margin_band_log2
+"""
+
+
+def emb_dim_sign_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension sign balance — the health check for every
+    sign-based sketch in the engine (binary hamming, hyperplane LSH,
+    the sign-grid cells): a dimension whose positive share drifts from
+    1/2 wastes sketch bits. Reports exact positive counts, the half-up
+    positive share, and the integer imbalance |2·n_pos − n| (0 =
+    perfectly balanced), ranked worst-first by that exact key.
+
+    Scale: one posexplode + one EMB_DIM-bounded agg; the sort is over
+    64 rows."""
+    emb = _emb(spark, sf_dir)
+    per_dim = (
+        emb.select(
+            F.posexplode(
+                F.expr("transform(embedding, x -> cast(x as double))")
+            ).alias("dim", "v")
+        )
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum((F.col("v") > 0.0).cast("long")).cast("long")
+            .alias("n_pos"),
+        )
+    )
+    return (
+        per_dim.select(
+            F.col("dim").cast("int").alias("dim"),
+            "n_vectors",
+            "n_pos",
+            F.expr(rat_round6_spark("n_pos", "n_vectors")).alias(
+                "pos_share_r6"
+            ),
+            F.expr("abs(2 * n_pos - n_vectors)").cast("long").alias(
+                "abs_imbalance"
+            ),
+        )
+        .orderBy(F.desc("abs_imbalance"), F.asc("dim"))
+    )
+
+
+ORACLE_DIM_SIGN_BALANCE = f"""
+WITH per_dim AS (
+  SELECT d.dim, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(CASE WHEN CAST(embedding[d.dim + 1] AS DOUBLE) > 0.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+  GROUP BY 1)
+SELECT CAST(dim AS INT) AS dim, n_vectors, n_pos,
+       {rat_round6_duck("n_pos", "n_vectors")} AS pos_share_r6,
+       CAST(abs(2 * n_pos - n_vectors) AS BIGINT) AS abs_imbalance
+FROM per_dim ORDER BY abs_imbalance DESC, dim
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -1667,4 +1947,20 @@ SPECS = [
               ORACLE_MONTH_END_LOADING, ("orders", "audit", "stats"),
               doc="share of orders/cents in the last 3 calendar days "
                   "per month (quota-stuffing fingerprint)"),
+    QuerySpec("emb_quantile_clip_bounds", emb_quantile_clip_bounds,
+              ORACLE_QUANTILE_CLIP, ("embedding", "stats", "quantize"),
+              doc="per-dim exact type-1 p1/p99 clip bounds on the "
+                  "2^-20 grid + out-of-bounds mass"),
+    QuerySpec("emb_grid_cell_density", emb_grid_cell_density,
+              ORACLE_GRID_CELL_DENSITY, ("embedding", "lsh", "stats"),
+              doc="sign-grid cell occupancy over the leading dims "
+                  "(hyperplane bucket balance diagnostic)"),
+    QuerySpec("emb_centroid_margin_bands", emb_centroid_margin_bands,
+              ORACLE_CENTROID_MARGIN, ("embedding", "kmeans", "stats"),
+              doc="log2 bands of the best-vs-second centroid margin "
+                  "(assignment confidence / IVF routing stability)"),
+    QuerySpec("emb_dim_sign_balance", emb_dim_sign_balance,
+              ORACLE_DIM_SIGN_BALANCE, ("embedding", "lsh", "audit"),
+              doc="per-dim sign balance, worst-first by exact integer "
+                  "imbalance (sketch-bit health check)"),
 ]

@@ -830,3 +830,107 @@ def test_month_end_loading_matches_python_brute(spark):
         assert (r["n_orders"], r["n_month_end"]) == (n, nt)
         assert r["month_end_share_r6"] == _r6(nt, n)
         assert (r["revenue_cents"], r["month_end_cents"]) == (rev, tc)
+
+
+# ---------------------------------------------------------------------------
+# embeddings family (batch E)
+# ---------------------------------------------------------------------------
+
+def test_quantile_clip_bounds_match_numpy_brute(spark):
+    from spark_dba_spark.operators.curation import emb_quantile_clip_bounds
+
+    rows = _emb_rows()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    qv = np.trunc(m * (1 << 20)).astype(np.int64)
+    n = len(ids)
+    got = {r["dim"]: r
+           for r in emb_quantile_clip_bounds(spark, SF_DIR).collect()}
+    assert set(got) == set(range(64))
+    for d in range(64):
+        order = sorted(zip(qv[:, d], ids))
+        p01 = order[(1 * n + 99) // 100 - 1][0]
+        p99 = order[(99 * n + 99) // 100 - 1][0]
+        r = got[d]
+        assert r["n_vectors"] == n
+        assert (r["p01_q"], r["p99_q"]) == (p01, p99)
+        assert r["n_below"] == int((qv[:, d] < p01).sum())
+        assert r["n_above"] == int((qv[:, d] > p99).sum())
+
+
+def test_grid_cell_density_matches_numpy_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        GRID_SIGN_DIMS,
+        emb_grid_cell_density,
+    )
+
+    rows = _emb_rows()
+    m = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    cells = Counter(
+        int(sum(1 << d for d in range(GRID_SIGN_DIMS) if v[d] > 0.0))
+        for v in m
+    )
+    tot = len(m)
+    got = {r["cell"]: r
+           for r in emb_grid_cell_density(spark, SF_DIR).collect()}
+    assert set(got) == set(cells)
+    for c, n in cells.items():
+        assert got[c]["n_vectors"] == n
+        assert got[c]["share_r6"] == _r6(n, tot)
+
+
+def test_centroid_margin_bands_match_numpy_brute(spark):
+    from spark_dba_spark.operators.curation import emb_centroid_margin_bands
+    from spark_dba_spark.operators.similarity import (
+        KM_ITERS,
+        KM_K,
+        KM_QUANT,
+    )
+
+    rows = _emb_rows()
+    m = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    qv = np.trunc(m * KM_QUANT).astype(np.int64)
+    # final centroids via the shared brute Lloyd replay
+    cent = qv[:KM_K].copy()
+    for it in range(KM_ITERS - 1):
+        d = ((qv[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        new = cent.copy()
+        for c in range(KM_K):
+            mm = qv[assign == c]
+            if len(mm):
+                s = mm.sum(axis=0)
+                new[c] = np.where(s >= 0, s // len(mm), -((-s) // len(mm)))
+        cent = new
+    d = ((qv[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    d.sort(axis=1)
+    margins = (d[:, 1] - d[:, 0]).astype(np.int64)
+    bands: dict = {}
+    for mg in margins:
+        b = int(mg).bit_length() if mg > 0 else 1  # bin(0) = '0', len 1
+        lo, hi, n = bands.get(b, (mg, mg, 0))
+        bands[b] = (min(lo, mg), max(hi, mg), n + 1)
+    got = {r["margin_band_log2"]: r
+           for r in emb_centroid_margin_bands(spark, SF_DIR).collect()}
+    assert set(got) == set(bands)
+    for b, (lo, hi, n) in bands.items():
+        r = got[b]
+        assert (r["n_vectors"], r["min_margin"], r["max_margin"]) == (
+            n, lo, hi)
+
+
+def test_dim_sign_balance_matches_numpy_brute(spark):
+    from spark_dba_spark.operators.curation import emb_dim_sign_balance
+
+    rows = _emb_rows()
+    m = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    n = len(m)
+    got = {r["dim"]: r for r in emb_dim_sign_balance(spark, SF_DIR).collect()}
+    assert set(got) == set(range(64))
+    for d in range(64):
+        pos = int((m[:, d] > 0.0).sum())
+        r = got[d]
+        assert r["n_vectors"] == n
+        assert r["n_pos"] == pos
+        assert r["pos_share_r6"] == _r6(pos, n)
+        assert r["abs_imbalance"] == abs(2 * pos - n)
