@@ -1869,6 +1869,298 @@ FROM per_dim ORDER BY abs_imbalance DESC, dim
 """
 
 
+# --------------------------------------------------------------------------
+# Sketch / stats / multimodal family (batch F)
+# --------------------------------------------------------------------------
+
+KMV_SET_K = 32  # bottom-k per priority sketch (the sketch_kmv_distinct k)
+KMV_SET_HEX = 13  # 52-bit md5 lane — (k-1)*2^52 stays far inside BIGINT
+
+
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS between customer populations: per
+    order-priority, a bottom-{KMV_SET_K} KMV sketch of the distinct
+    customer set; per priority PAIR, the union estimate from the merged
+    k-th minimum, the Jaccard estimate (matching hashes among the
+    merged bottom-k — the DataSketches theta-intersection rule) and the
+    derived intersection estimate. This is the sketch family's whole
+    selling point over HLL: unions AND intersections from
+    constant-size state — audience-overlap analytics without a single
+    exact distinct-count shuffle. Fixed 52-bit md5 lanes → every
+    estimate is a pure function of the input multiset → full
+    value-hash oracle.
+
+    Scale: the sketch build is the two-stage bounded top-k of
+    sketch_kmv_distinct (salt-local cut, then per-priority cut on
+    ≤64·k rows); all pair math runs on ≤ P·{KMV_SET_K} pooled hashes
+    against a P²-bounded pair list — constant exchange regardless of
+    corpus size."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    h = orders.select(
+        F.col("o_orderpriority").alias("p"),
+        F.expr(
+            f"cast(conv(substring(md5(concat('kmvc:',"
+            f" cast(o_custkey as string))), 1, {KMV_SET_HEX}), 16, 10)"
+            " as bigint)"
+        ).alias("h"),
+    ).distinct()
+    w1 = W.partitionBy("p", F.expr("h % 64")).orderBy("h")
+    pool = (
+        h.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_SET_K)
+        .drop("rn")
+    )
+    w2 = W.partitionBy("p").orderBy("h")
+    sk = (
+        pool.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_SET_K)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # ≤ P·k sketch rows; feeds pair merge
+    )
+    pr = sk.select("p").distinct()
+    pairs = (
+        pr.select(F.col("p").alias("p_lo"))
+        .crossJoin(pr.select(F.col("p").alias("p_hi")))
+        .filter(F.col("p_lo") < F.col("p_hi"))
+    )
+    merged = (
+        F.broadcast(pairs)
+        .join(sk, (sk["p"] == pairs["p_lo"]) | (sk["p"] == pairs["p_hi"]))
+        .groupBy("p_lo", "p_hi", "h")
+        .agg(F.count("*").alias("n_sk"))  # h distinct per p → 1 or 2
+    )
+    w3 = W.partitionBy("p_lo", "p_hi").orderBy("h")
+    cut = (
+        merged.withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") <= KMV_SET_K)
+        .groupBy("p_lo", "p_hi")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.max("h").alias("kth_hash"),
+            F.sum((F.col("n_sk") == 2).cast("long")).cast("long")
+            .alias("n_match"),
+        )
+    )
+    union_est = (
+        f"case when k_used < {KMV_SET_K} then k_used else "
+        f"cast({KMV_SET_K - 1} as bigint) * {1 << (4 * KMV_SET_HEX)}"
+        " div kth_hash end"
+    )
+    return (
+        cut.withColumn("union_est", F.expr(union_est).cast("long"))
+        .select(
+            "p_lo",
+            "p_hi",
+            "k_used",
+            "union_est",
+            "n_match",
+            F.expr(rat_round6_spark("n_match", "k_used")).alias(
+                "jaccard_est_r6"
+            ),
+            F.expr(
+                qrem_round6_spark("n_match * union_est", "k_used")
+            ).alias("inter_est_r6"),
+        )
+        .orderBy("p_lo", "p_hi")
+    )
+
+
+ORACLE_KMV_SETOPS = f"""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS p,
+         CAST('0x' || substr(md5('kmvc:' || CAST(o_custkey AS VARCHAR)),
+                             1, {KMV_SET_HEX}) AS BIGINT) AS h
+  FROM orders),
+sk AS MATERIALIZED (
+  SELECT p, h FROM (
+    SELECT p, h, ROW_NUMBER() OVER (PARTITION BY p ORDER BY h) AS rn
+    FROM h) WHERE rn <= {KMV_SET_K}),
+pr AS (SELECT DISTINCT p FROM sk),
+pairs AS (
+  SELECT a.p AS p_lo, b.p AS p_hi FROM pr a JOIN pr b ON a.p < b.p),
+merged AS (
+  SELECT p_lo, p_hi, h, CAST(COUNT(*) AS BIGINT) AS n_sk
+  FROM pairs JOIN sk ON sk.p = pairs.p_lo OR sk.p = pairs.p_hi
+  GROUP BY 1, 2, 3),
+cut AS (
+  SELECT p_lo, p_hi,
+         CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(MAX(h) AS BIGINT) AS kth_hash,
+         CAST(SUM(CASE WHEN n_sk = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM (
+    SELECT p_lo, p_hi, h, n_sk,
+           ROW_NUMBER() OVER (PARTITION BY p_lo, p_hi ORDER BY h) AS rn
+    FROM merged)
+  WHERE rn <= {KMV_SET_K} GROUP BY 1, 2),
+est AS (
+  SELECT p_lo, p_hi, k_used, n_match,
+         CAST(CASE WHEN k_used < {KMV_SET_K} THEN k_used
+                   ELSE {KMV_SET_K - 1} * {1 << (4 * KMV_SET_HEX)}
+                        // kth_hash END AS BIGINT) AS union_est
+  FROM cut)
+SELECT p_lo, p_hi, k_used, union_est, n_match,
+       {rat_round6_duck("n_match", "k_used")} AS jaccard_est_r6,
+       {qrem_round6_duck("n_match * union_est", "k_used")}
+         AS inter_est_r6
+FROM est ORDER BY p_lo, p_hi
+"""
+
+
+CRC_PIVOT = "1998-01-01 00:00:00"  # capture window boundary
+
+
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln–Petersen / Chapman capture-recapture estimate of the
+    customer population from two order windows (before/after
+    {CRC_PIVOT}): n1 customers "captured" early, n2 late, m in both →
+    N̂_LP = n1·n2/m, N̂_Chapman = (n1+1)(n2+1)/(m+1) − 1 (the
+    small-sample-unbiased variant). The ecology estimator is exactly
+    the dark-traffic / dedup-completeness estimate a data platform
+    uses when it can only sample twice. Exact rationals; the true
+    distinct count rides along as the audit column.
+
+    Scale: three distinct-count aggregates over one scan (conditional
+    distincts), one single-row readout."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    pivot = F.lit(CRC_PIVOT).cast("timestamp_ntz")
+    agg = orders.agg(
+        F.countDistinct(
+            F.when(F.col("o_orderdate") < pivot, F.col("o_custkey"))
+        ).cast("long").alias("n1"),
+        F.countDistinct(
+            F.when(F.col("o_orderdate") >= pivot, F.col("o_custkey"))
+        ).cast("long").alias("n2"),
+        F.countDistinct("o_custkey").cast("long").alias("n_true"),
+    ).withColumn("m", F.expr("n1 + n2 - n_true"))
+    return agg.select(
+        "n1",
+        "n2",
+        F.col("m").cast("long").alias("n_both"),
+        "n_true",
+        F.expr(
+            "case when m >= 1 then "
+            + qrem_round6_spark("n1 * n2", "m")
+            + " end"
+        ).alias("lincoln_petersen_r6"),
+        F.expr(
+            qrem_round6_spark("(n1 + 1) * (n2 + 1)", "(m + 1)")
+            + " - 1.0d"
+        ).alias("chapman_r6"),
+    )
+
+
+ORACLE_CAPTURE_RECAPTURE = f"""
+WITH agg AS (
+  SELECT CAST(COUNT(DISTINCT CASE WHEN o_orderdate
+                < TIMESTAMP '{CRC_PIVOT}' THEN o_custkey END) AS BIGINT)
+           AS n1,
+         CAST(COUNT(DISTINCT CASE WHEN o_orderdate
+                >= TIMESTAMP '{CRC_PIVOT}' THEN o_custkey END) AS BIGINT)
+           AS n2,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_true
+  FROM orders),
+m AS (SELECT *, n1 + n2 - n_true AS m FROM agg)
+SELECT n1, n2, CAST(m AS BIGINT) AS n_both, n_true,
+       CASE WHEN m >= 1 THEN
+         {qrem_round6_duck("n1 * n2", "m")} END AS lincoln_petersen_r6,
+       {qrem_round6_duck("(n1 + 1) * (n2 + 1)", "(m + 1)")} - 1.0
+         AS chapman_r6
+FROM m
+"""
+
+
+CHUNK_W = 64  # bytes per aligned chunk (the mm_chunk_manifest grid)
+CHUNK_TOP = 40
+
+
+def mm_chunk_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-payload CHUNK dedup: the {CHUNK_W}-byte aligned chunk grid
+    of every payload is hashed (md5 over the HEX slice — the byte-grid
+    convention of mm_chunk_manifest, non-ASCII-safe) and chunks whose
+    hash appears in ≥2 DISTINCT payloads are reported — the
+    content-addressed-storage dedup table (what a CAS blob store would
+    deduplicate across assets) and the copied-asset detector. Top
+    {CHUNK_TOP} by payload spread with full tie-breaks.
+
+    Scale: map-side chunk fan-out (bytes/{CHUNK_W} rows per payload),
+    one chunk-hash hash-agg with map-side combine, a TakeOrdered head
+    cut. Only FULL chunks participate (tail fragments are unique by
+    construction and would flood the table)."""
+    from .multimodal import _assets
+
+    assets = _assets(spark, sf_dir)
+    withhx = assets.select(
+        "doc_id",
+        "media_type",
+        F.expr("hex(payload)").alias("hx"),
+        F.octet_length("payload").alias("n"),
+    )
+    chunks = (
+        withhx.filter(F.col("n") >= CHUNK_W)
+        .select(
+            "doc_id",
+            "media_type",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, n div {CHUNK_W} - 1),"
+                    f" i -> md5(substring(hx, i * {2 * CHUNK_W} + 1,"
+                    f" {2 * CHUNK_W})))"
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_payloads"),
+            F.countDistinct("media_type").cast("long").alias(
+                "n_media_types"
+            ),
+        )
+        .filter(F.col("n_payloads") >= 2)
+        .orderBy(
+            F.desc("n_payloads"), F.desc("n_occurrences"), F.asc("chunk_hash")
+        )
+        .limit(CHUNK_TOP)
+        .orderBy("chunk_hash")
+    )
+
+
+ORACLE_CHUNK_DEDUP_CROSS = f"""
+WITH assets AS (
+  SELECT doc_id, encode(text) AS payload,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type
+  FROM documents),
+withhx AS (
+  SELECT doc_id, media_type, upper(hex(payload)) AS hx,
+         octet_length(payload) AS n
+  FROM assets),
+chunks AS (
+  SELECT doc_id, media_type,
+         md5(substr(hx, i * {2 * CHUNK_W} + 1, {2 * CHUNK_W}))
+           AS chunk_hash
+  FROM withhx,
+       LATERAL unnest(generate_series(0, n // {CHUNK_W} - 1)) AS u(i)
+  WHERE n >= {CHUNK_W}),
+agg AS (
+  SELECT chunk_hash,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_payloads,
+         CAST(COUNT(DISTINCT media_type) AS BIGINT) AS n_media_types
+  FROM chunks GROUP BY 1
+  HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT chunk_hash, n_occurrences, n_payloads, n_media_types
+FROM (SELECT * FROM agg
+      ORDER BY n_payloads DESC, n_occurrences DESC, chunk_hash
+      LIMIT {CHUNK_TOP})
+ORDER BY chunk_hash
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -1963,4 +2255,19 @@ SPECS = [
               ORACLE_DIM_SIGN_BALANCE, ("embedding", "lsh", "audit"),
               doc="per-dim sign balance, worst-first by exact integer "
                   "imbalance (sketch-bit health check)"),
+    QuerySpec("sketch_kmv_setops", sketch_kmv_setops,
+              ORACLE_KMV_SETOPS, ("sketch", "agg"),
+              doc="theta-sketch union/Jaccard/intersection estimates "
+                  "between priority customer populations (bottom-k "
+                  "merge, fixed 52-bit md5 lanes)"),
+    QuerySpec("stats_capture_recapture", stats_capture_recapture,
+              ORACLE_CAPTURE_RECAPTURE, ("stats", "orders"),
+              doc="Lincoln-Petersen + Chapman population estimate from "
+                  "two order windows, exact rationals + true-count "
+                  "audit column"),
+    QuerySpec("mm_chunk_dedup_cross", mm_chunk_dedup_cross,
+              ORACLE_CHUNK_DEDUP_CROSS, ("multimodal", "dedup"),
+              doc="cross-payload 64-byte aligned chunk dedup over md5 "
+                  "hex-slice hashes (CAS dedup table / copied-asset "
+                  "detector)"),
 ]

@@ -934,3 +934,126 @@ def test_dim_sign_balance_matches_numpy_brute(spark):
         assert r["n_pos"] == pos
         assert r["pos_share_r6"] == _r6(pos, n)
         assert r["abs_imbalance"] == abs(2 * pos - n)
+
+
+# ---------------------------------------------------------------------------
+# sketch / stats / multimodal family (batch F)
+# ---------------------------------------------------------------------------
+
+def test_kmv_setops_match_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        KMV_SET_HEX,
+        KMV_SET_K,
+        sketch_kmv_setops,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT DISTINCT o_orderpriority, o_custkey FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    sketches: dict = {}
+    members: dict = {}
+    for p, ck in rows:
+        h = _md5_lane(f"kmvc:{ck}", 1, KMV_SET_HEX)
+        sketches.setdefault(p, set()).add(h)
+        members.setdefault(p, set()).add(ck)
+    sk = {p: sorted(hs)[:KMV_SET_K] for p, hs in sketches.items()}
+    got = {(r["p_lo"], r["p_hi"]): r
+           for r in sketch_kmv_setops(spark, SF_DIR).collect()}
+    prios = sorted(sk)
+    expect_pairs = {(a, b) for i, a in enumerate(prios)
+                    for b in prios[i + 1:]}
+    assert set(got) == expect_pairs
+    for (a, b) in expect_pairs:
+        merged = sorted(set(sk[a]) | set(sk[b]))[:KMV_SET_K]
+        k_used = len(merged)
+        kth = merged[-1]
+        n_match = sum(1 for h in merged if h in set(sk[a]) and h in set(sk[b]))
+        if k_used < KMV_SET_K:
+            union_est = k_used
+        else:
+            union_est = (KMV_SET_K - 1) * (1 << (4 * KMV_SET_HEX)) // kth
+        r = got[(a, b)]
+        assert (r["k_used"], r["union_est"], r["n_match"]) == (
+            k_used, union_est, n_match)
+        assert r["jaccard_est_r6"] == _r6(n_match, k_used)
+        num = n_match * union_est
+        want = float((num // k_used) * 1_000_000
+                     + ((num % k_used) * 2_000_000 + k_used)
+                     // (2 * k_used)) / 1e6
+        assert r["inter_est_r6"] == want
+        # estimator sanity: the union estimate is in the right decade
+        true_u = len(members[a] | members[b])
+        assert union_est == true_u or abs(union_est - true_u) < true_u
+
+
+def test_capture_recapture_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        CRC_PIVOT,
+        stats_capture_recapture,
+    )
+
+    con = duckdb.connect()
+    n1, n2, n_true = con.execute(
+        f"SELECT COUNT(DISTINCT CASE WHEN o_orderdate < "
+        f"TIMESTAMP '{CRC_PIVOT}' THEN o_custkey END), "
+        f"COUNT(DISTINCT CASE WHEN o_orderdate >= "
+        f"TIMESTAMP '{CRC_PIVOT}' THEN o_custkey END), "
+        f"COUNT(DISTINCT o_custkey) FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchone()
+    con.close()
+    m = n1 + n2 - n_true
+    [r] = stats_capture_recapture(spark, SF_DIR).collect()
+    assert (r["n1"], r["n2"], r["n_both"], r["n_true"]) == (
+        n1, n2, m, n_true)
+
+    def qr6(num, den):
+        return float((num // den) * 1_000_000
+                     + ((num % den) * 2_000_000 + den) // (2 * den)) / 1e6
+
+    if m >= 1:
+        assert r["lincoln_petersen_r6"] == qr6(n1 * n2, m)
+    else:
+        assert r["lincoln_petersen_r6"] is None
+    assert r["chapman_r6"] == qr6((n1 + 1) * (n2 + 1), m + 1) - 1.0
+
+
+def test_chunk_dedup_cross_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        CHUNK_TOP,
+        CHUNK_W,
+        mm_chunk_dedup_cross,
+    )
+
+    rows = _docs_rows()
+    agg: dict = {}
+    for doc_id, text, _, _ in rows:
+        hx = text.encode("utf-8").hex().upper()
+        nb = len(hx) // 2
+        if nb < CHUNK_W:
+            continue
+        for i in range(nb // CHUNK_W):
+            sl = hx[i * 2 * CHUNK_W:(i + 1) * 2 * CHUNK_W]
+            ch = hashlib.md5(sl.encode()).hexdigest()
+            occ, docs = agg.get(ch, (0, set()))
+            agg[ch] = (occ + 1, docs | {doc_id})
+    dup = {ch: (occ, docs) for ch, (occ, docs) in agg.items()
+           if len(docs) >= 2}
+    top = sorted(
+        dup.items(),
+        key=lambda kv: (-len(kv[1][1]), -kv[1][0], kv[0]),
+    )[:CHUNK_TOP]
+    expect = {
+        ch: (occ, len(docs),
+             len({("image" if d % 3 == 0 else
+                   "audio" if d % 3 == 1 else "video") for d in docs}))
+        for ch, (occ, docs) in top
+    }
+    got = {r["chunk_hash"]: (
+        r["n_occurrences"], r["n_payloads"], r["n_media_types"])
+        for r in mm_chunk_dedup_cross(spark, SF_DIR).collect()}
+    assert got == expect
+    assert got, "fixture must exercise the cross-payload dup path"
