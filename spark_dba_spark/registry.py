@@ -42,25 +42,91 @@ class QuerySpec:
 # into PRIORITY_LAST (prefer families with several other green rows). Over
 # rounds, every query accumulates at least one driver-recorded green row.
 #
-# ROUND-11 WINDOW (VERDICT r10 "Next round" #1-#2; one window = 50 slots):
-# CORRECTNESS_r10 delivered 50/50 green — the first zero-red round, kmeans
-# saga closed. Per the standing rotation protocol all 36 r10 slot-holders
-# retire to PRIORITY_LAST. Slots 1-8 seat the eight full-oracle
-# never-checked backlog ops that queued behind the r10 window; slot 9
-# seats sketch_hll_reaggregate, UPGRADED this round from rows-only to a
-# full oracle (deterministic-register reaggregation ladder — VERDICT r10
-# #4, the sketch_hll_registers precedent — so it is now window-eligible);
-# slots 10-36 are twenty-seven NEW r11 operators (landed early, each with
-# a full oracle, three hostile-SF sweep rows, and a Python brute-force
-# pytest twin — the r9/r10 protocol), headlined by the five VERDICT r10 #2
-# candidates: dup-region removal, DSIR importance weights, IVF-PQ compound
-# ANN, tokenizer fertility, paragraph-grain near-dup. Slots 37-50 stay the
-# frozen bench set. Nothing never-checked remains beyond slot 50 (the
-# backlog drained exactly into the window). The 36 r10-window greens
-# rotate to PRIORITY_LAST; the r9 greens previously there fall back to the
-# middle.
+# ROUND-12 WINDOW (VERDICT r11 "Next round" #1-#2; one window = 50 slots):
+# CORRECTNESS_r11 delivered 50/50 green (third consecutive zero-red
+# round). Per the standing rotation protocol all 36 r11 slot-holders
+# retire to PRIORITY_LAST. Slots 1-10 seat the ten full-oracle
+# never-checked continuation ops that queued behind the r11 window; slot
+# 11 seats sketch_top_k_heavy_hitters, UPGRADED this round from the
+# merge-order-dependent approx_top_k engine sketch to a deterministic
+# fixed-hash CMS mirror with a full value-hash oracle (VERDICT r11 #4,
+# the sketch_hll_reaggregate precedent — now window-eligible); slots
+# 12-36 are twenty-five NEW r12 operators (landed early, each with a
+# full oracle, three hostile-SF sweep rows, and a Python brute-force
+# pytest twin — the standing protocol), headlined by the five VERDICT
+# r11 #2 candidates: semantic dedup over the kmeans clusters, the
+# bigram-LM fluency proxy, the Gopher repetition gates, the
+# paragraph-grain cleaned corpus, and the leakage-checked eval split.
+# Slots 37-50 stay the frozen bench set. Nothing never-checked remains
+# beyond slot 50 (the backlog drained exactly into the window). The 36
+# r11-window greens rotate to PRIORITY_LAST; the r10 greens previously
+# there fall back to the middle.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # slots 1-8 — the r10 backlog (full local evidence, never checked)
+    # slots 1-10 — the r11 continuation backlog (full local evidence,
+    # never driver-checked)
+    "text_vocab_rank_drift",
+    "text_term_burstiness",
+    "graph_local_clustering",
+    "emb_dim_redundancy_topk",
+    "ev_markov_order2",
+    "ev_user_hour_concentration",
+    "stats_permutation_diff",
+    "sketch_bloom_capacity_sweep",
+    "orders_weekday_index",
+    "mm_byte_delta_profile",
+    # slot 11 — upgraded rows-only -> full oracle this round (VERDICT #4)
+    "sketch_top_k_heavy_hitters",
+    # slots 12-36 — new in r12 (never driver-checked by definition)
+    "dedup_semantic_kmeans",
+    "text_bigram_lm_surprisal",
+    "text_repetition_gates",
+    "dedup_paragraph_cleaned_corpus",
+    "text_eval_split_leakage",
+    "text_cooccur_lift_topk",
+    "text_positional_drift",
+    "text_head_tail_selfsim",
+    "text_char_bigram_topk",
+    "ev_value_cusum_extrema",
+    "ev_dow_hour_heatmap",
+    "ev_type_affinity_skew",
+    "ev_daily_newcomer_share",
+    "ev_peak_hour_ratio",
+    "orders_price_band_month_mix",
+    "orders_repeat_customer_share",
+    "lineitem_unit_price_outliers",
+    "orders_month_end_loading",
+    "emb_quantile_clip_bounds",
+    "emb_grid_cell_density",
+    "emb_centroid_margin_bands",
+    "emb_dim_sign_balance",
+    "sketch_kmv_setops",
+    "stats_capture_recapture",
+    "mm_chunk_dedup_cross",
+    # frozen bench set — a driver row EVERY round:
+    "q01_pricing_summary",
+    "ev_tumbling_1h",
+    "json_extract_events",
+    "q02_scan_filter_project",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_item",
+    "join_broadcast_dim",
+    "agg_distinct",
+    "window_topk_per_group",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality",
+    # --- beyond slot 50: nothing — the r11 backlog drained exactly
+    # into slots 1-10 and every new r12 op landed inside the window
+    # (test_remaining_backlog_queued_right_after_window stays armed
+    # for future rounds).
+)
+
+# r11-window greens — rotate to the tail this round (driver row <=1 round
+# old; still in every committed local sweep). The middle (not listed here
+# or above) holds the r2-r10 greens in registration order.
+PRIORITY_LAST: tuple[str, ...] = (
     "text_consonant_runs",
     "q21_waiting_supplier_adapted",
     "q22_dormant_value_adapted",
@@ -69,9 +135,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "dedup_cluster_size_histogram",
     "orders_rfm_migration",
     "ev_hour_of_day_profile",
-    # slot 9 — upgraded rows-only -> full oracle this round (VERDICT #4)
     "sketch_hll_reaggregate",
-    # slots 10-36 — new in r11 (never driver-checked by definition)
     "text_dup_region_removal",
     "text_dsir_importance",
     "sim_ivfpq_compound",
@@ -99,77 +163,6 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_payload_entropy_proxy",
     "mm_payload_magic_profile",
     "mm_byte_bigram_topk",
-    # frozen bench set — a driver row EVERY round:
-    "q01_pricing_summary",
-    "ev_tumbling_1h",
-    "json_extract_events",
-    "q02_scan_filter_project",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q10_returned_item",
-    "join_broadcast_dim",
-    "agg_distinct",
-    "window_topk_per_group",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "sim_cosine_topk",
-    "text_quality",
-    # --- beyond slot 50: the never-checked backlog, contiguous
-    # (enforced by test_remaining_backlog_queued_right_after_window) —
-    # ten mid-r11 continuation ops landed after the window filled; full
-    # 3-SF local evidence + brute twins; the r12 window candidates:
-    "text_vocab_rank_drift",
-    "text_term_burstiness",
-    "graph_local_clustering",
-    "emb_dim_redundancy_topk",
-    "ev_markov_order2",
-    "ev_user_hour_concentration",
-    "stats_permutation_diff",
-    "sketch_bloom_capacity_sweep",
-    "orders_weekday_index",
-    "mm_byte_delta_profile",
-)
-
-# r10-window greens — rotate to the tail this round (driver row <=1 round
-# old; still in every committed local sweep). The middle (not listed here
-# or above) holds the r2-r9 greens in registration order.
-PRIORITY_LAST: tuple[str, ...] = (
-    "emb_kmeans_lloyd",
-    "emb_km_diag_seed_inertia",
-    "emb_km_diag_inertia_q2",
-    "emb_km_diag_inertia_r6",
-    "mm_audio_vad_segments",
-    "emb_mmr_diversified_topk",
-    "dedup_prefix_filter_join",
-    "graph_common_neighbors",
-    "emb_margin_audit",
-    "mm_video_scene_cuts",
-    "orders_seasonal_naive_backtest",
-    "orders_fulfillment_latency_bands",
-    "dedup_longest_dup_span",
-    "doc_span_decontamination",
-    "text_boilerplate_heads",
-    "sim_lsh_multiprobe",
-    "sim_lsh_multiprobe_candidates",
-    "emb_sign_sketch_agreement",
-    "graph_kcore_peel",
-    "graph_label_propagation",
-    "graph_global_transitivity",
-    "graph_degree_histogram",
-    "text_bpe_merge_sequence",
-    "stats_cohens_kappa_langid",
-    "sketch_bloom_fpr_audit",
-    "stats_kruskal_wallis_daily",
-    "text_char_class_profile",
-    "ts_ohlc_candles",
-    "ev_bollinger_breakout",
-    "ev_lifecycle_accounting",
-    "orders_pareto_cumshare",
-    "ev_session_percentiles",
-    "window_topk_with_ties",
-    "mm_payload_byte_histogram",
-    "mm_payload_rle_compress",
-    "mm_chunk_manifest",
 )
 
 
