@@ -2161,6 +2161,782 @@ ORDER BY chunk_hash
 """
 
 
+# --------------------------------------------------------------------------
+# Continuation batch (r13 backlog, queued beyond the 50-slot window):
+# component cohesion, local bridges, bucket-pair cosine histogram,
+# payload byte stats, transition-gap medians, balance×activity grid,
+# source bigram uniqueness, sign test, hourly MAD anomalies,
+# supplier quartile grid
+# --------------------------------------------------------------------------
+
+def dedup_component_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weight cohesion per near-dup component: min/max/mean edge
+    Jaccard inside each connected component — the quality gate on the
+    dedup threshold itself (a component whose min edge sits at tau is
+    a chain stitched by borderline pairs and should not be collapsed
+    to one survivor; a tight clique has min ≈ max ≈ 1). Means are
+    micro-rounded per edge then exactly averaged (the deterministic
+    mean-of-rounded pattern).
+
+    Scale: components come from the log-diameter star-contraction CC;
+    the cohesion agg runs over the dup-bounded edge set after one
+    doc-keyed join to attach component labels."""
+    from .dedup import cc_components, dedup_ngram_jaccard
+
+    edges = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    ).localCheckpoint(eager=True)  # dup-bounded; feeds CC + cohesion agg
+    comp = cc_components(edges.select("doc_a", "doc_b"))
+    lab = edges.join(
+        comp.select(
+            F.col("doc_id").alias("doc_a"), F.col("comp").alias("component_id")
+        ),
+        "doc_a",
+    ).withColumn(
+        "j_micro", F.expr("cast(floor(jaccard * 1000000 + 0.5) as bigint)")
+    )
+    nodes = comp.groupBy(F.col("comp").alias("component_id")).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    return (
+        lab.groupBy("component_id")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+            F.sum("j_micro").alias("sum_micro"),
+        )
+        .join(nodes, "component_id")
+        .select(
+            "component_id",
+            "n_nodes",
+            "n_edges",
+            "min_jaccard",
+            "max_jaccard",
+            F.expr(
+                "cast((sum_micro * 2 + n_edges) div (2 * n_edges)"
+                " as double) / 1000000.0"
+            ).alias("mean_jaccard_r6"),
+        )
+        .orderBy("component_id")
+    )
+
+
+def _oracle_component_cohesion() -> str:
+    from .dedup import ORACLE_CC
+
+    marker = "SELECT doc_id, component_id,"
+    assert marker in ORACLE_CC, "ORACLE_CC final SELECT reworded"
+    closure = ORACLE_CC.split(marker)[0].rstrip()
+    return f"""{closure},
+je AS (
+  SELECT dup.doc_a, dup.doc_b,
+         inter * 1.0 / (x.n + y.n - inter) AS jaccard
+  FROM dup
+  JOIN pair USING (doc_a, doc_b)
+  JOIN sz x ON dup.doc_a = x.doc_id JOIN sz y ON dup.doc_b = y.doc_id),
+lab AS (
+  SELECT c.component_id, je.jaccard,
+         CAST(FLOOR(je.jaccard * 1000000 + 0.5) AS BIGINT) AS j_micro
+  FROM je JOIN comp c ON je.doc_a = c.doc_id),
+nodes AS (
+  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM comp GROUP BY 1)
+SELECT l.component_id, n.n_nodes,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       MIN(jaccard) AS min_jaccard,
+       MAX(jaccard) AS max_jaccard,
+       CAST((SUM(j_micro) * 2 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / 1000000.0 AS mean_jaccard_r6
+FROM lab l JOIN nodes n ON l.component_id = n.component_id
+GROUP BY 1, 2 ORDER BY l.component_id
+"""
+
+
+def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-bridge audit of the near-dup graph: for every EXISTING
+    edge, the count of common neighbors of its endpoints; an edge with
+    zero common neighbors is a LOCAL BRIDGE — the single link stitching
+    two otherwise-unrelated dup families together (exactly the edge a
+    conservative dedup severs before collapsing components; the
+    complement of graph_common_neighbors, which scores NON-edges).
+
+    Scale: one wedge join keyed on the shared endpoint over the
+    dup-bounded symmetric adjacency, one edge-grain agg — Σ min(deg)
+    per edge, never all pairs."""
+    edges, sym = _neardup_graph(spark, sf_dir)
+    na = sym.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("n"))
+    nb = sym.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("n"))
+    common = (
+        edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .join(na, "a")
+        .join(nb, ["b", "n"])
+        .filter((F.col("n") != F.col("a")) & (F.col("n") != F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+    )
+    return (
+        edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .join(common, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.coalesce("cn", F.lit(0)).cast("long").alias(
+                "n_common_neighbors"
+            ),
+            (F.coalesce("cn", F.lit(0)) == 0).alias("is_local_bridge"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_LOCAL_BRIDGES = f"""
+WITH {_GRAPH_SYM_CTES},
+common AS (
+  SELECT dup.doc_a AS a, dup.doc_b AS b,
+         CAST(COUNT(*) AS BIGINT) AS cn
+  FROM dup
+  JOIN sym na ON na.doc_a = dup.doc_a
+  JOIN sym nb ON nb.doc_a = dup.doc_b AND nb.doc_b = na.doc_b
+  WHERE na.doc_b != dup.doc_a AND na.doc_b != dup.doc_b
+  GROUP BY 1, 2)
+SELECT dup.doc_a, dup.doc_b,
+       COALESCE(cn, 0) AS n_common_neighbors,
+       COALESCE(cn, 0) = 0 AS is_local_bridge
+FROM dup LEFT JOIN common ON dup.doc_a = common.a AND dup.doc_b = common.b
+ORDER BY dup.doc_a, dup.doc_b
+"""
+
+
+COS_HIST_DECI_MIN = -10  # cosine deciband floor (cos in [-1, 1])
+
+
+def emb_bucket_pair_cos_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cosine histogram of CANDIDATE pairs inside the sign-grid buckets
+    (the emb_grid_cell_density cells): the distribution an LSH
+    threshold calibration reads — how similar bucket-mates actually
+    are, in 0.1-wide cosine bands. Pairs are bucket-bounded (Σ|cell|²,
+    never corpus²); the cosine is the exact IEEE quotient, banded by
+    floor(cos·10) (deterministic — both engines compute the identical
+    double).
+
+    Scale: the bucket self-join is keyed on the cell id; at production
+    scale cells are rebalanced by widening the sign prefix, exactly
+    like LSH bands."""
+    emb = _emb(spark, sf_dir)
+    cell = F.expr(
+        f"aggregate(sequence(0, {GRID_SIGN_DIMS - 1}), 0L, (acc, d) -> "
+        f"acc + case when cast(element_at(embedding, d + 1) as double)"
+        f" > 0.0d then shiftleft(1L, d) else 0L end)"
+    )
+    b = emb.select(
+        "vec_id", cell.alias("cell"), "embedding"
+    ).localCheckpoint(eager=True)  # bucketed frame self-joins below
+    lo = b.select(
+        F.col("cell").alias("cell_l"),
+        F.col("vec_id").alias("u"),
+        F.col("embedding").alias("qe"),
+    )
+    pairs = (
+        b.join(lo, (b["cell"] == lo["cell_l"]) & (lo["u"] < b["vec_id"]))
+        .select(
+            F.expr(
+                "aggregate(zip_with(qe, embedding, (x, y) ->"
+                " cast(x as double) * cast(y as double)),"
+                " cast(0.0 as double), (acc, v) -> acc + v)"
+                " / (sqrt(aggregate(transform(qe, x -> cast(x as double)"
+                " * cast(x as double)), cast(0.0 as double),"
+                " (acc, v) -> acc + v))"
+                " * sqrt(aggregate(transform(embedding, x ->"
+                " cast(x as double) * cast(x as double)),"
+                " cast(0.0 as double), (acc, v) -> acc + v)))"
+            ).alias("cos")
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.expr("cast(floor(cos * 10) as int)").alias("cos_band_deci")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.min("cos"), 4).alias("min_cos_r4"),
+            F.round(F.max("cos"), 4).alias("max_cos_r4"),
+        )
+        .orderBy("cos_band_deci")
+    )
+
+
+ORACLE_BUCKET_PAIR_COS = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         CAST(list_sum(list_transform(range(0, {GRID_SIGN_DIMS}),
+           d -> CASE WHEN CAST(embedding[d + 1] AS DOUBLE) > 0.0
+                     THEN CAST(1 AS BIGINT) << d ELSE 0 END)) AS BIGINT)
+           AS cell
+  FROM embeddings),
+pairs AS (
+  SELECT list_cosine_similarity(a.emb, b.emb) AS cos
+  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT CAST(FLOOR(cos * 10) AS INT) AS cos_band_deci,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(MIN(cos), 4) AS min_cos_r4,
+       ROUND(MAX(cos), 4) AS max_cos_r4
+FROM pairs GROUP BY 1 ORDER BY cos_band_deci
+"""
+
+
+def mm_payload_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload byte statistics — the cheap triage row a media
+    ingest keeps per asset before any decode: byte count, exact byte
+    sum / half-up mean, min/max byte, and the distinct-byte count
+    (a 2-value payload is a bitmap or padding; a ~full-range one is
+    compressed/encrypted). All from the hex projection — one map-side
+    pass, non-ASCII-safe.
+
+    Scale: map-only HOF over hex pairs + a per-asset row; no
+    shuffle beyond the final orderBy."""
+    from .multimodal import _assets
+
+    assets = _assets(spark, sf_dir)
+    withb = assets.select(
+        "doc_id",
+        "media_type",
+        F.expr(
+            "transform(sequence(1, octet_length(payload)), i -> "
+            "cast(conv(substring(hex(payload), 2 * i - 1, 2), 16, 10)"
+            " as bigint))"
+        ).alias("bs"),
+        F.octet_length("payload").alias("n"),
+    ).filter(F.col("n") >= 1)
+    return (
+        withb.select(
+            "doc_id",
+            "media_type",
+            F.col("n").cast("long").alias("n_bytes"),
+            F.expr(
+                "aggregate(bs, cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("byte_sum"),
+            F.expr("array_min(bs)").cast("int").alias("min_byte"),
+            F.expr("array_max(bs)").cast("int").alias("max_byte"),
+            F.expr("size(array_distinct(bs))").cast("int").alias(
+                "n_distinct_bytes"
+            ),
+        )
+        .withColumn(
+            "mean_byte_r6",
+            F.expr(
+                "cast((byte_sum * 2000000 + n_bytes) div (2 * n_bytes)"
+                " as double) / 1000000.0"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PAYLOAD_BYTE_STATS = """
+WITH assets AS (
+  SELECT doc_id, encode(text) AS payload,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type
+  FROM documents),
+b AS (
+  SELECT doc_id, media_type, octet_length(payload) AS n,
+         list_transform(generate_series(1, octet_length(payload)),
+           i -> CAST(('0x' || substr(upper(hex(payload)), 2 * i - 1, 2))
+                     AS BIGINT)) AS bs
+  FROM assets WHERE octet_length(payload) >= 1)
+SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,
+       CAST(list_sum(bs) AS BIGINT) AS byte_sum,
+       CAST(list_min(bs) AS INT) AS min_byte,
+       CAST(list_max(bs) AS INT) AS max_byte,
+       CAST(len(list_distinct(bs)) AS INT) AS n_distinct_bytes,
+       CAST((CAST(list_sum(bs) AS BIGINT) * 2000000 + n) // (2 * n)
+            AS DOUBLE) / 1000000.0 AS mean_byte_r6
+FROM b ORDER BY doc_id
+"""
+
+
+def ev_type_transition_gap_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact median (and p90) inter-event gap per TYPE TRANSITION
+    (prev_type → event_type) — the behavioral-latency table
+    ("view → purchase takes minutes; error → error means a retry
+    loop"). Gaps are integer seconds from epoch micros; percentiles
+    are exact type-1 at rank (p·n + 99) div 100 under the total
+    (gap, user_id, event_id) order.
+
+    Scale: one user-keyed lag window (the sessionization shuffle),
+    one transition-pair-keyed rank window over the transition frame
+    (pair count is |types|² cells; each partition holds that
+    transition's gaps — the exact-percentile posture)."""
+    ev = _events(spark, sf_dir)
+    wl = W.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr(_US).alias("us"),
+        )
+        .withColumn("prev_type", F.lag("event_type").over(wl))
+        .withColumn("prev_us", F.lag("us").over(wl))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            "prev_type",
+            "event_type",
+            "user_id",
+            "event_id",
+            F.expr("(us - prev_us) div 1000000").alias("gap_s"),
+        )
+    )
+    wr = W.partitionBy("prev_type", "event_type").orderBy(
+        "gap_s", "user_id", "event_id"
+    )
+    wn = W.partitionBy("prev_type", "event_type")
+    ranked = gaps.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") == F.expr("(50 * n + 99) div 100"))
+            | (F.col("rn") == F.expr("(90 * n + 99) div 100"))
+        )
+        .groupBy("prev_type", "event_type")
+        .agg(
+            F.first("n").cast("long").alias("n_transitions"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(50 * n + 99) div 100"),
+                    F.col("gap_s"),
+                )
+            ).cast("long").alias("median_gap_s"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(90 * n + 99) div 100"),
+                    F.col("gap_s"),
+                )
+            ).cast("long").alias("p90_gap_s"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+ORACLE_TRANSITION_GAP = f"""
+WITH g AS (
+  SELECT LAG(event_type) OVER w AS prev_type, event_type,
+         user_id, event_id,
+         ({_US_DUCK} - LAG({_US_DUCK}) OVER w) // 1000000 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {_US_DUCK}, event_id)),
+ranked AS (
+  SELECT prev_type, event_type, gap_s,
+         ROW_NUMBER() OVER (PARTITION BY prev_type, event_type
+                            ORDER BY gap_s, user_id, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY prev_type, event_type) AS n
+  FROM g WHERE prev_type IS NOT NULL)
+SELECT prev_type, event_type,
+       CAST(MAX(n) AS BIGINT) AS n_transitions,
+       CAST(MIN(CASE WHEN rn = (50 * n + 99) // 100 THEN gap_s END)
+            AS BIGINT) AS median_gap_s,
+       CAST(MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN gap_s END)
+            AS BIGINT) AS p90_gap_s
+FROM ranked
+WHERE rn = (50 * n + 99) // 100 OR rn = (90 * n + 99) // 100
+GROUP BY 1, 2 ORDER BY prev_type, event_type
+"""
+
+
+def customer_balance_activity_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Account-balance decile × order-activity band contingency grid —
+    the "does money predict engagement" crosstab (a diagonal grid
+    means balance and activity move together; a flat one means the
+    balance field is stale). Deciles are NTILE(10) over the exact
+    (acctbal cents, c_custkey) total order (the ANSI-fixed fill rule);
+    activity bands are log2 of the customer's order count, −1 for
+    zero orders.
+
+    Scale: one customer-grain order count (map-side combinable), a
+    broadcast-joined customer dimension, NTILE over the customer
+    DIMENSION (the rfm_segmentation argument), one grid-bounded agg."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    orders = catalog.load(spark, sf_dir, "orders")
+    cnt = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("n_orders")
+    )
+    base = (
+        customer.select(
+            "c_custkey",
+            F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias(
+                "bal_cents"
+            ),
+        )
+        .join(cnt, "c_custkey", "left")
+        .withColumn("n_orders", F.coalesce("n_orders", F.lit(0)))
+    )
+    wd = W.orderBy("bal_cents", "c_custkey")
+    grid = (
+        base.withColumn("bal_decile", F.ntile(10).over(wd))
+        .withColumn(
+            "activity_band",
+            F.expr(
+                "case when n_orders = 0 then -1"
+                " else length(bin(n_orders)) end"
+            ),
+        )
+        .groupBy("bal_decile", "activity_band")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("n_orders_total"),
+        )
+    )
+    return grid.select(
+        F.col("bal_decile").cast("int").alias("bal_decile"),
+        F.col("activity_band").cast("int").alias("activity_band"),
+        "n_customers",
+        "n_orders_total",
+    ).orderBy("bal_decile", "activity_band")
+
+
+ORACLE_BALANCE_ACTIVITY = """
+WITH cnt AS (
+  SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1),
+base AS (
+  SELECT c.c_custkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         COALESCE(n_orders, 0) AS n_orders
+  FROM customer c LEFT JOIN cnt USING (c_custkey)),
+grid AS (
+  SELECT NTILE(10) OVER (ORDER BY bal_cents, c_custkey) AS bal_decile,
+         CASE WHEN n_orders = 0 THEN -1
+              ELSE length(bin(n_orders)) END AS activity_band,
+         n_orders
+  FROM base)
+SELECT CAST(bal_decile AS INT) AS bal_decile,
+       CAST(activity_band AS INT) AS activity_band,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders_total
+FROM grid GROUP BY 1, 2 ORDER BY bal_decile, activity_band
+"""
+
+
+def text_source_bigram_uniqueness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source bigram-vocabulary uniqueness: how many of a source's
+    distinct word bigrams appear in NO other source — the
+    provenance-value readout one grain above unigram vocabulary
+    (a feed whose bigram types are all shared adds no phrasing the
+    corpus lacks; unigram Jaccard misses this because everyone shares
+    the words). Exact shares.
+
+    Scale: one distinct (source, bigram) explode, one bigram-keyed
+    source-count agg (inverted-index shape), one source-bounded
+    re-agg — the decontaminate_ngram dataflow."""
+    docs = _docs(spark, sf_dir)
+    sb = (
+        docs.select("source", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i -> "
+                    "concat(element_at(ws, i), ' ',"
+                    " element_at(ws, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds df-count + per-source agg
+    )
+    bdf = sb.groupBy("bg").agg(F.count("*").alias("n_sources"))
+    return (
+        sb.join(bdf, "bg")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_bigram_types"),
+            F.sum((F.col("n_sources") == 1).cast("long")).cast("long")
+            .alias("n_unique_types"),
+        )
+        .select(
+            "source",
+            "n_bigram_types",
+            "n_unique_types",
+            F.expr(
+                rat_round6_spark("n_unique_types", "n_bigram_types")
+            ).alias("unique_share_r6"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_BIGRAM_UNIQ = f"""
+WITH sb AS MATERIALIZED (
+  SELECT DISTINCT source, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)
+  WHERE len(ws) >= 2),
+bdf AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_sources FROM sb GROUP BY 1)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+       CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique_types,
+       {rat_round6_duck(
+           "CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)"
+           " AS BIGINT)",
+           "CAST(COUNT(*) AS BIGINT)")} AS unique_share_r6
+FROM sb JOIN bdf USING (bg)
+GROUP BY 1 ORDER BY source
+"""
+
+
+def stats_sign_test_user_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paired sign test for a population-wide spend shift: per user,
+    compare mean spend of the FIRST half of their event history
+    against the SECOND half (by the total (ts, event_id) order) via
+    the integer cross-multiply first_sum·n₂ vs second_sum·n₁ — no
+    division — and roll up the up/down/tie counts. The sign statistic
+    is the nonparametric answer to "did per-user spend drift over
+    the period" that survives arbitrary per-user value scales.
+
+    Scale: one user-keyed window rank, one user-grain conditional
+    agg, a single-row readout."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr(_US).alias("us"),
+        F.expr(_CENTS).alias("c"),
+    )
+    wl = W.partitionBy("user_id").orderBy("us", "event_id")
+    wn = W.partitionBy("user_id")
+    halves = (
+        ev.withColumn("rn", F.row_number().over(wl))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("n") >= 2)
+        .groupBy("user_id")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum(
+                F.when(F.col("rn") <= F.expr("n div 2"), F.col("c"))
+                .otherwise(0)
+            ).alias("s1"),
+            F.sum(
+                F.when(F.col("rn") > F.expr("n div 2"), F.col("c"))
+                .otherwise(0)
+            ).alias("s2"),
+        )
+        .select(
+            "user_id",
+            F.expr("n div 2").alias("n1"),
+            F.expr("n - n div 2").alias("n2"),
+            "s1",
+            "s2",
+        )
+    )
+    return (
+        halves.select(
+            F.expr(
+                "case when s2 * n1 > s1 * n2 then 1 else 0 end"
+            ).alias("up"),
+            F.expr(
+                "case when s2 * n1 < s1 * n2 then 1 else 0 end"
+            ).alias("down"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("up").cast("long").alias("n_up"),
+            F.sum("down").cast("long").alias("n_down"),
+        )
+        .select(
+            "n_users",
+            "n_up",
+            "n_down",
+            (F.col("n_users") - F.col("n_up") - F.col("n_down"))
+            .cast("long")
+            .alias("n_tie"),
+            F.expr(rat_round6_spark("n_up", "n_users")).alias(
+                "up_share_r6"
+            ),
+        )
+    )
+
+
+ORACLE_SIGN_TEST = f"""
+WITH e AS (
+  SELECT user_id, event_id, {_US_DUCK} AS us, {_CENTS_DUCK} AS c
+  FROM events),
+ranked AS (
+  SELECT user_id, c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM e),
+halves AS (
+  SELECT user_id, MAX(n) // 2 AS n1, MAX(n) - MAX(n) // 2 AS n2,
+         CAST(SUM(CASE WHEN rn <= n // 2 THEN c ELSE 0 END) AS BIGINT)
+           AS s1,
+         CAST(SUM(CASE WHEN rn > n // 2 THEN c ELSE 0 END) AS BIGINT)
+           AS s2
+  FROM ranked WHERE n >= 2 GROUP BY 1),
+flags AS (
+  SELECT CASE WHEN s2 * n1 > s1 * n2 THEN 1 ELSE 0 END AS up,
+         CASE WHEN s2 * n1 < s1 * n2 THEN 1 ELSE 0 END AS down
+  FROM halves)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(up) AS BIGINT) AS n_up,
+       CAST(SUM(down) AS BIGINT) AS n_down,
+       CAST(COUNT(*) - SUM(up) - SUM(down) AS BIGINT) AS n_tie,
+       {rat_round6_duck("CAST(SUM(up) AS BIGINT)",
+                        "CAST(COUNT(*) AS BIGINT)")} AS up_share_r6
+FROM flags
+"""
+
+
+MAD_K = 3  # anomaly flag: |count - median| > MAD_K * MAD
+
+
+def ev_hourly_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-volume anomalies by the median/MAD rule: hours whose
+    event count deviates from the median hourly count by more than
+    {MAD_K}×MAD — the robust outage/bot detector (mean/stddev both
+    break on exactly the spikes being hunted). Median and MAD are
+    exact type-1 statistics under total orders; the flag is an
+    integer comparison.
+
+    Scale: the hourly frame is calendar-bounded; both medians are
+    windows over that bounded frame, never over raw events (the
+    stats_kruskal posture)."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.select(F.expr(f"({_US}) div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # calendar-bounded; 3 consumers
+    )
+    w1 = W.orderBy("c", "hr")
+    med = (
+        hourly.withColumn("rn", F.row_number().over(w1))
+        .withColumn("n", F.count("*").over(W.partitionBy()))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("c").alias("med"))
+    )
+    devs = hourly.crossJoin(F.broadcast(med)).withColumn(
+        "dev", F.expr("abs(c - med)")
+    ).localCheckpoint(eager=True)  # bounded; feeds MAD rank + flagging
+    w2 = W.orderBy("dev", "hr")
+    mad = (
+        devs.withColumn("rn", F.row_number().over(w2))
+        .withColumn("n", F.count("*").over(W.partitionBy()))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("dev").alias("mad"))
+    )
+    return (
+        devs.crossJoin(F.broadcast(mad))
+        .filter(F.expr(f"dev > {MAD_K} * mad"))
+        .select(
+            F.col("hr").cast("long").alias("hour_epoch"),
+            F.col("c").cast("long").alias("n_events"),
+            F.col("med").cast("long").alias("median_hourly"),
+            F.col("mad").cast("long").alias("mad"),
+            F.col("dev").cast("long").alias("abs_deviation"),
+            (F.col("c") > F.col("med")).alias("is_spike"),
+        )
+        .orderBy("hour_epoch")
+    )
+
+
+ORACLE_HOURLY_MAD = f"""
+WITH hourly AS MATERIALIZED (
+  SELECT {_US_DUCK} // 3600000000 AS hr, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+med AS (
+  SELECT c AS med FROM (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c, hr) AS rn,
+           COUNT(*) OVER () AS n
+    FROM hourly) WHERE rn = (n + 1) // 2),
+devs AS MATERIALIZED (
+  SELECT hr, c, med, abs(c - med) AS dev FROM hourly CROSS JOIN med),
+mad AS (
+  SELECT dev AS mad FROM (
+    SELECT dev, hr, ROW_NUMBER() OVER (ORDER BY dev, hr) AS rn,
+           COUNT(*) OVER () AS n
+    FROM devs) WHERE rn = (n + 1) // 2)
+SELECT CAST(hr AS BIGINT) AS hour_epoch, c AS n_events,
+       CAST(med AS BIGINT) AS median_hourly,
+       CAST(mad AS BIGINT) AS mad,
+       CAST(dev AS BIGINT) AS abs_deviation,
+       c > med AS is_spike
+FROM devs CROSS JOIN mad
+WHERE dev > {MAD_K} * mad
+ORDER BY hour_epoch
+"""
+
+
+def supplier_acctbal_quartile_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier account-balance quartiles crossed with nation — the
+    procurement-risk heat map (a nation whose suppliers cluster in the
+    bottom balance quartile is a concentration risk). NTILE(4) over
+    the exact (cents, s_suppkey) total order; nation names from the
+    broadcast dimension.
+
+    Scale: NTILE runs over the supplier DIMENSION (bounded); the
+    nation join is a broadcast."""
+    supplier = catalog.load(spark, sf_dir, "supplier")
+    nation = catalog.load(spark, sf_dir, "nation")
+    wq = W.orderBy("bal_cents", "s_suppkey")
+    q = supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.expr("cast(floor(s_acctbal * 100 + 0.5) as bigint)").alias(
+            "bal_cents"
+        ),
+    ).withColumn("bal_quartile", F.ntile(4).over(wq))
+    return (
+        q.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            q["s_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name", "bal_quartile")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum("bal_cents").cast("long").alias("balance_cents"),
+        )
+        .select(
+            "n_name",
+            F.col("bal_quartile").cast("int").alias("bal_quartile"),
+            "n_suppliers",
+            "balance_cents",
+        )
+        .orderBy("n_name", "bal_quartile")
+    )
+
+
+ORACLE_SUPPLIER_QUARTILE = """
+WITH q AS (
+  SELECT s_nationkey,
+         CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         NTILE(4) OVER (
+           ORDER BY CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT),
+                    s_suppkey) AS bal_quartile
+  FROM supplier)
+SELECT n_name, CAST(bal_quartile AS INT) AS bal_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(bal_cents) AS BIGINT) AS balance_cents
+FROM q JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY n_name, bal_quartile
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -2270,4 +3046,51 @@ SPECS = [
               doc="cross-payload 64-byte aligned chunk dedup over md5 "
                   "hex-slice hashes (CAS dedup table / copied-asset "
                   "detector)"),
+    # --- continuation batch (r13 backlog; queued beyond the window) ---
+    QuerySpec("dedup_component_cohesion", dedup_component_cohesion,
+              _oracle_component_cohesion(), ("dedup", "graph", "audit"),
+              doc="min/max/mean edge Jaccard per near-dup component "
+                  "(chain-vs-clique collapse safety gate)"),
+    QuerySpec("graph_local_bridges", graph_local_bridges,
+              ORACLE_LOCAL_BRIDGES, ("dedup", "graph", "audit"),
+              doc="common-neighbor count per EXISTING dup edge; zero "
+                  "= local bridge (the edge a conservative dedup "
+                  "severs)"),
+    QuerySpec("emb_bucket_pair_cos_histogram",
+              emb_bucket_pair_cos_histogram,
+              ORACLE_BUCKET_PAIR_COS, ("embedding", "lsh", "stats"),
+              doc="cosine histogram of sign-bucket candidate pairs "
+                  "(LSH threshold calibration; bucket-bounded pairs)"),
+    QuerySpec("mm_payload_byte_stats", mm_payload_byte_stats,
+              ORACLE_PAYLOAD_BYTE_STATS, ("multimodal", "stats"),
+              doc="per-asset byte count/sum/mean/min/max/distinct "
+                  "triage row from the hex projection (map-only)"),
+    QuerySpec("ev_type_transition_gap_median",
+              ev_type_transition_gap_median,
+              ORACLE_TRANSITION_GAP, ("events", "stats", "percentile"),
+              doc="exact median/p90 inter-event gap per type "
+                  "transition (lag window + type-1 ranks)"),
+    QuerySpec("customer_balance_activity_grid",
+              customer_balance_activity_grid,
+              ORACLE_BALANCE_ACTIVITY, ("orders", "stats"),
+              doc="acctbal decile x order-count log2-band contingency "
+                  "grid (NTILE over the customer dimension)"),
+    QuerySpec("text_source_bigram_uniqueness",
+              text_source_bigram_uniqueness,
+              ORACLE_SOURCE_BIGRAM_UNIQ, ("text", "provenance", "stats"),
+              doc="per-source share of bigram types unique to that "
+                  "source (provenance value, inverted-index shape)"),
+    QuerySpec("stats_sign_test_user_value", stats_sign_test_user_value,
+              ORACLE_SIGN_TEST, ("events", "stats"),
+              doc="paired sign test of first-half vs second-half "
+                  "per-user spend (cross-multiplied mean comparison)"),
+    QuerySpec("ev_hourly_mad_anomalies", ev_hourly_mad_anomalies,
+              ORACLE_HOURLY_MAD, ("events", "stats", "anomaly"),
+              doc="median/MAD hourly volume anomalies (exact type-1 "
+                  "median + MAD over the calendar-bounded frame)"),
+    QuerySpec("supplier_acctbal_quartile_grid",
+              supplier_acctbal_quartile_grid,
+              ORACLE_SUPPLIER_QUARTILE, ("orders", "stats"),
+              doc="supplier balance quartiles x nation heat map "
+                  "(NTILE over the supplier dimension)"),
 ]

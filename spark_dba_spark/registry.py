@@ -117,10 +117,20 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality",
-    # --- beyond slot 50: nothing — the r11 backlog drained exactly
-    # into slots 1-10 and every new r12 op landed inside the window
-    # (test_remaining_backlog_queued_right_after_window stays armed
-    # for future rounds).
+    # --- beyond slot 50: the never-checked backlog, contiguous
+    # (enforced by test_remaining_backlog_queued_right_after_window) —
+    # ten mid-r12 continuation ops landed after the window filled; full
+    # 3-SF local evidence + brute twins; the r13 window candidates:
+    "dedup_component_cohesion",
+    "graph_local_bridges",
+    "emb_bucket_pair_cos_histogram",
+    "mm_payload_byte_stats",
+    "ev_type_transition_gap_median",
+    "customer_balance_activity_grid",
+    "text_source_bigram_uniqueness",
+    "stats_sign_test_user_value",
+    "ev_hourly_mad_anomalies",
+    "supplier_acctbal_quartile_grid",
 )
 
 # r11-window greens — rotate to the tail this round (driver row <=1 round

@@ -1057,3 +1057,317 @@ def test_chunk_dedup_cross_matches_python_brute(spark):
         for r in mm_chunk_dedup_cross(spark, SF_DIR).collect()}
     assert got == expect
     assert got, "fixture must exercise the cross-payload dup path"
+
+
+# ---------------------------------------------------------------------------
+# continuation batch (r13 backlog)
+# ---------------------------------------------------------------------------
+
+def test_component_cohesion_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import dedup_component_cohesion
+    from spark_dba_spark.operators.dedup import dedup_ngram_jaccard
+
+    edges = [(r["doc_a"], r["doc_b"], r["jaccard"])
+             for r in dedup_ngram_jaccard(spark, SF_DIR).collect()]
+    # union-find components with min-id labels
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {x: find(x) for x in parent}
+    agg: dict = {}
+    for a, b, j in edges:
+        c = comp[a]
+        mn, mx, sm, ne = agg.get(c, (None, None, 0, 0))
+        import math
+
+        jm = int(math.floor(j * 1_000_000 + 0.5))
+        agg[c] = (
+            j if mn is None else min(mn, j),
+            j if mx is None else max(mx, j),
+            sm + jm, ne + 1,
+        )
+    nodes: Counter = Counter(comp.values())
+    got = {r["component_id"]: r
+           for r in dedup_component_cohesion(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for c, (mn, mx, sm, ne) in agg.items():
+        r = got[c]
+        assert r["n_nodes"] == nodes[c]
+        assert r["n_edges"] == ne
+        assert (r["min_jaccard"], r["max_jaccard"]) == (mn, mx)
+        assert r["mean_jaccard_r6"] == float(
+            (sm * 2 + ne) // (2 * ne)) / 1e6
+
+
+def test_local_bridges_match_python_brute(spark):
+    from spark_dba_spark.operators.curation import graph_local_bridges
+    from spark_dba_spark.operators.dedup import dedup_ngram_jaccard
+
+    edges = [(r["doc_a"], r["doc_b"])
+             for r in dedup_ngram_jaccard(spark, SF_DIR).collect()]
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {(r["doc_a"], r["doc_b"]): r
+           for r in graph_local_bridges(spark, SF_DIR).collect()}
+    assert set(got) == set(edges)
+    for a, b in edges:
+        cn = len((adj[a] & adj[b]) - {a, b})
+        r = got[(a, b)]
+        assert r["n_common_neighbors"] == cn
+        assert r["is_local_bridge"] == (cn == 0)
+
+
+def test_bucket_pair_cos_histogram_matches_numpy_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.curation import (
+        GRID_SIGN_DIMS,
+        emb_bucket_pair_cos_histogram,
+    )
+
+    rows = _emb_rows()
+    ids = [r[0] for r in rows]
+    m = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    cells: dict = {}
+    for i, vid in enumerate(ids):
+        c = sum(1 << d for d in range(GRID_SIGN_DIMS) if m[i][d] > 0.0)
+        cells.setdefault(c, []).append(i)
+    bands: dict = {}
+    for c, idxs in cells.items():
+        idxs = sorted(idxs, key=lambda i: ids[i])
+        for x, i in enumerate(idxs):
+            for j in idxs[x + 1:]:
+                cos = float(
+                    (m[j] @ m[i])
+                    / (np.linalg.norm(m[j]) * np.linalg.norm(m[i]))
+                )
+                band = int(math.floor(cos * 10))
+                mn, mx, n = bands.get(band, (cos, cos, 0))
+                bands[band] = (min(mn, cos), max(mx, cos), n + 1)
+    got = {r["cos_band_deci"]: r
+           for r in emb_bucket_pair_cos_histogram(spark, SF_DIR).collect()}
+    assert set(got) == set(bands)
+    for band, (mn, mx, n) in bands.items():
+        r = got[band]
+        assert r["n_pairs"] == n
+        assert r["min_cos_r4"] == round(mn, 4)
+        assert r["max_cos_r4"] == round(mx, 4)
+
+
+def test_payload_byte_stats_match_python_brute(spark):
+    from spark_dba_spark.operators.curation import mm_payload_byte_stats
+
+    rows = _docs_rows()
+    got = {r["doc_id"]: r
+           for r in mm_payload_byte_stats(spark, SF_DIR).collect()}
+    for doc_id, text, _, _ in rows:
+        bs = text.encode("utf-8")
+        if not bs:
+            assert doc_id not in got
+            continue
+        r = got[doc_id]
+        assert r["n_bytes"] == len(bs)
+        assert r["byte_sum"] == sum(bs)
+        assert (r["min_byte"], r["max_byte"]) == (min(bs), max(bs))
+        assert r["n_distinct_bytes"] == len(set(bs))
+        assert r["mean_byte_r6"] == float(
+            (sum(bs) * 2_000_000 + len(bs)) // (2 * len(bs))) / 1e6
+
+
+def test_transition_gap_median_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        ev_type_transition_gap_median,
+    )
+
+    rows = _events_rows()
+    per_user: dict = {}
+    for eid, us, uid, et, _ in rows:
+        per_user.setdefault(uid, []).append((us, eid, et))
+    gaps: dict = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        for (pus, peid, pet), (us, eid, et) in zip(evs, evs[1:]):
+            gaps.setdefault((pet, et), []).append(
+                ((us - pus) // 1_000_000, uid, eid))
+    got = {(r["prev_type"], r["event_type"]): r
+           for r in ev_type_transition_gap_median(spark, SF_DIR).collect()}
+    assert set(got) == set(gaps)
+    for k, gl in gaps.items():
+        gl.sort()
+        n = len(gl)
+        med = gl[(50 * n + 99) // 100 - 1][0]
+        p90 = gl[(90 * n + 99) // 100 - 1][0]
+        r = got[k]
+        assert r["n_transitions"] == n
+        assert (r["median_gap_s"], r["p90_gap_s"]) == (med, p90)
+
+
+def test_balance_activity_grid_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        customer_balance_activity_grid,
+    )
+
+    con = duckdb.connect()
+    custs = con.execute(
+        f"SELECT c_custkey, c_acctbal FROM "
+        f"read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchall()
+    orders = con.execute(
+        f"SELECT o_custkey, COUNT(*) FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1"
+    ).fetchall()
+    con.close()
+    cnt = dict(orders)
+    base = sorted(
+        ((_cents(b), ck, cnt.get(ck, 0)) for ck, b in custs)
+    )
+    n = len(base)
+    grid: Counter = Counter()
+    tot: Counter = Counter()
+    for i, (_, ck, c) in enumerate(base):
+        # ANSI NTILE: first n % 10 tiles get the extra row
+        q, rem = divmod(n, 10)
+        decile = (i // (q + 1) + 1 if i < rem * (q + 1)
+                  else rem + 1 + (i - rem * (q + 1)) // q)
+        band = -1 if c == 0 else c.bit_length()
+        grid[(decile, band)] += 1
+        tot[(decile, band)] += c
+    got = {(r["bal_decile"], r["activity_band"]): r
+           for r in customer_balance_activity_grid(spark, SF_DIR).collect()}
+    assert set(got) == set(grid)
+    for k in grid:
+        assert got[k]["n_customers"] == grid[k]
+        assert got[k]["n_orders_total"] == tot[k]
+
+
+def test_source_bigram_uniqueness_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        text_source_bigram_uniqueness,
+    )
+
+    rows = _docs_rows()
+    sb: dict = {}
+    for _, text, _, src in rows:
+        ws = text.split(" ")
+        if len(ws) < 2:
+            continue
+        sb.setdefault(src, set()).update(
+            f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)
+        )
+    df_cnt: Counter = Counter()
+    for s, grams in sb.items():
+        df_cnt.update(grams)
+    got = {r["source"]: r
+           for r in text_source_bigram_uniqueness(spark, SF_DIR).collect()}
+    assert set(got) == set(sb)
+    for s, grams in sb.items():
+        uniq = sum(1 for g in grams if df_cnt[g] == 1)
+        r = got[s]
+        assert r["n_bigram_types"] == len(grams)
+        assert r["n_unique_types"] == uniq
+        assert r["unique_share_r6"] == _r6(uniq, len(grams))
+
+
+def test_sign_test_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import stats_sign_test_user_value
+
+    rows = _events_rows()
+    per_user: dict = {}
+    for eid, us, uid, _, v in rows:
+        per_user.setdefault(uid, []).append((us, eid, _cents(v)))
+    up = down = total = 0
+    for uid, evs in per_user.items():
+        if len(evs) < 2:
+            continue
+        evs.sort()
+        n = len(evs)
+        n1, n2 = n // 2, n - n // 2
+        s1 = sum(c for _, _, c in evs[:n1])
+        s2 = sum(c for _, _, c in evs[n1:])
+        total += 1
+        if s2 * n1 > s1 * n2:
+            up += 1
+        elif s2 * n1 < s1 * n2:
+            down += 1
+    [r] = stats_sign_test_user_value(spark, SF_DIR).collect()
+    assert (r["n_users"], r["n_up"], r["n_down"]) == (total, up, down)
+    assert r["n_tie"] == total - up - down
+    assert r["up_share_r6"] == _r6(up, total)
+
+
+def test_hourly_mad_anomalies_match_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        MAD_K,
+        ev_hourly_mad_anomalies,
+    )
+
+    rows = _events_rows()
+    hourly: Counter = Counter()
+    for _, us, _, _, _ in rows:
+        hourly[us // 3_600_000_000] += 1
+    hs = sorted(hourly.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(hs)
+    med = hs[(n + 1) // 2 - 1][1]
+    devs = sorted(
+        ((abs(c - med), hr) for hr, c in hourly.items())
+    )
+    mad = devs[(n + 1) // 2 - 1][0]
+    expect = {
+        hr: (c, abs(c - med), c > med)
+        for hr, c in hourly.items()
+        if abs(c - med) > MAD_K * mad
+    }
+    got = {r["hour_epoch"]: r
+           for r in ev_hourly_mad_anomalies(spark, SF_DIR).collect()}
+    assert set(got) == set(expect)
+    for hr, (c, dev, spike) in expect.items():
+        r = got[hr]
+        assert (r["n_events"], r["abs_deviation"]) == (c, dev)
+        assert (r["median_hourly"], r["mad"]) == (med, mad)
+        assert r["is_spike"] == spike
+
+
+def test_supplier_quartile_grid_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        supplier_acctbal_quartile_grid,
+    )
+
+    con = duckdb.connect()
+    sups = con.execute(
+        f"SELECT s_suppkey, s_nationkey, s_acctbal FROM "
+        f"read_parquet('{SF_DIR}/supplier.parquet')"
+    ).fetchall()
+    nations = dict(con.execute(
+        f"SELECT n_nationkey, n_name FROM "
+        f"read_parquet('{SF_DIR}/nation.parquet')"
+    ).fetchall())
+    con.close()
+    base = sorted((_cents(b), sk, nk) for sk, nk, b in sups)
+    n = len(base)
+    grid: Counter = Counter()
+    cents: Counter = Counter()
+    for i, (c, sk, nk) in enumerate(base):
+        q, rem = divmod(n, 4)
+        quart = (i // (q + 1) + 1 if i < rem * (q + 1)
+                 else rem + 1 + (i - rem * (q + 1)) // q)
+        key = (nations[nk], quart)
+        grid[key] += 1
+        cents[key] += c
+    got = {(r["n_name"], r["bal_quartile"]): r
+           for r in supplier_acctbal_quartile_grid(spark, SF_DIR).collect()}
+    assert set(got) == set(grid)
+    for k in grid:
+        assert got[k]["n_suppliers"] == grid[k]
+        assert got[k]["balance_cents"] == cents[k]

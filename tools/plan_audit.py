@@ -86,6 +86,29 @@ PLAN_NOTES: dict[str, str] = {
     "orders_weekday_index": _CHECKPOINT_FRONTED,
     "mm_byte_delta_profile": _CHECKPOINT_FRONTED,
     "stats_permutation_diff": _CHECKPOINT_FRONTED,
+    # r12 batch (each checkpoints a BOUNDED reduced frame feeding >=2
+    # branches — the standing branched-lineage rule)
+    "sketch_top_k_heavy_hitters": _CHECKPOINT_FRONTED,
+    "dedup_semantic_kmeans": _CHECKPOINT_FRONTED,
+    "text_bigram_lm_surprisal": _CHECKPOINT_FRONTED,
+    "dedup_paragraph_cleaned_corpus": _CHECKPOINT_FRONTED,
+    "text_eval_split_leakage": _CHECKPOINT_FRONTED,
+    "text_cooccur_lift_topk": _CHECKPOINT_FRONTED,
+    "text_positional_drift": _CHECKPOINT_FRONTED,
+    "text_char_bigram_topk": _CHECKPOINT_FRONTED,
+    "ev_dow_hour_heatmap": _CHECKPOINT_FRONTED,
+    "ev_type_affinity_skew": _CHECKPOINT_FRONTED,
+    "orders_price_band_month_mix": _CHECKPOINT_FRONTED,
+    "lineitem_unit_price_outliers": _CHECKPOINT_FRONTED,
+    "emb_quantile_clip_bounds": _CHECKPOINT_FRONTED,
+    "emb_grid_cell_density": _CHECKPOINT_FRONTED,
+    "sketch_kmv_setops": _CHECKPOINT_FRONTED,
+    # r12 continuation batch (bounded reduced frames feeding >=2 branches)
+    "dedup_component_cohesion": _CHECKPOINT_FRONTED,
+    "graph_local_bridges": _CHECKPOINT_FRONTED,
+    "emb_bucket_pair_cos_histogram": _CHECKPOINT_FRONTED,
+    "text_source_bigram_uniqueness": _CHECKPOINT_FRONTED,
+    "ev_hourly_mad_anomalies": _CHECKPOINT_FRONTED,
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
@@ -140,6 +163,26 @@ GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
     "skyline_price_size": (
         "running-min over the per-size min-price frame: ≤|distinct "
         "p_size| rows (~50), fact table never enters the window"
+    ),
+    "sketch_top_k_heavy_hitters": (
+        "rank over the DISTINCT supplier key domain (the fact table is "
+        "pre-reduced by the key-grain agg; the domain is the supplier "
+        "dimension) — the CMS estimate join is a broadcast of the "
+        "bounded counter matrix"
+    ),
+    "customer_balance_activity_grid": (
+        "NTILE over the CUSTOMER dimension (orders pre-reduced to one "
+        "row per customer — the rfm_segmentation argument)"
+    ),
+    "supplier_acctbal_quartile_grid": (
+        "NTILE over the SUPPLIER dimension — the smallest table in the "
+        "schema; the fact stream never enters the window"
+    ),
+    "ev_hourly_mad_anomalies": (
+        "median/MAD rank windows over the HOURLY frame — "
+        "calendar-bounded (~720 rows here, ~88k for a 10-year feed), "
+        "localCheckpointed; the fact stream is pre-reduced by the "
+        "map-side-combined hourly groupBy"
     ),
     "abc_analysis_parts": (
         "running revenue sum over the part-CATALOG grain (fact stream "
