@@ -1371,3 +1371,29 @@ def test_supplier_quartile_grid_matches_python_brute(spark):
     for k in grid:
         assert got[k]["n_suppliers"] == grid[k]
         assert got[k]["balance_cents"] == cents[k]
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ refine-stage monotonicity gate (VERDICT r11 #3)
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_recall_monotone_in_nprobe(spark):
+    """With the per-list shortlist + exact refine, widening the search
+    can only grow the candidate union, so recall@10 vs the exact
+    brute ranking must be non-decreasing in nprobe (this was the
+    r11 defect: ADC-only ranking measured 0.465→0.385 as nprobe grew)."""
+    from spark_dba_spark.operators import similarity as S
+
+    brute = {(r["qid"], r["vec_id"])
+             for r in S.sim_cosine_topk(spark, SF_DIR).collect()}
+    default = S.IVF_NPROBE
+    rec = {}
+    try:
+        for np_ in (6, 24):
+            S.IVF_NPROBE = np_
+            got = {(r["qid"], r["vec_id"])
+                   for r in S.sim_ivfpq_compound(spark, SF_DIR).collect()}
+            rec[np_] = len(brute & got) / len(brute)
+    finally:
+        S.IVF_NPROBE = default
+    assert rec[24] >= rec[6], rec

@@ -174,6 +174,42 @@ QUERIES = [
     "sketch_bloom_capacity_sweep",  # bloom sizing curve (r11b new)
     "orders_weekday_index",      # ISO dow seasonality (r11b new)
     "mm_byte_delta_profile",     # byte-delta smoothness bands (r11b new)
+    "sketch_top_k_heavy_hitters",  # CMS-ranked heavy hitters (r12 upgrade)
+    "dedup_semantic_kmeans",     # SemDedup cluster-bucketed (r12 new)
+    "text_bigram_lm_surprisal",  # bigram-LM fluency proxy (r12 new)
+    "text_repetition_gates",     # Gopher dup n-gram gates (r12 new)
+    "dedup_paragraph_cleaned_corpus",  # block-grain cleaned corpus (r12)
+    "text_eval_split_leakage",   # split + dup-graph leakage (r12 new)
+    "text_cooccur_lift_topk",    # head-term lift pairs (r12 new)
+    "text_positional_drift",     # front-vs-back term bias (r12 new)
+    "text_head_tail_selfsim",    # half/half vocab Jaccard (r12 new)
+    "text_char_bigram_topk",     # per-lang char bigrams (r12 new)
+    "ev_value_cusum_extrema",    # integer CUSUM extrema (r12 new)
+    "ev_dow_hour_heatmap",       # dow x hour grid (r12 new)
+    "ev_type_affinity_skew",     # over-indexing users (r12 new)
+    "ev_daily_newcomer_share",   # first-seen-day share (r12 new)
+    "ev_peak_hour_ratio",        # peak-to-mean load (r12 new)
+    "orders_price_band_month_mix",  # log2 price-band drift (r12 new)
+    "orders_repeat_customer_share",  # first-vs-repeat split (r12 new)
+    "lineitem_unit_price_outliers",  # brand median outliers (r12 new)
+    "orders_month_end_loading",  # month-end order share (r12 new)
+    "emb_quantile_clip_bounds",  # per-dim p1/p99 clip (r12 new)
+    "emb_grid_cell_density",     # sign-cell occupancy (r12 new)
+    "emb_centroid_margin_bands",  # top-2 centroid margins (r12 new)
+    "emb_dim_sign_balance",      # per-dim sign balance (r12 new)
+    "sketch_kmv_setops",         # theta union/intersection (r12 new)
+    "stats_capture_recapture",   # Lincoln-Petersen estimate (r12 new)
+    "mm_chunk_dedup_cross",      # cross-payload chunk dedup (r12 new)
+    "dedup_component_cohesion",  # per-CC edge-jaccard stats (r12b new)
+    "graph_local_bridges",       # common-neighbors per edge (r12b new)
+    "emb_bucket_pair_cos_histogram",  # bucket-pair cos bands (r12b new)
+    "mm_payload_byte_stats",     # per-asset byte triage (r12b new)
+    "ev_type_transition_gap_median",  # transition gap medians (r12b new)
+    "customer_balance_activity_grid",  # decile x activity grid (r12b)
+    "text_source_bigram_uniqueness",  # bigram provenance value (r12b)
+    "stats_sign_test_user_value",  # paired sign test (r12b new)
+    "ev_hourly_mad_anomalies",   # median/MAD hourly flags (r12b new)
+    "supplier_acctbal_quartile_grid",  # quartile x nation grid (r12b)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
@@ -210,6 +246,24 @@ NOTES = {
         "collect() of the texts; at 100 TB the cleaned corpus writes "
         "to a sink. The compute is the dedup_longest_dup_span region "
         "dataflow plus a map-side indexed-HOF cut."
+    ),
+    "dedup_paragraph_cleaned_corpus": (
+        "output IS the cleaned corpus (one full-text row per doc — "
+        "corpus-sized by design, the text_dup_region_removal posture), "
+        "so this row partly measures driver collect() of the texts; at "
+        "100 TB the cleaned corpus writes to a sink. The compute is the "
+        "shared paragraph-LSH pair machinery plus a map-side indexed-"
+        "HOF block cut."
+    ),
+    "mm_payload_byte_stats": (
+        "output is one triage row per ASSET (linear in corpus); the "
+        "compute is one map-side HOF pass over hex pairs — at 100 TB "
+        "this is a scan-bound write to a sink, not a collect."
+    ),
+    "text_bigram_lm_surprisal": (
+        "output is one row per DOC (linear in corpus); the compute is "
+        "the bigram explode + two count joins — the inverted-index "
+        "posture; at 100 TB the per-doc scores write to a sink."
     ),
     "decontaminate_bloom": (
         "the wall is dominated by the ONE-TIME eager bitset-build job "
