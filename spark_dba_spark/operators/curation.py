@@ -37,6 +37,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.load(spark, sf_dir, "documents")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with the CPU-heavy map stage pinned to
+    defaultParallelism partitions (the dedup._docs_par rule: the
+    fixture corpus is ONE parquet split, so per-byte HOF/regex stages
+    otherwise run as a single task; an explicit repartition count
+    survives AQE's byte-based coalescing). At real scale the scan has
+    thousands of splits and this is an insurance shuffle of raw docs."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Semantic dedup over the kmeans clusters (SemDedup; VERDICT r11 #2a)
 # --------------------------------------------------------------------------
@@ -165,7 +177,7 @@ def text_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the count tables, two shuffle joins keyed on the bigram/prefix
     (the inverted-index posture), one doc-grain agg. No collect, no
     Python."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     occ = (
         docs.select("doc_id", F.split("text", " ").alias("ws"))
         .filter(F.size("ws") >= 2)
@@ -269,7 +281,7 @@ def text_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one explode per n over the token array (3 map-side passes
     folded into one explode of the n-list), a (doc, n, gram) hash agg,
     a (doc, n) re-agg. Grain never exceeds 3× token count; no joins."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     grams = (
         docs.select("doc_id", F.split("text", " ").alias("ws"))
         .select(
@@ -599,7 +611,7 @@ def text_cooccur_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join fans at most C({LIFT_HEAD_TERMS},2) pairs per doc —
     never vocabulary² and never corpus². N·df·2·10⁶ stays far below
     2^63 for any corpus DuckDB can host (qrem split otherwise)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     n_docs = docs.count()  # scalar: lift numerator dimension
     pres = (
         docs.select(
@@ -699,7 +711,7 @@ def text_positional_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one posexplode pass keeps only the two zone slices (≤2/3 of
     tokens), one term-grain agg, totals via one bounded broadcast; the
     head cut is a TakeOrdered."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     toks = (
         docs.select(
             "doc_id",
@@ -782,7 +794,7 @@ def text_head_tail_selfsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pure map-side higher-order expressions over the token array
     — no shuffle, no join; one WholeStageCodegen pass."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     return (
         docs.select("doc_id", F.split("text", " ").alias("ws"))
         .filter(F.size("ws") >= 2)
@@ -849,7 +861,7 @@ def text_char_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side fan-out of length-2 substrings, one
     (lang, bigram) hash agg with map-side combine, a per-lang top-k
     window over the band-bounded aggregate."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     bg = (
         docs.select(
             "lang", F.regexp_replace("text", " ", "").alias("s")
@@ -2397,19 +2409,26 @@ def mm_payload_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only HOF over hex pairs + a per-asset row; no
     shuffle beyond the final orderBy."""
-    from .multimodal import _assets
+    from .multimodal import project_assets
 
-    assets = _assets(spark, sf_dir)
+    # partition-pinned (the _docs_par rule) and hex() bound to a column
+    # BEFORE the HOF lambda — interpreted lambdas get no CSE, so an
+    # inline hex(payload) would re-hex the payload once PER BYTE
+    assets = project_assets(_docs_par(spark, sf_dir))
     withb = assets.select(
         "doc_id",
         "media_type",
-        F.expr(
-            "transform(sequence(1, octet_length(payload)), i -> "
-            "cast(conv(substring(hex(payload), 2 * i - 1, 2), 16, 10)"
-            " as bigint))"
-        ).alias("bs"),
+        F.expr("hex(payload)").alias("hx"),
         F.octet_length("payload").alias("n"),
-    ).filter(F.col("n") >= 1)
+    ).filter(F.col("n") >= 1).select(
+        "doc_id",
+        "media_type",
+        "n",
+        F.expr(
+            "transform(sequence(1, n), i -> "
+            "cast(conv(substring(hx, 2 * i - 1, 2), 16, 10) as bigint))"
+        ).alias("bs"),
+    )
     return (
         withb.select(
             "doc_id",
@@ -2639,7 +2658,7 @@ def text_source_bigram_uniqueness(
     Scale: one distinct (source, bigram) explode, one bigram-keyed
     source-count agg (inverted-index shape), one source-bounded
     re-agg — the decontaminate_ngram dataflow."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     sb = (
         docs.select("source", F.split("text", " ").alias("ws"))
         .filter(F.size("ws") >= 2)
