@@ -25,6 +25,8 @@ from ..functions.numeric import (
     qrem_round6_duck,
     qrem_round6_spark,
     rat_round6_duck,
+    rat_round6_signed_duck,
+    rat_round6_signed_spark,
     rat_round6_spark,
 )
 from ..registry import QuerySpec
@@ -2956,6 +2958,554 @@ GROUP BY 1, 2 ORDER BY n_name, bal_quartile
 """
 
 
+# --------------------------------------------------------------------------
+# Continuation batch H (r13 backlog, part 2): dedup inflation by source,
+# IVF routing balance, Blomqvist beta, LSH band precision, hourly
+# session load
+# --------------------------------------------------------------------------
+
+def text_dedup_inflation_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-token INFLATION per source: how much of each feed's
+    token mass the paragraph-grain dedup would remove — the number a
+    data-procurement negotiation actually turns on (a feed that is 30%
+    removable paragraphs is priced on its 70%). Removed mass is the
+    exact token count of removed blocks (same first-occurrence rule and
+    block grid as ``dedup_paragraph_cleaned_corpus``), denominated in
+    each source's total tokens.
+
+    Scale: the pair machinery is the shared banded-LSH join; the block
+    token masses come from one map-side projection; the rollup is
+    source-bounded."""
+    pairs = _paragraph_pairs(spark, sf_dir)
+    removed = pairs.select(
+        F.col("doc_b").alias("doc_id"), F.col("blk_b").alias("blk")
+    ).distinct()
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    ).localCheckpoint(eager=True)  # feeds block-mass join + source totals
+    rm = (
+        removed.join(docs, "doc_id")
+        .select(
+            "source",
+            F.expr(
+                f"least(cast({PARA_W} as int),"
+                f" n_tokens - blk * {PARA_W})"
+            ).alias("blk_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("removed_blocks"),
+            F.sum("blk_tokens").cast("long").alias("removed_tokens"),
+        )
+    )
+    tot = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return (
+        tot.join(rm, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.coalesce("removed_blocks", F.lit(0)).cast("long")
+            .alias("removed_blocks"),
+            F.coalesce("removed_tokens", F.lit(0)).cast("long")
+            .alias("removed_tokens"),
+            F.expr(
+                rat_round6_spark(
+                    "coalesce(removed_tokens, 0)", "total_tokens"
+                )
+            ).alias("removed_share_r6"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DEDUP_INFLATION = f"""
+WITH {_PARA_CTES},
+rem AS (SELECT DISTINCT doc_b AS doc_id, blk_b AS blk FROM vp),
+dd AS MATERIALIZED (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+rm AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS removed_blocks,
+         CAST(SUM(least({PARA_W}, n_tokens - blk * {PARA_W})) AS BIGINT)
+           AS removed_tokens
+  FROM rem JOIN dd USING (doc_id) GROUP BY 1),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM dd GROUP BY 1)
+SELECT tot.source AS source, n_docs, total_tokens,
+       COALESCE(removed_blocks, 0) AS removed_blocks,
+       COALESCE(removed_tokens, 0) AS removed_tokens,
+       {rat_round6_duck("COALESCE(removed_tokens, 0)", "total_tokens")}
+         AS removed_share_r6
+FROM tot LEFT JOIN rm ON tot.source = rm.source
+ORDER BY tot.source
+"""
+
+
+def sim_ivf_routing_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF routing-load balance: per inverted list, its size, how many
+    queries probe it, and the candidate rows it contributes to the
+    scan (size × probes, minus the self-hits of queries assigned to
+    their own probed list) — the telemetry that says whether the
+    coarse quantizer is balanced (a fat, popular list dominates query
+    latency; the fix is more centroids or list splitting). Exact
+    shares of the total scanned volume.
+
+    Scale: both inputs are the shared _ivf_structures stages (map-only
+    assignment + bounded probe plan); everything after is
+    K-bounded."""
+    from .similarity import _ivf_structures
+
+    assigned, probe_df = _ivf_structures(spark, sf_dir)
+    lists = assigned.groupBy(F.col("centroid")).agg(
+        F.count("*").cast("long").alias("list_size")
+    )
+    probes = probe_df.select("qid", "centroid")
+    pb = probes.groupBy("centroid").agg(
+        F.count("*").cast("long").alias("n_probing_queries")
+    )
+    self_hits = (
+        probes.join(
+            assigned.select(
+                F.col("vec_id").alias("qid"),
+                F.col("centroid").alias("own_centroid"),
+            ),
+            "qid",
+        )
+        .filter(F.col("centroid") == F.col("own_centroid"))
+        .groupBy("centroid")
+        .agg(F.count("*").cast("long").alias("n_self"))
+    )
+    base = (
+        lists.join(pb, "centroid", "left")
+        .join(self_hits, "centroid", "left")
+        .select(
+            "centroid",
+            "list_size",
+            F.coalesce("n_probing_queries", F.lit(0)).cast("long")
+            .alias("n_probing_queries"),
+            (
+                F.col("list_size")
+                * F.coalesce("n_probing_queries", F.lit(0))
+                - F.coalesce("n_self", F.lit(0))
+            ).cast("long").alias("scanned_candidates"),
+        )
+        .localCheckpoint(eager=True)  # K-bounded; feeds total + readout
+    )
+    tot = base.agg(
+        F.sum("scanned_candidates").cast("long").alias("t")
+    )
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "centroid",
+            "list_size",
+            "n_probing_queries",
+            "scanned_candidates",
+            F.expr(
+                "case when t > 0 then "
+                + rat_round6_spark("scanned_candidates", "t")
+                + " end"
+            ).alias("scan_share_r6"),
+        )
+        .orderBy("centroid")
+    )
+
+
+def _oracle_ivf_routing() -> str:
+    from .similarity import _IVF_CAND_CTES
+
+    return f"""
+WITH {_IVF_CAND_CTES},
+lists AS (
+  SELECT cid AS centroid, CAST(COUNT(*) AS BIGINT) AS list_size
+  FROM asgn GROUP BY 1),
+pb AS (
+  SELECT cid AS centroid, CAST(COUNT(*) AS BIGINT) AS n_probing_queries
+  FROM probes GROUP BY 1),
+sh AS (
+  SELECT p.cid AS centroid, CAST(COUNT(*) AS BIGINT) AS n_self
+  FROM probes p JOIN asgn a ON p.qid = a.vec_id AND p.cid = a.cid
+  GROUP BY 1),
+base AS MATERIALIZED (
+  SELECT l.centroid, l.list_size,
+         COALESCE(pb.n_probing_queries, 0) AS n_probing_queries,
+         l.list_size * COALESCE(pb.n_probing_queries, 0)
+           - COALESCE(sh.n_self, 0) AS scanned_candidates
+  FROM lists l
+  LEFT JOIN pb ON l.centroid = pb.centroid
+  LEFT JOIN sh ON l.centroid = sh.centroid),
+tot AS (SELECT CAST(SUM(scanned_candidates) AS BIGINT) AS t FROM base)
+SELECT centroid, list_size, n_probing_queries,
+       CAST(scanned_candidates AS BIGINT) AS scanned_candidates,
+       CASE WHEN t > 0 THEN
+         {rat_round6_duck("scanned_candidates", "t")} END
+         AS scan_share_r6
+FROM base CROSS JOIN tot
+ORDER BY centroid
+"""
+
+
+def stats_blomqvist_beta_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blomqvist's beta (medial correlation) between quantity and
+    extended price per brand: split each brand's lines at the exact
+    (type-1) medians of both variables, drop points ON either median
+    (the standard treatment, deterministic), and report
+    β = (concordant − discordant) / n_used — the quadrant statistic
+    that gives a robust correlation sign without any square or sqrt
+    (per-brand Pearson's n²-scaled moments overflow BIGINT; β stays
+    in plain counts).
+
+    Scale: two brand-keyed rank windows for the medians (the
+    exact-percentile posture), one broadcast of the brand-bounded
+    median table, one grid agg."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    lines = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .select(
+            "p_brand",
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("cast(l_quantity as bigint)").alias("qty"),
+            F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+            .alias("price_cents"),
+        )
+        .localCheckpoint(eager=True)  # feeds both median ranks + the grid
+    )
+    def _median(col: str, alias: str) -> DataFrame:
+        wr = W.partitionBy("p_brand").orderBy(
+            col, "l_orderkey", "l_linenumber"
+        )
+        wn = W.partitionBy("p_brand")
+        return (
+            lines.withColumn("rn", F.row_number().over(wr))
+            .withColumn("n", F.count("*").over(wn))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("p_brand", F.col(col).alias(alias))
+        )
+
+    med = _median("qty", "med_qty").join(
+        _median("price_cents", "med_price"), "p_brand"
+    )
+    flagged = (
+        lines.join(F.broadcast(med), "p_brand")
+        .filter(
+            (F.col("qty") != F.col("med_qty"))
+            & (F.col("price_cents") != F.col("med_price"))
+        )
+        .select(
+            "p_brand",
+            (
+                (F.col("qty") > F.col("med_qty"))
+                == (F.col("price_cents") > F.col("med_price"))
+            ).cast("long").alias("conc"),
+        )
+    )
+    return (
+        flagged.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_used"),
+            F.sum("conc").cast("long").alias("n_concordant"),
+        )
+        .join(F.broadcast(med), "p_brand")
+        .select(
+            "p_brand",
+            "med_qty",
+            "med_price",
+            "n_used",
+            "n_concordant",
+            (F.col("n_used") - F.col("n_concordant")).cast("long")
+            .alias("n_discordant"),
+            F.expr(
+                rat_round6_signed_spark(
+                    "2 * n_concordant - n_used", "n_used"
+                )
+            ).alias("blomqvist_beta_r6"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_BLOMQVIST = f"""
+WITH lines AS MATERIALIZED (
+  SELECT p_brand, l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           AS price_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+mq AS (
+  SELECT p_brand, qty AS med_qty FROM (
+    SELECT p_brand, qty,
+           ROW_NUMBER() OVER (PARTITION BY p_brand
+             ORDER BY qty, l_orderkey, l_linenumber) AS rn,
+           COUNT(*) OVER (PARTITION BY p_brand) AS n
+    FROM lines) WHERE rn = (n + 1) // 2),
+mp AS (
+  SELECT p_brand, price_cents AS med_price FROM (
+    SELECT p_brand, price_cents,
+           ROW_NUMBER() OVER (PARTITION BY p_brand
+             ORDER BY price_cents, l_orderkey, l_linenumber) AS rn,
+           COUNT(*) OVER (PARTITION BY p_brand) AS n
+    FROM lines) WHERE rn = (n + 1) // 2),
+med AS (SELECT mq.p_brand, med_qty, med_price
+        FROM mq JOIN mp ON mq.p_brand = mp.p_brand),
+flagged AS (
+  SELECT l.p_brand, med_qty, med_price,
+         CASE WHEN (qty > med_qty) = (price_cents > med_price)
+              THEN 1 ELSE 0 END AS conc
+  FROM lines l JOIN med ON l.p_brand = med.p_brand
+  WHERE qty != med_qty AND price_cents != med_price)
+SELECT p_brand, med_qty, med_price,
+       CAST(COUNT(*) AS BIGINT) AS n_used,
+       CAST(SUM(conc) AS BIGINT) AS n_concordant,
+       CAST(COUNT(*) - SUM(conc) AS BIGINT) AS n_discordant,
+       {rat_round6_signed_duck(
+           "2 * CAST(SUM(conc) AS BIGINT) - COUNT(*)",
+           "CAST(COUNT(*) AS BIGINT)")} AS blomqvist_beta_r6
+FROM flagged GROUP BY 1, 2, 3 ORDER BY p_brand
+"""
+
+
+def dedup_band_precision_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-BAND precision of the production MinHash-LSH: for each of
+    the {25} bands, how many candidate pairs it generates and how many
+    survive the exact-Jaccard verify — the tuning table for the
+    bands×rows tradeoff (a band whose precision collapses is hashing
+    too few rows; uniformly tiny candidate counts mean wasted bands).
+    Runs the REAL production signatures (the shared _minhash_stages
+    pipeline), not a twin.
+
+    Scale: identical to dedup_minhash_lsh with the band id retained —
+    banded candidate join, verification only on candidates."""
+    from .dedup import (
+        MINHASH_BANDS,
+        MINHASH_R,
+        MINHASH_TAU,
+        _minhash_stages,
+    )
+
+    docs, sig, _ = _minhash_stages(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias("b"),
+        "sig",
+    ).select(
+        "doc_id",
+        "b",
+        F.expr(
+            f"concat_ws(',', transform("
+            f"slice(sig, b * {MINHASH_R} + 1, {MINHASH_R}), "
+            f"x -> cast(x as string)))"
+        ).alias("bkey"),
+    )
+    cand = (
+        bands.groupBy("b", "bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            "b",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p"),
+        )
+        .select("b", F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    x = docs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("shingles").alias("sha"))
+    y = docs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("shingles").alias("shb"))
+    verified = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "b",
+            (
+                F.size(F.array_intersect("sha", "shb")) * 1.0
+                / F.size(F.array_union("sha", "shb"))
+                >= MINHASH_TAU
+            ).cast("long").alias("ok"),
+        )
+    )
+    return (
+        verified.groupBy(F.col("b").cast("int").alias("band"))
+        .agg(
+            F.count("*").cast("long").alias("n_candidate_pairs"),
+            F.sum("ok").cast("long").alias("n_verified_pairs"),
+        )
+        .select(
+            "band",
+            "n_candidate_pairs",
+            "n_verified_pairs",
+            F.expr(
+                rat_round6_spark("n_verified_pairs", "n_candidate_pairs")
+            ).alias("precision_r6"),
+        )
+        .orderBy("band")
+    )
+
+
+def _oracle_band_precision() -> str:
+    from ..functions.hashing import sql_minhash_signature_duck
+    from .dedup import (
+        _DUCK_SHINGLES,
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        MINHASH_R,
+        MINHASH_TAU,
+    )
+
+    return f"""
+WITH shl AS ({_DUCK_SHINGLES}),
+sig AS (
+  SELECT doc_id, shingles,
+         {sql_minhash_signature_duck('shingles', MINHASH_PERMS)} AS sig
+  FROM shl),
+bands AS (
+  SELECT doc_id, b,
+         array_to_string(
+           sig[b * {MINHASH_R} + 1 : b * {MINHASH_R} + {MINHASH_R}], ',')
+           AS bkey
+  FROM sig, LATERAL unnest(range(0, {MINHASH_BANDS})) AS u(b)),
+cand AS (
+  SELECT DISTINCT a.b AS b, a.doc_id AS doc_a, bb.doc_id AS doc_b
+  FROM bands a JOIN bands bb
+    ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
+verified AS (
+  SELECT b,
+         CASE WHEN len(list_intersect(x.shingles, y.shingles)) * 1.0
+                / len(list_distinct(list_concat(x.shingles, y.shingles)))
+              >= {MINHASH_TAU} THEN 1 ELSE 0 END AS ok
+  FROM cand JOIN shl x ON doc_a = x.doc_id JOIN shl y ON doc_b = y.doc_id)
+SELECT CAST(b AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(SUM(ok) AS BIGINT) AS n_verified_pairs,
+       {rat_round6_duck("CAST(SUM(ok) AS BIGINT)",
+                        "CAST(COUNT(*) AS BIGINT)")} AS precision_r6
+FROM verified GROUP BY 1 ORDER BY band
+"""
+
+
+SESSION_LOAD_MAX_HOURS = 48  # fan-out guard: a session spanning more
+# hours than this contributes only its first 48 (documented cap — the
+# fixture's 30-minute-gap sessions span a few hours at most)
+
+
+def ev_hourly_session_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session load per hour: each 30-minute-gap session
+    (the ev_sessionize_batch islands) contributes one row to every
+    hour it overlaps, giving per-hour active-session and
+    session-start counts — the capacity view of sessionization (DAU
+    counts users; this counts simultaneous engagement). The hour
+    fan-out is capped at {SESSION_LOAD_MAX_HOURS} hours per session
+    (the gap-capped-LEAD rule; the cap is a no-op on the fixture).
+
+    Scale: the sessionize shuffle (user-keyed lag + running sum), one
+    bounded explode per session, a calendar-bounded agg."""
+    from .temporal import SESSION_GAP_US
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr(_US).alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("us") - F.col("prev_us") > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("seq", F.sum("is_new").over(run))
+        .groupBy("user_id", "seq")
+        .agg(
+            F.expr("min(us) div 3600000000").alias("h1"),
+            F.expr("max(us) div 3600000000").alias("h2"),
+        )
+    )
+    hours = sessions.select(
+        F.col("h1").alias("start_hour"),
+        F.explode(
+            F.expr(
+                f"sequence(h1, least(h2, h1 + {SESSION_LOAD_MAX_HOURS - 1}))"
+            )
+        ).alias("hour_epoch"),
+    )
+    return (
+        hours.groupBy("hour_epoch")
+        .agg(
+            F.count("*").cast("long").alias("n_active_sessions"),
+            F.sum(
+                (F.col("hour_epoch") == F.col("start_hour")).cast("long")
+            ).cast("long").alias("n_starting_sessions"),
+        )
+        .select(
+            F.col("hour_epoch").cast("long").alias("hour_epoch"),
+            "n_active_sessions",
+            "n_starting_sessions",
+        )
+        .orderBy("hour_epoch")
+    )
+
+
+def _oracle_hourly_session_load() -> str:
+    from .temporal import SESSION_GAP_US
+
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, {_US_DUCK} AS us,
+         CASE WHEN LAG({_US_DUCK}) OVER w IS NULL
+                OR {_US_DUCK} - LAG({_US_DUCK}) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {_US_DUCK}, event_id)),
+islands AS (
+  SELECT user_id, us,
+         CAST(SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS seq
+  FROM flagged),
+sessions AS (
+  SELECT user_id, seq, MIN(us) // 3600000000 AS h1,
+         MAX(us) // 3600000000 AS h2
+  FROM islands GROUP BY 1, 2),
+hours AS (
+  SELECT h1 AS start_hour, u.h AS hour_epoch
+  FROM sessions, LATERAL unnest(generate_series(
+    h1, least(h2, h1 + {SESSION_LOAD_MAX_HOURS - 1}))) AS u(h))
+SELECT CAST(hour_epoch AS BIGINT) AS hour_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_active_sessions,
+       CAST(SUM(CASE WHEN hour_epoch = start_hour THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_starting_sessions
+FROM hours GROUP BY 1 ORDER BY hour_epoch
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -3112,4 +3662,28 @@ SPECS = [
               ORACLE_SUPPLIER_QUARTILE, ("orders", "stats"),
               doc="supplier balance quartiles x nation heat map "
                   "(NTILE over the supplier dimension)"),
+    QuerySpec("text_dedup_inflation_by_source",
+              text_dedup_inflation_by_source,
+              ORACLE_DEDUP_INFLATION, ("dedup", "curation", "provenance"),
+              doc="paragraph-dedup removable token mass per source "
+                  "(the procurement-pricing number)"),
+    QuerySpec("sim_ivf_routing_balance", sim_ivf_routing_balance,
+              _oracle_ivf_routing(), ("embedding", "ann", "audit"),
+              doc="per-list size x probe load x scanned-candidate "
+                  "share of the IVF routing (coarse-quantizer balance)"),
+    QuerySpec("stats_blomqvist_beta_brand", stats_blomqvist_beta_brand,
+              ORACLE_BLOMQVIST, ("lineitem", "stats"),
+              doc="Blomqvist medial correlation of qty vs price per "
+                  "brand (quadrant counts around exact medians — no "
+                  "square overflows)"),
+    QuerySpec("dedup_band_precision_profile", dedup_band_precision_profile,
+              _oracle_band_precision(), ("dedup", "lsh", "tuning"),
+              doc="per-band candidate count + exact-verify precision "
+                  "of the production MinHash-LSH (bands x rows tuning "
+                  "table)"),
+    QuerySpec("ev_hourly_session_load", ev_hourly_session_load,
+              _oracle_hourly_session_load(), ("events", "sessions",
+                                              "capacity"),
+              doc="concurrent 30-min-gap sessions per hour (capped "
+                  "hour fan-out; capacity view of sessionization)"),
 ]

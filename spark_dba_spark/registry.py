@@ -131,6 +131,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "stats_sign_test_user_value",
     "ev_hourly_mad_anomalies",
     "supplier_acctbal_quartile_grid",
+    "text_dedup_inflation_by_source",
+    "sim_ivf_routing_balance",
+    "stats_blomqvist_beta_brand",
+    "dedup_band_precision_profile",
+    "ev_hourly_session_load",
 )
 
 # r11-window greens — rotate to the tail this round (driver row <=1 round

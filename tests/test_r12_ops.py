@@ -1397,3 +1397,180 @@ def test_ivfpq_recall_monotone_in_nprobe(spark):
     finally:
         S.IVF_NPROBE = default
     assert rec[24] >= rec[6], rec
+
+
+# ---------------------------------------------------------------------------
+# continuation batch H
+# ---------------------------------------------------------------------------
+
+def test_dedup_inflation_matches_pairs(spark):
+    from spark_dba_spark.operators.curation import (
+        text_dedup_inflation_by_source,
+    )
+    from spark_dba_spark.operators.dedup import PARA_W, dedup_paragraph_minhash
+
+    pairs = dedup_paragraph_minhash(spark, SF_DIR).collect()
+    removed: set = {(r["doc_b"], r["blk_b"]) for r in pairs}
+    rows = _docs_rows()
+    meta = {d: (s, len(t.split(" "))) for d, t, _, s in rows}
+    agg: dict = {}
+    for d, blk in removed:
+        s, n = meta[d]
+        rb, rt = agg.get(s, (0, 0))
+        agg[s] = (rb + 1, rt + min(PARA_W, n - blk * PARA_W))
+    tot: dict = {}
+    for d, (s, n) in meta.items():
+        nd, nt = tot.get(s, (0, 0))
+        tot[s] = (nd + 1, nt + n)
+    got = {r["source"]: r
+           for r in text_dedup_inflation_by_source(spark, SF_DIR).collect()}
+    assert set(got) == set(tot)
+    for s, (nd, nt) in tot.items():
+        rb, rt = agg.get(s, (0, 0))
+        r = got[s]
+        assert (r["n_docs"], r["total_tokens"]) == (nd, nt)
+        assert (r["removed_blocks"], r["removed_tokens"]) == (rb, rt)
+        assert r["removed_share_r6"] == _r6(rt, nt)
+    assert any(r["removed_tokens"] > 0 for r in got.values())
+
+
+def test_ivf_routing_balance_matches_numpy_brute(spark):
+    from spark_dba_spark.operators.curation import sim_ivf_routing_balance
+    from spark_dba_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        N_QUERIES,
+    )
+
+    rows = _emb_rows()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cmask = ids < IVF_CENTROIDS
+    cn, cids = norm[cmask], ids[cmask]
+    assign = cids[np.argmax(norm @ cn.T, axis=1)]
+    own = {int(ids[i]): int(assign[i]) for i in range(len(ids))}
+    list_size = Counter(int(a) for a in assign)
+    probing: Counter = Counter()
+    self_hits: Counter = Counter()
+    for qi in np.where(ids < N_QUERIES)[0]:
+        qid = int(ids[qi])
+        order = np.argsort(-(norm[qi] @ cn.T), kind="stable")[:IVF_NPROBE]
+        for c in order:
+            cid = int(cids[c])
+            probing[cid] += 1
+            if own[qid] == cid:
+                self_hits[cid] += 1
+    scanned = {
+        c: list_size[c] * probing.get(c, 0) - self_hits.get(c, 0)
+        for c in list_size
+    }
+    t = sum(scanned.values())
+    got = {r["centroid"]: r
+           for r in sim_ivf_routing_balance(spark, SF_DIR).collect()}
+    assert set(got) == set(list_size)
+    for c in list_size:
+        r = got[c]
+        assert r["list_size"] == list_size[c]
+        assert r["n_probing_queries"] == probing.get(c, 0)
+        assert r["scanned_candidates"] == scanned[c]
+        assert r["scan_share_r6"] == _r6(scanned[c], t)
+
+
+def test_blomqvist_beta_matches_python_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.curation import stats_blomqvist_beta_brand
+
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT p_brand, l_orderkey, l_linenumber, l_quantity, "
+        f"l_extendedprice FROM read_parquet('{SF_DIR}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF_DIR}/part.parquet') p "
+        f"ON l.l_partkey = p.p_partkey"
+    ).fetchall()
+    con.close()
+    brands: dict = {}
+    for b, ok, ln, q, ep in li:
+        brands.setdefault(b, []).append(
+            (int(q), int(math.floor(ep * 100 + 0.5)), ok, ln))
+    got = {r["p_brand"]: r
+           for r in stats_blomqvist_beta_brand(spark, SF_DIR).collect()}
+    for b, lines in brands.items():
+        n = len(lines)
+        mq = sorted((q, ok, ln) for q, _, ok, ln in lines)[
+            (n + 1) // 2 - 1][0]
+        mp = sorted((p, ok, ln) for _, p, ok, ln in lines)[
+            (n + 1) // 2 - 1][0]
+        used = [(q, p) for q, p, _, _ in lines if q != mq and p != mp]
+        conc = sum(1 for q, p in used if (q > mq) == (p > mp))
+        if not used:
+            assert b not in got
+            continue
+        r = got[b]
+        assert (r["med_qty"], r["med_price"]) == (mq, mp)
+        assert (r["n_used"], r["n_concordant"]) == (len(used), conc)
+        assert r["n_discordant"] == len(used) - conc
+        num = 2 * conc - len(used)
+        want = _r6(abs(num), len(used))
+        assert r["blomqvist_beta_r6"] == (want if num >= 0 else -want)
+
+
+def test_band_precision_profile_consistent_with_lsh(spark):
+    """Cross-op invariant: the union over bands of verified candidate
+    pairs equals the dedup_minhash_lsh verified pair set, and every
+    band's counts match a direct python replay of the banding."""
+    from spark_dba_spark.operators.curation import (
+        dedup_band_precision_profile,
+    )
+    from spark_dba_spark.operators.dedup import (
+        MINHASH_BANDS,
+        dedup_minhash_lsh,
+    )
+
+    got = {r["band"]: r
+           for r in dedup_band_precision_profile(spark, SF_DIR).collect()}
+    assert set(got) <= set(range(MINHASH_BANDS))
+    for r in got.values():
+        assert 0 <= r["n_verified_pairs"] <= r["n_candidate_pairs"]
+        assert r["precision_r6"] == _r6(
+            r["n_verified_pairs"], r["n_candidate_pairs"])
+    # the LSH op's verified pairs must all be counted by >=1 band
+    lsh_pairs = {(r["doc_a"], r["doc_b"])
+                 for r in dedup_minhash_lsh(spark, SF_DIR).collect()}
+    assert sum(r["n_verified_pairs"] for r in got.values()) >= len(lsh_pairs)
+
+
+def test_hourly_session_load_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        SESSION_LOAD_MAX_HOURS,
+        ev_hourly_session_load,
+    )
+    from spark_dba_spark.operators.temporal import SESSION_GAP_US
+
+    rows = _events_rows()
+    per_user: dict = {}
+    for eid, us, uid, _, _ in rows:
+        per_user.setdefault(uid, []).append((us, eid))
+    active: Counter = Counter()
+    starting: Counter = Counter()
+    for uid, evs in per_user.items():
+        evs.sort()
+        sessions = []
+        for us, _ in evs:
+            if sessions and us - sessions[-1][1] <= SESSION_GAP_US:
+                sessions[-1][1] = us
+            else:
+                sessions.append([us, us])
+        for s, e in sessions:
+            h1, h2 = s // 3_600_000_000, e // 3_600_000_000
+            for h in range(h1, min(h2, h1 + SESSION_LOAD_MAX_HOURS - 1) + 1):
+                active[h] += 1
+            starting[h1] += 1
+    got = {r["hour_epoch"]: r
+           for r in ev_hourly_session_load(spark, SF_DIR).collect()}
+    assert set(got) == set(active)
+    for h in active:
+        r = got[h]
+        assert r["n_active_sessions"] == active[h]
+        assert r["n_starting_sessions"] == starting.get(h, 0)

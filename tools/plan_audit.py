@@ -109,6 +109,9 @@ PLAN_NOTES: dict[str, str] = {
     "emb_bucket_pair_cos_histogram": _CHECKPOINT_FRONTED,
     "text_source_bigram_uniqueness": _CHECKPOINT_FRONTED,
     "ev_hourly_mad_anomalies": _CHECKPOINT_FRONTED,
+    "text_dedup_inflation_by_source": _CHECKPOINT_FRONTED,
+    "sim_ivf_routing_balance": _CHECKPOINT_FRONTED,
+    "stats_blomqvist_beta_brand": _CHECKPOINT_FRONTED,
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {

@@ -210,6 +210,11 @@ QUERIES = [
     "stats_sign_test_user_value",  # paired sign test (r12b new)
     "ev_hourly_mad_anomalies",   # median/MAD hourly flags (r12b new)
     "supplier_acctbal_quartile_grid",  # quartile x nation grid (r12b)
+    "text_dedup_inflation_by_source",  # removable token mass (r12c new)
+    "sim_ivf_routing_balance",   # IVF list/probe balance (r12c new)
+    "stats_blomqvist_beta_brand",  # medial correlation (r12c new)
+    "dedup_band_precision_profile",  # per-band LSH precision (r12c new)
+    "ev_hourly_session_load",    # concurrent sessions/hour (r12c new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
