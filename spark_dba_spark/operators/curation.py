@@ -3506,6 +3506,579 @@ FROM hours GROUP BY 1 ORDER BY hour_epoch
 """
 
 
+# --------------------------------------------------------------------------
+# Continuation batch D (r13 backlog): Cramér association, exact-dup
+# Pareto curve, priority transition matrix, weekend lift, CDC chunking
+# --------------------------------------------------------------------------
+
+def stats_cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V² association between part brand and return flag —
+    the normalized chi-square that answers "does return behaviour
+    depend on the brand?" on a scale-free [0, 1] axis (chi² itself
+    grows with n; V² = chi²/(n·min(r−1, c−1)) doesn't). Emits the
+    complete contingency grid (observed, expected, per-cell chi²
+    contribution in exact micro units) with the global statistic
+    repeated on every row, so one result carries both the evidence
+    table and the verdict. V² is reported (not V) — the square root is
+    irrational and would break the exact cross-engine hash; V² orders
+    identically.
+
+    Determinism: each cell contribution is floored to integer MICROS
+    of the identical IEEE double (the stats_chi_square_source_length
+    rule — +,-,*,/ are correctly rounded in both engines, so the
+    pre-floor double is bit-identical); the STATISTIC is the exact
+    BIGINT sum of those micros — no float ever crosses an aggregation
+    boundary. V² is then a pure integer rational via the qrem split
+    (chi²_micros · 2e6 could overflow at corpus scale).
+
+    Scale: one fact-stream shuffle on the (brand, flag) pair; margins
+    and the grid are re-aggregations of the CONTINGENCY TABLE
+    (|brands|·|flags| rows, broadcast), never the fact stream; the
+    statistic is an agg over the checkpointed bounded grid."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    fact = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    ).select("p_brand", "l_returnflag")
+    obs = fact.groupBy("p_brand", "l_returnflag").agg(
+        F.count("*").alias("n_obs")
+    )
+    rm = obs.groupBy("p_brand").agg(F.sum("n_obs").alias("n_brand"))
+    cm = obs.groupBy("l_returnflag").agg(F.sum("n_obs").alias("n_flag"))
+    tot = obs.agg(
+        F.sum("n_obs").cast("long").alias("n_total"),
+        F.countDistinct("p_brand").alias("n_r"),
+        F.countDistinct("l_returnflag").alias("n_c"),
+    )
+    n_obs = F.coalesce("n_obs", F.lit(0))
+    exp = F.col("n_brand") * F.col("n_flag") / F.col("n_total")
+    cells = (
+        F.broadcast(rm)
+        .crossJoin(F.broadcast(cm))
+        .join(obs, ["p_brand", "l_returnflag"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p_brand",
+            "l_returnflag",
+            n_obs.cast("long").alias("n_obs"),
+            F.expr(
+                rat_round6_spark("n_brand * n_flag", "n_total")
+            ).alias("n_exp_r6"),
+            F.floor(
+                ((n_obs - exp) * (n_obs - exp) / exp) * F.lit(1000000.0)
+            ).cast("long").alias("chi2_part_micros"),
+            "n_total",
+            "n_r",
+            "n_c",
+        )
+        .localCheckpoint(eager=True)  # bounded grid; feeds stat + rows
+    )
+    stat = cells.agg(
+        F.sum("chi2_part_micros").cast("long").alias("chi2_micros")
+    )
+    return (
+        cells.crossJoin(F.broadcast(stat))
+        .select(
+            "p_brand",
+            "l_returnflag",
+            "n_obs",
+            "n_exp_r6",
+            "chi2_part_micros",
+            F.col("chi2_micros").alias("chi2_total_micros"),
+            F.expr(
+                qrem_round6_spark(
+                    "chi2_micros",
+                    "n_total * least(n_r - 1, n_c - 1) * 1000000",
+                )
+            ).alias("cramers_v2_r6"),
+        )
+        .orderBy("p_brand", "l_returnflag")
+    )
+
+
+ORACLE_CRAMERS_V = f"""
+WITH fact AS (
+  SELECT p_brand, l_returnflag
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+obs AS (
+  SELECT p_brand, l_returnflag, COUNT(*) AS n_obs FROM fact GROUP BY 1, 2),
+rm AS (SELECT p_brand, SUM(n_obs) AS n_brand FROM obs GROUP BY 1),
+cm AS (SELECT l_returnflag, SUM(n_obs) AS n_flag FROM obs GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total,
+               COUNT(DISTINCT p_brand) AS n_r,
+               COUNT(DISTINCT l_returnflag) AS n_c
+        FROM obs),
+cells AS MATERIALIZED (
+  SELECT rm.p_brand, cm.l_returnflag,
+         CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+         {rat_round6_duck("rm.n_brand * cm.n_flag", "t.n_total")}
+           AS n_exp_r6,
+         CAST(FLOOR(
+           (COALESCE(o.n_obs, 0) - rm.n_brand * cm.n_flag / t.n_total)
+           * (COALESCE(o.n_obs, 0) - rm.n_brand * cm.n_flag / t.n_total)
+           / (rm.n_brand * cm.n_flag / t.n_total) * 1000000.0)
+           AS BIGINT) AS chi2_part_micros,
+         t.n_total, t.n_r, t.n_c
+  FROM rm CROSS JOIN cm
+  LEFT JOIN obs o USING (p_brand, l_returnflag)
+  CROSS JOIN tot t),
+stat AS (SELECT CAST(SUM(chi2_part_micros) AS BIGINT) AS chi2_micros
+         FROM cells)
+SELECT p_brand, l_returnflag, n_obs, n_exp_r6, chi2_part_micros,
+       chi2_micros AS chi2_total_micros,
+       {qrem_round6_duck(
+           "chi2_micros",
+           "n_total * least(n_r - 1, n_c - 1) * 1000000")}
+         AS cramers_v2_r6
+FROM cells CROSS JOIN stat
+ORDER BY p_brand, l_returnflag
+"""
+
+
+PARETO_TOP_N = 100  # documented head cut: the curve's actionable region
+
+
+def dedup_cluster_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto curve of exact-duplicate WASTE: rank the byte-identical
+    clusters by removable token mass ((n_docs − 1) · tokens — what
+    dedup deletes) and report the cumulative share of the total
+    removable mass at each rank. The curation read: if the top 10
+    clusters carry 80% of the waste, targeted takedown of a few viral
+    templates beats corpus-wide machinery. Head-cut at
+    {PARETO_TOP_N} clusters (removable desc, hash tie-break) — the
+    tail is noise by construction and an uncut output would be
+    corpus-sized.
+
+    Scale: the per-doc token HOF is map-side on the pinned partitions;
+    clusters come from the exact-dedup groupBy (shuffle on the hash);
+    the TOTAL is an agg (no window); the cut is a TakeOrdered (never a
+    global sort); only the ≤{PARETO_TOP_N}-row head enters the
+    single-partition cumulative window."""
+    per_doc = _docs_par(spark, sf_dir).select(
+        F.md5("text").alias("content_hash"),
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), x -> x != ''))")
+        .cast("long")
+        .alias("doc_tokens"),
+    )
+    clusters = (
+        per_doc.groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            # exact dup => identical text => identical token count;
+            # MIN is just the deterministic pick
+            F.min("doc_tokens").alias("doc_tokens"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .withColumn(
+            "removable_tokens",
+            ((F.col("n_docs") - 1) * F.col("doc_tokens")).cast("long"),
+        )
+        .localCheckpoint(eager=True)  # feeds the total AND the head cut
+    )
+    tot = clusters.agg(
+        F.sum("removable_tokens").cast("long").alias("total_removable")
+    )
+    top = clusters.orderBy(
+        F.desc("removable_tokens"), "content_hash"
+    ).limit(PARETO_TOP_N)
+    w = W.orderBy(F.desc("removable_tokens"), "content_hash")
+    return (
+        top.withColumn("dup_rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "cum_removable_tokens",
+            F.sum("removable_tokens")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dup_rank",
+            "content_hash",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "keep_doc_id",
+            "doc_tokens",
+            "removable_tokens",
+            "cum_removable_tokens",
+            F.expr(
+                rat_round6_spark("cum_removable_tokens", "total_removable")
+            ).alias("cum_share_r6"),
+        )
+        .orderBy("dup_rank")
+    )
+
+
+ORACLE_CLUSTER_PARETO = f"""
+WITH pd AS (
+  SELECT md5(text) AS content_hash, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+              AS BIGINT) AS doc_tokens
+  FROM documents),
+cl AS MATERIALIZED (
+  SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id,
+         MIN(doc_tokens) AS doc_tokens,
+         CAST((COUNT(*) - 1) * MIN(doc_tokens) AS BIGINT)
+           AS removable_tokens
+  FROM pd GROUP BY 1 HAVING COUNT(*) > 1),
+tot AS (SELECT CAST(SUM(removable_tokens) AS BIGINT) AS total_removable
+        FROM cl),
+top AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER
+           (ORDER BY removable_tokens DESC, content_hash) AS INT)
+           AS dup_rank,
+         CAST(SUM(removable_tokens) OVER
+           (ORDER BY removable_tokens DESC, content_hash
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_removable_tokens
+  FROM cl ORDER BY removable_tokens DESC, content_hash
+  LIMIT {PARETO_TOP_N})
+SELECT dup_rank, content_hash, CAST(n_docs AS BIGINT) AS n_docs,
+       keep_doc_id, doc_tokens, removable_tokens, cum_removable_tokens,
+       {rat_round6_duck("cum_removable_tokens", "total_removable")}
+         AS cum_share_r6
+FROM top CROSS JOIN tot
+ORDER BY dup_rank
+"""
+
+
+def customer_priority_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-priority transition matrix over each customer's
+    consecutive orders (by order date, key tie-break): does an URGENT
+    order predict the next one's priority, or are priorities drawn
+    independently per order? Reports pair counts, the row-conditional
+    share P(next | prev), and the global pair share — the Markov read
+    the ev_markov_transitions op gives events, applied to the orders
+    dimension.
+
+    Scale: one lag window PARTITIONED BY customer (no global
+    ordering), one shuffle on the 25-cell transition key, margins
+    re-aggregated from the bounded matrix and broadcast."""
+    o = catalog.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    pairs = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        .withColumn("prev_priority", F.lag("o_orderpriority").over(w))
+        .filter(F.col("prev_priority").isNotNull())
+    )
+    agg = pairs.groupBy(
+        "prev_priority", F.col("o_orderpriority").alias("next_priority")
+    ).agg(F.count("*").alias("n_pairs"))
+    row_tot = agg.groupBy("prev_priority").agg(
+        F.sum("n_pairs").alias("n_from")
+    )
+    tot = agg.agg(F.sum("n_pairs").cast("long").alias("n_all"))
+    return (
+        agg.join(F.broadcast(row_tot), "prev_priority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev_priority",
+            "next_priority",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.expr(rat_round6_spark("n_pairs", "n_from")).alias(
+                "row_share_r6"
+            ),
+            F.expr(rat_round6_spark("n_pairs", "n_all")).alias(
+                "pair_share_r6"
+            ),
+        )
+        .orderBy("prev_priority", "next_priority")
+    )
+
+
+ORACLE_PRIORITY_TRANSITIONS = f"""
+WITH pairs AS (
+  SELECT LAG(o_orderpriority) OVER
+           (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS prev_priority,
+         o_orderpriority AS next_priority
+  FROM orders),
+agg AS (
+  SELECT prev_priority, next_priority, COUNT(*) AS n_pairs
+  FROM pairs WHERE prev_priority IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT prev_priority, SUM(n_pairs) AS n_from FROM agg GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_all FROM agg)
+SELECT a.prev_priority, a.next_priority,
+       CAST(a.n_pairs AS BIGINT) AS n_pairs,
+       {rat_round6_duck("a.n_pairs", "rt.n_from")} AS row_share_r6,
+       {rat_round6_duck("a.n_pairs", "tot.n_all")} AS pair_share_r6
+FROM agg a JOIN rt USING (prev_priority) CROSS JOIN tot
+ORDER BY prev_priority, next_priority
+"""
+
+
+def ev_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend lift per event type: observed weekend share of events
+    and of spend vs the CALENDAR weekend share of the feed's day span
+    — lift > 1 means the type over-indexes on weekends (the
+    seasonality read behind staffing/capacity and send-time choices).
+    Day boundaries are UTC epoch-day integers (epoch micros div
+    86400e6 — timezone-free, the ev_* epoch convention); weekday index
+    (day + 3) % 7 puts Monday at 0, so weekend = index ≥ 5.
+
+    Scale: one map-side day/weekend tag, one shuffle on event_type;
+    the calendar baseline expands the GLOBAL day span (calendar-
+    bounded: ~365 rows/year, never the fact stream) and is broadcast."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr(f"({_US}) div 86400000000").alias("day"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    span = ev.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    cal = span.select(
+        (F.col("dmax") - F.col("dmin") + 1).cast("long").alias("n_days"),
+        F.expr(
+            "cast(size(filter(sequence(dmin, dmax),"
+            " d -> (d + 3) % 7 >= 5)) as bigint)"
+        ).alias("n_weekend_days"),
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(((F.col("day") + 3) % 7 >= 5).cast("long"))
+        .cast("long")
+        .alias("n_weekend_events"),
+        F.sum("cents").cast("long").alias("cents_total"),
+        F.sum(
+            F.when((F.col("day") + 3) % 7 >= 5, F.col("cents")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("cents_weekend"),
+    )
+    return (
+        per_type.crossJoin(F.broadcast(cal))
+        .select(
+            "event_type",
+            "n_events",
+            "n_weekend_events",
+            F.expr(
+                rat_round6_spark("n_weekend_events", "n_events")
+            ).alias("weekend_event_share_r6"),
+            "cents_total",
+            "cents_weekend",
+            F.expr(rat_round6_spark("cents_weekend", "cents_total")).alias(
+                "weekend_value_share_r6"
+            ),
+            F.expr(rat_round6_spark("n_weekend_days", "n_days")).alias(
+                "calendar_weekend_share_r6"
+            ),
+            F.expr(
+                rat_round6_spark(
+                    "n_weekend_events * n_days",
+                    "n_events * n_weekend_days",
+                )
+            ).alias("weekend_lift_r6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_WEEKEND_LIFT = f"""
+WITH ev AS (
+  SELECT event_type, ({_US_DUCK}) // 86400000000 AS day,
+         {_CENTS_DUCK} AS cents
+  FROM events),
+cal AS (
+  SELECT CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS n_days,
+         CAST(len(list_filter(generate_series(MIN(day), MAX(day)),
+                              d -> (d + 3) % 7 >= 5)) AS BIGINT)
+           AS n_weekend_days
+  FROM ev),
+pt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN (day + 3) % 7 >= 5 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_weekend_events,
+         CAST(SUM(cents) AS BIGINT) AS cents_total,
+         CAST(SUM(CASE WHEN (day + 3) % 7 >= 5 THEN cents ELSE 0 END)
+              AS BIGINT) AS cents_weekend
+  FROM ev GROUP BY 1)
+SELECT event_type, n_events, n_weekend_events,
+       {rat_round6_duck("n_weekend_events", "n_events")}
+         AS weekend_event_share_r6,
+       cents_total, cents_weekend,
+       {rat_round6_duck("cents_weekend", "cents_total")}
+         AS weekend_value_share_r6,
+       {rat_round6_duck("n_weekend_days", "n_days")}
+         AS calendar_weekend_share_r6,
+       {rat_round6_duck("n_weekend_events * n_days",
+                        "n_events * n_weekend_days")}
+         AS weekend_lift_r6
+FROM pt CROSS JOIN cal
+ORDER BY event_type
+"""
+
+
+CDC_MOD = 16  # expected chunk length: boundary when hash % 16 == 0
+
+
+def mm_chunk_cdc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) profile per media type: split
+    each payload where a rolling byte-pair hash ((b_i·31 + b_{{i+1}})
+    mod {CDC_MOD} == 0), hash every chunk, and report chunk-count /
+    chunk-length stats plus the cross-corpus duplicate-chunk share.
+    CDC is the shift-robust complement of mm_chunk_dedup_cross's
+    64-byte ALIGNED chunks: an insertion early in a payload moves
+    every aligned boundary but only the one CDC chunk it lands in —
+    the rsync/casync/restic dedup primitive.
+
+    Boundary predicate is per-position (no min-chunk state), so the
+    whole split is a declarative HOF over the hex projection: bytes
+    array → boundary positions → bounds → chunk (start, end) structs,
+    exploded once (corpus-bytes/{CDC_MOD} chunk rows — the byte-op
+    cost class). Chunk identity = md5 of the chunk's hex slice,
+    byte-exact on both engines (Spark hex() and DuckDB upper(hex())
+    agree).
+
+    Scale: map-side HOFs on pinned partitions; one explode bounded by
+    total bytes / expected chunk length; one shuffle on media_type
+    with a distinct-count over chunk hashes."""
+    assets = _assets_curation(spark, sf_dir)
+    withhx = assets.filter(F.octet_length("payload") >= 1).select(
+        "doc_id",
+        "media_type",
+        # bound BEFORE the lambdas: interpreted HOFs get no CSE
+        F.expr("hex(payload)").alias("hx"),
+        F.octet_length("payload").alias("n"),
+    )
+    chunks = (
+        withhx.withColumn(
+            "bs",
+            F.expr(
+                "transform(sequence(1, n), i ->"
+                " cast(conv(substring(hx, 2 * i - 1, 2), 16, 10) as int))"
+            ),
+        )
+        .withColumn(
+            "bnd",
+            # n >= 2 guard: Spark sequence(1, 0) DESCENDS (the ADVICE
+            # r10 empty-payload class); a 1-byte payload is one chunk
+            F.expr(
+                "case when n >= 2 then filter(sequence(1, n - 1), i ->"
+                f" (element_at(bs, i) * 31 + element_at(bs, i + 1))"
+                f" % {CDC_MOD} = 0)"
+                " else array() end"
+            ),
+        )
+        .withColumn(
+            "bounds",
+            F.expr("concat(array(0), bnd, array(cast(n as int)))"),
+        )
+        .select(
+            "doc_id",
+            "media_type",
+            "hx",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(bounds) - 1), i ->"
+                    " named_struct('s', element_at(bounds, i),"
+                    " 'e', element_at(bounds, i + 1)))"
+                )
+            ).alias("ck"),
+        )
+        .select(
+            "doc_id",
+            "media_type",
+            (F.col("ck.e") - F.col("ck.s")).cast("long").alias("chunk_len"),
+            F.expr(
+                "md5(substring(hx, 2 * ck.s + 1, 2 * (ck.e - ck.s)))"
+            ).alias("chunk_hash"),
+        )
+    )
+    return (
+        chunks.groupBy("media_type")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_assets"),
+            F.sum("chunk_len").cast("long").alias("total_bytes"),
+            F.count("*").cast("long").alias("total_chunks"),
+            F.countDistinct("chunk_hash").cast("long").alias(
+                "distinct_chunks"
+            ),
+            F.min("chunk_len").cast("int").alias("min_chunk_len"),
+            F.max("chunk_len").cast("int").alias("max_chunk_len"),
+        )
+        .select(
+            "media_type",
+            "n_assets",
+            "total_bytes",
+            "total_chunks",
+            "distinct_chunks",
+            "min_chunk_len",
+            "max_chunk_len",
+            F.expr(rat_round6_spark("total_bytes", "total_chunks")).alias(
+                "mean_chunk_len_r6"
+            ),
+            F.expr(
+                rat_round6_spark(
+                    "total_chunks - distinct_chunks", "total_chunks"
+                )
+            ).alias("dup_chunk_share_r6"),
+        )
+        .orderBy("media_type")
+    )
+
+
+def _assets_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal asset projection on curation's pinned-partition
+    documents (the _docs_par rule: per-byte HOF stages need more than
+    the fixture's single parquet split)."""
+    from .multimodal import project_assets
+
+    return project_assets(_docs_par(spark, sf_dir))
+
+
+ORACLE_CHUNK_CDC = f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 1),
+b AS (
+  SELECT *, list_transform(generate_series(1, n),
+           i -> CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT)) AS bs
+  FROM a),
+c AS (
+  SELECT doc_id, media_type, hx, n,
+         list_concat(list_concat([0],
+           CASE WHEN n >= 2 THEN
+             list_filter(generate_series(1, n - 1),
+               i -> (bs[i] * 31 + bs[i + 1]) % {CDC_MOD} = 0)
+           ELSE [] END), [n]) AS bounds
+  FROM b),
+ch AS (
+  SELECT doc_id, media_type,
+         CAST(bounds[i + 1] - bounds[i] AS BIGINT) AS chunk_len,
+         md5(substr(hx, 2 * bounds[i] + 1,
+                    2 * (bounds[i + 1] - bounds[i]))) AS chunk_hash
+  FROM c, LATERAL unnest(generate_series(1, len(bounds) - 1)) AS u(i)),
+g AS (
+  SELECT media_type,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_assets,
+         CAST(SUM(chunk_len) AS BIGINT) AS total_bytes,
+         CAST(COUNT(*) AS BIGINT) AS total_chunks,
+         CAST(COUNT(DISTINCT chunk_hash) AS BIGINT) AS distinct_chunks,
+         CAST(MIN(chunk_len) AS INT) AS min_chunk_len,
+         CAST(MAX(chunk_len) AS INT) AS max_chunk_len
+  FROM ch GROUP BY 1)
+SELECT media_type, n_assets, total_bytes, total_chunks, distinct_chunks,
+       min_chunk_len, max_chunk_len,
+       {rat_round6_duck("total_bytes", "total_chunks")}
+         AS mean_chunk_len_r6,
+       {rat_round6_duck("total_chunks - distinct_chunks", "total_chunks")}
+         AS dup_chunk_share_r6
+FROM g ORDER BY media_type
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -3686,4 +4259,28 @@ SPECS = [
                                               "capacity"),
               doc="concurrent 30-min-gap sessions per hour (capped "
                   "hour fan-out; capacity view of sessionization)"),
+    # --- continuation batch D (r13 backlog) ---
+    QuerySpec("stats_cramers_v_assoc", stats_cramers_v_assoc,
+              ORACLE_CRAMERS_V, ("lineitem", "stats"),
+              doc="Cramér's V² of brand x returnflag: contingency grid "
+                  "with exact integer-micro chi² and the scale-free "
+                  "association statistic"),
+    QuerySpec("dedup_cluster_pareto", dedup_cluster_pareto,
+              ORACLE_CLUSTER_PARETO, ("dedup", "curation", "audit"),
+              doc="Pareto curve of exact-dup removable token mass by "
+                  "cluster rank (viral-template takedown priority)"),
+    QuerySpec("customer_priority_transitions",
+              customer_priority_transitions,
+              ORACLE_PRIORITY_TRANSITIONS, ("orders", "stats"),
+              doc="consecutive-order priority transition matrix per "
+                  "customer (Markov read on the orders dimension)"),
+    QuerySpec("ev_weekend_lift", ev_weekend_lift,
+              ORACLE_WEEKEND_LIFT, ("events", "stats", "seasonality"),
+              doc="weekend share + calendar-baseline lift of events "
+                  "and spend per type (UTC epoch-day weekday index)"),
+    QuerySpec("mm_chunk_cdc_profile", mm_chunk_cdc_profile,
+              ORACLE_CHUNK_CDC, ("multimodal", "dedup"),
+              doc="content-defined chunking profile per media type: "
+                  "rolling byte-pair-hash boundaries, chunk stats, "
+                  "cross-corpus duplicate-chunk share"),
 ]

@@ -136,6 +136,12 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "stats_blomqvist_beta_brand",
     "dedup_band_precision_profile",
     "ev_hourly_session_load",
+    # batch D continuation (also never-checked; full local evidence):
+    "stats_cramers_v_assoc",
+    "dedup_cluster_pareto",
+    "customer_priority_transitions",
+    "ev_weekend_lift",
+    "mm_chunk_cdc_profile",
 )
 
 # r11-window greens — rotate to the tail this round (driver row <=1 round

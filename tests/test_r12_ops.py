@@ -1574,3 +1574,183 @@ def test_hourly_session_load_matches_python_brute(spark):
         r = got[h]
         assert r["n_active_sessions"] == active[h]
         assert r["n_starting_sessions"] == starting.get(h, 0)
+
+
+# ---------------------------------------------------------------------------
+# Batch D (r13 backlog): Cramér V², cluster Pareto, priority transitions,
+# weekend lift, CDC chunk profile
+# ---------------------------------------------------------------------------
+
+
+def test_cramers_v_matches_python_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.curation import stats_cramers_v_assoc
+
+    con = duckdb.connect()
+    fact = con.execute(
+        f"SELECT p_brand, l_returnflag FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF_DIR}/part.parquet') p "
+        f"ON l.l_partkey = p.p_partkey"
+    ).fetchall()
+    con.close()
+    obs = Counter(fact)
+    rm = Counter(b for b, _ in fact)
+    cm = Counter(f for _, f in fact)
+    n = len(fact)
+    cells = {}
+    for b in rm:
+        for f in cm:
+            o = obs.get((b, f), 0)
+            e = rm[b] * cm[f] / n
+            cells[(b, f)] = int(math.floor((o - e) * (o - e) / e * 1e6))
+    chi2_micros = sum(cells.values())
+    den = n * min(len(rm) - 1, len(cm) - 1) * 1_000_000
+    v2 = float(
+        (chi2_micros // den) * 1_000_000
+        + ((chi2_micros % den) * 2_000_000 + den) // (2 * den)
+    ) / 1e6
+    got = {(r["p_brand"], r["l_returnflag"]): r
+           for r in stats_cramers_v_assoc(spark, SF_DIR).collect()}
+    assert set(got) == set(cells)
+    for (b, f), r in got.items():
+        assert r["n_obs"] == obs.get((b, f), 0)
+        assert r["n_exp_r6"] == _r6(rm[b] * cm[f], n)
+        assert r["chi2_part_micros"] == cells[(b, f)]
+        assert r["chi2_total_micros"] == chi2_micros
+        assert r["cramers_v2_r6"] == v2
+
+
+def test_cluster_pareto_planted_dups(spark, tmp_path):
+    """Planted exact-dup corpus: three clusters of known sizes produce
+    the exact rank/removable/cumulative-share curve; the fixture corpus
+    (no exact dups at sf0.001) produces an empty frame."""
+    from spark_dba_spark.operators.curation import dedup_cluster_pareto
+
+    texts = (
+        ["alpha beta gamma"] * 4       # 3 tokens, removable 9
+        + ["delta epsilon"] * 3        # 2 tokens, removable 4
+        + ["zeta eta theta iota kappa"] * 2  # 5 tokens, removable 5
+        + ["unique one", "unique two"]
+    )
+    _write_docs(tmp_path, texts)
+    rows = dedup_cluster_pareto(spark, str(tmp_path)).collect()
+    assert [r["removable_tokens"] for r in rows] == [9, 5, 4]
+    assert [r["n_docs"] for r in rows] == [4, 2, 3]
+    assert [r["dup_rank"] for r in rows] == [1, 2, 3]
+    assert [r["cum_removable_tokens"] for r in rows] == [9, 14, 18]
+    assert [r["cum_share_r6"] for r in rows] == [
+        _r6(9, 18), _r6(14, 18), _r6(18, 18)]
+    keep = {r["removable_tokens"]: r["keep_doc_id"] for r in rows}
+    assert keep == {9: 0, 4: 4, 5: 7}
+    assert dedup_cluster_pareto(spark, SF_DIR).count() == 0
+
+
+def test_priority_transitions_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        customer_priority_transitions,
+    )
+
+    con = duckdb.connect()
+    orders = con.execute(
+        f"SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority "
+        f"FROM read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    per_cust: dict = {}
+    for ck, dt, ok, pri in orders:
+        per_cust.setdefault(ck, []).append((dt, ok, pri))
+    pairs: Counter = Counter()
+    for seq in per_cust.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            pairs[(a, b)] += 1
+    n_all = sum(pairs.values())
+    row_tot: Counter = Counter()
+    for (a, _), c in pairs.items():
+        row_tot[a] += c
+    got = {(r["prev_priority"], r["next_priority"]): r
+           for r in customer_priority_transitions(spark, SF_DIR).collect()}
+    assert set(got) == set(pairs)
+    for (a, b), r in got.items():
+        assert r["n_pairs"] == pairs[(a, b)]
+        assert r["row_share_r6"] == _r6(pairs[(a, b)], row_tot[a])
+        assert r["pair_share_r6"] == _r6(pairs[(a, b)], n_all)
+
+
+def test_weekend_lift_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import ev_weekend_lift
+
+    rows = _events_rows()
+    days = [us // 86_400_000_000 for _, us, _, _, _ in rows]
+    dmin, dmax = min(days), max(days)
+    n_days = dmax - dmin + 1
+    n_wknd_days = sum(1 for d in range(dmin, dmax + 1) if (d + 3) % 7 >= 5)
+    agg: dict = {}
+    for _, us, _, et, v in rows:
+        d = us // 86_400_000_000
+        wk = (d + 3) % 7 >= 5
+        c = _cents(v)
+        a = agg.setdefault(et, [0, 0, 0, 0])
+        a[0] += 1
+        a[2] += c
+        if wk:
+            a[1] += 1
+            a[3] += c
+    got = {r["event_type"]: r
+           for r in ev_weekend_lift(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for et, (ne, nw, ct, cw) in agg.items():
+        r = got[et]
+        assert (r["n_events"], r["n_weekend_events"]) == (ne, nw)
+        assert (r["cents_total"], r["cents_weekend"]) == (ct, cw)
+        assert r["weekend_event_share_r6"] == _r6(nw, ne)
+        assert r["weekend_value_share_r6"] == _r6(cw, ct)
+        assert r["calendar_weekend_share_r6"] == _r6(n_wknd_days, n_days)
+        assert r["weekend_lift_r6"] == _r6(nw * n_days, ne * n_wknd_days)
+
+
+def test_chunk_cdc_profile_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        CDC_MOD,
+        mm_chunk_cdc_profile,
+    )
+
+    rows = _docs_rows()
+    stats: dict = {}
+    for doc_id, text, _, _ in rows:
+        payload = text.encode("utf-8")
+        n = len(payload)
+        if n < 1:
+            continue
+        mt = ("image", "audio", "video")[doc_id % 3]
+        bounds = [0] + [
+            i + 1
+            for i in range(n - 1)
+            if (payload[i] * 31 + payload[i + 1]) % CDC_MOD == 0
+        ] + [n]
+        st = stats.setdefault(
+            mt, {"assets": 0, "bytes": 0, "chunks": 0,
+                 "hashes": set(), "lens": []})
+        st["assets"] += 1
+        st["bytes"] += n
+        for s, e in zip(bounds, bounds[1:]):
+            st["chunks"] += 1
+            st["lens"].append(e - s)
+            st["hashes"].add(hashlib.md5(
+                payload[s:e].hex().upper().encode()).hexdigest())
+    got = {r["media_type"]: r
+           for r in mm_chunk_cdc_profile(spark, SF_DIR).collect()}
+    assert set(got) == set(stats)
+    for mt, st in stats.items():
+        r = got[mt]
+        assert r["n_assets"] == st["assets"]
+        assert r["total_bytes"] == st["bytes"]
+        assert r["total_chunks"] == st["chunks"]
+        assert r["distinct_chunks"] == len(st["hashes"])
+        assert r["min_chunk_len"] == min(st["lens"])
+        assert r["max_chunk_len"] == max(st["lens"])
+        assert r["mean_chunk_len_r6"] == _r6(st["bytes"], st["chunks"])
+        assert r["dup_chunk_share_r6"] == _r6(
+            st["chunks"] - len(st["hashes"]), st["chunks"])

@@ -112,6 +112,8 @@ PLAN_NOTES: dict[str, str] = {
     "text_dedup_inflation_by_source": _CHECKPOINT_FRONTED,
     "sim_ivf_routing_balance": _CHECKPOINT_FRONTED,
     "stats_blomqvist_beta_brand": _CHECKPOINT_FRONTED,
+    "stats_cramers_v_assoc": _CHECKPOINT_FRONTED,
+    "dedup_cluster_pareto": _CHECKPOINT_FRONTED,
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
@@ -142,6 +144,12 @@ GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
         "calendar-bounded (~150 rows here, ~18k for a 10-year feed), "
         "localCheckpointed; the fact stream is pre-reduced by the "
         "map-side-combined daily groupBy"
+    ),
+    "dedup_cluster_pareto": (
+        "cumulative window over the TakeOrdered HEAD only (LIMIT "
+        "PARETO_TOP_N = 100 rows by construction); the cluster total "
+        "is an agg, never a window, and the corpus-sized cluster set "
+        "is cut by TakeOrdered before any single-partition stage"
     ),
     "ev_bollinger_breakout": (
         "trailing 7-day window over the DAILY frame — calendar-bounded "

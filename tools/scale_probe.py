@@ -215,6 +215,11 @@ QUERIES = [
     "stats_blomqvist_beta_brand",  # medial correlation (r12c new)
     "dedup_band_precision_profile",  # per-band LSH precision (r12c new)
     "ev_hourly_session_load",    # concurrent sessions/hour (r12c new)
+    "stats_cramers_v_assoc",     # brand x flag association (r12d new)
+    "dedup_cluster_pareto",      # exact-dup waste curve (r12d new)
+    "customer_priority_transitions",  # priority Markov matrix (r12d)
+    "ev_weekend_lift",           # weekend seasonality lift (r12d new)
+    "mm_chunk_cdc_profile",      # CDC chunk dedup profile (r12d new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
