@@ -4079,6 +4079,451 @@ FROM g ORDER BY media_type
 """
 
 
+# --------------------------------------------------------------------------
+# Continuation batch E (r13 backlog): hourly-load Gini, HLL precision
+# sweep, tolerance as-of join, per-cluster silhouette
+# --------------------------------------------------------------------------
+
+def ev_hourly_load_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the hourly event load per type — one scalar
+    per type answering "how unevenly is this traffic spread over
+    time?" (0 = perfectly flat, →1 = all volume in a few hours). The
+    series is ZERO-FILLED over the global hour spine (a gappy series
+    understates concentration — dead hours ARE the imbalance), and the
+    statistic is the exact rearrangement form G = Σ(2i − n − 1)·x_(i)
+    / (n·Σx) over ascending counts — pure integers, no float moments.
+
+    Scale: one fact shuffle to (type, hour) counts; the spine is
+    calendar-bounded (hours of history × types, never events); the
+    rank window is PARTITIONED by type over that bounded spine."""
+    ev = _events(spark, sf_dir)
+    hr = F.expr(f"({_US}) div 3600000000")
+    counts = ev.groupBy(
+        "event_type", hr.alias("hr")
+    ).agg(F.count("*").alias("n"))
+    rng = counts.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    types = counts.select("event_type").distinct()
+    spine = F.broadcast(types).crossJoin(
+        F.broadcast(rng.select(F.explode(F.sequence("lo", "hi")).alias("hr")))
+    )
+    filled = spine.join(counts, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy("n", "hr")
+    ranked = filled.withColumn("i", F.row_number().over(w)).withColumn(
+        "nh", F.count("*").over(W.partitionBy("event_type"))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.sum((F.col("n") == 0).cast("long")).cast("long").alias(
+                "n_zero_hours"
+            ),
+            F.sum("n").cast("long").alias("total_events"),
+            F.sum(
+                (2 * F.col("i") - F.col("nh") - 1) * F.col("n")
+            ).cast("long").alias("gini_num"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "n_zero_hours",
+            "total_events",
+            F.expr(
+                rat_round6_spark("gini_num", "n_hours * total_events")
+            ).alias("gini_r6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_HOURLY_LOAD_GINI = f"""
+WITH counts AS (
+  SELECT event_type, ({_US_DUCK}) // 3600000000 AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+rng AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM counts),
+spine AS (
+  SELECT t.event_type, u.hr
+  FROM (SELECT DISTINCT event_type FROM counts) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hr FROM rng) u),
+filled AS (
+  SELECT s.event_type, s.hr, COALESCE(c.n, 0) AS n
+  FROM spine s LEFT JOIN counts c USING (event_type, hr)),
+ranked AS (
+  SELECT event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, hr) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS nh
+  FROM filled),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_hours,
+         CAST(SUM(n) AS BIGINT) AS total_events,
+         CAST(SUM((2 * i - nh - 1) * n) AS BIGINT) AS gini_num
+  FROM ranked GROUP BY 1)
+SELECT event_type, n_hours, n_zero_hours, total_events,
+       {rat_round6_duck("gini_num", "n_hours * total_events")} AS gini_r6
+FROM g ORDER BY event_type
+"""
+
+
+# (m, scalebits = 60 − log2 m + 1, alpha_m) — the standard HLL bias
+# constants; alpha_256 is the closed form 0.7213/(1 + 1.079/256),
+# frozen here as the exact double literal so both engines multiply the
+# identical value.
+HLL_SWEEP = (
+    (16, 57, 0.673),
+    (64, 55, 0.709),
+    (256, 53, 0.7213 / (1 + 1.079 / 256)),
+)
+
+
+def sketch_hll_precision_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HyperLogLog precision sweep: the deterministic fixed-md5 HLL of
+    the distinct document contents at m = 16/64/256 registers, with
+    the raw estimate and its relative error against the EXACT distinct
+    count — the tuning table that justifies a register budget before
+    shipping sketches into a rollup (the sketch_bloom_capacity_sweep
+    pattern applied to cardinality). Everything is a pure function of
+    the input multiset: hash = 60-bit md5 lane, register = max rho per
+    bucket, harmonic sum carried as the EXACT integer Σ 2^(scalebits −
+    rho) (a float Σ2^-rho would re-order differently per engine), the
+    estimate one deterministic double expression from that integer.
+
+    Scale: register max is idempotent over duplicates — no pre-dedup
+    pass; exchanges are sketch-sized (Σm = 336 rows) regardless of
+    corpus size. The exact-distinct audit column is the one
+    corpus-sized agg (drop it in production and the sweep is pure
+    sketch)."""
+    docs = _docs(spark, sf_dir)
+    ms = ", ".join(
+        f"named_struct('m', {m}, 'scalebits', {sb}, 'alpha', {a!r}D)"
+        for m, sb, a in HLL_SWEEP
+    )
+    h = docs.select(
+        F.expr(
+            "cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)"
+        ).alias("h")
+    )
+    regs = (
+        h.select(F.explode(F.expr(f"array({ms})")).alias("s"), "h")
+        .select(
+            F.col("s.m").alias("m"),
+            F.col("s.scalebits").alias("scalebits"),
+            F.col("s.alpha").alias("alpha"),
+            (F.col("h") % F.col("s.m")).cast("int").alias("bucket"),
+            F.expr("h div s.m").alias("w"),
+        )
+        .select(
+            "m",
+            "scalebits",
+            "alpha",
+            "bucket",
+            F.when(F.col("w") == 0, F.col("scalebits"))
+            .otherwise(F.col("scalebits") - F.length(F.expr("bin(w)")))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("m", "scalebits", "alpha", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    dense = (
+        spark.createDataFrame(
+            [(m, sb, a) for m, sb, a in HLL_SWEEP],
+            "m int, scalebits int, alpha double",
+        )
+        .select("m", "scalebits", "alpha",
+                F.explode(F.expr("sequence(0, m - 1)")).alias("bucket"))
+        .join(regs, ["m", "scalebits", "alpha", "bucket"], "left")
+        .select("m", "scalebits", "alpha", "bucket",
+                F.coalesce("reg", F.lit(0)).alias("reg"))
+    )
+    exact = docs.agg(
+        F.countDistinct("text").cast("long").alias("exact_distinct")
+    )
+    per_m = dense.groupBy("m", "scalebits", "alpha").agg(
+        F.sum((F.col("reg") == 0).cast("long")).cast("long").alias(
+            "n_zero_registers"
+        ),
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), scalebits - reg)")
+        ).cast("long").alias("harmonic_scaled"),
+    )
+    est = (
+        F.col("alpha")
+        * (F.col("m") * F.col("m")).cast("double")
+        * F.expr(
+            "cast(shiftleft(cast(1 as bigint), scalebits) as double)"
+        )
+        / F.col("harmonic_scaled").cast("double")
+    )
+    return (
+        per_m.crossJoin(F.broadcast(exact))
+        .withColumn("est_micros", F.floor(est * 1e6).cast("long"))
+        .select(
+            F.col("m").cast("int").alias("m"),
+            "n_zero_registers",
+            "harmonic_scaled",
+            "est_micros",
+            "exact_distinct",
+            F.expr(
+                qrem_round6_spark(
+                    "abs(est_micros - exact_distinct * 1000000)"
+                    " div 1000000",
+                    "exact_distinct",
+                )
+            ).alias("rel_err_r6"),
+        )
+        .orderBy("m")
+    )
+
+
+def _oracle_hll_sweep() -> str:
+    ms = ", ".join(f"({m}, {sb}, {a!r})" for m, sb, a in HLL_SWEEP)
+    return f"""
+WITH sweep(m, scalebits, alpha) AS (VALUES {ms}),
+h AS (
+  SELECT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents),
+regs AS (
+  SELECT s.m, s.scalebits, s.alpha, CAST(h.h % s.m AS INT) AS bucket,
+         MAX(CASE WHEN h.h // s.m = 0 THEN s.scalebits
+                  ELSE s.scalebits - LENGTH(bin(h.h // s.m)) END) AS reg
+  FROM h CROSS JOIN sweep s GROUP BY 1, 2, 3, 4),
+dense AS (
+  SELECT s.m, s.scalebits, s.alpha, u.bucket,
+         COALESCE(r.reg, 0) AS reg
+  FROM sweep s
+  CROSS JOIN LATERAL unnest(generate_series(0, s.m - 1)) AS u(bucket)
+  LEFT JOIN regs r
+    ON r.m = s.m AND r.bucket = u.bucket),
+exact AS (SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+          FROM documents),
+per_m AS (
+  SELECT m, scalebits, alpha,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_registers,
+         CAST(SUM(CAST(1 AS BIGINT) << (scalebits - reg)) AS BIGINT)
+           AS harmonic_scaled
+  FROM dense GROUP BY 1, 2, 3),
+est AS (
+  SELECT m, n_zero_registers, harmonic_scaled, exact_distinct,
+         CAST(FLOOR(alpha * CAST(m * m AS DOUBLE)
+                    * CAST(CAST(1 AS BIGINT) << scalebits AS DOUBLE)
+                    / CAST(harmonic_scaled AS DOUBLE) * 1e6) AS BIGINT)
+           AS est_micros
+  FROM per_m CROSS JOIN exact)
+SELECT CAST(m AS INT) AS m, n_zero_registers, harmonic_scaled,
+       est_micros, exact_distinct,
+       {qrem_round6_duck(
+           "abs(est_micros - exact_distinct * 1000000) // 1000000",
+           "exact_distinct")} AS rel_err_r6
+FROM est ORDER BY m
+"""
+
+
+ASOF_TOL_US = 7 * 86_400_000_000  # 7-day staleness tolerance
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join WITH a staleness tolerance (the pandas
+    ``merge_asof(tolerance=...)`` surface): each event carries the
+    customer's most recent order ONLY if it is at most 7 days old at
+    event time — an attribution window, not an unbounded lookback (a
+    six-month-old order should not claim credit for today's click).
+    Any match older than the tolerance nulls out, which is exactly
+    equivalent to filtering after a plain backward as-of (every other
+    candidate is older still).
+
+    Scale: the asof_join_backward machinery — one shuffle per side on
+    the key, one ordered window pass, no range explosion; the
+    tolerance is a map-side mask after the join."""
+    from .temporal import asof_join_backward
+
+    ev = catalog.load(spark, sf_dir, "events")
+    orders = (
+        catalog.load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    probe = ev.select("user_id", "ts", "event_id", "event_type")
+    build = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("bt"),
+        F.col("o_orderkey").alias("m_orderkey"),
+        F.col("o_orderdate").alias("m_orderdate"),
+    )
+    joined = asof_join_backward(
+        probe, build, "user_id", "ts", "bt",
+        ["m_orderkey", "m_orderdate"],
+    )
+    age = F.expr(
+        "unix_micros(cast(ts as timestamp))"
+        " - unix_micros(cast(m_orderdate as timestamp))"
+    )
+    fresh = F.col("m_orderdate").isNotNull() & (age <= F.lit(ASOF_TOL_US))
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(fresh, F.col("m_orderkey")).alias("tol_orderkey"),
+        F.when(fresh, F.col("m_orderdate")).alias("tol_orderdate"),
+        F.when(fresh, (age / F.lit(3_600_000_000)).cast("long")).alias(
+            "staleness_hours"
+        ),
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF_TOLERANCE = f"""
+WITH j AS (
+  SELECT e.event_id, e.user_id, e.ts, e.event_type,
+         o.o_orderkey AS m_orderkey, o.o_orderdate AS m_orderdate
+  FROM events e ASOF LEFT JOIN
+       (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2) o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+SELECT event_id, user_id, ts, event_type,
+       CASE WHEN m_orderdate IS NOT NULL
+              AND epoch_us(ts) - epoch_us(m_orderdate) <= {ASOF_TOL_US}
+            THEN m_orderkey END AS tol_orderkey,
+       CASE WHEN m_orderdate IS NOT NULL
+              AND epoch_us(ts) - epoch_us(m_orderdate) <= {ASOF_TOL_US}
+            THEN m_orderdate END AS tol_orderdate,
+       CASE WHEN m_orderdate IS NOT NULL
+              AND epoch_us(ts) - epoch_us(m_orderdate) <= {ASOF_TOL_US}
+            THEN CAST((epoch_us(ts) - epoch_us(m_orderdate))
+                      / 3600000000 AS BIGINT) END AS staleness_hours
+FROM j ORDER BY event_id
+"""
+
+
+SIL_BOUNDARY_MICROS = 100_000  # s < 0.1 counts as a boundary point
+
+
+def emb_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-CLUSTER simplified silhouette of the kmeans clustering on
+    the integer grid: for each vector, s = (b − a)/b with a = squared
+    distance to its own (closest) centroid and b = squared distance to
+    the nearest OTHER centroid — s ≈ 1 deep inside a cell, s → 0 on a
+    boundary. Rolled up per cluster (mean / min / boundary share),
+    this is the table that names WHICH clusters are tight and which
+    are boundary-ridden — the per-cluster complement of
+    emb_centroid_margin_bands' global margin histogram.
+
+    Determinism: a and b are exact integers on the 2^-40 squared grid
+    (< 2^53, so the BIGINT→DOUBLE casts are exact); s is one correctly
+    rounded IEEE division, quantized by FLOOR to integer micros before
+    any aggregation (the chi²-cell rule); per-cluster means are exact
+    integer rationals of the micro sums via the qrem split.
+
+    Scale: the all-centroid distance fold is map-only over the
+    broadcast K×D literal; the top-2 cut is a vec_id-partitioned
+    window; the rollup is K-bounded."""
+    from .similarity import _km_cent_sql, _km_loop as _kml
+
+    assigned, cent = _kml(spark, sf_dir)
+    dists = assigned.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform({_km_cent_sql(cent)}, cv -> "
+                "aggregate(zip_with(qv, cv, (x, c) -> (x - c) * (x - c)),"
+                " cast(0 as bigint), (acc, v) -> acc + v))"
+            )
+        ).alias("cid", "d2"),
+    )
+    wr = W.partitionBy("vec_id").orderBy("d2", "cid")
+    per_vec = (
+        dists.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("cid"))).alias("cid"),
+            F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("a2"),
+            F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("b2"),
+        )
+        .select(
+            "cid",
+            F.when(F.col("b2") <= 0, F.lit(0))
+            .otherwise(
+                F.floor(
+                    (F.col("b2") - F.col("a2")).cast("double")
+                    / F.col("b2").cast("double")
+                    * F.lit(1000000.0)
+                )
+            )
+            .cast("long")
+            .alias("s_micros"),
+        )
+    )
+    return (
+        per_vec.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("s_micros").cast("long").alias("sum_s_micros"),
+            F.min("s_micros").cast("long").alias("min_s_micros"),
+            F.max("s_micros").cast("long").alias("max_s_micros"),
+            F.sum(
+                (F.col("s_micros") < SIL_BOUNDARY_MICROS).cast("long")
+            ).cast("long").alias("n_boundary"),
+        )
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            "n_points",
+            F.expr(
+                qrem_round6_spark("sum_s_micros", "n_points * 1000000")
+            ).alias("mean_silhouette_r6"),
+            "min_s_micros",
+            "max_s_micros",
+            "n_boundary",
+            F.expr(rat_round6_spark("n_boundary", "n_points")).alias(
+                "boundary_share_r6"
+            ),
+        )
+        .orderBy("cid")
+    )
+
+
+ORACLE_CLUSTER_SILHOUETTE = f"""
+{_KM_ORACLE_PREFIX},
+per_vec AS (
+  SELECT MIN(CASE WHEN rn = 1 THEN cid END) AS cid,
+         MIN(CASE WHEN rn = 1 THEN d2 END) AS a2,
+         MAX(CASE WHEN rn = 2 THEN d2 END) AS b2
+  FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cid) AS rn
+    FROM d{KM_ITERS})
+  WHERE rn <= 2 GROUP BY vec_id),
+s AS (
+  SELECT cid,
+         CASE WHEN b2 <= 0 THEN 0
+              ELSE CAST(FLOOR(CAST(b2 - a2 AS DOUBLE)
+                              / CAST(b2 AS DOUBLE) * 1000000.0)
+                        AS BIGINT) END AS s_micros
+  FROM per_vec),
+g AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(s_micros) AS BIGINT) AS sum_s_micros,
+         CAST(MIN(s_micros) AS BIGINT) AS min_s_micros,
+         CAST(MAX(s_micros) AS BIGINT) AS max_s_micros,
+         CAST(SUM(CASE WHEN s_micros < {SIL_BOUNDARY_MICROS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary
+  FROM s GROUP BY 1)
+SELECT CAST(cid AS INT) AS cid, n_points,
+       {qrem_round6_duck("sum_s_micros", "n_points * 1000000")}
+         AS mean_silhouette_r6,
+       min_s_micros, max_s_micros, n_boundary,
+       {rat_round6_duck("n_boundary", "n_points")} AS boundary_share_r6
+FROM g ORDER BY cid
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -4283,4 +4728,25 @@ SPECS = [
               doc="content-defined chunking profile per media type: "
                   "rolling byte-pair-hash boundaries, chunk stats, "
                   "cross-corpus duplicate-chunk share"),
+    # --- continuation batch E (r13 backlog) ---
+    QuerySpec("ev_hourly_load_gini", ev_hourly_load_gini,
+              ORACLE_HOURLY_LOAD_GINI, ("events", "stats", "capacity"),
+              doc="Gini of zero-filled hourly event load per type "
+                  "(exact rearrangement form over the calendar spine)"),
+    QuerySpec("sketch_hll_precision_sweep", sketch_hll_precision_sweep,
+              _oracle_hll_sweep(), ("sketch", "tuning"),
+              doc="deterministic fixed-md5 HLL at m=16/64/256 with "
+                  "exact integer harmonic sums, estimates and relative "
+                  "error vs exact distinct (register-budget tuning)"),
+    QuerySpec("join_asof_tolerance", join_asof_tolerance,
+              ORACLE_ASOF_TOLERANCE, ("join", "temporal"),
+              doc="backward as-of join with a 7-day staleness "
+                  "tolerance (merge_asof tolerance surface; stale "
+                  "matches null out)"),
+    QuerySpec("emb_cluster_silhouette", emb_cluster_silhouette,
+              ORACLE_CLUSTER_SILHOUETTE, ("embedding", "kmeans",
+                                          "audit"),
+              doc="per-cluster simplified silhouette on the integer "
+                  "grid (mean/min/boundary share — which clusters are "
+                  "tight vs boundary-ridden)"),
 ]

@@ -142,6 +142,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "customer_priority_transitions",
     "ev_weekend_lift",
     "mm_chunk_cdc_profile",
+    # batch E continuation (also never-checked; full local evidence):
+    "ev_hourly_load_gini",
+    "sketch_hll_precision_sweep",
+    "join_asof_tolerance",
+    "emb_cluster_silhouette",
 )
 
 # r11-window greens — rotate to the tail this round (driver row <=1 round

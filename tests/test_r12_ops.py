@@ -1754,3 +1754,156 @@ def test_chunk_cdc_profile_matches_python_brute(spark):
         assert r["mean_chunk_len_r6"] == _r6(st["bytes"], st["chunks"])
         assert r["dup_chunk_share_r6"] == _r6(
             st["chunks"] - len(st["hashes"]), st["chunks"])
+
+
+# ---------------------------------------------------------------------------
+# Batch E (r13 backlog): hourly-load Gini, HLL precision sweep,
+# tolerance as-of join, per-cluster silhouette
+# ---------------------------------------------------------------------------
+
+
+def test_hourly_load_gini_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import ev_hourly_load_gini
+
+    rows = _events_rows()
+    hours = [us // 3_600_000_000 for _, us, _, _, _ in rows]
+    lo, hi = min(hours), max(hours)
+    per_type: dict = {}
+    for _, us, _, et, _ in rows:
+        per_type.setdefault(et, Counter())[us // 3_600_000_000] += 1
+    got = {r["event_type"]: r
+           for r in ev_hourly_load_gini(spark, SF_DIR).collect()}
+    assert set(got) == set(per_type)
+    for et, cnt in per_type.items():
+        xs = sorted(cnt.get(h, 0) for h in range(lo, hi + 1))
+        n = len(xs)
+        tot = sum(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        r = got[et]
+        assert r["n_hours"] == n
+        assert r["n_zero_hours"] == sum(1 for x in xs if x == 0)
+        assert r["total_events"] == tot
+        assert r["gini_r6"] == _r6(num, n * tot)
+
+
+def test_hll_precision_sweep_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        HLL_SWEEP,
+        sketch_hll_precision_sweep,
+    )
+
+    rows = _docs_rows()
+    hashes = [
+        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for _, t, _, _ in rows
+    ]
+    exact = len({t for _, t, _, _ in rows})
+    got = {r["m"]: r
+           for r in sketch_hll_precision_sweep(spark, SF_DIR).collect()}
+    assert set(got) == {m for m, _, _ in HLL_SWEEP}
+    for m, sb, alpha in HLL_SWEEP:
+        regs = [0] * m
+        for h in hashes:
+            b, w = h % m, h // m
+            rho = sb if w == 0 else sb - w.bit_length()
+            regs[b] = max(regs[b], rho)
+        harmonic = sum(1 << (sb - r) for r in regs)
+        est = alpha * m * m * float(1 << sb) / float(harmonic)
+        est_micros = int(np.floor(est * 1e6))
+        r = got[m]
+        assert r["n_zero_registers"] == sum(1 for x in regs if x == 0)
+        assert r["harmonic_scaled"] == harmonic
+        assert r["est_micros"] == est_micros
+        assert r["exact_distinct"] == exact
+        diff = abs(est_micros - exact * 1_000_000) // 1_000_000
+        den = exact
+        want = float(
+            (diff // den) * 1_000_000
+            + ((diff % den) * 2_000_000 + den) // (2 * den)
+        ) / 1e6
+        assert r["rel_err_r6"] == want
+        # the sweep is a real precision gate: every m estimates within
+        # the ~1.04/sqrt(m) envelope x3 of the exact count
+        assert r["rel_err_r6"] <= 3 * 1.04 / (m ** 0.5)
+
+
+def test_asof_tolerance_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        ASOF_TOL_US,
+        join_asof_tolerance,
+    )
+
+    con = duckdb.connect()
+    orders = con.execute(
+        f"SELECT o_custkey, epoch_us(o_orderdate), MAX(o_orderkey) "
+        f"FROM read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    con.close()
+    per_cust: dict = {}
+    for ck, ous, ok in orders:
+        per_cust.setdefault(ck, []).append((ous, ok))
+    for v in per_cust.values():
+        v.sort()
+    rows = _events_rows()
+    got = {r["event_id"]: r
+           for r in join_asof_tolerance(spark, SF_DIR).collect()}
+    assert len(got) == len(rows)
+    for eid, us, uid, _, _ in rows:
+        best = None
+        for ous, ok in per_cust.get(uid, []):
+            if ous <= us:
+                best = (ous, ok)
+            else:
+                break
+        r = got[eid]
+        if best is None or us - best[0] > ASOF_TOL_US:
+            assert r["tol_orderkey"] is None
+            assert r["tol_orderdate"] is None
+            assert r["staleness_hours"] is None
+        else:
+            assert r["tol_orderkey"] == best[1]
+            assert r["staleness_hours"] == (us - best[0]) // 3_600_000_000
+
+
+def test_cluster_silhouette_matches_python_brute(spark):
+    """Replays the kmeans loop's final assignment via the engine's own
+    diagnostics frames, then checks the silhouette rollup against a
+    python recomputation from the all-pairs distance table."""
+    import math
+
+    from spark_dba_spark.operators.curation import (
+        SIL_BOUNDARY_MICROS,
+        emb_cluster_silhouette,
+    )
+    from spark_dba_spark.operators.similarity import _km_cent_sql, _km_loop
+
+    assigned, cent = _km_loop(spark, SF_DIR)
+    rows = assigned.select("vec_id", "qv").collect()
+    per_cluster: dict = {}
+    for r in rows:
+        qv = r["qv"]
+        d2s = sorted(
+            (sum((x - c) * (x - c) for x, c in zip(qv, cv)), cid)
+            for cid, cv in enumerate(cent)
+        )
+        (a2, cid1), (b2, _) = d2s[0], d2s[1]
+        s = 0 if b2 <= 0 else int(
+            math.floor(float(b2 - a2) / float(b2) * 1e6))
+        per_cluster.setdefault(cid1, []).append(s)
+    got = {r["cid"]: r
+           for r in emb_cluster_silhouette(spark, SF_DIR).collect()}
+    assert set(got) == set(per_cluster)
+    for cid, ss in per_cluster.items():
+        r = got[cid]
+        n = len(ss)
+        assert r["n_points"] == n
+        assert r["min_s_micros"] == min(ss)
+        assert r["max_s_micros"] == max(ss)
+        assert r["n_boundary"] == sum(
+            1 for s in ss if s < SIL_BOUNDARY_MICROS)
+        tot, den = sum(ss), n * 1_000_000
+        want = float(
+            (tot // den) * 1_000_000
+            + ((tot % den) * 2_000_000 + den) // (2 * den)
+        ) / 1e6
+        assert r["mean_silhouette_r6"] == want

@@ -220,6 +220,10 @@ QUERIES = [
     "customer_priority_transitions",  # priority Markov matrix (r12d)
     "ev_weekend_lift",           # weekend seasonality lift (r12d new)
     "mm_chunk_cdc_profile",      # CDC chunk dedup profile (r12d new)
+    "ev_hourly_load_gini",       # hourly-load Gini per type (r12e new)
+    "sketch_hll_precision_sweep",  # HLL m-sweep tuning table (r12e)
+    "join_asof_tolerance",       # tolerance as-of join (r12e new)
+    "emb_cluster_silhouette",    # per-cluster silhouette (r12e new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
