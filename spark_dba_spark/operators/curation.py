@@ -4524,6 +4524,331 @@ FROM g ORDER BY cid
 """
 
 
+# --------------------------------------------------------------------------
+# Continuation batch F (r13 backlog): promo DiD, dup-graph modularity,
+# char entropy by source
+# --------------------------------------------------------------------------
+
+def lineitem_promo_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences of the discount rate: PROMO vs
+    non-PROMO parts, before vs after the midpoint of the shipdate
+    span — the causal-shaped read ("did promo parts' discounting
+    change MORE than the baseline drift?") that a plain group mean
+    can't give. Emits the four (group × period) cells with exact
+    counts/sums and micro-rounded means, plus the DiD of those
+    micro-rounded means (an INTEGER difference — defined on the same
+    grid both engines round to, so no cross-engine tie can split).
+
+    Scale: one broadcast dim join, one map-side tag, one 4-cell agg;
+    the split date is a 1-row min/max agg broadcast back — no second
+    fact scan (checkpoint-fronted)."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    tagged = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .select(
+            F.when(F.col("p_type") == "PROMO", F.lit("promo"))
+            .otherwise(F.lit("other"))
+            .alias("grp"),
+            F.expr(
+                "unix_micros(cast(l_shipdate as timestamp))"
+                " div 86400000000"
+            ).alias("day"),
+            F.expr(
+                "cast(floor(l_discount * 1000000 + 0.5) as bigint)"
+            ).alias("disc_micros"),
+        )
+        .localCheckpoint(eager=True)  # feeds the span agg AND the cells
+    )
+    mid = tagged.agg(
+        F.expr("(min(day) + max(day)) div 2").alias("mid_day")
+    )
+    cells = (
+        tagged.crossJoin(F.broadcast(mid))
+        .select(
+            "grp",
+            F.when(F.col("day") >= F.col("mid_day"), F.lit("post"))
+            .otherwise(F.lit("pre"))
+            .alias("period"),
+            "disc_micros",
+        )
+        .groupBy("grp", "period")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("disc_micros").cast("long").alias("sum_disc_micros"),
+        )
+        .withColumn(
+            "mean_disc_micros",
+            F.expr(
+                "(sum_disc_micros * 2 + n_lines) div (2 * n_lines)"
+            ).cast("long"),
+        )
+        .localCheckpoint(eager=True)  # 4 rows; feeds the DiD pivot
+    )
+    did = cells.groupBy().agg(
+        F.sum(
+            F.when(
+                (F.col("grp") == "promo") & (F.col("period") == "post"),
+                F.col("mean_disc_micros"),
+            )
+            .when(
+                (F.col("grp") == "promo") & (F.col("period") == "pre"),
+                -F.col("mean_disc_micros"),
+            )
+            .when(
+                (F.col("grp") == "other") & (F.col("period") == "post"),
+                -F.col("mean_disc_micros"),
+            )
+            .otherwise(F.col("mean_disc_micros"))
+        ).cast("long").alias("did_micros")
+    )
+    return (
+        cells.crossJoin(F.broadcast(did))
+        .select(
+            "grp",
+            "period",
+            "n_lines",
+            "sum_disc_micros",
+            "mean_disc_micros",
+            "did_micros",
+            (F.col("did_micros").cast("double") / F.lit(1000000.0)).alias(
+                "did_rate"
+            ),
+        )
+        .orderBy("grp", "period")
+    )
+
+
+ORACLE_PROMO_DID = """
+WITH tagged AS (
+  SELECT CASE WHEN p_type = 'PROMO' THEN 'promo' ELSE 'other' END AS grp,
+         epoch_us(l_shipdate) // 86400000000 AS day,
+         CAST(FLOOR(l_discount * 1000000 + 0.5) AS BIGINT) AS disc_micros
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+mid AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid_day FROM tagged),
+cells AS MATERIALIZED (
+  SELECT grp,
+         CASE WHEN day >= mid_day THEN 'post' ELSE 'pre' END AS period,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(disc_micros) AS BIGINT) AS sum_disc_micros
+  FROM tagged CROSS JOIN mid GROUP BY 1, 2),
+cells2 AS (
+  SELECT *, CAST((sum_disc_micros * 2 + n_lines) // (2 * n_lines)
+                 AS BIGINT) AS mean_disc_micros
+  FROM cells),
+did AS (
+  SELECT CAST(SUM(CASE
+           WHEN grp = 'promo' AND period = 'post' THEN mean_disc_micros
+           WHEN grp = 'promo' AND period = 'pre' THEN -mean_disc_micros
+           WHEN grp = 'other' AND period = 'post' THEN -mean_disc_micros
+           ELSE mean_disc_micros END) AS BIGINT) AS did_micros
+  FROM cells2)
+SELECT grp, period, n_lines, sum_disc_micros, mean_disc_micros,
+       did_micros,
+       CAST(did_micros AS DOUBLE) / 1000000.0 AS did_rate
+FROM cells2 CROSS JOIN did
+ORDER BY grp, period
+"""
+
+
+def graph_neardup_modularity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newman modularity of the SOURCE partition on the near-dup
+    graph: does duplication live inside sources (template reuse, high
+    Q) or across them (syndication/scraping, Q ≈ 0 or negative)? Per
+    source: nodes in the graph, intra-source edges L_c, degree mass
+    d_c, and the exact integer numerator 4·m·L_c − d_c² of its
+    modularity term; the global Q = Σ_c (4·m·L_c − d_c²) / (4·m²) is
+    one exact signed rational, repeated per row.
+
+    Envelope: d_c² and 4·m·L_c stay inside BIGINT while the dup-edge
+    count m < ~1.5e9 — far above any thresholded dup graph this engine
+    emits (the candidate generators are banded); past that the
+    numerators widen to DECIMAL(38,0).
+
+    Scale: edges come from the checkpointed _neardup_graph (bounded
+    dup-pair set); source tagging is two joins of the edge list
+    against the doc→source projection (dimension-sized vs the
+    corpus); everything after is community-bounded."""
+    edges, sym = _neardup_graph(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    e_tag = (
+        edges.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "doc_b",
+        )
+        .localCheckpoint(eager=True)  # bounded edge set, feeds 3 aggs
+    )
+    m_tot = e_tag.agg(F.count("*").cast("long").alias("m"))
+    intra = (
+        e_tag.filter(F.col("src_a") == F.col("src_b"))
+        .groupBy(F.col("src_a").alias("source"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    deg = (
+        sym.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("source"),
+            ),
+            "doc_a",
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_a").cast("long").alias("n_nodes"),
+            F.count("*").cast("long").alias("degree_sum"),
+        )
+    )
+    per_src = (
+        deg.join(intra, "source", "left")
+        .select(
+            "source",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias(
+                "intra_edges"
+            ),
+            "degree_sum",
+        )
+        .crossJoin(F.broadcast(m_tot))
+        .withColumn(
+            "q_num",
+            (
+                4 * F.col("m") * F.col("intra_edges")
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).cast("long"),
+        )
+        .localCheckpoint(eager=True)  # community-bounded; feeds Q + rows
+    )
+    q = per_src.agg(F.sum("q_num").cast("long").alias("q_num_total"))
+    return (
+        per_src.crossJoin(F.broadcast(q))
+        .select(
+            "source",
+            "n_nodes",
+            "intra_edges",
+            "degree_sum",
+            "q_num",
+            F.expr(
+                rat_round6_signed_spark("q_num_total", "4 * m * m")
+            ).alias("modularity_r6"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_neardup_modularity() -> str:
+    return f"""
+WITH {_GRAPH_SYM_CTES},
+src AS (SELECT doc_id, source FROM documents),
+e_tag AS MATERIALIZED (
+  SELECT e.doc_a, e.doc_b, sa.source AS src_a, sb.source AS src_b
+  FROM dup e
+  JOIN src sa ON e.doc_a = sa.doc_id
+  JOIN src sb ON e.doc_b = sb.doc_id),
+m_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e_tag),
+intra AS (
+  SELECT src_a AS source, CAST(COUNT(*) AS BIGINT) AS intra_edges
+  FROM e_tag WHERE src_a = src_b GROUP BY 1),
+deg AS (
+  SELECT s.source, CAST(COUNT(DISTINCT g.doc_a) AS BIGINT) AS n_nodes,
+         CAST(COUNT(*) AS BIGINT) AS degree_sum
+  FROM sym g JOIN src s ON g.doc_a = s.doc_id
+  GROUP BY 1),
+per_src AS MATERIALIZED (
+  SELECT d.source, d.n_nodes,
+         COALESCE(i.intra_edges, 0) AS intra_edges, d.degree_sum,
+         CAST(4 * m.m * COALESCE(i.intra_edges, 0)
+              - d.degree_sum * d.degree_sum AS BIGINT) AS q_num,
+         m.m
+  FROM deg d LEFT JOIN intra i USING (source) CROSS JOIN m_tot m),
+q AS (SELECT CAST(SUM(q_num) AS BIGINT) AS q_num_total FROM per_src)
+SELECT source, n_nodes, intra_edges, degree_sum, q_num,
+       {rat_round6_signed_duck("q_num_total", "4 * m * m")}
+         AS modularity_r6
+FROM per_src CROSS JOIN q
+ORDER BY source
+"""
+
+
+def text_char_entropy_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shannon entropy (nats) of the CHARACTER distribution per source
+    — the compressibility/diversity screen that separates natural prose
+    (≈3 nats over lowercase+space) from template spam and binary-ish
+    noise, at a fraction of a real compressor's cost. Restated to stay
+    deterministic: H = ln T − S/T with S = Σ c·ln c over the
+    character histogram; each c·ln c term is floored to integer micros
+    of the identical IEEE double (the chi²-cell rule), the sum is an
+    exact BIGINT over the ALPHABET-BOUNDED histogram, and the final H
+    is one deterministic double expression floored back to micros.
+
+    Scale: one explode to (source, char) counts with map-side combine
+    (exchange is alphabet-sized per source), everything after is
+    histogram-bounded. Entropy contributions use the house
+    9dp-rounded ``c·ln c`` decimal-sum pattern (the
+    ev_transition_entropy construct — order-independent exact decimal
+    sum, final 6dp round on a transcendental that can't tie,
+    TIES.md Class B)."""
+    docs = _docs_par(spark, sf_dir)
+    chars = docs.select(
+        "source",
+        F.explode(F.split("text", "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    hist = chars.groupBy("source", "ch").agg(F.count("*").alias("c"))
+    per_src = hist.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_char_types"),
+        F.sum(
+            F.round(F.col("c") * F.log("c"), 9).cast("decimal(25,9)")
+        ).alias("s"),
+    )
+    return per_src.select(
+        "source",
+        "n_chars",
+        "n_char_types",
+        F.round(
+            F.round(F.log("n_chars"), 9)
+            - F.col("s").cast("double") / F.col("n_chars"),
+            6,
+        ).alias("entropy_nats"),
+    ).orderBy("source")
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT source, u.ch
+  FROM documents, LATERAL unnest(string_split_regex(text, '')) AS u(ch)
+  WHERE u.ch != ''),
+hist AS (
+  SELECT source, ch, COUNT(*) AS c
+  FROM chars GROUP BY 1, 2),
+per_src AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_char_types,
+         SUM(CAST(ROUND(c * ln(c), 9) AS DECIMAL(25,9))) AS s
+  FROM hist GROUP BY 1)
+SELECT source, n_chars, n_char_types,
+       ROUND(ROUND(ln(n_chars), 9) - CAST(s AS DOUBLE) / n_chars, 6)
+         AS entropy_nats
+FROM per_src ORDER BY source
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -4749,4 +5074,21 @@ SPECS = [
               doc="per-cluster simplified silhouette on the integer "
                   "grid (mean/min/boundary share — which clusters are "
                   "tight vs boundary-ridden)"),
+    # --- continuation batch F (r13 backlog) ---
+    QuerySpec("lineitem_promo_did", lineitem_promo_did,
+              ORACLE_PROMO_DID, ("lineitem", "stats", "causal"),
+              doc="difference-in-differences of the discount rate, "
+                  "PROMO vs other parts before/after the shipdate-span "
+                  "midpoint (4-cell grid + integer DiD of micro means)"),
+    QuerySpec("graph_neardup_modularity", graph_neardup_modularity,
+              _oracle_neardup_modularity(), ("dedup", "graph",
+                                             "provenance"),
+              doc="Newman modularity of the source partition on the "
+                  "near-dup graph (intra-source template reuse vs "
+                  "cross-source syndication) — exact signed rational"),
+    QuerySpec("text_char_entropy_by_source", text_char_entropy_by_source,
+              ORACLE_CHAR_ENTROPY, ("text", "stats", "quality"),
+              doc="Shannon char-distribution entropy per source via "
+                  "the 9dp c·ln c decimal-sum pattern (compressibility "
+                  "/ diversity screen)"),
 ]

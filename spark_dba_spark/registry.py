@@ -147,6 +147,10 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "sketch_hll_precision_sweep",
     "join_asof_tolerance",
     "emb_cluster_silhouette",
+    # batch F continuation (also never-checked; full local evidence):
+    "lineitem_promo_did",
+    "graph_neardup_modularity",
+    "text_char_entropy_by_source",
 )
 
 # r11-window greens — rotate to the tail this round (driver row <=1 round

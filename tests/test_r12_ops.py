@@ -1907,3 +1907,105 @@ def test_cluster_silhouette_matches_python_brute(spark):
             + ((tot % den) * 2_000_000 + den) // (2 * den)
         ) / 1e6
         assert r["mean_silhouette_r6"] == want
+
+
+# ---------------------------------------------------------------------------
+# Batch F (r13 backlog): promo DiD, dup-graph modularity, char entropy
+# ---------------------------------------------------------------------------
+
+
+def test_promo_did_matches_python_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.curation import lineitem_promo_did
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CASE WHEN p_type = 'PROMO' THEN 'promo' ELSE 'other' "
+        f"END, epoch_us(l_shipdate) // 86400000000, l_discount "
+        f"FROM read_parquet('{SF_DIR}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF_DIR}/part.parquet') p "
+        f"ON l.l_partkey = p.p_partkey"
+    ).fetchall()
+    con.close()
+    days = [d for _, d, _ in rows]
+    mid = (min(days) + max(days)) // 2
+    cells: dict = {}
+    for grp, d, disc in rows:
+        period = "post" if d >= mid else "pre"
+        c = cells.setdefault((grp, period), [0, 0])
+        c[0] += 1
+        c[1] += int(math.floor(disc * 1_000_000 + 0.5))
+    means = {k: (s * 2 + n) // (2 * n) for k, (n, s) in cells.items()}
+    did = (means[("promo", "post")] - means[("promo", "pre")]
+           - means[("other", "post")] + means[("other", "pre")])
+    got = {(r["grp"], r["period"]): r
+           for r in lineitem_promo_did(spark, SF_DIR).collect()}
+    assert set(got) == set(cells)
+    for k, (n, s) in cells.items():
+        r = got[k]
+        assert (r["n_lines"], r["sum_disc_micros"]) == (n, s)
+        assert r["mean_disc_micros"] == means[k]
+        assert r["did_micros"] == did
+        assert r["did_rate"] == float(did) / 1e6
+
+
+def test_neardup_modularity_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import graph_neardup_modularity
+    from spark_dba_spark.operators.dedup import dedup_ngram_jaccard
+
+    edges = [(r["doc_a"], r["doc_b"])
+             for r in dedup_ngram_jaccard(spark, SF_DIR).collect()]
+    src = {d: s for d, _, _, s in _docs_rows()}
+    m = len(edges)
+    intra: Counter = Counter()
+    deg: Counter = Counter()
+    nodes: dict = {}
+    for a, b in edges:
+        sa, sb = src[a], src[b]
+        if sa == sb:
+            intra[sa] += 1
+        deg[sa] += 1
+        deg[sb] += 1
+        nodes.setdefault(sa, set()).add(a)
+        nodes.setdefault(sb, set()).add(b)
+    q_total = sum(
+        4 * m * intra.get(s, 0) - deg[s] * deg[s] for s in deg)
+    want_q = _r6(abs(q_total), 4 * m * m)
+    if q_total < 0:
+        want_q = -want_q
+    got = {r["source"]: r
+           for r in graph_neardup_modularity(spark, SF_DIR).collect()}
+    assert set(got) == set(deg)
+    for s in deg:
+        r = got[s]
+        assert r["n_nodes"] == len(nodes[s])
+        assert r["intra_edges"] == intra.get(s, 0)
+        assert r["degree_sum"] == deg[s]
+        assert r["q_num"] == 4 * m * intra.get(s, 0) - deg[s] * deg[s]
+        assert r["modularity_r6"] == want_q
+    # planted invariant: modularity is bounded and the degree mass
+    # double-counts every edge
+    assert sum(r["degree_sum"] for r in got.values()) == 2 * m
+
+
+def test_char_entropy_sanity_and_brute(spark, tmp_path):
+    """Exact brute check on a planted corpus (uniform 4-char alphabet
+    = ln 4; single-char corpus = 0), plus fixture-level consistency."""
+    import math
+
+    from spark_dba_spark.operators.curation import (
+        text_char_entropy_by_source,
+    )
+
+    _write_docs(tmp_path, ["abcd" * 25, "aaaa" * 25],
+                sources=["uniform", "degenerate"])
+    got = {r["source"]: r
+           for r in text_char_entropy_by_source(spark, str(tmp_path))
+           .collect()}
+    assert got["degenerate"]["entropy_nats"] == 0.0
+    assert abs(got["uniform"]["entropy_nats"] - math.log(4)) < 1e-6
+    assert got["uniform"]["n_char_types"] == 4
+    # fixture: entropy positive, bounded by ln(alphabet size)
+    for r in text_char_entropy_by_source(spark, SF_DIR).collect():
+        assert 0 < r["entropy_nats"] <= math.log(r["n_char_types"]) + 1e-9

@@ -114,6 +114,8 @@ PLAN_NOTES: dict[str, str] = {
     "stats_blomqvist_beta_brand": _CHECKPOINT_FRONTED,
     "stats_cramers_v_assoc": _CHECKPOINT_FRONTED,
     "dedup_cluster_pareto": _CHECKPOINT_FRONTED,
+    "lineitem_promo_did": _CHECKPOINT_FRONTED,
+    "graph_neardup_modularity": _CHECKPOINT_FRONTED,
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {

@@ -224,6 +224,9 @@ QUERIES = [
     "sketch_hll_precision_sweep",  # HLL m-sweep tuning table (r12e)
     "join_asof_tolerance",       # tolerance as-of join (r12e new)
     "emb_cluster_silhouette",    # per-cluster silhouette (r12e new)
+    "lineitem_promo_did",        # discount DiD 4-cell grid (r12f new)
+    "graph_neardup_modularity",  # source modularity of dup graph (r12f)
+    "text_char_entropy_by_source",  # char entropy screen (r12f new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
