@@ -3939,7 +3939,26 @@ def mm_chunk_cdc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-side HOFs on pinned partitions; one explode bounded by
     total bytes / expected chunk length; one shuffle on media_type
     with a distinct-count over chunk hashes."""
-    assets = _assets_curation(spark, sf_dir)
+    chunks = cdc_chunks(_assets_curation(spark, sf_dir))
+    return assemble_chunk_cdc_profile(
+        chunks.groupBy("media_type", "chunk_hash").agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            # identical hash => identical content => identical length;
+            # MIN is just the deterministic pick
+            F.min("chunk_len").cast("long").alias("chunk_len"),
+        ),
+        chunks.groupBy("media_type", "doc_id").agg(
+            F.count("*").cast("long").alias("n_chunks_in_asset")
+        ),
+    )
+
+
+def cdc_chunks(assets: DataFrame) -> DataFrame:
+    """One (doc_id, media_type, chunk_len, chunk_hash) row per CDC
+    chunk — the shared projection behind the batch profile AND
+    streaming/jobs.run_chunk_cdc_stream, so both surfaces split and
+    hash the identical chunks (the byte_delta_bands precedent: the
+    batch DuckDB oracle transitively gates the stream)."""
     withhx = assets.filter(F.octet_length("payload") >= 1).select(
         "doc_id",
         "media_type",
@@ -3947,7 +3966,7 @@ def mm_chunk_cdc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hex(payload)").alias("hx"),
         F.octet_length("payload").alias("n"),
     )
-    chunks = (
+    return (
         withhx.withColumn(
             "bs",
             F.expr(
@@ -3991,18 +4010,30 @@ def mm_chunk_cdc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+def assemble_chunk_cdc_profile(
+    by_hash: DataFrame, by_asset: DataFrame
+) -> DataFrame:
+    """Final CDC profile from the two intermediate aggregates (shared
+    batch/stream column contract — streaming can't COUNT(DISTINCT), so
+    both surfaces reduce to (media_type, chunk_hash) occurrence rows +
+    (media_type, doc_id) rows first; distinct counts become row counts
+    of these BOUNDED frames)."""
+    per_hash = by_hash.groupBy("media_type").agg(
+        F.sum(F.col("n_occurrences") * F.col("chunk_len"))
+        .cast("long")
+        .alias("total_bytes"),
+        F.sum("n_occurrences").cast("long").alias("total_chunks"),
+        F.count("*").cast("long").alias("distinct_chunks"),
+        F.min("chunk_len").cast("int").alias("min_chunk_len"),
+        F.max("chunk_len").cast("int").alias("max_chunk_len"),
+    )
+    per_asset = by_asset.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_assets")
+    )
     return (
-        chunks.groupBy("media_type")
-        .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_assets"),
-            F.sum("chunk_len").cast("long").alias("total_bytes"),
-            F.count("*").cast("long").alias("total_chunks"),
-            F.countDistinct("chunk_hash").cast("long").alias(
-                "distinct_chunks"
-            ),
-            F.min("chunk_len").cast("int").alias("min_chunk_len"),
-            F.max("chunk_len").cast("int").alias("max_chunk_len"),
-        )
+        per_hash.join(per_asset, "media_type")
         .select(
             "media_type",
             "n_assets",
@@ -4849,6 +4880,361 @@ FROM per_src ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Continuation batch G (r13 backlog): PQ codebook utilization, dup-graph
+# conductance, session bounce profile
+# --------------------------------------------------------------------------
+
+def emb_pq_codebook_utilization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Utilization of the product-quantization codebooks: per
+    (subspace, codeword), how many vectors encode to that codeword,
+    its share, and the per-subspace Simpson collision index (1/K =
+    perfectly uniform; → 1 = one codeword hoards the subspace — wasted
+    code bits, collapsing ADC resolution). The dense K×M grid is
+    emitted (an unused codeword is a real 0-utilization row). The ANN
+    health audit next to ``emb_pq_distortion``: distortion says how
+    LOSSY the codes are, utilization says how BALANCED they are.
+
+    Determinism: same encoding as sim_pq_adc — integer subspace
+    distances on the 2^-20 grid, argmin ties to the LOWEST codeword id
+    (array_position returns the first minimum, mirroring the oracle's
+    (d2, k) row_number and numpy's argmin). Simpson is an exact count
+    rational; its n² denominator stays inside the rat envelope to ~2e6
+    vectors per corpus — past that the numerators widen to
+    DECIMAL(38,0) (the chi² note).
+
+    Scale: one map-side encode fold per vector over the broadcast
+    K×M×{4}-int literal, one (M×K)-bounded agg; the spine cross is two
+    tiny literals."""
+    from .similarity import PQ_K, PQ_M, PQ_SUBDIM, _km_quantized
+
+    qdf = _km_quantized(spark, sf_dir)
+    seeds = qdf.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    assert len(seeds) == PQ_K and all(
+        r["vec_id"] == i for i, r in enumerate(seeds)
+    ), f"PQ codebook seeds must be the contiguous vec_ids 0..{PQ_K - 1}"
+    # cb_sql[m] = array over k of the codeword's m-th subvector
+    cb_sql = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(
+                f"{int(r['qv'][m * PQ_SUBDIM + j])}L"
+                for j in range(PQ_SUBDIM)
+            ) + ")"
+            for r in seeds
+        ) + ")"
+        for m in range(PQ_M)
+    ) + ")"
+    enc = qdf.select(
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                f"  cast(array_position("
+                f"    transform(element_at({cb_sql}, m + 1), cw -> "
+                f"      aggregate(zip_with("
+                f"        slice(qv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f"        cw, (x, c) -> (x - c) * (x - c)),"
+                f"        cast(0 as bigint), (acc, v) -> acc + v)),"
+                f"    array_min("
+                f"    transform(element_at({cb_sql}, m + 1), cw -> "
+                f"      aggregate(zip_with("
+                f"        slice(qv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f"        cw, (x, c) -> (x - c) * (x - c)),"
+                f"        cast(0 as bigint), (acc, v) -> acc + v)))"
+                f"  ) as int) - 1)"
+            )
+        ).alias("m", "code")
+    )
+    cnt = enc.groupBy("m", "code").agg(F.count("*").alias("n_assigned"))
+    spine = spark.range(PQ_M).select(
+        F.col("id").cast("int").alias("m"),
+        F.explode(F.expr(f"sequence(0, {PQ_K - 1})")).alias("code"),
+    )
+    dense = spine.join(cnt, ["m", "code"], "left").select(
+        "m",
+        "code",
+        F.coalesce("n_assigned", F.lit(0)).cast("long").alias("n_assigned"),
+    ).localCheckpoint(eager=True)  # M×K-bounded; feeds rows + both rollups
+    per_m = dense.groupBy("m").agg(
+        F.sum("n_assigned").cast("long").alias("n_total"),
+        F.sum(F.col("n_assigned") * F.col("n_assigned"))
+        .cast("long")
+        .alias("sum_sq"),
+    )
+    return (
+        dense.join(F.broadcast(per_m), "m")
+        .select(
+            F.col("m").cast("int").alias("m"),
+            F.col("code").cast("int").alias("code"),
+            "n_assigned",
+            F.expr(rat_round6_spark("n_assigned", "n_total")).alias(
+                "share_r6"
+            ),
+            F.expr(
+                rat_round6_spark("sum_sq", "n_total * n_total")
+            ).alias("m_simpson_r6"),
+        )
+        .orderBy("m", "code")
+    )
+
+
+def _oracle_pq_utilization() -> str:
+    from .similarity import EMB_DIM, KM_QUANT, PQ_K, PQ_M, PQ_SUBDIM
+
+    return f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+q AS (
+  SELECT e.vec_id, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+sub AS (
+  SELECT vec_id, dim // {PQ_SUBDIM} AS m, dim % {PQ_SUBDIM} AS j, qv
+  FROM q),
+cb AS (SELECT vec_id AS k, m, j, qv AS cv FROM sub WHERE vec_id < {PQ_K}),
+dist AS (
+  SELECT s.vec_id, s.m, c.k,
+         CAST(SUM((s.qv - c.cv) * (s.qv - c.cv)) AS BIGINT) AS d2
+  FROM sub s JOIN cb c ON s.m = c.m AND s.j = c.j
+  GROUP BY 1, 2, 3),
+enc AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2, k) AS rn
+    FROM dist) WHERE rn = 1),
+cnt AS (
+  SELECT m, code, CAST(COUNT(*) AS BIGINT) AS n_assigned
+  FROM enc GROUP BY 1, 2),
+spine AS (
+  SELECT mm.m, kk.code
+  FROM (SELECT unnest(range({PQ_M})) AS m) mm
+  CROSS JOIN (SELECT unnest(range({PQ_K})) AS code) kk),
+dense AS MATERIALIZED (
+  SELECT s.m, s.code, COALESCE(c.n_assigned, 0) AS n_assigned
+  FROM spine s LEFT JOIN cnt c USING (m, code)),
+per_m AS (
+  SELECT m, CAST(SUM(n_assigned) AS BIGINT) AS n_total,
+         CAST(SUM(n_assigned * n_assigned) AS BIGINT) AS sum_sq
+  FROM dense GROUP BY 1)
+SELECT CAST(d.m AS INT) AS m, CAST(d.code AS INT) AS code,
+       CAST(d.n_assigned AS BIGINT) AS n_assigned,
+       {rat_round6_duck("d.n_assigned", "p.n_total")} AS share_r6,
+       {rat_round6_duck("p.sum_sq", "p.n_total * p.n_total")}
+         AS m_simpson_r6
+FROM dense d JOIN per_m p USING (m)
+ORDER BY m, code
+"""
+
+
+def graph_neardup_conductance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conductance of each SOURCE community on the near-dup graph:
+    φ(c) = cut(c) / min(vol(c), 2m − vol(c)) — the normalized-cut view
+    that complements graph_neardup_modularity (modularity scores the
+    whole partition; conductance names the INDIVIDUAL leaky source —
+    φ → 1 means its dup edges mostly cross into other sources, the
+    syndication signature; φ → 0 means self-contained template reuse).
+
+    Scale: identical shape to the modularity op — checkpointed bounded
+    edge set, two dimension-sized source joins, community-bounded
+    rollups; exact count rationals."""
+    edges, sym = _neardup_graph(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    e_tag = (
+        edges.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "doc_b",
+        )
+        .localCheckpoint(eager=True)  # bounded edge set, feeds 3 aggs
+    )
+    m_tot = e_tag.agg(F.count("*").cast("long").alias("m"))
+    cut = (
+        e_tag.filter(F.col("src_a") != F.col("src_b"))
+        .select(F.explode(F.array("src_a", "src_b")).alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("cut_edges"))
+    )
+    deg = (
+        sym.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("source"),
+            ),
+            "doc_a",
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_a").cast("long").alias("n_nodes"),
+            F.count("*").cast("long").alias("volume"),
+        )
+    )
+    return (
+        deg.join(cut, "source", "left")
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "source",
+            "n_nodes",
+            "volume",
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias(
+                "cut_edges"
+            ),
+            F.expr(
+                "case when least(volume, 2 * m - volume) > 0 then "
+                + rat_round6_spark(
+                    "coalesce(cut_edges, 0)",
+                    "least(volume, 2 * m - volume)",
+                )
+                + " end"
+            ).alias("conductance_r6"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_neardup_conductance() -> str:
+    return f"""
+WITH {_GRAPH_SYM_CTES},
+src AS (SELECT doc_id, source FROM documents),
+e_tag AS MATERIALIZED (
+  SELECT e.doc_a, e.doc_b, sa.source AS src_a, sb.source AS src_b
+  FROM dup e
+  JOIN src sa ON e.doc_a = sa.doc_id
+  JOIN src sb ON e.doc_b = sb.doc_id),
+m_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e_tag),
+cut AS (
+  SELECT u.source, CAST(COUNT(*) AS BIGINT) AS cut_edges
+  FROM e_tag, LATERAL unnest([src_a, src_b]) AS u(source)
+  WHERE src_a != src_b GROUP BY 1),
+deg AS (
+  SELECT s.source, CAST(COUNT(DISTINCT g.doc_a) AS BIGINT) AS n_nodes,
+         CAST(COUNT(*) AS BIGINT) AS volume
+  FROM sym g JOIN src s ON g.doc_a = s.doc_id
+  GROUP BY 1)
+SELECT d.source, d.n_nodes, d.volume,
+       CAST(COALESCE(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+       CASE WHEN least(d.volume, 2 * t.m - d.volume) > 0 THEN
+         {rat_round6_duck(
+             "COALESCE(c.cut_edges, 0)",
+             "least(d.volume, 2 * t.m - d.volume)")} END
+         AS conductance_r6
+FROM deg d LEFT JOIN cut c USING (source) CROSS JOIN m_tot t
+ORDER BY d.source
+"""
+
+
+def ev_session_bounce_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily bounce profile of the 30-minute sessionization: per UTC
+    epoch day (of session START), sessions begun, single-event
+    ("bounce") sessions, the bounce share, and mean events per session
+    — the engagement-quality trend next to ev_hourly_session_load's
+    capacity view (load says how MANY sessions; bounce says how many
+    were dead on arrival).
+
+    Scale: the standard island sessionization (user-partitioned lag +
+    running flag-sum — no global window), one (user, seq) rollup, one
+    calendar-bounded daily agg."""
+    from .temporal import SESSION_GAP_US
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr(_US).alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("us") - F.col("prev_us") > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("seq", F.sum("is_new").over(run))
+        .groupBy("user_id", "seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("min(us) div 86400000000").alias("day_epoch"),
+        )
+    )
+    return (
+        sessions.groupBy("day_epoch")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long"))
+            .cast("long")
+            .alias("n_bounce_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("day_epoch").cast("long").alias("day_epoch"),
+            "n_sessions",
+            "n_bounce_sessions",
+            F.expr(
+                rat_round6_spark("n_bounce_sessions", "n_sessions")
+            ).alias("bounce_share_r6"),
+            "n_events",
+            F.expr(rat_round6_spark("n_events", "n_sessions")).alias(
+                "mean_events_per_session_r6"
+            ),
+        )
+        .orderBy("day_epoch")
+    )
+
+
+def _oracle_session_bounce() -> str:
+    from .temporal import SESSION_GAP_US
+
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, {_US_DUCK} AS us,
+         CASE WHEN LAG({_US_DUCK}) OVER w IS NULL
+                OR {_US_DUCK} - LAG({_US_DUCK}) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {_US_DUCK}, event_id)),
+islands AS (
+  SELECT user_id, us,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM flagged),
+sessions AS (
+  SELECT user_id, seq, COUNT(*) AS n_events,
+         MIN(us) // 86400000000 AS day_epoch
+  FROM islands GROUP BY 1, 2),
+daily AS (
+  SELECT day_epoch, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounce_sessions,
+         CAST(SUM(n_events) AS BIGINT) AS n_events
+  FROM sessions GROUP BY 1)
+SELECT CAST(day_epoch AS BIGINT) AS day_epoch, n_sessions,
+       n_bounce_sessions,
+       {rat_round6_duck("n_bounce_sessions", "n_sessions")}
+         AS bounce_share_r6,
+       n_events,
+       {rat_round6_duck("n_events", "n_sessions")}
+         AS mean_events_per_session_r6
+FROM daily ORDER BY day_epoch
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -5091,4 +5477,20 @@ SPECS = [
               doc="Shannon char-distribution entropy per source via "
                   "the 9dp c·ln c decimal-sum pattern (compressibility "
                   "/ diversity screen)"),
+    # --- continuation batch G (r13 backlog) ---
+    QuerySpec("emb_pq_codebook_utilization", emb_pq_codebook_utilization,
+              _oracle_pq_utilization(), ("embedding", "ann", "audit"),
+              doc="per-(subspace, codeword) PQ assignment counts + "
+                  "Simpson balance index over the dense K x M grid "
+                  "(code-bit waste audit next to pq_distortion)"),
+    QuerySpec("graph_neardup_conductance", graph_neardup_conductance,
+              _oracle_neardup_conductance(), ("dedup", "graph",
+                                              "provenance"),
+              doc="per-source conductance on the near-dup graph "
+                  "(normalized cut: which individual source leaks "
+                  "duplication across provenance lines)"),
+    QuerySpec("ev_session_bounce_profile", ev_session_bounce_profile,
+              _oracle_session_bounce(), ("events", "sessions"),
+              doc="daily bounce share + mean events/session of the "
+                  "30-min sessionization (engagement-quality trend)"),
 ]

@@ -151,6 +151,10 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "lineitem_promo_did",
     "graph_neardup_modularity",
     "text_char_entropy_by_source",
+    # batch G continuation (also never-checked; full local evidence):
+    "emb_pq_codebook_utilization",
+    "graph_neardup_conductance",
+    "ev_session_bounce_profile",
 )
 
 # r11-window greens — rotate to the tail this round (driver row <=1 round

@@ -589,6 +589,59 @@ def run_byte_delta_stream(
     )
 
 
+def run_chunk_cdc_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "chunk_cdc_stream"
+) -> DataFrame:
+    """Streaming twin of ``operators.curation.mm_chunk_cdc_profile``:
+    assets arrive as a file stream, every payload is split by the
+    SHARED ``cdc_chunks`` projection (identical boundaries and chunk
+    hashes), and two complete-mode aggregations — (media_type,
+    chunk_hash) occurrence rows and (media_type, doc_id) rows, the
+    shapes that make distinct-counts streamable as row counts — feed
+    the shared ``assemble_chunk_cdc_profile`` contract, so the DuckDB
+    oracle gating the batch form transitively gates this stream.
+    stream == batch is pinned by
+    tests/test_streaming.py::test_chunk_cdc_stream_equals_batch."""
+    from ..operators.curation import (
+        assemble_chunk_cdc_profile,
+        cdc_chunks,
+    )
+    from ..operators.multimodal import project_assets
+
+    def _chunks() -> DataFrame:
+        return cdc_chunks(project_assets(stream_documents(spark, sf_dir)))
+
+    by_hash = (
+        _chunks()
+        .groupBy("media_type", "chunk_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("chunk_len").cast("long").alias("chunk_len"),
+        )
+        .writeStream.format("memory")
+        .queryName(f"{query_name}_hash")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    by_asset = (
+        _chunks()
+        .groupBy("media_type", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_chunks_in_asset"))
+        .writeStream.format("memory")
+        .queryName(f"{query_name}_asset")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    by_hash.awaitTermination()
+    by_asset.awaitTermination()
+    return assemble_chunk_cdc_profile(
+        spark.table(f"{query_name}_hash"),
+        spark.table(f"{query_name}_asset"),
+    )
+
+
 def run_corpus_funnel_stream(
     spark: SparkSession, sf_dir: str, query_name: str = "corpus_funnel_stream"
 ) -> DataFrame:

@@ -2009,3 +2009,116 @@ def test_char_entropy_sanity_and_brute(spark, tmp_path):
     # fixture: entropy positive, bounded by ln(alphabet size)
     for r in text_char_entropy_by_source(spark, SF_DIR).collect():
         assert 0 < r["entropy_nats"] <= math.log(r["n_char_types"]) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Batch G (r13 backlog): PQ codebook utilization, dup-graph conductance,
+# session bounce profile
+# ---------------------------------------------------------------------------
+
+
+def test_pq_utilization_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        emb_pq_codebook_utilization,
+    )
+    from spark_dba_spark.operators.similarity import (
+        KM_QUANT,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+    )
+
+    rows = _emb_rows()
+    qvs = {vid: [int(float(x) * KM_QUANT) for x in emb]
+           for vid, emb in rows}
+    cb = [qvs[k] for k in range(PQ_K)]
+    cnt: Counter = Counter()
+    for vid, qv in qvs.items():
+        for m in range(PQ_M):
+            lo, hi = m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM
+            d2s = [
+                sum((qv[i] - cb[k][i]) ** 2 for i in range(lo, hi))
+                for k in range(PQ_K)
+            ]
+            cnt[(m, d2s.index(min(d2s)))] += 1
+    n = len(qvs)
+    got = {(r["m"], r["code"]): r
+           for r in emb_pq_codebook_utilization(spark, SF_DIR).collect()}
+    assert len(got) == PQ_M * PQ_K
+    for m in range(PQ_M):
+        sum_sq = sum(cnt.get((m, k), 0) ** 2 for k in range(PQ_K))
+        for k in range(PQ_K):
+            r = got[(m, k)]
+            assert r["n_assigned"] == cnt.get((m, k), 0)
+            assert r["share_r6"] == _r6(cnt.get((m, k), 0), n)
+            assert r["m_simpson_r6"] == _r6(sum_sq, n * n)
+    assert sum(r["n_assigned"] for r in got.values()) == n * PQ_M
+
+
+def test_neardup_conductance_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import graph_neardup_conductance
+    from spark_dba_spark.operators.dedup import dedup_ngram_jaccard
+
+    edges = [(r["doc_a"], r["doc_b"])
+             for r in dedup_ngram_jaccard(spark, SF_DIR).collect()]
+    src = {d: s for d, _, _, s in _docs_rows()}
+    m = len(edges)
+    cut: Counter = Counter()
+    vol: Counter = Counter()
+    nodes: dict = {}
+    for a, b in edges:
+        sa, sb = src[a], src[b]
+        if sa != sb:
+            cut[sa] += 1
+            cut[sb] += 1
+        vol[sa] += 1
+        vol[sb] += 1
+        nodes.setdefault(sa, set()).add(a)
+        nodes.setdefault(sb, set()).add(b)
+    got = {r["source"]: r
+           for r in graph_neardup_conductance(spark, SF_DIR).collect()}
+    assert set(got) == set(vol)
+    for s in vol:
+        r = got[s]
+        assert r["n_nodes"] == len(nodes[s])
+        assert r["volume"] == vol[s]
+        assert r["cut_edges"] == cut.get(s, 0)
+        den = min(vol[s], 2 * m - vol[s])
+        if den > 0:
+            assert r["conductance_r6"] == _r6(cut.get(s, 0), den)
+        else:
+            assert r["conductance_r6"] is None
+
+
+def test_session_bounce_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import ev_session_bounce_profile
+    from spark_dba_spark.operators.temporal import SESSION_GAP_US
+
+    rows = _events_rows()
+    per_user: dict = {}
+    for eid, us, uid, _, _ in rows:
+        per_user.setdefault(uid, []).append((us, eid))
+    daily: dict = {}
+    for evs in per_user.values():
+        evs.sort()
+        sessions = []
+        for us, _ in evs:
+            if sessions and us - sessions[-1][0][-1] <= SESSION_GAP_US:
+                sessions[-1][0].append(us)
+            else:
+                sessions.append(([us],))
+        for (uss,) in sessions:
+            day = uss[0] // 86_400_000_000
+            d = daily.setdefault(day, [0, 0, 0])
+            d[0] += 1
+            d[1] += 1 if len(uss) == 1 else 0
+            d[2] += len(uss)
+    got = {r["day_epoch"]: r
+           for r in ev_session_bounce_profile(spark, SF_DIR).collect()}
+    assert set(got) == set(daily)
+    for day, (ns, nb, ne) in daily.items():
+        r = got[day]
+        assert (r["n_sessions"], r["n_bounce_sessions"]) == (ns, nb)
+        assert r["n_events"] == ne
+        assert r["bounce_share_r6"] == _r6(nb, ns)
+        assert r["mean_events_per_session_r6"] == _r6(ne, ns)

@@ -608,3 +608,22 @@ def test_byte_delta_stream_equals_batch(spark):
         for r in mm_byte_delta_profile(spark, SF_DIR).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_chunk_cdc_stream_equals_batch(spark):
+    """The streaming CDC chunk profile (shared cdc_chunks projection,
+    two complete-mode grains so distinct-counts stream as row counts,
+    shared assembly contract) equals the batch op row-for-row."""
+    from spark_dba_spark.operators.curation import mm_chunk_cdc_profile
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_chunk_cdc_stream(
+            spark, SF_DIR, "t_chunk_cdc"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in mm_chunk_cdc_profile(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0

@@ -116,6 +116,8 @@ PLAN_NOTES: dict[str, str] = {
     "dedup_cluster_pareto": _CHECKPOINT_FRONTED,
     "lineitem_promo_did": _CHECKPOINT_FRONTED,
     "graph_neardup_modularity": _CHECKPOINT_FRONTED,
+    "graph_neardup_conductance": _CHECKPOINT_FRONTED,
+    "emb_pq_codebook_utilization": _CHECKPOINT_FRONTED,
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {

@@ -227,6 +227,9 @@ QUERIES = [
     "lineitem_promo_did",        # discount DiD 4-cell grid (r12f new)
     "graph_neardup_modularity",  # source modularity of dup graph (r12f)
     "text_char_entropy_by_source",  # char entropy screen (r12f new)
+    "emb_pq_codebook_utilization",  # PQ code balance audit (r12g new)
+    "graph_neardup_conductance",  # per-source normalized cut (r12g)
+    "ev_session_bounce_profile",  # daily bounce share (r12g new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
