@@ -3586,11 +3586,15 @@ def stats_cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exp_r6",
             "chi2_part_micros",
             F.col("chi2_micros").alias("chi2_total_micros"),
+            # a 1×C or R×1 table has no defined V² (min(r−1, c−1) = 0)
+            # — NULL, not an ANSI div-by-zero
             F.expr(
-                qrem_round6_spark(
+                "case when least(n_r - 1, n_c - 1) > 0 then "
+                + qrem_round6_spark(
                     "chi2_micros",
                     "n_total * least(n_r - 1, n_c - 1) * 1000000",
                 )
+                + " end"
             ).alias("cramers_v2_r6"),
         )
         .orderBy("p_brand", "l_returnflag")
@@ -3627,9 +3631,10 @@ stat AS (SELECT CAST(SUM(chi2_part_micros) AS BIGINT) AS chi2_micros
          FROM cells)
 SELECT p_brand, l_returnflag, n_obs, n_exp_r6, chi2_part_micros,
        chi2_micros AS chi2_total_micros,
-       {qrem_round6_duck(
-           "chi2_micros",
-           "n_total * least(n_r - 1, n_c - 1) * 1000000")}
+       CASE WHEN least(n_r - 1, n_c - 1) > 0 THEN
+         {qrem_round6_duck(
+             "chi2_micros",
+             "n_total * least(n_r - 1, n_c - 1) * 1000000")} END
          AS cramers_v2_r6
 FROM cells CROSS JOIN stat
 ORDER BY p_brand, l_returnflag
@@ -3702,8 +3707,14 @@ def dedup_cluster_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_tokens",
             "removable_tokens",
             "cum_removable_tokens",
+            # all-empty-text dup clusters → total mass 0 → share
+            # undefined, not an ANSI div-by-zero
             F.expr(
-                rat_round6_spark("cum_removable_tokens", "total_removable")
+                "case when total_removable > 0 then "
+                + rat_round6_spark(
+                    "cum_removable_tokens", "total_removable"
+                )
+                + " end"
             ).alias("cum_share_r6"),
         )
         .orderBy("dup_rank")
@@ -3737,7 +3748,8 @@ top AS (
   LIMIT {PARETO_TOP_N})
 SELECT dup_rank, content_hash, CAST(n_docs AS BIGINT) AS n_docs,
        keep_doc_id, doc_tokens, removable_tokens, cum_removable_tokens,
-       {rat_round6_duck("cum_removable_tokens", "total_removable")}
+       CASE WHEN total_removable > 0 THEN
+         {rat_round6_duck("cum_removable_tokens", "total_removable")} END
          AS cum_share_r6
 FROM top CROSS JOIN tot
 ORDER BY dup_rank
@@ -3869,11 +3881,16 @@ def ev_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(rat_round6_spark("n_weekend_days", "n_days")).alias(
                 "calendar_weekend_share_r6"
             ),
+            # a span with no weekend days (a mid-week one-day feed) has
+            # no defined lift — NULL, not a division error (ANSI mode
+            # throws on div-by-zero at real scale)
             F.expr(
-                rat_round6_spark(
+                "case when n_weekend_days > 0 then "
+                + rat_round6_spark(
                     "n_weekend_events * n_days",
                     "n_events * n_weekend_days",
                 )
+                + " end"
             ).alias("weekend_lift_r6"),
         )
         .orderBy("event_type")
@@ -3907,8 +3924,9 @@ SELECT event_type, n_events, n_weekend_events,
          AS weekend_value_share_r6,
        {rat_round6_duck("n_weekend_days", "n_days")}
          AS calendar_weekend_share_r6,
-       {rat_round6_duck("n_weekend_events * n_days",
-                        "n_events * n_weekend_days")}
+       CASE WHEN n_weekend_days > 0 THEN
+         {rat_round6_duck("n_weekend_events * n_days",
+                          "n_events * n_weekend_days")} END
          AS weekend_lift_r6
 FROM pt CROSS JOIN cal
 ORDER BY event_type
@@ -4300,12 +4318,16 @@ def sketch_hll_precision_sweep(
             "harmonic_scaled",
             "est_micros",
             "exact_distinct",
+            # empty corpus → exact 0 → error undefined, not an ANSI
+            # div-by-zero
             F.expr(
-                qrem_round6_spark(
+                "case when exact_distinct > 0 then "
+                + qrem_round6_spark(
                     "abs(est_micros - exact_distinct * 1000000)"
                     " div 1000000",
                     "exact_distinct",
                 )
+                + " end"
             ).alias("rel_err_r6"),
         )
         .orderBy("m")
@@ -4349,9 +4371,10 @@ est AS (
   FROM per_m CROSS JOIN exact)
 SELECT CAST(m AS INT) AS m, n_zero_registers, harmonic_scaled,
        est_micros, exact_distinct,
-       {qrem_round6_duck(
-           "abs(est_micros - exact_distinct * 1000000) // 1000000",
-           "exact_distinct")} AS rel_err_r6
+       CASE WHEN exact_distinct > 0 THEN
+         {qrem_round6_duck(
+             "abs(est_micros - exact_distinct * 1000000) // 1000000",
+             "exact_distinct")} END AS rel_err_r6
 FROM est ORDER BY m
 """
 
@@ -4620,20 +4643,29 @@ def lineitem_promo_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # 4 rows; feeds the DiD pivot
     )
     did = cells.groupBy().agg(
-        F.sum(
-            F.when(
-                (F.col("grp") == "promo") & (F.col("period") == "post"),
-                F.col("mean_disc_micros"),
-            )
-            .when(
-                (F.col("grp") == "promo") & (F.col("period") == "pre"),
-                -F.col("mean_disc_micros"),
-            )
-            .when(
-                (F.col("grp") == "other") & (F.col("period") == "post"),
-                -F.col("mean_disc_micros"),
-            )
-            .otherwise(F.col("mean_disc_micros"))
+        # NULL unless ALL FOUR cells exist — a degenerate corpus (no
+        # promo lines, or an empty period) has no defined DiD; a silent
+        # 3-term sum would be a wrong number, not a missing one
+        F.when(
+            F.count("*") == 4,
+            F.sum(
+                F.when(
+                    (F.col("grp") == "promo")
+                    & (F.col("period") == "post"),
+                    F.col("mean_disc_micros"),
+                )
+                .when(
+                    (F.col("grp") == "promo")
+                    & (F.col("period") == "pre"),
+                    -F.col("mean_disc_micros"),
+                )
+                .when(
+                    (F.col("grp") == "other")
+                    & (F.col("period") == "post"),
+                    -F.col("mean_disc_micros"),
+                )
+                .otherwise(F.col("mean_disc_micros"))
+            ),
         ).cast("long").alias("did_micros")
     )
     return (
@@ -4671,11 +4703,11 @@ cells2 AS (
                  AS BIGINT) AS mean_disc_micros
   FROM cells),
 did AS (
-  SELECT CAST(SUM(CASE
+  SELECT CAST(CASE WHEN COUNT(*) = 4 THEN SUM(CASE
            WHEN grp = 'promo' AND period = 'post' THEN mean_disc_micros
            WHEN grp = 'promo' AND period = 'pre' THEN -mean_disc_micros
            WHEN grp = 'other' AND period = 'post' THEN -mean_disc_micros
-           ELSE mean_disc_micros END) AS BIGINT) AS did_micros
+           ELSE mean_disc_micros END) END AS BIGINT) AS did_micros
   FROM cells2)
 SELECT grp, period, n_lines, sum_disc_micros, mean_disc_micros,
        did_micros,

@@ -2122,3 +2122,195 @@ def test_session_bounce_matches_python_brute(spark):
         assert r["n_events"] == ne
         assert r["bounce_share_r6"] == _r6(nb, ns)
         assert r["mean_events_per_session_r6"] == _r6(ne, ns)
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-corpus guards (ANSI div-by-zero edges; NULL, never a crash)
+# ---------------------------------------------------------------------------
+
+
+def _write_events_parquet(tmp_path, rows):
+    """rows: list of (event_id, ts_us, user_id, event_type, value)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+
+def _write_lineitem_part(tmp_path, lines, parts):
+    """lines: (l_orderkey, l_partkey, l_linenumber, l_quantity,
+    l_extendedprice, l_discount, l_returnflag, l_shipdate_us);
+    parts: (p_partkey, p_brand, p_type)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lines], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in lines], pa.int64()),
+                "l_linenumber": pa.array([r[2] for r in lines], pa.int64()),
+                "l_quantity": pa.array(
+                    [float(r[3]) for r in lines], pa.float64()),
+                "l_extendedprice": pa.array(
+                    [float(r[4]) for r in lines], pa.float64()),
+                "l_discount": pa.array(
+                    [float(r[5]) for r in lines], pa.float64()),
+                "l_tax": pa.array([0.0] * len(lines), pa.float64()),
+                "l_returnflag": pa.array([r[6] for r in lines]),
+                "l_linestatus": pa.array(["O"] * len(lines)),
+                "l_shipdate": pa.array(
+                    [r[7] for r in lines], pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in parts], pa.int64()),
+                "p_name": pa.array([f"part {r[0]}" for r in parts]),
+                "p_brand": pa.array([r[1] for r in parts]),
+                "p_type": pa.array([r[2] for r in parts]),
+                "p_size": pa.array([1] * len(parts), pa.int64()),
+                "p_retailprice": pa.array(
+                    [1.0] * len(parts), pa.float64()),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+
+
+def test_weekend_lift_no_weekend_span_is_null(spark, tmp_path):
+    """All events on one mid-week day: calendar weekend share 0, lift
+    NULL (not an ANSI division error)."""
+    from spark_dba_spark.operators.curation import ev_weekend_lift
+
+    tue_us = 3 * 86_400_000_000  # 1970-01-06 Tuesday... day 3 is Sunday?
+    # day index: (day + 3) % 7, Monday = 0. Pick day 5 -> (5+3)%7 = 1
+    # (Tuesday).
+    tue_us = 5 * 86_400_000_000 + 3_600_000_000
+    _write_events_parquet(
+        tmp_path,
+        [(i, tue_us + i * 1_000_000, 1, "click", 1.0) for i in range(5)],
+    )
+    rows = ev_weekend_lift(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["calendar_weekend_share_r6"] == 0.0
+    assert r["weekend_lift_r6"] is None
+    assert r["n_weekend_events"] == 0
+
+
+def test_cramers_v_single_category_is_null(spark, tmp_path):
+    """One brand x one flag: chi2 is 0 and V2 is undefined (NULL)."""
+    from spark_dba_spark.operators.curation import stats_cramers_v_assoc
+
+    day = 10_000 * 86_400_000_000
+    _write_lineitem_part(
+        tmp_path,
+        [(1, 1, i, 1, 10.0, 0.05, "N", day) for i in range(4)],
+        [(1, "Brand#11", "STANDARD")],
+    )
+    rows = stats_cramers_v_assoc(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["cramers_v2_r6"] is None
+    assert rows[0]["chi2_part_micros"] == 0
+
+
+def test_cluster_pareto_zero_token_dups_null_share(spark, tmp_path):
+    """Duplicate clusters whose texts have no tokens: removable mass 0,
+    shares NULL, ranks still emitted."""
+    from spark_dba_spark.operators.curation import dedup_cluster_pareto
+
+    _write_docs(tmp_path, ["   ", "   ", "a b c"])
+    rows = dedup_cluster_pareto(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["removable_tokens"] == 0
+    assert r["cum_share_r6"] is None
+
+
+def test_hll_sweep_empty_corpus_null_err(spark, tmp_path):
+    """Empty corpus: all registers 0, exact 0, relative error NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.curation import (
+        HLL_SWEEP,
+        sketch_hll_precision_sweep,
+    )
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("lang", pa.string()), ("source", pa.string()),
+         ("n_chars", pa.int64())]
+    )
+    pq.write_table(
+        pa.table({f.name: pa.array([], f.type) for f in schema}),
+        tmp_path / "documents.parquet",
+    )
+    rows = sketch_hll_precision_sweep(spark, str(tmp_path)).collect()
+    assert len(rows) == len(HLL_SWEEP)
+    for r in rows:
+        assert r["exact_distinct"] == 0
+        assert r["n_zero_registers"] == r["m"]
+        assert r["rel_err_r6"] is None
+
+
+def test_promo_did_missing_cell_is_null(spark, tmp_path):
+    """Only PROMO lines: two cells exist, DiD undefined (NULL) instead
+    of a silently wrong 2-term sum."""
+    from spark_dba_spark.operators.curation import lineitem_promo_did
+
+    d0 = 10_000 * 86_400_000_000
+    d1 = 10_010 * 86_400_000_000
+    _write_lineitem_part(
+        tmp_path,
+        [(1, 1, 1, 1, 10.0, 0.05, "N", d0),
+         (2, 1, 1, 1, 10.0, 0.09, "N", d1)],
+        [(1, "Brand#11", "PROMO")],
+    )
+    rows = lineitem_promo_did(spark, str(tmp_path)).collect()
+    assert {r["grp"] for r in rows} == {"promo"}
+    assert all(r["did_micros"] is None for r in rows)
+    assert all(r["did_rate"] is None for r in rows)
+
+
+def test_chunk_cdc_tiny_payloads(spark, tmp_path):
+    """1- and 2-byte payloads: one chunk for n=1 (the sequence(1,0)
+    guard), boundary predicate exercised at n=2; totals reconcile."""
+    from spark_dba_spark.operators.curation import (
+        CDC_MOD,
+        mm_chunk_cdc_profile,
+    )
+
+    _write_docs(tmp_path, ["a", "ab", "abcdefgh"])
+    rows = {r["media_type"]: r
+            for r in mm_chunk_cdc_profile(spark, str(tmp_path)).collect()}
+    # doc 0 ('a', image): n=1, exactly one chunk of length 1
+    r0 = rows["image"]
+    assert (r0["n_assets"], r0["total_bytes"]) == (1, 1)
+    assert r0["total_chunks"] == 1 and r0["min_chunk_len"] == 1
+    # doc 1 ('ab', audio): python-replay the boundary rule
+    pb = "ab".encode()
+    n_chunks = 1 + sum(
+        1 for i in range(len(pb) - 1)
+        if (pb[i] * 31 + pb[i + 1]) % CDC_MOD == 0)
+    r1 = rows["audio"]
+    assert (r1["n_assets"], r1["total_bytes"]) == (1, 2)
+    assert r1["total_chunks"] == n_chunks
+    # doc 2 ('abcdefgh', video): totals reconcile
+    r2 = rows["video"]
+    assert r2["total_bytes"] == 8
+    assert r2["min_chunk_len"] >= 1 and r2["max_chunk_len"] <= 8
