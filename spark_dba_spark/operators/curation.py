@@ -3875,9 +3875,14 @@ def ev_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weekend_event_share_r6"),
             "cents_total",
             "cents_weekend",
-            F.expr(rat_round6_spark("cents_weekend", "cents_total")).alias(
-                "weekend_value_share_r6"
-            ),
+            # a type whose values all round to zero cents has no defined
+            # value share — NULL, not an ANSI division error (the
+            # degenerate-corpus convention, ADVICE r12)
+            F.expr(
+                "case when cents_total > 0 then "
+                + rat_round6_spark("cents_weekend", "cents_total")
+                + " end"
+            ).alias("weekend_value_share_r6"),
             F.expr(rat_round6_spark("n_weekend_days", "n_days")).alias(
                 "calendar_weekend_share_r6"
             ),
@@ -3920,7 +3925,8 @@ SELECT event_type, n_events, n_weekend_events,
        {rat_round6_duck("n_weekend_events", "n_events")}
          AS weekend_event_share_r6,
        cents_total, cents_weekend,
-       {rat_round6_duck("cents_weekend", "cents_total")}
+       CASE WHEN cents_total > 0 THEN
+         {rat_round6_duck("cents_weekend", "cents_total")} END
          AS weekend_value_share_r6,
        {rat_round6_duck("n_weekend_days", "n_days")}
          AS calendar_weekend_share_r6,
@@ -4414,10 +4420,11 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, build, "user_id", "ts", "bt",
         ["m_orderkey", "m_orderdate"],
     )
-    age = F.expr(
-        "unix_micros(cast(ts as timestamp))"
-        " - unix_micros(cast(m_orderdate as timestamp))"
+    age_sql = (
+        "(unix_micros(cast(ts as timestamp))"
+        " - unix_micros(cast(m_orderdate as timestamp)))"
     )
+    age = F.expr(age_sql)
     fresh = F.col("m_orderdate").isNotNull() & (age <= F.lit(ASOF_TOL_US))
     return joined.select(
         "event_id",
@@ -4426,7 +4433,12 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.when(fresh, F.col("m_orderkey")).alias("tol_orderkey"),
         F.when(fresh, F.col("m_orderdate")).alias("tol_orderdate"),
-        F.when(fresh, (age / F.lit(3_600_000_000)).cast("long")).alias(
+        # integer floor division on the LONG age — a double divide +
+        # cast truncates in Spark but ROUNDS in a DuckDB CAST, so any
+        # fractional hour >= 0.5 would break the cross-engine hash
+        # (ADVICE r12 high); `div` and DuckDB `//` agree exactly on the
+        # non-negative ages the backward as-of guarantees
+        F.when(fresh, F.expr(f"{age_sql} div 3600000000")).alias(
             "staleness_hours"
         ),
     ).orderBy("event_id")
@@ -4449,8 +4461,8 @@ SELECT event_id, user_id, ts, event_type,
             THEN m_orderdate END AS tol_orderdate,
        CASE WHEN m_orderdate IS NOT NULL
               AND epoch_us(ts) - epoch_us(m_orderdate) <= {ASOF_TOL_US}
-            THEN CAST((epoch_us(ts) - epoch_us(m_orderdate))
-                      / 3600000000 AS BIGINT) END AS staleness_hours
+            THEN (epoch_us(ts) - epoch_us(m_orderdate))
+                 // 3600000000 END AS staleness_hours
 FROM j ORDER BY event_id
 """
 
@@ -4868,9 +4880,22 @@ def text_char_entropy_by_source(
     sum, final 6dp round on a transcendental that can't tie,
     TIES.md Class B)."""
     docs = _docs_par(spark, sf_dir)
+    # split on CODE POINTS, not UTF-16 code units: F.split(text, '')
+    # runs a Java regex over the UTF-16 string and cuts surrogate pairs
+    # in half, while the DuckDB oracle's string_split_regex yields code
+    # points — any non-BMP char (emoji, astral CJK) would diverge
+    # (ADVICE r12). Spark's length()/substring() are UTF8String
+    # code-point ops, so sequence+substring matches DuckDB exactly.
     chars = docs.select(
         "source",
-        F.explode(F.split("text", "")).alias("ch"),
+        F.explode(
+            F.expr(
+                "case when length(text) > 0 then"
+                " transform(sequence(1, length(text)),"
+                " i -> substring(text, i, 1))"
+                " else array() end"
+            )
+        ).alias("ch"),
     ).filter(F.col("ch") != "")
     hist = chars.groupBy("source", "ch").agg(F.count("*").alias("c"))
     per_src = hist.groupBy("source").agg(
