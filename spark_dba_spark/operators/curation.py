@@ -5292,6 +5292,678 @@ FROM daily ORDER BY day_epoch
 """
 
 
+# --------------------------------------------------------------------------
+# Round-13 batch (window slots 31-36; VERDICT r12 "Next round" #3): PII
+# pattern audit, composite quality score, cross-snapshot CDC delta,
+# inter-arrival burstiness, bucketed interval-coverage join, grid-quantile
+# sketch error
+# --------------------------------------------------------------------------
+
+# PII-shaped token patterns. Deliberately restricted to syntax that Java
+# regex (Spark) and RE2 (DuckDB) interpret identically: character classes,
+# bounded repetition, alternation, ASCII \b — no backreferences, no
+# lookaround, no Unicode classes. \d is ASCII in both engines here.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{7,15}|\b\d{3}-\d{3,4}-\d{4}\b"
+PII_IDNUM = r"\b\d{9,}\b"
+
+
+def text_pii_pattern_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII-pattern exposure audit: how many documents (and
+    how many total matches) carry email-, IPv4-, phone-, or long-id-
+    shaped tokens — the screening gate every real training-data
+    pipeline runs before release (the redaction COUNTERPART of
+    text_redact_denylist: this measures exposure, that removes it).
+    The synthetic fixture corpus is clean word soup, so all counts are
+    legitimately zero there; the planted-PII pytest twin carries the
+    behavioural evidence (the dedup_cluster_pareto precedent).
+
+    Scale: four JVM regexp_count passes fused into ONE map stage over
+    the doc scan (whole-stage codegen; no Python, no explode), then an
+    alphabet-free groupBy on source — exchange is one row per doc of
+    five ints. At 100 TB this is scan-bound, exactly as cheap as the
+    data allows."""
+    docs = _docs_par(spark, sf_dir)
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).alias("c_email"),
+        F.regexp_count(F.col("text"), F.lit(PII_IPV4)).alias("c_ipv4"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE)).alias("c_phone"),
+        F.regexp_count(F.col("text"), F.lit(PII_IDNUM)).alias("c_idnum"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("c_email") > 0).cast("long")).cast("long")
+        .alias("email_docs"),
+        F.sum("c_email").cast("long").alias("email_matches"),
+        F.sum((F.col("c_ipv4") > 0).cast("long")).cast("long")
+        .alias("ipv4_docs"),
+        F.sum("c_ipv4").cast("long").alias("ipv4_matches"),
+        F.sum((F.col("c_phone") > 0).cast("long")).cast("long")
+        .alias("phone_docs"),
+        F.sum("c_phone").cast("long").alias("phone_matches"),
+        F.sum((F.col("c_idnum") > 0).cast("long")).cast("long")
+        .alias("idnum_docs"),
+        F.sum("c_idnum").cast("long").alias("idnum_matches"),
+        F.sum(
+            (
+                (F.col("c_email") + F.col("c_ipv4") + F.col("c_phone")
+                 + F.col("c_idnum")) > 0
+            ).cast("long")
+        ).cast("long").alias("pii_docs"),
+    )
+    return agg.select(
+        "source", "n_docs", "email_docs", "email_matches", "ipv4_docs",
+        "ipv4_matches", "phone_docs", "phone_matches", "idnum_docs",
+        "idnum_matches", "pii_docs",
+        F.expr(rat_round6_spark("pii_docs", "n_docs")).alias(
+            "pii_doc_share_r6"
+        ),
+    ).orderBy("source")
+
+
+ORACLE_PII_AUDIT = f"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{PII_EMAIL}')) AS c_email,
+         len(regexp_extract_all(text, '{PII_IPV4}')) AS c_ipv4,
+         len(regexp_extract_all(text, '{PII_PHONE}')) AS c_phone,
+         len(regexp_extract_all(text, '{PII_IDNUM}')) AS c_idnum
+  FROM documents),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN c_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS email_docs,
+         CAST(SUM(c_email) AS BIGINT) AS email_matches,
+         CAST(SUM(CASE WHEN c_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ipv4_docs,
+         CAST(SUM(c_ipv4) AS BIGINT) AS ipv4_matches,
+         CAST(SUM(CASE WHEN c_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS phone_docs,
+         CAST(SUM(c_phone) AS BIGINT) AS phone_matches,
+         CAST(SUM(CASE WHEN c_idnum > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS idnum_docs,
+         CAST(SUM(c_idnum) AS BIGINT) AS idnum_matches,
+         CAST(SUM(CASE WHEN c_email + c_ipv4 + c_phone + c_idnum > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs
+  FROM per_doc GROUP BY 1)
+SELECT source, n_docs, email_docs, email_matches, ipv4_docs, ipv4_matches,
+       phone_docs, phone_matches, idnum_docs, idnum_matches, pii_docs,
+       {rat_round6_duck("pii_docs", "n_docs")} AS pii_doc_share_r6
+FROM agg ORDER BY source
+"""
+
+
+# Composite quality gates: integer cross-multiplied thresholds so the
+# score is exact on both engines. Stopword list matches the fixture
+# register (function words the generator actually emits).
+QUALITY_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def text_composite_quality_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE one number curation teams sort by (VERDICT r12 #3c): fold
+    five orthogonal quality gates — length band, type-token ratio,
+    stopword presence, mean-token-length band, max-token-length cap —
+    into a 0..100 composite (20 points per gate), then report the
+    per-source score histogram with exact shares. The gates are the
+    text_quality / gopher-gate constructs restated as pure integer
+    cross-multiplications, so the score is deterministic and the
+    oracle is a full value-hash.
+
+    Scale: one map stage of HOFs over the token array (no explode, no
+    Python), one groupBy on (source, score) — the exchange carries six
+    small ints per doc; output is sources x 6 bands."""
+    docs = _docs_par(spark, sf_dir)
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    feats = docs.select(
+        "source",
+        F.expr(
+            "filter(split(text, ' '), t -> length(t) > 0)"
+        ).alias("toks"),
+    ).select(
+        "source",
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").alias("n_distinct"),
+        F.expr(
+            "aggregate(toks, cast(0 as bigint),"
+            " (acc, t) -> acc + length(t))"
+        ).alias("sum_len"),
+        F.expr(
+            f"size(filter(toks, t -> t in ({stop_list})))"
+        ).alias("n_stop"),
+        F.expr(
+            "coalesce(array_max(transform(toks, t -> length(t))), 0)"
+        ).alias("max_len"),
+    )
+    score = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+        20 * (
+            ((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000))
+            .cast("int")
+            + (2 * F.col("n_distinct") >= F.col("n_tokens")).cast("int")
+            + (100 * F.col("n_stop") >= 2 * F.col("n_tokens")).cast("int")
+            + (
+                (3 * F.col("n_tokens") <= F.col("sum_len"))
+                & (F.col("sum_len") <= 12 * F.col("n_tokens"))
+            ).cast("int")
+            + (F.col("max_len") <= 20).cast("int")
+        )
+    )
+    scored = feats.select("source", score.cast("int").alias("score"))
+    per_src = scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("src_docs")
+    )
+    return (
+        scored.groupBy("source", "score")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(per_src, "source")
+        .select(
+            "source",
+            "score",
+            "n_docs",
+            F.expr(rat_round6_spark("n_docs", "src_docs")).alias(
+                "doc_share_r6"
+            ),
+        )
+        .orderBy("source", "score")
+    )
+
+
+ORACLE_COMPOSITE_QUALITY = f"""
+WITH feats AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+  FROM documents),
+f2 AS (
+  SELECT source, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS sum_len,
+         len(list_filter(toks,
+             t -> list_contains(
+                 [{", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)}], t)))
+           AS n_stop,
+         coalesce(list_max(list_transform(toks, t -> length(t))), 0)
+           AS max_len
+  FROM feats),
+scored AS (
+  SELECT source,
+         CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE 20 * (
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+                 THEN 1 ELSE 0 END)
+           + (CASE WHEN 2 * n_distinct >= n_tokens THEN 1 ELSE 0 END)
+           + (CASE WHEN 100 * n_stop >= 2 * n_tokens THEN 1 ELSE 0 END)
+           + (CASE WHEN 3 * n_tokens <= sum_len
+                    AND sum_len <= 12 * n_tokens THEN 1 ELSE 0 END)
+           + (CASE WHEN max_len <= 20 THEN 1 ELSE 0 END)) END AS INT)
+           AS score
+  FROM f2),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS src_docs
+  FROM scored GROUP BY 1)
+SELECT s.source, s.score, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {rat_round6_duck("COUNT(*)", "MAX(p.src_docs)")} AS doc_share_r6
+FROM scored s JOIN per_src p ON s.source = p.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def mm_cdc_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot CDC delta (VERDICT r12 #3d): split the corpus
+    into two parity snapshots (doc_id % 2 — the stand-in for two
+    ingest runs of the same feed), CDC-chunk both with the SHARED
+    cdc_chunks projection, and report per media type how many distinct
+    chunks (and bytes) are shared / added / removed between snapshots
+    — the incremental-ingest question ("how much do we actually have
+    to re-transfer and re-process?") that content-defined chunking
+    exists to answer. transfer_savings_r6 = shared bytes / snapshot-B
+    bytes is the rsync win.
+
+    Scale: identical cost class to mm_chunk_cdc_profile — map-side HOF
+    split, one explode bounded by corpus-bytes/CDC_MOD, one shuffle on
+    (media_type, chunk_hash); the delta rollup is distinct-chunk-
+    bounded."""
+    chunks = cdc_chunks(_assets_curation(spark, sf_dir)).withColumn(
+        "snap", (F.col("doc_id") % 2).cast("int")
+    )
+    by_hash = chunks.groupBy("media_type", "chunk_hash").agg(
+        F.max((F.col("snap") == 0).cast("int")).alias("in_a"),
+        F.max((F.col("snap") == 1).cast("int")).alias("in_b"),
+        F.min("chunk_len").cast("long").alias("chunk_len"),
+    )
+    agg = by_hash.groupBy("media_type").agg(
+        F.sum("in_a").cast("long").alias("chunks_a"),
+        F.sum("in_b").cast("long").alias("chunks_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+        .alias("shared_chunks"),
+        F.sum((1 - F.col("in_a")) * F.col("in_b")).cast("long")
+        .alias("added_chunks"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long")
+        .alias("removed_chunks"),
+        F.sum(F.col("in_a") * F.col("chunk_len")).cast("long")
+        .alias("bytes_a"),
+        F.sum(F.col("in_b") * F.col("chunk_len")).cast("long")
+        .alias("bytes_b"),
+        F.sum(F.col("in_a") * F.col("in_b") * F.col("chunk_len"))
+        .cast("long").alias("shared_bytes"),
+    )
+    return agg.select(
+        "media_type", "chunks_a", "chunks_b", "shared_chunks",
+        "added_chunks", "removed_chunks", "bytes_a", "bytes_b",
+        "shared_bytes",
+        F.expr(
+            "case when bytes_b > 0 then "
+            + rat_round6_spark("shared_bytes", "bytes_b")
+            + " end"
+        ).alias("transfer_savings_r6"),
+    ).orderBy("media_type")
+
+
+ORACLE_CDC_SNAPSHOT_DELTA = f"""
+WITH a AS (
+  SELECT doc_id, CAST(doc_id % 2 AS INT) AS snap,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 1),
+b AS (
+  SELECT *, list_transform(generate_series(1, n),
+           i -> CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT)) AS bs
+  FROM a),
+c AS (
+  SELECT doc_id, snap, media_type, hx, n,
+         list_concat(list_concat([0],
+           CASE WHEN n >= 2 THEN
+             list_filter(generate_series(1, n - 1),
+               i -> (bs[i] * 31 + bs[i + 1]) % {CDC_MOD} = 0)
+           ELSE [] END), [n]) AS bounds
+  FROM b),
+ch AS (
+  SELECT doc_id, snap, media_type,
+         CAST(bounds[i + 1] - bounds[i] AS BIGINT) AS chunk_len,
+         md5(substr(hx, 2 * bounds[i] + 1,
+                    2 * (bounds[i + 1] - bounds[i]))) AS chunk_hash
+  FROM c, LATERAL unnest(generate_series(1, len(bounds) - 1)) AS u(i)),
+by_hash AS (
+  SELECT media_type, chunk_hash,
+         MAX(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS in_b,
+         CAST(MIN(chunk_len) AS BIGINT) AS chunk_len
+  FROM ch GROUP BY 1, 2),
+agg AS (
+  SELECT media_type,
+         CAST(SUM(in_a) AS BIGINT) AS chunks_a,
+         CAST(SUM(in_b) AS BIGINT) AS chunks_b,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS shared_chunks,
+         CAST(SUM((1 - in_a) * in_b) AS BIGINT) AS added_chunks,
+         CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS removed_chunks,
+         CAST(SUM(in_a * chunk_len) AS BIGINT) AS bytes_a,
+         CAST(SUM(in_b * chunk_len) AS BIGINT) AS bytes_b,
+         CAST(SUM(in_a * in_b * chunk_len) AS BIGINT) AS shared_bytes
+  FROM by_hash GROUP BY 1)
+SELECT media_type, chunks_a, chunks_b, shared_chunks, added_chunks,
+       removed_chunks, bytes_a, bytes_b, shared_bytes,
+       CASE WHEN bytes_b > 0 THEN
+         {rat_round6_duck("shared_bytes", "bytes_b")} END
+         AS transfer_savings_r6
+FROM agg ORDER BY media_type
+"""
+
+
+def ev_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type burstiness of user inter-arrival times: gaps between a
+    user's consecutive events (floor seconds), attributed to the LATER
+    event's type, rolled up to n / mean / coefficient of variation /
+    Goh-Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1): B ≈ −1 is a
+    metronome (bot heartbeat), B ≈ 0 Poisson, B → 1 heavy-tailed human
+    bursts — the traffic-shape fingerprint behind rate-limit and
+    capacity choices (the dispersion complement of
+    ev_fano_overdispersion, which bins counts instead of gaps).
+
+    Determinism: gaps are exact integer seconds; Σx and Σx² are exact
+    DECIMAL(38,0); variance numerator n·Σx² − (Σx)² is exact integer
+    algebra, so σ is ONE sqrt of the identical IEEE double on both
+    engines and the final 6dp rounds are transcendental-class
+    (TIES.md Class B — cannot tie). mean_gap_s_r6 is the exact qrem
+    rational.
+
+    Scale: one shuffle on user_id for the lag window (user timelines
+    are short and hash-balanced), one alphabet-sized rollup on
+    event_type; no explode, no Python."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr(_US).alias("us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(us - prev_us) div 1000000").alias("gap_s"),
+        )
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap_s").cast("long").alias("sum_s"),
+        F.sum(
+            (F.col("gap_s") * F.col("gap_s")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("sum_s2"),
+    )
+    var_num = (
+        "(cast(n_gaps as decimal(38,0)) * sum_s2"
+        " - cast(sum_s as decimal(38,0)) * cast(sum_s as decimal(38,0)))"
+    )
+    sigma = (
+        f"sqrt(cast({var_num} as double)"
+        " / (cast(n_gaps as double) * cast(n_gaps as double)))"
+    )
+    mean_d = "(cast(sum_s as double) / cast(n_gaps as double))"
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        "sum_s",
+        F.expr(qrem_round6_spark("sum_s", "n_gaps")).alias(
+            "mean_gap_s_r6"
+        ),
+        F.expr(
+            f"case when n_gaps >= 2 and sum_s > 0 then"
+            f" round({sigma} / {mean_d}, 6) end"
+        ).alias("cv_r6"),
+        F.expr(
+            f"case when n_gaps >= 2 and {sigma} + {mean_d} > 0 then"
+            f" round(({sigma} - {mean_d}) / ({sigma} + {mean_d}), 6) end"
+        ).alias("burstiness_r6"),
+    ).orderBy("event_type")
+
+
+ORACLE_INTERARRIVAL_BURSTINESS = f"""
+WITH ev AS (
+  SELECT user_id, event_type, {_US_DUCK} AS us, event_id FROM events),
+gaps AS (
+  SELECT event_type,
+         (us - LAG(us) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id)) // 1000000 AS gap_s
+  FROM ev),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS sum_s,
+         CAST(SUM(CAST(gap_s AS HUGEINT) * gap_s) AS HUGEINT) AS sum_s2
+  FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1)
+SELECT event_type, n_gaps, sum_s,
+       {qrem_round6_duck("sum_s", "n_gaps")} AS mean_gap_s_r6,
+       CASE WHEN n_gaps >= 2 AND sum_s > 0 THEN
+         ROUND(sqrt(CAST(CAST(n_gaps AS HUGEINT) * sum_s2
+                         - CAST(sum_s AS HUGEINT) * sum_s AS DOUBLE)
+                    / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+               / (CAST(sum_s AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6)
+       END AS cv_r6,
+       CASE WHEN n_gaps >= 2 AND
+         sqrt(CAST(CAST(n_gaps AS HUGEINT) * sum_s2
+                   - CAST(sum_s AS HUGEINT) * sum_s AS DOUBLE)
+              / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+         + (CAST(sum_s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) > 0 THEN
+         ROUND((sqrt(CAST(CAST(n_gaps AS HUGEINT) * sum_s2
+                          - CAST(sum_s AS HUGEINT) * sum_s AS DOUBLE)
+                     / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+                - (CAST(sum_s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+               / (sqrt(CAST(CAST(n_gaps AS HUGEINT) * sum_s2
+                            - CAST(sum_s AS HUGEINT) * sum_s AS DOUBLE)
+                       / (CAST(n_gaps AS DOUBLE)
+                          * CAST(n_gaps AS DOUBLE)))
+                  + (CAST(sum_s AS DOUBLE) / CAST(n_gaps AS DOUBLE))), 6)
+       END AS burstiness_r6
+FROM agg ORDER BY event_type
+"""
+
+
+ATTR_WINDOW_US = 30 * 60 * 1_000_000  # each click opens a 30-min window
+
+
+def ev_interval_coverage_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an inequality shuffle: every
+    'click' opens a 30-minute attribution window [ts, ts+30m); every
+    event is annotated with how many of the SAME USER's click windows
+    cover it (and the first/last covering click) — the generic
+    interval-overlap primitive (ad attribution, incident blast-radius,
+    promo exposure) that Spark lacks natively.
+
+    Scale: the textbook bucketed range join — a 30-min window spans at
+    most TWO hour buckets, so intervals explode into ≤2 (user, hour)
+    rows and the join is a pure EQUI-join on (user_id, hour_bucket)
+    with the exact containment predicate applied map-side after
+    co-location. Candidate fan-out is bounded by windows×2 — never the
+    |events|×|windows| inequality cross product a naive range join
+    shuffles. One final groupBy on event_id + a left join back."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", F.expr(_US).alias("us")
+    )
+    windows = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("w_user"),
+        F.col("event_id").alias("w_event"),
+        F.col("us").alias("w_us"),
+    )
+    # each window covers hour buckets floor(w_us/1h) .. floor((w_us+30m)/1h)
+    wb = windows.select(
+        "w_user",
+        "w_event",
+        "w_us",
+        F.explode(
+            F.expr(
+                "sequence(w_us div 3600000000,"
+                f" (w_us + {ATTR_WINDOW_US} - 1) div 3600000000)"
+            )
+        ).alias("hb"),
+    )
+    pts = ev.select(
+        "event_id", "user_id", "us", F.expr("us div 3600000000").alias("hb")
+    )
+    cov = (
+        pts.join(
+            wb,
+            (pts["user_id"] == wb["w_user"]) & (pts["hb"] == wb["hb"]),
+        )
+        .filter(
+            (F.col("us") >= F.col("w_us"))
+            & (F.col("us") < F.col("w_us") + F.lit(ATTR_WINDOW_US))
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count("*").cast("long").alias("n_covering"),
+            F.min("w_event").cast("long").alias("first_window_event"),
+            F.max("w_event").cast("long").alias("last_window_event"),
+        )
+    )
+    return (
+        ev.join(cov, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.coalesce("n_covering", F.lit(0)).cast("long")
+            .alias("n_covering"),
+            "first_window_event",
+            "last_window_event",
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_INTERVAL_COVERAGE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type, {_US_DUCK} AS us FROM events),
+win AS (
+  SELECT user_id AS w_user, event_id AS w_event, us AS w_us
+  FROM ev WHERE event_type = 'click'),
+cov AS (
+  SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_covering,
+         CAST(MIN(w.w_event) AS BIGINT) AS first_window_event,
+         CAST(MAX(w.w_event) AS BIGINT) AS last_window_event
+  FROM ev e JOIN win w
+    ON e.user_id = w.w_user
+   AND e.us >= w.w_us AND e.us < w.w_us + {ATTR_WINDOW_US}
+  GROUP BY 1)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       COALESCE(c.n_covering, 0) AS n_covering,
+       c.first_window_event, c.last_window_event
+FROM ev e LEFT JOIN cov c ON e.event_id = c.event_id
+ORDER BY e.event_id
+"""
+
+
+GRIDQ_BINS = 1024  # equi-width sketch grid over [0, global max cents]
+
+
+def sketch_grid_quantile_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic quantile-sketch error profile: estimate p50/p90/
+    p99 of spend cents per event type from a fixed 1024-bin equi-width
+    histogram (the mergeable, bounded-memory sketch a streaming system
+    would keep) and report each estimate NEXT TO the exact type-1
+    percentile and its absolute error — the full-oracle sibling that
+    quantifies what agg_approx_percentiles' engine sketch trades away
+    (the heavy-hitters/CMS upgrade precedent: a deterministic mirror
+    of an approximate structure, value-hash checkable).
+
+    Estimate rule: rank = (q·n + 99) div 100 (house type-1 rank); the
+    sketch answers the least bin whose cumulative count reaches the
+    rank, read out as the bin's EXCLUSIVE upper edge — always ≥ the
+    exact value, so err = est − exact ∈ [0, bin width]. All integer.
+
+    Scale: the histogram is one groupBy on (type, bin) — alphabet ×
+    1024 rows; the exact side is one value-ordered window per type
+    (the exact-percentile posture). At stream scale only the sketch
+    side survives; this op exists to certify its error envelope."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.expr(_CENTS).alias("cents"), "event_id"
+    )
+    gmax = ev.agg(F.max("cents").alias("gmax"))
+    binned = ev.crossJoin(F.broadcast(gmax)).select(
+        "event_type",
+        "cents",
+        "event_id",
+        "gmax",
+        F.expr(f"(cents * {GRIDQ_BINS}) div (gmax + 1)").alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count("*").cast("long").alias("c"),
+        F.min("gmax").alias("gmax"),
+    )
+    wcum = W.partitionBy("event_type").orderBy("bin")
+    wall = W.partitionBy("event_type")
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wall))
+    )
+    est = cum.groupBy("event_type").agg(
+        F.min("gmax").cast("long").alias("gmax"),
+        F.min("n").cast("long").alias("n"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({q} * n + 99) div 100"),
+                    F.col("bin"),
+                )
+            ).alias(f"b{q}")
+            for q in (50, 90, 99)
+        ],
+    )
+    wr = W.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = binned.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "nn", F.count("*").over(W.partitionBy("event_type"))
+    )
+    exact = ranked.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr(f"({q} * nn + 99) div 100"),
+                    F.col("cents"),
+                )
+            ).cast("long").alias(f"p{q}_exact")
+            for q in (50, 90, 99)
+        ]
+    )
+    out = est.join(exact, "event_type")
+    cols = ["event_type", "n", "gmax"]
+    sel = [F.col(c) for c in cols]
+    for q in (50, 90, 99):
+        e = f"((b{q} + 1) * (gmax + 1)) div {GRIDQ_BINS}"
+        sel += [
+            F.col(f"p{q}_exact"),
+            F.expr(e).cast("long").alias(f"p{q}_est"),
+            F.expr(f"{e} - p{q}_exact").cast("long").alias(f"p{q}_err"),
+        ]
+    return out.select(*sel).orderBy("event_type")
+
+
+def _gridq_oracle() -> str:
+    qcols = []
+    for q in (50, 90, 99):
+        e = f"((b{q} + 1) * (gmax + 1)) // {GRIDQ_BINS}"
+        qcols.append(
+            f"p{q}_exact, CAST({e} AS BIGINT) AS p{q}_est,\n"
+            f"       CAST({e} - p{q}_exact AS BIGINT) AS p{q}_err"
+        )
+    bsel = ",\n         ".join(
+        f"CAST(MIN(CASE WHEN cum >= ({q} * n + 99) // 100"
+        f" THEN bin END) AS BIGINT) AS b{q}"
+        for q in (50, 90, 99)
+    )
+    xsel = ",\n         ".join(
+        f"CAST(MIN(CASE WHEN rn = ({q} * nn + 99) // 100"
+        f" THEN cents END) AS BIGINT) AS p{q}_exact"
+        for q in (50, 90, 99)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, {_CENTS_DUCK} AS cents, event_id FROM events),
+g AS (SELECT MAX(cents) AS gmax FROM ev),
+binned AS (
+  SELECT event_type, cents, event_id, g.gmax,
+         (cents * {GRIDQ_BINS}) // (g.gmax + 1) AS bin
+  FROM ev CROSS JOIN g),
+hist AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c,
+         MIN(gmax) AS gmax
+  FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, gmax,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist),
+est AS (
+  SELECT event_type, CAST(MIN(gmax) AS BIGINT) AS gmax,
+         CAST(MIN(n) AS BIGINT) AS n,
+         {bsel}
+  FROM cum GROUP BY 1),
+ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nn
+  FROM binned),
+exact AS (
+  SELECT event_type, {xsel}
+  FROM ranked GROUP BY 1)
+SELECT e.event_type, e.n, e.gmax,
+       {", ".join(qcols)}
+FROM est e JOIN exact x ON e.event_type = x.event_type
+ORDER BY e.event_type
+"""
+
+
+ORACLE_GRID_QUANTILE_ERROR = _gridq_oracle()
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -5550,4 +6222,35 @@ SPECS = [
               _oracle_session_bounce(), ("events", "sessions"),
               doc="daily bounce share + mean events/session of the "
                   "30-min sessionization (engagement-quality trend)"),
+    # --- round-13 batch (window slots 31-36) ---
+    QuerySpec("text_pii_pattern_audit", text_pii_pattern_audit,
+              ORACLE_PII_AUDIT, ("text", "pii", "curation"),
+              doc="per-source email/IPv4/phone/long-id pattern exposure "
+                  "counts + flagged-doc share (pre-release PII screen; "
+                  "engine-portable regex subset)"),
+    QuerySpec("text_composite_quality_score", text_composite_quality_score,
+              ORACLE_COMPOSITE_QUALITY, ("text", "quality", "curation"),
+              doc="five integer quality gates folded into one 0..100 "
+                  "composite; per-source score histogram with exact "
+                  "shares"),
+    QuerySpec("mm_cdc_snapshot_delta", mm_cdc_snapshot_delta,
+              ORACLE_CDC_SNAPSHOT_DELTA, ("multimodal", "dedup", "cdc"),
+              doc="cross-snapshot CDC chunk delta per media type: "
+                  "shared/added/removed chunks and bytes + transfer "
+                  "savings share (incremental-ingest audit)"),
+    QuerySpec("ev_interarrival_burstiness", ev_interarrival_burstiness,
+              ORACLE_INTERARRIVAL_BURSTINESS, ("events", "stats"),
+              doc="Goh-Barabasi burstiness + CV of per-user inter-event "
+                  "gaps per type (bot-vs-human traffic-shape "
+                  "fingerprint; exact integer moments)"),
+    QuerySpec("ev_interval_coverage_join", ev_interval_coverage_join,
+              ORACLE_INTERVAL_COVERAGE, ("events", "join", "temporal"),
+              doc="point-in-interval join via hour-bucket co-location "
+                  "(<=2 buckets per 30-min window, pure equi-join; "
+                  "never an inequality cross product)"),
+    QuerySpec("sketch_grid_quantile_error", sketch_grid_quantile_error,
+              ORACLE_GRID_QUANTILE_ERROR, ("sketch", "stats", "events"),
+              doc="1024-bin equi-width quantile sketch estimates next "
+                  "to exact type-1 p50/p90/p99 with integer error "
+                  "columns (the approx-percentile error certificate)"),
 ]

@@ -231,3 +231,288 @@ def test_char_entropy_non_bmp_code_points(spark, tmp_path):
         ORACLE_CHAR_ENTROPY,
         ("documents",),
     )
+
+
+# ---------------------------------------------------------------------------
+# Part 2 — round-13 batch (window slots 31-36): brute / planted twins
+# ---------------------------------------------------------------------------
+
+from conftest import SF_DIR  # noqa: E402
+
+
+def _events_rows(sf_dir=SF_DIR):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_id, epoch_us(ts), user_id, event_type, value FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_pii_pattern_audit_planted(spark, tmp_path):
+    """The fixture corpus is clean word soup (all-zero counts are the
+    correct answer there) — this planted twin is the behavioural gate:
+    one doc per pattern class, one multi-hit doc, one clean doc."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_PII_AUDIT,
+        text_pii_pattern_audit,
+    )
+
+    _write_docs(
+        tmp_path,
+        [
+            "contact me at alice@example.com or bob.smith+x@sub.org today",
+            "server 10.0.0.1 and 192.168.255.254 are up",
+            "call +4915112345678 or 030-555-0199 now",
+            "case number 123456789 and account 98765432101",
+            "mixed: eve@corp.io from 172.16.0.9 ref 555123456789",
+            "a perfectly clean sentence with no identifiers at all",
+        ],
+        ["s_email", "s_ip", "s_phone", "s_id", "s_mixed", "s_clean"],
+    )
+    got = {
+        r["source"]: r
+        for r in text_pii_pattern_audit(spark, str(tmp_path)).collect()
+    }
+    assert got["s_email"]["email_matches"] == 2
+    assert got["s_email"]["email_docs"] == 1
+    assert got["s_ip"]["ipv4_matches"] == 2
+    assert got["s_phone"]["phone_matches"] == 2
+    assert got["s_id"]["idnum_matches"] == 2
+    m = got["s_mixed"]
+    assert (m["email_matches"], m["ipv4_matches"], m["idnum_matches"]) == (
+        1, 1, 1,
+    )
+    c = got["s_clean"]
+    assert c["pii_docs"] == 0 and c["pii_doc_share_r6"] == 0.0
+    for s in ("s_email", "s_ip", "s_phone", "s_id", "s_mixed"):
+        assert got[s]["pii_docs"] == 1
+        assert got[s]["pii_doc_share_r6"] == 1.0
+    _assert_spark_matches_oracle(
+        text_pii_pattern_audit(spark, str(tmp_path)),
+        tmp_path, ORACLE_PII_AUDIT, ("documents",),
+    )
+
+
+def test_pii_audit_fixture_is_clean(spark):
+    """Documents fixtures carry no PII-shaped tokens — the all-zero
+    result is asserted (not assumed), so a fixture regen that starts
+    emitting digits would surface here, not as a silent hash drift."""
+    from spark_dba_spark.operators.curation import text_pii_pattern_audit
+
+    rows = text_pii_pattern_audit(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r["pii_docs"] == 0 for r in rows)
+
+
+def test_composite_quality_score_brute(spark, tmp_path):
+    from spark_dba_spark.operators.curation import (
+        ORACLE_COMPOSITE_QUALITY,
+        QUALITY_STOPWORDS,
+        text_composite_quality_score,
+    )
+
+    texts = [
+        # all five gates pass -> 100
+        "the quick brown fox jumps over a lazy dog and then it runs "
+        "far away into the deep green forest tonight",
+        # repetition kills type-token ratio (gate 2)
+        "spam " * 40,
+        # no stopwords (gate 3)
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        # one monster token kills gates 4+5
+        "the " * 9 + "x" * 50,
+        # too short (gate 1)
+        "the end",
+        "",
+    ]
+    _write_docs(tmp_path, texts, [f"s{i}" for i in range(len(texts))])
+
+    def brute(text: str) -> int:
+        toks = [t for t in text.split(" ") if t]
+        n = len(toks)
+        if n == 0:
+            return 0
+        sum_len = sum(len(t) for t in toks)
+        gates = [
+            10 <= n <= 1000,
+            2 * len(set(toks)) >= n,
+            100 * sum(t in QUALITY_STOPWORDS for t in toks) >= 2 * n,
+            3 * n <= sum_len <= 12 * n,
+            max(len(t) for t in toks) <= 20,
+        ]
+        return 20 * sum(gates)
+
+    got = {
+        (r["source"], r["score"]): r["n_docs"]
+        for r in text_composite_quality_score(spark, str(tmp_path)).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[(f"s{i}", brute(t))] == 1, (i, brute(t))
+    assert brute(texts[0]) == 100 and brute(texts[-1]) == 0
+    _assert_spark_matches_oracle(
+        text_composite_quality_score(spark, str(tmp_path)),
+        tmp_path, ORACLE_COMPOSITE_QUALITY, ("documents",),
+    )
+
+
+def _brute_cdc_chunks(payload: bytes, mod: int):
+    bs = list(payload)
+    bounds = [0] + [
+        i for i in range(1, len(bs))
+        if (bs[i - 1] * 31 + bs[i]) % mod == 0
+    ] + [len(bs)]
+    return [
+        payload[bounds[i]: bounds[i + 1]]
+        for i in range(len(bounds) - 1)
+        if bounds[i + 1] > bounds[i]
+    ]
+
+
+def test_cdc_snapshot_delta_brute(spark, tmp_path):
+    """Two snapshots where doc 0 (snap A) and doc 3 (snap B) carry
+    byte-identical text of the same media type: the shared chunk set
+    must be exactly the brute CDC chunk intersection, and the savings
+    ratio the exact byte ratio."""
+    import hashlib
+
+    from spark_dba_spark.operators.curation import (
+        CDC_MOD,
+        ORACLE_CDC_SNAPSHOT_DELTA,
+        mm_cdc_snapshot_delta,
+    )
+
+    shared = "the fast key order sort table scan merge part window " * 4
+    texts = [
+        shared,                     # doc 0: image, snap A
+        "only in snapshot b once " * 6,   # doc 1: audio, snap B
+        "removed content stream " * 5,    # doc 2: video, snap A
+        shared,                     # doc 3: image, snap B (dup of 0)
+        "audio snap a payload here " * 3,  # doc 4: audio, snap A
+        "video snap b payload there " * 3,  # doc 5: video, snap B
+    ]
+    _write_docs(tmp_path, texts, [f"s{i}" for i in range(len(texts))])
+
+    def chunkset(doc_ids):
+        out = {}
+        for d in doc_ids:
+            for ck in _brute_cdc_chunks(texts[d].encode(), CDC_MOD):
+                out[hashlib.md5(
+                    ck.hex().upper().encode()).hexdigest()] = len(ck)
+        return out
+
+    # media image = doc_id % 3 == 0 -> docs 0 (snap A) and 3 (snap B)
+    a, b = chunkset([0]), chunkset([3])
+    rows = {r["media_type"]: r
+            for r in mm_cdc_snapshot_delta(spark, str(tmp_path)).collect()}
+    img = rows["image"]
+    assert img["chunks_a"] == len(a) and img["chunks_b"] == len(b)
+    assert img["shared_chunks"] == len(set(a) & set(b)) == len(a)
+    assert img["added_chunks"] == 0 and img["removed_chunks"] == 0
+    assert img["shared_bytes"] == sum(a.values())
+    assert img["transfer_savings_r6"] == 1.0
+    # audio: doc 1 (B) and doc 4 (A) are disjoint content
+    aud = rows["audio"]
+    assert aud["shared_chunks"] == 0
+    assert aud["added_chunks"] == aud["chunks_b"]
+    assert aud["transfer_savings_r6"] == 0.0
+    _assert_spark_matches_oracle(
+        mm_cdc_snapshot_delta(spark, str(tmp_path)),
+        tmp_path, ORACLE_CDC_SNAPSHOT_DELTA, ("documents",),
+    )
+
+
+def test_interarrival_burstiness_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.curation import ev_interarrival_burstiness
+
+    per_user: dict = {}
+    for eid, us, uid, et, _ in _events_rows():
+        per_user.setdefault(uid, []).append((us, eid, et))
+    gaps: dict = {}
+    for tl in per_user.values():
+        tl.sort()
+        for (p_us, _, _), (us, _, et) in zip(tl, tl[1:]):
+            gaps.setdefault(et, []).append((us - p_us) // 1_000_000)
+    got = {r["event_type"]: r
+           for r in ev_interarrival_burstiness(spark, SF_DIR).collect()}
+    assert set(got) == set(gaps)
+    for et, gs in gaps.items():
+        r = got[et]
+        n, s, s2 = len(gs), sum(gs), sum(g * g for g in gs)
+        assert r["n_gaps"] == n and r["sum_s"] == s
+        mean = s / n
+        sigma = math.sqrt((n * s2 - s * s) / (n * n))
+        assert abs(r["cv_r6"] - sigma / mean) < 1e-6
+        assert abs(r["burstiness_r6"] - (sigma - mean) / (sigma + mean)) \
+            < 1e-6
+        # metronome floor / heavy-tail ceiling
+        assert -1.0 <= r["burstiness_r6"] < 1.0
+
+
+def test_interval_coverage_join_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        ATTR_WINDOW_US,
+        ev_interval_coverage_join,
+    )
+
+    rows = _events_rows()
+    clicks: dict = {}
+    for eid, us, uid, et, _ in rows:
+        if et == "click":
+            clicks.setdefault(uid, []).append((us, eid))
+    got = {r["event_id"]: r
+           for r in ev_interval_coverage_join(spark, SF_DIR).collect()}
+    assert len(got) == len(rows)
+    n_covered = 0
+    for eid, us, uid, et, _ in rows:
+        cov = [
+            weid for w_us, weid in clicks.get(uid, ())
+            if w_us <= us < w_us + ATTR_WINDOW_US
+        ]
+        r = got[eid]
+        assert r["n_covering"] == len(cov)
+        if cov:
+            n_covered += 1
+            assert r["first_window_event"] == min(cov)
+            assert r["last_window_event"] == max(cov)
+        else:
+            assert r["first_window_event"] is None
+    # the attribution window must actually fire on the fixture
+    assert n_covered > 0
+
+
+def test_grid_quantile_error_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        GRIDQ_BINS,
+        sketch_grid_quantile_error,
+    )
+
+    def cents(v):
+        import math
+        return int(math.floor(v * 100 + 0.5))
+
+    rows = _events_rows()
+    gmax = max(cents(v) for _, _, _, _, v in rows)
+    by_type: dict = {}
+    for eid, _, _, et, v in rows:
+        by_type.setdefault(et, []).append((cents(v), eid))
+    got = {r["event_type"]: r
+           for r in sketch_grid_quantile_error(spark, SF_DIR).collect()}
+    assert set(got) == set(by_type)
+    binw = (gmax + 1 + GRIDQ_BINS - 1) // GRIDQ_BINS
+    for et, vs in by_type.items():
+        vs.sort()
+        n, r = len(vs), got[et]
+        assert r["n"] == n and r["gmax"] == gmax
+        for q in (50, 90, 99):
+            exact = vs[(q * n + 99) // 100 - 1][0]
+            assert r[f"p{q}_exact"] == exact
+            b = (exact * GRIDQ_BINS) // (gmax + 1)
+            est = ((b + 1) * (gmax + 1)) // GRIDQ_BINS
+            assert r[f"p{q}_est"] == est
+            assert r[f"p{q}_err"] == est - exact
+            # the sketch never under-reports and errs at most one bin
+            assert 0 <= r[f"p{q}_err"] <= binw
