@@ -42,28 +42,91 @@ class QuerySpec:
 # into PRIORITY_LAST (prefer families with several other green rows). Over
 # rounds, every query accumulates at least one driver-recorded green row.
 #
-# ROUND-12 WINDOW (VERDICT r11 "Next round" #1-#2; one window = 50 slots):
-# CORRECTNESS_r11 delivered 50/50 green (third consecutive zero-red
-# round). Per the standing rotation protocol all 36 r11 slot-holders
-# retire to PRIORITY_LAST. Slots 1-10 seat the ten full-oracle
-# never-checked continuation ops that queued behind the r11 window; slot
-# 11 seats sketch_top_k_heavy_hitters, UPGRADED this round from the
-# merge-order-dependent approx_top_k engine sketch to a deterministic
-# fixed-hash CMS mirror with a full value-hash oracle (VERDICT r11 #4,
-# the sketch_hll_reaggregate precedent — now window-eligible); slots
-# 12-36 are twenty-five NEW r12 operators (landed early, each with a
-# full oracle, three hostile-SF sweep rows, and a Python brute-force
-# pytest twin — the standing protocol), headlined by the five VERDICT
-# r11 #2 candidates: semantic dedup over the kmeans clusters, the
-# bigram-LM fluency proxy, the Gopher repetition gates, the
-# paragraph-grain cleaned corpus, and the leakage-checked eval split.
-# Slots 37-50 stay the frozen bench set. Nothing never-checked remains
-# beyond slot 50 (the backlog drained exactly into the window). The 36
-# r11-window greens rotate to PRIORITY_LAST; the r10 greens previously
-# there fall back to the middle.
+# ROUND-13 WINDOW (VERDICT r12 "Next round" #1 + #3; one window = 50
+# slots): CORRECTNESS_r12 delivered 50/50 green (fourth consecutive
+# zero-red round). Per the standing rotation protocol all 36 r12
+# slot-holders retire to PRIORITY_LAST. Slots 1-30 seat EXACTLY the 30
+# never-driver-checked continuation ops that queued contiguously behind
+# the r12 window (batches C-G; each with a full oracle, three hostile-SF
+# sweep rows, and a brute pytest twin — the names VERDICT r12 "What's
+# missing" #1 ordered seated). Three of them additionally carry this
+# round's ADVICE fixes (join_asof_tolerance floor-div hours,
+# ev_weekend_lift zero-cents guard, text_char_entropy_by_source
+# code-point split), each pinned by a planted micro-fixture in
+# tests/test_r13_ops.py. Slots 31-36 are the six NEW r13 operators
+# (VERDICT #3: PII pattern audit, composite quality score, CDC snapshot
+# delta, plus interarrival burstiness, the bucketed interval-coverage
+# join, and the grid-quantile error certificate — same four-evidence
+# protocol). Slots 37-50 stay the frozen bench set. Nothing
+# never-checked remains beyond slot 50 (the backlog drained exactly into
+# the window: cumulative driver coverage reaches 429/429 once
+# CORRECTNESS_r13 lands). The 36 r12-window greens rotate to
+# PRIORITY_LAST; the r11 greens previously there fall back to the middle.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # slots 1-10 — the r11 continuation backlog (full local evidence,
-    # never driver-checked)
+    # slots 1-15 — the mid-r12 continuation backlog (full local
+    # evidence, never driver-checked)
+    "dedup_component_cohesion",
+    "graph_local_bridges",
+    "emb_bucket_pair_cos_histogram",
+    "mm_payload_byte_stats",
+    "ev_type_transition_gap_median",
+    "customer_balance_activity_grid",
+    "text_source_bigram_uniqueness",
+    "stats_sign_test_user_value",
+    "ev_hourly_mad_anomalies",
+    "supplier_acctbal_quartile_grid",
+    "text_dedup_inflation_by_source",
+    "sim_ivf_routing_balance",
+    "stats_blomqvist_beta_brand",
+    "dedup_band_precision_profile",
+    "ev_hourly_session_load",
+    # slots 16-20 — continuation batch D
+    "stats_cramers_v_assoc",
+    "dedup_cluster_pareto",
+    "customer_priority_transitions",
+    "ev_weekend_lift",
+    "mm_chunk_cdc_profile",
+    # slots 21-24 — continuation batch E
+    "ev_hourly_load_gini",
+    "sketch_hll_precision_sweep",
+    "join_asof_tolerance",
+    "emb_cluster_silhouette",
+    # slots 25-27 — continuation batch F
+    "lineitem_promo_did",
+    "graph_neardup_modularity",
+    "text_char_entropy_by_source",
+    # slots 28-30 — continuation batch G
+    "emb_pq_codebook_utilization",
+    "graph_neardup_conductance",
+    "ev_session_bounce_profile",
+    # slots 31-36 — new in r13 (never driver-checked by definition)
+    "text_pii_pattern_audit",
+    "text_composite_quality_score",
+    "mm_cdc_snapshot_delta",
+    "ev_interarrival_burstiness",
+    "ev_interval_coverage_join",
+    "sketch_grid_quantile_error",
+    # frozen bench set — a driver row EVERY round:
+    "q01_pricing_summary",
+    "ev_tumbling_1h",
+    "json_extract_events",
+    "q02_scan_filter_project",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_item",
+    "join_broadcast_dim",
+    "agg_distinct",
+    "window_topk_per_group",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality",
+)
+
+# r12-window greens — rotate to the tail this round (driver row <=1 round
+# old; still in every committed local sweep). The middle (not listed here
+# or above) holds the r2-r11 greens in registration order.
+PRIORITY_LAST: tuple[str, ...] = (
     "text_vocab_rank_drift",
     "text_term_burstiness",
     "graph_local_clustering",
@@ -74,9 +137,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "sketch_bloom_capacity_sweep",
     "orders_weekday_index",
     "mm_byte_delta_profile",
-    # slot 11 — upgraded rows-only -> full oracle this round (VERDICT #4)
     "sketch_top_k_heavy_hitters",
-    # slots 12-36 — new in r12 (never driver-checked by definition)
     "dedup_semantic_kmeans",
     "text_bigram_lm_surprisal",
     "text_repetition_gates",
@@ -102,101 +163,6 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "sketch_kmv_setops",
     "stats_capture_recapture",
     "mm_chunk_dedup_cross",
-    # frozen bench set — a driver row EVERY round:
-    "q01_pricing_summary",
-    "ev_tumbling_1h",
-    "json_extract_events",
-    "q02_scan_filter_project",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q10_returned_item",
-    "join_broadcast_dim",
-    "agg_distinct",
-    "window_topk_per_group",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "sim_cosine_topk",
-    "text_quality",
-    # --- beyond slot 50: the never-checked backlog, contiguous
-    # (enforced by test_remaining_backlog_queued_right_after_window) —
-    # ten mid-r12 continuation ops landed after the window filled; full
-    # 3-SF local evidence + brute twins; the r13 window candidates:
-    "dedup_component_cohesion",
-    "graph_local_bridges",
-    "emb_bucket_pair_cos_histogram",
-    "mm_payload_byte_stats",
-    "ev_type_transition_gap_median",
-    "customer_balance_activity_grid",
-    "text_source_bigram_uniqueness",
-    "stats_sign_test_user_value",
-    "ev_hourly_mad_anomalies",
-    "supplier_acctbal_quartile_grid",
-    "text_dedup_inflation_by_source",
-    "sim_ivf_routing_balance",
-    "stats_blomqvist_beta_brand",
-    "dedup_band_precision_profile",
-    "ev_hourly_session_load",
-    # batch D continuation (also never-checked; full local evidence):
-    "stats_cramers_v_assoc",
-    "dedup_cluster_pareto",
-    "customer_priority_transitions",
-    "ev_weekend_lift",
-    "mm_chunk_cdc_profile",
-    # batch E continuation (also never-checked; full local evidence):
-    "ev_hourly_load_gini",
-    "sketch_hll_precision_sweep",
-    "join_asof_tolerance",
-    "emb_cluster_silhouette",
-    # batch F continuation (also never-checked; full local evidence):
-    "lineitem_promo_did",
-    "graph_neardup_modularity",
-    "text_char_entropy_by_source",
-    # batch G continuation (also never-checked; full local evidence):
-    "emb_pq_codebook_utilization",
-    "graph_neardup_conductance",
-    "ev_session_bounce_profile",
-)
-
-# r11-window greens — rotate to the tail this round (driver row <=1 round
-# old; still in every committed local sweep). The middle (not listed here
-# or above) holds the r2-r10 greens in registration order.
-PRIORITY_LAST: tuple[str, ...] = (
-    "text_consonant_runs",
-    "q21_waiting_supplier_adapted",
-    "q22_dormant_value_adapted",
-    "text_vocab_coverage_curve",
-    "dedup_shingle_df_profile",
-    "dedup_cluster_size_histogram",
-    "orders_rfm_migration",
-    "ev_hour_of_day_profile",
-    "sketch_hll_reaggregate",
-    "text_dup_region_removal",
-    "text_dsir_importance",
-    "sim_ivfpq_compound",
-    "text_tokenizer_fertility",
-    "dedup_paragraph_minhash",
-    "text_gopher_gates",
-    "text_rarity_outliers",
-    "text_simpson_concentration",
-    "stats_chi_square_source_length",
-    "text_contamination_by_source",
-    "dedup_cross_source_matrix",
-    "graph_component_density",
-    "emb_binary_hamming_topk",
-    "emb_knn_label_homophily",
-    "emb_norm_profile_by_label",
-    "emb_centroid_shift_ab",
-    "ev_haar_energy_hourly",
-    "ev_value_records",
-    "ev_hourly_value_percentiles",
-    "customer_value_deciles",
-    "stats_levene_brand_price",
-    "orders_yoy_growth",
-    "sketch_cms_heavy_change",
-    "sketch_kmv_distinct",
-    "mm_payload_entropy_proxy",
-    "mm_payload_magic_profile",
-    "mm_byte_bigram_topk",
 )
 
 
