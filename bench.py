@@ -8,13 +8,17 @@ and prints ONE JSON line:
 
 Each query is timed end-to-end (plan build + execution + collect of the
 final, already-aggregated result), $SPARK_GRAFT_BENCH_RUNS interleaved
-passes (default 5; pass order q1..qn ×N, so a transient machine-load spike
-lands in one pass, not in all runs of one query). ``queries``/``value`` carry per-query medians (the
-driver-parsed shape, unchanged); ``queries_detail`` adds best and spread
-(max−min) so the artifact carries its own noise floor — a uniform
-environment shift shows up as spread, not as a phantom regression
-(VERDICT r3 "What's wrong" #3). Session startup is excluded — constant
-overhead irrelevant to per-query throughput.
+passes (default 9; pass order q1..qn ×N, so a transient machine-load spike
+lands in one pass, not in all runs of one query). The FIRST pass is a
+discarded target-SF warm-up (recorded under ``warmup_pass``); all stats
+are over the remaining passes. ``queries``/``value`` carry per-query
+medians (the driver-parsed shape, unchanged); ``queries_detail`` adds best
+and spread (max−min) so the artifact carries its own noise floor — a
+uniform environment shift shows up as spread, not as a phantom regression
+(VERDICT r3 "What's wrong" #3). ``pass_totals``, loadavg before/after,
+default_parallelism and JVM GC delta make any future inflation
+attributable from the artifact alone (VERDICT r12 #2). Session startup is
+excluded — constant overhead irrelevant to per-query throughput.
 """
 
 from __future__ import annotations
@@ -87,18 +91,48 @@ def main() -> None:
         waited += 5
     load_start = load1()
 
-    # 5 interleaved passes: this box shows stochastic multi-second stalls
-    # (observed spreads up to 17s on a 4s query with identical plans and
-    # best-times matching prior rounds); a median-of-5 stays clean unless
-    # 3 of 5 passes stall, where a median-of-3 flips on a single stall.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # JVM GC telemetry via the management beans: a future uniform
+    # inflation must be attributable from the artifact alone — heavy GC
+    # time says heap pressure, flat GC with fat spreads says external
+    # machine load (VERDICT r12 "Next round" #2).
+    def gc_stats() -> tuple[float, int]:
+        try:
+            beans = (
+                spark.sparkContext._jvm.java.lang.management
+                .ManagementFactory.getGarbageCollectorMXBeans()
+            )
+            t_ms, n = 0, 0
+            for i in range(beans.size()):
+                b = beans.get(i)
+                t_ms += max(b.getCollectionTime(), 0)
+                n += max(b.getCollectionCount(), 0)
+            return t_ms / 1000.0, n
+        except Exception:
+            return -1.0, -1
+
+    # Interleaved passes, hardened per VERDICT r12 #2 after the official
+    # r12 artifact came in +20% over two same-code in-round controls:
+    # 9 passes (was 5), the FIRST pass at the target SF is a discarded
+    # warm-up (it pays target-scale page-cache fill + any residual JIT),
+    # stats are median-of-the-rest, and every pass's total is recorded so
+    # a single stalled pass is visible in the artifact instead of
+    # poisoning a summary stat.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "9"))
+    gc_t0, gc_n0 = gc_stats()
     samples: dict[str, list[float]] = {name: [] for name in specs}
+    pass_totals: list[float] = []
     for _ in range(n_runs):
+        p0 = time.time()
         for name, spec in specs.items():
             t0 = time.time()
             rows = spec.builder(spark, sf_dir).collect()
             samples[name].append(time.time() - t0)
             assert rows is not None
+        pass_totals.append(round(time.time() - p0, 3))
+    gc_t1, gc_n1 = gc_stats()
+    warmup_pass = {name: round(xs[0], 3) for name, xs in samples.items()}
+    if n_runs > 1:  # discard the warm-up pass from every statistic
+        samples = {name: xs[1:] for name, xs in samples.items()}
 
     def med(xs: list[float]) -> float:
         ys = sorted(xs)
@@ -131,10 +165,17 @@ def main() -> None:
                 "queries": queries,
                 "queries_detail": detail,
                 "best_total": best_total,
+                "pass_totals": pass_totals,
+                "warmup_pass": warmup_pass,
                 "loadavg_start": load_start,
                 "loadavg_end": load1(),
                 "load_wait_sec": waited,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "gc_time_sec": round(gc_t1 - gc_t0, 3)
+                if gc_t0 >= 0 else -1.0,
+                "gc_count": gc_n1 - gc_n0 if gc_n0 >= 0 else -1,
                 "runs": n_runs,
+                "runs_timed": n_runs - 1 if n_runs > 1 else n_runs,
                 "sf": sf,
             }
         )
