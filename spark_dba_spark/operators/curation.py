@@ -5229,6 +5229,16 @@ def ev_session_bounce_profile(
             F.expr("min(us) div 86400000000").alias("day_epoch"),
         )
     )
+    return assemble_session_bounce_profile(sessions)
+
+
+def assemble_session_bounce_profile(sessions: DataFrame) -> DataFrame:
+    """Daily bounce rollup from per-session (n_events, day_epoch) rows —
+    the shared batch/stream column contract (the
+    assemble_chunk_cdc_profile pattern): the batch form feeds island
+    sessions, streaming/jobs.run_session_bounce_stream feeds
+    session_window sessions, and the DuckDB oracle gating the batch
+    form transitively gates the stream."""
     return (
         sessions.groupBy("day_epoch")
         .agg(

@@ -627,3 +627,42 @@ def test_chunk_cdc_stream_equals_batch(spark):
         for r in mm_chunk_cdc_profile(spark, SF_DIR).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_session_bounce_stream_equals_batch(spark):
+    """The streaming session-bounce profile (session_window per user,
+    daily rollup through the shared assemble contract) equals the batch
+    islands op row-for-row — after asserting the fixture precondition
+    that no user has an exactly-30:00.000000 inter-event gap (the one
+    input where session_window's >= boundary and the batch islands' >
+    boundary diverge)."""
+    import duckdb
+
+    from spark_dba_spark.operators.curation import ev_session_bounce_profile
+    from spark_dba_spark.operators.temporal import SESSION_GAP_US
+
+    con = duckdb.connect()
+    n_exact = con.execute(
+        f"""
+        SELECT COUNT(*) FROM (
+          SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ) AS gap
+          FROM read_parquet('{SF_DIR}/events.parquet'))
+        WHERE gap = {SESSION_GAP_US}
+        """
+    ).fetchone()[0]
+    con.close()
+    assert n_exact == 0, "fixture violates the boundary precondition"
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_session_bounce_stream(
+            spark, SF_DIR, "t_session_bounce"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev_session_bounce_profile(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
