@@ -155,7 +155,9 @@ def check_types(sdf, atbl: pa.Table) -> list[str]:
     return problems
 
 
-def compare(name: str, spark, con, spec, sf_dir: str) -> tuple[bool, str]:
+def compare(
+    name: str, spark, con, spec, sf_dir: str
+) -> tuple[bool, str, int]:
     t0 = time.time()
     sdf = spec.builder(spark, sf_dir)
     scols = sdf.columns
@@ -171,13 +173,26 @@ def compare(name: str, spark, con, spec, sf_dir: str) -> tuple[bool, str]:
     drows = [tuple(d.values()) for d in atbl.to_pylist()]
     t_duck = time.time() - t0
 
+    n_rows = len(srows)
     if sorted(scols) != sorted(dcols):
-        return False, f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}"
+        return (
+            False,
+            f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}",
+            n_rows,
+        )
     type_problems = check_types(sdf, atbl)
     if type_problems:
-        return False, "type representation differs: " + "; ".join(type_problems)
+        return (
+            False,
+            "type representation differs: " + "; ".join(type_problems),
+            n_rows,
+        )
     if len(srows) != len(drows):
-        return False, f"row count differs: spark={len(srows)} duck={len(drows)}"
+        return (
+            False,
+            f"row count differs: spark={len(srows)} duck={len(drows)}",
+            n_rows,
+        )
     sn, dn = normalize(srows, scols), normalize(drows, dcols)
     mism = [i for i, (a, b) in enumerate(zip(sn, dn)) if a != b]
     if mism:
@@ -185,8 +200,12 @@ def compare(name: str, spark, con, spec, sf_dir: str) -> tuple[bool, str]:
         return False, (
             f"{len(mism)}/{len(sn)} rows differ; first at {i}:\n"
             f"  spark: {sn[i]}\n  duck : {dn[i]}"
-        )
-    return True, f"OK rows={len(srows)} spark={t_spark:.2f}s duck={t_duck:.2f}s"
+        ), n_rows
+    return (
+        True,
+        f"OK rows={n_rows} spark={t_spark:.2f}s duck={t_duck:.2f}s",
+        n_rows,
+    )
 
 
 def main() -> int:
@@ -239,13 +258,14 @@ def main() -> int:
             report[name] = {
                 "rows_match": None, "schema_match": None, "hash_match": None,
                 "spark_rows": n, "oracle_rows": None, "err": "no_oracle",
+                "n_rows": n,
             }
             continue
         try:
-            ok, msg = compare(name, spark, con, spec, args.sf)
+            ok, msg, n_rows = compare(name, spark, con, spec, args.sf)
             err = None
         except Exception as exc:
-            ok, msg = False, f"EXCEPTION {type(exc).__name__}: {exc}"
+            ok, msg, n_rows = False, f"EXCEPTION {type(exc).__name__}: {exc}", -1
             err = f"{type(exc).__name__}: {exc}"
         print(f"{name:35s} {'PASS' if ok else 'FAIL'} {msg}")
         report[name] = {
@@ -253,6 +273,10 @@ def main() -> int:
             # compare(); a single False marks every axis unconfirmed
             "rows_match": ok, "schema_match": ok, "hash_match": ok,
             "err": err,
+            # fixture row count, consumed by tools/audit_zero_rows.py
+            # (VERDICT r12 "Next round" #5): a 0 at every SF is a vacuous
+            # green unless a planted-data pytest twin exists
+            "n_rows": n_rows,
         }
         if not ok:
             failures.append(name)
