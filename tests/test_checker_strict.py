@@ -59,7 +59,7 @@ def test_uncast_hugeint_sum_fails_strict(spark, duck_local):
         "SELECT l_returnflag, SUM(CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END)"
         " AS n FROM lineitem GROUP BY 1 ORDER BY 1",
     )
-    ok, msg = compare("uncast", spark, duck_local, spec, SF_DIR)
+    ok, msg, _ = compare("uncast", spark, duck_local, spec, SF_DIR)
     assert not ok
     assert "type representation" in msg
     assert "decimal" in msg
@@ -71,7 +71,7 @@ def test_cast_bigint_sum_passes_strict(spark, duck_local):
         "SELECT l_returnflag, CAST(SUM(CASE WHEN l_quantity > 10 THEN 1 "
         "ELSE 0 END) AS BIGINT) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
     )
-    ok, msg = compare("cast", spark, duck_local, spec, SF_DIR)
+    ok, msg, _ = compare("cast", spark, duck_local, spec, SF_DIR)
     assert ok, msg
 
 
@@ -85,7 +85,7 @@ def test_uncast_count_if_fails_strict(spark, duck_local):
     spec = _spec(
         builder, "SELECT count_if(l_quantity > 10) AS n FROM lineitem"
     )
-    ok, msg = compare("count_if", spark, duck_local, spec, SF_DIR)
+    ok, msg, _ = compare("count_if", spark, duck_local, spec, SF_DIR)
     assert not ok
     assert "type representation" in msg
 
@@ -108,7 +108,7 @@ def test_array_output_column_fails_strict(spark, duck_local):
         "SELECT l_returnflag, list_sort(list_distinct(list(l_linestatus)))"
         " AS vals FROM lineitem GROUP BY 1 ORDER BY 1",
     )
-    ok, msg = compare("arraycol", spark, duck_local, spec, SF_DIR)
+    ok, msg, _ = compare("arraycol", spark, duck_local, spec, SF_DIR)
     assert not ok
     assert "non-scalar" in msg
 
@@ -126,6 +126,6 @@ def test_int_vs_float_representation_fails(spark, duck_local):
     spec = _spec(
         builder, "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lineitem"
     )
-    ok, msg = compare("intfloat", spark, duck_local, spec, SF_DIR)
+    ok, msg, _ = compare("intfloat", spark, duck_local, spec, SF_DIR)
     assert not ok
     assert "type representation" in msg
