@@ -5974,6 +5974,541 @@ ORDER BY e.event_type
 ORACLE_GRID_QUANTILE_ERROR = _gridq_oracle()
 
 
+# --------------------------------------------------------------------------
+# Continuation batch H (r14 backlog; queued beyond the window): PII
+# redaction corpus, CDC chunk-size quantiles, bigram entropy rate, forward
+# as-of, tenure churn hazard, cell label purity, magic mismatch audit
+# --------------------------------------------------------------------------
+
+
+def text_pii_redaction_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction artifact the PII audit motivates: every email/IPv4/
+    phone/long-id-shaped token replaced by a typed placeholder, with
+    per-doc redaction counts and the redacted text's md5 — the
+    before-release corpus transform (text_redact_denylist's pattern
+    sibling: that removes known words, this removes SHAPES). Patterns
+    are applied in the audit's fixed order; replaced spans contain no
+    digits, so later patterns cannot re-match inside a placeholder.
+
+    Scale: four chained JVM regexp_replace passes in ONE codegen'd map
+    stage over the doc scan — no shuffle at all (the output is
+    doc-grain); at 100 TB this is the cheapest possible corpus pass."""
+    docs = _docs_par(spark, sf_dir)
+    # column-form regexp_replace (patterns via lit, never through the SQL
+    # string parser — a '\d' inside an F.expr literal loses its backslash);
+    # each pattern is COUNTED on the text the previous replacements
+    # produced, so n_redactions is the number of replacements actually
+    # made (a +49...-style token must not double-count as phone AND id)
+    red = F.col("text")
+    n_red = F.lit(0)
+    for pat, rep in (
+        (PII_EMAIL, "<EMAIL>"),
+        (PII_IPV4, "<IP>"),
+        (PII_PHONE, "<PHONE>"),
+        (PII_IDNUM, "<ID>"),
+    ):
+        n_red = n_red + F.regexp_count(red, F.lit(pat))
+        red = F.regexp_replace(red, F.lit(pat), F.lit(rep))
+    return docs.select(
+        "doc_id",
+        "source",
+        n_red.cast("long").alias("n_redactions"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE_PII_REDACTION = f"""
+WITH r0 AS (SELECT doc_id, source, text AS t FROM documents),
+r1 AS (SELECT doc_id, source,
+         len(regexp_extract_all(t, '{PII_EMAIL}')) AS c,
+         regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t FROM r0),
+r2 AS (SELECT doc_id, source,
+         c + len(regexp_extract_all(t, '{PII_IPV4}')) AS c,
+         regexp_replace(t, '{PII_IPV4}', '<IP>', 'g') AS t FROM r1),
+r3 AS (SELECT doc_id, source,
+         c + len(regexp_extract_all(t, '{PII_PHONE}')) AS c,
+         regexp_replace(t, '{PII_PHONE}', '<PHONE>', 'g') AS t FROM r2),
+r4 AS (SELECT doc_id, source,
+         c + len(regexp_extract_all(t, '{PII_IDNUM}')) AS c,
+         regexp_replace(t, '{PII_IDNUM}', '<ID>', 'g') AS t FROM r3)
+SELECT doc_id, source, CAST(c AS BIGINT) AS n_redactions,
+       CAST(length(t) AS BIGINT) AS redacted_len,
+       md5(t) AS redacted_md5
+FROM r4 ORDER BY doc_id
+"""
+
+
+def mm_chunk_size_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 p50/p90/p99 of CDC chunk lengths per media type —
+    the distribution detail mm_chunk_cdc_profile's min/mean/max hides
+    (dedup ratio and transfer cost are driven by the chunk-size TAIL:
+    a fat p99 means the rolling hash is under-splitting long runs).
+
+    Scale: the chunk explode is the shared corpus-bytes/CDC_MOD bound;
+    the rank window partitions by media_type over integer lengths (the
+    exact-percentile posture); output is one row per media type."""
+    chunks = cdc_chunks(_assets_curation(spark, sf_dir)).select(
+        "media_type", "chunk_len", "doc_id"
+    )
+    wr = W.partitionBy("media_type").orderBy("chunk_len", "doc_id")
+    wn = W.partitionBy("media_type")
+    ranked = chunks.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return (
+        ranked.groupBy("media_type")
+        .agg(
+            F.min("n").cast("long").alias("n_chunks"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("rn") == F.expr(f"({q} * n + 99) div 100"),
+                        F.col("chunk_len"),
+                    )
+                ).cast("long").alias(f"p{q}_len")
+                for q in (50, 90, 99)
+            ],
+        )
+        .orderBy("media_type")
+    )
+
+
+ORACLE_CHUNK_SIZE_QUANTILES = f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 1),
+b AS (
+  SELECT *, list_transform(generate_series(1, n),
+           i -> CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT)) AS bs
+  FROM a),
+c AS (
+  SELECT doc_id, media_type, n,
+         list_concat(list_concat([0],
+           CASE WHEN n >= 2 THEN
+             list_filter(generate_series(1, n - 1),
+               i -> (bs[i] * 31 + bs[i + 1]) % {CDC_MOD} = 0)
+           ELSE [] END), [n]) AS bounds
+  FROM b),
+ch AS (
+  SELECT doc_id, media_type,
+         CAST(bounds[i + 1] - bounds[i] AS BIGINT) AS chunk_len
+  FROM c, LATERAL unnest(generate_series(1, len(bounds) - 1)) AS u(i)),
+ranked AS (
+  SELECT media_type, chunk_len,
+         ROW_NUMBER() OVER (PARTITION BY media_type
+                            ORDER BY chunk_len, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY media_type) AS n
+  FROM ch)
+SELECT media_type, CAST(MIN(n) AS BIGINT) AS n_chunks,
+       CAST(MIN(CASE WHEN rn = (50 * n + 99) // 100 THEN chunk_len END)
+            AS BIGINT) AS p50_len,
+       CAST(MIN(CASE WHEN rn = (90 * n + 99) // 100 THEN chunk_len END)
+            AS BIGINT) AS p90_len,
+       CAST(MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN chunk_len END)
+            AS BIGINT) AS p99_len
+FROM ranked GROUP BY 1 ORDER BY media_type
+"""
+
+
+def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram conditional entropy H(next|prev) in nats — the
+    entropy RATE that separates diverse prose (high) from templated or
+    loop-generated text (low) more sharply than the unigram entropy
+    screens (a spam corpus can have a healthy unigram mix but near-zero
+    next-token surprise). Identity used: H = (S1 − S2)/N with
+    S1 = Σ_x c_x·ln c_x over bigram-PREFIX counts, S2 = Σ_xy c_xy·ln
+    c_xy over bigram counts, N = total bigrams — each c·ln c term
+    half-up 9dp-rounded to a decimal before the exact order-free sum
+    (the ev_transition_entropy construct, TIES.md Class B).
+
+    Scale: one bigram explode (corpus token-count rows), two hash aggs
+    with map-side combine keyed on (source, prefix[, next]) — the
+    vocabulary-bounded bigram-LM cost class; the final rollup is
+    source-alphabet-sized."""
+    docs = _docs_par(spark, sf_dir)
+    occ = (
+        docs.select(
+            "source",
+            # empty tokens (leading/trailing/double spaces) are not words
+            # — an unfiltered split would mint phantom (w, '') bigrams
+            F.expr(
+                "filter(split(text, ' '), t -> length(t) > 0)"
+            ).alias("ws"),
+        )
+        .filter(F.size("ws") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i -> "
+                    "named_struct('w1', element_at(ws, i), "
+                    "'w2', element_at(ws, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+        .select("source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint(eager=True)  # feeds pair AND prefix counts
+    )
+    pair = occ.groupBy("source", "w1", "w2").agg(F.count("*").alias("c"))
+    pre = occ.groupBy("source", "w1").agg(F.count("*").alias("c"))
+    s2 = pair.groupBy("source").agg(
+        F.sum(
+            F.round(F.col("c") * F.log("c"), 9).cast("decimal(25,9)")
+        ).alias("s2"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_distinct_bigrams"),
+    )
+    s1 = pre.groupBy("source").agg(
+        F.sum(
+            F.round(F.col("c") * F.log("c"), 9).cast("decimal(25,9)")
+        ).alias("s1"),
+        F.count("*").cast("long").alias("n_prefixes"),
+    )
+    return (
+        s2.join(s1, "source")
+        .select(
+            "source",
+            "n_bigrams",
+            "n_prefixes",
+            "n_distinct_bigrams",
+            F.round(
+                (F.col("s1").cast("double") - F.col("s2").cast("double"))
+                / F.col("n_bigrams"),
+                6,
+            ).alias("entropy_rate_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_BIGRAM_ENTROPY_RATE = """
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), t -> length(t) > 0) AS ws
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), t -> length(t) > 0)) >= 2),
+occ AS (
+  SELECT source, ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)),
+pair AS (
+  SELECT source, w1, w2, COUNT(*) AS c FROM occ GROUP BY 1, 2, 3),
+pre AS (
+  SELECT source, w1, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+s2 AS (
+  SELECT source,
+         SUM(CAST(ROUND(c * ln(c), 9) AS DECIMAL(25,9))) AS s2,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+  FROM pair GROUP BY 1),
+s1 AS (
+  SELECT source,
+         SUM(CAST(ROUND(c * ln(c), 9) AS DECIMAL(25,9))) AS s1,
+         CAST(COUNT(*) AS BIGINT) AS n_prefixes
+  FROM pre GROUP BY 1)
+SELECT s2.source, n_bigrams, n_prefixes, n_distinct_bigrams,
+       ROUND((CAST(s1 AS DOUBLE) - CAST(s2.s2 AS DOUBLE)) / n_bigrams, 6)
+         AS entropy_rate_nats
+FROM s2 JOIN s1 ON s2.source = s1.source
+ORDER BY s2.source
+"""
+
+
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every event, the customer's NEXT order
+    (earliest o_orderdate >= ts) with the integer-floor lead time in
+    hours — "time to next purchase", the conversion-lag read that the
+    backward family (join_asof / _nearest / _tolerance) cannot answer.
+    Completes the as-of surface: backward, nearest, tolerance, forward.
+
+    Scale: the asof_join_forward machinery — one shuffle per side on
+    the key, one reversed ordered-window pass, no range explosion."""
+    from .temporal import asof_join_forward
+
+    ev = catalog.load(spark, sf_dir, "events")
+    orders = (
+        catalog.load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    probe = ev.select("user_id", "ts", "event_id", "event_type")
+    build = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("bt"),
+        F.col("o_orderkey").alias("nx_orderkey"),
+        F.col("o_orderdate").alias("nx_orderdate"),
+    )
+    joined = asof_join_forward(
+        probe, build, "user_id", "ts", "bt",
+        ["nx_orderkey", "nx_orderdate"],
+    )
+    lead_sql = (
+        "(unix_micros(cast(nx_orderdate as timestamp))"
+        " - unix_micros(cast(ts as timestamp)))"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "nx_orderkey",
+        "nx_orderdate",
+        # non-negative by construction (bt >= ts): div == floor, exactly
+        # DuckDB's // (the join_asof_tolerance r13 rule)
+        F.when(
+            F.col("nx_orderdate").isNotNull(),
+            F.expr(f"{lead_sql} div 3600000000"),
+        ).alias("lead_hours"),
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF_FORWARD = """
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       o.o_orderkey AS nx_orderkey, o.o_orderdate AS nx_orderdate,
+       CASE WHEN o.o_orderdate IS NOT NULL THEN
+         (epoch_us(o.o_orderdate) - epoch_us(e.ts)) // 3600000000
+       END AS lead_hours
+FROM events e ASOF LEFT JOIN
+     (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2) o
+  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+CHURN_SILENCE_DAYS = 7  # a user is churned once silent for > 7 days
+
+
+def ev_tenure_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete survival table over user tenure: per observed tenure
+    week (last-active − first-active, in floor weeks), how many users'
+    activity ENDED there (uncensored: silent > {CHURN_SILENCE_DAYS}d
+    before feed end), how many are right-CENSORED (still active near
+    feed end — their true tenure is longer), the at-risk population
+    (tenure ≥ w), and the discrete hazard n_ending/n_at_risk — the
+    survival-analysis read that ev_lifecycle_accounting's weekly ledger
+    doesn't give (hazard is BY AGE, the ledger is by calendar week).
+
+    Scale: one per-user min/max agg (shuffle on user_id), one
+    tenure-week rollup, one descending cumsum over the weeks-bounded
+    table (global window justified: rows ≤ feed-span/7)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.expr(f"({_US}) div 86400000000").alias("day")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    end = u.agg(F.max("last_day").alias("feed_end"))
+    spans = u.crossJoin(F.broadcast(end)).select(
+        F.expr("(last_day - first_day) div 7").alias("tenure_weeks"),
+        (
+            F.col("last_day") > F.col("feed_end") - CHURN_SILENCE_DAYS
+        ).cast("int").alias("censored"),
+    )
+    tbl = spans.groupBy("tenure_weeks").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("n_ending"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    w_desc = (
+        W.orderBy(F.desc("tenure_weeks"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tbl.withColumn(
+            "n_at_risk",
+            F.sum(F.col("n_ending") + F.col("n_censored")).over(w_desc)
+            .cast("long"),
+        )
+        .select(
+            F.col("tenure_weeks").cast("long").alias("tenure_weeks"),
+            "n_ending",
+            "n_censored",
+            "n_at_risk",
+            F.expr(rat_round6_spark("n_ending", "n_at_risk")).alias(
+                "hazard_r6"
+            ),
+        )
+        .orderBy("tenure_weeks")
+    )
+
+
+ORACLE_TENURE_CHURN = f"""
+WITH u AS (
+  SELECT user_id, MIN({_US_DUCK} // 86400000000) AS first_day,
+         MAX({_US_DUCK} // 86400000000) AS last_day
+  FROM events GROUP BY 1),
+e AS (SELECT MAX(last_day) AS feed_end FROM u),
+spans AS (
+  SELECT (last_day - first_day) // 7 AS tenure_weeks,
+         CASE WHEN last_day > feed_end - {CHURN_SILENCE_DAYS}
+              THEN 1 ELSE 0 END AS censored
+  FROM u CROSS JOIN e),
+tbl AS (
+  SELECT tenure_weeks,
+         CAST(SUM(1 - censored) AS BIGINT) AS n_ending,
+         CAST(SUM(censored) AS BIGINT) AS n_censored
+  FROM spans GROUP BY 1),
+risk AS (
+  SELECT *, CAST(SUM(n_ending + n_censored) OVER (
+              ORDER BY tenure_weeks DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_at_risk
+  FROM tbl)
+SELECT CAST(tenure_weeks AS BIGINT) AS tenure_weeks, n_ending, n_censored,
+       n_at_risk,
+       {rat_round6_duck("n_ending", "n_at_risk")} AS hazard_r6
+FROM risk ORDER BY tenure_weeks
+"""
+
+
+def emb_cell_purity_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the sign-grid cells: per cell, the majority
+    label's share — the bucket-grain homophily view
+    (emb_knn_label_homophily asks "do neighbors agree?" at the kNN
+    grain; this asks "does the cheapest LSH bucketing already separate
+    labels?", which is what decides whether bucket-local
+    classification/sampling is safe). Majority ties break to the
+    smallest label (window order, both engines).
+
+    Scale: map-side bit-fold to cells, one (cell, label) agg, a
+    2^{GRID_SIGN_DIMS}-bounded window — everything after the first agg
+    is grid-bounded."""
+    emb = _emb(spark, sf_dir)
+    cell = F.expr(
+        f"aggregate(sequence(0, {GRID_SIGN_DIMS - 1}), 0L, (acc, d) -> "
+        f"acc + case when cast(element_at(embedding, d + 1) as double)"
+        f" > 0.0d then shiftleft(1L, d) else 0L end)"
+    )
+    cl = (
+        emb.select(cell.alias("cell"), F.col("label").cast("long").alias("label"))
+        .groupBy("cell", "label")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wmaj = W.partitionBy("cell").orderBy(F.desc("c"), "label")
+    per_cell = cl.groupBy("cell").agg(
+        F.sum("c").cast("long").alias("n_vectors"),
+        F.count("*").cast("long").alias("n_labels"),
+    )
+    maj = cl.withColumn("rn", F.row_number().over(wmaj)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        per_cell.join(maj.select("cell", "label", "c"), "cell")
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n_vectors",
+            "n_labels",
+            F.col("label").alias("majority_label"),
+            F.col("c").alias("majority_count"),
+            F.expr(rat_round6_spark("c", "n_vectors")).alias(
+                "majority_share_r6"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+ORACLE_CELL_PURITY = f"""
+WITH cells AS (
+  SELECT CAST(list_sum(list_transform(range(0, {GRID_SIGN_DIMS}),
+           d -> CASE WHEN CAST(embedding[d + 1] AS DOUBLE) > 0.0
+                     THEN CAST(1 AS BIGINT) << d ELSE 0 END)) AS BIGINT)
+           AS cell,
+         CAST(label AS BIGINT) AS label
+  FROM embeddings),
+cl AS (
+  SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM cells GROUP BY 1, 2),
+per_cell AS (
+  SELECT cell, CAST(SUM(c) AS BIGINT) AS n_vectors,
+         CAST(COUNT(*) AS BIGINT) AS n_labels
+  FROM cl GROUP BY 1),
+maj AS (
+  SELECT cell, label, c,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn
+  FROM cl)
+SELECT CAST(p.cell AS INT) AS cell, p.n_vectors, p.n_labels,
+       m.label AS majority_label, m.c AS majority_count,
+       {rat_round6_duck("m.c", "p.n_vectors")} AS majority_share_r6
+FROM per_cell p JOIN maj m ON p.cell = m.cell AND m.rn = 1
+ORDER BY cell
+"""
+
+
+def mm_magic_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-sniffed container audit: classify every payload by
+    its leading magic bytes (GIF8 / %PDF / RIFF / PK zip — the
+    ASCII-visible container signatures) and cross-tabulate against the
+    DECLARED media type — the ingest QA that catches mislabeled assets
+    before a decoder crashes on them. The synthetic fixture payloads
+    are plain text (every row sniffs 'other'); the planted pytest twin
+    feeds real GIF/PDF/RIFF/ZIP prefixes through each declared type.
+
+    Scale: one map-side prefix classification, one alphabet-bounded
+    (media_type × class) agg."""
+    assets = _assets_curation(spark, sf_dir)
+    sniff = (
+        "case when substring(cast(payload as string), 1, 4) = 'GIF8'"
+        " then 'gif'"
+        " when substring(cast(payload as string), 1, 4) = '%PDF'"
+        " then 'pdf'"
+        " when substring(cast(payload as string), 1, 4) = 'RIFF'"
+        " then 'riff'"
+        " when substring(cast(payload as string), 1, 2) = 'PK'"
+        " then 'zip' else 'other' end"
+    )
+    tagged = assets.select(
+        "media_type", F.expr(sniff).alias("sniffed_class")
+    )
+    per_type = tagged.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("type_total")
+    )
+    return (
+        tagged.groupBy("media_type", "sniffed_class")
+        .agg(F.count("*").cast("long").alias("n_assets"))
+        .join(per_type, "media_type")
+        .select(
+            "media_type",
+            "sniffed_class",
+            "n_assets",
+            F.expr(rat_round6_spark("n_assets", "type_total")).alias(
+                "share_r6"
+            ),
+            (F.col("sniffed_class") != "other").alias("is_container_hit"),
+        )
+        .orderBy("media_type", "sniffed_class")
+    )
+
+
+ORACLE_MAGIC_MISMATCH = """
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CASE WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
+              WHEN substr(text, 1, 4) = '%PDF' THEN 'pdf'
+              WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
+              WHEN substr(text, 1, 2) = 'PK' THEN 'zip'
+              ELSE 'other' END AS sniffed_class
+  FROM documents),
+per_type AS (
+  SELECT media_type, CAST(COUNT(*) AS BIGINT) AS type_total
+  FROM a GROUP BY 1)
+SELECT a.media_type, a.sniffed_class,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       {share} AS share_r6,
+       a.sniffed_class != 'other' AS is_container_hit
+FROM a JOIN per_type p ON a.media_type = p.media_type
+GROUP BY a.media_type, a.sniffed_class, p.type_total
+ORDER BY a.media_type, a.sniffed_class
+""".format(share=rat_round6_duck("COUNT(*)", "p.type_total"))
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -6263,4 +6798,39 @@ SPECS = [
               doc="1024-bin equi-width quantile sketch estimates next "
                   "to exact type-1 p50/p90/p99 with integer error "
                   "columns (the approx-percentile error certificate)"),
+    # --- continuation batch H (r14 backlog) ---
+    QuerySpec("text_pii_redaction_corpus", text_pii_redaction_corpus,
+              ORACLE_PII_REDACTION, ("text", "pii", "pipeline"),
+              doc="typed-placeholder PII redaction corpus with per-doc "
+                  "counts + redacted-text md5 (shape-based sibling of "
+                  "text_redact_denylist; zero-shuffle map pass)"),
+    QuerySpec("mm_chunk_size_quantiles", mm_chunk_size_quantiles,
+              ORACLE_CHUNK_SIZE_QUANTILES, ("multimodal", "cdc", "stats"),
+              doc="exact type-1 p50/p90/p99 of CDC chunk lengths per "
+                  "media type (the under-splitting tail the mean "
+                  "hides)"),
+    QuerySpec("text_bigram_entropy_rate", text_bigram_entropy_rate,
+              ORACLE_BIGRAM_ENTROPY_RATE, ("text", "quality", "stats"),
+              doc="per-source bigram conditional entropy H(next|prev) "
+                  "via the c*ln(c) decimal-sum pattern (template/loop "
+                  "text screen)"),
+    QuerySpec("join_asof_forward", join_asof_forward,
+              ORACLE_ASOF_FORWARD, ("join", "temporal"),
+              doc="forward as-of join: next order at-or-after each "
+                  "event with integer-floor lead hours (completes the "
+                  "as-of family)"),
+    QuerySpec("ev_tenure_churn_hazard", ev_tenure_churn_hazard,
+              ORACLE_TENURE_CHURN, ("events", "stats", "retention"),
+              doc="discrete survival table over user tenure weeks "
+                  "(ending/censored/at-risk + hazard; by-age complement "
+                  "of the lifecycle ledger)"),
+    QuerySpec("emb_cell_purity_by_label", emb_cell_purity_by_label,
+              ORACLE_CELL_PURITY, ("embedding", "lsh", "stats"),
+              doc="majority-label share per sign-grid cell (bucket-"
+                  "grain homophily: is LSH bucketing label-separating?)"),
+    QuerySpec("mm_magic_mismatch_audit", mm_magic_mismatch_audit,
+              ORACLE_MAGIC_MISMATCH, ("multimodal", "audit"),
+              doc="declared-vs-sniffed container class cross-tab from "
+                  "leading magic bytes (mislabeled-asset ingest QA; "
+                  "planted GIF/PDF/RIFF/ZIP twin)"),
 ]

@@ -79,6 +79,46 @@ def asof_join_backward(
     return out.filter(F.col("_side") == 1).drop("_t", "_side")
 
 
+def asof_join_forward(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_time: str,
+    build_time: str,
+    carry_cols: list[str],
+) -> DataFrame:
+    """Forward as-of join: for each probe row, the EARLIEST build row with
+    ``build_time >= probe_time`` for the same ``key`` (inclusive; probe
+    rows with no later build row get nulls) — the "what happened next"
+    twin of :func:`asof_join_backward`, same union + ordered-window
+    machinery with the frame reversed. One shuffle per side on the key,
+    no range explosion.
+
+    Determinism: probe rows sort BEFORE build rows at equal time (the
+    inclusive boundary), and ties among build rows at one (key, time)
+    resolve to the first in window order — pre-dedupe the build side
+    when exact tie-break semantics matter."""
+    p = probe.withColumn("_t", F.col(probe_time)).withColumn(
+        "_side", F.lit(0)  # probe rows sort BEFORE build rows at equal time
+    )
+    b = build.select(
+        F.col(key),
+        F.col(build_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *carry_cols,
+    )
+    tagged = p.unionByName(b, allowMissingColumns=True)
+    w = (
+        W.partitionBy(key)
+        .orderBy("_t", "_side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    out = tagged
+    for c in carry_cols:
+        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return out.filter(F.col("_side") == 0).drop("_t", "_side")
+
+
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every event: the most recent order (o_orderdate <= ts) of the
     customer with key = user_id. Build side is pre-deduped to one row per

@@ -121,6 +121,17 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality",
+    # --- beyond slot 50: the never-checked backlog, contiguous
+    # (enforced by test_remaining_backlog_queued_right_after_window) —
+    # continuation batch H landed after the r13 window filled; full
+    # 3-SF local evidence + brute twins; the r14 window candidates:
+    "text_pii_redaction_corpus",
+    "mm_chunk_size_quantiles",
+    "text_bigram_entropy_rate",
+    "join_asof_forward",
+    "ev_tenure_churn_hazard",
+    "emb_cell_purity_by_label",
+    "mm_magic_mismatch_audit",
 )
 
 # r12-window greens — rotate to the tail this round (driver row <=1 round

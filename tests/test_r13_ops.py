@@ -543,3 +543,259 @@ def test_ivfpq_random_fixture_recall_floor(spark):
         S.IVF_NPROBE = default
     recall = len(brute & got) / len(brute)
     assert recall >= 0.8, f"random-fixture ivfpq recall {recall:.3f} < 0.8"
+
+
+# ---------------------------------------------------------------------------
+# Part 4 — continuation batch H (r14 backlog): brute / planted twins
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redaction_corpus_planted(spark, tmp_path):
+    import hashlib
+    import re
+
+    from spark_dba_spark.operators.curation import (
+        ORACLE_PII_REDACTION,
+        PII_EMAIL,
+        PII_IDNUM,
+        PII_IPV4,
+        PII_PHONE,
+        text_pii_redaction_corpus,
+    )
+
+    texts = [
+        "mail alice@example.com from 10.0.0.1 ref 123456789 now",
+        "call +4915112345678 then 030-555-0199 twice",
+        "a clean line with nothing to hide",
+    ]
+    _write_docs(tmp_path, texts, [f"s{i}" for i in range(len(texts))])
+
+    def brute(t: str) -> tuple[str, int]:
+        n = 0
+        for pat, rep in ((PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"),
+                         (PII_PHONE, "<PHONE>"), (PII_IDNUM, "<ID>")):
+            n += len(re.findall(pat, t))
+            t = re.sub(pat, rep, t)
+        return t, n
+
+    got = {r["doc_id"]: r
+           for r in text_pii_redaction_corpus(spark, str(tmp_path)).collect()}
+    for i, t in enumerate(texts):
+        want, n = brute(t)
+        assert got[i]["n_redactions"] == n
+        assert got[i]["redacted_len"] == len(want)
+        assert got[i]["redacted_md5"] == hashlib.md5(want.encode()).hexdigest()
+    assert brute(texts[0])[0] == "mail <EMAIL> from <IP> ref <ID> now"
+    assert got[2]["n_redactions"] == 0
+    _assert_spark_matches_oracle(
+        text_pii_redaction_corpus(spark, str(tmp_path)),
+        tmp_path, ORACLE_PII_REDACTION, ("documents",),
+    )
+
+
+def test_chunk_size_quantiles_brute(spark, tmp_path):
+    from spark_dba_spark.operators.curation import (
+        CDC_MOD,
+        mm_chunk_size_quantiles,
+    )
+
+    texts = [f"chunky payload number {chr(97 + i)} " * (3 + i)
+             for i in range(9)]
+    _write_docs(tmp_path, texts, [f"s{i}" for i in range(len(texts))])
+    by_media: dict = {}
+    for i, t in enumerate(texts):
+        media = ("image", "audio", "video")[i % 3]
+        for ck in _brute_cdc_chunks(t.encode(), CDC_MOD):
+            by_media.setdefault(media, []).append((len(ck), i))
+    got = {r["media_type"]: r
+           for r in mm_chunk_size_quantiles(spark, str(tmp_path)).collect()}
+    assert set(got) == set(by_media)
+    for m, lens in by_media.items():
+        lens.sort()
+        n, r = len(lens), got[m]
+        assert r["n_chunks"] == n
+        for q in (50, 90, 99):
+            assert r[f"p{q}_len"] == lens[(q * n + 99) // 100 - 1][0]
+
+
+def test_bigram_entropy_rate_brute_and_ordering(spark, tmp_path):
+    import math
+
+    from spark_dba_spark.operators.curation import text_bigram_entropy_rate
+
+    loop = "spam ham " * 30                     # H(next|prev) = 0
+    prose = ("the quick brown fox jumps over a lazy dog and then runs "
+             "far into the deep green forest while birds sing above")
+    _write_docs(tmp_path, [loop, prose], ["loop", "prose"])
+    got = {r["source"]: r
+           for r in text_bigram_entropy_rate(spark, str(tmp_path)).collect()}
+    assert got["loop"]["entropy_rate_nats"] == 0.0
+    # singleton prefixes contribute zero empirical entropy, so a short
+    # diverse doc scores small-but-positive; the separation from the
+    # loop's exact 0 is the gate
+    assert got["prose"]["entropy_rate_nats"] > 0.0
+
+    def brute(text: str) -> float:
+        ws = [t for t in text.split(" ") if t]
+        pairs: dict = {}
+        pre: dict = {}
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+            pre[a] = pre.get(a, 0) + 1
+        n = sum(pairs.values())
+        s1 = sum(round(c * math.log(c), 9) for c in pre.values())
+        s2 = sum(round(c * math.log(c), 9) for c in pairs.values())
+        return round((s1 - s2) / n, 6)
+
+    for src, text in (("loop", loop), ("prose", prose)):
+        assert abs(got[src]["entropy_rate_nats"] - brute(text)) < 2e-6
+
+
+def test_asof_forward_matches_python_brute(spark):
+    from spark_dba_spark.operators.curation import join_asof_forward
+
+    con = duckdb.connect()
+    orders = con.execute(
+        f"SELECT o_custkey, epoch_us(o_orderdate), MAX(o_orderkey) FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    con.close()
+    per_cust: dict = {}
+    for ck, ous, ok in orders:
+        per_cust.setdefault(ck, []).append((ous, ok))
+    for v in per_cust.values():
+        v.sort()
+    rows = _events_rows()
+    got = {r["event_id"]: r
+           for r in join_asof_forward(spark, SF_DIR).collect()}
+    assert len(got) == len(rows)
+    for eid, us, uid, _, _ in rows:
+        nxt = next(
+            ((ous, ok) for ous, ok in per_cust.get(uid, ()) if ous >= us),
+            None,
+        )
+        r = got[eid]
+        if nxt is None:
+            assert r["nx_orderkey"] is None and r["lead_hours"] is None
+        else:
+            assert r["nx_orderkey"] == nxt[1]
+            assert r["lead_hours"] == (nxt[0] - us) // 3_600_000_000
+
+
+def test_asof_forward_equal_time_is_inclusive(spark, tmp_path):
+    """An order at exactly the event timestamp IS the next order
+    (lead 0) — the inclusive boundary, same as the backward family."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_ASOF_FORWARD,
+        join_asof_forward,
+    )
+
+    _write_orders(tmp_path, [(10, 1, T0_US), (11, 1, T0_US + US_PER_DAY)])
+    _write_events(
+        tmp_path,
+        [
+            (1, T0_US, 1, "click", 1.0),              # equal time -> 10
+            (2, T0_US + 1, 1, "click", 1.0),          # 1us later -> 11
+            (3, T0_US + 2 * US_PER_DAY, 1, "view", 1.0),  # nothing ahead
+        ],
+    )
+    got = {r["event_id"]: r
+           for r in join_asof_forward(spark, str(tmp_path)).collect()}
+    assert got[1]["nx_orderkey"] == 10 and got[1]["lead_hours"] == 0
+    assert got[2]["nx_orderkey"] == 11 and got[2]["lead_hours"] == 23
+    assert got[3]["nx_orderkey"] is None
+    _assert_spark_matches_oracle(
+        join_asof_forward(spark, str(tmp_path)),
+        tmp_path, ORACLE_ASOF_FORWARD, ("events", "orders"),
+    )
+
+
+def test_tenure_churn_hazard_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        CHURN_SILENCE_DAYS,
+        ev_tenure_churn_hazard,
+    )
+
+    per_user: dict = {}
+    for _, us, uid, _, _ in _events_rows():
+        d = us // 86_400_000_000
+        lo, hi = per_user.get(uid, (d, d))
+        per_user[uid] = (min(lo, d), max(hi, d))
+    feed_end = max(hi for _, hi in per_user.values())
+    tbl: dict = {}
+    for lo, hi in per_user.values():
+        w = (hi - lo) // 7
+        cens = hi > feed_end - CHURN_SILENCE_DAYS
+        e, c = tbl.get(w, (0, 0))
+        tbl[w] = (e + (not cens), c + cens)
+    got = {r["tenure_weeks"]: r
+           for r in ev_tenure_churn_hazard(spark, SF_DIR).collect()}
+    assert set(got) == set(tbl)
+    for w, (e, c) in tbl.items():
+        at_risk = sum(ee + cc for ww, (ee, cc) in tbl.items() if ww >= w)
+        r = got[w]
+        assert (r["n_ending"], r["n_censored"], r["n_at_risk"]) == (
+            e, c, at_risk,
+        )
+
+
+def test_cell_purity_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        GRID_SIGN_DIMS,
+        emb_cell_purity_by_label,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding, label FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    cells: dict = {}
+    for emb, label in rows:
+        cell = sum(
+            1 << d for d in range(GRID_SIGN_DIMS) if float(emb[d]) > 0.0
+        )
+        cells.setdefault(cell, {}).setdefault(label, [0])[0] += 1
+    got = {r["cell"]: r
+           for r in emb_cell_purity_by_label(spark, SF_DIR).collect()}
+    assert set(got) == set(cells)
+    for cell, by_label in cells.items():
+        counts = {lb: c[0] for lb, c in by_label.items()}
+        maj = min(counts, key=lambda lb: (-counts[lb], lb))
+        r = got[cell]
+        assert r["n_vectors"] == sum(counts.values())
+        assert r["n_labels"] == len(counts)
+        assert r["majority_label"] == maj
+        assert r["majority_count"] == counts[maj]
+
+
+def test_magic_mismatch_planted(spark, tmp_path):
+    from spark_dba_spark.operators.curation import (
+        ORACLE_MAGIC_MISMATCH,
+        mm_magic_mismatch_audit,
+    )
+
+    texts = [
+        "GIF87a-not-really-an-image but sniffs gif",   # doc 0: image/gif
+        "%PDF-1.4 pretend document body",              # doc 1: audio/pdf!
+        "RIFF....WAVEfmt pretend audio",               # doc 2: video/riff!
+        "PK zip central directory pretend",            # doc 3: image/zip!
+        "plain text payload with no magic",            # doc 4: audio/other
+        "another plain payload",                       # doc 5: video/other
+    ]
+    _write_docs(tmp_path, texts, [f"s{i}" for i in range(len(texts))])
+    got = {(r["media_type"], r["sniffed_class"]): r
+           for r in mm_magic_mismatch_audit(spark, str(tmp_path)).collect()}
+    assert got[("image", "gif")]["n_assets"] == 1
+    assert got[("audio", "pdf")]["n_assets"] == 1
+    assert got[("video", "riff")]["n_assets"] == 1
+    assert got[("image", "zip")]["n_assets"] == 1
+    assert got[("audio", "other")]["n_assets"] == 1
+    assert got[("image", "gif")]["is_container_hit"] is True
+    assert got[("audio", "other")]["is_container_hit"] is False
+    assert got[("image", "gif")]["share_r6"] == 0.5
+    _assert_spark_matches_oracle(
+        mm_magic_mismatch_audit(spark, str(tmp_path)),
+        tmp_path, ORACLE_MAGIC_MISMATCH, ("documents",),
+    )
