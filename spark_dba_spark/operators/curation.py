@@ -6509,6 +6509,457 @@ ORDER BY a.media_type, a.sniffed_class
 """.format(share=rat_round6_duck("COUNT(*)", "p.type_total"))
 
 
+# --------------------------------------------------------------------------
+# Continuation batch I (r14 backlog): embedding anisotropy, source TF
+# cosine matrix, linear-counting sketch error, error-rate-by-load,
+# Theil inequality decomposition
+# --------------------------------------------------------------------------
+
+
+def emb_anisotropy_mean_vector(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Anisotropy of the embedding cloud: ‖mean vector‖ relative to the
+    mean vector norm (Ethayarajh 2019's cheap proxy — isotropic clouds
+    have μ ≈ 0, anisotropy → 1 means every vector shares a dominant
+    common direction, which collapses cosine contrast and poisons both
+    ANN recall and semantic dedup thresholds). All lengths are in
+    2^-20 grid units: Σ_d S_d² is an exact integer (S_d = Σ qv_d per
+    dim, decimal-exact), per-row norms are one sqrt of an exact
+    integer 9dp-rounded into the house decimal sum, and the final
+    ratios are transcendental-class 6dp rounds (TIES.md Class B).
+
+    Scale: one posexplode to (dim, qv) with a DIM-bounded agg, one
+    map-side per-row norm pass — no joins, no corpus-sized state."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.select(
+        "vec_id", F.expr(_EMB_Q_SQL).alias("q")
+    )
+    per_dim = (
+        qv.select(F.posexplode("q").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.sum("v").cast("decimal(38,0)").alias("s"))
+    )
+    mu = per_dim.agg(
+        F.sum(F.col("s") * F.col("s")).cast("decimal(38,0)").alias("ss")
+    )
+    rows = qv.select(
+        F.expr(
+            "aggregate(q, cast(0 as bigint), (acc, v) -> acc + v * v)"
+        ).alias("norm2")
+    ).agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum(
+            F.round(F.expr("sqrt(cast(norm2 as double))"), 9)
+            .cast("decimal(25,9)")
+        ).alias("norm_sum"),
+    )
+    return (
+        rows.crossJoin(F.broadcast(mu))
+        .select(
+            "n_vectors",
+            F.round(
+                F.expr("sqrt(cast(ss as double))") / F.col("n_vectors"), 6
+            ).alias("mu_norm_q_r6"),
+            F.round(
+                F.col("norm_sum").cast("double") / F.col("n_vectors"), 6
+            ).alias("mean_norm_q_r6"),
+            F.round(
+                (F.expr("sqrt(cast(ss as double))") / F.col("n_vectors"))
+                / (F.col("norm_sum").cast("double") / F.col("n_vectors")),
+                6,
+            ).alias("anisotropy_r6"),
+        )
+    )
+
+
+ORACLE_ANISOTROPY = """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(trunc(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+  FROM embeddings),
+per_dim AS (
+  SELECT d.dim, CAST(SUM(q[d.dim + 1]) AS HUGEINT) AS s
+  FROM qv CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+  GROUP BY 1),
+mu AS (SELECT CAST(SUM(s * s) AS HUGEINT) AS ss FROM per_dim),
+rows_ AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         SUM(CAST(ROUND(sqrt(CAST(list_sum(
+               list_transform(q, v -> v * v)) AS DOUBLE)), 9)
+             AS DECIMAL(25,9))) AS norm_sum
+  FROM qv)
+SELECT n_vectors,
+       ROUND(sqrt(CAST(ss AS DOUBLE)) / n_vectors, 6) AS mu_norm_q_r6,
+       ROUND(CAST(norm_sum AS DOUBLE) / n_vectors, 6) AS mean_norm_q_r6,
+       ROUND((sqrt(CAST(ss AS DOUBLE)) / n_vectors)
+             / (CAST(norm_sum AS DOUBLE) / n_vectors), 6) AS anisotropy_r6
+FROM rows_ CROSS JOIN mu
+"""
+
+
+def text_source_tf_cosine_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise term-frequency cosine between sources — the weighted
+    complement of text_source_vocab_jaccard (set overlap says WHICH
+    words are shared; TF cosine says whether the sources USE them at
+    the same rates — the provenance-similarity matrix a mixture
+    designer reads before merging or reweighting sources). Dot products
+    and squared norms are exact integers over the per-source term
+    counts; each cosine is two sqrts and one division of exact inputs
+    (TIES.md Class B).
+
+    Scale: term counts shuffle once on (source, word) with map-side
+    combine; the pair join is keyed on word over the VOCAB-bounded
+    count table (never doc-grain), and output is sources²/2 rows."""
+    docs = _docs_par(spark, sf_dir)
+    tf = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr("filter(split(text, ' '), t -> length(t) > 0)")
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # feeds norms AND the pair join
+    )
+    norms = tf.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    a = tf.select(
+        F.col("source").alias("source_a"), "w", F.col("c").alias("ca")
+    )
+    b = tf.select(
+        F.col("source").alias("source_b"), "w", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_terms"),
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"),
+        )
+    )
+    na = norms.select(
+        F.col("source").alias("source_a"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("source").alias("source_b"), F.col("n2").alias("nb2")
+    )
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_terms",
+            "dot",
+            F.round(
+                F.col("dot")
+                / (
+                    F.expr("sqrt(cast(na2 as double))")
+                    * F.expr("sqrt(cast(nb2 as double))")
+                ),
+                6,
+            ).alias("cos_r6"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_SOURCE_TF_COSINE = """
+WITH tf AS (
+  SELECT source, u.w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents,
+       LATERAL unnest(list_filter(string_split(text, ' '),
+                                  t -> length(t) > 0)) AS u(w)
+  GROUP BY 1, 2),
+norms AS (
+  SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+dots AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM tf a JOIN tf b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT d.source_a, d.source_b, d.n_shared_terms, d.dot,
+       ROUND(d.dot / (sqrt(CAST(na.n2 AS DOUBLE))
+                      * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_r6
+FROM dots d
+JOIN norms na ON d.source_a = na.source
+JOIN norms nb ON d.source_b = nb.source
+ORDER BY d.source_a, d.source_b
+"""
+
+
+LC_M = 4096  # linear-counting bitmap width
+
+
+def sketch_linear_counting_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear counting (Whang et al. 1990) next to the exact answer:
+    per event type, hash users into a {LC_M}-bit bitmap and estimate
+    distinct users as −m·ln(v/m) (v = empty bits) — the small-range
+    regime where LC beats HLL, and the third deterministic sketch
+    mirror (after the CMS heavy-hitters and the HLL register table)
+    whose error is value-hash checkable. Bits come from the house
+    fixed md5 lane, so both engines occupy identical bits.
+
+    Scale: one (type, bit) distinct agg bounded by |types|×{LC_M};
+    the estimate is map-side arithmetic on the bounded table."""
+    lane = sql_md5_long_spark("cast(user_id as string)")
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("user_id"),
+        F.expr(f"({lane}) % {LC_M}").alias("bit"),
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+        F.countDistinct("bit").cast("long").alias("occupied_bits"),
+    )
+    est = (
+        f"cast(floor(-{LC_M}.0d * ln(cast({LC_M} - occupied_bits as double)"
+        f" / {LC_M}.0d) + 0.5d) as bigint)"
+    )
+    return per_type.select(
+        "event_type",
+        "n_events",
+        "exact_distinct",
+        "occupied_bits",
+        F.expr(
+            f"case when occupied_bits < {LC_M} then {est} end"
+        ).alias("est_distinct"),
+        F.expr(
+            f"case when occupied_bits < {LC_M} then"
+            f" abs({est} - exact_distinct) end"
+        ).alias("abs_err"),
+        F.expr(
+            f"case when occupied_bits < {LC_M} then "
+            + rat_round6_spark(
+                f"abs({est} - exact_distinct)", "exact_distinct"
+            )
+            + " end"
+        ).alias("rel_err_r6"),
+    ).orderBy("event_type")
+
+
+def _oracle_linear_counting() -> str:
+    lane = sql_md5_long_duck("CAST(user_id AS VARCHAR)")
+    est = (
+        f"CAST(FLOOR(-{LC_M}.0 * ln(CAST({LC_M} - occupied_bits AS DOUBLE)"
+        f" / {LC_M}.0) + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, user_id, ({lane}) % {LC_M} AS bit FROM events),
+per_type AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+         CAST(COUNT(DISTINCT bit) AS BIGINT) AS occupied_bits
+  FROM ev GROUP BY 1)
+SELECT event_type, n_events, exact_distinct, occupied_bits,
+       CASE WHEN occupied_bits < {LC_M} THEN {est} END AS est_distinct,
+       CASE WHEN occupied_bits < {LC_M} THEN
+         abs({est} - exact_distinct) END AS abs_err,
+       CASE WHEN occupied_bits < {LC_M} THEN
+         {rat_round6_duck(f"abs({est} - exact_distinct)", "exact_distinct")}
+       END AS rel_err_r6
+FROM per_type ORDER BY event_type
+"""
+
+
+ORACLE_LINEAR_COUNTING = _oracle_linear_counting()
+
+
+def ev_error_rate_by_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does reliability degrade under load? Hours are ranked into load
+    deciles by event volume (type-1 ranks, hour id as the
+    deterministic tiebreak) and each decile reports its error share —
+    the capacity-planning correlation ("errors concentrate in the top
+    decile" is the pager-threshold fact) that the hourly views don't
+    aggregate.
+
+    Scale: one hour-grain agg (calendar-bounded: ~720 rows/month), one
+    global rank window JUSTIFIED by that bound, one 10-row rollup."""
+    ev = _events(spark, sf_dir).select(
+        F.expr(f"({_US}) div 3600000000").alias("hr"),
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+    )
+    hours = ev.groupBy("hr").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("is_err").cast("long").alias("n_errors"),
+    )
+    wr = W.orderBy("n_events", "hr")
+    ranked = hours.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n_hours", F.count("*").over(W.partitionBy())
+    )
+    return (
+        ranked.withColumn(
+            "load_decile",
+            F.expr("((rn - 1) * 10) div n_hours").cast("int"),
+        )
+        .groupBy("load_decile")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.min("n_events").cast("long").alias("min_hourly_events"),
+            F.max("n_events").cast("long").alias("max_hourly_events"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("n_errors").cast("long").alias("n_errors"),
+        )
+        .select(
+            "load_decile",
+            "n_hours",
+            "min_hourly_events",
+            "max_hourly_events",
+            "n_events",
+            "n_errors",
+            F.expr(rat_round6_spark("n_errors", "n_events")).alias(
+                "error_share_r6"
+            ),
+        )
+        .orderBy("load_decile")
+    )
+
+
+ORACLE_ERROR_RATE_BY_LOAD = f"""
+WITH hours AS (
+  SELECT ({_US_DUCK}) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_events, hr) AS rn,
+         COUNT(*) OVER () AS n_hours
+  FROM hours),
+dec AS (
+  SELECT CAST(((rn - 1) * 10) // n_hours AS INT) AS load_decile,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(MIN(n_events) AS BIGINT) AS min_hourly_events,
+         CAST(MAX(n_events) AS BIGINT) AS max_hourly_events,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         CAST(SUM(n_errors) AS BIGINT) AS n_errors
+  FROM ranked GROUP BY 1)
+SELECT load_decile, n_hours, min_hourly_events, max_hourly_events,
+       n_events, n_errors,
+       {rat_round6_duck("n_errors", "n_events")} AS error_share_r6
+FROM dec ORDER BY load_decile
+"""
+
+
+def stats_theil_index_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil T inequality of positive customer balances, decomposed by
+    nation — the DECOMPOSABLE inequality index (agg_gini_by_nation's
+    complement: Gini doesn't split into within + between, Theil does,
+    which is why distribution audits over grouped data use it). Per
+    nation: within-group T_g = (Σ x·ln x)/X_g − ln(X_g/N_g) and the
+    between-group term (X_g/X)·ln((X_g·N)/(X·N_g)); the decomposition
+    identity T_total = Σ share·T_g + Σ between is pinned in pytest.
+    Non-positive balances are excluded (ln undefined) and counted.
+
+    Determinism: cents are exact; each x·ln x is the 9dp c·ln c
+    decimal-sum construct; the readouts are Class B transcendental
+    rounds of exact-integer inputs.
+
+    Scale: one shuffle on nationkey (25 groups), everything after the
+    first agg is nation-bounded."""
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias("x"),
+    )
+    nat = catalog.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    per_nat = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.sum((F.col("x") > 0).cast("long")).cast("long").alias("n"),
+            F.sum((F.col("x") <= 0).cast("long")).cast("long")
+            .alias("n_excluded"),
+            F.sum(F.when(F.col("x") > 0, F.col("x"))).cast("long")
+            .alias("xs"),
+            F.sum(
+                F.when(
+                    F.col("x") > 0,
+                    F.round(F.col("x") * F.log("x"), 9),
+                ).cast("decimal(25,9)")
+            ).alias("sxlx"),
+        )
+        .join(F.broadcast(nat), "c_nationkey")
+    )
+    tot = per_nat.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("xs").cast("long").alias("xt"),
+    )
+    return (
+        per_nat.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            F.col("n").alias("n_customers"),
+            "n_excluded",
+            F.col("xs").alias("cents_sum"),
+            F.expr(rat_round6_spark("xs", "xt")).alias("value_share_r6"),
+            F.round(
+                F.col("sxlx").cast("double") / F.col("xs")
+                - F.expr("ln(cast(xs as double) / cast(n as double))"),
+                6,
+            ).alias("theil_within_r6"),
+            F.round(
+                (F.col("xs") / F.col("xt").cast("double"))
+                * F.expr(
+                    "ln((cast(xs as double) * cast(nt as double))"
+                    " / (cast(xt as double) * cast(n as double)))"
+                ),
+                6,
+            ).alias("theil_between_term_r6"),
+        )
+        .orderBy("nation")
+    )
+
+
+ORACLE_THEIL_BY_NATION = """
+WITH cust AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x
+  FROM customer),
+per_nat AS (
+  SELECT c_nationkey,
+         CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN x <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_excluded,
+         CAST(SUM(CASE WHEN x > 0 THEN x END) AS BIGINT) AS xs,
+         SUM(CASE WHEN x > 0 THEN
+               CAST(ROUND(x * ln(x), 9) AS DECIMAL(25,9)) END) AS sxlx
+  FROM cust GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(xs) AS BIGINT) AS xt
+  FROM per_nat)
+SELECT nt2.n_name AS nation, p.n AS n_customers, p.n_excluded,
+       p.xs AS cents_sum,
+       {share} AS value_share_r6,
+       ROUND(CAST(p.sxlx AS DOUBLE) / p.xs
+             - ln(CAST(p.xs AS DOUBLE) / CAST(p.n AS DOUBLE)), 6)
+         AS theil_within_r6,
+       ROUND((p.xs / CAST(t.xt AS DOUBLE))
+             * ln((CAST(p.xs AS DOUBLE) * CAST(t.nt AS DOUBLE))
+                  / (CAST(t.xt AS DOUBLE) * CAST(p.n AS DOUBLE))), 6)
+         AS theil_between_term_r6
+FROM per_nat p
+JOIN nation nt2 ON p.c_nationkey = nt2.n_nationkey
+CROSS JOIN tot t
+ORDER BY nation
+""".format(share=rat_round6_duck("p.xs", "t.xt"))
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -6833,4 +7284,28 @@ SPECS = [
               doc="declared-vs-sniffed container class cross-tab from "
                   "leading magic bytes (mislabeled-asset ingest QA; "
                   "planted GIF/PDF/RIFF/ZIP twin)"),
+    # --- continuation batch I (r14 backlog) ---
+    QuerySpec("emb_anisotropy_mean_vector", emb_anisotropy_mean_vector,
+              ORACLE_ANISOTROPY, ("embedding", "audit", "stats"),
+              doc="mean-vector norm vs mean norm on the 2^-20 grid "
+                  "(cosine-contrast collapse / common-direction audit)"),
+    QuerySpec("text_source_tf_cosine_matrix", text_source_tf_cosine_matrix,
+              ORACLE_SOURCE_TF_COSINE, ("text", "stats", "provenance"),
+              doc="pairwise term-frequency cosine between sources "
+                  "(weighted complement of the vocab Jaccard matrix; "
+                  "exact integer dots)"),
+    QuerySpec("sketch_linear_counting_error", sketch_linear_counting_error,
+              ORACLE_LINEAR_COUNTING, ("sketch", "agg"),
+              doc="linear-counting distinct estimate next to the exact "
+                  "count per event type (fixed md5 bitmap; the "
+                  "small-range sketch regime)"),
+    QuerySpec("ev_error_rate_by_load", ev_error_rate_by_load,
+              ORACLE_ERROR_RATE_BY_LOAD, ("events", "stats", "capacity"),
+              doc="error share per hourly-load decile (type-1 hour "
+                  "ranks; does reliability degrade under load?)"),
+    QuerySpec("stats_theil_index_by_nation", stats_theil_index_by_nation,
+              ORACLE_THEIL_BY_NATION, ("stats", "customer"),
+              doc="Theil T inequality of positive balances decomposed "
+                  "by nation (within + between terms; the decomposable "
+                  "Gini complement)"),
 ]

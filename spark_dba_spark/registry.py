@@ -132,6 +132,12 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "ev_tenure_churn_hazard",
     "emb_cell_purity_by_label",
     "mm_magic_mismatch_audit",
+    # batch I continuation (also never-checked; full local evidence):
+    "emb_anisotropy_mean_vector",
+    "text_source_tf_cosine_matrix",
+    "sketch_linear_counting_error",
+    "ev_error_rate_by_load",
+    "stats_theil_index_by_nation",
 )
 
 # r12-window greens — rotate to the tail this round (driver row <=1 round

@@ -799,3 +799,197 @@ def test_magic_mismatch_planted(spark, tmp_path):
         mm_magic_mismatch_audit(spark, str(tmp_path)),
         tmp_path, ORACLE_MAGIC_MISMATCH, ("documents",),
     )
+
+
+# ---------------------------------------------------------------------------
+# Part 5 — continuation batch I (r14 backlog): brute twins
+# ---------------------------------------------------------------------------
+
+
+def _emb_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding, label FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_anisotropy_matches_numpy_brute(spark):
+    import math
+
+    import numpy as np
+
+    from spark_dba_spark.operators.curation import emb_anisotropy_mean_vector
+
+    q = np.array(
+        [[int(float(x) * 1048576.0) for x in emb]
+         for emb, _ in _emb_rows()],
+        dtype=np.int64,
+    )
+    n = len(q)
+    s = q.sum(axis=0)
+    mu_norm = math.sqrt(float((s.astype(object) ** 2).sum())) / n
+    norm_sum = sum(
+        round(math.sqrt(float((row.astype(object) ** 2).sum())), 9)
+        for row in q
+    )
+    mean_norm = norm_sum / n
+    r = emb_anisotropy_mean_vector(spark, SF_DIR).collect()[0]
+    assert r["n_vectors"] == n
+    assert abs(r["mu_norm_q_r6"] - mu_norm) < 1e-5
+    assert abs(r["mean_norm_q_r6"] - mean_norm) < 1e-5
+    assert abs(r["anisotropy_r6"] - mu_norm / mean_norm) < 1e-6
+    # a uniform-random cloud is near-isotropic; the ratio must be small
+    assert r["anisotropy_r6"] < 0.2
+
+
+def test_anisotropy_detects_common_direction(spark, tmp_path):
+    """A cloud with a shared dominant direction must score near 1."""
+    import numpy as np
+
+    from spark_dba_spark.operators.curation import emb_anisotropy_mean_vector
+
+    rng = np.random.RandomState(7)
+    base = np.ones(64) * 0.5
+    vecs = [base + rng.normal(0, 0.01, 64) for _ in range(50)]
+    _write_embeddings(tmp_path, vecs)
+    r = emb_anisotropy_mean_vector(spark, str(tmp_path)).collect()[0]
+    assert r["anisotropy_r6"] > 0.99
+
+
+def _write_embeddings(tmp_path, vecs, labels=None):
+    n = len(vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels or [0] * n, pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+
+
+def test_source_tf_cosine_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.curation import (
+        text_source_tf_cosine_matrix,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    tf: dict = {}
+    for src, text in rows:
+        d = tf.setdefault(src, {})
+        for t in text.split(" "):
+            if t:
+                d[t] = d.get(t, 0) + 1
+    got = {(r["source_a"], r["source_b"]): r
+           for r in text_source_tf_cosine_matrix(spark, SF_DIR).collect()}
+    srcs = sorted(tf)
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    import itertools
+    for a, b in itertools.combinations(srcs, 2):
+        dot = sum(c * tf[b].get(w, 0) for w, c in tf[a].items())
+        na = math.sqrt(sum(c * c for c in tf[a].values()))
+        nb = math.sqrt(sum(c * c for c in tf[b].values()))
+        r = got[(a, b)]
+        assert r["dot"] == dot
+        assert abs(r["cos_r6"] - dot / (na * nb)) < 1e-6
+        # same-generator sources should look alike: sanity ordering
+        assert r["cos_r6"] > 0.5
+
+
+def test_linear_counting_brute(spark):
+    import hashlib
+    import math
+
+    from spark_dba_spark.operators.curation import (
+        LC_M,
+        sketch_linear_counting_error,
+    )
+
+    per_type: dict = {}
+    for _, _, uid, et, _ in _events_rows():
+        users, bits = per_type.setdefault(et, (set(), set()))
+        users.add(uid)
+        lane = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+        bits.add(lane % LC_M)
+    got = {r["event_type"]: r
+           for r in sketch_linear_counting_error(spark, SF_DIR).collect()}
+    assert set(got) == set(per_type)
+    for et, (users, bits) in per_type.items():
+        r = got[et]
+        assert r["exact_distinct"] == len(users)
+        assert r["occupied_bits"] == len(bits)
+        v = LC_M - len(bits)
+        est = int(math.floor(-LC_M * math.log(v / LC_M) + 0.5))
+        assert r["est_distinct"] == est
+        assert r["abs_err"] == abs(est - len(users))
+        # LC in its sweet spot (load factor < 1) stays within ~5%
+        assert r["abs_err"] <= max(0.05 * len(users), 10)
+
+
+def test_error_rate_by_load_brute(spark):
+    from spark_dba_spark.operators.curation import ev_error_rate_by_load
+
+    hours: dict = {}
+    for _, us, _, et, _ in _events_rows():
+        hr = us // 3_600_000_000
+        n, e = hours.get(hr, (0, 0))
+        hours[hr] = (n + 1, e + (et == "error"))
+    ranked = sorted(hours.items(), key=lambda kv: (kv[1][0], kv[0]))
+    nh = len(ranked)
+    dec: dict = {}
+    for i, (hr, (n, e)) in enumerate(ranked):
+        d = (i * 10) // nh
+        c = dec.setdefault(d, [0, 0, 0])
+        c[0] += 1
+        c[1] += n
+        c[2] += e
+    got = {r["load_decile"]: r
+           for r in ev_error_rate_by_load(spark, SF_DIR).collect()}
+    assert set(got) == set(dec)
+    for d, (h, n, e) in dec.items():
+        r = got[d]
+        assert (r["n_hours"], r["n_events"], r["n_errors"]) == (h, n, e)
+
+
+def test_theil_decomposition_identity(spark):
+    """T_total computed flat over all positive balances must equal
+    sum(share_g * T_g) + sum(between_g) — the decomposability that
+    justifies the op's existence."""
+    import math
+
+    from spark_dba_spark.operators.curation import stats_theil_index_by_nation
+
+    con = duckdb.connect()
+    xs = [x for (x,) in con.execute(
+        f"SELECT CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) FROM "
+        f"read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchall() if x > 0]
+    con.close()
+    n, xt = len(xs), sum(xs)
+    t_total = sum((x / xt) * math.log((x / xt) * n) for x in xs)
+    rows = stats_theil_index_by_nation(spark, SF_DIR).collect()
+    assert sum(r["n_customers"] for r in rows) == n
+    assert sum(r["cents_sum"] for r in rows) == xt
+    recon = sum(
+        r["value_share_r6"] * r["theil_within_r6"]
+        + r["theil_between_term_r6"]
+        for r in rows
+    )
+    assert abs(recon - t_total) < 1e-4, (recon, t_total)
+    for r in rows:
+        assert r["theil_within_r6"] >= 0.0  # within-group T is >= 0
