@@ -6960,6 +6960,466 @@ ORDER BY nation
 """.format(share=rat_round6_duck("p.xs", "t.xt"))
 
 
+# --------------------------------------------------------------------------
+# Continuation batch J (r14 backlog): type-pair hourly correlation, Gumbel
+# daily-max fit, CDC boundary stability, token budget by quality
+# --------------------------------------------------------------------------
+
+
+def ev_type_hourly_corr_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson correlation between the HOURLY VOLUMES of every event-
+    type pair — "do errors rise with clicks?" is this table's first
+    row in any ops review; a corr ≈ 1 pair shares a driver (load), a
+    negative pair cannibalizes. Exact integer moments over the dense
+    (hour × type) grid (absent hours count as 0 on both engines — the
+    dense pivot is what makes the answer well-defined); the readout is
+    one Class B round of exact inputs.
+
+    Scale: one (hour, type) agg (calendar × alphabet bounded), a dense
+    sequence-generated hour spine, then a |types|²-bounded pair join —
+    never event-grain after the first agg."""
+    ev = _events(spark, sf_dir).select(
+        F.expr(f"({_US}) div 3600000000").alias("hr"), "event_type"
+    )
+    counts = ev.groupBy("hr", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    span = ev.agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    hours = span.select(
+        F.explode(F.expr("sequence(h0, h1)")).alias("hr")
+    )
+    types = counts.select("event_type").distinct()
+    dense = (
+        hours.crossJoin(F.broadcast(types))
+        .join(counts, ["hr", "event_type"], "left")
+        .select(
+            "hr",
+            "event_type",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    a = dense.select(
+        "hr", F.col("event_type").alias("type_a"), F.col("c").alias("ca")
+    )
+    b = dense.select(
+        "hr", F.col("event_type").alias("type_b"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "hr")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.sum("ca").cast("long").alias("sa"),
+            F.sum("cb").cast("long").alias("sb"),
+            F.sum(F.col("ca") * F.col("ca")).cast("long").alias("saa"),
+            F.sum(F.col("cb") * F.col("cb")).cast("long").alias("sbb"),
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("sab"),
+        )
+    )
+    num = "(n_hours * sab - sa * sb)"
+    den = (
+        "sqrt(cast(n_hours * saa - sa * sa as double))"
+        " * sqrt(cast(n_hours * sbb - sb * sb as double))"
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        F.expr(
+            f"case when n_hours * saa > sa * sa"
+            f" and n_hours * sbb > sb * sb then"
+            f" round(cast({num} as double) / ({den}), 6) end"
+        ).alias("pearson_r6"),
+    ).orderBy("type_a", "type_b")
+
+
+ORACLE_TYPE_HOURLY_CORR = f"""
+WITH ev AS (
+  SELECT ({_US_DUCK}) // 3600000000 AS hr, event_type FROM events),
+counts AS (
+  SELECT hr, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2),
+span AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM ev),
+hours AS (
+  SELECT u.hr FROM span, LATERAL unnest(generate_series(h0, h1)) AS u(hr)),
+types AS (SELECT DISTINCT event_type FROM counts),
+dense AS (
+  SELECT h.hr, t.event_type,
+         CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM hours h CROSS JOIN types t
+  LEFT JOIN counts c ON h.hr = c.hr AND t.event_type = c.event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(a.c) AS BIGINT) AS sa,
+         CAST(SUM(b.c) AS BIGINT) AS sb,
+         CAST(SUM(a.c * a.c) AS BIGINT) AS saa,
+         CAST(SUM(b.c * b.c) AS BIGINT) AS sbb,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS sab
+  FROM dense a JOIN dense b
+    ON a.hr = b.hr AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_hours,
+       CASE WHEN n_hours * saa > sa * sa AND n_hours * sbb > sb * sb THEN
+         ROUND(CAST(n_hours * sab - sa * sb AS DOUBLE)
+               / (sqrt(CAST(n_hours * saa - sa * sa AS DOUBLE))
+                  * sqrt(CAST(n_hours * sbb - sb * sb AS DOUBLE))), 6)
+       END AS pearson_r6
+FROM pairs ORDER BY type_a, type_b
+"""
+
+
+# Euler–Mascheroni constant and pi, frozen to the double literals both
+# engines parse identically (method-of-moments Gumbel fit).
+EULER_GAMMA = "0.5772156649015329"
+SQRT6_OVER_PI = "0.7796968012336761"
+
+
+def stats_evt_gumbel_daily_max(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Extreme-value sizing per event type: fit a Gumbel distribution
+    to the DAILY MAXIMUM spend cents by method of moments (scale β =
+    s·√6/π, location μ = m − γ·β) and read out the 30-day return level
+    μ − β·ln(−ln(1 − 1/30)) — "the biggest single event you should
+    expect in a month", the capacity number that p99 quantiles
+    understate. Moments are exact integers (Σx, Σx² as DECIMAL) over
+    the calendar-bounded daily-max table; the fit is a fixed chain of
+    IEEE ops on exact inputs (TIES.md Class B).
+
+    Scale: one (type, day) max agg, then a days-bounded rollup — the
+    fit never touches event grain."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr(f"({_US}) div 86400000000").alias("day"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    dmax = ev.groupBy("event_type", "day").agg(
+        F.max("cents").cast("long").alias("mx")
+    )
+    agg = dmax.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum((F.col("mx") * F.col("mx")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("s2"),
+        F.max("mx").cast("long").alias("observed_max"),
+    )
+    mean_d = "(cast(s as double) / cast(n_days as double))"
+    var_d = (
+        "(cast(cast(n_days as decimal(38,0)) * s2"
+        " - cast(s as decimal(38,0)) * cast(s as decimal(38,0))"
+        " as double) / (cast(n_days as double) * cast(n_days as double)))"
+    )
+    beta = f"(sqrt({var_d}) * {SQRT6_OVER_PI})"
+    mu = f"({mean_d} - {EULER_GAMMA} * {beta})"
+    rl30 = f"({mu} - {beta} * ln(-ln(1.0d - 1.0d / 30.0d)))"
+    return agg.select(
+        "event_type",
+        "n_days",
+        "observed_max",
+        F.expr(
+            f"case when n_days >= 2 then round({mu}, 6) end"
+        ).alias("gumbel_loc_r6"),
+        F.expr(
+            f"case when n_days >= 2 then round({beta}, 6) end"
+        ).alias("gumbel_scale_r6"),
+        F.expr(
+            f"case when n_days >= 2 then round({rl30}, 6) end"
+        ).alias("return_level_30d_r6"),
+    ).orderBy("event_type")
+
+
+def _oracle_gumbel() -> str:
+    mean_d = "(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))"
+    var_d = (
+        "(CAST(CAST(n_days AS HUGEINT) * s2"
+        " - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)"
+        " AS DOUBLE) / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)))"
+    )
+    beta = f"(sqrt({var_d}) * {SQRT6_OVER_PI})"
+    mu = f"({mean_d} - {EULER_GAMMA} * {beta})"
+    rl30 = f"({mu} - {beta} * ln(-ln(1.0 - 1.0 / 30.0)))"
+    return f"""
+WITH ev AS (
+  SELECT event_type, ({_US_DUCK}) // 86400000000 AS day,
+         {_CENTS_DUCK} AS cents
+  FROM events),
+dmax AS (
+  SELECT event_type, day, CAST(MAX(cents) AS BIGINT) AS mx
+  FROM ev GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(mx) AS BIGINT) AS s,
+         CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS s2,
+         CAST(MAX(mx) AS BIGINT) AS observed_max
+  FROM dmax GROUP BY 1)
+SELECT event_type, n_days, observed_max,
+       CASE WHEN n_days >= 2 THEN ROUND({mu}, 6) END AS gumbel_loc_r6,
+       CASE WHEN n_days >= 2 THEN ROUND({beta}, 6) END AS gumbel_scale_r6,
+       CASE WHEN n_days >= 2 THEN ROUND({rl30}, 6) END
+         AS return_level_30d_r6
+FROM agg ORDER BY event_type
+"""
+
+
+ORACLE_GUMBEL_DAILY_MAX = _oracle_gumbel()
+
+
+def mm_chunk_boundary_stability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The certificate CDC exists to earn: prepend ONE byte to every
+    payload (the worst-case early insertion that shifts every aligned
+    offset) and measure how many distinct chunk hashes survive. CDC
+    boundaries are content-defined, so everything after the first
+    boundary re-synchronizes (high survival); a 64-byte ALIGNED chunker
+    would lose essentially everything. Reported per media type:
+    original/shifted distinct chunks, surviving hashes, survival
+    share — the number that justifies mm_chunk_cdc_profile over
+    mm_chunk_dedup_cross for mutating feeds.
+
+    Scale: two cdc_chunks passes (same corpus-bytes/CDC_MOD explode
+    bound), one distinct-hash set join bounded by distinct chunks."""
+    assets = _assets_curation(spark, sf_dir)
+    shifted = assets.select(
+        "doc_id",
+        "media_type",
+        F.expr("concat(X'41', payload)").alias("payload"),
+    )
+    orig = (
+        cdc_chunks(assets)
+        .select("media_type", "chunk_hash")
+        .distinct()
+    )
+    shif = (
+        cdc_chunks(shifted)
+        .select("media_type", "chunk_hash")
+        .distinct()
+    )
+    o = orig.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("orig_chunks")
+    )
+    s = shif.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("shifted_chunks")
+    )
+    surv = (
+        orig.join(shif, ["media_type", "chunk_hash"])
+        .groupBy("media_type")
+        .agg(F.count("*").cast("long").alias("surviving_chunks"))
+    )
+    return (
+        o.join(s, "media_type")
+        .join(surv, "media_type", "left")
+        .select(
+            "media_type",
+            "orig_chunks",
+            "shifted_chunks",
+            F.coalesce("surviving_chunks", F.lit(0)).cast("long")
+            .alias("surviving_chunks"),
+            F.expr(
+                "case when orig_chunks > 0 then "
+                + rat_round6_spark(
+                    "coalesce(surviving_chunks, 0)", "orig_chunks"
+                )
+                + " end"
+            ).alias("survival_share_r6"),
+        )
+        .orderBy("media_type")
+    )
+
+
+ORACLE_CHUNK_BOUNDARY_STABILITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         encode(text) AS payload
+  FROM documents),
+both_ AS (
+  SELECT doc_id, media_type, upper(hex(payload)) AS hx,
+         octet_length(payload) AS n, 0 AS shifted
+  FROM base WHERE octet_length(payload) >= 1
+  UNION ALL
+  SELECT doc_id, media_type, '41' || upper(hex(payload)) AS hx,
+         octet_length(payload) + 1 AS n, 1 AS shifted
+  FROM base),
+b AS (
+  SELECT *, list_transform(generate_series(1, n),
+           i -> CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT)) AS bs
+  FROM both_),
+c AS (
+  SELECT doc_id, media_type, shifted, hx, n,
+         list_concat(list_concat([0],
+           CASE WHEN n >= 2 THEN
+             list_filter(generate_series(1, n - 1),
+               i -> (bs[i] * 31 + bs[i + 1]) % {CDC_MOD} = 0)
+           ELSE [] END), [n]) AS bounds
+  FROM b),
+ch AS (
+  SELECT DISTINCT media_type, shifted,
+         md5(substr(hx, 2 * bounds[i] + 1,
+                    2 * (bounds[i + 1] - bounds[i]))) AS chunk_hash
+  FROM c, LATERAL unnest(generate_series(1, len(bounds) - 1)) AS u(i)),
+o AS (SELECT media_type, CAST(COUNT(*) AS BIGINT) AS orig_chunks
+      FROM ch WHERE shifted = 0 GROUP BY 1),
+s AS (SELECT media_type, CAST(COUNT(*) AS BIGINT) AS shifted_chunks
+      FROM ch WHERE shifted = 1 GROUP BY 1),
+surv AS (
+  SELECT a.media_type, CAST(COUNT(*) AS BIGINT) AS surviving_chunks
+  FROM (SELECT media_type, chunk_hash FROM ch WHERE shifted = 0) a
+  JOIN (SELECT media_type, chunk_hash FROM ch WHERE shifted = 1) x
+    ON a.media_type = x.media_type AND a.chunk_hash = x.chunk_hash
+  GROUP BY 1)
+SELECT o.media_type, o.orig_chunks, s.shifted_chunks,
+       COALESCE(surv.surviving_chunks, 0) AS surviving_chunks,
+       CASE WHEN o.orig_chunks > 0 THEN
+         {rat_round6_duck("COALESCE(surv.surviving_chunks, 0)",
+                          "o.orig_chunks")} END AS survival_share_r6
+FROM o JOIN s ON o.media_type = s.media_type
+LEFT JOIN surv ON o.media_type = surv.media_type
+ORDER BY o.media_type
+"""
+
+
+def corpus_token_budget_by_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation knob table: for each composite-quality threshold
+    ("keep only docs scoring ≥ s"), how many documents and whitespace
+    tokens survive, cumulatively from the top score down — the exact
+    trade-off curve a data lead reads to pick the quality bar that
+    still fills the token budget. Reuses the five
+    text_composite_quality_score gates verbatim (one scoring
+    definition in the engine, two readouts).
+
+    Scale: the same single map stage as the score op, a 6-band
+    rollup, and a bands-bounded descending cumsum window."""
+    docs = _docs_par(spark, sf_dir)
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    feats = docs.select(
+        F.expr("filter(split(text, ' '), t -> length(t) > 0)").alias(
+            "toks"
+        ),
+    ).select(
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").alias("n_distinct"),
+        F.expr(
+            "aggregate(toks, cast(0 as bigint),"
+            " (acc, t) -> acc + length(t))"
+        ).alias("sum_len"),
+        F.expr(f"size(filter(toks, t -> t in ({stop_list})))").alias(
+            "n_stop"
+        ),
+        F.expr(
+            "coalesce(array_max(transform(toks, t -> length(t))), 0)"
+        ).alias("max_len"),
+    )
+    score = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+        20 * (
+            ((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000))
+            .cast("int")
+            + (2 * F.col("n_distinct") >= F.col("n_tokens")).cast("int")
+            + (100 * F.col("n_stop") >= 2 * F.col("n_tokens")).cast("int")
+            + (
+                (3 * F.col("n_tokens") <= F.col("sum_len"))
+                & (F.col("sum_len") <= 12 * F.col("n_tokens"))
+            ).cast("int")
+            + (F.col("max_len") <= 20).cast("int")
+        )
+    )
+    bands = (
+        feats.select(
+            score.cast("int").alias("score"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    w_desc = (
+        W.orderBy(F.desc("score"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = bands.agg(F.sum("n_tokens").cast("long").alias("tt"))
+    return (
+        bands.withColumn(
+            "cum_docs", F.sum("n_docs").over(w_desc).cast("long")
+        )
+        .withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w_desc).cast("long")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").alias("min_score"),
+            "n_docs",
+            "n_tokens",
+            "cum_docs",
+            "cum_tokens",
+            F.expr(rat_round6_spark("cum_tokens", "tt")).alias(
+                "token_share_kept_r6"
+            ),
+        )
+        .orderBy(F.desc("min_score"))
+    )
+
+
+ORACLE_TOKEN_BUDGET = f"""
+WITH feats AS (
+  SELECT list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+  FROM documents),
+f2 AS (
+  SELECT len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS sum_len,
+         len(list_filter(toks,
+             t -> list_contains(
+                 [{", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)}], t)))
+           AS n_stop,
+         coalesce(list_max(list_transform(toks, t -> length(t))), 0)
+           AS max_len
+  FROM feats),
+scored AS (
+  SELECT CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE 20 * (
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+                 THEN 1 ELSE 0 END)
+           + (CASE WHEN 2 * n_distinct >= n_tokens THEN 1 ELSE 0 END)
+           + (CASE WHEN 100 * n_stop >= 2 * n_tokens THEN 1 ELSE 0 END)
+           + (CASE WHEN 3 * n_tokens <= sum_len
+                    AND sum_len <= 12 * n_tokens THEN 1 ELSE 0 END)
+           + (CASE WHEN max_len <= 20 THEN 1 ELSE 0 END)) END AS INT)
+           AS score,
+         CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM f2),
+bands AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM scored GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM bands),
+cum AS (
+  SELECT *,
+         CAST(SUM(n_docs) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_docs,
+         CAST(SUM(n_tokens) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_tokens
+  FROM bands)
+SELECT score AS min_score, n_docs, n_tokens, cum_docs, cum_tokens,
+       {rat_round6_duck("cum_tokens", "tt")} AS token_share_kept_r6
+FROM cum CROSS JOIN tot
+ORDER BY min_score DESC
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -7308,4 +7768,27 @@ SPECS = [
               doc="Theil T inequality of positive balances decomposed "
                   "by nation (within + between terms; the decomposable "
                   "Gini complement)"),
+    # --- continuation batch J (r14 backlog) ---
+    QuerySpec("ev_type_hourly_corr_matrix", ev_type_hourly_corr_matrix,
+              ORACLE_TYPE_HOURLY_CORR, ("events", "stats"),
+              doc="Pearson correlation between hourly volumes of every "
+                  "type pair over the dense hour grid (shared-driver / "
+                  "cannibalization read)"),
+    QuerySpec("stats_evt_gumbel_daily_max", stats_evt_gumbel_daily_max,
+              ORACLE_GUMBEL_DAILY_MAX, ("stats", "events", "capacity"),
+              doc="method-of-moments Gumbel fit to daily max spend per "
+                  "type + 30-day return level (extreme-value sizing "
+                  "beyond p99)"),
+    QuerySpec("mm_chunk_boundary_stability", mm_chunk_boundary_stability,
+              ORACLE_CHUNK_BOUNDARY_STABILITY, ("multimodal", "cdc",
+                                                "dedup"),
+              doc="chunk-hash survival share after a 1-byte prepend to "
+                  "every payload (the shift-robustness certificate CDC "
+                  "exists to earn)"),
+    QuerySpec("corpus_token_budget_by_quality",
+              corpus_token_budget_by_quality, ORACLE_TOKEN_BUDGET,
+              ("text", "quality", "pipeline"),
+              doc="cumulative docs/tokens surviving each composite-"
+                  "quality threshold (the quality-bar vs token-budget "
+                  "trade-off curve)"),
 ]

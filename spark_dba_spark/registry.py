@@ -138,6 +138,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "sketch_linear_counting_error",
     "ev_error_rate_by_load",
     "stats_theil_index_by_nation",
+    # batch J continuation (also never-checked; full local evidence):
+    "ev_type_hourly_corr_matrix",
+    "stats_evt_gumbel_daily_max",
+    "mm_chunk_boundary_stability",
+    "corpus_token_budget_by_quality",
 )
 
 # r12-window greens — rotate to the tail this round (driver row <=1 round

@@ -993,3 +993,148 @@ def test_theil_decomposition_identity(spark):
     assert abs(recon - t_total) < 1e-4, (recon, t_total)
     for r in rows:
         assert r["theil_within_r6"] >= 0.0  # within-group T is >= 0
+
+
+# ---------------------------------------------------------------------------
+# Part 6 — continuation batch J (r14 backlog): brute twins
+# ---------------------------------------------------------------------------
+
+
+def test_type_hourly_corr_brute(spark):
+    import itertools
+    import math
+
+    from spark_dba_spark.operators.curation import ev_type_hourly_corr_matrix
+
+    counts: dict = {}
+    hrs = set()
+    for _, us, _, et, _ in _events_rows():
+        hr = us // 3_600_000_000
+        hrs.add(hr)
+        counts[(hr, et)] = counts.get((hr, et), 0) + 1
+    h0, h1 = min(hrs), max(hrs)
+    types = sorted({et for _, et in counts})
+    grid = {t: [counts.get((h, t), 0) for h in range(h0, h1 + 1)]
+            for t in types}
+    got = {(r["type_a"], r["type_b"]): r
+           for r in ev_type_hourly_corr_matrix(spark, SF_DIR).collect()}
+    n = h1 - h0 + 1
+    for a, b in itertools.combinations(types, 2):
+        xa, xb = grid[a], grid[b]
+        sa, sb = sum(xa), sum(xb)
+        saa = sum(x * x for x in xa)
+        sbb = sum(x * x for x in xb)
+        sab = sum(x * y for x, y in zip(xa, xb))
+        r = got[(a, b)]
+        assert r["n_hours"] == n
+        want = (n * sab - sa * sb) / (
+            math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+        )
+        assert abs(r["pearson_r6"] - want) < 1e-6
+        # same-load-driven synthetic types co-move positively
+        assert -1.0 <= r["pearson_r6"] <= 1.0
+
+
+def test_gumbel_daily_max_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.curation import stats_evt_gumbel_daily_max
+
+    dmax: dict = {}
+    for _, us, _, et, v in _events_rows():
+        day = us // 86_400_000_000
+        c = int(math.floor(v * 100 + 0.5))
+        k = (et, day)
+        dmax[k] = max(dmax.get(k, 0), c)
+    by_type: dict = {}
+    for (et, _), mx in dmax.items():
+        by_type.setdefault(et, []).append(mx)
+    got = {r["event_type"]: r
+           for r in stats_evt_gumbel_daily_max(spark, SF_DIR).collect()}
+    for et, xs in by_type.items():
+        n, s, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+        mean = s / n
+        sigma = math.sqrt((n * s2 - s * s) / (n * n))
+        beta = sigma * 0.7796968012336761
+        mu = mean - 0.5772156649015329 * beta
+        rl = mu - beta * math.log(-math.log(1 - 1 / 30))
+        r = got[et]
+        assert r["n_days"] == n and r["observed_max"] == max(xs)
+        assert abs(r["gumbel_loc_r6"] - mu) < 1e-5
+        assert abs(r["gumbel_scale_r6"] - beta) < 1e-5
+        assert abs(r["return_level_30d_r6"] - rl) < 1e-5
+        # the 30-day return level must sit above the fitted location
+        assert r["return_level_30d_r6"] > r["gumbel_loc_r6"]
+
+
+def test_chunk_boundary_stability_brute(spark, tmp_path):
+    """Brute-verify the survival set on a planted corpus, and pin the
+    qualitative claim: CDC survives a 1-byte prepend with most chunk
+    hashes intact, while the first chunk (the only one whose content
+    actually changes) is lost."""
+    import hashlib
+
+    from spark_dba_spark.operators.curation import (
+        CDC_MOD,
+        mm_chunk_boundary_stability,
+    )
+
+    texts = [f"stable payload body {chr(97 + i)} " * 8 for i in range(6)]
+    _write_docs(tmp_path, texts, [f"s{i}" for i in range(len(texts))])
+
+    def hashes(payload: bytes):
+        return {
+            hashlib.md5(ck.hex().upper().encode()).hexdigest()
+            for ck in _brute_cdc_chunks(payload, CDC_MOD)
+        }
+
+    by_media: dict = {}
+    for i, t in enumerate(texts):
+        m = ("image", "audio", "video")[i % 3]
+        o, s = by_media.setdefault(m, (set(), set()))
+        o |= hashes(t.encode())
+        s |= hashes(b"A" + t.encode())
+    got = {r["media_type"]: r
+           for r in mm_chunk_boundary_stability(spark, str(tmp_path))
+           .collect()}
+    for m, (o, s) in by_media.items():
+        r = got[m]
+        assert r["orig_chunks"] == len(o)
+        assert r["shifted_chunks"] == len(s)
+        assert r["surviving_chunks"] == len(o & s)
+        # content-defined boundaries re-synchronize after the insertion
+        assert r["survival_share_r6"] >= 0.5, r
+
+
+def test_chunk_boundary_stability_fixture_high(spark):
+    from spark_dba_spark.operators.curation import mm_chunk_boundary_stability
+
+    rows = mm_chunk_boundary_stability(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        # the whole point of CDC: a 1-byte shift keeps the bulk of chunks
+        assert r["survival_share_r6"] > 0.8, r
+
+
+def test_token_budget_consistency_with_score(spark):
+    """The budget curve must reproduce the composite score op's bands
+    and be monotone in both cumulative columns."""
+    from spark_dba_spark.operators.curation import (
+        corpus_token_budget_by_quality,
+        text_composite_quality_score,
+    )
+
+    per_band = {}
+    for r in text_composite_quality_score(spark, SF_DIR).collect():
+        per_band[r["score"]] = per_band.get(r["score"], 0) + r["n_docs"]
+    rows = corpus_token_budget_by_quality(spark, SF_DIR).collect()
+    assert {r["min_score"]: r["n_docs"] for r in rows} == per_band
+    assert [r["min_score"] for r in rows] == sorted(
+        per_band, reverse=True
+    )
+    cum_d = cum_t = 0
+    for r in rows:  # descending score: cums must accumulate exactly
+        cum_d += r["n_docs"]
+        cum_t += r["n_tokens"]
+        assert r["cum_docs"] == cum_d and r["cum_tokens"] == cum_t
+    assert rows[-1]["token_share_kept_r6"] == 1.0
