@@ -1266,7 +1266,7 @@ def test_doc_family_parity_on_synthetic_corpus(spark, tmp_path):
         "text_char_class_profile",
         "text_consonant_runs",
     ):
-        ok, msg = compare(name, spark, con, specs[name], str(tmp_path))
+        ok, msg, _n = compare(name, spark, con, specs[name], str(tmp_path))
         assert ok, f"{name}: {msg}"
     con.close()
     # the synthetic structure must actually fire the interesting paths
@@ -1357,7 +1357,7 @@ def test_temporal_family_parity_on_synthetic_events(spark, tmp_path):
         "stats_kruskal_wallis_daily",
         "ev_hour_of_day_profile",
     ):
-        ok, msg = compare(name, spark, con, specs[name], str(tmp_path))
+        ok, msg, _n = compare(name, spark, con, specs[name], str(tmp_path))
         assert ok, f"{name}: {msg}"
     con.close()
     # the engineered structure must actually fire the interesting paths

@@ -82,7 +82,7 @@ def test_kcore_peels_isolated_mid_peel_nodes(spark, tmp_path):
     con = _write_docs(tmp_path, texts)
 
     specs = registry.all_specs()
-    ok, msg = compare(
+    ok, msg, _n = compare(
         "graph_kcore_peel", spark, con, specs["graph_kcore_peel"],
         str(tmp_path),
     )
@@ -167,7 +167,7 @@ def test_mm_family_parity_on_non_ascii_corpus(spark, tmp_path):
         "mm_payload_byte_histogram",
         "mm_payload_rle_compress",
     ):
-        ok, msg = compare(name, spark, con, specs[name], str(tmp_path))
+        ok, msg, _n = compare(name, spark, con, specs[name], str(tmp_path))
         assert ok, f"{name} non-ascii parity: {msg}"
     con.close()
 
@@ -214,7 +214,7 @@ def test_empty_payload_fanouts_emit_no_rows(spark, tmp_path):
     texts = ["", "abc def ghi " * 16, "", "xyz " * 40]
     con = _write_docs(sub, texts)
     specs = registry.all_specs()
-    ok, msg = compare(
+    ok, msg, _n = compare(
         "mm_chunk_manifest", spark, con, specs["mm_chunk_manifest"],
         str(sub),
     )
@@ -346,7 +346,7 @@ def test_dsir_importance_separates_synthetic_domains(spark, tmp_path):
             langs.append("de")
     con = _write_docs(tmp_path, texts, langs=langs)
     specs = registry.all_specs()
-    ok, msg = compare(
+    ok, msg, _n = compare(
         "text_dsir_importance", spark, con,
         specs["text_dsir_importance"], str(tmp_path),
     )
@@ -1803,7 +1803,7 @@ def test_r11_temporal_family_parity_on_synthetic_events(spark, tmp_path):
         "ev_user_hour_concentration",
         "stats_permutation_diff",
     ):
-        ok, msg = compare(name, spark, con, specs[name], str(tmp_path))
+        ok, msg, _n = compare(name, spark, con, specs[name], str(tmp_path))
         assert ok, f"{name} synthetic parity: {msg}"
     con.close()
     # the engineered paths must actually fire
@@ -1891,7 +1891,7 @@ def test_r11_doc_family_parity_on_synthetic_corpus(spark, tmp_path):
         "text_term_burstiness",
         "sketch_kmv_distinct",
     ):
-        ok, msg = compare(name, spark, con, specs[name], str(tmp_path))
+        ok, msg, _n = compare(name, spark, con, specs[name], str(tmp_path))
         assert ok, f"{name} synthetic parity: {msg}"
     con.close()
     # the engineered structure must actually fire the interesting paths

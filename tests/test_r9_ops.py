@@ -744,6 +744,6 @@ def test_kmeans_family_parity_on_synthetic_embeddings(spark, tmp_path):
         "emb_margin_audit",
         "emb_mmr_diversified_topk",
     ):
-        ok, msg = compare(name, spark, con, specs[name], str(tmp_path))
+        ok, msg, _n = compare(name, spark, con, specs[name], str(tmp_path))
         assert ok, f"{name}: {msg}"
     con.close()
