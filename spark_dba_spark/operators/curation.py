@@ -5334,14 +5334,26 @@ def text_pii_pattern_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabet-free groupBy on source — exchange is one row per doc of
     five ints. At 100 TB this is scan-bound, exactly as cheap as the
     data allows."""
-    docs = _docs_par(spark, sf_dir)
-    per_doc = docs.select(
+    return assemble_pii_audit(pii_per_doc(_docs_par(spark, sf_dir)))
+
+
+def pii_per_doc(docs: DataFrame) -> DataFrame:
+    """Per-doc PII match counts — the shared batch/stream projection
+    (streaming/jobs.run_pii_audit_stream applies the identical four
+    regexes, so the batch DuckDB oracle transitively gates the
+    stream)."""
+    return docs.select(
         "source",
         F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).alias("c_email"),
         F.regexp_count(F.col("text"), F.lit(PII_IPV4)).alias("c_ipv4"),
         F.regexp_count(F.col("text"), F.lit(PII_PHONE)).alias("c_phone"),
         F.regexp_count(F.col("text"), F.lit(PII_IDNUM)).alias("c_idnum"),
     )
+
+
+def assemble_pii_audit(per_doc: DataFrame) -> DataFrame:
+    """Source rollup of the per-doc PII counts (shared batch/stream
+    column contract)."""
     agg = per_doc.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum((F.col("c_email") > 0).cast("long")).cast("long")
@@ -7420,6 +7432,164 @@ ORDER BY min_score DESC
 """
 
 
+# --------------------------------------------------------------------------
+# Continuation batch K (r14 backlog): language rebalance plan, monthly HHI
+# trend
+# --------------------------------------------------------------------------
+
+
+def corpus_lang_rebalance_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The language-balancing plan table: per language, current doc and
+    token mass vs a UNIFORM token target, and the exact up/down-sample
+    factor that would land it there — the multilingual-mixture knob
+    every LLM corpus applies after curation (the language-grain sibling
+    of corpus_temperature_mix's source-grain reweighting). Targets are
+    floor-integer token budgets (tokens_total div n_langs) so the plan
+    is exact and the factors are house rationals.
+
+    Scale: one map-side token count, one language-alphabet rollup —
+    nothing after the first agg exceeds |langs| rows."""
+    docs = _docs_par(spark, sf_dir)
+    per_lang = (
+        docs.select(
+            "lang",
+            F.expr(
+                "size(filter(split(text, ' '), t -> length(t) > 0))"
+            ).cast("long").alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").cast("long").alias("tt"),
+        F.count("*").cast("long").alias("n_langs"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr(rat_round6_spark("n_tokens", "tt")).alias(
+                "token_share_r6"
+            ),
+            F.expr("tt div n_langs").cast("long").alias("target_tokens"),
+            F.expr(
+                "case when n_tokens > 0 then "
+                + rat_round6_spark("tt div n_langs", "n_tokens")
+                + " end"
+            ).alias("sample_factor_r6"),
+            F.expr(
+                "case when n_tokens * n_langs > tt then 'downsample'"
+                " when n_tokens * n_langs < tt then 'upsample'"
+                " else 'keep' end"
+            ).alias("action"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_LANG_REBALANCE = f"""
+WITH per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '),
+                                  t -> length(t) > 0))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM per_lang)
+SELECT lang, n_docs, n_tokens,
+       {rat_round6_duck("n_tokens", "tt")} AS token_share_r6,
+       CAST(tt // n_langs AS BIGINT) AS target_tokens,
+       CASE WHEN n_tokens > 0 THEN
+         {rat_round6_duck("tt // n_langs", "n_tokens")} END
+         AS sample_factor_r6,
+       CASE WHEN n_tokens * n_langs > tt THEN 'downsample'
+            WHEN n_tokens * n_langs < tt THEN 'upsample'
+            ELSE 'keep' END AS action
+FROM per_lang CROSS JOIN tot
+ORDER BY lang
+"""
+
+
+def orders_hhi_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Herfindahl–Hirschman concentration of order revenue over
+    customers — the TREND view orders_hhi_concentration's single number
+    hides (a rising HHI says the book is consolidating onto fewer
+    customers; 1/HHI is the effective customer count). HHI = Σ x_i²/X²
+    over exact customer-month cent sums (DECIMAL numerators), read out
+    as one Class B round; eff_customers = 1/HHI.
+
+    Scale: one (month, customer) agg (shuffles on the composite key),
+    one month-bounded rollup — the squares never leave the agg."""
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        F.expr(
+            "cast(date_trunc('month', o_orderdate) as date)"
+        ).alias("month"),
+        "o_custkey",
+        F.expr(
+            "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+        ).alias("cents"),
+    )
+    per_cust = orders.groupBy("month", "o_custkey").agg(
+        F.sum("cents").cast("long").alias("x")
+    )
+    per_month = per_cust.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("x").cast("long").alias("cents_total"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sx2"),
+    )
+    hhi = (
+        "(cast(sx2 as double) / (cast(cents_total as double)"
+        " * cast(cents_total as double)))"
+    )
+    return per_month.select(
+        "month",
+        "n_customers",
+        "cents_total",
+        F.expr(
+            f"case when cents_total > 0 then round({hhi}, 6) end"
+        ).alias("hhi_r6"),
+        F.expr(
+            f"case when cents_total > 0 then round(1.0d / {hhi}, 6) end"
+        ).alias("eff_customers_r6"),
+    ).orderBy("month")
+
+
+ORACLE_HHI_MONTHLY = """
+WITH orders_m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+per_cust AS (
+  SELECT month, o_custkey, CAST(SUM(cents) AS BIGINT) AS x
+  FROM orders_m GROUP BY 1, 2),
+per_month AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(x) AS BIGINT) AS cents_total,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2
+  FROM per_cust GROUP BY 1)
+SELECT month, n_customers, cents_total,
+       CASE WHEN cents_total > 0 THEN
+         ROUND(CAST(sx2 AS DOUBLE) / (CAST(cents_total AS DOUBLE)
+               * CAST(cents_total AS DOUBLE)), 6) END AS hhi_r6,
+       CASE WHEN cents_total > 0 THEN
+         ROUND(1.0 / (CAST(sx2 AS DOUBLE) / (CAST(cents_total AS DOUBLE)
+               * CAST(cents_total AS DOUBLE))), 6) END
+         AS eff_customers_r6
+FROM per_month ORDER BY month
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -7791,4 +7961,14 @@ SPECS = [
               doc="cumulative docs/tokens surviving each composite-"
                   "quality threshold (the quality-bar vs token-budget "
                   "trade-off curve)"),
+    # --- continuation batch K (r14 backlog) ---
+    QuerySpec("corpus_lang_rebalance_plan", corpus_lang_rebalance_plan,
+              ORACLE_LANG_REBALANCE, ("text", "pipeline", "multilingual"),
+              doc="per-language token mass vs uniform target with exact "
+                  "up/down-sample factors (the multilingual mixture "
+                  "knob)"),
+    QuerySpec("orders_hhi_monthly_trend", orders_hhi_monthly_trend,
+              ORACLE_HHI_MONTHLY, ("orders", "stats", "drift"),
+              doc="monthly HHI revenue concentration over customers + "
+                  "effective customer count (consolidation trend)"),
 ]

@@ -143,6 +143,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "stats_evt_gumbel_daily_max",
     "mm_chunk_boundary_stability",
     "corpus_token_budget_by_quality",
+    # batch K continuation (also never-checked; full local evidence):
+    "corpus_lang_rebalance_plan",
+    "orders_hhi_monthly_trend",
 )
 
 # r12-window greens — rotate to the tail this round (driver row <=1 round

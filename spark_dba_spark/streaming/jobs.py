@@ -220,6 +220,31 @@ def run_session_stream(
     return spark.table(query_name)
 
 
+def run_pii_audit_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "pii_audit"
+) -> DataFrame:
+    """Streaming twin of ``operators.curation.text_pii_pattern_audit``:
+    the pre-release PII screen run ON INGEST, so exposure is known
+    before a document ever lands in the training pool. Map-side
+    per-doc regex counts via the SHARED ``pii_per_doc`` projection,
+    one complete-mode rollup through the shared ``assemble_pii_audit``
+    contract — the batch DuckDB oracle transitively gates this stream;
+    stream == batch is pinned by
+    tests/test_streaming.py::test_pii_audit_stream_equals_batch."""
+    from ..operators.curation import assemble_pii_audit, pii_per_doc
+
+    q = (
+        assemble_pii_audit(pii_per_doc(stream_documents(spark, sf_dir)))
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_session_bounce_stream(
     spark: SparkSession, sf_dir: str, query_name: str = "session_bounce"
 ) -> DataFrame:

@@ -1138,3 +1138,69 @@ def test_token_budget_consistency_with_score(spark):
         cum_t += r["n_tokens"]
         assert r["cum_docs"] == cum_d and r["cum_tokens"] == cum_t
     assert rows[-1]["token_share_kept_r6"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Part 7 — continuation batch K (r14 backlog): brute twins
+# ---------------------------------------------------------------------------
+
+
+def test_lang_rebalance_brute(spark):
+    from spark_dba_spark.operators.curation import corpus_lang_rebalance_plan
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT lang, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    per_lang: dict = {}
+    for lang, text in rows:
+        d, t = per_lang.get(lang, (0, 0))
+        per_lang[lang] = (d + 1, t + len([w for w in text.split(" ") if w]))
+    tt = sum(t for _, t in per_lang.values())
+    nl = len(per_lang)
+    got = {r["lang"]: r
+           for r in corpus_lang_rebalance_plan(spark, SF_DIR).collect()}
+    assert set(got) == set(per_lang)
+    for lang, (d, t) in per_lang.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_tokens"]) == (d, t)
+        assert r["target_tokens"] == tt // nl
+        want = "downsample" if t * nl > tt else (
+            "upsample" if t * nl < tt else "keep")
+        assert r["action"] == want
+    # the dominant language must be marked for downsampling
+    top = max(per_lang, key=lambda k: per_lang[k][1])
+    assert got[top]["action"] == "downsample"
+    assert got[top]["sample_factor_r6"] < 1.0
+
+
+def test_hhi_monthly_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.curation import orders_hhi_monthly_trend
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(date_trunc('month', o_orderdate) AS DATE), o_custkey,"
+        f" CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+        f" FROM read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    per: dict = {}
+    for m, ck, c in rows:
+        per.setdefault(m, {})
+        per[m][ck] = per[m].get(ck, 0) + c
+    got = {r["month"]: r
+           for r in orders_hhi_monthly_trend(spark, SF_DIR).collect()}
+    assert set(got) == set(per)
+    for m, cust in per.items():
+        xt = sum(cust.values())
+        hhi = sum(x * x for x in cust.values()) / (xt * xt)
+        r = got[m]
+        assert r["n_customers"] == len(cust)
+        assert r["cents_total"] == xt
+        assert abs(r["hhi_r6"] - hhi) < 1e-6
+        assert abs(r["eff_customers_r6"] - 1 / hhi) < 1e-3
+        # HHI is bounded by [1/n, 1]
+        assert 1 / len(cust) - 1e-9 <= r["hhi_r6"] <= 1.0

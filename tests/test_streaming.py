@@ -666,3 +666,21 @@ def test_session_bounce_stream_equals_batch(spark):
         for r in ev_session_bounce_profile(spark, SF_DIR).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_pii_audit_stream_equals_batch(spark):
+    """The streaming PII screen (shared pii_per_doc projection + shared
+    assemble contract) equals the batch op row-for-row."""
+    from spark_dba_spark.operators.curation import text_pii_pattern_audit
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_pii_audit_stream(
+            spark, SF_DIR, "t_pii_audit"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in text_pii_pattern_audit(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
