@@ -118,9 +118,29 @@ PLAN_NOTES: dict[str, str] = {
     "graph_neardup_modularity": _CHECKPOINT_FRONTED,
     "graph_neardup_conductance": _CHECKPOINT_FRONTED,
     "emb_pq_codebook_utilization": _CHECKPOINT_FRONTED,
+    # r13 batch (bounded reduced frames feeding >=2 branches — the
+    # standing branched-lineage rule: tf table feeds norms + pair join,
+    # bigram occ feeds pair + prefix counts)
+    "text_bigram_entropy_rate": _CHECKPOINT_FRONTED,
+    "text_source_tf_cosine_matrix": _CHECKPOINT_FRONTED,
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
+    "ev_tenure_churn_hazard": (
+        "descending cumsum over the TENURE-WEEK table — rows <= "
+        "feed-span/7 (calendar-bounded, ~5 at the fixtures, ~520 for a "
+        "10-year feed); the per-user min/max agg shuffles on user_id "
+        "before any window"
+    ),
+    "ev_error_rate_by_load": (
+        "rank window over the HOUR-GRAIN load table — rows <= feed "
+        "hours (calendar-bounded, ~720/month); event grain never "
+        "enters a window"
+    ),
+    "corpus_token_budget_by_quality": (
+        "descending cumsum over the SCORE-BAND table — exactly <= 6 "
+        "rows (scores 0,20,..,100) regardless of corpus size"
+    ),
     "text_vocab_rank_drift": (
         "re-rank windows over the UNION-OF-TOP-K term set (<= 2*30 "
         "rows by construction, two TakeOrdered cuts + checkpoint); the "

@@ -230,6 +230,30 @@ QUERIES = [
     "emb_pq_codebook_utilization",  # PQ code balance audit (r12g new)
     "graph_neardup_conductance",  # per-source normalized cut (r12g)
     "ev_session_bounce_profile",  # daily bounce share (r12g new)
+    "text_pii_pattern_audit",    # PII exposure screen (r13 new)
+    "text_composite_quality_score",  # 5-gate composite histogram (r13)
+    "mm_cdc_snapshot_delta",     # cross-snapshot CDC delta (r13 new)
+    "ev_interarrival_burstiness",  # gap burstiness per type (r13 new)
+    "ev_interval_coverage_join",  # bucketed interval join (r13 new)
+    "sketch_grid_quantile_error",  # grid-quantile error cert (r13 new)
+    "text_pii_redaction_corpus",  # typed-placeholder redaction (r13b)
+    "mm_chunk_size_quantiles",   # CDC chunk-length tails (r13b new)
+    "text_bigram_entropy_rate",  # bigram entropy rate (r13b new)
+    "join_asof_forward",         # next-order forward as-of (r13b new)
+    "ev_tenure_churn_hazard",    # tenure survival table (r13b new)
+    "emb_cell_purity_by_label",  # sign-cell label purity (r13b new)
+    "mm_magic_mismatch_audit",   # magic-byte container audit (r13b)
+    "emb_anisotropy_mean_vector",  # mean-vector anisotropy (r13c new)
+    "text_source_tf_cosine_matrix",  # source TF cosine matrix (r13c)
+    "sketch_linear_counting_error",  # LC estimate vs exact (r13c new)
+    "ev_error_rate_by_load",     # error share by load decile (r13c)
+    "stats_theil_index_by_nation",  # Theil decomposition (r13c new)
+    "ev_type_hourly_corr_matrix",  # type-pair hourly Pearson (r13d)
+    "stats_evt_gumbel_daily_max",  # Gumbel daily-max fit (r13d new)
+    "mm_chunk_boundary_stability",  # CDC shift survival (r13d new)
+    "corpus_token_budget_by_quality",  # quality-bar budget curve (r13d)
+    "corpus_lang_rebalance_plan",  # language mixture knob (r13e new)
+    "orders_hhi_monthly_trend",  # monthly HHI concentration (r13e)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
@@ -284,6 +308,25 @@ NOTES = {
         "output is one row per DOC (linear in corpus); the compute is "
         "the bigram explode + two count joins — the inverted-index "
         "posture; at 100 TB the per-doc scores write to a sink."
+    ),
+    "text_pii_redaction_corpus": (
+        "output IS the redacted corpus (one row per doc with the "
+        "redacted-text md5 — corpus-sized by design), so this row "
+        "partly measures driver collect(); at 100 TB the redacted "
+        "corpus writes to a sink. The compute is four chained "
+        "codegen'd regexp passes — zero shuffles."
+    ),
+    "ev_interval_coverage_join": (
+        "output is one row per EVENT (linear in corpus) — this row "
+        "partly measures driver collect(); the compute is the "
+        "hour-bucket equi-join (<=2 buckets per window), never an "
+        "inequality cross product. At 100 TB the annotated events "
+        "write to a sink."
+    ),
+    "join_asof_forward": (
+        "output is one row per EVENT (linear; the join_asof posture) — "
+        "partly a collect() measurement; the compute is one union-tag "
+        "reversed-window pass per key."
     ),
     "decontaminate_bloom": (
         "the wall is dominated by the ONE-TIME eager bitset-build job "
