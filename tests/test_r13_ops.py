@@ -1204,3 +1204,38 @@ def test_hhi_monthly_brute(spark):
         assert abs(r["eff_customers_r6"] - 1 / hhi) < 1e-3
         # HHI is bounded by [1/n, 1]
         assert 1 / len(cust) - 1e-9 <= r["hhi_r6"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Part 8 — zero-row audit remediation: graph_common_neighbors planted twin
+# (ZEROROWS_r13: the fixture near-dup graph has no open wedge, so the op's
+# fixture green was vacuous; this corpus plants one)
+# ---------------------------------------------------------------------------
+
+
+def test_common_neighbors_planted_wedge(spark, tmp_path):
+    """A~B and B~C are word-3-gram near-dups (J = 16/20 = 0.8 = tau)
+    but A~C is not (J = 14/22) — the open wedge must surface exactly
+    one predicted link (A, C) with cn = 1 through their shared
+    neighbor B."""
+    from spark_dba_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        graph_common_neighbors,
+    )
+
+    base = [f"w{i}" for i in range(20)]
+    b = " ".join(base)
+    a = " ".join(base[:-2] + ["xa1", "xa2"])      # last 2 tokens differ
+    c = " ".join(["xc1", "xc2"] + base[2:])       # first 2 tokens differ
+    _write_docs(tmp_path, [a, b, c], ["s0", "s1", "s2"])
+    edges = {(r["doc_a"], r["doc_b"])
+             for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()}
+    assert edges == {(0, 1), (1, 2)}  # the wedge, no A-C edge
+    got = graph_common_neighbors(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 2)
+    assert r["cn"] == 1
+    assert r["deg_a"] == 1 and r["deg_c"] == 1
+    # jaccard = cn / (deg_a + deg_c - cn) = 1/1
+    assert r["nbr_jaccard_r6"] == 1.0

@@ -35,6 +35,9 @@ REPO = Path(__file__).resolve().parent.parent
 # planted data and assert non-trivial behaviour
 PLANTED_TWINS: dict[str, str] = {
     "dedup_cluster_pareto": "tests/test_r12_ops.py::test_cluster_pareto_planted_dups",
+    # ZEROROWS_r13 finding: the fixture near-dup graph has no open
+    # wedge at any SF, so every fixture run returns 0 predicted links
+    "graph_common_neighbors": "tests/test_r13_ops.py::test_common_neighbors_planted_wedge",
 }
 
 
