@@ -7590,6 +7590,399 @@ FROM per_month ORDER BY month
 """
 
 
+# --------------------------------------------------------------------------
+# Continuation batch L (r14 backlog): ledger reconciliation, attribution
+# window sweep, dup x quality cross-tab, user-activity Zipf
+# --------------------------------------------------------------------------
+
+RECON_WINDOW_US = 7 * 86_400_000_000  # order must land within 7 days
+
+
+def ev_order_event_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-ledger vs order-ledger reconciliation: per day, how many
+    'purchase' EVENTS are backed by an ORDER of the same customer
+    within {RECON_WINDOW_US//86_400_000_000} days after the event —
+    the two-system integrity check every commerce pipeline runs
+    nightly (an unmatched purchase event is lost revenue attribution
+    or a broken feed). On these fixtures the feeds are ~23 years apart
+    so every event is legitimately unmatched (asserted in pytest); the
+    planted twin exercises the matched path.
+
+    Scale: one forward as-of (shuffle per side on the key), one
+    map-side window mask, one calendar-bounded daily rollup."""
+    from .temporal import asof_join_forward
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    orders = (
+        catalog.load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    probe = ev.select("user_id", "ts", "event_id")
+    build = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("bt"),
+        F.col("o_orderkey").alias("nx_orderkey"),
+        F.col("o_orderdate").alias("nx_orderdate"),
+    )
+    joined = asof_join_forward(
+        probe, build, "user_id", "ts", "bt",
+        ["nx_orderkey", "nx_orderdate"],
+    )
+    lead_sql = (
+        "(unix_micros(cast(nx_orderdate as timestamp))"
+        " - unix_micros(cast(ts as timestamp)))"
+    )
+    matched = (
+        F.col("nx_orderdate").isNotNull()
+        & (F.expr(lead_sql) <= F.lit(RECON_WINDOW_US))
+    )
+    return (
+        joined.select(
+            F.expr(f"({_US}) div 86400000000").alias("day"),
+            matched.cast("long").alias("m"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("m").cast("long").alias("n_matched"),
+        )
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_purchases",
+            "n_matched",
+            (F.col("n_purchases") - F.col("n_matched")).cast("long")
+            .alias("n_unmatched"),
+            F.expr(rat_round6_spark("n_matched", "n_purchases")).alias(
+                "matched_share_r6"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_ORDER_EVENT_RECON = f"""
+WITH j AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS nx_orderdate
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+  ASOF LEFT JOIN
+       (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2) o
+    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate),
+d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CASE WHEN nx_orderdate IS NOT NULL
+               AND epoch_us(nx_orderdate) - epoch_us(ts)
+                   <= {RECON_WINDOW_US}
+              THEN 1 ELSE 0 END AS m
+  FROM j),
+g AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         CAST(SUM(m) AS BIGINT) AS n_matched
+  FROM d GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day, n_purchases, n_matched,
+       CAST(n_purchases - n_matched AS BIGINT) AS n_unmatched,
+       {rat_round6_duck("n_matched", "n_purchases")} AS matched_share_r6
+FROM g ORDER BY day
+"""
+
+
+ATTR_SWEEP_US = (
+    ("1h", 3_600_000_000),
+    ("6h", 21_600_000_000),
+    ("24h", 86_400_000_000),
+    ("7d", 604_800_000_000),
+)
+
+
+def ev_attribution_window_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribution-window sensitivity: what share of purchases has a
+    prior click by the same user within 1h / 6h / 24h / 7d — the table
+    that settles "how long should the attribution window be" with data
+    instead of convention (shares that plateau early say long windows
+    only add noise). ONE backward as-of computes the age of the most
+    recent click per purchase; the sweep is four map-side masks over
+    the same age column, unpivoted to one row per window.
+
+    Scale: one union-tag as-of pass (shuffle per side on user_id), a
+    single global agg, a 4-row explode."""
+    from .temporal import asof_join_backward
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("bt"),
+        F.expr(_US).alias("click_us"),
+    )
+    joined = asof_join_backward(
+        purchases, clicks, "user_id", "ts", "bt", ["click_us"]
+    )
+    age = F.expr(f"({_US}) - click_us")
+    agg = joined.select(
+        F.col("click_us").isNotNull().cast("long").alias("has_click"),
+        *[
+            (F.col("click_us").isNotNull() & (age <= F.lit(us)))
+            .cast("long").alias(f"w{i}")
+            for i, (_, us) in enumerate(ATTR_SWEEP_US)
+        ],
+    ).agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        *[
+            F.sum(f"w{i}").cast("long").alias(f"a{i}")
+            for i in range(len(ATTR_SWEEP_US))
+        ],
+    )
+    stack = ", ".join(
+        f"'{label}', cast({us} as bigint), a{i}"
+        for i, (label, us) in enumerate(ATTR_SWEEP_US)
+    )
+    return (
+        agg.select(
+            "n_purchases",
+            F.expr(
+                f"stack({len(ATTR_SWEEP_US)}, {stack})"
+                " as (window_label, window_us, n_attributed)"
+            ),
+        )
+        .select(
+            "window_label",
+            "window_us",
+            "n_purchases",
+            F.col("n_attributed").cast("long").alias("n_attributed"),
+            F.expr(rat_round6_spark("n_attributed", "n_purchases")).alias(
+                "attributed_share_r6"
+            ),
+        )
+        .orderBy("window_us")
+    )
+
+
+def _oracle_attr_sweep() -> str:
+    cols = ", ".join(
+        f"CAST(SUM(CASE WHEN age IS NOT NULL AND age <= {us} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS a{i}"
+        for i, (_, us) in enumerate(ATTR_SWEEP_US)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{label}' AS window_label,"
+        f" CAST({us} AS BIGINT) AS window_us,"
+        f" n_purchases, a{i} AS n_attributed,"
+        f" {rat_round6_duck(f'a{i}', 'n_purchases')}"
+        f" AS attributed_share_r6 FROM agg"
+        for i, (label, us) in enumerate(ATTR_SWEEP_US)
+    )
+    return f"""
+WITH j AS (
+  SELECT e.event_id,
+         epoch_us(e.ts) - epoch_us(c.bt) AS age
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+  ASOF LEFT JOIN
+       (SELECT user_id, ts AS bt FROM events
+        WHERE event_type = 'click') c
+    ON e.user_id = c.user_id AND e.ts >= c.bt),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases, {cols} FROM j)
+SELECT * FROM ({rows}) ORDER BY window_us
+"""
+
+
+ORACLE_ATTR_SWEEP = _oracle_attr_sweep()
+
+
+def corpus_dup_quality_crosstab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Are duplicates junk? Cross-tab of exact-dup membership (sha2 of
+    text occurs more than once) against the composite-quality band —
+    the question that decides whether dedup and quality filtering are
+    redundant or complementary on a corpus (if dups concentrate in low
+    bands, the quality gate already removes most of them). Exact
+    counts + within-band dup share.
+
+    Scale: one sha2 group for dup flags (shuffle on the hash), the
+    composite score's single map stage, one 6x2-bounded rollup."""
+    docs = _docs_par(spark, sf_dir)
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    feats = docs.select(
+        "doc_id",
+        F.sha2("text", 256).alias("h"),
+        F.expr(
+            "filter(split(text, ' '), t -> length(t) > 0)"
+        ).alias("toks"),
+    ).select(
+        "doc_id",
+        "h",
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").alias("n_distinct"),
+        F.expr(
+            "aggregate(toks, cast(0 as bigint),"
+            " (acc, t) -> acc + length(t))"
+        ).alias("sum_len"),
+        F.expr(f"size(filter(toks, t -> t in ({stop_list})))").alias(
+            "n_stop"
+        ),
+        F.expr(
+            "coalesce(array_max(transform(toks, t -> length(t))), 0)"
+        ).alias("max_len"),
+    )
+    score = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+        20 * (
+            ((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000))
+            .cast("int")
+            + (2 * F.col("n_distinct") >= F.col("n_tokens")).cast("int")
+            + (100 * F.col("n_stop") >= 2 * F.col("n_tokens")).cast("int")
+            + (
+                (3 * F.col("n_tokens") <= F.col("sum_len"))
+                & (F.col("sum_len") <= 12 * F.col("n_tokens"))
+            ).cast("int")
+            + (F.col("max_len") <= 20).cast("int")
+        )
+    )
+    dup = feats.groupBy("h").agg(F.count("*").alias("nh"))
+    scored = (
+        feats.select("doc_id", "h", score.cast("int").alias("score"),
+                     F.col("n_tokens").cast("long").alias("n_tokens"))
+        .join(dup, "h")
+        .select(
+            "score",
+            (F.col("nh") > 1).alias("is_dup"),
+            "n_tokens",
+        )
+    )
+    per_band = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("band_docs")
+    )
+    return (
+        scored.groupBy("score", "is_dup")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .join(per_band, "score")
+        .select(
+            "score",
+            "is_dup",
+            "n_docs",
+            "n_tokens",
+            F.expr(rat_round6_spark("n_docs", "band_docs")).alias(
+                "band_share_r6"
+            ),
+        )
+        .orderBy("score", "is_dup")
+    )
+
+
+ORACLE_DUP_QUALITY_CROSSTAB = f"""
+WITH feats AS (
+  SELECT doc_id, sha256(text) AS h,
+         list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+  FROM documents),
+f2 AS (
+  SELECT doc_id, h, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS sum_len,
+         len(list_filter(toks,
+             t -> list_contains(
+                 [{", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)}], t)))
+           AS n_stop,
+         coalesce(list_max(list_transform(toks, t -> length(t))), 0)
+           AS max_len
+  FROM feats),
+scored AS (
+  SELECT doc_id, h,
+         CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE 20 * (
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+                 THEN 1 ELSE 0 END)
+           + (CASE WHEN 2 * n_distinct >= n_tokens THEN 1 ELSE 0 END)
+           + (CASE WHEN 100 * n_stop >= 2 * n_tokens THEN 1 ELSE 0 END)
+           + (CASE WHEN 3 * n_tokens <= sum_len
+                    AND sum_len <= 12 * n_tokens THEN 1 ELSE 0 END)
+           + (CASE WHEN max_len <= 20 THEN 1 ELSE 0 END)) END AS INT)
+           AS score,
+         CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM f2),
+dup AS (SELECT h, COUNT(*) AS nh FROM feats GROUP BY 1),
+tagged AS (
+  SELECT s.score, d.nh > 1 AS is_dup, s.n_tokens
+  FROM scored s JOIN dup d ON s.h = d.h),
+per_band AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS band_docs
+  FROM tagged GROUP BY 1)
+SELECT t.score, t.is_dup, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+       {rat_round6_duck("COUNT(*)", "MAX(p.band_docs)")} AS band_share_r6
+FROM tagged t JOIN per_band p ON t.score = p.score
+GROUP BY t.score, t.is_dup
+ORDER BY t.score, t.is_dup
+"""
+
+
+ZIPF_USER_HEAD = 100  # activity ranks fitted per type
+
+
+def ev_zipf_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit of USER ACTIVITY per event type: regression slope of
+    ln(count) on ln(rank) over the top-{ZIPF_USER_HEAD} most active
+    users — organic engagement sits on a heavy-tailed slope, while a
+    bot swarm or synthetic load flattens it (every "user" equally
+    active) and a single-scraper feed steepens it; the traffic-shape
+    sibling of text_zipf_slope's vocabulary fit.
+
+    Scale: one (type, user) agg, a rank window partitioned by type
+    over the per-type user table, a head-bounded regr_slope."""
+    counts = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ZIPF_USER_HEAD)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users_fitted"),
+            F.max("cnt").cast("long").alias("top_user_events"),
+            F.round(
+                F.expr(
+                    "regr_slope(ln(cast(cnt as double)),"
+                    " ln(cast(rank as double)))"
+                ),
+                4,
+            ).alias("zipf_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_ZIPF_USER = f"""
+WITH counts AS (
+  SELECT event_type, user_id, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, user_id) AS rank
+  FROM counts)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users_fitted,
+       CAST(MAX(cnt) AS BIGINT) AS top_user_events,
+       ROUND(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                        ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope
+FROM ranked WHERE rank <= {ZIPF_USER_HEAD}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -7971,4 +8364,25 @@ SPECS = [
               ORACLE_HHI_MONTHLY, ("orders", "stats", "drift"),
               doc="monthly HHI revenue concentration over customers + "
                   "effective customer count (consolidation trend)"),
+    # --- continuation batch L (r14 backlog) ---
+    QuerySpec("ev_order_event_reconciliation", ev_order_event_reconciliation,
+              ORACLE_ORDER_EVENT_RECON, ("events", "orders", "audit"),
+              doc="daily purchase-event vs order-ledger reconciliation "
+                  "via forward as-of within 7 days (two-system "
+                  "integrity check)"),
+    QuerySpec("ev_attribution_window_sweep", ev_attribution_window_sweep,
+              ORACLE_ATTR_SWEEP, ("events", "temporal", "attribution"),
+              doc="share of purchases with a prior click within "
+                  "1h/6h/24h/7d from ONE backward as-of pass (window-"
+                  "length sensitivity table)"),
+    QuerySpec("corpus_dup_quality_crosstab", corpus_dup_quality_crosstab,
+              ORACLE_DUP_QUALITY_CROSSTAB, ("text", "dedup", "quality"),
+              doc="exact-dup membership x composite-quality band "
+                  "cross-tab (are dedup and quality filtering "
+                  "redundant or complementary?)"),
+    QuerySpec("ev_zipf_user_activity", ev_zipf_user_activity,
+              ORACLE_ZIPF_USER, ("events", "stats", "audit"),
+              doc="Zipf slope of top-user activity per type (bot-swarm "
+                  "flatness vs organic heavy tail; traffic-shape "
+                  "sibling of the vocabulary fit)"),
 ]

@@ -146,6 +146,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
     # batch K continuation (also never-checked; full local evidence):
     "corpus_lang_rebalance_plan",
     "orders_hhi_monthly_trend",
+    # batch L continuation (also never-checked; full local evidence):
+    "ev_order_event_reconciliation",
+    "ev_attribution_window_sweep",
+    "corpus_dup_quality_crosstab",
+    "ev_zipf_user_activity",
 )
 
 # r12-window greens — rotate to the tail this round (driver row <=1 round

@@ -1239,3 +1239,146 @@ def test_common_neighbors_planted_wedge(spark, tmp_path):
     assert r["deg_a"] == 1 and r["deg_c"] == 1
     # jaccard = cn / (deg_a + deg_c - cn) = 1/1
     assert r["nbr_jaccard_r6"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Part 9 — continuation batch L (r14 backlog): brute / planted twins
+# ---------------------------------------------------------------------------
+
+
+def test_order_event_recon_fixture_unmatched_and_planted(spark, tmp_path):
+    from spark_dba_spark.operators.curation import (
+        ORACLE_ORDER_EVENT_RECON,
+        ev_order_event_reconciliation,
+    )
+
+    # fixture feeds are ~23y apart: every purchase legitimately
+    # unmatched (the asof_tolerance vacuity lesson — assert it)
+    rows = ev_order_event_reconciliation(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r["n_matched"] == 0 for r in rows)
+    assert all(r["n_unmatched"] == r["n_purchases"] for r in rows)
+
+    # planted: order inside / outside the 7-day window + no-order user
+    _write_orders(
+        tmp_path,
+        [(10, 1, T0_US + 3 * US_PER_DAY), (11, 2, T0_US + 20 * US_PER_DAY)],
+    )
+    _write_events(
+        tmp_path,
+        [
+            (1, T0_US, 1, "purchase", 5.0),                 # matched (3d)
+            (2, T0_US, 2, "purchase", 5.0),                 # order at 20d: no
+            (3, T0_US + US_PER_DAY, 3, "purchase", 5.0),    # no orders
+            (4, T0_US, 1, "click", 1.0),                    # not a purchase
+        ],
+    )
+    got = {r["day"]: r
+           for r in ev_order_event_reconciliation(
+               spark, str(tmp_path)).collect()}
+    d0 = T0_US // US_PER_DAY
+    assert got[d0]["n_purchases"] == 2
+    assert got[d0]["n_matched"] == 1
+    assert got[d0]["matched_share_r6"] == 0.5
+    assert got[d0 + 1]["n_matched"] == 0
+    _assert_spark_matches_oracle(
+        ev_order_event_reconciliation(spark, str(tmp_path)),
+        tmp_path, ORACLE_ORDER_EVENT_RECON, ("events", "orders"),
+    )
+
+
+def test_attribution_window_sweep_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        ATTR_SWEEP_US,
+        ev_attribution_window_sweep,
+    )
+
+    clicks: dict = {}
+    purchases = []
+    for eid, us, uid, et, _ in _events_rows():
+        if et == "click":
+            clicks.setdefault(uid, []).append(us)
+        elif et == "purchase":
+            purchases.append((uid, us))
+    for v in clicks.values():
+        v.sort()
+    import bisect
+    ages = []
+    for uid, us in purchases:
+        cs = clicks.get(uid, ())
+        i = bisect.bisect_right(cs, us)
+        ages.append(us - cs[i - 1] if i else None)
+    got = {r["window_label"]: r
+           for r in ev_attribution_window_sweep(spark, SF_DIR).collect()}
+    assert set(got) == {lb for lb, _ in ATTR_SWEEP_US}
+    prev = -1
+    for lb, us in ATTR_SWEEP_US:
+        want = sum(1 for a in ages if a is not None and a <= us)
+        r = got[lb]
+        assert r["n_purchases"] == len(purchases)
+        assert r["n_attributed"] == want
+        # monotone in the window length
+        assert r["n_attributed"] >= prev
+        prev = r["n_attributed"]
+    assert got["7d"]["n_attributed"] > 0  # the sweep fires on fixtures
+
+
+def test_dup_quality_crosstab_planted(spark, tmp_path):
+    from spark_dba_spark.operators.curation import (
+        ORACLE_DUP_QUALITY_CROSSTAB,
+        corpus_dup_quality_crosstab,
+    )
+
+    good = ("the quick brown fox jumps over a lazy dog and then it runs "
+            "far away into the deep green forest tonight")
+    junk = "spam " * 40
+    texts = [good, good, junk, junk, junk,
+             "alpha beta gamma delta epsilon zeta eta theta iota kappa"]
+    _write_docs(tmp_path, texts, [f"s{i}" for i in range(len(texts))])
+    got = {(r["score"], r["is_dup"]): r
+           for r in corpus_dup_quality_crosstab(
+               spark, str(tmp_path)).collect()}
+    # the two 'good' copies are dups at score 100; the three junk
+    # copies are dups at their (low) band; the singleton is not a dup
+    assert got[(100, True)]["n_docs"] == 2
+    assert got[(100, True)]["band_share_r6"] == 1.0
+    dup_low = [k for k in got if k[1] and k[0] < 100]
+    assert len(dup_low) == 1 and got[dup_low[0]]["n_docs"] == 3
+    singles = [k for k in got if not k[1]]
+    assert sum(got[k]["n_docs"] for k in singles) == 1
+    _assert_spark_matches_oracle(
+        corpus_dup_quality_crosstab(spark, str(tmp_path)),
+        tmp_path, ORACLE_DUP_QUALITY_CROSSTAB, ("documents",),
+    )
+
+
+def test_zipf_user_activity_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.curation import (
+        ZIPF_USER_HEAD,
+        ev_zipf_user_activity,
+    )
+
+    counts: dict = {}
+    for _, _, uid, et, _ in _events_rows():
+        counts[(et, uid)] = counts.get((et, uid), 0) + 1
+    by_type: dict = {}
+    for (et, uid), c in counts.items():
+        by_type.setdefault(et, []).append((c, uid))
+    got = {r["event_type"]: r
+           for r in ev_zipf_user_activity(spark, SF_DIR).collect()}
+    for et, cu in by_type.items():
+        cu.sort(key=lambda t: (-t[0], t[1]))
+        head = cu[:ZIPF_USER_HEAD]
+        xs = [math.log(i + 1) for i in range(len(head))]
+        ys = [math.log(c) for c, _ in head]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        r = got[et]
+        assert r["n_users_fitted"] == n
+        assert r["top_user_events"] == head[0][0]
+        assert abs(r["zipf_slope"] - slope) < 1e-3
