@@ -254,6 +254,10 @@ QUERIES = [
     "corpus_token_budget_by_quality",  # quality-bar budget curve (r13d)
     "corpus_lang_rebalance_plan",  # language mixture knob (r13e new)
     "orders_hhi_monthly_trend",  # monthly HHI concentration (r13e)
+    "ev_order_event_reconciliation",  # two-ledger recon (r13f new)
+    "ev_attribution_window_sweep",  # attribution sensitivity (r13f)
+    "corpus_dup_quality_crosstab",  # dup x quality cross-tab (r13f)
+    "ev_zipf_user_activity",     # user-activity Zipf fit (r13f new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
