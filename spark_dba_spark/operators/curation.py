@@ -7983,6 +7983,409 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Continuation batch M (r14 backlog): context-window packing sweep, byte
+# periodicity probe, weekend-mix z-test, TwoNN intrinsic dimension
+# --------------------------------------------------------------------------
+
+PACK_WINDOWS = (1024, 2048, 4096, 8192)
+
+
+def corpus_pack_efficiency_by_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Context-length sizing table: for each candidate window (1k/2k/
+    4k/8k tokens), how many windows the corpus needs when every doc is
+    chunked to the window (Σ ceil(tokens/W)) and what share of window
+    capacity is padding waste — the table that picks the training
+    sequence length (small windows waste little but fragment long
+    docs; the sweep shows the elbow). Exact integers end to end.
+
+    Scale: ONE map-side token count; the sweep is four integer
+    expressions over the same column, aggregated once — no explode,
+    no per-window pass."""
+    docs = _docs_par(spark, sf_dir)
+    toks = docs.select(
+        F.expr(
+            "size(filter(split(text, ' '), t -> length(t) > 0))"
+        ).cast("long").alias("tok")
+    ).filter(F.col("tok") > 0)
+    agg = toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        *[
+            F.sum(F.expr(f"(tok + {w} - 1) div {w}")).cast("long")
+            .alias(f"w{w}")
+            for w in PACK_WINDOWS
+        ],
+    )
+    stack = ", ".join(
+        f"cast({w} as bigint), w{w}" for w in PACK_WINDOWS
+    )
+    return (
+        agg.select(
+            "n_docs",
+            "total_tokens",
+            F.expr(
+                f"stack({len(PACK_WINDOWS)}, {stack})"
+                " as (window_tokens, windows_needed)"
+            ),
+        )
+        .select(
+            "window_tokens",
+            "n_docs",
+            "total_tokens",
+            F.col("windows_needed").cast("long").alias("windows_needed"),
+            F.expr(
+                rat_round6_spark(
+                    "windows_needed * window_tokens - total_tokens",
+                    "windows_needed * window_tokens",
+                )
+            ).alias("padding_waste_r6"),
+        )
+        .orderBy("window_tokens")
+    )
+
+
+def _oracle_pack_sweep() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({w} AS BIGINT) AS window_tokens, n_docs,"
+        f" total_tokens, w{w} AS windows_needed,"
+        + rat_round6_duck(f"w{w} * {w} - total_tokens", f"w{w} * {w}")
+        + " AS padding_waste_r6 FROM agg"
+        for w in PACK_WINDOWS
+    )
+    wcols = ", ".join(
+        f"CAST(SUM((tok + {w} - 1) // {w}) AS BIGINT) AS w{w}"
+        for w in PACK_WINDOWS
+    )
+    return f"""
+WITH toks AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '),
+                              t -> length(t) > 0)) AS BIGINT) AS tok
+  FROM documents),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS total_tokens, {wcols}
+  FROM toks WHERE tok > 0)
+SELECT * FROM ({rows}) ORDER BY window_tokens
+"""
+
+
+ORACLE_PACK_SWEEP = _oracle_pack_sweep()
+
+
+PERIOD_LAGS = (2, 4, 8, 16)
+
+
+def mm_payload_periodicity_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-lag autocorrelation per media type at dyadic lags 2/4/8/16:
+    a fixed-record binary container (structs every k bytes) lights up
+    exactly at its record stride, while text and compressed streams
+    stay flat — the structure probe that byte histograms (order 1) and
+    bigrams (order 2, adjacent) cannot see at distance. Pearson over
+    exact integer byte moments; one Class B round per (type, lag).
+
+    Scale: per-(doc, lag) moments come from a JVM aggregate() fold over
+    the byte array — NO position explode at all; the shuffle carries
+    six ints per (doc, lag), and the rollup is |types|×|lags|."""
+    assets = _assets_curation(spark, sf_dir)
+    withbs = assets.filter(
+        F.octet_length("payload") > max(PERIOD_LAGS)
+    ).select(
+        "media_type",
+        F.expr("hex(payload)").alias("hx"),
+        F.octet_length("payload").alias("n"),
+    ).withColumn(
+        "bs",
+        F.expr(
+            "transform(sequence(1, n), i ->"
+            " cast(conv(substring(hx, 2 * i - 1, 2), 16, 10) as bigint))"
+        ),
+    )
+    lagged = withbs.select(
+        "media_type",
+        "bs",
+        "n",
+        F.explode(F.array(*[F.lit(lag) for lag in PERIOD_LAGS])).alias(
+            "lag"
+        ),
+    )
+    fold = (
+        "aggregate(sequence(1, n - lag),"
+        " named_struct('np', 0L, 'sx', 0L, 'sy', 0L,"
+        " 'sxy', 0L, 'sxx', 0L, 'syy', 0L),"
+        " (a, i) -> named_struct("
+        "'np', a.np + 1L,"
+        " 'sx', a.sx + element_at(bs, i),"
+        " 'sy', a.sy + element_at(bs, i + lag),"
+        " 'sxy', a.sxy + element_at(bs, i) * element_at(bs, i + lag),"
+        " 'sxx', a.sxx + element_at(bs, i) * element_at(bs, i),"
+        " 'syy', a.syy + element_at(bs, i + lag)"
+        " * element_at(bs, i + lag)))"
+    )
+    parts = lagged.select(
+        "media_type", "lag", F.expr(fold).alias("m")
+    )
+    agg = parts.groupBy("media_type", "lag").agg(
+        F.sum("m.np").cast("long").alias("np"),
+        F.sum("m.sx").cast("long").alias("sx"),
+        F.sum("m.sy").cast("long").alias("sy"),
+        F.sum("m.sxy").cast("decimal(38,0)").alias("sxy"),
+        F.sum("m.sxx").cast("decimal(38,0)").alias("sxx"),
+        F.sum("m.syy").cast("decimal(38,0)").alias("syy"),
+    )
+    num = (
+        "(cast(np as decimal(38,0)) * sxy"
+        " - cast(sx as decimal(38,0)) * cast(sy as decimal(38,0)))"
+    )
+    denx = (
+        "(cast(np as decimal(38,0)) * sxx"
+        " - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))"
+    )
+    deny = (
+        "(cast(np as decimal(38,0)) * syy"
+        " - cast(sy as decimal(38,0)) * cast(sy as decimal(38,0)))"
+    )
+    return agg.select(
+        "media_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("np").alias("n_pairs"),
+        F.expr(
+            f"case when {denx} > 0 and {deny} > 0 then"
+            f" round(cast({num} as double)"
+            f" / (sqrt(cast({denx} as double))"
+            f" * sqrt(cast({deny} as double))), 6) end"
+        ).alias("autocorr_r6"),
+    ).orderBy("media_type", "lag")
+
+
+def _oracle_periodicity() -> str:
+    lag_rows = ", ".join(str(lag) for lag in PERIOD_LAGS)
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) > {max(PERIOD_LAGS)}),
+b AS (
+  SELECT *, list_transform(generate_series(1, n),
+           i -> CAST(CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT)
+                AS BIGINT)) AS bs
+  FROM a),
+pairs AS (
+  SELECT media_type, l.lag, bs[i] AS x, bs[i + l.lag] AS y
+  FROM b,
+       LATERAL (SELECT unnest([{lag_rows}]) AS lag) l,
+       LATERAL unnest(generate_series(1, n - l.lag)) AS u(i)),
+agg AS (
+  SELECT media_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(y * y) AS HUGEINT) AS syy
+  FROM pairs GROUP BY 1, 2)
+SELECT media_type, CAST(lag AS INT) AS lag, np AS n_pairs,
+       CASE WHEN CAST(np AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+             AND CAST(np AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+            THEN ROUND(
+              CAST(CAST(np AS HUGEINT) * sxy
+                   - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              / (sqrt(CAST(CAST(np AS HUGEINT) * sxx
+                           - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                 * sqrt(CAST(CAST(np AS HUGEINT) * syy
+                             - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
+       END AS autocorr_r6
+FROM agg ORDER BY media_type, lag
+"""
+
+
+ORACLE_PERIODICITY = _oracle_periodicity()
+
+
+def stats_weekend_mix_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event type: is THIS type's weekend
+    share different from the weekend share of all OTHER events? —
+    the inference layer on top of ev_weekend_lift's point estimate
+    (a lift of 1.3 on ten events means nothing; the z says which
+    seasonality reads are real). Pooled-variance z from exact integer
+    counts; one Class B round.
+
+    Scale: one map-side weekend tag, one |types|-bounded agg, global
+    totals broadcast back."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr(f"((({_US}) div 86400000000) + 3) % 7 >= 5")
+        .cast("long").alias("wk"),
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n1"),
+        F.sum("wk").cast("long").alias("x1"),
+    )
+    tot = per_type.agg(
+        F.sum("n1").cast("long").alias("nt"),
+        F.sum("x1").cast("long").alias("xt"),
+    )
+    p1 = "(cast(x1 as double) / cast(n1 as double))"
+    p2 = "(cast(xt - x1 as double) / cast(nt - n1 as double))"
+    pp = "(cast(xt as double) / cast(nt as double))"
+    z = (
+        f"(({p1}) - ({p2})) / sqrt({pp} * (1.0d - {pp})"
+        f" * (1.0d / n1 + 1.0d / (nt - n1)))"
+    )
+    return (
+        per_type.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("n1").alias("n_events"),
+            F.col("x1").alias("n_weekend"),
+            F.expr(rat_round6_spark("x1", "n1")).alias(
+                "weekend_share_r6"
+            ),
+            F.expr(rat_round6_spark("xt - x1", "nt - n1")).alias(
+                "rest_weekend_share_r6"
+            ),
+            F.expr(
+                f"case when n1 > 0 and nt > n1 and xt > 0 and xt < nt"
+                f" then round({z}, 6) end"
+            ).alias("z_r6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_WEEKEND_MIX_ZTEST = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN ((({_US_DUCK}) // 86400000000) + 3) % 7 >= 5
+              THEN 1 ELSE 0 END AS wk
+  FROM events),
+per_type AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(wk) AS BIGINT) AS x1
+  FROM ev GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS nt, CAST(SUM(x1) AS BIGINT) AS xt
+  FROM per_type)
+SELECT event_type, n1 AS n_events, x1 AS n_weekend,
+       {rat_round6_duck("x1", "n1")} AS weekend_share_r6,
+       {rat_round6_duck("xt - x1", "nt - n1")} AS rest_weekend_share_r6,
+       CASE WHEN n1 > 0 AND nt > n1 AND xt > 0 AND xt < nt THEN
+         ROUND(((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                - (CAST(xt - x1 AS DOUBLE) / CAST(nt - n1 AS DOUBLE)))
+               / sqrt((CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                      * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                      * (1.0 / n1 + 1.0 / (nt - n1))), 6)
+       END AS z_r6
+FROM per_type CROSS JOIN tot
+ORDER BY event_type
+"""
+
+
+TWONN_PROBES = 256  # probe vectors (vec_id < TWONN_PROBES)
+
+
+def emb_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding manifold: ID = n / Σ ln(r2/r1) over the first/second
+    nearest-neighbor distances of a fixed probe set — THE number that
+    says whether 64 ambient dims hide a 10-dim manifold (IVF/PQ/LSH
+    parameters key off intrinsic, not ambient, dimension). Squared
+    grid distances make ln(r2/r1) = ln(d2q/d1q)/2 with exact integer
+    inputs; each term is 9dp-rounded into the house decimal sum.
+
+    Scale: broadcast the {TWONN_PROBES}-row probe set against the
+    corpus scan (the broadcast-probe kNN posture) — probes×corpus
+    pairs, top-2 per probe via a probe-partitioned window; no corpus²
+    term anywhere."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.expr(_EMB_Q_SQL).alias("q")
+    )
+    probes = emb.filter(F.col("vec_id") < TWONN_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("q").alias("pq")
+    )
+    pairs = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("pid")
+    ).select(
+        "pid",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(q, pq, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("d2"),
+    ).filter(F.col("d2") > 0)  # exact duplicates break the ratio
+    w = W.partitionBy("pid").orderBy("d2", "vec_id")
+    top2 = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("pid")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2_"),
+        )
+    )
+    agg = top2.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum(
+            F.round(
+                F.expr(
+                    "ln(cast(d2_ as double) / cast(d1 as double)) / 2.0d"
+                ),
+                9,
+            ).cast("decimal(25,9)")
+        ).alias("s"),
+    )
+    return agg.select(
+        "n_probes",
+        F.round(F.col("s").cast("double"), 6).alias("sum_log_ratio_r6"),
+        F.round(
+            F.col("n_probes") / F.col("s").cast("double"), 6
+        ).alias("intrinsic_dim_r6"),
+    )
+
+
+ORACLE_TWONN = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(trunc(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+  FROM embeddings),
+probes AS (
+  SELECT vec_id AS pid, q AS pq FROM qv WHERE vec_id < {TWONN_PROBES}),
+pairs AS (
+  SELECT p.pid, e.vec_id,
+         CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+           i -> (e.q[i] - p.pq[i]) * (e.q[i] - p.pq[i]))) AS BIGINT) AS d2
+  FROM qv e CROSS JOIN probes p
+  WHERE e.vec_id != p.pid),
+pos AS (SELECT * FROM pairs WHERE d2 > 0),
+ranked AS (
+  SELECT pid, d2,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, vec_id) AS rn
+  FROM pos),
+top2 AS (
+  SELECT pid,
+         MIN(CASE WHEN rn = 1 THEN d2 END) AS d1,
+         MIN(CASE WHEN rn = 2 THEN d2 END) AS d2_
+  FROM ranked WHERE rn <= 2 GROUP BY 1),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         SUM(CAST(ROUND(ln(CAST(d2_ AS DOUBLE) / CAST(d1 AS DOUBLE))
+                        / 2.0, 9) AS DECIMAL(25,9))) AS s
+  FROM top2)
+SELECT n_probes,
+       ROUND(CAST(s AS DOUBLE), 6) AS sum_log_ratio_r6,
+       ROUND(n_probes / CAST(s AS DOUBLE), 6) AS intrinsic_dim_r6
+FROM agg
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -8385,4 +8788,26 @@ SPECS = [
               doc="Zipf slope of top-user activity per type (bot-swarm "
                   "flatness vs organic heavy tail; traffic-shape "
                   "sibling of the vocabulary fit)"),
+    # --- continuation batch M (r14 backlog) ---
+    QuerySpec("corpus_pack_efficiency_by_window",
+              corpus_pack_efficiency_by_window, ORACLE_PACK_SWEEP,
+              ("text", "pipeline", "capacity"),
+              doc="windows needed + padding waste at 1k/2k/4k/8k "
+                  "context lengths (the sequence-length sizing table; "
+                  "one map pass, four integer masks)"),
+    QuerySpec("mm_payload_periodicity_probe", mm_payload_periodicity_probe,
+              ORACLE_PERIODICITY, ("multimodal", "stats", "audit"),
+              doc="byte-lag autocorrelation at dyadic lags 2/4/8/16 per "
+                  "media type (fixed-record container structure probe; "
+                  "JVM fold, no position explode)"),
+    QuerySpec("stats_weekend_mix_ztest", stats_weekend_mix_ztest,
+              ORACLE_WEEKEND_MIX_ZTEST, ("stats", "events"),
+              doc="two-proportion z per type: this type's weekend share "
+                  "vs all other events (the inference layer on the "
+                  "weekend-lift point estimate)"),
+    QuerySpec("emb_intrinsic_dim_twonn", emb_intrinsic_dim_twonn,
+              ORACLE_TWONN, ("embedding", "ann", "stats"),
+              doc="TwoNN intrinsic-dimension estimate from a 256-probe "
+                  "broadcast set (manifold dim that IVF/PQ/LSH tuning "
+                  "keys off)"),
 ]

@@ -151,6 +151,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "ev_attribution_window_sweep",
     "corpus_dup_quality_crosstab",
     "ev_zipf_user_activity",
+    # batch M continuation (also never-checked; full local evidence):
+    "corpus_pack_efficiency_by_window",
+    "mm_payload_periodicity_probe",
+    "stats_weekend_mix_ztest",
+    "emb_intrinsic_dim_twonn",
 )
 
 # r12-window greens — rotate to the tail this round (driver row <=1 round

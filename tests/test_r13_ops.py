@@ -1382,3 +1382,146 @@ def test_zipf_user_activity_brute(spark):
         assert r["n_users_fitted"] == n
         assert r["top_user_events"] == head[0][0]
         assert abs(r["zipf_slope"] - slope) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Part 10 — continuation batch M (r14 backlog): brute / planted twins
+# ---------------------------------------------------------------------------
+
+
+def test_pack_efficiency_brute(spark):
+    from spark_dba_spark.operators.curation import (
+        PACK_WINDOWS,
+        corpus_pack_efficiency_by_window,
+    )
+
+    con = duckdb.connect()
+    toks = [len([w for w in t.split(" ") if w]) for (t,) in con.execute(
+        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()]
+    con.close()
+    toks = [t for t in toks if t > 0]
+    got = {r["window_tokens"]: r
+           for r in corpus_pack_efficiency_by_window(
+               spark, SF_DIR).collect()}
+    assert set(got) == set(PACK_WINDOWS)
+    prev_waste = -1.0
+    for w in PACK_WINDOWS:
+        need = sum((t + w - 1) // w for t in toks)
+        r = got[w]
+        assert r["n_docs"] == len(toks)
+        assert r["total_tokens"] == sum(toks)
+        assert r["windows_needed"] == need
+        want = (need * w - sum(toks)) / (need * w)
+        assert abs(r["padding_waste_r6"] - want) < 1e-6
+        # bigger windows waste more padding on short docs: monotone here
+        assert r["padding_waste_r6"] >= prev_waste
+        prev_waste = r["padding_waste_r6"]
+
+
+def test_periodicity_planted_stride(spark, tmp_path):
+    """A payload with a strict 4-byte record structure must light up at
+    lag 4 (and its multiples 8, 16) and stay low at lag 2."""
+    import math
+
+    from spark_dba_spark.operators.curation import (
+        PERIOD_LAGS,
+        mm_payload_periodicity_probe,
+    )
+
+    rec = "ab3Z"  # 4-byte record repeated: perfect lag-4 correlation
+    structured = rec * 50
+    texts = [structured, structured, structured]  # docs 0,1,2 -> all media
+    _write_docs(tmp_path, texts, ["s0", "s1", "s2"])
+    got = {(r["media_type"], r["lag"]): r["autocorr_r6"]
+           for r in mm_payload_periodicity_probe(
+               spark, str(tmp_path)).collect()}
+    for m in ("image", "audio", "video"):
+        assert got[(m, 4)] > 0.99
+        assert got[(m, 8)] > 0.99
+        assert got[(m, 2)] < 0.9
+
+    def brute(payload: bytes, lag: int) -> float:
+        xs = list(payload[:-lag])
+        ys = list(payload[lag:])
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        return (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+
+    for lag in PERIOD_LAGS:
+        assert abs(got[("image", lag)]
+                   - brute(structured.encode(), lag)) < 1e-6
+
+
+def test_weekend_mix_ztest_brute(spark):
+    import math
+
+    from spark_dba_spark.operators.curation import stats_weekend_mix_ztest
+
+    per: dict = {}
+    for _, us, _, et, _ in _events_rows():
+        wk = ((us // 86_400_000_000) + 3) % 7 >= 5
+        n, x = per.get(et, (0, 0))
+        per[et] = (n + 1, x + wk)
+    nt = sum(n for n, _ in per.values())
+    xt = sum(x for _, x in per.values())
+    got = {r["event_type"]: r
+           for r in stats_weekend_mix_ztest(spark, SF_DIR).collect()}
+    for et, (n1, x1) in per.items():
+        p1, p2 = x1 / n1, (xt - x1) / (nt - n1)
+        pp = xt / nt
+        z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / (nt - n1)))
+        r = got[et]
+        assert (r["n_events"], r["n_weekend"]) == (n1, x1)
+        assert abs(r["z_r6"] - z) < 1e-6
+    # the z-stats of a complete partition roughly balance around zero
+    assert min(r["z_r6"] for r in got.values()) < 0 < max(
+        r["z_r6"] for r in got.values()
+    ) or all(abs(r["z_r6"]) < 2 for r in got.values())
+
+
+def test_twonn_matches_numpy_brute_and_planted_manifold(spark, tmp_path):
+    import math
+
+    import numpy as np
+
+    from spark_dba_spark.operators.curation import (
+        TWONN_PROBES,
+        emb_intrinsic_dim_twonn,
+    )
+
+    q = np.array(
+        [[int(float(x) * 1048576.0) for x in emb]
+         for emb, _ in _emb_rows()],
+        dtype=np.int64,
+    )
+    s = 0.0
+    n_probes = 0
+    for pid in range(min(TWONN_PROBES, len(q))):
+        d2 = ((q - q[pid]) ** 2).sum(axis=1)
+        d2[pid] = -1
+        pos = sorted(d for d in d2 if d > 0)
+        d1, d2_ = pos[0], pos[1]
+        s += round(math.log(d2_ / d1) / 2.0, 9)
+        n_probes += 1
+    r = emb_intrinsic_dim_twonn(spark, SF_DIR).collect()[0]
+    assert r["n_probes"] == n_probes
+    assert abs(r["sum_log_ratio_r6"] - s) < 1e-5
+    assert abs(r["intrinsic_dim_r6"] - n_probes / s) < 1e-2
+    # uniform-random 64-dim: estimate must be high-dimensional
+    assert r["intrinsic_dim_r6"] > 20
+
+    # planted 2-dim manifold embedded in 64 dims: estimate near 2
+    rng = np.random.RandomState(3)
+    uv = rng.uniform(-1, 1, (300, 2))
+    basis = np.zeros((2, 64))
+    basis[0, 0] = 1.0
+    basis[1, 1] = 1.0
+    _write_embeddings(tmp_path, uv @ basis)
+    r2 = emb_intrinsic_dim_twonn(spark, str(tmp_path)).collect()[0]
+    assert 1.0 < r2["intrinsic_dim_r6"] < 4.0, r2
