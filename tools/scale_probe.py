@@ -258,6 +258,10 @@ QUERIES = [
     "ev_attribution_window_sweep",  # attribution sensitivity (r13f)
     "corpus_dup_quality_crosstab",  # dup x quality cross-tab (r13f)
     "ev_zipf_user_activity",     # user-activity Zipf fit (r13f new)
+    "corpus_pack_efficiency_by_window",  # context-length sizing (r13g)
+    "mm_payload_periodicity_probe",  # byte-lag autocorr probe (r13g)
+    "stats_weekend_mix_ztest",   # weekend-mix two-prop z (r13g new)
+    "emb_intrinsic_dim_twonn",   # TwoNN intrinsic dim (r13g new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
