@@ -8301,28 +8301,93 @@ def emb_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid distances make ln(r2/r1) = ln(d2q/d1q)/2 with exact integer
     inputs; each term is 9dp-rounded into the house decimal sum.
 
-    Scale: broadcast the {TWONN_PROBES}-row probe set against the
-    corpus scan (the broadcast-probe kNN posture) — probes×corpus
-    pairs, top-2 per probe via a probe-partitioned window; no corpus²
-    term anywhere."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.expr(_EMB_Q_SQL).alias("q")
+    Scale (the r13 VERDICT fix): the probe set is collected (bounded:
+    <= {TWONN_PROBES} rows by construction) and broadcast as a numpy
+    matrix into the house Arrow GEMM scorer (the sim_cosine_topk
+    posture); every Arrow batch emits only its LOCAL top-2 squared
+    distances per probe, so the shuffle carries {TWONN_PROBES}·2 rows
+    per batch instead of {TWONN_PROBES}·corpus, and the final top-2
+    window sorts bounded groups (2·n_batches rows per probe) instead
+    of 256 corpus-sized partitions. Multiset two-smallest is
+    batch-decomposable, so the readout is bit-identical to the
+    all-pairs form. Distances stay EXACT in float64 BLAS: grid values
+    < 2^21, so every term of |e|² + |p|² − 2e·p is an integer < 2^47
+    and each intermediate stays below 2^53."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = _emb(spark, sf_dir)
+    probe_rows = (
+        emb.filter(F.col("vec_id") < TWONN_PROBES)
+        .select("vec_id", "embedding")
+        .collect()  # bounded by the TWONN_PROBES constant
     )
-    probes = emb.filter(F.col("vec_id") < TWONN_PROBES).select(
-        F.col("vec_id").alias("pid"), F.col("q").alias("pq")
+    pids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    pq = (
+        np.trunc(
+            np.array(
+                [r["embedding"] for r in probe_rows], dtype=np.float64
+            )
+            * 1048576.0
+        )
+        if probe_rows
+        else np.zeros((0, 1))
+    )  # the canonical 2^-20 grid (_EMB_Q_SQL), exact in float64
+    pn = (pq * pq).sum(axis=1)
+    bc = spark.sparkContext.broadcast((pids, pq, pn))
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("pid", T.LongType()),
+            T.StructField("d2", T.LongType()),
+        ]
     )
-    pairs = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("pid")
-    ).select(
-        "pid",
-        "vec_id",
-        F.expr(
-            "aggregate(zip_with(q, pq, (x, y) -> (x - y) * (x - y)),"
-            " cast(0 as bigint), (acc, v) -> acc + v)"
-        ).alias("d2"),
-    ).filter(F.col("d2") > 0)  # exact duplicates break the ratio
-    w = W.partitionBy("pid").orderBy("d2", "vec_id")
+
+    def local_top2(batches):
+        bpids, bpq, bpn = bc.value
+        for pdf in batches:
+            if not len(pdf) or not len(bpids):
+                continue
+            m = np.trunc(
+                np.array(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in pdf["embedding"]
+                    ]
+                )
+                * 1048576.0
+            )
+            vids = pdf["vec_id"].to_numpy()
+            en = (m * m).sum(axis=1)
+            d2 = en[:, None] + bpn[None, :] - 2.0 * (m @ bpq.T)
+            d2[vids[:, None] == bpids[None, :]] = np.inf  # self-pairs
+            d2[d2 <= 0.0] = np.inf  # exact duplicates break the ratio
+            k = min(2, d2.shape[0])
+            vals = np.partition(d2, k - 1, axis=0)[:k].reshape(-1)
+            pid_col = np.tile(bpids, k)
+            keep = np.isfinite(vals)
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "pid": pid_col[keep],
+                    "d2": vals[keep].astype(np.int64),
+                }
+            )
+
+    cand = (
+        emb.select("vec_id", "embedding")
+        # the _docs_par insurance rule: the fixture corpus is ONE
+        # parquet split, so the GEMM otherwise runs as a single task;
+        # at real scale the scan has thousands of splits and this is
+        # one bounded shuffle of the raw vectors
+        .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+        .mapInPandas(local_top2, cand_schema)
+    )
+    w = W.partitionBy("pid").orderBy("d2")
     top2 = (
-        pairs.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 2)
         .groupBy("pid")
         .agg(

@@ -703,13 +703,56 @@ FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 550 ORDER BY l_suppkey
 """
 
 
+HLL_RSD = 0.02  # approx_count_distinct relative standard deviation
+HLL_BAND = 0.10  # certificate band: 5·rsd
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # HLL sketches differ across engines — registered rows-only (no oracle);
-    # the pytest suite checks the estimate against the exact count instead.
+    """HLL++ distinct-count sketch with a deterministic error-band
+    certificate (retires the r13 VERDICT "no oracle" row via the
+    sketch_grid_quantile_error / decontaminate_bloom precedent).
+
+    The raw estimate can never carry a cross-engine value hash — DuckDB's
+    approx_count_distinct is a different HLL implementation — but it IS
+    deterministic GIVEN the data: Spark's HyperLogLogPlusPlus buffer is a
+    dense register array merged by elementwise MAX (commutative,
+    idempotent), so the estimate is partition- and merge-order
+    independent. The op therefore emits the exact count next to a
+    certificate that the live sketch lands within ±HLL_BAND (5·rsd) of
+    exact, and the oracle emits the verdict the sketch contract promises.
+    Epistemics: unlike the GK rank certificate this is a measured bound,
+    not a theorem (HLL's ±2σ is probabilistic) — it is verified at all
+    three fixture SFs and additionally pinned by
+    test_approx_distinct_close_to_exact.
+
+    Scale: one groupBy carrying both the mergeable sketch and the exact
+    distinct (the expensive exact side exists only to AUDIT the sketch;
+    a production read keeps the sketch alone)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders")
-    ).orderBy("l_returnflag")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", HLL_RSD).alias("est"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_exact"),
+        )
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                <= F.lit(HLL_BAND) * F.col("n_exact")
+            ).alias("hll_band_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+       TRUE AS hll_band_ok
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2425,12 +2468,26 @@ APPROX_PCT_ACCURACY = 10_000
 
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per group via percentile_approx (Greenwald-
-    Khanna sketch): rank error bounded by n/accuracy, mergeable across
-    partitions — the scale path when exact percentiles' full sort per
-    group is too expensive. Rows-only check; the exact-twin tolerance
-    pytest bounds the error against the exact percentiles."""
+    Khanna sketch) with a THEOREM-BACKED rank certificate (retires the
+    r13 VERDICT "no oracle" row). GK summaries are partition-merge-order
+    dependent, so the raw estimates can never carry a cross-engine value
+    hash — but the GK CONTRACT is deterministic: the returned value is an
+    actual data element whose rank sits within ±n/accuracy of the target
+    q·n. The op runs the live sketch, counts the returned value's exact
+    rank interval [count(<v)+1, count(<=v)] against the padded target
+    window [q·n − n/acc − 1, q·n + n/acc + 1] (the ±1 absorbs the
+    engine's rank-rounding convention), and emits the per-quantile
+    certificate booleans; the oracle emits the constants the theorem
+    promises (the decontaminate_bloom 'by theorem' pattern). Estimate
+    closeness itself stays gated by
+    test_approx_percentiles_close_to_exact.
+
+    Scale: the sketch agg is one mergeable groupBy; the audit pass is a
+    second groupBy over the fact stream joined to the broadcast 3-row
+    sketch output (the exact side exists only to AUDIT the sketch — a
+    production read keeps the sketch alone)."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    approx = (
         li.groupBy("l_returnflag")
         .agg(
             F.percentile_approx(
@@ -2439,12 +2496,52 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag",
-            F.col("p").getItem(0).alias("p50"),
-            F.col("p").getItem(1).alias("p90"),
-            F.col("p").getItem(2).alias("p99"),
+            F.col("p").getItem(0).alias("v50"),
+            F.col("p").getItem(1).alias("v90"),
+            F.col("p").getItem(2).alias("v99"),
         )
-        .orderBy("l_returnflag")
     )
+    audited = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            *[
+                agg
+                for q in (50, 90, 99)
+                for agg in (
+                    F.sum(
+                        (F.col("l_extendedprice") < F.col(f"v{q}"))
+                        .cast("long")
+                    ).alias(f"lt{q}"),
+                    F.sum(
+                        (F.col("l_extendedprice") <= F.col(f"v{q}"))
+                        .cast("long")
+                    ).alias(f"le{q}"),
+                )
+            ],
+        )
+    )
+    certs = [
+        F.expr(
+            f"lt{q} + 1 <= ({q} * n + 99) div 100"
+            f" + n div {APPROX_PCT_ACCURACY} + 1"
+            f" and le{q} >= ({q} * n) div 100"
+            f" - n div {APPROX_PCT_ACCURACY} - 1"
+        ).alias(f"p{q}_rank_ok")
+        for q in (50, 90, 99)
+    ]
+    return audited.select("l_returnflag", "n", *certs).orderBy(
+        "l_returnflag"
+    )
+
+
+ORACLE_APPROX_PERCENTILES = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
 
 
 FUZZY_MAX_DIST = 4
@@ -6424,13 +6521,14 @@ SPECS = [
     QuerySpec("agg_cube", agg_cube, ORACLE_AGG_CUBE, ("agg",)),
     QuerySpec("agg_grouping_sets", agg_grouping_sets, ORACLE_AGG_GSETS, ("agg",)),
     QuerySpec("agg_having", agg_having, ORACLE_AGG_HAVING, ("agg",)),
-    QuerySpec("agg_approx_distinct", agg_approx_distinct, None,
-              ("agg", "sketch"),
-              doc="approx_count_distinct HLL++ (PERMANENTLY rows-only: "
-                  "the estimate is a deterministic function of the input "
-                  "set but its register/bias-table arithmetic is not "
-                  "reproducible in SQL; gate = test_approx_distinct_"
-                  "close_to_exact, 2% band)"),
+    QuerySpec("agg_approx_distinct", agg_approx_distinct,
+              ORACLE_APPROX_DISTINCT, ("agg", "sketch"),
+              doc="approx_count_distinct HLL++ with a full-oracle 5-rsd "
+                  "error-band certificate (register-max merge makes the "
+                  "estimate merge-order independent, so the band verdict "
+                  "is deterministic given the data; raw-estimate "
+                  "closeness stays gated by test_approx_distinct_"
+                  "close_to_exact)"),
     QuerySpec("window_topk_per_group", window_topk_per_group, ORACLE_WIN_TOPK,
               ("window",), bench=True),
     QuerySpec("window_topk_with_ties", window_topk_with_ties,
@@ -6551,12 +6649,14 @@ SPECS = [
                   "value-hash oracle; est >= exact by the CMS "
                   "guarantee, 2%-tolerance pytest-gated)"),
     QuerySpec("agg_approx_percentiles", agg_approx_percentiles,
-              None, ("agg", "sketch", "percentile"),
-              doc="percentile_approx GK sketch per group (PERMANENTLY "
-                  "rows-only: Greenwald-Khanna summaries are partition-"
-                  "merge-order dependent, so even a Spark-twin CTE "
-                  "cannot pin values; gate = test_approx_percentiles_"
-                  "close_to_exact, 2% band vs exact percentiles)"),
+              ORACLE_APPROX_PERCENTILES, ("agg", "sketch", "percentile"),
+              doc="percentile_approx GK sketch per group with a full-"
+                  "oracle THEOREM-BACKED rank certificate (the returned "
+                  "value's exact rank interval must hit the ±n/accuracy "
+                  "GK window — deterministic even though the GK summary "
+                  "itself is merge-order dependent; raw-estimate "
+                  "closeness stays gated by test_approx_percentiles_"
+                  "close_to_exact)"),
     QuerySpec("unpivot_metrics", unpivot_metrics, ORACLE_UNPIVOT,
               ("reshape", "agg"),
               doc="unpivot/melt wide measures → long + per-metric agg"),

@@ -134,6 +134,34 @@ def _probe_chunks(df, chunk: int | None = None, normalize: bool = True):
 # Brute-force cosine top-k (query set broadcast, corpus distributed)
 # --------------------------------------------------------------------------
 
+def _local_topk_frame(qids, vids, scores, score_name):
+    """Per-batch exact top-k per query under (score DESC, vec_id ASC) —
+    the SAME total order as the final rank window, so any global winner
+    is a local winner inside its own batch and survives the cut (the
+    r13 VERDICT shuffle reduction: the scored stream shrinks from
+    n·n_queries rows to TOP_K·n_queries per Arrow batch). Self-matches
+    are masked BEFORE the cut so they can never crowd a winner out of
+    the local top-k."""
+    frames = []
+    for j, qid in enumerate(qids):
+        s = scores[:, j].copy()
+        s[vids == qid] = -np.inf
+        order = np.lexsort((vids, -s))[:TOP_K]
+        order = order[np.isfinite(s[order])]
+        if not len(order):
+            continue
+        frames.append(
+            pd.DataFrame(
+                {
+                    "qid": np.full(len(order), qid, dtype=np.int64),
+                    "vec_id": vids[order],
+                    score_name: s[order],
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True) if frames else None
+
+
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
@@ -153,17 +181,16 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         def score(batches, _bc=bc):
             bqids, bqn = _bc.value
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 m = _to_matrix(pdf["embedding"])
                 mn = m / np.linalg.norm(m, axis=1, keepdims=True)
                 sims = mn @ bqn.T  # (batch, n_queries)
-                n, nq = sims.shape
-                yield pd.DataFrame(
-                    {
-                        "qid": np.repeat(bqids, n),
-                        "vec_id": np.tile(pdf["vec_id"].to_numpy(), nq),
-                        "sim": sims.T.reshape(-1),
-                    }
+                out = _local_topk_frame(
+                    bqids, pdf["vec_id"].to_numpy(), sims, "sim"
                 )
+                if out is not None:
+                    yield out
 
         chunks.append(
             emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
@@ -208,16 +235,15 @@ def sim_mips_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
         def score(batches, _bc=bc):
             bqids, bqm = _bc.value
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 m = _to_matrix(pdf["embedding"])
                 dots = m @ bqm.T  # (batch, n_queries)
-                n, nq = dots.shape
-                yield pd.DataFrame(
-                    {
-                        "qid": np.repeat(bqids, n),
-                        "vec_id": np.tile(pdf["vec_id"].to_numpy(), nq),
-                        "dot": dots.T.reshape(-1),
-                    }
+                out = _local_topk_frame(
+                    bqids, pdf["vec_id"].to_numpy(), dots, "dot"
                 )
+                if out is not None:
+                    yield out
 
         chunks.append(
             emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
