@@ -6798,7 +6798,11 @@ def ev_error_rate_by_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.
 
     Scale: one hour-grain agg (calendar-bounded: ~720 rows/month), one
-    global rank window JUSTIFIED by that bound, one 10-row rollup."""
+    global rank window JUSTIFIED by that bound, one 10-row rollup.
+    The decile rollup lives in ``assemble_error_rate_by_load`` —
+    shared with ``streaming.jobs.run_error_rate_by_load_stream``
+    (hour-grain complete-mode stream; stream == batch pytest-pinned),
+    so the oracle gating this form transitively gates the stream."""
     ev = _events(spark, sf_dir).select(
         F.expr(f"({_US}) div 3600000000").alias("hr"),
         (F.col("event_type") == "error").cast("long").alias("is_err"),
@@ -6807,6 +6811,15 @@ def ev_error_rate_by_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.sum("is_err").cast("long").alias("n_errors"),
     )
+    return assemble_error_rate_by_load(hours)
+
+
+def assemble_error_rate_by_load(hours: DataFrame) -> DataFrame:
+    """Decile rollup over the (hr, n_events, n_errors) HOUR-GRAIN frame
+    — the shared contract between the batch op and its streaming twin
+    (the run_chunk_cdc_stream two-grain assembly rule: the stream holds
+    only the bounded hour grain; everything below runs on ≤ feed-hours
+    rows)."""
     wr = W.orderBy("n_events", "hr")
     ranked = hours.withColumn("rn", F.row_number().over(wr)).withColumn(
         "n_hours", F.count("*").over(W.partitionBy())
@@ -8451,6 +8464,1164 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# Batch N (r14): PVM revenue bridge, jackknife influence, MDE power
+# analysis, hour-of-day seasonality strength, sequence pattern match,
+# prefix-hash audit, prefix-dim recall, probe hubness, LSH band planner,
+# dedup method confusion
+# --------------------------------------------------------------------------
+
+PVM_Y1, PVM_Y2 = 1996, 1997
+
+
+def orders_pvm_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge per brand between two years — the
+    FP&A decomposition behind every "why did revenue move" review:
+    ΔRev = price effect (P₂−P₁)·Q₂ + volume effect P₁·(Q₂−Q₁) with
+    P = rev/qty the average realized unit price. The two effects
+    telescope to the exact delta (P₂Q₂ − P₁Q₂ + P₁Q₂ − P₁Q₁), so the
+    readout is self-auditing (±1 cent from the half-up cent rounding).
+    Everything is integer: gross revenue in cents, unit quantities, and
+    the effects as half-up WHOLE CENTS — money does not need 6dp, and
+    the cent form keeps the largest intermediate at rev·qty (~1e17 at
+    sf0.1; a 6dp rational would ×2e6 that and overflow BIGINT). At
+    warehouse scale the intermediate would move to DECIMAL(38,0) — the
+    cent semantics are unchanged.
+
+    Scale: one broadcast join to the part dimension for brand, one
+    (brand)-keyed agg with conditional year masks — the fact stream
+    crosses the wire once; everything after is brand-grain arithmetic."""
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("year(l_shipdate)").alias("yr"),
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5d) as bigint)")
+        .alias("cents"),
+        F.expr("cast(floor(l_quantity + 0.5d) as bigint)").alias("qty"),
+    ).filter(F.col("yr").isin(PVM_Y1, PVM_Y2))
+    part = catalog.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    g = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("yr") == PVM_Y1, F.col("cents")).otherwise(0))
+            .cast("long").alias("rev1"),
+            F.sum(F.when(F.col("yr") == PVM_Y2, F.col("cents")).otherwise(0))
+            .cast("long").alias("rev2"),
+            F.sum(F.when(F.col("yr") == PVM_Y1, F.col("qty")).otherwise(0))
+            .cast("long").alias("q1"),
+            F.sum(F.when(F.col("yr") == PVM_Y2, F.col("qty")).otherwise(0))
+            .cast("long").alias("q2"),
+        )
+    )
+    # half-up cents of rev1*q2/q1 (numerator >= 0) and of the signed
+    # volume term rev1*(q2-q1)/q1
+    p1q2 = "((2 * rev1 * q2 + q1) div (2 * q1))"
+    volq = "((2 * rev1 * abs(q2 - q1) + q1) div (2 * q1))"
+    return g.select(
+        "p_brand",
+        F.col("q1").alias("qty_y1"),
+        F.col("q2").alias("qty_y2"),
+        F.col("rev1").alias("rev_y1_cents"),
+        F.col("rev2").alias("rev_y2_cents"),
+        (F.col("rev2") - F.col("rev1")).alias("delta_cents"),
+        F.expr(f"case when q1 > 0 then rev2 - {p1q2} end")
+        .alias("price_effect_cents"),
+        F.expr(
+            f"case when q1 > 0 then"
+            f" case when q2 >= q1 then {volq} else -{volq} end end"
+        ).alias("volume_effect_cents"),
+    ).orderBy("p_brand")
+
+
+ORACLE_PVM = f"""
+WITH li AS (
+  SELECT l_partkey, year(l_shipdate) AS yr,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+  FROM lineitem WHERE year(l_shipdate) IN ({PVM_Y1}, {PVM_Y2})),
+g AS (
+  SELECT p_brand,
+         CAST(SUM(CASE WHEN yr = {PVM_Y1} THEN cents ELSE 0 END) AS BIGINT)
+           AS rev1,
+         CAST(SUM(CASE WHEN yr = {PVM_Y2} THEN cents ELSE 0 END) AS BIGINT)
+           AS rev2,
+         CAST(SUM(CASE WHEN yr = {PVM_Y1} THEN qty ELSE 0 END) AS BIGINT)
+           AS q1,
+         CAST(SUM(CASE WHEN yr = {PVM_Y2} THEN qty ELSE 0 END) AS BIGINT)
+           AS q2
+  FROM li JOIN part ON l_partkey = p_partkey GROUP BY 1)
+SELECT p_brand, q1 AS qty_y1, q2 AS qty_y2,
+       rev1 AS rev_y1_cents, rev2 AS rev_y2_cents,
+       rev2 - rev1 AS delta_cents,
+       CASE WHEN q1 > 0 THEN
+         rev2 - ((2 * rev1 * q2 + q1) // (2 * q1))
+       END AS price_effect_cents,
+       CASE WHEN q1 > 0 THEN
+         CASE WHEN q2 >= q1
+              THEN ((2 * rev1 * abs(q2 - q1) + q1) // (2 * q1))
+              ELSE -((2 * rev1 * abs(q2 - q1) + q1) // (2 * q1)) END
+       END AS volume_effect_cents
+FROM g ORDER BY p_brand
+"""
+
+
+def stats_jackknife_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-nation jackknife influence on the global mean order
+    value — the robustness diagnostic behind any headline average:
+    re-estimate the mean with each nation's orders removed and report
+    how far the leave-one-out estimate moves (a nation with outsized
+    influence is a concentration risk, and the spread of the LOO
+    estimates is the jackknife variance). Exact integer group sums; the
+    global and LOO means are exact half-up rationals at 6dp, and the
+    influence is their difference (one IEEE subtraction of two exact
+    1e-6 multiples — deterministic; the direct cross-multiplied form
+    s_i·N − n_i·S overflows BIGINT already at sf0.01), so the full
+    table carries a value hash.
+
+    Scale: one orders→customer broadcast join, one nation-grain agg
+    (≤25 rows), totals broadcast back — the fact stream crosses the
+    wire once and the jackknife itself is dimension-grain arithmetic,
+    never a second pass."""
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+        .alias("cents"),
+    )
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = catalog.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    per = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_i"),
+            F.sum("cents").cast("long").alias("s_i"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_i").cast("long").alias("nn"),
+        F.sum("s_i").cast("long").alias("ss"),
+    )
+    g_mean = rat_round6_spark("ss", "nn")
+    loo = rat_round6_spark("ss - s_i", "nn - n_i")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            F.col("n_i").alias("n_orders"),
+            F.col("s_i").alias("sum_cents"),
+            F.expr(rat_round6_spark("s_i", "n_i")).alias("mean_cents_r6"),
+            F.expr(g_mean).alias("global_mean_cents_r6"),
+            F.expr(f"case when nn > n_i then {loo} end")
+            .alias("loo_mean_cents_r6"),
+            F.expr(
+                f"case when nn > n_i then"
+                f" round({g_mean} - {loo}, 6) end"
+            ).alias("influence_cents_r6"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_JACKKNIFE = f"""
+WITH per AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS s_i
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS nn, CAST(SUM(s_i) AS BIGINT) AS ss
+  FROM per)
+SELECT n_name, n_i AS n_orders, s_i AS sum_cents,
+       {rat_round6_duck("s_i", "n_i")} AS mean_cents_r6,
+       {rat_round6_duck("ss", "nn")} AS global_mean_cents_r6,
+       CASE WHEN nn > n_i THEN
+         {rat_round6_duck("ss - s_i", "nn - n_i")}
+       END AS loo_mean_cents_r6,
+       CASE WHEN nn > n_i THEN
+         ROUND({rat_round6_duck("ss", "nn")}
+               - {rat_round6_duck("ss - s_i", "nn - n_i")}, 6)
+       END AS influence_cents_r6
+FROM per CROSS JOIN tot ORDER BY n_name
+"""
+
+
+# z constants: Φ⁻¹(0.975) and Φ⁻¹(0.80) — the 5%-two-sided / 80%-power
+# design point every experimentation platform defaults to.
+MDE_Z_ALPHA = 1.959964
+MDE_Z_POWER = 0.841621
+
+
+def stats_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-detectable-effect readout for the production A/B split
+    (stats_ab_test's md5 arm assignment and conversion definition): at
+    the 5%-two-sided / 80%-power design point, the smallest absolute
+    (and relative) rate difference the CURRENT sample sizes can detect
+    — the go/no-go companion every experiment review asks for next to
+    the z readout ("is this test even powered?"). Counts are exact
+    integers; rates are exact rationals; the MDE is one sqrt readout of
+    a deterministic rational (identical expression both engines — the
+    stats_weekend_mix_ztest Class B discipline) and `powered` compares
+    the observed |Δ| against it.
+
+    Scale: one user-grain dedup + a 2-row arm agg — the fact stream
+    crosses the wire once; the power math is constant-size."""
+    from .temporal import AB_CONV_VALUE, AB_SALT
+
+    ev = _events(spark, sf_dir)
+    users = (
+        ev.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > AB_CONV_VALUE),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn(
+            "arm_a",
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(user_id as string), "
+                f"':{AB_SALT}')), 1, 7), 16, 10) as bigint) % 2 = 0"
+            ),
+        )
+    )
+    g = users.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm_a"), F.col("converted")).otherwise(0))
+        .cast("long").alias("conv_a"),
+        F.sum(F.when(~F.col("arm_a"), F.col("converted")).otherwise(0))
+        .cast("long").alias("conv_b"),
+    )
+    pb = "(cast(conv_a + conv_b as double) / cast(n_a + n_b as double))"
+    mde = (
+        f"({MDE_Z_ALPHA} + {MDE_Z_POWER})"
+        f" * sqrt({pb} * (1.0d - {pb})"
+        f" * (1.0d / n_a + 1.0d / n_b))"
+    )
+    dlt = (
+        "abs(cast(conv_a as double) / cast(n_a as double)"
+        " - cast(conv_b as double) / cast(n_b as double))"
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr(rat_round6_spark("conv_a", "n_a")).alias("rate_a_r6"),
+        F.expr(rat_round6_spark("conv_b", "n_b")).alias("rate_b_r6"),
+        F.expr(
+            f"case when n_a > 0 and n_b > 0 and conv_a + conv_b > 0"
+            f" and conv_a + conv_b < n_a + n_b"
+            f" then round({mde}, 6) end"
+        ).alias("mde_abs_r6"),
+        F.expr(
+            f"case when n_a > 0 and n_b > 0 and conv_a + conv_b > 0"
+            f" and conv_a + conv_b < n_a + n_b"
+            f" then round({mde} / {pb}, 6) end"
+        ).alias("mde_rel_r6"),
+        F.expr(
+            f"case when n_a > 0 and n_b > 0 and conv_a + conv_b > 0"
+            f" and conv_a + conv_b < n_a + n_b"
+            f" then {dlt} >= {mde} end"
+        ).alias("powered"),
+    )
+
+
+def _oracle_mde() -> str:
+    pb = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    mde = (
+        f"({MDE_Z_ALPHA} + {MDE_Z_POWER})"
+        f" * sqrt({pb} * (1.0 - {pb})"
+        f" * (1.0 / n_a + 1.0 / n_b))"
+    )
+    dlt = (
+        "abs(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    )
+    guard = (
+        "n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0"
+        " AND conv_a + conv_b < n_a + n_b"
+    )
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > __CONV__
+                  THEN 1 ELSE 0 END) AS converted,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':__SALT__'),
+              1, 7) AS BIGINT) % 2 = 0 AS arm_a
+  FROM events GROUP BY user_id),
+g AS (
+  SELECT CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm_a THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(SUM(CASE WHEN NOT arm_a THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM users)
+SELECT n_a, n_b, conv_a, conv_b,
+       {rat_round6_duck("conv_a", "n_a")} AS rate_a_r6,
+       {rat_round6_duck("conv_b", "n_b")} AS rate_b_r6,
+       CASE WHEN {guard} THEN ROUND({mde}, 6) END AS mde_abs_r6,
+       CASE WHEN {guard} THEN ROUND({mde} / {pb}, 6) END AS mde_rel_r6,
+       CASE WHEN {guard} THEN {dlt} >= {mde} END AS powered
+FROM g
+"""
+
+
+def _finish_oracle_mde() -> str:
+    from .temporal import AB_CONV_VALUE, AB_SALT
+
+    return (
+        _oracle_mde()
+        .replace("__CONV__", str(AB_CONV_VALUE))
+        .replace("__SALT__", str(AB_SALT))
+    )
+
+
+ORACLE_MDE = _finish_oracle_mde()
+
+
+def ev_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength per event type: η² — the share
+    of (date, hour)-cell count variance explained by the hour-of-day
+    factor — the single number that says whether a type's traffic is
+    clock-driven (capacity planning keys off it) or flat. Cells are
+    exact integer counts on TZ-proof epoch arithmetic; the per-hour
+    between-group terms T_h²/m_h enter the house round-9 → DECIMAL sum,
+    and the readout is one deterministic double expression (the
+    stats_weekend_mix_ztest Class B discipline).
+
+    Scale: one (type, day, hour) map-side-combinable agg, one 24-row
+    hour rollup per type — the fact stream never enters a window."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr(f"({_US}) div 86400000000").alias("day"),
+        F.expr(f"(({_US}) div 3600000000) % 24").alias("hod"),
+    )
+    cells = ev.groupBy("event_type", "day", "hod").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    hours = cells.groupBy("event_type", "hod").agg(
+        F.count("*").cast("long").alias("m_h"),
+        F.sum("x").cast("long").alias("t_h"),
+        F.sum(F.expr("x * x")).cast("long").alias("q_h"),
+    )
+    per = hours.groupBy("event_type").agg(
+        F.sum("m_h").cast("long").alias("n_cells"),
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("t_h").cast("long").alias("t"),
+        F.sum("q_h").cast("long").alias("q"),
+        F.sum(
+            F.round(
+                F.expr("cast(t_h as double) * cast(t_h as double)"
+                       " / cast(m_h as double)"),
+                9,
+            ).cast("decimal(38,9)")
+        ).alias("b"),
+    )
+    corr = "cast(t as double) * cast(t as double) / cast(n_cells as double)"
+    eta2 = (
+        f"(cast(b as double) - {corr})"
+        f" / (cast(q as double) - {corr})"
+    )
+    return per.select(
+        "event_type",
+        "n_cells",
+        "n_hours",
+        F.expr(
+            f"case when cast(q as double) > {corr}"
+            f" then round({eta2}, 6) end"
+        ).alias("eta2_r6"),
+    ).orderBy("event_type")
+
+
+ORACLE_SEASONALITY = f"""
+WITH ev AS (
+  SELECT event_type,
+         ({_US_DUCK}) // 86400000000 AS day,
+         (({_US_DUCK}) // 3600000000) % 24 AS hod
+  FROM events),
+cells AS (
+  SELECT event_type, day, hod, CAST(COUNT(*) AS BIGINT) AS x
+  FROM ev GROUP BY 1, 2, 3),
+hours AS (
+  SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS m_h,
+         CAST(SUM(x) AS BIGINT) AS t_h,
+         CAST(SUM(x * x) AS BIGINT) AS q_h
+  FROM cells GROUP BY 1, 2),
+per AS (
+  SELECT event_type, CAST(SUM(m_h) AS BIGINT) AS n_cells,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(t_h) AS BIGINT) AS t, CAST(SUM(q_h) AS BIGINT) AS q,
+         SUM(CAST(ROUND(CAST(t_h AS DOUBLE) * CAST(t_h AS DOUBLE)
+                        / CAST(m_h AS DOUBLE), 9) AS DECIMAL(38,9))) AS b
+  FROM hours GROUP BY 1)
+SELECT event_type, n_cells, n_hours,
+       CASE WHEN CAST(q AS DOUBLE)
+              > CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                / CAST(n_cells AS DOUBLE) THEN
+         ROUND((CAST(b AS DOUBLE)
+                - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                  / CAST(n_cells AS DOUBLE))
+               / (CAST(q AS DOUBLE)
+                  - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                    / CAST(n_cells AS DOUBLE)), 6)
+       END AS eta2_r6
+FROM per ORDER BY event_type
+"""
+
+
+SEQ_CAP = 512  # first events per user entering the pattern string
+# (name, regex) — Java∩RE2 subset only (classes + bounded reps, no
+# backslash classes / lookaround), so both engines compile identically
+SEQ_PATTERNS = (
+    ("double_error", "ee"),
+    ("error_then_purchase", "e[cv]{0,3}p"),
+    ("signup_to_purchase", "s[cv]*p"),
+)
+
+
+def ev_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection (the SQL:2016
+    surface Spark lacks): each user's time-ordered event stream becomes
+    a string of type initials (c/e/p/s/v) and a fixed pattern library
+    runs as regexes over it — double errors, error→purchase recovery
+    within ≤3 browse events, signup→purchase conversion. Left-to-right
+    non-overlapping match counts are identical under Java and RE2 for
+    this pattern subset, so the table is fully value-hashed.
+
+    Scale: one user-keyed window caps each sequence at {SEQ_CAP} events
+    (bot-proof bounded state — the per-user string is ≤{SEQ_CAP} chars
+    by construction), then a map-side regex pass and a
+    patterns-alphabet-bounded agg. The fact stream shuffles once."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr(_US).alias("us"),
+        "event_id",
+        F.expr("substring(event_type, 1, 1)").alias("ch"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    seq = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SEQ_CAP)
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(rn, ch))), x -> x.ch), '')"
+            ).alias("s")
+        )
+    )
+    per_pat = [
+        seq.select(
+            F.lit(name).alias("pattern"),
+            F.regexp_count(F.col("s"), F.lit(pat)).cast("long").alias("c"),
+        )
+        for name, pat in SEQ_PATTERNS
+    ]
+    allm = per_pat[0]
+    for p in per_pat[1:]:
+        allm = allm.unionByName(p)
+    return (
+        allm.groupBy("pattern")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).cast("long")
+            .alias("n_users_matched"),
+            F.sum("c").cast("long").alias("total_matches"),
+        )
+        .select(
+            "pattern",
+            "n_users",
+            "n_users_matched",
+            "total_matches",
+            F.expr(rat_round6_spark("n_users_matched", "n_users"))
+            .alias("user_match_rate_r6"),
+        )
+        .orderBy("pattern")
+    )
+
+
+def _oracle_seq_patterns() -> str:
+    vals = ", ".join(f"('{n}', '{p}')" for n, p in SEQ_PATTERNS)
+    return f"""
+WITH ev AS (
+  SELECT user_id, {_US_DUCK} AS us, event_id,
+         substr(event_type, 1, 1) AS ch
+  FROM events),
+r AS (
+  SELECT user_id, ch,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS rn
+  FROM ev),
+seq AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY rn) AS s
+  FROM r WHERE rn <= {SEQ_CAP} GROUP BY 1),
+m AS (
+  SELECT p.pattern,
+         CAST(len(regexp_extract_all(s, p.re)) AS BIGINT) AS c
+  FROM seq CROSS JOIN (VALUES {vals}) AS p(pattern, re)),
+g AS (
+  SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_users_matched,
+         CAST(SUM(c) AS BIGINT) AS total_matches
+  FROM m GROUP BY 1)
+SELECT pattern, n_users, n_users_matched, total_matches,
+       {rat_round6_duck("n_users_matched", "n_users")}
+         AS user_match_rate_r6
+FROM g ORDER BY pattern
+"""
+
+
+ORACLE_SEQ_PATTERNS = _oracle_seq_patterns()
+
+
+def mm_prefix_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint reliability audit: the asset store buckets
+    binaries by the cheap truncated-prefix fingerprint
+    (mm_dedup_fingerprint's key — at 100 TB you hash 24-byte prefixes,
+    not full payloads), and this op measures what that trade costs:
+    per media type, prefix groups vs full-payload md5 groups and the
+    FALSE-MERGE rate (prefix groups that mix >1 distinct full hash —
+    exactly the pairs a byte-level verify tier must re-check). A full
+    hash cannot span two prefix groups (same content ⇒ same prefix),
+    so Σ per-group distinct full hashes IS the full-group count.
+
+    Scale: one (media_type, prefix-hash) map-side-combined agg over the
+    payload scan, then a modality-bounded rollup."""
+    from .multimodal import _assets, asset_fingerprint
+
+    a = _assets(spark, sf_dir).select(
+        "media_type",
+        asset_fingerprint().alias("pf"),
+        F.md5("payload").alias("ff"),
+    )
+    grp = a.groupBy("media_type", "pf").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("ff").cast("long").alias("nf"),
+    )
+    return (
+        grp.groupBy("media_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_assets"),
+            F.count("*").cast("long").alias("n_prefix_groups"),
+            F.sum("nf").cast("long").alias("n_full_groups"),
+            F.sum(F.when(F.col("nf") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_false_merge_groups"),
+        )
+        .select(
+            "media_type",
+            "n_assets",
+            "n_prefix_groups",
+            "n_full_groups",
+            "n_false_merge_groups",
+            F.expr(rat_round6_spark("n_false_merge_groups",
+                                    "n_prefix_groups"))
+            .alias("false_merge_rate_r6"),
+        )
+        .orderBy("media_type")
+    )
+
+
+def _oracle_prefix_hash_audit() -> str:
+    from .multimodal import FP_PREFIX_CHARS
+
+    return f"""
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         md5(substr(text, 1, {FP_PREFIX_CHARS})) AS pf,
+         md5(text) AS ff
+  FROM documents),
+grp AS (
+  SELECT media_type, pf, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT ff) AS BIGINT) AS nf
+  FROM a GROUP BY 1, 2),
+g AS (
+  SELECT media_type, CAST(SUM(n) AS BIGINT) AS n_assets,
+         CAST(COUNT(*) AS BIGINT) AS n_prefix_groups,
+         CAST(SUM(nf) AS BIGINT) AS n_full_groups,
+         CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_merge_groups
+  FROM grp GROUP BY 1)
+SELECT media_type, n_assets, n_prefix_groups, n_full_groups,
+       n_false_merge_groups,
+       {rat_round6_duck("n_false_merge_groups", "n_prefix_groups")}
+         AS false_merge_rate_r6
+FROM g ORDER BY media_type
+"""
+
+
+ORACLE_PREFIX_HASH_AUDIT = _oracle_prefix_hash_audit()
+
+
+HUB_PROBES = 256  # probe subset for the hubness graph (vec_id < this)
+HUB_K = 5  # neighbors per probe
+
+
+def emb_probe_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness and reciprocity diagnostics over a fixed probe subset:
+    build the exact {HUB_K}-NN graph among the first {HUB_PROBES}
+    vectors (squared grid distances, vec_id tiebreak) and report, per
+    probe, its k-occurrence (how many OTHER probes list it as a
+    neighbor — the hubness curse-of-dimensionality signal: a few hubs
+    absorbing everyone's neighbor lists ruins kNN classifiers and ANN
+    recall) and how many of its own neighbors reciprocate (mutual-kNN
+    edge rate — the graph ANN-index health signal). Exact integers
+    end to end.
+
+    Scale: the graph is probe×probe by construction ({HUB_PROBES}² ≤
+    65k pairs regardless of corpus size) — a broadcast self-join, never
+    a corpus² term; the corpus enters only through the probe scan."""
+    probes = _emb(spark, sf_dir).filter(
+        F.col("vec_id") < HUB_PROBES
+    ).select("vec_id", F.expr(_EMB_Q_SQL).alias("q"))
+    a = probes.select(F.col("vec_id").alias("a"), F.col("q").alias("qa"))
+    b = probes.select(F.col("vec_id").alias("b"), F.col("q").alias("qb"))
+    pairs = a.join(F.broadcast(b), F.col("a") != F.col("b")).select(
+        "a",
+        "b",
+        F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("d2"),
+    )
+    w = W.partitionBy("a").orderBy("d2", "b")
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HUB_K)
+        .select("a", "b")
+        .localCheckpoint(eager=True)  # feeds occurrence + reciprocity
+    )
+    occ = knn.groupBy("b").agg(F.count("*").cast("long").alias("k_occ"))
+    recip = (
+        knn.join(
+            knn.select(F.col("a").alias("b"), F.col("b").alias("a")),
+            ["a", "b"],
+        )
+        .groupBy("a")
+        .agg(F.count("*").cast("long").alias("n_recip"))
+    )
+    return (
+        probes.select(F.col("vec_id").alias("pid"))
+        .join(occ.withColumnRenamed("b", "pid"), "pid", "left")
+        .join(recip.withColumnRenamed("a", "pid"), "pid", "left")
+        .select(
+            "pid",
+            F.coalesce("k_occ", F.lit(0)).cast("long").alias("k_occ"),
+            F.coalesce("n_recip", F.lit(0)).cast("long").alias("n_recip"),
+        )
+        .orderBy("pid")
+    )
+
+
+ORACLE_PROBE_HUBNESS = f"""
+WITH probes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(trunc(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id < {HUB_PROBES}),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+           i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS BIGINT) AS d2
+  FROM probes a CROSS JOIN probes b WHERE a.vec_id != b.vec_id),
+knn AS (
+  SELECT a, b FROM (
+    SELECT a, b,
+           ROW_NUMBER() OVER (PARTITION BY a ORDER BY d2, b) AS rn
+    FROM pairs)
+  WHERE rn <= {HUB_K}),
+occ AS (SELECT b AS pid, CAST(COUNT(*) AS BIGINT) AS k_occ
+        FROM knn GROUP BY 1),
+recip AS (
+  SELECT k1.a AS pid, CAST(COUNT(*) AS BIGINT) AS n_recip
+  FROM knn k1 JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a
+  GROUP BY 1)
+SELECT p.vec_id AS pid,
+       COALESCE(o.k_occ, 0) AS k_occ,
+       COALESCE(r.n_recip, 0) AS n_recip
+FROM probes p
+LEFT JOIN occ o ON p.vec_id = o.pid
+LEFT JOIN recip r ON p.vec_id = r.pid
+ORDER BY pid
+"""
+
+
+PFX_PROBES = 64  # probe queries for the prefix-dimension recall sweep
+PFX_DIMS = (8, 16, 32, 64)
+PFX_K = 10
+
+
+def emb_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/dimension-truncation recall sweep: exact top-{PFX_K}
+    neighbors of {PFX_PROBES} probe queries computed over only the
+    first 8/16/32/64 dimensions, scored as micro-averaged recall
+    against the full-dimension exact top-{PFX_K} — THE sizing table for
+    shipping truncated embeddings (emb_energy_prefix says how much
+    norm the prefix keeps; this says how much RETRIEVAL it keeps,
+    which is what actually matters). Distances are exact integers on
+    the 2^-20 grid; recall is an exact rational.
+
+    Scale: the house Arrow GEMM scorer posture — the probe matrix is
+    broadcast, every batch emits only its local top-{PFX_K} per
+    (prefix, probe) under the final window's total order (the r13
+    sim_cosine_topk reduction), so the shuffle is 4·{PFX_PROBES}·{PFX_K}
+    rows per batch and the final window sorts bounded groups. Exact in
+    float64 BLAS (integer grid values < 2^21; see TwoNN)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = _emb(spark, sf_dir)
+    probe_rows = (
+        emb.filter(F.col("vec_id") < PFX_PROBES)
+        .select("vec_id", "embedding")
+        .collect()  # bounded by the PFX_PROBES constant
+    )
+    pids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    pq = (
+        np.trunc(
+            np.array(
+                [r["embedding"] for r in probe_rows], dtype=np.float64
+            )
+            * 1048576.0
+        )
+        if probe_rows
+        else np.zeros((0, max(PFX_DIMS)))
+    )
+    bc = spark.sparkContext.broadcast((pids, pq))
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("m", T.IntegerType()),
+            T.StructField("pid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("d2", T.LongType()),
+        ]
+    )
+
+    def local_topk(batches):
+        bpids, bpq = bc.value
+        for pdf in batches:
+            if not len(pdf) or not len(bpids):
+                continue
+            full = np.trunc(
+                np.array(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in pdf["embedding"]
+                    ]
+                )
+                * 1048576.0
+            )
+            vids = pdf["vec_id"].to_numpy()
+            frames = []
+            for m in PFX_DIMS:
+                e = full[:, :m]
+                p = bpq[:, :m]
+                d2 = (
+                    (e * e).sum(axis=1)[:, None]
+                    + (p * p).sum(axis=1)[None, :]
+                    - 2.0 * (e @ p.T)
+                )
+                d2[vids[:, None] == bpids[None, :]] = np.inf
+                for j, pid in enumerate(bpids):
+                    col = d2[:, j]
+                    order = np.lexsort((vids, col))[:PFX_K]
+                    order = order[np.isfinite(col[order])]
+                    if not len(order):
+                        continue
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "m": np.full(len(order), m,
+                                             dtype=np.int32),
+                                "pid": np.full(len(order), pid,
+                                               dtype=np.int64),
+                                "vec_id": vids[order],
+                                "d2": col[order].astype(np.int64),
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = (
+        emb.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism,
+                     F.col("vec_id"))  # the _docs_par insurance rule
+        .mapInPandas(local_topk, cand_schema)
+    )
+    w = W.partitionBy("m", "pid").orderBy("d2", "vec_id")
+    topk = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PFX_K)
+        .select("m", "pid", "vec_id")
+        .localCheckpoint(eager=True)  # feeds baseline + overlap branches
+    )
+    base = topk.filter(F.col("m") == max(PFX_DIMS)).select("pid", "vec_id")
+    bn = base.agg(
+        F.count("*").cast("long").alias("n_base"),
+        F.countDistinct("pid").cast("long").alias("n_probes"),
+    )
+    ov = (
+        topk.join(base, ["pid", "vec_id"])
+        .groupBy("m")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        ov.crossJoin(F.broadcast(bn))
+        .select(
+            F.col("m").alias("prefix_dims"),
+            "n_probes",
+            "n_base",
+            "n_overlap",
+            F.expr(rat_round6_spark("n_overlap", "n_base"))
+            .alias("recall_r6"),
+        )
+        .orderBy("prefix_dims")
+    )
+
+
+def _oracle_prefix_recall() -> str:
+    dims = ", ".join(str(m) for m in PFX_DIMS)
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(trunc(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+  FROM embeddings),
+probes AS (
+  SELECT vec_id AS pid, q AS pq FROM qv WHERE vec_id < {PFX_PROBES}),
+ms AS (SELECT unnest([{dims}]) AS m),
+pairs AS (
+  SELECT ms.m, p.pid, e.vec_id,
+         CAST(list_sum(list_transform(range(1, ms.m + 1),
+           i -> (e.q[i] - p.pq[i]) * (e.q[i] - p.pq[i]))) AS BIGINT) AS d2
+  FROM qv e CROSS JOIN probes p CROSS JOIN ms
+  WHERE e.vec_id != p.pid),
+topk AS (
+  SELECT m, pid, vec_id FROM (
+    SELECT m, pid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY m, pid
+                              ORDER BY d2, vec_id) AS rn
+    FROM pairs)
+  WHERE rn <= {PFX_K}),
+base AS (SELECT pid, vec_id FROM topk WHERE m = {max(PFX_DIMS)}),
+bn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_base,
+         CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_probes
+  FROM base),
+ov AS (
+  SELECT t.m, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM topk t JOIN base b ON t.pid = b.pid AND t.vec_id = b.vec_id
+  GROUP BY 1)
+SELECT m AS prefix_dims, n_probes, n_base, n_overlap,
+       {rat_round6_duck("n_overlap", "n_base")} AS recall_r6
+FROM ov CROSS JOIN bn ORDER BY prefix_dims
+"""
+
+
+ORACLE_PREFIX_RECALL = _oracle_prefix_recall()
+
+
+# (bands, rows-per-band) sweeps with bands·rows == MINHASH_PERMS — the
+# knob grid an LSH deployment actually chooses between
+PLANNER_CONFIGS = ((50, 2), (25, 4), (20, 5), (10, 10))
+
+
+def dedup_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding planner: sweep the (bands × rows-per-band)
+    grid over the REAL production 100-permutation signatures and report
+    each config's measured cost (multi-occupancy buckets, candidate
+    pairs with and without bucket dedup — the verify-tier workload) and
+    measured recall against the exact-Jaccard-verified reference pair
+    set. dedup_band_precision_profile profiles the SHIPPED 25×4 config
+    band by band; this op is the tuning table that says what the OTHER
+    configs would have cost and caught. Reference = the union of every
+    config's candidates, exact-verified at τ — wider-banded configs
+    ((50,2)) collide strictly more easily, so the union is the natural
+    measurable truth set (documented: pairs no config can see are
+    invisible to all of them by construction).
+
+    Scale: the signature stage is computed ONCE and checkpointed; each
+    config is a banded groupBy pair expansion (the production posture —
+    never a self-join), and the exact verify runs only on the bounded
+    candidate union."""
+    from .dedup import MINHASH_TAU, _minhash_stages
+
+    docs, sig, _ = _minhash_stages(spark, sf_dir)
+    sigc = sig.localCheckpoint(eager=True)  # one signature pass, 4 configs
+    per_cfg = []
+    for bn, r in PLANNER_CONFIGS:
+        per_cfg.append(
+            sigc.select(
+                "doc_id",
+                "sig",
+                F.lit(bn).alias("bands"),
+                F.lit(r).alias("rpb"),
+                F.explode(F.sequence(F.lit(0), F.lit(bn - 1))).alias("b"),
+            ).select(
+                "doc_id",
+                "bands",
+                "rpb",
+                F.expr(
+                    f"concat(b, ':', concat_ws(',', transform("
+                    f"slice(sig, b * {r} + 1, {r}), "
+                    f"x -> cast(x as string))))"
+                ).alias("band_key"),
+            )
+        )
+    allb = per_cfg[0]
+    for c in per_cfg[1:]:
+        allb = allb.unionByName(c)
+    buckets = (
+        allb.groupBy("bands", "rpb", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .localCheckpoint(eager=True)  # feeds totals + pair expansion
+    )
+    totals = buckets.groupBy("bands", "rpb").agg(
+        F.count("*").cast("long").alias("n_buckets_multi"),
+        F.sum(F.expr("size(ids) * (size(ids) - 1) div 2")).cast("long")
+        .alias("cand_pairs_total"),
+    )
+    pairs = (
+        buckets.select(
+            "bands",
+            "rpb",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p"),
+        )
+        .select("bands", "rpb", "p.doc_a", "p.doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds counts + union + capture
+    )
+    pcnt = pairs.groupBy("bands", "rpb").agg(
+        F.count("*").cast("long").alias("cand_pairs_distinct")
+    )
+    up = pairs.select("doc_a", "doc_b").distinct()
+    x = docs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("shingles").alias("sha"))
+    y = docs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("shingles").alias("shb"))
+    truth = (
+        up.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(
+            F.size(F.array_intersect("sha", "shb")) * 1.0
+            / F.size(F.array_union("sha", "shb"))
+            >= MINHASH_TAU
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # feeds global count + per-config
+    )
+    tr = truth.agg(F.count("*").cast("long").alias("n_true_ref"))
+    cap = (
+        pairs.join(truth, ["doc_a", "doc_b"])
+        .groupBy("bands", "rpb")
+        .agg(F.count("*").cast("long").alias("n_true_captured"))
+    )
+    spine = spark.createDataFrame(
+        list(PLANNER_CONFIGS), "bands int, rpb int"
+    )
+    out = (
+        spine.join(totals, ["bands", "rpb"], "left")
+        .join(pcnt, ["bands", "rpb"], "left")
+        .join(cap, ["bands", "rpb"], "left")
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "bands",
+            "rpb",
+            F.coalesce("n_buckets_multi", F.lit(0)).cast("long")
+            .alias("n_buckets_multi"),
+            F.coalesce("cand_pairs_total", F.lit(0)).cast("long")
+            .alias("cand_pairs_total"),
+            F.coalesce("cand_pairs_distinct", F.lit(0)).cast("long")
+            .alias("cand_pairs_distinct"),
+            "n_true_ref",
+            F.coalesce("n_true_captured", F.lit(0)).cast("long")
+            .alias("n_true_captured"),
+            F.expr(
+                "case when n_true_ref > 0 then "
+                + rat_round6_spark(
+                    "coalesce(n_true_captured, 0)", "n_true_ref"
+                )
+                + " end"
+            ).alias("recall_r6"),
+        )
+        .orderBy("rpb")
+    )
+    return out
+
+
+def _oracle_band_planner() -> str:
+    from .dedup import (
+        _DUCK_SHINGLES,
+        MINHASH_PERMS,
+        MINHASH_TAU,
+    )
+    from ..functions.hashing import sql_minhash_signature_duck
+
+    vals = ", ".join(f"({b}, {r})" for b, r in PLANNER_CONFIGS)
+    jac = (
+        "len(list_intersect(x.shingles, y.shingles)) * 1.0"
+        " / len(list_distinct(list_concat(x.shingles, y.shingles)))"
+    )
+    return f"""
+WITH shl AS ({_DUCK_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+         {sql_minhash_signature_duck('shingles', MINHASH_PERMS)} AS sig
+  FROM shl),
+cfg AS (SELECT * FROM (VALUES {vals}) c(bands, rpb)),
+bandrows AS (
+  SELECT cfg.bands, cfg.rpb, s.doc_id,
+         u.b || ':' || array_to_string(
+           s.sig[u.b * cfg.rpb + 1 : u.b * cfg.rpb + cfg.rpb], ',')
+           AS band_key
+  FROM sig s CROSS JOIN cfg,
+       LATERAL unnest(range(0, cfg.bands)) AS u(b)),
+buckets AS (
+  SELECT bands, rpb, band_key, CAST(COUNT(*) AS BIGINT) AS m
+  FROM bandrows GROUP BY 1, 2, 3 HAVING COUNT(*) > 1),
+tot AS (
+  SELECT bands, rpb, CAST(COUNT(*) AS BIGINT) AS n_buckets_multi,
+         CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS cand_pairs_total
+  FROM buckets GROUP BY 1, 2),
+pairs AS (
+  SELECT DISTINCT a.bands, a.rpb, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandrows a JOIN bandrows b
+    ON a.bands = b.bands AND a.rpb = b.rpb
+   AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+pcnt AS (
+  SELECT bands, rpb, CAST(COUNT(*) AS BIGINT) AS cand_pairs_distinct
+  FROM pairs GROUP BY 1, 2),
+up AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM up JOIN shl x ON doc_a = x.doc_id JOIN shl y ON doc_b = y.doc_id
+  WHERE {jac} >= {MINHASH_TAU}),
+tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_ref FROM truth),
+cap AS (
+  SELECT bands, rpb, CAST(COUNT(*) AS BIGINT) AS n_true_captured
+  FROM pairs JOIN truth USING (doc_a, doc_b) GROUP BY 1, 2)
+SELECT cfg.bands, cfg.rpb,
+       COALESCE(tot.n_buckets_multi, 0) AS n_buckets_multi,
+       COALESCE(tot.cand_pairs_total, 0) AS cand_pairs_total,
+       COALESCE(pcnt.cand_pairs_distinct, 0) AS cand_pairs_distinct,
+       tr.n_true_ref,
+       COALESCE(cap.n_true_captured, 0) AS n_true_captured,
+       CASE WHEN tr.n_true_ref > 0 THEN
+         {rat_round6_duck("COALESCE(cap.n_true_captured, 0)",
+                          "tr.n_true_ref")}
+       END AS recall_r6
+FROM cfg
+LEFT JOIN tot USING (bands, rpb)
+LEFT JOIN pcnt USING (bands, rpb)
+LEFT JOIN cap USING (bands, rpb)
+CROSS JOIN tr
+ORDER BY cfg.rpb
+"""
+
+
+ORACLE_BAND_PLANNER = _oracle_band_planner()
+
+
+def dedup_method_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement audit between the two production near-dup
+    screens: MinHash-LSH verified pairs (Jaccard ≥ τ) vs SimHash banded
+    pairs (Hamming ≤ 3) — the confusion table that says whether the two
+    families flag the SAME duplicates or complementary ones (if
+    simhash_only is large, a MinHash-only pipeline is leaking dups; if
+    both cells dominate, one screen is redundant). Per cell: pair
+    count, how many carry near-identical token sets (Jaccard ≥ 0.9),
+    and how many are bitwise-near (Hamming ≤ 1). Exact integers; the
+    Jaccard threshold compares the same single IEEE division both
+    engines compute.
+
+    Scale: both inputs are the already-bounded verified pair streams
+    (banded candidates, never all-pairs); the audit is one full-outer
+    join on the pair key."""
+    from .dedup import dedup_minhash_lsh, dedup_simhash
+
+    mh = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sh = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b", "hamming")
+    j = mh.join(sh, ["doc_a", "doc_b"], "full_outer").select(
+        F.when(
+            F.col("jaccard").isNotNull() & F.col("hamming").isNotNull(),
+            "both",
+        )
+        .when(F.col("jaccard").isNotNull(), "minhash_only")
+        .otherwise("simhash_only")
+        .alias("method_cell"),
+        "jaccard",
+        "hamming",
+    )
+    return (
+        j.groupBy("method_cell")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("jaccard") >= 0.9, 1).otherwise(0))
+            .cast("long").alias("n_jaccard_ge90"),
+            F.sum(F.when(F.col("hamming") <= 1, 1).otherwise(0))
+            .cast("long").alias("n_hamming_le1"),
+        )
+        .orderBy("method_cell")
+    )
+
+
+def _oracle_method_confusion() -> str:
+    from .dedup import ORACLE_MINHASH_LSH, ORACLE_SIMHASH
+
+    return f"""
+WITH mh AS (SELECT doc_a, doc_b, jaccard FROM ({ORACLE_MINHASH_LSH})),
+sh AS (SELECT doc_a, doc_b, hamming FROM ({ORACLE_SIMHASH})),
+j AS (
+  SELECT CASE WHEN mh.jaccard IS NOT NULL AND sh.hamming IS NOT NULL
+              THEN 'both'
+              WHEN mh.jaccard IS NOT NULL THEN 'minhash_only'
+              ELSE 'simhash_only' END AS method_cell,
+         mh.jaccard, sh.hamming
+  FROM mh FULL OUTER JOIN sh USING (doc_a, doc_b))
+SELECT method_cell, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_jaccard_ge90,
+       CAST(SUM(CASE WHEN hamming <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hamming_le1
+FROM j GROUP BY 1 ORDER BY method_cell
+"""
+
+
+ORACLE_METHOD_CONFUSION = _oracle_method_confusion()
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -8875,4 +10046,54 @@ SPECS = [
               doc="TwoNN intrinsic-dimension estimate from a 256-probe "
                   "broadcast set (manifold dim that IVF/PQ/LSH tuning "
                   "keys off)"),
+    # --- batch N (new in r14) ---
+    QuerySpec("orders_pvm_decomposition", orders_pvm_decomposition,
+              ORACLE_PVM, ("orders", "finance", "bridge"),
+              doc="price-volume-mix revenue bridge per brand between two "
+                  "years (exact telescoping effects, signed rational "
+                  "readout)"),
+    QuerySpec("stats_jackknife_influence", stats_jackknife_influence,
+              ORACLE_JACKKNIFE, ("stats", "robustness"),
+              doc="delete-one-nation jackknife influence on the global "
+                  "mean order value (exact rational LOO means)"),
+    QuerySpec("stats_power_analysis_mde", stats_power_analysis_mde,
+              ORACLE_MDE, ("stats", "experiment"),
+              doc="minimum-detectable-effect / is-it-powered readout for "
+                  "the production A/B split at the 5%/80% design point"),
+    QuerySpec("ev_seasonality_strength", ev_seasonality_strength,
+              ORACLE_SEASONALITY, ("events", "stats", "seasonality"),
+              doc="hour-of-day eta^2 per event type: share of (date,hour) "
+                  "cell variance explained by the clock (capacity-"
+                  "planning signal)"),
+    QuerySpec("ev_sequence_pattern_match", ev_sequence_pattern_match,
+              ORACLE_SEQ_PATTERNS, ("events", "sequence", "pattern"),
+              doc="MATCH_RECOGNIZE-style regex pattern library over "
+                  "capped per-user event-initial strings (double error, "
+                  "error->purchase recovery, signup->purchase)"),
+    QuerySpec("mm_prefix_hash_audit", mm_prefix_hash_audit,
+              ORACLE_PREFIX_HASH_AUDIT, ("multimodal", "dedup", "audit"),
+              doc="prefix-fingerprint false-merge audit: prefix vs full-"
+                  "payload md5 groups per media type (what the cheap "
+                  "bucket key costs; the verify-tier workload)"),
+    QuerySpec("emb_probe_hubness", emb_probe_hubness,
+              ORACLE_PROBE_HUBNESS, ("embedding", "ann", "audit"),
+              doc="k-occurrence hubness + mutual-kNN reciprocity over "
+                  "the 256-probe exact 5-NN graph (curse-of-"
+                  "dimensionality / graph-index health signals)"),
+    QuerySpec("emb_prefix_dim_recall", emb_prefix_dim_recall,
+              ORACLE_PREFIX_RECALL, ("embedding", "ann", "tuning"),
+              doc="Matryoshka truncation sweep: exact top-10 recall at "
+                  "8/16/32 prefix dims vs the full 64 (retrieval "
+                  "counterpart of emb_energy_prefix)"),
+    QuerySpec("dedup_lsh_band_planner", dedup_lsh_band_planner,
+              ORACLE_BAND_PLANNER, ("dedup", "lsh", "tuning"),
+              doc="(bands x rows) sweep over the production MinHash "
+                  "signatures: measured candidate cost + measured recall "
+                  "per config (the knob table dedup_band_precision_"
+                  "profile's shipped-config view cannot give)"),
+    QuerySpec("dedup_method_confusion", dedup_method_confusion,
+              ORACLE_METHOD_CONFUSION, ("dedup", "audit"),
+              doc="MinHash-LSH vs SimHash verified-pair confusion cells "
+                  "(are the two near-dup screens redundant or "
+                  "complementary?)"),
 ]

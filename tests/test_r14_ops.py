@@ -1,0 +1,660 @@
+"""Round-14 tests.
+
+Part 1 — regression twins for the r13 VERDICT fixes: the TwoNN
+local-top-2 scorer and the sim_cosine_topk/MIPS local-top-k cut must be
+bit-identical to the brute all-pairs form (including the self-match
+crowding edge), and the two new sketch certificates
+(agg_approx_percentiles GK rank window, agg_approx_distinct HLL band)
+must hold on hostile planted data.
+
+Part 2 — planted micro-fixtures + brute twins for the ten batch-N
+operators (PVM bridge, jackknife influence, MDE, seasonality η²,
+sequence patterns, prefix-hash audit, probe hubness, prefix-dim recall,
+LSH band planner, method confusion).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from conftest import normalize_rows
+
+US_PER_HOUR = 3_600_000_000
+US_PER_DAY = 86_400_000_000
+T0_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC (a Monday)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(['{"k": 1}'] * len(rows)),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+
+
+def _write_docs(tmp_path, texts, sources=None):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(sources or ["s0"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+
+
+def _write_embeddings(tmp_path, vecs):
+    """vecs: list of 64-float lists (pad shorter specs with zeros)."""
+    full = [list(v) + [0.0] * (64 - len(v)) for v in vecs]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(full)), pa.int64()),
+                "embedding": pa.array(full, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(full), pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+
+
+def _write_lineitem(tmp_path, rows):
+    """rows: (orderkey, partkey, qty, extendedprice, shipdate_us,
+    returnflag)."""
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+                "l_linenumber": pa.array(range(1, len(rows) + 1),
+                                         pa.int32()),
+                "l_quantity": pa.array([float(r[2]) for r in rows],
+                                       pa.float64()),
+                "l_extendedprice": pa.array([float(r[3]) for r in rows],
+                                            pa.float64()),
+                "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+                "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+                "l_returnflag": pa.array([r[5] for r in rows]),
+                "l_linestatus": pa.array(["O"] * len(rows)),
+                "l_shipdate": pa.array([r[4] for r in rows],
+                                       pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+
+
+def _write_part(tmp_path, rows):
+    """rows: (partkey, brand)."""
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "p_name": pa.array([f"part {r[0]}" for r in rows]),
+                "p_brand": pa.array([r[1] for r in rows]),
+                "p_type": pa.array(["t"] * len(rows)),
+                "p_size": pa.array([1] * len(rows), pa.int32()),
+                "p_retailprice": pa.array([1.0] * len(rows), pa.float64()),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+
+
+def _write_orders_nation(tmp_path, orders):
+    """orders: (orderkey, custkey, totalprice); customers 1..3 map to
+    nations A(1: cust 1,2) and B(2: cust 3)."""
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(orders)),
+                "o_totalprice": pa.array([float(r[2]) for r in orders],
+                                         pa.float64()),
+                "o_orderdate": pa.array([T0_US] * len(orders),
+                                        pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(orders)),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_name": pa.array(["c1", "c2", "c3"]),
+                "c_nationkey": pa.array([1, 1, 2], pa.int64()),
+                "c_acctbal": pa.array([0.0] * 3, pa.float64()),
+                "c_mktsegment": pa.array(["BUILDING"] * 3),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([1, 2], pa.int64()),
+                "n_name": pa.array(["ALPHA", "BETA"]),
+                "n_regionkey": pa.array([0, 0], pa.int64()),
+            }
+        ),
+        tmp_path / "nation.parquet",
+    )
+
+
+def _oracle_rows(tmp_path, sql, tables):
+    con = duckdb.connect()
+    try:
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        res = con.execute(sql)
+        cols = [d[0] for d in res.description]
+        rows = [tuple(d.values())
+                for d in res.fetch_arrow_table().to_pylist()]
+        return cols, rows
+    finally:
+        con.close()
+
+
+def _assert_spark_matches_oracle(df, tmp_path, sql, tables):
+    scols = df.columns
+    srows = [tuple(r) for r in df.collect()]
+    dcols, drows = _oracle_rows(tmp_path, sql, tables)
+    assert sorted(scols) == sorted(dcols), f"columns: {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"rows: {len(srows)} vs {len(drows)}"
+    for a, b in zip(
+        normalize_rows(srows, scols), normalize_rows(drows, dcols)
+    ):
+        assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Part 1 — r13 VERDICT fix regressions
+# ---------------------------------------------------------------------------
+
+
+def _grid(v):
+    return np.trunc(np.asarray(v, dtype=np.float64) * 1048576.0)
+
+
+def test_twonn_local_top2_equals_brute(spark, tmp_path):
+    """The batched local-top-2 scorer must reproduce the all-pairs
+    TwoNN readout exactly — including duplicate vectors (d2 == 0
+    excluded) and self-pair masking."""
+    from spark_dba_spark.operators.curation import emb_intrinsic_dim_twonn
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 64)).tolist()
+    vecs[5] = list(vecs[3])  # exact duplicate: d2 == 0 must be skipped
+    _write_embeddings(tmp_path, vecs)
+    got = emb_intrinsic_dim_twonn(spark, str(tmp_path)).collect()[0]
+    q = np.stack(
+        [_grid(np.asarray(v, dtype=np.float32).astype(np.float64))
+         for v in vecs]
+    )
+    d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    d2[d2 <= 0] = np.inf
+    s = 0.0
+    n = 0
+    for i in range(len(vecs)):  # every vec_id < 256 is a probe here
+        vals = np.sort(d2[i])[:2]
+        if not np.isfinite(vals[0]):
+            continue
+        n += 1
+        if np.isfinite(vals[1]):
+            s += round(float(np.log(vals[1] / vals[0]) / 2.0), 9)
+    assert got["n_probes"] == n
+    assert abs(got["sum_log_ratio_r6"] - round(s, 6)) < 1e-9
+    assert abs(got["intrinsic_dim_r6"] - round(n / s, 6)) < 1e-9
+
+
+def test_sim_topk_local_cut_matches_brute(spark, tmp_path):
+    """The per-batch local top-k cut must not change the global result —
+    planted duplicates of a probe vector exercise the self-mask (the
+    self row may never crowd a genuine winner out of the local cut)."""
+    from spark_dba_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        sim_cosine_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 64))
+    vecs[25] = vecs[2]  # duplicate of probe 2: sim == 1.0 neighbor
+    _write_embeddings(tmp_path, vecs.tolist())
+    got = {
+        (r["qid"], r["rank"]): r["vec_id"]
+        for r in sim_cosine_topk(spark, str(tmp_path)).collect()
+    }
+    m = np.array(
+        [list(v) + [0.0] * 0 for v in vecs], dtype=np.float64
+    ).astype(np.float32).astype(np.float64)  # float32 round-trip
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    for qid in range(N_QUERIES):
+        order = sorted(
+            (i for i in range(len(vecs)) if i != qid),
+            key=lambda i: (-sims[i, qid], i),
+        )[:TOP_K]
+        for rank, vid in enumerate(order, 1):
+            assert got[(qid, rank)] == vid, (qid, rank)
+    # the duplicate must rank first for probe 2
+    assert got[(2, 1)] == 25
+
+
+def test_gk_certificate_on_planted_ties(spark, tmp_path):
+    """GK rank certificate must hold on a constant column (rank
+    interval [1, n] — the widest tie case) and on a two-value split."""
+    from spark_dba_spark.operators.relational import (
+        ORACLE_APPROX_PERCENTILES,
+        agg_approx_percentiles,
+    )
+
+    rows = [(i, 1, 1.0, 500.0, T0_US, "A") for i in range(200)]
+    rows += [(i + 500, 1, 1.0, 100.0 if i % 2 else 900.0, T0_US, "R")
+             for i in range(200)]
+    _write_lineitem(tmp_path, rows)
+    df = agg_approx_percentiles(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_APPROX_PERCENTILES, ["lineitem"]
+    )
+    for r in df.collect():
+        assert r["p50_rank_ok"] and r["p90_rank_ok"] and r["p99_rank_ok"]
+
+
+def test_hll_certificate_on_planted_dups(spark, tmp_path):
+    from spark_dba_spark.operators.relational import (
+        ORACLE_APPROX_DISTINCT,
+        agg_approx_distinct,
+    )
+
+    rows = [(i % 37, 1, 1.0, 10.0, T0_US, "A") for i in range(300)]
+    rows += [(i, 1, 1.0, 10.0, T0_US, "N") for i in range(1000)]
+    _write_lineitem(tmp_path, rows)
+    df = agg_approx_distinct(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_APPROX_DISTINCT, ["lineitem"]
+    )
+    assert all(r["hll_band_ok"] for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# Part 2 — batch N planted fixtures
+# ---------------------------------------------------------------------------
+
+
+def test_pvm_effects_telescope(spark, tmp_path):
+    """Known two-year brand history: price 10.00→12.00, qty 100→80.
+    price effect = (12−10)·80 = +160.00; volume effect = 10·(80−100)
+    = −200.00; delta = 960−1000 = −40.00. Cents exactly."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_PVM,
+        PVM_Y1,
+        PVM_Y2,
+        orders_pvm_decomposition,
+    )
+
+    y1 = 820_454_400_000_000  # 1996-01-01 UTC in epoch micros
+    y2 = 852_076_800_000_000  # 1997-01-01 UTC
+    rows = [
+        (1, 1, 60, 600.0, y1, "A"),  # 1996: qty 100 @ 10.00
+        (2, 1, 40, 400.0, y1, "A"),
+        (3, 1, 80, 960.0, y2, "A"),  # 1997: qty 80 @ 12.00
+        (4, 2, 10, 100.0, y2, "A"),  # brand only in y2: null effects
+    ]
+    _write_lineitem(tmp_path, rows)
+    _write_part(tmp_path, [(1, "B1"), (2, "B2")])
+    df = orders_pvm_decomposition(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_PVM, ["lineitem", "part"]
+    )
+    got = {r["p_brand"]: r for r in df.collect()}
+    b1 = got["B1"]
+    assert (b1["qty_y1"], b1["qty_y2"]) == (100, 80)
+    assert b1["delta_cents"] == -4000
+    assert b1["price_effect_cents"] == 16000
+    assert b1["volume_effect_cents"] == -20000
+    assert (b1["price_effect_cents"] + b1["volume_effect_cents"]
+            == b1["delta_cents"])
+    b2 = got["B2"]
+    assert b2["price_effect_cents"] is None
+    assert b2["volume_effect_cents"] is None
+    assert PVM_Y1 == 1996 and PVM_Y2 == 1997  # fixture pins the window
+
+
+def test_jackknife_influence_planted(spark, tmp_path):
+    """ALPHA holds two 100.00 orders, BETA one 700.00 order: global
+    mean 300.00; dropping BETA moves it to 100.00 (influence +200.00),
+    dropping ALPHA to 700.00 (influence −400.00)."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_JACKKNIFE,
+        stats_jackknife_influence,
+    )
+
+    _write_orders_nation(
+        tmp_path, [(1, 1, 100.0), (2, 2, 100.0), (3, 3, 700.0)]
+    )
+    df = stats_jackknife_influence(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_JACKKNIFE,
+        ["orders", "customer", "nation"],
+    )
+    got = {r["n_name"]: r for r in df.collect()}
+    assert got["ALPHA"]["mean_cents_r6"] == 10000.0
+    assert got["ALPHA"]["loo_mean_cents_r6"] == 70000.0
+    assert got["ALPHA"]["influence_cents_r6"] == -40000.0
+    assert got["BETA"]["loo_mean_cents_r6"] == 10000.0
+    assert got["BETA"]["influence_cents_r6"] == 20000.0
+    assert got["ALPHA"]["global_mean_cents_r6"] == 30000.0
+
+
+def test_mde_guards_and_parity(spark, tmp_path):
+    """Hostile fixture: few users, including the all-converted /
+    none-converted guard paths, cross-checked against the oracle."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_MDE,
+        stats_power_analysis_mde,
+    )
+
+    rows = []
+    eid = 0
+    for uid in range(40):
+        conv = uid % 3 == 0
+        rows.append((eid, T0_US + uid, uid, "view", 1.0))
+        eid += 1
+        if conv:
+            rows.append(
+                (eid, T0_US + uid + 1, uid, "purchase", 10_000.0)
+            )
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = stats_power_analysis_mde(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_MDE, ["events"])
+    r = df.collect()[0]
+    assert r["n_a"] + r["n_b"] == 40
+    assert r["mde_abs_r6"] is not None and r["mde_abs_r6"] > 0
+    assert r["powered"] is not None
+
+
+def test_seasonality_eta2_extremes(spark, tmp_path):
+    """'clock' fires only at hour 5 with VARYING daily counts (η² = 1:
+    all cell variance is the hour factor); 'flat' has identical counts
+    in every (day, hour) cell (zero variance → NULL guard)."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_SEASONALITY,
+        ev_seasonality_strength,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(4):
+        for rep in range(day + 1):  # hour-5 count varies by day: 1..4
+            rows.append(
+                (eid, T0_US + day * US_PER_DAY + 5 * US_PER_HOUR + rep,
+                 1, "clock", 1.0)
+            )
+            eid += 1
+        for hod in range(3):  # constant 1 per cell
+            rows.append(
+                (eid, T0_US + day * US_PER_DAY + hod * US_PER_HOUR,
+                 2, "flat", 1.0)
+            )
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = ev_seasonality_strength(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_SEASONALITY, ["events"]
+    )
+    got = {r["event_type"]: r for r in df.collect()}
+    # single-hour type: between-group SS == total SS exactly... but with
+    # one hour level the correction term equals the between term only
+    # when counts vary ACROSS days within the hour — here SS_b = 0 and
+    # SS_tot > 0, so eta2 is exactly 0 (the hour factor explains nothing
+    # for a type that only ever fires in one hour).
+    assert got["clock"]["eta2_r6"] == 0.0
+    assert got["flat"]["eta2_r6"] is None  # zero total variance guard
+
+
+def test_sequence_patterns_planted_and_capped(spark, tmp_path):
+    from spark_dba_spark.operators.curation import (
+        ORACLE_SEQ_PATTERNS,
+        SEQ_CAP,
+        ev_sequence_pattern_match,
+    )
+
+    rows = []
+    eid = 0
+    # user 1: s c v p e e c p -> signup_to_purchase 1 (non-overlap),
+    # double_error 1, error_then_purchase 1 ('e e c p': first match
+    # consumes 'ecp' after the ee scan... regex scans left-to-right:
+    # 'e[cv]{0,3}p' first fires at the FIRST e -> 'eecp'? 'e' then
+    # '[cv]{0,3}' cannot match 'e' -> backtrack; match starts at 2nd e.
+    for ch, ty in zip(
+        "scvpeecp",
+        ["signup", "click", "view", "purchase", "error", "error",
+         "click", "purchase"],
+    ):
+        rows.append((eid, T0_US + eid, 1, ty, 1.0))
+        eid += 1
+    # user 2: SEQ_CAP views, then an 'ee' AFTER the cap - must not count
+    for i in range(SEQ_CAP):
+        rows.append((eid, T0_US + eid, 2, "view", 1.0))
+        eid += 1
+    rows.append((eid, T0_US + eid, 2, "error", 1.0)); eid += 1
+    rows.append((eid, T0_US + eid, 2, "error", 1.0)); eid += 1
+    _write_events(tmp_path, rows)
+    df = ev_sequence_pattern_match(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_SEQ_PATTERNS, ["events"]
+    )
+    got = {r["pattern"]: r for r in df.collect()}
+    assert got["double_error"]["total_matches"] == 1  # cap held
+    assert got["double_error"]["n_users_matched"] == 1
+    assert got["signup_to_purchase"]["total_matches"] == 1
+    assert got["error_then_purchase"]["total_matches"] == 1
+    assert got["double_error"]["n_users"] == 2
+
+
+def test_prefix_hash_audit_false_merge(spark, tmp_path):
+    from spark_dba_spark.operators.curation import (
+        ORACLE_PREFIX_HASH_AUDIT,
+        mm_prefix_hash_audit,
+    )
+
+    p = "A" * 24  # shared 24-char prefix
+    # doc_ids 0,3: image; 1,4: audio; 2,5: video (doc_id % 3)
+    texts = [
+        p + "tail-one",   # 0 image: false-merge group with doc 3
+        p + "same",       # 1 audio: exact dup pair with doc 4
+        "unique video content here",  # 2 video
+        p + "tail-two",   # 3 image
+        p + "same",       # 4 audio: same full hash -> NOT a false merge
+        "another unique video",       # 5 video
+    ]
+    _write_docs(tmp_path, texts)
+    df = mm_prefix_hash_audit(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_PREFIX_HASH_AUDIT, ["documents"]
+    )
+    got = {r["media_type"]: r for r in df.collect()}
+    assert got["image"]["n_prefix_groups"] == 1
+    assert got["image"]["n_full_groups"] == 2
+    assert got["image"]["n_false_merge_groups"] == 1
+    assert got["audio"]["n_prefix_groups"] == 1
+    assert got["audio"]["n_full_groups"] == 1  # true dup, not a merge
+    assert got["audio"]["n_false_merge_groups"] == 0
+    assert got["video"]["n_false_merge_groups"] == 0
+
+
+def test_probe_hubness_brute(spark, tmp_path):
+    from spark_dba_spark.operators.curation import (
+        HUB_K,
+        ORACLE_PROBE_HUBNESS,
+        emb_probe_hubness,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(20, 64))
+    vecs[7] = vecs.mean(axis=0)  # a deliberate hub near the centroid
+    _write_embeddings(tmp_path, vecs.tolist())
+    df = emb_probe_hubness(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_PROBE_HUBNESS, ["embeddings"]
+    )
+    # brute twin on the float32-round-tripped grid
+    q = np.stack(
+        [_grid(np.asarray(v, dtype=np.float32).astype(np.float64))
+         for v in vecs]
+    )
+    d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    knn = {
+        a: set(sorted(range(len(vecs)),
+                      key=lambda b: (d2[a, b], b))[:HUB_K])
+        for a in range(len(vecs))
+    }
+    got = {r["pid"]: r for r in df.collect()}
+    for pid in range(len(vecs)):
+        k_occ = sum(1 for a, s in knn.items() if pid in s and a != pid)
+        n_recip = sum(1 for b in knn[pid] if pid in knn[b])
+        assert got[pid]["k_occ"] == k_occ, pid
+        assert got[pid]["n_recip"] == n_recip, pid
+    # the planted centroid point should out-hub the median probe
+    occs = sorted(r["k_occ"] for r in got.values())
+    assert got[7]["k_occ"] >= occs[len(occs) // 2]
+
+
+def test_prefix_dim_recall_brute(spark, tmp_path):
+    """Vectors whose tail dims dominate the metric: prefix-8 ordering
+    must diverge from full ordering, and the engine's recall table
+    must equal the numpy brute force exactly."""
+    from spark_dba_spark.operators.curation import (
+        PFX_DIMS,
+        PFX_K,
+        ORACLE_PREFIX_RECALL,
+        emb_prefix_dim_recall,
+    )
+
+    rng = np.random.default_rng(5)
+    head = rng.normal(size=(30, 8)) * 0.1
+    tail = rng.normal(size=(30, 56)) * 3.0  # tail carries the signal
+    vecs = np.concatenate([head, tail], axis=1)
+    _write_embeddings(tmp_path, vecs.tolist())
+    df = emb_prefix_dim_recall(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_PREFIX_RECALL, ["embeddings"]
+    )
+    q = np.stack(
+        [_grid(np.asarray(v, dtype=np.float32).astype(np.float64))
+         for v in vecs]
+    )
+    n = len(vecs)
+    topk = {}
+    for m in PFX_DIMS:
+        qm = q[:, :m]
+        d2 = ((qm[:, None, :] - qm[None, :, :]) ** 2).sum(axis=2)
+        np.fill_diagonal(d2, np.inf)
+        for pid in range(n):
+            order = sorted(
+                (v for v in range(n) if v != pid),
+                key=lambda v: (d2[pid, v], v),
+            )[:PFX_K]
+            topk[(m, pid)] = set(order)
+    base = {pid: topk[(64, pid)] for pid in range(n)}
+    n_base = sum(len(s) for s in base.values())
+    got = {r["prefix_dims"]: r for r in df.collect()}
+    for m in PFX_DIMS:
+        ov = sum(len(topk[(m, pid)] & base[pid]) for pid in range(n))
+        assert got[m]["n_overlap"] == ov, m
+        assert got[m]["n_base"] == n_base
+    assert got[64]["recall_r6"] == 1.0
+    assert got[8]["n_overlap"] < n_base  # the planted divergence fired
+
+
+def test_band_planner_planted(spark, tmp_path):
+    """An exact-duplicate pair must be captured by EVERY config
+    (identical signatures collide in every band), and the permissive
+    (50, 2) config can never catch fewer true pairs than (10, 10)."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_BAND_PLANNER,
+        dedup_lsh_band_planner,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    texts = [
+        base,
+        base,  # exact dup pair (0, 1)
+        base.replace("lazy", "sleepy").replace("dark", "light"),
+        "completely different text about spark shuffle partitions "
+        "and adaptive query execution plans in the engine",
+        "yet another unrelated document mentioning minhash bands "
+        "rows and jaccard similarity thresholds for tuning",
+    ]
+    _write_docs(tmp_path, texts)
+    df = dedup_lsh_band_planner(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_BAND_PLANNER, ["documents"]
+    )
+    got = {(r["bands"], r["rpb"]): r for r in df.collect()}
+    assert len(got) == 4
+    ref = next(iter(got.values()))["n_true_ref"]
+    assert ref >= 1  # the exact dup is a true pair
+    for r in got.values():
+        assert r["n_true_captured"] >= 1  # every config sees exact dups
+        assert r["cand_pairs_total"] >= r["cand_pairs_distinct"]
+    assert (got[(50, 2)]["n_true_captured"]
+            >= got[(10, 10)]["n_true_captured"])
+
+
+def test_method_confusion_planted(spark, tmp_path):
+    """Exact dups land in 'both' (J=1, Hamming=0); token-permuted docs
+    are SimHash-identical (bag-of-words) but shingle-divergent —
+    the simhash_only cell the op exists to expose."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_METHOD_CONFUSION,
+        dedup_method_confusion,
+    )
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa").split()
+    texts = [
+        " ".join(words),
+        " ".join(words),  # exact dup -> 'both'
+        " ".join(reversed(words)),  # permuted -> simhash_only
+        "totally unrelated filler content that matches neither "
+        "screen in any way at all here",
+    ]
+    _write_docs(tmp_path, texts)
+    df = dedup_method_confusion(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_METHOD_CONFUSION, ["documents"]
+    )
+    got = {r["method_cell"]: r for r in df.collect()}
+    assert got["both"]["n_pairs"] >= 1
+    assert got["both"]["n_jaccard_ge90"] >= 1
+    assert got["both"]["n_hamming_le1"] >= 1
+    assert "simhash_only" in got
+    assert got["simhash_only"]["n_jaccard_ge90"] == 0

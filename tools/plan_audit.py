@@ -123,6 +123,13 @@ PLAN_NOTES: dict[str, str] = {
     # bigram occ feeds pair + prefix counts)
     "text_bigram_entropy_rate": _CHECKPOINT_FRONTED,
     "text_source_tf_cosine_matrix": _CHECKPOINT_FRONTED,
+    # r14 batch N (bounded reduced frames feeding >=2 branches — the
+    # standing branched-lineage rule: the local-top-k candidate frame
+    # feeds the baseline + overlap branches; the signature/bucket/pair
+    # frames feed totals + expansion + capture)
+    "emb_prefix_dim_recall": _CHECKPOINT_FRONTED,
+    "dedup_lsh_band_planner": _CHECKPOINT_FRONTED,
+    "emb_probe_hubness": _CHECKPOINT_FRONTED,
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {

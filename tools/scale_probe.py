@@ -262,6 +262,16 @@ QUERIES = [
     "mm_payload_periodicity_probe",  # byte-lag autocorr probe (r13g)
     "stats_weekend_mix_ztest",   # weekend-mix two-prop z (r13g new)
     "emb_intrinsic_dim_twonn",   # TwoNN intrinsic dim (r13g new)
+    "orders_pvm_decomposition",  # price-volume-mix bridge (r14 new)
+    "stats_jackknife_influence",  # delete-one-nation LOO means (r14)
+    "stats_power_analysis_mde",  # A/B MDE power readout (r14 new)
+    "ev_seasonality_strength",   # hour-of-day eta^2 (r14 new)
+    "ev_sequence_pattern_match",  # capped regex sequence lib (r14 new)
+    "mm_prefix_hash_audit",      # prefix-vs-full hash audit (r14 new)
+    "emb_probe_hubness",         # probe 5-NN hubness graph (r14 new)
+    "emb_prefix_dim_recall",     # Matryoshka recall sweep (r14 new)
+    "dedup_lsh_band_planner",    # (bands x rows) cost/recall grid (r14)
+    "dedup_method_confusion",    # MinHash vs SimHash cells (r14 new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
