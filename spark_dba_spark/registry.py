@@ -42,70 +42,71 @@ class QuerySpec:
 # into PRIORITY_LAST (prefer families with several other green rows). Over
 # rounds, every query accumulates at least one driver-recorded green row.
 #
-# ROUND-13 WINDOW (VERDICT r12 "Next round" #1 + #3; one window = 50
-# slots): CORRECTNESS_r12 delivered 50/50 green (fourth consecutive
-# zero-red round). Per the standing rotation protocol all 36 r12
-# slot-holders retire to PRIORITY_LAST. Slots 1-30 seat EXACTLY the 30
+# ROUND-14 WINDOW (VERDICT r13 "What's missing" #1; one window = 50
+# slots): CORRECTNESS_r13 delivered 50/50 green (fifth consecutive
+# zero-red round). Per the standing rotation protocol all 36 r13
+# slot-holders retire to PRIORITY_LAST. Slots 1-26 seat EXACTLY the 26
 # never-driver-checked continuation ops that queued contiguously behind
-# the r12 window (batches C-G; each with a full oracle, three hostile-SF
-# sweep rows, and a brute pytest twin — the names VERDICT r12 "What's
-# missing" #1 ordered seated). Three of them additionally carry this
-# round's ADVICE fixes (join_asof_tolerance floor-div hours,
-# ev_weekend_lift zero-cents guard, text_char_entropy_by_source
-# code-point split), each pinned by a planted micro-fixture in
-# tests/test_r13_ops.py. Slots 31-36 are the six NEW r13 operators
-# (VERDICT #3: PII pattern audit, composite quality score, CDC snapshot
-# delta, plus interarrival burstiness, the bucketed interval-coverage
-# join, and the grid-quantile error certificate — same four-evidence
-# protocol). Slots 37-50 stay the frozen bench set. Nothing
-# never-checked remains beyond slot 50 (the backlog drained exactly into
-# the window: cumulative driver coverage reaches 429/429 once
-# CORRECTNESS_r13 lands). The 36 r12-window greens rotate to
-# PRIORITY_LAST; the r11 greens previously there fall back to the middle.
+# the r13 window (batches H-M; each with a full oracle, three
+# hostile-SF sweep rows, and a brute pytest twin — the set VERDICT r13
+# called "highest user-facing risk by construction").
+# emb_intrinsic_dim_twonn additionally carries this round's VERDICT
+# perf fix (local-top-2 Arrow scorer replacing the 256-corpus-sized
+# window; pinned by tests/test_r14_ops.py). Slots 27-36 are the ten
+# NEW r14 batch-N operators (PVM bridge, jackknife influence, MDE
+# power analysis, seasonality eta^2, sequence pattern match,
+# prefix-hash audit, probe hubness, prefix-dim recall, LSH band
+# planner, method confusion — same four-evidence protocol). Slots
+# 37-50 stay the frozen bench set. Nothing never-checked remains
+# beyond slot 50 (the backlog drained exactly into the window:
+# cumulative driver coverage reaches 465/465 once CORRECTNESS_r14
+# lands). The 36 r13-window greens rotate to PRIORITY_LAST; the r12
+# greens previously there fall back to the middle.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # slots 1-15 — the mid-r12 continuation backlog (full local
-    # evidence, never driver-checked)
-    "dedup_component_cohesion",
-    "graph_local_bridges",
-    "emb_bucket_pair_cos_histogram",
-    "mm_payload_byte_stats",
-    "ev_type_transition_gap_median",
-    "customer_balance_activity_grid",
-    "text_source_bigram_uniqueness",
-    "stats_sign_test_user_value",
-    "ev_hourly_mad_anomalies",
-    "supplier_acctbal_quartile_grid",
-    "text_dedup_inflation_by_source",
-    "sim_ivf_routing_balance",
-    "stats_blomqvist_beta_brand",
-    "dedup_band_precision_profile",
-    "ev_hourly_session_load",
-    # slots 16-20 — continuation batch D
-    "stats_cramers_v_assoc",
-    "dedup_cluster_pareto",
-    "customer_priority_transitions",
-    "ev_weekend_lift",
-    "mm_chunk_cdc_profile",
-    # slots 21-24 — continuation batch E
-    "ev_hourly_load_gini",
-    "sketch_hll_precision_sweep",
-    "join_asof_tolerance",
-    "emb_cluster_silhouette",
-    # slots 25-27 — continuation batch F
-    "lineitem_promo_did",
-    "graph_neardup_modularity",
-    "text_char_entropy_by_source",
-    # slots 28-30 — continuation batch G
-    "emb_pq_codebook_utilization",
-    "graph_neardup_conductance",
-    "ev_session_bounce_profile",
-    # slots 31-36 — new in r13 (never driver-checked by definition)
-    "text_pii_pattern_audit",
-    "text_composite_quality_score",
-    "mm_cdc_snapshot_delta",
-    "ev_interarrival_burstiness",
-    "ev_interval_coverage_join",
-    "sketch_grid_quantile_error",
+    # slots 1-7 — continuation batch H (never driver-checked)
+    "text_pii_redaction_corpus",
+    "mm_chunk_size_quantiles",
+    "text_bigram_entropy_rate",
+    "join_asof_forward",
+    "ev_tenure_churn_hazard",
+    "emb_cell_purity_by_label",
+    "mm_magic_mismatch_audit",
+    # slots 8-12 — continuation batch I
+    "emb_anisotropy_mean_vector",
+    "text_source_tf_cosine_matrix",
+    "sketch_linear_counting_error",
+    "ev_error_rate_by_load",
+    "stats_theil_index_by_nation",
+    # slots 13-16 — continuation batch J
+    "ev_type_hourly_corr_matrix",
+    "stats_evt_gumbel_daily_max",
+    "mm_chunk_boundary_stability",
+    "corpus_token_budget_by_quality",
+    # slots 17-18 — continuation batch K
+    "corpus_lang_rebalance_plan",
+    "orders_hhi_monthly_trend",
+    # slots 19-22 — continuation batch L
+    "ev_order_event_reconciliation",
+    "ev_attribution_window_sweep",
+    "corpus_dup_quality_crosstab",
+    "ev_zipf_user_activity",
+    # slots 23-26 — continuation batch M (incl. the TwoNN perf fix)
+    "corpus_pack_efficiency_by_window",
+    "mm_payload_periodicity_probe",
+    "stats_weekend_mix_ztest",
+    "emb_intrinsic_dim_twonn",
+    # slots 27-36 — new in r14 (batch N; never driver-checked by
+    # definition)
+    "orders_pvm_decomposition",
+    "stats_jackknife_influence",
+    "stats_power_analysis_mde",
+    "ev_seasonality_strength",
+    "ev_sequence_pattern_match",
+    "mm_prefix_hash_audit",
+    "emb_probe_hubness",
+    "emb_prefix_dim_recall",
+    "dedup_lsh_band_planner",
+    "dedup_method_confusion",
     # frozen bench set — a driver row EVERY round:
     "q01_pricing_summary",
     "ev_tumbling_1h",
@@ -121,83 +122,48 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality",
-    # --- beyond slot 50: the never-checked backlog, contiguous
-    # (enforced by test_remaining_backlog_queued_right_after_window) —
-    # continuation batch H landed after the r13 window filled; full
-    # 3-SF local evidence + brute twins; the r14 window candidates:
-    "text_pii_redaction_corpus",
-    "mm_chunk_size_quantiles",
-    "text_bigram_entropy_rate",
-    "join_asof_forward",
-    "ev_tenure_churn_hazard",
-    "emb_cell_purity_by_label",
-    "mm_magic_mismatch_audit",
-    # batch I continuation (also never-checked; full local evidence):
-    "emb_anisotropy_mean_vector",
-    "text_source_tf_cosine_matrix",
-    "sketch_linear_counting_error",
-    "ev_error_rate_by_load",
-    "stats_theil_index_by_nation",
-    # batch J continuation (also never-checked; full local evidence):
-    "ev_type_hourly_corr_matrix",
-    "stats_evt_gumbel_daily_max",
-    "mm_chunk_boundary_stability",
-    "corpus_token_budget_by_quality",
-    # batch K continuation (also never-checked; full local evidence):
-    "corpus_lang_rebalance_plan",
-    "orders_hhi_monthly_trend",
-    # batch L continuation (also never-checked; full local evidence):
-    "ev_order_event_reconciliation",
-    "ev_attribution_window_sweep",
-    "corpus_dup_quality_crosstab",
-    "ev_zipf_user_activity",
-    # batch M continuation (also never-checked; full local evidence):
-    "corpus_pack_efficiency_by_window",
-    "mm_payload_periodicity_probe",
-    "stats_weekend_mix_ztest",
-    "emb_intrinsic_dim_twonn",
 )
 
-# r12-window greens — rotate to the tail this round (driver row <=1 round
+# r13-window greens — rotate to the tail this round (driver row <=1 round
 # old; still in every committed local sweep). The middle (not listed here
-# or above) holds the r2-r11 greens in registration order.
+# or above) holds the r2-r12 greens in registration order.
 PRIORITY_LAST: tuple[str, ...] = (
-    "text_vocab_rank_drift",
-    "text_term_burstiness",
-    "graph_local_clustering",
-    "emb_dim_redundancy_topk",
-    "ev_markov_order2",
-    "ev_user_hour_concentration",
-    "stats_permutation_diff",
-    "sketch_bloom_capacity_sweep",
-    "orders_weekday_index",
-    "mm_byte_delta_profile",
-    "sketch_top_k_heavy_hitters",
-    "dedup_semantic_kmeans",
-    "text_bigram_lm_surprisal",
-    "text_repetition_gates",
-    "dedup_paragraph_cleaned_corpus",
-    "text_eval_split_leakage",
-    "text_cooccur_lift_topk",
-    "text_positional_drift",
-    "text_head_tail_selfsim",
-    "text_char_bigram_topk",
-    "ev_value_cusum_extrema",
-    "ev_dow_hour_heatmap",
-    "ev_type_affinity_skew",
-    "ev_daily_newcomer_share",
-    "ev_peak_hour_ratio",
-    "orders_price_band_month_mix",
-    "orders_repeat_customer_share",
-    "lineitem_unit_price_outliers",
-    "orders_month_end_loading",
-    "emb_quantile_clip_bounds",
-    "emb_grid_cell_density",
-    "emb_centroid_margin_bands",
-    "emb_dim_sign_balance",
-    "sketch_kmv_setops",
-    "stats_capture_recapture",
-    "mm_chunk_dedup_cross",
+    "dedup_component_cohesion",
+    "graph_local_bridges",
+    "emb_bucket_pair_cos_histogram",
+    "mm_payload_byte_stats",
+    "ev_type_transition_gap_median",
+    "customer_balance_activity_grid",
+    "text_source_bigram_uniqueness",
+    "stats_sign_test_user_value",
+    "ev_hourly_mad_anomalies",
+    "supplier_acctbal_quartile_grid",
+    "text_dedup_inflation_by_source",
+    "sim_ivf_routing_balance",
+    "stats_blomqvist_beta_brand",
+    "dedup_band_precision_profile",
+    "ev_hourly_session_load",
+    "stats_cramers_v_assoc",
+    "dedup_cluster_pareto",
+    "customer_priority_transitions",
+    "ev_weekend_lift",
+    "mm_chunk_cdc_profile",
+    "ev_hourly_load_gini",
+    "sketch_hll_precision_sweep",
+    "join_asof_tolerance",
+    "emb_cluster_silhouette",
+    "lineitem_promo_did",
+    "graph_neardup_modularity",
+    "text_char_entropy_by_source",
+    "emb_pq_codebook_utilization",
+    "graph_neardup_conductance",
+    "ev_session_bounce_profile",
+    "text_pii_pattern_audit",
+    "text_composite_quality_score",
+    "mm_cdc_snapshot_delta",
+    "ev_interarrival_burstiness",
+    "ev_interval_coverage_join",
+    "sketch_grid_quantile_error",
 )
 
 
