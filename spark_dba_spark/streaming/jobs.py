@@ -395,6 +395,42 @@ def run_user_totals_stream(
     return spark.table(query_name)
 
 
+def run_error_rate_by_load_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "error_load"
+) -> DataFrame:
+    """Streaming twin of ``operators.curation.ev_error_rate_by_load``
+    (VERDICT r13 "Next round" #7): the load-vs-reliability readout a
+    live ops dashboard keeps. Hour-grain COMPLETE-mode aggregation —
+    the streaming state is exactly the calendar-bounded (hr, n_events,
+    n_errors) table (~720 rows/month, the same bound that justifies
+    the batch op's global rank window), and the decile rollup runs on
+    those bounded rows through the SHARED
+    ``assemble_error_rate_by_load`` contract, so the DuckDB oracle
+    gating the batch form transitively gates this stream."""
+    from ..operators.curation import assemble_error_rate_by_load
+
+    ev = stream_events(spark, sf_dir).select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("hr"),
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+    )
+    q = (
+        ev.groupBy("hr")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("is_err").cast("long").alias("n_errors"),
+        )
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return assemble_error_rate_by_load(spark.table(query_name))
+
+
 # ---------------------------------------------------------------------------
 # Streaming corpus cleaning (LLM-pipeline twin of pipeline_clean_corpus)
 # ---------------------------------------------------------------------------

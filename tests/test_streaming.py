@@ -684,3 +684,20 @@ def test_pii_audit_stream_equals_batch(spark):
         for r in text_pii_pattern_audit(spark, SF_DIR).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_error_rate_by_load_stream_equals_batch(spark):
+    """The hour-grain complete-mode stream + shared decile assembly
+    equals the batch load-vs-reliability op row-for-row (r14 twin)."""
+    from spark_dba_spark.operators.curation import ev_error_rate_by_load
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_error_rate_by_load_stream(
+            spark, SF_DIR, "t_error_load"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in ev_error_rate_by_load(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0

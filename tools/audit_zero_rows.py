@@ -40,6 +40,21 @@ PLANTED_TWINS: dict[str, str] = {
     "graph_common_neighbors": "tests/test_r13_ops.py::test_common_neighbors_planted_wedge",
 }
 
+# Standing decisions on all-zero rows (VERDICT r13 #8: "decide and
+# document in the audit"), rendered inline into ZEROROWS_r{N}.md:
+DECISIONS: dict[str, str] = {
+    "graph_common_neighbors": (
+        "DECIDED r14: keep the planted twin; do NOT densify. The op "
+        "predicts links over the PRODUCTION near-dup graph — the "
+        "fixtures' dup graph genuinely has no open wedge at any SF, so "
+        "an empty result is the correct answer, and loosening the "
+        "near-dup threshold just to mint fixture wedges would change "
+        "production semantics to flatter the test. The planted-wedge "
+        "twin pins the non-trivial behaviour; the 3-SF zero rows stay "
+        "as the honest fixture fact."
+    ),
+}
+
 
 def _artifacts(rnd: int) -> list[Path]:
     stems = [
@@ -110,6 +125,11 @@ def main() -> int:
         "precedent).",
         "",
     ]
+    decided = [n for n, _, _ in rows if n in DECISIONS]
+    if decided:
+        lines += ["## Decisions", ""]
+        lines += [f"- `{n}`: {DECISIONS[n]}" for n in decided]
+        lines.append("")
     if problems:
         lines += ["## PROBLEMS", ""] + [f"- {p}" for p in problems] + [""]
     out.write_text("\n".join(lines))
