@@ -9622,6 +9622,651 @@ FROM j GROUP BY 1 ORDER BY method_cell
 ORACLE_METHOD_CONFUSION = _oracle_method_confusion()
 
 
+# --------------------------------------------------------------------------
+# Batch O (r14 continuation; the r15 window backlog): SLO burn rate,
+# Cochran-Armitage trend, McNemar paired test, BH-FDR multiple testing,
+# kmeans elbow sweep, LSH recall vs corpus scale
+# --------------------------------------------------------------------------
+
+SLO_TARGET_PCT = 1  # error-budget SLO: 1% error share
+SLO_FAST_BURN_X10 = 144  # 14.4x budget burn over 1 day (Google SRE page)
+SLO_SLOW_BURN_X10 = 60   # 6x budget burn over the trailing 7 days
+
+
+def ev_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn-rate table (the SRE multiwindow alert
+    math): per day, the error share against a 1% SLO expressed as a
+    burn-rate multiple — burn 1 means the budget exactly runs out at
+    the period's end; the standard pages fire at 14.4× over a short
+    window and 6× over a long one. Both alert flags are EXACT integer
+    cross-multiplications (1000·e ≥ 144·n etc. — no float in the
+    decision), and the burn rates are exact half-up rationals.
+
+    Scale: one day-grain map-side-combinable agg; the trailing-7-day
+    window runs over the DAILY frame (calendar-bounded — ~365
+    rows/year) with a RANGE frame, so calendar gaps are handled and
+    the fact stream never enters a window."""
+    ev = _events(spark, sf_dir).select(
+        F.expr(f"({_US}) div 86400000000").alias("day"),
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("is_err").cast("long").alias("e"),
+    )
+    w7 = W.orderBy("day").rangeBetween(-6, 0)
+    t = daily.withColumn("n7", F.sum("n").over(w7).cast("long")).withColumn(
+        "e7", F.sum("e").over(w7).cast("long")
+    )
+    return t.select(
+        F.col("day").alias("day_epoch"),
+        F.col("n").alias("n_events"),
+        F.col("e").alias("n_errors"),
+        F.expr(rat_round6_spark(f"100 * e", "n")).alias("burn_1d_r6"),
+        F.expr(rat_round6_spark(f"100 * e7", "n7")).alias("burn_7d_r6"),
+        F.expr(f"1000 * e >= {SLO_FAST_BURN_X10} * n").alias("fast_burn"),
+        F.expr(f"1000 * e7 >= {SLO_SLOW_BURN_X10} * n7").alias("slow_burn"),
+    ).orderBy("day_epoch")
+
+
+ORACLE_SLO_BURN = f"""
+WITH daily AS (
+  SELECT ({_US_DUCK}) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e
+  FROM events GROUP BY 1),
+t AS (
+  SELECT *,
+         CAST(SUM(n) OVER (ORDER BY day
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n7,
+         CAST(SUM(e) OVER (ORDER BY day
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS e7
+  FROM daily)
+SELECT day AS day_epoch, n AS n_events, e AS n_errors,
+       {rat_round6_duck("100 * e", "n")} AS burn_1d_r6,
+       {rat_round6_duck("100 * e7", "n7")} AS burn_7d_r6,
+       1000 * e >= {SLO_FAST_BURN_X10} * n AS fast_burn,
+       1000 * e7 >= {SLO_SLOW_BURN_X10} * n7 AS slow_burn
+FROM t ORDER BY day_epoch
+"""
+
+
+def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: is the purchase share RISING or
+    FALLING across ordered weekly periods? The two-proportion z says two
+    groups differ; this is the ordered-k-group version every growth
+    review actually needs ("is conversion trending?"). Weeks are
+    TZ-proof epoch-day buckets (day div 7); the statistic is one sqrt
+    readout of exact integer sums — z = (N·Σxt − X·Σnt) /
+    sqrt(X·(N−X)·(N·Σnt² − (Σnt)²)/N) — with the wide products computed
+    in deterministic double expressions (identical parenthesization on
+    both engines; BIGINT would overflow at the X·(N−X)·(...) term).
+
+    Scale: one week-grain agg (calendar-bounded) then constant-size
+    arithmetic — the fact stream crosses the wire once."""
+    ev = _events(spark, sf_dir).select(
+        F.expr(f"(({_US}) div 86400000000) div 7").alias("t"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_x"),
+    )
+    wk = ev.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_t"),
+        F.sum("is_x").cast("long").alias("x_t"),
+    )
+    # normalize week ids to 1..T so the t moments stay small
+    wmin = wk.agg(F.min("t").alias("t0"))
+    g = (
+        wk.crossJoin(F.broadcast(wmin))
+        .select((F.col("t") - F.col("t0") + 1).alias("ti"), "n_t", "x_t")
+        .agg(
+            F.count("*").cast("long").alias("k_periods"),
+            F.sum("n_t").cast("long").alias("nn"),
+            F.sum("x_t").cast("long").alias("xx"),
+            F.sum(F.expr("n_t * ti")).cast("long").alias("snt"),
+            F.sum(F.expr("x_t * ti")).cast("long").alias("sxt"),
+            F.sum(F.expr("n_t * ti * ti")).cast("long").alias("snt2"),
+        )
+    )
+    num = "(cast(nn as double) * sxt - cast(xx as double) * snt)"
+    den = (
+        "sqrt(cast(xx as double) * cast(nn - xx as double)"
+        " * (cast(nn as double) * snt2 - cast(snt as double) * snt)"
+        " / cast(nn as double))"
+    )
+    guard = "xx > 0 and xx < nn and k_periods > 1"
+    return g.select(
+        "k_periods",
+        F.col("nn").alias("n_total"),
+        F.col("xx").alias("x_total"),
+        F.expr(rat_round6_spark("xx", "nn")).alias("share_r6"),
+        F.expr(
+            f"case when {guard} and {den} > 0.0d"
+            f" then round({num} / {den}, 6) end"
+        ).alias("trend_z_r6"),
+    )
+
+
+ORACLE_COCHRAN_ARMITAGE = f"""
+WITH wk AS (
+  SELECT ((({_US_DUCK}) // 86400000000) // 7) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x_t
+  FROM events GROUP BY 1),
+norm AS (
+  SELECT t - (SELECT MIN(t) FROM wk) + 1 AS ti, n_t, x_t FROM wk),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_periods,
+         CAST(SUM(n_t) AS BIGINT) AS nn,
+         CAST(SUM(x_t) AS BIGINT) AS xx,
+         CAST(SUM(n_t * ti) AS BIGINT) AS snt,
+         CAST(SUM(x_t * ti) AS BIGINT) AS sxt,
+         CAST(SUM(n_t * ti * ti) AS BIGINT) AS snt2
+  FROM norm)
+SELECT k_periods, nn AS n_total, xx AS x_total,
+       {rat_round6_duck("xx", "nn")} AS share_r6,
+       CASE WHEN xx > 0 AND xx < nn AND k_periods > 1
+             AND sqrt(CAST(xx AS DOUBLE) * CAST(nn - xx AS DOUBLE)
+                      * (CAST(nn AS DOUBLE) * snt2
+                         - CAST(snt AS DOUBLE) * snt)
+                      / CAST(nn AS DOUBLE)) > 0.0 THEN
+         ROUND((CAST(nn AS DOUBLE) * sxt - CAST(xx AS DOUBLE) * snt)
+               / sqrt(CAST(xx AS DOUBLE) * CAST(nn - xx AS DOUBLE)
+                      * (CAST(nn AS DOUBLE) * snt2
+                         - CAST(snt AS DOUBLE) * snt)
+                      / CAST(nn AS DOUBLE)), 6)
+       END AS trend_z_r6
+FROM g
+"""
+
+
+def stats_mcnemar_weekend_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test: does the SAME user purchase on weekends but
+    not weekdays (or vice versa)? Unpaired tests confound user mix;
+    McNemar conditions on the pair and reads only the DISCORDANT cells
+    — b (weekend-only buyers) vs c (weekday-only). χ² = (b−c)²/(b+c) is
+    an EXACT rational (no sqrt); the signed z = (b−c)/√(b+c) is one
+    Class B sqrt readout. TZ-proof epoch weekday arithmetic.
+
+    Scale: one user-grain agg (two boolean maxes), one 4-cell rollup."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+        F.expr(f"((({_US}) div 86400000000) + 3) % 7 >= 5")
+        .cast("long").alias("wk"),
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max(F.expr("is_p * (1 - wk)")).alias("wd_buy"),
+        F.max(F.expr("is_p * wk")).alias("we_buy"),
+    )
+    g = users.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.expr("wd_buy * we_buy")).cast("long").alias("both_buy"),
+        F.sum(F.expr("wd_buy * (1 - we_buy)")).cast("long")
+        .alias("weekday_only"),
+        F.sum(F.expr("(1 - wd_buy) * we_buy")).cast("long")
+        .alias("weekend_only"),
+        F.sum(F.expr("(1 - wd_buy) * (1 - we_buy)")).cast("long")
+        .alias("neither"),
+    )
+    return g.select(
+        "n_users",
+        "both_buy",
+        "weekday_only",
+        "weekend_only",
+        "neither",
+        F.expr(
+            "case when weekday_only + weekend_only > 0 then "
+            + rat_round6_spark(
+                "(weekend_only - weekday_only)"
+                " * (weekend_only - weekday_only)",
+                "weekend_only + weekday_only",
+            )
+            + " end"
+        ).alias("mcnemar_chi2_r6"),
+        F.expr(
+            "case when weekday_only + weekend_only > 0 then"
+            " round(cast(weekend_only - weekday_only as double)"
+            " / sqrt(cast(weekend_only + weekday_only as double)), 6)"
+            " end"
+        ).alias("z_r6"),
+    )
+
+
+ORACLE_MCNEMAR = f"""
+WITH ev AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN ((({_US_DUCK}) // 86400000000) + 3) % 7 >= 5
+              THEN 1 ELSE 0 END AS wk
+  FROM events),
+users AS (
+  SELECT user_id, MAX(is_p * (1 - wk)) AS wd_buy,
+         MAX(is_p * wk) AS we_buy
+  FROM ev GROUP BY 1),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(wd_buy * we_buy) AS BIGINT) AS both_buy,
+         CAST(SUM(wd_buy * (1 - we_buy)) AS BIGINT) AS weekday_only,
+         CAST(SUM((1 - wd_buy) * we_buy) AS BIGINT) AS weekend_only,
+         CAST(SUM((1 - wd_buy) * (1 - we_buy)) AS BIGINT) AS neither
+  FROM users)
+SELECT n_users, both_buy, weekday_only, weekend_only, neither,
+       CASE WHEN weekday_only + weekend_only > 0 THEN
+         {rat_round6_duck(
+             "(weekend_only - weekday_only)"
+             " * (weekend_only - weekday_only)",
+             "weekend_only + weekday_only")}
+       END AS mcnemar_chi2_r6,
+       CASE WHEN weekday_only + weekend_only > 0 THEN
+         ROUND(CAST(weekend_only - weekday_only AS DOUBLE)
+               / sqrt(CAST(weekend_only + weekday_only AS DOUBLE)), 6)
+       END AS z_r6
+FROM g
+"""
+
+
+def _bh_z_threshold(p_two_sided: float) -> float:
+    """z such that the two-sided normal p-value erfc(z/√2) equals p —
+    bisection on math.erfc (monotone), rounded to 6dp. Computed ONCE at
+    import and embedded as a LITERAL in both engines' SQL, so no engine
+    ever evaluates an inverse CDF."""
+    import math
+
+    lo, hi = 0.0, 40.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if math.erfc(mid / math.sqrt(2.0)) > p_two_sided:
+            lo = mid
+        else:
+            hi = mid
+    return round((lo + hi) / 2.0, 6)
+
+
+BH_ALPHA = 0.05
+BH_MAX_M = 8
+# (m, k) -> z threshold for the BH step-up boundary p <= alpha*k/m
+BH_THRESHOLDS = tuple(
+    (m, k, _bh_z_threshold(BH_ALPHA * k / m))
+    for m in range(1, BH_MAX_M + 1)
+    for k in range(1, m + 1)
+)
+
+
+def stats_bh_fdr_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over the per-type weekend-mix
+    z family (stats_weekend_mix_ztest's statistics): five simultaneous
+    tests at α=0.05 need multiple-testing control, and BH is what every
+    experimentation platform applies. The step-up rule runs in z-space
+    against PRECOMPUTED threshold literals (z with two-sided p =
+    α·k/m, bisected on math.erfc at import, 6dp, identical literal in
+    both engines' plans) — no engine evaluates an inverse normal CDF.
+    Ranking uses the 6dp-rounded |z| (the hash-stable quantity) with
+    event_type tiebreak.
+
+    Scale: the z machinery is one alphabet-bounded agg; BH itself runs
+    on ≤|types| rows (a bounded window, alphabet-sized by
+    construction)."""
+    z = stats_weekend_mix_ztest(spark, sf_dir).select(
+        "event_type",
+        "n_events",
+        F.abs(F.col("z_r6")).alias("abs_z"),
+    )
+    valid = z.filter(F.col("abs_z").isNotNull())
+    m = valid.agg(F.count("*").cast("long").alias("m_tests"))
+    wr = W.orderBy(F.desc("abs_z"), F.asc("event_type"))
+    ranked = (
+        valid.crossJoin(F.broadcast(m))
+        .withColumn("bh_rank", F.row_number().over(wr).cast("long"))
+    )
+    thr = spark.createDataFrame(
+        list(BH_THRESHOLDS), "m_tests long, bh_rank long, z_thr double"
+    )
+    flagged = ranked.join(F.broadcast(thr), ["m_tests", "bh_rank"]).select(
+        "event_type",
+        "n_events",
+        F.round("abs_z", 6).alias("abs_z_r6"),
+        "bh_rank",
+        "m_tests",
+        F.col("z_thr").alias("z_threshold"),
+        (F.col("abs_z") >= F.col("z_thr")).alias("passes_own"),
+    )
+    wall = W.partitionBy("m_tests")  # one bounded family
+    kstar = flagged.withColumn(
+        "k_star",
+        F.max(F.when(F.col("passes_own"), F.col("bh_rank")).otherwise(0))
+        .over(wall),
+    )
+    return kstar.select(
+        "event_type",
+        "n_events",
+        "abs_z_r6",
+        "bh_rank",
+        "m_tests",
+        "z_threshold",
+        (F.col("bh_rank") <= F.col("k_star")).alias("rejected"),
+    ).orderBy("bh_rank")
+
+
+def _oracle_bh_fdr() -> str:
+    vals = ", ".join(f"({m}, {k}, {z})" for m, k, z in BH_THRESHOLDS)
+    return f"""
+WITH zt AS (
+  SELECT event_type, n_events, abs(z_r6) AS abs_z
+  FROM ({ORACLE_WEEKEND_MIX_ZTEST})
+  WHERE z_r6 IS NOT NULL),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_tests FROM zt),
+ranked AS (
+  SELECT event_type, n_events, abs_z, m_tests,
+         CAST(ROW_NUMBER() OVER (ORDER BY abs_z DESC, event_type)
+              AS BIGINT) AS bh_rank
+  FROM zt CROSS JOIN m),
+thr AS (SELECT m_tests, bh_rank, CAST(z_thr AS DOUBLE) AS z_thr
+        FROM (VALUES {vals}) t(m_tests, bh_rank, z_thr)),
+flagged AS (
+  SELECT r.event_type, r.n_events, ROUND(r.abs_z, 6) AS abs_z_r6,
+         r.bh_rank, r.m_tests, t.z_thr AS z_threshold,
+         r.abs_z >= t.z_thr AS passes_own
+  FROM ranked r JOIN thr t
+    ON r.m_tests = t.m_tests AND r.bh_rank = t.bh_rank),
+kstar AS (
+  SELECT *, MAX(CASE WHEN passes_own THEN bh_rank ELSE 0 END)
+              OVER () AS k_star
+  FROM flagged)
+SELECT event_type, n_events, abs_z_r6, bh_rank, m_tests, z_threshold,
+       bh_rank <= k_star AS rejected
+FROM kstar ORDER BY bh_rank
+"""
+
+
+ORACLE_BH_FDR = _oracle_bh_fdr()
+
+
+ELBOW_KS = (2, 4, 8, 16)
+
+
+def emb_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means elbow sweep: total inertia after KM_ITERS Lloyd rounds at
+    k = 2/4/8/16 — THE cluster-count tuning curve (emb_kmeans_lloyd
+    reports the shipped k=16; this says what the OTHER budgets cost,
+    which is what you actually look at before picking k). Reuses the
+    exact fixed-point kmeans machinery verbatim (2^-20 grid, JVM-fold
+    assignment, truncation-division centroid updates, decimal-free r6
+    readout), so every cell is bit-reproducible and the whole sweep
+    carries a full value-hash oracle (per-k unrolled CTE chains).
+
+    Scale: per (k, iteration) one map-only assignment scan + one
+    K×D-bounded exchange — Σk scans total; nothing corpus² anywhere."""
+    from .similarity import KM_ITERS, _km_assign, _km_quantized
+    from .similarity import _km_r6_spark
+
+    qdf = _km_quantized(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # one quantization pass feeds all k sweeps and iterations
+    outs = []
+    for k in ELBOW_KS:
+        seeds = qdf.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        assert len(seeds) == k and all(
+            r["vec_id"] == i for i, r in enumerate(seeds)
+        ), f"elbow seeds must be the contiguous vec_ids 0..{k - 1}"
+        cent = [[int(v) for v in r["qv"]] for r in seeds]
+        assigned = None
+        for it in range(KM_ITERS):
+            assigned = _km_assign(qdf, cent)
+            if it == KM_ITERS - 1:
+                break
+            sums = (
+                assigned.select(
+                    "cid", F.posexplode("qv").alias("dim", "v")
+                )
+                .groupBy("cid", "dim")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect()  # bounded: K x D rows
+            )
+            new_cent = [row[:] for row in cent]
+            for r in sums:
+                sv, nv = int(r["s"]), int(r["n"])
+                # truncation-toward-zero division (DuckDB // semantics)
+                new_cent[r["cid"]][r["dim"]] = (
+                    sv // nv if sv >= 0 else -((-sv) // nv)
+                )
+            cent = new_cent
+        outs.append(
+            assigned.agg(
+                F.count("*").cast("long").alias("n_vectors"),
+                F.sum("sqdist").cast("long").alias("inertia_q2"),
+                F.countDistinct("cid").cast("long").alias("k_used"),
+            ).select(
+                F.lit(k).cast("long").alias("k"),
+                "k_used",
+                "n_vectors",
+                "inertia_q2",
+                F.expr(_km_r6_spark("inertia_q2")).alias("inertia_r6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("k")
+
+
+def _oracle_kmeans_elbow() -> str:
+    from .similarity import EMB_DIM, KM_ITERS, KM_QUANT, _km_r6_duck
+
+    blocks = []
+    reads = []
+    for k in ELBOW_KS:
+        sfx = f"_k{k}"
+        parts = [
+            f"c0{sfx} AS (SELECT vec_id AS cid, dim, qv AS cv"
+            f" FROM q WHERE vec_id < {k})"
+        ]
+        for it in range(1, KM_ITERS + 1):
+            prev = f"c0{sfx}" if it == 1 else f"c{it - 1}{sfx}"
+            parts.append(f"""d{it}{sfx} AS (
+  SELECT q.vec_id, c.cid,
+         CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2
+  FROM q JOIN {prev} c ON q.dim = c.dim
+  GROUP BY 1, 2),
+a{it}{sfx} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cid) AS rn
+    FROM d{it}{sfx}) WHERE rn = 1)""")
+            if it < KM_ITERS:
+                parts.append(f"""s{it}{sfx} AS (
+  SELECT a.cid, q.dim, SUM(q.qv) AS s, COUNT(*) AS n
+  FROM a{it}{sfx} a JOIN q ON a.vec_id = q.vec_id
+  GROUP BY 1, 2),
+c{it}{sfx} AS (
+  SELECT p.cid, p.dim,
+         COALESCE(CAST(s{it}{sfx}.s // s{it}{sfx}.n AS BIGINT), p.cv) AS cv
+  FROM {prev} p LEFT JOIN s{it}{sfx}
+    ON p.cid = s{it}{sfx}.cid AND p.dim = s{it}{sfx}.dim)""")
+        blocks.append(",\n".join(parts))
+        q2 = "CAST(SUM(d2) AS BIGINT)"
+        reads.append(
+            f"SELECT CAST({k} AS BIGINT) AS k,"
+            f" CAST(COUNT(DISTINCT cid) AS BIGINT) AS k_used,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_vectors,"
+            f" {q2} AS inertia_q2,"
+            f" {_km_r6_duck(q2)} AS inertia_r6"
+            f" FROM a{KM_ITERS}{sfx}"
+        )
+    body = ",\n".join(blocks)
+    union = "\nUNION ALL\n".join(reads)
+    return f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+q AS (
+  SELECT e.vec_id, d.dim,
+         CAST(TRUNC(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                    * {KM_QUANT!r}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN dims d),
+{body}
+SELECT * FROM ({union}) ORDER BY k
+"""
+
+
+ORACLE_KMEANS_ELBOW = _oracle_kmeans_elbow()
+
+
+SCALE_PCTS = (25, 50, 100)
+
+
+def sim_lsh_recall_by_corpus_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does LSH recall DEGRADE as the corpus grows? The production ANN
+    question every capacity review asks: buckets get denser at scale,
+    so recall measured on today's corpus says little about next
+    quarter's. This op measures exact recall@{TOP_K} of the shipped
+    16-table LSH config on deterministic md5 subsamples of the corpus
+    (25% / 50% / 100%, probes always retained) — the scaling CURVE, on
+    the real index machinery, fully value-hashed (md5 planes + exact
+    cosine + vec_id tie-breaks are deterministic end to end).
+
+    Scale: the LSH candidate stream is computed ONCE and checkpointed;
+    each subsample is a filter over it. The exact baseline is the
+    broadcast-probe brute pass (probes bounded at {N_QUERIES}) — the
+    audit tier a production system runs on a sampled probe set, not
+    per query."""
+    from .similarity import (
+        N_QUERIES,
+        TOP_K,
+        _cosine_expr,
+        _lsh_candidate_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # one bucketing pass feeds all three subsample filters
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+    def samp(s: int) -> str:
+        return (
+            f"(vec_id < {N_QUERIES} or "
+            f"cast(conv(substring(md5(concat('scale:', "
+            f"cast(vec_id as string))), 1, 7), 16, 10) as bigint)"
+            f" % 100 < {s})"
+        )
+
+    outs = []
+    for s in SCALE_PCTS:
+        emb_s = emb.filter(F.expr(samp(s)))
+        nc = emb_s.agg(F.count("*").cast("long").alias("n_corpus"))
+        lsh = (
+            pairs.filter(F.expr(samp(s)))
+            .join(F.broadcast(qv), "qid")
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .withColumn("sim", _cosine_expr())
+        )
+        wq = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+        ltop = (
+            lsh.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= TOP_K)
+            .select("qid", "vec_id")
+        )
+        exact = (
+            emb_s.select("vec_id", "embedding")
+            .join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
+            .withColumn("sim", _cosine_expr())
+        )
+        etop = (
+            exact.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= TOP_K)
+            .select("qid", "vec_id")
+            .localCheckpoint(eager=True)  # feeds base count + overlap
+        )
+        base = etop.agg(F.count("*").cast("long").alias("n_base"))
+        ov = ltop.join(etop, ["qid", "vec_id"]).agg(
+            F.count("*").cast("long").alias("n_overlap")
+        )
+        outs.append(
+            nc.crossJoin(F.broadcast(base))
+            .crossJoin(F.broadcast(ov))
+            .select(
+                F.lit(s).cast("long").alias("scale_pct"),
+                "n_corpus",
+                "n_base",
+                "n_overlap",
+                F.expr(
+                    "case when n_base > 0 then "
+                    + rat_round6_spark("n_overlap", "n_base")
+                    + " end"
+                ).alias("recall_r6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("scale_pct")
+
+
+def _oracle_lsh_recall_by_scale() -> str:
+    from .similarity import _LSH_CAND_CTES, N_QUERIES, TOP_K
+
+    scales = ", ".join(str(s) for s in SCALE_PCTS)
+    return f"""
+WITH {_LSH_CAND_CTES},
+scales AS (SELECT unnest([{scales}]) AS s),
+samp AS (
+  SELECT sc.s, e.vec_id
+  FROM e CROSS JOIN scales sc
+  WHERE e.vec_id < {N_QUERIES}
+     OR CAST(('0x' || substr(md5('scale:' || e.vec_id), 1, 7)) AS BIGINT)
+        % 100 < sc.s),
+ls AS (
+  SELECT sa.s, c.qid, c.vec_id,
+         list_cosine_similarity(eq.emb, ev.emb) AS sim
+  FROM cand c
+  JOIN samp sa ON sa.vec_id = c.vec_id
+  JOIN e eq ON eq.vec_id = c.qid
+  JOIN e ev ON ev.vec_id = c.vec_id),
+ltop AS (
+  SELECT s, qid, vec_id FROM (
+    SELECT s, qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s, qid
+                              ORDER BY sim DESC, vec_id) AS rk
+    FROM ls) WHERE rk <= {TOP_K}),
+ex AS (
+  SELECT sa.s, q.vec_id AS qid, sa.vec_id,
+         list_cosine_similarity(q.emb, ev.emb) AS sim
+  FROM e q
+  JOIN samp sa ON sa.vec_id != q.vec_id
+  JOIN e ev ON ev.vec_id = sa.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+etop AS (
+  SELECT s, qid, vec_id FROM (
+    SELECT s, qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s, qid
+                              ORDER BY sim DESC, vec_id) AS rk
+    FROM ex) WHERE rk <= {TOP_K}),
+nc AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_corpus
+       FROM samp GROUP BY 1),
+base AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_base
+         FROM etop GROUP BY 1),
+ov AS (
+  SELECT t.s, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM ltop t JOIN etop x
+    ON t.s = x.s AND t.qid = x.qid AND t.vec_id = x.vec_id
+  GROUP BY 1)
+SELECT nc.s AS scale_pct, nc.n_corpus, base.n_base,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       CASE WHEN base.n_base > 0 THEN
+         {rat_round6_duck("COALESCE(ov.n_overlap, 0)", "base.n_base")}
+       END AS recall_r6
+FROM nc JOIN base ON nc.s = base.s LEFT JOIN ov ON nc.s = ov.s
+ORDER BY scale_pct
+"""
+
+
+ORACLE_LSH_RECALL_BY_SCALE = _oracle_lsh_recall_by_scale()
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -10096,4 +10741,36 @@ SPECS = [
               doc="MinHash-LSH vs SimHash verified-pair confusion cells "
                   "(are the two near-dup screens redundant or "
                   "complementary?)"),
+    # --- batch O (r14 continuation; r15 window backlog) ---
+    QuerySpec("ev_slo_burn_rate", ev_slo_burn_rate, ORACLE_SLO_BURN,
+              ("events", "sre", "slo"),
+              doc="daily + trailing-7d error-budget burn rates vs a 1% "
+                  "SLO with exact-integer 14.4x/6x alert flags (the SRE "
+                  "multiwindow page math)"),
+    QuerySpec("stats_cochran_armitage_trend", stats_cochran_armitage_trend,
+              ORACLE_COCHRAN_ARMITAGE, ("stats", "trend", "events"),
+              doc="Cochran-Armitage purchase-share trend z across weekly "
+                  "periods (ordered-k-group proportion trend test)"),
+    QuerySpec("stats_mcnemar_weekend_purchase",
+              stats_mcnemar_weekend_purchase, ORACLE_MCNEMAR,
+              ("stats", "events", "paired"),
+              doc="McNemar paired discordant-cell test: same-user "
+                  "weekend-vs-weekday purchase behaviour (exact rational "
+                  "chi^2 + Class B z)"),
+    QuerySpec("stats_bh_fdr_weekend", stats_bh_fdr_weekend, ORACLE_BH_FDR,
+              ("stats", "multiple-testing"),
+              doc="Benjamini-Hochberg FDR step-up over the weekend-mix z "
+                  "family via precomputed erfc-bisected threshold "
+                  "literals (no engine-side inverse CDF)"),
+    QuerySpec("emb_kmeans_elbow", emb_kmeans_elbow, ORACLE_KMEANS_ELBOW,
+              ("embedding", "clustering", "tuning"),
+              doc="Lloyd inertia at k=2/4/8/16 on the exact fixed-point "
+                  "kmeans machinery (the cluster-count elbow table; "
+                  "per-k unrolled CTE oracle)"),
+    QuerySpec("sim_lsh_recall_by_corpus_scale",
+              sim_lsh_recall_by_corpus_scale, ORACLE_LSH_RECALL_BY_SCALE,
+              ("similarity", "ann", "tuning"),
+              doc="exact recall@10 of the shipped 16-table LSH on md5 "
+                  "corpus subsamples (25/50/100%) - the does-recall-"
+                  "degrade-at-scale curve on the real index machinery"),
 ]

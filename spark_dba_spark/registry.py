@@ -122,6 +122,16 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality",
+    # --- beyond slot 50: the never-checked backlog, contiguous
+    # (enforced by test_remaining_backlog_queued_right_after_window) —
+    # continuation batch O landed after the r14 window filled; full
+    # 3-SF local evidence + twins; the r15 window candidates:
+    "ev_slo_burn_rate",
+    "stats_cochran_armitage_trend",
+    "stats_mcnemar_weekend_purchase",
+    "stats_bh_fdr_weekend",
+    "emb_kmeans_elbow",
+    "sim_lsh_recall_by_corpus_scale",
 )
 
 # r13-window greens — rotate to the tail this round (driver row <=1 round

@@ -658,3 +658,200 @@ def test_method_confusion_planted(spark, tmp_path):
     assert got["both"]["n_hamming_le1"] >= 1
     assert "simhash_only" in got
     assert got["simhash_only"]["n_jaccard_ge90"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Part 3 — batch O planted fixtures (r15 window backlog)
+# ---------------------------------------------------------------------------
+
+
+def test_slo_burn_rate_planted(spark, tmp_path):
+    """Day 0: 20% errors -> burn 20x (fast + slow fire). Days 1-7: clean
+    -> day 7's trailing window excludes day 0 (RANGE frame, not ROWS),
+    so slow_burn clears exactly at day 7."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_SLO_BURN,
+        ev_slo_burn_rate,
+    )
+
+    rows = []
+    eid = 0
+    for i in range(10):
+        rows.append((eid, T0_US + i, 1, "error" if i < 2 else "view", 1.0))
+        eid += 1
+    for day in range(1, 8):
+        for i in range(10):
+            rows.append((eid, T0_US + day * US_PER_DAY + i, 1, "view", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = ev_slo_burn_rate(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_SLO_BURN, ["events"])
+    d0 = T0_US // (86_400_000_000)
+    got = {r["day_epoch"]: r for r in df.collect()}
+    assert got[d0]["burn_1d_r6"] == 20.0
+    assert got[d0]["fast_burn"] and got[d0]["slow_burn"]
+    assert not got[d0 + 1]["fast_burn"]
+    # trailing share 2/n7: fires while n7 <= 33 -> days 0-2 only
+    assert got[d0 + 2]["slow_burn"]
+    assert not got[d0 + 3]["slow_burn"]
+    assert got[d0 + 6]["burn_7d_r6"] > 0  # day 0 inside the 7d range
+    assert got[d0 + 7]["burn_7d_r6"] == 0.0  # and exactly out at day 7
+
+
+def test_cochran_armitage_direction(spark, tmp_path):
+    """Purchase share rising 10% -> 50% across three weeks must give a
+    positive trend z; the mirrored fixture gives the exact negative."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_COCHRAN_ARMITAGE,
+        stats_cochran_armitage_trend,
+    )
+
+    def build(shares):
+        rows = []
+        eid = 0
+        for w, share in enumerate(shares):
+            for i in range(20):
+                ty = "purchase" if i < share else "view"
+                rows.append(
+                    (eid, T0_US + w * 7 * US_PER_DAY + i, 1, ty, 1.0)
+                )
+                eid += 1
+        return rows
+
+    _write_events(tmp_path, build([2, 6, 10]))
+    df = stats_cochran_armitage_trend(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_COCHRAN_ARMITAGE, ["events"]
+    )
+    up = df.collect()[0]
+    assert up["k_periods"] == 3 and up["trend_z_r6"] > 2.0
+    _write_events(tmp_path, build([10, 6, 2]))
+    down = stats_cochran_armitage_trend(spark, str(tmp_path)).collect()[0]
+    assert down["trend_z_r6"] == -up["trend_z_r6"]
+
+
+def test_mcnemar_discordant_cells(spark, tmp_path):
+    """3 weekend-only buyers vs 1 weekday-only: chi2 = (3-1)^2/4 = 1,
+    z = 2/sqrt(4) = 1. T0 is a Monday; +5 days = Saturday."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_MCNEMAR,
+        stats_mcnemar_weekend_purchase,
+    )
+
+    sat = T0_US + 5 * US_PER_DAY
+    rows = [
+        # users 1-3: purchase Saturday only
+        (1, sat, 1, "purchase", 1.0),
+        (2, sat, 2, "purchase", 1.0),
+        (3, sat, 3, "purchase", 1.0),
+        # user 4: purchase Monday only
+        (4, T0_US, 4, "purchase", 1.0),
+        # user 5: both; user 6: neither
+        (5, T0_US, 5, "purchase", 1.0),
+        (6, sat, 5, "purchase", 1.0),
+        (7, T0_US, 6, "view", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    df = stats_mcnemar_weekend_purchase(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_MCNEMAR, ["events"])
+    r = df.collect()[0]
+    assert (r["weekend_only"], r["weekday_only"]) == (3, 1)
+    assert (r["both_buy"], r["neither"]) == (1, 1)
+    assert r["mcnemar_chi2_r6"] == 1.0 and r["z_r6"] == 1.0
+
+
+def test_bh_fdr_step_up_planted(spark, tmp_path):
+    """One type wildly weekend-skewed (huge |z|), the rest balanced:
+    BH must reject the skewed one and, via the step-up rule, nothing
+    ranked below the boundary."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_BH_FDR,
+        stats_bh_fdr_weekend,
+    )
+
+    sat = T0_US + 5 * US_PER_DAY
+    rows = []
+    eid = 0
+    for i in range(200):  # 'error': all weekend
+        rows.append((eid, sat + i, 1, "error", 1.0))
+        eid += 1
+    for ty in ("click", "view", "purchase", "signup"):
+        for i in range(100):  # balanced: half weekend half weekday
+            ts = sat + i if i % 2 else T0_US + i
+            rows.append((eid, ts, 1, ty, 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = stats_bh_fdr_weekend(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_BH_FDR, ["events"])
+    got = {r["event_type"]: r for r in df.collect()}
+    assert got["error"]["bh_rank"] == 1 and got["error"]["rejected"]
+    assert got["error"]["m_tests"] == 5
+    # monotone step-up: anything ranked after the last rejection is not
+    ranks = sorted(
+        (r["bh_rank"], r["rejected"]) for r in got.values()
+    )
+    last_true = max((rk for rk, rej in ranks if rej), default=0)
+    assert all(rej == (rk <= last_true) for rk, rej in ranks)
+
+
+def test_kmeans_elbow_monotone_and_k16_matches_lloyd(spark, tmp_path):
+    """Inertia must be non-increasing in k on a planted corpus, and the
+    k=16 cell must equal emb_kmeans_lloyd's total inertia exactly
+    (same machinery, whole-table sum)."""
+    import numpy as np
+
+    from spark_dba_spark.operators.curation import (
+        ORACLE_KMEANS_ELBOW,
+        emb_kmeans_elbow,
+    )
+    from spark_dba_spark.operators.similarity import emb_kmeans_lloyd
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(scale=4.0, size=(4, 64))
+    vecs = np.concatenate(
+        [c + rng.normal(scale=0.2, size=(10, 64)) for c in centers]
+    )
+    _write_embeddings(tmp_path, vecs.tolist())
+    df = emb_kmeans_elbow(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_KMEANS_ELBOW, ["embeddings"]
+    )
+    rows = {r["k"]: r for r in df.collect()}
+    inertias = [rows[k]["inertia_q2"] for k in (2, 4, 8, 16)]
+    assert all(a >= b for a, b in zip(inertias, inertias[1:]))
+    lloyd_total = sum(
+        r["inertia_q2"]
+        for r in emb_kmeans_lloyd(spark, str(tmp_path)).collect()
+    )
+    assert rows[16]["inertia_q2"] == lloyd_total
+
+
+def test_lsh_recall_by_scale_planted(spark, tmp_path):
+    """Full-scale recall must be positive (clustered fixture: true
+    neighbors share sign buckets) and every subsample keeps the probe
+    set (n_base = probes * TOP_K when the corpus is large enough)."""
+    import numpy as np
+
+    from spark_dba_spark.operators.curation import (
+        ORACLE_LSH_RECALL_BY_SCALE,
+        sim_lsh_recall_by_corpus_scale,
+    )
+    from spark_dba_spark.operators.similarity import N_QUERIES, TOP_K
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(scale=3.0, size=(5, 64))
+    vecs = np.concatenate(
+        [c + rng.normal(scale=0.1, size=(30, 64)) for c in centers]
+    )
+    _write_embeddings(tmp_path, vecs.tolist())
+    df = sim_lsh_recall_by_corpus_scale(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_LSH_RECALL_BY_SCALE, ["embeddings"]
+    )
+    got = {r["scale_pct"]: r for r in df.collect()}
+    assert set(got) == {25, 50, 100}
+    assert got[100]["n_corpus"] == len(vecs)
+    assert got[100]["n_base"] == N_QUERIES * TOP_K
+    assert got[100]["recall_r6"] > 0.5  # clustered: buckets catch kin
+    for s in (25, 50):
+        assert got[s]["n_corpus"] >= N_QUERIES

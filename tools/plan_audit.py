@@ -130,9 +130,23 @@ PLAN_NOTES: dict[str, str] = {
     "emb_prefix_dim_recall": _CHECKPOINT_FRONTED,
     "dedup_lsh_band_planner": _CHECKPOINT_FRONTED,
     "emb_probe_hubness": _CHECKPOINT_FRONTED,
+    # r14 batch O: the quantized corpus checkpoint feeds all four
+    # k-sweep assignment branches
+    "emb_kmeans_elbow": _CHECKPOINT_FRONTED,
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
+    "ev_slo_burn_rate": (
+        "trailing-7-day RANGE window over the DAILY frame — "
+        "calendar-bounded (~365 rows/year); the fact stream is "
+        "pre-reduced by the map-side-combined daily groupBy"
+    ),
+    "stats_bh_fdr_weekend": (
+        "BH rank/step-up windows over the per-TYPE z family — "
+        "alphabet-bounded (<= |event types| rows = 5 here) by "
+        "construction; the fact stream is pre-reduced by the "
+        "weekend-mix agg"
+    ),
     "ev_tenure_churn_hazard": (
         "descending cumsum over the TENURE-WEEK table — rows <= "
         "feed-span/7 (calendar-bounded, ~5 at the fixtures, ~520 for a "

@@ -272,6 +272,12 @@ QUERIES = [
     "emb_prefix_dim_recall",     # Matryoshka recall sweep (r14 new)
     "dedup_lsh_band_planner",    # (bands x rows) cost/recall grid (r14)
     "dedup_method_confusion",    # MinHash vs SimHash cells (r14 new)
+    "ev_slo_burn_rate",          # SLO burn multiwindow alerts (r14b new)
+    "stats_cochran_armitage_trend",  # weekly proportion trend z (r14b)
+    "stats_mcnemar_weekend_purchase",  # paired discordant cells (r14b)
+    "stats_bh_fdr_weekend",      # BH step-up via erfc literals (r14b)
+    "emb_kmeans_elbow",          # Lloyd inertia k-sweep (r14b new)
+    "sim_lsh_recall_by_corpus_scale",  # recall vs corpus scale (r14b)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
