@@ -10267,6 +10267,690 @@ ORDER BY scale_pct
 ORACLE_LSH_RECALL_BY_SCALE = _oracle_lsh_recall_by_scale()
 
 
+# --------------------------------------------------------------------------
+# Batch P (r14 continuation; r15 window backlog): scalar-quantization
+# bits sweep, Simpson's-paradox probe, lead-lag cross-correlation,
+# weekend QTE deciles, ANN rank-quality metrics, shingle-size sweep
+# --------------------------------------------------------------------------
+
+SQ_BITS = (2, 4, 6, 8)
+
+
+def emb_sq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization bit-width sweep: reconstruction RMSE and clip
+    counts at 2/4/6/8 bits per dimension on the canonical 2^-20 grid —
+    the int4-vs-int8 sizing table (emb_quantize_int8 ships one config;
+    this is the decision curve, the SQ sibling of emb_pq_distortion).
+    Quantization is truncation-toward-zero level assignment with
+    symmetric clamp (DuckDB ``//`` semantics on both engines); errors
+    are exact integers, squared into a DECIMAL sum (BIGINT would
+    overflow at ~100x the fixtures), and RMSE is one Class B sqrt.
+
+    Scale: map-only per-dimension fan-out (no shuffle until the
+    4-row agg); at 100 TB this is one pass over the vectors."""
+    vals = _emb(spark, sf_dir).select(
+        F.posexplode(F.expr(_EMB_Q_SQL)).alias("dim", "g")
+    ).select(
+        "g", F.explode(F.array(*[F.lit(b) for b in SQ_BITS])).alias("bits")
+    )
+    step = "cast(pow(2, 21 - bits) as bigint)"
+    half = "cast(pow(2, bits - 1) as bigint)"
+    t = vals.select(
+        "bits",
+        "g",
+        F.expr(f"greatest(least(g div {step}, {half} - 1), -{half})")
+        .alias("lvl"),
+        F.expr(f"(g div {step} > {half} - 1) or (g div {step} < -{half})")
+        .cast("long").alias("clipped"),
+    ).select(
+        "bits",
+        "clipped",
+        F.expr(f"abs(g - lvl * {step})").alias("err"),
+    )
+    g = t.groupBy("bits").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("clipped").cast("long").alias("n_clipped"),
+        F.sum(F.expr("cast(err * err as decimal(38,0))")).alias("sq"),
+    )
+    return g.select(
+        F.col("bits").cast("long").alias("bits"),
+        "n_values",
+        "n_clipped",
+        F.expr(rat_round6_spark("n_clipped", "n_values")).alias(
+            "clip_share_r6"
+        ),
+        F.expr(
+            "round(sqrt(cast(sq as double) / cast(n_values as double))"
+            " / 1048576.0, 6)"
+        ).alias("rmse_r6"),
+    ).orderBy("bits")
+
+
+ORACLE_SQ_BITS = f"""
+WITH g AS (
+  SELECT CAST(trunc(CAST(x.v AS DOUBLE) * 1048576.0) AS BIGINT) AS g
+  FROM embeddings e, LATERAL unnest(e.embedding) AS x(v)),
+t AS (
+  SELECT b.bits, g.g,
+         CAST(pow(2, 21 - b.bits) AS BIGINT) AS step,
+         CAST(pow(2, b.bits - 1) AS BIGINT) AS half
+  FROM g CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in SQ_BITS)}])
+                     AS bits) b),
+q AS (
+  SELECT bits,
+         CASE WHEN (g // step > half - 1) OR (g // step < -half)
+              THEN 1 ELSE 0 END AS clipped,
+         abs(g - greatest(least(g // step, half - 1), -half) * step)
+           AS err
+  FROM t),
+agg AS (
+  SELECT CAST(bits AS BIGINT) AS bits,
+         CAST(COUNT(*) AS BIGINT) AS n_values,
+         CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+         SUM(CAST(err * err AS DECIMAL(38,0))) AS sq
+  FROM q GROUP BY 1)
+SELECT bits, n_values, n_clipped,
+       {rat_round6_duck("n_clipped", "n_values")} AS clip_share_r6,
+       ROUND(sqrt(CAST(sq AS DOUBLE) / CAST(n_values AS DOUBLE))
+             / 1048576.0, 6) AS rmse_r6
+FROM agg ORDER BY bits
+"""
+
+
+def stats_simpson_paradox_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox / aggregation-reversal audit on the weekend
+    value lift: the OVERALL weekend-vs-weekday mean event value can
+    carry the opposite sign of EVERY per-type difference when the type
+    mix shifts across the week — the classic way a dashboard headline
+    lies. Per type: both group means (exact rationals), the diff (one
+    IEEE subtraction of exact 1e-6 multiples — the jackknife pattern;
+    the direct cross-multiplied 6dp rational overflows BIGINT), SIGN
+    comparisons on exact cross-multiplied integers (no rounding in the
+    verdict), and the global paradox flag (all types reverse vs the
+    pooled sign).
+
+    Scale: one (type, weekend) agg — alphabet×2 rows — then
+    constant-size arithmetic; the global flag is a 1-row broadcast."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr(_CENTS).alias("cents"),
+        F.expr(f"((({_US}) div 86400000000) + 3) % 7 >= 5")
+        .cast("long").alias("wk"),
+    )
+    per = ev.groupBy("event_type").agg(
+        F.sum(F.expr("cents * (1 - wk)")).cast("long").alias("s0"),
+        F.sum(F.expr("1 - wk")).cast("long").alias("n0"),
+        F.sum(F.expr("cents * wk")).cast("long").alias("s1"),
+        F.sum("wk").cast("long").alias("n1"),
+    )
+    tot = per.agg(
+        F.sum("s0").cast("long").alias("ts0"),
+        F.sum("n0").cast("long").alias("tn0"),
+        F.sum("s1").cast("long").alias("ts1"),
+        F.sum("n1").cast("long").alias("tn1"),
+    )
+    gsign = "sign(s1 * n0 - s0 * n1)"
+    osign = "sign(ts1 * tn0 - ts0 * tn1)"
+    joined = per.crossJoin(F.broadcast(tot)).filter(
+        "n0 > 0 and n1 > 0"
+    )
+    flagged = joined.select(
+        "event_type",
+        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_weekend"),
+        F.expr(rat_round6_spark("s0", "n0")).alias("wd_mean_r6"),
+        F.expr(rat_round6_spark("s1", "n1")).alias("we_mean_r6"),
+        F.expr(
+            "round(" + rat_round6_spark("s1", "n1") + " - "
+            + rat_round6_spark("s0", "n0") + ", 6)"
+        ).alias("group_diff_r6"),
+        F.expr(
+            "round(" + rat_round6_spark("ts1", "tn1") + " - "
+            + rat_round6_spark("ts0", "tn0") + ", 6)"
+        ).alias("overall_diff_r6"),
+        F.expr(f"cast({gsign} as long)").alias("group_sign"),
+        F.expr(f"cast({osign} as long)").alias("overall_sign"),
+        F.expr(f"{gsign} != 0 and {osign} != 0 and {gsign} != {osign}")
+        .alias("reverses_overall"),
+    )
+    allrev = flagged.agg(
+        F.min(F.col("reverses_overall").cast("long")).cast("long")
+        .alias("minrev")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(allrev))
+        .select(
+            "event_type",
+            "n_weekday",
+            "n_weekend",
+            "wd_mean_r6",
+            "we_mean_r6",
+            "group_diff_r6",
+            "overall_diff_r6",
+            "group_sign",
+            "overall_sign",
+            "reverses_overall",
+            (F.col("minrev") == 1).alias("simpson_paradox"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SIMPSON = f"""
+WITH ev AS (
+  SELECT event_type, {_CENTS_DUCK} AS cents,
+         CASE WHEN ((({_US_DUCK}) // 86400000000) + 3) % 7 >= 5
+              THEN 1 ELSE 0 END AS wk
+  FROM events),
+per AS (
+  SELECT event_type,
+         CAST(SUM(cents * (1 - wk)) AS BIGINT) AS s0,
+         CAST(SUM(1 - wk) AS BIGINT) AS n0,
+         CAST(SUM(cents * wk) AS BIGINT) AS s1,
+         CAST(SUM(wk) AS BIGINT) AS n1
+  FROM ev GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(s0) AS BIGINT) AS ts0, CAST(SUM(n0) AS BIGINT) AS tn0,
+         CAST(SUM(s1) AS BIGINT) AS ts1, CAST(SUM(n1) AS BIGINT) AS tn1
+  FROM per),
+flagged AS (
+  SELECT event_type, n0 AS n_weekday, n1 AS n_weekend,
+         {rat_round6_duck("s0", "n0")} AS wd_mean_r6,
+         {rat_round6_duck("s1", "n1")} AS we_mean_r6,
+         ROUND({rat_round6_duck("s1", "n1")}
+               - {rat_round6_duck("s0", "n0")}, 6) AS group_diff_r6,
+         ROUND({rat_round6_duck("ts1", "tn1")}
+               - {rat_round6_duck("ts0", "tn0")}, 6) AS overall_diff_r6,
+         CAST(sign(s1 * n0 - s0 * n1) AS BIGINT) AS group_sign,
+         CAST(sign(ts1 * tn0 - ts0 * tn1) AS BIGINT) AS overall_sign,
+         sign(s1 * n0 - s0 * n1) != 0 AND sign(ts1 * tn0 - ts0 * tn1) != 0
+           AND sign(s1 * n0 - s0 * n1) != sign(ts1 * tn0 - ts0 * tn1)
+           AS reverses_overall
+  FROM per CROSS JOIN tot WHERE n0 > 0 AND n1 > 0),
+allrev AS (
+  SELECT CAST(MIN(CASE WHEN reverses_overall THEN 1 ELSE 0 END)
+              AS BIGINT) AS minrev
+  FROM flagged)
+SELECT event_type, n_weekday, n_weekend, wd_mean_r6, we_mean_r6,
+       group_diff_r6, overall_diff_r6, group_sign, overall_sign,
+       reverses_overall, minrev = 1 AS simpson_paradox
+FROM flagged CROSS JOIN allrev ORDER BY event_type
+"""
+
+
+XCORR_LAGS = (0, 1, 2)
+
+
+def ev_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation of hourly event-type loads: Pearson r
+    between type A's hour-t count and type B's hour-(t+lag) count for
+    every ordered type pair at lags 0/1/2 — "do clicks LEAD purchases
+    by an hour?" is the ops/funnel question the lag-0 correlation
+    matrix (ev_type_hourly_corr_matrix) cannot answer. Exact integer
+    moment sums over the hours present on BOTH sides of the shifted
+    join (the periodicity-probe arithmetic); one Class B round.
+
+    Scale: the fact stream reduces to the (type, hour) frame
+    (calendar×alphabet-bounded); the shifted self-join and the moment
+    aggs run entirely on that bounded frame."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.expr(f"({_US}) div 3600000000").alias("hr")
+    )
+    h = ev.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("c")
+    ).localCheckpoint(eager=True)  # bounded frame feeds both join sides
+    a = h.select(
+        F.col("event_type").alias("type_a"),
+        F.col("hr"),
+        F.col("c").alias("x"),
+    )
+    lags = spark.createDataFrame([(l,) for l in XCORR_LAGS], "lag long")
+    b = h.crossJoin(F.broadcast(lags)).select(
+        F.col("event_type").alias("type_b"),
+        (F.col("hr") - F.col("lag")).alias("hr"),
+        F.col("lag"),
+        F.col("c").alias("y"),
+    )
+    j = a.join(b, "hr").filter(F.col("type_a") != F.col("type_b"))
+    g = j.groupBy("type_a", "type_b", "lag").agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("long").alias("syy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+    )
+    num = "(cast(np as double) * sxy - cast(sx as double) * sy)"
+    denx = "(cast(np as double) * sxx - cast(sx as double) * sx)"
+    deny = "(cast(np as double) * syy - cast(sy as double) * sy)"
+    return g.select(
+        "type_a",
+        "type_b",
+        "lag",
+        F.col("np").alias("n_hours"),
+        F.expr(
+            f"case when np > 1 and {denx} > 0.0d and {deny} > 0.0d then"
+            f" round({num} / (sqrt({denx}) * sqrt({deny})), 6) end"
+        ).alias("r_r6"),
+    ).orderBy("type_a", "type_b", "lag")
+
+
+ORACLE_LEAD_LAG = f"""
+WITH h AS (
+  SELECT event_type, ({_US_DUCK}) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+lags AS (SELECT CAST(unnest([{", ".join(str(l) for l in XCORR_LAGS)}])
+                AS BIGINT) AS lag),
+j AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         a.c AS x, b.c AS y
+  FROM h a
+  CROSS JOIN lags l
+  JOIN h b ON b.hr = a.hr + l.lag AND a.event_type != b.event_type),
+g AS (
+  SELECT type_a, type_b, lag, CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM j GROUP BY 1, 2, 3)
+SELECT type_a, type_b, lag, np AS n_hours,
+       CASE WHEN np > 1
+             AND CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0.0
+             AND CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0.0
+       THEN ROUND((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (sqrt(CAST(np AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx)
+                     * sqrt(CAST(np AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy)), 6)
+       END AS r_r6
+FROM g ORDER BY type_a, type_b, lag
+"""
+
+
+QTE_QS = (10, 30, 50, 70, 90)
+
+
+def stats_qte_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effect of the weekend on event value: the
+    decile-by-decile difference between the weekend and weekday value
+    distributions — a mean lift can hide that only the TAIL moves (the
+    distributional question behind pricing/promo reads). Exact type-1
+    percentiles (rank = (q·n + 99) div 100 under the (cents, event_id)
+    total order — never quantile_cont) in integer cents; the QTE is an
+    integer difference.
+
+    Scale: the exact-percentile posture — one window per group (TWO
+    corpus-sized partitions with a fixed-width integer sort key), one
+    5-row pivot."""
+    ev = _events(spark, sf_dir).select(
+        F.expr(_CENTS).alias("cents"),
+        "event_id",
+        F.expr(f"((({_US}) div 86400000000) + 3) % 7 >= 5")
+        .cast("long").alias("wk"),
+    )
+    wr = W.partitionBy("wk").orderBy("cents", "event_id")
+    wn = W.partitionBy("wk")
+    ranked = ev.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    hits = ranked.select(
+        "wk",
+        "cents",
+        F.explode(
+            F.array(*[F.lit(q) for q in QTE_QS])
+        ).alias("q"),
+        "rn",
+        "n",
+    ).filter(F.expr("rn = (q * n + 99) div 100"))
+    return (
+        hits.groupBy("q")
+        .agg(
+            F.min(F.when(F.col("wk") == 0, F.col("cents")))
+            .cast("long").alias("wd_cents"),
+            F.min(F.when(F.col("wk") == 1, F.col("cents")))
+            .cast("long").alias("we_cents"),
+        )
+        .select(
+            F.col("q").cast("long").alias("q_pct"),
+            "wd_cents",
+            "we_cents",
+            (F.col("we_cents") - F.col("wd_cents")).alias("qte_cents"),
+        )
+        .orderBy("q_pct")
+    )
+
+
+ORACLE_QTE = f"""
+WITH ev AS (
+  SELECT {_CENTS_DUCK} AS cents, event_id,
+         CASE WHEN ((({_US_DUCK}) // 86400000000) + 3) % 7 >= 5
+              THEN 1 ELSE 0 END AS wk
+  FROM events),
+ranked AS (
+  SELECT wk, cents,
+         ROW_NUMBER() OVER (PARTITION BY wk
+                            ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY wk) AS n
+  FROM ev),
+hits AS (
+  SELECT wk, cents, q.q
+  FROM ranked,
+       (SELECT unnest([{", ".join(str(q) for q in QTE_QS)}]) AS q) q
+  WHERE rn = (q.q * n + 99) // 100)
+SELECT CAST(q AS BIGINT) AS q_pct,
+       CAST(MIN(CASE WHEN wk = 0 THEN cents END) AS BIGINT) AS wd_cents,
+       CAST(MIN(CASE WHEN wk = 1 THEN cents END) AS BIGINT) AS we_cents,
+       CAST(MIN(CASE WHEN wk = 1 THEN cents END)
+            - MIN(CASE WHEN wk = 0 THEN cents END) AS BIGINT) AS qte_cents
+FROM hits GROUP BY 1 ORDER BY q_pct
+"""
+
+
+def sim_ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-quality metrics of the shipped LSH index beyond recall:
+    MRR@k (how early does the first true neighbor appear in the ANN
+    list) and mean nDCG@k (how well the whole list is ordered) against
+    the exact top-{TOP_K} as binary relevance — what a retrieval
+    quality review actually reports. Every per-rank term (1/r,
+    1/log2(r+1)) is 9dp-rounded into the house DECIMAL sum, so the
+    order-dependent float-sum hazard never appears; logs of small
+    integers are Class B deterministic.
+
+    Scale: the LSH ranking is the production candidate stream; the
+    exact baseline is the bounded broadcast-probe brute pass (audit
+    tier, probes ≤ {N_QUERIES})."""
+    from .similarity import (
+        N_QUERIES,
+        TOP_K,
+        _cosine_expr,
+        sim_ann_lsh,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
+        .withColumn("sim", _cosine_expr())
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    etop = (
+        exact.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "vec_id")
+        .localCheckpoint(eager=True)  # feeds rel-join + per-qid counts
+    )
+    nrel = etop.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_rel")
+    )
+    ltop = sim_ann_lsh(spark, sf_dir).select("qid", "rank", "vec_id")
+    rel = ltop.join(etop, ["qid", "vec_id"]).select("qid", "rank")
+    per_q = (
+        rel.groupBy("qid")
+        .agg(
+            F.count("*").cast("long").alias("hits"),
+            F.min("rank").cast("long").alias("first_rel"),
+            F.sum(
+                F.round(
+                    F.expr("ln(2.0d) / ln(cast(rank + 1 as double))"), 9
+                ).cast("decimal(38,9)")
+            ).alias("dcg"),
+        )
+        .join(nrel, "qid", "right")
+        .select(
+            "qid",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            "first_rel",
+            F.coalesce(F.col("dcg"), F.lit(0).cast("decimal(38,9)"))
+            .alias("dcg"),
+            "n_rel",
+        )
+        .withColumn(
+            "idcg",
+            # the fold accumulator must be re-cast each step: Spark's
+            # decimal-addition widening turns (20,9)+(20,9) into (21,9)
+            # and the lambda then mismatches the accumulator type
+            F.expr(
+                f"aggregate(sequence(1, least(cast(n_rel as int),"
+                f" {TOP_K})), cast(0 as decimal(20,9)),"
+                " (acc, i) -> cast(acc + cast(round(ln(2.0d)"
+                " / ln(cast(i + 1 as double)), 9) as decimal(20,9))"
+                " as decimal(20,9)))"
+            ).cast("decimal(38,9)"),
+        )
+    )
+    g = per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("hits").cast("long").alias("n_hits"),
+        F.sum("n_rel").cast("long").alias("n_rel_total"),
+        F.sum(
+            F.when(
+                F.col("first_rel").isNotNull(),
+                F.round(
+                    F.expr("1.0d / cast(first_rel as double)"), 9
+                ).cast("decimal(38,9)"),
+            ).otherwise(F.lit(0).cast("decimal(38,9)"))
+        ).alias("srr"),
+        F.sum(
+            F.when(
+                F.col("idcg") > 0,
+                F.round(
+                    F.expr("cast(dcg as double) / cast(idcg as double)"),
+                    9,
+                ).cast("decimal(38,9)"),
+            ).otherwise(F.lit(0).cast("decimal(38,9)"))
+        ).alias("sndcg"),
+    )
+    return g.select(
+        "n_queries",
+        "n_hits",
+        F.expr(rat_round6_spark("n_hits", "n_rel_total"))
+        .alias("recall_r6"),
+        F.expr(
+            "round(cast(srr as double) / cast(n_queries as double), 6)"
+        ).alias("mrr_r6"),
+        F.expr(
+            "round(cast(sndcg as double) / cast(n_queries as double), 6)"
+        ).alias("mean_ndcg_r6"),
+    )
+
+
+def _oracle_ann_rank_quality() -> str:
+    from .similarity import _LSH_CAND_CTES, N_QUERIES, TOP_K
+
+    return f"""
+WITH {_LSH_CAND_CTES},
+ls AS (
+  SELECT c.qid, c.vec_id,
+         list_cosine_similarity(eq.emb, ev.emb) AS sim
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.qid
+  JOIN e ev ON ev.vec_id = c.vec_id),
+ltop AS (
+  SELECT qid, vec_id, rank FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id) AS rank
+    FROM ls) WHERE rank <= {TOP_K}),
+ex AS (
+  SELECT q.vec_id AS qid, ev.vec_id,
+         list_cosine_similarity(q.emb, ev.emb) AS sim
+  FROM e q JOIN e ev ON ev.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+etop AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id) AS rk
+    FROM ex) WHERE rk <= {TOP_K}),
+nrel AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+         FROM etop GROUP BY 1),
+rel AS (
+  SELECT l.qid, l.rank
+  FROM ltop l JOIN etop x ON l.qid = x.qid AND l.vec_id = x.vec_id),
+per_q0 AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS hits,
+         CAST(MIN(rank) AS BIGINT) AS first_rel,
+         SUM(CAST(ROUND(ln(2.0) / ln(CAST(rank + 1 AS DOUBLE)), 9)
+                  AS DECIMAL(38,9))) AS dcg
+  FROM rel GROUP BY 1),
+per_q AS (
+  SELECT n.qid, COALESCE(p.hits, 0) AS hits, p.first_rel,
+         COALESCE(p.dcg, CAST(0 AS DECIMAL(38,9))) AS dcg, n.n_rel,
+         (SELECT SUM(CAST(ROUND(ln(2.0) / ln(CAST(i + 1 AS DOUBLE)), 9)
+                          AS DECIMAL(38,9)))
+          FROM unnest(range(1, least(n.n_rel, {TOP_K}) + 1)) AS t(i))
+           AS idcg
+  FROM nrel n LEFT JOIN per_q0 p ON n.qid = p.qid),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(hits) AS BIGINT) AS n_hits,
+         CAST(SUM(n_rel) AS BIGINT) AS n_rel_total,
+         SUM(CASE WHEN first_rel IS NOT NULL THEN
+               CAST(ROUND(1.0 / CAST(first_rel AS DOUBLE), 9)
+                    AS DECIMAL(38,9))
+             ELSE CAST(0 AS DECIMAL(38,9)) END) AS srr,
+         SUM(CASE WHEN idcg > 0 THEN
+               CAST(ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 9)
+                    AS DECIMAL(38,9))
+             ELSE CAST(0 AS DECIMAL(38,9)) END) AS sndcg
+  FROM per_q)
+SELECT n_queries, n_hits,
+       {rat_round6_duck("n_hits", "n_rel_total")} AS recall_r6,
+       ROUND(CAST(srr AS DOUBLE) / CAST(n_queries AS DOUBLE), 6)
+         AS mrr_r6,
+       ROUND(CAST(sndcg AS DOUBLE) / CAST(n_queries AS DOUBLE), 6)
+         AS mean_ndcg_r6
+FROM g
+"""
+
+
+ORACLE_ANN_RANK_QUALITY = _oracle_ann_rank_quality()
+
+
+SHINGLE_KS = (2, 3, 4)
+
+
+def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-size tuning sweep for the word-n-gram Jaccard near-dup
+    screen: candidate-pair volume and τ-passing pair yield at n = 2/3/4
+    — shorter shingles recall more but explode the candidate stream
+    (dedup_threshold_sweep sweeps τ at fixed n; this sweeps n at fixed
+    τ — together they span the config plane). Runs the REAL
+    inverted-index machinery (_pair_sims: DF-pruned postings, in-bucket
+    pair expansion) per size; the τ-passing mean Jaccard enters the
+    house round-9 DECIMAL sum.
+
+    Scale: per size one postings groupBy (the production posture —
+    candidate pairs bounded by Σ C(df, 2) under the MAX_DF prune);
+    sizes are a constant ×3 factor, never a data-dependent blowup."""
+    from .dedup import JACCARD_TAU, _docs_par, _pair_sims
+    from ..functions.texts import word_ngrams
+
+    docs = _docs_par(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # one doc scan feeds all three shingle sizes
+    outs = []
+    for k in SHINGLE_KS:
+        sh = docs.select(
+            "doc_id", F.explode(word_ngrams("text", k)).alias("sh")
+        )
+        ps = _pair_sims(sh).withColumn(
+            "jaccard",
+            F.col("inter") * 1.0
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        outs.append(
+            ps.agg(
+                F.count("*").cast("long").alias("n_candidate_pairs"),
+                F.sum(
+                    (F.col("jaccard") >= JACCARD_TAU).cast("long")
+                ).cast("long").alias("n_pairs_tau"),
+                F.sum(
+                    F.when(
+                        F.col("jaccard") >= JACCARD_TAU,
+                        F.round(F.col("jaccard"), 9)
+                        .cast("decimal(38,9)"),
+                    ).otherwise(F.lit(0).cast("decimal(38,9)"))
+                ).alias("sj"),
+            ).select(
+                F.lit(k).cast("long").alias("shingle_n"),
+                "n_candidate_pairs",
+                "n_pairs_tau",
+                F.expr(
+                    "case when n_pairs_tau > 0 then"
+                    " round(cast(sj as double)"
+                    " / cast(n_pairs_tau as double), 6) end"
+                ).alias("mean_jaccard_tau_r6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("shingle_n")
+
+
+def _oracle_shingle_sweep() -> str:
+    from .dedup import JACCARD_TAU, MAX_DF
+
+    reads = []
+    for k in SHINGLE_KS:
+        terms = " || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+        reads.append(f"""
+  SELECT CAST({k} AS BIGINT) AS shingle_n,
+         CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+         CAST(SUM(CASE WHEN jaccard >= {JACCARD_TAU} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pairs_tau,
+         CASE WHEN SUM(CASE WHEN jaccard >= {JACCARD_TAU} THEN 1
+                            ELSE 0 END) > 0 THEN
+           ROUND(CAST(SUM(CASE WHEN jaccard >= {JACCARD_TAU} THEN
+                            CAST(ROUND(jaccard, 9) AS DECIMAL(38,9))
+                          ELSE CAST(0 AS DECIMAL(38,9)) END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN jaccard >= {JACCARD_TAU} THEN 1
+                            ELSE 0 END) AS DOUBLE), 6)
+         END AS mean_jaccard_tau_r6
+  FROM (
+    SELECT inter * 1.0 / (x.n + y.n - inter) AS jaccard
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM pruned_k{k} a JOIN pruned_k{k} b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2) p
+    JOIN sz_k{k} x ON doc_a = x.doc_id
+    JOIN sz_k{k} y ON doc_b = y.doc_id)""")
+    ctes = []
+    for k in SHINGLE_KS:
+        terms = " || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+        ctes.append(f"""g_k{k} AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {k} THEN {terms}
+              ELSE text END AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        FROM documents),
+       LATERAL unnest(generate_series(1, greatest(len(ws) - {k - 1}, 1)))
+         AS u(i)),
+gs_k{k} AS (SELECT DISTINCT doc_id, sh FROM g_k{k}),
+pruned_k{k} AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+    FROM gs_k{k})
+  WHERE df <= {MAX_DF}),
+sz_k{k} AS (SELECT doc_id, COUNT(*) AS n FROM pruned_k{k} GROUP BY 1)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT * FROM ("
+        + "\nUNION ALL\n".join(reads)
+        + ") ORDER BY shingle_n"
+    )
+
+
+ORACLE_SHINGLE_SWEEP = _oracle_shingle_sweep()
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -10773,4 +11457,35 @@ SPECS = [
               doc="exact recall@10 of the shipped 16-table LSH on md5 "
                   "corpus subsamples (25/50/100%) - the does-recall-"
                   "degrade-at-scale curve on the real index machinery"),
+    # --- batch P (r14 continuation; r15 window backlog) ---
+    QuerySpec("emb_sq_bits_sweep", emb_sq_bits_sweep, ORACLE_SQ_BITS,
+              ("embedding", "quantization", "tuning"),
+              doc="scalar-quantization RMSE + clip share at 2/4/6/8 bits "
+                  "on the 2^-20 grid (the int4-vs-int8 decision curve)"),
+    QuerySpec("stats_simpson_paradox_probe", stats_simpson_paradox_probe,
+              ORACLE_SIMPSON, ("stats", "events", "audit"),
+              doc="aggregation-reversal audit of the weekend value lift: "
+                  "per-type vs pooled sign on exact cross-multiplied "
+                  "integers + the global Simpson flag"),
+    QuerySpec("ev_lead_lag_xcorr", ev_lead_lag_xcorr, ORACLE_LEAD_LAG,
+              ("events", "stats", "timeseries"),
+              doc="lead-lag Pearson r of hourly type loads at lags 0/1/2 "
+                  "(does A lead B by an hour - the funnel question the "
+                  "lag-0 matrix cannot answer)"),
+    QuerySpec("stats_qte_weekend_value", stats_qte_weekend_value,
+              ORACLE_QTE, ("stats", "events", "percentile"),
+              doc="quantile treatment effect of the weekend on event "
+                  "value: exact type-1 decile differences in cents (the "
+                  "distributional lift a mean hides)"),
+    QuerySpec("sim_ann_rank_quality", sim_ann_rank_quality,
+              ORACLE_ANN_RANK_QUALITY, ("similarity", "ann", "eval"),
+              doc="MRR@10 + mean nDCG@10 of the shipped LSH vs the exact "
+                  "top-10 (rank quality beyond recall; decimal-summed "
+                  "per-rank terms)"),
+    QuerySpec("dedup_shingle_size_sweep", dedup_shingle_size_sweep,
+              ORACLE_SHINGLE_SWEEP, ("dedup", "tuning"),
+              doc="word-shingle size sweep n=2/3/4 at fixed tau: "
+                  "candidate volume vs tau-passing yield on the real "
+                  "inverted-index machinery (the n-axis of the config "
+                  "plane; threshold_sweep covers the tau-axis)"),
 ]

@@ -132,6 +132,13 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "stats_bh_fdr_weekend",
     "emb_kmeans_elbow",
     "sim_lsh_recall_by_corpus_scale",
+    # batch P continuation (also never-checked; full local evidence):
+    "emb_sq_bits_sweep",
+    "stats_simpson_paradox_probe",
+    "ev_lead_lag_xcorr",
+    "stats_qte_weekend_value",
+    "sim_ann_rank_quality",
+    "dedup_shingle_size_sweep",
 )
 
 # r13-window greens — rotate to the tail this round (driver row <=1 round

