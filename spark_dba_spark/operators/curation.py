@@ -10951,6 +10951,498 @@ sz_k{k} AS (SELECT doc_id, COUNT(*) AS n FROM pruned_k{k} GROUP BY 1)""")
 ORACLE_SHINGLE_SWEEP = _oracle_shingle_sweep()
 
 
+# --------------------------------------------------------------------------
+# Batch Q (r14 continuation; r15 window backlog): weekend-effect
+# heterogeneity (meta-analytic Q/I²), Cohen's d effect sizes,
+# interrupted time series, length-vs-dup bias, binary-seg changepoint
+# --------------------------------------------------------------------------
+
+
+def _weekend_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (event_type × weekend) cell moments: n, Σcents, Σcents² —
+    exact integers feeding the heterogeneity and effect-size readouts."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr(_CENTS).alias("cents"),
+        F.expr(f"((({_US}) div 86400000000) + 3) % 7 >= 5")
+        .cast("long").alias("wk"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum(F.expr("1 - wk")).cast("long").alias("n0"),
+        F.sum(F.expr("cents * (1 - wk)")).cast("long").alias("s0"),
+        F.sum(F.expr("cents * cents * (1 - wk)")).cast("long").alias("q0"),
+        F.sum("wk").cast("long").alias("n1"),
+        F.sum(F.expr("cents * wk")).cast("long").alias("s1"),
+        F.sum(F.expr("cents * cents * wk")).cast("long").alias("q1"),
+    )
+
+
+_WEEKEND_CELLS_DUCK = f"""
+  SELECT event_type,
+         CAST(SUM(1 - wk) AS BIGINT) AS n0,
+         CAST(SUM(cents * (1 - wk)) AS BIGINT) AS s0,
+         CAST(SUM(cents * cents * (1 - wk)) AS BIGINT) AS q0,
+         CAST(SUM(wk) AS BIGINT) AS n1,
+         CAST(SUM(cents * wk) AS BIGINT) AS s1,
+         CAST(SUM(cents * cents * wk) AS BIGINT) AS q1
+  FROM (SELECT event_type, {_CENTS_DUCK} AS cents,
+               CASE WHEN ((({_US_DUCK}) // 86400000000) + 3) % 7 >= 5
+                    THEN 1 ELSE 0 END AS wk
+        FROM events)
+  GROUP BY 1
+"""
+
+# per-type weekend effect and its variance, as deterministic double
+# fragments over the exact integer cell moments (sample variances via
+# (n·Σx² − (Σx)²) / (n·(n−1)))
+_D_I = (
+    "(cast(s1 as double) / cast(n1 as double)"
+    " - cast(s0 as double) / cast(n0 as double))"
+)
+_V1 = (
+    "((cast(n1 as double) * q1 - cast(s1 as double) * s1)"
+    " / (cast(n1 as double) * (n1 - 1)))"
+)
+_V0 = (
+    "((cast(n0 as double) * q0 - cast(s0 as double) * s0)"
+    " / (cast(n0 as double) * (n0 - 1)))"
+)
+_VI = f"({_V1} / n1 + {_V0} / n0)"
+_CELL_GUARD = "n0 > 1 and n1 > 1"
+
+
+def stats_weekend_effect_heterogeneity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Is the weekend value effect HOMOGENEOUS across event types? The
+    meta-analytic heterogeneity readout (Cochran's Q, I²) over the
+    per-type mean differences — the interaction question a two-way
+    ANOVA asks, in the unbalanced-robust inverse-variance form every
+    meta-analysis uses: Q = Σ w_i (d_i − d̄_w)², w_i = 1/v_i,
+    d̄_w = Σw_i d_i / Σw_i; I² = max(0, (Q − (k−1))/Q). Each per-type
+    term is a deterministic double over exact integer cell moments and
+    enters the house round-9 → DECIMAL sum (cross-row float sums are
+    never raw).
+
+    Scale: one alphabet×2 cell agg; everything after is k-row
+    arithmetic."""
+    cells = _weekend_cells(spark, sf_dir).filter(_CELL_GUARD)
+    per = cells.select(
+        "event_type",
+        F.expr(f"round({_D_I}, 9)").alias("d_i"),
+        F.expr(f"round(1.0d / {_VI}, 9)").alias("w_i"),
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("k_types"),
+        F.sum(F.expr("cast(round(w_i, 9) as decimal(38,9))")).alias("sw"),
+        F.sum(
+            F.expr("cast(round(w_i * d_i, 9) as decimal(38,9))")
+        ).alias("swd"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    dbar = "(cast(swd as double) / cast(sw as double))"
+    qterm = f"round(w_i * (d_i - {dbar}) * (d_i - {dbar}), 9)"
+    g = j.agg(
+        F.min("k_types").cast("long").alias("k_types"),
+        F.sum(F.expr(f"cast({qterm} as decimal(38,9))")).alias("q"),
+        F.min(F.expr(f"round({dbar}, 6)")).alias("pooled_effect_r6"),
+    )
+    return g.select(
+        "k_types",
+        "pooled_effect_r6",
+        F.expr("round(cast(q as double), 6)").alias("cochran_q_r6"),
+        F.expr(
+            "case when cast(q as double) > 0.0d then"
+            " round(greatest(0.0d, (cast(q as double)"
+            " - cast(k_types - 1 as double)) / cast(q as double)), 6)"
+            " end"
+        ).alias("i2_r6"),
+    )
+
+
+def _duck_het() -> str:
+    d_i = _D_I
+    vi = _VI
+    return f"""
+WITH cells AS ({_WEEKEND_CELLS_DUCK}),
+per AS (
+  SELECT event_type,
+         ROUND({d_i}, 9) AS d_i,
+         ROUND(1.0 / {vi}, 9) AS w_i
+  FROM cells WHERE {_CELL_GUARD.replace(' and ', ' AND ')}),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_types,
+         SUM(CAST(ROUND(w_i, 9) AS DECIMAL(38,9))) AS sw,
+         SUM(CAST(ROUND(w_i * d_i, 9) AS DECIMAL(38,9))) AS swd
+  FROM per),
+g AS (
+  SELECT MIN(k_types) AS k_types,
+         SUM(CAST(ROUND(w_i * (d_i - CAST(swd AS DOUBLE)
+                                       / CAST(sw AS DOUBLE))
+                        * (d_i - CAST(swd AS DOUBLE)
+                                   / CAST(sw AS DOUBLE)), 9)
+                  AS DECIMAL(38,9))) AS q,
+         MIN(ROUND(CAST(swd AS DOUBLE) / CAST(sw AS DOUBLE), 6))
+           AS pooled_effect_r6
+  FROM per CROSS JOIN tot)
+SELECT CAST(k_types AS BIGINT) AS k_types, pooled_effect_r6,
+       ROUND(CAST(q AS DOUBLE), 6) AS cochran_q_r6,
+       CASE WHEN CAST(q AS DOUBLE) > 0.0 THEN
+         ROUND(greatest(0.0, (CAST(q AS DOUBLE)
+                              - CAST(k_types - 1 AS DOUBLE))
+                        / CAST(q AS DOUBLE)), 6)
+       END AS i2_r6
+FROM g
+"""
+
+
+ORACLE_WEEKEND_HET = _duck_het()
+
+
+def stats_effect_size_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes of the weekend on event value per type:
+    Cohen's d on the pooled SD and the small-sample-corrected Hedges g
+    — the magnitude readout reviewers demand next to any significance
+    test (a significant z on a million rows can be a trivially small
+    d). Deterministic doubles over exact integer cell moments; one
+    Class B sqrt each.
+
+    Scale: one alphabet×2 cell agg, then k-row arithmetic."""
+    cells = _weekend_cells(spark, sf_dir).filter(_CELL_GUARD)
+    sp2 = (
+        f"(((n1 - 1) * {_V1} + (n0 - 1) * {_V0})"
+        " / cast(n1 + n0 - 2 as double))"
+    )
+    d = f"({_D_I} / sqrt({sp2}))"
+    corr = "(1.0d - 3.0d / (4.0d * cast(n1 + n0 as double) - 9.0d))"
+    return cells.select(
+        "event_type",
+        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_weekend"),
+        F.expr(f"round({_D_I}, 6)").alias("mean_diff_cents_r6"),
+        F.expr(
+            f"case when {sp2} > 0.0d then round({d}, 6) end"
+        ).alias("cohens_d_r6"),
+        F.expr(
+            f"case when {sp2} > 0.0d then round({d} * {corr}, 6) end"
+        ).alias("hedges_g_r6"),
+    ).orderBy("event_type")
+
+
+def _duck_effect_size() -> str:
+    sp2 = (
+        f"(((n1 - 1) * {_V1} + (n0 - 1) * {_V0})"
+        " / CAST(n1 + n0 - 2 AS DOUBLE))"
+    )
+    d = f"({_D_I} / sqrt({sp2}))"
+    corr = "(1.0 - 3.0 / (4.0 * CAST(n1 + n0 AS DOUBLE) - 9.0))"
+    frag = (
+        sp2.replace("cast(", "CAST(").replace(" as double", " AS DOUBLE")
+    )
+    dfrag = (
+        d.replace("cast(", "CAST(").replace(" as double", " AS DOUBLE")
+    )
+    di = (
+        _D_I.replace("cast(", "CAST(").replace(" as double", " AS DOUBLE")
+    )
+    return f"""
+WITH cells AS ({_WEEKEND_CELLS_DUCK})
+SELECT event_type, n0 AS n_weekday, n1 AS n_weekend,
+       ROUND({di}, 6) AS mean_diff_cents_r6,
+       CASE WHEN {frag} > 0.0 THEN ROUND({dfrag}, 6) END AS cohens_d_r6,
+       CASE WHEN {frag} > 0.0 THEN ROUND({dfrag} * {corr}, 6) END
+         AS hedges_g_r6
+FROM cells WHERE n0 > 1 AND n1 > 1
+ORDER BY event_type
+"""
+
+
+ORACLE_EFFECT_SIZE = _duck_effect_size()
+
+
+def stats_interrupted_time_series(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interrupted time-series (ITS) readout on daily purchase volume:
+    split the feed at its midpoint day and fit pre/post OLS segments
+    (level + slope), reporting the slope change and the level jump at
+    the breakpoint — the segmented-regression form every
+    policy/release-impact analysis uses (stats_regression_trend fits
+    ONE line; the deltas are what an intervention review reads). All
+    moments are exact integers on TZ-proof day buckets; each OLS
+    readout is a deterministic double expression.
+
+    Scale: one daily agg (calendar-bounded), two 1-row segment
+    aggregates."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(F.expr(f"({_US}) div 86400000000").alias("day"))
+    daily = ev.groupBy("day").agg(F.count("*").cast("long").alias("y"))
+    ext = daily.agg(
+        F.min("day").cast("long").alias("dmin"),
+        F.max("day").cast("long").alias("dmax"),
+    )
+    t = daily.crossJoin(F.broadcast(ext)).select(
+        (F.col("day") - F.col("dmin")).alias("t"),
+        "y",
+        (((F.col("dmax") - F.col("dmin")) / 2).cast("long")).alias("bp"),
+    )
+    seg = t.withColumn("post", (F.col("t") >= F.col("bp")).cast("long"))
+    g = seg.groupBy("post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("t * t")).cast("long").alias("stt"),
+        F.sum(F.expr("t * y")).cast("long").alias("sty"),
+        F.min("bp").cast("long").alias("bp"),
+    )
+    slope = (
+        "((cast(n as double) * sty - cast(st as double) * sy)"
+        " / (cast(n as double) * stt - cast(st as double) * st))"
+    )
+    icept = (
+        f"((cast(sy as double) - {slope} * cast(st as double))"
+        " / cast(n as double))"
+    )
+    den_ok = "(cast(n as double) * stt - cast(st as double) * st) > 0.0d"
+    per = g.select(
+        "post",
+        "n",
+        "bp",
+        F.expr(f"case when {den_ok} then round({slope}, 9) end")
+        .alias("slope"),
+        F.expr(f"case when {den_ok} then round({icept}, 9) end")
+        .alias("icept"),
+    )
+    pre = per.filter("post = 0").select(
+        F.col("n").alias("n_pre"),
+        F.col("slope").alias("slope_pre"),
+        F.col("icept").alias("icept_pre"),
+        "bp",
+    )
+    post = per.filter("post = 1").select(
+        F.col("n").alias("n_post"),
+        F.col("slope").alias("slope_post"),
+        F.col("icept").alias("icept_post"),
+    )
+    return pre.crossJoin(F.broadcast(post)).select(
+        "n_pre",
+        "n_post",
+        F.col("bp").alias("break_day_offset"),
+        F.expr("round(slope_pre, 6)").alias("slope_pre_r6"),
+        F.expr("round(slope_post, 6)").alias("slope_post_r6"),
+        F.expr("round(slope_post - slope_pre, 6)")
+        .alias("slope_change_r6"),
+        F.expr(
+            "round((icept_post + slope_post * bp)"
+            " - (icept_pre + slope_pre * bp), 6)"
+        ).alias("level_change_r6"),
+    )
+
+
+ORACLE_ITS = f"""
+WITH ev AS (
+  SELECT ({_US_DUCK}) // 86400000000 AS day
+  FROM events WHERE event_type = 'purchase'),
+daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS y
+          FROM ev GROUP BY 1),
+ext AS (SELECT CAST(MIN(day) AS BIGINT) AS dmin,
+               CAST(MAX(day) AS BIGINT) AS dmax FROM daily),
+t AS (
+  SELECT day - dmin AS t, y, CAST((dmax - dmin) // 2 AS BIGINT) AS bp
+  FROM daily CROSS JOIN ext),
+g AS (
+  SELECT CASE WHEN t >= bp THEN 1 ELSE 0 END AS post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(t * y) AS BIGINT) AS sty,
+         CAST(MIN(bp) AS BIGINT) AS bp
+  FROM t GROUP BY 1),
+per AS (
+  SELECT post, n, bp,
+         CASE WHEN CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st > 0.0
+         THEN ROUND((CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * stt
+                       - CAST(st AS DOUBLE) * st), 9) END AS slope,
+         CASE WHEN CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st > 0.0
+         THEN ROUND((CAST(sy AS DOUBLE)
+                     - (CAST(n AS DOUBLE) * sty
+                        - CAST(st AS DOUBLE) * sy)
+                       / (CAST(n AS DOUBLE) * stt
+                          - CAST(st AS DOUBLE) * st)
+                       * CAST(st AS DOUBLE))
+                    / CAST(n AS DOUBLE), 9) END AS icept
+  FROM g)
+SELECT pre.n AS n_pre, post.n AS n_post,
+       pre.bp AS break_day_offset,
+       ROUND(pre.slope, 6) AS slope_pre_r6,
+       ROUND(post.slope, 6) AS slope_post_r6,
+       ROUND(post.slope - pre.slope, 6) AS slope_change_r6,
+       ROUND((post.icept + post.slope * pre.bp)
+             - (pre.icept + pre.slope * pre.bp), 6) AS level_change_r6
+FROM (SELECT * FROM per WHERE post = 0) pre
+CROSS JOIN (SELECT * FROM per WHERE post = 1) post
+"""
+
+
+def text_length_dup_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are LONG documents more likely to be exact duplicates? The
+    curation-policy question behind length-conditioned dedup budgets
+    (boilerplate concentrates in specific length bands; a uniform dedup
+    pass wastes verify-tier work where dups don't live). Length
+    quartiles via exact type-1 ranks on (n_chars, doc_id); dup flag =
+    full-text md5 multiplicity > 1. Exact integers + one half-up rate.
+
+    Scale: one md5 groupBy (the exact-dedup posture), one
+    corpus-ordered rank window (fixed-width sort key), a 4-row
+    rollup."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", F.md5("text").alias("h")
+    )
+    dup = docs.groupBy("h").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    flagged = docs.join(dup, "h").select(
+        "doc_id", "n_chars", (F.col("m") > 1).cast("long").alias("is_dup")
+    )
+    wr = W.orderBy("n_chars", "doc_id")
+    ranked = flagged.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(W.partitionBy())
+    )
+    return (
+        ranked.withColumn(
+            "quartile", F.expr("((rn - 1) * 4) div n").cast("long")
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        )
+        .select(
+            "quartile",
+            "n_docs",
+            "min_chars",
+            "max_chars",
+            "n_dup_docs",
+            F.expr(rat_round6_spark("n_dup_docs", "n_docs"))
+            .alias("dup_rate_r6"),
+        )
+        .orderBy("quartile")
+    )
+
+
+ORACLE_LENGTH_DUP_BIAS = f"""
+WITH docs AS (
+  SELECT doc_id, n_chars, md5(text) AS h FROM documents),
+dup AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS m FROM docs GROUP BY 1),
+flagged AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN m > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM docs JOIN dup USING (h)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM flagged)
+SELECT ((rn - 1) * 4) // n AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+       {rat_round6_duck("CAST(SUM(is_dup) AS BIGINT)",
+                        "CAST(COUNT(*) AS BIGINT)")} AS dup_rate_r6
+FROM ranked GROUP BY 1 ORDER BY quartile
+"""
+
+
+def ev_changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split binary-segmentation changepoint on daily event
+    volume: the split s maximizing the between-segment sum of squares
+    B(s) = S₁²/n₁ + S₂²/n₂ − S²/n — CUSUM (ev_value_cusum_extrema)
+    locates drift in a cumulative path; this is the variance-reduction
+    answer ("WHERE does one mean end and another begin, and how much
+    does the split explain"). B(s) is a deterministic double per split
+    from exact integer prefix sums; the argmax tie-breaks to the
+    earliest day.
+
+    Scale: one daily agg, prefix sums over the calendar-bounded daily
+    frame (a bounded global window), a 1-row argmax."""
+    ev = _events(spark, sf_dir).select(
+        F.expr(f"({_US}) div 86400000000").alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count("*").cast("long").alias("y"))
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.expr("y * y")).cast("long").alias("qq"),
+    )
+    pre = (
+        daily.withColumn("n1", F.count("*").over(wc).cast("long"))
+        .withColumn("s1", F.sum("y").over(wc).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .filter("n1 < n")  # both segments non-empty
+    )
+    b = (
+        "(cast(s1 as double) * s1 / n1"
+        " + cast(s - s1 as double) * (s - s1) / (n - n1)"
+        " - cast(s as double) * s / n)"
+    )
+    sst = "(cast(qq as double) - cast(s as double) * s / n)"
+    scored = pre.select(
+        "day",
+        "n1",
+        F.expr(f"round({b}, 9)").alias("bss"),
+        F.expr(f"round({sst}, 9)").alias("sst"),
+        "n",
+        "s",
+    )
+    best = scored.orderBy(F.desc("bss"), F.asc("day")).limit(1)
+    return best.select(
+        F.col("day").alias("change_day_epoch"),
+        F.col("n1").alias("n_days_left"),
+        (F.col("n") - F.col("n1")).alias("n_days_right"),
+        F.expr("round(bss, 6)").alias("between_ss_r6"),
+        F.expr(
+            "case when sst > 0.0d then round(bss / sst, 6) end"
+        ).alias("variance_explained_r6"),
+    )
+
+
+ORACLE_CHANGEPOINT = f"""
+WITH daily AS (
+  SELECT ({_US_DUCK}) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y * y) AS BIGINT) AS qq
+  FROM daily),
+pre AS (
+  SELECT day,
+         CAST(SUM(1) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS n1,
+         CAST(SUM(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS s1
+  FROM daily),
+scored AS (
+  SELECT day, n1, n, s,
+         ROUND(CAST(s1 AS DOUBLE) * s1 / n1
+               + CAST(s - s1 AS DOUBLE) * (s - s1) / (n - n1)
+               - CAST(s AS DOUBLE) * s / n, 9) AS bss,
+         ROUND(CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * s / n, 9) AS sst
+  FROM pre CROSS JOIN tot WHERE n1 < n)
+SELECT day AS change_day_epoch, n1 AS n_days_left,
+       n - n1 AS n_days_right,
+       ROUND(bss, 6) AS between_ss_r6,
+       CASE WHEN sst > 0.0 THEN ROUND(bss / sst, 6) END
+         AS variance_explained_r6
+FROM scored ORDER BY bss DESC, day LIMIT 1
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -11488,4 +11980,31 @@ SPECS = [
                   "candidate volume vs tau-passing yield on the real "
                   "inverted-index machinery (the n-axis of the config "
                   "plane; threshold_sweep covers the tau-axis)"),
+    # --- batch Q (r14 continuation; r15 window backlog) ---
+    QuerySpec("stats_weekend_effect_heterogeneity",
+              stats_weekend_effect_heterogeneity, ORACLE_WEEKEND_HET,
+              ("stats", "meta", "events"),
+              doc="Cochran's Q + I^2 heterogeneity of the per-type "
+                  "weekend value effect (the interaction question in "
+                  "unbalanced-robust inverse-variance form)"),
+    QuerySpec("stats_effect_size_weekend", stats_effect_size_weekend,
+              ORACLE_EFFECT_SIZE, ("stats", "events"),
+              doc="Cohen's d + Hedges g of the weekend value effect per "
+                  "type (the magnitude readout next to the z tests)"),
+    QuerySpec("stats_interrupted_time_series",
+              stats_interrupted_time_series, ORACLE_ITS,
+              ("stats", "timeseries", "causal"),
+              doc="segmented pre/post OLS at the feed midpoint: slope "
+                  "and level changes of daily purchase volume (the ITS "
+                  "release-impact readout)"),
+    QuerySpec("text_length_dup_bias", text_length_dup_bias,
+              ORACLE_LENGTH_DUP_BIAS, ("text", "dedup", "audit"),
+              doc="exact-dup rate by length quartile (length-conditioned "
+                  "dedup budget: where do duplicates actually live?)"),
+    QuerySpec("ev_changepoint_binary_seg", ev_changepoint_binary_seg,
+              ORACLE_CHANGEPOINT, ("events", "timeseries", "stats"),
+              doc="single-split binary-segmentation changepoint on daily "
+                  "volume: argmax between-segment SS + variance "
+                  "explained (the WHERE answer CUSUM's path extrema "
+                  "don't give)"),
 ]

@@ -139,6 +139,12 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "stats_qte_weekend_value",
     "sim_ann_rank_quality",
     "dedup_shingle_size_sweep",
+    # batch Q continuation (also never-checked; full local evidence):
+    "stats_weekend_effect_heterogeneity",
+    "stats_effect_size_weekend",
+    "stats_interrupted_time_series",
+    "text_length_dup_bias",
+    "ev_changepoint_binary_seg",
 )
 
 # r13-window greens — rotate to the tail this round (driver row <=1 round

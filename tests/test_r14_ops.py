@@ -1037,3 +1037,141 @@ def test_shingle_size_sweep_monotone_candidates(spark, tmp_path):
     assert cands[0] >= cands[1] >= cands[2]
     assert got[2]["mean_jaccard_tau_r6"] is not None
     assert got[3]["mean_jaccard_tau_r6"] is None
+
+
+# ---------------------------------------------------------------------------
+# Part 5 — batch Q planted fixtures (r15 window backlog)
+# ---------------------------------------------------------------------------
+
+
+def test_weekend_heterogeneity_homogeneous_vs_not(spark, tmp_path):
+    """Two types with the SAME weekend effect (+100 cents) -> Q near 0
+    and I^2 = 0 (no heterogeneity); oracle agrees cell-for-cell."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_WEEKEND_HET,
+        stats_weekend_effect_heterogeneity,
+    )
+
+    sat = T0_US + 5 * US_PER_DAY
+    rows = []
+    eid = 0
+    for ty in ("click", "view"):
+        for i in range(20):  # weekday: values 1..20 dollars
+            rows.append((eid, T0_US + i, 1, ty, float(i + 1))); eid += 1
+        for i in range(20):  # weekend: same + 1 dollar
+            rows.append((eid, sat + i, 1, ty, float(i + 2))); eid += 1
+    _write_events(tmp_path, rows)
+    df = stats_weekend_effect_heterogeneity(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_WEEKEND_HET, ["events"]
+    )
+    r = df.collect()[0]
+    assert r["k_types"] == 2
+    assert r["pooled_effect_r6"] == 100.0  # +1 dollar in cents
+    assert abs(r["cochran_q_r6"]) < 1e-6
+    assert r["i2_r6"] in (None, 0.0)
+
+
+def test_effect_size_known_d(spark, tmp_path):
+    """Weekend shifts every value by exactly one pooled SD -> d = 1 up
+    to the small-sample correction; signs and oracle parity pinned."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_EFFECT_SIZE,
+        stats_effect_size_weekend,
+    )
+
+    sat = T0_US + 5 * US_PER_DAY
+    rows = []
+    eid = 0
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0] * 4  # sd(pooled) = known
+    for i, v in enumerate(vals):
+        rows.append((eid, T0_US + i, 1, "click", v)); eid += 1
+    for i, v in enumerate(vals):
+        rows.append((eid, sat + i, 1, "click", v + 10.0)); eid += 1
+    _write_events(tmp_path, rows)
+    df = stats_effect_size_weekend(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_EFFECT_SIZE, ["events"]
+    )
+    r = df.collect()[0]
+    assert r["mean_diff_cents_r6"] == 1000.0
+    # pooled sd of repeated 1..5 dollars in cents ~ 143.6; d ~ 6.96
+    assert r["cohens_d_r6"] > 5.0
+    assert 0 < r["hedges_g_r6"] < r["cohens_d_r6"]
+
+
+def test_its_planted_break(spark, tmp_path):
+    """Flat 5/day pre, flat 15/day post with zero slopes -> level
+    change exactly +10, slope change 0."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_ITS,
+        stats_interrupted_time_series,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(10):
+        n = 5 if day < 4 else 15  # break exactly at bp = (9-0)//2 = 4
+        for i in range(n):
+            rows.append(
+                (eid, T0_US + day * US_PER_DAY + i, 1, "purchase", 1.0)
+            )
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = stats_interrupted_time_series(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_ITS, ["events"])
+    r = df.collect()[0]
+    assert (r["n_pre"], r["n_post"]) == (4, 6)  # bp = (9-0)//2 = 4
+    assert r["slope_pre_r6"] == 0.0 and r["slope_post_r6"] == 0.0
+    assert r["slope_change_r6"] == 0.0
+    assert r["level_change_r6"] == 10.0
+
+
+def test_length_dup_bias_planted(spark, tmp_path):
+    """Duplicates planted ONLY among the longest docs -> dup rate must
+    be 0 in quartile 0 and positive in quartile 3."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_LENGTH_DUP_BIAS,
+        text_length_dup_bias,
+    )
+
+    texts = [f"short {i}" for i in range(8)]
+    long_dup = "long duplicated boilerplate " * 10
+    texts += [long_dup, long_dup, long_dup, long_dup]
+    _write_docs(tmp_path, texts)
+    df = text_length_dup_bias(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_LENGTH_DUP_BIAS, ["documents"]
+    )
+    got = {r["quartile"]: r for r in df.collect()}
+    assert got[0]["dup_rate_r6"] == 0.0
+    assert got[3]["n_dup_docs"] >= 3 and got[3]["dup_rate_r6"] > 0.9
+
+
+def test_changepoint_binary_seg_planted(spark, tmp_path):
+    """Counts jump 3 -> 12 at day 6: the argmax split must land exactly
+    on the first high day and explain ~all the variance."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_CHANGEPOINT,
+        ev_changepoint_binary_seg,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(12):
+        n = 3 if day < 6 else 12
+        for i in range(n):
+            rows.append(
+                (eid, T0_US + day * US_PER_DAY + i, 1, "view", 1.0)
+            )
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = ev_changepoint_binary_seg(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_CHANGEPOINT, ["events"]
+    )
+    r = df.collect()[0]
+    d0 = T0_US // 86_400_000_000
+    assert r["change_day_epoch"] == d0 + 5  # prefix through day 5
+    assert (r["n_days_left"], r["n_days_right"]) == (6, 6)
+    assert r["variance_explained_r6"] == 1.0  # two exact plateaus

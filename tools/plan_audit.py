@@ -151,6 +151,22 @@ GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
         "construction; the fact stream is pre-reduced by the "
         "weekend-mix agg"
     ),
+    "text_length_dup_bias": (
+        "quartile rank window over the corpus with a FIXED-WIDTH "
+        "integer sort key (the exact-percentile posture; same class "
+        "as agg_exact_global_median's justification) — the dup flag "
+        "is pre-reduced by the md5 groupBy"
+    ),
+    "ev_changepoint_binary_seg": (
+        "prefix sums over the DAILY frame — calendar-bounded (~365 "
+        "rows/year); the fact stream is pre-reduced by the "
+        "map-side-combined daily groupBy"
+    ),
+    "stats_qte_weekend_value": (
+        "two rank windows partitioned by the weekend flag — the "
+        "exact-percentile posture (fixed-width integer sort key, "
+        "two partitions); documented in the docstring"
+    ),
     "ev_tenure_churn_hazard": (
         "descending cumsum over the TENURE-WEEK table — rows <= "
         "feed-span/7 (calendar-bounded, ~5 at the fixtures, ~520 for a "

@@ -284,6 +284,11 @@ QUERIES = [
     "stats_qte_weekend_value",   # decile treatment effects (r14c new)
     "sim_ann_rank_quality",      # LSH MRR/nDCG eval (r14c new)
     "dedup_shingle_size_sweep",  # shingle-n cost/yield curve (r14c)
+    "stats_weekend_effect_heterogeneity",  # Cochran Q / I^2 (r14d new)
+    "stats_effect_size_weekend",  # Cohen d / Hedges g (r14d new)
+    "stats_interrupted_time_series",  # segmented pre/post OLS (r14d)
+    "text_length_dup_bias",      # dup rate by length quartile (r14d)
+    "ev_changepoint_binary_seg",  # argmax between-SS split (r14d new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
