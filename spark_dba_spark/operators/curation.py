@@ -11443,6 +11443,503 @@ FROM scored ORDER BY bss DESC, day LIMIT 1
 """
 
 
+# --------------------------------------------------------------------------
+# Batch R (r14 continuation; r15 window backlog): dedup storage ROI,
+# Adamic-Adar link prediction, hash-split fairness, cohort NDR, weekly
+# type-mix drift
+# --------------------------------------------------------------------------
+
+
+def mm_dedup_net_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged dedup storage ROI per media type: bytes reclaimed by
+    exact full-payload dedup, then the EXTRA bytes CDC chunk-level
+    dedup recovers among the surviving distinct payloads — the
+    capacity-planning number behind "is chunk-level dedup worth its
+    index cost here". All byte accounting is exact integers; the
+    shares are half-up rationals.
+
+    Scale: one md5 groupBy (exact-dedup posture), survivors by min-id
+    representative, then the shared cdc_chunks projection over
+    survivors only and one (media, chunk_hash) agg — never payload²."""
+    assets = _assets_curation(spark, sf_dir).select(
+        "doc_id",
+        "media_type",
+        "payload",
+        F.octet_length("payload").cast("long").alias("len"),
+        F.md5("payload").alias("h"),
+    ).localCheckpoint(eager=True)  # feeds totals + groups + survivors
+    totals = assets.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum("len").cast("long").alias("total_bytes"),
+    )
+    groups = assets.groupBy("media_type", "h").agg(
+        F.count("*").cast("long").alias("m"),
+        F.min("len").cast("long").alias("glen"),
+        F.min("doc_id").cast("long").alias("keep_id"),
+    )
+    exact = groups.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_survivors"),
+        F.sum(F.expr("(m - 1) * glen")).cast("long")
+        .alias("exact_saved_bytes"),
+        F.sum("glen").cast("long").alias("survivor_bytes"),
+    )
+    surv = assets.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "media_type", "payload")
+    chunks = cdc_chunks(surv)
+    cdc = (
+        chunks.groupBy("media_type", "chunk_hash")
+        .agg(
+            F.count("*").cast("long").alias("occ"),
+            F.min("chunk_len").cast("long").alias("clen"),
+        )
+        .groupBy("media_type")
+        .agg(
+            F.sum(F.expr("(occ - 1) * clen")).cast("long")
+            .alias("cdc_saved_bytes")
+        )
+    )
+    return (
+        totals.join(exact, "media_type")
+        .join(cdc, "media_type", "left")
+        .select(
+            "media_type",
+            "n_assets",
+            "total_bytes",
+            "exact_saved_bytes",
+            "n_survivors",
+            "survivor_bytes",
+            F.coalesce("cdc_saved_bytes", F.lit(0)).cast("long")
+            .alias("cdc_saved_bytes"),
+            F.expr(
+                rat_round6_spark(
+                    "exact_saved_bytes + coalesce(cdc_saved_bytes, 0)",
+                    "total_bytes",
+                )
+            ).alias("total_saved_share_r6"),
+        )
+        .orderBy("media_type")
+    )
+
+
+ORACLE_DEDUP_NET_SAVINGS = f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS len,
+         md5(text) AS h
+  FROM documents),
+totals AS (
+  SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_assets,
+         CAST(SUM(len) AS BIGINT) AS total_bytes
+  FROM a GROUP BY 1),
+groups AS (
+  SELECT media_type, h, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(MIN(len) AS BIGINT) AS glen,
+         CAST(MIN(doc_id) AS BIGINT) AS keep_id
+  FROM a GROUP BY 1, 2),
+exact AS (
+  SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_survivors,
+         CAST(SUM((m - 1) * glen) AS BIGINT) AS exact_saved_bytes,
+         CAST(SUM(glen) AS BIGINT) AS survivor_bytes
+  FROM groups GROUP BY 1),
+sv AS (
+  SELECT s.doc_id, s.media_type,
+         upper(hex(encode(s.text))) AS hx,
+         octet_length(encode(s.text)) AS n
+  FROM a s JOIN groups g ON s.doc_id = g.keep_id
+  WHERE octet_length(encode(s.text)) >= 1),
+b AS (
+  SELECT *, list_transform(generate_series(1, n),
+           i -> CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT)) AS bs
+  FROM sv),
+c AS (
+  SELECT doc_id, media_type, hx, n,
+         list_concat(list_concat([0],
+           CASE WHEN n >= 2 THEN
+             list_filter(generate_series(1, n - 1),
+               i -> (bs[i] * 31 + bs[i + 1]) % {CDC_MOD} = 0)
+           ELSE [] END), [n]) AS bounds
+  FROM b),
+ch AS (
+  SELECT media_type,
+         CAST(bounds[i + 1] - bounds[i] AS BIGINT) AS chunk_len,
+         md5(substr(hx, 2 * bounds[i] + 1,
+                    2 * (bounds[i + 1] - bounds[i]))) AS chunk_hash
+  FROM c, LATERAL unnest(generate_series(1, len(bounds) - 1)) AS u(i)),
+cdc AS (
+  SELECT media_type,
+         CAST(SUM((occ - 1) * clen) AS BIGINT) AS cdc_saved_bytes
+  FROM (
+    SELECT media_type, chunk_hash, CAST(COUNT(*) AS BIGINT) AS occ,
+           CAST(MIN(chunk_len) AS BIGINT) AS clen
+    FROM ch GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT t.media_type, t.n_assets, t.total_bytes, e.exact_saved_bytes,
+       e.n_survivors, e.survivor_bytes,
+       COALESCE(cdc.cdc_saved_bytes, 0) AS cdc_saved_bytes,
+       {rat_round6_duck(
+           "e.exact_saved_bytes + COALESCE(cdc.cdc_saved_bytes, 0)",
+           "t.total_bytes")} AS total_saved_share_r6
+FROM totals t
+JOIN exact e ON t.media_type = e.media_type
+LEFT JOIN cdc ON t.media_type = cdc.media_type
+ORDER BY t.media_type
+"""
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the near-dup graph: common
+    neighbors weighted by 1/ln(degree) — a hub neighbor shared with
+    everyone carries almost no evidence, which is exactly what the
+    plain common-neighbor count (graph_common_neighbors) gets wrong on
+    template-heavy dup graphs. Wedge centers always have degree ≥ 2,
+    so ln(deg) > 0 by construction; each wedge term is 9dp-rounded
+    into the house DECIMAL sum.
+
+    Scale: the same center-keyed wedge join as the triangle machinery
+    (Σ deg² bounded upstream by MAX_DF pruning); the anti-join removes
+    existing edges."""
+    from .dedup import dedup_ngram_jaccard
+
+    edges = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)  # reused by wedges + degree + anti
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    degree = sym.groupBy(F.col("doc_a").alias("b")).agg(
+        F.count("*").cast("long").alias("deg_b")
+    )
+    w1 = sym.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    w2 = sym.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    wedges = (
+        w1.join(w2, "b")
+        .filter(F.col("a") < F.col("c"))
+        .join(degree, "b")
+        .groupBy("a", "c")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(
+                F.expr(
+                    "cast(round(1.0d / ln(cast(deg_b as double)), 9)"
+                    " as decimal(38,9))"
+                )
+            ).alias("aa"),
+        )
+    )
+    return (
+        wedges.join(
+            edges,
+            (F.col("a") == F.col("doc_a")) & (F.col("c") == F.col("doc_b")),
+            "left_anti",
+        )
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("c").alias("doc_b"),
+            "n_common",
+            F.expr("round(cast(aa as double), 6)").alias("aa_score_r6"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _oracle_adamic_adar() -> str:
+    from .dedup import _NGRAM_PAIR_CTES, JACCARD_TAU
+
+    return f"""
+WITH {_NGRAM_PAIR_CTES},
+edges AS (
+  SELECT doc_a, doc_b
+  FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_TAU}),
+sym AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges),
+degree AS (SELECT doc_a AS b, CAST(COUNT(*) AS BIGINT) AS deg_b
+           FROM sym GROUP BY 1),
+wedges AS (
+  SELECT w1.doc_a AS a, w2.doc_b AS c,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         SUM(CAST(ROUND(1.0 / ln(CAST(d.deg_b AS DOUBLE)), 9)
+                  AS DECIMAL(38,9))) AS aa
+  FROM sym w1
+  JOIN sym w2 ON w1.doc_b = w2.doc_a
+  JOIN degree d ON d.b = w1.doc_b
+  WHERE w1.doc_a < w2.doc_b
+  GROUP BY 1, 2)
+SELECT a AS doc_a, c AS doc_b, n_common,
+       ROUND(CAST(aa AS DOUBLE), 6) AS aa_score_r6
+FROM wedges w
+WHERE NOT EXISTS (SELECT 1 FROM edges e
+                  WHERE e.doc_a = w.a AND e.doc_b = w.c)
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE_ADAMIC_ADAR = _oracle_adamic_adar()
+
+
+HASH_FAIRNESS_BUCKETS = 10
+
+
+def stats_hash_split_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniformity audit of the house md5 assignment lane (the hash
+    every deterministic split in the engine keys on — A/B arms,
+    weighted samples, eval splits): distinct users → md5 lane mod 100
+    → {HASH_FAIRNESS_BUCKETS} buckets, exact-integer chi-square
+    against uniform (χ² = (k·Σo² − n²)/n) plus the extreme bucket
+    counts. A skewed lane silently biases EVERY hash-split op, so this
+    is governance for the whole family (χ²(9) 95% critical value:
+    16.92 — the doc-level judgment, not an engine output).
+
+    Scale: one user-grain distinct, one k-row agg."""
+    from .temporal import AB_SALT
+
+    users = _events(spark, sf_dir).select("user_id").distinct()
+    lane = (
+        "cast(conv(substring(md5(concat(cast(user_id as string), "
+        f"':{AB_SALT}')), 1, 7), 16, 10) as bigint) % 100"
+    )
+    b = users.select(
+        F.expr(f"({lane}) div {100 // HASH_FAIRNESS_BUCKETS}")
+        .alias("bucket")
+    )
+    g = b.groupBy("bucket").agg(F.count("*").cast("long").alias("o"))
+    tot = g.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.expr("o * o")).cast("long").alias("sq"),
+        F.max("o").cast("long").alias("max_bucket"),
+        F.min("o").cast("long").alias("min_bucket"),
+    )
+    return tot.select(
+        F.col("n").alias("n_users"),
+        F.col("k").alias("n_buckets"),
+        "max_bucket",
+        "min_bucket",
+        F.expr(
+            "case when n > 0 then "
+            + rat_round6_spark(
+                f"{HASH_FAIRNESS_BUCKETS} * sq - n * n", "n"
+            )
+            + " end"
+        ).alias("chi2_r6"),
+    )
+
+
+def _oracle_hash_fairness() -> str:
+    from .temporal import AB_SALT
+
+    return f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+b AS (
+  SELECT (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                               || ':{AB_SALT}'), 1, 7)) AS BIGINT)
+          % 100) // {100 // HASH_FAIRNESS_BUCKETS} AS bucket
+  FROM users),
+g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(o * o) AS BIGINT) AS sq,
+         CAST(MAX(o) AS BIGINT) AS max_bucket,
+         CAST(MIN(o) AS BIGINT) AS min_bucket
+  FROM g)
+SELECT n AS n_users, k AS n_buckets, max_bucket, min_bucket,
+       CASE WHEN n > 0 THEN
+         {rat_round6_duck(f"{HASH_FAIRNESS_BUCKETS} * sq - n * n", "n")}
+       END AS chi2_r6
+FROM tot
+"""
+
+
+ORACLE_HASH_FAIRNESS = _oracle_hash_fairness()
+
+
+def orders_cohort_ndr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net dollar retention by acquisition cohort: for each first-order
+    year, the cohort's next-year revenue as a share of its first-year
+    revenue — the NDR readout every subscription/repeat-purchase
+    review leads with (orders_cohort_ltv accumulates value; NDR is the
+    year-over-year retention RATIO the board asks for). Exact cents;
+    one half-up rational per cohort.
+
+    Scale: one customer-grain min-year agg, one broadcast join back,
+    one cohort-grain rollup."""
+    o = catalog.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("year(o_orderdate)").alias("yr"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+        .alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(
+        F.min("yr").alias("cohort_year")
+    )
+    j = o.join(first, "o_custkey")
+    return (
+        j.groupBy("cohort_year")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("yr") == F.col("cohort_year"),
+                         F.col("cents")).otherwise(0))
+            .cast("long").alias("rev_y0_cents"),
+            F.sum(F.when(F.col("yr") == F.col("cohort_year") + 1,
+                         F.col("cents")).otherwise(0))
+            .cast("long").alias("rev_y1_cents"),
+        )
+        .select(
+            F.col("cohort_year").cast("long").alias("cohort_year"),
+            "n_customers",
+            "rev_y0_cents",
+            "rev_y1_cents",
+            F.expr(
+                "case when rev_y0_cents > 0 then "
+                + rat_round6_spark("rev_y1_cents", "rev_y0_cents")
+                + " end"
+            ).alias("ndr_r6"),
+        )
+        .orderBy("cohort_year")
+    )
+
+
+ORACLE_COHORT_NDR = f"""
+WITH o AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+first AS (SELECT o_custkey, MIN(yr) AS cohort_year FROM o GROUP BY 1),
+g AS (
+  SELECT cohort_year,
+         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+         CAST(SUM(CASE WHEN yr = cohort_year THEN cents ELSE 0 END)
+              AS BIGINT) AS rev_y0_cents,
+         CAST(SUM(CASE WHEN yr = cohort_year + 1 THEN cents ELSE 0 END)
+              AS BIGINT) AS rev_y1_cents
+  FROM o JOIN first USING (o_custkey) GROUP BY 1)
+SELECT CAST(cohort_year AS BIGINT) AS cohort_year, n_customers,
+       rev_y0_cents, rev_y1_cents,
+       CASE WHEN rev_y0_cents > 0 THEN
+         {rat_round6_duck("rev_y1_cents", "rev_y0_cents")}
+       END AS ndr_r6
+FROM g ORDER BY cohort_year
+"""
+
+
+def ev_type_mix_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week event-type mix drift: total-variation distance
+    between consecutive weekly type distributions plus the top-moving
+    type — the monitoring readout that catches a product change or
+    instrumentation break shifting the TRAFFIC SHAPE while volumes
+    look normal (drift_psi/drift_priority_mix_tv watch static frames;
+    this is the rolling feed form). TV is an EXACT rational:
+    Σ|x_w·n_p − x_p·n_w| / (2·n_w·n_p) — integer numerators, one
+    half-up round.
+
+    Scale: the fact stream reduces to (week, type) counts
+    (calendar×alphabet-bounded); the consecutive-week join and argmax
+    run on that bounded frame."""
+    ev = _events(spark, sf_dir).select(
+        F.expr(f"(({_US}) div 86400000000) div 7").alias("wek"),
+        "event_type",
+    )
+    wt = ev.groupBy("wek", "event_type").agg(
+        F.count("*").cast("long").alias("x")
+    ).localCheckpoint(eager=True)  # feeds both sides of the lag join
+    wn = wt.groupBy("wek").agg(F.sum("x").cast("long").alias("n"))
+    cur = wt.join(wn, "wek")
+    prev = wt.select(
+        (F.col("wek") + 1).alias("wek"),
+        F.col("event_type"),
+        F.col("x").alias("xp"),
+    ).join(
+        wn.select((F.col("wek") + 1).alias("wek"),
+                  F.col("n").alias("np")),
+        "wek",
+    )
+    j = cur.join(prev, ["wek", "event_type"], "full_outer").select(
+        "wek",
+        "event_type",
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        F.coalesce("xp", F.lit(0)).cast("long").alias("xp"),
+        F.max("n").over(W.partitionBy("wek")).cast("long").alias("n"),
+        F.max("np").over(W.partitionBy("wek")).cast("long").alias("np"),
+    ).filter("n is not null and np is not null")
+    terms = j.select(
+        "wek",
+        "event_type",
+        F.expr("abs(x * np - xp * n)").alias("num"),
+        "n",
+        "np",
+    )
+    agg = terms.groupBy("wek").agg(
+        F.sum("num").cast("long").alias("snum"),
+        F.min("n").cast("long").alias("n"),
+        F.min("np").cast("long").alias("np"),
+    )
+    wmv = W.partitionBy("wek").orderBy(F.desc("num"), F.asc("event_type"))
+    mover = (
+        terms.withColumn("rn", F.row_number().over(wmv))
+        .filter("rn = 1")
+        .select("wek", F.col("event_type").alias("top_mover"))
+    )
+    return (
+        agg.join(mover, "wek")
+        .select(
+            F.col("wek").alias("week_epoch"),
+            F.col("n").alias("n_events"),
+            "top_mover",
+            F.expr(rat_round6_spark("snum", "2 * n * np"))
+            .alias("tv_vs_prev_r6"),
+        )
+        .orderBy("week_epoch")
+    )
+
+
+ORACLE_TYPE_MIX_DRIFT = f"""
+WITH ev AS (
+  SELECT ((({_US_DUCK}) // 86400000000) // 7) AS wek, event_type
+  FROM events),
+wt AS (SELECT wek, event_type, CAST(COUNT(*) AS BIGINT) AS x
+       FROM ev GROUP BY 1, 2),
+wn AS (SELECT wek, CAST(SUM(x) AS BIGINT) AS n FROM wt GROUP BY 1),
+j0 AS (
+  SELECT COALESCE(c.wek, p.wek) AS wek,
+         COALESCE(c.event_type, p.event_type) AS event_type,
+         COALESCE(c.x, 0) AS x, COALESCE(p.xp, 0) AS xp
+  FROM (SELECT wek, event_type, x FROM wt) c
+  FULL OUTER JOIN (SELECT wek + 1 AS wek, event_type, x AS xp
+                   FROM wt) p
+    ON c.wek = p.wek AND c.event_type = p.event_type),
+j AS (
+  SELECT j0.wek, j0.event_type, j0.x, j0.xp, cn.n, pn.np
+  FROM j0
+  JOIN wn cn ON cn.wek = j0.wek
+  JOIN (SELECT wek + 1 AS wek, n AS np FROM wn) pn
+    ON pn.wek = j0.wek),
+terms AS (
+  SELECT wek, event_type, abs(x * np - xp * n) AS num, n, np FROM j),
+agg AS (
+  SELECT wek, CAST(SUM(num) AS BIGINT) AS snum,
+         CAST(MIN(n) AS BIGINT) AS n, CAST(MIN(np) AS BIGINT) AS np
+  FROM terms GROUP BY 1),
+mover AS (
+  SELECT wek, event_type AS top_mover FROM (
+    SELECT wek, event_type,
+           ROW_NUMBER() OVER (PARTITION BY wek
+                              ORDER BY num DESC, event_type) AS rn
+    FROM terms) WHERE rn = 1)
+SELECT a.wek AS week_epoch, a.n AS n_events, m.top_mover,
+       {rat_round6_duck("snum", "2 * n * np")} AS tv_vs_prev_r6
+FROM agg a JOIN mover m ON a.wek = m.wek
+ORDER BY week_epoch
+"""
+
+
 SPECS = [
     QuerySpec("dedup_semantic_kmeans", dedup_semantic_kmeans,
               ORACLE_SEMANTIC_KMEANS, ("dedup", "embedding", "curation"),
@@ -12007,4 +12504,31 @@ SPECS = [
                   "volume: argmax between-segment SS + variance "
                   "explained (the WHERE answer CUSUM's path extrema "
                   "don't give)"),
+    # --- batch R (r14 continuation; r15 window backlog) ---
+    QuerySpec("mm_dedup_net_savings", mm_dedup_net_savings,
+              ORACLE_DEDUP_NET_SAVINGS, ("multimodal", "dedup",
+                                         "capacity"),
+              doc="staged dedup storage ROI per media type: exact-dup "
+                  "bytes saved + extra CDC chunk savings among "
+                  "survivors (is chunk-level dedup worth its index?)"),
+    QuerySpec("graph_adamic_adar", graph_adamic_adar,
+              ORACLE_ADAMIC_ADAR, ("graph", "dedup", "linkpred"),
+              doc="Adamic-Adar 1/ln(deg) weighted link prediction on "
+                  "the near-dup graph (hub-discounting upgrade of "
+                  "graph_common_neighbors)"),
+    QuerySpec("stats_hash_split_fairness", stats_hash_split_fairness,
+              ORACLE_HASH_FAIRNESS, ("stats", "audit", "governance"),
+              doc="exact-integer chi-square uniformity audit of the "
+                  "house md5 assignment lane (governance for every "
+                  "hash-split op)"),
+    QuerySpec("orders_cohort_ndr", orders_cohort_ndr, ORACLE_COHORT_NDR,
+              ("orders", "cohort", "finance"),
+              doc="net dollar retention by first-order-year cohort "
+                  "(next-year revenue share of acquisition-year "
+                  "revenue, exact cents)"),
+    QuerySpec("ev_type_mix_drift_weekly", ev_type_mix_drift_weekly,
+              ORACLE_TYPE_MIX_DRIFT, ("events", "drift", "monitoring"),
+              doc="week-over-week type-mix total-variation drift with "
+                  "the top-moving type (traffic-shape monitoring; "
+                  "exact rational TV)"),
 ]

@@ -145,6 +145,12 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "stats_interrupted_time_series",
     "text_length_dup_bias",
     "ev_changepoint_binary_seg",
+    # batch R continuation (also never-checked; full local evidence):
+    "mm_dedup_net_savings",
+    "graph_adamic_adar",
+    "stats_hash_split_fairness",
+    "orders_cohort_ndr",
+    "ev_type_mix_drift_weekly",
 )
 
 # r13-window greens — rotate to the tail this round (driver row <=1 round

