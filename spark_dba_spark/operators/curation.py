@@ -9654,6 +9654,14 @@ def ev_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("is_err").cast("long").alias("e"),
     )
+    return assemble_slo_burn(daily)
+
+
+def assemble_slo_burn(daily: DataFrame) -> DataFrame:
+    """Burn-rate readout over the (day, n, e) DAILY frame — the shared
+    contract between the batch op and
+    streaming/jobs.run_slo_burn_stream (the two-grain assembly rule:
+    the stream holds only the calendar-bounded daily grain)."""
     w7 = W.orderBy("day").rangeBetween(-6, 0)
     t = daily.withColumn("n7", F.sum("n").over(w7).cast("long")).withColumn(
         "e7", F.sum("e").over(w7).cast("long")
@@ -11849,7 +11857,16 @@ def ev_type_mix_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wt = ev.groupBy("wek", "event_type").agg(
         F.count("*").cast("long").alias("x")
-    ).localCheckpoint(eager=True)  # feeds both sides of the lag join
+    )
+    return assemble_type_mix_drift(wt)
+
+
+def assemble_type_mix_drift(wt: DataFrame) -> DataFrame:
+    """TV-drift readout over the (wek, event_type, x) WEEKLY frame —
+    the shared contract between the batch op and
+    streaming/jobs.run_type_mix_drift_stream (calendar×alphabet-
+    bounded state)."""
+    wt = wt.localCheckpoint(eager=True)  # feeds both sides of the lag join
     wn = wt.groupBy("wek").agg(F.sum("x").cast("long").alias("n"))
     cur = wt.join(wn, "wek")
     prev = wt.select(

@@ -431,6 +431,70 @@ def run_error_rate_by_load_stream(
     return assemble_error_rate_by_load(spark.table(query_name))
 
 
+def run_slo_burn_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "slo_burn"
+) -> DataFrame:
+    """Streaming twin of ``operators.curation.ev_slo_burn_rate`` — the
+    burn-rate table IS an alerting surface, so the streaming form is
+    the one an SRE deployment actually runs. Day-grain COMPLETE-mode
+    aggregation (state = the calendar-bounded daily error ledger); the
+    trailing-window burn math runs on those bounded rows through the
+    SHARED ``assemble_slo_burn`` contract, so the batch DuckDB oracle
+    transitively gates this stream."""
+    from ..operators.curation import assemble_slo_burn
+
+    ev = stream_events(spark, sf_dir).select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day"),
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+    )
+    q = (
+        ev.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("is_err").cast("long").alias("e"),
+        )
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return assemble_slo_burn(spark.table(query_name))
+
+
+def run_type_mix_drift_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "mix_drift"
+) -> DataFrame:
+    """Streaming twin of ``operators.curation.ev_type_mix_drift_weekly``
+    — traffic-shape drift is a monitoring readout, so the streaming
+    form is the production surface. Week×type COMPLETE-mode counts
+    (state bounded by calendar×alphabet); the consecutive-week TV and
+    top-mover math runs through the SHARED ``assemble_type_mix_drift``
+    contract, so the batch oracle transitively gates this stream."""
+    from ..operators.curation import assemble_type_mix_drift
+
+    ev = stream_events(spark, sf_dir).select(
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 86400000000) div 7"
+        ).alias("wek"),
+        "event_type",
+    )
+    q = (
+        ev.groupBy("wek", "event_type")
+        .agg(F.count("*").cast("long").alias("x"))
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return assemble_type_mix_drift(spark.table(query_name))
+
+
 # ---------------------------------------------------------------------------
 # Streaming corpus cleaning (LLM-pipeline twin of pipeline_clean_corpus)
 # ---------------------------------------------------------------------------

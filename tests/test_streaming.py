@@ -701,3 +701,38 @@ def test_error_rate_by_load_stream_equals_batch(spark):
         tuple(r) for r in ev_error_rate_by_load(spark, SF_DIR).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_slo_burn_stream_equals_batch(spark):
+    """Day-grain complete-mode stream + shared burn assembly equals the
+    batch SLO table row-for-row (r14 twin #2)."""
+    from spark_dba_spark.operators.curation import ev_slo_burn_rate
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_slo_burn_stream(
+            spark, SF_DIR, "t_slo_burn"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in ev_slo_burn_rate(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_type_mix_drift_stream_equals_batch(spark):
+    """Week-by-type complete-mode stream + shared TV assembly equals
+    the batch drift table row-for-row (r14 twin #3)."""
+    from spark_dba_spark.operators.curation import ev_type_mix_drift_weekly
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_type_mix_drift_stream(
+            spark, SF_DIR, "t_mix_drift"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev_type_mix_drift_weekly(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
