@@ -151,6 +151,14 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "stats_hash_split_fairness",
     "orders_cohort_ndr",
     "ev_type_mix_drift_weekly",
+    # batch S continuation (second r14 window; never-checked; full
+    # local evidence — operators/analytics.py):
+    "orders_littles_law_audit",
+    "stats_nelson_aalen_interarrival",
+    "text_readability_grid",
+    "emb_triplet_margin_rate",
+    "sketch_ams_f2_error",
+    "corpus_dedup_quality_shift",
 )
 
 # r13-window greens — rotate to the tail this round (driver row <=1 round
@@ -219,6 +227,7 @@ def _collect() -> dict[str, QuerySpec]:
         "spark_dba_spark.operators.temporal",
         "spark_dba_spark.operators.udf_surface",
         "spark_dba_spark.operators.curation",
+        "spark_dba_spark.operators.analytics",
         "spark_dba_spark.streaming.batch_equiv",
     ):
         try:

@@ -1,0 +1,434 @@
+"""Round-14 continuation (second window) tests — batch S planted twins.
+
+One micro-fixture test per operator in ``spark_dba_spark/operators/
+analytics.py``: hand-computable inputs, exact expected values, plus the
+DuckDB oracle run on the SAME planted tables (so the twin pins both the
+Spark plan and the oracle SQL to the by-hand arithmetic).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from fractions import Fraction
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from conftest import normalize_rows
+
+US_PER_HOUR = 3_600_000_000
+US_PER_DAY = 86_400_000_000
+T0_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC (a Monday)
+T0_DAY = T0_US // US_PER_DAY
+
+
+def _oracle_rows(tmp_path, sql, tables):
+    con = duckdb.connect()
+    try:
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        res = con.execute(sql)
+        cols = [d[0] for d in res.description]
+        rows = [tuple(d.values())
+                for d in res.fetch_arrow_table().to_pylist()]
+        return cols, rows
+    finally:
+        con.close()
+
+
+def _assert_spark_matches_oracle(df, tmp_path, sql, tables):
+    scols = df.columns
+    srows = [tuple(r) for r in df.collect()]
+    dcols, drows = _oracle_rows(tmp_path, sql, tables)
+    assert sorted(scols) == sorted(dcols), f"columns: {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"rows: {len(srows)} vs {len(drows)}"
+    for a, b in zip(
+        normalize_rows(srows, scols), normalize_rows(drows, dcols)
+    ):
+        assert a == b
+
+
+def _r6(num: int, den: int) -> float:
+    """The house half-up 6dp rational readout, in exact int arithmetic."""
+    assert num >= 0 and den > 0
+    return float((num * 2_000_000 + den) // (2 * den)) / 1e6
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(['{"k": 1}'] * len(rows)),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+
+
+def _write_docs(tmp_path, texts, sources=None, langs=None):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs or ["en"] * len(texts)),
+                "source": pa.array(sources or ["s0"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+
+
+def _write_embeddings(tmp_path, vecs, labels):
+    full = [list(v) + [0.0] * (64 - len(v)) for v in vecs]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(full)), pa.int64()),
+                "embedding": pa.array(full, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+
+
+def _write_orders_lineitem(tmp_path, orders, lines):
+    """orders: (orderkey, priority, orderdate_day); lines: (orderkey,
+    shipdate_day). Only the columns the Little's-law op touches."""
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+                "o_orderpriority": pa.array([r[1] for r in orders]),
+                "o_orderdate": pa.array(
+                    [r[2] * US_PER_DAY for r in orders], pa.timestamp("us")
+                ),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lines], pa.int64()),
+                "l_shipdate": pa.array(
+                    [r[1] * US_PER_DAY for r in lines], pa.timestamp("us")
+                ),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_littles_law_audit
+# ---------------------------------------------------------------------------
+
+
+def test_littles_law_planted(spark, tmp_path):
+    """Two orders, hand-set open intervals: the moment path and the
+    bucket-spine expansion must agree (L = lambda * W holds) and every
+    rational matches the by-hand value."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_LITTLES_LAW,
+        orders_littles_law_audit,
+    )
+
+    # order 1: open day 0..59 (buckets b0..b0+1); order 2: day 30 only.
+    _write_orders_lineitem(
+        tmp_path,
+        orders=[(1, "1-URGENT", T0_DAY), (2, "1-URGENT", T0_DAY + 30)],
+        lines=[(1, T0_DAY), (1, T0_DAY + 59), (2, T0_DAY + 30)],
+    )
+    df = orders_littles_law_audit(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_LITTLES_LAW, ["orders", "lineitem"]
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    b0 = T0_DAY // 30
+    eb1 = (T0_DAY + 59) // 30
+    dur1 = eb1 - b0 + 1
+    sb2 = (T0_DAY + 30) // 30
+    sum_dur = dur1 + 1
+    span = eb1 - b0 + 1
+    assert r["n_orders"] == 2
+    assert r["span_buckets"] == span
+    assert r["sum_dur_buckets"] == sum_dur
+    assert r["spine_open_buckets"] == sum_dur  # the reconciliation
+    assert r["littles_law_holds"] is True
+    assert r["lambda_per_bucket_r6"] == _r6(2, span)
+    assert r["w_buckets_r6"] == _r6(sum_dur, 2)
+    assert r["w_days_r6"] == _r6(60 + 1, 2)  # durations 60 and 1 days
+    assert r["l_avg_open_r6"] == _r6(sum_dur, span)
+    assert sb2 in range(b0, eb1 + 1)  # order 2 sits inside the span
+
+
+def test_littles_law_negative_latency_excluded(spark, tmp_path):
+    """An order shipping BEFORE its order date must be excluded on both
+    engines (Spark's descending sequence() vs DuckDB's empty
+    generate_series would otherwise diverge)."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_LITTLES_LAW,
+        orders_littles_law_audit,
+    )
+
+    _write_orders_lineitem(
+        tmp_path,
+        orders=[(1, "1-URGENT", T0_DAY), (2, "1-URGENT", T0_DAY + 40)],
+        lines=[(1, T0_DAY + 5), (2, T0_DAY)],  # order 2: ships 40d early
+    )
+    df = orders_littles_law_audit(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_LITTLES_LAW, ["orders", "lineitem"]
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_orders"] == 1  # the time traveler is gone
+
+
+# ---------------------------------------------------------------------------
+# stats_nelson_aalen_interarrival
+# ---------------------------------------------------------------------------
+
+
+def test_nelson_aalen_planted_gaps(spark, tmp_path):
+    """u1 events at hours 0,1,3; u2 at hour 0. Completed gaps 1h, 2h;
+    censored gaps 0h (u1 final) and 3h (u2 final). Risk sets and ppb
+    hazards are hand-computed."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_NELSON_AALEN,
+        stats_nelson_aalen_interarrival,
+    )
+
+    _write_events(
+        tmp_path,
+        [
+            (0, T0_US, 1, "click", 1.0),
+            (1, T0_US + US_PER_HOUR, 1, "click", 1.0),
+            (2, T0_US + 3 * US_PER_HOUR, 1, "click", 1.0),
+            (3, T0_US, 2, "view", 1.0),
+        ],
+    )
+    df = stats_nelson_aalen_interarrival(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_NELSON_AALEN, ["events"]
+    )
+    rows = {r["gap_hours"]: r for r in df.collect()}
+    assert set(rows) == {1, 2}
+    # t=1: risk {1,2,3} -> 3; one completion -> 1/3 half-up at ppb
+    assert rows[1]["n_risk"] == 3
+    assert rows[1]["n_completed"] == 1
+    assert rows[1]["hazard_r9"] == 0.333333333
+    # t=2: risk {2,3} -> 2; one completion -> 1/2
+    assert rows[2]["n_risk"] == 2
+    assert rows[2]["hazard_r9"] == 0.5
+    assert rows[2]["cum_hazard_r9"] == 0.833333333
+
+
+# ---------------------------------------------------------------------------
+# text_readability_grid
+# ---------------------------------------------------------------------------
+
+
+def test_readability_brute(spark, tmp_path):
+    """Exact-Fraction brute recompute of the pooled LIX/RIX grid on
+    punctuated, long-word text (the fixture corpus has no terminal
+    punctuation, so the twin is what exercises the sentence split)."""
+    from spark_dba_spark.operators.analytics import (
+        LIX_LONG_LEN,
+        ORACLE_READABILITY,
+        text_readability_grid,
+    )
+
+    texts = [
+        "the wonderful elephants marched. tiny ants followed! why?",
+        "a b c d e f g h.",
+        "supercalifragilistic expialidocious. brevity!",
+        "no punctuation here just plain words",
+    ]
+    sources = ["s0", "s0", "s1", "s1"]
+    _write_docs(tmp_path, texts, sources=sources)
+    df = text_readability_grid(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_READABILITY, ["documents"]
+    )
+    got = {r["source"]: r for r in df.collect()}
+    for src in ("s0", "s1"):
+        ws = lws = ss = nd = 0
+        for t, s in zip(texts, sources):
+            if s != src:
+                continue
+            toks = t.split(" ")
+            ws += len(toks)
+            lws += sum(1 for x in toks if len(x) >= LIX_LONG_LEN)
+            ss += max(1, sum(t.count(c) for c in ".!?"))
+            nd += 1
+        r = got[src]
+        assert r["n_docs"] == nd
+        lix = Fraction(ws * ws + 100 * lws * ss, ss * ws)
+        # qrem == plain half-up for these magnitudes
+        assert r["lix_r6"] == _r6(lix.numerator, lix.denominator)
+        assert r["rix_r6"] == _r6(lws, ss)
+        assert r["asl_r6"] == _r6(ws, ss)
+        assert r["long_share_r6"] == _r6(lws, ws)
+
+
+# ---------------------------------------------------------------------------
+# emb_triplet_margin_rate
+# ---------------------------------------------------------------------------
+
+
+def test_triplet_margin_separated_clusters(spark, tmp_path):
+    """Two tight, well-separated label clusters: every triplet must be
+    strictly satisfied (d2_neg > d2_pos), with positive margins."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_TRIPLET_MARGIN,
+        emb_triplet_margin_rate,
+    )
+
+    rng = np.random.default_rng(11)
+    c0 = rng.normal(size=64)
+    c1 = c0 + 10.0  # far-away second cluster
+    vecs = [
+        (c0 + 0.01 * rng.normal(size=64)).tolist(),
+        (c0 + 0.01 * rng.normal(size=64)).tolist(),
+        (c0 + 0.01 * rng.normal(size=64)).tolist(),
+        (c1 + 0.01 * rng.normal(size=64)).tolist(),
+        (c1 + 0.01 * rng.normal(size=64)).tolist(),
+    ]
+    _write_embeddings(tmp_path, vecs, labels=[0, 0, 0, 1, 1])
+    df = emb_triplet_margin_rate(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_TRIPLET_MARGIN, ["embeddings"]
+    )
+    rows = {r["label"]: r for r in df.collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["n_triplets"] == 3 and rows[1]["n_triplets"] == 2
+    for r in rows.values():
+        assert r["n_strict"] == r["n_triplets"]
+        assert r["n_ties"] == 0
+        assert r["strict_rate_r6"] == 1.0
+        assert r["margin_min"] > 0
+
+
+def test_triplet_singleton_label_excluded(spark, tmp_path):
+    """A singleton label yields no anchors (no positive exists) but
+    still serves as the negative pool for its neighbor."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_TRIPLET_MARGIN,
+        emb_triplet_margin_rate,
+    )
+
+    rng = np.random.default_rng(12)
+    vecs = [rng.normal(size=64).tolist() for _ in range(3)]
+    _write_embeddings(tmp_path, vecs, labels=[0, 0, 5])
+    df = emb_triplet_margin_rate(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_TRIPLET_MARGIN, ["embeddings"]
+    )
+    rows = df.collect()
+    assert [r["label"] for r in rows] == [0]  # label 5 emits nothing
+    assert rows[0]["n_triplets"] == 2
+
+
+# ---------------------------------------------------------------------------
+# sketch_ams_f2_error
+# ---------------------------------------------------------------------------
+
+
+def test_ams_f2_brute(spark, tmp_path):
+    """numpy/hashlib brute twin: 3 events for user 7, 1 for user 9 —
+    F2 = 10; every lane sketch, the mean/median estimates, and the
+    Chebyshev verdict recomputed from first principles."""
+    from spark_dba_spark.operators.analytics import (
+        AMS_CHEB_5SIGMA_BP,
+        AMS_LANES,
+        ORACLE_AMS_F2,
+        sketch_ams_f2_error,
+    )
+
+    rows = [
+        (0, T0_US, 7, "click", 1.0),
+        (1, T0_US + 1, 7, "click", 1.0),
+        (2, T0_US + 2, 7, "click", 1.0),
+        (3, T0_US + 3, 9, "view", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    df = sketch_ams_f2_error(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_AMS_F2, ["events"])
+    r = df.collect()[0]
+    assert r["n_events"] == 4 and r["n_keys"] == 2
+    assert r["f2_exact"] == 10  # 3^2 + 1^2
+
+    def h(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    ests = []
+    for j in range(AMS_LANES):
+        s = sum(
+            c * (((h(u) >> j) & 1) * 2 - 1) for u, c in ((7, 3), (9, 1))
+        )
+        ests.append(s * s)
+    sum_est = sum(ests)
+    assert r["est_mean16"] == sum_est / 16
+    se = sorted(ests)
+    assert r["est_median16"] == (se[7] + se[8]) / 2
+    import math
+
+    assert r["rel_err_t6"] == math.floor(
+        abs(sum_est / 16 - 10.0) / 10.0 * 1e6
+    ) / 1e6
+    assert r["within_5sigma"] == (
+        abs(sum_est - 16 * 10) * 10000 <= AMS_CHEB_5SIGMA_BP * 16 * 10
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_dedup_quality_shift
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_quality_shift_planted(spark, tmp_path):
+    """s0: duplicated short doc + unique long doc -> TV = 1/6 by hand;
+    s2's only doc is a cross-source copy of s0's (global keep-lowest
+    drops it) -> zero survivors, mix TV NULL on both engines."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_DEDUP_QUALITY_SHIFT,
+        corpus_dedup_quality_shift,
+    )
+
+    short = "tiny doc"  # 2 words -> band 0
+    long_ = " ".join(f"w{i}" for i in range(25))  # 25 words -> band 1
+    texts = [short, short, long_, short]
+    sources = ["s0", "s0", "s0", "s2"]
+    _write_docs(tmp_path, texts, sources=sources)
+    df = corpus_dedup_quality_shift(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_DEDUP_QUALITY_SHIFT, ["documents"]
+    )
+    rows = {r["source"]: r for r in df.collect()}
+    r0 = rows["s0"]
+    assert (r0["n_pre"], r0["n_post"]) == (3, 2)
+    assert r0["kept_share_r6"] == _r6(2, 3)
+    # cells pre (2,1), post (1,1): TV = (|2*2-1*3| + |1*2-1*3|)/(2*3*2)
+    assert r0["mix_tv_r6"] == _r6(2, 12)
+    assert r0["top_shift_cell"] == "en:0"  # |num| tie -> band asc
+    r2 = rows["s2"]
+    assert (r2["n_pre"], r2["n_post"]) == (1, 0)
+    assert r2["kept_share_r6"] == 0.0
+    assert r2["mix_tv_r6"] is None  # agreed div-by-zero NULL readout
