@@ -23,6 +23,22 @@ oracle + 3-SF hostile sweep + planted pytest twin + plan-audit row):
 - ``corpus_dedup_quality_shift`` — per-source mix shift (total-variation
   over (lang × length-band) cells) induced by global exact dedup.
 
+Batch T (same protocol):
+
+- ``orders_abc_migration`` — year-over-year ABC-class migration matrix
+  of parts by exact-cents revenue (cumulative-share classing with
+  integer cross-multiplied boundaries).
+- ``split_covariate_balance`` — covariate balance of the house md5
+  train/eval split: numeric mean gaps and categorical mix TVs.
+- ``dedup_simhash_bit_bias`` — per-bit one-rate + χ² lane audit of the
+  corpus SimHash fingerprints (shared signature expression).
+- ``mm_payload_chi2_uniformity`` — byte-band χ² vs uniform per media
+  type on the shared 16-band byte machinery.
+- ``stats_friedman_daily_types`` — Friedman rank test of event types
+  blocked by day (average-rank ties, exact integer rank lanes).
+- ``text_js_divergence_sources`` — pairwise Jensen–Shannon divergence
+  between source unigram mixes on the top-V vocabulary.
+
 Exactness follows the house TIES.md catalogue: integer/rational lanes
 with half-up rounding via rat/qrem, md5 integer hashing, the 2^-20
 embedding grid, truncation (not ROUND) wherever a double is divided.
@@ -845,6 +861,727 @@ ORDER BY a.source
 """
 
 
+# ==========================================================================
+# Batch T
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# YoY ABC-class migration
+# --------------------------------------------------------------------------
+
+_REV_CENTS = (
+    "cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)"
+)  # the house exact-cents revenue lane (identical IEEE product, one
+# deterministic half-up to integer cents in both engines)
+
+
+def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year ABC-class migration of parts: within each order
+    year, parts are classed by cumulative revenue share — A while the
+    running total is ≤70 % of the year's revenue, B to 90 %, C beyond
+    (revenue-desc, partkey-asc order; boundaries compared as integer
+    cross-products cum·10 ≤ 7·total, never a float share) — and the
+    migration matrix counts parts per (year, class_from, class_to)
+    transition, with NEW (absent last year) and OUT (absent this year)
+    lanes. The assortment-drift readout next to abc_analysis_parts'
+    static frame.
+
+    Scale: one orders⋈lineitem shuffle for the year key, a (year,
+    part) aggregate, a per-year window over the PART DIMENSION (bounded
+    by catalog size, not fact volume), and a keyed self-join on
+    partkey. First feed year emits no rows (no predecessor)."""
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("yr")
+    )
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.expr(_REV_CENTS).alias("cents")
+    )
+    pc = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("yr", "l_partkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    tot = pc.groupBy("yr").agg(F.sum("cents").cast("long").alias("t"))
+    w = (
+        W.partitionBy("yr")
+        .orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    classed = (
+        pc.withColumn("cum", F.sum("cents").over(w).cast("long"))
+        .join(tot, "yr")
+        .select(
+            "yr",
+            "l_partkey",
+            F.when(F.expr("cum * 10 <= 7 * t"), "A")
+            .when(F.expr("cum * 10 <= 9 * t"), "B")
+            .otherwise("C")
+            .alias("cls"),
+        )
+        .localCheckpoint(eager=True)  # both sides of the YoY join
+    )
+    yb = classed.agg(F.min("yr").alias("y0"), F.max("yr").alias("y1"))
+    prev = classed.select(
+        (F.col("yr") + 1).alias("yr"),
+        "l_partkey",
+        F.col("cls").alias("cls_from"),
+    )
+    cur = classed.select("yr", "l_partkey", F.col("cls").alias("cls_to"))
+    j = cur.join(prev, ["yr", "l_partkey"], "full_outer").crossJoin(
+        F.broadcast(yb)
+    )
+    return (
+        j.filter((F.col("yr") > F.col("y0")) & (F.col("yr") <= F.col("y1")))
+        .groupBy(
+            F.col("yr").cast("int").alias("year"),
+            F.coalesce("cls_from", F.lit("NEW")).alias("class_from"),
+            F.coalesce("cls_to", F.lit("OUT")).alias("class_to"),
+        )
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .orderBy("year", "class_from", "class_to")
+    )
+
+
+ORACLE_ABC_MIGRATION = """
+WITH pc AS (
+  SELECT year(o.o_orderdate) AS yr, l.l_partkey,
+         CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                             + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+tot AS (SELECT yr, CAST(SUM(cents) AS BIGINT) AS t FROM pc GROUP BY 1),
+classed AS (
+  SELECT pc.yr, pc.l_partkey,
+         CASE WHEN cum * 10 <= 7 * t THEN 'A'
+              WHEN cum * 10 <= 9 * t THEN 'B' ELSE 'C' END AS cls
+  FROM (SELECT yr, l_partkey, cents,
+               CAST(SUM(cents) OVER (PARTITION BY yr
+                    ORDER BY cents DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM pc) pc
+  JOIN tot ON pc.yr = tot.yr),
+yb AS (SELECT MIN(yr) AS y0, MAX(yr) AS y1 FROM classed),
+j AS (
+  SELECT COALESCE(c.yr, p.yr) AS yr,
+         COALESCE(p.cls_from, 'NEW') AS class_from,
+         COALESCE(c.cls_to, 'OUT') AS class_to
+  FROM (SELECT yr, l_partkey, cls AS cls_to FROM classed) c
+  FULL OUTER JOIN (SELECT yr + 1 AS yr, l_partkey, cls AS cls_from
+                   FROM classed) p
+    ON c.yr = p.yr AND c.l_partkey = p.l_partkey)
+SELECT CAST(j.yr AS INT) AS year, j.class_from, j.class_to,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM j, yb WHERE j.yr > yb.y0 AND j.yr <= yb.y1
+GROUP BY 1, 2, 3 ORDER BY year, class_from, class_to
+"""
+
+
+# --------------------------------------------------------------------------
+# Split covariate balance
+# --------------------------------------------------------------------------
+
+SPLIT_BAL_BUCKETS = 10  # the house md5 split lane (text.SPLIT_BUCKETS):
+# buckets 0-7 train, 8-9 eval (val+test pooled) — the audit checks the
+# SAME assignment the splitter ships.
+
+
+def split_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance of the md5 train/eval split: a hash split is
+    unbiased by construction, but any FINITE draw has sampling
+    imbalance — this is the audit a training pipeline runs before
+    attributing an eval gap to modeling. Four rows: the absolute
+    train-vs-eval mean gap of n_chars and of the word count, and the
+    total-variation distance between the split's lang and source
+    mixes. stats_hash_split_fairness checks lane-count uniformity;
+    this checks the covariates riding on the lanes.
+
+    Exact: mean gap |S₁n₂ − S₂n₁|/(n₁n₂) and mix TV on BIGINT lanes.
+
+    Scale: two map-side conditional aggregates (one global row, one
+    per category) — no joins on the fact stream, categorical frames
+    bounded by the lang/source alphabets."""
+    b = (
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10)"
+        f" as bigint) % {SPLIT_BAL_BUCKETS}"
+    )
+    d = catalog.load(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.expr("size(split(text, ' '))").cast("long").alias("nw"),
+        (F.expr(b) < SPLIT_BAL_BUCKETS - 2).alias("is_train"),
+    )
+    g = d.agg(
+        F.sum(F.col("is_train").cast("long")).cast("long").alias("n1"),
+        F.sum((~F.col("is_train")).cast("long")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("is_train"), F.col("nc")).otherwise(0))
+        .cast("long")
+        .alias("sc1"),
+        F.sum(F.when(~F.col("is_train"), F.col("nc")).otherwise(0))
+        .cast("long")
+        .alias("sc2"),
+        F.sum(F.when(F.col("is_train"), F.col("nw")).otherwise(0))
+        .cast("long")
+        .alias("sw1"),
+        F.sum(F.when(~F.col("is_train"), F.col("nw")).otherwise(0))
+        .cast("long")
+        .alias("sw2"),
+    ).localCheckpoint(eager=True)
+
+    def mean_gap(s1: str, s2: str, name: str) -> DataFrame:
+        return g.select(
+            F.lit(name).alias("covariate"),
+            F.col("n1").alias("n_train"),
+            F.col("n2").alias("n_eval"),
+            F.expr(
+                rat_round6_spark(f"abs({s1} * n2 - {s2} * n1)", "n1 * n2")
+            ).alias("value_r6"),
+        )
+
+    def mix_tv(cat: str, name: str) -> DataFrame:
+        cells = d.groupBy(cat).agg(
+            F.sum(F.col("is_train").cast("long")).cast("long").alias("x"),
+            F.sum((~F.col("is_train")).cast("long")).cast("long").alias("y"),
+        )
+        return (
+            cells.crossJoin(F.broadcast(g.select("n1", "n2")))
+            .agg(
+                F.sum(F.expr("abs(x * n2 - y * n1)"))
+                .cast("long")
+                .alias("snum"),
+                F.min("n1").alias("n1"),
+                F.min("n2").alias("n2"),
+            )
+            .select(
+                F.lit(name).alias("covariate"),
+                F.col("n1").alias("n_train"),
+                F.col("n2").alias("n_eval"),
+                F.expr(rat_round6_spark("snum", "2 * n1 * n2")).alias(
+                    "value_r6"
+                ),
+            )
+        )
+
+    return (
+        mean_gap("sc1", "sc2", "n_chars_mean_absdiff")
+        .unionByName(mean_gap("sw1", "sw2", "n_words_mean_absdiff"))
+        .unionByName(mix_tv("lang", "lang_mix_tv"))
+        .unionByName(mix_tv("source", "source_mix_tv"))
+        .orderBy("covariate")
+    )
+
+
+_SPLIT_BAL_B_DUCK = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)"
+    f" % {SPLIT_BAL_BUCKETS}"
+)
+
+ORACLE_SPLIT_BALANCE = f"""
+WITH d AS (
+  SELECT source, lang, CAST(n_chars AS BIGINT) AS nc,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         ({_SPLIT_BAL_B_DUCK}) < {SPLIT_BAL_BUCKETS - 2} AS is_train
+  FROM documents),
+g AS (
+  SELECT CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN is_train THEN nc ELSE 0 END) AS BIGINT) AS sc1,
+         CAST(SUM(CASE WHEN is_train THEN 0 ELSE nc END) AS BIGINT) AS sc2,
+         CAST(SUM(CASE WHEN is_train THEN nw ELSE 0 END) AS BIGINT) AS sw1,
+         CAST(SUM(CASE WHEN is_train THEN 0 ELSE nw END) AS BIGINT) AS sw2
+  FROM d),
+lang_c AS (
+  SELECT CAST(SUM(ABS(x * n2 - y * n1)) AS BIGINT) AS snum
+  FROM (SELECT lang,
+               CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+                 AS x,
+               CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+                 AS y
+        FROM d GROUP BY 1), g),
+src_c AS (
+  SELECT CAST(SUM(ABS(x * n2 - y * n1)) AS BIGINT) AS snum
+  FROM (SELECT source,
+               CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+                 AS x,
+               CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+                 AS y
+        FROM d GROUP BY 1), g)
+SELECT * FROM (
+  SELECT 'n_chars_mean_absdiff' AS covariate, n1 AS n_train, n2 AS n_eval,
+         {rat_round6_duck('abs(sc1 * n2 - sc2 * n1)', 'n1 * n2')}
+           AS value_r6
+  FROM g
+  UNION ALL
+  SELECT 'n_words_mean_absdiff', n1, n2,
+         {rat_round6_duck('abs(sw1 * n2 - sw2 * n1)', 'n1 * n2')}
+  FROM g
+  UNION ALL
+  SELECT 'lang_mix_tv', n1, n2,
+         {rat_round6_duck('lang_c.snum', '2 * n1 * n2')}
+  FROM g, lang_c
+  UNION ALL
+  SELECT 'source_mix_tv', n1, n2,
+         {rat_round6_duck('src_c.snum', '2 * n1 * n2')}
+  FROM g, src_c)
+ORDER BY covariate
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash bit-bias audit
+# --------------------------------------------------------------------------
+
+
+def dedup_simhash_bit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bit one-rate of the corpus SimHash fingerprints — the
+    governance audit for every SimHash-banded op (the fingerprint
+    analogue of stats_hash_split_fairness): a healthy 60-bit SimHash
+    over diverse text has every bit near 50 % ones; a stuck or heavily
+    biased bit collapses band entropy and floods those buckets with
+    false candidates. Emits, per bit, the one-count, the one-rate, and
+    the χ²(1) lane statistic (2·ones − n)²/n — all on the ONE shared
+    signature expression (dedup.SIMHASH_SIG_SQL), so the audit sees
+    exactly the production fingerprints.
+
+    Scale: the signature is the same map-side HOF pass dedup_simhash
+    runs; the ×60 bit explode happens AFTER the per-doc reduction to
+    one bigint, and the rollup is 60-row bounded."""
+    from .dedup import SIMHASH_BITS, SIMHASH_SIG_SQL
+
+    docs = catalog.load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    sig = docs.select(F.expr(SIMHASH_SIG_SQL).alias("simhash"))
+    bits = sig.select(
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias(
+            "bit"
+        ),
+    ).select("bit", F.expr("(simhash >> bit) & 1").alias("b"))
+    return (
+        bits.groupBy("bit")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("b").cast("long").alias("n_ones"),
+        )
+        .select(
+            F.col("bit").cast("int").alias("bit"),
+            "n_docs",
+            "n_ones",
+            F.expr(rat_round6_spark("n_ones", "n_docs")).alias(
+                "one_rate_r6"
+            ),
+            F.expr(
+                rat_round6_spark(
+                    "(2 * n_ones - n_docs) * (2 * n_ones - n_docs)",
+                    "n_docs",
+                )
+            ).alias("chi2_lane_r6"),
+        )
+        .orderBy("bit")
+    )
+
+
+def _simhash_bias_oracle() -> str:
+    from .dedup import SIMHASH_BITS, SIMHASH_SIG_CTES
+
+    return f"""
+WITH {SIMHASH_SIG_CTES},
+bb AS (
+  SELECT u.i AS bit, (simhash >> u.i) & 1 AS b
+  FROM sig, LATERAL unnest(range(0, {SIMHASH_BITS})) AS u(i)),
+g AS (
+  SELECT bit, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(b) AS BIGINT) AS n_ones
+  FROM bb GROUP BY 1)
+SELECT CAST(bit AS INT) AS bit, n_docs, n_ones,
+       {rat_round6_duck('n_ones', 'n_docs')} AS one_rate_r6,
+       {rat_round6_duck('(2 * n_ones - n_docs) * (2 * n_ones - n_docs)',
+                        'n_docs')} AS chi2_lane_r6
+FROM g ORDER BY bit
+"""
+
+
+# --------------------------------------------------------------------------
+# Byte-band χ² uniformity
+# --------------------------------------------------------------------------
+
+CHI2_15_A001_X10 = 377  # χ²(df=15) upper 0.1% critical value 37.697,
+# compared at one decimal by integer cross-multiplication (a text
+# payload is decisively non-uniform; ciphertext/compressed assets pass).
+
+
+def mm_payload_chi2_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² uniformity of the 16-band byte distribution per media type —
+    the one-number "is this payload population ciphertext/compressed
+    or structured?" verdict on top of mm_payload_byte_histogram's
+    bands (same shared banding machinery, so the audit sees exactly
+    the histogram's bytes). Missing bands count as zero cells (a text
+    payload never reaches bands 8–15 — exactly the signal).
+
+    χ² = Σ_b (16·n_b − N)² / (16·N) over the dense 16-cell grid —
+    integer numerator, one qrem readout; the α=0.001 verdict is an
+    integer cross-product against the one-decimal critical value.
+
+    Scale: inherits the histogram's bounded (type × 16) rollup; the
+    dense grid is a broadcast cross join of the type alphabet."""
+    from .multimodal import payload_byte_bands, project_assets
+
+    assets = project_assets(
+        catalog.load(spark, sf_dir, "documents")
+    ).repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    )
+    h = (
+        payload_byte_bands(assets)
+        .groupBy("media_type", "band")
+        .agg(F.count("*").cast("long").alias("n_b"))
+    )
+    grid = (
+        h.select("media_type")
+        .distinct()
+        .crossJoin(
+            spark.range(16).select(F.col("id").cast("int").alias("band"))
+        )
+    )
+    dense = grid.join(h, ["media_type", "band"], "left").select(
+        "media_type",
+        "band",
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+    )
+    tot = dense.groupBy("media_type").agg(
+        F.sum("n_b").cast("long").alias("n_bytes")
+    )
+    return (
+        dense.join(tot, "media_type")
+        .groupBy("media_type")
+        .agg(
+            F.min("n_bytes").alias("n_bytes"),
+            F.sum(
+                F.expr("(16 * n_b - n_bytes) * (16 * n_b - n_bytes)")
+            )
+            .cast("long")
+            .alias("num"),
+        )
+        .select(
+            "media_type",
+            "n_bytes",
+            F.lit(15).cast("int").alias("df"),
+            F.expr(qrem_round6_spark("num", "16 * n_bytes")).alias(
+                "chi2_r6"
+            ),
+            F.expr(
+                f"num * 10 <= {CHI2_15_A001_X10} * 16 * n_bytes"
+            ).alias("is_uniform_a001"),
+        )
+        .orderBy("media_type")
+    )
+
+
+ORACLE_CHI2_UNIFORMITY = f"""
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents),
+b AS (
+  SELECT media_type,
+         CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT) // 16 AS band
+  FROM a, LATERAL unnest(generate_series(1, n)) AS u(i)),
+h AS (
+  SELECT media_type, band, CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM b GROUP BY 1, 2),
+grid AS (
+  SELECT t.media_type, g.band
+  FROM (SELECT DISTINCT media_type FROM h) t
+  CROSS JOIN (SELECT CAST(unnest(range(16)) AS INT) AS band) g),
+dense AS (
+  SELECT grid.media_type, grid.band,
+         CAST(COALESCE(h.n_b, 0) AS BIGINT) AS n_b
+  FROM grid LEFT JOIN h
+    ON grid.media_type = h.media_type AND grid.band = h.band),
+tot AS (
+  SELECT media_type, CAST(SUM(n_b) AS BIGINT) AS n_bytes
+  FROM dense GROUP BY 1),
+agg AS (
+  SELECT d.media_type, CAST(MIN(t.n_bytes) AS BIGINT) AS n_bytes,
+         CAST(SUM((16 * d.n_b - t.n_bytes) * (16 * d.n_b - t.n_bytes))
+              AS BIGINT) AS num
+  FROM dense d JOIN tot t ON d.media_type = t.media_type
+  GROUP BY 1)
+SELECT media_type, n_bytes, CAST(15 AS INT) AS df,
+       {qrem_round6_duck('num', '16 * n_bytes')} AS chi2_r6,
+       (num * 10 <= {CHI2_15_A001_X10} * 16 * n_bytes)
+         AS is_uniform_a001
+FROM agg ORDER BY media_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Friedman rank test: event types blocked by day
+# --------------------------------------------------------------------------
+
+
+def stats_friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test — "do the event types differ in daily value
+    once each day is its own block?" — the nonparametric repeated-
+    measures companion to the Kruskal–Wallis op: within each day,
+    types are ranked by their exact decimal value sum (average ranks
+    on ties: r₂ = 2·RANK + ties − 1, an integer lane equal to twice
+    the average rank), and χ²_F = 12·ΣR_j²/(nk(k+1)) − 3n(k+1)
+    reduces to the single exact rational (3·Σr₂ₛᵤₘ² − 3n²k(k+1)²) /
+    (nk(k+1)). Missing (day, type) cells enter as zero-sum cells (the
+    dense grid is what makes blocks complete).
+
+    Scale: one (day × type) aggregate with decimal map-side partials;
+    every later frame is calendar×alphabet-bounded, including the
+    in-day ranking windows."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.expr(f"({_US}) div {_DAY_US}").alias("day"),
+        "event_type",
+        "value",
+    )
+    cells = ev.groupBy("day", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("s")
+    )
+    days = cells.select("day").distinct()
+    types = cells.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(cells, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(
+                "s", F.lit(0).cast("decimal(25,6)")
+            ).alias("s"),
+        )
+    )
+    r2 = dense.select(
+        "day",
+        "event_type",
+        (
+            F.rank().over(W.partitionBy("day").orderBy("s")) * 2
+            + F.count("*").over(W.partitionBy("day", "s"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    rs = r2.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("rsum2")
+    )
+    nk = days.agg(F.count("*").cast("long").alias("n")).crossJoin(
+        types.agg(F.count("*").cast("long").alias("k"))
+    )
+    stat = (
+        rs.agg(F.sum(F.expr("rsum2 * rsum2")).cast("long").alias("ss"))
+        .crossJoin(F.broadcast(nk))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("k").alias("n_types"),
+            F.expr(
+                rat_round6_spark(
+                    "3 * ss - 3 * n * n * k * (k + 1) * (k + 1)",
+                    "n * k * (k + 1)",
+                )
+            ).alias("friedman_chi2_r6"),
+        )
+    )
+    top = (
+        rs.withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.desc("rsum2"), F.asc("event_type"))
+            ),
+        )
+        .filter("rn = 1")
+        .select(F.col("event_type").alias("top_type"))
+    )
+    bot = (
+        rs.withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.asc("rsum2"), F.asc("event_type"))
+            ),
+        )
+        .filter("rn = 1")
+        .select(F.col("event_type").alias("bottom_type"))
+    )
+    return stat.crossJoin(F.broadcast(top)).crossJoin(F.broadcast(bot))
+
+
+ORACLE_FRIEDMAN = f"""
+WITH ev AS (
+  SELECT ({_US_DUCK}) // {_DAY_US} AS day, event_type, value FROM events),
+cells AS (
+  SELECT day, event_type, SUM(CAST(value AS DECIMAL(25,6))) AS s
+  FROM ev GROUP BY 1, 2),
+dense AS (
+  SELECT d.day, t.event_type,
+         COALESCE(c.s, CAST(0 AS DECIMAL(25,6))) AS s
+  FROM (SELECT DISTINCT day FROM cells) d
+  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+  LEFT JOIN cells c ON c.day = d.day AND c.event_type = t.event_type),
+r2 AS (
+  SELECT day, event_type,
+         CAST(RANK() OVER (PARTITION BY day ORDER BY s) * 2
+              + COUNT(*) OVER (PARTITION BY day, s) - 1 AS BIGINT) AS r2
+  FROM dense),
+rs AS (
+  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS rsum2
+  FROM r2 GROUP BY 1),
+nk AS (
+  SELECT CAST((SELECT COUNT(DISTINCT day) FROM cells) AS BIGINT) AS n,
+         CAST((SELECT COUNT(DISTINCT event_type) FROM cells) AS BIGINT)
+           AS k),
+stat AS (
+  SELECT nk.n AS n_days, nk.k AS n_types,
+         {rat_round6_duck(
+             '3 * ss - 3 * n * n * k * (k + 1) * (k + 1)',
+             'n * k * (k + 1)')} AS friedman_chi2_r6
+  FROM (SELECT CAST(SUM(rsum2 * rsum2) AS BIGINT) AS ss FROM rs), nk),
+top AS (
+  SELECT event_type AS top_type FROM rs
+  ORDER BY rsum2 DESC, event_type LIMIT 1),
+bot AS (
+  SELECT event_type AS bottom_type FROM rs
+  ORDER BY rsum2 ASC, event_type LIMIT 1)
+SELECT stat.*, top.top_type, bot.bottom_type FROM stat, top, bot
+"""
+
+
+# --------------------------------------------------------------------------
+# Pairwise Jensen–Shannon divergence between source unigram mixes
+# --------------------------------------------------------------------------
+
+JSD_TOP_V = 500  # same top-V vocabulary cap as text_source_kl: bounded,
+# and every mixture m = (p+q)/2 is > 0 wherever either side is.
+
+
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between source unigram
+    distributions on the corpus top-{JSD_TOP_V} vocabulary — the
+    SYMMETRIC, bounded domain-distance matrix (text_source_kl measures
+    each source against the corpus blend; JSD measures sources against
+    EACH OTHER, the input a domain-mix planner clusters on). Emitted
+    in nats and bits (ln 2 as a shared literal, no engine log2).
+
+    Float policy mirrors text_source_kl exactly: p·ln(p/m) terms in
+    IEEE double, zero-count terms excluded by CASE (0·ln 0 := 0), one
+    ROUND(…, 6) readout.
+
+    Scale: one (source, term) shuffle, then every frame is bounded by
+    |sources| × top-V; the pair expansion is |sources|²·V/2 rows —
+    catalog-bounded, never corpus-bounded."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    vocab = (
+        st.groupBy("t")
+        .agg(F.sum("c").alias("cc"))
+        .orderBy(F.desc("cc"), F.asc("t"))
+        .limit(JSD_TOP_V)
+        .select("t")
+    )
+    stv = st.join(F.broadcast(vocab), "t")
+    tots = stv.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
+    dense = (
+        tots.crossJoin(F.broadcast(vocab))
+        .join(stv, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            "tot",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+        .localCheckpoint(eager=True)  # both sides of the pair join
+    )
+    a = dense.select(
+        F.col("source").alias("source_a"),
+        "t",
+        F.col("c").alias("ca"),
+        F.col("tot").alias("ta"),
+    )
+    b = dense.select(
+        F.col("source").alias("source_b"),
+        "t",
+        F.col("c").alias("cb"),
+        F.col("tot").alias("tb"),
+    )
+    pairs = a.join(b, "t").filter(F.col("source_a") < F.col("source_b"))
+    term = (
+        "case when ca = 0 then 0.0 else (ca / cast(ta as double))"
+        " * ln((ca / cast(ta as double)) / (((ca / cast(ta as double))"
+        " + (cb / cast(tb as double))) / 2)) end"
+        " + case when cb = 0 then 0.0 else (cb / cast(tb as double))"
+        " * ln((cb / cast(tb as double)) / (((ca / cast(ta as double))"
+        " + (cb / cast(tb as double))) / 2)) end"
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.sum((F.col("ca") > 0).cast("long") * (F.col("cb") > 0).cast("long"))
+            .cast("long")
+            .alias("n_shared_terms"),
+            F.round(F.sum(F.expr(term)) / 2, 6).alias("jsd_nats_r6"),
+            F.round(
+                F.sum(F.expr(term)) / 2 / F.lit(0.6931471805599453), 6
+            ).alias("jsd_bits_r6"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_JSD = f"""
+WITH st AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY 1, 2),
+vocab AS (
+  SELECT t FROM (SELECT t, SUM(c) AS cc FROM st GROUP BY t
+                 ORDER BY SUM(c) DESC, t ASC LIMIT {JSD_TOP_V})),
+stv AS (SELECT st.source, st.t, st.c FROM st JOIN vocab USING (t)),
+tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+         FROM stv GROUP BY source),
+dense AS (
+  SELECT tots.source, vocab.t, tots.tot,
+         CAST(COALESCE(stv.c, 0) AS BIGINT) AS c
+  FROM tots CROSS JOIN vocab
+  LEFT JOIN stv ON stv.source = tots.source AND stv.t = vocab.t),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.c AS ca, a.tot AS ta, b.c AS cb, b.tot AS tb
+  FROM dense a JOIN dense b ON a.t = b.t AND a.source < b.source)
+SELECT source_a, source_b,
+       CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_terms,
+       ROUND(SUM(
+         CASE WHEN ca = 0 THEN 0.0 ELSE (ca / CAST(ta AS DOUBLE))
+           * ln((ca / CAST(ta AS DOUBLE)) / (((ca / CAST(ta AS DOUBLE))
+             + (cb / CAST(tb AS DOUBLE))) / 2)) END
+         + CASE WHEN cb = 0 THEN 0.0 ELSE (cb / CAST(tb AS DOUBLE))
+           * ln((cb / CAST(tb AS DOUBLE)) / (((ca / CAST(ta AS DOUBLE))
+             + (cb / CAST(tb AS DOUBLE))) / 2)) END) / 2, 6)
+         AS jsd_nats_r6,
+       ROUND(SUM(
+         CASE WHEN ca = 0 THEN 0.0 ELSE (ca / CAST(ta AS DOUBLE))
+           * ln((ca / CAST(ta AS DOUBLE)) / (((ca / CAST(ta AS DOUBLE))
+             + (cb / CAST(tb AS DOUBLE))) / 2)) END
+         + CASE WHEN cb = 0 THEN 0.0 ELSE (cb / CAST(tb AS DOUBLE))
+           * ln((cb / CAST(tb AS DOUBLE)) / (((ca / CAST(ta AS DOUBLE))
+             + (cb / CAST(tb AS DOUBLE))) / 2)) END) / 2
+         / 0.6931471805599453, 6) AS jsd_bits_r6
+FROM pairs GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
+
 SPECS = [
     QuerySpec(
         "orders_littles_law_audit",
@@ -895,5 +1632,54 @@ SPECS = [
         ("text", "dedup", "audit"),
         doc="per-source (lang x length-band) mix TV shift induced by "
             "global exact dedup, with survivor share and top-moving cell",
+    ),
+    # --- batch T ---
+    QuerySpec(
+        "orders_abc_migration",
+        orders_abc_migration,
+        ORACLE_ABC_MIGRATION,
+        ("orders", "finance", "drift"),
+        doc="YoY ABC-class migration matrix of parts by exact-cents "
+            "revenue, with NEW/OUT lanes (integer cumshare boundaries)",
+    ),
+    QuerySpec(
+        "split_covariate_balance",
+        split_covariate_balance,
+        ORACLE_SPLIT_BALANCE,
+        ("stats", "governance", "pipeline"),
+        doc="train/eval covariate balance of the md5 split: numeric "
+            "mean gaps + lang/source mix TVs, exact rational lanes",
+    ),
+    QuerySpec(
+        "dedup_simhash_bit_bias",
+        dedup_simhash_bit_bias,
+        _simhash_bias_oracle(),
+        ("dedup", "audit", "governance"),
+        doc="per-bit one-rate and chi2 lane audit of the production "
+            "SimHash fingerprints (shared signature expression)",
+    ),
+    QuerySpec(
+        "mm_payload_chi2_uniformity",
+        mm_payload_chi2_uniformity,
+        ORACLE_CHI2_UNIFORMITY,
+        ("multimodal", "audit", "stats"),
+        doc="byte-band chi2 vs uniform per media type on the shared "
+            "16-band machinery, alpha=0.001 integer verdict",
+    ),
+    QuerySpec(
+        "stats_friedman_daily_types",
+        stats_friedman_daily_types,
+        ORACLE_FRIEDMAN,
+        ("stats", "events"),
+        doc="Friedman rank test of event types blocked by day "
+            "(average-rank ties, exact integer rank lanes)",
+    ),
+    QuerySpec(
+        "text_js_divergence_sources",
+        text_js_divergence_sources,
+        ORACLE_JSD,
+        ("text", "stats", "provenance"),
+        doc="pairwise Jensen-Shannon divergence between source unigram "
+            "mixes on the top-V vocabulary, nats + bits",
     ),
 ]

@@ -51,6 +51,47 @@ SIMHASH_BITS = 60
 SIMHASH_BANDS = 4  # 4 bands × 15 bits: complete for hamming distance ≤ 3
 SIMHASH_MAXHAM = 3
 
+# The one canonical 60-bit SimHash signature expression over ``text`` —
+# shared by dedup_simhash and the bit-bias audit
+# (analytics.dedup_simhash_bit_bias) so both surfaces fingerprint
+# identically. Kept byte-identical to the original inline form.
+SIMHASH_SIG_SQL = f"""aggregate(
+              zip_with(
+                aggregate(
+                  transform(split(text, ' '),
+                            w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)),
+                  array_repeat(cast(0 as bigint), {SIMHASH_BITS}),
+                  (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
+                                       (a, i) -> a + ((h >> i) & 1) * 2 - 1)
+                ),
+                sequence(0, {SIMHASH_BITS - 1}),
+                (tot, i) -> if(tot > 0, shiftleft(cast(1 as bigint), i),
+                               cast(0 as bigint))
+              ),
+              cast(0 as bigint), (acc, x) -> acc + x
+            )"""
+
+# DuckDB twin of SIMHASH_SIG_SQL as a reusable CTE prefix (the text of
+# ORACLE_SIMHASH's tok/bits/votes/sig chain) — composed into both that
+# oracle and the bit-bias oracle.
+SIMHASH_SIG_CTES = f"""tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+bits AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h, i
+  FROM tok, LATERAL unnest(range(0, {SIMHASH_BITS})) AS u(i)
+),
+votes AS (
+  SELECT doc_id, i, SUM(((h >> i) & 1) * 2 - 1) AS tot
+  FROM bits GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN tot > 0 THEN 1::BIGINT << i ELSE 0 END) AS simhash
+  FROM votes GROUP BY 1
+)"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.load(spark, sf_dir, "documents")
@@ -521,26 +562,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band join on O(docs) rows. Single-pass accumulator: each sub-expression
     # is referenced exactly once, so Catalyst's projection collapse computes
     # each token md5 once (cf. the exchange-barrier note in dedup_minhash_lsh).
-    sig = docs.select(
-        "doc_id",
-        F.expr(
-            f"""aggregate(
-              zip_with(
-                aggregate(
-                  transform(split(text, ' '),
-                            w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)),
-                  array_repeat(cast(0 as bigint), {SIMHASH_BITS}),
-                  (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
-                                       (a, i) -> a + ((h >> i) & 1) * 2 - 1)
-                ),
-                sequence(0, {SIMHASH_BITS - 1}),
-                (tot, i) -> if(tot > 0, shiftleft(cast(1 as bigint), i),
-                               cast(0 as bigint))
-              ),
-              cast(0 as bigint), (acc, x) -> acc + x
-            )"""
-        ).alias("simhash"),
-    )
+    sig = docs.select("doc_id", F.expr(SIMHASH_SIG_SQL).alias("simhash"))
     bands = (
         sig.select(
             "doc_id",

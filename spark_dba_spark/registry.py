@@ -159,6 +159,13 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "emb_triplet_margin_rate",
     "sketch_ams_f2_error",
     "corpus_dedup_quality_shift",
+    # batch T continuation (same evidence protocol):
+    "orders_abc_migration",
+    "split_covariate_balance",
+    "dedup_simhash_bit_bias",
+    "mm_payload_chi2_uniformity",
+    "stats_friedman_daily_types",
+    "text_js_divergence_sources",
 )
 
 # r13-window greens — rotate to the tail this round (driver row <=1 round

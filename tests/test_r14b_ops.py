@@ -432,3 +432,260 @@ def test_dedup_quality_shift_planted(spark, tmp_path):
     assert (r2["n_pre"], r2["n_post"]) == (1, 0)
     assert r2["kept_share_r6"] == 0.0
     assert r2["mix_tv_r6"] is None  # agreed div-by-zero NULL readout
+
+
+# ---------------------------------------------------------------------------
+# Batch T twins
+# ---------------------------------------------------------------------------
+
+
+def _write_orders_lines_rev(tmp_path, orders, lines):
+    """orders: (orderkey, orderdate_day); lines: (orderkey, partkey,
+    extendedprice, discount). Only the columns the ABC op touches."""
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+                "o_orderdate": pa.array(
+                    [r[1] * US_PER_DAY for r in orders], pa.timestamp("us")
+                ),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lines], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in lines], pa.int64()),
+                "l_extendedprice": pa.array(
+                    [float(r[2]) for r in lines], pa.float64()
+                ),
+                "l_discount": pa.array(
+                    [float(r[3]) for r in lines], pa.float64()
+                ),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+
+
+def test_abc_migration_planted(spark, tmp_path):
+    """Hand-built two-year assortment: classes and all four migration
+    lanes (A->B, B->A, C->OUT, NEW->C) land exactly."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_ABC_MIGRATION,
+        orders_abc_migration,
+    )
+
+    d95 = 9131   # 1995-01-01 epoch day
+    d96 = 9496   # 1996-01-01 epoch day
+    _write_orders_lines_rev(
+        tmp_path,
+        orders=[(1, d95), (2, d96)],
+        lines=[
+            (1, 101, 70.0, 0.0),  # Y1: p101 70% -> A
+            (1, 102, 20.0, 0.0),  # Y1: p102 cum 90% -> B
+            (1, 103, 10.0, 0.0),  # Y1: p103 cum 100% -> C
+            (2, 102, 70.0, 0.0),  # Y2: p102 -> A
+            (2, 101, 20.0, 0.0),  # Y2: p101 -> B
+            (2, 104, 10.0, 0.0),  # Y2: p104 -> C (new)
+        ],
+    )
+    df = orders_abc_migration(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_ABC_MIGRATION, ["orders", "lineitem"]
+    )
+    got = {
+        (r["year"], r["class_from"], r["class_to"]): r["n_parts"]
+        for r in df.collect()
+    }
+    assert got == {
+        (1996, "A", "B"): 1,
+        (1996, "B", "A"): 1,
+        (1996, "C", "OUT"): 1,
+        (1996, "NEW", "C"): 1,
+    }
+
+
+def test_split_balance_brute(spark, tmp_path):
+    """Fraction-exact brute recompute of all four balance rows from the
+    md5 bucket rule applied in python."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_SPLIT_BALANCE,
+        SPLIT_BAL_BUCKETS,
+        split_covariate_balance,
+    )
+
+    texts = [f"tok{i} " * (i + 1) for i in range(30)]
+    texts = [t.strip() for t in texts]
+    langs = ["en" if i % 3 else "de" for i in range(30)]
+    sources = [f"s{i % 4}" for i in range(30)]
+    _write_docs(tmp_path, texts, sources=sources, langs=langs)
+    df = split_covariate_balance(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_SPLIT_BALANCE, ["documents"]
+    )
+    is_train = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16)
+        % SPLIT_BAL_BUCKETS
+        < SPLIT_BAL_BUCKETS - 2
+        for i in range(30)
+    ]
+    n1, n2 = sum(is_train), 30 - sum(is_train)
+    nc = [len(t) for t in texts]
+    nw = [len(t.split(" ")) for t in texts]
+    got = {r["covariate"]: r for r in df.collect()}
+    assert got["n_chars_mean_absdiff"]["n_train"] == n1
+    assert got["n_chars_mean_absdiff"]["n_eval"] == n2
+    for name, vals in (("n_chars_mean_absdiff", nc),
+                       ("n_words_mean_absdiff", nw)):
+        s1 = sum(v for v, t in zip(vals, is_train) if t)
+        s2 = sum(v for v, t in zip(vals, is_train) if not t)
+        assert got[name]["value_r6"] == _r6(
+            abs(s1 * n2 - s2 * n1), n1 * n2
+        )
+    for name, cats in (("lang_mix_tv", langs), ("source_mix_tv", sources)):
+        snum = 0
+        for c in set(cats):
+            x = sum(1 for v, t in zip(cats, is_train) if t and v == c)
+            y = sum(1 for v, t in zip(cats, is_train) if not t and v == c)
+            snum += abs(x * n2 - y * n1)
+        assert got[name]["value_r6"] == _r6(snum, 2 * n1 * n2)
+
+
+def test_simhash_bit_bias_brute(spark, tmp_path):
+    """python md5 brute of the 60-bit SimHash per doc -> per-bit one
+    counts must match exactly (pins the shared signature expression)."""
+    from spark_dba_spark.operators.analytics import (
+        _simhash_bias_oracle,
+        dedup_simhash_bit_bias,
+    )
+
+    texts = ["alpha beta gamma", "alpha alpha delta", "x y z w"]
+    _write_docs(tmp_path, texts)
+    df = dedup_simhash_bit_bias(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, _simhash_bias_oracle(), ["documents"]
+    )
+
+    def sig(text):
+        votes = [0] * 60
+        for w in text.split(" "):
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for i in range(60):
+                votes[i] += ((h >> i) & 1) * 2 - 1
+        return [1 if v > 0 else 0 for v in votes]
+
+    sigs = [sig(t) for t in texts]
+    ones = [sum(s[i] for s in sigs) for i in range(60)]
+    got = {r["bit"]: r for r in df.collect()}
+    assert len(got) == 60
+    for i in range(60):
+        assert got[i]["n_docs"] == 3
+        assert got[i]["n_ones"] == ones[i]
+        assert got[i]["one_rate_r6"] == _r6(ones[i], 3)
+        assert got[i]["chi2_lane_r6"] == _r6((2 * ones[i] - 3) ** 2, 3)
+
+
+def test_chi2_uniformity_planted(spark, tmp_path):
+    """doc 0 (image): one byte in each of bands 0-7 -> chi2 = 8.0,
+    passes the alpha=0.001 gate; doc 1 (audio): 4 identical bytes ->
+    chi2 = 60.0, decisively non-uniform."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_CHI2_UNIFORMITY,
+        mm_payload_chi2_uniformity,
+    )
+
+    even8 = "".join(chr(b) for b in range(0x02, 0x80, 0x10))  # bands 0-7
+    _write_docs(tmp_path, [even8, "AAAA"])
+    df = mm_payload_chi2_uniformity(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_CHI2_UNIFORMITY, ["documents"]
+    )
+    got = {r["media_type"]: r for r in df.collect()}
+    img = got["image"]  # doc_id 0
+    assert img["n_bytes"] == 8
+    # 8 cells of (16*1-8)^2 + 8 cells of (0-8)^2 = 8*64+8*64 = 1024
+    assert img["chi2_r6"] == _r6(1024, 16 * 8)  # = 8.0
+    assert img["is_uniform_a001"] is True
+    aud = got["audio"]  # doc_id 1: 'AAAA' all in band 4
+    assert aud["n_bytes"] == 4
+    assert aud["chi2_r6"] == 60.0
+    assert aud["is_uniform_a001"] is False
+
+
+def test_friedman_planted(spark, tmp_path):
+    """Perfectly consistent 2x2 design -> chi2_F = n(k-1) = 2 exactly;
+    a planted within-day tie exercises the average-rank lane."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_FRIEDMAN,
+        stats_friedman_daily_types,
+    )
+
+    rows = [
+        (0, T0_US, 1, "A", 10.0),
+        (1, T0_US + 1, 1, "B", 1.0),
+        (2, T0_US + US_PER_DAY, 1, "A", 10.0),
+        (3, T0_US + US_PER_DAY + 1, 1, "B", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    df = stats_friedman_daily_types(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_FRIEDMAN, ["events"])
+    r = df.collect()[0]
+    assert (r["n_days"], r["n_types"]) == (2, 2)
+    assert r["friedman_chi2_r6"] == 2.0
+    assert r["top_type"] == "A" and r["bottom_type"] == "B"
+
+    # tie day: both types equal on day 0 -> average ranks, chi2 halves
+    rows_tie = [
+        (0, T0_US, 1, "A", 5.0),
+        (1, T0_US + 1, 1, "B", 5.0),
+        (2, T0_US + US_PER_DAY, 1, "A", 10.0),
+        (3, T0_US + US_PER_DAY + 1, 1, "B", 1.0),
+    ]
+    _write_events(tmp_path, rows_tie)
+    df2 = stats_friedman_daily_types(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df2, tmp_path, ORACLE_FRIEDMAN, ["events"])
+    r2 = df2.collect()[0]
+    # day0: r2 = 3 for both (avg rank 1.5); day1: B 2, A 4
+    # rsum2: A 7, B 5 -> ss = 74; num = 3*74 - 3*4*2*9 = 6; den = 12
+    assert r2["friedman_chi2_r6"] == 0.5
+    assert r2["top_type"] == "A"
+
+
+def test_jsd_planted(spark, tmp_path):
+    """s0 = 'a a b', s1 = 'a b b' -> JSD computed by float brute;
+    identical-mix pair -> JSD exactly 0."""
+    import math
+
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_JSD,
+        text_js_divergence_sources,
+    )
+
+    _write_docs(
+        tmp_path,
+        ["a a b", "a b b", "a a b"],
+        sources=["s0", "s1", "s2"],
+    )
+    df = text_js_divergence_sources(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_JSD, ["documents"])
+    got = {(r["source_a"], r["source_b"]): r for r in df.collect()}
+    assert set(got) == {("s0", "s1"), ("s0", "s2"), ("s1", "s2")}
+    # identical mixes -> 0
+    assert got[("s0", "s2")]["jsd_nats_r6"] == 0.0
+    # brute: p = (2/3, 1/3), q = (1/3, 2/3)
+    def jsd(p, q):
+        tot = 0.0
+        for pi, qi in zip(p, q):
+            m = (pi + qi) / 2
+            if pi:
+                tot += pi * math.log(pi / m)
+            if qi:
+                tot += qi * math.log(qi / m)
+        return tot / 2
+
+    exp = round(jsd([2 / 3, 1 / 3], [1 / 3, 2 / 3]), 6)
+    assert got[("s0", "s1")]["jsd_nats_r6"] == exp
+    assert got[("s0", "s1")]["n_shared_terms"] == 2
