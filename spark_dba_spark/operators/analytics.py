@@ -1347,6 +1347,15 @@ def stats_friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy("day", "event_type").agg(
         F.sum(F.col("value").cast("decimal(25,6)")).alias("s")
     )
+    return assemble_friedman(cells)
+
+
+def assemble_friedman(cells: DataFrame) -> DataFrame:
+    """Friedman readout over the (day, event_type, s) DECIMAL cell frame
+    — the shared contract between the batch op and
+    streaming/jobs.run_friedman_stream (calendar×alphabet-bounded
+    state), so the batch oracle transitively gates the stream."""
+    cells = cells.localCheckpoint(eager=True)  # feeds grid + rank + nk
     days = cells.select("day").distinct()
     types = cells.select("event_type").distinct()
     dense = (

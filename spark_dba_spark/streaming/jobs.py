@@ -1129,3 +1129,36 @@ def run_stream_static_enrich(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_friedman_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "friedman_stream"
+) -> DataFrame:
+    """Streaming twin of ``operators.analytics.stats_friedman_daily_types``
+    — the "did the type ordering change today?" monitor a live feed
+    keeps. COMPLETE-mode (day × type) exact-decimal value sums (state
+    bounded by calendar×alphabet); the dense-grid ranking and the
+    Friedman χ² readout run through the SHARED ``assemble_friedman``
+    contract, so the batch DuckDB oracle transitively gates this
+    stream; stream == batch is pinned by
+    tests/test_streaming.py::test_friedman_stream_equals_batch."""
+    from ..operators.analytics import assemble_friedman
+
+    ev = stream_events(spark, sf_dir).select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day"),
+        "event_type",
+        "value",
+    )
+    q = (
+        ev.groupBy("day", "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("s"))
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return assemble_friedman(spark.table(query_name))

@@ -736,3 +736,23 @@ def test_type_mix_drift_stream_equals_batch(spark):
         for r in ev_type_mix_drift_weekly(spark, SF_DIR).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_friedman_stream_equals_batch(spark):
+    """Day-by-type complete-mode decimal sums + shared Friedman
+    assembly equals the batch statistic row-for-row (r14 twin #13)."""
+    from spark_dba_spark.operators.analytics import (
+        stats_friedman_daily_types,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_friedman_stream(
+            spark, SF_DIR, "t_friedman"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in stats_friedman_daily_types(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) == 1
