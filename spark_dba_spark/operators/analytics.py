@@ -1591,6 +1591,390 @@ FROM pairs GROUP BY 1, 2 ORDER BY source_a, source_b
 """
 
 
+# ==========================================================================
+# Batch U
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Conditional byte entropy per media type
+# --------------------------------------------------------------------------
+
+
+def mm_byte_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 predictability of the payload byte stream per media
+    type: unigram entropy H(X), bigram entropy H(X,Y) and the
+    conditional entropy H(Y|X) = H(X,Y) − H(X) — the one-number
+    "structured vs ciphertext" verdict the bigram TOP-K
+    (mm_byte_bigram_topk) ranks but never summarizes. Text payloads
+    show H(Y|X) well below H(X) (letters predict successors);
+    compressed/encrypted payloads sit near ln 256 on both.
+
+    Entropy lanes follow the house ``n·ln n`` 9dp-decimal-sum pattern
+    (ev_transition_entropy): each count contribution is rounded at
+    9dp, summed exactly as DECIMAL, one double division per readout.
+    H(X) is measured on the bigram sample's first byte (the proper
+    conditioning marginal), so H(Y|X) ≥ 0 exactly.
+
+    Scale: hex-pair slide map-side; rollups bounded by
+    (type × 65536) bigram cells."""
+    from .multimodal import project_assets
+
+    assets = project_assets(
+        catalog.load(spark, sf_dir, "documents")
+    ).repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    )
+    base = assets.select(
+        "media_type",
+        F.expr("hex(payload)").alias("hx"),
+        F.octet_length("payload").alias("n"),
+    ).filter(F.col("n") >= 2)
+    bg = base.select(
+        "media_type",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, n - 1), i ->"
+                " substring(hx, 2 * i - 1, 4))"
+            )
+        ).alias("bg"),
+    ).select("media_type", "bg", F.expr("substring(bg, 1, 2)").alias("px"))
+    bgc = bg.groupBy("media_type", "bg").agg(F.count("*").alias("n"))
+    pxc = bg.groupBy("media_type", "px").agg(F.count("*").alias("n"))
+
+    def h_parts(cnt: DataFrame, s_alias: str) -> DataFrame:
+        return cnt.groupBy("media_type").agg(
+            F.sum("n").cast("long").alias(f"{s_alias}_tot"),
+            F.sum(
+                F.round(F.col("n") * F.log("n"), 9).cast("decimal(25,9)")
+            ).alias(f"{s_alias}_s"),
+        )
+
+    hb = h_parts(bgc, "b")
+    hp = h_parts(pxc, "p")
+    raw_b = (
+        "round(ln(b_tot), 9) - cast(b_s as double) / b_tot"
+    )
+    raw_p = "round(ln(p_tot), 9) - cast(p_s as double) / p_tot"
+    return (
+        hb.join(hp, "media_type")
+        .select(
+            "media_type",
+            F.col("b_tot").alias("n_bigrams"),
+            F.expr(f"round({raw_p}, 6)").alias("h_prefix_r6"),
+            F.expr(f"round({raw_b}, 6)").alias("h_bigram_r6"),
+            F.expr(f"round(({raw_b}) - ({raw_p}), 6)").alias("h_cond_r6"),
+        )
+        .orderBy("media_type")
+    )
+
+
+ORACLE_BYTE_COND_ENTROPY = """
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 2),
+bg AS (
+  SELECT media_type, substr(hx, 2 * i - 1, 4) AS bg,
+         substr(hx, 2 * i - 1, 2) AS px
+  FROM a, LATERAL unnest(generate_series(1, n - 1)) AS u(i)),
+bgc AS (SELECT media_type, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+pxc AS (SELECT media_type, px, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+hb AS (
+  SELECT media_type, CAST(SUM(n) AS BIGINT) AS b_tot,
+         SUM(CAST(ROUND(n * ln(n), 9) AS DECIMAL(25,9))) AS b_s
+  FROM bgc GROUP BY 1),
+hp AS (
+  SELECT media_type, CAST(SUM(n) AS BIGINT) AS p_tot,
+         SUM(CAST(ROUND(n * ln(n), 9) AS DECIMAL(25,9))) AS p_s
+  FROM pxc GROUP BY 1)
+SELECT hb.media_type, hb.b_tot AS n_bigrams,
+       ROUND(ROUND(ln(p_tot), 9) - CAST(p_s AS DOUBLE) / p_tot, 6)
+         AS h_prefix_r6,
+       ROUND(ROUND(ln(b_tot), 9) - CAST(b_s AS DOUBLE) / b_tot, 6)
+         AS h_bigram_r6,
+       ROUND((ROUND(ln(b_tot), 9) - CAST(b_s AS DOUBLE) / b_tot)
+             - (ROUND(ln(p_tot), 9) - CAST(p_s AS DOUBLE) / p_tot), 6)
+         AS h_cond_r6
+FROM hb JOIN hp ON hb.media_type = hp.media_type
+ORDER BY hb.media_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Burrows' delta stylometry between sources
+# --------------------------------------------------------------------------
+
+BURROWS_K = 30  # the classic "most frequent function words" cap
+
+
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' delta between every source pair: relative frequencies
+    of the corpus top-{BURROWS_K} words, z-scored across sources, and
+    delta = mean |z_a − z_b| — the stylometric distance that attributes
+    provenance from FUNCTION-word usage where the JSD matrix
+    (text_js_divergence_sources) sees topical mix.
+
+    Exactness: frequencies quantize half-up to an integer ppm grid
+    (the documented spec — stylometric freqs live at 1e-3..1e-1, so
+    ppm granularity is far below signal); per-term z denominators are
+    the EXACT integer D = S·Σp² − (Σp)², whose IEEE sqrt is correctly
+    rounded and identical cross-engine; per-term |z_a − z_b| rounds at
+    9dp into an exact decimal sum. Terms with D = 0 (no cross-source
+    variance) carry no signal and are excluded; n_terms_used reports
+    the effective K.
+
+    Scale: one (source, term) shuffle; every later frame is bounded by
+    |sources| × K; the pair expansion is catalog-bounded."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # feeds vocab, totals and dense grid
+    )
+    vocab = (
+        st.groupBy("t")
+        .agg(F.sum("c").alias("cc"))
+        .orderBy(F.desc("cc"), F.asc("t"))
+        .limit(BURROWS_K)
+        .select("t")
+    )
+    tots = st.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
+    dense = (
+        tots.crossJoin(F.broadcast(vocab))
+        .join(st, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            F.expr(
+                "(coalesce(c, 0) * 2000000 + tot) div (2 * tot)"
+            ).alias("p"),
+        )
+    )
+    term_stats = dense.groupBy("t").agg(
+        F.count("*").cast("long").alias("s_cnt"),
+        F.sum("p").cast("long").alias("sp"),
+        F.sum(F.expr("p * p")).cast("long").alias("sp2"),
+    ).select(
+        "t",
+        "s_cnt",
+        "sp",
+        F.expr("s_cnt * sp2 - sp * sp").alias("d"),
+    )
+    zd = (
+        dense.join(F.broadcast(term_stats), "t")
+        .filter(F.col("d") > 0)
+        .select(
+            "source",
+            "t",
+            F.expr(
+                "cast(s_cnt as double) * cast(p as double)"
+                " / sqrt(cast(d as double))"
+            ).alias("z_scaled"),
+        )
+        .localCheckpoint(eager=True)  # both sides of the pair join
+    )
+    a = zd.select(
+        F.col("source").alias("source_a"), "t", F.col("z_scaled").alias("za")
+    )
+    b = zd.select(
+        F.col("source").alias("source_b"), "t", F.col("z_scaled").alias("zb")
+    )
+    return (
+        a.join(b, "t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_used"),
+            (
+                F.sum(
+                    F.round(F.expr("abs(za - zb)"), 9).cast(
+                        "decimal(25,9)"
+                    )
+                ).cast("double")
+                / F.count("*")
+            ).alias("raw"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_terms_used",
+            F.round("raw", 6).alias("delta_r6"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_BURROWS = f"""
+WITH st AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY 1, 2),
+vocab AS (
+  SELECT t FROM (SELECT t, SUM(c) AS cc FROM st GROUP BY t
+                 ORDER BY SUM(c) DESC, t ASC LIMIT {BURROWS_K})),
+tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+         FROM st GROUP BY source),
+dense AS (
+  SELECT tots.source, vocab.t,
+         (COALESCE(st.c, 0) * 2000000 + tots.tot) // (2 * tots.tot) AS p
+  FROM tots CROSS JOIN vocab
+  LEFT JOIN st ON st.source = tots.source AND st.t = vocab.t),
+ts AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS s_cnt,
+         CAST(SUM(p) AS BIGINT) AS sp,
+         CAST(COUNT(*) AS BIGINT) * CAST(SUM(p * p) AS BIGINT)
+           - CAST(SUM(p) AS BIGINT) * CAST(SUM(p) AS BIGINT) AS d
+  FROM dense GROUP BY 1),
+zd AS (
+  SELECT dense.source, dense.t,
+         CAST(ts.s_cnt AS DOUBLE) * CAST(dense.p AS DOUBLE)
+           / sqrt(CAST(ts.d AS DOUBLE)) AS z_scaled
+  FROM dense JOIN ts ON dense.t = ts.t WHERE ts.d > 0)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_used,
+       ROUND(CAST(SUM(CAST(ROUND(abs(a.z_scaled - b.z_scaled), 9)
+                           AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*), 6)
+         AS delta_r6
+FROM zd a JOIN zd b ON a.t = b.t AND a.source < b.source
+GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent via the variance-time plot
+# --------------------------------------------------------------------------
+
+HURST_SCALES = (1, 2, 4, 8)  # dyadic block sizes (days); the OLS x-grid
+# ln m is then {0, ln2, 2ln2, 3ln2} with centered weights (-1.5 .. 1.5)
+# and Σ(x-x̄)² = 5·(ln2)² — embedded as exact literals.
+_LN2 = 0.6931471805599453
+
+
+def ev_hurst_variance_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event volume by the variance-time
+    plot: daily counts are aggregated into dyadic blocks of
+    {HURST_SCALES} days, the variance of block MEANS follows
+    Var(m) ∝ m^(2H−2) for a self-similar series, and the OLS slope of
+    ln Var over ln m gives H = 1 + slope/2 — the long-memory probe
+    capacity planning needs beyond lag autocorrelation (H ≈ 0.5 ⇒
+    independence; H → 1 ⇒ bursts aggregate away slowly and peak
+    provisioning must follow).
+
+    Exactness: block sums are integers; Var(m) is the exact rational
+    (B·ΣS² − (ΣS)²)/(m²B²); ln Var = ln(num) − ln(den) on exact
+    integers; the 4-point OLS contracts to Σ w_i·y_i/(5·ln 2) with
+    literal centered weights, each product rounded at 9dp into an
+    exact decimal sum. Incomplete blocks are dropped (block days
+    present must equal m); a degenerate scale (zero variance or < 2
+    blocks) nulls the readout rather than biasing it.
+
+    Scale: one day-grain aggregate of the fact stream; everything
+    after is ≤ span/m rows per scale — calendar-bounded."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.expr(f"({_US}) div {_DAY_US}").alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count("*").cast("long").alias("x"))
+    daily = daily.localCheckpoint(eager=True)  # reused per scale
+    per_scale = None
+    for m in HURST_SCALES:
+        blocks = (
+            daily.groupBy(F.expr(f"day div {m}").alias("bid"))
+            .agg(
+                F.sum("x").cast("long").alias("sb"),
+                F.count("*").cast("long").alias("nd"),
+            )
+            .filter(F.col("nd") == m)
+        )
+        row = blocks.agg(
+            F.lit(m).cast("long").alias("block_days"),
+            F.count("*").cast("long").alias("b"),
+            F.sum("sb").cast("long").alias("s1"),
+            F.sum(F.expr("sb * sb")).cast("long").alias("s2"),
+        )
+        per_scale = row if per_scale is None else per_scale.unionByName(row)
+    scales = per_scale.select(
+        "block_days",
+        "b",
+        F.expr("b * s2 - s1 * s1").alias("vnum"),
+        F.expr("block_days * block_days * b * b").alias("vden"),
+    ).filter(F.col("b") >= 2)
+    w_expr = (
+        "case block_days when 1 then -1.5 when 2 then -0.5"
+        " when 4 then 0.5 else 1.5 end"
+    )
+    fit = (
+        scales.filter(F.col("vnum") > 0)
+        .select(
+            F.expr(
+                f"round(({w_expr}) * (ln(cast(vnum as double))"
+                " - ln(cast(vden as double))), 9)"
+            )
+            .cast("decimal(25,9)")
+            .alias("wy")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_scales"),
+            F.sum("wy").alias("swy"),
+        )
+    )
+    return fit.select(
+        "n_scales",
+        F.expr(
+            "case when n_scales = 4 then"
+            f" round(cast(swy as double) / (5 * {_LN2!r}), 6)"
+            " else cast(null as double) end"
+        ).alias("slope_r6"),
+        F.expr(
+            "case when n_scales = 4 then"
+            f" round(1 + cast(swy as double) / (5 * {_LN2!r}) / 2, 6)"
+            " else cast(null as double) end"
+        ).alias("hurst_r6"),
+    )
+
+
+ORACLE_HURST = f"""
+WITH daily AS (
+  SELECT ({_US_DUCK}) // {_DAY_US} AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+blocks AS (
+  SELECT m, day // m AS bid, CAST(SUM(x) AS BIGINT) AS sb,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM daily, (SELECT unnest([{", ".join(str(m) for m in HURST_SCALES)}])
+               AS m)
+  GROUP BY 1, 2),
+per_scale AS (
+  SELECT m AS block_days, CAST(COUNT(*) AS BIGINT) AS b,
+         CAST(SUM(sb) AS BIGINT) AS s1,
+         CAST(SUM(sb * sb) AS BIGINT) AS s2
+  FROM blocks WHERE nd = m GROUP BY 1),
+scales AS (
+  SELECT block_days, b, b * s2 - s1 * s1 AS vnum,
+         block_days * block_days * b * b AS vden
+  FROM per_scale WHERE b >= 2),
+fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_scales,
+         SUM(CAST(ROUND((CASE block_days WHEN 1 THEN -1.5
+                          WHEN 2 THEN -0.5 WHEN 4 THEN 0.5
+                          ELSE 1.5 END)
+                        * (ln(CAST(vnum AS DOUBLE))
+                           - ln(CAST(vden AS DOUBLE))), 9)
+                  AS DECIMAL(25,9))) AS swy
+  FROM scales WHERE vnum > 0)
+SELECT n_scales,
+       CASE WHEN n_scales = 4
+            THEN ROUND(CAST(swy AS DOUBLE) / (5 * {_LN2!r}), 6)
+            ELSE CAST(NULL AS DOUBLE) END AS slope_r6,
+       CASE WHEN n_scales = 4
+            THEN ROUND(1 + CAST(swy AS DOUBLE) / (5 * {_LN2!r}) / 2, 6)
+            ELSE CAST(NULL AS DOUBLE) END AS hurst_r6
+FROM fit
+"""
+
+
 SPECS = [
     QuerySpec(
         "orders_littles_law_audit",
@@ -1690,5 +2074,30 @@ SPECS = [
         ("text", "stats", "provenance"),
         doc="pairwise Jensen-Shannon divergence between source unigram "
             "mixes on the top-V vocabulary, nats + bits",
+    ),
+    # --- batch U ---
+    QuerySpec(
+        "mm_byte_cond_entropy",
+        mm_byte_cond_entropy,
+        ORACLE_BYTE_COND_ENTROPY,
+        ("multimodal", "audit", "stats"),
+        doc="unigram/bigram/conditional byte entropy per media type "
+            "(structured-vs-ciphertext verdict, n*ln n decimal lanes)",
+    ),
+    QuerySpec(
+        "text_burrows_delta",
+        text_burrows_delta,
+        ORACLE_BURROWS,
+        ("text", "stats", "provenance"),
+        doc="Burrows' delta stylometric distance between source pairs "
+            "on top-30 function words (ppm z-lanes, exact integer D)",
+    ),
+    QuerySpec(
+        "ev_hurst_variance_plot",
+        ev_hurst_variance_plot,
+        ORACLE_HURST,
+        ("events", "stats", "capacity"),
+        doc="Hurst exponent of daily volume via the dyadic variance-"
+            "time plot (exact rational variances, literal OLS grid)",
     ),
 ]

@@ -166,6 +166,10 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_payload_chi2_uniformity",
     "stats_friedman_daily_types",
     "text_js_divergence_sources",
+    # batch U continuation (same evidence protocol):
+    "mm_byte_cond_entropy",
+    "text_burrows_delta",
+    "ev_hurst_variance_plot",
 )
 
 # r13-window greens — rotate to the tail this round (driver row <=1 round

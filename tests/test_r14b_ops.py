@@ -689,3 +689,144 @@ def test_jsd_planted(spark, tmp_path):
     exp = round(jsd([2 / 3, 1 / 3], [1 / 3, 2 / 3]), 6)
     assert got[("s0", "s1")]["jsd_nats_r6"] == exp
     assert got[("s0", "s1")]["n_shared_terms"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Batch U twins
+# ---------------------------------------------------------------------------
+
+
+def _h9(counts):
+    """The house n*ln(n) 9dp entropy readout, brute."""
+    import math
+
+    n = sum(counts)
+    s = sum(round(c * math.log(c), 9) for c in counts)
+    return round(round(math.log(n), 9) - s / n, 6)
+
+
+def test_byte_cond_entropy_planted(spark, tmp_path):
+    """'abab' (image): bigram counts ab:2, ba:1; prefix a:2, b:1 —
+    entropies match the 9dp brute; 'aaaa' (audio) is all-zero."""
+    import math
+
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_BYTE_COND_ENTROPY,
+        mm_byte_cond_entropy,
+    )
+
+    _write_docs(tmp_path, ["abab", "aaaa"])
+    df = mm_byte_cond_entropy(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_BYTE_COND_ENTROPY, ["documents"]
+    )
+    got = {r["media_type"]: r for r in df.collect()}
+    img = got["image"]
+    assert img["n_bigrams"] == 3
+    hb = _h9([2, 1])
+    hp = _h9([2, 1])
+    assert img["h_bigram_r6"] == hb
+    assert img["h_prefix_r6"] == hp
+    # identical split -> the next byte is DETERMINED by the previous
+    raw = round(math.log(3), 9) - (
+        round(2 * math.log(2), 9) + round(1 * math.log(1), 9)
+    ) / 3
+    assert img["h_cond_r6"] == round(raw - raw, 6) == 0.0
+    aud = got["audio"]
+    assert (aud["h_bigram_r6"], aud["h_prefix_r6"], aud["h_cond_r6"]) == (
+        0.0, 0.0, 0.0,
+    )
+
+
+def test_burrows_delta_brute(spark, tmp_path):
+    """Integer-exact brute of the ppm z-lanes: three crafted sources,
+    identical pair -> delta 0, the asymmetric pair recomputed from
+    first principles."""
+    import math
+
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_BURROWS,
+        text_burrows_delta,
+    )
+
+    texts = ["the the cat", "the dog dog", "the the cat"]
+    sources = ["s0", "s1", "s2"]
+    _write_docs(tmp_path, texts, sources=sources)
+    df = text_burrows_delta(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_BURROWS, ["documents"])
+    got = {(r["source_a"], r["source_b"]): r for r in df.collect()}
+    assert got[("s0", "s2")]["delta_r6"] == 0.0
+
+    # brute: vocab = all 3 words; per-source totals 3
+    words = ["cat", "dog", "the"]
+    counts = {
+        "s0": {"the": 2, "cat": 1, "dog": 0},
+        "s1": {"the": 1, "dog": 2, "cat": 0},
+        "s2": {"the": 2, "cat": 1, "dog": 0},
+    }
+    p = {
+        (s, t): (counts[s][t] * 2_000_000 + 3) // 6
+        for s in sources
+        for t in words
+    }
+    deltas = []
+    used = 0
+    for t in words:
+        ps = [p[(s, t)] for s in sources]
+        d = 3 * sum(x * x for x in ps) - sum(ps) ** 2
+        if d <= 0:
+            continue
+        used += 1
+        za = 3 * p[("s0", t)] / math.sqrt(d)
+        zb = 3 * p[("s1", t)] / math.sqrt(d)
+        deltas.append(round(abs(za - zb), 9))
+    r = got[("s0", "s1")]
+    assert r["n_terms_used"] == used
+    assert r["delta_r6"] == round(sum(deltas) / used, 6)
+
+
+def test_hurst_brute(spark, tmp_path):
+    """32 days of linearly-growing volume: every dyadic scale complete,
+    slope/Hurst recomputed exactly from the integer block sums."""
+    import math
+
+    from spark_dba_spark.operators.analytics import (
+        HURST_SCALES,
+        ORACLE_HURST,
+        ev_hurst_variance_plot,
+    )
+
+    xs = [d + 1 for d in range(32)]  # day d has d+1 events
+    rows = []
+    eid = 0
+    for d, x in enumerate(xs):
+        for j in range(x):
+            rows.append((eid, T0_US + d * US_PER_DAY + j, 1, "e", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = ev_hurst_variance_plot(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_HURST, ["events"])
+    r = df.collect()[0]
+    assert r["n_scales"] == 4
+    day0 = T0_US // US_PER_DAY
+    swy = 0.0
+    wmap = {1: -1.5, 2: -0.5, 4: 0.5, 8: 1.5}
+    for m in HURST_SCALES:
+        sums = {}
+        cnts = {}
+        for d, x in enumerate(xs):
+            bid = (day0 + d) // m
+            sums[bid] = sums.get(bid, 0) + x
+            cnts[bid] = cnts.get(bid, 0) + 1
+        sb = [sums[k] for k in sums if cnts[k] == m]
+        bnum = len(sb)
+        vnum = bnum * sum(v * v for v in sb) - sum(sb) ** 2
+        vden = m * m * bnum * bnum
+        swy += round(wmap[m] * (math.log(vnum) - math.log(vden)), 9)
+    ln2 = 0.6931471805599453
+    assert r["slope_r6"] == round(swy / (5 * ln2), 6)
+    assert r["hurst_r6"] == round(1 + swy / (5 * ln2) / 2, 6)
+    # a linear trend is strongly persistent: H well above the 0.5
+    # independence line (0.839 with the planted 32-day grid — partial
+    # head/tail blocks at the larger scales pull it below 1)
+    assert r["hurst_r6"] > 0.75
