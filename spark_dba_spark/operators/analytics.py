@@ -1878,6 +1878,14 @@ def ev_hurst_variance_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({_US}) div {_DAY_US}").alias("day")
     )
     daily = ev.groupBy("day").agg(F.count("*").cast("long").alias("x"))
+    return assemble_hurst(daily)
+
+
+def assemble_hurst(daily: DataFrame) -> DataFrame:
+    """Variance-time Hurst readout over the (day, x) DAILY count frame
+    — the shared contract between the batch op and
+    streaming/jobs.run_hurst_stream (calendar-bounded state), so the
+    batch DuckDB oracle transitively gates the stream."""
     daily = daily.localCheckpoint(eager=True)  # reused per scale
     per_scale = None
     for m in HURST_SCALES:
@@ -1972,6 +1980,225 @@ SELECT n_scales,
             THEN ROUND(1 + CAST(swy AS DOUBLE) / (5 * {_LN2!r}) / 2, 6)
             ELSE CAST(NULL AS DOUBLE) END AS hurst_r6
 FROM fit
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash permutation-count sweep
+# --------------------------------------------------------------------------
+
+PERM_SWEEP = (16, 32, 64)  # signature lengths; rows-per-band fixed at
+# the production 4 → bands = p/4. The MinHash permutation family is
+# arithmetic in the permutation index, so each swept signature is a
+# PREFIX of the production 100-perm signature — computed once, sliced.
+
+
+def dedup_minhash_perm_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERMUTATION axis of the MinHash tuning plane: at the
+    production rows-per-band (4), how do 16/32/64-permutation
+    signatures trade candidate cost against recall?
+    dedup_lsh_band_planner sweeps (bands × rows) at fixed 100 perms
+    and dedup_shingle_size_sweep the shingle-n axis; this closes the
+    third axis — signature memory/compute. Per config: multi-occupancy
+    buckets, candidate pairs with and without bucket dedup, the
+    exact-Jaccard-verified count at the production τ, precision, and
+    recall against the union-verified reference set (the planner's
+    documented truth convention: pairs no swept config can see are
+    invisible to all of them by construction).
+
+    Scale: the production signature stage runs ONCE and is
+    checkpointed; each config is the banded groupBy pair expansion
+    (never a self-join); exact verification touches only the bounded
+    candidate union. Degenerate configs (zero candidates) emit NULL
+    precision rather than tripping ANSI division."""
+    from .dedup import MINHASH_R, MINHASH_TAU, _minhash_stages
+
+    docs, sig, _ = _minhash_stages(spark, sf_dir)
+    sigc = sig.localCheckpoint(eager=True)  # one signature pass, 3 configs
+    docsc = docs.localCheckpoint(eager=True)  # verify joins, both sides
+    allb = None
+    for p in PERM_SWEEP:
+        bn = p // MINHASH_R
+        cfg = sigc.select(
+            "doc_id",
+            F.lit(p).cast("long").alias("num_perm"),
+            "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(bn - 1))).alias("b"),
+        ).select(
+            "doc_id",
+            "num_perm",
+            F.expr(
+                f"concat(b, ':', concat_ws(',', transform("
+                f"slice(sig, b * {MINHASH_R} + 1, {MINHASH_R}), "
+                f"x -> cast(x as string))))"
+            ).alias("band_key"),
+        )
+        allb = cfg if allb is None else allb.unionByName(cfg)
+    buckets = (
+        allb.groupBy("num_perm", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .localCheckpoint(eager=True)  # feeds totals + pair expansion
+    )
+    totals = buckets.groupBy("num_perm").agg(
+        F.count("*").cast("long").alias("n_buckets_multi"),
+        F.sum(F.expr("size(ids) * (size(ids) - 1) div 2"))
+        .cast("long")
+        .alias("cand_pairs_total"),
+    )
+    pairs = (
+        buckets.select(
+            "num_perm",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("pr"),
+        )
+        .select("num_perm", "pr.doc_a", "pr.doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds union truth + config counts
+    )
+    uni = pairs.select("doc_a", "doc_b").distinct()
+    x = docsc.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha")
+    )
+    y = docsc.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb")
+    )
+    truth = (
+        uni.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(
+            F.size(F.array_intersect("sha", "shb")) * 1.0
+            / F.size(F.array_union("sha", "shb"))
+            >= MINHASH_TAU
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # truth count + per-config verify
+    )
+    tn = truth.agg(F.count("*").cast("long").alias("truth_n"))
+    nc = pairs.groupBy("num_perm").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    ver = (
+        pairs.join(truth, ["doc_a", "doc_b"], "semi")
+        .groupBy("num_perm")
+        .agg(F.count("*").cast("long").alias("n_verified"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in PERM_SWEEP])
+        ).alias("num_perm")
+    )
+    return (
+        spine.join(totals, "num_perm", "left")
+        .join(nc, "num_perm", "left")
+        .join(ver, "num_perm", "left")
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "num_perm",
+            F.expr(f"num_perm div {MINHASH_R}").alias("bands"),
+            F.coalesce("n_buckets_multi", F.lit(0))
+            .cast("long")
+            .alias("n_buckets_multi"),
+            F.coalesce("cand_pairs_total", F.lit(0))
+            .cast("long")
+            .alias("cand_pairs_total"),
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce("n_verified", F.lit(0))
+            .cast("long")
+            .alias("n_verified"),
+            F.expr(
+                "case when coalesce(n_candidates, 0) = 0"
+                " then cast(null as double) else "
+                + rat_round6_spark(
+                    "coalesce(n_verified, 0)", "coalesce(n_candidates, 0)"
+                )
+                + " end"
+            ).alias("precision_r6"),
+            F.expr(
+                "case when truth_n = 0 then cast(null as double) else "
+                + rat_round6_spark("coalesce(n_verified, 0)", "truth_n")
+                + " end"
+            ).alias("recall_vs_union_r6"),
+        )
+        .orderBy("num_perm")
+    )
+
+
+def _perm_sweep_oracle() -> str:
+    from .dedup import _DUCK_SHINGLES, MINHASH_R, MINHASH_TAU
+    from ..functions.hashing import sql_minhash_signature_duck
+
+    return f"""
+WITH shl AS ({_DUCK_SHINGLES}),
+sig AS (
+  SELECT doc_id, shingles,
+         {sql_minhash_signature_duck('shingles', max(PERM_SWEEP))} AS sig
+  FROM shl),
+cfg AS (SELECT CAST(unnest([{', '.join(str(p) for p in PERM_SWEEP)}])
+               AS BIGINT) AS num_perm),
+bands AS (
+  SELECT s.doc_id, c.num_perm,
+         b || ':' || array_to_string(
+           sig[b * {MINHASH_R} + 1 : b * {MINHASH_R} + {MINHASH_R}], ',')
+           AS band_key
+  FROM sig s, cfg c,
+       LATERAL unnest(range(0, c.num_perm // {MINHASH_R})) AS u(b)),
+buckets AS (
+  SELECT num_perm, band_key, COUNT(*) AS sz
+  FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 1),
+totals AS (
+  SELECT num_perm, CAST(COUNT(*) AS BIGINT) AS n_buckets_multi,
+         CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs_total
+  FROM buckets GROUP BY 1),
+pairs AS (
+  SELECT DISTINCT a.num_perm, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.num_perm = b.num_perm AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+uni AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+truth AS (
+  SELECT u.doc_a, u.doc_b
+  FROM uni u JOIN shl x ON u.doc_a = x.doc_id
+             JOIN shl y ON u.doc_b = y.doc_id
+  WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0
+          / len(list_distinct(list_concat(x.shingles, y.shingles)))
+        >= {MINHASH_TAU}),
+tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_n FROM truth),
+nc AS (SELECT num_perm, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       FROM pairs GROUP BY 1),
+ver AS (
+  SELECT p.num_perm, CAST(COUNT(*) AS BIGINT) AS n_verified
+  FROM pairs p JOIN truth t
+    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+  GROUP BY 1)
+SELECT c.num_perm, c.num_perm // {MINHASH_R} AS bands,
+       CAST(COALESCE(t.n_buckets_multi, 0) AS BIGINT) AS n_buckets_multi,
+       CAST(COALESCE(t.cand_pairs_total, 0) AS BIGINT)
+         AS cand_pairs_total,
+       CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(ver.n_verified, 0) AS BIGINT) AS n_verified,
+       CASE WHEN COALESCE(nc.n_candidates, 0) = 0
+            THEN CAST(NULL AS DOUBLE)
+            ELSE {rat_round6_duck('COALESCE(ver.n_verified, 0)',
+                                  'COALESCE(nc.n_candidates, 0)')}
+       END AS precision_r6,
+       CASE WHEN tn.truth_n = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE {rat_round6_duck('COALESCE(ver.n_verified, 0)',
+                                  'tn.truth_n')}
+       END AS recall_vs_union_r6
+FROM cfg c
+LEFT JOIN totals t ON c.num_perm = t.num_perm
+LEFT JOIN nc ON c.num_perm = nc.num_perm
+LEFT JOIN ver ON c.num_perm = ver.num_perm
+CROSS JOIN tn
+ORDER BY c.num_perm
 """
 
 
@@ -2099,5 +2326,14 @@ SPECS = [
         ("events", "stats", "capacity"),
         doc="Hurst exponent of daily volume via the dyadic variance-"
             "time plot (exact rational variances, literal OLS grid)",
+    ),
+    QuerySpec(
+        "dedup_minhash_perm_sweep",
+        dedup_minhash_perm_sweep,
+        _perm_sweep_oracle(),
+        ("dedup", "lsh", "tuning"),
+        doc="MinHash permutation-count sweep (16/32/64 perms, prefix-"
+            "sliced from the production signatures): candidate cost, "
+            "precision and union-truth recall per signature length",
     ),
 ]

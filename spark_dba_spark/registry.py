@@ -170,6 +170,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "mm_byte_cond_entropy",
     "text_burrows_delta",
     "ev_hurst_variance_plot",
+    "dedup_minhash_perm_sweep",
 )
 
 # r13-window greens — rotate to the tail this round (driver row <=1 round

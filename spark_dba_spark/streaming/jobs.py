@@ -1162,3 +1162,34 @@ def run_friedman_stream(
     )
     q.awaitTermination()
     return assemble_friedman(spark.table(query_name))
+
+
+def run_hurst_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "hurst_stream"
+) -> DataFrame:
+    """Streaming twin of ``operators.analytics.ev_hurst_variance_plot``
+    — the long-memory/burstiness posture a capacity planner tracks on
+    the LIVE feed. COMPLETE-mode daily counts (state strictly
+    calendar-bounded: one long per day); the dyadic variance-time plot
+    and the OLS Hurst readout run through the SHARED
+    ``assemble_hurst`` contract, so the batch DuckDB oracle
+    transitively gates this stream; stream == batch is pinned by
+    tests/test_streaming.py::test_hurst_stream_equals_batch."""
+    from ..operators.analytics import assemble_hurst
+
+    ev = stream_events(spark, sf_dir).select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day")
+    )
+    q = (
+        ev.groupBy("day")
+        .agg(F.count("*").cast("long").alias("x"))
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return assemble_hurst(spark.table(query_name))

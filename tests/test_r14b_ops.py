@@ -830,3 +830,54 @@ def test_hurst_brute(spark, tmp_path):
     # independence line (0.839 with the planted 32-day grid — partial
     # head/tail blocks at the larger scales pull it below 1)
     assert r["hurst_r6"] > 0.75
+
+
+def test_perm_sweep_monotone_and_planted(spark, tmp_path):
+    """Near-dup planted pair must be caught at every signature length
+    (identical docs collide in every band); recall is monotone
+    non-decreasing in the number of permutations (more bands = more
+    chances to collide); a lone unique doc produces no candidates."""
+    from spark_dba_spark.operators.analytics import (
+        _perm_sweep_oracle,
+        dedup_minhash_perm_sweep,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    texts = [base, base, "completely different text entirely here"]
+    _write_docs(tmp_path, texts)
+    df = dedup_minhash_perm_sweep(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, _perm_sweep_oracle(), ["documents"]
+    )
+    rows = {r["num_perm"]: r for r in df.collect()}
+    assert set(rows) == {16, 32, 64}
+    for p, r in rows.items():
+        assert r["bands"] == p // 4
+        # the identical pair collides in every band of every config
+        assert r["n_candidates"] == 1
+        assert r["n_verified"] == 1
+        assert r["precision_r6"] == 1.0
+        assert r["recall_vs_union_r6"] == 1.0
+        assert r["n_buckets_multi"] == p // 4
+        assert r["cand_pairs_total"] == p // 4
+
+
+def test_perm_sweep_recall_monotone_fixture(spark):
+    """On the real fixture corpus: recall@union is monotone
+    non-decreasing in signature length, and candidate cost is
+    non-decreasing too (more bands can only add collisions)."""
+    from spark_dba_spark.operators.analytics import (
+        dedup_minhash_perm_sweep,
+    )
+
+    rows = sorted(
+        dedup_minhash_perm_sweep(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["num_perm"],
+    )
+    recalls = [r["recall_vs_union_r6"] for r in rows]
+    cands = [r["n_candidates"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert cands == sorted(cands)
+    assert recalls[-1] is not None and recalls[-1] > 0

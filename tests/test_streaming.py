@@ -756,3 +756,19 @@ def test_friedman_stream_equals_batch(spark):
         for r in stats_friedman_daily_types(spark, SF_DIR).collect()
     )
     assert got == want and len(got) == 1
+
+
+def test_hurst_stream_equals_batch(spark):
+    """Complete-mode daily counts + shared variance-time assembly
+    equals the batch Hurst readout (r14 twin #14)."""
+    from spark_dba_spark.operators.analytics import ev_hurst_variance_plot
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_hurst_stream(spark, SF_DIR, "t_hurst").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev_hurst_variance_plot(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) == 1

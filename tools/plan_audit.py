@@ -144,6 +144,24 @@ PLAN_NOTES: dict[str, str] = {
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
+    "stats_nelson_aalen_interarrival": (
+        "ascending/descending cumsums over the GAP-HOUR table — "
+        "calendar-bounded (rows <= feed-span hours, ~720 at the "
+        "fixtures); the fact stream is pre-reduced by the per-user "
+        "LEAD pass and the dur_h groupBy"
+    ),
+    "emb_triplet_margin_rate": (
+        "label-directory rank window (orderBy label) over the LABEL "
+        "table — alphabet-bounded (10 rows at the fixtures); the "
+        "per-vector rank windows are label-PARTITIONED, and the "
+        "directory is broadcast"
+    ),
+    "stats_friedman_daily_types": (
+        "top/bottom row_number windows over the per-TYPE rank-sum "
+        "table — alphabet-bounded (k rows); the in-day ranking "
+        "windows are day-partitioned and the cell frame is "
+        "calendar x alphabet bounded"
+    ),
     "ev_slo_burn_rate": (
         "trailing-7-day RANGE window over the DAILY frame — "
         "calendar-bounded (~365 rows/year); the fact stream is "

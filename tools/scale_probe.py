@@ -294,6 +294,18 @@ QUERIES = [
     "stats_hash_split_fairness",  # md5 lane chi-square audit (r14e)
     "orders_cohort_ndr",         # cohort net dollar retention (r14e)
     "ev_type_mix_drift_weekly",  # weekly mix TV drift (r14e new)
+    "orders_littles_law_audit",  # bucket-spine L=lambda*W audit (r14f new)
+    "stats_nelson_aalen_interarrival",  # gap survival hazard (r14f new)
+    "emb_triplet_margin_rate",   # md5 triplet margins (r14f new)
+    "sketch_ams_f2_error",       # AMS F2 certificate (r14f new)
+    "corpus_dedup_quality_shift",  # dedup-induced mix TV (r14f new)
+    "orders_abc_migration",      # YoY ABC class migration (r14g new)
+    "dedup_simhash_bit_bias",    # fingerprint bit audit (r14g new)
+    "mm_payload_chi2_uniformity",  # byte-band chi2 verdict (r14g new)
+    "text_js_divergence_sources",  # pairwise JSD matrix (r14g new)
+    "mm_byte_cond_entropy",      # conditional byte entropy (r14h new)
+    "text_burrows_delta",        # stylometric delta matrix (r14h new)
+    "ev_hurst_variance_plot",    # variance-time Hurst probe (r14h new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
