@@ -2337,3 +2337,1587 @@ SPECS = [
             "precision and union-truth recall per signature length",
     ),
 ]
+
+
+# ==========================================================================
+# Batch V (round-14 continuation, third window)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Yule's characteristic K per source
+# --------------------------------------------------------------------------
+
+
+def text_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K — the classic vocabulary-richness
+    statistic K = 10^4 * (S2 - S1) / S1^2 with S1 = total tokens and
+    S2 = sum of squared type counts — per source. Unlike the type-token
+    ratio (length-sensitive) or Heaps' fit (text_heaps_vocab_growth,
+    growth-curve), K is a REPETITIVENESS constant: ~0 for near-unique
+    vocab, large when a few types dominate. It is also 10^4 times the
+    excess repeat-rate, so it pairs with the Zipf slope as a one-number
+    style fingerprint per source.
+
+    Exact: S1, S2 and the K numerator are pure BIGINT; the readout is
+    the house half-up qrem split (valid while S1 <= ~2.1e6 tokens per
+    source — the scaled remainder term stays under 2^63; sf0.1 is ~2e5,
+    document the bound rather than widen the lane).
+
+    Scale: one shuffle on (source, token) for the type counts, then a
+    per-source rollup — both map-side combinable; no token ever crosses
+    the wire twice."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    wc = tok.groupBy("source", "t").agg(F.count("*").cast("long").alias("m"))
+    a = wc.groupBy("source").agg(
+        F.sum("m").cast("long").alias("s1"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.expr("m * m")).cast("long").alias("s2"),
+    )
+    k_r6 = qrem_round6_spark("10000 * (s2 - s1)", "s1 * s1")
+    return a.select(
+        "source",
+        F.col("s1").alias("n_tokens"),
+        "n_types",
+        F.col("s2").alias("sum_m2"),
+        F.expr(k_r6).alias("yules_k_r6"),
+    ).orderBy("source")
+
+
+ORACLE_YULES_K = f"""
+WITH tok AS (
+  SELECT source, t
+  FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(t)
+  WHERE t <> ''),
+wc AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS m FROM tok GROUP BY 1, 2),
+a AS (
+  SELECT source, CAST(SUM(m) AS BIGINT) AS s1,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(m * m) AS BIGINT) AS s2
+  FROM wc GROUP BY 1)
+SELECT source, s1 AS n_tokens, n_types, s2 AS sum_m2,
+       {qrem_round6_duck('10000 * (s2 - s1)', 's1 * s1')} AS yules_k_r6
+FROM a ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Max drawdown of the daily value series
+# --------------------------------------------------------------------------
+
+
+def ev_max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the DAILY value-total series per event type:
+    the deepest drop of a day's total below the running historical peak
+    (finance's peak-to-trough statistic applied to revenue/load
+    monitoring — "how far below the best day ever has this stream
+    sunk, and when"). Complements ev_value_cusum_extrema (cumulative
+    drift) with a peak-relative readout: a stream that doubles then
+    halves has zero CUSUM alarm but a 50% drawdown.
+
+    Per type: the running max of daily totals (exact micro-unit
+    BIGINT), dd_t = runmax_t - day_t, the maximum dd, the EARLIEST day
+    attaining it (deterministic tie-break), and the drawdown as a share
+    of the peak (qrem rational).
+
+    Exact: per-row values half-up to integer micros (one IEEE product,
+    identical both engines), all sums/extrema on BIGINT.
+
+    Scale: one shuffle to (type, day) grain — day-grain state is
+    bounded by the calendar horizon, so the ordered window runs over
+    ~30..3650 rows per type regardless of SF."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v_us"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("v_us").cast("long").alias("dv")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dd = daily.select(
+        "event_type",
+        "day",
+        "dv",
+        (F.max("dv").over(w) - F.col("dv")).alias("dd"),
+    )
+    per = dd.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("dv").alias("peak_us"),
+        F.max("dd").alias("mdd_us"),
+    )
+    trough = (
+        dd.join(per, "event_type")
+        .filter(F.col("dd") == F.col("mdd_us"))
+        .groupBy("event_type")
+        .agg(F.min("day").alias("trough_day"))
+    )
+    share = qrem_round6_spark("mdd_us", "peak_us")
+    return (
+        per.join(trough, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.expr("cast(peak_us as double) / 1000000.0").alias(
+                "peak_daily_r6"
+            ),
+            F.expr("cast(mdd_us as double) / 1000000.0").alias(
+                "max_drawdown_r6"
+            ),
+            F.expr(share).alias("dd_peak_share_r6"),
+            "trough_day",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MAX_DRAWDOWN = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS dv
+  FROM events GROUP BY 1, 2),
+dd AS (
+  SELECT event_type, day, dv,
+         MAX(dv) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) - dv AS dd
+  FROM daily),
+per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         MAX(dv) AS peak_us, MAX(dd) AS mdd_us
+  FROM dd GROUP BY 1),
+trough AS (
+  SELECT dd.event_type, MIN(day) AS trough_day
+  FROM dd JOIN per ON dd.event_type = per.event_type AND dd.dd = per.mdd_us
+  GROUP BY 1)
+SELECT per.event_type, n_days,
+       CAST(peak_us AS DOUBLE) / 1000000.0 AS peak_daily_r6,
+       CAST(mdd_us AS DOUBLE) / 1000000.0 AS max_drawdown_r6,
+       {qrem_round6_duck('mdd_us', 'peak_us')} AS dd_peak_share_r6,
+       trough_day
+FROM per JOIN trough ON per.event_type = trough.event_type
+ORDER BY per.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box portmanteau test on the daily count series
+# --------------------------------------------------------------------------
+
+LB_MAX_LAG = 7  # one week of daily lags
+
+# chi-square 0.05 critical values for df = 1..7 (literal grid, both engines)
+_LB_CRIT_CASE = (
+    "case {k} when 1 then 3.841459 when 2 then 5.991465 when 3 then 7.814728"
+    " when 4 then 9.487729 when 5 then 11.070498 when 6 then 12.591587"
+    " when 7 then 14.067140 end"
+)
+
+
+def stats_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test of the daily event-count series: the
+    autocorrelation at lags 1..{LB_MAX_LAG} on the zero-filled calendar
+    spine and the cumulative Q_k = n(n+2)·Σ r_j²/(n−j), with the
+    literal χ²(df=k, α=.05) critical-value lane and a reject flag.
+    ev_autocorrelation reads single lags; this is the joint whiteness
+    TEST — "is the daily series white noise at all lags up to a week".
+
+    Exactness: counts are centered WITHOUT division — c_t = n·x_t − S
+    is a pure BIGINT lane (r_k = N_k/D is invariant to the n² scaling)
+    — so the only doubles are one division per lag, a 9dp-rounded term
+    summed as DECIMAL across lags (exact, order-free), and one final
+    product. D = 0 (constant series) reads NULL.
+
+    Overflow: |c| ≤ n·max(x); D ≤ n³·var(x) — at 100× fixture volume
+    D ~ 7e15 < 2⁶³, and the BIGINT→DOUBLE conversions round-to-nearest
+    identically in both engines.
+
+    Scale: everything after the (day)-grain shuffle is calendar-
+    bounded (≤ ~3650 rows however large the feed)."""
+    day = f"({_US}) div {_DAY_US}"
+    ev = catalog.load(spark, sf_dir, "events").select(F.expr(day).alias("d"))
+    cnt = ev.groupBy("d").agg(F.count("*").cast("long").alias("x"))
+    bounds = cnt.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("d")
+    ).join(cnt, "d", "left").select(
+        "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    consts = spine.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    c = spine.crossJoin(F.broadcast(consts)).select(
+        "d", F.expr("n * x - s").alias("c"), "n"
+    ).localCheckpoint(eager=True)
+    dsq = c.agg(F.sum(F.expr("c * c")).cast("long").alias("dd"))
+    lags = spark.range(1, LB_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    b = c.select(F.col("d").alias("bd"), F.col("c").alias("bc"))
+    nk = (
+        c.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("bd = d + lag"))
+        .groupBy("lag", "n")
+        .agg(F.sum(F.expr("c * bc")).cast("long").alias("nk"))
+    )
+    r = "cast(nk as double) / cast(dd as double)"
+    terms = nk.crossJoin(F.broadcast(dsq)).select(
+        "lag",
+        "n",
+        F.expr(f"case when dd = 0 then null else round({r}, 6) end").alias(
+            "acf_r6"
+        ),
+        F.expr(
+            f"case when dd = 0 then null else cast(round(({r}) * ({r})"
+            f" / (n - lag), 9) as decimal(25,9)) end"
+        ).alias("term"),
+    )
+    wq = W.orderBy("lag").rowsBetween(W.unboundedPreceding, W.currentRow)
+    crit = _LB_CRIT_CASE.format(k="lag")
+    return (
+        terms.withColumn("qcum", F.sum("term").over(wq))
+        .select(
+            "lag",
+            F.col("n").alias("n_days"),
+            "acf_r6",
+            F.expr(
+                "round((n * (n + 2)) * cast(qcum as double), 6)"
+            ).alias("lb_q_r6"),
+            F.expr(crit).alias("crit_05"),
+            F.expr(
+                f"round((n * (n + 2)) * cast(qcum as double), 6)"
+                f" > ({crit})"
+            ).alias("reject_05"),
+        )
+        .orderBy("lag")
+    )
+
+
+ORACLE_LJUNG_BOX = f"""
+WITH ev AS (SELECT epoch_us(ts) // {_DAY_US} AS d FROM events),
+cnt AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS x FROM ev GROUP BY 1),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM cnt),
+spine AS (
+  SELECT g.d, CAST(COALESCE(cnt.x, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series(d0, d1)) AS d FROM bounds) g
+  LEFT JOIN cnt ON g.d = cnt.d),
+consts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM spine),
+c AS (SELECT d, n * x - s AS c, n FROM spine CROSS JOIN consts),
+dsq AS (SELECT CAST(SUM(c * c) AS BIGINT) AS dd FROM c),
+lags AS (SELECT unnest(generate_series(1, {LB_MAX_LAG})) AS lag),
+nk AS (
+  SELECT lag, ANY_VALUE(a.n) AS n, CAST(SUM(a.c * b.c) AS BIGINT) AS nk
+  FROM c a CROSS JOIN lags JOIN c b ON b.d = a.d + lag
+  GROUP BY lag),
+terms AS (
+  SELECT lag, n,
+         CASE WHEN dd = 0 THEN NULL
+              ELSE ROUND(CAST(nk AS DOUBLE) / CAST(dd AS DOUBLE), 6)
+         END AS acf_r6,
+         CASE WHEN dd = 0 THEN NULL
+              ELSE CAST(ROUND((CAST(nk AS DOUBLE) / CAST(dd AS DOUBLE))
+                              * (CAST(nk AS DOUBLE) / CAST(dd AS DOUBLE))
+                              / (n - lag), 9) AS DECIMAL(25,9))
+         END AS term
+  FROM nk CROSS JOIN dsq)
+SELECT lag, n AS n_days, acf_r6,
+       ROUND((n * (n + 2)) * CAST(SUM(term) OVER (ORDER BY lag
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS lb_q_r6,
+       {_LB_CRIT_CASE.format(k='lag')} AS crit_05,
+       ROUND((n * (n + 2)) * CAST(SUM(term) OVER (ORDER BY lag
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+         > ({_LB_CRIT_CASE.format(k='lag')}) AS reject_05
+FROM terms ORDER BY lag
+"""
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection distortion certificate
+# --------------------------------------------------------------------------
+
+JL_N_PAIRS = 256
+JL_MAX_K = 32
+JL_K_GRID = (8, 16, 32)
+JL_POOL = 512  # md5-smallest vectors eligible for pair sampling
+
+
+def emb_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion certificate: project the 64-dim
+    embeddings through a deterministic md5 ±1 sign matrix onto k ∈
+    {JL_K_GRID} coordinates and measure, over {JL_N_PAIRS} md5-sampled
+    vector pairs, how well projected squared distances/k preserve the
+    true squared distance — the empirical answer to "how few random
+    dims could this corpus's distance structure survive", which prices
+    the storage/recall trade the PQ and prefix-dim sweeps take as
+    given. With ±1 entries E[(Σ_d s_d·Δ_d)²] = ‖Δ‖², so ratio_k =
+    Σ_{{j<k}} Δy_j² / (k·‖Δ‖²) concentrates at 1 as k grows; the
+    within-2x share is the JL guarantee read empirically.
+
+    Determinism: pair members draw from the {JL_POOL} vectors with the
+    SMALLEST md5(vec_id) (an order statistic of a pseudo-random hash —
+    a uniform corpus sample with no RNG and no global sort: Spark
+    computes an orderBy+limit as a map-side partial top-k), ranked
+    within that pool; pair lanes are 'jla:i'/'jlb:i' mod pool size,
+    every sign the 'jls:j:d' md5 lane. Distances live on the 2^-20
+    integer grid, so numerator and denominator are exact BIGINTs and
+    the only double is one division per (pair, k). Identical-vector
+    pairs (‖Δ‖² = 0) and self-pairs are dropped.
+
+    Scale: the corpus is scanned ONCE for the hash top-k pool;
+    everything downstream — ranking, pair joins, the sign grid — runs
+    over ≤ {JL_POOL} rows / {JL_N_PAIRS}×{JL_MAX_K}×64 grid cells,
+    independent of corpus size."""
+    h = sql_md5_long_spark("cast(vec_id as string)")
+    pool = (
+        catalog.load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.expr(_EMB_Q_SQL).alias("qv"), F.expr(h).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(JL_POOL)
+    )
+    rk = pool.withColumn(
+        "rk", F.row_number().over(W.orderBy("h", "vec_id")) - 1
+    ).select("rk", "qv").localCheckpoint(eager=True)  # both pair sides
+    nrow = rk.agg(F.count("*").cast("long").alias("n"))
+    ha = sql_md5_long_spark("concat('jla:', cast(id as string))")
+    hb = sql_md5_long_spark("concat('jlb:', cast(id as string))")
+    pairs = (
+        spark.range(JL_N_PAIRS)
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            F.col("id").alias("pid"),
+            F.expr(f"({ha}) % n").alias("ra"),
+            F.expr(f"({hb}) % n").alias("rb"),
+        )
+        .filter(F.col("ra") != F.col("rb"))
+    )
+    a = rk.select(F.col("rk").alias("ra"), F.col("qv").alias("qa"))
+    bb = rk.select(F.col("rk").alias("rb"), F.col("qv").alias("qb"))
+    pv = (
+        F.broadcast(pairs).join(a, "ra").join(bb, "rb")
+        .select(
+            "pid",
+            F.expr("zip_with(qa, qb, (x, y) -> x - y)").alias("dv"),
+        )
+    )
+    pd_ = pv.select(
+        "pid", F.posexplode("dv").alias("d", "dvd")
+    )
+    den = pd_.groupBy("pid").agg(
+        F.sum(F.expr("dvd * dvd")).cast("long").alias("den64")
+    ).filter(F.col("den64") > 0)
+    hs = sql_md5_long_spark(
+        "concat('jls:', cast(j as string), ':', cast(d as string))"
+    )
+    jg = spark.range(JL_MAX_K).select(F.col("id").alias("j"))
+    dy = (
+        pd_.crossJoin(F.broadcast(jg))
+        .select(
+            "pid",
+            "j",
+            F.expr(f"(1 - 2 * (({hs}) % 2)) * dvd").alias("sd"),
+        )
+        .groupBy("pid", "j")
+        .agg(F.sum("sd").cast("long").alias("y"))
+        .select("pid", "j", F.expr("y * y").alias("dy2"))
+    )
+    kg = spark.createDataFrame(
+        [(int(k),) for k in JL_K_GRID], "k long"
+    )
+    num = (
+        dy.crossJoin(F.broadcast(kg))
+        .filter(F.col("j") < F.col("k"))
+        .groupBy("k", "pid")
+        .agg(F.sum("dy2").cast("long").alias("num"))
+    )
+    per = num.join(den, "pid").select(
+        "k",
+        "pid",
+        F.expr(
+            "round(cast(num as double) / cast(k * den64 as double), 6)"
+        ).alias("ratio_r6"),
+        F.expr(
+            "cast(2 * num >= k * den64 and num <= 2 * k * den64 as int)"
+        ).alias("within"),
+    )
+    share = rat_round6_spark("n_within", "n_pairs")
+    return (
+        per.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr(
+                "cast(sum(cast(ratio_r6 as decimal(25,6))) as double)"
+            ).alias("sum_ratio"),
+            F.min("ratio_r6").alias("min_ratio_r6"),
+            F.max("ratio_r6").alias("max_ratio_r6"),
+            F.sum("within").cast("long").alias("n_within"),
+        )
+        .select(
+            "k",
+            "n_pairs",
+            F.expr("round(sum_ratio / n_pairs, 6)").alias("mean_ratio_r6"),
+            "min_ratio_r6",
+            "max_ratio_r6",
+            F.expr(share).alias("within_2x_share_r6"),
+        )
+        .orderBy("k")
+    )
+
+
+def _jl_oracle() -> str:
+    ha = sql_md5_long_duck("'jla:' || CAST(i AS VARCHAR)")
+    hb = sql_md5_long_duck("'jlb:' || CAST(i AS VARCHAR)")
+    hs = sql_md5_long_duck("'jls:' || CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
+    share = rat_round6_duck("CAST(SUM(within) AS BIGINT)", "COUNT(*)")
+    hp = sql_md5_long_duck("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH sel AS (
+  SELECT vec_id, h FROM (SELECT vec_id, ({hp}) AS h FROM embeddings)
+  ORDER BY h, vec_id LIMIT {JL_POOL}),
+rk AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS rk
+  FROM sel),
+nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sel),
+vals AS MATERIALIZED (
+  SELECT rk.rk, d.d,
+         CAST(TRUNC(CAST(e.embedding[d.d + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS q
+  FROM embeddings e JOIN rk ON e.vec_id = rk.vec_id
+  CROSS JOIN (SELECT unnest(range(64)) AS d) d),
+pairs AS (
+  SELECT i AS pid, ({ha}) % n AS ra, ({hb}) % n AS rb
+  FROM (SELECT unnest(range({JL_N_PAIRS})) AS i) g CROSS JOIN nrow
+  WHERE ({ha}) % n <> ({hb}) % n),
+pd AS (
+  SELECT p.pid, a.d, a.q - b.q AS dvd
+  FROM pairs p JOIN vals a ON a.rk = p.ra JOIN vals b
+    ON b.rk = p.rb AND b.d = a.d),
+den AS (
+  SELECT pid, CAST(SUM(dvd * dvd) AS BIGINT) AS den64
+  FROM pd GROUP BY 1 HAVING SUM(dvd * dvd) > 0),
+dy AS (
+  SELECT pid, j, CAST(SUM((1 - 2 * (({hs}) % 2)) * dvd) AS BIGINT) AS y
+  FROM pd CROSS JOIN (SELECT unnest(range({JL_MAX_K})) AS j) jg
+  GROUP BY 1, 2),
+num AS (
+  SELECT k, pid, CAST(SUM(y * y) AS BIGINT) AS num
+  FROM dy CROSS JOIN (SELECT unnest([8, 16, 32]) AS k) kg
+  WHERE j < k GROUP BY 1, 2),
+per AS (
+  SELECT k, num.pid,
+         ROUND(CAST(num AS DOUBLE) / CAST(k * den64 AS DOUBLE), 6)
+           AS ratio_r6,
+         CAST(2 * num >= k * den64 AND num <= 2 * k * den64 AS INT)
+           AS within
+  FROM num JOIN den ON num.pid = den.pid)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ratio_r6 AS DECIMAL(25,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_ratio_r6,
+       MIN(ratio_r6) AS min_ratio_r6,
+       MAX(ratio_r6) AS max_ratio_r6,
+       {share} AS within_2x_share_r6
+FROM per GROUP BY k ORDER BY k
+"""
+
+
+ORACLE_JL_DISTORTION = _jl_oracle()
+
+
+# --------------------------------------------------------------------------
+# Single-source supply exposure by brand
+# --------------------------------------------------------------------------
+
+
+def supplier_single_source_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration risk per brand: the share of traded
+    parts that are effectively SINGLE-SOURCED (exactly one distinct
+    supplier across the whole lineitem history) and, more importantly,
+    the share of brand revenue flowing through those parts — the
+    "one supplier failure kills X% of revenue" exposure number that
+    orders_hhi_concentration (share-squared mix) does not read because
+    a brand can be unconcentrated by HHI yet fully single-sourced at
+    the part grain.
+
+    Exact: revenue on the house cents lane, shares via the qrem split.
+
+    Scale: one (partkey)-keyed shuffle for the per-part rollup
+    (count-distinct collapses map-side to a set per part only after
+    the key shuffle — supplier cardinality per part is tiny), then a
+    broadcast join to the part dimension and a 25-row brand rollup."""
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.expr(_REV_CENTS).alias("cents")
+    )
+    pp = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    part = catalog.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    per = (
+        pp.join(part, "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.expr("cast(n_supp = 1 as long)"))
+            .cast("long")
+            .alias("n_single"),
+            F.sum("cents").cast("long").alias("cents_total"),
+            F.sum(F.expr("case when n_supp = 1 then cents else 0 end"))
+            .cast("long")
+            .alias("cents_single"),
+        )
+    )
+    return per.select(
+        "p_brand",
+        "n_parts",
+        "n_single",
+        F.expr(rat_round6_spark("n_single", "n_parts")).alias(
+            "single_share_r6"
+        ),
+        F.expr("cast(cents_total as double) / 100.0").alias("revenue_total"),
+        F.expr(qrem_round6_spark("cents_single", "cents_total")).alias(
+            "revenue_exposure_r6"
+        ),
+    ).orderBy("p_brand")
+
+
+ORACLE_SINGLE_SOURCE = f"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem),
+pp AS (
+  SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM li GROUP BY 1),
+per AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_single,
+         CAST(SUM(cents) AS BIGINT) AS cents_total,
+         CAST(SUM(CASE WHEN n_supp = 1 THEN cents ELSE 0 END) AS BIGINT)
+           AS cents_single
+  FROM pp JOIN part ON pp.l_partkey = part.p_partkey
+  GROUP BY 1)
+SELECT p_brand, n_parts, n_single,
+       {rat_round6_duck('n_single', 'n_parts')} AS single_share_r6,
+       CAST(cents_total AS DOUBLE) / 100.0 AS revenue_total,
+       {qrem_round6_duck('cents_single', 'cents_total')}
+         AS revenue_exposure_r6
+FROM per ORDER BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# Inter-purchase regularity bands by market segment
+# --------------------------------------------------------------------------
+
+
+def customer_interpurchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buyer-rhythm segmentation: per customer the squared coefficient
+    of variation CV² = n·Σg²/(Σg)² − 1 of inter-order gaps (days),
+    banded into regular (CV² ≤ ½), poisson (≤ 3/2) and bursty — the
+    renewal-process classification (CV² = 1 is memoryless) that
+    orders_interarrival reads only at the aggregate feed grain. Output
+    is the (segment × band) mix with the within-segment share and the
+    band's mean gap — "which segments buy on a schedule".
+
+    Customers need ≥ 2 gaps and a positive gap sum (an all-same-day
+    history has no rhythm to classify); band boundaries are exact
+    integer cross-multiplications (2nΣg² vs 3(Σg)², 5(Σg)²), ties to
+    the lower band, so no division ever decides a band.
+
+    Scale: one (custkey)-keyed shuffle; the per-customer ordered lag
+    runs over ≤ tens of orders; the dimension join broadcasts."""
+    day = f"unix_micros(cast(o_orderdate as timestamp)) div {_DAY_US}"
+    o = catalog.load(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr(day).alias("d"), "o_orderkey"
+    )
+    wl = W.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select(
+        "o_custkey", (F.col("d") - F.lag("d").over(wl)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    per = (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("g").cast("long").alias("sg"),
+            F.sum(F.expr("g * g")).cast("long").alias("sg2"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("sg") > 0))
+        .select(
+            "o_custkey",
+            "n",
+            "sg",
+            "sg2",
+            F.expr(
+                "case when 2 * n * sg2 <= 3 * sg * sg then 'regular'"
+                " when 2 * n * sg2 <= 5 * sg * sg then 'poisson'"
+                " else 'bursty' end"
+            ).alias("band"),
+        )
+    )
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = per.join(F.broadcast(cust), "o_custkey")
+    seg = j.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_seg")
+    )
+    bands = j.groupBy("c_mktsegment", "band").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("sg").cast("long").alias("tot_g"),
+        F.sum("n").cast("long").alias("tot_n"),
+    )
+    return (
+        bands.join(seg, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "band",
+            "n_customers",
+            F.expr(rat_round6_spark("n_customers", "n_seg")).alias(
+                "seg_share_r6"
+            ),
+            F.expr(qrem_round6_spark("tot_g", "tot_n")).alias(
+                "mean_gap_days_r6"
+            ),
+        )
+        .orderBy("c_mktsegment", "band")
+    )
+
+
+ORACLE_INTERPURCHASE = f"""
+WITH o AS (
+  SELECT o_custkey, epoch_us(o_orderdate) // {_DAY_US} AS d, o_orderkey
+  FROM orders),
+g AS (
+  SELECT o_custkey,
+         d - LAG(d) OVER (PARTITION BY o_custkey
+                          ORDER BY d, o_orderkey) AS g
+  FROM o),
+per AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(g) AS BIGINT) AS sg, CAST(SUM(g * g) AS BIGINT) AS sg2
+  FROM g WHERE g IS NOT NULL GROUP BY 1
+  HAVING COUNT(*) >= 2 AND SUM(g) > 0),
+b AS (
+  SELECT c_mktsegment,
+         CASE WHEN 2 * n * sg2 <= 3 * sg * sg THEN 'regular'
+              WHEN 2 * n * sg2 <= 5 * sg * sg THEN 'poisson'
+              ELSE 'bursty' END AS band,
+         n, sg
+  FROM per JOIN customer ON per.o_custkey = customer.c_custkey),
+seg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_seg FROM b GROUP BY 1),
+bands AS (
+  SELECT c_mktsegment, band, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(sg) AS BIGINT) AS tot_g, CAST(SUM(n) AS BIGINT) AS tot_n
+  FROM b GROUP BY 1, 2)
+SELECT bands.c_mktsegment, band, n_customers,
+       {rat_round6_duck('n_customers', 'n_seg')} AS seg_share_r6,
+       {qrem_round6_duck('tot_g', 'tot_n')} AS mean_gap_days_r6
+FROM bands JOIN seg ON bands.c_mktsegment = seg.c_mktsegment
+ORDER BY bands.c_mktsegment, band
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "text_yules_k",
+        text_yules_k,
+        ORACLE_YULES_K,
+        ("text", "quality", "stylometry"),
+        doc="Yule's characteristic K vocabulary-richness constant per "
+            "source (pure BIGINT S1/S2 lanes, qrem readout)",
+    ),
+    QuerySpec(
+        "ev_max_drawdown_daily",
+        ev_max_drawdown_daily,
+        ORACLE_MAX_DRAWDOWN,
+        ("events", "finance", "monitoring"),
+        doc="max drawdown of the daily value-total series per event type "
+            "(exact micro-unit running peak, earliest-trough tie-break)",
+    ),
+    QuerySpec(
+        "stats_ljung_box_daily",
+        stats_ljung_box_daily,
+        ORACLE_LJUNG_BOX,
+        ("stats", "timeseries", "test"),
+        doc="Ljung-Box whiteness test of daily counts at lags 1..7 "
+            "(integer centered lanes, decimal term accumulation, literal "
+            "chi-square critical grid)",
+    ),
+    QuerySpec(
+        "emb_jl_projection_distortion",
+        emb_jl_projection_distortion,
+        ORACLE_JL_DISTORTION,
+        ("embedding", "sketch", "certificate"),
+        doc="Johnson-Lindenstrauss distortion certificate: md5 sign-matrix "
+            "projection at k=8/16/32 over 256 md5-sampled pairs, exact "
+            "integer distance lanes",
+    ),
+    QuerySpec(
+        "supplier_single_source_exposure",
+        supplier_single_source_exposure,
+        ORACLE_SINGLE_SOURCE,
+        ("supplier", "finance", "risk"),
+        doc="single-sourced part share and revenue exposure per brand "
+            "(cents lanes, qrem shares)",
+    ),
+    QuerySpec(
+        "customer_interpurchase_regularity",
+        customer_interpurchase_regularity,
+        ORACLE_INTERPURCHASE,
+        ("customer", "stats", "segmentation"),
+        doc="CV2-banded inter-purchase rhythm mix per market segment "
+            "(integer cross-multiplied band boundaries)",
+    ),
+]
+
+
+# ==========================================================================
+# Batch W (round-14 continuation, third window)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Mann-Kendall nonparametric trend test on daily counts
+# --------------------------------------------------------------------------
+
+
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test of the zero-filled daily event-count
+    series: S = Σ_{i<j} sgn(x_j − x_i), tie-corrected variance
+    18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the continuity-
+    corrected z against the literal two-sided 5% normal critical. The
+    NONPARAMETRIC twin of stats_regression_trend — monotone-trend
+    evidence that no outlier day can buy or veto, the standard
+    hydrology/monitoring pairing with the Theil-Sen slope already in
+    the registry.
+
+    Exact: S and 18·Var are pure BIGINT lanes (pairs from a day self-
+    join, ties from a value-grain rollup); z is one sqrt-division
+    chain written identically in both engines; all-tied series read
+    NULL z / 'degenerate' instead of dividing by zero.
+
+    Scale: day-grain after one keyed shuffle; the pair join is over
+    the calendar spine (≤ ~3650 rows), never over events."""
+    day = f"({_US}) div {_DAY_US}"
+    ev = catalog.load(spark, sf_dir, "events").select(F.expr(day).alias("d"))
+    cnt = ev.groupBy("d").agg(F.count("*").cast("long").alias("x"))
+    spine = (
+        cnt.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(F.explode(F.expr("sequence(d0, d1)")).alias("d"))
+        .join(cnt, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+        .localCheckpoint(eager=True)  # pair join + tie rollup + n
+    )
+    b = spine.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    s = (
+        spine.join(b, F.col("d2") > F.col("d"))
+        .agg(
+            F.sum(F.expr("cast(sign(x2 - x) as long)"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        spine.groupBy("x")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("long")
+            .alias("tie_sum"),
+            F.sum("t").cast("long").alias("n"),
+        )
+    )
+    z = (
+        "case when var18 <= 0 then null"
+        " when s_stat > 0 then"
+        " round((s_stat - 1) / sqrt(cast(var18 as double) / 18.0), 6)"
+        " when s_stat < 0 then"
+        " round((s_stat + 1) / sqrt(cast(var18 as double) / 18.0), 6)"
+        " else 0.0 end"
+    )
+    return (
+        s.crossJoin(ties)
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.expr(
+                "n * (n - 1) * (2 * n + 5) - tie_sum"
+            ).alias("var18"),
+        )
+        .select(
+            "n_days",
+            "s_stat",
+            "var18",
+            F.expr(z).alias("z_r6"),
+            F.expr(
+                f"case when var18 <= 0 then 'degenerate'"
+                f" when ({z}) > 1.959964 then 'increasing'"
+                f" when ({z}) < -1.959964 then 'decreasing'"
+                f" else 'no_trend' end"
+            ).alias("trend"),
+        )
+    )
+
+
+_MK_Z = (
+    "CASE WHEN var18 <= 0 THEN NULL"
+    " WHEN s_stat > 0 THEN"
+    " ROUND((s_stat - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)"
+    " WHEN s_stat < 0 THEN"
+    " ROUND((s_stat + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)"
+    " ELSE 0.0 END"
+)
+
+ORACLE_MANN_KENDALL = f"""
+WITH ev AS (SELECT epoch_us(ts) // {_DAY_US} AS d FROM events),
+cnt AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS x FROM ev GROUP BY 1),
+spine AS (
+  SELECT g.d, CAST(COALESCE(cnt.x, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series(MIN(d), MAX(d))) AS d FROM cnt) g
+  LEFT JOIN cnt ON g.d = cnt.d),
+s AS (
+  SELECT CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM spine a JOIN spine b ON b.d > a.d),
+ties AS (
+  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum,
+         CAST(SUM(t) AS BIGINT) AS n
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM spine GROUP BY x)),
+base AS (
+  SELECT n AS n_days, s_stat,
+         n * (n - 1) * (2 * n + 5) - tie_sum AS var18
+  FROM s CROSS JOIN ties)
+SELECT n_days, s_stat, var18, {_MK_Z} AS z_r6,
+       CASE WHEN var18 <= 0 THEN 'degenerate'
+            WHEN ({_MK_Z}) > 1.959964 THEN 'increasing'
+            WHEN ({_MK_Z}) < -1.959964 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM base
+"""
+
+
+# --------------------------------------------------------------------------
+# Dickey-Fuller unit-root probe on daily counts
+# --------------------------------------------------------------------------
+
+
+def stats_dickey_fuller_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root probe of the zero-filled daily count
+    series: OLS of Δx_t on x_{t−1} (with constant), reporting ρ̂ and
+    the DF t-statistic against the literal asymptotic 5% critical
+    −2.86 — "is daily volume mean-reverting or a random walk", the
+    stationarity gate that decides whether ev_hurst_variance_plot's
+    scaling exponent or a drift model is the right mental picture.
+    (Lag-0 DF, not augmented: one regressor keeps every sufficient
+    statistic an integer.)
+
+    Exact: all five OLS sufficient statistics are BIGINT sums; the
+    t² identity t² = num²·(n−2)/[(n·Syy−Sy²)·D − num²] runs entirely
+    on DECIMAL(38,0) cross-products (no precision loss below 1e38),
+    and the readout is one sqrt-division chain written identically in
+    both engines. Degenerate D ≤ 0 or SSE ≤ 0 reads NULL.
+
+    Scale: calendar-bounded after the one day-grain shuffle."""
+    day = f"({_US}) div {_DAY_US}"
+    ev = catalog.load(spark, sf_dir, "events").select(F.expr(day).alias("d"))
+    cnt = ev.groupBy("d").agg(F.count("*").cast("long").alias("x"))
+    spine = (
+        cnt.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(F.explode(F.expr("sequence(d0, d1)")).alias("d"))
+        .join(cnt, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    wl = W.orderBy("d")
+    reg = spine.select(
+        "d", "x", F.lag("x").over(wl).alias("xl")
+    ).filter(F.col("xl").isNotNull())
+    sums = reg.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("xl").cast("long").alias("sx"),
+        F.sum(F.expr("x - xl")).cast("long").alias("sy"),
+        F.sum(F.expr("xl * xl")).cast("long").alias("sxx"),
+        F.sum(F.expr("xl * (x - xl)")).cast("long").alias("sxy"),
+        F.sum(F.expr("(x - xl) * (x - xl)")).cast("long").alias("syy"),
+    )
+    d_ = "np * sxx - sx * sx"
+    num = "np * sxy - sx * sy"
+    a_ = "np * syy - sy * sy"
+    k_ = (
+        f"cast(({a_}) as decimal(19,0)) * cast(({d_}) as decimal(19,0))"
+        f" - cast(({num}) as decimal(19,0)) * cast(({num}) as decimal(19,0))"
+    )
+    num2 = (
+        f"cast(({num}) as decimal(19,0)) * cast(({num}) as decimal(19,0))"
+    )
+    t_ = (
+        f"case when ({d_}) <= 0 or ({k_}) <= 0 then null else"
+        f" round(cast(sign({num}) as double)"
+        f" * sqrt(cast(({num2}) as double) * (np - 2)"
+        f" / cast(({k_}) as double)), 6) end"
+    )
+    return sums.select(
+        F.col("np").alias("n_obs"),
+        F.expr(
+            f"case when ({d_}) = 0 then null else"
+            f" round(cast(({num}) as double) / cast(({d_}) as double), 6)"
+            f" end"
+        ).alias("rho_hat_r6"),
+        F.expr(t_).alias("t_stat_r6"),
+        F.expr("cast(-2.86 as double)").alias("crit_05"),
+        F.expr(f"({t_}) < -2.86").alias("reject_unit_root_05"),
+    )
+
+
+def _df_oracle() -> str:
+    d_ = "np * sxx - sx * sx"
+    num = "np * sxy - sx * sy"
+    a_ = "np * syy - sy * sy"
+    k_ = (
+        f"CAST(({a_}) AS DECIMAL(19,0)) * CAST(({d_}) AS DECIMAL(19,0))"
+        f" - CAST(({num}) AS DECIMAL(19,0)) * CAST(({num}) AS DECIMAL(19,0))"
+    )
+    num2 = (
+        f"CAST(({num}) AS DECIMAL(19,0)) * CAST(({num}) AS DECIMAL(19,0))"
+    )
+    t_ = (
+        f"CASE WHEN ({d_}) <= 0 OR ({k_}) <= 0 THEN NULL ELSE"
+        f" ROUND(CAST(sign({num}) AS DOUBLE)"
+        f" * sqrt(CAST(({num2}) AS DOUBLE) * (np - 2)"
+        f" / CAST(({k_}) AS DOUBLE)), 6) END"
+    )
+    return f"""
+WITH ev AS (SELECT epoch_us(ts) // {_DAY_US} AS d FROM events),
+cnt AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS x FROM ev GROUP BY 1),
+spine AS (
+  SELECT g.d, CAST(COALESCE(cnt.x, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series(MIN(d), MAX(d))) AS d FROM cnt) g
+  LEFT JOIN cnt ON g.d = cnt.d),
+reg AS (
+  SELECT x, LAG(x) OVER (ORDER BY d) AS xl FROM spine
+  QUALIFY xl IS NOT NULL),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS np, CAST(SUM(xl) AS BIGINT) AS sx,
+         CAST(SUM(x - xl) AS BIGINT) AS sy,
+         CAST(SUM(xl * xl) AS BIGINT) AS sxx,
+         CAST(SUM(xl * (x - xl)) AS BIGINT) AS sxy,
+         CAST(SUM((x - xl) * (x - xl)) AS BIGINT) AS syy
+  FROM reg)
+SELECT np AS n_obs,
+       CASE WHEN ({d_}) = 0 THEN NULL ELSE
+         ROUND(CAST(({num}) AS DOUBLE) / CAST(({d_}) AS DOUBLE), 6)
+       END AS rho_hat_r6,
+       {t_} AS t_stat_r6,
+       CAST(-2.86 AS DOUBLE) AS crit_05,
+       ({t_}) < -2.86 AS reject_unit_root_05
+FROM sums
+"""
+
+
+ORACLE_DICKEY_FULLER = _df_oracle()
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov-Smirnov byte-uniformity test per media type
+# --------------------------------------------------------------------------
+
+
+def mm_payload_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample KS test of the payload byte distribution against
+    discrete uniform {{0..255}} per media type: D = sup_b |F̂(b) −
+    (b+1)/256| with the classic 1.358/√N 5% critical band. Where
+    mm_payload_chi2_uniformity scores SQUARED deviations binned to 16
+    bands, KS reads the worst CUMULATIVE deviation at full byte
+    resolution — the sensitive detector for smooth distributional
+    shifts (e.g. a biased range of byte values) that chi-square bands
+    average away.
+
+    Exact: the sup numerator max_b |256·cum_b − N·(b+1)| is a pure
+    BIGINT lane over the zero-filled 256-value grid; D reads through
+    the qrem split; the critical compare is a deterministic double
+    chain identical in both engines.
+
+    Scale: the hex-pair slide is map-side; state collapses to
+    (3 types × 256 bytes) before any window."""
+    from .multimodal import project_assets
+
+    assets = project_assets(
+        catalog.load(spark, sf_dir, "documents")
+    ).repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    )
+    by = (
+        assets.select(
+            "media_type",
+            F.expr("hex(payload)").alias("hx"),
+            F.octet_length("payload").alias("n"),
+        )
+        .filter(F.col("n") >= 1)
+        .select(
+            "media_type",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, n), i ->"
+                    " cast(conv(substring(hx, 2 * i - 1, 2), 16, 10)"
+                    " as int))"
+                )
+            ).alias("b"),
+        )
+        .groupBy("media_type", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    grid = (
+        by.select("media_type")
+        .distinct()
+        .crossJoin(spark.range(256).select(F.col("id").cast("int").alias("b")))
+        .join(by, ["media_type", "b"], "left")
+        .select(
+            "media_type", "b", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+        )
+    )
+    wc = (
+        W.partitionBy("media_type")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dev = grid.withColumn("cum", F.sum("c").over(wc))
+    tot = grid.groupBy("media_type").agg(F.sum("c").cast("long").alias("nb"))
+    per = (
+        dev.join(tot, "media_type")
+        .select(
+            "media_type",
+            "nb",
+            F.expr("abs(256 * cum - nb * (b + 1))").alias("dev_num"),
+        )
+        .groupBy("media_type", "nb")
+        .agg(F.max("dev_num").cast("long").alias("max_num"))
+    )
+    d_raw = "cast(max_num as double) / cast(256 * nb as double)"
+    return per.select(
+        "media_type",
+        F.col("nb").alias("n_bytes"),
+        F.expr(qrem_round6_spark("max_num", "256 * nb")).alias("ks_d_r6"),
+        F.expr("round(1.358 / sqrt(cast(nb as double)), 6)").alias(
+            "crit_05_r6"
+        ),
+        F.expr(f"({d_raw}) > 1.358 / sqrt(cast(nb as double))").alias(
+            "reject_05"
+        ),
+    ).orderBy("media_type")
+
+
+ORACLE_KS_UNIFORM = f"""
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 1),
+by AS (
+  SELECT media_type,
+         CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM a, LATERAL unnest(generate_series(1, n)) AS u(i)
+  GROUP BY 1, 2),
+grid AS (
+  SELECT t.media_type, g.b, CAST(COALESCE(by.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT media_type FROM by) t
+  CROSS JOIN (SELECT unnest(range(256)) AS b) g
+  LEFT JOIN by ON by.media_type = t.media_type AND by.b = g.b),
+dev AS (
+  SELECT media_type, b, c,
+         SUM(c) OVER (PARTITION BY media_type ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM grid),
+tot AS (
+  SELECT media_type, CAST(SUM(c) AS BIGINT) AS nb FROM grid GROUP BY 1),
+per AS (
+  SELECT dev.media_type, nb,
+         CAST(MAX(abs(256 * cum - nb * (b + 1))) AS BIGINT) AS max_num
+  FROM dev JOIN tot ON dev.media_type = tot.media_type
+  GROUP BY 1, 2)
+SELECT media_type, nb AS n_bytes,
+       {qrem_round6_duck('max_num', '256 * nb')} AS ks_d_r6,
+       ROUND(1.358 / sqrt(CAST(nb AS DOUBLE)), 6) AS crit_05_r6,
+       (CAST(max_num AS DOUBLE) / CAST(256 * nb AS DOUBLE))
+         > 1.358 / sqrt(CAST(nb AS DOUBLE)) AS reject_05
+FROM per ORDER BY media_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap between the LSH and exact rankings
+# --------------------------------------------------------------------------
+
+RBO_P = 0.9  # persistence: weights (1-p)*p^(d-1) — exact decimal literals
+
+_RBO_W_CASE = (
+    "case {d} when 1 then 0.1 when 2 then 0.09 when 3 then 0.081"
+    " when 4 then 0.0729 when 5 then 0.06561 when 6 then 0.059049"
+    " when 7 then 0.0531441 when 8 then 0.04782969"
+    " when 9 then 0.043046721 when 10 then 0.0387420489 end"
+)
+
+
+def sim_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the shipped
+    LSH ranking and the exact cosine top-{TOP_K}: RBO_trunc =
+    Σ_d (1−p)p^(d−1)·|X_d ∩ Y_d|/d with p = {RBO_P} — the top-weighted
+    list-similarity that sim_ann_rank_quality's recall/nDCG (which
+    score against binary relevance) does not read: RBO compares the
+    two RANKINGS directly, depth by depth, so a candidate list that
+    finds the right set in the wrong order still pays. Also emits the
+    raw prefix agreement A_d at depths 1/5/{TOP_K}.
+
+    Exact: every weight is a terminating decimal literal (powers of
+    0.9), every A_d one double division 9dp-rounded into the house
+    DECIMAL sum; queries with zero LSH overlap contribute exact zeros
+    through the (qid × depth) grid.
+
+    Scale: rankings come from the production LSH candidate stream and
+    the bounded {N_QUERIES}-probe exact pass; everything after is a
+    ≤ {N_QUERIES}×{TOP_K} grid."""
+    from .similarity import N_QUERIES, TOP_K, _cosine_expr, sim_ann_lsh
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
+        .withColumn("sim", _cosine_expr())
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    etop = (
+        exact.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "vec_id", "rk")
+        .localCheckpoint(eager=True)  # feeds the pair join + qid grid
+    )
+    ltop = sim_ann_lsh(spark, sf_dir).select(
+        "qid", F.col("rank").alias("rank_l"), "vec_id"
+    )
+    pairs = ltop.join(etop, ["qid", "vec_id"]).select(
+        "qid", "rank_l", F.col("rk").alias("rank_e")
+    )
+    dg = spark.range(1, TOP_K + 1).select(F.col("id").alias("d"))
+    inter = (
+        pairs.crossJoin(F.broadcast(dg))
+        .filter((F.col("rank_l") <= F.col("d")) & (F.col("rank_e") <= F.col("d")))
+        .groupBy("qid", "d")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    grid = (
+        etop.select("qid")
+        .distinct()
+        .crossJoin(F.broadcast(dg))
+        .join(inter, ["qid", "d"], "left")
+        .select(
+            "qid",
+            "d",
+            F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+        )
+    )
+    w_d = _RBO_W_CASE.format(d="d")
+    a9 = "cast(round(cast(inter as double) / d, 9) as decimal(25,9))"
+    g = grid.agg(
+        F.countDistinct("qid").cast("long").alias("n_queries"),
+        F.sum(
+            F.expr(
+                f"cast(round(({w_d}) * (cast(inter as double) / d), 9)"
+                f" as decimal(25,9))"
+            )
+        ).alias("s_rbo"),
+        F.sum(F.expr(f"case when d = 1 then {a9} end")).alias("s_a1"),
+        F.sum(F.expr(f"case when d = 5 then {a9} end")).alias("s_a5"),
+        F.sum(F.expr(f"case when d = {TOP_K} then {a9} end")).alias("s_ak"),
+    )
+    return g.select(
+        "n_queries",
+        F.expr("round(cast(s_a1 as double) / n_queries, 6)").alias(
+            "mean_agree_at1_r6"
+        ),
+        F.expr("round(cast(s_a5 as double) / n_queries, 6)").alias(
+            "mean_agree_at5_r6"
+        ),
+        F.expr("round(cast(s_ak as double) / n_queries, 6)").alias(
+            "mean_agree_atk_r6"
+        ),
+        F.expr("round(cast(s_rbo as double) / n_queries, 6)").alias(
+            "rbo_trunc_r6"
+        ),
+    )
+
+
+def _rbo_oracle() -> str:
+    from .similarity import _LSH_CAND_CTES, N_QUERIES, TOP_K
+
+    w_d = _RBO_W_CASE.format(d="d").upper()
+    a9 = "CAST(ROUND(CAST(inter AS DOUBLE) / d, 9) AS DECIMAL(25,9))"
+    return f"""
+WITH {_LSH_CAND_CTES},
+ls AS (
+  SELECT c.qid, c.vec_id,
+         list_cosine_similarity(eq.emb, ev.emb) AS sim
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.qid
+  JOIN e ev ON ev.vec_id = c.vec_id),
+ltop AS (
+  SELECT qid, vec_id, rank_l FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id) AS rank_l
+    FROM ls) WHERE rank_l <= {TOP_K}),
+ex AS (
+  SELECT q.vec_id AS qid, ev.vec_id,
+         list_cosine_similarity(q.emb, ev.emb) AS sim
+  FROM e q JOIN e ev ON ev.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+etop AS (
+  SELECT qid, vec_id, rk FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id) AS rk
+    FROM ex) WHERE rk <= {TOP_K}),
+pairs AS (
+  SELECT l.qid, l.rank_l, x.rk AS rank_e
+  FROM ltop l JOIN etop x ON l.qid = x.qid AND l.vec_id = x.vec_id),
+dg AS (SELECT unnest(generate_series(1, {TOP_K})) AS d),
+inter AS (
+  SELECT qid, d, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM pairs CROSS JOIN dg
+  WHERE rank_l <= d AND rank_e <= d GROUP BY 1, 2),
+grid AS (
+  SELECT q.qid, dg.d, CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter
+  FROM (SELECT DISTINCT qid FROM etop) q CROSS JOIN dg
+  LEFT JOIN inter i ON i.qid = q.qid AND i.d = dg.d),
+g AS (
+  SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+         SUM(CAST(ROUND(({w_d}) * (CAST(inter AS DOUBLE) / d), 9)
+                  AS DECIMAL(25,9))) AS s_rbo,
+         SUM(CASE WHEN d = 1 THEN {a9} END) AS s_a1,
+         SUM(CASE WHEN d = 5 THEN {a9} END) AS s_a5,
+         SUM(CASE WHEN d = {TOP_K} THEN {a9} END) AS s_ak
+  FROM grid)
+SELECT n_queries,
+       ROUND(CAST(s_a1 AS DOUBLE) / n_queries, 6) AS mean_agree_at1_r6,
+       ROUND(CAST(s_a5 AS DOUBLE) / n_queries, 6) AS mean_agree_at5_r6,
+       ROUND(CAST(s_ak AS DOUBLE) / n_queries, 6) AS mean_agree_atk_r6,
+       ROUND(CAST(s_rbo AS DOUBLE) / n_queries, 6) AS rbo_trunc_r6
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# Rich-club coefficient of the near-dup graph
+# --------------------------------------------------------------------------
+
+RICH_CLUB_KS = (1, 2, 3, 4, 8)
+
+
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) of the
+    n-gram-Jaccard near-dup graph at degree thresholds {RICH_CLUB_KS}:
+    the edge density among nodes of degree ≥ k — do the duplicate hubs
+    form a clique (template farm syndicate, φ→1) or stay mutually
+    disconnected (independent mirror clusters, φ→0)? The threshold-
+    sweep complement of graph_degree_assortativity's single global r.
+
+    Exact: counts and the φ rational only; thresholds with fewer than
+    two qualifying nodes read NULL (never divide by zero); every k in
+    the literal grid emits a row even when the club is empty.
+
+    Scale: the bounded candidate machinery caps degrees (MAX_DF);
+    after the degree join the sweep is a broadcast of a 5-row grid."""
+    from .dedup import dedup_ngram_jaccard
+
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    deg = sym.groupBy(F.col("doc_a").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    ).localCheckpoint(eager=True)
+    kg = spark.createDataFrame(
+        [(int(k),) for k in RICH_CLUB_KS], "k long"
+    )
+    nodes_k = (
+        deg.crossJoin(F.broadcast(kg))
+        .filter(F.col("deg") >= F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    e = sym.join(
+        deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("dx")),
+        "doc_a",
+    ).join(
+        deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("dy")),
+        "doc_b",
+    )
+    edges_k = (
+        e.crossJoin(F.broadcast(kg))
+        .filter((F.col("dx") >= F.col("k")) & (F.col("dy") >= F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("symcount"))
+    )
+    phi = rat_round6_spark("symcount", "n_nodes * (n_nodes - 1)")
+    return (
+        kg.join(nodes_k, "k", "left")
+        .join(edges_k, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_nodes", F.lit(0)).cast("long").alias("n_nodes"),
+            (F.coalesce("symcount", F.lit(0)) / 2)
+            .cast("long")
+            .alias("n_edges"),
+            F.expr(
+                f"case when coalesce(n_nodes, 0) >= 2 then"
+                f" {phi.replace('symcount', 'coalesce(symcount, 0)')}"
+                f" end"
+            ).alias("phi_r6"),
+        )
+        .orderBy("k")
+    )
+
+
+def _rich_club_oracle() -> str:
+    from .dedup import _NGRAM_PAIR_CTES, JACCARD_TAU
+
+    ks = ", ".join(str(k) for k in RICH_CLUB_KS)
+    phi = rat_round6_duck(
+        "COALESCE(symcount, 0)", "n_nodes * (n_nodes - 1)"
+    )
+    return f"""
+WITH {_NGRAM_PAIR_CTES},
+dup AS (
+  SELECT doc_a, doc_b
+  FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_TAU}),
+sym AS (SELECT doc_a, doc_b FROM dup UNION ALL SELECT doc_b, doc_a FROM dup),
+deg AS (SELECT doc_a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1),
+kg AS (SELECT unnest([{ks}]) AS k),
+nodes_k AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg CROSS JOIN kg WHERE deg >= k GROUP BY 1),
+edges_k AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS symcount
+  FROM sym
+  JOIN deg da ON sym.doc_a = da.node
+  JOIN deg db ON sym.doc_b = db.node
+  CROSS JOIN kg
+  WHERE da.deg >= k AND db.deg >= k GROUP BY 1)
+SELECT kg.k, CAST(COALESCE(n_nodes, 0) AS BIGINT) AS n_nodes,
+       CAST(COALESCE(symcount, 0) // 2 AS BIGINT) AS n_edges,
+       CASE WHEN COALESCE(n_nodes, 0) >= 2 THEN {phi} END AS phi_r6
+FROM kg LEFT JOIN nodes_k ON kg.k = nodes_k.k
+LEFT JOIN edges_k ON kg.k = edges_k.k
+ORDER BY kg.k
+"""
+
+
+# --------------------------------------------------------------------------
+# Epsilon-net coverage radius of the md5 pool
+# --------------------------------------------------------------------------
+
+COVER_NET = 512     # net: the md5-smallest vectors (the JL pool lane)
+COVER_PROBES = 256  # probes: md5-smallest on the independent 'cvr:' lane
+COVER_QUANTS = (25, 50, 75, 90)  # order-statistic percentile grid (+max)
+
+
+def emb_coverage_radius_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covering-radius certificate of a {COVER_NET}-vector md5-sampled
+    net: the EXACT order statistics (p25/p50/p75/p90/max) of each
+    probe's distance to its nearest net vector — "90% of the space
+    lies within d_p90 of a 512-point net", the covering-number readout
+    that prices how many IVF/kmeans centers this space needs BEFORE
+    training any codebook. A fixed radius grid would saturate on a
+    clustered corpus (every share 0 or 1); quantiles of the distance
+    itself stay informative at every SF.
+
+    Net and probes are order statistics of two independent md5 lanes
+    (plain vec_id hash for the net — the JL pool, deliberately shared —
+    and a 'cvr:'-prefixed lane for the probes), so both engines and
+    every rerun draw identical samples with no RNG and no global sort
+    (orderBy+limit runs as a map-side partial top-k); a probe that
+    also landed in the net reads distance 0 and is counted in
+    ``n_in_net`` (the ≤ {COVER_NET}/n deterministic overlap, total at
+    tiny SF where the net swallows the corpus). Distances are exact
+    BIGINTs on the 2^-20 grid; quantiles are exact k = ⌈q·n/100⌉
+    selections on those integers; min-per-probe is a map-side-
+    combinable groupBy MIN (the TwoNN-fix pattern — never a
+    corpus-sized window).
+
+    Scale: two single-scan hash top-k passes, then a constant
+    {COVER_PROBES}×{COVER_NET} grid."""
+    h = sql_md5_long_spark("cast(vec_id as string)")
+    hp = sql_md5_long_spark("concat('cvr:', cast(vec_id as string))")
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    net = (
+        emb.select(F.expr(_EMB_Q_SQL).alias("nq"), F.expr(h).alias("h"), "vec_id")
+        .orderBy("h", "vec_id")
+        .limit(COVER_NET)
+        .select("nq")
+        .localCheckpoint(eager=True)  # 512 rows; pin before the NLJ fan-out
+    )
+    probes = (
+        emb.select(
+            "vec_id", F.expr(_EMB_Q_SQL).alias("pq"), F.expr(hp).alias("hp")
+        )
+        .orderBy("hp", "vec_id")
+        .limit(COVER_PROBES)
+        .select("vec_id", "pq")
+        .localCheckpoint(eager=True)
+    )
+    d2 = probes.crossJoin(F.broadcast(net)).select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(pq, nq, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("d2"),
+    )
+    md2 = d2.groupBy("vec_id").agg(F.min("d2").alias("md2"))
+    rk = md2.withColumn(
+        "rk", F.row_number().over(W.orderBy("md2", "vec_id"))
+    ).crossJoin(
+        F.broadcast(md2.agg(F.count("*").cast("long").alias("n")))
+    )
+    dist = "round(sqrt(cast(md2 as double)) / 1048576.0, 6)"
+    sels = [
+        F.max(
+            F.expr(
+                f"case when rk = (n * {q} + 99) div 100 then {dist} end"
+            )
+        ).alias(f"d_p{q}_r6")
+        for q in COVER_QUANTS
+    ]
+    return rk.agg(
+        F.max("n").alias("n_probes"),
+        F.sum(F.expr("cast(md2 = 0 as long)")).cast("long").alias("n_in_net"),
+        *sels,
+        F.max(F.expr(f"case when rk = n then {dist} end")).alias("d_max_r6"),
+    )
+
+
+def _cover_oracle() -> str:
+    h = sql_md5_long_duck("CAST(vec_id AS VARCHAR)")
+    hp = sql_md5_long_duck("'cvr:' || CAST(vec_id AS VARCHAR)")
+    dist = "ROUND(sqrt(CAST(md2 AS DOUBLE)) / 1048576.0, 6)"
+    qsel = ",\n       ".join(
+        f"MAX(CASE WHEN rk = (n * {q} + 99) // 100 THEN {dist} END)"
+        f" AS d_p{q}_r6"
+        for q in COVER_QUANTS
+    )
+    return f"""
+WITH net_sel AS (
+  SELECT vec_id FROM (SELECT vec_id, ({h}) AS h FROM embeddings)
+  ORDER BY h, vec_id LIMIT {COVER_NET}),
+probe_sel AS (
+  SELECT vec_id FROM (SELECT vec_id, ({hp}) AS hp FROM embeddings)
+  ORDER BY hp, vec_id LIMIT {COVER_PROBES}),
+dims AS (SELECT unnest(range(64)) AS d),
+netv AS MATERIALIZED (
+  SELECT s.vec_id AS nid, d.d,
+         CAST(TRUNC(CAST(e.embedding[d.d + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS q
+  FROM net_sel s JOIN embeddings e ON e.vec_id = s.vec_id CROSS JOIN dims d),
+probev AS MATERIALIZED (
+  SELECT s.vec_id AS pid, d.d,
+         CAST(TRUNC(CAST(e.embedding[d.d + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS q
+  FROM probe_sel s JOIN embeddings e ON e.vec_id = s.vec_id
+  CROSS JOIN dims d),
+d2 AS (
+  SELECT p.pid, n.nid, CAST(SUM((p.q - n.q) * (p.q - n.q)) AS BIGINT) AS d2
+  FROM probev p JOIN netv n ON p.d = n.d
+  GROUP BY 1, 2),
+md2 AS (SELECT pid, MIN(d2) AS md2 FROM d2 GROUP BY 1),
+rk AS (
+  SELECT pid, md2,
+         ROW_NUMBER() OVER (ORDER BY md2, pid) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM md2)
+SELECT MAX(n) AS n_probes,
+       CAST(SUM(CASE WHEN md2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_net,
+       {qsel},
+       MAX(CASE WHEN rk = n THEN {dist} END) AS d_max_r6
+FROM rk
+"""
+
+
+ORACLE_RBO = _rbo_oracle()
+ORACLE_RICH_CLUB = _rich_club_oracle()
+ORACLE_COVERAGE = _cover_oracle()
+
+
+SPECS += [
+    QuerySpec(
+        "stats_mann_kendall_trend",
+        stats_mann_kendall_trend,
+        ORACLE_MANN_KENDALL,
+        ("stats", "timeseries", "test"),
+        doc="Mann-Kendall nonparametric trend test of daily counts with "
+            "tie-corrected variance (pure BIGINT S/Var lanes)",
+    ),
+    QuerySpec(
+        "stats_dickey_fuller_daily",
+        stats_dickey_fuller_daily,
+        ORACLE_DICKEY_FULLER,
+        ("stats", "timeseries", "test"),
+        doc="Dickey-Fuller unit-root probe of daily counts (integer OLS "
+            "sufficient statistics, decimal t-squared identity)",
+    ),
+    QuerySpec(
+        "mm_payload_ks_uniform",
+        mm_payload_ks_uniform,
+        ORACLE_KS_UNIFORM,
+        ("multimodal", "stats", "test"),
+        doc="one-sample KS test of payload bytes vs discrete uniform per "
+            "media type (exact sup-deviation BIGINT lane, 1.358/sqrt(N) "
+            "critical band)",
+    ),
+    QuerySpec(
+        "sim_rank_biased_overlap",
+        sim_rank_biased_overlap,
+        ORACLE_RBO,
+        ("similarity", "ann", "quality"),
+        doc="rank-biased overlap (p=0.9) between the LSH and exact "
+            "cosine rankings plus prefix agreement at depths 1/5/k",
+    ),
+    QuerySpec(
+        "graph_rich_club_coefficient",
+        graph_rich_club_coefficient,
+        ORACLE_RICH_CLUB,
+        ("graph", "dedup"),
+        doc="rich-club coefficient sweep of the near-dup graph at degree "
+            "thresholds 1/2/3/4/8 (exact density rationals, NULL-guarded)",
+    ),
+    QuerySpec(
+        "emb_coverage_radius_net",
+        emb_coverage_radius_net,
+        ORACLE_COVERAGE,
+        ("embedding", "ann", "certificate"),
+        doc="covering-radius quantile certificate (p25..max of exact "
+            "nearest-net distance) over a 512-vector md5 net with 256 "
+            "md5 probes",
+    ),
+]

@@ -1,0 +1,640 @@
+"""Round-14 continuation (third window) tests — batch V planted twins.
+
+One micro-fixture test per operator in batch V of
+``spark_dba_spark/operators/analytics.py``: hand-computable inputs, exact
+expected values, plus the DuckDB oracle run on the SAME planted tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from conftest import normalize_rows
+
+US_PER_DAY = 86_400_000_000
+T0_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+T0_DAY = T0_US // US_PER_DAY
+
+
+def _oracle_rows(tmp_path, sql, tables):
+    con = duckdb.connect()
+    try:
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        res = con.execute(sql)
+        cols = [d[0] for d in res.description]
+        rows = [tuple(d.values())
+                for d in res.fetch_arrow_table().to_pylist()]
+        return cols, rows
+    finally:
+        con.close()
+
+
+def _assert_spark_matches_oracle(df, tmp_path, sql, tables):
+    scols = df.columns
+    srows = [tuple(r) for r in df.collect()]
+    dcols, drows = _oracle_rows(tmp_path, sql, tables)
+    assert sorted(scols) == sorted(dcols), f"columns: {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"rows: {len(srows)} vs {len(drows)}"
+    for a, b in zip(
+        normalize_rows(srows, scols), normalize_rows(drows, dcols)
+    ):
+        assert a == b
+
+
+def _r6(num: int, den: int) -> float:
+    """House half-up 6dp rational readout (num >= 0, den > 0)."""
+    assert num >= 0 and den > 0
+    return float((num * 2_000_000 + den) // (2 * den)) / 1e6
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _write_docs(tmp_path, texts, sources):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(sources),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_us, event_type, value)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+
+
+def _write_embeddings(tmp_path, vecs):
+    full = [list(v) + [0.0] * (64 - len(v)) for v in vecs]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(full)), pa.int64()),
+                "embedding": pa.array(full, pa.list_(pa.float32())),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+
+
+def _write_supply(tmp_path, lines, parts):
+    """lines: (partkey, suppkey, extendedprice, discount);
+    parts: (partkey, brand)."""
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([r[0] for r in lines], pa.int64()),
+                "l_suppkey": pa.array([r[1] for r in lines], pa.int64()),
+                "l_extendedprice": pa.array(
+                    [r[2] for r in lines], pa.float64()
+                ),
+                "l_discount": pa.array([r[3] for r in lines], pa.float64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in parts], pa.int64()),
+                "p_brand": pa.array([r[1] for r in parts]),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+
+
+def _write_cust_orders(tmp_path, customers, orders):
+    """customers: (custkey, segment); orders: (orderkey, custkey, day)."""
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in customers], pa.int64()),
+                "c_mktsegment": pa.array([r[1] for r in customers]),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+                "o_orderdate": pa.array(
+                    [r[2] * US_PER_DAY for r in orders], pa.timestamp("us")
+                ),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_yules_k
+# ---------------------------------------------------------------------------
+
+
+def test_yules_k_planted(spark, tmp_path):
+    """'a a b' -> S1=3, V=2, S2=5, K = 1e4*(5-3)/9; a repeat-free source
+    reads exactly 0."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_YULES_K,
+        text_yules_k,
+    )
+
+    _write_docs(tmp_path, ["a a b", "x y"], ["s0", "s1"])
+    df = text_yules_k(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_YULES_K, ["documents"])
+    got = {r["source"]: r for r in df.collect()}
+    s0 = got["s0"]
+    assert (s0["n_tokens"], s0["n_types"], s0["sum_m2"]) == (3, 2, 5)
+    assert s0["yules_k_r6"] == _r6(10000 * 2, 9)
+    s1 = got["s1"]
+    assert (s1["n_tokens"], s1["n_types"], s1["sum_m2"]) == (2, 2, 2)
+    assert s1["yules_k_r6"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# ev_max_drawdown_daily
+# ---------------------------------------------------------------------------
+
+
+def test_max_drawdown_planted(spark, tmp_path):
+    """Daily totals 10,4,7,2 -> drawdowns 0,6,3,8 (max 8 at day 3);
+    a monotone series reads 0 with the FIRST day as trough (tie-break);
+    equal-drawdown days pick the earliest."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_MAX_DRAWDOWN,
+        ev_max_drawdown_daily,
+    )
+
+    rows = []
+    for i, v in enumerate([10.0, 4.0, 7.0, 2.0]):
+        rows.append((i, T0_US + i * US_PER_DAY, "click", v))
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append((100 + i, T0_US + i * US_PER_DAY, "view", v))
+    # 'buy': totals 5, 1, 5, 1 -> dd 0,4,0,4: max 4, earliest trough day 1
+    for i, v in enumerate([5.0, 1.0, 5.0, 1.0]):
+        rows.append((200 + i, T0_US + i * US_PER_DAY, "buy", v))
+    _write_events(tmp_path, rows)
+    df = ev_max_drawdown_daily(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_MAX_DRAWDOWN, ["events"]
+    )
+    got = {r["event_type"]: r for r in df.collect()}
+    click = got["click"]
+    assert click["n_days"] == 4
+    assert click["peak_daily_r6"] == 10.0
+    assert click["max_drawdown_r6"] == 8.0
+    assert click["dd_peak_share_r6"] == 0.8
+    assert str(click["trough_day"]) == "2024-01-04"
+    view = got["view"]
+    assert view["max_drawdown_r6"] == 0.0
+    assert str(view["trough_day"]) == "2024-01-01"
+    buy = got["buy"]
+    assert buy["max_drawdown_r6"] == 4.0
+    assert str(buy["trough_day"]) == "2024-01-02"
+
+
+# ---------------------------------------------------------------------------
+# stats_ljung_box_daily
+# ---------------------------------------------------------------------------
+
+
+def test_ljung_box_planted(spark, tmp_path):
+    """Counts [3,1,2,0,4] (zero from a missing spine day): integer c/N/D
+    lanes and the Q cascade recomputed from first principles; lags with
+    no overlap (k >= n) produce no row."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_LJUNG_BOX,
+        stats_ljung_box_daily,
+    )
+
+    counts = [3, 1, 2, 0, 4]
+    rows = []
+    eid = 0
+    for i, x in enumerate(counts):
+        for _ in range(x):
+            rows.append((eid, T0_US + i * US_PER_DAY, "e", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = stats_ljung_box_daily(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_LJUNG_BOX, ["events"])
+    got = {r["lag"]: r for r in df.collect()}
+    assert sorted(got) == [1, 2, 3, 4]  # k >= n has no overlap pairs
+
+    n, s = 5, sum(counts)
+    c = [n * x - s for x in counts]
+    d = sum(v * v for v in c)
+    qcum = 0.0
+    for k in range(1, 5):
+        nk = sum(c[t] * c[t + k] for t in range(n - k))
+        r = nk / d
+        qcum += round(r * r / (n - k), 9)
+        assert got[k]["acf_r6"] == round(r, 6)
+        assert got[k]["lb_q_r6"] == round(n * (n + 2) * qcum, 6)
+        assert got[k]["n_days"] == 5
+        assert got[k]["reject_05"] == (
+            round(n * (n + 2) * qcum, 6) > got[k]["crit_05"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# emb_jl_projection_distortion
+# ---------------------------------------------------------------------------
+
+
+def test_jl_distortion_brute(spark, tmp_path):
+    """Six grid-exact vectors; the full md5 machinery (pool ranks, pair
+    lanes, sign lanes) re-derived with hashlib and the three k-rows
+    checked value-for-value."""
+    from spark_dba_spark.operators.analytics import (
+        JL_K_GRID,
+        JL_MAX_K,
+        JL_N_PAIRS,
+        ORACLE_JL_DISTORTION,
+        emb_jl_projection_distortion,
+    )
+
+    vecs = [
+        [0.25, -0.5],
+        [0.125, 0.25],
+        [-0.25, 0.5],
+        [0.5, 0.125],
+        [0.0, -0.125],
+        [0.25, 0.25],
+    ]
+    _write_embeddings(tmp_path, vecs)
+    df = emb_jl_projection_distortion(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_JL_DISTORTION, ["embeddings"]
+    )
+
+    # brute: pool = all 6 (pool cap 512), ranked by md5(vec_id)
+    n = len(vecs)
+    q = [[int(x * 1048576) for x in v] + [0] * (64 - len(v)) for v in vecs]
+    order = sorted(range(n), key=lambda i: (_md5_long(str(i)), i))
+    sign = {
+        (j, d): 1 - 2 * (_md5_long(f"jls:{j}:{d}") % 2)
+        for j in range(JL_MAX_K)
+        for d in range(64)
+    }
+    per = {k: [] for k in JL_K_GRID}
+    for i in range(JL_N_PAIRS):
+        ra = _md5_long(f"jla:{i}") % n
+        rb = _md5_long(f"jlb:{i}") % n
+        if ra == rb:
+            continue
+        dv = [a - b for a, b in zip(q[order[ra]], q[order[rb]])]
+        den64 = sum(x * x for x in dv)
+        if den64 == 0:
+            continue
+        dy2 = [
+            sum(sign[(j, d)] * dv[d] for d in range(64)) ** 2
+            for j in range(JL_MAX_K)
+        ]
+        for k in JL_K_GRID:
+            num = sum(dy2[:k])
+            per[k].append(
+                (
+                    round(num / (k * den64), 6),
+                    int(2 * num >= k * den64 and num <= 2 * k * den64),
+                )
+            )
+    got = {r["k"]: r for r in df.collect()}
+    for k in JL_K_GRID:
+        ratios = [p[0] for p in per[k]]
+        row = got[k]
+        assert row["n_pairs"] == len(ratios)
+        assert row["min_ratio_r6"] == min(ratios)
+        assert row["max_ratio_r6"] == max(ratios)
+        ssum = round(sum(int(r * 1e6 + (0.5 if r > 0 else -0.5))
+                         for r in ratios) / 1e6, 6)
+        assert row["mean_ratio_r6"] == round(ssum / len(ratios), 6)
+        assert row["within_2x_share_r6"] == _r6(
+            sum(p[1] for p in per[k]), len(ratios)
+        )
+    # k=32 must concentrate tighter than k=8 on the within-2x share
+    assert (
+        got[32]["within_2x_share_r6"] >= got[8]["within_2x_share_r6"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier_single_source_exposure
+# ---------------------------------------------------------------------------
+
+
+def test_single_source_planted(spark, tmp_path):
+    """B1: two parts, one single-sourced carrying 500 of 3500 cents;
+    B2: fully single-sourced -> exposure 1."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_SINGLE_SOURCE,
+        supplier_single_source_exposure,
+    )
+
+    lines = [
+        (1, 10, 10.0, 0.0),
+        (1, 11, 20.0, 0.0),
+        (2, 10, 5.0, 0.0),
+        (3, 12, 8.0, 0.5),
+    ]
+    parts = [(1, "B1"), (2, "B1"), (3, "B2")]
+    _write_supply(tmp_path, lines, parts)
+    df = supplier_single_source_exposure(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_SINGLE_SOURCE, ["lineitem", "part"]
+    )
+    got = {r["p_brand"]: r for r in df.collect()}
+    b1 = got["B1"]
+    assert (b1["n_parts"], b1["n_single"]) == (2, 1)
+    assert b1["single_share_r6"] == 0.5
+    assert b1["revenue_total"] == 35.0
+    assert b1["revenue_exposure_r6"] == _r6(500, 3500)
+    b2 = got["B2"]
+    assert (b2["n_parts"], b2["n_single"]) == (1, 1)
+    assert b2["revenue_total"] == 4.0
+    assert b2["revenue_exposure_r6"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# customer_interpurchase_regularity
+# ---------------------------------------------------------------------------
+
+
+def test_interpurchase_planted(spark, tmp_path):
+    """One customer per band (gaps [10,10] regular, [1,30] poisson,
+    [0,0,30] bursty), plus two excluded customers (single order;
+    same-day-only history)."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_INTERPURCHASE,
+        customer_interpurchase_regularity,
+    )
+
+    customers = [(1, "AUTO"), (2, "AUTO"), (3, "AUTO"), (4, "AUTO"),
+                 (5, "BIKE")]
+    orders = [
+        (1, 1, T0_DAY), (2, 1, T0_DAY + 10), (3, 1, T0_DAY + 20),
+        (4, 2, T0_DAY), (5, 2, T0_DAY + 1), (6, 2, T0_DAY + 31),
+        (7, 3, T0_DAY), (8, 3, T0_DAY), (9, 3, T0_DAY), (10, 3, T0_DAY + 30),
+        (11, 4, T0_DAY),                      # single order: excluded
+        (12, 5, T0_DAY), (13, 5, T0_DAY),     # sg = 0: excluded
+    ]
+    _write_cust_orders(tmp_path, customers, orders)
+    df = customer_interpurchase_regularity(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_INTERPURCHASE, ["customer", "orders"]
+    )
+    rows = df.collect()
+    assert {r["c_mktsegment"] for r in rows} == {"AUTO"}
+    got = {r["band"]: r for r in rows}
+    # c1 gaps [10,10]: 2*2*200=800 <= 3*400 -> regular
+    assert got["regular"]["n_customers"] == 1
+    assert got["regular"]["mean_gap_days_r6"] == 10.0
+    # c2 gaps [1,30]: 2*2*901=3604 in (3*961, 5*961] -> poisson
+    assert got["poisson"]["n_customers"] == 1
+    assert got["poisson"]["mean_gap_days_r6"] == 15.5
+    # c3 gaps [0,0,30]: 2*3*900=5400 > 5*900 -> bursty
+    assert got["bursty"]["n_customers"] == 1
+    assert got["bursty"]["mean_gap_days_r6"] == 10.0
+    for band in ("regular", "poisson", "bursty"):
+        assert got[band]["seg_share_r6"] == _r6(1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Batch W twins
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_planted(spark, tmp_path):
+    """Counts [1,2,2,3]: S and the tie-corrected variance by hand; the
+    monotone-ish series still reads 'no_trend' at this tiny n because
+    z stays inside the normal critical band."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_MANN_KENDALL,
+        stats_mann_kendall_trend,
+    )
+
+    counts = [1, 2, 2, 3]
+    rows = []
+    eid = 0
+    for i, x in enumerate(counts):
+        for _ in range(x):
+            rows.append((eid, T0_US + i * US_PER_DAY, "e", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = stats_mann_kendall_trend(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_MANN_KENDALL, ["events"]
+    )
+    row = df.collect()[0]
+    # pairs: (1,2)+ (1,2)+ (1,3)+ (2,2)0 (2,3)+ (2,3)+ -> S = 5
+    assert row["n_days"] == 4 and row["s_stat"] == 5
+    # 18Var = n(n-1)(2n+5) - ties: n=4 -> 4*3*13=156; tie group {2,2}:
+    # t=2 -> 2*1*9=18; singles contribute 0 -> var18 = 138
+    assert row["var18"] == 138
+    import math
+
+    z = round((5 - 1) / math.sqrt(138 / 18.0), 6)
+    assert row["z_r6"] == z
+    assert row["trend"] == ("increasing" if z > 1.959964 else "no_trend")
+
+
+def test_mann_kendall_degenerate(spark, tmp_path):
+    """A constant series: every pair ties, var18 = 0, NULL z."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_MANN_KENDALL,
+        stats_mann_kendall_trend,
+    )
+
+    rows = [(i, T0_US + i * US_PER_DAY, "e", 1.0) for i in range(3)]
+    _write_events(tmp_path, rows)
+    df = stats_mann_kendall_trend(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_MANN_KENDALL, ["events"]
+    )
+    row = df.collect()[0]
+    assert row["s_stat"] == 0 and row["var18"] == 0
+    assert row["z_r6"] is None and row["trend"] == "degenerate"
+
+
+def test_dickey_fuller_planted(spark, tmp_path):
+    """Counts [4,1,3,0,2]: the five OLS sufficient statistics, rho and
+    the t-statistic recomputed from the integer identity."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_DICKEY_FULLER,
+        stats_dickey_fuller_daily,
+    )
+
+    counts = [4, 1, 3, 0, 2]
+    rows = []
+    eid = 0
+    for i, x in enumerate(counts):
+        for _ in range(x):
+            rows.append((eid, T0_US + i * US_PER_DAY, "e", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = stats_dickey_fuller_daily(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_DICKEY_FULLER, ["events"]
+    )
+    row = df.collect()[0]
+    import math
+
+    xl = counts[:-1]
+    dy = [b - a for a, b in zip(counts[:-1], counts[1:])]
+    np_ = len(xl)
+    sx, sy = sum(xl), sum(dy)
+    sxx = sum(v * v for v in xl)
+    sxy = sum(a * b for a, b in zip(xl, dy))
+    syy = sum(v * v for v in dy)
+    d = np_ * sxx - sx * sx
+    num = np_ * sxy - sx * sy
+    k = (np_ * syy - sy * sy) * d - num * num
+    assert row["n_obs"] == np_
+    assert row["rho_hat_r6"] == round(num / d, 6)
+    t = round(
+        (1 if num > 0 else -1) * math.sqrt(num * num * (np_ - 2) / k), 6
+    )
+    assert row["t_stat_r6"] == t
+    assert row["reject_unit_root_05"] == (t < -2.86)
+
+
+def test_ks_uniform_planted(spark, tmp_path):
+    """'aab' (image): bytes 61,61,62 -> worst cumulative deviation at
+    b=0x61: |256*2 - 3*98| = 218, D = 218/768; 'zz' (audio) by the
+    same arithmetic."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_KS_UNIFORM,
+        mm_payload_ks_uniform,
+    )
+
+    _write_docs(tmp_path, ["aab", "zz"], ["s0", "s1"])
+    df = mm_payload_ks_uniform(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_KS_UNIFORM, ["documents"])
+    got = {r["media_type"]: r for r in df.collect()}
+    img = got["image"]  # doc 0: 'aab' = 0x61,0x61,0x62
+    assert img["n_bytes"] == 3
+    # cum at b: 0..0x60: 0; 0x61: 2; 0x62: 3 (=N from there on)
+    # dev = max over b of |256*cum - 3*(b+1)|:
+    dev = max(
+        abs(256 * (2 if b >= 0x61 else 0) - 3 * (b + 1))
+        if b < 0x62
+        else abs(256 * 3 - 3 * (b + 1))
+        for b in range(256)
+    )
+    assert img["ks_d_r6"] == _r6(dev, 768)
+    import math
+
+    assert img["crit_05_r6"] == round(1.358 / math.sqrt(3), 6)
+    assert img["reject_05"] == (dev / 768 > 1.358 / math.sqrt(3))
+    aud = got["audio"]  # doc 1: 'zz' = 0x7a,0x7a
+    dev_a = max(
+        abs(256 * (2 if b >= 0x7A else 0) - 2 * (b + 1)) for b in range(256)
+    )
+    assert aud["ks_d_r6"] == _r6(dev_a, 512)
+
+
+def test_rich_club_planted(spark, tmp_path):
+    """A 4-clique of identical docs plus an isolated dup pair: at k=1
+    everything is in the club; at k=3 only the clique nodes qualify
+    and phi = 1; at k=8 the club is empty (NULL phi)."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_RICH_CLUB,
+        graph_rich_club_coefficient,
+    )
+
+    clique = "the quick brown fox jumps over the lazy dog again and again"
+    pair = "a completely different text about suppliers and parts orders"
+    texts = [clique] * 4 + [pair] * 2
+    _write_docs(tmp_path, texts, [f"s{i}" for i in range(len(texts))])
+    df = graph_rich_club_coefficient(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_RICH_CLUB, ["documents"]
+    )
+    got = {r["k"]: r for r in df.collect()}
+    # clique nodes have degree 3, pair nodes degree 1
+    assert got[1]["n_nodes"] == 6 and got[1]["n_edges"] == 7
+    assert got[1]["phi_r6"] == _r6(14, 30)
+    assert got[2]["n_nodes"] == 4 and got[2]["n_edges"] == 6
+    assert got[2]["phi_r6"] == 1.0
+    assert got[3]["n_nodes"] == 4 and got[3]["phi_r6"] == 1.0
+    assert got[8]["n_nodes"] == 0 and got[8]["n_edges"] == 0
+    assert got[8]["phi_r6"] is None
+
+
+def test_coverage_radius_brute(spark, tmp_path):
+    """Five grid-exact vectors: net swallows the whole corpus (pool cap
+    512), so every probe is in-net and every quantile distance is 0 —
+    the documented tiny-SF degeneracy, pinned exactly."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_COVERAGE,
+        emb_coverage_radius_net,
+    )
+
+    vecs = [[0.25, -0.5], [0.125, 0.25], [-0.25, 0.5], [0.5, 0.125],
+            [0.0, -0.125]]
+    _write_embeddings(tmp_path, vecs)
+    df = emb_coverage_radius_net(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_COVERAGE, ["embeddings"]
+    )
+    row = df.collect()[0]
+    assert row["n_probes"] == 5
+    assert row["n_in_net"] == 5
+    assert row["d_p25_r6"] == 0.0 and row["d_max_r6"] == 0.0
+
+
+def test_rbo_identical_rankings(spark, tmp_path):
+    """Planted clustered embeddings where LSH returns the true
+    neighborhood: RBO of two identical rankings is the truncated
+    weight mass sum(w_d) and every agreement is 1."""
+    import numpy as np
+
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_RBO,
+        sim_rank_biased_overlap,
+    )
+
+    # tight clusters so exact == LSH ranking on the planted corpus
+    rng = np.random.RandomState(7)
+    base = rng.rand(4, 64).astype("float32") - 0.5
+    vecs = []
+    for i in range(48):
+        v = base[i % 4] + (i // 4) * 1e-4
+        vecs.append([float(x) for x in v])
+    _write_embeddings(tmp_path, vecs)
+    df = sim_rank_biased_overlap(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_RBO, ["embeddings"]
+    )
+    row = df.collect()[0]
+    assert row["n_queries"] >= 1
+    assert 0.0 <= row["rbo_trunc_r6"] <= 0.651323  # sum of the 10 weights
+    assert row["mean_agree_at1_r6"] is not None
