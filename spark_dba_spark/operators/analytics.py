@@ -2436,6 +2436,15 @@ def ev_max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", "day").agg(
         F.sum("v_us").cast("long").alias("dv")
     )
+    return assemble_max_drawdown(daily)
+
+
+def assemble_max_drawdown(daily: DataFrame) -> DataFrame:
+    """Drawdown tail over the (event_type, day, dv) DAY-GRAIN frame —
+    the shared contract between the batch op and its streaming twin
+    (the run_error_rate_by_load_stream two-grain rule: the stream's
+    complete-mode state is only this calendar-bounded daily ledger;
+    every window below runs on ≤ feed-days rows per type)."""
     w = (
         W.partitionBy("event_type")
         .orderBy("day")
@@ -2446,7 +2455,9 @@ def ev_max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "dv",
         (F.max("dv").over(w) - F.col("dv")).alias("dd"),
-    )
+    ).localCheckpoint(eager=True)  # day-grain (bounded); feeds the peak
+    # rollup AND the trough re-join (also de-conflicts self-join refs
+    # when the input is a streaming memory-sink table)
     per = dd.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_days"),
         F.max("dv").alias("peak_us"),

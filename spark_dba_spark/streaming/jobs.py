@@ -1193,3 +1193,36 @@ def run_hurst_stream(
     )
     q.awaitTermination()
     return assemble_hurst(spark.table(query_name))
+
+
+def run_max_drawdown_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "max_dd"
+) -> DataFrame:
+    """Streaming twin of ``operators.analytics.ev_max_drawdown_daily``
+    — drawdown-from-peak is a live monitoring readout (an alerting
+    surface like the SLO burn table), so the streaming form is the one
+    a revenue/load dashboard actually runs. Day-grain COMPLETE-mode
+    aggregation of exact micro-unit daily totals (state = the
+    calendar-bounded (type, day, dv) ledger); the running-peak window
+    and trough extraction run on those bounded rows through the SHARED
+    ``assemble_max_drawdown`` contract, so the batch DuckDB oracle
+    transitively gates this stream; stream == batch is pinned by
+    tests/test_streaming.py::test_max_drawdown_stream_equals_batch."""
+    from ..operators.analytics import assemble_max_drawdown
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v_us"),
+    )
+    q = (
+        ev.groupBy("event_type", "day")
+        .agg(F.sum("v_us").cast("long").alias("dv"))
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return assemble_max_drawdown(spark.table(query_name))

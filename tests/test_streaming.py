@@ -772,3 +772,20 @@ def test_hurst_stream_equals_batch(spark):
         for r in ev_hurst_variance_plot(spark, SF_DIR).collect()
     )
     assert got == want and len(got) == 1
+
+
+def test_max_drawdown_stream_equals_batch(spark):
+    """Day-grain complete-mode stream + shared drawdown assembly equals
+    the batch peak-drawdown op row-for-row (r14 third-window twin)."""
+    from spark_dba_spark.operators.analytics import ev_max_drawdown_daily
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_max_drawdown_stream(
+            spark, SF_DIR, "t_max_dd"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in ev_max_drawdown_daily(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
