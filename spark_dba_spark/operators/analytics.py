@@ -3932,3 +3932,745 @@ SPECS += [
             "md5 probes",
     ),
 ]
+
+
+# ==========================================================================
+# Batch X (round-14 continuation, third window)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Jarque-Bera normality test on daily counts
+# --------------------------------------------------------------------------
+
+
+def stats_jarque_bera_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of the zero-filled daily count
+    series: sample skewness and excess kurtosis from exact central-
+    moment lanes, JB = n/6·(S² + K²/4) against the literal χ²(2) 5%
+    critical 5.991465. Completes the daily-series test bench (LB =
+    whiteness, MK/DF = trend/unit root, JB = shape): a fat-tailed or
+    skewed daily load violates the Gaussian assumptions the z-based
+    monitors upstream quietly make.
+
+    Exact: centering is division-free (c_t = n·x_t − S, BIGINT); Σc²
+    and Σc³ are BIGINT, Σc⁴ accumulates as DECIMAL(38,0) (per-term
+    c²·c² would pass 2⁶³ at 100× volume); skew/kurtosis are scale-
+    invariant in c. The only doubles are the final chain — written
+    with x·sqrt(x) instead of pow(x, 1.5), which is NOT cross-engine
+    bit-stable. Zero-variance series read NULL.
+
+    Scale: calendar-bounded after one day-grain shuffle."""
+    day = f"({_US}) div {_DAY_US}"
+    ev = catalog.load(spark, sf_dir, "events").select(F.expr(day).alias("d"))
+    cnt = ev.groupBy("d").agg(F.count("*").cast("long").alias("x"))
+    spine = (
+        cnt.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(F.explode(F.expr("sequence(d0, d1)")).alias("d"))
+        .join(cnt, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    consts = spine.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    c = spine.crossJoin(F.broadcast(consts)).select(
+        "n", F.expr("n * x - s").alias("c")
+    )
+    sums = c.groupBy("n").agg(
+        F.sum(F.expr("c * c")).cast("long").alias("s2"),
+        F.sum(F.expr("c * c * c")).cast("long").alias("s3"),
+        F.sum(
+            F.expr("cast(c * c as decimal(38,0)) * (c * c)")
+        ).alias("s4"),
+    )
+    skew = (
+        "cast(s3 as double) * sqrt(cast(n as double))"
+        " / (cast(s2 as double) * sqrt(cast(s2 as double)))"
+    )
+    kurt = (
+        "cast(n as double) * cast(s4 as double)"
+        " / (cast(s2 as double) * cast(s2 as double)) - 3.0"
+    )
+    jb = (
+        f"cast(n as double) / 6.0 * (({skew}) * ({skew})"
+        f" + ({kurt}) * ({kurt}) / 4.0)"
+    )
+    return sums.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            f"case when s2 = 0 then null else round({skew}, 6) end"
+        ).alias("skew_r6"),
+        F.expr(
+            f"case when s2 = 0 then null else round({kurt}, 6) end"
+        ).alias("kurt_excess_r6"),
+        F.expr(
+            f"case when s2 = 0 then null else round({jb}, 6) end"
+        ).alias("jb_r6"),
+        F.expr(
+            f"case when s2 = 0 then null else ({jb}) > 5.991465 end"
+        ).alias("reject_normal_05"),
+    )
+
+
+def _jb_oracle() -> str:
+    skew = (
+        "CAST(s3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))"
+        " / (CAST(s2 AS DOUBLE) * sqrt(CAST(s2 AS DOUBLE)))"
+    )
+    kurt = (
+        "CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " / (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) - 3.0"
+    )
+    jb = (
+        f"CAST(n AS DOUBLE) / 6.0 * (({skew}) * ({skew})"
+        f" + ({kurt}) * ({kurt}) / 4.0)"
+    )
+    return f"""
+WITH ev AS (SELECT epoch_us(ts) // {_DAY_US} AS d FROM events),
+cnt AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS x FROM ev GROUP BY 1),
+spine AS (
+  SELECT g.d, CAST(COALESCE(cnt.x, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series(MIN(d), MAX(d))) AS d FROM cnt) g
+  LEFT JOIN cnt ON g.d = cnt.d),
+consts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM spine),
+c AS (SELECT n, n * x - s AS c FROM spine CROSS JOIN consts),
+sums AS (
+  SELECT n, CAST(SUM(c * c) AS BIGINT) AS s2,
+         CAST(SUM(c * c * c) AS BIGINT) AS s3,
+         SUM(CAST(c * c AS DECIMAL(38,0)) * (c * c)) AS s4
+  FROM c GROUP BY 1)
+SELECT n AS n_days,
+       CASE WHEN s2 = 0 THEN NULL ELSE ROUND({skew}, 6) END AS skew_r6,
+       CASE WHEN s2 = 0 THEN NULL ELSE ROUND({kurt}, 6) END
+         AS kurt_excess_r6,
+       CASE WHEN s2 = 0 THEN NULL ELSE ROUND({jb}, 6) END AS jb_r6,
+       CASE WHEN s2 = 0 THEN NULL ELSE ({jb}) > 5.991465 END
+         AS reject_normal_05
+FROM sums
+"""
+
+
+ORACLE_JARQUE_BERA = _jb_oracle()
+
+
+# --------------------------------------------------------------------------
+# Fisher separability of the label structure
+# --------------------------------------------------------------------------
+
+
+def emb_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher separability of the embedding labels: the between-class
+    to within-class scatter ratio SB/SW over all 64 dims — the LDA-
+    style one-number answer to "how linearly separable are the labels"
+    that complements emb_cluster_silhouette (per-point geometry) and
+    emb_cell_purity_by_label (quantized cells) with the classical
+    scatter decomposition SB + SW = total scatter.
+
+    Exact: per-(label, dim) coordinate sums are BIGINT on the 2^-20
+    grid; the scatter identities SB = Σ_ld s_ld²/n_l − Σ_d S_d²/N and
+    SW = T − Σ_ld s_ld²/n_l need only per-group divisions, each
+    9dp-rounded into DECIMAL sums (order-free); the total q² mass T
+    accumulates as DECIMAL(38,0). One double division for the ratio.
+
+    Scale: one (label, dim)-grain shuffle (≤ labels×64 cells) after a
+    map-side explode; no pairwise term anywhere."""
+    e = catalog.load(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(F.expr(_EMB_Q_SQL)).alias("d", "q")
+    )
+    ld = e.groupBy("label", "d").agg(
+        F.count("*").cast("long").alias("nl"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.expr("cast(q as decimal(38,0)) * q")).alias("ssq"),
+    )
+    a = ld.agg(
+        F.sum(
+            F.expr(
+                "cast(round(cast(s as double) * cast(s as double)"
+                " / nl, 9) as decimal(38,9))"
+            )
+        ).alias("a"),
+        F.sum("ssq").alias("t"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+    )
+    g = ld.groupBy("d").agg(
+        F.sum("s").cast("long").alias("sd"),
+        F.sum("nl").cast("long").alias("nd"),
+    ).agg(
+        F.sum(
+            F.expr(
+                "cast(round(cast(sd as double) * cast(sd as double)"
+                " / nd, 9) as decimal(38,9))"
+            )
+        ).alias("b"),
+        F.max("nd").alias("n_vectors"),
+    )
+    # readouts convert grid^2 -> embedding units^2 (/2^40) BEFORE the
+    # 6dp round: round(x, 6) on a ~1e14 double is ulp-ambiguous across
+    # engines, on a ~1e2 double it is exact
+    g2 = "1099511627776.0"
+    return (
+        a.crossJoin(g)
+        .select(
+            "n_vectors",
+            "n_labels",
+            F.expr(f"round(cast(a - b as double) / {g2}, 6)").alias("sb_r6"),
+            F.expr(
+                f"round(cast(cast(t as decimal(38,9)) - a as double)"
+                f" / {g2}, 6)"
+            ).alias("sw_r6"),
+            F.expr(
+                "case when cast(cast(t as decimal(38,9)) - a as double) <= 0"
+                " then null else round(cast(a - b as double)"
+                " / cast(cast(t as decimal(38,9)) - a as double), 6) end"
+            ).alias("fisher_ratio_r6"),
+        )
+    )
+
+
+ORACLE_FISHER = """
+WITH e AS (
+  SELECT label, d.d,
+         CAST(TRUNC(CAST(embedding[d.d + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS q
+  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d) d),
+ld AS (
+  SELECT label, d, CAST(COUNT(*) AS BIGINT) AS nl,
+         CAST(SUM(q) AS BIGINT) AS s,
+         SUM(CAST(q AS DECIMAL(38,0)) * q) AS ssq
+  FROM e GROUP BY 1, 2),
+a AS (
+  SELECT SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nl, 9)
+                  AS DECIMAL(38,9))) AS a,
+         SUM(ssq) AS t,
+         CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+  FROM ld),
+g0 AS (
+  SELECT d, CAST(SUM(s) AS BIGINT) AS sd, CAST(SUM(nl) AS BIGINT) AS nd
+  FROM ld GROUP BY 1),
+g AS (
+  SELECT SUM(CAST(ROUND(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / nd, 9)
+                  AS DECIMAL(38,9))) AS b,
+         MAX(nd) AS n_vectors
+  FROM g0)
+SELECT n_vectors, n_labels,
+       ROUND(CAST(a - b AS DOUBLE) / 1099511627776.0, 6) AS sb_r6,
+       ROUND(CAST(CAST(t AS DECIMAL(38,9)) - a AS DOUBLE)
+             / 1099511627776.0, 6) AS sw_r6,
+       CASE WHEN CAST(CAST(t AS DECIMAL(38,9)) - a AS DOUBLE) <= 0
+            THEN NULL
+            ELSE ROUND(CAST(a - b AS DOUBLE)
+                 / CAST(CAST(t AS DECIMAL(38,9)) - a AS DOUBLE), 6) END
+         AS fisher_ratio_r6
+FROM a CROSS JOIN g
+"""
+
+
+# --------------------------------------------------------------------------
+# Weekly top-K active-user turnover
+# --------------------------------------------------------------------------
+
+TOPK_TURNOVER_K = 50
+
+
+def ev_topk_turnover_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turnover of the weekly top-{TOPK_TURNOVER_K} active-user set:
+    Jaccard overlap and newcomer share between consecutive weeks'
+    leaderboards — "is the head of the activity distribution a stable
+    cohort or a churning one", the set-dynamics readout that
+    ev_windowed_topk (who is on the board) and ev_retention_cohorts
+    (all users, not the head) each miss.
+
+    Ranking ties break on user_id ascending (deterministic in both
+    engines); weeks are epoch-day div 7. Jaccard and newcomer-share
+    are exact count rationals; weeks shorter than K keep their true
+    set size (no padding), so the shares always use the real
+    |prev ∪ curr|.
+
+    Scale: one (week, user) rollup, a per-week rank window (the
+    established windowed-topk posture — state is users-per-week), and
+    a K-row × weeks self-join on the tiny leaderboard table."""
+    wk = f"({_US}) div {_DAY_US} div 7"
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.expr(wk).alias("wek"), "user_id"
+    )
+    uw = ev.groupBy("wek", "user_id").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wr = W.partitionBy("wek").orderBy(F.desc("cnt"), F.asc("user_id"))
+    top = (
+        uw.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= TOPK_TURNOVER_K)
+        .select("wek", "user_id")
+        .localCheckpoint(eager=True)  # tiny; joined against itself
+    )
+    sizes = top.groupBy("wek").agg(F.count("*").cast("long").alias("k"))
+    prev = top.select((F.col("wek") + 1).alias("pwek"),
+                      F.col("user_id").alias("p_user"))
+    inter = (
+        top.join(prev, (F.col("wek") == F.col("pwek"))
+                 & (F.col("user_id") == F.col("p_user")))
+        .groupBy("wek")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    psz = sizes.select((F.col("wek") + 1).alias("pwek"),
+                       F.col("k").alias("k_prev"))
+    pairs = (
+        sizes.join(psz, F.col("wek") == F.col("pwek"))
+        .join(inter, "wek", "left")
+        .select(
+            "wek",
+            "k_prev",
+            F.col("k").alias("k_curr"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        )
+    )
+    jac = rat_round6_spark("n_common", "k_prev + k_curr - n_common")
+    new = rat_round6_spark("k_curr - n_common", "k_curr")
+    return pairs.select(
+        F.col("wek").alias("week"),
+        "k_prev",
+        "k_curr",
+        "n_common",
+        F.expr(jac).alias("jaccard_r6"),
+        F.expr(new).alias("newcomer_share_r6"),
+    ).orderBy("week")
+
+
+ORACLE_TOPK_TURNOVER = f"""
+WITH uw AS (
+  SELECT (epoch_us(ts) // {_DAY_US}) // 7 AS wek, user_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+top AS (
+  SELECT wek, user_id FROM (
+    SELECT wek, user_id,
+           ROW_NUMBER() OVER (PARTITION BY wek
+                              ORDER BY cnt DESC, user_id) AS rk
+    FROM uw) WHERE rk <= {TOPK_TURNOVER_K}),
+sizes AS (SELECT wek, CAST(COUNT(*) AS BIGINT) AS k FROM top GROUP BY 1),
+inter AS (
+  SELECT c.wek, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM top c JOIN top p ON p.wek = c.wek - 1 AND p.user_id = c.user_id
+  GROUP BY 1),
+pairs AS (
+  SELECT s.wek, p.k AS k_prev, s.k AS k_curr,
+         CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common
+  FROM sizes s JOIN sizes p ON p.wek = s.wek - 1
+  LEFT JOIN inter i ON i.wek = s.wek)
+SELECT wek AS week, k_prev, k_curr, n_common,
+       {rat_round6_duck('n_common', 'k_prev + k_curr - n_common')}
+         AS jaccard_r6,
+       {rat_round6_duck('k_curr - n_common', 'k_curr')}
+         AS newcomer_share_r6
+FROM pairs ORDER BY week
+"""
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the payload byte stream
+# --------------------------------------------------------------------------
+
+
+def mm_byte_runs_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of the high/low byte sequence (byte ≥
+    0x80) per media type: per document, the run count is 1 + boundary
+    crossings (read from the hex-pair slide — the first hex digit
+    alone decides the class); expectation 1 + 2·n₁n₂/n and variance
+    2n₁n₂(2n₁n₂−n)/(n²(n−1)) accumulate per-doc into DECIMAL lanes,
+    and the corpus z = (R − E)/√V per type. Ciphertext-like payloads
+    pass; structured payloads (runs of ASCII, then runs of high
+    bytes) reject hard — the SEQUENTIAL complement of the marginal
+    chi-square/KS byte tests.
+
+    Exact: run and class counts are BIGINT; per-doc E and V are one
+    9dp-rounded division each (n, n₁ are doc-sized so nothing
+    overflows); single-class docs contribute R = 1 = E, V = 0 exactly.
+
+    Scale: map-side slide, per-doc rollup, 3-row final aggregate."""
+    from .multimodal import project_assets
+
+    assets = project_assets(
+        catalog.load(spark, sf_dir, "documents")
+    ).repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    )
+    hi = "substring(hx, 2 * i - 1, 1) >= '8'"
+    hi2 = "substring(hx, 2 * i + 1, 1) >= '8'"
+    per_doc = (
+        assets.select(
+            "media_type",
+            "doc_id",
+            F.expr("hex(payload)").alias("hx"),
+            F.octet_length("payload").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "media_type",
+            "doc_id",
+            F.col("n").cast("long").alias("n"),
+            F.expr(
+                f"cast(size(filter(sequence(1, n), i -> {hi}))"
+                f" as long)"
+            ).alias("n1"),
+            F.expr(
+                f"cast(size(filter(sequence(1, n - 1), i ->"
+                f" ({hi}) != ({hi2}))) as long) + 1"
+            ).alias("r"),
+        )
+    )
+    ev_ = "1.0d + 2.0d * n1 * (n - n1) / n"
+    vv = (
+        "2.0d * n1 * (n - n1) * (2.0d * n1 * (n - n1) - n)"
+        " / (cast(n as double) * n * (n - 1))"
+    )
+    agg = per_doc.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_bytes"),
+        F.sum("r").cast("long").alias("r_total"),
+        F.sum(
+            F.expr(f"cast(round({ev_}, 9) as decimal(38,9))")
+        ).alias("e_total"),
+        F.sum(
+            F.expr(f"cast(round({vv}, 9) as decimal(38,9))")
+        ).alias("v_total"),
+    )
+    z = (
+        "(cast(r_total as double) - cast(e_total as double))"
+        " / sqrt(cast(v_total as double))"
+    )
+    return agg.select(
+        "media_type",
+        "n_docs",
+        "n_bytes",
+        "r_total",
+        F.expr("round(cast(e_total as double), 6)").alias("e_total_r6"),
+        F.expr(
+            f"case when cast(v_total as double) <= 0 then null"
+            f" else round({z}, 6) end"
+        ).alias("z_r6"),
+        F.expr(
+            f"case when cast(v_total as double) <= 0 then null"
+            f" else abs({z}) > 1.959964 end"
+        ).alias("reject_random_05"),
+    ).orderBy("media_type")
+
+
+def _runs_oracle() -> str:
+    # 2e0 not 2.0: a bare 2.0 literal is DECIMAL in DuckDB and the
+    # arithmetic chain would leave the double domain Spark computes in
+    ev_ = "1e0 + 2e0 * n1 * (n - n1) / n"
+    vv = (
+        "2e0 * n1 * (n - n1) * (2e0 * n1 * (n - n1) - n)"
+        " / (CAST(n AS DOUBLE) * n * (n - 1))"
+    )
+    z = (
+        "(CAST(r_total AS DOUBLE) - CAST(e_total AS DOUBLE))"
+        " / sqrt(CAST(v_total AS DOUBLE))"
+    )
+    return f"""
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 2),
+per_doc AS (
+  SELECT media_type, doc_id, CAST(n AS BIGINT) AS n,
+         CAST((SELECT COUNT(*) FROM unnest(generate_series(1, n)) AS u(i)
+               WHERE substr(hx, 2 * i - 1, 1) >= '8') AS BIGINT) AS n1,
+         CAST((SELECT COUNT(*)
+               FROM unnest(generate_series(1, n - 1)) AS u(i)
+               WHERE (substr(hx, 2 * i - 1, 1) >= '8')
+                  != (substr(hx, 2 * i + 1, 1) >= '8')) AS BIGINT) + 1
+           AS r
+  FROM a),
+agg AS (
+  SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS n_bytes,
+         CAST(SUM(r) AS BIGINT) AS r_total,
+         SUM(CAST(ROUND({ev_}, 9) AS DECIMAL(38,9))) AS e_total,
+         SUM(CAST(ROUND({vv}, 9) AS DECIMAL(38,9))) AS v_total
+  FROM per_doc GROUP BY 1)
+SELECT media_type, n_docs, n_bytes, r_total,
+       ROUND(CAST(e_total AS DOUBLE), 6) AS e_total_r6,
+       CASE WHEN CAST(v_total AS DOUBLE) <= 0 THEN NULL
+            ELSE ROUND({z}, 6) END AS z_r6,
+       CASE WHEN CAST(v_total AS DOUBLE) <= 0 THEN NULL
+            ELSE abs({z}) > 1.959964 END AS reject_random_05
+FROM agg ORDER BY media_type
+"""
+
+
+ORACLE_BYTE_RUNS = _runs_oracle()
+
+
+# --------------------------------------------------------------------------
+# Kuiper circular-uniformity test on hour of day
+# --------------------------------------------------------------------------
+
+
+def stats_kuiper_hour_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper test of hour-of-day uniformity per event type: V = D⁺ +
+    D⁻ over the 24-bin clock grid against the 1.747/√N asymptotic 5%
+    band. Kuiper's V is the CIRCULAR-invariant KS — a load profile
+    whose peak straddles midnight moves probability across the 0-hour
+    cut, which vanilla KS under-reads and V detects identically
+    wherever the peak sits; the hypothesis-test companion to
+    ev_hour_of_day_profile's descriptive histogram.
+
+    Both deviations are computed on the discrete grid: D⁺ =
+    max_h(24·cum_h − N·(h+1)) and D⁻ = max_h(N·(h+1) − 24·cum_prev_h)
+    with cum_prev the left limit (documented discrete convention, the
+    exact sup for a step-vs-linear comparison); both BIGINT, floored
+    at 0, read through the qrem split over 24N.
+
+    Scale: (type × 24) cells after one map-side-combinable rollup."""
+    hr = f"(({_US}) div 3600000000) % 24"
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_type", F.expr(hr).cast("int").alias("h")
+    )
+    by = ev.groupBy("event_type", "h").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    grid = (
+        by.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(24).select(F.col("id").cast("int").alias("h")))
+        .join(by, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dev = grid.withColumn("cum", F.sum("c").over(wc)).withColumn(
+        "cum_prev", F.col("cum") - F.col("c")
+    )
+    tot = grid.groupBy("event_type").agg(F.sum("c").cast("long").alias("nn"))
+    per = (
+        dev.join(tot, "event_type")
+        .groupBy("event_type", "nn")
+        .agg(
+            F.greatest(
+                F.max(F.expr("24 * cum - nn * (h + 1)")), F.lit(0)
+            ).cast("long").alias("dplus"),
+            F.greatest(
+                F.max(F.expr("nn * (h + 1) - 24 * cum_prev")), F.lit(0)
+            ).cast("long").alias("dminus"),
+        )
+    )
+    v_raw = "cast(dplus + dminus as double) / cast(24 * nn as double)"
+    return per.select(
+        "event_type",
+        F.col("nn").alias("n_events"),
+        F.expr(qrem_round6_spark("dplus + dminus", "24 * nn")).alias(
+            "kuiper_v_r6"
+        ),
+        F.expr("round(1.747 / sqrt(cast(nn as double)), 6)").alias(
+            "crit_05_r6"
+        ),
+        F.expr(f"({v_raw}) > 1.747 / sqrt(cast(nn as double))").alias(
+            "reject_05"
+        ),
+    ).orderBy("event_type")
+
+
+ORACLE_KUIPER = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS h
+  FROM events),
+byh AS (
+  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, g.h, CAST(COALESCE(byh.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT event_type FROM byh) t
+  CROSS JOIN (SELECT unnest(range(24)) AS h) g
+  LEFT JOIN byh ON byh.event_type = t.event_type AND byh.h = g.h),
+dev AS (
+  SELECT event_type, h, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY h
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY h
+                      ROWS UNBOUNDED PRECEDING) - c AS cum_prev
+  FROM grid),
+tot AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS nn FROM grid GROUP BY 1),
+per AS (
+  SELECT dev.event_type, nn,
+         CAST(GREATEST(MAX(24 * cum - nn * (h + 1)), 0) AS BIGINT)
+           AS dplus,
+         CAST(GREATEST(MAX(nn * (h + 1) - 24 * cum_prev), 0) AS BIGINT)
+           AS dminus
+  FROM dev JOIN tot ON dev.event_type = tot.event_type
+  GROUP BY 1, 2)
+SELECT event_type, nn AS n_events,
+       {qrem_round6_duck('dplus + dminus', '24 * nn')} AS kuiper_v_r6,
+       ROUND(1.747 / sqrt(CAST(nn AS DOUBLE)), 6) AS crit_05_r6,
+       (CAST(dplus + dminus AS DOUBLE) / CAST(24 * nn AS DOUBLE))
+         > 1.747 / sqrt(CAST(nn AS DOUBLE)) AS reject_05
+FROM per ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Tukey-fence outlier audit of order totals
+# --------------------------------------------------------------------------
+
+
+def orders_tukey_fence_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit of order totals per priority class:
+    exact type-1 quartiles (k = ⌈q·n⌉ order statistics on cents), the
+    1.5·IQR fences kept INTEGER by working at doubled cents (2·lo =
+    5·Q1 − 3·Q3, 2·hi = 5·Q3 − 3·Q1 — no .5 ever materializes), and
+    the per-class outlier counts/share — the box-plot audit that
+    ev_hourly_mad_anomalies provides for time series, applied to the
+    revenue distribution where fat right tails live.
+
+    Scale: per-priority rank window (5 classes; the established
+    equidepth posture), then a broadcast of the 5-row fence table back
+    onto the totals for the exact count."""
+    o = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.expr(
+            "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+        ).alias("cents"),
+    )
+    wr = W.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    rk = o.withColumn("rk", F.row_number().over(wr))
+    nn = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    q13 = (
+        rk.join(nn, "o_orderpriority")
+        .groupBy("o_orderpriority", "n")
+        .agg(
+            F.max(
+                F.expr("case when rk = (n * 25 + 99) div 100 then cents end")
+            ).alias("q1"),
+            F.max(
+                F.expr("case when rk = (n * 75 + 99) div 100 then cents end")
+            ).alias("q3"),
+        )
+        .select(
+            "o_orderpriority", "n", "q1", "q3",
+            F.expr("5 * q1 - 3 * q3").alias("lo2"),
+            F.expr("5 * q3 - 3 * q1").alias("hi2"),
+        )
+    )
+    out = (
+        o.join(F.broadcast(q13), "o_orderpriority")
+        .groupBy("o_orderpriority", "n", "q1", "q3")
+        .agg(
+            F.sum(F.expr("cast(2 * cents < lo2 as long)"))
+            .cast("long").alias("n_low"),
+            F.sum(F.expr("cast(2 * cents > hi2 as long)"))
+            .cast("long").alias("n_high"),
+        )
+    )
+    share = rat_round6_spark("n_low + n_high", "n")
+    return out.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.expr("cast(q1 as double) / 100.0").alias("q1_price"),
+        F.expr("cast(q3 as double) / 100.0").alias("q3_price"),
+        "n_low",
+        "n_high",
+        F.expr(share).alias("outlier_share_r6"),
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_TUKEY_FENCE = f"""
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+rk AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_orderkey) AS rk
+  FROM o),
+nn AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1),
+q13 AS (
+  SELECT rk.o_orderpriority, n,
+         MAX(CASE WHEN rk = (n * 25 + 99) // 100 THEN cents END) AS q1,
+         MAX(CASE WHEN rk = (n * 75 + 99) // 100 THEN cents END) AS q3
+  FROM rk JOIN nn ON rk.o_orderpriority = nn.o_orderpriority
+  GROUP BY 1, 2),
+outc AS (
+  SELECT o.o_orderpriority, n, q1, q3,
+         CAST(SUM(CASE WHEN 2 * cents < 5 * q1 - 3 * q3
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         CAST(SUM(CASE WHEN 2 * cents > 5 * q3 - 3 * q1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+  FROM o JOIN q13 ON o.o_orderpriority = q13.o_orderpriority
+  GROUP BY 1, 2, 3, 4)
+SELECT o_orderpriority, n AS n_orders,
+       CAST(q1 AS DOUBLE) / 100.0 AS q1_price,
+       CAST(q3 AS DOUBLE) / 100.0 AS q3_price,
+       n_low, n_high,
+       {rat_round6_duck('n_low + n_high', 'n')} AS outlier_share_r6
+FROM outc ORDER BY o_orderpriority
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "stats_jarque_bera_daily",
+        stats_jarque_bera_daily,
+        ORACLE_JARQUE_BERA,
+        ("stats", "timeseries", "test"),
+        doc="Jarque-Bera normality test of daily counts (division-free "
+            "integer central moments, x*sqrt(x) instead of pow)",
+    ),
+    QuerySpec(
+        "emb_fisher_separability",
+        emb_fisher_separability,
+        ORACLE_FISHER,
+        ("embedding", "audit", "metric"),
+        doc="Fisher between/within scatter ratio of embedding labels "
+            "(BIGINT coordinate sums, 9dp decimal scatter identities)",
+    ),
+    QuerySpec(
+        "ev_topk_turnover_weekly",
+        ev_topk_turnover_weekly,
+        ORACLE_TOPK_TURNOVER,
+        ("events", "window", "drift"),
+        doc="Jaccard turnover and newcomer share of the weekly top-50 "
+            "active-user leaderboard (exact count rationals)",
+    ),
+    QuerySpec(
+        "mm_byte_runs_randomness",
+        mm_byte_runs_randomness,
+        ORACLE_BYTE_RUNS,
+        ("multimodal", "stats", "test"),
+        doc="Wald-Wolfowitz runs test of the high/low byte sequence per "
+            "media type (runs from the hex slide, decimal E/V lanes)",
+    ),
+    QuerySpec(
+        "stats_kuiper_hour_uniformity",
+        stats_kuiper_hour_uniformity,
+        ORACLE_KUIPER,
+        ("stats", "events", "test"),
+        doc="Kuiper circular-uniformity test of hour-of-day load per "
+            "event type (exact D+/D- BIGINT lanes on the 24-bin grid)",
+    ),
+    QuerySpec(
+        "orders_tukey_fence_outliers",
+        orders_tukey_fence_outliers,
+        ORACLE_TUKEY_FENCE,
+        ("orders", "audit", "stats"),
+        doc="Tukey-fence outlier audit of order totals per priority "
+            "(exact type-1 quartiles, doubled-cents integer fences)",
+    ),
+]

@@ -638,3 +638,201 @@ def test_rbo_identical_rankings(spark, tmp_path):
     assert row["n_queries"] >= 1
     assert 0.0 <= row["rbo_trunc_r6"] <= 0.651323  # sum of the 10 weights
     assert row["mean_agree_at1_r6"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Batch X twins
+# ---------------------------------------------------------------------------
+
+
+def test_jarque_bera_planted(spark, tmp_path):
+    """Counts [3,1,2,0,4]: division-free central-moment lanes and the
+    skew/kurtosis/JB chain recomputed from first principles."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_JARQUE_BERA,
+        stats_jarque_bera_daily,
+    )
+
+    counts = [3, 1, 2, 0, 4]
+    rows = []
+    eid = 0
+    for i, x in enumerate(counts):
+        for _ in range(x):
+            rows.append((eid, T0_US + i * US_PER_DAY, "e", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = stats_jarque_bera_daily(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_JARQUE_BERA, ["events"]
+    )
+    row = df.collect()[0]
+    n, s = 5, sum(counts)
+    c = [n * x - s for x in counts]
+    s2 = sum(v * v for v in c)
+    s3 = sum(v**3 for v in c)
+    s4 = sum(v**4 for v in c)
+    skew = s3 * math.sqrt(n) / (s2 * math.sqrt(s2))
+    kurt = n * s4 / (s2 * s2) - 3.0
+    jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    assert row["n_days"] == 5
+    assert row["skew_r6"] == round(skew, 6)
+    assert row["kurt_excess_r6"] == round(kurt, 6)
+    assert row["jb_r6"] == round(jb, 6)
+    assert row["reject_normal_05"] == (jb > 5.991465)
+
+
+def test_fisher_separability_planted(spark, tmp_path):
+    """Two labels x two grid-exact vectors: SB = 0.5625, SW = 0.0625,
+    Fisher ratio exactly 9."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_FISHER,
+        emb_fisher_separability,
+    )
+
+    full = [[0.25], [0.5], [-0.25], [-0.5]]
+    vecs = [list(v) + [0.0] * 63 for v in full]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(4), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0, 0, 1, 1], pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    df = emb_fisher_separability(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_FISHER, ["embeddings"]
+    )
+    row = df.collect()[0]
+    assert (row["n_vectors"], row["n_labels"]) == (4, 2)
+    assert row["sb_r6"] == 0.5625
+    assert row["sw_r6"] == 0.0625
+    assert row["fisher_ratio_r6"] == 9.0
+
+
+def test_topk_turnover_planted(spark, tmp_path):
+    """Week A top set {1,2,3}, week B {2,3,4}: Jaccard 2/4, newcomer
+    share 1/3 (sets smaller than K keep true sizes)."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_TOPK_TURNOVER,
+        ev_topk_turnover_weekly,
+    )
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        rows.append((eid, T0_US, "e", 1.0, u))
+        eid += 1
+    for u in (2, 3, 4):
+        rows.append((eid, T0_US + 7 * US_PER_DAY, "e", 1.0, u))
+        eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[4] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    df = ev_topk_turnover_weekly(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_TOPK_TURNOVER, ["events"]
+    )
+    rows_out = df.collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert (r["k_prev"], r["k_curr"], r["n_common"]) == (3, 3, 2)
+    assert r["jaccard_r6"] == 0.5
+    assert r["newcomer_share_r6"] == _r6(1, 3)
+
+
+def test_byte_runs_planted(spark, tmp_path):
+    """'aé' (UTF-8 61 C3 A9 -> classes L H H): runs 2, n1=2, the E/V/z
+    chain recomputed with the 9dp-round semantics; an all-low doc has
+    V = 0 and NULL z."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_BYTE_RUNS,
+        mm_byte_runs_randomness,
+    )
+
+    _write_docs(tmp_path, ["aé", "béab"], ["s0", "s1"])
+    # doc 0 (image): 61 C3 A9          -> L H H : r=2, n=3, n1=2
+    # doc 1 (audio): 62 C3 A9 61 62    -> L H H L L : r=3, n=5, n1=2
+    df = mm_byte_runs_randomness(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_BYTE_RUNS, ["documents"])
+    got = {r["media_type"]: r for r in df.collect()}
+    img = got["image"]
+    assert (img["n_docs"], img["n_bytes"], img["r_total"]) == (1, 3, 2)
+    e = round(1.0 + 2.0 * 2 * 1 / 3, 9)
+    v = round(2.0 * 2 * 1 * (2.0 * 2 * 1 - 3) / (3.0 * 3 * 2), 9)
+    assert img["e_total_r6"] == round(e, 6)
+    z = (2 - e) / math.sqrt(v)
+    assert img["z_r6"] == round(z, 6)
+    aud = got["audio"]
+    assert (aud["n_docs"], aud["n_bytes"], aud["r_total"]) == (1, 5, 3)
+
+
+def test_kuiper_planted(spark, tmp_path):
+    """Hours [0,0,12]: D+ = 45 (at h=0), D- = 3 (left limit at h=0),
+    V = 48/72."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_KUIPER,
+        stats_kuiper_hour_uniformity,
+    )
+
+    US_PER_HOUR = 3_600_000_000
+    rows = [
+        (0, T0_US, "e", 1.0),
+        (1, T0_US + 1, "e", 1.0),
+        (2, T0_US + 12 * US_PER_HOUR, "e", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    df = stats_kuiper_hour_uniformity(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_KUIPER, ["events"])
+    row = df.collect()[0]
+    assert row["n_events"] == 3
+    cum = [2 if h < 12 else 3 for h in range(24)]
+    dplus = max(24 * cum[h] - 3 * (h + 1) for h in range(24))
+    cum_prev = [0] + cum[:-1]
+    cum_prev[12] = 2  # left limit at the step
+    dminus = max(3 * (h + 1) - 24 * ([0] + cum[:23])[h]
+                 if h != 12 else 3 * 13 - 24 * 2
+                 for h in range(24))
+    assert dplus == 45 and max(dminus, 0) == 3
+    assert row["kuiper_v_r6"] == _r6(48, 72)
+    assert row["crit_05_r6"] == round(1.747 / math.sqrt(3), 6)
+    assert row["reject_05"] == (48 / 72 > 1.747 / math.sqrt(3))
+
+
+def test_tukey_fence_planted(spark, tmp_path):
+    """Cents [100,200,300,400,10000]: Q1=200, Q3=400, upper fence 700,
+    one high outlier, no low outliers."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_TUKEY_FENCE,
+        orders_tukey_fence_outliers,
+    )
+
+    prices = [1.0, 2.0, 3.0, 4.0, 100.0]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(5), pa.int64()),
+                "o_orderpriority": pa.array(["1-URGENT"] * 5),
+                "o_totalprice": pa.array(prices, pa.float64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    df = orders_tukey_fence_outliers(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_TUKEY_FENCE, ["orders"])
+    row = df.collect()[0]
+    assert row["n_orders"] == 5
+    assert row["q1_price"] == 2.0 and row["q3_price"] == 4.0
+    assert (row["n_low"], row["n_high"]) == (0, 1)
+    assert row["outlier_share_r6"] == 0.2
