@@ -4674,3 +4674,760 @@ SPECS += [
             "(exact type-1 quartiles, doubled-cents integer fences)",
     ),
 ]
+
+
+# ==========================================================================
+# Batch Y (round-14 continuation, third window)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue bridge (waterfall)
+# --------------------------------------------------------------------------
+
+
+def orders_revenue_bridge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue BRIDGE at the customer grain: each
+    consecutive month pair decomposes the revenue delta into new /
+    churned / expanded / contracted customer lanes, satisfying the
+    waterfall identity curr = prev + new − churned + expansion −
+    contraction EXACTLY (integer cents — both sides of the identity
+    are emitted so the reader can audit it). orders_cohort_ndr reads
+    retention per acquisition cohort; the bridge is the finance view:
+    where did THIS month's delta come from.
+
+    Calendar months with no orders still appear as pair members (a
+    dark month churns everyone; the next month books them as new).
+
+    Scale: one (custkey, month) rollup, then a self-equi-join on
+    (custkey, month+1) — shuffle-bounded by active customer-months —
+    and a month-grain rollup."""
+    mi = "year(o_orderdate) * 12 + month(o_orderdate) - 1"
+    cm = (
+        catalog.load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr(mi).cast("long").alias("m"),
+            F.expr(
+                "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            ).alias("cents"),
+        )
+        .groupBy("o_custkey", "m")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+        .localCheckpoint(eager=True)  # both sides of the bridge join
+    )
+    span = cm.agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+    months = span.select(
+        F.explode(F.expr("sequence(m0 + 1, m1)")).alias("m")
+    )
+    prev = cm.select(
+        F.col("o_custkey").alias("p_cust"),
+        (F.col("m") + 1).alias("pm"),
+        F.col("cents").alias("p_cents"),
+    )
+    j = cm.join(
+        prev,
+        (F.col("o_custkey") == F.col("p_cust")) & (F.col("m") == F.col("pm")),
+        "full",
+    ).select(
+        F.coalesce("m", "pm").alias("m"),
+        F.col("cents").alias("c_cents"),
+        "p_cents",
+    )
+    per = j.groupBy("m").agg(
+        F.sum(F.expr("case when p_cents is null then 1 else 0 end"))
+        .cast("long").alias("n_new"),
+        F.sum(F.expr("case when c_cents is null then 1 else 0 end"))
+        .cast("long").alias("n_churned"),
+        F.sum(
+            F.expr(
+                "case when c_cents is not null and p_cents is not null"
+                " and c_cents > p_cents then 1 else 0 end"
+            )
+        ).cast("long").alias("n_expanded"),
+        F.sum(
+            F.expr(
+                "case when c_cents is not null and p_cents is not null"
+                " and c_cents < p_cents then 1 else 0 end"
+            )
+        ).cast("long").alias("n_contracted"),
+        F.sum(F.expr("case when p_cents is null then c_cents else 0 end"))
+        .cast("long").alias("new_c"),
+        F.sum(F.expr("case when c_cents is null then p_cents else 0 end"))
+        .cast("long").alias("churn_c"),
+        F.sum(
+            F.expr(
+                "case when c_cents is not null and p_cents is not null"
+                " and c_cents > p_cents then c_cents - p_cents else 0 end"
+            )
+        ).cast("long").alias("exp_c"),
+        F.sum(
+            F.expr(
+                "case when c_cents is not null and p_cents is not null"
+                " and c_cents < p_cents then p_cents - c_cents else 0 end"
+            )
+        ).cast("long").alias("con_c"),
+        F.sum(F.coalesce("p_cents", F.lit(0))).cast("long").alias("prev_c"),
+        F.sum(F.coalesce("c_cents", F.lit(0))).cast("long").alias("curr_c"),
+    )
+    out = months.join(per, "m", "left").select(
+        F.col("m").alias("month_index"),
+        *[
+            F.coalesce(c, F.lit(0)).cast("long").alias(c)
+            for c in (
+                "n_new", "n_churned", "n_expanded", "n_contracted",
+            )
+        ],
+        *[
+            F.expr(f"cast(coalesce({c}, 0) as double) / 100.0").alias(a)
+            for c, a in (
+                ("prev_c", "prev_rev"), ("new_c", "new_rev"),
+                ("churn_c", "churned_rev"), ("exp_c", "expansion_rev"),
+                ("con_c", "contraction_rev"), ("curr_c", "curr_rev"),
+            )
+        ],
+    )
+    return out.orderBy("month_index")
+
+
+ORACLE_REVENUE_BRIDGE = """
+WITH cm AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS m,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2),
+months AS (
+  SELECT unnest(generate_series(MIN(m) + 1, MAX(m))) AS m FROM cm),
+j AS (
+  SELECT COALESCE(c.m, p.m + 1) AS m, c.cents AS c_cents,
+         p.cents AS p_cents
+  FROM cm c FULL JOIN cm p
+    ON c.o_custkey = p.o_custkey AND c.m = p.m + 1),
+per AS (
+  SELECT m,
+         CAST(SUM(CASE WHEN p_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(SUM(CASE WHEN c_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churned,
+         CAST(SUM(CASE WHEN c_cents IS NOT NULL AND p_cents IS NOT NULL
+                       AND c_cents > p_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_expanded,
+         CAST(SUM(CASE WHEN c_cents IS NOT NULL AND p_cents IS NOT NULL
+                       AND c_cents < p_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contracted,
+         CAST(SUM(CASE WHEN p_cents IS NULL THEN c_cents ELSE 0 END)
+              AS BIGINT) AS new_c,
+         CAST(SUM(CASE WHEN c_cents IS NULL THEN p_cents ELSE 0 END)
+              AS BIGINT) AS churn_c,
+         CAST(SUM(CASE WHEN c_cents IS NOT NULL AND p_cents IS NOT NULL
+                       AND c_cents > p_cents THEN c_cents - p_cents
+                       ELSE 0 END) AS BIGINT) AS exp_c,
+         CAST(SUM(CASE WHEN c_cents IS NOT NULL AND p_cents IS NOT NULL
+                       AND c_cents < p_cents THEN p_cents - c_cents
+                       ELSE 0 END) AS BIGINT) AS con_c,
+         CAST(SUM(COALESCE(p_cents, 0)) AS BIGINT) AS prev_c,
+         CAST(SUM(COALESCE(c_cents, 0)) AS BIGINT) AS curr_c
+  FROM j GROUP BY 1)
+SELECT months.m AS month_index,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned,
+       CAST(COALESCE(n_expanded, 0) AS BIGINT) AS n_expanded,
+       CAST(COALESCE(n_contracted, 0) AS BIGINT) AS n_contracted,
+       CAST(COALESCE(prev_c, 0) AS DOUBLE) / 100.0 AS prev_rev,
+       CAST(COALESCE(new_c, 0) AS DOUBLE) / 100.0 AS new_rev,
+       CAST(COALESCE(churn_c, 0) AS DOUBLE) / 100.0 AS churned_rev,
+       CAST(COALESCE(exp_c, 0) AS DOUBLE) / 100.0 AS expansion_rev,
+       CAST(COALESCE(con_c, 0) AS DOUBLE) / 100.0 AS contraction_rev,
+       CAST(COALESCE(curr_c, 0) AS DOUBLE) / 100.0 AS curr_rev
+FROM months LEFT JOIN per ON months.m = per.m
+ORDER BY month_index
+"""
+
+
+# --------------------------------------------------------------------------
+# Two-sample Cramer-von Mises: weekend vs weekday values
+# --------------------------------------------------------------------------
+
+
+def stats_cramer_von_mises_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises test of weekend vs weekday event
+    VALUES on the tie-aware ECDF form T = Σ_v (F̂−Ĝ)²(f_v+g_v) ·
+    nm/(n+m)² — the INTEGRATED-difference companion to the existing
+    KS (sup-difference) and Mann-Whitney (rank-shift) weekend tests:
+    CvM accumulates distributional difference over the whole support,
+    so many small ECDF gaps that KS ignores and a location-free shape
+    change that MWU ignores both register.
+
+    Exact: values quantize to micro-units; everything runs at VALUE
+    grain (cum counts per distinct value — no row-grain sort, the
+    mann-whitney value-grain posture), D_v = m·cumF − n·cumG is
+    BIGINT, the Σ D²(f+g) term accumulates as DECIMAL(38,0), and the
+    single division readout is over the DECIMAL denominator
+    nm(n+m)². Asymptotic 5% critical 0.461 (literal).
+
+    Scale: state = distinct value grid (quantized cents-scale — tens
+    of thousands of cells at any SF) after one map-side rollup."""
+    day = f"({_US}) div {_DAY_US}"
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.expr(f"(({day}) + 3) % 7 >= 5").alias("wkend"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    vg = ev.groupBy("v").agg(
+        F.sum(F.expr("cast(wkend as long)")).cast("long").alias("f"),
+        F.sum(F.expr("cast(not wkend as long)")).cast("long").alias("g"),
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = vg.select(
+        "v", "f", "g",
+        F.sum("f").over(wv).alias("cf"),
+        F.sum("g").over(wv).alias("cg"),
+    )
+    tot = vg.agg(
+        F.sum("f").cast("long").alias("n"), F.sum("g").cast("long").alias("m")
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.sum(
+            F.expr(
+                "cast((m * cf - n * cg) as decimal(38,0))"
+                " * (m * cf - n * cg) * (f + g)"
+            )
+        ).alias("u"),
+    )
+    t_ = (
+        "cast(u as double) * n * m / (cast(n as double) * n * m * m"
+        " * (n + m) * (n + m))"
+    )
+    return terms.select(
+        F.col("n").alias("n_weekend"),
+        F.col("m").alias("n_weekday"),
+        F.expr(
+            f"case when n = 0 or m = 0 then null else round({t_}, 6) end"
+        ).alias("cvm_t_r6"),
+        F.expr("cast(0.461 as double)").alias("crit_05"),
+        F.expr(
+            f"case when n = 0 or m = 0 then null"
+            f" else ({t_}) > 0.461 end"
+        ).alias("reject_05"),
+    )
+
+
+def _cvm_oracle() -> str:
+    t_ = (
+        "CAST(u AS DOUBLE) * n * m / (CAST(n AS DOUBLE) * n * m * m"
+        " * (n + m) * (n + m))"
+    )
+    return f"""
+WITH ev AS (
+  SELECT ((epoch_us(ts) // {_DAY_US}) + 3) % 7 >= 5 AS wkend,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events),
+vg AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN wkend THEN 1 ELSE 0 END) AS BIGINT) AS f,
+         CAST(SUM(CASE WHEN wkend THEN 0 ELSE 1 END) AS BIGINT) AS g
+  FROM ev GROUP BY 1),
+cum AS (
+  SELECT v, f, g,
+         SUM(f) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cf,
+         SUM(g) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cg
+  FROM vg),
+tot AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS n, CAST(SUM(g) AS BIGINT) AS m
+  FROM vg),
+terms AS (
+  SELECT MAX(n) AS n, MAX(m) AS m,
+         SUM(CAST((m * cf - n * cg) AS DECIMAL(38,0))
+             * (m * cf - n * cg) * (f + g)) AS u
+  FROM cum CROSS JOIN tot)
+SELECT n AS n_weekend, m AS n_weekday,
+       CASE WHEN n = 0 OR m = 0 THEN NULL
+            ELSE ROUND({t_}, 6) END AS cvm_t_r6,
+       CAST(0.461 AS DOUBLE) AS crit_05,
+       CASE WHEN n = 0 OR m = 0 THEN NULL
+            ELSE ({t_}) > 0.461 END AS reject_05
+FROM terms
+"""
+
+
+ORACLE_CVM_WEEKEND = _cvm_oracle()
+
+
+# --------------------------------------------------------------------------
+# Mood's median test: weekend vs weekday values
+# --------------------------------------------------------------------------
+
+
+def stats_mood_median_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of weekend vs weekday event values: the 2×2
+    table of (group × above/below the GRAND median) and its χ²(1)
+    statistic — the coarsest, most outlier-proof of the weekend
+    location tests (only the side of the median matters), closing the
+    weekend bench alongside MWU (ranks), sign test, QTE and CvM.
+
+    The grand median is the exact k = ⌈N/2⌉ order statistic located
+    at VALUE grain (cumulative counts over the quantized micro-unit
+    grid — no row sort, the value-grain selection posture); ties AT
+    the median are excluded from the table (documented convention),
+    and χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) runs on DECIMAL
+    cross-products with one double division.
+
+    Scale: two passes over the distinct-value grid, both map-side
+    combinable rollups."""
+    day = f"({_US}) div {_DAY_US}"
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.expr(f"(({day}) + 3) % 7 >= 5").alias("wkend"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("v"),
+    )
+    vg = ev.groupBy("v").agg(
+        F.sum(F.expr("cast(wkend as long)")).cast("long").alias("f"),
+        F.sum(F.expr("cast(not wkend as long)")).cast("long").alias("g"),
+    ).localCheckpoint(eager=True)  # median scan + table rollup
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = vg.agg(F.sum(F.expr("f + g")).cast("long").alias("nn"))
+    med = (
+        vg.select("v", F.sum(F.expr("f + g")).over(wv).alias("cum"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.expr("cum >= (nn + 1) div 2"))
+        .agg(F.min("v").alias("med"))
+    )
+    tab = vg.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.expr("case when v > med then f else 0 end"))
+        .cast("long").alias("a"),
+        F.sum(F.expr("case when v < med then f else 0 end"))
+        .cast("long").alias("b"),
+        F.sum(F.expr("case when v > med then g else 0 end"))
+        .cast("long").alias("c"),
+        F.sum(F.expr("case when v < med then g else 0 end"))
+        .cast("long").alias("d"),
+        F.max("med").alias("med"),
+    )
+    chi = (
+        "cast((a + b + c + d) * cast(a * d - b * c as decimal(38,0))"
+        " * (a * d - b * c) as double)"
+        " / (cast(cast(a + b as decimal(38,0)) * (c + d) * (a + c)"
+        " * (b + d) as double))"
+    )
+    guard = "(a + b) = 0 or (c + d) = 0 or (a + c) = 0 or (b + d) = 0"
+    return tab.select(
+        F.expr("cast(med as double) / 1000000.0").alias("grand_median"),
+        F.col("a").alias("n_wkend_above"),
+        F.col("b").alias("n_wkend_below"),
+        F.col("c").alias("n_wkday_above"),
+        F.col("d").alias("n_wkday_below"),
+        F.expr(
+            f"case when {guard} then null else round({chi}, 6) end"
+        ).alias("chi2_r6"),
+        F.expr(
+            f"case when {guard} then null else ({chi}) > 3.841459 end"
+        ).alias("reject_05"),
+    )
+
+
+def _mood_oracle() -> str:
+    chi = (
+        "CAST((a + b + c + d) * CAST(a * d - b * c AS DECIMAL(38,0))"
+        " * (a * d - b * c) AS DOUBLE)"
+        " / (CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c)"
+        " * (b + d) AS DOUBLE))"
+    )
+    guard = "(a + b) = 0 OR (c + d) = 0 OR (a + c) = 0 OR (b + d) = 0"
+    return f"""
+WITH ev AS (
+  SELECT ((epoch_us(ts) // {_DAY_US}) + 3) % 7 >= 5 AS wkend,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events),
+vg AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN wkend THEN 1 ELSE 0 END) AS BIGINT) AS f,
+         CAST(SUM(CASE WHEN wkend THEN 0 ELSE 1 END) AS BIGINT) AS g
+  FROM ev GROUP BY 1),
+tot AS (SELECT CAST(SUM(f + g) AS BIGINT) AS nn FROM vg),
+med AS (
+  SELECT MIN(v) AS med FROM (
+    SELECT v, SUM(f + g) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             AS cum
+    FROM vg) c CROSS JOIN tot
+  WHERE cum >= (nn + 1) // 2),
+tab AS (
+  SELECT CAST(SUM(CASE WHEN v > med THEN f ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN v < med THEN f ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN v > med THEN g ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN v < med THEN g ELSE 0 END) AS BIGINT) AS d,
+         MAX(med) AS med
+  FROM vg CROSS JOIN med)
+SELECT CAST(med AS DOUBLE) / 1000000.0 AS grand_median,
+       a AS n_wkend_above, b AS n_wkend_below,
+       c AS n_wkday_above, d AS n_wkday_below,
+       CASE WHEN {guard} THEN NULL ELSE ROUND({chi}, 6) END AS chi2_r6,
+       CASE WHEN {guard} THEN NULL ELSE ({chi}) > 3.841459 END
+         AS reject_05
+FROM tab
+"""
+
+
+ORACLE_MOOD_MEDIAN = _mood_oracle()
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: user consecutive-active-day streaks
+# --------------------------------------------------------------------------
+
+
+def ev_user_day_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over user activity: each user's distinct
+    active days split into maximal CONSECUTIVE runs (day −
+    dense-index is constant within a run — the classic islands
+    idiom), rolled up into the island-length distribution with the
+    user reach per length. The engagement-consistency readout
+    (ev_stickiness_dau_mau is a ratio; this is the full streak
+    histogram behind it), and the registry's canonical gaps-and-
+    islands exemplar.
+
+    Exact: pure integer day arithmetic and counts; share over all
+    islands through the rat split.
+
+    Scale: one (user, day) distinct rollup; the islands window
+    partitions BY USER (rows per user bounded by the calendar
+    horizon); final state is the tiny length histogram."""
+    day = f"({_US}) div {_DAY_US}"
+    ud = (
+        catalog.load(spark, sf_dir, "events")
+        .select("user_id", F.expr(day).alias("d"))
+        .distinct()
+    )
+    wu = W.partitionBy("user_id").orderBy("d")
+    isl = ud.select(
+        "user_id",
+        (F.col("d") - F.row_number().over(wu)).alias("grp"),
+    ).groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    tot = isl.agg(F.count("*").cast("long").alias("n_islands_total"))
+    per = isl.groupBy("len").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    share = rat_round6_spark("n_islands", "n_islands_total")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("len").alias("island_len_days"),
+            "n_islands",
+            "n_users",
+            F.expr(share).alias("island_share_r6"),
+        )
+        .orderBy("island_len_days")
+    )
+
+
+ORACLE_DAY_ISLANDS = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events),
+isl AS (
+  SELECT user_id,
+         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM ud),
+runs AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM isl GROUP BY 1, 2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_islands_total FROM runs),
+per AS (
+  SELECT len, CAST(COUNT(*) AS BIGINT) AS n_islands,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM runs GROUP BY 1)
+SELECT len AS island_len_days, n_islands, n_users,
+       {rat_round6_duck('n_islands', 'n_islands_total')}
+         AS island_share_r6
+FROM per CROSS JOIN tot ORDER BY island_len_days
+"""
+
+
+# --------------------------------------------------------------------------
+# ABC x XYZ inventory classification matrix
+# --------------------------------------------------------------------------
+
+
+def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC × XYZ classification matrix of parts: ABC from cumulative
+    revenue share (A ≤ 80%, B ≤ 95% — the orders_abc_migration
+    boundaries, integer cross-multiplied) crossed with XYZ demand
+    VARIABILITY — CV of monthly shipped quantity over the full
+    calendar month spine (X: CV ≤ ½ steady, Y: ≤ 1, Z: erratic) —
+    the inventory-planning matrix ("A-X parts get safety stock math,
+    C-Z parts get made to order") that neither classification alone
+    provides.
+
+    Exact: revenue on cents lanes, cumshare boundaries and CV bands
+    integer cross-multiplications (zero-sales months included via the
+    spine count, so Σq and Σq² are over the TRUE n months; Σg > 0
+    guaranteed for any traded part).
+
+    Scale: one (part, month) rollup, a part-grain revenue rank window
+    (the abc_migration posture), and a 9-cell rollup."""
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "year(l_shipdate) * 12 + month(l_shipdate) - 1"
+        ).cast("long").alias("m"),
+        F.expr(_REV_CENTS).alias("cents"),
+        F.expr("cast(floor(l_quantity + 0.5) as bigint)").alias("q"),
+    )
+    span = li.agg(
+        (F.max("m") - F.min("m") + 1).cast("long").alias("n_months")
+    )
+    pm = li.groupBy("l_partkey", "m").agg(
+        F.sum("q").cast("long").alias("q")
+    )
+    per = (
+        pm.groupBy("l_partkey")
+        .agg(
+            F.sum("q").cast("long").alias("sq"),
+            F.sum(F.expr("q * q")).cast("long").alias("sq2"),
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            "l_partkey",
+            F.expr(
+                "case when 4 * n_months * sq2 <= 5 * sq * sq then 'X'"
+                " when n_months * sq2 <= 2 * sq * sq then 'Y'"
+                " else 'Z' end"
+            ).alias("xyz"),
+        )
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.sum("cents").cast("long").alias("cents")
+    )
+    wr = W.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    abc = (
+        rev.withColumn("cum", F.sum("cents").over(wr))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "cents",
+            F.expr(
+                "case when 5 * cum <= 4 * t then 'A'"
+                " when 20 * cum <= 19 * t then 'B' else 'C' end"
+            ).alias("abc"),
+        )
+    )
+    j = abc.join(per, "l_partkey")
+    share = qrem_round6_spark("cents_cell", "t")
+    return (
+        j.groupBy("abc", "xyz")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("cents_cell"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc",
+            "xyz",
+            "n_parts",
+            F.expr(share).alias("revenue_share_r6"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+ORACLE_ABC_XYZ = f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+           AS m,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q
+  FROM lineitem),
+span AS (SELECT CAST(MAX(m) - MIN(m) + 1 AS BIGINT) AS n_months FROM li),
+pm AS (
+  SELECT l_partkey, m, CAST(SUM(q) AS BIGINT) AS q
+  FROM li GROUP BY 1, 2),
+per AS (
+  SELECT l_partkey,
+         CASE WHEN 4 * n_months * sq2 <= 5 * sq * sq THEN 'X'
+              WHEN n_months * sq2 <= 2 * sq * sq THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM (SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS sq,
+               CAST(SUM(q * q) AS BIGINT) AS sq2
+        FROM pm GROUP BY 1) s CROSS JOIN span),
+rev AS (
+  SELECT l_partkey, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM li GROUP BY 1),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+abc AS (
+  SELECT l_partkey, cents,
+         CASE WHEN 5 * cum <= 4 * t THEN 'A'
+              WHEN 20 * cum <= 19 * t THEN 'B' ELSE 'C' END AS abc
+  FROM (SELECT l_partkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM rev) r CROSS JOIN tot),
+j AS (
+  SELECT abc, xyz, abc0.cents
+  FROM (SELECT l_partkey, cents, abc FROM abc) abc0
+  JOIN per ON abc0.l_partkey = per.l_partkey)
+SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       {qrem_round6_duck('CAST(SUM(j.cents) AS BIGINT)', 't')}
+         AS revenue_share_r6
+FROM j CROSS JOIN tot
+GROUP BY abc, xyz, t ORDER BY abc, xyz
+"""
+
+
+# --------------------------------------------------------------------------
+# PMI collocation extraction
+# --------------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_N = 20
+
+
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the corpus top-{COLLOC_TOP_N} adjacent
+    word bigrams by pointwise mutual information PMI = ln(N·c_xy /
+    (c_x·c_y)) with a ≥{COLLOC_MIN_COUNT} count floor — the classic
+    "new-york problem" detector that decides which token pairs a
+    tokenizer or phrase index should fuse. ev_pmi_cooccur applies PMI
+    to event types; this is the text-pipeline form, over the same
+    tokenization as the Zipf/Heaps ops.
+
+    Exact: all counts BIGINT; PMI's log argument is an exact integer
+    ratio evaluated as one double chain, 9dp-rounded before ranking
+    (ties then break on the bigram string, fully deterministic).
+
+    Scale: the bigram slide is map-side; unigram and bigram tables
+    shuffle once on their keys; the rank window runs on the ≥floor
+    bigram survivors only."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("ts"),
+    )
+    uni = toks.select(F.explode("ts").alias("t")).groupBy("t").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    n_tok = uni.agg(F.sum("c").cast("long").alias("nn"))
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(ts[i - 1] as x, ts[i] as y))"
+            )
+        ).alias("b")
+    ).select("b.x", "b.y").groupBy("x", "y").agg(
+        F.count("*").cast("long").alias("cxy")
+    ).filter(F.col("cxy") >= COLLOC_MIN_COUNT)
+    ux = uni.select(F.col("t").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("t").alias("y"), F.col("c").alias("cy"))
+    scored = (
+        bg.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "x", "y", "cxy", "cx", "cy",
+            F.expr(
+                "round(ln(cast(nn as double) * cxy"
+                " / (cast(cx as double) * cy)), 9)"
+            ).alias("pmi_r9"),
+        )
+    )
+    wr = W.orderBy(F.desc("pmi_r9"), F.asc("x"), F.asc("y"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= COLLOC_TOP_N)
+        .select(
+            F.col("rk").cast("long").alias("rank"),
+            F.col("x").alias("w1"),
+            F.col("y").alias("w2"),
+            F.col("cxy").alias("n_pair"),
+            "cx",
+            "cy",
+            F.expr("round(pmi_r9, 6)").alias("pmi_r6"),
+        )
+        .orderBy("rank")
+    )
+
+
+ORACLE_COLLOCATION = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+           AS ts
+  FROM documents),
+uni AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, LATERAL unnest(ts) AS u(t) GROUP BY 1),
+n_tok AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM uni),
+bg AS (
+  SELECT ts[i] AS x, ts[i + 1] AS y, CAST(COUNT(*) AS BIGINT) AS cxy
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1)) AS g(i)
+  GROUP BY 1, 2 HAVING COUNT(*) >= {COLLOC_MIN_COUNT}),
+scored AS (
+  SELECT x, y, cxy, ux.c AS cx, uy.c AS cy,
+         ROUND(ln(CAST(nn AS DOUBLE) * cxy
+                  / (CAST(ux.c AS DOUBLE) * uy.c)), 9) AS pmi_r9
+  FROM bg JOIN uni ux ON bg.x = ux.t JOIN uni uy ON bg.y = uy.t
+  CROSS JOIN n_tok)
+SELECT CAST(rk AS BIGINT) AS rank, x AS w1, y AS w2, cxy AS n_pair,
+       cx, cy, ROUND(pmi_r9, 6) AS pmi_r6
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_r9 DESC, x, y) AS rk
+      FROM scored)
+WHERE rk <= {COLLOC_TOP_N} ORDER BY rank
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "orders_revenue_bridge_monthly",
+        orders_revenue_bridge_monthly,
+        ORACLE_REVENUE_BRIDGE,
+        ("orders", "finance", "drift"),
+        doc="month-over-month revenue waterfall (new/churned/expansion/"
+            "contraction customer lanes, exact-cents identity)",
+    ),
+    QuerySpec(
+        "stats_cramer_von_mises_weekend",
+        stats_cramer_von_mises_weekend,
+        ORACLE_CVM_WEEKEND,
+        ("stats", "events", "test"),
+        doc="two-sample Cramer-von Mises weekend-vs-weekday value test "
+            "on the tie-aware value-grain ECDF form (BIGINT D lanes)",
+    ),
+    QuerySpec(
+        "stats_mood_median_weekend",
+        stats_mood_median_weekend,
+        ORACLE_MOOD_MEDIAN,
+        ("stats", "events", "test"),
+        doc="Mood's median test weekend-vs-weekday (value-grain exact "
+            "grand median, decimal chi-square lanes)",
+    ),
+    QuerySpec(
+        "ev_user_day_islands",
+        ev_user_day_islands,
+        ORACLE_DAY_ISLANDS,
+        ("events", "window", "sessionization"),
+        doc="gaps-and-islands consecutive-active-day streak histogram "
+            "per user (day - row_number grouping idiom)",
+    ),
+    QuerySpec(
+        "orders_abc_xyz_matrix",
+        orders_abc_xyz_matrix,
+        ORACLE_ABC_XYZ,
+        ("orders", "finance", "inventory"),
+        doc="ABC revenue classing x XYZ demand-variability matrix "
+            "(integer cumshare and CV-band boundaries, spine months)",
+    ),
+    QuerySpec(
+        "text_collocation_pmi",
+        text_collocation_pmi,
+        ORACLE_COLLOCATION,
+        ("text", "nlp"),
+        doc="top-20 adjacent-bigram collocations by 9dp-rounded PMI "
+            "with a count floor (deterministic tie-break)",
+    ),
+]

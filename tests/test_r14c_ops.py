@@ -836,3 +836,212 @@ def test_tukey_fence_planted(spark, tmp_path):
     assert row["q1_price"] == 2.0 and row["q3_price"] == 4.0
     assert (row["n_low"], row["n_high"]) == (0, 1)
     assert row["outlier_share_r6"] == 0.2
+
+
+# ---------------------------------------------------------------------------
+# Batch Y twins
+# ---------------------------------------------------------------------------
+
+
+def test_revenue_bridge_planted(spark, tmp_path):
+    """Three customers over two months: one churns, one expands, one is
+    new; the waterfall identity checks exactly, and a dark middle
+    month churns everyone then rebooks them as new."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_REVENUE_BRIDGE,
+        orders_revenue_bridge_monthly,
+    )
+
+    # month 0 = Jan 2024 (day T0_DAY), month 1 = Feb 2024
+    jan, feb = T0_DAY, T0_DAY + 31
+    orders = [
+        # c1: 10.00 in Jan, gone in Feb (churn)
+        (1, 1, jan, 10.0),
+        # c2: 5.00 Jan -> 8.00 Feb (expansion +3)
+        (2, 2, jan, 5.0), (3, 2, feb, 8.0),
+        # c3: new in Feb with 4.00
+        (4, 3, feb, 4.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+                "o_orderdate": pa.array(
+                    [r[2] * US_PER_DAY for r in orders], pa.timestamp("us")
+                ),
+                "o_totalprice": pa.array(
+                    [r[3] for r in orders], pa.float64()
+                ),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    df = orders_revenue_bridge_monthly(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_REVENUE_BRIDGE, ["orders"]
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_new"], r["n_churned"], r["n_expanded"],
+            r["n_contracted"]) == (1, 1, 1, 0)
+    assert r["prev_rev"] == 15.0 and r["curr_rev"] == 12.0
+    assert r["new_rev"] == 4.0 and r["churned_rev"] == 10.0
+    assert r["expansion_rev"] == 3.0 and r["contraction_rev"] == 0.0
+    # waterfall identity
+    assert r["curr_rev"] == r["prev_rev"] + r["new_rev"] - r[
+        "churned_rev"] + r["expansion_rev"] - r["contraction_rev"]
+
+
+def test_cvm_weekend_planted(spark, tmp_path):
+    """Weekend values {1,3}, weekday values {2,4}: the value-grain
+    D = m*cumF - n*cumG lanes recomputed by hand."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_CVM_WEEKEND,
+        stats_cramer_von_mises_weekend,
+    )
+
+    # T0_DAY = 19723; (d+3)%7 >= 5 -> weekend. 19723+3=19726, %7 = 4
+    # (Monday). Saturday is T0_DAY + 5.
+    sat = T0_US + 5 * US_PER_DAY
+    rows = [
+        (0, sat, "e", 1.0), (1, sat, "e", 3.0),       # weekend
+        (2, T0_US, "e", 2.0), (3, T0_US, "e", 4.0),   # weekday
+    ]
+    _write_events(tmp_path, rows)
+    df = stats_cramer_von_mises_weekend(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_CVM_WEEKEND, ["events"])
+    row = df.collect()[0]
+    assert (row["n_weekend"], row["n_weekday"]) == (2, 2)
+    # value grid (us): 1e6(f=1),2e6(g=1),3e6(f=1),4e6(g=1); n=m=2
+    # D = 2*cf - 2*cg: 2, 0, 2, 0 -> U = sum D^2*(f+g) = 4+0+4+0 = 8
+    # T = U/(n*m*(n+m)^2) = 8/(2*2*16) = 0.125
+    assert row["cvm_t_r6"] == 0.125
+    assert row["reject_05"] is False
+
+
+def test_mood_median_planted(spark, tmp_path):
+    """Weekend values {1,2}, weekday {3,4}: grand median (k=2nd of 4)
+    is 2, ties at the median drop, table = [[0,1],[2,0]]."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_MOOD_MEDIAN,
+        stats_mood_median_weekend,
+    )
+
+    sat = T0_US + 5 * US_PER_DAY
+    rows = [
+        (0, sat, "e", 1.0), (1, sat, "e", 2.0),
+        (2, T0_US, "e", 3.0), (3, T0_US, "e", 4.0),
+    ]
+    _write_events(tmp_path, rows)
+    df = stats_mood_median_weekend(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_MOOD_MEDIAN, ["events"])
+    row = df.collect()[0]
+    assert row["grand_median"] == 2.0
+    assert (row["n_wkend_above"], row["n_wkend_below"]) == (0, 1)
+    assert (row["n_wkday_above"], row["n_wkday_below"]) == (2, 0)
+    n = 0 + 1 + 2 + 0
+    chi = n * (0 * 0 - 1 * 2) ** 2 / (1 * 2 * 2 * 1)
+    assert row["chi2_r6"] == round(chi, 6)
+
+
+def test_day_islands_planted(spark, tmp_path):
+    """User 1 active days {0,1,2, 5}, user 2 {0, 2,3}: islands of
+    length 3,1 and 1,2."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_DAY_ISLANDS,
+        ev_user_day_islands,
+    )
+
+    def ev(eid, day, user):
+        return (eid, T0_US + day * US_PER_DAY, user)
+
+    plan = [ev(0, 0, 1), ev(1, 1, 1), ev(2, 2, 1), ev(3, 5, 1),
+            ev(4, 0, 2), ev(5, 2, 2), ev(6, 3, 2)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in plan], pa.int64()),
+                "ts": pa.array([r[1] for r in plan], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in plan], pa.int64()),
+                "event_type": pa.array(["e"] * len(plan)),
+                "value": pa.array([1.0] * len(plan), pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    df = ev_user_day_islands(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_DAY_ISLANDS, ["events"])
+    got = {r["island_len_days"]: r for r in df.collect()}
+    # islands: u1 -> len 3 and len 1; u2 -> len 1 and len 2
+    assert got[1]["n_islands"] == 2 and got[1]["n_users"] == 2
+    assert got[2]["n_islands"] == 1 and got[2]["n_users"] == 1
+    assert got[3]["n_islands"] == 1 and got[3]["n_users"] == 1
+    assert got[1]["island_share_r6"] == 0.5
+
+
+def test_abc_xyz_planted(spark, tmp_path):
+    """Two parts over a two-month spine: the steady 80%-revenue part
+    reads A-X, the erratic small part reads C-Z (B band empty)."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_ABC_XYZ,
+        orders_abc_xyz_matrix,
+    )
+
+    jan, feb = T0_DAY, T0_DAY + 31
+    # part 1: qty 10+10 steady, revenue 160.00 -> cum 80% exactly -> A
+    # part 2: qty 20+0 erratic, revenue 40.00 -> C (cum > 95%)
+    lines = [
+        (1, jan, 80.0, 10.0), (1, feb, 80.0, 10.0),
+        (2, jan, 40.0, 20.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([r[0] for r in lines], pa.int64()),
+                "l_shipdate": pa.array(
+                    [r[1] * US_PER_DAY for r in lines], pa.timestamp("us")
+                ),
+                "l_extendedprice": pa.array(
+                    [r[2] for r in lines], pa.float64()
+                ),
+                "l_discount": pa.array([0.0] * len(lines), pa.float64()),
+                "l_quantity": pa.array([r[3] for r in lines], pa.float64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    df = orders_abc_xyz_matrix(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_ABC_XYZ, ["lineitem"])
+    got = {(r["abc"], r["xyz"]): r for r in df.collect()}
+    # part1: n=2 months, sq=20, sq2=200: 4*2*200=1600 <= 5*400=2000 -> X
+    # part2: sq=20, sq2=400: 4*2*400=3200 > 2000; 2*400=800 > 2*400 ->
+    #        n*sq2=800 > 2*sq*sq=800? 800 <= 800 -> Y boundary: ties to Y
+    assert got[("A", "X")]["n_parts"] == 1
+    assert got[("A", "X")]["revenue_share_r6"] == 0.8
+    assert got[("C", "Y")]["n_parts"] == 1
+    assert got[("C", "Y")]["revenue_share_r6"] == 0.2
+
+
+def test_collocation_pmi_planted(spark, tmp_path):
+    """'new york' repeated 5 times (floor) against a background of
+    independent tokens: the bigram tops the PMI list with the exact
+    ln(N*cxy/(cx*cy)) score."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_COLLOCATION,
+        text_collocation_pmi,
+    )
+
+    texts = ["new york"] * 5 + ["a b a c a d"]
+    _write_docs(tmp_path, texts, [f"s{i}" for i in range(6)])
+    df = text_collocation_pmi(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_COLLOCATION, ["documents"]
+    )
+    rows = df.collect()
+    assert rows[0]["w1"] == "new" and rows[0]["w2"] == "york"
+    assert rows[0]["n_pair"] == 5
+    n_tokens = 10 + 6
+    pmi = round(math.log(n_tokens * 5 / (5 * 5)), 9)
+    assert rows[0]["pmi_r6"] == round(pmi, 6)
