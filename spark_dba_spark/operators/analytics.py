@@ -5431,3 +5431,698 @@ SPECS += [
             "with a count floor (deterministic tie-break)",
     ),
 ]
+
+
+# ==========================================================================
+# Batch Z (round-14 continuation, third window)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Circular resultant + Rayleigh test on hour of day
+# --------------------------------------------------------------------------
+
+_HOUR_COS = (
+    "1.0", "0.965925826289", "0.866025403784", "0.707106781187", "0.5",
+    "0.258819045103", "0.0", "-0.258819045103", "-0.5", "-0.707106781187",
+    "-0.866025403784", "-0.965925826289", "-1.0", "-0.965925826289",
+    "-0.866025403784", "-0.707106781187", "-0.5", "-0.258819045103", "0.0",
+    "0.258819045103", "0.5", "0.707106781187", "0.866025403784",
+    "0.965925826289",
+)
+_HOUR_SIN = tuple(
+    _HOUR_COS[(h - 6) % 24] if h != 18 else "-1.0" for h in range(24)
+)
+
+
+def _hour_trig_case(col: str, table: tuple) -> str:
+    arms = " ".join(
+        f"when {h} then cast({v} as decimal(14,12))"
+        for h, v in enumerate(table)
+    )
+    return f"(case {col} {arms} end)"
+
+
+def stats_circular_resultant_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of the hour-of-day load per event type:
+    the mean resultant length R̄ (0 = perfectly spread clock, 1 = all
+    mass at one hour) and the Rayleigh test z = N·R̄² against the
+    asymptotic 5% bound −ln(0.05) — the PARAMETRIC effect-size
+    companion to stats_kuiper_hour_uniformity: Kuiper answers "is the
+    clock uniform", R̄ answers "how concentrated, on a 0..1 scale,
+    and is that concentration significant".
+
+    Determinism: cos/sin of the 24 clock angles are 12dp LITERAL
+    lanes (no engine trig in the aggregate path), so C = Σ n_h·cos θ_h
+    and S accumulate as exact DECIMALs; the only doubles are the final
+    sqrt/divide chain, written identically in both engines.
+
+    Scale: (type × 24) state after one map-side rollup."""
+    hr = f"(({_US}) div 3600000000) % 24"
+    by = (
+        catalog.load(spark, sf_dir, "events")
+        .select("event_type", F.expr(hr).cast("int").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    cosc = _hour_trig_case("h", _HOUR_COS)
+    sinc = _hour_trig_case("h", _HOUR_SIN)
+    agg = by.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.expr(f"n * {cosc}")).alias("c"),
+        F.sum(F.expr(f"n * {sinc}")).alias("s"),
+    )
+    r2 = (
+        "(cast(c as double) * cast(c as double)"
+        " + cast(s as double) * cast(s as double))"
+    )
+    rbar = f"sqrt({r2}) / nn"
+    z = f"{r2} / nn"
+    return agg.select(
+        "event_type",
+        F.col("nn").alias("n_events"),
+        F.expr(f"round({rbar}, 6)").alias("rbar_r6"),
+        F.expr(f"round({z}, 6)").alias("rayleigh_z_r6"),
+        F.expr(f"({z}) > 2.995732273554").alias("reject_uniform_05"),
+    ).orderBy("event_type")
+
+
+def _circular_oracle() -> str:
+    def case(table):
+        arms = " ".join(
+            f"WHEN {h} THEN CAST({v} AS DECIMAL(14,12))"
+            for h, v in enumerate(table)
+        )
+        return f"(CASE h {arms} END)"
+
+    r2 = (
+        "(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)"
+        " + CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+    )
+    return f"""
+WITH byh AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS nn,
+         SUM(n * {case(_HOUR_COS)}) AS c,
+         SUM(n * {case(_HOUR_SIN)}) AS s
+  FROM byh GROUP BY 1)
+SELECT event_type, nn AS n_events,
+       ROUND(sqrt({r2}) / nn, 6) AS rbar_r6,
+       ROUND({r2} / nn, 6) AS rayleigh_z_r6,
+       ({r2} / nn) > 2.995732273554 AS reject_uniform_05
+FROM agg ORDER BY event_type
+"""
+
+
+ORACLE_CIRCULAR_HOUR = _circular_oracle()
+
+
+# --------------------------------------------------------------------------
+# 4-4-5 fiscal calendar revenue rollup
+# --------------------------------------------------------------------------
+
+FISCAL_EPOCH_DAY = 8033  # 1991-12-30, the Monday on/before the feed start
+# 4-4-5 pattern: cumulative week boundaries of the 12 periods
+_F445_CUM = (4, 8, 13, 17, 21, 26, 30, 34, 39, 43, 47, 52)
+
+
+def orders_fiscal_445_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue on the retail 4-4-5 FISCAL calendar: every order date
+    maps by pure integer day arithmetic onto fiscal (year, period,
+    quarter) — weeks of exactly 7 days anchored at the literal Monday
+    epoch {FISCAL_EPOCH_DAY} (1991-12-30), 52-week years, periods of
+    4/4/5 weeks — the comparable-weeks calendar that makes retail
+    month-over-month comparisons honest (every period holds whole
+    weeks, unlike the Gregorian rollups elsewhere in the registry).
+    Week 53 of a leap cycle folds into period 12 by the % 52 year
+    fold (documented convention).
+
+    Exact: day → week → period is a literal CASE ladder on integers;
+    revenue on cents lanes.
+
+    Scale: map-side date math, one (fy, period) rollup."""
+    day = "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    ladder = " ".join(
+        f"when wiy < {b} then {i + 1}" for i, b in enumerate(_F445_CUM)
+    )
+    o = (
+        catalog.load(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                f"(({day}) - {FISCAL_EPOCH_DAY}) div 7"
+            ).alias("wk"),
+            F.expr(
+                "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            ).alias("cents"),
+        )
+        .filter(F.col("wk") >= 0)
+        .select(
+            F.expr("wk div 52").cast("long").alias("fy"),
+            F.expr("wk % 52").alias("wiy"),
+            "cents",
+        )
+        .select(
+            "fy",
+            F.expr(f"case {ladder} end").cast("long").alias("period"),
+            "cents",
+        )
+    )
+    return (
+        o.groupBy("fy", "period")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.expr("cast(sum(cents) as double) / 100.0").alias("revenue"),
+        )
+        .select(
+            "fy",
+            "period",
+            F.expr("(period + 2) div 3").cast("long").alias("fq"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("fy", "period")
+    )
+
+
+def _f445_oracle() -> str:
+    ladder = " ".join(
+        f"WHEN wiy < {b} THEN {i + 1}" for i, b in enumerate(_F445_CUM)
+    )
+    return f"""
+WITH o AS (
+  SELECT (epoch_us(o_orderdate) // 86400000000 - {FISCAL_EPOCH_DAY}) // 7
+           AS wk,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+f AS (
+  SELECT CAST(wk // 52 AS BIGINT) AS fy, wk % 52 AS wiy, cents
+  FROM o WHERE wk >= 0),
+p AS (
+  SELECT fy, CAST(CASE {ladder} END AS BIGINT) AS period, cents FROM f)
+SELECT fy, period, CAST((period + 2) // 3 AS BIGINT) AS fq,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+FROM p GROUP BY 1, 2 ORDER BY fy, period
+"""
+
+
+ORACLE_FISCAL_445 = _f445_oracle()
+
+
+# --------------------------------------------------------------------------
+# Unicode script mix per source
+# --------------------------------------------------------------------------
+
+_SCRIPT_CLASS = (
+    "case when cp < 65 then 'ascii_sym'"
+    " when cp < 592 then 'latin'"
+    " when cp >= 1024 and cp < 1280 then 'cyrillic'"
+    " when cp >= 1536 and cp < 1792 then 'arabic'"
+    " when cp >= 12352 and cp < 12544 then 'kana'"
+    " when cp >= 19968 and cp < 40960 then 'cjk'"
+    " else 'other' end"
+)
+
+
+def text_unicode_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script mix per source: every character classed by
+    codepoint band (ASCII symbols/digits, Latin, Cyrillic, Arabic,
+    Kana, CJK, other) and rolled into per-source shares — the
+    language-coverage audit an LLM-ingest pipeline runs BEFORE
+    language ID (script mix is model-free ground truth; a 'lang=en'
+    source with 30% CJK codepoints is a mislabeling alarm). Bands
+    are literal codepoint ranges, identical in both engines.
+
+    Exact: pure integer codepoints (Spark ``ascii`` and DuckDB
+    ``unicode`` both read the first codepoint of the 1-char substring)
+    and count rationals.
+
+    Scale: the char explode is the map-side slide posture; state
+    collapses to (source × 7 classes)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    ch = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(text)),"
+                " i -> ascii(substring(text, i, 1)))"
+            )
+        ).alias("cp"),
+    ).filter(F.col("cp") > 0)
+    cls = ch.select("source", F.expr(_SCRIPT_CLASS).alias("script"))
+    per = cls.groupBy("source", "script").agg(
+        F.count("*").cast("long").alias("n_chars")
+    )
+    tot = per.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("t")
+    )
+    share = rat_round6_spark("n_chars", "t")
+    return (
+        per.join(tot, "source")
+        .select("source", "script", "n_chars", F.expr(share).alias("share_r6"))
+        .orderBy("source", "script")
+    )
+
+
+ORACLE_SCRIPT_MIX = f"""
+WITH ch AS (
+  SELECT source, unicode(substr(text, i, 1)) AS cp
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text))) AS u(i)),
+cls AS (
+  SELECT source, {_SCRIPT_CLASS} AS script
+  FROM ch WHERE cp > 0),
+per AS (
+  SELECT source, script, CAST(COUNT(*) AS BIGINT) AS n_chars
+  FROM cls GROUP BY 1, 2),
+tot AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t FROM per GROUP BY 1)
+SELECT per.source, script, n_chars,
+       {rat_round6_duck('n_chars', 't')} AS share_r6
+FROM per JOIN tot ON per.source = tot.source
+ORDER BY per.source, script
+"""
+
+
+# --------------------------------------------------------------------------
+# Page's L trend test across ordered event types
+# --------------------------------------------------------------------------
+
+
+def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for ordered alternatives: with each day a block
+    (the Friedman design) and the event types ORDERED by their global
+    total count ascending, L = Σ_j j·R_j asks whether the within-day
+    count ranking consistently reproduces that global ordering —
+    "is the type volume hierarchy stable day to day" as a TEST, where
+    Friedman only asks "do the types differ at all". A low z reads as
+    rank churn between days (volume leadership swaps).
+
+    Exact: within-day average ranks use the Friedman r₂ = 2·RANK +
+    ties − 1 integer lane, so 2L is BIGINT; the global ordering index
+    breaks ties lexicographically; E[L] and Var[L] are the no-ties
+    closed forms (documented approximation when in-day ties occur);
+    one-sided 5% normal critical 1.644854.
+
+    Scale: (day × type) dense grid and a type-count rollup — both
+    calendar×alphabet-bounded after one shuffle."""
+    day = f"({_US}) div {_DAY_US}"
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.expr(day).alias("day"), "event_type"
+    )
+    cells = ev.groupBy("day", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    ).localCheckpoint(eager=True)  # dense grid + global order + nk
+    days = cells.select("day").distinct()
+    types = cells.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(cells, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    r2 = dense.select(
+        "day",
+        "event_type",
+        (
+            F.rank().over(W.partitionBy("day").orderBy("c")) * 2
+            + F.count("*").over(W.partitionBy("day", "c"))
+            - 1
+        ).cast("long").alias("r2"),
+    )
+    rs = r2.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("rsum2")
+    )
+    gorder = (
+        dense.groupBy("event_type")
+        .agg(F.sum("c").cast("long").alias("tot"))
+        .select(
+            "event_type",
+            F.row_number()
+            .over(W.orderBy("tot", "event_type"))
+            .cast("long")
+            .alias("j"),
+        )
+    )
+    nk = days.agg(F.count("*").cast("long").alias("n")).crossJoin(
+        types.agg(F.count("*").cast("long").alias("k"))
+    )
+    l2 = (
+        rs.join(gorder, "event_type")
+        .agg(F.sum(F.expr("j * rsum2")).cast("long").alias("l2"))
+        .crossJoin(F.broadcast(nk))
+    )
+    ez = "cast(n as double) * k * (k + 1) * (k + 1) / 4.0"
+    varl = (
+        "cast(n as double) * k * k * (k + 1) * (k * k - 1) / 144.0"
+    )
+    z = f"(cast(l2 as double) / 2.0 - {ez}) / sqrt({varl})"
+    return l2.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("n_types"),
+        "l2",
+        F.expr(
+            f"case when k < 2 or n = 0 then null else round({z}, 6) end"
+        ).alias("z_r6"),
+        F.expr(
+            f"case when k < 2 or n = 0 then null"
+            f" else ({z}) > 1.644854 end"
+        ).alias("reject_05"),
+    )
+
+
+ORACLE_PAGE_TREND = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day, event_type FROM events),
+cells AS (
+  SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM cells),
+types AS (SELECT DISTINCT event_type FROM cells),
+dense AS (
+  SELECT d.day, t.event_type, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM days d CROSS JOIN types t
+  LEFT JOIN cells c ON c.day = d.day AND c.event_type = t.event_type),
+r2 AS (
+  SELECT day, event_type,
+         CAST(RANK() OVER (PARTITION BY day ORDER BY c) * 2
+              + COUNT(*) OVER (PARTITION BY day, c) - 1 AS BIGINT) AS r2
+  FROM dense),
+rs AS (
+  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS rsum2
+  FROM r2 GROUP BY 1),
+gorder AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (ORDER BY tot, event_type) AS BIGINT)
+           AS j
+  FROM (SELECT event_type, CAST(SUM(c) AS BIGINT) AS tot
+        FROM dense GROUP BY 1)),
+nk AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM days) AS n,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM types) AS k),
+l2t AS (
+  SELECT CAST(SUM(j * rsum2) AS BIGINT) AS l2
+  FROM rs JOIN gorder ON rs.event_type = gorder.event_type)
+SELECT n AS n_days, k AS n_types, l2,
+       CASE WHEN k < 2 OR n = 0 THEN NULL ELSE
+         ROUND((CAST(l2 AS DOUBLE) / 2.0
+                - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 4.0)
+               / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1)
+                      * (k * k - 1) / 144.0), 6) END AS z_r6,
+       CASE WHEN k < 2 OR n = 0 THEN NULL ELSE
+         ((CAST(l2 AS DOUBLE) / 2.0
+           - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 4.0)
+          / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1)
+                 * (k * k - 1) / 144.0)) > 1.644854 END AS reject_05
+FROM l2t CROSS JOIN nk
+"""
+
+
+# --------------------------------------------------------------------------
+# Peak session concurrency per day (minute-grain sweep line)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30  # minutes; the established 30m sessionization gap
+
+
+def ev_session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak CONCURRENT sessions per day: 30-minute-gap sessions per
+    user swept at minute grain (+1 at the session's first minute, −1
+    after its last) and accumulated along the calendar — the sizing
+    number ("how many simultaneous live sessions must we hold") that
+    ev_hourly_session_load's per-hour session COUNT over-states
+    (sessions touching an hour are not concurrent within it). Ties on
+    the peak break to the earliest minute.
+
+    Exact: integer minute arithmetic throughout; the sweep is a
+    cumulative sum over the minute spine.
+
+    Scale: sessionization is the established per-user lag window; the
+    sweep state is the calendar-bounded minute spine (1440·days rows
+    — never the event stream) in ONE ordered pass, then a day
+    rollup."""
+    mn = f"({_US}) div 60000000"
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", F.expr(mn).alias("m")
+    )
+    wl = W.partitionBy("user_id").orderBy("m")
+    sess = (
+        ev.withColumn("prev", F.lag("m").over(wl))
+        .withColumn(
+            "new_sess",
+            F.expr(
+                f"case when prev is null or m - prev > {SESSION_GAP_MIN}"
+                f" then 1 else 0 end"
+            ),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_sess").over(
+                wl.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+    )
+    deltas = sess.select(F.col("m0").alias("m"), F.lit(1).alias("d")).union(
+        sess.select((F.col("m1") + 1).alias("m"), F.lit(-1).alias("d"))
+    ).groupBy("m").agg(F.sum("d").cast("long").alias("d"))
+    span = deltas.agg(F.min("m").alias("mm0"), F.max("m").alias("mm1"))
+    spine = (
+        span.select(F.explode(F.expr("sequence(mm0, mm1)")).alias("m"))
+        .join(deltas, "m", "left")
+        .select("m", F.coalesce("d", F.lit(0)).cast("long").alias("d"))
+    )
+    ws = W.orderBy("m").rowsBetween(W.unboundedPreceding, W.currentRow)
+    conc = spine.select(
+        "m",
+        F.sum("d").over(ws).alias("conc"),
+        F.expr(f"m div 1440").alias("day"),
+    )
+    per = conc.groupBy("day").agg(F.max("conc").cast("long").alias("peak"))
+    peak_min = (
+        conc.join(per, "day")
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy("day", "peak")
+        .agg(F.min("m").alias("peak_minute"))
+    )
+    return peak_min.select(
+        F.col("day").alias("epoch_day"),
+        "peak",
+        F.expr("peak_minute % 1440").cast("long").alias("minute_of_day"),
+    ).orderBy("epoch_day")
+
+
+ORACLE_PEAK_CONCURRENCY = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS m FROM events),
+lagd AS (
+  SELECT user_id, m,
+         LAG(m) OVER (PARTITION BY user_id ORDER BY m) AS prev
+  FROM ev),
+marked AS (
+  SELECT user_id, m,
+         CASE WHEN prev IS NULL OR m - prev > {SESSION_GAP_MIN}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM lagd),
+sid AS (
+  SELECT user_id, m,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY m
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+sess AS (
+  SELECT user_id, sid, MIN(m) AS m0, MAX(m) AS m1
+  FROM sid GROUP BY 1, 2),
+deltas AS (
+  SELECT m, CAST(SUM(d) AS BIGINT) AS d FROM (
+    SELECT m0 AS m, 1 AS d FROM sess
+    UNION ALL SELECT m1 + 1 AS m, -1 AS d FROM sess)
+  GROUP BY 1),
+spine AS (
+  SELECT g.m, CAST(COALESCE(deltas.d, 0) AS BIGINT) AS d
+  FROM (SELECT unnest(generate_series(MIN(m), MAX(m))) AS m
+        FROM deltas) g
+  LEFT JOIN deltas ON g.m = deltas.m),
+conc AS (
+  SELECT m, SUM(d) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS conc,
+         m // 1440 AS day
+  FROM spine),
+per AS (
+  SELECT day, CAST(MAX(conc) AS BIGINT) AS peak FROM conc GROUP BY 1)
+SELECT conc.day AS epoch_day, peak,
+       CAST(MIN(m) % 1440 AS BIGINT) AS minute_of_day
+FROM conc JOIN per ON conc.day = per.day AND conc.conc = per.peak
+GROUP BY 1, 2 ORDER BY epoch_day
+"""
+
+
+# --------------------------------------------------------------------------
+# Capacity-shed what-if at the p90 hourly cap
+# --------------------------------------------------------------------------
+
+
+def ev_capacity_shed_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic capacity what-if: cap every hour at the feed's
+    own exact p90 hourly load and read which event types lose how
+    much — overflow per hour is max(0, load − cap) allocated
+    PROPORTIONALLY to the types active in that hour (the fair-queue
+    assumption, documented). The planning readout behind
+    ev_slo_burn_rate: burn tells you when you exceeded; this prices
+    who pays if you clamp.
+
+    Exact: the cap is the k = ⌈0.9·H⌉ order statistic of the ≤
+    calendar-bounded hourly loads (tiny rank window); per-(hour,
+    type) shed shares are one division each, 9dp-rounded into
+    DECIMAL sums.
+
+    Scale: (hour × type) state after one shuffle; everything else is
+    hour-grain."""
+    hr = f"({_US}) div 3600000000"
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.expr(hr).alias("hr"), "event_type"
+    )
+    ht = ev.groupBy("hr", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    ).localCheckpoint(eager=True)  # hourly totals + allocation
+    hh = ht.groupBy("hr").agg(F.sum("c").cast("long").alias("load"))
+    wr = W.orderBy("load", "hr")
+    nh = hh.agg(F.count("*").cast("long").alias("h"))
+    cap = (
+        hh.withColumn("rk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(nh))
+        .filter(F.expr("rk = (h * 90 + 99) div 100"))
+        .select(F.col("load").alias("cap"))
+    )
+    shed = (
+        hh.crossJoin(F.broadcast(cap))
+        .select(
+            "hr", "load", "cap",
+            F.greatest(F.expr("load - cap"), F.lit(0)).alias("over"),
+        )
+    )
+    alloc = ht.join(shed, "hr").select(
+        "event_type",
+        "c",
+        F.expr(
+            "cast(round(cast(over as double) * c / load, 9)"
+            " as decimal(25,9))"
+        ).alias("shed_t"),
+    )
+    tot = alloc.agg(
+        F.sum("shed_t").alias("shed_all"),
+        F.sum("c").cast("long").alias("n_all"),
+    )
+    return (
+        alloc.groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.sum("shed_t").alias("shed_est"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cap))
+        .select(
+            "event_type",
+            "n_events",
+            F.col("cap").alias("hourly_cap"),
+            F.expr("round(cast(shed_est as double), 6)").alias(
+                "shed_est_r6"
+            ),
+            F.expr(
+                "case when cast(shed_all as double) = 0 then null else"
+                " round(cast(shed_est as double)"
+                " / cast(shed_all as double), 6) end"
+            ).alias("shed_mix_r6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CAPACITY_SHED = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, event_type FROM events),
+ht AS (
+  SELECT hr, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2),
+hh AS (SELECT hr, CAST(SUM(c) AS BIGINT) AS load FROM ht GROUP BY 1),
+nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM hh),
+cap AS (
+  SELECT load AS cap FROM (
+    SELECT load, ROW_NUMBER() OVER (ORDER BY load, hr) AS rk FROM hh)
+  CROSS JOIN nh WHERE rk = (h * 90 + 99) // 100),
+shed AS (
+  SELECT hr, load, cap, GREATEST(load - cap, 0) AS over
+  FROM hh CROSS JOIN cap),
+alloc AS (
+  SELECT event_type, c,
+         CAST(ROUND(CAST(over AS DOUBLE) * c / load, 9)
+              AS DECIMAL(25,9)) AS shed_t
+  FROM ht JOIN shed ON ht.hr = shed.hr),
+tot AS (
+  SELECT SUM(shed_t) AS shed_all, CAST(SUM(c) AS BIGINT) AS n_all
+  FROM alloc)
+SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+       MAX(cap) AS hourly_cap,
+       ROUND(CAST(SUM(shed_t) AS DOUBLE), 6) AS shed_est_r6,
+       CASE WHEN CAST(MAX(shed_all) AS DOUBLE) = 0 THEN NULL ELSE
+         ROUND(CAST(SUM(shed_t) AS DOUBLE)
+               / CAST(MAX(shed_all) AS DOUBLE), 6) END AS shed_mix_r6
+FROM alloc CROSS JOIN tot CROSS JOIN cap
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "stats_circular_resultant_hour",
+        stats_circular_resultant_hour,
+        ORACLE_CIRCULAR_HOUR,
+        ("stats", "events", "test"),
+        doc="circular mean resultant length and Rayleigh test of "
+            "hour-of-day load (12dp literal trig lanes, decimal C/S sums)",
+    ),
+    QuerySpec(
+        "orders_fiscal_445_calendar",
+        orders_fiscal_445_calendar,
+        ORACLE_FISCAL_445,
+        ("orders", "finance", "calendar"),
+        doc="revenue on the retail 4-4-5 fiscal calendar (integer day "
+            "-> week -> period ladder from a literal Monday epoch)",
+    ),
+    QuerySpec(
+        "text_unicode_script_mix",
+        text_unicode_script_mix,
+        ORACLE_SCRIPT_MIX,
+        ("text", "quality", "audit"),
+        doc="per-source Unicode script-band character mix (literal "
+            "codepoint ranges, exact count rationals)",
+    ),
+    QuerySpec(
+        "stats_page_trend_test",
+        stats_page_trend_test,
+        ORACLE_PAGE_TREND,
+        ("stats", "events", "test"),
+        doc="Page's L ordered-alternative test: is the daily type-volume "
+            "ranking stable (Friedman r2 lanes, global-order index)",
+    ),
+    QuerySpec(
+        "ev_session_peak_concurrency",
+        ev_session_peak_concurrency,
+        ORACLE_PEAK_CONCURRENCY,
+        ("events", "sessionization", "capacity"),
+        doc="peak concurrent 30m-gap sessions per day via a minute-grain "
+            "sweep line over the calendar spine",
+    ),
+    QuerySpec(
+        "ev_capacity_shed_whatif",
+        ev_capacity_shed_whatif,
+        ORACLE_CAPACITY_SHED,
+        ("events", "capacity", "whatif"),
+        doc="p90-cap load-shedding what-if: proportional per-type shed "
+            "estimate (exact p90 order statistic, 9dp decimal shares)",
+    ),
+]

@@ -1045,3 +1045,184 @@ def test_collocation_pmi_planted(spark, tmp_path):
     n_tokens = 10 + 6
     pmi = round(math.log(n_tokens * 5 / (5 * 5)), 9)
     assert rows[0]["pmi_r6"] == round(pmi, 6)
+
+
+# ---------------------------------------------------------------------------
+# Batch Z twins
+# ---------------------------------------------------------------------------
+
+US_PER_HOUR = 3_600_000_000
+US_PER_MIN = 60_000_000
+
+
+def test_circular_resultant_planted(spark, tmp_path):
+    """Hours {0,0,12}: C = 2cos0 + cos180 = 1, S = 0 -> Rbar = 1/3;
+    a fully concentrated type reads Rbar = 1 and z = N."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_CIRCULAR_HOUR,
+        stats_circular_resultant_hour,
+    )
+
+    rows = [
+        (0, T0_US, "e", 1.0),
+        (1, T0_US + 1, "e", 1.0),
+        (2, T0_US + 12 * US_PER_HOUR, "e", 1.0),
+        (3, T0_US + 6 * US_PER_HOUR, "peak", 1.0),
+        (4, T0_US + 6 * US_PER_HOUR + 5, "peak", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    df = stats_circular_resultant_hour(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_CIRCULAR_HOUR, ["events"]
+    )
+    got = {r["event_type"]: r for r in df.collect()}
+    e = got["e"]
+    assert e["n_events"] == 3
+    assert e["rbar_r6"] == round(1 / 3, 6)
+    assert e["rayleigh_z_r6"] == round(1 / 3, 6)
+    assert e["reject_uniform_05"] is False
+    pk = got["peak"]
+    assert pk["rbar_r6"] == 1.0 and pk["rayleigh_z_r6"] == 2.0
+
+
+def test_fiscal_445_planted(spark, tmp_path):
+    """Days pinned to the literal Monday epoch: week 0 and week 3 land
+    in period 1, week 4 opens period 2, week 52 opens fiscal year 1;
+    a pre-epoch order is excluded."""
+    from spark_dba_spark.operators.analytics import (
+        FISCAL_EPOCH_DAY,
+        ORACLE_FISCAL_445,
+        orders_fiscal_445_calendar,
+    )
+
+    f0 = FISCAL_EPOCH_DAY
+    days = [f0, f0 + 27, f0 + 28, f0 + 52 * 7, f0 - 40]
+    prices = [10.0, 20.0, 30.0, 40.0, 99.0]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(5), pa.int64()),
+                "o_orderdate": pa.array(
+                    [d * US_PER_DAY for d in days], pa.timestamp("us")
+                ),
+                "o_totalprice": pa.array(prices, pa.float64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    df = orders_fiscal_445_calendar(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_FISCAL_445, ["orders"])
+    got = {(r["fy"], r["period"]): r for r in df.collect()}
+    assert got[(0, 1)]["n_orders"] == 2
+    assert got[(0, 1)]["revenue"] == 30.0
+    assert got[(0, 2)]["revenue"] == 30.0 and got[(0, 2)]["fq"] == 1
+    assert got[(1, 1)]["revenue"] == 40.0
+    assert sum(r["n_orders"] for r in got.values()) == 4  # pre-epoch dropped
+
+
+def test_unicode_script_planted(spark, tmp_path):
+    """'aé中 1!': Latin a/é, CJK one char, ascii_sym space-digit-bang
+    (space dropped? no — cp 32 > 0 counts as ascii_sym)."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_SCRIPT_MIX,
+        text_unicode_script_mix,
+    )
+
+    _write_docs(tmp_path, ["aé中 1!"], ["s0"])
+    df = text_unicode_script_mix(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_SCRIPT_MIX, ["documents"])
+    got = {r["script"]: r for r in df.collect()}
+    assert got["latin"]["n_chars"] == 2
+    assert got["cjk"]["n_chars"] == 1
+    assert got["ascii_sym"]["n_chars"] == 3  # space, '1', '!'
+    assert got["latin"]["share_r6"] == _r6(2, 6)
+
+
+def test_page_trend_planted(spark, tmp_path):
+    """Two types with a perfectly stable daily ordering over 3 days:
+    L = 15, E = 13.5, Var = nk^2(k+1)(k^2-1)/144 = 0.75 ->
+    z = 1.5/sqrt(0.75), reject at the one-sided 5% bound."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_PAGE_TREND,
+        stats_page_trend_test,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(3):
+        rows.append((eid, T0_US + d * US_PER_DAY, "a", 1.0)); eid += 1
+        for _ in range(2):
+            rows.append((eid, T0_US + d * US_PER_DAY, "b", 1.0)); eid += 1
+    _write_events(tmp_path, rows)
+    df = stats_page_trend_test(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_PAGE_TREND, ["events"])
+    row = df.collect()[0]
+    assert (row["n_days"], row["n_types"], row["l2"]) == (3, 2, 30)
+    assert row["z_r6"] == round(1.5 / math.sqrt(0.75), 6)
+    assert row["reject_05"] is True
+
+
+def test_peak_concurrency_planted(spark, tmp_path):
+    """u1 session spans minutes 0..10, u2 a point session at minute 5:
+    peak 2 at minute 5; a second day with one session peaks at 1."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_PEAK_CONCURRENCY,
+        ev_session_peak_concurrency,
+    )
+
+    plan = [
+        (0, T0_US, 1), (1, T0_US + 10 * US_PER_MIN, 1),
+        (2, T0_US + 5 * US_PER_MIN, 2),
+        (3, T0_US + US_PER_DAY, 3),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in plan], pa.int64()),
+                "ts": pa.array([r[1] for r in plan], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in plan], pa.int64()),
+                "event_type": pa.array(["e"] * len(plan)),
+                "value": pa.array([1.0] * len(plan), pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    df = ev_session_peak_concurrency(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_PEAK_CONCURRENCY, ["events"]
+    )
+    got = {r["epoch_day"]: r for r in df.collect()}
+    assert got[T0_DAY]["peak"] == 2
+    assert got[T0_DAY]["minute_of_day"] == 5
+    assert got[T0_DAY + 1]["peak"] == 1
+    assert got[T0_DAY + 1]["minute_of_day"] == 0
+
+
+def test_capacity_shed_planted(spark, tmp_path):
+    """Ten hours of load 1 except one hour of 10 (6 'a' + 4 'b'):
+    p90 cap = 1, shed = 9 split 5.4/3.6, mix 0.6/0.4."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_CAPACITY_SHED,
+        ev_capacity_shed_whatif,
+    )
+
+    rows = []
+    eid = 0
+    for h in range(9):
+        rows.append((eid, T0_US + h * US_PER_HOUR, "a", 1.0)); eid += 1
+    for i in range(6):
+        rows.append((eid, T0_US + 9 * US_PER_HOUR + i, "a", 1.0)); eid += 1
+    for i in range(4):
+        rows.append((eid, T0_US + 9 * US_PER_HOUR + 100 + i, "b", 1.0))
+        eid += 1
+    _write_events(tmp_path, rows)
+    df = ev_capacity_shed_whatif(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_CAPACITY_SHED, ["events"]
+    )
+    got = {r["event_type"]: r for r in df.collect()}
+    assert got["a"]["hourly_cap"] == 1
+    assert got["a"]["shed_est_r6"] == 5.4
+    assert got["b"]["shed_est_r6"] == 3.6
+    assert got["a"]["shed_mix_r6"] == 0.6
+    assert got["b"]["shed_mix_r6"] == 0.4
