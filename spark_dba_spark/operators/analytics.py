@@ -4435,6 +4435,16 @@ def stats_kuiper_hour_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     by = ev.groupBy("event_type", "h").agg(
         F.count("*").cast("long").alias("c")
     )
+    return assemble_kuiper(by)
+
+
+def assemble_kuiper(by: DataFrame) -> DataFrame:
+    """Kuiper readout over the (event_type, h, c) 24-bin clock frame —
+    the shared contract between the batch op and
+    streaming/jobs.run_kuiper_hour_stream (type×24-bounded complete-
+    mode state), so the batch oracle transitively gates the stream."""
+    by = by.localCheckpoint(eager=True)  # grid spine + totals
+    spark = by.sparkSession
     grid = (
         by.select("event_type")
         .distinct()
@@ -5988,7 +5998,17 @@ def ev_capacity_shed_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ht = ev.groupBy("hr", "event_type").agg(
         F.count("*").cast("long").alias("c")
-    ).localCheckpoint(eager=True)  # hourly totals + allocation
+    )
+    return assemble_capacity_shed(ht)
+
+
+def assemble_capacity_shed(ht: DataFrame) -> DataFrame:
+    """Shed readout over the (hr, event_type, c) hour-grain frame —
+    the shared contract between the batch op and
+    streaming/jobs.run_capacity_shed_stream (calendar×alphabet-bounded
+    complete-mode state), so the batch oracle transitively gates the
+    stream."""
+    ht = ht.localCheckpoint(eager=True)  # hourly totals + allocation
     hh = ht.groupBy("hr").agg(F.sum("c").cast("long").alias("load"))
     wr = W.orderBy("load", "hr")
     nh = hh.agg(F.count("*").cast("long").alias("h"))
@@ -6124,5 +6144,353 @@ SPECS += [
         ("events", "capacity", "whatif"),
         doc="p90-cap load-shedding what-if: proportional per-type shed "
             "estimate (exact p90 order statistic, 9dp decimal shares)",
+    ),
+]
+
+
+# ==========================================================================
+# Batch AA (round-14 continuation, third window)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# CSV escape/quote round-trip certificate
+# --------------------------------------------------------------------------
+
+
+def scalar_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV escape/quote round-trip certificate over the documents
+    table: every row serializes through ``to_csv`` (commas, quotes
+    and embedded delimiters escaped) and re-parses through
+    ``from_csv`` with the explicit schema; the readout counts rows
+    whose every field survived BIT-EXACTLY plus an md5 mass over the
+    recovered text — the function-surface proof that the engine's CSV
+    writer and reader agree with each other on quoting semantics
+    (the D6 JSON round-trip's CSV sibling). The oracle states the
+    IDENTITY directly on the source rows: if the round trip is
+    lossless the certificate equals the trivial aggregate, and any
+    quoting asymmetry hash-mismatches.
+
+    Scale: map-only expression work; one scalar aggregate."""
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    h = sql_md5_long_spark("rt.text")
+    rt = docs.select(
+        "doc_id", "text", "lang", "source",
+        F.expr(
+            "from_csv(to_csv(struct(doc_id, text, lang, source)),"
+            " 'doc_id bigint, text string, lang string, source string')"
+        ).alias("rt"),
+    )
+    return rt.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.expr(
+                "cast(rt.doc_id = doc_id and rt.text = text"
+                " and rt.lang = lang and rt.source = source as long)"
+            )
+        ).cast("long").alias("n_roundtrip_exact"),
+        F.sum(F.expr(f"cast(({h}) % 1000000007 as decimal(38,0))")).alias(
+            "md5_mass"
+        ),
+    ).select(
+        "n_docs",
+        "n_roundtrip_exact",
+        F.expr("cast(md5_mass as double)").alias("md5_mass_d"),
+    )
+
+
+def _csv_rt_oracle() -> str:
+    h = sql_md5_long_duck("text")
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_roundtrip_exact,
+       CAST(SUM(CAST(({h}) % 1000000007 AS DECIMAL(38,0))) AS DOUBLE)
+         AS md5_mass_d
+FROM documents
+"""
+
+
+ORACLE_CSV_ROUNDTRIP = _csv_rt_oracle()
+
+
+# --------------------------------------------------------------------------
+# Order line-count dispersion
+# --------------------------------------------------------------------------
+
+
+def orders_line_count_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion of the lines-per-order distribution: the index of
+    dispersion D = Var/Mean of line counts (Poisson ⇒ 1; the fixture's
+    order generator is the question) with the exact min/max/mean —
+    the one-number "is basket size memoryless" readout that prices
+    whether per-order fan-out can be modeled as Poisson in capacity
+    math downstream (Little's-law audit, shed what-if).
+
+    Exact: per-order counts are integers; D = (nΣx² − S²)/(nS) and
+    the mean read through the qrem split.
+
+    Scale: one (orderkey) rollup, one scalar aggregate."""
+    lc = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    agg = lc.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.expr("x * x")).cast("long").alias("s2"),
+        F.min("x").alias("min_lines"),
+        F.max("x").alias("max_lines"),
+    )
+    return agg.select(
+        F.col("n").alias("n_orders"),
+        "min_lines",
+        "max_lines",
+        F.expr(qrem_round6_spark("s", "n")).alias("mean_lines_r6"),
+        F.expr(qrem_round6_spark("n * s2 - s * s", "n * s")).alias(
+            "dispersion_r6"
+        ),
+    )
+
+
+ORACLE_LINE_DISPERSION = f"""
+WITH lc AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+  FROM lineitem GROUP BY 1),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS s2,
+         MIN(x) AS min_lines, MAX(x) AS max_lines
+  FROM lc)
+SELECT n AS n_orders, min_lines, max_lines,
+       {qrem_round6_duck('s', 'n')} AS mean_lines_r6,
+       {qrem_round6_duck('n * s2 - s * s', 'n * s')} AS dispersion_r6
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-dimension variance participation ratio
+# --------------------------------------------------------------------------
+
+
+def emb_dim_variance_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dimensionality of the embedding space WITHOUT an
+    eigendecomposition: the participation ratio PR = (Σλ)²/Σλ² over
+    the per-DIMENSION variances (the diagonal of the covariance — a
+    documented proxy that upper-bounds the spectral PR when axes are
+    correlated), plus the top dimension's variance share. PR ≈ 64
+    means isotropic axes; PR ≪ 64 says a few coordinates carry the
+    geometry — pricing the same storage question as the PQ/prefix-dim
+    sweeps from the variance side, and the axis-aligned complement of
+    emb_intrinsic_dim_twonn's metric estimate.
+
+    Exact: per-dim n·Σq² − (Σq)² on DECIMAL(38,0) lanes from BIGINT
+    grid sums; each λ rescales to unit² and 9dp-rounds into DECIMAL
+    sums before the two final double divisions.
+
+    Scale: one (dim)-grain rollup — 64 cells — after the map-side
+    explode."""
+    e = catalog.load(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.expr(_EMB_Q_SQL)).alias("d", "q")
+    )
+    per = e.groupBy("d").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.expr("cast(q as decimal(38,0)) * q")).alias("ssq"),
+    )
+    lam = (
+        "round(cast(n * ssq - cast(s as decimal(38,0)) * s as double)"
+        " / (cast(n as double) * n * 1099511627776.0), 9)"
+    )
+    agg = per.select(
+        "n",
+        F.expr(f"cast({lam} as decimal(25,9))").alias("lam"),
+    ).agg(
+        F.max("n").alias("n_vectors"),
+        F.count("*").cast("long").alias("n_dims"),
+        F.sum("lam").alias("sl"),
+        F.sum(
+            F.expr(
+                "cast(round(cast(lam as double) * cast(lam as double), 9)"
+                " as decimal(25,9))"
+            )
+        ).alias("sl2"),
+        F.max("lam").alias("lmax"),
+    )
+    return agg.select(
+        "n_vectors",
+        "n_dims",
+        F.expr("round(cast(sl as double), 6)").alias("var_total_r6"),
+        F.expr(
+            "case when cast(sl2 as double) <= 0 then null else"
+            " round(cast(sl as double) * cast(sl as double)"
+            " / cast(sl2 as double), 6) end"
+        ).alias("pr_effective_dims_r6"),
+        F.expr(
+            "case when cast(sl as double) <= 0 then null else"
+            " round(cast(lmax as double) / cast(sl as double), 6) end"
+        ).alias("top_dim_share_r6"),
+    )
+
+
+ORACLE_DIM_PARTICIPATION = """
+WITH e AS (
+  SELECT d.d,
+         CAST(TRUNC(CAST(embedding[d.d + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS q
+  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d) d),
+per AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS s,
+         SUM(CAST(q AS DECIMAL(38,0)) * q) AS ssq
+  FROM e GROUP BY 1),
+lam AS (
+  SELECT n,
+         CAST(ROUND(CAST(n * ssq - CAST(s AS DECIMAL(38,0)) * s
+                         AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * n * 1099511627776.0), 9)
+              AS DECIMAL(25,9)) AS lam
+  FROM per),
+agg AS (
+  SELECT MAX(n) AS n_vectors, CAST(COUNT(*) AS BIGINT) AS n_dims,
+         SUM(lam) AS sl,
+         SUM(CAST(ROUND(CAST(lam AS DOUBLE) * CAST(lam AS DOUBLE), 9)
+                  AS DECIMAL(25,9))) AS sl2,
+         MAX(lam) AS lmax
+  FROM lam)
+SELECT n_vectors, n_dims,
+       ROUND(CAST(sl AS DOUBLE), 6) AS var_total_r6,
+       CASE WHEN CAST(sl2 AS DOUBLE) <= 0 THEN NULL ELSE
+         ROUND(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+               / CAST(sl2 AS DOUBLE), 6) END AS pr_effective_dims_r6,
+       CASE WHEN CAST(sl AS DOUBLE) <= 0 THEN NULL ELSE
+         ROUND(CAST(lmax AS DOUBLE) / CAST(sl AS DOUBLE), 6) END
+         AS top_dim_share_r6
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Day-of-week x hour-of-day independence test
+# --------------------------------------------------------------------------
+
+
+def stats_dow_hour_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence test of the (day-of-week × hour-of-day) load
+    grid: χ² over the 7×24 contingency table — "is the clock profile
+    the SAME every weekday" as a single test statistic, the
+    hypothesis-test companion to ev_dow_hour_heatmap's descriptive
+    grid (and the joint view the marginal Kuiper/Rayleigh hour tests
+    cannot see: a weekday-vs-weekend clock shift is invisible to
+    either marginal alone).
+
+    Exact: the classic χ² = N·(Σ_cells o²/(r·c)) − N identity runs on
+    per-cell 9dp-rounded divisions into DECIMAL sums (o, r, c all
+    BIGINT); df = (7−1)(24−1) = 138 with the literal 5% critical
+    166.415 (χ²₁₃₈).
+
+    Scale: 7×24 state after one map-side rollup."""
+    day = f"({_US}) div {_DAY_US}"
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.expr(f"(({day}) + 3) % 7").cast("int").alias("dw"),
+        F.expr(f"(({_US}) div 3600000000) % 24").cast("int").alias("h"),
+    )
+    cells = ev.groupBy("dw", "h").agg(F.count("*").cast("long").alias("o"))
+    rows_ = cells.groupBy("dw").agg(F.sum("o").cast("long").alias("r"))
+    cols = cells.groupBy("h").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("nn"))
+    term = (
+        "cast(round(cast(o as double) * o / (cast(r as double) * c), 9)"
+        " as decimal(25,9))"
+    )
+    agg = (
+        cells.join(F.broadcast(rows_), "dw")
+        .join(F.broadcast(cols), "h")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("nn").alias("nn"),
+            F.countDistinct("dw").cast("long").alias("n_dw"),
+            F.countDistinct("h").cast("long").alias("n_h"),
+            F.sum(F.expr(term)).alias("t"),
+        )
+    )
+    chi = "cast(nn as double) * cast(t as double) - cast(nn as double)"
+    return agg.select(
+        F.col("nn").alias("n_events"),
+        "n_dw",
+        "n_h",
+        F.expr(f"round({chi}, 6)").alias("chi2_r6"),
+        F.expr("cast((n_dw - 1) * (n_h - 1) as long)").alias("df"),
+        F.expr(
+            f"case when n_dw < 2 or n_h < 2 then null"
+            f" else ({chi}) > 166.415 end"
+        ).alias("reject_independence_05"),
+    )
+
+
+ORACLE_DOW_HOUR_INDEP = f"""
+WITH ev AS (
+  SELECT CAST(((epoch_us(ts) // {_DAY_US}) + 3) % 7 AS INT) AS dw,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS h
+  FROM events),
+cells AS (
+  SELECT dw, h, CAST(COUNT(*) AS BIGINT) AS o FROM ev GROUP BY 1, 2),
+rows_ AS (SELECT dw, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+cols AS (SELECT h, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+agg AS (
+  SELECT MAX(nn) AS nn,
+         CAST(COUNT(DISTINCT cells.dw) AS BIGINT) AS n_dw,
+         CAST(COUNT(DISTINCT cells.h) AS BIGINT) AS n_h,
+         SUM(CAST(ROUND(CAST(o AS DOUBLE) * o
+                        / (CAST(r AS DOUBLE) * c), 9)
+                  AS DECIMAL(25,9))) AS t
+  FROM cells JOIN rows_ ON cells.dw = rows_.dw
+  JOIN cols ON cells.h = cols.h CROSS JOIN tot)
+SELECT nn AS n_events, n_dw, n_h,
+       ROUND(CAST(nn AS DOUBLE) * CAST(t AS DOUBLE)
+             - CAST(nn AS DOUBLE), 6) AS chi2_r6,
+       CAST((n_dw - 1) * (n_h - 1) AS BIGINT) AS df,
+       CASE WHEN n_dw < 2 OR n_h < 2 THEN NULL ELSE
+         (CAST(nn AS DOUBLE) * CAST(t AS DOUBLE)
+          - CAST(nn AS DOUBLE)) > 166.415 END
+         AS reject_independence_05
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "scalar_csv_roundtrip",
+        scalar_csv_roundtrip,
+        ORACLE_CSV_ROUNDTRIP,
+        ("scalar", "sources", "certificate"),
+        doc="to_csv/from_csv escape round-trip identity certificate over "
+            "documents (oracle states the lossless identity directly)",
+    ),
+    QuerySpec(
+        "orders_line_count_dispersion",
+        orders_line_count_dispersion,
+        ORACLE_LINE_DISPERSION,
+        ("orders", "stats"),
+        doc="index of dispersion of lines-per-order (exact qrem "
+            "rationals; Poisson reads 1)",
+    ),
+    QuerySpec(
+        "emb_dim_variance_participation",
+        emb_dim_variance_participation,
+        ORACLE_DIM_PARTICIPATION,
+        ("embedding", "audit", "metric"),
+        doc="participation-ratio effective dimensionality from per-dim "
+            "variances (decimal lambda lanes, no eigendecomposition)",
+    ),
+    QuerySpec(
+        "stats_dow_hour_independence",
+        stats_dow_hour_independence,
+        ORACLE_DOW_HOUR_INDEP,
+        ("stats", "events", "test"),
+        doc="chi-square independence of the 7x24 day-of-week x hour "
+            "load grid (9dp decimal cell lanes, literal chi2_138 critical)",
     ),
 ]

@@ -1226,3 +1226,69 @@ def run_max_drawdown_stream(
     )
     q.awaitTermination()
     return assemble_max_drawdown(spark.table(query_name))
+
+
+def run_kuiper_hour_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "kuiper_hr"
+) -> DataFrame:
+    """Streaming twin of ``operators.analytics.stats_kuiper_hour_
+    uniformity`` — clock-profile drift is a live monitoring concern
+    (a service whose hour-of-day mix suddenly concentrates is
+    misbehaving), so the circular-uniformity TEST is a natural
+    always-on readout. COMPLETE-mode state is exactly the (type × 24)
+    clock-cell counts; the grid fill, D⁺/D⁻ sup lanes and critical
+    band run through the SHARED ``assemble_kuiper`` contract, so the
+    batch DuckDB oracle transitively gates this stream; stream ==
+    batch is pinned by tests/test_streaming.py."""
+    from ..operators.analytics import assemble_kuiper
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_type",
+        F.expr(
+            "cast((unix_micros(cast(ts as timestamp)) div 3600000000) % 24"
+            " as int)"
+        ).alias("h"),
+    )
+    q = (
+        ev.groupBy("event_type", "h")
+        .agg(F.count("*").cast("long").alias("c"))
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return assemble_kuiper(spark.table(query_name))
+
+
+def run_capacity_shed_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "cap_shed"
+) -> DataFrame:
+    """Streaming twin of ``operators.analytics.ev_capacity_shed_
+    whatif`` — the what-if is a capacity-planning dial an operator
+    wants LIVE ("if we clamped at p90 right now, who loses traffic").
+    COMPLETE-mode state is the calendar×alphabet-bounded (hr, type)
+    count ledger; the exact p90 cap and the proportional allocation
+    run through the SHARED ``assemble_capacity_shed`` contract, so
+    the batch DuckDB oracle transitively gates this stream; stream ==
+    batch is pinned by tests/test_streaming.py."""
+    from ..operators.analytics import assemble_capacity_shed
+
+    ev = stream_events(spark, sf_dir).select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("hr"),
+        "event_type",
+    )
+    q = (
+        ev.groupBy("hr", "event_type")
+        .agg(F.count("*").cast("long").alias("c"))
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return assemble_capacity_shed(spark.table(query_name))

@@ -1226,3 +1226,116 @@ def test_capacity_shed_planted(spark, tmp_path):
     assert got["b"]["shed_est_r6"] == 3.6
     assert got["a"]["shed_mix_r6"] == 0.6
     assert got["b"]["shed_mix_r6"] == 0.4
+
+
+# ---------------------------------------------------------------------------
+# Batch AA twins
+# ---------------------------------------------------------------------------
+
+
+def test_csv_roundtrip_planted(spark, tmp_path):
+    """Texts with embedded commas, quotes and a newline survive the
+    to_csv/from_csv round trip bit-exactly."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_CSV_ROUNDTRIP,
+        scalar_csv_roundtrip,
+    )
+
+    texts = ['a,b "quoted" c', "plain", 'comma, and "both"', "tab\tchar"]
+    _write_docs(tmp_path, texts, [f"s{i}" for i in range(len(texts))])
+    df = scalar_csv_roundtrip(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_CSV_ROUNDTRIP, ["documents"]
+    )
+    row = df.collect()[0]
+    assert row["n_docs"] == 4
+    assert row["n_roundtrip_exact"] == 4
+    mass = sum(_md5_long(t) % 1000000007 for t in texts)
+    assert row["md5_mass_d"] == float(mass)
+
+
+def test_line_count_dispersion_planted(spark, tmp_path):
+    """Orders with 1, 2 and 3 lines: mean 2, dispersion = Var/Mean =
+    (2/3)/2 = 1/3."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_LINE_DISPERSION,
+        orders_line_count_dispersion,
+    )
+
+    rows = [(1,), (2,), (2,), (3,), (3,), (3,)]
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([r[0] for r in rows], pa.int64())}),
+        tmp_path / "lineitem.parquet",
+    )
+    df = orders_line_count_dispersion(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_LINE_DISPERSION, ["lineitem"]
+    )
+    row = df.collect()[0]
+    assert (row["n_orders"], row["min_lines"], row["max_lines"]) == (3, 1, 3)
+    assert row["mean_lines_r6"] == 2.0
+    # n=3, s=6, s2=14: (3*14-36)/(3*6) = 6/18
+    assert row["dispersion_r6"] == _r6(6, 18)
+
+
+def test_dim_participation_planted(spark, tmp_path):
+    """Two informative dims with variances in a 4:1 ratio (others
+    zero): PR = (5)^2/(17) on the unit-variance scale."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_DIM_PARTICIPATION,
+        emb_dim_variance_participation,
+    )
+
+    # dim0: values +-0.5 -> var = 0.25; dim1: +-0.25 -> var = 0.0625
+    vecs = [[0.5, 0.25], [-0.5, -0.25], [0.5, 0.25], [-0.5, -0.25]]
+    _write_embeddings(tmp_path, vecs)
+    df = emb_dim_variance_participation(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_DIM_PARTICIPATION, ["embeddings"]
+    )
+    row = df.collect()[0]
+    assert (row["n_vectors"], row["n_dims"]) == (4, 64)
+    assert row["var_total_r6"] == 0.3125
+    sl, sl2 = 0.3125, 0.25 * 0.25 + 0.0625 * 0.0625
+    assert row["pr_effective_dims_r6"] == round(sl * sl / sl2, 6)
+    assert row["top_dim_share_r6"] == round(0.25 / 0.3125, 6)
+
+
+def test_dow_hour_independence_planted(spark, tmp_path):
+    """A 2x2 support (two weekdays x two hours) with identical row
+    profiles: chi2 exactly 0; a planted interaction pushes chi2 to
+    the brute value."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_DOW_HOUR_INDEP,
+        stats_dow_hour_independence,
+    )
+
+    rows = []
+    eid = 0
+    # day T0 (Monday, dw=0) and day T0+1 (dw=1), hours 0 and 1
+    # independent layout: each (dw, h) cell gets the product profile
+    for d, h, k in [(0, 0, 2), (0, 1, 4), (1, 0, 1), (1, 1, 2)]:
+        for _ in range(k):
+            rows.append(
+                (eid, T0_US + d * US_PER_DAY + h * US_PER_HOUR, "e", 1.0)
+            )
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = stats_dow_hour_independence(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_DOW_HOUR_INDEP, ["events"]
+    )
+    row = df.collect()[0]
+    assert row["n_events"] == 9
+    assert (row["n_dw"], row["n_h"]) == (2, 2)
+    assert row["df"] == 1
+    # independent table (rows proportional): chi2 ~ 0 up to the 9dp
+    # cell rounding
+    import math
+
+    t = sum(
+        round(o * o / (r * c), 9)
+        for o, r, c in [(2, 6, 3), (4, 6, 6), (1, 3, 3), (2, 3, 6)]
+    )
+    assert row["chi2_r6"] == round(9 * t - 9, 6)
+    assert abs(row["chi2_r6"]) < 1e-5

@@ -789,3 +789,40 @@ def test_max_drawdown_stream_equals_batch(spark):
         tuple(r) for r in ev_max_drawdown_daily(spark, SF_DIR).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_kuiper_hour_stream_equals_batch(spark):
+    """(type x 24) complete-mode stream + shared Kuiper assembly equals
+    the batch circular-uniformity test row-for-row (r14 twin)."""
+    from spark_dba_spark.operators.analytics import (
+        stats_kuiper_hour_uniformity,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_kuiper_hour_stream(
+            spark, SF_DIR, "t_kuiper_hr"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in stats_kuiper_hour_uniformity(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_capacity_shed_stream_equals_batch(spark):
+    """Hour-grain complete-mode stream + shared shed assembly equals
+    the batch p90 what-if row-for-row (r14 twin)."""
+    from spark_dba_spark.operators.analytics import ev_capacity_shed_whatif
+
+    got = sorted(
+        tuple(r)
+        for r in jobs.run_capacity_shed_stream(
+            spark, SF_DIR, "t_cap_shed"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in ev_capacity_shed_whatif(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
