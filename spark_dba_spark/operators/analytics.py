@@ -6494,3 +6494,820 @@ SPECS += [
             "load grid (9dp decimal cell lanes, literal chi2_138 critical)",
     ),
 ]
+
+
+# ==========================================================================
+# Batch AB (round-14 continuation, third window)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# CR-k concentration ratios by market segment
+# --------------------------------------------------------------------------
+
+CRK_KS = (4, 8, 20)
+
+
+def orders_crk_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration ratios CR4/CR8/CR20 of customer revenue within
+    each market segment — the antitrust-style "top-k buyers hold x%
+    of the book" readout that orders_hhi_concentration (sum of
+    squared shares) compresses into one number and the whale-watcher
+    actually asks for as a table.
+
+    Exact: cents lanes, per-segment revenue rank windows (customers
+    per segment — the established pareto posture), CR shares through
+    the qrem split; segments with fewer than k customers read their
+    true total (CR = 1).
+
+    Scale: one (custkey) rollup, a broadcast dimension join, one
+    per-segment rank window, and a 5×3 readout."""
+    o = catalog.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "cents"
+        ),
+    )
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    per = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+        .join(F.broadcast(cust), "o_custkey")
+    )
+    wr = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("cents"), F.asc("o_custkey")
+    )
+    rk = per.withColumn("rk", F.row_number().over(wr))
+    kg = spark.createDataFrame([(int(k),) for k in CRK_KS], "k long")
+    topk = (
+        rk.crossJoin(F.broadcast(kg))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("c_mktsegment", "k")
+        .agg(F.sum("cents").cast("long").alias("top_cents"))
+    )
+    tot = per.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    share = qrem_round6_spark("top_cents", "t")
+    return (
+        topk.join(tot, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "k",
+            "n_customers",
+            F.expr(share).alias("crk_share_r6"),
+        )
+        .orderBy("c_mktsegment", "k")
+    )
+
+
+def _crk_oracle() -> str:
+    ks = ", ".join(str(k) for k in CRK_KS)
+    return f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+per AS (
+  SELECT o.o_custkey, cents, c_mktsegment
+  FROM o JOIN customer ON o.o_custkey = customer.c_custkey),
+rk AS (
+  SELECT c_mktsegment, cents,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cents DESC, o_custkey) AS rk
+  FROM per),
+kg AS (SELECT unnest([{ks}]) AS k),
+topk AS (
+  SELECT c_mktsegment, k, CAST(SUM(cents) AS BIGINT) AS top_cents
+  FROM rk CROSS JOIN kg WHERE rk <= k GROUP BY 1, 2),
+tot AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS t
+  FROM per GROUP BY 1)
+SELECT topk.c_mktsegment, CAST(k AS BIGINT) AS k, n_customers,
+       {qrem_round6_duck('top_cents', 't')} AS crk_share_r6
+FROM topk JOIN tot ON topk.c_mktsegment = tot.c_mktsegment
+ORDER BY topk.c_mktsegment, k
+"""
+
+
+ORACLE_CRK = _crk_oracle()
+
+
+# --------------------------------------------------------------------------
+# Rescaled-range (R/S) Hurst estimate
+# --------------------------------------------------------------------------
+
+RS_BLOCK_SIZES = (4, 8, 16)
+# ln of the block sizes, 12dp literals (the OLS x-grid)
+_RS_LN = ("1.386294361120", "2.079441542148", "2.772588722240")
+
+
+def ev_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily volume by Mandelbrot's RESCALED-RANGE
+    method: for block sizes m ∈ {RS_BLOCK_SIZES}, each complete
+    m-day block yields R/S = (max−min of within-block cumulative
+    deviations) / (block std); H is the log-log OLS slope of the
+    mean R/S against m. The classical estimator next to
+    ev_hurst_variance_plot's variance-time method — two independent
+    estimators agreeing near 0.5 is the actual evidence the feed has
+    no long-range dependence.
+
+    Exact: within-block deviations are division-free (W_k = m·Σ_{{≤k}}x
+    − k·S_b is BIGINT, range(W)/m the true R), block variance m·Σx² −
+    S² a BIGINT; each block's R/S is ONE double chain 9dp-rounded
+    into the per-m DECIMAL mean; constant blocks (S = 0) are dropped
+    (documented). The OLS runs on the 3-point literal ln-m grid.
+
+    Scale: everything after the day-grain shuffle is calendar-
+    bounded; blocks live in per-m windows over ≤ 3650 rows."""
+    day = f"({_US}) div {_DAY_US}"
+    ev = catalog.load(spark, sf_dir, "events").select(F.expr(day).alias("d"))
+    cnt = ev.groupBy("d").agg(F.count("*").cast("long").alias("x"))
+    spine = (
+        cnt.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(F.explode(F.expr("sequence(d0, d1)")).alias("d"))
+        .join(cnt, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+        .withColumn("i", F.row_number().over(W.orderBy("d")) - 1)
+        .localCheckpoint(eager=True)  # reused per block size
+    )
+    mg = spark.createDataFrame(
+        [(int(m),) for m in RS_BLOCK_SIZES], "m long"
+    )
+    blk = spine.crossJoin(F.broadcast(mg)).select(
+        "m", F.expr("i div m").alias("b"), F.expr("i % m").alias("k"), "x"
+    )
+    wb = (
+        W.partitionBy("m", "b")
+        .orderBy("k")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = blk.select(
+        "m", "b", "k", "x", F.sum("x").over(wb).alias("cx")
+    )
+    per_b = cum.groupBy("m", "b").agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.expr("x * x")).cast("long").alias("s2"),
+    )
+    # W_k = m*cx - (k+1)*s needs the block total s: second pass joins it
+    w2 = (
+        cum.join(
+            per_b.select("m", "b", "s", "nb", "s2"), ["m", "b"]
+        )
+        .groupBy("m", "b", "nb", "s", "s2")
+        .agg(
+            F.max(F.expr("m * cx - (k + 1) * s")).alias("wmax"),
+            F.min(F.expr("m * cx - (k + 1) * s")).alias("wmin"),
+        )
+        .filter((F.col("nb") == F.col("m")) & (F.expr("m * s2 - s * s") > 0))
+    )
+    rs = "((wmax - wmin) / sqrt(cast(m * s2 - s * s as double)))"
+    per_m = w2.select(
+        "m",
+        F.expr(f"cast(round({rs}, 9) as decimal(25,9))").alias("rs9"),
+    ).groupBy("m").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.expr("round(cast(sum(rs9) as double) / count(*), 9)").alias(
+            "mean_rs"
+        ),
+    )
+    lnm = (
+        "case m when 4 then " + _RS_LN[0] + " when 8 then " + _RS_LN[1]
+        + " when 16 then " + _RS_LN[2] + " end"
+    )
+    # OLS sufficient statistics accumulate as DECIMALs (lx is a decimal
+    # literal; the ly/lxy doubles 9dp-round before summing) so the
+    # 3-term sums are order-free; doubles return only in the slope
+    pts = per_m.filter(F.col("mean_rs") > 0).select(
+        F.expr(lnm).alias("lx"),
+        F.expr(
+            "cast(round(ln(mean_rs), 9) as decimal(25,9))"
+        ).alias("ly9"),
+        F.expr(
+            "cast(round(cast(" + lnm + " as double) * ln(mean_rs), 9)"
+            " as decimal(25,9))"
+        ).alias("lxy9"),
+    ).localCheckpoint(eager=True)
+    ols = pts.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly9").alias("sy"),
+        F.sum(F.expr("lx * lx")).alias("sxx"),
+        F.sum("lxy9").alias("sxy"),
+    )
+    h = (
+        "case when np < 2 then null else round("
+        "(np * cast(sxy as double) - cast(sx as double) * cast(sy as double))"
+        " / (np * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double)), 6) end"
+    )
+    wide = per_m.groupBy().pivot("m", [4, 8, 16]).agg(
+        F.first(F.expr("round(mean_rs, 6)"))
+    )
+    return (
+        ols.crossJoin(
+            wide.select(
+                F.col("4").alias("mean_rs_m4_r6"),
+                F.col("8").alias("mean_rs_m8_r6"),
+                F.col("16").alias("mean_rs_m16_r6"),
+            )
+        )
+        .select(
+            "mean_rs_m4_r6",
+            "mean_rs_m8_r6",
+            "mean_rs_m16_r6",
+            F.expr(h).alias("hurst_rs_r6"),
+        )
+    )
+
+
+def _rs_oracle() -> str:
+    lnm = (
+        "CASE m WHEN 4 THEN " + _RS_LN[0] + " WHEN 8 THEN " + _RS_LN[1]
+        + " WHEN 16 THEN " + _RS_LN[2] + " END"
+    )
+    rs = "((wmax - wmin) / sqrt(CAST(m * s2 - s * s AS DOUBLE)))"
+    return f"""
+WITH ev AS (SELECT epoch_us(ts) // {_DAY_US} AS d FROM events),
+cnt AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS x FROM ev GROUP BY 1),
+spine AS (
+  SELECT g.d, CAST(COALESCE(cnt.x, 0) AS BIGINT) AS x,
+         ROW_NUMBER() OVER (ORDER BY g.d) - 1 AS i
+  FROM (SELECT unnest(generate_series(MIN(d), MAX(d))) AS d FROM cnt) g
+  LEFT JOIN cnt ON g.d = cnt.d),
+blk AS (
+  SELECT m, i // m AS b, i % m AS k, x
+  FROM spine CROSS JOIN (SELECT unnest([4, 8, 16]) AS m) mg),
+cum AS (
+  SELECT m, b, k, x,
+         SUM(x) OVER (PARTITION BY m, b ORDER BY k
+                      ROWS UNBOUNDED PRECEDING) AS cx
+  FROM blk),
+per_b AS (
+  SELECT m, b, CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM cum GROUP BY 1, 2),
+w2 AS (
+  SELECT cum.m, cum.b, nb, s, s2,
+         MAX(cum.m * cx - (k + 1) * s) AS wmax,
+         MIN(cum.m * cx - (k + 1) * s) AS wmin
+  FROM cum JOIN per_b ON cum.m = per_b.m AND cum.b = per_b.b
+  GROUP BY 1, 2, 3, 4, 5
+  HAVING nb = cum.m AND cum.m * s2 - s * s > 0),
+per_m AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         ROUND(CAST(SUM(CAST(ROUND({rs}, 9) AS DECIMAL(25,9)))
+                    AS DOUBLE) / COUNT(*), 9) AS mean_rs
+  FROM w2 GROUP BY 1),
+pts AS (
+  SELECT {lnm} AS lx,
+         CAST(ROUND(ln(mean_rs), 9) AS DECIMAL(25,9)) AS ly9,
+         CAST(ROUND(CAST({lnm} AS DOUBLE) * ln(mean_rs), 9)
+              AS DECIMAL(25,9)) AS lxy9
+  FROM per_m WHERE mean_rs > 0),
+ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS np, SUM(lx) AS sx, SUM(ly9) AS sy,
+         SUM(lx * lx) AS sxx, SUM(lxy9) AS sxy
+  FROM pts),
+wide AS (
+  SELECT MAX(CASE WHEN m = 4 THEN ROUND(mean_rs, 6) END) AS mean_rs_m4_r6,
+         MAX(CASE WHEN m = 8 THEN ROUND(mean_rs, 6) END) AS mean_rs_m8_r6,
+         MAX(CASE WHEN m = 16 THEN ROUND(mean_rs, 6) END)
+           AS mean_rs_m16_r6
+  FROM per_m)
+SELECT mean_rs_m4_r6, mean_rs_m8_r6, mean_rs_m16_r6,
+       CASE WHEN np < 2 THEN NULL ELSE
+         ROUND((np * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (np * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END
+         AS hurst_rs_r6
+FROM ols CROSS JOIN wide
+"""
+
+
+ORACLE_HURST_RS = _rs_oracle()
+
+
+# --------------------------------------------------------------------------
+# Weekend/weekday rate-ratio test
+# --------------------------------------------------------------------------
+
+
+def stats_rate_ratio_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-ratio test of weekend vs weekday EVENT RATES per
+    exposure day: RR = (a/d₁)/(b/d₂) with exposures counted off the
+    calendar spine, Wald z = ln(RR)/√(1/a + 1/b) against the
+    two-sided 5% normal critical. The existing weekend bench tests
+    VALUES and MIX; this is the throughput question — "is weekend
+    traffic per day actually different" — normalized for the fact
+    that a week only has two weekend days.
+
+    Exact: all four inputs are integers (event counts and calendar
+    day counts); the readout is one ln/sqrt double chain identical in
+    both engines; empty cells read NULL.
+
+    Scale: one map-side weekend tag, two scalar aggregates."""
+    day = f"({_US}) div {_DAY_US}"
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.expr(day).alias("d"),
+        F.expr(f"(({day}) + 3) % 7 >= 5").alias("wkend"),
+    )
+    counts = ev.agg(
+        F.sum(F.expr("cast(wkend as long)")).cast("long").alias("a"),
+        F.sum(F.expr("cast(not wkend as long)")).cast("long").alias("b"),
+    )
+    spine = (
+        ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(F.explode(F.expr("sequence(d0, d1)")).alias("d"))
+        .select(F.expr("((d + 3) % 7 >= 5)").alias("wkend"))
+        .agg(
+            F.sum(F.expr("cast(wkend as long)")).cast("long").alias("d1"),
+            F.sum(F.expr("cast(not wkend as long)")).cast("long").alias("d2"),
+        )
+    )
+    rr = (
+        "(cast(a as double) / d1) / (cast(b as double) / d2)"
+    )
+    z = f"ln({rr}) / sqrt(1.0d / a + 1.0d / b)"
+    guard = "a = 0 or b = 0 or d1 = 0 or d2 = 0"
+    return counts.crossJoin(spine).select(
+        F.col("a").alias("n_weekend_events"),
+        F.col("b").alias("n_weekday_events"),
+        F.col("d1").alias("n_weekend_days"),
+        F.col("d2").alias("n_weekday_days"),
+        F.expr(
+            f"case when {guard} then null else round({rr}, 6) end"
+        ).alias("rate_ratio_r6"),
+        F.expr(
+            f"case when {guard} then null else round({z}, 6) end"
+        ).alias("z_r6"),
+        F.expr(
+            f"case when {guard} then null else abs({z}) > 1.959964 end"
+        ).alias("reject_05"),
+    )
+
+
+ORACLE_RATE_RATIO = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS d,
+         ((epoch_us(ts) // {_DAY_US}) + 3) % 7 >= 5 AS wkend
+  FROM events),
+counts AS (
+  SELECT CAST(SUM(CASE WHEN wkend THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN wkend THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM ev),
+spine AS (
+  SELECT CAST(SUM(CASE WHEN (d + 3) % 7 >= 5 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN (d + 3) % 7 >= 5 THEN 0 ELSE 1 END)
+              AS BIGINT) AS d2
+  FROM (SELECT unnest(generate_series(MIN(d), MAX(d))) AS d FROM ev))
+SELECT a AS n_weekend_events, b AS n_weekday_events,
+       d1 AS n_weekend_days, d2 AS n_weekday_days,
+       CASE WHEN a = 0 OR b = 0 OR d1 = 0 OR d2 = 0 THEN NULL ELSE
+         ROUND((CAST(a AS DOUBLE) / d1) / (CAST(b AS DOUBLE) / d2), 6)
+       END AS rate_ratio_r6,
+       CASE WHEN a = 0 OR b = 0 OR d1 = 0 OR d2 = 0 THEN NULL ELSE
+         ROUND(ln((CAST(a AS DOUBLE) / d1) / (CAST(b AS DOUBLE) / d2))
+               / sqrt(1e0 / a + 1e0 / b), 6) END AS z_r6,
+       CASE WHEN a = 0 OR b = 0 OR d1 = 0 OR d2 = 0 THEN NULL ELSE
+         abs(ln((CAST(a AS DOUBLE) / d1) / (CAST(b AS DOUBLE) / d2))
+             / sqrt(1e0 / a + 1e0 / b)) > 1.959964 END AS reject_05
+FROM counts CROSS JOIN spine
+"""
+
+
+# --------------------------------------------------------------------------
+# HLL intersection estimate with error certificate
+# --------------------------------------------------------------------------
+
+HLL_IM = 64       # registers (2^6 buckets) — the sketch_hll_registers lane
+HLL_IW = 54       # rank bits
+HLL_IALPHA = "0.709"  # alpha_64 literal
+
+
+def sketch_hll_intersection_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection estimation from HyperLogLog sketches by
+    inclusion-exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    the union sketch is the per-bucket register MAX — measured against
+    the EXACT intersection, for A = weekend-active users and B =
+    weekday-active users. The canonical demonstration of both the
+    power (three sketch scans replace a distinct-join) and the hazard
+    (inclusion-exclusion compounds three errors; small intersections
+    drown) of sketch set algebra; the certificate emits the relative
+    error and whether it sits inside the compounded 3-sigma
+    1.04/√m·(estA + estB + estU) band (a measured, not theorem,
+    bound — documented).
+
+    Determinism: registers are the md5-derived deterministic lane of
+    sketch_hll_registers (6 bucket bits, rho from bin-length — no
+    float log2); the raw-estimate harmonic sum is carried as the
+    INTEGER Σ 2^(W+1−rho) (exact powers of two), with linear-counting
+    small-range correction when est ≤ 2.5m and empties exist (both
+    branches written identically in both engines).
+
+    Scale: register-max is idempotent; the whole op is map-side
+    hashing plus (3 sketches × 64)-cell state and one exact distinct
+    count (itself one shuffle)."""
+    day = f"({_US}) div {_DAY_US}"
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"(({day}) + 3) % 7 >= 5").alias("wkend"),
+    )
+    h = sql_md5_long_spark("cast(user_id as string)")
+    reg0 = ev.select(
+        "wkend",
+        F.expr(f"({h}) % {HLL_IM}").cast("int").alias("bucket"),
+        F.expr(f"({h}) div {HLL_IM}").alias("w"),
+    ).select(
+        "wkend",
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(HLL_IW + 1))
+        .otherwise(F.lit(HLL_IW + 1) - F.length(F.expr("bin(w)")))
+        .cast("int")
+        .alias("rho"),
+    )
+    per = reg0.groupBy("wkend", "bucket").agg(F.max("rho").alias("rho"))
+    # three dense sketches: A (weekend), B (weekday), U (max merge)
+    grid = spark.range(HLL_IM).select(F.col("id").cast("int").alias("bucket"))
+    a_ = grid.join(
+        per.filter("wkend").select("bucket", "rho"), "bucket", "left"
+    ).select("bucket", F.coalesce("rho", F.lit(0)).alias("rho"))
+    b_ = grid.join(
+        per.filter("not wkend").select("bucket", "rho"), "bucket", "left"
+    ).select("bucket", F.coalesce("rho", F.lit(0)).alias("rho"))
+    u_ = grid.join(
+        per.groupBy("bucket").agg(F.max("rho").alias("rho")),
+        "bucket",
+        "left",
+    ).select("bucket", F.coalesce("rho", F.lit(0)).alias("rho"))
+
+    def est(df: DataFrame, name: str) -> DataFrame:
+        z = df.agg(
+            F.sum(F.expr(f"cast(pow(2.0d, {HLL_IW + 1} - rho) as bigint)"))
+            .cast("long")
+            .alias("znum"),
+            F.sum(F.expr("cast(rho = 0 as long)")).cast("long").alias("v"),
+        )
+        raw = (
+            f"{HLL_IALPHA} * {HLL_IM} * {HLL_IM}"
+            f" * cast(pow(2.0d, {HLL_IW + 1}) as double) / znum"
+        )
+        lc = f"{HLL_IM} * ln(cast({HLL_IM} as double) / v)"
+        return z.select(
+            F.expr(
+                f"case when ({raw}) <= 2.5 * {HLL_IM} and v > 0"
+                f" then {lc} else {raw} end"
+            ).alias(name)
+        )
+
+    ex = (
+        ev.select("user_id", "wkend")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("k"))
+        .agg(
+            F.sum(F.expr("cast(k = 2 as long)")).cast("long").alias("exact_i")
+        )
+    )
+    out = (
+        est(a_, "ea").crossJoin(est(b_, "eb")).crossJoin(est(u_, "eu"))
+        .crossJoin(ex)
+    )
+    inter = "(ea + eb - eu)"
+    band = f"3.0d * 1.04 / sqrt(cast({HLL_IM} as double)) * (ea + eb + eu)"
+    return out.select(
+        F.expr("round(ea, 6)").alias("est_weekend_r6"),
+        F.expr("round(eb, 6)").alias("est_weekday_r6"),
+        F.expr("round(eu, 6)").alias("est_union_r6"),
+        F.expr(f"round({inter}, 6)").alias("est_intersection_r6"),
+        F.col("exact_i").alias("exact_intersection"),
+        F.expr(f"round(abs({inter} - exact_i), 6)").alias("abs_err_r6"),
+        F.expr(f"abs({inter} - exact_i) <= ({band})").alias(
+            "within_3sigma_band"
+        ),
+    )
+
+
+def _hll_inter_oracle() -> str:
+    h = sql_md5_long_duck("CAST(user_id AS VARCHAR)")
+    w1 = HLL_IW + 1
+    raw = (
+        f"{HLL_IALPHA} * {HLL_IM} * {HLL_IM}"
+        f" * CAST(pow(2e0, {w1}) AS DOUBLE) / znum"
+    )
+    lc = f"{HLL_IM} * ln(CAST({HLL_IM} AS DOUBLE) / v)"
+    est = (
+        f"CASE WHEN ({raw}) <= 2.5 * {HLL_IM} AND v > 0"
+        f" THEN {lc} ELSE {raw} END"
+    )
+    inter = "(ea + eb - eu)"
+    band = f"3e0 * 1.04 / sqrt(CAST({HLL_IM} AS DOUBLE)) * (ea + eb + eu)"
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+         ((epoch_us(ts) // 86400000000) + 3) % 7 >= 5 AS wkend
+  FROM events),
+reg0 AS (
+  SELECT wkend,
+         CAST(({h}) % {HLL_IM} AS INT) AS bucket,
+         ({h}) // {HLL_IM} AS w
+  FROM ev),
+rho0 AS (
+  SELECT wkend, bucket,
+         CASE WHEN w = 0 THEN {w1}
+              ELSE {w1} - length(bin(w)) END AS rho
+  FROM reg0),
+per AS (
+  SELECT wkend, bucket, MAX(rho) AS rho FROM rho0 GROUP BY 1, 2),
+grid AS (SELECT unnest(range({HLL_IM})) AS bucket),
+za AS (
+  SELECT CAST(SUM(CAST(pow(2e0, {w1} - COALESCE(p.rho, 0)) AS BIGINT))
+              AS BIGINT) AS znum,
+         CAST(SUM(CASE WHEN COALESCE(p.rho, 0) = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v
+  FROM grid g LEFT JOIN (SELECT * FROM per WHERE wkend) p
+    ON g.bucket = p.bucket),
+zb AS (
+  SELECT CAST(SUM(CAST(pow(2e0, {w1} - COALESCE(p.rho, 0)) AS BIGINT))
+              AS BIGINT) AS znum,
+         CAST(SUM(CASE WHEN COALESCE(p.rho, 0) = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v
+  FROM grid g LEFT JOIN (SELECT * FROM per WHERE NOT wkend) p
+    ON g.bucket = p.bucket),
+zu AS (
+  SELECT CAST(SUM(CAST(pow(2e0, {w1} - COALESCE(p.rho, 0)) AS BIGINT))
+              AS BIGINT) AS znum,
+         CAST(SUM(CASE WHEN COALESCE(p.rho, 0) = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v
+  FROM grid g LEFT JOIN (SELECT bucket, MAX(rho) AS rho
+                         FROM per GROUP BY 1) p
+    ON g.bucket = p.bucket),
+es AS (
+  SELECT (SELECT {est} FROM za) AS ea,
+         (SELECT {est} FROM zb) AS eb,
+         (SELECT {est} FROM zu) AS eu),
+ex AS (
+  SELECT CAST(SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_i
+  FROM (SELECT user_id, COUNT(*) AS k
+        FROM (SELECT DISTINCT user_id, wkend FROM ev) GROUP BY 1))
+SELECT ROUND(ea, 6) AS est_weekend_r6,
+       ROUND(eb, 6) AS est_weekday_r6,
+       ROUND(eu, 6) AS est_union_r6,
+       ROUND({inter}, 6) AS est_intersection_r6,
+       exact_i AS exact_intersection,
+       ROUND(abs({inter} - exact_i), 6) AS abs_err_r6,
+       abs({inter} - exact_i) <= ({band}) AS within_3sigma_band
+FROM es CROSS JOIN ex
+"""
+
+
+ORACLE_HLL_INTERSECTION = _hll_inter_oracle()
+
+
+# --------------------------------------------------------------------------
+# Discount-depth response curve
+# --------------------------------------------------------------------------
+
+
+def lineitem_discount_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity response to discount depth: per discount level (exact
+    integer percent — the fixture grid is 0..10%), the mean ordered
+    quantity and its LIFT against the zero-discount baseline as an
+    exact cross-multiplied rational — the demand-response curve
+    behind the single-number price elasticity op ("do deeper
+    discounts actually move volume, level by level").
+
+    Exact: quantities half-up to integers, lift = (Σq_d·n_0)/(Σq_0·n_d)
+    via the qrem split — a ratio of two means with no intermediate
+    division; levels absent from the feed simply have no row.
+
+    Scale: one (discount-level) rollup — ≤ 11 cells — map-side
+    combinable."""
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        F.expr("cast(floor(l_discount * 100 + 0.5) as bigint)").alias("pct"),
+        F.expr("cast(floor(l_quantity + 0.5) as bigint)").alias("q"),
+    )
+    per = li.groupBy("pct").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("q").cast("long").alias("sq"),
+    ).localCheckpoint(eager=True)  # per-level + baseline
+    base = per.filter(F.col("pct") == 0).select(
+        F.col("n_lines").alias("n0"), F.col("sq").alias("sq0")
+    )
+    mean = qrem_round6_spark("sq", "n_lines")
+    lift = qrem_round6_spark("sq * n0", "sq0 * n_lines")
+    return (
+        per.crossJoin(F.broadcast(base))
+        .select(
+            F.col("pct").alias("discount_pct"),
+            "n_lines",
+            F.expr(mean).alias("mean_qty_r6"),
+            F.expr(lift).alias("qty_lift_vs_zero_r6"),
+        )
+        .orderBy("discount_pct")
+    )
+
+
+ORACLE_DISCOUNT_RESPONSE = f"""
+WITH li AS (
+  SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS pct,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q
+  FROM lineitem),
+per AS (
+  SELECT pct, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(q) AS BIGINT) AS sq
+  FROM li GROUP BY 1),
+base AS (SELECT n_lines AS n0, sq AS sq0 FROM per WHERE pct = 0)
+SELECT pct AS discount_pct, n_lines,
+       {qrem_round6_duck('sq', 'n_lines')} AS mean_qty_r6,
+       {qrem_round6_duck('sq * n0', 'sq0 * n_lines')}
+         AS qty_lift_vs_zero_r6
+FROM per CROSS JOIN base ORDER BY discount_pct
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding ingestion-order drift with interleaved control
+# --------------------------------------------------------------------------
+
+
+def emb_ingestion_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the embedding distribution DRIFT over ingestion order?
+    Centroid distance between the first and second half of the
+    vec_id range — paired with the same statistic for the
+    INTERLEAVED (vec_id parity) split as a built-in null control:
+    parity mixes any temporal drift away, so ordered ≫ interleaved is
+    drift evidence while ordered ≈ interleaved is sampling noise. The
+    ingestion-order complement of the (label-keyed) Fisher and
+    anisotropy audits.
+
+    Exact: the split point is the exact vec_id median (value-grain
+    selection); per-dim centroid gaps clear denominators —
+    (n₂·s₁ − n₁·s₂)² on DECIMAL lanes — and each dim's term rescales
+    to unit² and 9dp-rounds into the DECIMAL sum; one sqrt at the
+    readout.
+
+    Scale: two (dim)-grain rollups (64 cells each) after map-side
+    explodes; no pairwise term."""
+    e = catalog.load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode(F.expr(_EMB_Q_SQL)).alias("d", "q")
+    ).localCheckpoint(eager=True)  # split scan + both rollups
+    ids = e.filter(F.col("d") == 0).select("vec_id")
+    nn = ids.agg(F.count("*").cast("long").alias("n"))
+    med = (
+        ids.withColumn("rk", F.row_number().over(W.orderBy("vec_id")))
+        .crossJoin(F.broadcast(nn))
+        .filter(F.expr("rk = (n + 1) div 2"))
+        .select(F.col("vec_id").alias("med"))
+    )
+
+    def drift(split_expr: str, alias: str) -> DataFrame:
+        per = (
+            e.crossJoin(F.broadcast(med))
+            .select("d", "q", F.expr(split_expr).alias("g"))
+            .groupBy("d")
+            .agg(
+                F.sum(F.expr("case when g then q else 0 end"))
+                .cast("long").alias("s1"),
+                F.sum(F.expr("case when g then 0 else q end"))
+                .cast("long").alias("s2"),
+                F.sum(F.expr("cast(g as long)")).cast("long").alias("n1"),
+                F.sum(F.expr("cast(not g as long)")).cast("long").alias("n2"),
+            )
+        )
+        term = (
+            "round(cast(cast(n2 * s1 - n1 * s2 as decimal(38,0))"
+            " * (n2 * s1 - n1 * s2) as double)"
+            " / (cast(n1 as double) * n1 * n2 * n2 * 1099511627776.0), 9)"
+        )
+        return per.agg(
+            F.max("n1").alias(f"{alias}_n1"),
+            F.max("n2").alias(f"{alias}_n2"),
+            F.sum(
+                F.expr(f"cast({term} as decimal(25,9))")
+            ).alias(f"{alias}_dd"),
+        )
+
+    o = drift("vec_id <= med", "ord")
+    c = drift("vec_id % 2 = 0", "par")
+    return o.crossJoin(c).select(
+        F.col("ord_n1").alias("n_first_half"),
+        F.col("ord_n2").alias("n_second_half"),
+        F.expr("round(sqrt(cast(ord_dd as double)), 6)").alias(
+            "drift_ordered_r6"
+        ),
+        F.expr("round(sqrt(cast(par_dd as double)), 6)").alias(
+            "drift_interleaved_r6"
+        ),
+        F.expr(
+            "case when cast(par_dd as double) <= 0 then null else"
+            " round(sqrt(cast(ord_dd as double) / cast(par_dd as double)),"
+            " 6) end"
+        ).alias("drift_ratio_r6"),
+    )
+
+
+def _drift_oracle() -> str:
+    term = (
+        "ROUND(CAST(CAST(n2 * s1 - n1 * s2 AS DECIMAL(38,0))"
+        " * (n2 * s1 - n1 * s2) AS DOUBLE)"
+        " / (CAST(n1 AS DOUBLE) * n1 * n2 * n2 * 1099511627776.0), 9)"
+    )
+
+    def half(split: str, alias: str) -> str:
+        return f"""
+{alias}_per AS (
+  SELECT d, CAST(SUM(CASE WHEN {split} THEN q ELSE 0 END) AS BIGINT)
+           AS s1,
+         CAST(SUM(CASE WHEN {split} THEN 0 ELSE q END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN {split} THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN {split} THEN 0 ELSE 1 END) AS BIGINT) AS n2
+  FROM e CROSS JOIN med GROUP BY 1),
+{alias}_agg AS (
+  SELECT MAX(n1) AS {alias}_n1, MAX(n2) AS {alias}_n2,
+         SUM(CAST({term} AS DECIMAL(25,9))) AS {alias}_dd
+  FROM {alias}_per)"""
+
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, d.d,
+         CAST(TRUNC(CAST(embedding[d.d + 1] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS q
+  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d) d),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+med AS (
+  SELECT vec_id AS med FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+    FROM embeddings) r CROSS JOIN nn
+  WHERE rk = (n + 1) // 2),{half("vec_id <= med", "ord")},{half("vec_id % 2 = 0", "par")}
+SELECT ord_n1 AS n_first_half, ord_n2 AS n_second_half,
+       ROUND(sqrt(CAST(ord_dd AS DOUBLE)), 6) AS drift_ordered_r6,
+       ROUND(sqrt(CAST(par_dd AS DOUBLE)), 6) AS drift_interleaved_r6,
+       CASE WHEN CAST(par_dd AS DOUBLE) <= 0 THEN NULL ELSE
+         ROUND(sqrt(CAST(ord_dd AS DOUBLE) / CAST(par_dd AS DOUBLE)), 6)
+       END AS drift_ratio_r6
+FROM ord_agg CROSS JOIN par_agg
+"""
+
+
+ORACLE_INGESTION_DRIFT = _drift_oracle()
+
+
+SPECS += [
+    QuerySpec(
+        "orders_crk_concentration",
+        orders_crk_concentration,
+        ORACLE_CRK,
+        ("orders", "finance", "concentration"),
+        doc="CR4/CR8/CR20 customer revenue concentration per segment "
+            "(cents lanes, qrem shares)",
+    ),
+    QuerySpec(
+        "ev_hurst_rescaled_range",
+        ev_hurst_rescaled_range,
+        ORACLE_HURST_RS,
+        ("events", "stats", "capacity"),
+        doc="rescaled-range (R/S) Hurst estimate over dyadic day blocks "
+            "(division-free W_k lanes, decimal OLS accumulation)",
+    ),
+    QuerySpec(
+        "stats_rate_ratio_weekend",
+        stats_rate_ratio_weekend,
+        ORACLE_RATE_RATIO,
+        ("stats", "events", "test"),
+        doc="Poisson rate-ratio test of weekend vs weekday events per "
+            "exposure day (calendar-spine exposures, Wald z)",
+    ),
+    QuerySpec(
+        "sketch_hll_intersection_error",
+        sketch_hll_intersection_error,
+        ORACLE_HLL_INTERSECTION,
+        ("sketch", "agg", "certificate"),
+        doc="HLL inclusion-exclusion intersection estimate vs exact with "
+            "a compounded 3-sigma band (deterministic md5 registers)",
+    ),
+    QuerySpec(
+        "lineitem_discount_response_curve",
+        lineitem_discount_response_curve,
+        ORACLE_DISCOUNT_RESPONSE,
+        ("orders", "finance"),
+        doc="quantity response per discount level with exact cross-"
+            "multiplied lift vs the zero-discount baseline",
+    ),
+    QuerySpec(
+        "emb_ingestion_drift_halves",
+        emb_ingestion_drift_halves,
+        ORACLE_INGESTION_DRIFT,
+        ("embedding", "drift", "audit"),
+        doc="centroid drift between vec_id halves with the interleaved "
+            "parity split as a built-in null control",
+    ),
+]

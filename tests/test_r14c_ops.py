@@ -1339,3 +1339,231 @@ def test_dow_hour_independence_planted(spark, tmp_path):
     )
     assert row["chi2_r6"] == round(9 * t - 9, 6)
     assert abs(row["chi2_r6"]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Batch AB twins
+# ---------------------------------------------------------------------------
+
+
+def test_crk_concentration_planted(spark, tmp_path):
+    """Five customers in one segment with revenues 50,20,10,10,10:
+    CR4 = 90/100; a 2-customer segment reads CR4 = 1."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_CRK,
+        orders_crk_concentration,
+    )
+
+    customers = [(i, "AUTO") for i in range(1, 6)] + [(6, "BIKE"), (7, "BIKE")]
+    orders = [
+        (1, 1, 50.0), (2, 2, 20.0), (3, 3, 10.0), (4, 4, 10.0),
+        (5, 5, 10.0), (6, 6, 7.0), (7, 7, 3.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in customers], pa.int64()),
+                "c_mktsegment": pa.array([r[1] for r in customers]),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+                "o_totalprice": pa.array([r[2] for r in orders], pa.float64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    df = orders_crk_concentration(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_CRK, ["orders", "customer"]
+    )
+    got = {(r["c_mktsegment"], r["k"]): r for r in df.collect()}
+    assert got[("AUTO", 4)]["crk_share_r6"] == 0.9
+    assert got[("AUTO", 8)]["crk_share_r6"] == 1.0
+    assert got[("BIKE", 4)]["crk_share_r6"] == 1.0
+    assert got[("AUTO", 4)]["n_customers"] == 5
+
+
+def test_hurst_rs_planted(spark, tmp_path):
+    """Eight days of counts [2,4,2,4,...]: every m=4 block has the
+    same R/S, recomputed by hand; m=16 has no complete block so the
+    OLS runs on two points."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_HURST_RS,
+        ev_hurst_rescaled_range,
+    )
+
+    counts = [2, 4, 2, 4, 2, 4, 2, 4]
+    rows = []
+    eid = 0
+    for i, x in enumerate(counts):
+        for _ in range(x):
+            rows.append((eid, T0_US + i * US_PER_DAY, "e", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    df = ev_hurst_rescaled_range(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_HURST_RS, ["events"])
+    row = df.collect()[0]
+    # block [2,4,2,4]: s=12, W_k = 4*cx - (k+1)*12: cx=[2,6,8,12] ->
+    # W = [-4, 0, -4, 0]: range 4; m*s2 - s^2 = 4*40 - 144 = 16
+    rs4 = round(4 / math.sqrt(16), 9)
+    assert row["mean_rs_m4_r6"] == round(rs4, 6)
+    # m=8 block: s=24, s2=80: 8*80-576 = 64; cx cumulative:
+    # [2,6,8,12,14,18,20,24], W = 8*cx-(k+1)*24:
+    w = [8 * c - (k + 1) * 24 for k, c in
+         enumerate([2, 6, 8, 12, 14, 18, 20, 24])]
+    rs8 = round((max(w) - min(w)) / math.sqrt(64), 9)
+    assert row["mean_rs_m8_r6"] == round(rs8, 6)
+    assert row["mean_rs_m16_r6"] is None
+    import math as m_
+
+    lx = [1.386294361120, 2.079441542148]
+    ly = [round(m_.log(rs4), 9), round(m_.log(rs8), 9)]
+    slope = (ly[1] - ly[0]) / (lx[1] - lx[0])
+    assert abs(row["hurst_rs_r6"] - round(slope, 6)) < 2e-6
+
+
+def test_rate_ratio_planted(spark, tmp_path):
+    """Span Mon..Sun (5 weekday + 2 weekend days), 4 weekday vs 2
+    weekend events: RR = (2/2)/(4/5) = 1.25."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_RATE_RATIO,
+        stats_rate_ratio_weekend,
+    )
+
+    sat, sun = 5, 6  # offsets from the Monday T0
+    rows = [
+        (0, T0_US, "e", 1.0), (1, T0_US + 2 * US_PER_DAY, "e", 1.0),
+        (2, T0_US + 3 * US_PER_DAY, "e", 1.0),
+        (3, T0_US + 4 * US_PER_DAY, "e", 1.0),
+        (4, T0_US + sat * US_PER_DAY, "e", 1.0),
+        (5, T0_US + sun * US_PER_DAY, "e", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    df = stats_rate_ratio_weekend(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_RATE_RATIO, ["events"])
+    row = df.collect()[0]
+    assert (row["n_weekend_events"], row["n_weekday_events"]) == (2, 4)
+    assert (row["n_weekend_days"], row["n_weekday_days"]) == (2, 5)
+    assert row["rate_ratio_r6"] == 1.25
+    z = math.log(1.25) / math.sqrt(1 / 2 + 1 / 4)
+    assert row["z_r6"] == round(z, 6)
+
+
+def test_hll_intersection_brute(spark, tmp_path):
+    """Weekend users {1..6}, weekday users {4..9} (exact intersection
+    3): the register lanes, both estimate branches and the band flag
+    recomputed with hashlib."""
+    from spark_dba_spark.operators.analytics import (
+        HLL_IM,
+        HLL_IW,
+        ORACLE_HLL_INTERSECTION,
+        sketch_hll_intersection_error,
+    )
+
+    sat = 5
+    rows = []
+    eid = 0
+    for u in range(1, 7):
+        rows.append((eid, T0_US + sat * US_PER_DAY, u)); eid += 1
+    for u in range(4, 10):
+        rows.append((eid, T0_US, u)); eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["e"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    df = sketch_hll_intersection_error(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_HLL_INTERSECTION, ["events"]
+    )
+    row = df.collect()[0]
+    assert row["exact_intersection"] == 3
+
+    def est(users):
+        regs = [0] * HLL_IM
+        for u in users:
+            h = _md5_long(str(u))
+            b, w = h % HLL_IM, h // HLL_IM
+            rho = HLL_IW + 1 if w == 0 else HLL_IW + 1 - w.bit_length()
+            regs[b] = max(regs[b], rho)
+        znum = sum(2 ** (HLL_IW + 1 - r) for r in regs)
+        v = sum(1 for r in regs if r == 0)
+        raw = 0.709 * HLL_IM * HLL_IM * 2 ** (HLL_IW + 1) / znum
+        if raw <= 2.5 * HLL_IM and v > 0:
+            return HLL_IM * math.log(HLL_IM / v)
+        return raw
+
+    ea, eb = est(range(1, 7)), est(range(4, 10))
+    eu = est(range(1, 10))
+    assert row["est_weekend_r6"] == round(ea, 6)
+    assert row["est_union_r6"] == round(eu, 6)
+    assert row["est_intersection_r6"] == round(ea + eb - eu, 6)
+    band = 3 * 1.04 / math.sqrt(HLL_IM) * (ea + eb + eu)
+    assert row["within_3sigma_band"] == (abs(ea + eb - eu - 3) <= band)
+
+
+def test_discount_response_planted(spark, tmp_path):
+    """Zero-discount lines avg qty 10, 5%-discount lines avg 15:
+    lift exactly 1.5."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_DISCOUNT_RESPONSE,
+        lineitem_discount_response_curve,
+    )
+
+    lines = [(0.0, 8.0), (0.0, 12.0), (0.05, 14.0), (0.05, 16.0)]
+    pq.write_table(
+        pa.table(
+            {
+                "l_discount": pa.array([r[0] for r in lines], pa.float64()),
+                "l_quantity": pa.array([r[1] for r in lines], pa.float64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    df = lineitem_discount_response_curve(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_DISCOUNT_RESPONSE, ["lineitem"]
+    )
+    got = {r["discount_pct"]: r for r in df.collect()}
+    assert got[0]["mean_qty_r6"] == 10.0
+    assert got[0]["qty_lift_vs_zero_r6"] == 1.0
+    assert got[5]["mean_qty_r6"] == 15.0
+    assert got[5]["qty_lift_vs_zero_r6"] == 1.5
+
+
+def test_ingestion_drift_planted(spark, tmp_path):
+    """First half centered at +0.5 on dim0, second at -0.5; the parity
+    split sees the same mix on both sides of dim0 -> ordered drift 1.0,
+    interleaved 0."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_INGESTION_DRIFT,
+        emb_ingestion_drift_halves,
+    )
+
+    # ids 0,1 (first half incl. median id 1... median of 4 = rank 2 ->
+    # id 1): ids 0,1 -> +0.5; ids 2,3 -> -0.5
+    vecs = [[0.5], [0.5], [-0.5], [-0.5]]
+    _write_embeddings(tmp_path, vecs)
+    df = emb_ingestion_drift_halves(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_INGESTION_DRIFT, ["embeddings"]
+    )
+    row = df.collect()[0]
+    assert (row["n_first_half"], row["n_second_half"]) == (2, 2)
+    assert row["drift_ordered_r6"] == 1.0
+    # parity split: {0,2} mean 0 vs {1,3} mean 0 -> drift 0
+    assert row["drift_interleaved_r6"] == 0.0
+    assert row["drift_ratio_r6"] is None
