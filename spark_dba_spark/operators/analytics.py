@@ -7311,3 +7311,688 @@ SPECS += [
             "parity split as a built-in null control",
     ),
 ]
+
+
+# ==========================================================================
+# Batch AC (round-14 continuation, third window)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# LSH band-bucket skew audit
+# --------------------------------------------------------------------------
+
+LSH_HOT_BUCKET = 8  # bucket size at/over which a bucket counts as hot
+
+
+def dedup_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew audit of the PRODUCTION MinHash band buckets: bucket-size
+    distribution (max, exact p99), total candidate-pair load
+    Σ s(s−1)/2, and the share of pairs concentrated in hot buckets
+    (size ≥ {LSH_HOT_BUCKET}) — the number that predicts whether the
+    banded groupBy's pair expansion has a straggler task at 100×
+    data. dedup_band_precision_profile audits CORRECTNESS per band;
+    this audits the LOAD SHAPE of the same buckets.
+
+    Exact: pure integer counts; the p99 is an exact order statistic
+    computed at SIZE grain (the (size → bucket count) table is tiny),
+    never a bucket-grain global sort.
+
+    Scale: reuses the production signature/banding stages (one keyed
+    shuffle), then (band_key) and (size) rollups."""
+    from .dedup import MINHASH_BANDS, MINHASH_R, _minhash_stages
+
+    _docs, sig, _cand = _minhash_stages(spark, sf_dir)
+
+    bands = (
+        sig.select(
+            "doc_id",
+            "sig",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))
+            ).alias("b"),
+        )
+        .withColumn(
+            "band_key",
+            F.expr(
+                f"concat(b, ':', concat_ws(',', transform("
+                f"slice(sig, b * {MINHASH_R} + 1, {MINHASH_R}), "
+                f"x -> cast(x as string))))"
+            ),
+        )
+        .select("band_key")
+    )
+    bsz = bands.groupBy("band_key").agg(F.count("*").cast("long").alias("s"))
+    szg = bsz.groupBy("s").agg(F.count("*").cast("long").alias("nb"))
+    tot = szg.agg(
+        F.sum("nb").cast("long").alias("n_buckets"),
+        F.sum(F.expr("s * nb")).cast("long").alias("n_slots"),
+        F.max("s").alias("max_bucket"),
+        F.sum(F.expr("s * (s - 1) div 2 * nb")).cast("long").alias("pairs"),
+        F.sum(
+            F.expr(
+                f"case when s >= {LSH_HOT_BUCKET}"
+                f" then s * (s - 1) div 2 * nb else 0 end"
+            )
+        ).cast("long").alias("hot_pairs"),
+    )
+    wc = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    p99 = (
+        szg.withColumn("cum", F.sum("nb").over(wc))
+        .crossJoin(F.broadcast(tot.select("n_buckets")))
+        .filter(F.expr("cum >= (n_buckets * 99 + 99) div 100"))
+        .agg(F.min("s").alias("p99_bucket"))
+    )
+    share = qrem_round6_spark("hot_pairs", "pairs")
+    return tot.crossJoin(p99).select(
+        "n_buckets",
+        "n_slots",
+        "max_bucket",
+        "p99_bucket",
+        F.col("pairs").alias("candidate_pairs"),
+        F.expr(
+            f"case when pairs = 0 then null else {share} end"
+        ).alias("hot_pair_share_r6"),
+    )
+
+
+def _bucket_skew_oracle() -> str:
+    from ..functions.hashing import sql_minhash_signature_duck
+    from .dedup import _DUCK_SHINGLES, MINHASH_BANDS, MINHASH_PERMS, MINHASH_R
+
+    share = qrem_round6_duck("hot_pairs", "pairs")
+    return f"""
+WITH shl AS ({_DUCK_SHINGLES}),
+sig AS (
+  SELECT doc_id, {sql_minhash_signature_duck('shingles', MINHASH_PERMS)}
+           AS sig
+  FROM shl),
+bands AS (
+  SELECT b || ':' || array_to_string(
+           sig[b * {MINHASH_R} + 1 : b * {MINHASH_R} + {MINHASH_R}], ',')
+           AS band_key
+  FROM sig, LATERAL unnest(range(0, {MINHASH_BANDS})) AS u(b)),
+bsz AS (
+  SELECT band_key, CAST(COUNT(*) AS BIGINT) AS s FROM bands GROUP BY 1),
+szg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nb FROM bsz GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(nb) AS BIGINT) AS n_buckets,
+         CAST(SUM(s * nb) AS BIGINT) AS n_slots,
+         MAX(s) AS max_bucket,
+         CAST(SUM(s * (s - 1) // 2 * nb) AS BIGINT) AS pairs,
+         CAST(SUM(CASE WHEN s >= {LSH_HOT_BUCKET}
+                       THEN s * (s - 1) // 2 * nb ELSE 0 END) AS BIGINT)
+           AS hot_pairs
+  FROM szg),
+p99 AS (
+  SELECT MIN(s) AS p99_bucket FROM (
+    SELECT s, SUM(nb) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum
+    FROM szg) c CROSS JOIN tot
+  WHERE cum >= (n_buckets * 99 + 99) // 100)
+SELECT n_buckets, n_slots, max_bucket, p99_bucket,
+       pairs AS candidate_pairs,
+       CASE WHEN pairs = 0 THEN NULL ELSE {share} END
+         AS hot_pair_share_r6
+FROM tot CROSS JOIN p99
+"""
+
+
+ORACLE_BUCKET_SKEW = _bucket_skew_oracle()
+
+
+# --------------------------------------------------------------------------
+# Return-rate drivers by brand
+# --------------------------------------------------------------------------
+
+
+def lineitem_return_rate_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate driver table: per brand, the share of line items
+    flagged 'R' and its exact cross-multiplied LIFT against the
+    corpus return rate — which product lines drive returns, the
+    merchandising question behind q10's per-customer returned-revenue
+    ranking.
+
+    Exact: counts and two qrem rationals; the lift clears both
+    denominators (n_ret·N)/(n·NR) so no intermediate division exists.
+
+    Scale: one (partkey) fact shuffle pre-aggregated map-side, a
+    broadcast part join, a 25-row readout."""
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(l_returnflag = 'R' as long)").alias("r"),
+    )
+    part = catalog.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    per = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("r").cast("long").alias("nr"),
+        )
+        .join(F.broadcast(part), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.sum("n").cast("long").alias("n_lines"),
+            F.sum("nr").cast("long").alias("n_returned"),
+        )
+        .localCheckpoint(eager=True)  # brand rows + global totals
+    )
+    tot = per.agg(
+        F.sum("n_lines").cast("long").alias("nn"),
+        F.sum("n_returned").cast("long").alias("nnr"),
+    )
+    rate = qrem_round6_spark("n_returned", "n_lines")
+    lift = qrem_round6_spark("n_returned * nn", "n_lines * nnr")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "p_brand",
+            "n_lines",
+            "n_returned",
+            F.expr(rate).alias("return_rate_r6"),
+            F.expr(
+                f"case when nnr = 0 then null else {lift} end"
+            ).alias("lift_vs_global_r6"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_RETURN_DRIVERS = f"""
+WITH per AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returned
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_lines) AS BIGINT) AS nn,
+         CAST(SUM(n_returned) AS BIGINT) AS nnr
+  FROM per)
+SELECT p_brand, n_lines, n_returned,
+       {qrem_round6_duck('n_returned', 'n_lines')} AS return_rate_r6,
+       CASE WHEN nnr = 0 THEN NULL ELSE
+         {qrem_round6_duck('n_returned * nn', 'n_lines * nnr')} END
+         AS lift_vs_global_r6
+FROM per CROSS JOIN tot ORDER BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator of user activity
+# --------------------------------------------------------------------------
+
+HILL_K = 32
+
+
+def ev_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the user-activity tail index: over the top
+    {HILL_K} most active users, H = mean ln(x_(i)/x_(k+1)) and the
+    tail exponent α = 1/H — the MLE tail estimator next to
+    ev_zipf_user_activity's rank-frequency OLS slope (two estimators
+    agreeing is the actual evidence the activity tail is power-law;
+    Hill is also the one that generalizes to 100 TB because it needs
+    only a top-k order statistic, not a full rank curve).
+
+    Exact: the top-(k+1) extraction is an orderBy+limit partial
+    top-k (no global sort); each ln of an integer ratio 9dp-rounds
+    into the DECIMAL mean; ties at the threshold break on user_id.
+    Degenerate tails (x_(i) = x_(k+1) for all i → H = 0) read NULL α.
+
+    Scale: one (user) rollup then a 33-row computation."""
+    ua = (
+        catalog.load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    top = (
+        ua.orderBy(F.desc("x"), F.asc("user_id"))
+        .limit(HILL_K + 1)
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("x"), F.asc("user_id")))
+        )
+        .localCheckpoint(eager=True)  # head rows + threshold row
+    )
+    kk = top.agg(F.max("rk").cast("long").alias("kk1"))
+    thr = top.crossJoin(F.broadcast(kk)).filter(
+        F.col("rk") == F.col("kk1")
+    ).select(F.col("x").alias("xk1"))
+    h = (
+        top.crossJoin(F.broadcast(kk))
+        .filter(F.col("rk") < F.col("kk1"))
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.max("xk1").alias("xk1"),
+            F.sum(
+                F.expr(
+                    "cast(round(ln(cast(x as double) / xk1), 9)"
+                    " as decimal(25,9))"
+                )
+            ).alias("sh"),
+        )
+    )
+    hill = "cast(sh as double) / k"
+    return h.select(
+        "k",
+        F.col("xk1").alias("x_threshold"),
+        F.expr(f"round({hill}, 6)").alias("hill_mean_r6"),
+        F.expr(
+            f"case when cast(sh as double) <= 0 then null"
+            f" else round(1.0d / ({hill}), 6) end"
+        ).alias("tail_alpha_r6"),
+    )
+
+
+ORACLE_HILL = f"""
+WITH ua AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+top AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, user_id) AS rk
+  FROM ua ORDER BY x DESC, user_id LIMIT {HILL_K + 1}),
+kk AS (SELECT CAST(MAX(rk) AS BIGINT) AS kk1 FROM top),
+thr AS (
+  SELECT x AS xk1 FROM top CROSS JOIN kk WHERE rk = kk1),
+h AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(xk1) AS xk1,
+         SUM(CAST(ROUND(ln(CAST(x AS DOUBLE) / xk1), 9)
+                  AS DECIMAL(25,9))) AS sh
+  FROM top CROSS JOIN kk CROSS JOIN thr WHERE rk < kk1)
+SELECT k, xk1 AS x_threshold,
+       ROUND(CAST(sh AS DOUBLE) / k, 6) AS hill_mean_r6,
+       CASE WHEN CAST(sh AS DOUBLE) <= 0 THEN NULL ELSE
+         ROUND(1e0 / (CAST(sh AS DOUBLE) / k), 6) END AS tail_alpha_r6
+FROM h
+"""
+
+
+# --------------------------------------------------------------------------
+# Header vs body byte entropy per media type
+# --------------------------------------------------------------------------
+
+HEADER_BYTES = 64
+
+
+def mm_header_body_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure detection by POSITION: byte entropy of the first
+    {HEADER_BYTES} payload bytes (the header region — magic numbers,
+    fixed fields) vs everything after, per media type. Real container
+    formats show a LOW-entropy header against a high-entropy
+    (compressed) body; a flat profile says the payload is headerless
+    or uniformly encoded — the positional complement of the marginal
+    (mm_payload_chi2_uniformity) and sequential (mm_byte_runs)
+    tests.
+
+    Exact: the house n·ln n 9dp-decimal entropy lanes per segment;
+    types whose payloads never exceed the header length read NULL
+    body/delta.
+
+    Scale: the hex slide is map-side; state is (type × 2 × 256)."""
+    from .multimodal import project_assets
+
+    assets = project_assets(
+        catalog.load(spark, sf_dir, "documents")
+    ).repartition(
+        max(spark.sparkContext.defaultParallelism, 16), "doc_id"
+    )
+    by = (
+        assets.select(
+            "media_type",
+            F.expr("hex(payload)").alias("hx"),
+            F.octet_length("payload").alias("n"),
+        )
+        .filter(F.col("n") >= 1)
+        .select(
+            "media_type",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, n), i -> struct("
+                    f"i <= {HEADER_BYTES} as hdr,"
+                    f" substring(hx, 2 * i - 1, 2) as byte))"
+                )
+            ).alias("s"),
+        )
+        .select("media_type", "s.hdr", "s.byte")
+        .groupBy("media_type", "hdr", "byte")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    seg = by.groupBy("media_type", "hdr").agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.sum(
+            F.round(F.col("c") * F.log("c"), 9).cast("decimal(25,9)")
+        ).alias("s"),
+    )
+    hexpr = "round(round(ln(tot), 9) - cast(s as double) / tot, 6)"
+    wide = seg.groupBy("media_type").agg(
+        F.max(F.expr(f"case when hdr then {hexpr} end")).alias("h_header_r6"),
+        F.max(F.expr(f"case when not hdr then {hexpr} end")).alias(
+            "h_body_r6"
+        ),
+        F.max(F.expr("case when hdr then tot end")).alias("n_header_bytes"),
+        F.max(F.expr("case when not hdr then tot end")).alias("n_body_bytes"),
+    )
+    return wide.select(
+        "media_type",
+        F.coalesce("n_header_bytes", F.lit(0)).cast("long").alias(
+            "n_header_bytes"
+        ),
+        F.coalesce("n_body_bytes", F.lit(0)).cast("long").alias(
+            "n_body_bytes"
+        ),
+        "h_header_r6",
+        "h_body_r6",
+        F.expr("round(h_body_r6 - h_header_r6, 6)").alias("delta_r6"),
+    ).orderBy("media_type")
+
+
+ORACLE_HEADER_BODY = f"""
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 1),
+by0 AS (
+  SELECT media_type, i <= {HEADER_BYTES} AS hdr,
+         substr(hx, 2 * i - 1, 2) AS byte,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM a, LATERAL unnest(generate_series(1, n)) AS u(i)
+  GROUP BY 1, 2, 3),
+seg AS (
+  SELECT media_type, hdr, CAST(SUM(c) AS BIGINT) AS tot,
+         SUM(CAST(ROUND(c * ln(c), 9) AS DECIMAL(25,9))) AS s
+  FROM by0 GROUP BY 1, 2),
+wide AS (
+  SELECT media_type,
+         MAX(CASE WHEN hdr THEN
+               ROUND(ROUND(ln(tot), 9) - CAST(s AS DOUBLE) / tot, 6)
+             END) AS h_header_r6,
+         MAX(CASE WHEN NOT hdr THEN
+               ROUND(ROUND(ln(tot), 9) - CAST(s AS DOUBLE) / tot, 6)
+             END) AS h_body_r6,
+         MAX(CASE WHEN hdr THEN tot END) AS n_header_bytes,
+         MAX(CASE WHEN NOT hdr THEN tot END) AS n_body_bytes
+  FROM seg GROUP BY 1)
+SELECT media_type,
+       CAST(COALESCE(n_header_bytes, 0) AS BIGINT) AS n_header_bytes,
+       CAST(COALESCE(n_body_bytes, 0) AS BIGINT) AS n_body_bytes,
+       h_header_r6, h_body_r6,
+       ROUND(h_body_r6 - h_header_r6, 6) AS delta_r6
+FROM wide ORDER BY media_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Brown-Mood k-group median test across nations
+# --------------------------------------------------------------------------
+
+
+def stats_median_test_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Mood k-group median test of order values across customer
+    nations: counts above/below the GRAND median per nation and the
+    χ²(k−1) statistic — the most outlier-proof answer to "do nations
+    differ in typical order value", next to the rank-based ANOVA
+    already in the registry (kruskal-wallis reads rank shifts; the
+    median test reads only which side of one cut each order lands).
+
+    Exact: grand median by value-grain selection on cents (no row
+    sort); median ties excluded (documented); χ² via the
+    N·Σo²/(r·c) − N identity on 9dp decimal cell lanes; the literal
+    critical is emitted for the fixture's 25-nation table (df = 24)
+    and NULL otherwise.
+
+    Scale: (cents-value) and (nation × 2) rollups only."""
+    o = catalog.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "cents"
+        ),
+    )
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    )
+    j = o.join(F.broadcast(cust), "o_custkey").localCheckpoint(
+        eager=True
+    )  # median scan + nation table
+    vg = j.groupBy("cents").agg(F.count("*").cast("long").alias("c"))
+    tot = vg.agg(F.sum("c").cast("long").alias("nn"))
+    wv = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    med = (
+        vg.select("cents", F.sum("c").over(wv).alias("cum"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.expr("cum >= (nn + 1) div 2"))
+        .agg(F.min("cents").alias("med"))
+    )
+    cells = (
+        j.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("med"))
+        .select("nation", F.expr("cents > med").alias("above"))
+        .groupBy("nation", "above")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    rows_ = cells.groupBy("nation").agg(F.sum("o").cast("long").alias("r"))
+    cols = cells.groupBy("above").agg(F.sum("o").cast("long").alias("c"))
+    nt = cells.agg(F.sum("o").cast("long").alias("nn"))
+    term = (
+        "cast(round(cast(o as double) * o / (cast(r as double) * c), 9)"
+        " as decimal(25,9))"
+    )
+    agg = (
+        cells.join(F.broadcast(rows_), "nation")
+        .join(F.broadcast(cols), "above")
+        .crossJoin(F.broadcast(nt))
+        .agg(
+            F.max("nn").alias("nn"),
+            F.countDistinct("nation").cast("long").alias("k"),
+            F.sum(F.expr(term)).alias("t"),
+        )
+    )
+    chi = "cast(nn as double) * cast(t as double) - cast(nn as double)"
+    return agg.select(
+        F.col("nn").alias("n_orders_tested"),
+        F.col("k").alias("n_nations"),
+        F.expr(f"round({chi}, 6)").alias("chi2_r6"),
+        F.expr("cast(k - 1 as long)").alias("df"),
+        F.expr(
+            f"case when k = 25 then ({chi}) > 36.415029 end"
+        ).alias("reject_05"),
+    )
+
+
+ORACLE_MEDIAN_NATIONS = """
+WITH o AS (
+  SELECT c_nationkey AS nation,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+vg AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM vg),
+med AS (
+  SELECT MIN(cents) AS med FROM (
+    SELECT cents, SUM(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+             AS cum
+    FROM vg) cc CROSS JOIN tot WHERE cum >= (nn + 1) // 2),
+cells AS (
+  SELECT CAST(nation AS BIGINT) AS nation, cents > med AS above,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM o CROSS JOIN med WHERE cents <> med GROUP BY 1, 2),
+rows_ AS (SELECT nation, CAST(SUM(o) AS BIGINT) AS r
+          FROM cells GROUP BY 1),
+cols AS (SELECT above, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+nt AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+agg AS (
+  SELECT MAX(nn) AS nn,
+         CAST(COUNT(DISTINCT cells.nation) AS BIGINT) AS k,
+         SUM(CAST(ROUND(CAST(o AS DOUBLE) * o
+                        / (CAST(r AS DOUBLE) * c), 9)
+                  AS DECIMAL(25,9))) AS t
+  FROM cells JOIN rows_ ON cells.nation = rows_.nation
+  JOIN cols ON cells.above = cols.above CROSS JOIN nt)
+SELECT nn AS n_orders_tested, k AS n_nations,
+       ROUND(CAST(nn AS DOUBLE) * CAST(t AS DOUBLE)
+             - CAST(nn AS DOUBLE), 6) AS chi2_r6,
+       CAST(k - 1 AS BIGINT) AS df,
+       CASE WHEN k = 25 THEN
+         (CAST(nn AS DOUBLE) * CAST(t AS DOUBLE)
+          - CAST(nn AS DOUBLE)) > 36.415029 END AS reject_05
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Language / dominant-script agreement audit
+# --------------------------------------------------------------------------
+
+
+def text_lang_script_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-audit of the declared ``lang`` label against the
+    measured Unicode script: each document's DOMINANT letter script
+    (argmax of the codepoint-band counts, ASCII symbols excluded,
+    alphabetical tie-break) is compared with the MODAL lang among
+    docs sharing that script — a data-derived consistency check that
+    needs no hand-built lang→script map: if 'en' is modal for latin,
+    every latin-dominant doc declaring anything else is an outlier.
+    Per script: doc count, the modal lang, and the agreement share.
+
+    Exact: integer counts, deterministic argmax/modal tie-breaks,
+    one qrem share.
+
+    Scale: the char explode is the slide posture; everything after is
+    (doc × scripts-present) then (script × lang) grains."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(text)),"
+                " i -> ascii(substring(text, i, 1)))"
+            )
+        ).alias("cp"),
+    ).filter(F.col("cp") >= 65)
+    cls = ch.select(
+        "doc_id", "lang", F.expr(_SCRIPT_CLASS).alias("script")
+    ).filter(F.col("script") != "ascii_sym")
+    per = cls.groupBy("doc_id", "lang", "script").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wd = W.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("script"))
+    dom = (
+        per.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", "script")
+        .localCheckpoint(eager=True)  # modal join + agreement rollup
+    )
+    sl = dom.groupBy("script", "lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wm = W.partitionBy("script").orderBy(F.desc("n"), F.asc("lang"))
+    modal = (
+        sl.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("script", F.col("lang").alias("modal_lang"))
+    )
+    agree = (
+        dom.join(F.broadcast(modal), "script")
+        .groupBy("script", "modal_lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.expr("cast(lang = modal_lang as long)"))
+            .cast("long").alias("n_agree"),
+        )
+    )
+    share = rat_round6_spark("n_agree", "n_docs")
+    return agree.select(
+        "script", "n_docs", "modal_lang", F.expr(share).alias("agree_share_r6")
+    ).orderBy("script")
+
+
+ORACLE_LANG_SCRIPT = f"""
+WITH ch AS (
+  SELECT doc_id, lang, unicode(substr(text, i, 1)) AS cp
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text))) AS u(i)),
+cls AS (
+  SELECT doc_id, lang, {_SCRIPT_CLASS} AS script
+  FROM ch WHERE cp >= 65),
+per AS (
+  SELECT doc_id, lang, script, CAST(COUNT(*) AS BIGINT) AS c
+  FROM cls WHERE script <> 'ascii_sym' GROUP BY 1, 2, 3),
+dom AS (
+  SELECT doc_id, lang, script FROM (
+    SELECT doc_id, lang, script,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, script) AS rk
+    FROM per) WHERE rk = 1),
+sl AS (
+  SELECT script, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM dom GROUP BY 1, 2),
+modal AS (
+  SELECT script, lang AS modal_lang FROM (
+    SELECT script, lang,
+           ROW_NUMBER() OVER (PARTITION BY script
+                              ORDER BY n DESC, lang) AS rk
+    FROM sl) WHERE rk = 1),
+agree AS (
+  SELECT dom.script, modal_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN dom.lang = modal_lang THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM dom JOIN modal ON dom.script = modal.script
+  GROUP BY 1, 2)
+SELECT script, n_docs, modal_lang,
+       {rat_round6_duck('n_agree', 'n_docs')} AS agree_share_r6
+FROM agree ORDER BY script
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "dedup_lsh_bucket_skew",
+        dedup_lsh_bucket_skew,
+        ORACLE_BUCKET_SKEW,
+        ("dedup", "lsh", "audit"),
+        doc="bucket-size skew audit of the production MinHash bands "
+            "(exact p99 at size grain, hot-bucket pair share)",
+    ),
+    QuerySpec(
+        "lineitem_return_rate_drivers",
+        lineitem_return_rate_drivers,
+        ORACLE_RETURN_DRIVERS,
+        ("orders", "audit"),
+        doc="per-brand return rates with exact cross-multiplied lift "
+            "vs the corpus rate",
+    ),
+    QuerySpec(
+        "ev_hill_tail_index",
+        ev_hill_tail_index,
+        ORACLE_HILL,
+        ("events", "stats"),
+        doc="Hill tail-index of user activity over the top-32 order "
+            "statistics (orderBy+limit partial top-k, decimal ln mean)",
+    ),
+    QuerySpec(
+        "mm_header_body_entropy",
+        mm_header_body_entropy,
+        ORACLE_HEADER_BODY,
+        ("multimodal", "audit"),
+        doc="byte entropy of the first-64-byte header region vs the "
+            "body per media type (positional structure detection)",
+    ),
+    QuerySpec(
+        "stats_median_test_nations",
+        stats_median_test_nations,
+        ORACLE_MEDIAN_NATIONS,
+        ("stats", "orders", "test"),
+        doc="Brown-Mood k-group median test of order values across "
+            "nations (value-grain grand median, decimal chi2 lanes)",
+    ),
+    QuerySpec(
+        "text_lang_script_agreement",
+        text_lang_script_agreement,
+        ORACLE_LANG_SCRIPT,
+        ("text", "quality", "audit"),
+        doc="declared lang vs dominant-script modal-lang agreement per "
+            "script (data-derived, deterministic tie-breaks)",
+    ),
+]

@@ -1567,3 +1567,210 @@ def test_ingestion_drift_planted(spark, tmp_path):
     # parity split: {0,2} mean 0 vs {1,3} mean 0 -> drift 0
     assert row["drift_interleaved_r6"] == 0.0
     assert row["drift_ratio_r6"] is None
+
+
+# ---------------------------------------------------------------------------
+# Batch AC twins
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_bucket_skew_planted(spark, tmp_path):
+    """A 4-clique of identical docs plus an identical pair: 25 buckets
+    of size 4 and 25 of size 2 -> 175 candidate pairs, p99 bucket 4,
+    no hot buckets at threshold 8."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_BUCKET_SKEW,
+        dedup_lsh_bucket_skew,
+    )
+
+    clique = "the quick brown fox jumps over the lazy dog again and again"
+    pair = "a completely different text about suppliers and parts orders"
+    texts = [clique] * 4 + [pair] * 2
+    _write_docs(tmp_path, texts, [f"s{i}" for i in range(len(texts))])
+    df = dedup_lsh_bucket_skew(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_BUCKET_SKEW, ["documents"]
+    )
+    row = df.collect()[0]
+    assert row["n_buckets"] == 50
+    assert row["n_slots"] == 150
+    assert row["max_bucket"] == 4
+    assert row["p99_bucket"] == 4
+    assert row["candidate_pairs"] == 25 * 6 + 25 * 1
+    assert row["hot_pair_share_r6"] == 0.0
+
+
+def test_return_drivers_planted(spark, tmp_path):
+    """B1: 2 lines 1 returned (rate .5, lift 1.5 vs global 1/3);
+    B2: no returns."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_RETURN_DRIVERS,
+        lineitem_return_rate_drivers,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 2], pa.int64()),
+                "l_returnflag": pa.array(["R", "N", "N"]),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_brand": pa.array(["B1", "B2"]),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+    df = lineitem_return_rate_drivers(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_RETURN_DRIVERS, ["lineitem", "part"]
+    )
+    got = {r["p_brand"]: r for r in df.collect()}
+    assert got["B1"]["return_rate_r6"] == 0.5
+    assert got["B1"]["lift_vs_global_r6"] == 1.5
+    assert got["B2"]["return_rate_r6"] == 0.0
+    assert got["B2"]["lift_vs_global_r6"] == 0.0
+
+
+def test_hill_tail_planted(spark, tmp_path):
+    """Activity counts 8/4/2/1: threshold is the 4th user (x=1), the
+    9dp-decimal Hill mean over ln(8), ln(4), ln(2)."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_HILL,
+        ev_hill_tail_index,
+    )
+
+    rows = []
+    eid = 0
+    for u, k in [(1, 8), (2, 4), (3, 2), (4, 1)]:
+        for _ in range(k):
+            rows.append((eid, T0_US + eid, u))
+            eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["e"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    df = ev_hill_tail_index(spark, str(tmp_path))
+    _assert_spark_matches_oracle(df, tmp_path, ORACLE_HILL, ["events"])
+    row = df.collect()[0]
+    assert (row["k"], row["x_threshold"]) == (3, 1)
+    sh = sum(round(math.log(x), 9) for x in (8, 4, 2))
+    assert row["hill_mean_r6"] == round(sh / 3, 6)
+    assert row["tail_alpha_r6"] == round(1 / (sh / 3), 6)
+
+
+def test_header_body_entropy_planted(spark, tmp_path):
+    """72 'a's (image): zero entropy in both segments; an 'ab'-mixed
+    doc splits into a 64-byte header and 16-byte body with equal
+    two-symbol entropy -> delta 0 in both cases."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_HEADER_BODY,
+        mm_header_body_entropy,
+    )
+
+    _write_docs(tmp_path, ["a" * 72, "ab" * 40], ["s0", "s1"])
+    df = mm_header_body_entropy(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_HEADER_BODY, ["documents"]
+    )
+    got = {r["media_type"]: r for r in df.collect()}
+    img = got["image"]  # doc 0
+    assert (img["n_header_bytes"], img["n_body_bytes"]) == (64, 8)
+    assert img["h_header_r6"] == 0.0 and img["h_body_r6"] == 0.0
+    aud = got["audio"]  # doc 1: header 32a+32b, body 8a+8b
+    assert (aud["n_header_bytes"], aud["n_body_bytes"]) == (64, 16)
+    assert aud["h_header_r6"] == _h9_local([32, 32])
+    assert aud["h_body_r6"] == _h9_local([8, 8])
+    assert aud["delta_r6"] == round(
+        _h9_local([8, 8]) - _h9_local([32, 32]), 6
+    )
+
+
+def _h9_local(counts):
+    n = sum(counts)
+    s = sum(round(c * math.log(c), 9) for c in counts)
+    return round(round(math.log(n), 9) - s / n, 6)
+
+
+def test_median_test_nations_planted(spark, tmp_path):
+    """Nation 0 cents {100,200}, nation 1 {300,400}: grand median 200
+    drops its own tie, the 2x2 table reads chi2 = 3."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_MEDIAN_NATIONS,
+        stats_median_test_nations,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(4), pa.int64()),
+                "o_custkey": pa.array([1, 1, 2, 2], pa.int64()),
+                "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_nationkey": pa.array([0, 1], pa.int32()),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    df = stats_median_test_nations(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_MEDIAN_NATIONS, ["orders", "customer"]
+    )
+    row = df.collect()[0]
+    assert row["n_orders_tested"] == 3
+    assert row["n_nations"] == 2 and row["df"] == 1
+    assert row["chi2_r6"] == 3.0
+    assert row["reject_05"] is None  # critical only for the 25-nation table
+
+
+def test_lang_script_agreement_planted(spark, tmp_path):
+    """Three latin docs (en, en, fr) and one cyrillic (ru): latin's
+    modal lang is en with 2/3 agreement, cyrillic agrees 1/1."""
+    from spark_dba_spark.operators.analytics import (
+        ORACLE_LANG_SCRIPT,
+        text_lang_script_agreement,
+    )
+
+    texts = ["hello world", "good day", "bonjour", "привет мир"]
+    langs = ["en", "en", "fr", "ru"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs),
+                "source": pa.array(["s"] * 4),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    df = text_lang_script_agreement(spark, str(tmp_path))
+    _assert_spark_matches_oracle(
+        df, tmp_path, ORACLE_LANG_SCRIPT, ["documents"]
+    )
+    got = {r["script"]: r for r in df.collect()}
+    assert got["latin"]["n_docs"] == 3
+    assert got["latin"]["modal_lang"] == "en"
+    assert got["latin"]["agree_share_r6"] == _r6(2, 3)
+    assert got["cyrillic"]["n_docs"] == 1
+    assert got["cyrillic"]["agree_share_r6"] == 1.0
