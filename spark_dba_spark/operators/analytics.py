@@ -7160,12 +7160,30 @@ def emb_ingestion_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = catalog.load(spark, sf_dir, "embeddings").select(
         "vec_id", F.posexplode(F.expr(_EMB_Q_SQL)).alias("d", "q")
     ).localCheckpoint(eager=True)  # split scan + both rollups
-    ids = e.filter(F.col("d") == 0).select("vec_id")
+    # exact median vec_id by BUCKETED selection (the
+    # agg_exact_global_median posture): a tiny bucket histogram finds
+    # the k-th id's bucket, and only that bucket's <=65536 ids are
+    # ranked — no corpus-sized global window at any scale
+    ids = e.filter(F.col("d") == 0).select(
+        "vec_id", F.expr("vec_id div 65536").alias("bkt")
+    )
     nn = ids.agg(F.count("*").cast("long").alias("n"))
-    med = (
-        ids.withColumn("rk", F.row_number().over(W.orderBy("vec_id")))
+    bh = ids.groupBy("bkt").agg(F.count("*").cast("long").alias("c"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tb = (
+        bh.withColumn("cum", F.sum("c").over(wb))
         .crossJoin(F.broadcast(nn))
-        .filter(F.expr("rk = (n + 1) div 2"))
+        .filter(F.expr("cum >= (n + 1) div 2"))
+        .orderBy("bkt")
+        .limit(1)
+        .select("bkt", F.expr("(n + 1) div 2 - (cum - c)").alias("resid"))
+    )
+    med = (
+        ids.join(F.broadcast(tb), "bkt")
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("bkt").orderBy("vec_id"))
+        )
+        .filter(F.col("rk") == F.col("resid"))
         .select(F.col("vec_id").alias("med"))
     )
 

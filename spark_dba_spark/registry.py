@@ -62,6 +62,14 @@ class QuerySpec:
 # cumulative driver coverage reaches 465/465 once CORRECTNESS_r14
 # lands). The 36 r13-window greens rotate to PRIORITY_LAST; the r12
 # greens previously there fall back to the middle.
+#
+# R15 BACKLOG NOTE (for the next rotation): the round-14 session
+# continued past the window freeze with batches O-AC (registry 465 →
+# 549). Every op added after slot 50 is local-3-SF-green with a
+# planted twin but has NO driver correctness row yet; per the
+# standing protocol the r15 window should seat the oldest
+# never-driver-checked ops first (batch O onward, in registration
+# order), retiring the r14 window greens to PRIORITY_LAST.
 PRIORITY_FIRST: tuple[str, ...] = (
     # slots 1-7 — continuation batch H (never driver-checked)
     "text_pii_redaction_corpus",
@@ -171,6 +179,54 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "text_burrows_delta",
     "ev_hurst_variance_plot",
     "dedup_minhash_perm_sweep",
+    # --- r15 backlog continued: batches V-AC (third window, never
+    # driver-checked; queued contiguously per the r7 plan) ---
+    "text_yules_k",
+    "ev_max_drawdown_daily",
+    "stats_ljung_box_daily",
+    "emb_jl_projection_distortion",
+    "supplier_single_source_exposure",
+    "customer_interpurchase_regularity",
+    "stats_mann_kendall_trend",
+    "stats_dickey_fuller_daily",
+    "mm_payload_ks_uniform",
+    "sim_rank_biased_overlap",
+    "graph_rich_club_coefficient",
+    "emb_coverage_radius_net",
+    "stats_jarque_bera_daily",
+    "emb_fisher_separability",
+    "ev_topk_turnover_weekly",
+    "mm_byte_runs_randomness",
+    "stats_kuiper_hour_uniformity",
+    "orders_tukey_fence_outliers",
+    "orders_revenue_bridge_monthly",
+    "stats_cramer_von_mises_weekend",
+    "stats_mood_median_weekend",
+    "ev_user_day_islands",
+    "orders_abc_xyz_matrix",
+    "text_collocation_pmi",
+    "stats_circular_resultant_hour",
+    "orders_fiscal_445_calendar",
+    "text_unicode_script_mix",
+    "stats_page_trend_test",
+    "ev_session_peak_concurrency",
+    "ev_capacity_shed_whatif",
+    "scalar_csv_roundtrip",
+    "orders_line_count_dispersion",
+    "emb_dim_variance_participation",
+    "stats_dow_hour_independence",
+    "orders_crk_concentration",
+    "ev_hurst_rescaled_range",
+    "stats_rate_ratio_weekend",
+    "sketch_hll_intersection_error",
+    "lineitem_discount_response_curve",
+    "emb_ingestion_drift_halves",
+    "dedup_lsh_bucket_skew",
+    "lineitem_return_rate_drivers",
+    "ev_hill_tail_index",
+    "mm_header_body_entropy",
+    "stats_median_test_nations",
+    "text_lang_script_agreement",
 )
 
 # r13-window greens — rotate to the tail this round (driver row <=1 round

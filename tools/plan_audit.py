@@ -144,6 +144,64 @@ PLAN_NOTES: dict[str, str] = {
 }
 
 GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
+    # --- r14 third-window batches V-AC ---
+    "stats_ljung_box_daily": (
+        "lag-grid cumulative Q window (<= 7 rows) plus the zero-fill "
+        "day-spine assembly — both calendar/constant bounded; the "
+        "event stream reduces at day grain first"
+    ),
+    "stats_dickey_fuller_daily": (
+        "LAG over the zero-filled day spine — calendar-bounded "
+        "(<= feed-span days); events pre-reduced to daily counts"
+    ),
+    "emb_coverage_radius_net": (
+        "rank windows over the 512-row hash-top-k net pool and the "
+        "256-row probe min-distance table — both constant-bounded; "
+        "the corpus is touched only by map-side partial top-k"
+    ),
+    "stats_cramer_von_mises_weekend": (
+        "cumulative ECDF window at VALUE grain — bounded by the "
+        "quantized micro-unit value domain, never the event stream"
+    ),
+    "stats_mood_median_weekend": (
+        "value-grain cumulative for the grand-median selection — "
+        "bounded by the distinct quantized values"
+    ),
+    "orders_abc_xyz_matrix": (
+        "revenue cumshare rank over the PART dimension — the "
+        "orders_abc_migration posture (parts, not lineitems)"
+    ),
+    "text_collocation_pmi": (
+        "rank window over the >= count-floor bigram survivors — the "
+        "floor prune caps the ranked frame far below the token stream"
+    ),
+    "stats_page_trend_test": (
+        "global-order index over the TYPE alphabet (k rows) and the "
+        "day x type dense grid windows — calendar x alphabet bounded"
+    ),
+    "ev_session_peak_concurrency": (
+        "sweep-line cumulative over the MINUTE spine (1440 x days, "
+        "calendar-bounded) — sessionization windows are user-"
+        "partitioned; the event stream never enters a global window"
+    ),
+    "ev_capacity_shed_whatif": (
+        "p90 rank over HOURLY loads — calendar-bounded (<= feed "
+        "hours); allocation joins run at (hour x type) grain"
+    ),
+    "emb_ingestion_drift_halves": (
+        "bucketed median selection: the global cumulative runs over "
+        "the 65536-id BUCKET histogram (tiny), the rank window is "
+        "bucket-partitioned (<= 65536 rows) — the "
+        "agg_exact_global_median posture"
+    ),
+    "dedup_lsh_bucket_skew": (
+        "p99 selection at bucket-SIZE grain — the (size -> count) "
+        "table is tiny however many buckets exist"
+    ),
+    "stats_median_test_nations": (
+        "grand-median selection at cents-VALUE grain — bounded by "
+        "the price domain, never the order stream"
+    ),
     "stats_nelson_aalen_interarrival": (
         "ascending/descending cumsums over the GAP-HOUR table — "
         "calendar-bounded (rows <= feed-span hours, ~720 at the "

@@ -306,6 +306,52 @@ QUERIES = [
     "mm_byte_cond_entropy",      # conditional byte entropy (r14h new)
     "text_burrows_delta",        # stylometric delta matrix (r14h new)
     "ev_hurst_variance_plot",    # variance-time Hurst probe (r14h new)
+    "text_yules_k",          # Yule's K richness constant (r14i new)
+    "ev_max_drawdown_daily", # peak-relative daily drawdown (r14i new)
+    "stats_ljung_box_daily", # Ljung-Box whiteness cascade (r14i new)
+    "emb_jl_projection_distortion", # JL sign-matrix distortion (r14i new)
+    "supplier_single_source_exposure", # single-source revenue risk (r14i)
+    "customer_interpurchase_regularity", # CV2 rhythm bands (r14i new)
+    "stats_mann_kendall_trend", # tie-corrected MK trend (r14i new)
+    "stats_dickey_fuller_daily", # DF unit-root probe (r14i new)
+    "mm_payload_ks_uniform", # byte KS sup-deviation (r14i new)
+    "sim_rank_biased_overlap", # RBO of LSH vs exact (r14i new)
+    "graph_rich_club_coefficient", # rich-club density sweep (r14i new)
+    "emb_coverage_radius_net", # epsilon-net covering radii (r14i new)
+    "stats_jarque_bera_daily", # JB normality moments (r14j new)
+    "emb_fisher_separability", # between/within scatter ratio (r14j new)
+    "ev_topk_turnover_weekly", # weekly top-50 Jaccard churn (r14j new)
+    "mm_byte_runs_randomness", # high/low byte runs test (r14j new)
+    "stats_kuiper_hour_uniformity", # circular clock-grid Kuiper (r14j new)
+    "orders_tukey_fence_outliers", # doubled-cents Tukey fences (r14j new)
+    "orders_revenue_bridge_monthly", # customer-grain waterfall (r14k new)
+    "stats_cramer_von_mises_weekend", # value-grain CvM (r14k new)
+    "stats_mood_median_weekend", # grand-median 2x2 test (r14k new)
+    "ev_user_day_islands",   # gaps-and-islands streaks (r14k new)
+    "orders_abc_xyz_matrix", # ABC x CV-band matrix (r14k new)
+    "text_collocation_pmi",  # PMI collocation top-20 (r14k new)
+    "stats_circular_resultant_hour", # Rayleigh resultant length (r14l new)
+    "orders_fiscal_445_calendar", # 4-4-5 fiscal rollup (r14l new)
+    "text_unicode_script_mix", # codepoint-band script mix (r14l new)
+    "stats_page_trend_test", # Page L ordered trend (r14l new)
+    "ev_session_peak_concurrency", # minute sweep-line peak (r14l new)
+    "ev_capacity_shed_whatif", # p90-cap shed allocation (r14l new)
+    "scalar_csv_roundtrip",  # to_csv/from_csv identity (r14m new)
+    "orders_line_count_dispersion", # basket dispersion index (r14m new)
+    "emb_dim_variance_participation", # variance PR effective dims (r14m)
+    "stats_dow_hour_independence", # 7x24 grid chi-square (r14m new)
+    "orders_crk_concentration", # CR4/8/20 revenue shares (r14n new)
+    "ev_hurst_rescaled_range", # R/S Hurst dyadic blocks (r14n new)
+    "stats_rate_ratio_weekend", # exposure-day rate ratio (r14n new)
+    "sketch_hll_intersection_error", # HLL inclusion-exclusion (r14n new)
+    "lineitem_discount_response_curve", # discount qty lift curve (r14n)
+    "emb_ingestion_drift_halves", # ordered-vs-parity drift (r14n new)
+    "dedup_lsh_bucket_skew", # band bucket load shape (r14o new)
+    "lineitem_return_rate_drivers", # brand return-rate lift (r14o new)
+    "ev_hill_tail_index",    # Hill top-k tail exponent (r14o new)
+    "mm_header_body_entropy", # positional entropy split (r14o new)
+    "stats_median_test_nations", # Brown-Mood k-group test (r14o new)
+    "text_lang_script_agreement", # lang vs script modal audit (r14o new)
 ]
 
 # Per-query footnotes rendered under the table: context the growth column
