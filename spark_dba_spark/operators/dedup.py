@@ -106,10 +106,10 @@ def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``repartition("doc_id")`` (a few MB of text looks coalescible;
     measured 3.0s → 1.35s for minhash, 3.1s → 1.4s for ngram-jaccard at
     sf0.1). The explicit count survives AQE; at real scale the scan has
-    thousands of splits and this is an insurance shuffle of raw docs."""
-    return _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    )
+    thousands of splits, :func:`catalog.load_par`'s size guard sees the
+    corpus exceed one split, and the insurance shuffle disappears from the
+    plan entirely (r14 optimization round: previously unconditional)."""
+    return catalog.load_par(spark, sf_dir, "documents", "doc_id")
 
 
 # DuckDB rendering of the distinct word-3-gram shingle list (1-indexed).

@@ -53,7 +53,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # load_par: the 7 decimal partial aggregates are the expensive map work;
+    # on a sub-split input the whole stage would run as ONE task (single row
+    # group). See catalog.load_par — no-op at real scale.
+    li = catalog.load_par(spark, sf_dir, "lineitem", "l_orderkey")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -482,7 +485,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit broadcast of the part dim: at fixture scale part ≪ lineitem;
     # at 100 TB you'd bound this with spark.sql.autoBroadcastJoinThreshold
     # and let AQE fall back to shuffled hash — the hint is advisory.
-    li = _t(spark, sf_dir, "lineitem")
+    li = catalog.load_par(spark, sf_dir, "lineitem", "l_orderkey")
     part = _t(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -536,6 +539,9 @@ GROUP BY band ORDER BY band
 # --------------------------------------------------------------------------
 
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT load_par: the cost here is the distinct-agg Expand+exchange
+    # machinery (already parallel), not the single-task scan — an insurance
+    # repartition was A/B-measured at +0.28s (r14 optimization round).
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -1176,7 +1182,9 @@ FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # load_par: per-row JSON parsing is the map cost — parallelize it when
+    # the input is below one scan split (no-op at real scale).
+    ev = catalog.load_par(spark, sf_dir, "events", "event_id")
     return (
         ev.select(
             "event_type",

@@ -53,6 +53,8 @@ def _duck_arr(words: tuple[str, ...]) -> str:
 # --------------------------------------------------------------------------
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT load_par: one bound-once tokenize pass is cheaper than an
+    # insurance shuffle of the texts (A/B: +0.17s at sf0.1).
     docs = _docs(spark, sf_dir)
     stop = _spark_arr(STOPWORDS)
     # NB: decimal-typed literals (`1.0`) would make Spark plan DECIMAL

@@ -74,8 +74,23 @@ def get_spark(
     return spark
 
 
+# Sessions already checked — every conf.get/.set is a py4j round-trip, and
+# catalog.load runs this per table load (the r14 bench profile billed ~20-50ms
+# of plan-build per query to these calls alone). Nothing else in this process
+# unsets the invariants once applied, so one pass per live session suffices;
+# WeakSet so a stopped session's entry dies with the wrapper object.
+_ENSURED: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+
+
 def ensure_session_invariants(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable correctness invariants to any session."""
+    """Apply runtime-settable correctness invariants to any session (once)."""
+    global _ENSURED
+    if _ENSURED is None:
+        import weakref
+
+        _ENSURED = weakref.WeakSet()
+    if spark in _ENSURED:
+        return spark
     for k, v in _RUNTIME_INVARIANTS.items():
         try:
             if spark.conf.get(k, None) != v:
@@ -83,4 +98,5 @@ def ensure_session_invariants(spark: SparkSession) -> SparkSession:
         except Exception:
             # Conf not recognized on some build — never fail a query over it.
             pass
+    _ENSURED.add(spark)
     return spark
