@@ -4822,6 +4822,9 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the holistic aggregate never funnels through one task. Ties across
     engines are impossible: cum is an exact decimal and the price ladder
     is strictly increasing within a part."""
+    # NOT load_par: (part, price) is nearly row-distinct, so the partial
+    # agg doesn't reduce and an insurance repartition is a pure extra
+    # shuffle (A/B: 1.6s -> 2.5s at sf0.1, r14 optimization round).
     li = _t(spark, sf_dir, "lineitem")
     wp = li.groupBy("l_partkey", "l_extendedprice").agg(
         F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("w")

@@ -5933,8 +5933,11 @@ def stats_permutation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one corpus pass fans out to {PERM_B} replicas of a 2-cell
     partial agg (map-side combined, replica-bounded exchange); the
     observed cells ride the same pass (replica 0 = identity)."""
+    # load_par: the replica fan-out evaluates ~events×(B+1) md5s in the map
+    # stage — on a sub-split scan that is ONE task (r14 optimization round);
+    # no-op at real scale.
     ev = (
-        catalog.load(spark, sf_dir, "events")
+        catalog.load_par(spark, sf_dir, "events", "event_id")
         .filter(F.col("event_type").isin("click", "view"))
         .select(
             "event_id",

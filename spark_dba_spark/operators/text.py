@@ -3821,21 +3821,29 @@ def text_consonant_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     short; mojibake and binary-pasted-as-text produce long runs).
     Splitting on the vowel+space class leaves exactly the maximal
     consonant runs; empty fragments (adjacent vowels, leading edge)
-    are filtered identically on both engines. Map-only HOF pass."""
-    docs = _docs(spark, sf_dir)
+    are filtered identically on both engines. Map-only HOF pass.
+
+    The fragment list is bound ONCE via the single-element-array
+    transform trick (interpreted lambdas get no CSE — the original
+    three-column form ran the regex split 3× per row; the text_quality
+    precedent), and the scan goes through load_par so the pass isn't
+    one task on a sub-split corpus (r14 optimization round)."""
+    docs = catalog.load_par(spark, sf_dir, "documents", "doc_id")
     frags = "filter(split(text, '[aeiou ]+'), x -> x != '')"
-    return docs.select(
-        "doc_id",
-        F.expr(f"cast(size({frags}) as bigint)").alias("n_runs"),
-        F.expr(
-            f"cast(coalesce(array_max(transform({frags}, x -> length(x))),"
-            " 0) as bigint)"
-        ).alias("max_run"),
-        F.expr(
-            f"cast(size(filter({frags}, x -> length(x) >= {RUN_LONG}))"
-            " as bigint)"
-        ).alias("n_long_runs"),
-    ).orderBy("doc_id")
+    q = F.expr(
+        f"""transform(array({frags}), f -> struct(
+              cast(size(f) as bigint) as n_runs,
+              cast(coalesce(array_max(transform(f, x -> length(x))), 0)
+                   as bigint) as max_run,
+              cast(size(filter(f, x -> length(x) >= {RUN_LONG})) as bigint)
+                as n_long_runs
+            ))[0]"""
+    )
+    return (
+        docs.select("doc_id", q.alias("q"))
+        .select("doc_id", "q.*")
+        .orderBy("doc_id")
+    )
 
 
 ORACLE_CONSONANT_RUNS = f"""
@@ -4434,8 +4442,10 @@ def text_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pure map-side higher-order expressions per doc (the mode
     count is a distinct×occurrence fold bounded by the doc's own token
-    count) — embarrassingly parallel, no shuffle."""
-    docs = _docs(spark, sf_dir)
+    count) — embarrassingly parallel, no shuffle. load_par because the
+    r4 repetition gate is O(distinct×tokens) per doc — the heaviest
+    map-only pass in this module (r14 optimization round)."""
+    docs = catalog.load_par(spark, sf_dir, "documents", "doc_id")
     stop = _spark_arr(STOPWORDS)
     return (
         docs.select(
