@@ -400,6 +400,13 @@ def _minhash_stages(spark: SparkSession, sf_dir: str):
         _docs_par(spark, sf_dir)
         .select("doc_id", word_ngrams("text", NGRAM).alias("shingles"))
     )
+    # NOTE (r14 optimization round): a vectorized Arrow signature stage
+    # (JVM md5 lanes + one NumPy broadcast per doc for the 100-perm fold)
+    # was built and A/B-measured ORDER-BALANCED against this expression —
+    # bit-identical output, but a wash at sf0.1 (mins 1.95 vs 2.08s, medians
+    # 2.76 vs 2.68s): the interpreted fold is ~0.15s here and the Arrow
+    # boundary costs the same back. Kept JVM-only — no Python worker in the
+    # core dedup path.
     sig = docs.select(
         "doc_id",
         F.expr(
