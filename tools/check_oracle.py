@@ -43,8 +43,12 @@ from spark_dba_spark.session import get_spark  # noqa: E402
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in catalog.TABLES:
+        # Directory-based tables (e.g. the tools/gen_scale_fixtures.py sf1
+        # substrate) hold part files; DuckDB needs the glob form for those.
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     return con
 
