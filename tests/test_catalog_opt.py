@@ -80,3 +80,76 @@ def test_ensure_invariants_idempotent(spark):
     s2 = ensure_session_invariants(spark)  # fast path
     assert s1 is spark and s2 is spark
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_ensure_invariants_heals_sentinel_drift(spark):
+    """A foreign SET on the sentinel conf after the first pass must be
+    repaired on the next call (r15: the once-per-session memo silently
+    dropped this self-healing; the sentinel re-check restores it)."""
+    ensure_session_invariants(spark)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    ensure_session_invariants(spark)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_load_memo_evicts_superseded_entry(spark, tmp_path):
+    """Rewriting a fixture in place must REPLACE the memo entry, not
+    accumulate dead plans (ADVICE r14: unbounded growth in long sessions)."""
+    import os
+
+    p = tmp_path / "e.parquet"
+    spark.range(2).toPandas().to_parquet(p)
+    catalog.load(spark, str(tmp_path), "e")
+    memo = catalog._scan_memo(spark)
+    n_before = len(memo)
+    for i in range(3, 6):
+        spark.range(i).toPandas().to_parquet(p)
+        os.utime(p, ns=(i * 10**9, i * 10**9))  # force a distinct stat sig
+        df = catalog.load(spark, str(tmp_path), "e")
+        assert df.count() == i
+    assert len(memo) == n_before  # replaced in place, never grown
+
+
+def test_load_memo_invalidates_on_directory_child_rewrite(spark, tmp_path):
+    """Directory-based tables (catalog docstring: 'one parquet file (or
+    directory) per table'): rewriting a PART file in place leaves the
+    directory's own mtime/size unchanged, so the key must fold child
+    stats (ADVICE r14 medium — the old key served stale plans here)."""
+    import os
+    import time
+
+    d = tmp_path / "dtab.parquet"
+    d.mkdir()
+    spark.range(4).toPandas().to_parquet(d / "part-0.parquet")
+    df1 = catalog.load(spark, str(tmp_path), "dtab")
+    assert df1.count() == 4
+    dir_stat_before = os.stat(d).st_mtime_ns
+    spark.range(9).toPandas().to_parquet(d / "part-0.parquet")
+    # Make the child's signature provably different even on coarse-mtime
+    # filesystems, while restoring the directory's own mtime.
+    os.utime(d / "part-0.parquet", ns=(1, 1))
+    os.utime(d, ns=(dir_stat_before, dir_stat_before))
+    df2 = catalog.load(spark, str(tmp_path), "dtab")
+    assert df2 is not df1
+    assert df2.count() == 9
+
+
+def test_parse_bytes_pebibytes():
+    assert catalog._parse_bytes("1p") == 1024**5
+    assert catalog._parse_bytes("2PB") == 2 * 1024**5
+
+
+def test_load_par_directory_table_sub_split(spark, tmp_path):
+    """load_par's size guard must also see directory tables (sum of part
+    files) — the sf1 substrate layout."""
+    d = tmp_path / "dp.parquet"
+    d.mkdir()
+    spark.range(10).withColumnRenamed("id", "k").toPandas().to_parquet(
+        d / "part-0.parquet"
+    )
+    spark.range(10, 20).withColumnRenamed("id", "k").toPandas().to_parquet(
+        d / "part-1.parquet"
+    )
+    df = catalog.load_par(spark, str(tmp_path), "dp", "k")
+    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert df.count() == 20
