@@ -63,58 +63,60 @@ class QuerySpec:
 # lands). The 36 r13-window greens rotate to PRIORITY_LAST; the r12
 # greens previously there fall back to the middle.
 #
-# R15 BACKLOG NOTE (for the next rotation): the round-14 session
-# continued past the window freeze with batches O-AC (registry 465 →
-# 549). Every op added after slot 50 is local-3-SF-green with a
-# planted twin but has NO driver correctness row yet; per the
-# standing protocol the r15 window should seat the oldest
-# never-driver-checked ops first (batch O onward, in registration
-# order), retiring the r14 window greens to PRIORITY_LAST.
+# ROUND-15 WINDOW (optimization round 2/2 — rotation only, no new
+# queries; the registry holds the same 549 names as r14):
+# CORRECTNESS_r14 landed 50/50 green, so per the standing protocol the
+# 36 r14 slot-holders (batches H-N) retire to PRIORITY_LAST and slots
+# 1-36 seat the 36 OLDEST never-driver-checked backlog ops — batches
+# O, P, Q, R, S, T and the first two of U, exactly in their queued
+# registration order (each op carries a full oracle, three hostile-SF
+# local sweep rows, and a pytest twin). The remaining backlog (rest of
+# U + batches V-AC, 48 ops) stays contiguous right after slot 50. The
+# r13 greens previously in PRIORITY_LAST fall back to the middle.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # slots 1-7 — continuation batch H (never driver-checked)
-    "text_pii_redaction_corpus",
-    "mm_chunk_size_quantiles",
-    "text_bigram_entropy_rate",
-    "join_asof_forward",
-    "ev_tenure_churn_hazard",
-    "emb_cell_purity_by_label",
-    "mm_magic_mismatch_audit",
-    # slots 8-12 — continuation batch I
-    "emb_anisotropy_mean_vector",
-    "text_source_tf_cosine_matrix",
-    "sketch_linear_counting_error",
-    "ev_error_rate_by_load",
-    "stats_theil_index_by_nation",
-    # slots 13-16 — continuation batch J
-    "ev_type_hourly_corr_matrix",
-    "stats_evt_gumbel_daily_max",
-    "mm_chunk_boundary_stability",
-    "corpus_token_budget_by_quality",
-    # slots 17-18 — continuation batch K
-    "corpus_lang_rebalance_plan",
-    "orders_hhi_monthly_trend",
-    # slots 19-22 — continuation batch L
-    "ev_order_event_reconciliation",
-    "ev_attribution_window_sweep",
-    "corpus_dup_quality_crosstab",
-    "ev_zipf_user_activity",
-    # slots 23-26 — continuation batch M (incl. the TwoNN perf fix)
-    "corpus_pack_efficiency_by_window",
-    "mm_payload_periodicity_probe",
-    "stats_weekend_mix_ztest",
-    "emb_intrinsic_dim_twonn",
-    # slots 27-36 — new in r14 (batch N; never driver-checked by
-    # definition)
-    "orders_pvm_decomposition",
-    "stats_jackknife_influence",
-    "stats_power_analysis_mde",
-    "ev_seasonality_strength",
-    "ev_sequence_pattern_match",
-    "mm_prefix_hash_audit",
-    "emb_probe_hubness",
-    "emb_prefix_dim_recall",
-    "dedup_lsh_band_planner",
-    "dedup_method_confusion",
+    # slots 1-6 — continuation batch O (never driver-checked)
+    "ev_slo_burn_rate",
+    "stats_cochran_armitage_trend",
+    "stats_mcnemar_weekend_purchase",
+    "stats_bh_fdr_weekend",
+    "emb_kmeans_elbow",
+    "sim_lsh_recall_by_corpus_scale",
+    # slots 7-12 — continuation batch P
+    "emb_sq_bits_sweep",
+    "stats_simpson_paradox_probe",
+    "ev_lead_lag_xcorr",
+    "stats_qte_weekend_value",
+    "sim_ann_rank_quality",
+    "dedup_shingle_size_sweep",
+    # slots 13-17 — continuation batch Q
+    "stats_weekend_effect_heterogeneity",
+    "stats_effect_size_weekend",
+    "stats_interrupted_time_series",
+    "text_length_dup_bias",
+    "ev_changepoint_binary_seg",
+    # slots 18-22 — continuation batch R
+    "mm_dedup_net_savings",
+    "graph_adamic_adar",
+    "stats_hash_split_fairness",
+    "orders_cohort_ndr",
+    "ev_type_mix_drift_weekly",
+    # slots 23-28 — continuation batch S
+    "orders_littles_law_audit",
+    "stats_nelson_aalen_interarrival",
+    "text_readability_grid",
+    "emb_triplet_margin_rate",
+    "sketch_ams_f2_error",
+    "corpus_dedup_quality_shift",
+    # slots 29-34 — continuation batch T
+    "orders_abc_migration",
+    "split_covariate_balance",
+    "dedup_simhash_bit_bias",
+    "mm_payload_chi2_uniformity",
+    "stats_friedman_daily_types",
+    "text_js_divergence_sources",
+    # slots 35-36 — continuation batch U (head)
+    "mm_byte_cond_entropy",
+    "text_burrows_delta",
     # frozen bench set — a driver row EVERY round:
     "q01_pricing_summary",
     "ev_tumbling_1h",
@@ -132,51 +134,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "text_quality",
     # --- beyond slot 50: the never-checked backlog, contiguous
     # (enforced by test_remaining_backlog_queued_right_after_window) —
-    # continuation batch O landed after the r14 window filled; full
-    # 3-SF local evidence + twins; the r15 window candidates:
-    "ev_slo_burn_rate",
-    "stats_cochran_armitage_trend",
-    "stats_mcnemar_weekend_purchase",
-    "stats_bh_fdr_weekend",
-    "emb_kmeans_elbow",
-    "sim_lsh_recall_by_corpus_scale",
-    # batch P continuation (also never-checked; full local evidence):
-    "emb_sq_bits_sweep",
-    "stats_simpson_paradox_probe",
-    "ev_lead_lag_xcorr",
-    "stats_qte_weekend_value",
-    "sim_ann_rank_quality",
-    "dedup_shingle_size_sweep",
-    # batch Q continuation (also never-checked; full local evidence):
-    "stats_weekend_effect_heterogeneity",
-    "stats_effect_size_weekend",
-    "stats_interrupted_time_series",
-    "text_length_dup_bias",
-    "ev_changepoint_binary_seg",
-    # batch R continuation (also never-checked; full local evidence):
-    "mm_dedup_net_savings",
-    "graph_adamic_adar",
-    "stats_hash_split_fairness",
-    "orders_cohort_ndr",
-    "ev_type_mix_drift_weekly",
-    # batch S continuation (second r14 window; never-checked; full
-    # local evidence — operators/analytics.py):
-    "orders_littles_law_audit",
-    "stats_nelson_aalen_interarrival",
-    "text_readability_grid",
-    "emb_triplet_margin_rate",
-    "sketch_ams_f2_error",
-    "corpus_dedup_quality_shift",
-    # batch T continuation (same evidence protocol):
-    "orders_abc_migration",
-    "split_covariate_balance",
-    "dedup_simhash_bit_bias",
-    "mm_payload_chi2_uniformity",
-    "stats_friedman_daily_types",
-    "text_js_divergence_sources",
-    # batch U continuation (same evidence protocol):
-    "mm_byte_cond_entropy",
-    "text_burrows_delta",
+    # batch U continuation (tail; full local evidence + twins):
     "ev_hurst_variance_plot",
     "dedup_minhash_perm_sweep",
     # --- r15 backlog continued: batches V-AC (third window, never
@@ -229,46 +187,46 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "text_lang_script_agreement",
 )
 
-# r13-window greens — rotate to the tail this round (driver row <=1 round
-# old; still in every committed local sweep). The middle (not listed here
-# or above) holds the r2-r12 greens in registration order.
+# r14-window greens (batches H-N) — rotate to the tail this round (driver
+# row <=1 round old; still in every committed local sweep). The middle
+# (not listed here or above) holds the r2-r13 greens in registration order.
 PRIORITY_LAST: tuple[str, ...] = (
-    "dedup_component_cohesion",
-    "graph_local_bridges",
-    "emb_bucket_pair_cos_histogram",
-    "mm_payload_byte_stats",
-    "ev_type_transition_gap_median",
-    "customer_balance_activity_grid",
-    "text_source_bigram_uniqueness",
-    "stats_sign_test_user_value",
-    "ev_hourly_mad_anomalies",
-    "supplier_acctbal_quartile_grid",
-    "text_dedup_inflation_by_source",
-    "sim_ivf_routing_balance",
-    "stats_blomqvist_beta_brand",
-    "dedup_band_precision_profile",
-    "ev_hourly_session_load",
-    "stats_cramers_v_assoc",
-    "dedup_cluster_pareto",
-    "customer_priority_transitions",
-    "ev_weekend_lift",
-    "mm_chunk_cdc_profile",
-    "ev_hourly_load_gini",
-    "sketch_hll_precision_sweep",
-    "join_asof_tolerance",
-    "emb_cluster_silhouette",
-    "lineitem_promo_did",
-    "graph_neardup_modularity",
-    "text_char_entropy_by_source",
-    "emb_pq_codebook_utilization",
-    "graph_neardup_conductance",
-    "ev_session_bounce_profile",
-    "text_pii_pattern_audit",
-    "text_composite_quality_score",
-    "mm_cdc_snapshot_delta",
-    "ev_interarrival_burstiness",
-    "ev_interval_coverage_join",
-    "sketch_grid_quantile_error",
+    "text_pii_redaction_corpus",
+    "mm_chunk_size_quantiles",
+    "text_bigram_entropy_rate",
+    "join_asof_forward",
+    "ev_tenure_churn_hazard",
+    "emb_cell_purity_by_label",
+    "mm_magic_mismatch_audit",
+    "emb_anisotropy_mean_vector",
+    "text_source_tf_cosine_matrix",
+    "sketch_linear_counting_error",
+    "ev_error_rate_by_load",
+    "stats_theil_index_by_nation",
+    "ev_type_hourly_corr_matrix",
+    "stats_evt_gumbel_daily_max",
+    "mm_chunk_boundary_stability",
+    "corpus_token_budget_by_quality",
+    "corpus_lang_rebalance_plan",
+    "orders_hhi_monthly_trend",
+    "ev_order_event_reconciliation",
+    "ev_attribution_window_sweep",
+    "corpus_dup_quality_crosstab",
+    "ev_zipf_user_activity",
+    "corpus_pack_efficiency_by_window",
+    "mm_payload_periodicity_probe",
+    "stats_weekend_mix_ztest",
+    "emb_intrinsic_dim_twonn",
+    "orders_pvm_decomposition",
+    "stats_jackknife_influence",
+    "stats_power_analysis_mde",
+    "ev_seasonality_strength",
+    "ev_sequence_pattern_match",
+    "mm_prefix_hash_audit",
+    "emb_probe_hubness",
+    "emb_prefix_dim_recall",
+    "dedup_lsh_band_planner",
+    "dedup_method_confusion",
 )
 
 
