@@ -10147,71 +10147,84 @@ def sim_lsh_recall_by_corpus_scale(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     emb = _emb(spark, sf_dir)
-    pairs = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint(
-        eager=True
-    )  # one bucketing pass feeds all three subsample filters
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
 
-    def samp(s: int) -> str:
-        return (
-            f"(vec_id < {N_QUERIES} or "
-            f"cast(conv(substring(md5(concat('scale:', "
-            f"cast(vec_id as string))), 1, 7), 16, 10) as bigint)"
-            f" % 100 < {s})"
-        )
+    # r15 fold (guide §1.2 "remove unnecessary passes"): the old form looped
+    # the three scales, so the LSH join+cosine and the brute exact pass each
+    # ran 3× over 25/50/100% of the corpus (1.75× full-corpus work apiece)
+    # with an eager checkpoint per scale (plus one for the shared candidate
+    # stream). One pass now scores each pair ONCE and explodes it into the
+    # scales whose subsample contains it; the per-scale top-k windows become
+    # ONE window partitioned by (scale, qid). Per-scale row sets are
+    # identical by construction (same membership predicate, same sim
+    # expression, same deterministic tie-break), so the output is provably
+    # unchanged — re-verified against the oracle at 3 SFs.
+    scale_list = ", ".join(str(s) for s in SCALE_PCTS)
+    in_scales = F.expr(
+        f"filter(array({scale_list}), s -> vec_id < {N_QUERIES} or "
+        f"cast(conv(substring(md5(concat('scale:', "
+        f"cast(vec_id as string))), 1, 7), 16, 10) as bigint) % 100 < s)"
+    )
 
-    outs = []
-    for s in SCALE_PCTS:
-        emb_s = emb.filter(F.expr(samp(s)))
-        nc = emb_s.agg(F.count("*").cast("long").alias("n_corpus"))
-        lsh = (
-            pairs.filter(F.expr(samp(s)))
-            .join(F.broadcast(qv), "qid")
-            .join(emb.select("vec_id", "embedding"), "vec_id")
-            .withColumn("sim", _cosine_expr())
+    nc = (
+        emb.select(F.explode(in_scales).alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("n_corpus"))
+    )
+    wq = W.partitionBy("s", "qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    # The scale-membership array rides along as a tiny (≤3-int) column and
+    # is exploded only AFTER the cosine, so each pair is scored exactly once.
+    lsh = (
+        pairs.withColumn("ss", in_scales)
+        .join(F.broadcast(qv), "qid")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn("sim", _cosine_expr())
+        .select("qid", "vec_id", "sim", F.explode("ss").alias("s"))
+    )
+    ltop = (
+        lsh.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= TOP_K)
+        .select("s", "qid", "vec_id")
+    )
+    exact = (
+        emb.select("vec_id", "embedding", in_scales.alias("ss"))
+        .join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
+        .withColumn("sim", _cosine_expr())
+        .select("qid", "vec_id", "sim", F.explode("ss").alias("s"))
+    )
+    etop = (
+        exact.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= TOP_K)
+        .select("s", "qid", "vec_id")
+        .localCheckpoint(eager=True)  # bounded (scales × queries × k);
+    )  # feeds the base count + the overlap join
+    base = etop.groupBy("s").agg(F.count("*").cast("long").alias("n_base"))
+    ov = (
+        ltop.join(etop, ["s", "qid", "vec_id"])
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    spine = spark.createDataFrame([(s,) for s in SCALE_PCTS], "s int")
+    return (
+        spine.join(nc, "s", "left")
+        .join(base, "s", "left")
+        .join(ov, "s", "left")
+        .select(
+            F.col("s").cast("long").alias("scale_pct"),
+            F.coalesce("n_corpus", F.lit(0)).cast("long").alias("n_corpus"),
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(
+                "case when coalesce(n_base, 0) > 0 then "
+                + rat_round6_spark("coalesce(n_overlap, 0)", "n_base")
+                + " end"
+            ).alias("recall_r6"),
         )
-        wq = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-        ltop = (
-            lsh.withColumn("rk", F.row_number().over(wq))
-            .filter(F.col("rk") <= TOP_K)
-            .select("qid", "vec_id")
-        )
-        exact = (
-            emb_s.select("vec_id", "embedding")
-            .join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
-            .withColumn("sim", _cosine_expr())
-        )
-        etop = (
-            exact.withColumn("rk", F.row_number().over(wq))
-            .filter(F.col("rk") <= TOP_K)
-            .select("qid", "vec_id")
-            .localCheckpoint(eager=True)  # feeds base count + overlap
-        )
-        base = etop.agg(F.count("*").cast("long").alias("n_base"))
-        ov = ltop.join(etop, ["qid", "vec_id"]).agg(
-            F.count("*").cast("long").alias("n_overlap")
-        )
-        outs.append(
-            nc.crossJoin(F.broadcast(base))
-            .crossJoin(F.broadcast(ov))
-            .select(
-                F.lit(s).cast("long").alias("scale_pct"),
-                "n_corpus",
-                "n_base",
-                "n_overlap",
-                F.expr(
-                    "case when n_base > 0 then "
-                    + rat_round6_spark("n_overlap", "n_base")
-                    + " end"
-                ).alias("recall_r6"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("scale_pct")
+        .orderBy("scale_pct")
+    )
 
 
 def _oracle_lsh_recall_by_scale() -> str:
