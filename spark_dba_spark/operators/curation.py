@@ -3308,11 +3308,11 @@ def dedup_band_precision_profile(
     ).select(
         "doc_id",
         "b",
-        F.expr(
-            f"concat_ws(',', transform("
-            f"slice(sig, b * {MINHASH_R} + 1, {MINHASH_R}), "
-            f"x -> cast(x as string)))"
-        ).alias("bkey"),
+        # grouping-internal key: the raw signature slice, not a rendered
+        # string — identical buckets (injective rendering), no per-row
+        # int→string concat work (r15 optimization round, same change as
+        # _minhash_stages/dedup_lsh_band_planner)
+        F.expr(f"slice(sig, b * {MINHASH_R} + 1, {MINHASH_R})").alias("bkey"),
     )
     cand = (
         bands.groupBy("b", "bkey")
@@ -9371,29 +9371,38 @@ def dedup_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs, sig, _ = _minhash_stages(spark, sf_dir)
     sigc = sig.localCheckpoint(eager=True)  # one signature pass, 4 configs
-    per_cfg = []
-    for bn, r in PLANNER_CONFIGS:
-        per_cfg.append(
-            sigc.select(
-                "doc_id",
-                "sig",
-                F.lit(bn).alias("bands"),
-                F.lit(r).alias("rpb"),
-                F.explode(F.sequence(F.lit(0), F.lit(bn - 1))).alias("b"),
-            ).select(
-                "doc_id",
-                "bands",
-                "rpb",
-                F.expr(
-                    f"concat(b, ':', concat_ws(',', transform("
-                    f"slice(sig, b * {r} + 1, {r}), "
-                    f"x -> cast(x as string))))"
-                ).alias("band_key"),
-            )
+    # r15 optimization round: the four configs expand in ONE pass over the
+    # checkpointed signatures (exploded config literal array) instead of a
+    # 4-branch union — one scan leg, one codegen span — and the band key
+    # is the raw (b, slice) struct instead of a rendered string (the key
+    # is grouping-internal; digit renders are injective, so the bucket
+    # sets are identical by construction). Gated order-balanced A/B at
+    # sf0.1: 4.58s → 2.76s min, output row-identical
+    # (tools/exp_bandplanner_r15.py).
+    cfg_lit = F.array(
+        *[
+            F.struct(F.lit(b).alias("bands"), F.lit(r).alias("rpb"))
+            for b, r in PLANNER_CONFIGS
+        ]
+    )
+    allb = (
+        sigc.select("doc_id", "sig", F.explode(cfg_lit).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.bands").alias("bands"),
+            F.col("c.rpb").alias("rpb"),
+            "sig",
+            F.explode(F.expr("sequence(0, c.bands - 1)")).alias("b"),
         )
-    allb = per_cfg[0]
-    for c in per_cfg[1:]:
-        allb = allb.unionByName(c)
+        .select(
+            "doc_id",
+            "bands",
+            "rpb",
+            F.struct(
+                F.col("b"), F.expr("slice(sig, b * rpb + 1, rpb)").alias("k")
+            ).alias("band_key"),
+        )
+    )
     buckets = (
         allb.groupBy("bands", "rpb", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))

@@ -419,21 +419,30 @@ def _minhash_stages(spark: SparkSession, sf_dir: str):
             "))[0]"
         ).alias("sig"),
     )
+    # The band key is purely internal (grouping only — never output), so
+    # it is the raw (b, slice(sig, ...)) struct rather than a rendered
+    # "b:v1,v2,.." string: two docs share the string iff they share the
+    # struct (digit strings are comma/colon-free, so the rendering is
+    # injective), which makes the bucket sets — and every downstream
+    # number — identical by construction, while skipping 25 per-doc
+    # int→string renders + concats before the exchange (r15 optimization
+    # round, guide §2.3 "shuffle fewer bytes"/§1.2 per-task work:
+    # measured on the band-planner family, string → struct key + one-pass
+    # expansion took the planner 4.58s → 2.76s gated-min at sf0.1).
     bands = (
         sig.select(
             "doc_id",
             "sig",
             F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias("b"),
         )
-        .withColumn(
-            "band_key",
-            F.expr(
-                f"concat(b, ':', concat_ws(',', transform("
-                f"slice(sig, b * {MINHASH_R} + 1, {MINHASH_R}), "
-                f"x -> cast(x as string))))"
-            ),
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("b"),
+                F.expr(f"slice(sig, b * {MINHASH_R} + 1, {MINHASH_R})")
+                .alias("k"),
+            ).alias("band_key"),
         )
-        .select("doc_id", "band_key")
     )
     cand = (
         bands.groupBy("band_key")
