@@ -1170,7 +1170,15 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost scales with the EVAL suite, not the train corpus — inherent
     # and constant; the train-side probe is the part that scales, and it
     # is pure codegen.
-    docs = _docs(spark, sf_dir)
+    #
+    # r15 optimization round: r10's rejected experiment was an
+    # UNCONDITIONAL repartition; the r14 size-guarded catalog.load_par is
+    # a different trade — both the bitset-build map stage and the
+    # train-side probe ran single-task on the sub-split fixture scan, and
+    # the guard removes the shuffle entirely at real scale (guide §2.4).
+    # Gated order-balanced A/B (tools/exp_decon_bloom_r15.py): min
+    # 6.62s → 4.94s at sf0.1, output identical, oracle green at 3 SFs.
+    docs = catalog.load_par(spark, sf_dir, "documents", "doc_id")
     sh = docs.select(
         "doc_id",
         F.array_distinct(_shingle_expr(DECON_NGRAM)).alias("shingles"),
